@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, StringType}
+
+/** SQL-interface registration: makes every ST_* function callable from
+  * `spark.sql("…")` — the same SQL-text surface the reference exposes
+  * (reference: src/index.ts:349 processQuery takes raw SQL).
+  *
+  * Use either
+  *   `spark.sql.extensions=graft.GraftExtensions` (cluster config), or
+  *   `Graft.register(spark)` (programmatic, used by SparkEntry/tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Graft.functionDescriptions.foreach(ext.injectFunction)
+}
+
+object Graft {
+  private def desc(name: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val info = new ExpressionInfo("graft.functions.GeoOps", name)
+    (FunctionIdentifier(name), info, builder)
+  }
+
+  /** Coerce args to the kernel's input types (a trivial Cast is removed by
+    * the optimizer's SimplifyCasts, so geometry args stay zero-cost). */
+  private def coerce(name: String, types: Seq[DataType], es: Seq[Expression]): Seq[Expression] = {
+    require(es.length == types.length,
+      s"$name expects ${types.length} arguments, got ${es.length}")
+    es.zip(types).map { case (e, dt) => Cast(e, dt) }
+  }
+
+  private val G = BinaryType // geometry = WKB bytes
+  private def u(name: String, f: Expression => Expression, t0: DataType = G) =
+    desc(name, es => { val c = coerce(name, Seq(t0), es); f(c.head) })
+  private def b(name: String, f: (Expression, Expression) => Expression,
+                types: Seq[DataType] = Seq(G, G)) =
+    desc(name, es => { val c = coerce(name, types, es); f(c(0), c(1)) })
+  private def t(name: String, f: (Expression, Expression, Expression) => Expression,
+                types: Seq[DataType]) =
+    desc(name, es => { val c = coerce(name, types, es); f(c(0), c(1), c(2)) })
+  private def q(name: String, f: (Expression, Expression, Expression, Expression) => Expression,
+                types: Seq[DataType]) =
+    desc(name, es => { val c = coerce(name, types, es); f(c(0), c(1), c(2), c(3)) })
+
+  /** The complete registered surface (PostGIS spelling, case-insensitive). */
+  val functionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // constructors
+    b("st_point", StPoint, Seq(DoubleType, DoubleType)),
+    b("st_makepoint", StPoint, Seq(DoubleType, DoubleType)),
+    q("st_makeenvelope", StMakeEnvelope, Seq(DoubleType, DoubleType, DoubleType, DoubleType)),
+    u("st_geomfromtext", StGeomFromText, StringType),
+    u("st_geometryfromtext", StGeomFromText, StringType),
+    u("st_geomfromwkb", StGeomFromWKB),
+    u("st_geomfromgeojson", StGeomFromGeoJSON, StringType),
+    u("st_geomfromgml", StGeomFromGML, StringType),
+    u("st_geomfromkml", StGeomFromKML, StringType),
+    // output
+    u("st_astext", StAsText),
+    u("st_asgeojson", StAsGeoJSON),
+    u("st_asbinary", StAsBinary),
+    // accessors
+    u("st_x", StX),
+    u("st_y", StY),
+    u("st_srid", StSrid),
+    b("st_setsrid", StSetSrid, Seq(G, IntegerType)),
+    u("st_geometrytype", StGeometryType),
+    u("st_dimension", StDimension),
+    u("st_npoints", StNumPoints),
+    u("st_numpoints", StNumPoints),
+    u("st_numgeometries", StNumGeometries),
+    b("st_geometryn", StGeometryN, Seq(G, IntegerType)),
+    u("st_isempty", StIsEmpty),
+    u("st_isvalid", StIsValid),
+    u("st_issimple", StIsSimple),
+    // measures
+    u("st_area", StArea),
+    u("st_length", StLength),
+    b("st_distance", StDistance),
+    t("st_dwithin", StDWithin, Seq(G, G, DoubleType)),
+    // predicates
+    b("st_within", StWithin),
+    b("st_contains", StContains),
+    b("st_intersects", StIntersects),
+    b("st_disjoint", StDisjoint),
+    b("st_touches", StTouches),
+    b("st_overlaps", StOverlaps),
+    b("st_crosses", StCrosses),
+    b("st_equals", StEquals),
+    b("st_covers", StCovers),
+    b("st_coveredby", StCoveredBy),
+    // geometry processing
+    u("st_centroid", StCentroid),
+    u("st_envelope", StEnvelope),
+    u("st_boundary", StBoundary),
+    u("st_convexhull", StConvexHull),
+    b("st_buffer", StBuffer, Seq(G, DoubleType)),
+    b("st_simplify", StSimplify, Seq(G, DoubleType)),
+    b("st_union", StUnion),
+    b("st_intersection", StIntersection),
+    b("st_difference", StDifference),
+    b("st_symdifference", StSymDifference),
+  )
+
+  /** Idempotent programmatic registration on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functionDescriptions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import graft.geo.{GeoJson, GeomSerde, GmlKml}
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Geometry, GeometryFactory, Point}
+import org.locationtech.jts.simplify.TopologyPreservingSimplifier
+
+/** Static kernels for every ST_* function, operating directly on Catalyst
+  * internal types (WKB `Array[Byte]`, `UTF8String`, primitives) so the same
+  * method body serves both interpreted `nullSafeEval` and generated code
+  * (`defineCodeGen` emits a static call) — keeping geometry expressions
+  * inside WholeStageCodegen.
+  *
+  * Function surface mirrors the reference's PostGIS-side + pushdown
+  * functions (reference: extension/basex/basex_extension.ts:44-79,130-162;
+  * extension/mongodb/mongo_extension.ts:41-57) plus the standard PostGIS
+  * companions needed to round-trip its queries.
+  */
+object GeoOps {
+  @inline private def read(b: Array[Byte]): Geometry = GeomSerde.fromWkb(b)
+  @inline private def write(g: Geometry): Array[Byte] = GeomSerde.toWkb(g)
+  @inline private def f: GeometryFactory = GeomSerde.factory
+
+  // ------------------------------------------------------------ constructors
+  def stPoint(x: Double, y: Double): Array[Byte] = write(GeomSerde.point(x, y))
+
+  def stMakeEnvelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] = {
+    import org.locationtech.jts.geom.Coordinate
+    val cs = Array(
+      new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+      new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+      new Coordinate(xmin, ymin))
+    write(f.createPolygon(cs))
+  }
+
+  def stGeomFromText(wkt: UTF8String): Array[Byte] = write(GeomSerde.fromWkt(wkt.toString))
+  def stGeomFromWKB(b: Array[Byte]): Array[Byte] = write(read(b)) // validate + normalize
+  def stGeomFromGeoJSON(s: UTF8String): Array[Byte] = write(GeoJson.parse(s.toString))
+  def stGeomFromGML(s: UTF8String): Array[Byte] = write(GmlKml.parseGml(s.toString))
+  def stGeomFromKML(s: UTF8String): Array[Byte] = write(GmlKml.parseKml(s.toString))
+
+  // ------------------------------------------------------------------ output
+  def stAsText(b: Array[Byte]): UTF8String = UTF8String.fromString(GeomSerde.toWkt(read(b)))
+  def stAsGeoJSON(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.write(read(b)))
+  def stAsBinary(b: Array[Byte]): Array[Byte] = b
+
+  // -------------------------------------------------------------- accessors
+  def stX(b: Array[Byte]): Double = read(b) match {
+    case p: Point => p.getX
+    case g => throw new IllegalArgumentException(s"ST_X requires Point, got ${g.getGeometryType}")
+  }
+  def stY(b: Array[Byte]): Double = read(b) match {
+    case p: Point => p.getY
+    case g => throw new IllegalArgumentException(s"ST_Y requires Point, got ${g.getGeometryType}")
+  }
+  def stSrid(b: Array[Byte]): Int = read(b).getSRID
+  def stSetSrid(b: Array[Byte], srid: Int): Array[Byte] = {
+    val g = read(b); g.setSRID(srid); write(g)
+  }
+  /** PostGIS-style type name, e.g. "ST_Point"
+    * (reference predicate ST_GeometryType = '…', basex_extension.ts:146). */
+  def stGeometryType(b: Array[Byte]): UTF8String =
+    UTF8String.fromString("ST_" + read(b).getGeometryType)
+  def stDimension(b: Array[Byte]): Int = read(b).getDimension
+  def stNumPoints(b: Array[Byte]): Int = read(b).getNumPoints
+  def stNumGeometries(b: Array[Byte]): Int = read(b).getNumGeometries
+  def stGeometryN(b: Array[Byte], n: Int): Array[Byte] = write(read(b).getGeometryN(n - 1))
+  def stIsEmpty(b: Array[Byte]): Boolean = read(b).isEmpty
+  def stIsValid(b: Array[Byte]): Boolean = read(b).isValid
+  def stIsSimple(b: Array[Byte]): Boolean = read(b).isSimple
+
+  // ---------------------------------------------------------------- measures
+  def stArea(b: Array[Byte]): Double = read(b).getArea
+  def stLength(b: Array[Byte]): Double = read(b).getLength
+  def stDistance(a: Array[Byte], b: Array[Byte]): Double = read(a).distance(read(b))
+  def stDWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
+    read(a).isWithinDistance(read(b), d)
+
+  // -------------------------------------------------------------- predicates
+  def stWithin(a: Array[Byte], b: Array[Byte]): Boolean = read(a).within(read(b))
+  def stContains(a: Array[Byte], b: Array[Byte]): Boolean = read(a).contains(read(b))
+  def stIntersects(a: Array[Byte], b: Array[Byte]): Boolean = read(a).intersects(read(b))
+  def stDisjoint(a: Array[Byte], b: Array[Byte]): Boolean = read(a).disjoint(read(b))
+  def stTouches(a: Array[Byte], b: Array[Byte]): Boolean = read(a).touches(read(b))
+  def stOverlaps(a: Array[Byte], b: Array[Byte]): Boolean = read(a).overlaps(read(b))
+  def stCrosses(a: Array[Byte], b: Array[Byte]): Boolean = read(a).crosses(read(b))
+  def stEquals(a: Array[Byte], b: Array[Byte]): Boolean = read(a).equalsTopo(read(b))
+  def stCovers(a: Array[Byte], b: Array[Byte]): Boolean = read(a).covers(read(b))
+  def stCoveredBy(a: Array[Byte], b: Array[Byte]): Boolean = read(a).coveredBy(read(b))
+
+  // ------------------------------------------------------------ geom → geom
+  def stCentroid(b: Array[Byte]): Array[Byte] = write(read(b).getCentroid)
+  def stEnvelope(b: Array[Byte]): Array[Byte] = write(read(b).getEnvelope)
+  def stBoundary(b: Array[Byte]): Array[Byte] = write(read(b).getBoundary)
+  def stConvexHull(b: Array[Byte]): Array[Byte] = write(read(b).convexHull())
+  def stBuffer(b: Array[Byte], d: Double): Array[Byte] = write(read(b).buffer(d))
+  def stSimplify(b: Array[Byte], tol: Double): Array[Byte] =
+    write(TopologyPreservingSimplifier.simplify(read(b), tol))
+  def stUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] = write(read(a).union(read(b)))
+  def stIntersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(read(a).intersection(read(b)))
+  def stDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(read(a).difference(read(b)))
+  def stSymDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(read(a).symDifference(read(b)))
+}

@@ -1,0 +1,143 @@
+package graft.geo
+
+import org.locationtech.jts.geom._
+
+import scala.xml.{Elem, Node, XML}
+
+/** GML (2 & 3) and KML geometry codecs.
+  *
+  * Covers the reference's XML geometry surface
+  * (reference: extension/basex/basex_extension.ts:110-128 — GML types
+  * MultiPoint, Point, LineString, LinearRing, Polygon, MultiLineString,
+  * MultiPolygon, MultiGeometry; KML types Point, LineString, Polygon,
+  * MultiGeometry). Namespace prefixes are ignored: matching is on local
+  * names, as the reference's XPath `local-name()` checks do
+  * (reference: extension/basex/basex_extension.ts:396).
+  */
+object GmlKml {
+
+  def parseGml(xml: String): Geometry = parseGmlNode(XML.loadString(xml))
+
+  def parseKml(xml: String): Geometry = parseKmlNode(XML.loadString(xml))
+
+  // ------------------------------------------------------------------ GML
+
+  private def parseGmlNode(n: Node): Geometry = {
+    val f = GeomSerde.factory
+    n.label match {
+      case "Point"      => f.createPoint(singleCoord(n))
+      case "LineString" => f.createLineString(coords(n))
+      case "LinearRing" => f.createLinearRing(coords(n))
+      case "Polygon"    => gmlPolygon(n, f)
+      case "MultiPoint" =>
+        f.createMultiPoint(members(n, "pointMember", "Point").map(c => f.createPoint(singleCoord(c))).toArray)
+      case "MultiLineString" =>
+        f.createMultiLineString(members(n, "lineStringMember", "LineString").map(c => f.createLineString(coords(c))).toArray)
+      case "MultiPolygon" =>
+        f.createMultiPolygon(members(n, "polygonMember", "Polygon").map(c => gmlPolygon(c, f)).toArray)
+      case "MultiGeometry" | "GeometryCollection" =>
+        val parts = childElems(n)
+          .flatMap(m => if (m.label == "geometryMember" || m.label == "geometryMembers") childElems(m) else Seq(m))
+          .map(parseGmlNode)
+        f.createGeometryCollection(parts.toArray)
+      case other => throw new IllegalArgumentException(s"unsupported GML geometry: $other")
+    }
+  }
+
+  private def gmlPolygon(n: Node, f: GeometryFactory): Polygon = {
+    // GML2 outerBoundaryIs / innerBoundaryIs; GML3 exterior / interior
+    def ring(container: Node): LinearRing =
+      f.createLinearRing(coords(firstElem(container, "LinearRing")))
+    val shell = childElems(n)
+      .find(c => c.label == "outerBoundaryIs" || c.label == "exterior")
+      .map(ring)
+      .getOrElse(throw new IllegalArgumentException("GML Polygon without exterior ring"))
+    val holes = childElems(n)
+      .filter(c => c.label == "innerBoundaryIs" || c.label == "interior")
+      .map(ring)
+    f.createPolygon(shell, holes.toArray)
+  }
+
+  /** Members either wrapped (`<pointMember><Point>…`) or direct children. */
+  private def members(n: Node, wrapper: String, inner: String): Seq[Node] =
+    childElems(n).flatMap { c =>
+      if (c.label == wrapper) childElems(c).filter(_.label == inner)
+      else if (c.label == inner) Seq(c)
+      else Seq.empty
+    }
+
+  /** Coordinate text of a GML node: `coordinates` (GML2 "x,y x,y"),
+    * `pos` ("x y"), or `posList` ("x y x y"). */
+  private def coords(n: Node): Array[Coordinate] = {
+    val coordsEl = (n \ "coordinates").headOption
+    val posList = (n \ "posList").headOption
+    val posEls = n \ "pos"
+    if (coordsEl.isDefined) parseCoordinates(coordsEl.get.text)
+    else if (posList.isDefined) parsePosList(posList.get.text, dim(posList.get))
+    else if (posEls.nonEmpty)
+      posEls.map(p => toCoord(splitWs(p.text).map(_.toDouble))).toArray
+    else throw new IllegalArgumentException(s"no coordinates in GML <${n.label}>")
+  }
+
+  private def singleCoord(n: Node): Coordinate = coords(n).head
+
+  private def dim(n: Node): Int =
+    n.attribute("srsDimension").map(_.text.trim.toInt).getOrElse(2)
+
+  // ------------------------------------------------------------------ KML
+
+  private def parseKmlNode(n: Node): Geometry = {
+    val f = GeomSerde.factory
+    n.label match {
+      case "Point"      => f.createPoint(kmlCoords(n).head)
+      case "LineString" => f.createLineString(kmlCoords(n))
+      case "LinearRing" => f.createLinearRing(kmlCoords(n))
+      case "Polygon" =>
+        def ring(container: Node): LinearRing =
+          f.createLinearRing(kmlCoords(firstElem(container, "LinearRing")))
+        val shell = childElems(n).find(_.label == "outerBoundaryIs").map(ring)
+          .getOrElse(throw new IllegalArgumentException("KML Polygon without outerBoundaryIs"))
+        val holes = childElems(n).filter(_.label == "innerBoundaryIs").map(ring)
+        f.createPolygon(shell, holes.toArray)
+      case "MultiGeometry" =>
+        f.createGeometryCollection(childElems(n).map(parseKmlNode).toArray)
+      case "Placemark" =>
+        childElems(n)
+          .find(c => Set("Point", "LineString", "Polygon", "MultiGeometry")(c.label))
+          .map(parseKmlNode)
+          .getOrElse(throw new IllegalArgumentException("Placemark without geometry"))
+      case other => throw new IllegalArgumentException(s"unsupported KML geometry: $other")
+    }
+  }
+
+  private def kmlCoords(n: Node): Array[Coordinate] =
+    parseCoordinates(firstElem(n, "coordinates").text)
+
+  // -------------------------------------------------------------- helpers
+
+  /** "x1,y1[,z1] x2,y2[,z2]" (GML2 / KML tuple encoding). */
+  private def parseCoordinates(text: String): Array[Coordinate] =
+    splitWs(text).map(t => toCoord(t.split(',').map(_.toDouble)))
+
+  /** "x1 y1 x2 y2 …" flat list with the given dimension (GML3 posList). */
+  private def parsePosList(text: String, d: Int): Array[Coordinate] = {
+    val nums = splitWs(text).map(_.toDouble)
+    require(nums.length % d == 0, s"posList length ${nums.length} not divisible by dim $d")
+    nums.grouped(d).map(toCoord).toArray
+  }
+
+  private def toCoord(nums: Array[Double]): Coordinate = {
+    val c = new Coordinate(nums(0), nums(1))
+    if (nums.length > 2) c.setZ(nums(2))
+    c
+  }
+
+  private def splitWs(s: String): Array[String] =
+    s.trim.split("\\s+").filter(_.nonEmpty)
+
+  private def childElems(n: Node): Seq[Node] = n.child.collect { case e: Elem => e }
+
+  private def firstElem(n: Node, label: String): Node =
+    (n \\ label).headOption.getOrElse(
+      throw new IllegalArgumentException(s"missing <$label> under <${n.label}>"))
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+/** End-to-end SQL interface tests: every registered ST_* function callable
+  * from spark.sql — the reference's user-facing surface. */
+class GeoSqlSpec extends SparkTestBase {
+
+  private def one(sql: String): Any = spark.sql(s"SELECT $sql").head().get(0)
+
+  test("constructors and accessors") {
+    assert(one("ST_X(ST_Point(3.5, 4.5))") == 3.5)
+    assert(one("ST_Y(ST_MakePoint(3, 4))") == 4.0)
+    assert(one("ST_AsText(ST_Point(1, 2))") == "POINT (1 2)")
+    assert(one("ST_AsText(ST_GeomFromText('LINESTRING (0 0, 1 1)'))") == "LINESTRING (0 0, 1 1)")
+    assert(one("ST_SRID(ST_SetSRID(ST_Point(1, 2), 4326))") == 4326)
+    assert(one("ST_GeometryType(ST_Point(0, 0))") == "ST_Point")
+    assert(one("ST_GeometryType(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 0))'))") == "ST_Polygon")
+    assert(one("ST_Dimension(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 0))'))") == 2)
+    assert(one("ST_Dimension(ST_Point(1, 1))") == 0)
+    assert(one("ST_NPoints(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'))") == 3)
+    assert(one("ST_NumGeometries(ST_GeomFromText('MULTIPOINT ((1 1), (2 2))'))") == 2)
+    assert(one("ST_AsText(ST_GeometryN(ST_GeomFromText('MULTIPOINT ((1 1), (2 2))'), 2))") == "POINT (2 2)")
+    assert(one("ST_IsValid(ST_Point(1, 1))") == true)
+    assert(one("ST_IsEmpty(ST_GeomFromText('POLYGON EMPTY'))") == true)
+  }
+
+  test("measures") {
+    assert(one("ST_Distance(ST_Point(0, 0), ST_Point(3, 4))") == 5.0)
+    assert(one("ST_Area(ST_MakeEnvelope(0, 0, 4, 4))") == 16.0)
+    assert(one("ST_Length(ST_GeomFromText('LINESTRING (0 0, 3 4)'))") == 5.0)
+    assert(one("ST_DWithin(ST_Point(0, 0), ST_Point(3, 4), 5.1)") == true)
+    assert(one("ST_DWithin(ST_Point(0, 0), ST_Point(3, 4), 4.9)") == false)
+  }
+
+  test("predicates") {
+    val box = "ST_MakeEnvelope(0, 0, 10, 10)"
+    assert(one(s"ST_Within(ST_Point(5, 5), $box)") == true)
+    assert(one(s"ST_Within(ST_Point(15, 5), $box)") == false)
+    assert(one(s"ST_Contains($box, ST_Point(5, 5))") == true)
+    assert(one(s"ST_Intersects($box, ST_MakeEnvelope(5, 5, 15, 15))") == true)
+    assert(one(s"ST_Disjoint($box, ST_MakeEnvelope(20, 20, 30, 30))") == true)
+    assert(one(s"ST_Touches($box, ST_MakeEnvelope(10, 0, 20, 10))") == true)
+    assert(one(s"ST_Overlaps($box, ST_MakeEnvelope(5, 5, 15, 15))") == true)
+    assert(one(s"ST_Crosses(ST_GeomFromText('LINESTRING (-1 5, 11 5)'), $box)") == true)
+    assert(one(s"ST_Equals($box, ST_MakeEnvelope(0, 0, 10, 10))") == true)
+    assert(one(s"ST_Covers($box, ST_Point(0, 0))") == true)
+    assert(one(s"ST_CoveredBy(ST_Point(0, 0), $box)") == true)
+  }
+
+  test("geometry processing") {
+    assert(one("ST_AsText(ST_Centroid(ST_MakeEnvelope(0, 0, 4, 4)))") == "POINT (2 2)")
+    assert(one("ST_Area(ST_Envelope(ST_GeomFromText('LINESTRING (0 0, 4 4)')))") == 16.0)
+    assert(one("ST_Area(ST_Buffer(ST_Point(0, 0), 1)) > 3.1") == true)
+    assert(one("ST_Area(ST_Union(ST_MakeEnvelope(0, 0, 2, 2), ST_MakeEnvelope(2, 0, 4, 2)))") == 8.0)
+    assert(one("ST_Area(ST_Intersection(ST_MakeEnvelope(0, 0, 4, 4), ST_MakeEnvelope(2, 2, 6, 6)))") == 4.0)
+    assert(one("ST_Area(ST_Difference(ST_MakeEnvelope(0, 0, 4, 4), ST_MakeEnvelope(2, 0, 4, 4)))") == 8.0)
+    assert(one("ST_Area(ST_SymDifference(ST_MakeEnvelope(0, 0, 4, 4), ST_MakeEnvelope(2, 0, 6, 4)))") == 16.0)
+    assert(one("ST_Area(ST_ConvexHull(ST_GeomFromText('MULTIPOINT ((0 0), (4 0), (0 4), (4 4))')))") == 16.0)
+    assert(one("ST_NPoints(ST_Simplify(ST_GeomFromText('LINESTRING (0 0, 1 0.01, 2 0)'), 0.1))") == 2)
+  }
+
+  test("format io: GeoJSON, GML, KML") {
+    assert(one("""ST_AsGeoJSON(ST_Point(1, 2))""") == """{"type":"Point","coordinates":[1.0,2.0]}""")
+    assert(one("""ST_X(ST_GeomFromGeoJSON('{"type":"Point","coordinates":[7.0,8.0]}'))""") == 7.0)
+    assert(one("""ST_AsText(ST_GeomFromGML('<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>1,2</gml:coordinates></gml:Point>'))""") == "POINT (1 2)")
+    assert(one("""ST_AsText(ST_GeomFromKML('<Point><coordinates>3,4</coordinates></Point>'))""") == "POINT (3 4)")
+  }
+
+  test("null propagation") {
+    assert(spark.sql("SELECT ST_X(CAST(NULL AS BINARY))").head().isNullAt(0))
+    assert(spark.sql("SELECT ST_Distance(ST_Point(0, 0), CAST(NULL AS BINARY))").head().isNullAt(0))
+  }
+
+  test("functions work over a table with codegen") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/customer.parquet")
+    df.createOrReplaceTempView("customer_geo_test")
+    val rows = spark.sql(
+      """SELECT c_custkey,
+        |       ST_Distance(ST_Point(c_acctbal / 100.0, c_custkey % 100),
+        |                   ST_Point(0, 0)) AS d
+        |FROM customer_geo_test
+        |WHERE ST_DWithin(ST_Point(c_acctbal / 100.0, c_custkey % 100), ST_Point(0, 0), 50.0)
+        |""".stripMargin)
+    assert(rows.count() > 0)
+  }
+}
