@@ -4,7 +4,7 @@ import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, StringType}
 
 /** SQL-interface registration: makes every ST_* function callable from
   * `spark.sql("…")` — the same SQL-text surface the reference exposes
@@ -77,6 +77,13 @@ object Graft {
     u("st_isempty", StIsEmpty),
     u("st_isvalid", StIsValid),
     u("st_issimple", StIsSimple),
+    // envelope accessors + grid helpers (spatial-join building blocks)
+    u("st_xmin", StXMin),
+    u("st_xmax", StXMax),
+    u("st_ymin", StYMin),
+    u("st_ymax", StYMax),
+    t("grid_cell_id", GridCellId, Seq(DoubleType, DoubleType, DoubleType)),
+    t("grid_cells", GridCells, Seq(G, DoubleType, DoubleType)),
     // measures
     u("st_area", StArea),
     u("st_length", StLength),
@@ -104,6 +111,14 @@ object Graft {
     b("st_intersection", StIntersection),
     b("st_difference", StDifference),
     b("st_symdifference", StSymDifference),
+    // LLM-data-pipeline kernels (dedup / similarity / text analysis)
+    t("minhash_signature", MinhashSignature, Seq(StringType, IntegerType, IntegerType)),
+    t("jaccard_shingles", JaccardShingles, Seq(StringType, StringType, IntegerType)),
+    u("simhash64", Simhash64, StringType),
+    b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),
+    u("lang_id", LangId, StringType),
+    b("cosine_similarity", CosineSimilarity, Seq(ArrayType(FloatType), ArrayType(FloatType))),
+    b("hyperplane_bucket", HyperplaneBucket, Seq(ArrayType(FloatType), IntegerType)),
   )
 
   /** Idempotent programmatic registration on a live session. */

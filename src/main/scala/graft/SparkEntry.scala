@@ -1,13 +1,410 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Ann, Dedup, Multimodal, SpatialJoin, TextAnalysis}
+import graft.sources.Xml
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Driver contract — the complete operator surface (SURVEY.md §2).
+  *
+  * Geometry queries derive coordinates from numeric columns so the DuckDB
+  * oracle (no spatial extension) can verify the math with plain arithmetic
+  * (SURVEY.md §6). Doubles that go through different computation paths are
+  * rounded on BOTH sides before compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def init(spark: SparkSession, dir: String): SparkSession = {
+    Graft.register(spark)
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
+    // for: read the raw int64 nanos and downcast to a microsecond timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      val fixed =
+        if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df
+      fixed.createOrReplaceTempView(t)
+    }
+    spark
+  }
+
+  /** Derived test geometry: every customer/supplier becomes a point with
+    * 4-decimal x and integer y — oracle-reproducible with arithmetic. */
+  private val PT = "ST_Point(c_acctbal / 100.0, CAST(c_custkey % 97 AS DOUBLE))"
+  private val CX = "(c_acctbal / 100.0)"
+  private val CY = "CAST(c_custkey % 97 AS DOUBLE)"
+
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => init(spark, dir).sql(q)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Grid-partitioned spatial distance join + aggregate: customers within
+    * distance 8 of a supplier, counted per nation. */
+  def entry(spark: SparkSession): DataFrame = {
+    init(spark, "/root/testdata/sf0.001")
+    val cust = spark.sql(s"SELECT c_custkey, c_nationkey, $PT AS cgeom FROM customer")
+    val supp = spark.sql(
+      "SELECT s_suppkey, ST_Point(s_acctbal / 100.0, CAST(s_suppkey % 97 AS DOUBLE)) AS sgeom FROM supplier")
+    SpatialJoin.distanceJoin(cust, "cgeom", supp, "sgeom", radius = 8.0, cellSize = 8.0)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---------------------------------------------------- relational surface
+    "q_select_filter" -> sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING' AND c_nationkey <> 3""".stripMargin),
+    "q_filter_in" -> sql(
+      """SELECT p_partkey, p_size, p_brand FROM part
+        |WHERE p_size IN (5, 10, 15, 20) AND p_partkey NOT IN (1, 2, 3)""".stripMargin),
+    "q_filter_isnull" -> sql(
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE nullif(o_orderstatus, 'F') IS NOT NULL AND o_totalprice IS NOT NULL""".stripMargin),
+    "q_groupby_agg" -> sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(min(l_discount), 4) AS min_disc,
+        |       round(max(l_tax), 4) AS max_tax
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    "q_join_inner" -> sql(
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin),
+    "q_join_left" -> sql(
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin),
+    "q_join_full" -> sql(
+      """SELECT coalesce(a.k, b.k) AS k, coalesce(a.cnt_a, 0) AS cnt_a, coalesce(b.cnt_b, 0) AS cnt_b
+        |FROM (SELECT c_nationkey AS k, count(*) AS cnt_a FROM customer GROUP BY 1) a
+        |FULL JOIN (SELECT s_nationkey AS k, count(*) AS cnt_b FROM supplier GROUP BY 1) b
+        |ON a.k = b.k""".stripMargin),
+    "q_subquery_from" -> sql(
+      """SELECT mkt, round(avg(total), 2) AS avg_total
+        |FROM (SELECT c_mktsegment AS mkt, o_totalprice AS total
+        |      FROM customer JOIN orders ON o_custkey = c_custkey) t
+        |GROUP BY mkt""".stripMargin),
+    "q_subquery_in_where" -> sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 500)""".stripMargin),
+    "q_mod_filter" -> sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE mod(l_orderkey, 7) = 0 AND l_quantity > 25""".stripMargin),
+    "q_date_filter" -> sql(
+      """SELECT l_orderkey, l_linenumber, CAST(CAST(l_shipdate AS DATE) AS STRING) AS ship_d FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'""".stripMargin),
+    "q_orderby_limit" -> sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    "q_distinct" -> sql(
+      "SELECT DISTINCT c_mktsegment AS seg, c_nationkey AS nk FROM customer"),
+    "q_expr_project" -> sql(
+      """SELECT l_orderkey, l_linenumber,
+        |       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+        |       CASE WHEN l_quantity > 30 THEN 'bulk' ELSE 'small' END AS qclass
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin),
+
+    // ------------------------------------------------------ spatial surface
+    "q_st_point_xy" -> sql(
+      s"""SELECT c_custkey, ST_X(pt) AS x, ST_Y(pt) AS y,
+         |       ST_SRID(ST_SetSRID(pt, 4326)) AS srid
+         |FROM (SELECT c_custkey, $PT AS pt FROM customer) t""".stripMargin),
+    "q_st_distance" -> sql(
+      s"""SELECT c_custkey, round(ST_Distance(pt, ST_Point(30.0, 50.0)), 4) AS dist
+         |FROM (SELECT c_custkey, $PT AS pt FROM customer) t
+         |WHERE ST_Distance(pt, ST_Point(30.0, 50.0)) <= 40.0""".stripMargin),
+    "q_st_dwithin" -> sql(
+      s"""SELECT count(*) AS n_close
+         |FROM (SELECT $PT AS pt FROM customer) t
+         |WHERE ST_DWithin(pt, ST_Point(30.0, 50.0), 25.0)""".stripMargin),
+    "q_st_within" -> sql(
+      s"""SELECT c_custkey
+         |FROM (SELECT c_custkey, $PT AS pt FROM customer) t
+         |WHERE ST_Within(pt, ST_MakeEnvelope(10.37, 20.11, 60.93, 77.21))""".stripMargin),
+    "q_st_contains" -> sql(
+      s"""SELECT count(*) AS n_inside
+         |FROM (SELECT $PT AS pt FROM customer) t
+         |WHERE ST_Contains(ST_MakeEnvelope(5.13, 3.07, 55.99, 66.5), pt)""".stripMargin),
+    "q_st_intersects" -> sql(
+      s"""SELECT c_custkey
+         |FROM (SELECT c_custkey, $PT AS pt FROM customer) t
+         |WHERE ST_Intersects(
+         |  ST_MakeEnvelope(ST_X(pt), ST_Y(pt), ST_X(pt) + 5.0, ST_Y(pt) + 5.0),
+         |  ST_MakeEnvelope(20.5, 30.5, 40.5, 60.5))""".stripMargin),
+    "q_st_geomtype_dim" -> sql(
+      """SELECT c_custkey, ST_GeometryType(g) AS gtype, ST_Dimension(g) AS gdim
+        |FROM (SELECT c_custkey,
+        |             CASE CAST(c_custkey % 3 AS INT)
+        |               WHEN 0 THEN ST_Point(1.0, 2.0)
+        |               WHEN 1 THEN ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0)
+        |               ELSE ST_GeomFromText('LINESTRING (0 0, 1 1)') END AS g
+        |      FROM customer) t""".stripMargin),
+    "q_st_area_length_centroid" -> sql(
+      s"""SELECT c_custkey,
+         |       round(ST_Area(env), 4) AS area,
+         |       round(ST_Length(env), 4) AS perim,
+         |       round(ST_X(ST_Centroid(env)), 4) AS cx0,
+         |       round(ST_Y(ST_Centroid(env)), 4) AS cy0
+         |FROM (SELECT c_custkey,
+         |             ST_MakeEnvelope($CX, $CY,
+         |                             $CX + 1.0 + CAST(c_custkey % 5 AS DOUBLE),
+         |                             $CY + 2.0 + CAST(c_custkey % 7 AS DOUBLE)) AS env
+         |      FROM customer) t""".stripMargin),
+    "q_st_buffer_union" -> sql(
+      s"""SELECT count(*) AS n_buffer_ok,
+         |       round(sum(ST_Area(ST_Union(
+         |         ST_MakeEnvelope($CX, $CY, $CX + 2.0, $CY + 2.0),
+         |         ST_MakeEnvelope($CX + 1.0, $CY, $CX + 3.0, $CY + 2.0)))), 2) AS sum_union_area,
+         |       round(sum(ST_Area(ST_ConvexHull(ST_GeomFromText(
+         |         concat('MULTIPOINT ((', CAST($CX AS STRING), ' ', CAST($CY AS STRING),
+         |                '), (', CAST($CX + 2.0 AS STRING), ' ', CAST($CY AS STRING),
+         |                '), (', CAST($CX AS STRING), ' ', CAST($CY + 2.0 AS STRING), '))'))))), 2) AS sum_hull_area
+         |FROM customer
+         |WHERE ST_Area(ST_Buffer($PT, 2.0)) BETWEEN 12.0 AND 12.6""".stripMargin),
+    "q_wkt_roundtrip" -> sql(
+      s"""SELECT c_custkey,
+         |       round(ST_X(ST_GeomFromText(concat('POINT (', CAST($CX AS STRING), ' ', CAST($CY AS STRING), ')'))), 4) AS x2,
+         |       ST_AsText(ST_Point(CAST(c_custkey % 10 AS DOUBLE), 0.0)) AS wkt
+         |FROM customer""".stripMargin),
+    "q_geojson_io" -> sql(
+      s"""SELECT c_custkey,
+         |       round(ST_X(ST_GeomFromGeoJSON(ST_AsGeoJSON(pt))), 4) AS x2,
+         |       round(ST_Y(ST_GeomFromGeoJSON(ST_AsGeoJSON(pt))), 4) AS y2,
+         |       ST_AsGeoJSON(ST_Point(CAST(c_custkey % 5 AS DOUBLE), 1.0)) AS gj
+         |FROM (SELECT c_custkey, $PT AS pt FROM customer) t""".stripMargin),
+    "q_gml_io" -> sql(
+      s"""SELECT c_custkey,
+         |       round(ST_X(ST_GeomFromGML(concat(
+         |         '<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>',
+         |         CAST($CX AS STRING), ',', CAST($CY AS STRING),
+         |         '</gml:coordinates></gml:Point>'))), 4) AS gx
+         |FROM customer""".stripMargin),
+    "q_kml_io" -> sql(
+      s"""SELECT c_custkey,
+         |       round(ST_Y(ST_GeomFromKML(concat(
+         |         '<Point><coordinates>', CAST($CX AS STRING), ',', CAST($CY AS STRING),
+         |         '</coordinates></Point>'))), 4) AS gy
+         |FROM customer""".stripMargin),
+    "q_spatial_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val cust = spark.sql(s"SELECT c_custkey, $PT AS cgeom FROM customer")
+      val supp = spark.sql(
+        "SELECT s_suppkey, ST_Point(s_acctbal / 100.0, CAST(s_suppkey % 97 AS DOUBLE)) AS sgeom FROM supplier")
+      SpatialJoin.distanceJoin(cust, "cgeom", supp, "sgeom", radius = 5.0, cellSize = 5.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(call_function("st_distance", col("cgeom"), col("sgeom")), 4).as("dist"))
+    }),
+    "q_xml_flatten" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.sql(
+        s"""SELECT concat('<doc><rec><name>', c_name, '</name>',
+           |              '<acct balance="', CAST(c_acctbal AS STRING), '">',
+           |              '<nation>', CAST(c_nationkey AS STRING), '</nation></acct>',
+           |              '<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>',
+           |              CAST($CX AS STRING), ',', CAST($CY AS STRING),
+           |              '</gml:coordinates></gml:Point></rec></doc>') AS xml
+           |FROM customer""".stripMargin)
+      Xml.fromDocuments(docs, "xml",
+          columns = Some(Seq("name", "acct__nation", "_attribute__acct__balance")))
+        .select(col("name"), col("acct__nation").as("nation_str"),
+          col("_attribute__acct__balance").as("bal_str"),
+          round(call_function("st_x", col("geometry")), 4).as("gx"))
+    }),
+
+    // -------------------------------------------- LLM-data-pipeline surface
+    "q_dedup_exact" -> ((spark, dir) => {
+      init(spark, dir)
+      Dedup.exact(spark.table("documents"), "doc_id", "text")
+    }),
+    "q_dedup_minhash" -> ((spark, dir) => {
+      init(spark, dir)
+      Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+    }),
+    "q_dedup_simhash" -> ((spark, dir) => {
+      init(spark, dir)
+      Dedup.simhashPairs(spark.table("documents"), "doc_id", "text", maxHamming = 8)
+    }),
+    "q_ngram_jaccard" -> sql(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(size(array_intersect(split(a.text, ' '), split(b.text, ' '))) AS DOUBLE)
+        |             / size(array_union(split(a.text, ' '), split(b.text, ' '))), 4) AS jac
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin),
+    "q_ann_bruteforce" -> ((spark, dir) => {
+      init(spark, dir)
+      spark.sql(
+        """SELECT e.vec_id AS id,
+          |       round(cosine_similarity(e.embedding, q.embedding), 4) AS cosine
+          |FROM embeddings e
+          |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          |ORDER BY cosine DESC, id LIMIT 10""".stripMargin)
+    }),
+    "q_ann_lsh" -> ((spark, dir) => {
+      init(spark, dir)
+      val query = spark.table("embeddings").where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.lshTopK(spark.table("embeddings"), "vec_id", "embedding", query,
+        k = 10, planes = 8, probes = 1)
+    }),
+    "q_embed_dedup" -> ((spark, dir) => {
+      init(spark, dir)
+      Dedup.embeddingPairs(spark.table("embeddings"), "vec_id", "embedding",
+        minCosine = 0.15, planes = 6)
+    }),
+    "q_lang_id" -> ((spark, dir) => {
+      init(spark, dir)
+      spark.table("documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+    "q_text_quality" -> sql(
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars2,
+        |       CAST(size(split(trim(text), ' ')) AS BIGINT) AS n_tokens_ws,
+        |       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |       round(CAST(size(filter(split(lower(text), ' '),
+        |                       w -> w IN ('the', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
+        |             / size(split(text, ' ')), 4) AS stop_ratio
+        |FROM documents""".stripMargin),
+    "q_token_count" -> sql(
+      """SELECT doc_id,
+        |       CAST(size(split(trim(text), ' ')) AS BIGINT) AS n_ws,
+        |       CAST(regexp_count(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+') AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin),
+    "q_fingerprint" -> sql(
+      """SELECT doc_id,
+        |       md5(CAST(regexp_replace(lower(trim(text)), '\\s+', ' ') AS BINARY)) AS fp
+        |FROM documents""".stripMargin),
+    "q_fingerprint_rolling" -> ((spark, dir) => {
+      init(spark, dir)
+      spark.table("documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text"), 16).as("fp"))
+    }),
+    "q_multimodal" -> ((spark, dir) => {
+      init(spark, dir)
+      val media = spark.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.decodeMeta(media, "media")
+        .select(col("doc_id"), col("media_meta.mime").as("mime"),
+          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+          col("media_meta.n_bytes").as("n_bytes"))
+    }),
+
+    // ----------------------------------------------------- events/streaming
+    "q_events_window" -> sql(
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin),
+    "q_sessionize" -> ((spark, dir) => {
+      init(spark, dir)
+      EventStreams.sessionize(spark.table("events"), gapMinutes = 30)
+        .groupBy("user_id")
+        .agg(max("session_seq").as("n_sessions"), count(lit(1)).as("n_ev"))
+    }),
+  )
+
+  /** DuckDB-runnable oracle per query (driver's correctness gate). Omitted
+    * keys (LSH/minhash/simhash internals, lang-id heuristic) get the
+    * weaker rows-only check. */
+  def oracleSql: Map[String, String] = ListMap(
+    "q_select_filter" ->
+      "SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING' AND c_nationkey <> 3",
+    "q_filter_in" ->
+      "SELECT p_partkey, p_size, p_brand FROM part WHERE p_size IN (5, 10, 15, 20) AND p_partkey NOT IN (1, 2, 3)",
+    "q_filter_isnull" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE nullif(o_orderstatus, 'F') IS NOT NULL AND o_totalprice IS NOT NULL",
+    "q_groupby_agg" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(avg(l_extendedprice), 2) AS avg_price, round(min(l_discount), 4) AS min_disc, round(max(l_tax), 4) AS max_tax FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "q_join_inner" ->
+      "SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name",
+    "q_join_left" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey",
+    "q_join_full" ->
+      "SELECT coalesce(a.k, b.k) AS k, coalesce(a.cnt_a, 0) AS cnt_a, coalesce(b.cnt_b, 0) AS cnt_b FROM (SELECT c_nationkey AS k, count(*) AS cnt_a FROM customer GROUP BY 1) a FULL JOIN (SELECT s_nationkey AS k, count(*) AS cnt_b FROM supplier GROUP BY 1) b ON a.k = b.k",
+    "q_subquery_from" ->
+      "SELECT mkt, round(avg(total), 2) AS avg_total FROM (SELECT c_mktsegment AS mkt, o_totalprice AS total FROM customer JOIN orders ON o_custkey = c_custkey) t GROUP BY mkt",
+    "q_subquery_in_where" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 500)",
+    "q_mod_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE mod(l_orderkey, 7) = 0 AND l_quantity > 25",
+    "q_date_filter" ->
+      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_d FROM lineitem WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'",
+    "q_orderby_limit" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg, c_nationkey AS nk FROM customer",
+    "q_expr_project" ->
+      "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge, CASE WHEN l_quantity > 30 THEN 'bulk' ELSE 'small' END AS qclass FROM lineitem WHERE l_linenumber = 1",
+
+    "q_st_point_xy" ->
+      s"SELECT c_custkey, $CX AS x, $CY AS y, 4326 AS srid FROM customer",
+    "q_st_distance" ->
+      s"SELECT c_custkey, round(sqrt(($CX - 30.0)*($CX - 30.0) + ($CY - 50.0)*($CY - 50.0)), 4) AS dist FROM customer WHERE sqrt(($CX - 30.0)*($CX - 30.0) + ($CY - 50.0)*($CY - 50.0)) <= 40.0",
+    "q_st_dwithin" ->
+      s"SELECT count(*) AS n_close FROM customer WHERE sqrt(($CX - 30.0)*($CX - 30.0) + ($CY - 50.0)*($CY - 50.0)) <= 25.0",
+    "q_st_within" ->
+      s"SELECT c_custkey FROM customer WHERE $CX > 10.37 AND $CX < 60.93 AND $CY > 20.11 AND $CY < 77.21",
+    "q_st_contains" ->
+      s"SELECT count(*) AS n_inside FROM customer WHERE $CX > 5.13 AND $CX < 55.99 AND $CY > 3.07 AND $CY < 66.5",
+    "q_st_intersects" ->
+      s"SELECT c_custkey FROM customer WHERE $CX <= 40.5 AND $CX + 5.0 >= 20.5 AND $CY <= 60.5 AND $CY + 5.0 >= 30.5",
+    "q_st_geomtype_dim" ->
+      "SELECT c_custkey, CASE c_custkey % 3 WHEN 0 THEN 'ST_Point' WHEN 1 THEN 'ST_Polygon' ELSE 'ST_LineString' END AS gtype, CASE c_custkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END AS gdim FROM customer",
+    "q_st_area_length_centroid" ->
+      s"""SELECT c_custkey,
+         | round((1.0 + CAST(c_custkey % 5 AS DOUBLE)) * (2.0 + CAST(c_custkey % 7 AS DOUBLE)), 4) AS area,
+         | round(2 * ((1.0 + CAST(c_custkey % 5 AS DOUBLE)) + (2.0 + CAST(c_custkey % 7 AS DOUBLE))), 4) AS perim,
+         | round($CX + (1.0 + CAST(c_custkey % 5 AS DOUBLE)) / 2, 4) AS cx0,
+         | round($CY + (2.0 + CAST(c_custkey % 7 AS DOUBLE)) / 2, 4) AS cy0
+         |FROM customer""".stripMargin,
+    "q_st_buffer_union" ->
+      "SELECT count(*) AS n_buffer_ok, round(count(*) * 6.0, 2) AS sum_union_area, round(count(*) * 2.0, 2) AS sum_hull_area FROM customer",
+    "q_wkt_roundtrip" ->
+      s"SELECT c_custkey, round($CX, 4) AS x2, concat('POINT (', c_custkey % 10, ' 0)') AS wkt FROM customer",
+    "q_geojson_io" ->
+      s"""SELECT c_custkey, round($CX, 4) AS x2, round($CY, 4) AS y2, concat('{"type":"Point","coordinates":[', c_custkey % 5, '.0,1.0]}') AS gj FROM customer""",
+    "q_gml_io" ->
+      s"SELECT c_custkey, round($CX, 4) AS gx FROM customer",
+    "q_kml_io" ->
+      s"SELECT c_custkey, round($CY, 4) AS gy FROM customer",
+    "q_spatial_join" ->
+      s"""SELECT c_custkey, s_suppkey,
+         | round(sqrt((($CX) - (s_acctbal / 100.0))*(($CX) - (s_acctbal / 100.0))
+         |          + (($CY) - CAST(s_suppkey % 97 AS DOUBLE))*(($CY) - CAST(s_suppkey % 97 AS DOUBLE))), 4) AS dist
+         |FROM customer, supplier
+         |WHERE sqrt((($CX) - (s_acctbal / 100.0))*(($CX) - (s_acctbal / 100.0))
+         |         + (($CY) - CAST(s_suppkey % 97 AS DOUBLE))*(($CY) - CAST(s_suppkey % 97 AS DOUBLE))) <= 5.0""".stripMargin,
+    "q_xml_flatten" ->
+      s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nation_str, CAST(c_acctbal AS VARCHAR) AS bal_str, round($CX, 4) AS gx FROM customer",
+
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
+    "q_ngram_jaccard" ->
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' '))) AS DOUBLE) / len(list_distinct(list_concat(string_split(a.text, ' '), string_split(b.text, ' ')))), 4) AS jac FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1",
+    "q_ann_bruteforce" ->
+      "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e ORDER BY cosine DESC, id LIMIT 10",
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars2, len(string_split(trim(text), ' ')) AS n_tokens_ws, round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, round(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio FROM documents""",
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(trim(text), ' ')) AS n_ws, len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpe FROM documents""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents""",
+    "q_multimodal" ->
+      "SELECT doc_id, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime, CAST(16 + (length(text) % 640) AS INTEGER) AS width, CAST(16 + ((length(text) // 7) % 480) AS INTEGER) AS height, CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
+    "q_events_window" ->
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2",
+    "q_sessionize" ->
+      "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_ev FROM (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t GROUP BY user_id",
+  )
 }

@@ -24,17 +24,22 @@ private[functions] object GeoKernel {
   def check(name: String, expected: Seq[org.apache.spark.sql.types.DataType],
             children: Seq[Expression]): TypeCheckResult = {
     val mismatch = expected.zip(children).zipWithIndex.collectFirst {
-      case ((exp, child), i) if child.dataType != exp =>
+      case ((exp, child), i) if child.dataType.sql != exp.sql => // ignore nullability
         s"$name argument ${i + 1} expects ${exp.simpleString}, got ${child.dataType.simpleString}"
     }
     mismatch.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 
-  def handle(method: String): MethodHandle =
-    cache.computeIfAbsent(method, m => {
-      val found = classOf[GeoOps.type].getMethods.filter(_.getName == m)
-      require(found.length == 1, s"GeoOps.$m: expected exactly one overload, found ${found.length}")
-      lookup.unreflect(found.head).bindTo(GeoOps)
+  /** spec = "Owner.method", e.g. "GeoOps.stArea" — Owner is a Scala object
+    * in graft.functions; resolved once, cached. */
+  def handle(spec: String): MethodHandle =
+    cache.computeIfAbsent(spec, sp => {
+      val Array(owner, m) = sp.split("\\.", 2)
+      val clazz = Class.forName(s"graft.functions.$owner$$")
+      val module = clazz.getField("MODULE$").get(null)
+      val found = clazz.getMethods.filter(_.getName == m)
+      require(found.length == 1, s"$sp: expected exactly one overload, found ${found.length}")
+      lookup.unreflect(found.head).bindTo(module)
     })
 }
 
@@ -46,7 +51,7 @@ abstract class GeoUnary(method: String, inType: DataType, outType: DataType)
   @transient private lazy val h = GeoKernel.handle(method)
   override def nullSafeEval(input: Any): Any = h.invokeWithArguments(input)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GeoOps.$method($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.$method($c)")
 }
 
 abstract class GeoBinary(method: String, inTypes: Seq[DataType], outType: DataType)
@@ -57,7 +62,7 @@ abstract class GeoBinary(method: String, inTypes: Seq[DataType], outType: DataTy
   @transient private lazy val h = GeoKernel.handle(method)
   override def nullSafeEval(a: Any, b: Any): Any = h.invokeWithArguments(a, b)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoOps.$method($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.$method($a, $b)")
 }
 
 abstract class GeoTernary(method: String, inTypes: Seq[DataType], outType: DataType)
@@ -68,7 +73,7 @@ abstract class GeoTernary(method: String, inTypes: Seq[DataType], outType: DataT
   @transient private lazy val h = GeoKernel.handle(method)
   override def nullSafeEval(a: Any, b: Any, c: Any): Any = h.invokeWithArguments(a, b, c)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.GeoOps.$method($a, $b, $c)")
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.$method($a, $b, $c)")
 }
 
 abstract class GeoQuaternary(method: String, inTypes: Seq[DataType], outType: DataType)
@@ -80,179 +85,205 @@ abstract class GeoQuaternary(method: String, inTypes: Seq[DataType], outType: Da
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
     h.invokeWithArguments(a, b, c, d)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.functions.GeoOps.$method($a, $b, $c, $d)")
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.functions.$method($a, $b, $c, $d)")
 }
 
 // ---------------------------------------------------------------- constructors
 case class StPoint(left: Expression, right: Expression)
-    extends GeoBinary("stPoint", Seq(DoubleType, DoubleType), BinaryType) {
+    extends GeoBinary("GeoOps.stPoint", Seq(DoubleType, DoubleType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StMakeEnvelope(first: Expression, second: Expression, third: Expression, fourth: Expression)
-    extends GeoQuaternary("stMakeEnvelope", Seq(DoubleType, DoubleType, DoubleType, DoubleType), BinaryType) {
+    extends GeoQuaternary("GeoOps.stMakeEnvelope", Seq(DoubleType, DoubleType, DoubleType, DoubleType), BinaryType) {
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression, d: Expression) =
     copy(a, b, c, d)
 }
-case class StGeomFromText(child: Expression) extends GeoUnary("stGeomFromText", StringType, BinaryType) {
+case class StGeomFromText(child: Expression) extends GeoUnary("GeoOps.stGeomFromText", StringType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StGeomFromWKB(child: Expression) extends GeoUnary("stGeomFromWKB", BinaryType, BinaryType) {
+case class StGeomFromWKB(child: Expression) extends GeoUnary("GeoOps.stGeomFromWKB", BinaryType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StGeomFromGeoJSON(child: Expression) extends GeoUnary("stGeomFromGeoJSON", StringType, BinaryType) {
+case class StGeomFromGeoJSON(child: Expression) extends GeoUnary("GeoOps.stGeomFromGeoJSON", StringType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StGeomFromGML(child: Expression) extends GeoUnary("stGeomFromGML", StringType, BinaryType) {
+case class StGeomFromGML(child: Expression) extends GeoUnary("GeoOps.stGeomFromGML", StringType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StGeomFromKML(child: Expression) extends GeoUnary("stGeomFromKML", StringType, BinaryType) {
+case class StGeomFromKML(child: Expression) extends GeoUnary("GeoOps.stGeomFromKML", StringType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 // ---------------------------------------------------------------------- output
-case class StAsText(child: Expression) extends GeoUnary("stAsText", BinaryType, StringType) {
+case class StAsText(child: Expression) extends GeoUnary("GeoOps.stAsText", BinaryType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StAsGeoJSON(child: Expression) extends GeoUnary("stAsGeoJSON", BinaryType, StringType) {
+case class StAsGeoJSON(child: Expression) extends GeoUnary("GeoOps.stAsGeoJSON", BinaryType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StAsBinary(child: Expression) extends GeoUnary("stAsBinary", BinaryType, BinaryType) {
+case class StAsBinary(child: Expression) extends GeoUnary("GeoOps.stAsBinary", BinaryType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 // ------------------------------------------------------------------- accessors
-case class StX(child: Expression) extends GeoUnary("stX", BinaryType, DoubleType) {
+case class StX(child: Expression) extends GeoUnary("GeoOps.stX", BinaryType, DoubleType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StY(child: Expression) extends GeoUnary("stY", BinaryType, DoubleType) {
+case class StY(child: Expression) extends GeoUnary("GeoOps.stY", BinaryType, DoubleType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StSrid(child: Expression) extends GeoUnary("stSrid", BinaryType, IntegerType) {
+case class StSrid(child: Expression) extends GeoUnary("GeoOps.stSrid", BinaryType, IntegerType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 case class StSetSrid(left: Expression, right: Expression)
-    extends GeoBinary("stSetSrid", Seq(BinaryType, IntegerType), BinaryType) {
+    extends GeoBinary("GeoOps.stSetSrid", Seq(BinaryType, IntegerType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
-case class StGeometryType(child: Expression) extends GeoUnary("stGeometryType", BinaryType, StringType) {
+case class StGeometryType(child: Expression) extends GeoUnary("GeoOps.stGeometryType", BinaryType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StDimension(child: Expression) extends GeoUnary("stDimension", BinaryType, IntegerType) {
+case class StDimension(child: Expression) extends GeoUnary("GeoOps.stDimension", BinaryType, IntegerType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StNumPoints(child: Expression) extends GeoUnary("stNumPoints", BinaryType, IntegerType) {
+case class StNumPoints(child: Expression) extends GeoUnary("GeoOps.stNumPoints", BinaryType, IntegerType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StNumGeometries(child: Expression) extends GeoUnary("stNumGeometries", BinaryType, IntegerType) {
+case class StNumGeometries(child: Expression) extends GeoUnary("GeoOps.stNumGeometries", BinaryType, IntegerType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 case class StGeometryN(left: Expression, right: Expression)
-    extends GeoBinary("stGeometryN", Seq(BinaryType, IntegerType), BinaryType) {
+    extends GeoBinary("GeoOps.stGeometryN", Seq(BinaryType, IntegerType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
-case class StIsEmpty(child: Expression) extends GeoUnary("stIsEmpty", BinaryType, BooleanType) {
+case class StIsEmpty(child: Expression) extends GeoUnary("GeoOps.stIsEmpty", BinaryType, BooleanType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StIsValid(child: Expression) extends GeoUnary("stIsValid", BinaryType, BooleanType) {
+case class StIsValid(child: Expression) extends GeoUnary("GeoOps.stIsValid", BinaryType, BooleanType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StIsSimple(child: Expression) extends GeoUnary("stIsSimple", BinaryType, BooleanType) {
+case class StIsSimple(child: Expression) extends GeoUnary("GeoOps.stIsSimple", BinaryType, BooleanType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 // -------------------------------------------------------------------- measures
-case class StArea(child: Expression) extends GeoUnary("stArea", BinaryType, DoubleType) {
+case class StArea(child: Expression) extends GeoUnary("GeoOps.stArea", BinaryType, DoubleType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StLength(child: Expression) extends GeoUnary("stLength", BinaryType, DoubleType) {
+case class StLength(child: Expression) extends GeoUnary("GeoOps.stLength", BinaryType, DoubleType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 case class StDistance(left: Expression, right: Expression)
-    extends GeoBinary("stDistance", Seq(BinaryType, BinaryType), DoubleType) {
+    extends GeoBinary("GeoOps.stDistance", Seq(BinaryType, BinaryType), DoubleType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StDWithin(first: Expression, second: Expression, third: Expression)
-    extends GeoTernary("stDWithin", Seq(BinaryType, BinaryType, DoubleType), BooleanType) {
+    extends GeoTernary("GeoOps.stDWithin", Seq(BinaryType, BinaryType, DoubleType), BooleanType) {
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
 }
 
 // ------------------------------------------------------------------ predicates
 case class StWithin(left: Expression, right: Expression)
-    extends GeoBinary("stWithin", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stWithin", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StContains(left: Expression, right: Expression)
-    extends GeoBinary("stContains", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stContains", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StIntersects(left: Expression, right: Expression)
-    extends GeoBinary("stIntersects", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stIntersects", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StDisjoint(left: Expression, right: Expression)
-    extends GeoBinary("stDisjoint", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stDisjoint", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StTouches(left: Expression, right: Expression)
-    extends GeoBinary("stTouches", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stTouches", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StOverlaps(left: Expression, right: Expression)
-    extends GeoBinary("stOverlaps", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stOverlaps", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StCrosses(left: Expression, right: Expression)
-    extends GeoBinary("stCrosses", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stCrosses", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StEquals(left: Expression, right: Expression)
-    extends GeoBinary("stEquals", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stEquals", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StCovers(left: Expression, right: Expression)
-    extends GeoBinary("stCovers", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stCovers", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StCoveredBy(left: Expression, right: Expression)
-    extends GeoBinary("stCoveredBy", Seq(BinaryType, BinaryType), BooleanType) {
+    extends GeoBinary("GeoOps.stCoveredBy", Seq(BinaryType, BinaryType), BooleanType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+// ---------------------------------------------------------- envelope accessors
+case class StXMin(child: Expression) extends GeoUnary("GeoOps.stXMin", BinaryType, DoubleType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StXMax(child: Expression) extends GeoUnary("GeoOps.stXMax", BinaryType, DoubleType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StYMin(child: Expression) extends GeoUnary("GeoOps.stYMin", BinaryType, DoubleType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StYMax(child: Expression) extends GeoUnary("GeoOps.stYMax", BinaryType, DoubleType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+// ------------------------------------------------------------ grid partitioning
+case class GridCellId(first: Expression, second: Expression, third: Expression)
+    extends GeoTernary("GeoOps.gridCellId", Seq(DoubleType, DoubleType, DoubleType), LongType) {
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+case class GridCells(first: Expression, second: Expression, third: Expression)
+    extends GeoTernary("GeoOps.gridCells", Seq(BinaryType, DoubleType, DoubleType), ArrayType(LongType, containsNull = false)) {
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
 // ----------------------------------------------------------------- geom → geom
-case class StCentroid(child: Expression) extends GeoUnary("stCentroid", BinaryType, BinaryType) {
+case class StCentroid(child: Expression) extends GeoUnary("GeoOps.stCentroid", BinaryType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StEnvelope(child: Expression) extends GeoUnary("stEnvelope", BinaryType, BinaryType) {
+case class StEnvelope(child: Expression) extends GeoUnary("GeoOps.stEnvelope", BinaryType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StBoundary(child: Expression) extends GeoUnary("stBoundary", BinaryType, BinaryType) {
+case class StBoundary(child: Expression) extends GeoUnary("GeoOps.stBoundary", BinaryType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
-case class StConvexHull(child: Expression) extends GeoUnary("stConvexHull", BinaryType, BinaryType) {
+case class StConvexHull(child: Expression) extends GeoUnary("GeoOps.stConvexHull", BinaryType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 case class StBuffer(left: Expression, right: Expression)
-    extends GeoBinary("stBuffer", Seq(BinaryType, DoubleType), BinaryType) {
+    extends GeoBinary("GeoOps.stBuffer", Seq(BinaryType, DoubleType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StSimplify(left: Expression, right: Expression)
-    extends GeoBinary("stSimplify", Seq(BinaryType, DoubleType), BinaryType) {
+    extends GeoBinary("GeoOps.stSimplify", Seq(BinaryType, DoubleType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StUnion(left: Expression, right: Expression)
-    extends GeoBinary("stUnion", Seq(BinaryType, BinaryType), BinaryType) {
+    extends GeoBinary("GeoOps.stUnion", Seq(BinaryType, BinaryType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StIntersection(left: Expression, right: Expression)
-    extends GeoBinary("stIntersection", Seq(BinaryType, BinaryType), BinaryType) {
+    extends GeoBinary("GeoOps.stIntersection", Seq(BinaryType, BinaryType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StDifference(left: Expression, right: Expression)
-    extends GeoBinary("stDifference", Seq(BinaryType, BinaryType), BinaryType) {
+    extends GeoBinary("GeoOps.stDifference", Seq(BinaryType, BinaryType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StSymDifference(left: Expression, right: Expression)
-    extends GeoBinary("stSymDifference", Seq(BinaryType, BinaryType), BinaryType) {
+    extends GeoBinary("GeoOps.stSymDifference", Seq(BinaryType, BinaryType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }

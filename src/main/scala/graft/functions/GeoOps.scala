@@ -89,6 +89,47 @@ object GeoOps {
   def stCoveredBy(a: Array[Byte], b: Array[Byte]): Boolean = read(a).coveredBy(read(b))
 
   // ------------------------------------------------------------ geom → geom
+  // --------------------------------------------------- envelope accessors
+  def stXMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinX
+  def stXMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxX
+  def stYMin(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMinY
+  def stYMax(b: Array[Byte]): Double = read(b).getEnvelopeInternal.getMaxY
+
+  // ------------------------------------------------------- grid partitioning
+  // Building blocks for the distributed spatial join: geometries are mapped
+  // to covering cells of a fixed grid; candidate pairs meet via an equi-join
+  // on cell id (no cartesian product). Cell id packs (cellX, cellY) ints
+  // into one long.
+  def gridCellId(x: Double, y: Double, cell: Double): Long = {
+    val cx = Math.floor(x / cell).toInt
+    val cy = Math.floor(y / cell).toInt
+    (cx.toLong << 32) | (cy.toLong & 0xffffffffL)
+  }
+
+  /** Cells covering the geometry's envelope expanded by `expand`
+    * (left side of a distance join expands by the radius; right side by 0). */
+  def gridCells(b: Array[Byte], expand: Double, cell: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val env = read(b).getEnvelopeInternal
+    val x0 = Math.floor((env.getMinX - expand) / cell).toInt
+    val x1 = Math.floor((env.getMaxX + expand) / cell).toInt
+    val y0 = Math.floor((env.getMinY - expand) / cell).toInt
+    val y1 = Math.floor((env.getMaxY + expand) / cell).toInt
+    val out = new Array[Long]((x1 - x0 + 1).toLong.toInt * (y1 - y0 + 1))
+    var i = 0
+    var cx = x0
+    while (cx <= x1) {
+      var cy = y0
+      while (cy <= y1) {
+        out(i) = (cx.toLong << 32) | (cy.toLong & 0xffffffffL)
+        i += 1
+        cy += 1
+      }
+      cx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // ------------------------------------------------------------ geom → geom
   def stCentroid(b: Array[Byte]): Array[Byte] = write(read(b).getCentroid)
   def stEnvelope(b: Array[Byte]): Array[Byte] = write(read(b).getEnvelope)
   def stBoundary(b: Array[Byte]): Array[Byte] = write(read(b).getBoundary)

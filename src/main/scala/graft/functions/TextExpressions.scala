@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions over [[TextOps]] kernels (same codegen-friendly
+  * dispatch as the ST_* expressions). */
+
+case class MinhashSignature(first: Expression, second: Expression, third: Expression)
+    extends GeoTernary("TextOps.minhashSignature", Seq(StringType, IntegerType, IntegerType),
+      ArrayType(LongType, containsNull = false)) {
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+case class JaccardShingles(first: Expression, second: Expression, third: Expression)
+    extends GeoTernary("TextOps.jaccardShingles", Seq(StringType, StringType, IntegerType), DoubleType) {
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+case class Simhash64(child: Expression)
+    extends GeoUnary("TextOps.simhash64", StringType, LongType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class RollingFingerprint(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.rollingFingerprint", Seq(StringType, IntegerType), LongType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class LangId(child: Expression)
+    extends GeoUnary("TextOps.langId", StringType, StringType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.cosineSimilarity",
+      Seq(ArrayType(FloatType), ArrayType(FloatType)), DoubleType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class HyperplaneBucket(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.hyperplaneBucket",
+      Seq(ArrayType(FloatType), IntegerType), IntegerType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}

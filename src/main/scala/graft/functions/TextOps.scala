@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the LLM-data-pipeline expressions: MinHash, SimHash,
+  * Jaccard, cosine similarity, language ID, fingerprints. Same dual
+  * eval/codegen dispatch as [[GeoOps]] (see [[GeoKernel]]).
+  *
+  * All hashing is seeded from fixed constants → deterministic across runs
+  * and executors (required: these feed shuffle keys).
+  */
+object TextOps {
+
+  // ----------------------------------------------------------- base hashing
+
+  /** 64-bit polynomial rolling-friendly hash of a char range. */
+  @inline private def polyHash(s: String, from: Int, until: Int): Long = {
+    var h = 1125899906842597L // prime
+    var i = from
+    while (i < until) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Finalizer (splitmix64) so low-entropy polynomial hashes spread. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hash64(s: String): Long = mix64(polyHash(s, 0, s.length))
+
+  // --------------------------------------------------------------- MinHash
+
+  /** Affine permutation parameters for minhash, derived from a fixed LCG. */
+  private val MaxHashes = 256
+  private val (hashA, hashB) = {
+    val a = new Array[Long](MaxHashes)
+    val b = new Array[Long](MaxHashes)
+    var state = 0x5deece66dL
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    var i = 0
+    while (i < MaxHashes) { a(i) = next() | 1L; b(i) = next(); i += 1 }
+    (a, b)
+  }
+
+  /** MinHash signature over lowercase char k-shingles.
+    * Shingle hashes are rolling (O(len)), then each of `num` permutations
+    * takes a min over affine transforms (O(len·num) adds, no re-hash). */
+  def minhashSignature(text: UTF8String, k: Int, num: Int): ArrayData = {
+    require(num <= MaxHashes, s"numHashes $num > $MaxHashes")
+    val s = text.toString.toLowerCase
+    val sig = new Array[Long](num)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (s.length >= k) {
+      var i = 0
+      val end = s.length - k
+      while (i <= end) {
+        val h = mix64(polyHash(s, i, i + k))
+        var j = 0
+        while (j < num) {
+          val v = h * hashA(j) + hashB(j)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Exact Jaccard similarity of the two texts' char k-shingle hash sets
+    * (refinement step after LSH candidate generation). */
+  def jaccardShingles(a: UTF8String, b: UTF8String, k: Int): Double = {
+    def shingleSet(t: UTF8String): java.util.HashSet[Long] = {
+      val s = t.toString.toLowerCase
+      val set = new java.util.HashSet[Long]()
+      var i = 0
+      val end = s.length - k
+      while (i <= end) { set.add(mix64(polyHash(s, i, i + k))); i += 1 }
+      set
+    }
+    val sa = shingleSet(a)
+    val sb = shingleSet(b)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace-delimited lowercase word features. */
+  def simhash64(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    val counts = new Array[Int](64)
+    var start = -1
+    var i = 0
+    def feed(from: Int, until: Int): Unit = {
+      if (until > from) {
+        val h = mix64(polyHash(s, from, until))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { feed(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0) feed(start, s.length)
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** Winnowing-style rolling fingerprint: min 64-bit hash over all
+    * `window`-char shingles — robust to small edits at either end. */
+  def rollingFingerprint(text: UTF8String, window: Int): Long = {
+    val s = text.toString
+    if (s.length < window) return hash64(s)
+    var min = Long.MaxValue
+    var i = 0
+    val end = s.length - window
+    while (i <= end) {
+      val h = mix64(polyHash(s, i, i + window))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  // ---------------------------------------------------------- language ID
+
+  private val langStopwords: Array[(String, java.util.HashSet[String])] = {
+    def set(ws: String*) = {
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }
+    Array(
+      "en" -> set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "are", "this", "not"),
+      "de" -> set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "von", "auf", "dem", "den"),
+      "fr" -> set("le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour", "que", "qui", "sur", "avec"),
+      "es" -> set("el", "la", "los", "las", "y", "es", "no", "una", "en", "por", "para", "con", "del", "se"),
+      "it" -> set("il", "la", "di", "e", "che", "non", "per", "una", "con", "del", "gli", "nel", "sono", "come"),
+      "pt" -> set("o", "a", "os", "as", "de", "que", "não", "uma", "em", "por", "para", "com", "do", "da"),
+      "id" -> set("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada", "juga", "ke"),
+      "nl" -> set("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn", "met", "voor", "niet", "aan"))
+  }
+
+  /** N-gram/stopword-heuristic language ID; "und" when nothing matches. */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString.toLowerCase
+    val scores = new Array[Int](langStopwords.length)
+    var start = -1
+    var i = 0
+    def feed(from: Int, until: Int): Unit = {
+      if (until > from) {
+        val w = s.substring(from, until)
+        var l = 0
+        while (l < langStopwords.length) {
+          if (langStopwords(l)._2.contains(w)) scores(l) += 1
+          l += 1
+        }
+      }
+    }
+    while (i < s.length) {
+      val letter = Character.isLetter(s.charAt(i))
+      if (letter && start < 0) start = i
+      if (!letter && start >= 0) { feed(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0) feed(start, s.length)
+    var best = -1
+    var bestScore = 0
+    var l = 0
+    while (l < scores.length) {
+      if (scores(l) > bestScore) { bestScore = scores(l); best = l }
+      l += 1
+    }
+    UTF8String.fromString(if (best < 0) "und" else langStopwords(best)._1)
+  }
+
+  // ------------------------------------------------------ vector similarity
+
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * (ANN + embedding-dedup kernel; matches DuckDB list_cosine_similarity
+    * on double-cast lists to ~1e-15.) */
+  def cosineSimilarity(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH bucket: sign bits of `planes` fixed pseudo-random
+    * hyperplane dot products. Same fixed seeds for every call → query and
+    * corpus agree on buckets. */
+  def hyperplaneBucket(v: ArrayData, planes: Int): Int = {
+    require(planes <= 30, s"planes $planes > 30")
+    val n = v.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // deterministic pseudo-random weight in [-1, 1) for (plane, dim)
+        val h = mix64(p.toLong * 0x9e3779b97f4a7c15L + i)
+        val w = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+        dot += w * v.getFloat(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}

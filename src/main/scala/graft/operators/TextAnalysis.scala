@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Graft
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column expressions →
+  * stay inside WholeStageCodegen, fully distributed. */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: word pieces, numbers, or single non-space
+    * punctuation — a public approximation of GPT-style pre-tokenization. */
+  val BpeTokenPattern: String = """'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"""
+
+  private val EnglishStopwords = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+    "with", "are", "this", "not", "a", "an", "on", "as", "at", "by")
+
+  def langId(text: Column): Column = call_function("lang_id", text)
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count via regexp matches. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
+  /** Ratio of non-alphanumeric-non-space chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+
+  /** Fraction of whitespace tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) === 0, 0.0).otherwise(
+      size(filter(words, w => w.isin(EnglishStopwords: _*))).cast("double") / size(words))
+  }
+
+  /** Mean whitespace-token length — degenerate for boilerplate/garbage. */
+  def meanWordLength(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(size(words) === 0, 0.0).otherwise(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(words))
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Edit-robust rolling-hash fingerprint (winnowing-style min-hash). */
+  def fingerprintRolling(text: Column, window: Int = 16): Column =
+    call_function("rolling_fingerprint", text, lit(window))
+
+  /** One-call quality report over a document table. */
+  def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Graft.register(df.sparkSession)
+    val t = col(textCol)
+    df.select(col(idCol),
+      length(t).as("n_chars"),
+      tokenCountWs(t).as("n_tokens_ws"),
+      tokenCountBpe(t).as("n_tokens_bpe"),
+      round(punctRatio(t), 4).as("punct_ratio"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      round(meanWordLength(t), 4).as("mean_word_len"),
+      langId(t).as("lang_pred"),
+      fingerprintMd5(t).as("fp_md5"),
+      fingerprintRolling(t).as("fp_rolling"))
+  }
+}
