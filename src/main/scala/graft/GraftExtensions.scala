@@ -4,7 +4,7 @@ import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** SQL-interface registration: makes every ST_* function callable from
   * `spark.sql("…")` — the same SQL-text surface the reference exposes
@@ -114,6 +114,8 @@ object Graft {
     // LLM-data-pipeline kernels (dedup / similarity / text analysis)
     t("minhash_signature", MinhashSignature, Seq(StringType, IntegerType, IntegerType)),
     t("jaccard_shingles", JaccardShingles, Seq(StringType, StringType, IntegerType)),
+    b("sorted_shingles", SortedShingles, Seq(StringType, IntegerType)),
+    b("jaccard_sorted", JaccardSorted, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
     u("simhash64", Simhash64, StringType),
     b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),
     u("lang_id", LangId, StringType),

@@ -19,17 +19,26 @@ object SparkEntry {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def init(spark: SparkSession, dir: String): SparkSession = {
-    Graft.register(spark)
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    // for: read the raw int64 nanos and downcast to a microsecond timestamp.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tables.foreach { t =>
-      val df = spark.read.parquet(s"$dir/$t.parquet")
-      val fixed =
-        if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else df
-      fixed.createOrReplaceTempView(t)
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
+    // re-registering 10 views costs ~0.3 s of schema reads — do it once per
+    // (session, dir)
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    if (registeredDir.get(key) != dir) {
+      Graft.register(spark)
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
+      // for: read the raw int64 nanos and downcast to a microsecond timestamp.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tables.foreach { t =>
+        val df = spark.read.parquet(s"$dir/$t.parquet")
+        val fixed =
+          if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          else df
+        fixed.createOrReplaceTempView(t)
+      }
+      registeredDir.put(key, dir)
     }
     spark
   }

@@ -19,6 +19,18 @@ case class JaccardShingles(first: Expression, second: Expression, third: Express
     copy(a, b, c)
 }
 
+case class SortedShingles(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.sortedShingles", Seq(StringType, IntegerType),
+      ArrayType(LongType, containsNull = false)) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class JaccardSorted(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.jaccardSorted",
+      Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false)), DoubleType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class Simhash64(child: Expression)
     extends GeoUnary("TextOps.simhash64", StringType, LongType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)

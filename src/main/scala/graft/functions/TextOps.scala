@@ -71,6 +71,43 @@ object TextOps {
     new GenericArrayData(sig)
   }
 
+  /** Distinct char k-shingle hashes of a text, sorted ascending — computed
+    * once per document so pairwise Jaccard refinement is a cheap merge
+    * instead of per-pair re-shingling. */
+  def sortedShingles(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (s.length >= k) {
+      var i = 0
+      val end = s.length - k
+      while (i <= end) { set.add(mix64(polyHash(s, i, i + k))); i += 1 }
+    } else if (s.nonEmpty) set.add(hash64(s))
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard of two sorted long arrays via linear merge (no allocation). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Exact Jaccard similarity of the two texts' char k-shingle hash sets
     * (refinement step after LSH candidate generation). */
   def jaccardShingles(a: UTF8String, b: UTF8String, k: Int): Double = {

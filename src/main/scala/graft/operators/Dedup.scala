@@ -31,22 +31,47 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     Graft.register(df.sparkSession)
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      call_function("minhash_signature", col(textCol), lit(shingleK), lit(numHashes)).as("sig"))
-    // one row per (band, hash-of-band-slice)
-    val buckets = sig.select(col("id"), col("text"),
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // signatures feed three consumers (bucketing + both sides of the
+    // estimate join): persist so the O(len·numHashes) pass runs once
+    val sig = base.select(col("id"),
+        call_function("minhash_signature", col("text"), lit(shingleK), lit(numHashes)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Stage 1 — candidates: bucket rows carry ONLY (id, band, h): the bucket
+    // shuffle and the distinct stay narrow no matter how wide the documents.
+    val buckets = sig.select(col("id"),
         explode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, hash(slice(sig, b * $rows + 1, $rows)) as h))"
         )).as("bucket"))
-      .select(col("id"), col("text"), col("bucket.band"), col("bucket.h"))
-    val a = buckets.toDF("id_a", "text_a", "band", "h")
-    val b = buckets.toDF("id_b", "text_b", "band", "h")
-    a.join(b, Seq("band", "h"))
+      .select(col("id"), col("bucket.band"), col("bucket.h"))
+    val cand = buckets.toDF("id_a", "band", "h")
+      .join(buckets.toDF("id_b", "band", "h"), Seq("band", "h"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
-      .withColumn("jaccard",
-        call_function("jaccard_shingles", col("text_a"), col("text_b"), lit(shingleK)))
+
+    // Stage 2 — cheap prune: minhash-estimated Jaccard (matching signature
+    // fraction, σ = √(j(1-j)/n) ≤ 0.5/√n) with a 3.5σ margin, before
+    // touching document content.
+    val margin = 1.75 / math.sqrt(numHashes.toDouble)
+    val est = cand
+      .join(sig.toDF("id_a", "sig_a"), "id_a")
+      .join(sig.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est_jaccard", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)"))
+      .where(col("est_jaccard") >= threshold - margin)
+      .select("id_a", "id_b")
+
+    // Stage 3 — exact refine: per-document sorted shingle-hash sets are
+    // computed once, pairs evaluated by linear merge (no per-pair
+    // re-shingling).
+    val shingles = base.select(col("id"),
+      call_function("sorted_shingles", col("text"), lit(shingleK)).as("sh"))
+    est
+      .join(shingles.toDF("id_a", "sh_a"), "id_a")
+      .join(shingles.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jaccard", call_function("jaccard_sorted", col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
