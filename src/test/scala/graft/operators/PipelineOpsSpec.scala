@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup finds planted duplicates") {
+    val planted = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 100000, $"text").limit(5))
+    val out = Dedup.exact(planted, "doc_id", "text").where($"dup_count" > 1)
+    assert(out.count() == 5)
+    // representative is the min id → the original doc
+    assert(out.agg(max("keep_id")).head().getLong(0) < 100000)
+  }
+
+  test("minhash finds planted near-duplicates") {
+    val mutated = docs.limit(3)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" tiny edit")).as("text"))
+    val planted = docs.select($"doc_id", $"text").union(mutated)
+    val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+      shingleK = 5, numHashes = 128, bands = 32, threshold = 0.8)
+    val planted3 = pairs.where($"id_b" - $"id_a" === 100000)
+    assert(planted3.count() == 3)
+    assert(pairs.where($"jaccard" < 0.8).count() == 0)
+  }
+
+  test("simhash hamming refine is exact") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 10))
+  }
+
+  test("embedding pairs refine by true cosine") {
+    val pairs = Dedup.embeddingPairs(embs, "vec_id", "embedding", minCosine = 0.1, planes = 4)
+    val rows = pairs.collect()
+    assert(rows.forall(_.getAs[Double]("cosine") >= 0.1))
+  }
+
+  test("brute-force ANN returns the query itself first") {
+    val q = embs.where($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val top = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getAs[Long]("id") == 0L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    // descending
+    val sims = top.map(_.getAs[Double]("cosine")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH ANN recall: query bucket contains the query") {
+    val q = embs.where($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val top = Ann.lshTopK(embs, "vec_id", "embedding", q, 5, planes = 8, probes = 1).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[Long]("id") == 0L)
+  }
+
+  test("text quality report computes sane ranges") {
+    val rep = TextAnalysis.qualityReport(docs.limit(50), "doc_id", "text").collect()
+    assert(rep.length == 50)
+    rep.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0.0 && r.getAs[Double]("punct_ratio") <= 1.0)
+      assert(r.getAs[Double]("stopword_ratio") >= 0.0 && r.getAs[Double]("stopword_ratio") <= 1.0)
+      assert(r.getAs[Int]("n_tokens_ws") > 0)
+      assert(r.getAs[String]("fp_md5").length == 32)
+    }
+  }
+
+  test("lang_id detects stopword-bearing languages") {
+    val samples = Seq(
+      ("the cat is on the mat and it is warm", "en"),
+      ("der Hund ist nicht mit der Katze", "de"),
+      ("le chat est dans la maison avec les souris", "fr"),
+      ("el perro es una mascota y no es gato", "es"),
+      ("yang penting adalah dengan tidak untuk itu", "id")).toDF("text", "expected")
+    val out = samples.select($"expected", TextAnalysis.langId($"text").as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("multimodal decode is deterministic and preserves rows") {
+    val media = docs.limit(20).select($"doc_id", encode($"text", "UTF-8").as("media"))
+    val out = Multimodal.decodeMeta(media, "media")
+    assert(out.count() == 20)
+    val r = out.orderBy("doc_id").head()
+    val meta = r.getStruct(r.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("mime").startsWith("image/"))
+    assert(meta.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("multimodal frame sampling emits n frames per blob") {
+    val media = docs.limit(4).select($"doc_id", encode($"text", "UTF-8").as("media"))
+    val frames = Multimodal.sampleFrames(media, "doc_id", "media", 3)
+    assert(frames.count() == 12)
+    assert(frames.where(length($"frame_bytes") > 0).count() == 12)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Grid-partitioned spatial join must return exactly the brute-force result
+  * (no duplicates from multi-cell candidates, no misses at cell borders). */
+class SpatialJoinSpec extends SparkTestBase {
+
+  private lazy val cust = spark.sql(
+    "SELECT c_custkey, ST_Point(c_acctbal / 100.0, CAST(c_custkey % 97 AS DOUBLE)) AS cgeom FROM customer")
+  private lazy val supp = spark.sql(
+    "SELECT s_suppkey, ST_Point(s_acctbal / 100.0, CAST(s_suppkey % 97 AS DOUBLE)) AS sgeom FROM supplier")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer")
+    spark.read.parquet(s"$sfDir/supplier.parquet").createOrReplaceTempView("supplier")
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("distance join equals brute force, at several cell sizes") {
+    val brute = cust.crossJoin(supp)
+      .where(call_function("st_dwithin", col("cgeom"), col("sgeom"), lit(5.0)))
+    val expected = pairsOf(brute)
+    assert(expected.nonEmpty, "test setup: brute force should find pairs")
+    for (cellSize <- Seq(2.5, 5.0, 20.0)) {
+      val grid = SpatialJoin.distanceJoin(cust, "cgeom", supp, "sgeom", 5.0, cellSize)
+      assert(pairsOf(grid) == expected, s"cellSize=$cellSize")
+      // exactly-once: no dup pairs before any dedup
+      assert(grid.count() == expected.size, s"duplicates at cellSize=$cellSize")
+    }
+  }
+
+  test("intersects join equals brute force for envelopes") {
+    val lboxes = cust.select(col("c_custkey"),
+      expr("ST_MakeEnvelope(ST_X(cgeom), ST_Y(cgeom), ST_X(cgeom) + 3.0, ST_Y(cgeom) + 3.0)").as("lg"))
+    val rboxes = supp.select(col("s_suppkey"),
+      expr("ST_MakeEnvelope(ST_X(sgeom) - 1.0, ST_Y(sgeom) - 1.0, ST_X(sgeom) + 1.0, ST_Y(sgeom) + 1.0)").as("rg"))
+    val brute = lboxes.crossJoin(rboxes)
+      .where(call_function("st_intersects", col("lg"), col("rg")))
+    val expected = brute.select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grid = SpatialJoin.intersectsJoin(lboxes, "lg", rboxes, "rg", cellSize = 4.0)
+    val got = grid.select("c_custkey", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(grid.count() == expected.size, "duplicates from multi-cell envelopes")
+  }
+
+  test("within join: points in constant polygons") {
+    val boxes = spark.sql(
+      """SELECT id, ST_MakeEnvelope(x0, y0, x0 + 30.0, y0 + 30.0) AS bg
+        |FROM VALUES (1, 0.0, 0.0), (2, 25.0, 25.0), (3, 60.0, 60.0) AS t(id, x0, y0)""".stripMargin)
+    val brute = cust.crossJoin(boxes)
+      .where(call_function("st_within", col("cgeom"), col("bg")))
+    val grid = SpatialJoin.withinJoin(cust, "cgeom", boxes, "bg", cellSize = 15.0)
+    assert(grid.count() == brute.count())
+  }
+}
