@@ -125,6 +125,23 @@ object SparkEntry {
         |       CASE WHEN l_quantity > 30 THEN 'bulk' ELSE 'small' END AS qclass
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin),
 
+    "q_having" -> sql(
+      """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY c_nationkey HAVING count(*) > 20""".stripMargin),
+    "q_union" -> sql(
+      """SELECT c_nationkey AS k, 'cust' AS side FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT s_nationkey AS k, 'supp' AS side FROM supplier WHERE s_acctbal > 9000""".stripMargin),
+    "q_exists" -> sql(
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)""".stripMargin),
+    "q_window_rank" -> sql(
+      """SELECT c_custkey, c_nationkey, rnk FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |         rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3""".stripMargin),
+
     // ------------------------------------------------------ spatial surface
     "q_st_point_xy" -> sql(
       s"""SELECT c_custkey, ST_X(pt) AS x, ST_Y(pt) AS y,
@@ -171,6 +188,11 @@ object SparkEntry {
          |                             $CX + 1.0 + CAST(c_custkey % 5 AS DOUBLE),
          |                             $CY + 2.0 + CAST(c_custkey % 7 AS DOUBLE)) AS env
          |      FROM customer) t""".stripMargin),
+    "q_st_extent" -> sql(
+      s"""SELECT round(min(ST_XMin(pt)), 4) AS xmin, round(min(ST_YMin(pt)), 4) AS ymin,
+         |       round(max(ST_XMax(pt)), 4) AS xmax, round(max(ST_YMax(pt)), 4) AS ymax,
+         |       count(*) AS n
+         |FROM (SELECT $PT AS pt FROM customer) t""".stripMargin),
     "q_st_buffer_union" -> sql(
       s"""SELECT count(*) AS n_buffer_ok,
          |       round(sum(ST_Area(ST_Union(
@@ -356,6 +378,14 @@ object SparkEntry {
     "q_expr_project" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge, CASE WHEN l_quantity > 30 THEN 'bulk' ELSE 'small' END AS qclass FROM lineitem WHERE l_linenumber = 1",
 
+    "q_having" ->
+      "SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal FROM customer GROUP BY c_nationkey HAVING count(*) > 20",
+    "q_union" ->
+      "SELECT c_nationkey AS k, 'cust' AS side FROM customer WHERE c_acctbal > 9000 UNION ALL SELECT s_nationkey AS k, 'supp' AS side FROM supplier WHERE s_acctbal > 9000",
+    "q_exists" ->
+      "SELECT p_partkey, p_name FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)",
+    "q_window_rank" ->
+      "SELECT c_custkey, c_nationkey, rnk FROM (SELECT c_custkey, c_nationkey, rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk FROM customer) t WHERE rnk <= 3",
     "q_st_point_xy" ->
       s"SELECT c_custkey, $CX AS x, $CY AS y, 4326 AS srid FROM customer",
     "q_st_distance" ->
@@ -377,6 +407,8 @@ object SparkEntry {
          | round($CX + (1.0 + CAST(c_custkey % 5 AS DOUBLE)) / 2, 4) AS cx0,
          | round($CY + (2.0 + CAST(c_custkey % 7 AS DOUBLE)) / 2, 4) AS cy0
          |FROM customer""".stripMargin,
+    "q_st_extent" ->
+      s"SELECT round(min($CX), 4) AS xmin, round(min($CY), 4) AS ymin, round(max($CX), 4) AS xmax, round(max($CY), 4) AS ymax, count(*) AS n FROM customer",
     "q_st_buffer_union" ->
       "SELECT count(*) AS n_buffer_ok, round(count(*) * 6.0, 2) AS sum_union_area, round(count(*) * 2.0, 2) AS sum_hull_area FROM customer",
     "q_wkt_roundtrip" ->
