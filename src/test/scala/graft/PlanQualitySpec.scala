@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-readiness checks on the physical plans: filters and projections
+  * must reach the parquet scan, geometry expressions must stay inside
+  * WholeStageCodegen, and small-side joins must broadcast. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    SparkEntry.init(spark, sfDir)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.sql(
+      "SELECT c_custkey FROM customer WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(c_acctbal,1000"), p)
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val df = spark.sql("SELECT c_custkey FROM customer WHERE c_acctbal > 1000")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_acctbal:double>"), p)
+  }
+
+  test("geometry expressions run inside WholeStageCodegen") {
+    val df = spark.sql(
+      """SELECT ST_Distance(ST_Point(c_acctbal / 100.0, 1.0), ST_Point(0.0, 0.0)) AS d
+        |FROM customer WHERE ST_X(ST_Point(c_acctbal / 100.0, 1.0)) > 5.0""".stripMargin)
+    val p = plan(df)
+    // "*(n)" marks operators compiled into a WholeStageCodegen stage; the
+    // Project/Filter containing the ST_ calls must carry it
+    assert(p.contains("*(1) Project [stdistance"), p)
+    assert(p.contains("*(1) Filter"), p)
+  }
+
+  test("dimension join broadcasts the small side") {
+    val df = spark.sql(
+      """SELECT n_name, count(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin)
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("spatial grid join is an equi-join on cell id, not a cartesian product") {
+    val cust = spark.sql("SELECT c_custkey, ST_Point(c_acctbal / 100.0, 1.0) AS cgeom FROM customer")
+    val supp = spark.sql("SELECT s_suppkey, ST_Point(s_acctbal / 100.0, 1.0) AS sgeom FROM supplier")
+    val joined = operators.SpatialJoin.distanceJoin(cust, "cgeom", supp, "sgeom", 5.0, 5.0)
+    val p = plan(joined)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("entry flagship runs and returns rows") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+  }
+}
