@@ -111,6 +111,9 @@ object Graft {
     b("st_intersection", StIntersection),
     b("st_difference", StDifference),
     b("st_symdifference", StSymDifference),
+    // geometry aggregates
+    u("st_union_agg", (e: Expression) => StUnionAgg(e).toAggregateExpression()),
+    u("st_extent_agg", (e: Expression) => StExtentAgg(e).toAggregateExpression()),
     // LLM-data-pipeline kernels (dedup / similarity / text analysis)
     t("minhash_signature", MinhashSignature, Seq(StringType, IntegerType, IntegerType)),
     t("jaccard_shingles", JaccardShingles, Seq(StringType, StringType, IntegerType)),

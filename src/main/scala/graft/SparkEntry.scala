@@ -193,6 +193,12 @@ object SparkEntry {
          |       round(max(ST_XMax(pt)), 4) AS xmax, round(max(ST_YMax(pt)), 4) AS ymax,
          |       count(*) AS n
          |FROM (SELECT $PT AS pt FROM customer) t""".stripMargin),
+    "q_st_union_agg" -> sql(
+      """SELECT c_nationkey,
+        |       round(ST_Area(ST_Union_Agg(ST_MakeEnvelope(
+        |         CAST(c_custkey % 50 AS DOUBLE), CAST(c_custkey % 23 AS DOUBLE),
+        |         CAST(c_custkey % 50 AS DOUBLE) + 1.0, CAST(c_custkey % 23 AS DOUBLE) + 1.0))), 2) AS area
+        |FROM customer GROUP BY c_nationkey""".stripMargin),
     "q_st_buffer_union" -> sql(
       s"""SELECT count(*) AS n_buffer_ok,
          |       round(sum(ST_Area(ST_Union(
@@ -409,6 +415,8 @@ object SparkEntry {
          |FROM customer""".stripMargin,
     "q_st_extent" ->
       s"SELECT round(min($CX), 4) AS xmin, round(min($CY), 4) AS ymin, round(max($CX), 4) AS xmax, round(max($CY), 4) AS ymax, count(*) AS n FROM customer",
+    "q_st_union_agg" ->
+      "SELECT c_nationkey, round(CAST(count(DISTINCT (c_custkey % 50) * 1000 + (c_custkey % 23)) AS DOUBLE), 2) AS area FROM customer GROUP BY c_nationkey",
     "q_st_buffer_union" ->
       "SELECT count(*) AS n_buffer_ok, round(count(*) * 6.0, 2) AS sum_union_area, round(count(*) * 2.0, 2) AS sum_hull_area FROM customer",
     "q_wkt_roundtrip" ->

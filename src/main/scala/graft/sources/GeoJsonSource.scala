@@ -1,0 +1,146 @@
+package graft.sources
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+import graft.geo.{GeoJson, GeomSerde}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.LinkedHashMap
+
+/** GeoJSON Feature/FeatureCollection document source — the reference's
+  * MongoDB/CouchDB data model (reference: extension/json_extension.ts:100
+  * getFieldsData: `properties.*` → columns, `geometry` → geometry value).
+  *
+  * Each Feature flattens to `properties.*` string/number columns plus a
+  * `geometry` WKB column. FeatureCollections explode to one row per
+  * feature. Distributed: one task per document; schema united from keys
+  * (or pass `columns` to skip inference — the 100 TB path).
+  */
+object GeoJsonSource {
+
+  /** Flattens one Feature JSON object into (properties, geometry WKB). */
+  def flattenFeature(json: String): Seq[(Map[String, String], Option[Array[Byte]])] = {
+    val features = scala.collection.mutable.ArrayBuffer.empty[(Map[String, String], Option[Array[Byte]])]
+    val p = new JsonFactory().createParser(json)
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT, "GeoJSON must be an object")
+      parseObj(p, features)
+    } finally p.close()
+    features.toSeq
+  }
+
+  private def parseObj(p: JsonParser,
+                       out: scala.collection.mutable.ArrayBuffer[(Map[String, String], Option[Array[Byte]])]): Unit = {
+    var typ: String = null
+    val props = LinkedHashMap.empty[String, String]
+    var geom: Option[Array[Byte]] = None
+    var isCollection = false
+
+    while (p.nextToken() != JsonToken.END_OBJECT) {
+      p.currentName() match {
+        case "type" =>
+          p.nextToken(); typ = p.getText
+        case "features" =>
+          isCollection = true
+          p.nextToken() // START_ARRAY
+          while (p.nextToken() != JsonToken.END_ARRAY) parseObj(p, out)
+        case "properties" =>
+          p.nextToken()
+          if (p.currentToken() == JsonToken.START_OBJECT) {
+            while (p.nextToken() != JsonToken.END_OBJECT) {
+              val key = p.currentName()
+              p.nextToken() match {
+                case JsonToken.START_OBJECT | JsonToken.START_ARRAY => p.skipChildren()
+                case JsonToken.VALUE_NULL => props(key) = null
+                case _ => props(key) = p.getText
+              }
+            }
+          }
+        case "geometry" =>
+          p.nextToken()
+          if (p.currentToken() == JsonToken.START_OBJECT) {
+            // re-serialize the subtree and parse with the geometry codec
+            val sw = new java.io.StringWriter()
+            val gen = new JsonFactory().createGenerator(sw)
+            gen.copyCurrentStructure(p)
+            gen.close()
+            geom = Some(GeomSerde.toWkb(GeoJson.parse(sw.toString)))
+          }
+        case _ =>
+          p.nextToken(); p.skipChildren()
+      }
+    }
+    if (!isCollection) out += ((props.toMap, geom))
+  }
+
+  /** Reads files of GeoJSON documents (one Feature or FeatureCollection per
+    * file, or one per line with `multiLine = false`). */
+  def read(spark: SparkSession, path: String,
+           multiLine: Boolean = true,
+           columns: Option[Seq[String]] = None): DataFrame = {
+    import spark.implicits._
+    val raw =
+      if (multiLine) spark.read.option("wholetext", "true").textFile(path)
+      else spark.read.textFile(path)
+    fromDocuments(raw.toDF("json"), "json", columns)
+  }
+
+  /** Flattens a DataFrame column holding GeoJSON document strings. */
+  def fromDocuments(df: DataFrame, jsonCol: String,
+                    columns: Option[Seq[String]] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = df.schema.fieldIndex(jsonCol)
+    val flattened = df.mapPartitions { rows =>
+      rows.flatMap(r => flattenFeature(r.getString(idx)))
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.kryo[Map[String, String]],
+      org.apache.spark.sql.Encoders.kryo[Option[Array[Byte]]]))
+
+    val cols: Seq[String] = columns.getOrElse {
+      flattened.flatMap(_._1.keys).distinct().collect().sorted.toSeq
+    }
+    val schema = StructType(
+      cols.map(StructField(_, StringType, nullable = true)) :+
+        StructField("geometry", BinaryType, nullable = true))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    flattened.map { case (m, g) =>
+      Row.fromSeq(cols.map(m.get(_).orNull) :+ g.orNull)
+    }(encoder)
+  }
+
+  /** Inverse direction — the reference's result shape
+    * (reference: src/index.ts:323 convertRestoGeoJSON): rows → GeoJSON
+    * FeatureCollection string per partition-collected result. Intended for
+    * result export of SMALL final frames (it collects to the driver). */
+  def toFeatureCollection(df: DataFrame, geomCol: String): String = {
+    val geomIdx = df.schema.fieldIndex(geomCol)
+    val others = df.schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val sb = new StringBuilder("""{"type":"FeatureCollection","features":[""")
+    val rows = df.collect()
+    rows.zipWithIndex.foreach { case (row, i) =>
+      if (i > 0) sb.append(',')
+      sb.append("""{"type":"Feature","properties":{""")
+      others.zipWithIndex.foreach { case ((f, fi), oi) =>
+        if (oi > 0) sb.append(',')
+        sb.append('"').append(f.name).append("\":")
+        val v = row.get(fi)
+        v match {
+          case null => sb.append("null")
+          case n: Number => sb.append(n.toString)
+          case b: Boolean => sb.append(b.toString)
+          case s => sb.append('"')
+            .append(s.toString.replace("\\", "\\\\").replace("\"", "\\\""))
+            .append('"')
+        }
+      }
+      sb.append("},\"geometry\":")
+      val g = row.get(geomIdx)
+      if (g == null) sb.append("null")
+      else sb.append(GeoJson.write(GeomSerde.fromWkb(g.asInstanceOf[Array[Byte]])))
+      sb.append('}')
+    }
+    sb.append("]}")
+    sb.toString
+  }
+}
