@@ -42,6 +42,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.getAs[Long]("n_events") == 2)
   }
 
+  test("streamingSessionize emits closed sessions as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val query = EventStreams.streamingSessionize(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")))
+      query.processAllAvailable()
+      // push the watermark far past the session gap → session 1 closes
+      input.addData((2L, ts("2024-01-01 06:00:00")))
+      query.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+      val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Long]("n_events") == 2)
+      assert(u1.head.getAs[Timestamp]("session_end") == ts("2024-01-01 00:10:00"))
+    } finally query.stop()
+  }
+
   test("sessionize splits on gaps") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:00:00")),
