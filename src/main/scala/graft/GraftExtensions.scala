@@ -133,4 +133,27 @@ object Graft {
       registry.registerFunction(id, info, builder)
     }
   }
+
+  /** Result of [[processQuery]]: the frame, plus — when the query projects
+    * `ST_AsGeoJSON` — the rows re-shaped as a GeoJSON FeatureCollection
+    * (reference: src/index.ts:349 processQuery / :323 convertRestoGeoJSON). */
+  case class QueryResult(df: org.apache.spark.sql.DataFrame, geoJson: Option[String])
+
+  /** The reference's user-facing entry point: raw SQL in, result out, with
+    * automatic FeatureCollection conversion when an `st_asgeojson` column is
+    * present. GeoJSON export collects — use only on final, reduced results. */
+  def processQuery(spark: SparkSession, sqlText: String): QueryResult = {
+    register(spark)
+    val df = spark.sql(sqlText)
+    val geoCol = df.schema.fieldNames.find(_.equalsIgnoreCase("st_asgeojson"))
+    val geo = geoCol.map { c =>
+      val wkb = df.withColumn(c, StGeomFromGeoJsonCol(df, c))
+      graft.sources.GeoJsonSource.toFeatureCollection(wkb.withColumnRenamed(c, "geometry"), "geometry")
+    }
+    QueryResult(df, geo)
+  }
+
+  private def StGeomFromGeoJsonCol(df: org.apache.spark.sql.DataFrame, c: String) =
+    org.apache.spark.sql.functions.call_function("st_geomfromgeojson",
+      org.apache.spark.sql.functions.col(c))
 }

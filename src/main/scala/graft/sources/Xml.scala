@@ -40,6 +40,10 @@ object Xml {
       if (SpatialTypes(c.label)) {
         val g = if (kml) GmlKml.parseKml(c.toString) else GmlKml.parseGml(c.toString)
         geom = Some(GeomSerde.toWkb(g))
+      } else if (c.attribute("group").isDefined) {
+        // un-named grouped member → `_undef__<group>` (reference:
+        // extension/xml_extension.ts:119,653 `*[@group=…]` → `_undef__`)
+        out(s"_undef__${c.attribute("group").get.text}") = c.text
       } else {
         c.attributes.foreach { a => out(s"_attribute__${c.label}__${a.key}") = a.value.text }
         val grandchildren = c.child.collect { case e: Elem => e }

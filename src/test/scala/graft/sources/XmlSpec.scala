@@ -72,6 +72,14 @@ class XmlSpec extends SparkTestBase {
     assert(df.count() == 2)
   }
 
+  test("_undef__ grouped members flatten by group attribute") {
+    val doc =
+      """<col><rec><name>x</name><item group="extras">v1</item></rec></col>"""
+    val df = Xml.fromDocuments(Seq(doc).toDF("xml"), "xml")
+    assert(df.columns.contains("_undef__extras"))
+    assert(df.head().getAs[String]("_undef__extras") == "v1")
+  }
+
   test("spatial predicates work on the flattened geometry column") {
     val df = Xml.fromDocuments(Seq(gmlDoc).toDF("xml"), "xml")
     val n = df.where(call_function("st_intersects", col("geometry"),
