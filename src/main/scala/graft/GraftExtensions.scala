@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   *   `Graft.register(spark)` (programmatic, used by SparkEntry/tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Graft.functionDescriptions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.SpatialJoinRewrite())
+  }
 }
 
 object Graft {
@@ -132,6 +134,9 @@ object Graft {
     functionDescriptions.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
     }
+    val rule = graft.plans.SpatialJoinRewrite()
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.SpatialJoinRewrite]))
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ rule
   }
 
   /** Result of [[processQuery]]: the frame, plus — when the query projects
