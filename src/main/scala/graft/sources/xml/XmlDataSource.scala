@@ -1,0 +1,157 @@
+package graft.sources.xml
+
+import graft.sources.Xml
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.collection.JavaConverters._
+import scala.xml.XML
+
+/** DataSource V2 for XML document collections:
+  *
+  * {{{
+  *   spark.read.format("graft-xml")
+  *     .option("recordTag", "feature")       // optional
+  *     .option("columns", "name,addr__zip")  // optional: skip inference
+  *     .load("/data/xml")                    // one document per file
+  * }}}
+  *
+  * Produces the reference's flattening (`parent__child`,
+  * `_attribute__elem[__attr]`, `_undef__group`, `geometry` WKB — see
+  * [[graft.sources.Xml.flattenRecord]]). One input partition per file;
+  * schema inferred from a bounded sample of files unless `columns` is
+  * given (always pass it at 100 TB).
+  */
+class XmlDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-xml"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def listFiles(paths: Seq[String]): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val stats =
+        if (fs.isDirectory(path)) fs.listStatus(path).toSeq
+        else fs.globStatus(path) match {
+          case null => Seq.empty
+          case arr  => arr.toSeq
+        }
+      stats.filter(_.isFile).map(_.getPath.toString)
+    }
+  }
+
+  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { js =>
+      // Spark encodes .load(p1, p2, …) as a JSON array in "paths"
+      js.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+    multi.getOrElse(Option(options.get("path")).toSeq)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    Option(options.get("columns")) match {
+      case Some(cols) =>
+        XmlDataSource.schemaFor(cols.split(",").map(_.trim).filter(_.nonEmpty))
+      case None =>
+        val recordTag = Option(options.get("recordTag"))
+        val sample = listFiles(pathsOf(options)).take(8) // bounded inference
+        val keys = scala.collection.mutable.SortedSet.empty[String]
+        sample.foreach { f =>
+          val doc = XML.load(f)
+          val kml = XmlDataSource.isKml(doc)
+          Xml.records(doc, recordTag).foreach { r =>
+            keys ++= Xml.flattenRecord(r, kml)._1.keys
+          }
+        }
+        XmlDataSource.schemaFor(keys.toSeq)
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new XmlTable(schema, properties.asScala.toMap,
+      listFiles(pathsOf(new CaseInsensitiveStringMap(properties))))
+}
+
+object XmlDataSource {
+  def schemaFor(cols: Seq[String]): StructType = StructType(
+    cols.map(StructField(_, StringType, nullable = true)) :+
+      StructField("geometry", BinaryType, nullable = true))
+
+  def isKml(doc: scala.xml.Elem): Boolean =
+    doc.label.equalsIgnoreCase("kml") ||
+      (doc.namespace != null && doc.namespace.contains("kml"))
+}
+
+private class XmlTable(schema: StructType, properties: Map[String, String],
+                       files: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-xml(${files.length} files)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XmlScanBuilder(schema, options.asScala.toMap ++ properties, files)
+}
+
+private class XmlScanBuilder(schema: StructType, options: Map[String, String],
+                             files: Seq[String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String = s"graft-xml ${files.length} files"
+
+    override def planInputPartitions(): Array[InputPartition] =
+      files.map(f => XmlInputPartition(f): InputPartition).toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      XmlReaderFactory(required, options.get("recordTag"))
+  }
+}
+
+private case class XmlInputPartition(file: String) extends InputPartition
+
+private case class XmlReaderFactory(schema: StructType, recordTag: Option[String])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[XmlInputPartition].file
+    new PartitionReader[InternalRow] {
+      // may be pruned away (e.g. count(*) requires no columns)
+      private val geomIdx =
+        if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
+      private val rows: Iterator[InternalRow] = {
+        val doc = XML.load(new java.net.URI(file).toURL)
+        val kml = XmlDataSource.isKml(doc)
+        Xml.records(doc, recordTag).iterator.map { r =>
+          val (m, g) = Xml.flattenRecord(r, kml)
+          InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+            if (i == geomIdx) g.orNull
+            else m.get(f.name).map(UTF8String.fromString).orNull
+          })
+        }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class XmlDataSourceSpec extends SparkTestBase {
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-xml").toFile
+    d.deleteOnExit()
+    val docs = Seq(
+      """<col><feature><name>a</name><kind t="x">k1</kind><gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>1,2</gml:coordinates></gml:Point></feature></col>""",
+      """<col><feature><name>b</name><kind t="y">k2</kind><gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>3,4</gml:coordinates></gml:Point></feature>
+        |<feature><name>c</name><kind>k3</kind></feature></col>""".stripMargin)
+    docs.zipWithIndex.foreach { case (x, i) =>
+      java.nio.file.Files.writeString(new java.io.File(d, s"doc$i.xml").toPath, x)
+    }
+    d.getAbsolutePath
+  }
+
+  test("format(graft-xml) reads, infers schema, flattens, extracts geometry") {
+    val df = spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
+    assert(df.count() == 3)
+    assert(df.columns.toSet == Set("name", "kind", "_attribute__kind__t", "geometry"))
+    val a = df.where(col("name") === "a").head()
+    assert(a.getAs[String]("_attribute__kind__t") == "x")
+    assert(spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
+      .where(call_function("st_x", col("geometry")) === 1.0).count() == 1)
+  }
+
+  test("explicit columns option skips inference") {
+    val df = spark.read.format("graft-xml")
+      .option("recordTag", "feature").option("columns", "name")
+      .load(dir)
+    assert(df.columns.toSeq == Seq("name", "geometry"))
+    assert(df.count() == 3)
+  }
+
+  test("SQL over the source: spatial filter composes") {
+    spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
+      .createOrReplaceTempView("xml_features")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM xml_features WHERE geometry IS NOT NULL AND ST_Y(geometry) > 3.0")
+      .head().getLong(0)
+    assert(n == 1)
+  }
+}
