@@ -1,0 +1,26 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SpatialStorageSpec extends SparkTestBase {
+
+  test("grid-partitioned write prunes partitions on window reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-grid").toString
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer_ss")
+    val pts = spark.sql(
+      """SELECT c_custkey, ST_Point(c_acctbal / 100.0, CAST(c_custkey % 97 AS DOUBLE)) AS geometry
+        |FROM customer_ss""".stripMargin)
+    SpatialStorage.writeGridPartitioned(pts, "geometry", dir, cellSize = 20.0)
+
+    val window = SpatialStorage.readWindow(spark, dir, 20.0, 0.0, 0.0, 15.0, 15.0)
+    val p = window.queryExecution.executedPlan.toString
+    assert(p.split("PartitionFilters: \\[")(1).takeWhile(_ != ']').contains("grid_cell"), p)
+
+    // correctness: equals a brute filter over the full data
+    val brute = pts.where(call_function("st_intersects", col("geometry"),
+      call_function("st_makeenvelope", lit(0.0), lit(0.0), lit(15.0), lit(15.0))))
+    assert(window.count() == brute.count())
+    assert(window.count() > 0)
+  }
+}
