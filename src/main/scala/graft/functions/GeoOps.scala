@@ -108,12 +108,21 @@ object GeoOps {
 
   /** Cells covering the geometry's envelope expanded by `expand`
     * (left side of a distance join expands by the radius; right side by 0). */
+  /** Guard: a geometry/cell-size mismatch (huge envelope, tiny cell) would
+    * explode one row into millions — fail fast with a tuning hint instead
+    * of OOMing an executor. */
+  private val MaxCellsPerGeometry = 65536
+
   def gridCells(b: Array[Byte], expand: Double, cell: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
     val env = read(b).getEnvelopeInternal
     val x0 = Math.floor((env.getMinX - expand) / cell).toInt
     val x1 = Math.floor((env.getMaxX + expand) / cell).toInt
     val y0 = Math.floor((env.getMinY - expand) / cell).toInt
     val y1 = Math.floor((env.getMaxY + expand) / cell).toInt
+    val nCells = (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong
+    require(nCells <= MaxCellsPerGeometry,
+      s"geometry envelope spans $nCells grid cells (> $MaxCellsPerGeometry); " +
+        s"raise cellSize (now $cell) to at least the typical geometry extent")
     val out = new Array[Long]((x1 - x0 + 1).toLong.toInt * (y1 - y0 + 1))
     var i = 0
     var cx = x0

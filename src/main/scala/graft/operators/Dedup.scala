@@ -115,6 +115,49 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Connected components over a duplicate-pair edge list: assigns each id
+    * the minimum id reachable through pairs ("cluster"). Iterative
+    * small-label propagation — O(diameter) rounds of two hash joins, no
+    * driver-side graph; duplicate clusters are shallow in practice so this
+    * converges in a handful of rounds. */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node adopts the min cluster label among itself and neighbors
+      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster").as("nbr_cluster"))
+        .join(labels, "id")
+        .select(col("id"), least(col("cluster"), col("nbr_cluster")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: MinHash-LSH pairs → connected
+    * components → keep only each cluster's minimum id. Returns the rows of
+    * `df` that survive. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
+    val victims = clusters(pairs)
+      .where(col("id") =!= col("cluster")) // keep cluster representative
+      .select(col("id").as(idCol))
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** N-gram-Jaccard duplicate report for a candidate pair set (exact
     * refinement used standalone when candidates come from elsewhere). */
   def jaccardRefine(pairs: DataFrame, textA: String, textB: String,

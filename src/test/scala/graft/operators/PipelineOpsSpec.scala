@@ -60,6 +60,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top.head.getAs[Long]("id") == 0L)
   }
 
+  test("clusters: connected components over pair chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicates keeps one representative per near-dup cluster") {
+    val base = docs.limit(30).select($"doc_id", $"text")
+    val clones = base.limit(4).select(($"doc_id" + 100000).as("doc_id"),
+      concat($"text", lit(" x")).as("text"))
+    val chain = base.limit(1).select(($"doc_id" + 200000).as("doc_id"),
+      concat($"text", lit(" y")).as("text")) // 2nd mutation of doc 0 → 3-cluster
+    val planted = base.union(clones).union(chain)
+    val kept = Dedup.dropNearDuplicates(planted, "doc_id", "text", threshold = 0.8)
+    // every mutant (higher id than its original) is dropped…
+    assert(kept.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) < 100000)
+    // …and the kept set matches dedup of the originals alone
+    val baseline = Dedup.dropNearDuplicates(base, "doc_id", "text", threshold = 0.8)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      baseline.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("text quality report computes sane ranges") {
     val rep = TextAnalysis.qualityReport(docs.limit(50), "doc_id", "text").collect()
     assert(rep.length == 50)
