@@ -274,6 +274,12 @@ object SparkEntry {
       init(spark, dir)
       Dedup.simhashPairs(spark.table("documents"), "doc_id", "text", maxHamming = 8)
     }),
+    "q_dedup_cluster" -> ((spark, dir) => {
+      init(spark, dir)
+      val pairs = Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+      Dedup.clusters(pairs)
+    }),
     "q_ngram_jaccard" -> sql(
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(CAST(size(array_intersect(split(a.text, ' '), split(b.text, ' '))) AS DOUBLE)

@@ -76,7 +76,9 @@ class GeomPropertySpec extends AnyFunSuite {
 
   test("grid cells always cover the envelope; cell id consistent") {
     import graft.functions.GeoOps
-    forAll(boxGen, Gen.chooseNum(1, 100).map(_ / 10.0)) { (b, cell) =>
+    // cell ≥ 0.5 keeps worst-case cover (100-unit box) under the
+    // MaxCellsPerGeometry guard — oversized covers are a hard error now
+    forAll(boxGen, Gen.chooseNum(5, 100).map(_ / 10.0)) { (b, cell) =>
       val wkb = GeomSerde.toWkb(b)
       val cells = GeoOps.gridCells(wkb, 0.0, cell).toLongArray().toSet
       val env = b.getEnvelopeInternal
