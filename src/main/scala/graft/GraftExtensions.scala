@@ -65,6 +65,8 @@ object Graft {
     u("st_astext", StAsText),
     u("st_asgeojson", StAsGeoJSON),
     u("st_asbinary", StAsBinary),
+    u("st_asgml", StAsGML),
+    u("st_askml", StAsKML),
     // accessors
     u("st_x", StX),
     u("st_y", StY),

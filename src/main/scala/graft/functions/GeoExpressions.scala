@@ -124,6 +124,12 @@ case class StAsGeoJSON(child: Expression) extends GeoUnary("GeoOps.stAsGeoJSON",
 case class StAsBinary(child: Expression) extends GeoUnary("GeoOps.stAsBinary", BinaryType, BinaryType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
+case class StAsGML(child: Expression) extends GeoUnary("GeoOps.stAsGML", BinaryType, StringType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StAsKML(child: Expression) extends GeoUnary("GeoOps.stAsKML", BinaryType, StringType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
 
 // ------------------------------------------------------------------- accessors
 case class StX(child: Expression) extends GeoUnary("GeoOps.stX", BinaryType, DoubleType) {

@@ -43,6 +43,8 @@ object GeoOps {
   def stAsText(b: Array[Byte]): UTF8String = UTF8String.fromString(GeomSerde.toWkt(read(b)))
   def stAsGeoJSON(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.write(read(b)))
   def stAsBinary(b: Array[Byte]): Array[Byte] = b
+  def stAsGML(b: Array[Byte]): UTF8String = UTF8String.fromString(GmlKml.writeGml(read(b)))
+  def stAsKML(b: Array[Byte]): UTF8String = UTF8String.fromString(GmlKml.writeKml(read(b)))
 
   // -------------------------------------------------------------- accessors
   def stX(b: Array[Byte]): Double = read(b) match {

@@ -113,6 +113,103 @@ object GmlKml {
   private def kmlCoords(n: Node): Array[Coordinate] =
     parseCoordinates(firstElem(n, "coordinates").text)
 
+  // --------------------------------------------------------------- writers
+
+  /** GML 3 writer (pos/posList/exterior-interior encoding), matching the
+    * element set the parser accepts. The root element carries the gml
+    * namespace declaration so output round-trips through parseGml. */
+  def writeGml(g: Geometry): String = {
+    val sb = new StringBuilder
+    writeGmlNode(g, sb)
+    val s = sb.toString
+    val i = s.indexOf('>')
+    s.substring(0, i) + " xmlns:gml=\"http://www.opengis.net/gml\"" + s.substring(i)
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  private def posList(cs: Array[Coordinate]): String =
+    cs.map(c => s"${fmt(c.x)} ${fmt(c.y)}").mkString(" ")
+
+  private def writeGmlNode(g: Geometry, sb: StringBuilder): Unit = g match {
+    case p: Point =>
+      sb ++= s"<gml:Point><gml:pos>${fmt(p.getX)} ${fmt(p.getY)}</gml:pos></gml:Point>"
+    case l: LineString if l.isInstanceOf[LinearRing] =>
+      sb ++= s"<gml:LinearRing><gml:posList>${posList(l.getCoordinates)}</gml:posList></gml:LinearRing>"
+    case l: LineString =>
+      sb ++= s"<gml:LineString><gml:posList>${posList(l.getCoordinates)}</gml:posList></gml:LineString>"
+    case p: Polygon =>
+      sb ++= "<gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>"
+      sb ++= posList(p.getExteriorRing.getCoordinates)
+      sb ++= "</gml:posList></gml:LinearRing></gml:exterior>"
+      (0 until p.getNumInteriorRing).foreach { i =>
+        sb ++= "<gml:interior><gml:LinearRing><gml:posList>"
+        sb ++= posList(p.getInteriorRingN(i).getCoordinates)
+        sb ++= "</gml:posList></gml:LinearRing></gml:interior>"
+      }
+      sb ++= "</gml:Polygon>"
+    case m: MultiPoint =>
+      sb ++= "<gml:MultiPoint>"
+      (0 until m.getNumGeometries).foreach { i =>
+        sb ++= "<gml:pointMember>"; writeGmlNode(m.getGeometryN(i), sb); sb ++= "</gml:pointMember>"
+      }
+      sb ++= "</gml:MultiPoint>"
+    case m: MultiLineString =>
+      sb ++= "<gml:MultiLineString>"
+      (0 until m.getNumGeometries).foreach { i =>
+        sb ++= "<gml:lineStringMember>"; writeGmlNode(m.getGeometryN(i), sb); sb ++= "</gml:lineStringMember>"
+      }
+      sb ++= "</gml:MultiLineString>"
+    case m: MultiPolygon =>
+      sb ++= "<gml:MultiPolygon>"
+      (0 until m.getNumGeometries).foreach { i =>
+        sb ++= "<gml:polygonMember>"; writeGmlNode(m.getGeometryN(i), sb); sb ++= "</gml:polygonMember>"
+      }
+      sb ++= "</gml:MultiPolygon>"
+    case gc: GeometryCollection =>
+      sb ++= "<gml:MultiGeometry>"
+      (0 until gc.getNumGeometries).foreach { i =>
+        sb ++= "<gml:geometryMember>"; writeGmlNode(gc.getGeometryN(i), sb); sb ++= "</gml:geometryMember>"
+      }
+      sb ++= "</gml:MultiGeometry>"
+    case other => throw new IllegalArgumentException(s"cannot write ${other.getGeometryType} as GML")
+  }
+
+  /** KML writer (coordinates tuples, outer/innerBoundaryIs). */
+  def writeKml(g: Geometry): String = {
+    val sb = new StringBuilder
+    writeKmlNode(g, sb)
+    sb.toString
+  }
+
+  private def tuples(cs: Array[Coordinate]): String =
+    cs.map(c => s"${fmt(c.x)},${fmt(c.y)}").mkString(" ")
+
+  private def writeKmlNode(g: Geometry, sb: StringBuilder): Unit = g match {
+    case p: Point =>
+      sb ++= s"<Point><coordinates>${fmt(p.getX)},${fmt(p.getY)}</coordinates></Point>"
+    case l: LineString if !l.isInstanceOf[LinearRing] =>
+      sb ++= s"<LineString><coordinates>${tuples(l.getCoordinates)}</coordinates></LineString>"
+    case r: LinearRing =>
+      sb ++= s"<LinearRing><coordinates>${tuples(r.getCoordinates)}</coordinates></LinearRing>"
+    case p: Polygon =>
+      sb ++= "<Polygon><outerBoundaryIs><LinearRing><coordinates>"
+      sb ++= tuples(p.getExteriorRing.getCoordinates)
+      sb ++= "</coordinates></LinearRing></outerBoundaryIs>"
+      (0 until p.getNumInteriorRing).foreach { i =>
+        sb ++= "<innerBoundaryIs><LinearRing><coordinates>"
+        sb ++= tuples(p.getInteriorRingN(i).getCoordinates)
+        sb ++= "</coordinates></LinearRing></innerBoundaryIs>"
+      }
+      sb ++= "</Polygon>"
+    case gc: GeometryCollection =>
+      sb ++= "<MultiGeometry>"
+      (0 until gc.getNumGeometries).foreach(i => writeKmlNode(gc.getGeometryN(i), sb))
+      sb ++= "</MultiGeometry>"
+    case other => throw new IllegalArgumentException(s"cannot write ${other.getGeometryType} as KML")
+  }
+
   // -------------------------------------------------------------- helpers
 
   /** "x1,y1[,z1] x2,y2[,z2]" (GML2 / KML tuple encoding). */

@@ -68,6 +68,24 @@ class GeoSqlSpec extends SparkTestBase {
     assert(one("""ST_AsText(ST_GeomFromKML('<Point><coordinates>3,4</coordinates></Point>'))""") == "POINT (3 4)")
   }
 
+  test("GML/KML writers round-trip through their parsers") {
+    for (wkt <- Seq("POINT (1 2)", "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+      "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))")) {
+      val gml = one(s"ST_AsText(ST_GeomFromGML(ST_AsGML(ST_GeomFromText('$wkt'))))")
+      assert(gml == wkt, s"GML roundtrip of $wkt gave $gml")
+    }
+    for (wkt <- Seq("POINT (3 4)", "LINESTRING (0 0, 1 1)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")) {
+      val kml = one(s"ST_AsText(ST_GeomFromKML(ST_AsKML(ST_GeomFromText('$wkt'))))")
+      assert(kml == wkt, s"KML roundtrip of $wkt gave $kml")
+    }
+    assert(one("ST_AsGML(ST_Point(1, 2))").toString.contains("<gml:pos>1 2</gml:pos>"))
+    assert(one("ST_AsKML(ST_Point(1, 2))") == "<Point><coordinates>1,2</coordinates></Point>")
+  }
+
   test("null propagation") {
     assert(spark.sql("SELECT ST_X(CAST(NULL AS BINARY))").head().isNullAt(0))
     assert(spark.sql("SELECT ST_Distance(ST_Point(0, 0), CAST(NULL AS BINARY))").head().isNullAt(0))
