@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Streaming exact deduplication with bounded state.
+  *
+  * Spark's built-in `dropDuplicates` on a stream keeps whole rows in state;
+  * here state per key is a single boolean keyed by a 128-bit content hash,
+  * expiring `ttl` past the last sighting in EVENT time — bounded state,
+  * deterministic on replay, and no processing-time busy-loop (an
+  * event-time timeout only fires as the watermark advances).
+  *
+  * Emits only the first occurrence of each distinct content hash.
+  */
+object StreamingDedup {
+
+  case class Keyed(key: String, id: Long, ts: Timestamp)
+  case class Hit(key: String, id: Long)
+
+  /** `df` must be a streaming frame with `idCol` (long), `textCol`
+    * (string) and an event-time column `tsCol`. `delayThreshold` is the
+    * watermark lateness bound; `ttl` how long a seen-hash stays in state
+    * beyond the watermark. */
+  def firstOccurrences(df: DataFrame, idCol: String, textCol: String, tsCol: String,
+                       delayThreshold: String = "10 minutes",
+                       ttlMs: Long = 24L * 3600 * 1000): Dataset[Hit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(md5(col(textCol).cast("binary")).as("key"),
+        col(idCol).cast("long").as("id"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", delayThreshold)
+      .as[Keyed]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Hit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val isNew = !state.exists
+            state.update(true)
+            val maxTs = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(maxTs, state.getCurrentWatermarkMs()) + ttlMs)
+            if (isNew) Iterator.single(Hit(key, batch.minBy(r => (r.ts.getTime, r.id)).id))
+            else Iterator.empty
+          }
+      }
+  }
+}
