@@ -121,27 +121,39 @@ object Dedup {
     * driver-side graph; duplicate clusters are shallow in practice so this
     * converges in a handful of rounds. */
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair list once up front: the union below references it
+    // twice and every propagation round again — without this the full
+    // upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per reference
+    val mat = pairs.localCheckpoint(true)
+    val edges = mat.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(mat.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each node adopts the min cluster label among itself and neighbors
-      val next = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+      // each node adopts the min cluster label among itself and neighbors…
+      val propagated = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("cluster").as("nbr_cluster"))
         .join(labels, "id")
         .select(col("id"), least(col("cluster"), col("nbr_cluster")).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // …then pointer-jumps through its label's label (path compression) —
+      // O(log diameter) rounds instead of O(diameter).
+      // localCheckpoint truncates lineage: without it every round's plan
+      // nests all previous rounds and optimizer time grows without bound.
+      val next = propagated.toDF("id", "mid")
+        .join(propagated.toDF("mid", "cluster"), "mid")
+        .select("id", "cluster")
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -34,7 +34,12 @@ case class SpatialJoinRewrite() extends Rule[LogicalPlan] {
   private val CellSizeKey = "spark.graft.spatialJoin.cellSize"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if j.resolved && !hasEquiConjunct(cond, left, right) =>
+      // only joins that would otherwise be cartesian/BNLJ: if any equality
+      // conjunct already splits across the sides, Spark hash-joins it (this
+      // also keeps the rule from re-firing on an already-rewritten grid
+      // join, whose spatial refine sits alongside the cell equality)
       val conjuncts = splitConjuncts(cond)
       conjuncts.zipWithIndex.collectFirst {
         Function.unlift { case (c, i) =>
@@ -45,6 +50,14 @@ case class SpatialJoinRewrite() extends Rule[LogicalPlan] {
         }
       }.getOrElse(j)
   }
+
+  private def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+    splitConjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+      case _ => false
+    }
 
   private case class SpatialCond(lg: Expression, rg: Expression,
                                  radius: Double, refine: Expression)
