@@ -125,6 +125,9 @@ object SparkEntry {
         |       CASE WHEN l_quantity > 30 THEN 'bulk' ELSE 'small' END AS qclass
         |FROM lineitem WHERE l_linenumber = 1""".stripMargin),
 
+    "q_like" -> sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name LIKE 'Customer#00001%' AND c_name NOT LIKE '%9'""".stripMargin),
     "q_having" -> sql(
       """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
         |FROM customer GROUP BY c_nationkey HAVING count(*) > 20""".stripMargin),
@@ -390,6 +393,8 @@ object SparkEntry {
     "q_expr_project" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge, CASE WHEN l_quantity > 30 THEN 'bulk' ELSE 'small' END AS qclass FROM lineitem WHERE l_linenumber = 1",
 
+    "q_like" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#00001%' AND c_name NOT LIKE '%9'",
     "q_having" ->
       "SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal FROM customer GROUP BY c_nationkey HAVING count(*) > 20",
     "q_union" ->
