@@ -135,6 +135,14 @@ object SparkEntry {
       """SELECT c_nationkey AS k, 'cust' AS side FROM customer WHERE c_acctbal > 9000
         |UNION ALL
         |SELECT s_nationkey AS k, 'supp' AS side FROM supplier WHERE s_acctbal > 9000""".stripMargin),
+    "q_intersect" -> sql(
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS k FROM supplier""".stripMargin),
+    "q_except" -> sql(
+      """SELECT n_nationkey AS k FROM nation
+        |EXCEPT
+        |SELECT s_nationkey AS k FROM supplier""".stripMargin),
     "q_exists" -> sql(
       """SELECT p_partkey, p_name FROM part p
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)""".stripMargin),
@@ -399,6 +407,10 @@ object SparkEntry {
       "SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal FROM customer GROUP BY c_nationkey HAVING count(*) > 20",
     "q_union" ->
       "SELECT c_nationkey AS k, 'cust' AS side FROM customer WHERE c_acctbal > 9000 UNION ALL SELECT s_nationkey AS k, 'supp' AS side FROM supplier WHERE s_acctbal > 9000",
+    "q_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier",
+    "q_except" ->
+      "SELECT n_nationkey AS k FROM nation EXCEPT SELECT s_nationkey AS k FROM supplier",
     "q_exists" ->
       "SELECT p_partkey, p_name FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)",
     "q_window_rank" ->
