@@ -360,6 +360,9 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin),
+    "q_events_json" -> sql(
+      """SELECT event_type, sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin),
     "q_sessionize" -> ((spark, dir) => {
       init(spark, dir)
       EventStreams.sessionize(spark.table("events"), gapMinutes = 30)
@@ -476,6 +479,8 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime, CAST(16 + (length(text) % 640) AS INTEGER) AS width, CAST(16 + ((length(text) // 7) % 480) AS INTEGER) AS height, CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
     "q_events_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2",
+    "q_events_json" ->
+      "SELECT event_type, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n FROM events GROUP BY event_type",
     "q_sessionize" ->
       "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_ev FROM (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t GROUP BY user_id",
   )

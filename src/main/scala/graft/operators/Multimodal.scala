@@ -59,6 +59,54 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Resize stub: real implementations decode + scale pixels; the plumbing
+    * contract (binary in → binary out, partition-local batches, deterministic
+    * per blob) is what pipelines depend on. The stub samples every k-th byte
+    * to reach ≈`targetBytes`. */
+  def resize(df: DataFrame, binCol: String, targetBytes: Int): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(s"${binCol}_resized", BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val out = if (bytes == null) null else {
+          val step = math.max(1, bytes.length / math.max(1, targetBytes))
+          bytes.indices.by(step).map(bytes).toArray
+        }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(encoder)
+  }
+
+  /** Feature-extraction stub: real codecs produce an embedding per blob;
+    * here a deterministic `dim`-float vector is derived from byte windows
+    * so downstream ANN/dedup plumbing (array<float> schema, batching) is
+    * exercised end-to-end. */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val feat = if (bytes == null) null else {
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) {
+            v(i % dim) += (bytes(i) & 0xff) / 255.0f
+            i += 1
+          }
+          val n = math.sqrt(v.map(x => x * x).sum).toFloat
+          if (n > 0) v.map(_ / n) else v
+        }
+        Row.fromSeq(row.toSeq :+ (if (feat == null) null else feat.toSeq))
+      }
+    }(encoder)
+  }
+
   /** Frame-sampling stub for video-like blobs: emits `n` deterministic
     * byte-slices per blob as child rows (id, frame_no, frame_bytes) —
     * the partitioning/explode shape of real frame extraction. */

@@ -115,6 +115,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(meta.getAs[Long]("n_bytes") > 0)
   }
 
+  test("multimodal resize and feature extraction plumbing") {
+    val media = docs.limit(10).select($"doc_id", encode($"text", "UTF-8").as("media"))
+    val resized = Multimodal.resize(media, "media", targetBytes = 32)
+    assert(resized.where(length($"media_resized") > 0).count() == 10)
+    val feats = Multimodal.extractFeatures(media, "media", dim = 8)
+    val v = feats.head().getSeq[Float](2)
+    assert(v.length == 8)
+    assert(math.abs(v.map(x => x * x).sum - 1.0f) < 1e-3) // normalized
+    // features feed the ANN kernel directly
+    val sim = feats.select(graft.dsl.cosine_similarity($"features", $"features").as("s"))
+      .head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-9)
+  }
+
   test("multimodal frame sampling emits n frames per blob") {
     val media = docs.limit(4).select($"doc_id", encode($"text", "UTF-8").as("media"))
     val frames = Multimodal.sampleFrames(media, "doc_id", "media", 3)
