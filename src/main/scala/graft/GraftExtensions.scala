@@ -88,6 +88,7 @@ object Graft {
     u("st_ymax", StYMax),
     t("grid_cell_id", GridCellId, Seq(DoubleType, DoubleType, DoubleType)),
     t("grid_cells", GridCells, Seq(G, DoubleType, DoubleType)),
+    t("morton_key", MortonKey, Seq(DoubleType, DoubleType, DoubleType)),
     // measures
     u("st_area", StArea),
     u("st_length", StLength),

@@ -250,6 +250,11 @@ case class GridCellId(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
 }
+case class MortonKey(first: Expression, second: Expression, third: Expression)
+    extends GeoTernary("GeoOps.mortonKey", Seq(DoubleType, DoubleType, DoubleType), LongType) {
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
 case class GridCells(first: Expression, second: Expression, third: Expression)
     extends GeoTernary("GeoOps.gridCells", Seq(BinaryType, DoubleType, DoubleType), ArrayType(LongType, containsNull = false)) {
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =

@@ -102,6 +102,25 @@ object GeoOps {
   // to covering cells of a fixed grid; candidate pairs meet via an equi-join
   // on cell id (no cartesian product). Cell id packs (cellX, cellY) ints
   // into one long.
+  /** Morton (Z-order) code of the cell containing (x, y): interleaves the
+    * low 31 bits of cellX/cellY so spatially-near cells get near keys —
+    * used for intra-partition layout (SpatialStorage zorder). */
+  def mortonKey(x: Double, y: Double, cell: Double): Long = {
+    @inline def spread(v0: Long): Long = {
+      var v = v0 & 0x7fffffffL
+      v = (v | (v << 16)) & 0x0000ffff0000ffffL
+      v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+      v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    // bias so negative cells keep key ordering
+    val cx = Math.floor(x / cell).toLong + (1L << 30)
+    val cy = Math.floor(y / cell).toLong + (1L << 30)
+    spread(cx) | (spread(cy) << 1)
+  }
+
   def gridCellId(x: Double, y: Double, cell: Double): Long = {
     val cx = Math.floor(x / cell).toInt
     val cy = Math.floor(y / cell).toInt

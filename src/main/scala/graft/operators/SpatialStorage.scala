@@ -21,16 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object SpatialStorage {
 
-  /** Writes `df` as parquet partitioned by `grid_cell` of `geomCol`. */
+  /** Writes `df` as parquet partitioned by `grid_cell` of `geomCol`.
+    * With `zorder = true`, rows inside each partition are additionally
+    * sorted by the Morton code of a finer sub-grid (cellSize/256), so
+    * envelope scans inside a cell touch contiguous row groups — min/max
+    * column statistics on the z-key then prune within the file too. */
   def writeGridPartitioned(df: DataFrame, geomCol: String, path: String,
-                           cellSize: Double): Unit = {
+                           cellSize: Double, zorder: Boolean = false): Unit = {
     Graft.register(df.sparkSession)
-    df.withColumn("grid_cell",
-        call_function("grid_cell_id",
-          (call_function("st_xmin", col(geomCol)) + call_function("st_xmax", col(geomCol))) / 2,
-          (call_function("st_ymin", col(geomCol)) + call_function("st_ymax", col(geomCol))) / 2,
-          lit(cellSize)))
-      .write.mode("overwrite").partitionBy("grid_cell").parquet(path)
+    val cx = (call_function("st_xmin", col(geomCol)) + call_function("st_xmax", col(geomCol))) / 2
+    val cy = (call_function("st_ymin", col(geomCol)) + call_function("st_ymax", col(geomCol))) / 2
+    val withCell = df.withColumn("grid_cell",
+      call_function("grid_cell_id", cx, cy, lit(cellSize)))
+    val laidOut =
+      if (zorder)
+        withCell
+          .withColumn("z_key", call_function("morton_key", cx, cy, lit(cellSize / 256.0)))
+          .repartition(col("grid_cell"))
+          .sortWithinPartitions("grid_cell", "z_key")
+      else withCell
+    laidOut.write.mode("overwrite").partitionBy("grid_cell").parquet(path)
   }
 
   /** Reads only the cells overlapping the query envelope (expanded by

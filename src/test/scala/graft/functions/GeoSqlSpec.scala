@@ -61,6 +61,20 @@ class GeoSqlSpec extends SparkTestBase {
     assert(one("ST_NPoints(ST_Simplify(ST_GeomFromText('LINESTRING (0 0, 1 0.01, 2 0)'), 0.1))") == 2)
   }
 
+  test("boundary, envelope accessors, wkb io, simplicity") {
+    assert(one("ST_Length(ST_Boundary(ST_MakeEnvelope(0, 0, 4, 4)))") == 16.0)
+    assert(one("ST_XMin(ST_MakeEnvelope(1, 2, 3, 4))") == 1.0)
+    assert(one("ST_YMin(ST_MakeEnvelope(1, 2, 3, 4))") == 2.0)
+    assert(one("ST_XMax(ST_MakeEnvelope(1, 2, 3, 4))") == 3.0)
+    assert(one("ST_YMax(ST_MakeEnvelope(1, 2, 3, 4))") == 4.0)
+    assert(one("ST_AsText(ST_GeomFromWKB(ST_AsBinary(ST_Point(7, 8))))") == "POINT (7 8)")
+    assert(one("ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 1 1)'))") == true)
+    assert(one("ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 2 2, 2 0, 0 2)'))") == false)
+    assert(one("ST_Area(ST_GeomFromText('POLYGON EMPTY'))") == 0.0)
+    assert(one("size(grid_cells(ST_MakeEnvelope(0.5, 0.5, 2.5, 1.5), 0.0, 1.0))") == 6)
+    assert(one("grid_cell_id(1.5, 2.5, 1.0)") == ((1L << 32) | 2L))
+  }
+
   test("format io: GeoJSON, GML, KML") {
     assert(one("""ST_AsGeoJSON(ST_Point(1, 2))""") == """{"type":"Point","coordinates":[1.0,2.0]}""")
     assert(one("""ST_X(ST_GeomFromGeoJSON('{"type":"Point","coordinates":[7.0,8.0]}'))""") == 7.0)
