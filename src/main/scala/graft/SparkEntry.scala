@@ -336,6 +336,17 @@ object SparkEntry {
         |       CAST(size(split(trim(text), ' ')) AS BIGINT) AS n_ws,
         |       CAST(regexp_count(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+') AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin),
+    "q_token_topk" -> sql(
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT explode(split(lower(trim(text)), ' ')) AS token FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin),
+    "q_bigrams" -> sql(
+      """SELECT bigram, count(*) AS freq
+        |FROM (SELECT explode(transform(slice(split(lower(trim(text)), ' '), 1, size(split(lower(trim(text)), ' ')) - 1),
+        |                     (w, i) -> concat(w, ' ', element_at(split(lower(trim(text)), ' '), i + 2)))) AS bigram
+        |      FROM documents) t
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin),
     "q_fingerprint" -> sql(
       """SELECT doc_id,
         |       md5(CAST(regexp_replace(lower(trim(text)), '\\s+', ' ') AS BINARY)) AS fp
@@ -473,6 +484,10 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars2, len(string_split(trim(text), ' ')) AS n_tokens_ws, round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, round(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio FROM documents""",
     "q_token_count" ->
       """SELECT doc_id, len(string_split(trim(text), ' ')) AS n_ws, len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpe FROM documents""",
+    "q_token_topk" ->
+      "SELECT token, count(*) AS freq FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents) t WHERE token <> '' GROUP BY token ORDER BY freq DESC, token LIMIT 20",
+    "q_bigrams" ->
+      "SELECT bigram, count(*) AS freq FROM (SELECT unnest(ws[1:len(ws)-1]) || ' ' || unnest(ws[2:len(ws)]) AS bigram FROM (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents) s) t GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20",
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents""",
     "q_multimodal" ->

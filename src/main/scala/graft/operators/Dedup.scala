@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Graft
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at pipeline scale.
