@@ -12,7 +12,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.util.{Map => JMap}
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 import scala.xml.XML
 
 /** DataSource V2 for XML document collections:
@@ -41,7 +41,7 @@ class XmlDataSource extends TableProvider with DataSourceRegister {
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val stats =
-        if (fs.isDirectory(path)) fs.listStatus(path).toSeq
+        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
         else fs.globStatus(path) match {
           case null => Seq.empty
           case arr  => arr.toSeq
@@ -61,7 +61,7 @@ class XmlDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     Option(options.get("columns")) match {
       case Some(cols) =>
-        XmlDataSource.schemaFor(cols.split(",").map(_.trim).filter(_.nonEmpty))
+        XmlDataSource.schemaFor(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case None =>
         val recordTag = Option(options.get("recordTag"))
         val sample = listFiles(pathsOf(options)).take(8) // bounded inference
@@ -141,7 +141,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
         val kml = XmlDataSource.isKml(doc)
         Xml.records(doc, recordTag).iterator.map { r =>
           val (m, g) = Xml.flattenRecord(r, kml)
-          InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+          InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
             if (i == geomIdx) g.orNull
             else m.get(f.name).map(UTF8String.fromString).orNull
           })
