@@ -305,6 +305,12 @@ object SparkEntry {
           |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
           |ORDER BY cosine DESC, id LIMIT 10""".stripMargin)
     }),
+    "q_knn_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val emb = spark.table("embeddings")
+      Ann.knnJoin(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
     "q_ann_lsh" -> ((spark, dir) => {
       init(spark, dir)
       val query = spark.table("embeddings").where(col("vec_id") === 0)
@@ -480,6 +486,10 @@ object SparkEntry {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' '))) AS DOUBLE) / len(list_distinct(list_concat(string_split(a.text, ' '), string_split(b.text, ' ')))), 4) AS jac FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1",
     "q_ann_bruteforce" ->
       "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e ORDER BY cosine DESC, id LIMIT 10",
+    "q_knn_join" ->
+      "SELECT qid, id, cosine FROM (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn FROM (SELECT q.vec_id AS qid, c.vec_id AS id, round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings q, embeddings c WHERE q.vec_id < 10) p) t WHERE rn <= 5",
+    "q_knn_join" ->
+      "SELECT qid, id, cosine FROM (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn FROM (SELECT q.vec_id AS qid, c.vec_id AS id, round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings q, embeddings c WHERE q.vec_id < 10) p) t WHERE rn <= 5",
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars2, len(string_split(trim(text), ' ')) AS n_tokens_ws, round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, round(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio FROM documents""",
     "q_token_count" ->

@@ -26,6 +26,68 @@ object Ann {
       .limit(k)
   }
 
+  /** kNN join: for EVERY query vector, the k nearest corpus vectors.
+    * Queries are collected + broadcast (a query set is small relative to a
+    * 100 TB corpus); the corpus is scanned ONCE, each partition keeping a
+    * bounded per-query heap, so the shuffle carries ≤ partitions·|Q|·k rows
+    * into the final per-query merge — never the |corpus|·|Q| cross product.
+    * Ranking is by cosine rounded to 4 decimals with id tiebreak
+    * (deterministic across runs and engines). */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(qs)
+
+    val partial = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val queries = bc.value
+        // bounded min-heap per query: (roundedCosine, -id) ordering
+        val heaps = queries.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+        rows.foreach { case (cid, vec) =>
+          var qi = 0
+          while (qi < queries.length) {
+            val q = queries(qi)._2
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < vec.length) {
+              val x = vec(i).toDouble; val y = q(i).toDouble
+              dot += x * y; na += x * x; nb += y * y; i += 1
+            }
+            val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+            val rounded = math.floor(cos * 10000.0 + 0.5) / 10000.0
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((rounded, cid))
+            else {
+              val worst = h.head // max of (-cos, id) = worst candidate
+              if (rounded > worst._1 || (rounded == worst._1 && cid < worst._2)) {
+                h.dequeue(); h.enqueue((rounded, cid))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = bc.value(qi)._1
+          h.iterator.map { case (cos, cid) => (qid, cid, cos) }
+        }
+      }
+      .toDF("qid", "id", "cosine")
+
+    // global merge: per-query rank over the ≤ partitions·k survivors
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    partial.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** LSH top-k: scan only buckets within hamming distance `probes` of the
     * query bucket (multi-probe improves recall without widening buckets). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
