@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Dedup, SpatialJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: replicates the test tables past sf0.1 (6M lineitem rows,
+  * 300k×10k spatial join, 50k-doc dedup) to observe that plans hold their
+  * shape and runtime grows linearly — the local stand-in for the 100 TB
+  * design review. Run: `sbt "runMain graft.ScaleSmoke"`. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.init(spark, "/root/testdata/sf0.1")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s → $r")
+      r
+    }
+
+    // 6M-row aggregate (10× lineitem)
+    val li = spark.table("lineitem")
+    val li10 = (1 to 10).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
+      .reduce(_ union _)
+    time("agg over 10x lineitem (6M rows)") {
+      li10.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)), sum("l_quantity")).collect().length
+    }
+
+    // 300k × 10k grid distance join
+    val cust = spark.sql(
+      "SELECT c_custkey, ST_Point(c_acctbal / 100.0, CAST(c_custkey % 97 AS DOUBLE)) AS cgeom FROM customer")
+    val cust20 = (1 to 20).map(i => cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+      .reduce(_ union _)
+    val supp = spark.sql(
+      "SELECT s_suppkey, ST_Point(s_acctbal / 100.0, CAST(s_suppkey % 97 AS DOUBLE)) AS sgeom FROM supplier")
+    val supp10 = (1 to 10).map(i => supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 10000000L)))
+      .reduce(_ union _)
+    time("grid distance join 300k x 10k") {
+      SpatialJoin.distanceJoin(cust20, "cgeom", supp10, "sgeom", 2.0, 2.0).count()
+    }
+
+    // 50k-doc minhash dedup
+    val docs = spark.table("documents")
+    val docs10 = (1 to 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" v$i")).as("text"))).reduce(_ union _)
+    time("minhash pairs over 50k docs") {
+      Dedup.minhashPairs(docs10, "doc_id", "text", 5, 128, 32, 0.8).count()
+    }
+    spark.stop()
+  }
+}

@@ -53,6 +53,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("kNN join: each query's nearest neighbor is itself") {
+    val out = Ann.knnJoin(embs, "vec_id", "embedding",
+      embs.where($"vec_id" < 5), "vec_id", "embedding", k = 3)
+    assert(out.count() == 15)
+    val top1 = out.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy($"cosine".desc, $"id".asc)))
+      .where($"rn" === 1)
+    top1.collect().foreach(r => assert(r.getAs[Long]("qid") == r.getAs[Long]("id")))
+  }
+
   test("LSH ANN recall: query bucket contains the query") {
     val q = embs.where($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
     val top = Ann.lshTopK(embs, "vec_id", "embedding", q, 5, planes = 8, probes = 1).collect()
