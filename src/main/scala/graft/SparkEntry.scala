@@ -349,9 +349,9 @@ object SparkEntry {
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin),
     "q_bigrams" -> sql(
       """SELECT bigram, count(*) AS freq
-        |FROM (SELECT explode(transform(slice(split(lower(trim(text)), ' '), 1, size(split(lower(trim(text)), ' ')) - 1),
-        |                     (w, i) -> concat(w, ' ', element_at(split(lower(trim(text)), ' '), i + 2)))) AS bigram
-        |      FROM documents) t
+        |FROM (SELECT explode(transform(slice(ws, 1, size(ws) - 1),
+        |                     (w, i) -> concat(w, ' ', element_at(ws, i + 2)))) AS bigram
+        |      FROM (SELECT split(lower(trim(text)), ' ') AS ws FROM documents) s) t
         |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin),
     "q_fingerprint" -> sql(
       """SELECT doc_id,
