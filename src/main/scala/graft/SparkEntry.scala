@@ -382,7 +382,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin),
     "q_sessionize" -> ((spark, dir) => {
       init(spark, dir)
-      EventStreams.sessionize(spark.table("events"), gapMinutes = 30)
+      EventStreams.sessionize(spark.table("events"), gapMinutes = 30,
+          orderCols = Seq("ts", "event_id"))
         .groupBy("user_id")
         .agg(max("session_seq").as("n_sessions"), count(lit(1)).as("n_ev"))
     }),

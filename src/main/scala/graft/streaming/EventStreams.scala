@@ -79,9 +79,12 @@ object EventStreams {
   /** Sessionize: per-user session ids from gaps > `gapMinutes` (batch
     * analytics variant using a window function; the streaming variant above
     * uses identical gap logic). */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 orderCols: Seq[String] = Seq("ts")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // secondary order columns (e.g. an event id) make lag() deterministic
+    // when timestamps tie
+    val byUser = Window.partitionBy("user_id").orderBy(orderCols.map(col): _*)
     events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
