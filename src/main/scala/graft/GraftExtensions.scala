@@ -129,6 +129,7 @@ object Graft {
     u("lang_id", LangId, StringType),
     b("cosine_similarity", CosineSimilarity, Seq(ArrayType(FloatType), ArrayType(FloatType))),
     b("hyperplane_bucket", HyperplaneBucket, Seq(ArrayType(FloatType), IntegerType)),
+    t("hyperplane_buckets", HyperplaneBuckets, Seq(ArrayType(FloatType), IntegerType, IntegerType)),
   )
 
   /** Idempotent programmatic registration on a live session. */

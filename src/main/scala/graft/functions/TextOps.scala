@@ -32,6 +32,25 @@ object TextOps {
 
   def hash64(s: String): Long = mix64(polyHash(s, 0, s.length))
 
+  /** First 8 bytes of md5(utf8) as a big-endian long — the one hash that an
+    * external SQL engine (the DuckDB oracle) can reproduce exactly via
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT`. Used wherever the hash
+    * value itself is part of the verified result (simhash, fingerprints). */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Prefix64(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** Affine permutation parameters for minhash, derived from a fixed LCG. */
@@ -51,7 +70,7 @@ object TextOps {
     * takes a min over affine transforms (O(len·num) adds, no re-hash). */
   def minhashSignature(text: UTF8String, k: Int, num: Int): ArrayData = {
     require(num <= MaxHashes, s"numHashes $num > $MaxHashes")
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val sig = new Array[Long](num)
     java.util.Arrays.fill(sig, Long.MaxValue)
     if (s.length >= k) {
@@ -75,7 +94,7 @@ object TextOps {
     * once per document so pairwise Jaccard refinement is a cheap merge
     * instead of per-pair re-shingling. */
   def sortedShingles(text: UTF8String, k: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val set = new java.util.TreeSet[java.lang.Long]()
     if (s.length >= k) {
       var i = 0
@@ -112,7 +131,7 @@ object TextOps {
     * (refinement step after LSH candidate generation). */
   def jaccardShingles(a: UTF8String, b: UTF8String, k: Int): Double = {
     def shingleSet(t: UTF8String): java.util.HashSet[Long] = {
-      val s = t.toString.toLowerCase
+      val s = t.toString.toLowerCase(java.util.Locale.ROOT)
       val set = new java.util.HashSet[Long]()
       var i = 0
       val end = s.length - k
@@ -131,15 +150,17 @@ object TextOps {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over whitespace-delimited lowercase word features. */
+  /** 64-bit SimHash over whitespace-delimited lowercase word features
+    * (occurrence-weighted). Word hash is [[md5Prefix64]] so the DuckDB
+    * oracle can rebuild identical simhash values in SQL. */
   def simhash64(text: UTF8String): Long = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](64)
     var start = -1
     var i = 0
     def feed(from: Int, until: Int): Unit = {
       if (until > from) {
-        val h = mix64(polyHash(s, from, until))
+        val h = md5Prefix64(s.substring(from, until))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -162,20 +183,24 @@ object TextOps {
 
   // ------------------------------------------------------------ fingerprint
 
-  /** Winnowing-style rolling fingerprint: min 64-bit hash over all
-    * `window`-char shingles — robust to small edits at either end. */
-  def rollingFingerprint(text: UTF8String, window: Int): Long = {
+  /** Winnowing-style rolling fingerprint: minimum 64-bit window hash over
+    * all `window`-char shingles — robust to small edits at either end.
+    * Window hash = [[md5Prefix64]], minimum taken UNSIGNED, emitted as a
+    * 16-hex-char string: lexicographic order on fixed-width lowercase hex
+    * equals unsigned numeric order, so the DuckDB oracle is
+    * `list_aggregate([substr(md5(substring(s,i,w)),1,16) …], 'min')`. */
+  def rollingFingerprint(text: UTF8String, window: Int): UTF8String = {
     val s = text.toString
-    if (s.length < window) return hash64(s)
-    var min = Long.MaxValue
+    if (s.length < window) return UTF8String.fromString(f"${md5Prefix64(s)}%016x")
+    var min = -1L // unsigned max
     var i = 0
     val end = s.length - window
     while (i <= end) {
-      val h = mix64(polyHash(s, i, i + window))
-      if (h < min) min = h
+      val h = md5Prefix64(s.substring(i, i + window))
+      if (java.lang.Long.compareUnsigned(h, min) < 0) min = h
       i += 1
     }
-    min
+    UTF8String.fromString(f"$min%016x")
   }
 
   // ---------------------------------------------------------- language ID
@@ -199,7 +224,7 @@ object TextOps {
 
   /** N-gram/stopword-heuristic language ID; "und" when nothing matches. */
   def langId(text: UTF8String): UTF8String = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val scores = new Array[Int](langStopwords.length)
     var start = -1
     var i = 0
@@ -275,5 +300,36 @@ object TextOps {
       p += 1
     }
     bucket
+  }
+
+  /** `tables` independent hyperplane-LSH buckets in one pass over the vector
+    * (multi-table LSH: a pair collides if ANY table agrees — recall
+    * 1-(1-p^planes)^tables instead of p^planes). Plane seeds are disjoint
+    * across tables; element t is table t's bucket. */
+  def hyperplaneBuckets(v: ArrayData, planes: Int, tables: Int): ArrayData = {
+    require(planes <= 30, s"planes $planes > 30")
+    val n = v.numElements()
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        val plane = t * planes + p
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val h = mix64(plane.toLong * 0x9e3779b97f4a7c15L + i)
+          val w = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+          dot += w * v.getFloat(i)
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -98,17 +98,31 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding near-duplicate pairs: hyperplane-LSH bucket join + exact
-    * cosine refine ≥ `minCosine`. `planes` trades recall vs bucket size. */
+  /** Embedding near-duplicate pairs: multi-table hyperplane-LSH bucket join
+    * + exact cosine refine ≥ `minCosine`.
+    *
+    * A pair is a candidate when ANY of the `tables` independent plane sets
+    * agrees on all sign bits: recall = 1-(1-p^planes)^tables with
+    * p = 1-θ/π. At cosine 0.95 / 8 planes / 8 tables that is > 0.999 —
+    * the single-table variant (p^planes) would miss ~25% of true pairs.
+    * Bucket rows carry only (id, table, bucket); vectors join back in for
+    * the refine, so the candidate shuffle stays narrow. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double = 0.95, planes: Int = 12): DataFrame = {
+                     minCosine: Double = 0.95, planes: Int = 8,
+                     tables: Int = 8): DataFrame = {
     Graft.register(df.sparkSession)
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      call_function("hyperplane_bucket", col(vecCol), lit(planes)).as("bucket"))
-    val a = withBucket.toDF("id_a", "vec_a", "bucket")
-    val b = withBucket.toDF("id_b", "vec_b", "bucket")
-    a.join(b, "bucket")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val buckets = base.select(col("id"),
+        posexplode(call_function("hyperplane_buckets", col("vec"), lit(planes), lit(tables))))
+      .toDF("id", "tbl", "bucket")
+    val cand = buckets.toDF("id_a", "tbl", "bucket")
+      .join(buckets.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.toDF("id_a", "vec_a"), "id_a")
+      .join(base.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", call_function("cosine_similarity", col("vec_a"), col("vec_b")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query output
+parquet under OUTDIR, run the matching oracle SQL from oracle_sql.json in
+DuckDB over the same testdata parquet tables, then compare rows / schema /
+value-hash (columns sorted by name, rows sorted by all values).
+
+Usage: python3 tools/local_verify.py /tmp/verify_r2 /root/testdata/sf0.01
+"""
+import duckdb, json, os, sys, hashlib
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+def canon(df):
+    # sort columns by name, round floats, stringify, sort rows
+    cols = sorted(df.columns)
+    rows = []
+    for rec in df[cols].itertuples(index=False):
+        vals = []
+        for v in rec:
+            if isinstance(v, float):
+                vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        rows.append("\x01".join(vals))
+    rows.sort()
+    return cols, rows
+
+fails, ok, skipped = [], 0, 0
+for name in sorted(os.listdir(outdir)):
+    path = os.path.join(outdir, name)
+    if not os.path.isdir(path):
+        continue
+    spark_df = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
+    if name not in oracle:
+        skipped += 1
+        print(f"  {name}: NO ORACLE ({len(spark_df)} rows)")
+        continue
+    try:
+        oracle_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append(name)
+        print(f"✗ {name}: oracle SQL error: {e}")
+        continue
+    sc, sr = canon(spark_df)
+    oc, or_ = canon(oracle_df)
+    if sc != oc:
+        fails.append(name)
+        print(f"✗ {name}: schema mismatch spark={sc} oracle={oc}")
+    elif len(sr) != len(or_):
+        fails.append(name)
+        print(f"✗ {name}: rows spark={len(sr)} oracle={len(or_)}")
+    elif sr != or_:
+        fails.append(name)
+        diff = [(a, b) for a, b in zip(sr, or_) if a != b][:3]
+        print(f"✗ {name}: hash mismatch ({len(sr)} rows); first diffs: {diff}")
+    else:
+        ok += 1
+print(f"\n{ok} ok, {len(fails)} failed, {skipped} rows-only")
+sys.exit(1 if fails else 0)
