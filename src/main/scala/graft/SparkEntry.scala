@@ -127,7 +127,7 @@ object SparkEntry {
 
     "q_like" -> sql(
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_name LIKE 'Customer#00001%' AND c_name NOT LIKE '%9'""".stripMargin),
+        |WHERE c_name LIKE 'Customer#0000001%' AND c_name NOT LIKE '%9'""".stripMargin),
     "q_having" -> sql(
       """SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
         |FROM customer GROUP BY c_nationkey HAVING count(*) > 20""".stripMargin),
@@ -140,9 +140,9 @@ object SparkEntry {
         |INTERSECT
         |SELECT s_nationkey AS k FROM supplier""".stripMargin),
     "q_except" -> sql(
-      """SELECT n_nationkey AS k FROM nation
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
-        |SELECT s_nationkey AS k FROM supplier""".stripMargin),
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal < 5000""".stripMargin),
     "q_exists" -> sql(
       """SELECT p_partkey, p_name FROM part p
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)""".stripMargin),
@@ -322,9 +322,22 @@ object SparkEntry {
       Ann.lshTopK(spark.table("embeddings"), "vec_id", "embedding", query,
         k = 10, planes = 8, probes = 1)
     }),
+    // The natural corpus has no pairs above cosine 0.51, which would make the
+    // oracle vacuous (it could only prove no-false-positives). Plant one
+    // near-duplicate per vector — dim 0 shifted by +0.05 in double, cast back
+    // to float — reproducibly on both sides; planted pairs sit at cosine
+    // ≈ 0.9988 where 8-plane × 8-table LSH recall is 1 - 4e-8 per pair (and
+    // the hyperplanes are fixed, so found-ness is deterministic, not sampled).
     "q_embed_dedup" -> ((spark, dir) => {
       init(spark, dir)
-      Dedup.embeddingPairs(spark.table("embeddings"), "vec_id", "embedding",
+      val aug = spark.sql(
+        """SELECT vec_id, embedding FROM embeddings
+          |UNION ALL
+          |SELECT vec_id + 100000 AS vec_id,
+          |       transform(embedding, (x, i) ->
+          |         IF(i = 0, CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT), x)) AS embedding
+          |FROM embeddings""".stripMargin)
+      Dedup.embeddingPairs(aug, "vec_id", "embedding",
           minCosine = 0.95, planes = 8, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
@@ -428,7 +441,7 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge, CASE WHEN l_quantity > 30 THEN 'bulk' ELSE 'small' END AS qclass FROM lineitem WHERE l_linenumber = 1",
 
     "q_like" ->
-      "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#00001%' AND c_name NOT LIKE '%9'",
+      "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#0000001%' AND c_name NOT LIKE '%9'",
     "q_having" ->
       "SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal FROM customer GROUP BY c_nationkey HAVING count(*) > 20",
     "q_union" ->
@@ -436,7 +449,7 @@ object SparkEntry {
     "q_intersect" ->
       "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier",
     "q_except" ->
-      "SELECT n_nationkey AS k FROM nation EXCEPT SELECT s_nationkey AS k FROM supplier",
+      "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' EXCEPT SELECT c_custkey AS k FROM customer WHERE c_acctbal < 5000",
     "q_exists" ->
       "SELECT p_partkey, p_name FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)",
     "q_window_rank" ->
@@ -523,11 +536,21 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
-    // Exact all-pairs cosine ≥ 0.95 (none exist in this corpus — the match
-    // verifies the LSH+refine pipeline reports no false positives; recall on
-    // planted near-dups is covered by PipelineOpsSpec).
+    // Exact all-pairs cosine ≥ 0.95 over the same planted-near-dup corpus
+    // (DuckDB list_transform index is 1-based where Spark transform's is
+    // 0-based; the +0.05 shift is computed in double and cast to REAL on both
+    // sides so the float inputs to the cosine are bit-identical).
     "q_embed_dedup" ->
-      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95",
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(CAST(x AS DOUBLE) + 0.05 AS REAL) ELSE x END) AS embedding
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
     // Stopword-count language ID replicated in SQL; CASE order = the Scala
     // kernel's first-strictly-greater tie-break.
     "q_lang_id" ->

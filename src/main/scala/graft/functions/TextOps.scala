@@ -278,24 +278,38 @@ object TextOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Per-JVM cache of hyperplane weight matrices: rows = plane index
+    * (0 until totalPlanes), cols = dimension. Weight (plane, dim) =
+    * mix64-derived deterministic pseudo-random value in [-1, 1) — the same
+    * formula on every executor, so query and corpus always agree on buckets.
+    * Caching turns the per-row cost from 64·dim hash computations into a
+    * plain dot product (the r2 bench showed the recomputation costing 2.3×
+    * on the embedding-dedup path). */
+  private val planeWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planeWeights(totalPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeWeightCache.computeIfAbsent((totalPlanes, dim), { case (np, d) =>
+      Array.tabulate(np, d) { (p, i) =>
+        val h = mix64(p.toLong * 0x9e3779b97f4a7c15L + i)
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    })
+
   /** Random-hyperplane LSH bucket: sign bits of `planes` fixed pseudo-random
     * hyperplane dot products. Same fixed seeds for every call → query and
     * corpus agree on buckets. */
   def hyperplaneBucket(v: ArrayData, planes: Int): Int = {
     require(planes <= 30, s"planes $planes > 30")
     val n = v.numElements()
+    val weights = planeWeights(planes, n)
     var bucket = 0
     var p = 0
     while (p < planes) {
+      val w = weights(p)
       var dot = 0.0
       var i = 0
-      while (i < n) {
-        // deterministic pseudo-random weight in [-1, 1) for (plane, dim)
-        val h = mix64(p.toLong * 0x9e3779b97f4a7c15L + i)
-        val w = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-        dot += w * v.getFloat(i)
-        i += 1
-      }
+      while (i < n) { dot += w(i) * v.getFloat(i); i += 1 }
       if (dot >= 0) bucket |= (1 << p)
       p += 1
     }
@@ -309,21 +323,17 @@ object TextOps {
   def hyperplaneBuckets(v: ArrayData, planes: Int, tables: Int): ArrayData = {
     require(planes <= 30, s"planes $planes > 30")
     val n = v.numElements()
+    val weights = planeWeights(planes * tables, n)
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0
       var p = 0
       while (p < planes) {
-        val plane = t * planes + p
+        val w = weights(t * planes + p)
         var dot = 0.0
         var i = 0
-        while (i < n) {
-          val h = mix64(plane.toLong * 0x9e3779b97f4a7c15L + i)
-          val w = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-          dot += w * v.getFloat(i)
-          i += 1
-        }
+        while (i < n) { dot += w(i) * v.getFloat(i); i += 1 }
         if (dot >= 0) bucket |= (1 << p)
         p += 1
       }
