@@ -315,12 +315,27 @@ object SparkEntry {
       Ann.knnJoin(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    // On the natural corpus the query's true neighbors sit at cosine ≤ 0.51,
+    // where bucket recall is a coin flip — LSH top-k ≠ brute-force top-k and
+    // no SQL oracle can apply. Plant 16 deterministic near-copies of the
+    // query vector (dim j shifted by 0.002·(j+1)); the true top-10 then all
+    // lie at cosine ≥ 0.9998 where probes=1 recall is ~1 and deterministic
+    // (fixed hyperplanes), so the result equals brute-force top-10 and the
+    // exact SQL oracle verifies the whole LSH path end to end.
     "q_ann_lsh" -> ((spark, dir) => {
       init(spark, dir)
+      val aug = spark.sql(
+        """SELECT vec_id, embedding FROM embeddings
+          |UNION ALL
+          |SELECT 200000 + j AS vec_id,
+          |       transform(embedding, (x, i) ->
+          |         IF(i = j, CAST(CAST(x AS DOUBLE) + CAST(0.002 AS DOUBLE) * (j + 1) AS FLOAT), x)) AS embedding
+          |FROM embeddings LATERAL VIEW explode(sequence(0, 15)) t AS j
+          |WHERE vec_id = 0""".stripMargin)
       val query = spark.table("embeddings").where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      Ann.lshTopK(spark.table("embeddings"), "vec_id", "embedding", query,
-        k = 10, planes = 8, probes = 1)
+      Ann.lshTopK(aug, "vec_id", "embedding", query, k = 10, planes = 8, probes = 1)
+        .select(col("id"), round(col("cosine"), 4).as("cosine"))
     }),
     // The natural corpus has no pairs above cosine 0.51, which would make the
     // oracle vacuous (it could only prove no-false-positives). Plant one
@@ -577,6 +592,21 @@ object SparkEntry {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' '))) AS DOUBLE) / len(list_distinct(list_concat(string_split(a.text, ' '), string_split(b.text, ' ')))), 4) AS jac FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1",
     "q_ann_bruteforce" ->
       "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e ORDER BY cosine DESC, id LIMIT 10",
+    // Brute-force top-10 over the planted-neighbor corpus — equals the LSH
+    // result because every true top-10 member is a planted near-copy of the
+    // query (cosine ≥ 0.9998) whose bucket lies within one probe of the
+    // query bucket (deterministic; asserted in PipelineOpsSpec too).
+    "q_ann_lsh" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT 200000 + j AS vec_id,
+        |         list_transform(embedding, (x, i) -> CASE WHEN i = j + 1 THEN CAST(CAST(x AS DOUBLE) + CAST(0.002 AS DOUBLE) * (j + 1) AS REAL) ELSE x END) AS embedding
+        |  FROM embeddings, range(16) t(j) WHERE vec_id = 0)
+        |SELECT vec_id AS id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        |FROM aug ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
     "q_knn_join" ->
       "SELECT qid, id, cosine FROM (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn FROM (SELECT q.vec_id AS qid, c.vec_id AS id, round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings q, embeddings c WHERE q.vec_id < 10) p) t WHERE rn <= 5",
     "q_text_quality" ->

@@ -71,6 +71,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top.head.getAs[Long]("id") == 0L)
   }
 
+  test("LSH top-k equals brute-force top-k on a planted-neighbor corpus") {
+    // the q_ann_lsh oracle precondition: when every true top-10 member is a
+    // near-copy of the query (cosine ≥ 0.9998), probes=1 recall is total and
+    // the LSH result must equal the exact scan
+    val planted = embs.where($"vec_id" === 0)
+      .select(explode(sequence(lit(0), lit(15))).as("j"), $"embedding")
+      .select(($"j" + 200000).cast("long").as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = j, CAST(CAST(x AS DOUBLE) + CAST(0.002 AS DOUBLE) * (j + 1) AS FLOAT), x))")
+          .as("embedding"))
+    val aug = embs.select($"vec_id".cast("long").as("vec_id"), $"embedding").union(planted)
+    val q = embs.where($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    val lsh = Ann.lshTopK(aug, "vec_id", "embedding", q, 10, planes = 8, probes = 1).collect()
+    val bf = Ann.bruteForceTopK(aug, "vec_id", "embedding", q, 10).collect()
+    assert(lsh.map(_.getLong(0)).toSeq == bf.map(_.getLong(0)).toSeq)
+    lsh.zip(bf).foreach { case (l, b) =>
+      assert(math.abs(l.getDouble(1) - b.getDouble(1)) < 1e-12)
+    }
+  }
+
   test("clusters: connected components over pair chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.clusters(pairs).collect()
