@@ -126,6 +126,7 @@ object Graft {
     b("jaccard_sorted", JaccardSorted, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
     u("simhash64", Simhash64, StringType),
     b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),
+    b("rolling_fingerprint_fast", RollingFingerprintFast, Seq(StringType, IntegerType)),
     u("lang_id", LangId, StringType),
     b("cosine_similarity", CosineSimilarity, Seq(ArrayType(FloatType), ArrayType(FloatType))),
     b("hyperplane_bucket", HyperplaneBucket, Seq(ArrayType(FloatType), IntegerType)),

@@ -422,9 +422,16 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB-runnable oracle per query (driver's correctness gate). Omitted
-    * keys (LSH/minhash/simhash internals, lang-id heuristic) get the
-    * weaker rows-only check. */
+  /** DuckDB-runnable oracle per query (driver's correctness gate).
+    *
+    * Text-hashing oracles (minhash/simhash/fingerprints) assume an
+    * ASCII/BMP corpus: Java string ops work on UTF-16 code units while
+    * DuckDB's work on codepoints with RE2 ASCII `\s`, so non-BMP chars,
+    * exotic Unicode whitespace, or locale-special casing would make both
+    * sides diverge on semantics (not correctness). The generated testdata
+    * is ASCII; OraclePreconditionsSpec asserts the corpus-side
+    * preconditions these oracles rest on (ASCII text + the Jaccard gap
+    * that makes LSH recall lossless). */
   def oracleSql: Map[String, String] = ListMap(
     "q_select_filter" ->
       "SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING' AND c_nationkey <> 3",
@@ -542,12 +549,16 @@ object SparkEntry {
     // SimHash rebuilt in SQL: md5-prefix word hash, occurrence-weighted ±1
     // per bit, then exact all-pairs hamming ≤ 3 (the Spark side's 4×16-bit
     // block LSH is exhaustive for hamming ≤ 3 by pigeonhole).
+    // The LEFT JOIN + COALESCE keeps zero-token (empty/whitespace-only) docs
+    // in the pair space with simhash 0, matching the Scala kernel — without
+    // it such docs would silently vanish from the oracle's all-pairs.
     "q_dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') ws FROM documents),
         |wordbits AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT h FROM (SELECT doc_id, unnest(ws) w FROM toks) u),
         |bitcnt AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) c
         |           FROM wordbits, (SELECT unnest(range(64)) b) bits GROUP BY doc_id, b),
-        |sim AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT) s FROM bitcnt GROUP BY doc_id)
+        |sim0 AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT) s FROM bitcnt GROUP BY doc_id),
+        |sim AS (SELECT d.doc_id, COALESCE(s0.s, 0::UBIGINT) s FROM documents d LEFT JOIN sim0 s0 ON d.doc_id = s0.doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,

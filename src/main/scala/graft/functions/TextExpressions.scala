@@ -41,6 +41,11 @@ case class RollingFingerprint(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class RollingFingerprintFast(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.rollingFingerprintFast", Seq(StringType, IntegerType), StringType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class LangId(child: Expression)
     extends GeoUnary("TextOps.langId", StringType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)

@@ -50,9 +50,19 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
-  /** Edit-robust rolling-hash fingerprint (winnowing-style min-hash). */
+  /** Edit-robust rolling-hash fingerprint (winnowing-style min-hash), md5
+    * window hash — reproducible by external SQL engines (the DuckDB oracle),
+    * at O(n·window) digest cost. Prefer [[fingerprintRollingFast]] in
+    * production pipelines. */
   def fingerprintRolling(text: Column, window: Int = 16): Column =
     call_function("rolling_fingerprint", text, lit(window))
+
+  /** Same winnowing fingerprint with a true O(n) rolling polynomial hash —
+    * the production kernel for 100 TB corpora (one multiply-add per char
+    * instead of an md5 digest per window). Values differ from
+    * [[fingerprintRolling]]; robustness properties are identical. */
+  def fingerprintRollingFast(text: Column, window: Int = 16): Column =
+    call_function("rolling_fingerprint_fast", text, lit(window))
 
   /** One-call quality report over a document table. */
   def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
