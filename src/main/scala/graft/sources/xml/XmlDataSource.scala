@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -106,28 +106,127 @@ private class XmlTable(schema: StructType, properties: Map[String, String],
 
 private class XmlScanBuilder(schema: StructType, options: Map[String, String],
                              files: Seq[String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Accept string-column predicates we can decide on the flattened record
+    * map (the reference pushes the same selections into its backend XQuery
+    * — extension/basex/basex_extension.ts:130 supportedSelectionFunctions,
+    * extension/xml_extension.ts:1313 constructXQuery). Accepted filters are
+    * FULLY handled at parse time: non-matching records are dropped before an
+    * InternalRow is ever built, and string comparison uses UTF8String binary
+    * order, i.e. exactly Spark's StringType ordering. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, unsupported) = filters.partition(XmlFilterEval.supports)
+    pushed = supported
+    unsupported
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
-    override def description(): String = s"graft-xml ${files.length} files"
+    override def description(): String =
+      s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]"
 
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => XmlInputPartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      XmlReaderFactory(required, options.get("recordTag"))
+      XmlReaderFactory(required, options.get("recordTag"), pushed)
+  }
+}
+
+/** Three-valued (SQL) evaluation of source filters against the flattened
+  * string-column map. `null` = unknown; a record survives only on TRUE —
+  * identical to Spark's post-scan Filter semantics, which is what makes it
+  * sound to report these filters as fully pushed. */
+private[xml] object XmlFilterEval {
+  import org.apache.spark.sql.sources._
+
+  private def isStr(v: Any): Boolean = v.isInstanceOf[String]
+
+  def supports(f: Filter): Boolean = f.references.forall(_ != "geometry") && (f match {
+    case EqualTo(_, v)        => isStr(v)
+    case EqualNullSafe(_, v)  => v == null || isStr(v)
+    case GreaterThan(_, v)    => isStr(v)
+    case GreaterThanOrEqual(_, v) => isStr(v)
+    case LessThan(_, v)       => isStr(v)
+    case LessThanOrEqual(_, v) => isStr(v)
+    case In(_, vs)            => vs.forall(v => v == null || isStr(v))
+    case IsNull(_) | IsNotNull(_) => true
+    case StringStartsWith(_, _) | StringEndsWith(_, _) | StringContains(_, _) => true
+    case And(l, r)            => supports(l) && supports(r)
+    case Or(l, r)             => supports(l) && supports(r)
+    case Not(c)               => supports(c)
+    case _                    => false
+  })
+
+  /** Spark's StringType ordering = UTF-8 binary order (NOT Java
+    * String.compareTo, which diverges on supplementary characters). */
+  private def cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  private val T = java.lang.Boolean.TRUE
+  private val F = java.lang.Boolean.FALSE
+
+  def passes(f: Filter, m: scala.collection.Map[String, String]): Boolean =
+    eval(f, m) eq T
+
+  private def withVal(m: scala.collection.Map[String, String], a: String)
+                     (p: String => Boolean): java.lang.Boolean =
+    m.get(a) match {
+      case Some(x) => if (p(x)) T else F
+      case None    => null // SQL: comparison with NULL is unknown
+    }
+
+  private def eval(f: Filter, m: scala.collection.Map[String, String]): java.lang.Boolean = f match {
+    case EqualTo(a, v)            => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) == 0)
+    case EqualNullSafe(a, v)      =>
+      val x = m.get(a)
+      if (v == null) (if (x.isEmpty) T else F)
+      else if (x.isEmpty) F
+      else if (cmp(x.get, v.asInstanceOf[String]) == 0) T else F
+    case GreaterThan(a, v)        => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) > 0)
+    case GreaterThanOrEqual(a, v) => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) >= 0)
+    case LessThan(a, v)           => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) < 0)
+    case LessThanOrEqual(a, v)    => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) <= 0)
+    case In(a, vs)                =>
+      m.get(a) match {
+        case Some(x) =>
+          if (vs.exists(v => v != null && cmp(x, v.asInstanceOf[String]) == 0)) T
+          else if (vs.contains(null)) null // x IN (…, NULL) is unknown when unmatched
+          else F
+        case None => null
+      }
+    case IsNull(a)                => if (m.get(a).isEmpty) T else F
+    case IsNotNull(a)             => if (m.get(a).isDefined) T else F
+    case StringStartsWith(a, v)   => withVal(m, a)(_.startsWith(v))
+    case StringEndsWith(a, v)     => withVal(m, a)(_.endsWith(v))
+    case StringContains(a, v)     => withVal(m, a)(_.contains(v))
+    case And(l, r) =>
+      val x = eval(l, m); val y = eval(r, m)
+      if ((x eq F) || (y eq F)) F else if ((x eq T) && (y eq T)) T else null
+    case Or(l, r) =>
+      val x = eval(l, m); val y = eval(r, m)
+      if ((x eq T) || (y eq T)) T else if ((x eq F) && (y eq F)) F else null
+    case Not(c) =>
+      val x = eval(c, m)
+      if (x == null) null else if (x eq T) F else T
+    case _ => null // unreachable: supports() gated
   }
 }
 
 private case class XmlInputPartition(file: String) extends InputPartition
 
-private case class XmlReaderFactory(schema: StructType, recordTag: Option[String])
+private case class XmlReaderFactory(schema: StructType, recordTag: Option[String],
+                                    filters: Array[Filter])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -139,12 +238,16 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       private val rows: Iterator[InternalRow] = {
         val doc = XML.load(new java.net.URI(file).toURL)
         val kml = XmlDataSource.isKml(doc)
-        Xml.records(doc, recordTag).iterator.map { r =>
+        Xml.records(doc, recordTag).iterator.flatMap { r =>
           val (m, g) = Xml.flattenRecord(r, kml)
-          InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-            if (i == geomIdx) g.orNull
-            else m.get(f.name).map(UTF8String.fromString).orNull
-          })
+          // pushed filters run on the FULL flattened map (they may reference
+          // columns pruned from the output schema) before any row is built
+          if (filters.forall(XmlFilterEval.passes(_, m))) {
+            Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+              if (i == geomIdx) g.orNull
+              else m.get(f.name).map(UTF8String.fromString).orNull
+            }))
+          } else None
         }
       }
       private var current: InternalRow = _

@@ -36,6 +36,34 @@ class XmlDataSourceSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("filter pushdown: predicates reach the scan and prune at parse") {
+    val df = spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
+      .where(col("name") === "a")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,a)"), plan)
+    assert(df.count() == 1)
+    assert(df.head().getAs[String]("kind") == "k1")
+  }
+
+  test("filter pushdown: range, IN, LIKE-prefix, IS NULL semantics") {
+    val df = spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
+    assert(df.where(col("name") > "a").count() == 2)
+    assert(df.where(col("name").isin("a", "c")).count() == 2)
+    assert(df.where(col("kind").startsWith("k")).count() == 3)
+    // record c has no kind attribute → _attribute__kind__t IS NULL
+    assert(df.where(col("_attribute__kind__t").isNull).count() == 1)
+    assert(df.where(col("_attribute__kind__t").isNotNull).count() == 2)
+    // NOT over a missing value is unknown, not true (SQL three-valued logic)
+    assert(df.where(!(col("_attribute__kind__t") === "x")).count() == 1)
+  }
+
+  test("filter pushdown: filter column pruned from output still applies") {
+    val df = spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
+      .where(col("_attribute__kind__t") === "y")
+      .select("name")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("SQL over the source: spatial filter composes") {
     spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
       .createOrReplaceTempView("xml_features")
