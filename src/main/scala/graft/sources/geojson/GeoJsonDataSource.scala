@@ -1,0 +1,185 @@
+package graft.sources.geojson
+
+import graft.sources.{GeoJsonSource, StringFilterEval}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 for GeoJSON document collections — the reference's
+  * MongoDB/CouchDB data model as a first-class `spark.read.format` target
+  * (reference: extension/json_extension.ts:100 `properties.*` → columns,
+  * `geometry` → geometry value; extension/couchdb/couchdb_extension.ts:49):
+  *
+  * {{{
+  *   spark.read.format("graft-geojson")
+  *     .option("columns", "name,pop")        // optional: skip inference
+  *     .option("multiLine", "false")         // one Feature per line (NDJSON)
+  *     .load("/data/geojson")                // default: one doc per file
+  * }}}
+  *
+  * A document may be a single Feature or a FeatureCollection (explodes to
+  * one row per feature). `properties.*` become string columns, `geometry`
+  * a WKB binary column. Column pruning and string-predicate pushdown
+  * mirror graft-xml: accepted filters drop records before row construction.
+  * One input partition per file; pass `columns` at 100 TB to skip the
+  * sampling inference pass.
+  */
+class GeoJsonDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-geojson"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def listFiles(paths: Seq[String]): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val stats =
+        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
+        else fs.globStatus(path) match {
+          case null => Seq.empty
+          case arr  => arr.toSeq
+        }
+      stats.filter(_.isFile).map(_.getPath.toString)
+    }
+  }
+
+  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { js =>
+      js.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+    multi.getOrElse(Option(options.get("path")).toSeq)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    Option(options.get("columns")) match {
+      case Some(cols) =>
+        GeoJsonDataSource.schemaFor(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case None =>
+        val multiLine = Option(options.get("multiLine")).forall(_.toBoolean)
+        val sample = listFiles(pathsOf(options)).take(8) // bounded inference
+        val keys = scala.collection.mutable.SortedSet.empty[String]
+        sample.foreach { f =>
+          GeoJsonDataSource.documents(f, multiLine).foreach { json =>
+            GeoJsonSource.flattenFeature(json).foreach { case (m, _) => keys ++= m.keys }
+          }
+        }
+        GeoJsonDataSource.schemaFor(keys.toSeq)
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GeoJsonTable(schema, properties.asScala.toMap,
+      listFiles(pathsOf(new CaseInsensitiveStringMap(properties))))
+}
+
+object GeoJsonDataSource {
+  def schemaFor(cols: Seq[String]): StructType = StructType(
+    cols.map(StructField(_, StringType, nullable = true)) :+
+      StructField("geometry", BinaryType, nullable = true))
+
+  /** One whole-file document, or one document per non-blank line (NDJSON).
+    * URL-stream read (no SparkSession dependency) so it runs identically on
+    * driver (inference) and executors (scan) — same model as graft-xml. */
+  def documents(file: String, multiLine: Boolean): Iterator[String] = {
+    val in = new java.net.URI(file).toURL.openStream()
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    if (multiLine) Iterator.single(text)
+    else text.linesIterator.map(_.trim).filter(_.nonEmpty)
+  }
+}
+
+private class GeoJsonTable(schema: StructType, properties: Map[String, String],
+                           files: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-geojson(${files.length} files)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoJsonScanBuilder(schema, options.asScala.toMap ++ properties, files)
+}
+
+private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String],
+                                 files: Seq[String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, unsupported) = filters.partition(StringFilterEval.supports)
+    pushed = supported
+    unsupported
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]"
+
+    override def planInputPartitions(): Array[InputPartition] =
+      files.map(f => GeoJsonInputPartition(f): InputPartition).toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      GeoJsonReaderFactory(required,
+        options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
+        pushed)
+  }
+}
+
+private case class GeoJsonInputPartition(file: String) extends InputPartition
+
+private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
+                                        filters: Array[Filter])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GeoJsonInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val geomIdx =
+        if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
+      private val rows: Iterator[InternalRow] =
+        GeoJsonDataSource.documents(file, multiLine).flatMap { json =>
+          GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
+            // pushed filters run on the FULL property map (they may reference
+            // columns pruned from the output schema) before any row is built
+            if (filters.forall(StringFilterEval.passes(_, m))) {
+              Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+                if (i == geomIdx) g.orNull
+                else m.get(f.name).map(UTF8String.fromString).orNull
+              }))
+            } else None
+          }
+        }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -122,7 +122,7 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
     * InternalRow is ever built, and string comparison uses UTF8String binary
     * order, i.e. exactly Spark's StringType ordering. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, unsupported) = filters.partition(XmlFilterEval.supports)
+    val (supported, unsupported) = filters.partition(graft.sources.StringFilterEval.supports)
     pushed = supported
     unsupported
   }
@@ -140,86 +140,6 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
 
     override def createReaderFactory(): PartitionReaderFactory =
       XmlReaderFactory(required, options.get("recordTag"), pushed)
-  }
-}
-
-/** Three-valued (SQL) evaluation of source filters against the flattened
-  * string-column map. `null` = unknown; a record survives only on TRUE —
-  * identical to Spark's post-scan Filter semantics, which is what makes it
-  * sound to report these filters as fully pushed. */
-private[xml] object XmlFilterEval {
-  import org.apache.spark.sql.sources._
-
-  private def isStr(v: Any): Boolean = v.isInstanceOf[String]
-
-  def supports(f: Filter): Boolean = f.references.forall(_ != "geometry") && (f match {
-    case EqualTo(_, v)        => isStr(v)
-    case EqualNullSafe(_, v)  => v == null || isStr(v)
-    case GreaterThan(_, v)    => isStr(v)
-    case GreaterThanOrEqual(_, v) => isStr(v)
-    case LessThan(_, v)       => isStr(v)
-    case LessThanOrEqual(_, v) => isStr(v)
-    case In(_, vs)            => vs.forall(v => v == null || isStr(v))
-    case IsNull(_) | IsNotNull(_) => true
-    case StringStartsWith(_, _) | StringEndsWith(_, _) | StringContains(_, _) => true
-    case And(l, r)            => supports(l) && supports(r)
-    case Or(l, r)             => supports(l) && supports(r)
-    case Not(c)               => supports(c)
-    case _                    => false
-  })
-
-  /** Spark's StringType ordering = UTF-8 binary order (NOT Java
-    * String.compareTo, which diverges on supplementary characters). */
-  private def cmp(a: String, b: String): Int =
-    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
-
-  private val T = java.lang.Boolean.TRUE
-  private val F = java.lang.Boolean.FALSE
-
-  def passes(f: Filter, m: scala.collection.Map[String, String]): Boolean =
-    eval(f, m) eq T
-
-  private def withVal(m: scala.collection.Map[String, String], a: String)
-                     (p: String => Boolean): java.lang.Boolean =
-    m.get(a) match {
-      case Some(x) => if (p(x)) T else F
-      case None    => null // SQL: comparison with NULL is unknown
-    }
-
-  private def eval(f: Filter, m: scala.collection.Map[String, String]): java.lang.Boolean = f match {
-    case EqualTo(a, v)            => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) == 0)
-    case EqualNullSafe(a, v)      =>
-      val x = m.get(a)
-      if (v == null) (if (x.isEmpty) T else F)
-      else if (x.isEmpty) F
-      else if (cmp(x.get, v.asInstanceOf[String]) == 0) T else F
-    case GreaterThan(a, v)        => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) > 0)
-    case GreaterThanOrEqual(a, v) => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) >= 0)
-    case LessThan(a, v)           => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) < 0)
-    case LessThanOrEqual(a, v)    => withVal(m, a)(x => cmp(x, v.asInstanceOf[String]) <= 0)
-    case In(a, vs)                =>
-      m.get(a) match {
-        case Some(x) =>
-          if (vs.exists(v => v != null && cmp(x, v.asInstanceOf[String]) == 0)) T
-          else if (vs.contains(null)) null // x IN (…, NULL) is unknown when unmatched
-          else F
-        case None => null
-      }
-    case IsNull(a)                => if (m.get(a).isEmpty) T else F
-    case IsNotNull(a)             => if (m.get(a).isDefined) T else F
-    case StringStartsWith(a, v)   => withVal(m, a)(_.startsWith(v))
-    case StringEndsWith(a, v)     => withVal(m, a)(_.endsWith(v))
-    case StringContains(a, v)     => withVal(m, a)(_.contains(v))
-    case And(l, r) =>
-      val x = eval(l, m); val y = eval(r, m)
-      if ((x eq F) || (y eq F)) F else if ((x eq T) && (y eq T)) T else null
-    case Or(l, r) =>
-      val x = eval(l, m); val y = eval(r, m)
-      if ((x eq T) || (y eq T)) T else if ((x eq F) && (y eq F)) F else null
-    case Not(c) =>
-      val x = eval(c, m)
-      if (x == null) null else if (x eq T) F else T
-    case _ => null // unreachable: supports() gated
   }
 }
 
@@ -242,7 +162,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
           val (m, g) = Xml.flattenRecord(r, kml)
           // pushed filters run on the FULL flattened map (they may reference
           // columns pruned from the output schema) before any row is built
-          if (filters.forall(XmlFilterEval.passes(_, m))) {
+          if (filters.forall(graft.sources.StringFilterEval.passes(_, m))) {
             Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
               if (i == geomIdx) g.orNull
               else m.get(f.name).map(UTF8String.fromString).orNull

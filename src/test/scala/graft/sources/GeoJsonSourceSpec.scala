@@ -29,6 +29,50 @@ class GeoJsonSourceSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-geojson").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(d, "doc0.geojson").toPath, fc)
+    java.nio.file.Files.writeString(new java.io.File(d, "doc1.geojson").toPath,
+      """{"type":"Feature","properties":{"name":"gamma","kind":"solo"},"geometry":{"type":"Point","coordinates":[1.0,2.0]}}""")
+    d.getAbsolutePath
+  }
+
+  test("format(graft-geojson) reads, infers schema, flattens, extracts geometry") {
+    val df = spark.read.format("graft-geojson").load(dir)
+    assert(df.count() == 3)
+    assert(df.columns.toSet == Set("name", "pop", "kind", "geometry"))
+    val alpha = df.where($"name" === "alpha").head()
+    assert(alpha.getAs[String]("pop") == "1200")
+    assert(df.where(call_function("st_area", col("geometry")) > 10.0).count() == 1)
+  }
+
+  test("format(graft-geojson): explicit columns + NDJSON mode") {
+    val nd = java.nio.file.Files.createTempDirectory("graft-ndjson").toFile
+    nd.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(nd, "feats.jsonl").toPath,
+      """{"type":"Feature","properties":{"name":"l1"},"geometry":{"type":"Point","coordinates":[0.0,0.0]}}
+        |{"type":"Feature","properties":{"name":"l2"},"geometry":null}
+        |""".stripMargin)
+    val df = spark.read.format("graft-geojson")
+      .option("multiLine", "false").option("columns", "name")
+      .load(nd.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("name", "geometry"))
+    assert(df.count() == 2)
+    assert(df.where($"geometry".isNull).count() == 1)
+  }
+
+  test("format(graft-geojson): string predicates are pushed to the scan") {
+    val df = spark.read.format("graft-geojson").load(dir).where($"name" === "beta")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,beta)"), plan)
+    assert(df.count() == 1)
+    // filter on a column pruned from the output
+    assert(spark.read.format("graft-geojson").load(dir)
+      .where($"kind" === "solo").select("name")
+      .collect().map(_.getString(0)).toSeq == Seq("gamma"))
+  }
+
   test("round trip back to a FeatureCollection") {
     val df = GeoJsonSource.fromDocuments(Seq(fc).toDF("json"), "json")
     val out = GeoJsonSource.toFeatureCollection(df.orderBy("name"), "geometry")
