@@ -35,13 +35,21 @@ object Ann {
     * (deterministic across runs and engines). */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
-              k: Int): DataFrame = {
+              k: Int, maxBroadcastQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // guard the driver collect: limit(max+1) bounds the fetch itself, so even
+    // a 100 TB frame passed as `queries` cannot OOM the driver before the
+    // size check fires
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(qIdCol).cast("long"), col(qVecCol))
+      .limit(maxBroadcastQueries + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qs.length <= maxBroadcastQueries,
+      s"knnJoin broadcasts the query side to every task; got > $maxBroadcastQueries query vectors. " +
+        "Raise maxBroadcastQueries deliberately, or use knnJoinLsh for large query sets " +
+        "(distributed bucket join, approximate).")
     val bc = spark.sparkContext.broadcast(qs)
 
     val partial = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -84,6 +92,41 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     partial.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Approximate kNN join for LARGE query sets — the no-driver-state path
+    * when |Q| exceeds [[knnJoin]]'s broadcast budget. Both sides get
+    * `tables` independent hyperplane-LSH buckets; candidates come from a
+    * narrow (qid/id/table/bucket) equi-join, are deduped, and only then
+    * joined back to the vectors for the exact cosine + per-query top-k.
+    * Per-pair recall = 1-(1-p^planes)^tables (p = 1-θ/π) — tune
+    * planes/tables for the similarity band that matters. Fully distributed:
+    * both sides shuffle by bucket, never the |Q|·|corpus| cross product. */
+  def knnJoinLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
+    Graft.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(qIdCol).cast("long").as("qid"), col(qVecCol).as("qvec"))
+    val cb = c.select(col("id"),
+        posexplode(call_function("hyperplane_buckets", col("vec"), lit(planes), lit(tables))))
+      .toDF("id", "tbl", "bucket")
+    val qb = q.select(col("qid"),
+        posexplode(call_function("hyperplane_buckets", col("qvec"), lit(planes), lit(tables))))
+      .toDF("qid", "tbl", "bucket")
+    val cand = qb.join(cb, Seq("tbl", "bucket"))
+      .select("qid", "id")
+      .dropDuplicates("qid", "id") // a pair can collide in several tables
+    val scored = cand.join(c, "id").join(q, "qid")
+      // same deterministic ranking contract as knnJoin: cosine rounded to 4
+      // decimals (half-up), id tiebreak
+      .select(col("qid"), col("id"),
+        expr("floor(cosine_similarity(vec, qvec) * 10000.0 + 0.5) / 10000.0").as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .drop("rn")
   }

@@ -24,9 +24,15 @@ object Dedup {
     * bucket equi-join for candidates → exact shingle-Jaccard refine ≥
     * `threshold`. Probability of catching a pair with Jaccard j is
     * 1-(1-j^(numHashes/bands))^bands (standard S-curve). */
+  /** @param saltCap when > 0, band buckets larger than this are split into
+    *                 ceil(n/saltCap) salt groups and pairs enumerated via a
+    *                 group-to-group join — the same pair set, but a hot
+    *                 bucket's O(n²) work spreads over O((n/cap)²) tasks
+    *                 instead of landing on one straggler. 0 = off (plain
+    *                 bucket self-join; AQE still splits moderate skew). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7, saltCap: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     Graft.register(df.sparkSession)
     val rows = numHashes / bands
@@ -44,11 +50,34 @@ object Dedup {
           s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, hash(slice(sig, b * $rows + 1, $rows)) as h))"
         )).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.h"))
-    val cand = buckets.toDF("id_a", "band", "h")
-      .join(buckets.toDF("id_b", "band", "h"), Seq("band", "h"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
+    val cand =
+      if (saltCap <= 0) {
+        buckets.toDF("id_a", "band", "h")
+          .join(buckets.toDF("id_b", "band", "h"), Seq("band", "h"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
+      } else {
+        // Per-bucket salting: members get a deterministic salt group s in
+        // [0, g); the left side replicates each member to every target group
+        // t ≥ s, the right side joins on its own group, so every unordered
+        // pair meets exactly once across (band, h, t) keys (same-group pairs
+        // meet twice in both orders — canonicalize + distinct collapses them,
+        // which the cross-band dropDuplicates needs anyway).
+        val sizes = buckets.groupBy("band", "h").agg(count(lit(1)).as("n"))
+        val salted = buckets.join(sizes, Seq("band", "h"))
+          .withColumn("g", greatest(lit(1L), ceil(col("n") / lit(saltCap.toDouble))).cast("int"))
+          .withColumn("s", pmod(xxhash64(col("id")), col("g")).cast("int"))
+        val left = salted.select(col("id").as("id_a"), col("band"), col("h"),
+            explode(expr("sequence(s, g - 1)")).as("t"))
+        val right = salted.select(col("id").as("id_b"), col("band"), col("h"),
+          col("s").as("t"))
+        left.join(right, Seq("band", "h", "t"))
+          .where(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      }
 
     // Stage 2 — cheap prune: minhash-estimated Jaccard (matching signature
     // fraction, σ = √(j(1-j)/n) ≤ 0.5/√n) with a 3.5σ margin, before
@@ -133,11 +162,25 @@ object Dedup {
     * small-label propagation — O(diameter) rounds of two hash joins, no
     * driver-side graph; duplicate clusters are shallow in practice so this
     * converges in a handful of rounds. */
-  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  /** @param reliableCheckpoint when true, iteration state checkpoints to the
+    *                            cluster-durable checkpoint dir (set
+    *                            `sc.setCheckpointDir` first) instead of
+    *                            executor-local storage — localCheckpoint is
+    *                            faster but an executor loss aborts the job,
+    *                            so flip this on for long multi-hour runs on
+    *                            a real cluster. */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20,
+               reliableCheckpoint: Boolean = false): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    if (reliableCheckpoint)
+      require(sc.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true needs sc.setCheckpointDir(<cluster-durable path>)")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the pair list once up front: the union below references it
     // twice and every propagation round again — without this the full
     // upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per reference
-    val mat = pairs.localCheckpoint(true)
+    val mat = ckpt(pairs)
     val edges = mat.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(mat.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -156,10 +199,9 @@ object Dedup {
       // O(log diameter) rounds instead of O(diameter).
       // localCheckpoint truncates lineage: without it every round's plan
       // nests all previous rounds and optimizer time grows without bound.
-      val next = propagated.toDF("id", "mid")
+      val next = ckpt(propagated.toDF("id", "mid")
         .join(propagated.toDF("mid", "cluster"), "mid")
-        .select("id", "cluster")
-        .localCheckpoint(true)
+        .select("id", "cluster"))
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).limit(1).count()
       labels = next

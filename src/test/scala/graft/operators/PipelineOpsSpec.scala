@@ -90,6 +90,29 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("kNN join guards the driver-side query collect") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.knnJoin(embs, "vec_id", "embedding", embs, "vec_id", "embedding",
+        k = 3, maxBroadcastQueries = 10)
+    }
+    assert(e.getMessage.contains("knnJoinLsh"))
+  }
+
+  test("kNN LSH join: distributed large-Q path finds each query itself first") {
+    // corpus joined against itself: |Q| = |corpus|, nothing collected to the
+    // driver; each query's own bucket always contains the query vector
+    val out = Ann.knnJoinLsh(embs, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 3, planes = 8, tables = 4)
+    val top1 = out.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy($"cosine".desc, $"id".asc)))
+      .where($"rn" === 1)
+    assert(top1.count() == embs.count())
+    top1.collect().foreach(r => assert(r.getAs[Long]("qid") == r.getAs[Long]("id")))
+    // ranking contract matches the exact path where candidates overlap
+    assert(out.columns.toSeq == Seq("qid", "id", "cosine"))
+  }
+
   test("clusters: connected components over pair chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.clusters(pairs).collect()
