@@ -29,7 +29,12 @@ case class StUnionAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Geometry]] {
 
-  private val FlushAt = 64
+  // Collapse threshold: UnaryUnionOp builds a spatial index and unions
+  // bottom-up, so it is far cheaper to union ONE batch of 2048 geometries
+  // than 32 batches of 64 that each re-union the (increasingly complex)
+  // accumulated result. 2048 small geometries ≈ a few MB of buffer — safe
+  // per aggregation slot; lower it only for very vertex-heavy inputs.
+  private val FlushAt = 2048
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
