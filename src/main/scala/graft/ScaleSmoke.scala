@@ -31,6 +31,13 @@ object ScaleSmoke {
       li10.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)), sum("l_quantity")).collect().length
     }
 
+    // one more decade: 60M rows
+    val li100 = (1 to 100).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
+      .reduce(_ union _)
+    time("agg over 100x lineitem (60M rows)") {
+      li100.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)), sum("l_quantity")).collect().length
+    }
+
     // 300k × 10k grid distance join
     val cust = spark.sql(
       "SELECT c_custkey, ST_Point(c_acctbal / 100.0, CAST(c_custkey % 97 AS DOUBLE)) AS cgeom FROM customer")
@@ -44,13 +51,44 @@ object ScaleSmoke {
       SpatialJoin.distanceJoin(cust20, "cgeom", supp10, "sgeom", 2.0, 2.0).count()
     }
 
-    // 50k-doc minhash dedup
+    // 50k-doc minhash dedup. NOTE: the first execution of each distinct
+    // candidate-join shape pays ~10× in whole-stage-codegen JIT (measured
+    // 371 s cold vs 31 s warm on the same cached buckets) — warm up each
+    // shape on a small corpus first so the timings measure the operator.
     val docs = spark.table("documents")
     val docs10 = (1 to 10).map(i =>
       docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
         concat(col("text"), lit(s" v$i")).as("text"))).reduce(_ union _)
+    Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8).count()
+    Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8, saltCap = 512).count()
     time("minhash pairs over 50k docs") {
       Dedup.minhashPairs(docs10, "doc_id", "text", 5, 128, 32, 0.8).count()
+    }
+
+    // Hot-bucket skew: 5k identical boilerplate docs land every band in ONE
+    // bucket (12.5M intra-bucket pairs → 800M generated join rows). With AQE
+    // on, the skew-join split already spreads the hot partition; saltCap
+    // spreads it deterministically at the cost of the replication join.
+    val boiler = spark.range(5000)
+      .select((col("id") + 90000000L).as("doc_id"),
+        lit("this exact boilerplate footer appears on every page of the site world wide").as("text"))
+    val skewed = docs10.union(boiler)
+    time("minhash over 55k docs with 5k-identical hot bucket, saltCap=0") {
+      Dedup.minhashPairs(skewed, "doc_id", "text", 5, 128, 32, 0.8).count()
+    }
+    time("minhash over 55k docs with 5k-identical hot bucket, saltCap=512") {
+      Dedup.minhashPairs(skewed, "doc_id", "text", 5, 128, 32, 0.8, saltCap = 512).count()
+    }
+
+    // Distributed kNN join (large-Q path): 5k queries against a 50k corpus,
+    // nothing collected to the driver.
+    val embs = spark.table("embeddings")
+    val embs10 = (1 to 10).map(i =>
+      embs.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    time("LSH kNN join 5k queries x 50k corpus") {
+      operators.Ann.knnJoinLsh(embs10, "vec_id", "embedding",
+        embs10.limit(5000), "vec_id", "embedding", k = 5).count()
     }
     spark.stop()
   }
