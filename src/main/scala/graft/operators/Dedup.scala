@@ -168,9 +168,19 @@ object Dedup {
     *                            executor-local storage — localCheckpoint is
     *                            faster but an executor loss aborts the job,
     *                            so flip this on for long multi-hour runs on
-    *                            a real cluster. */
+    *                            a real cluster.
+    * @param smallGraphThreshold pair counts at or below this run a driver
+    *                            union-find on the collected edge list instead
+    *                            of iterative join rounds. Near-dup edge lists
+    *                            are tiny relative to the corpus (the 100 TB
+    *                            corpus is what stays distributed — dedup
+    *                            already reduced it to pairs), so this is the
+    *                            broadcast-join analogue: small side local,
+    *                            big graphs still take the distributed path.
+    *                            0 disables. */
   def clusters(pairs: DataFrame, maxIterations: Int = 20,
-               reliableCheckpoint: Boolean = false): DataFrame = {
+               reliableCheckpoint: Boolean = false,
+               smallGraphThreshold: Long = 1L << 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     if (reliableCheckpoint)
       require(sc.getCheckpointDir.isDefined,
@@ -181,6 +191,42 @@ object Dedup {
     // twice and every propagation round again — without this the full
     // upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per reference
     val mat = ckpt(pairs)
+
+    if (smallGraphThreshold > 0) {
+      // limit-bounded probe: fetches at most threshold+1 rows, so deciding
+      // the path never materializes a billion-edge list on the driver
+      val sample = mat.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit(math.min(smallGraphThreshold + 1, Int.MaxValue - 1).toInt).collect()
+      if (sample.length <= smallGraphThreshold) {
+        // driver union-find with path halving; O(E α(E)) on ≤ threshold edges
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        sample.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root so the final label is the min reachable id,
+          // matching the distributed propagation's contract
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val ids = sample.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+          .toArray.distinct
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
+      }
+    }
     val edges = mat.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(mat.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -44,10 +44,28 @@ class DedupSpec extends SparkTestBase {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val local = toMap(Dedup.clusters(pairs))
-    val reliable = toMap(Dedup.clusters(pairs, reliableCheckpoint = true))
+    // smallGraphThreshold = 0 forces the distributed propagation path so the
+    // checkpoint machinery is what's actually exercised
+    val local = toMap(Dedup.clusters(pairs, smallGraphThreshold = 0))
+    val reliable = toMap(Dedup.clusters(pairs, reliableCheckpoint = true,
+      smallGraphThreshold = 0))
     assert(local == reliable)
     assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("driver union-find and distributed propagation label identically") {
+    // random-ish chain/star/cycle mix, incl. a long chain (pointer jumping's
+    // worst case) — both paths must produce min-reachable-id labels
+    val edges = (1L to 40L).map(i => (i, i + 1)) ++ // chain 1..41
+      Seq((100L, 101L), (100L, 102L), (100L, 103L)) ++ // star
+      Seq((200L, 201L), (201L, 202L), (202L, 200L)) // cycle
+    val pairs = edges.toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = toMap(Dedup.clusters(pairs))
+    val distributed = toMap(Dedup.clusters(pairs, smallGraphThreshold = 0))
+    assert(driver == distributed)
+    assert(driver(41L) == 1L && driver(103L) == 100L && driver(202L) == 200L)
   }
 
   test("reliable checkpoint without a checkpoint dir fails fast") {

@@ -1,0 +1,53 @@
+package graft.server
+
+import graft.SparkTestBase
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+class SqlHttpServerSpec extends SparkTestBase {
+
+  private lazy val server = {
+    val s = SqlHttpServer.start(spark, port = 0, maxRows = 100)
+    sys.addShutdownHook(s.stop(0))
+    s
+  }
+  private def base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health endpoint") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + "/health")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 && r.body().contains("\"ok\""))
+  }
+
+  test("POST /query runs spatial SQL and returns rows") {
+    val r = post("/query",
+      "SELECT ST_X(ST_Point(3.0, 4.0)) AS x, ST_Distance(ST_Point(0.0, 0.0), ST_Point(3.0, 4.0)) AS d")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"columns\":[\"x\",\"d\"]"), r.body())
+    assert(r.body().contains("[3.0,5.0]"), r.body())
+  }
+
+  test("ST_AsGeoJSON projection adds a FeatureCollection") {
+    val r = post("/query",
+      "SELECT 'poi' AS name, ST_AsGeoJSON(ST_Point(107.6, -6.9)) AS st_asgeojson")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"geojson\":{\"type\":\"FeatureCollection\""), r.body())
+    assert(r.body().contains("107.6"), r.body())
+  }
+
+  test("GET /query?sql=... works and bad SQL yields a JSON error") {
+    val enc = java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8")
+    val ok = client.send(HttpRequest.newBuilder(URI.create(s"$base/query?sql=$enc")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ok.statusCode() == 200 && ok.body().contains("[1]"))
+    val bad = post("/query", "SELECT FROM nothing !!")
+    assert(bad.statusCode() == 400 && bad.body().contains("\"error\""))
+  }
+}
