@@ -10,6 +10,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * the sources to report these filters as fully pushed. */
 private[sources] object StringFilterEval {
 
+  /** Parses a `bbox` source option ("x0,y0,x1,y1") into an envelope-test
+    * predicate over the record's WKB geometry: keep when the geometry's
+    * envelope intersects the box (records without geometry are dropped —
+    * spatial-selection semantics, mirroring the reference pushing
+    * geo:within/intersects into its backend query). */
+  def bboxPredicate(spec: String): Option[Array[Byte]] => Boolean = {
+    val parts = spec.split(",").map(_.trim.toDouble)
+    require(parts.length == 4, s"bbox must be 'x0,y0,x1,y1', got: $spec")
+    val env = new org.locationtech.jts.geom.Envelope(parts(0), parts(2), parts(1), parts(3))
+    wkb => wkb.exists { bytes =>
+      graft.geo.GeomSerde.fromWkb(bytes).getEnvelopeInternal.intersects(env)
+    }
+  }
+
   private def isStr(v: Any): Boolean = v.isInstanceOf[String]
 
   /** Supported = decidable on string columns (never the binary `geometry`). */

@@ -139,7 +139,8 @@ private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]"
+      s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
+        options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
 
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => GeoJsonInputPartition(f): InputPartition).toArray
@@ -147,14 +148,14 @@ private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String
     override def createReaderFactory(): PartitionReaderFactory =
       GeoJsonReaderFactory(required,
         options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
-        pushed)
+        pushed, options.get("bbox"))
   }
 }
 
 private case class GeoJsonInputPartition(file: String) extends InputPartition
 
 private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
-                                        filters: Array[Filter])
+                                        filters: Array[Filter], bbox: Option[String])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -162,12 +163,13 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     new PartitionReader[InternalRow] {
       private val geomIdx =
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
+      private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] =
         GeoJsonDataSource.documents(file, multiLine).flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
             // pushed filters run on the FULL property map (they may reference
             // columns pruned from the output schema) before any row is built
-            if (filters.forall(StringFilterEval.passes(_, m))) {
+            if (bboxKeep.forall(_(g)) && filters.forall(StringFilterEval.passes(_, m))) {
               Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
                 if (i == geomIdx) g.orNull
                 else m.get(f.name).map(UTF8String.fromString).orNull

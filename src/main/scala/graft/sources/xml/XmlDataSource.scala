@@ -133,20 +133,21 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]"
+      s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
+        options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
 
     override def planInputPartitions(): Array[InputPartition] =
       files.map(f => XmlInputPartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      XmlReaderFactory(required, options.get("recordTag"), pushed)
+      XmlReaderFactory(required, options.get("recordTag"), pushed, options.get("bbox"))
   }
 }
 
 private case class XmlInputPartition(file: String) extends InputPartition
 
 private case class XmlReaderFactory(schema: StructType, recordTag: Option[String],
-                                    filters: Array[Filter])
+                                    filters: Array[Filter], bbox: Option[String])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -155,6 +156,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       // may be pruned away (e.g. count(*) requires no columns)
       private val geomIdx =
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
+      private val bboxKeep = bbox.map(graft.sources.StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
         val doc = XML.load(new java.net.URI(file).toURL)
         val kml = XmlDataSource.isKml(doc)
@@ -162,7 +164,8 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
           val (m, g) = Xml.flattenRecord(r, kml)
           // pushed filters run on the FULL flattened map (they may reference
           // columns pruned from the output schema) before any row is built
-          if (filters.forall(graft.sources.StringFilterEval.passes(_, m))) {
+          if (bboxKeep.forall(_(g)) &&
+              filters.forall(graft.sources.StringFilterEval.passes(_, m))) {
             Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
               if (i == geomIdx) g.orNull
               else m.get(f.name).map(UTF8String.fromString).orNull

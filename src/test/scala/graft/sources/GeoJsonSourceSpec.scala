@@ -73,6 +73,16 @@ class GeoJsonSourceSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq == Seq("gamma"))
   }
 
+  test("format(graft-geojson): bbox option prunes by geometry envelope") {
+    val df = spark.read.format("graft-geojson")
+      .option("bbox", "100,-10,110,0").load(dir)
+    assert(df.collect().map(_.getAs[String]("name")).toSeq == Seq("alpha"))
+    // polygon (0..4) intersects a box overlapping its envelope
+    val df2 = spark.read.format("graft-geojson")
+      .option("bbox", "3,3,10,10").load(dir)
+    assert(df2.collect().map(_.getAs[String]("name")).toSeq == Seq("beta"))
+  }
+
   test("round trip back to a FeatureCollection") {
     val df = GeoJsonSource.fromDocuments(Seq(fc).toDF("json"), "json")
     val out = GeoJsonSource.toFeatureCollection(df.orderBy("name"), "geometry")

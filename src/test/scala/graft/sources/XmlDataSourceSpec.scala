@@ -64,6 +64,14 @@ class XmlDataSourceSpec extends SparkTestBase {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("bbox option prunes by geometry envelope at parse") {
+    val df = spark.read.format("graft-xml").option("recordTag", "feature")
+      .option("bbox", "0,0,2,3").load(dir)
+    // only point (1,2) intersects; (3,4) outside; record c has no geometry
+    assert(df.collect().map(_.getAs[String]("name")).toSeq == Seq("a"))
+    assert(df.queryExecution.executedPlan.toString.contains("bbox: [0,0,2,3]"))
+  }
+
   test("SQL over the source: spatial filter composes") {
     spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
       .createOrReplaceTempView("xml_features")
