@@ -106,6 +106,7 @@ object Graft {
     b("st_covers", StCovers),
     b("st_coveredby", StCoveredBy),
     // geometry processing
+    b("st_transform", StTransform, Seq(G, IntegerType)),
     u("st_centroid", StCentroid),
     u("st_envelope", StEnvelope),
     u("st_boundary", StBoundary),

@@ -145,6 +145,10 @@ case class StSetSrid(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stSetSrid", Seq(BinaryType, IntegerType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+case class StTransform(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stTransform", Seq(BinaryType, IntegerType), BinaryType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
 case class StGeometryType(child: Expression) extends GeoUnary("GeoOps.stGeometryType", BinaryType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }

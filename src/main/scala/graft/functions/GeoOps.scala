@@ -59,6 +59,39 @@ object GeoOps {
   def stSetSrid(b: Array[Byte], srid: Int): Array[Byte] = {
     val g = read(b); g.setSRID(srid); write(g)
   }
+
+  /** Coordinate reprojection between the web pair EPSG:4326 (lon/lat) and
+    * EPSG:3857 (spherical web mercator) — the closed-form PostGIS
+    * ST_Transform cases a web-mapping stack actually hits; arbitrary CRS
+    * pairs would need a proj database, which is out of scope. The source
+    * SRID comes from the geometry (set it via ST_SetSRID). */
+  def stTransform(b: Array[Byte], targetSrid: Int): Array[Byte] = {
+    import org.locationtech.jts.geom.CoordinateFilter
+    val R = 6378137.0
+    val g = read(b)
+    val src = g.getSRID
+    if (src == targetSrid) return b
+    val filter: CoordinateFilter = (src, targetSrid) match {
+      case (4326, 3857) => c => {
+        val x = R * math.toRadians(c.x)
+        val y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
+        c.x = x; c.y = y
+      }
+      case (3857, 4326) => c => {
+        val lon = math.toDegrees(c.x / R)
+        val lat = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
+        c.x = lon; c.y = lat
+      }
+      case _ => throw new IllegalArgumentException(
+        s"ST_Transform supports 4326<->3857; got $src -> $targetSrid " +
+          "(set the source SRID with ST_SetSRID)")
+    }
+    val out = g.copy()
+    out.apply(filter)
+    out.geometryChanged()
+    out.setSRID(targetSrid)
+    write(out)
+  }
   /** PostGIS-style type name, e.g. "ST_Point"
     * (reference predicate ST_GeometryType = '…', basex_extension.ts:146). */
   def stGeometryType(b: Array[Byte]): UTF8String =

@@ -105,6 +105,27 @@ class GeoSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT ST_Distance(ST_Point(0, 0), CAST(NULL AS BINARY))").head().isNullAt(0))
   }
 
+  test("ST_Transform reprojects between 4326 and 3857") {
+    // known anchor: lon 180 -> x = pi*R = 20037508.342789244; lat 0 -> y 0
+    val x = spark.sql(
+      "SELECT ST_X(ST_Transform(ST_SetSRID(ST_Point(180.0, 0.0), 4326), 3857))")
+      .head().getDouble(0)
+    assert(math.abs(x - 20037508.342789244) < 1e-6, x.toString)
+    // round trip preserves coordinates and sets the SRID
+    val r = spark.sql(
+      """SELECT ST_X(g2) AS x, ST_Y(g2) AS y, ST_SRID(g2) AS srid FROM (
+        |  SELECT ST_Transform(ST_Transform(ST_SetSRID(ST_Point(107.6, -6.9), 4326), 3857), 4326) AS g2)"""
+        .stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 107.6) < 1e-9)
+    assert(math.abs(r.getDouble(1) + 6.9) < 1e-9)
+    assert(r.getInt(2) == 4326)
+    // unsupported CRS pair fails with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT ST_Transform(ST_SetSRID(ST_Point(0, 0), 2154), 3857)").collect()
+    }
+    assert(e.getMessage.contains("4326") || e.getCause != null)
+  }
+
   test("functions work over a table with codegen") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/customer.parquet")
