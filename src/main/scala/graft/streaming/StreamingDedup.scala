@@ -27,10 +27,35 @@ object StreamingDedup {
     * beyond the watermark. */
   def firstOccurrences(df: DataFrame, idCol: String, textCol: String, tsCol: String,
                        delayThreshold: String = "10 minutes",
-                       ttlMs: Long = 24L * 3600 * 1000): Dataset[Hit] = {
+                       ttlMs: Long = 24L * 3600 * 1000): Dataset[Hit] =
+    dedupByKey(df, md5(col(textCol).cast("binary")), idCol, tsCol,
+      delayThreshold, ttlMs)
+
+  /** Streaming NEAR-duplicate suppression with the same bounded state: the
+    * key is the winnowing fingerprint ([[graft.functions.TextOps
+    * .rollingFingerprint]]) instead of the exact content hash, so documents
+    * differing by small edits that leave the minimal window intact share a
+    * key and collapse to their first occurrence. Recall is heuristic — an
+    * edit that lands inside (or introduces a smaller) minimal window changes
+    * the key — which is the right trade for unbounded streams: state stays
+    * one boolean per fingerprint, no pairwise comparison, no growth with
+    * corpus size. For exhaustive near-dup detection run the batch
+    * MinHash-LSH path over closed windows. */
+  def firstOccurrencesNearDup(df: DataFrame, idCol: String, textCol: String, tsCol: String,
+                              window: Int = 16,
+                              delayThreshold: String = "10 minutes",
+                              ttlMs: Long = 24L * 3600 * 1000): Dataset[Hit] = {
+    graft.Graft.register(df.sparkSession)
+    dedupByKey(df, call_function("rolling_fingerprint", col(textCol), lit(window)),
+      idCol, tsCol, delayThreshold, ttlMs)
+  }
+
+  private def dedupByKey(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+                         idCol: String, tsCol: String,
+                         delayThreshold: String, ttlMs: Long): Dataset[Hit] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(md5(col(textCol).cast("binary")).as("key"),
+    df.select(keyCol.as("key"),
         col(idCol).cast("long").as("id"), col(tsCol).cast("timestamp").as("ts"))
       .withWatermark("ts", delayThreshold)
       .as[Keyed]

@@ -61,4 +61,31 @@ class PlanQualitySpec extends SparkTestBase {
     val out = SparkEntry.entry(spark)
     assert(out.count() > 0)
   }
+
+  test("LSH kNN join plans as bucket equi-joins, not a cartesian product") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = operators.Ann.knnJoinLsh(embs, "vec_id", "embedding",
+      embs, "vec_id", "embedding", k = 3)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embedding dedup plans as bucket equi-joins, not a cartesian product") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = operators.Dedup.embeddingPairs(embs, "vec_id", "embedding",
+      minCosine = 0.9, planes = 8, tables = 4)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("minhash candidate stage (plain and salted) avoids cartesian products") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (cap <- Seq(0, 64)) {
+      val p = plan(operators.Dedup.minhashPairs(docs, "doc_id", "text", saltCap = cap))
+      assert(!p.contains("CartesianProduct"), s"saltCap=$cap: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"saltCap=$cap: $p")
+    }
+  }
 }

@@ -32,4 +32,36 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(out == Seq(1L, 2L, 5L)) // 3 and 4 are duplicates of 1
     } finally query.stop()
   }
+
+  test("streaming near-dup dedup collapses small-edit variants by fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running"
+    val edited = base + " tail" // suffix edit away from the minimal window
+    val other = "completely different content with no shared windows at all here"
+    // precondition the heuristic rests on (deterministic for these strings):
+    // the suffix edit preserves the winnowing fingerprint, the unrelated
+    // text does not share it
+    def fp(s: String) =
+      graft.functions.TextOps.rollingFingerprint(UTF8String.fromString(s), 16).toString
+    assert(fp(base) == fp(edited))
+    assert(fp(base) != fp(other))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val query = StreamingDedup.firstOccurrencesNearDup(docs, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, base, ts("2024-01-01 00:00:00")),
+        (2L, other, ts("2024-01-01 00:01:00")))
+      query.processAllAvailable()
+      input.addData((3L, edited, ts("2024-01-01 00:02:00"))) // near-dup of 1
+      query.processAllAvailable()
+      val out = spark.table("neardup_out").collect()
+        .map(_.getAs[Long]("id")).sorted.toSeq
+      assert(out == Seq(1L, 2L))
+    } finally query.stop()
+  }
 }
