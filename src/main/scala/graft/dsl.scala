@@ -48,4 +48,14 @@ object dsl {
     fn("minhash_signature", text, lit(k), lit(n))
   def simhash64(text: Column): Column = fn("simhash64", text)
   def lang_id(text: Column): Column = fn("lang_id", text)
+  def st_transform(g: Column, targetSrid: Int): Column =
+    fn("st_transform", g, lit(targetSrid))
+  def st_setSRID(g: Column, srid: Int): Column = fn("st_setsrid", g, lit(srid))
+  def st_srid(g: Column): Column = fn("st_srid", g)
+  def rolling_fingerprint(text: Column, window: Int = 16): Column =
+    fn("rolling_fingerprint", text, lit(window))
+  def rolling_fingerprint_fast(text: Column, window: Int = 16): Column =
+    fn("rolling_fingerprint_fast", text, lit(window))
+  def hyperplane_bucket(vec: Column, planes: Int): Column =
+    fn("hyperplane_bucket", vec, lit(planes))
 }
