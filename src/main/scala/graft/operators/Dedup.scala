@@ -19,6 +19,14 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact-duplicate removal: keeps the minimum-id row per identical text.
+    * Shuffles (hash, id) pairs only — document bodies never move; survivors
+    * join back against the (small) keeper set. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     * shingle(k) → `numHashes` minhash sig → `bands` band-hash buckets →
     * bucket equi-join for candidates → exact shingle-Jaccard refine ≥

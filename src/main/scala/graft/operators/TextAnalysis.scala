@@ -64,6 +64,40 @@ object TextAnalysis {
   def fingerprintRollingFast(text: Column, window: Int = 16): Column =
     call_function("rolling_fingerprint_fast", text, lit(window))
 
+  /** C4/Gopher-style quality gate: keeps rows passing all bounds. Pure
+    * column predicates — fully pushed into the scan stage, no extra pass.
+    * Bounds follow the published C4 heuristics adapted to column form. */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minChars: Int = 200, maxChars: Int = 1000000,
+                    minTokens: Int = 5, maxPunctRatio: Double = 0.3,
+                    minStopwordRatio: Double = 0.0,
+                    minMeanWordLen: Double = 2.0,
+                    maxMeanWordLen: Double = 12.0): DataFrame = {
+    val t = col(textCol)
+    df.where(length(t).between(minChars, maxChars) &&
+      tokenCountWs(t) >= minTokens &&
+      punctRatio(t) <= maxPunctRatio &&
+      stopwordRatio(t) >= minStopwordRatio &&
+      meanWordLength(t).between(minMeanWordLen, maxMeanWordLen))
+  }
+
+  /** One-pass corpus statistics: document/token totals plus length and
+    * quality percentiles (t-digest `percentile_approx` — mergeable sketches,
+    * one aggregate over the corpus, no sort). */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(length(t).cast("long").as("n_chars"),
+        tokenCountWs(t).cast("long").as("n_tokens"),
+        punctRatio(t).as("punct"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        avg("n_chars").as("mean_chars"),
+        expr("percentile_approx(n_chars, array(0.1, 0.5, 0.9, 0.99))").as("chars_p10_50_90_99"),
+        expr("percentile_approx(n_tokens, array(0.1, 0.5, 0.9, 0.99))").as("tokens_p10_50_90_99"),
+        expr("percentile_approx(punct, 0.99)").as("punct_p99"))
+  }
+
   /** One-call quality report over a document table. */
   def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Graft.register(df.sparkSession)

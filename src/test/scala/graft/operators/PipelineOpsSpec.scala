@@ -136,6 +136,34 @@ class PipelineOpsSpec extends SparkTestBase {
       baseline.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("dropExactDuplicates keeps one row per identical text") {
+    val planted = docs.select($"doc_id", $"text")
+      .union(docs.select(($"doc_id" + 100000).as("doc_id"), $"text").limit(5))
+    val kept = Dedup.dropExactDuplicates(planted, "doc_id", "text")
+    assert(kept.count() == docs.count())
+    assert(kept.agg(max("doc_id")).head().getLong(0) < 100000) // originals kept
+  }
+
+  test("qualityFilter applies all bounds as scan-level predicates") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then keeps going for a while " * 4),
+      (2L, "x"), // too short
+      (3L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) " * 10), // punct-heavy
+      (4L, ("a" * 500) + " " + ("b" * 500)) // mean word length too high
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(corpus, "text",
+      minChars = 50, minTokens = 5, maxPunctRatio = 0.2).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("corpusStats one-pass sketch percentiles") {
+    val s = TextAnalysis.corpusStats(docs, "text").head()
+    assert(s.getAs[Long]("n_docs") == docs.count())
+    assert(s.getAs[Long]("total_tokens") > 0)
+    val p = s.getSeq[Long](s.fieldIndex("chars_p10_50_90_99"))
+    assert(p.length == 4 && p(0) <= p(1) && p(1) <= p(2) && p(2) <= p(3))
+  }
+
   test("text quality report computes sane ranges") {
     val rep = TextAnalysis.qualityReport(docs.limit(50), "doc_id", "text").collect()
     assert(rep.length == 50)
