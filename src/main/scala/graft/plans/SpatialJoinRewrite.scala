@@ -80,6 +80,16 @@ case class SpatialJoinRewrite() extends Rule[LogicalPlan] {
     c match {
       case StDWithin(a, b, Literal(d: Double, DoubleType)) =>
         sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, d, c) }
+      // the reference's own join predicate shape: ST_Distance(a, b) < r
+      // (either comparison orientation; the exact comparison is the refine)
+      case LessThan(StDistance(a, b), Literal(d: Double, DoubleType)) =>
+        sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, d, c) }
+      case LessThanOrEqual(StDistance(a, b), Literal(d: Double, DoubleType)) =>
+        sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, d, c) }
+      case GreaterThan(Literal(d: Double, DoubleType), StDistance(a, b)) =>
+        sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, d, c) }
+      case GreaterThanOrEqual(Literal(d: Double, DoubleType), StDistance(a, b)) =>
+        sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, d, c) }
       case StIntersects(a, b) => sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, 0.0, c) }
       case StWithin(a, b)     => sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, 0.0, c) }
       case StContains(a, b)   => sides(a, b).map { case (lg, rg) => SpatialCond(lg, rg, 0.0, c) }

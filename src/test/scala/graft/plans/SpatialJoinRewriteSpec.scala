@@ -54,6 +54,30 @@ class SpatialJoinRewriteSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("ST_Distance comparison joins rewrite like ST_DWithin") {
+    // the reference's own join predicate shape (WHERE distance < r across
+    // two collections) — both comparison orientations, plus WHERE-clause
+    // form (filter pushed into the join condition by the optimizer)
+    for (q <- Seq(
+      "SELECT c_custkey, s_suppkey FROM cpts JOIN spts ON ST_Distance(cg, sg) < 5.0",
+      "SELECT c_custkey, s_suppkey FROM cpts JOIN spts ON 5.0 >= ST_Distance(cg, sg)",
+      "SELECT c_custkey, s_suppkey FROM cpts, spts WHERE ST_Distance(cg, sg) <= 5.0")) {
+      val df = spark.sql(q)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      assert(df.count() > 0)
+    }
+    // result equality vs brute force for the strict form
+    val got = spark.sql(
+      "SELECT c_custkey, s_suppkey FROM cpts JOIN spts ON ST_Distance(cg, sg) < 5.0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = spark.table("cpts").crossJoin(spark.table("spts"))
+      .where(call_function("st_distance", col("cg"), col("sg")) < 5.0)
+      .select("c_custkey", "s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("reversed argument order still splits sides correctly") {
     val q = "SELECT c_custkey, s_suppkey FROM cpts JOIN spts ON ST_DWithin(sg, cg, 5.0)"
     val df = spark.sql(q)
