@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.Graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hyperplane-bucket-partitioned parquet layout for embedding corpora — the
+  * vector analog of [[SpatialStorage]]. Writing partitioned by LSH bucket
+  * turns query-time ANN from a full corpus scan into a partition-pruned
+  * read: only the query's bucket (plus hamming-probe neighbors) is listed
+  * and scanned, visible as PartitionFilters in the scan node. At 100 TB
+  * this is the difference between touching ~1/2^planes of the corpus and
+  * all of it.
+  *
+  * The bucket function is the same fixed-seed [[graft.functions.TextOps
+  * .hyperplaneBucket]] used by [[Ann.lshTopK]], so any session can compute
+  * a query's bucket without metadata.
+  */
+object VectorStorage {
+
+  /** Writes `df` partitioned by the `planes`-bit hyperplane bucket of
+    * `vecCol`. Pass the same `planes` at read time. */
+  def writeBucketed(df: DataFrame, vecCol: String, path: String,
+                    planes: Int = 8): Unit = {
+    Graft.register(df.sparkSession)
+    df.withColumn("bucket",
+        call_function("hyperplane_bucket", col(vecCol), lit(planes)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Approximate top-k over a bucketed corpus: scans only the query bucket
+    * and its hamming-≤1 probe neighbors (when `probes` > 0) via partition
+    * pruning, then exact cosine + top-k inside the pruned set. */
+  def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
+           query: Array[Float], k: Int,
+           planes: Int = 8, probes: Int = 1): DataFrame = {
+    Graft.register(spark)
+    val qBucket = spark.range(1)
+      .select(call_function("hyperplane_bucket", typedLit(query), lit(planes)))
+      .head().getInt(0)
+    val candidates: Seq[Int] =
+      if (probes <= 0) Seq(qBucket)
+      else qBucket +: (0 until planes).map(p => qBucket ^ (1 << p))
+    spark.read.parquet(path)
+      .where(col("bucket").isin(candidates: _*)) // prunes partitions
+      .select(col(idCol).as("id"),
+        call_function("cosine_similarity", col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+}
