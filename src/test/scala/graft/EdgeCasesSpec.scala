@@ -73,4 +73,31 @@ class EdgeCasesSpec extends SparkTestBase {
       assert(GeomSerde.fromWkb(GeomSerde.toWkb(g)).isEmpty)
     }
   }
+
+  test("malformed bbox option fails with a clear message") {
+    val d = java.nio.file.Files.createTempDirectory("graft-badbbox").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(d, "f.geojson").toPath,
+      """{"type":"Feature","properties":{"a":"1"},"geometry":{"type":"Point","coordinates":[0.0,0.0]}}""")
+    val e = intercept[Exception] {
+      spark.read.format("graft-geojson").option("bbox", "1,2,3")
+        .load(d.getAbsolutePath).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bbox")), e.toString)
+  }
+
+  test("quality filter and exact-dup dropper handle empty input") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.TextAnalysis.qualityFilter(empty, "text").count() == 0)
+    assert(operators.Dedup.dropExactDuplicates(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("knnJoinLsh with empty query side returns no rows") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = operators.Ann.knnJoinLsh(embs, "vec_id", "embedding",
+      embs.where(lit(false)), "vec_id", "embedding", k = 3)
+    assert(out.count() == 0)
+  }
 }
