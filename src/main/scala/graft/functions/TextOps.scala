@@ -81,22 +81,29 @@ object TextOps {
 
   /** MinHash signature over lowercase char k-shingles.
     * Shingle hashes are rolling (O(len)), then each of `num` permutations
-    * takes a min over affine transforms (O(len·num) adds, no re-hash). */
+    * takes a min over affine transforms (O(distinct·num) adds, no re-hash):
+    * a repeated shingle cannot change any permutation's minimum, so the
+    * inner loop runs once per DISTINCT shingle — natural text repeats
+    * shingles heavily ("the ", boilerplate), making this a large win with
+    * bit-identical output. */
   def minhashSignature(text: UTF8String, k: Int, num: Int): ArrayData = {
     require(num <= MaxHashes, s"numHashes $num > $MaxHashes")
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val sig = new Array[Long](num)
     java.util.Arrays.fill(sig, Long.MaxValue)
     if (s.length >= k) {
+      val seen = new java.util.HashSet[java.lang.Long](math.min(s.length, 1 << 16))
       var i = 0
       val end = s.length - k
       while (i <= end) {
         val h = mix64(polyHash(s, i, i + k))
-        var j = 0
-        while (j < num) {
-          val v = h * hashA(j) + hashB(j)
-          if (v < sig(j)) sig(j) = v
-          j += 1
+        if (seen.add(h)) {
+          var j = 0
+          while (j < num) {
+            val v = h * hashA(j) + hashB(j)
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
         }
         i += 1
       }

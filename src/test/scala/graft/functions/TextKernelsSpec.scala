@@ -81,6 +81,52 @@ class TextKernelsSpec extends SparkTestBase {
       assert(TextOps.simhash64(UTF8String.fromString(t)) == reference(t), s"text: $t")
   }
 
+  test("minhash distinct-shingle skip is bit-identical to the naive multiset scan") {
+    // independent reference: per-occurrence affine-min with the same fixed
+    // constants as TextOps (LCG-seeded permutations, mix64-finalized
+    // polyhash shingles) — guards the distinct-skip optimization
+    def reference(text: String, k: Int, num: Int): Array[Long] = {
+      def poly(s: String, from: Int, until: Int): Long = {
+        var h = 1125899906842597L; var i = from
+        while (i < until) { h = 31 * h + s.charAt(i); i += 1 }; h
+      }
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      var state = 0x5deece66dL
+      def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+      // TextOps draws a(i), b(i) alternately from one LCG stream
+      val a = new Array[Long](num)
+      val b = new Array[Long](num)
+      for (i <- 0 until num) { a(i) = next() | 1L; b(i) = next() }
+      val s = text.toLowerCase(java.util.Locale.ROOT)
+      val sig = Array.fill(num)(Long.MaxValue)
+      if (s.length >= k) {
+        for (i <- 0 to s.length - k) {
+          val h = mix(poly(s, i, i + k))
+          for (j <- 0 until num) {
+            val v = h * a(j) + b(j)
+            if (v < sig(j)) sig(j) = v
+          }
+        }
+      }
+      sig
+    }
+    val texts = Seq(
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // one distinct shingle
+      "the the the the the the the quick quick quick brown fox",
+      "abcabcabcabcabcabcabcabcabc unique tail here",
+      "no repeats here at all 0123456789")
+    for (t <- texts) {
+      val want = reference(t, 5, 64)
+      val got = TextOps.minhashSignature(UTF8String.fromString(t), 5, 64)
+      assert((0 until 64).forall(i => got.getLong(i) == want(i)), t)
+    }
+  }
+
   test("fast fingerprint SQL function is registered") {
     val r = spark.sql(
       "SELECT rolling_fingerprint_fast('the quick brown fox jumps over it', 16) AS fp")
