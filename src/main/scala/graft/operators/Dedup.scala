@@ -200,7 +200,14 @@ object Dedup {
     // upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per reference
     val mat = ckpt(pairs)
 
-    if (smallGraphThreshold > 0) {
+    // the driver path unions by Long id — only safe for integral id columns
+    // (a string id would cast to null and corrupt the union-find)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = Seq("id_a", "id_b").forall(n =>
+      pairs.schema.find(_.name == n).exists(f =>
+        f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == ShortType || f.dataType == ByteType))
+    if (smallGraphThreshold > 0 && integralIds) {
       // limit-bounded probe: fetches at most threshold+1 rows, so deciding
       // the path never materializes a billion-edge list on the driver
       val sample = mat.select(col("id_a").cast("long"), col("id_b").cast("long"))

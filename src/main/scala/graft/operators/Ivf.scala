@@ -29,14 +29,20 @@ object Ivf {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    // unit-normalize so Euclidean k-means routes by angle (cosine)
-    val unit = df.withColumn("__unit", normalizeExpr(vecCol))
+    // unit-normalize so Euclidean k-means routes by angle (cosine); norm
+    // computed once per vector, not per element
+    val unit = df
+      .withColumn("__norm", expr(
+        s"greatest(sqrt(aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+          s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))"))
+      .withColumn("__unit", expr(
+        s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
     val feats = unit.withColumn("__features", array_to_vector(col("__unit")))
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(42L)
       .setFeaturesCol("__features").setPredictionCol("cluster")
       .fit(feats)
     model.transform(feats)
-      .drop("__unit", "__features")
+      .drop("__norm", "__unit", "__features")
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -67,12 +73,6 @@ object Ivf {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
-
-  private def normalizeExpr(vecCol: String) = expr(
-    s"""transform($vecCol, x -> CAST(
-       |  CAST(x AS DOUBLE) / greatest(sqrt(aggregate($vecCol, CAST(0.0 AS DOUBLE),
-       |    (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))
-       |AS FLOAT))""".stripMargin)
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -68,6 +68,13 @@ class DedupSpec extends SparkTestBase {
     assert(driver(41L) == 1L && driver(103L) == 100L && driver(202L) == 200L)
   }
 
+  test("string-id pair lists take the distributed path and still label correctly") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("reliable checkpoint without a checkpoint dir fails fast") {
     val fresh = spark.newSession()
     // newSession shares the SparkContext, so clear the dir via a fresh check:
