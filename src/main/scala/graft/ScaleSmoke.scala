@@ -90,6 +90,25 @@ object ScaleSmoke {
       operators.Ann.knnJoinLsh(embs10, "vec_id", "embedding",
         embs10.limit(5000), "vec_id", "embedding", k = 5).count()
     }
+
+    // partition-pruned ANN serving paths over the same 50k corpus
+    val q0 = embs.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val vsDir = java.nio.file.Files.createTempDirectory("scale-vs").toString
+    time("VectorStorage write 50k bucketed") {
+      operators.VectorStorage.writeBucketed(embs10, "embedding", vsDir, planes = 8)
+    }
+    time("VectorStorage top-10 (pruned read)") {
+      operators.VectorStorage.topK(spark, vsDir, "vec_id", "embedding", q0,
+        k = 10, planes = 8, probes = 1).count()
+    }
+    val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivf").toString
+    time("IVF train+write 50k, k=64") {
+      operators.Ivf.writeIndexed(embs10, "vec_id", "embedding", ivfDir, k = 64, maxIter = 5)
+    }
+    time("IVF top-10 (nprobe=4)") {
+      operators.Ivf.topK(spark, ivfDir, "vec_id", "embedding", q0, k = 10, nprobe = 4).count()
+    }
     spark.stop()
   }
 }
