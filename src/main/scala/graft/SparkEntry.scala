@@ -295,6 +295,21 @@ object SparkEntry {
         shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
       Dedup.clusters(pairs)
     }),
+    // same pair semantics through the OTHER code paths, against the same
+    // oracles: salted candidate generation must be pair-set-identical, and
+    // distributed label propagation must label like the driver union-find
+    "q_dedup_minhash_salted" -> ((spark, dir) => {
+      init(spark, dir)
+      Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
+          shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5, saltCap = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+    "q_dedup_cluster_distributed" -> ((spark, dir) => {
+      init(spark, dir)
+      val pairs = Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+      Dedup.clusters(pairs, smallGraphThreshold = 0)
+    }),
     "q_ngram_jaccard" -> sql(
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(CAST(size(array_intersect(split(a.text, ' '), split(b.text, ' '))) AS DOUBLE)
@@ -542,9 +557,28 @@ object SparkEntry {
         |FROM (SELECT a.doc_id id_a, b.doc_id id_b, len(list_intersect(a.sh, b.sh))::DOUBLE inter, len(a.sh)::DOUBLE la, len(b.sh)::DOUBLE lb
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.5) p
         |WHERE inter / (la + lb - inter) >= 0.5""".stripMargin,
+    // Salted candidate generation must produce the identical pair set —
+    // same oracle as q_dedup_minhash.
+    "q_dedup_minhash_salted" ->
+      """WITH sh AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
+        |            FROM (SELECT doc_id, lower(text) s FROM documents) d)
+        |SELECT id_a, id_b, round(inter / (la + lb - inter), 4) AS jaccard
+        |FROM (SELECT a.doc_id id_a, b.doc_id id_b, len(list_intersect(a.sh, b.sh))::DOUBLE inter, len(a.sh)::DOUBLE la, len(b.sh)::DOUBLE lb
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.5) p
+        |WHERE inter / (la + lb - inter) >= 0.5""".stripMargin,
     // Connected components over the same exact pair set, via transitive
     // closure (recursive CTE); cluster label = min reachable id.
     "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
+        |            FROM (SELECT doc_id, lower(text) s FROM documents) d),
+        |pairs AS (SELECT a.doc_id ia, b.doc_id ib
+        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.5
+        |          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT ia s, ib d FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach AS (SELECT s, d FROM edges UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s""".stripMargin,
+    // Distributed label-propagation path must label identically.
+    "q_dedup_cluster_distributed" ->
       """WITH RECURSIVE sh AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
         |            FROM (SELECT doc_id, lower(text) s FROM documents) d),
         |pairs AS (SELECT a.doc_id ia, b.doc_id ib
