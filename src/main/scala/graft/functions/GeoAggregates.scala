@@ -22,12 +22,15 @@ import scala.jdk.CollectionConverters._
 
 /** ST_Union over a group. Geometries accumulate into a buffer that is
   * collapsed with cascaded union every `FlushAt` items (bounds buffer
-  * memory; cascaded union is O(n log n) vs naive O(n²) pairwise). */
+  * memory; cascaded union is O(n log n) vs naive O(n²) pairwise). Union is
+  * idempotent, so byte-identical WKB inputs are deduped on arrival —
+  * grid-snapped envelopes and repeated features skip JTS entirely. */
 case class StUnionAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[Geometry]] {
+  extends TypedImperativeAggregate[StUnionAgg.Buffer] {
+  import StUnionAgg.Buffer
 
   // Collapse threshold: UnaryUnionOp builds a spatial index and unions
   // bottom-up, so it is far cheaper to union ONE batch of 2048 geometries
@@ -43,45 +46,54 @@ case class StUnionAgg(
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("st_union_agg expects WKB binary geometry")
 
-  override def createAggregationBuffer(): ArrayBuffer[Geometry] = ArrayBuffer.empty
+  override def createAggregationBuffer(): Buffer = new Buffer
 
-  private def collapse(buf: ArrayBuffer[Geometry]): Unit =
-    if (buf.length > 1) {
-      val u = UnaryUnionOp.union(buf.asJava)
-      buf.clear()
-      buf += u
+  private def collapse(buf: Buffer): Unit = {
+    if (buf.geoms.length > 1) {
+      val u = UnaryUnionOp.union(buf.geoms.asJava)
+      buf.geoms.clear()
+      buf.geoms += u
     }
+    // collapsed result is a new geometry; seen-set only serves raw inputs
+    // between collapses, and clearing it bounds its memory
+    buf.seen.clear()
+  }
 
-  override def update(buf: ArrayBuffer[Geometry], input: InternalRow): ArrayBuffer[Geometry] = {
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
     if (v != null) {
-      buf += GeomSerde.fromWkb(v.asInstanceOf[Array[Byte]])
-      if (buf.length >= FlushAt) collapse(buf)
+      val wkb = v.asInstanceOf[Array[Byte]]
+      if (buf.seen.add(java.nio.ByteBuffer.wrap(wkb.clone()))) {
+        buf.geoms += GeomSerde.fromWkb(wkb)
+        if (buf.geoms.length >= FlushAt) collapse(buf)
+      }
     }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[Geometry], other: ArrayBuffer[Geometry]): ArrayBuffer[Geometry] = {
-    buf ++= other
-    if (buf.length >= FlushAt) collapse(buf)
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    buf.geoms ++= other.geoms
+    if (buf.geoms.length >= FlushAt) collapse(buf)
     buf
   }
 
-  override def eval(buf: ArrayBuffer[Geometry]): Any =
-    if (buf.isEmpty) null
+  override def eval(buf: Buffer): Any =
+    if (buf.geoms.isEmpty) null
     else {
       collapse(buf)
-      GeomSerde.toWkb(buf.head)
+      GeomSerde.toWkb(buf.geoms.head)
     }
 
-  override def serialize(buf: ArrayBuffer[Geometry]): Array[Byte] = {
+  override def serialize(buf: Buffer): Array[Byte] = {
     collapse(buf)
-    if (buf.isEmpty) Array.emptyByteArray else GeomSerde.toWkb(buf.head)
+    if (buf.geoms.isEmpty) Array.emptyByteArray else GeomSerde.toWkb(buf.geoms.head)
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Geometry] =
-    if (bytes.isEmpty) ArrayBuffer.empty
-    else ArrayBuffer(GeomSerde.fromWkb(bytes))
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val b = new Buffer
+    if (bytes.nonEmpty) b.geoms += GeomSerde.fromWkb(bytes)
+    b
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): StUnionAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -90,6 +102,16 @@ case class StUnionAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): StUnionAgg =
     copy(child = newChildren.head)
   override def prettyName: String = "st_union_agg"
+}
+
+object StUnionAgg {
+  /** Aggregation state: pending geometries plus the content-keyed set of
+    * raw WKB inputs seen since the last collapse (ByteBuffer wraps compare
+    * by content, unlike bare byte arrays). */
+  final class Buffer {
+    val geoms: ArrayBuffer[Geometry] = ArrayBuffer.empty
+    val seen: java.util.HashSet[java.nio.ByteBuffer] = new java.util.HashSet()
+  }
 }
 
 /** ST_Extent: bounding box of a geometry set, returned as an envelope
