@@ -125,6 +125,7 @@ object Graft {
     t("jaccard_shingles", JaccardShingles, Seq(StringType, StringType, IntegerType)),
     b("sorted_shingles", SortedShingles, Seq(StringType, IntegerType)),
     b("jaccard_sorted", JaccardSorted, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
+    b("sig_match_fraction", SigMatchFraction, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
     u("simhash64", Simhash64, StringType),
     b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),
     b("rolling_fingerprint_fast", RollingFingerprintFast, Seq(StringType, IntegerType)),

@@ -31,6 +31,12 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class SigMatchFraction(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.sigMatchFraction",
+      Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false)), DoubleType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class Simhash64(child: Expression)
     extends GeoUnary("TextOps.simhash64", StringType, LongType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)

@@ -129,6 +129,24 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Fraction of positions where two equal-length signatures agree — the
+    * minhash Jaccard estimate. Native kernel (stays in codegen) because the
+    * zip_with/aggregate higher-order-function formulation evaluates
+    * interpreted with per-row array allocation, which dominated the
+    * estimate-prune stage at 312k candidate pairs. */
+  def sigMatchFraction(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"signature length mismatch: $n vs ${b.numElements()}")
+    if (n == 0) return 0.0
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m.toDouble / n
+  }
+
   /** Jaccard of two sorted long arrays via linear merge (no allocation). */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()

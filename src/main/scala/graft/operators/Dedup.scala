@@ -90,12 +90,24 @@ object Dedup {
     // Stage 2 — cheap prune: minhash-estimated Jaccard (matching signature
     // fraction, σ = √(j(1-j)/n) ≤ 0.5/√n) with a 3.5σ margin, before
     // touching document content.
+    //
+    // Catalyst's size estimate for `sig` derives from the WIDE text scan, so
+    // it sort-merge-joins even when signatures are megabytes. Materialize
+    // the cache, read the TRUE cached size, and broadcast when it fits —
+    // at 100 TB the cached size is huge and this stays a shuffle join.
+    sig.count()
+    val sigSmall =
+      sig.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
+    def sigAs(id: String, s: String): DataFrame = {
+      val renamed = sig.toDF(id, s)
+      if (sigSmall) broadcast(renamed) else renamed
+    }
     val margin = 1.75 / math.sqrt(numHashes.toDouble)
     val est = cand
-      .join(sig.toDF("id_a", "sig_a"), "id_a")
-      .join(sig.toDF("id_b", "sig_b"), "id_b")
-      .withColumn("est_jaccard", expr(
-        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)"))
+      .join(sigAs("id_a", "sig_a"), "id_a")
+      .join(sigAs("id_b", "sig_b"), "id_b")
+      .withColumn("est_jaccard",
+        call_function("sig_match_fraction", col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= threshold - margin)
       .select("id_a", "id_b")
 
