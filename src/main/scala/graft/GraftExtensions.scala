@@ -107,6 +107,17 @@ object Graft {
     b("st_coveredby", StCoveredBy),
     // geometry processing
     b("st_transform", StTransform, Seq(G, IntegerType)),
+    u("st_startpoint", StStartPoint),
+    u("st_endpoint", StEndPoint),
+    b("st_pointn", StPointN, Seq(G, IntegerType)),
+    u("st_reverse", StReverse),
+    u("st_exteriorring", StExteriorRing),
+    u("st_numinteriorrings", StNumInteriorRings),
+    b("st_interiorringn", StInteriorRingN, Seq(G, IntegerType)),
+    b("st_closestpoint", StClosestPoint),
+    b("st_shortestline", StShortestLine),
+    b("st_azimuth", StAzimuth),
+    b("st_lineinterpolatepoint", StLineInterpolatePoint, Seq(G, DoubleType)),
     u("st_centroid", StCentroid),
     u("st_envelope", StEnvelope),
     u("st_boundary", StBoundary),

@@ -165,6 +165,45 @@ case class StGeometryN(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stGeometryN", Seq(BinaryType, IntegerType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+case class StStartPoint(child: Expression) extends GeoUnary("GeoOps.stStartPoint", BinaryType, BinaryType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StEndPoint(child: Expression) extends GeoUnary("GeoOps.stEndPoint", BinaryType, BinaryType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StPointN(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stPointN", Seq(BinaryType, IntegerType), BinaryType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+case class StReverse(child: Expression) extends GeoUnary("GeoOps.stReverse", BinaryType, BinaryType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StExteriorRing(child: Expression) extends GeoUnary("GeoOps.stExteriorRing", BinaryType, BinaryType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StNumInteriorRings(child: Expression) extends GeoUnary("GeoOps.stNumInteriorRings", BinaryType, IntegerType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+case class StInteriorRingN(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stInteriorRingN", Seq(BinaryType, IntegerType), BinaryType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+case class StClosestPoint(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stClosestPoint", Seq(BinaryType, BinaryType), BinaryType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+case class StShortestLine(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stShortestLine", Seq(BinaryType, BinaryType), BinaryType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+case class StAzimuth(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stAzimuth", Seq(BinaryType, BinaryType), DoubleType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+case class StLineInterpolatePoint(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stLineInterpolatePoint", Seq(BinaryType, DoubleType), BinaryType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
 case class StIsEmpty(child: Expression) extends GeoUnary("GeoOps.stIsEmpty", BinaryType, BooleanType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }

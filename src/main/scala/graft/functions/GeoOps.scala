@@ -100,6 +100,59 @@ object GeoOps {
   def stNumPoints(b: Array[Byte]): Int = read(b).getNumPoints
   def stNumGeometries(b: Array[Byte]): Int = read(b).getNumGeometries
   def stGeometryN(b: Array[Byte], n: Int): Array[Byte] = write(read(b).getGeometryN(n - 1))
+
+  // ---------------------------------------------- line/ring/point accessors
+  private def asLine(b: Array[Byte], who: String): org.locationtech.jts.geom.LineString =
+    read(b) match {
+      case l: org.locationtech.jts.geom.LineString => l
+      case g => throw new IllegalArgumentException(s"$who requires LineString, got ${g.getGeometryType}")
+    }
+  def stStartPoint(b: Array[Byte]): Array[Byte] = write(asLine(b, "ST_StartPoint").getStartPoint)
+  def stEndPoint(b: Array[Byte]): Array[Byte] = write(asLine(b, "ST_EndPoint").getEndPoint)
+  def stPointN(b: Array[Byte], n: Int): Array[Byte] = write(asLine(b, "ST_PointN").getPointN(n - 1))
+  def stReverse(b: Array[Byte]): Array[Byte] = write(read(b).reverse())
+  def stExteriorRing(b: Array[Byte]): Array[Byte] = read(b) match {
+    case p: org.locationtech.jts.geom.Polygon => write(p.getExteriorRing)
+    case g => throw new IllegalArgumentException(s"ST_ExteriorRing requires Polygon, got ${g.getGeometryType}")
+  }
+  def stNumInteriorRings(b: Array[Byte]): Int = read(b) match {
+    case p: org.locationtech.jts.geom.Polygon => p.getNumInteriorRing
+    case _ => 0
+  }
+  def stInteriorRingN(b: Array[Byte], n: Int): Array[Byte] = read(b) match {
+    case p: org.locationtech.jts.geom.Polygon => write(p.getInteriorRingN(n - 1))
+    case g => throw new IllegalArgumentException(s"ST_InteriorRingN requires Polygon, got ${g.getGeometryType}")
+  }
+  /** Point on `a` nearest to `b` (PostGIS ST_ClosestPoint). */
+  def stClosestPoint(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val cs = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(read(a), read(b))
+    write(f.createPoint(cs(0)))
+  }
+  /** Shortest connecting line a→b (PostGIS ST_ShortestLine). */
+  def stShortestLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val cs = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(read(a), read(b))
+    write(f.createLineString(cs))
+  }
+  /** North-based azimuth in radians from point a to point b (PostGIS
+    * ST_Azimuth): 0 = north, π/2 = east. */
+  def stAzimuth(a: Array[Byte], b: Array[Byte]): Double = {
+    val (pa, pb) = (read(a), read(b))
+    (pa, pb) match {
+      case (p1: Point, p2: Point) =>
+        val az = math.atan2(p2.getX - p1.getX, p2.getY - p1.getY)
+        if (az < 0) az + 2 * math.Pi else az
+      case _ => throw new IllegalArgumentException("ST_Azimuth requires two Points")
+    }
+  }
+  /** Point at `fraction` ∈ [0,1] along a line (PostGIS
+    * ST_LineInterpolatePoint). */
+  def stLineInterpolatePoint(b: Array[Byte], fraction: Double): Array[Byte] = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    val line = asLine(b, "ST_LineInterpolatePoint")
+    val c = new org.locationtech.jts.linearref.LengthIndexedLine(line)
+      .extractPoint(fraction * line.getLength)
+    write(f.createPoint(c))
+  }
   def stIsEmpty(b: Array[Byte]): Boolean = read(b).isEmpty
   def stIsValid(b: Array[Byte]): Boolean = read(b).isValid
   def stIsSimple(b: Array[Byte]): Boolean = read(b).isSimple

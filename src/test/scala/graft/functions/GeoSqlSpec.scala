@@ -105,6 +105,28 @@ class GeoSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT ST_Distance(ST_Point(0, 0), CAST(NULL AS BINARY))").head().isNullAt(0))
   }
 
+  test("line/ring accessors and closest-point operations") {
+    def one(e: String) = spark.sql(s"SELECT $e").head().get(0)
+    val line = "ST_GeomFromText('LINESTRING (0 0, 10 0, 10 10)')"
+    assert(one(s"ST_AsText(ST_StartPoint($line))") == "POINT (0 0)")
+    assert(one(s"ST_AsText(ST_EndPoint($line))") == "POINT (10 10)")
+    assert(one(s"ST_AsText(ST_PointN($line, 2))") == "POINT (10 0)")
+    assert(one(s"ST_AsText(ST_StartPoint(ST_Reverse($line)))") == "POINT (10 10)")
+    val poly = "ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))')"
+    assert(one(s"ST_NumInteriorRings($poly)") == 1)
+    assert(one(s"ST_NumPoints(ST_ExteriorRing($poly))") == 5)
+    assert(one(s"ST_NumPoints(ST_InteriorRingN($poly, 1))") == 5)
+    // closest point on a segment to an off-line point
+    assert(one(s"ST_AsText(ST_ClosestPoint(ST_GeomFromText('LINESTRING (0 0, 10 0)'), ST_Point(3, 5)))")
+      == "POINT (3 0)")
+    assert(one(s"round(ST_Length(ST_ShortestLine(ST_GeomFromText('LINESTRING (0 0, 10 0)'), ST_Point(3, 5))), 6)")
+      == 5.0)
+    // azimuth: due east = pi/2
+    assert(math.abs(one("ST_Azimuth(ST_Point(0, 0), ST_Point(1, 0))").asInstanceOf[Double] - math.Pi / 2) < 1e-12)
+    // interpolation: halfway along a 20-unit L-shaped line
+    assert(one(s"ST_AsText(ST_LineInterpolatePoint($line, 0.5))") == "POINT (10 0)")
+  }
+
   test("ST_Transform reprojects between 4326 and 3857") {
     // known anchor: lon 180 -> x = pi*R = 20037508.342789244; lat 0 -> y 0
     val x = spark.sql(
