@@ -98,6 +98,66 @@ object TextAnalysis {
         expr("percentile_approx(punct, 0.99)").as("punct_p99"))
   }
 
+  /** Bigram language model learned FROM a reference corpus: top-`topK`
+    * bigram counts + their unigram context counts, collected bounded and
+    * broadcast. The standard pipeline shape for LM-based quality scoring
+    * (CCNet-style): counts shuffle by token (vocab-bounded), the model is
+    * driver-bounded by topK, scoring is map-side only. */
+  case class BigramModel(unigrams: Map[String, Long],
+                         bigrams: Map[(String, String), Long],
+                         vocab: Long)
+
+  def bigramModel(df: DataFrame, textCol: String, topK: Int = 50000): BigramModel = {
+    val words = df.select(split(lower(trim(col(textCol))), "\\s+").as("ws"))
+    val bigramCounts = words
+      .select(explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w as w1, element_at(ws, i + 2) as w2))")).as("bg"))
+      .groupBy("bg.w1", "bg.w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc)
+      .limit(topK)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val unigramCounts = words
+      .select(explode(col("ws")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc)
+      .limit(topK)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    BigramModel(unigramCounts, bigramCounts, unigramCounts.size.toLong.max(1L))
+  }
+
+  /** Mean add-one-smoothed bigram log-probability per document — higher is
+    * more model-like; gibberish and boilerplate-free noise score low. The
+    * model rides a broadcast; scoring is embarrassingly parallel. */
+  def lmScore(df: DataFrame, textCol: String, model: BigramModel): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val score = udf { text: String =>
+      if (text == null) 0.0
+      else {
+        val m = bc.value
+        val ws = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 2) 0.0
+        else {
+          var sum = 0.0
+          var i = 0
+          while (i < ws.length - 1) {
+            val c2 = m.bigrams.getOrElse((ws(i), ws(i + 1)), 0L)
+            val c1 = m.unigrams.getOrElse(ws(i), 0L)
+            sum += math.log((c2 + 1.0) / (c1 + m.vocab))
+            i += 1
+          }
+          sum / (ws.length - 1)
+        }
+      }
+    }
+    df.withColumn("lm_logprob", score(col(textCol)))
+  }
+
   /** One-call quality report over a document table. */
   def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Graft.register(df.sparkSession)

@@ -156,6 +156,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("bigram LM score ranks in-domain text above gibberish") {
+    val model = TextAnalysis.bigramModel(docs, "text", topK = 20000)
+    assert(model.bigrams.nonEmpty && model.unigrams.nonEmpty)
+    val probe = Seq(
+      // stitched from the corpus' own most frequent bigrams → in-domain
+      (1L, model.bigrams.toSeq.sortBy(-_._2).take(20)
+        .map { case ((a, b), _) => s"$a $b" }.mkString(" ")),
+      (2L, "zq xv qq kjh wpl zzz vbn mmq lop qwe rty uio")).toDF("doc_id", "text")
+    val scores = TextAnalysis.lmScore(probe, "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_logprob")).toMap
+    assert(scores(1L) > scores(2L),
+      s"in-domain ${scores(1L)} should beat gibberish ${scores(2L)}")
+  }
+
   test("corpusStats one-pass sketch percentiles") {
     val s = TextAnalysis.corpusStats(docs, "text").head()
     assert(s.getAs[Long]("n_docs") == docs.count())
