@@ -417,6 +417,16 @@ object SparkEntry {
       TextAnalysis.qualityFilter(spark.table("documents"), "text")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"))
     }),
+    // LM quality scoring with a corpus-trained bigram model; deterministic
+    // (count, w1, w2)-ordered top-K cutoff makes the model — and the oracle
+    // rebuild of it — exact
+    "q_lm_score" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.table("documents")
+      val model = TextAnalysis.bigramModel(docs, "text", topK = 20000)
+      TextAnalysis.lmScore(docs.select("doc_id", "text"), "text", model)
+        .select(col("doc_id"), round(col("lm_logprob"), 4).as("lm"))
+    }),
     "q_multimodal" -> ((spark, dir) => {
       init(spark, dir)
       val media = spark.table("documents")
@@ -678,6 +688,20 @@ object SparkEntry {
         |  AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) <= 0.3
         |  AND CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w)), 'sum') AS DOUBLE)
         |      / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 12.0""".stripMargin,
+    // Bigram LM rebuilt in SQL: same tokenization, same deterministic top-K
+    // cutoff, add-one-smoothed mean log-prob; docs with < 2 tokens score 0.
+    "q_lm_score" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),
+        |uni AS (SELECT w, count(*) n FROM (SELECT unnest(ws) w FROM ws) GROUP BY w ORDER BY n DESC, w LIMIT 20000),
+        |bg AS (SELECT w1, w2, count(*) n FROM (SELECT unnest(ws[1:len(ws)-1]) w1, unnest(ws[2:len(ws)]) w2 FROM ws) GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20000),
+        |v AS (SELECT count(*) v FROM uni),
+        |docbg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) w1, unnest(ws[2:len(ws)]) w2 FROM ws WHERE len(ws) >= 2),
+        |sc AS (SELECT doc_id, avg(ln((COALESCE(b.n, 0) + 1.0) / (COALESCE(u.n, 0) + (SELECT v FROM v)))) s
+        |       FROM docbg LEFT JOIN bg b ON docbg.w1 = b.w1 AND docbg.w2 = b.w2
+        |                  LEFT JOIN uni u ON docbg.w1 = u.w
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, round(COALESCE(sc.s, 0.0), 4) AS lm
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q_multimodal" ->
       "SELECT doc_id, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime, CAST(16 + (length(text) % 640) AS INTEGER) AS width, CAST(16 + ((length(text) // 7) % 480) AS INTEGER) AS height, CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
     "q_events_window" ->

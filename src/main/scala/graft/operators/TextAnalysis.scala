@@ -109,11 +109,13 @@ object TextAnalysis {
 
   def bigramModel(df: DataFrame, textCol: String, topK: Int = 50000): BigramModel = {
     val words = df.select(split(lower(trim(col(textCol))), "\\s+").as("ws"))
+    // deterministic tie-break (count, then lexicographic) so the model —
+    // and everything scored with it — is reproducible across runs/engines
     val bigramCounts = words
       .select(explode(expr(
         "transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w as w1, element_at(ws, i + 2) as w2))")).as("bg"))
       .groupBy("bg.w1", "bg.w2").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc)
+      .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(topK)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
@@ -122,7 +124,7 @@ object TextAnalysis {
       .select(explode(col("ws")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc)
+      .orderBy(col("n").desc, col("w"))
       .limit(topK)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
