@@ -31,6 +31,13 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class MinhashBandHashes(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.minhashBandHashes",
+      Seq(ArrayType(LongType, containsNull = false), IntegerType),
+      ArrayType(LongType, containsNull = false)) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class SigMatchFraction(left: Expression, right: Expression)
     extends GeoBinary("TextOps.sigMatchFraction",
       Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false)), DoubleType) {

@@ -129,6 +129,29 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Per-band hash of a minhash signature (band b = rows [b·r, (b+1)·r),
+    * r = len/bands): the LSH bucket keys, one long per band. Native kernel
+    * for the same reason as [[sigMatchFraction]] — the transform/slice/hash
+    * higher-order formulation evaluates interpreted per document. Any
+    * deterministic hash works here (buckets are internal): polynomial mix
+    * over the band's rows, finalized with splitmix64. */
+  def minhashBandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    require(bands > 0 && n % bands == 0, s"bands $bands must divide signature length $n")
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L
+      var j = b * rows
+      val end = j + rows
+      while (j < end) { h = 31 * h + sig.getLong(j); j += 1 }
+      out(b) = mix64(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fraction of positions where two equal-length signatures agree — the
     * minhash Jaccard estimate. Native kernel (stays in codegen) because the
     * zip_with/aggregate higher-order-function formulation evaluates

@@ -43,7 +43,6 @@ object Dedup {
                    threshold: Double = 0.7, saltCap: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     Graft.register(df.sparkSession)
-    val rows = numHashes / bands
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // signatures feed three consumers (bucketing + both sides of the
     // estimate join): persist so the O(len·numHashes) pass runs once
@@ -53,11 +52,10 @@ object Dedup {
 
     // Stage 1 — candidates: bucket rows carry ONLY (id, band, h): the bucket
     // shuffle and the distinct stay narrow no matter how wide the documents.
+    // Band hashes come from a native kernel (posexplode position = band).
     val buckets = sig.select(col("id"),
-        explode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, hash(slice(sig, b * $rows + 1, $rows)) as h))"
-        )).as("bucket"))
-      .select(col("id"), col("bucket.band"), col("bucket.h"))
+        posexplode(call_function("minhash_band_hashes", col("sig"), lit(bands))))
+      .toDF("id", "band", "h")
     val cand =
       if (saltCap <= 0) {
         buckets.toDF("id_a", "band", "h")
