@@ -445,6 +445,27 @@ object SparkEntry {
     "q_events_json" -> sql(
       """SELECT event_type, sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin),
+    // Ordered conversion funnel with a 24 h per-stage window: first signup,
+    // first click within a day after it, first purchase within a day after
+    // that (150 → 65 → 29 users at sf0.01 — real discrimination). Stage
+    // times compare at second precision on both engine sides (events.ts is
+    // stored ns; Spark reads µs-truncated — second-floor is identical).
+    "q_funnel" -> sql(
+      """WITH s1 AS (SELECT user_id, min(unix_timestamp(ts)) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(unix_timestamp(e.ts)) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND unix_timestamp(e.ts) > s1.t1
+        |         AND unix_timestamp(e.ts) <= s1.t1 + 86400
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(unix_timestamp(e.ts)) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND unix_timestamp(e.ts) > s2.t2
+        |         AND unix_timestamp(e.ts) <= s2.t2 + 86400
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_signup_click,
+        |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin),
     "q_sessionize" -> ((spark, dir) => {
       init(spark, dir)
       EventStreams.sessionize(spark.table("events"), gapMinutes = 30,
@@ -712,5 +733,21 @@ object SparkEntry {
       "SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n FROM events GROUP BY event_type",
     "q_sessionize" ->
       "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_ev FROM (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t GROUP BY user_id",
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND CAST(floor(epoch(e.ts)) AS BIGINT) > s1.t1
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) <= s1.t1 + 86400
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) > s2.t2
+        |         AND CAST(floor(epoch(e.ts)) AS BIGINT) <= s2.t2 + 86400
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_signup_click,
+        |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
   )
 }
