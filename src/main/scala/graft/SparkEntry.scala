@@ -276,6 +276,16 @@ object SparkEntry {
       init(spark, dir)
       Dedup.exact(spark.table("documents"), "doc_id", "text")
     }),
+    // keep-one removal with planted exact clones (50 cloned ids) so the
+    // drop path demonstrably drops; survivors = the original 500 ids
+    "q_dedup_drop" -> ((spark, dir) => {
+      init(spark, dir)
+      val planted = spark.sql(
+        """SELECT doc_id, text FROM documents
+          |UNION ALL
+          |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50""".stripMargin)
+      Dedup.dropExactDuplicates(planted, "doc_id", "text").select("doc_id")
+    }),
     "q_dedup_minhash" -> ((spark, dir) => {
       init(spark, dir)
       Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
@@ -588,6 +598,12 @@ object SparkEntry {
         |FROM (SELECT a.doc_id id_a, b.doc_id id_b, len(list_intersect(a.sh, b.sh))::DOUBLE inter, len(a.sh)::DOUBLE la, len(b.sh)::DOUBLE lb
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND least(len(a.sh), len(b.sh))::DOUBLE / greatest(len(a.sh), len(b.sh)) >= 0.5) p
         |WHERE inter / (la + lb - inter) >= 0.5""".stripMargin,
+    "q_dedup_drop" ->
+      """WITH planted AS (SELECT doc_id, text FROM documents
+        |                 UNION ALL
+        |                 SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM planted GROUP BY md5(text))
+        |SELECT doc_id FROM keepers""".stripMargin,
     // Salted candidate generation must produce the identical pair set —
     // same oracle as q_dedup_minhash.
     "q_dedup_minhash_salted" ->
