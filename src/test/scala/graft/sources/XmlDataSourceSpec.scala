@@ -64,6 +64,39 @@ class XmlDataSourceSpec extends SparkTestBase {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("pushdown equivalence: every filter shape matches Spark's own evaluation") {
+    // adversarial check on the fully-handled pushdown: for each predicate,
+    // the pushed source result must equal applying the same predicate in
+    // Spark AFTER an unfiltered read (three-valued logic, null handling,
+    // NOT/OR, string ordering)
+    import org.apache.spark.sql.Column
+    val unfiltered = spark.read.format("graft-xml").option("recordTag", "feature")
+      .load(dir).cache()
+    def col(n: String) = org.apache.spark.sql.functions.col(n)
+    val predicates: Seq[Column] = Seq(
+      col("name") === "a",
+      col("name") =!= "a",
+      !(col("name") === "a"),
+      col("name") > "a" && col("kind") < "k9",
+      col("name").isin("a", "c") || col("_attribute__kind__t") === "y",
+      col("_attribute__kind__t").isNull,
+      col("_attribute__kind__t").isNotNull && !(col("_attribute__kind__t") === "x"),
+      !(col("_attribute__kind__t") === "x"), // NULL kind → unknown → dropped
+      col("kind").startsWith("k") && col("kind").endsWith("2"),
+      col("kind").contains("3") || col("name") <= "a",
+      col("name") <=> "a",
+      !col("name").isin("a", "b", "c"))
+    for (p <- predicates) {
+      val pushed = spark.read.format("graft-xml").option("recordTag", "feature")
+        .load(dir).where(p).select("name")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val baseline = unfiltered.where(p).select("name")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(pushed == baseline, s"predicate: $p pushed=$pushed baseline=$baseline")
+    }
+    unfiltered.unpersist()
+  }
+
   test("bbox option prunes by geometry envelope at parse") {
     val df = spark.read.format("graft-xml").option("recordTag", "feature")
       .option("bbox", "0,0,2,3").load(dir)
