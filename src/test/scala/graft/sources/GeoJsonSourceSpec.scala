@@ -83,6 +83,37 @@ class GeoJsonSourceSpec extends SparkTestBase {
     assert(df2.collect().map(_.getAs[String]("name")).toSeq == Seq("beta"))
   }
 
+  test("pushdown equivalence with explicit JSON null properties") {
+    // explicit "prop": null must behave as SQL NULL under pushdown exactly
+    // as it does under Spark's own evaluation
+    val d = java.nio.file.Files.createTempDirectory("graft-gj-null").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(d, "f.jsonl").toPath,
+      """{"type":"Feature","properties":{"name":"p1","tag":"x"},"geometry":null}
+        |{"type":"Feature","properties":{"name":"p2","tag":null},"geometry":null}
+        |{"type":"Feature","properties":{"name":"p3"},"geometry":null}
+        |""".stripMargin)
+    def read() = spark.read.format("graft-geojson")
+      .option("multiLine", "false").load(d.getAbsolutePath)
+    val unfiltered = read().cache()
+    val predicates = Seq(
+      col("tag").isNull,
+      col("tag").isNotNull,
+      col("tag") === "x",
+      !(col("tag") === "x"),    // NULL tag → unknown → dropped
+      col("tag") <=> "x",
+      col("tag").isin("x", "y"),
+      !col("tag").isin("x", "y"))
+    for (p <- predicates) {
+      val pushed = read().where(p).select("name").collect().map(_.getString(0)).sorted.toSeq
+      val baseline = unfiltered.where(p).select("name").collect().map(_.getString(0)).sorted.toSeq
+      assert(pushed == baseline, s"predicate: $p pushed=$pushed baseline=$baseline")
+    }
+    // explicit null and absent key are both SQL NULL
+    assert(read().where(col("tag").isNull).count() == 2)
+    unfiltered.unpersist()
+  }
+
   test("round trip back to a FeatureCollection") {
     val df = GeoJsonSource.fromDocuments(Seq(fc).toDF("json"), "json")
     val out = GeoJsonSource.toFeatureCollection(df.orderBy("name"), "geometry")
