@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded in batched distributed passes.
   *
-  * The decode step itself is a STUB (`StubDecoder`): real image/audio codecs
-  * aren't available in this environment. Everything Spark-side — schema,
-  * batch shape, partition-preserving mapPartitions, metadata struct — is
-  * real and tested; swapping in a JNI/FFmpeg/ImageIO decoder is a one-class
-  * change.
+  * Two decoders ship: [[ImageIoDecoder]] — a REAL image-header decoder on
+  * the JDK's javax.imageio (PNG/JPEG/GIF/BMP mime + true dimensions from
+  * the header, no full pixel decode, headless-safe) with a deterministic
+  * fallback for non-image payloads — and [[StubDecoder]], the deterministic
+  * stand-in used by the oracled driver query (the synthetic corpus has no
+  * real image bytes; the oracle must be able to reproduce the metadata in
+  * SQL). Audio/video codecs aren't in this environment and remain out of
+  * scope. Everything Spark-side — schema, batch shape, partition-preserving
+  * mapPartitions, metadata struct — is identical for both.
   */
 object Multimodal {
 
@@ -35,6 +39,32 @@ object Multimodal {
       val first = if (n > 0) bytes(0) & 0xff else 0
       val mime = if (first % 2 == 0) "image/png" else "image/jpeg"
       (mime, 16 + (n % 640), 16 + ((n / 7) % 480))
+    }
+  }
+
+  /** Real image metadata via the JDK's javax.imageio: sniffs the registered
+    * reader for the byte stream and reads mime + dimensions from the HEADER
+    * (no full pixel decode). Non-image payloads fall back to the
+    * deterministic stub so the operator stays total. */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): (String, Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val mimes = r.getOriginatingProvider.getMIMETypes
+            val mime = if (mimes != null && mimes.nonEmpty) mimes(0)
+                       else "application/octet-stream"
+            (mime, r.getWidth(0), r.getHeight(0))
+          } finally r.dispose()
+        } else StubDecoder.decode(bytes)
+      } catch {
+        case _: Exception => StubDecoder.decode(bytes) // corrupt header
+      } finally iis.close()
     }
   }
 

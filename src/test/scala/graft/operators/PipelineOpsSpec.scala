@@ -210,6 +210,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(meta.getAs[Long]("n_bytes") > 0)
   }
 
+  test("ImageIoDecoder reads real PNG/JPEG headers, falls back on non-images") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, png(17, 23)),
+      (2L, png(640, 480)),
+      (3L, "definitely not an image".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val out = Multimodal.decodeMeta(media, "media", Multimodal.ImageIoDecoder)
+      .select($"doc_id", $"media_meta.mime", $"media_meta.width", $"media_meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("image/png", 17, 23)))
+    assert(out(2L) == (("image/png", 640, 480)))
+    assert(out(3L)._1.startsWith("image/")) // deterministic stub fallback
+  }
+
   test("multimodal resize and feature extraction plumbing") {
     val media = docs.limit(10).select($"doc_id", encode($"text", "UTF-8").as("media"))
     val resized = Multimodal.resize(media, "media", targetBytes = 32)
