@@ -110,6 +110,53 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL image resize on the JDK: decode (javax.imageio), scale the longest
+    * side down to `maxDim` preserving aspect (bilinear, headless-safe
+    * BufferedImage drawing), re-encode PNG. Non-image/corrupt payloads pass
+    * through unchanged (total operator; filter on `media_meta.mime` first
+    * to route). Iterator-to-iterator like the rest — constant task memory
+    * beyond one decoded frame. */
+  def resizeImage(df: DataFrame, binCol: String, maxDim: Int): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(s"${binCol}_resized", BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val out: Array[Byte] =
+          if (bytes == null) null
+          else {
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) bytes // not an image: pass through
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val scale = maxDim.toDouble / math.max(w, h)
+                if (scale >= 1.0) bytes // already small enough
+                else {
+                  val (nw, nh) = (math.max(1, (w * scale).round.toInt),
+                    math.max(1, (h * scale).round.toInt))
+                  val scaled = new java.awt.image.BufferedImage(nw, nh,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = scaled.createGraphics()
+                  try {
+                    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(img, 0, 0, nw, nh, null)
+                  } finally g.dispose()
+                  val buf = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(scaled, "png", buf)
+                  buf.toByteArray
+                }
+              }
+            } catch { case _: Exception => bytes }
+          }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(encoder)
+  }
+
   /** Feature-extraction stub: real codecs produce an embedding per blob;
     * here a deterministic `dim`-float vector is derived from byte windows
     * so downstream ANN/dedup plumbing (array<float> schema, batching) is

@@ -229,6 +229,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L)._1.startsWith("image/")) // deterministic stub fallback
   }
 
+  test("resizeImage scales real images and passes through non-images") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, png(100, 60)), // downscale to 50x30
+      (2L, png(20, 10)),  // already under maxDim: untouched bytes
+      (3L, "plain text".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val out = Multimodal.resizeImage(media, "media", maxDim = 50)
+    val meta = Multimodal.decodeMeta(
+        out.select($"doc_id", $"media_resized".as("media")), "media",
+        Multimodal.ImageIoDecoder)
+      .select($"doc_id", $"media_meta.width", $"media_meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(meta(1L) == ((50, 30)))
+    assert(meta(2L) == ((20, 10)))
+    val passthrough = out.where($"doc_id" === 3).select("media_resized")
+      .head().getAs[Array[Byte]](0)
+    assert(new String(passthrough, "UTF-8") == "plain text")
+  }
+
   test("multimodal resize and feature extraction plumbing") {
     val media = docs.limit(10).select($"doc_id", encode($"text", "UTF-8").as("media"))
     val resized = Multimodal.resize(media, "media", targetBytes = 32)
