@@ -271,6 +271,42 @@ object SparkEntry {
           round(call_function("st_x", col("geometry")), 4).as("gx"))
     }),
 
+    // DSv2 read paths under the gate: derive documents from customer, write
+    // them to disk, read back through the registered formats (with a pushed
+    // string filter), and verify the flattened result against plain SQL.
+    "q_xml_dsv2" -> ((spark, dir) => {
+      init(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xml-gate").toString
+      spark.sql(
+        """SELECT concat('<docs>', concat_ws('', collect_list(
+          |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING), '</nk></rec>'))),
+          |  '</docs>') AS doc
+          |FROM customer""".stripMargin)
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      spark.read.format("graft-xml")
+        .option("recordTag", "rec").option("columns", "name,nk")
+        .load(tmp)
+        .where(col("nk") === "3")
+        .select("name", "nk")
+    }),
+    "q_geojson_dsv2" -> ((spark, dir) => {
+      init(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gj-gate").toString
+      spark.sql(
+        s"""SELECT concat('{"type":"Feature","properties":{"name":"', c_name,
+           |  '","nk":"', CAST(c_nationkey AS STRING),
+           |  '"},"geometry":{"type":"Point","coordinates":[', CAST($CX AS STRING), ',',
+           |  CAST($CY AS STRING), ']}}') AS j
+           |FROM customer""".stripMargin)
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      spark.read.format("graft-geojson")
+        .option("multiLine", "false").option("columns", "name,nk")
+        .load(tmp)
+        .where(col("nk") === "3")
+        .select(col("name"), col("nk"),
+          round(call_function("st_x", col("geometry")), 4).as("gx"))
+    }),
+
     // -------------------------------------------- LLM-data-pipeline surface
     "q_dedup_exact" -> ((spark, dir) => {
       init(spark, dir)
@@ -584,6 +620,10 @@ object SparkEntry {
     "q_xml_flatten" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nation_str, CAST(c_acctbal AS VARCHAR) AS bal_str, round($CX, 4) AS gx FROM customer",
 
+    "q_xml_dsv2" ->
+      "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 3",
+    "q_geojson_dsv2" ->
+      s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 3",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     // Exact all-pairs 5-shingle Jaccard ≥ 0.5. Equals the LSH+refine result

@@ -49,7 +49,11 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
           case null => Seq.empty
           case arr  => arr.toSeq
         }
-      stats.filter(_.isFile).map(_.getPath.toString)
+      // skip hidden/metadata files (_SUCCESS, .crc) so directories written
+      // by Spark itself are readable
+      stats.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
     }
   }
 
