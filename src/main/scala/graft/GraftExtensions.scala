@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     Graft.functionDescriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.SpatialJoinRewrite())
+    // runs before V2 scan planning here → rewrites DataSourceV2Relation options
+    ext.injectOptimizerRule(_ => graft.plans.SpatialFilterPushdown())
   }
 }
 
@@ -153,9 +155,13 @@ object Graft {
     functionDescriptions.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
     }
-    val rule = graft.plans.SpatialJoinRewrite()
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.SpatialJoinRewrite]))
-      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ rule
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite()
+    // runs after V2 scan planning here → tightens the already-built scan
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.SpatialFilterPushdown]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SpatialFilterPushdown()
   }
 
   /** Result of [[processQuery]]: the frame, plus — when the query projects

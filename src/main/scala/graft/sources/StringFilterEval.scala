@@ -16,6 +16,9 @@ private[sources] object StringFilterEval {
     * spatial-selection semantics, mirroring the reference pushing
     * geo:within/intersects into its backend query). */
   def bboxPredicate(spec: String): Option[Array[Byte]] => Boolean = {
+    // sentinel written by SpatialFilterPushdown when the WHERE clause's
+    // spatial constraints are provably unsatisfiable (disjoint envelopes)
+    if (spec == "empty") return _ => false
     val parts = spec.split(",").map(_.trim.toDouble)
     require(parts.length == 4, s"bbox must be 'x0,y0,x1,y1', got: $spec")
     val env = new org.locationtech.jts.geom.Envelope(parts(0), parts(2), parts(1), parts(3))

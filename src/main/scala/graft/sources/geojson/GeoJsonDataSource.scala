@@ -1,6 +1,6 @@
 package graft.sources.geojson
 
-import graft.sources.{GeoJsonSource, StringFilterEval}
+import graft.sources.{DocFiles, GeoJsonSource, StringFilterEval}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -38,40 +38,13 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def listFiles(paths: Seq[String]): Seq[String] = {
-    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val stats =
-        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
-        else fs.globStatus(path) match {
-          case null => Seq.empty
-          case arr  => arr.toSeq
-        }
-      // skip hidden/metadata files (_SUCCESS, .crc) so directories written
-      // by Spark itself are readable
-      stats.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        .map(_.getPath.toString)
-    }
-  }
-
-  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val multi = Option(options.get("paths")).map { js =>
-      js.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-    }
-    multi.getOrElse(Option(options.get("path")).toSeq)
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     Option(options.get("columns")) match {
       case Some(cols) =>
         GeoJsonDataSource.schemaFor(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case None =>
         val multiLine = Option(options.get("multiLine")).forall(_.toBoolean)
-        val sample = listFiles(pathsOf(options)).take(8) // bounded inference
+        val sample = DocFiles.listFiles(DocFiles.pathsOf(options)).take(8) // bounded inference
         val keys = scala.collection.mutable.SortedSet.empty[String]
         sample.foreach { f =>
           GeoJsonDataSource.documents(f, multiLine).foreach { json =>
@@ -85,7 +58,7 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new GeoJsonTable(schema, properties.asScala.toMap,
-      listFiles(pathsOf(new CaseInsensitiveStringMap(properties))))
+      DocFiles.listFiles(DocFiles.pathsOf(new CaseInsensitiveStringMap(properties))))
 }
 
 object GeoJsonDataSource {
@@ -111,14 +84,16 @@ object GeoJsonDataSource {
 }
 
 private class GeoJsonTable(schema: StructType, properties: Map[String, String],
-                           files: Seq[String]) extends Table with SupportsRead {
+                           files: Seq[String]) extends Table with SupportsRead
+    with graft.sources.GraftSpatialTable {
   override def name(): String = s"graft-geojson(${files.length} files)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
+  // per-scan options win (SpatialFilterPushdown injects a derived `bbox`)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoJsonScanBuilder(schema, options.asScala.toMap ++ properties, files)
+    new GeoJsonScanBuilder(schema, properties ++ options.asScala.toMap, files)
 }
 
 private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String],
@@ -139,21 +114,28 @@ private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
-    override def description(): String =
-      s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
-        options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
+  override def build(): Scan = GeoJsonScan(required, options, files, pushed)
+}
 
-    override def planInputPartitions(): Array[InputPartition] =
-      files.map(f => GeoJsonInputPartition(f): InputPartition).toArray
+private[graft] case class GeoJsonScan(required: StructType, options: Map[String, String],
+                                      files: Seq[String], pushed: Array[Filter])
+  extends Scan with Batch with graft.sources.GraftSpatialScan {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
+      options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      GeoJsonReaderFactory(required,
-        options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
-        pushed, options.get("bbox"))
-  }
+  override def bboxSpec: Option[String] = options.get("bbox")
+  override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => GeoJsonInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeoJsonReaderFactory(required,
+      options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
+      pushed, options.get("bbox"))
 }
 
 private case class GeoJsonInputPartition(file: String) extends InputPartition

@@ -1,6 +1,6 @@
 package graft.sources.xml
 
-import graft.sources.Xml
+import graft.sources.{DocFiles, Xml}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -35,40 +35,13 @@ class XmlDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def listFiles(paths: Seq[String]): Seq[String] = {
-    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val stats =
-        if (fs.getFileStatus(path).isDirectory) fs.listStatus(path).toSeq
-        else fs.globStatus(path) match {
-          case null => Seq.empty
-          case arr  => arr.toSeq
-        }
-      // skip hidden/metadata files (_SUCCESS, .crc) so directories written
-      // by Spark itself are readable
-      stats.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        .map(_.getPath.toString)
-    }
-  }
-
-  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val multi = Option(options.get("paths")).map { js =>
-      // Spark encodes .load(p1, p2, …) as a JSON array in "paths"
-      js.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-    }
-    multi.getOrElse(Option(options.get("path")).toSeq)
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     Option(options.get("columns")) match {
       case Some(cols) =>
         XmlDataSource.schemaFor(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case None =>
         val recordTag = Option(options.get("recordTag"))
-        val sample = listFiles(pathsOf(options)).take(8) // bounded inference
+        val sample = DocFiles.listFiles(DocFiles.pathsOf(options)).take(8) // bounded inference
         val keys = scala.collection.mutable.SortedSet.empty[String]
         sample.foreach { f =>
           val doc = XML.load(f)
@@ -84,7 +57,7 @@ class XmlDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new XmlTable(schema, properties.asScala.toMap,
-      listFiles(pathsOf(new CaseInsensitiveStringMap(properties))))
+      DocFiles.listFiles(DocFiles.pathsOf(new CaseInsensitiveStringMap(properties))))
 }
 
 object XmlDataSource {
@@ -98,14 +71,18 @@ object XmlDataSource {
 }
 
 private class XmlTable(schema: StructType, properties: Map[String, String],
-                       files: Seq[String]) extends Table with SupportsRead {
+                       files: Seq[String]) extends Table with SupportsRead
+    with graft.sources.GraftSpatialTable {
   override def name(): String = s"graft-xml(${files.length} files)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
+  // per-scan options win: SpatialFilterPushdown injects a derived `bbox`
+  // into the relation options, which must not be clobbered by the
+  // table-creation copy of the user options
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XmlScanBuilder(schema, options.asScala.toMap ++ properties, files)
+    new XmlScanBuilder(schema, properties ++ options.asScala.toMap, files)
 }
 
 private class XmlScanBuilder(schema: StructType, options: Map[String, String],
@@ -133,19 +110,26 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
-    override def description(): String =
-      s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
-        options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
+  override def build(): Scan = XmlScan(required, options, files, pushed)
+}
 
-    override def planInputPartitions(): Array[InputPartition] =
-      files.map(f => XmlInputPartition(f): InputPartition).toArray
+private[graft] case class XmlScan(required: StructType, options: Map[String, String],
+                                  files: Seq[String], pushed: Array[Filter])
+  extends Scan with Batch with graft.sources.GraftSpatialScan {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
+      options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      XmlReaderFactory(required, options.get("recordTag"), pushed, options.get("bbox"))
-  }
+  override def bboxSpec: Option[String] = options.get("bbox")
+  override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => XmlInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    XmlReaderFactory(required, options.get("recordTag"), pushed, options.get("bbox"))
 }
 
 private case class XmlInputPartition(file: String) extends InputPartition

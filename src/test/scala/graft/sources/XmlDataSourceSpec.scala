@@ -105,6 +105,19 @@ class XmlDataSourceSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("bbox: [0,0,2,3]"))
   }
 
+  test("glob paths resolve (load(dir/*.xml))") {
+    val df = spark.read.format("graft-xml").option("recordTag", "feature")
+      .load(s"$dir/*.xml")
+    assert(df.count() == 3)
+    val geo = spark.read.format("graft-geojson").option("columns", "name")
+      .load(s"$dir/*.nomatch")
+    assert(geo.count() == 0) // glob matching nothing = empty, not an error
+    intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft-xml").option("columns", "name")
+        .load(s"$dir/missing-literal-path").count()
+    }
+  }
+
   test("SQL over the source: spatial filter composes") {
     spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
       .createOrReplaceTempView("xml_features")
