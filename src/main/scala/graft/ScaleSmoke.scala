@@ -109,6 +109,22 @@ object ScaleSmoke {
     time("IVF top-10 (nprobe=4)") {
       operators.Ivf.topK(spark, ivfDir, "vec_id", "embedding", q0, k = 10, nprobe = 4).count()
     }
+
+    // IVF at scale-realistic parameters: 1M vectors, k=512, training bounded
+    // to a 50k sample — train cost is independent of corpus size (the 20×
+    // corpus growth shows up only in the linear assignment+write pass), and
+    // a probe touches nprobe/k = 4/512 ≈ 0.8% of the corpus.
+    val embs200 = embs.withColumn("__r", explode(lit((0 until 200).toArray)))
+      .select((col("vec_id") + col("__r").cast("long") * 1000000L).as("vec_id"),
+        col("embedding"))
+    val ivfBig = java.nio.file.Files.createTempDirectory("scale-ivf-big").toString
+    time("IVF train+write 1M vectors, k=512 (50k-sample train)") {
+      operators.Ivf.writeIndexed(embs200, "vec_id", "embedding", ivfBig,
+        k = 512, maxIter = 3, trainSampleSize = 50000)
+    }
+    time("IVF top-10 over 1M (nprobe=4 of 512)") {
+      operators.Ivf.topK(spark, ivfBig, "vec_id", "embedding", q0, k = 10, nprobe = 4).count()
+    }
     spark.stop()
   }
 }

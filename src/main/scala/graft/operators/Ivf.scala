@@ -14,16 +14,34 @@ import org.apache.spark.sql.functions._
   * pass. Training uses Spark MLlib k-means on unit-normalized vectors
   * (Euclidean on the unit sphere ≡ spherical k-means ≡ cosine routing)
   * with a fixed seed — the index is deterministic for a given corpus.
+  *
+  * Scale shape (100 TB): training runs on a bounded random sample (k-means
+  * cost is independent of corpus size), `k` defaults to ≈√n so the
+  * partition count grows with the corpus, and any cluster the data skews
+  * into is sub-split at `maxPartitionRows` so no single directory becomes
+  * a multi-TB partition. Probe cost stays ∝ nprobe/k of the corpus.
   */
 object Ivf {
 
   private val CentroidDir = "_graft_centroids" // _-prefix: invisible to readers
 
-  /** Trains k centroids and writes the corpus partitioned by nearest
+  /** Trains centroids and writes the corpus partitioned by nearest
     * centroid. `path` gets the data partitions plus a `_graft_centroids`
-    * parquet (ignored by `spark.read.parquet(path)` scans). */
+    * parquet (ignored by `spark.read.parquet(path)` scans).
+    *
+    * @param k     centroid count; 0 (default) = auto ≈ √n, clamped to
+    *              [16, 4096]
+    * @param trainSampleSize  k-means trains on a random sample of about
+    *              this many vectors (never less than 10·k expected) —
+    *              training cost is bounded regardless of corpus size
+    * @param maxPartitionRows clusters larger than this are hash-sub-split
+    *              into `subpart` partitions of at most about this many
+    *              rows, so skewed corpora cannot produce giant partitions
+    */
   def writeIndexed(df: DataFrame, idCol: String, vecCol: String, path: String,
-                   k: Int = 64, maxIter: Int = 10): Unit = {
+                   k: Int = 0, maxIter: Int = 10,
+                   trainSampleSize: Int = 100000,
+                   maxPartitionRows: Long = 1000000L): Unit = {
     val spark = df.sparkSession
     Graft.register(spark)
     import org.apache.spark.ml.clustering.KMeans
@@ -37,13 +55,45 @@ object Ivf {
           s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))"))
       .withColumn("__unit", expr(
         s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
-    val feats = unit.withColumn("__features", array_to_vector(col("__unit")))
-    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(42L)
+      .withColumn("__features", array_to_vector(col("__unit")))
+
+    val n = df.count()
+    require(n > 0, "cannot index an empty corpus")
+    val effectiveK = {
+      val auto = if (k > 0) k.toLong else math.round(math.sqrt(n.toDouble)).max(16L).min(4096L)
+      auto.min(n).toInt
+    }
+
+    // bounded training sample: k-means cost must not scale with the corpus
+    val target = math.max(trainSampleSize.toLong, 10L * effectiveK)
+    val trainSet =
+      if (n <= target) unit
+      else unit.sample(withReplacement = false, fraction = math.min(1.0, target.toDouble / n), seed = 42L)
+    val model = new KMeans().setK(effectiveK).setMaxIter(maxIter).setSeed(42L)
       .setFeaturesCol("__features").setPredictionCol("cluster")
-      .fit(feats)
-    model.transform(feats)
+      .fit(trainSet)
+
+    val assigned = model.transform(unit)
       .drop("__norm", "__unit", "__features")
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+    // skew cap: clusters past maxPartitionRows split into hash sub-partitions
+    // (bounded collect: one count per centroid)
+    val counts = assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nsub = counts.map { case (c, cnt) =>
+      c -> math.max(1L, (cnt + maxPartitionRows - 1) / maxPartitionRows).toInt
+    }
+    val anySplit = nsub.values.exists(_ > 1)
+    val withSub =
+      if (!anySplit) assigned.withColumn("subpart", lit(0))
+      else {
+        import spark.implicits._
+        val subDf = broadcast(nsub.toSeq.toDF("cluster", "__nsub"))
+        assigned.join(subDf, "cluster")
+          .withColumn("subpart", pmod(hash(col(idCol)), col("__nsub")))
+          .drop("__nsub")
+      }
+    withSub.write.mode("overwrite").partitionBy("cluster", "subpart").parquet(path)
 
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
