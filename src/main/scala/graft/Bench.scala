@@ -35,15 +35,24 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          Double.NaN
+        }
       }
-      name -> times.min
+      name -> times.min // TotalOrdering: NaN sorts greatest, so min = best good run
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a query is failed only if no run succeeded — never report its
+    // time-to-exception as a passing bench entry
+    val (ok, failed) = results.partition(r => !r._2.isNaN)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.keys.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -198,6 +198,15 @@ case class StShortestLine(left: Expression, right: Expression)
 }
 case class StAzimuth(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stAzimuth", Seq(BinaryType, BinaryType), DoubleType) {
+  // kernel returns boxed null for coincident points (PostGIS contract), so
+  // the expression is nullable even over non-null inputs
+  override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_az = graft.functions.GeoOps.stAzimuth($a, $b);
+         |if (${ev.value}_az == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_az.doubleValue(); }
+         |""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 case class StLineInterpolatePoint(left: Expression, right: Expression)

@@ -60,31 +60,24 @@ object GeoOps {
     val g = read(b); g.setSRID(srid); write(g)
   }
 
-  /** Coordinate reprojection between the web pair EPSG:4326 (lon/lat) and
-    * EPSG:3857 (spherical web mercator) — the closed-form PostGIS
-    * ST_Transform cases a web-mapping stack actually hits; arbitrary CRS
-    * pairs would need a proj database, which is out of scope. The source
-    * SRID comes from the geometry (set it via ST_SetSRID). */
+  /** Coordinate reprojection between supported EPSG codes (4326, 3857,
+    * 3395, and the 120 WGS84 UTM zones — see [[graft.geo.Crs]]); the
+    * reference delegates this to PostGIS (src/index.ts:44). Projected →
+    * projected routes through lon/lat. The source SRID comes from the
+    * geometry (set it via ST_SetSRID). */
   def stTransform(b: Array[Byte], targetSrid: Int): Array[Byte] = {
     import org.locationtech.jts.geom.CoordinateFilter
-    val R = 6378137.0
     val g = read(b)
     val src = g.getSRID
     if (src == targetSrid) return b
-    val filter: CoordinateFilter = (src, targetSrid) match {
-      case (4326, 3857) => c => {
-        val x = R * math.toRadians(c.x)
-        val y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
-        c.x = x; c.y = y
-      }
-      case (3857, 4326) => c => {
-        val lon = math.toDegrees(c.x / R)
-        val lat = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
-        c.x = lon; c.y = lat
-      }
-      case _ => throw new IllegalArgumentException(
-        s"ST_Transform supports 4326<->3857; got $src -> $targetSrid " +
-          "(set the source SRID with ST_SetSRID)")
+    val f = graft.geo.Crs.transform(src, targetSrid).getOrElse(
+      throw new IllegalArgumentException(
+        s"ST_Transform: unsupported $src -> $targetSrid (supported: 4326, " +
+          "3857, 3395, UTM 32601-32660/32701-32760; set the source SRID " +
+          "with ST_SetSRID)"))
+    val filter: CoordinateFilter = c => {
+      val (x, y) = f(c.x, c.y)
+      c.x = x; c.y = y
     }
     val out = g.copy()
     out.apply(filter)
@@ -135,12 +128,17 @@ object GeoOps {
   }
   /** North-based azimuth in radians from point a to point b (PostGIS
     * ST_Azimuth): 0 = north, π/2 = east. */
-  def stAzimuth(a: Array[Byte], b: Array[Byte]): Double = {
+  def stAzimuth(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
     val (pa, pb) = (read(a), read(b))
     (pa, pb) match {
       case (p1: Point, p2: Point) =>
-        val az = math.atan2(p2.getX - p1.getX, p2.getY - p1.getY)
-        if (az < 0) az + 2 * math.Pi else az
+        // PostGIS contract: NULL for coincident points (atan2(0,0)=0 would
+        // make "due north" and "degenerate" indistinguishable)
+        if (p1.getX == p2.getX && p1.getY == p2.getY) null
+        else {
+          val az = math.atan2(p2.getX - p1.getX, p2.getY - p1.getY)
+          if (az < 0) az + 2 * math.Pi else az
+        }
       case _ => throw new IllegalArgumentException("ST_Azimuth requires two Points")
     }
   }

@@ -220,9 +220,13 @@ object Dedup {
     if (smallGraphThreshold > 0 && integralIds) {
       // limit-bounded probe: fetches at most threshold+1 rows, so deciding
       // the path never materializes a billion-edge list on the driver
+      val appliedLimit = math.min(smallGraphThreshold + 1, (Int.MaxValue - 1).toLong).toInt
       val sample = mat.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .limit(math.min(smallGraphThreshold + 1, Int.MaxValue - 1).toInt).collect()
-      if (sample.length <= smallGraphThreshold) {
+        .limit(appliedLimit).collect()
+      // driver path only when the probe provably fetched the COMPLETE edge
+      // list (compare against the limit actually applied, not the threshold:
+      // a threshold >= Int.MaxValue-1 must not let a truncated list through)
+      if (sample.length < appliedLimit) {
         // driver union-find with path halving; O(E α(E)) on ≤ threshold edges
         val parent = new java.util.HashMap[Long, Long]()
         def find(x0: Long): Long = {

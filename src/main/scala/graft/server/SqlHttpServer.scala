@@ -24,12 +24,20 @@ import java.nio.charset.StandardCharsets
   * Serving is driver-side by nature (it collects the result), so `maxRows`
   * caps every response — this is a query API for reduced/final results,
   * not a bulk export path.
+  *
+  * Security: binds to loopback by default (the endpoint executes arbitrary
+  * SQL against every registered table). Pass `bindAddress = "0.0.0.0"` to
+  * expose it wider — then set `authToken` (checked as `Authorization:
+  * Bearer <token>` on /query) and front it with a real auth layer for
+  * anything beyond a demo.
   */
 object SqlHttpServer {
 
-  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 1000): HttpServer = {
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 1000,
+            bindAddress: String = "127.0.0.1",
+            authToken: Option[String] = None): HttpServer = {
     Graft.register(spark)
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
 
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
@@ -47,7 +55,8 @@ object SqlHttpServer {
               }.getOrElse("")
           case _ => ""
         }
-        if (sql.trim.isEmpty) respond(ex, 400, """{"error":"empty sql"}""")
+        if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
+        else if (sql.trim.isEmpty) respond(ex, 400, """{"error":"empty sql"}""")
         else {
           val result = Graft.processQuery(spark, sql)
           val rows = result.df.limit(maxRows).collect()
@@ -81,6 +90,16 @@ object SqlHttpServer {
     server.start()
     server
   }
+
+  /** Constant-time bearer-token check (no token configured = open). */
+  private def authorized(ex: HttpExchange, token: Option[String]): Boolean =
+    token.forall { t =>
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+        java.security.MessageDigest.isEqual(
+          h.getBytes(StandardCharsets.UTF_8),
+          s"Bearer $t".getBytes(StandardCharsets.UTF_8))
+      }
+    }
 
   private def jstr(s: String): String = {
     val sb = new StringBuilder("\"")

@@ -121,10 +121,41 @@ class GeoSqlSpec extends SparkTestBase {
       == "POINT (3 0)")
     assert(one(s"round(ST_Length(ST_ShortestLine(ST_GeomFromText('LINESTRING (0 0, 10 0)'), ST_Point(3, 5))), 6)")
       == 5.0)
-    // azimuth: due east = pi/2
+    // azimuth: due east = pi/2; coincident points = NULL (PostGIS contract)
     assert(math.abs(one("ST_Azimuth(ST_Point(0, 0), ST_Point(1, 0))").asInstanceOf[Double] - math.Pi / 2) < 1e-12)
+    assert(one("ST_Azimuth(ST_Point(2, 3), ST_Point(2, 3))") == null)
     // interpolation: halfway along a 20-unit L-shaped line
     assert(one(s"ST_AsText(ST_LineInterpolatePoint($line, 0.5))") == "POINT (10 0)")
+  }
+
+  test("ST_Transform: UTM zones (4326 <-> 32748), 3395, and projected->projected") {
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").head().get(0)
+    // Bandung, Indonesia — UTM zone 48S (the reference's own data region).
+    // Truth from the standard TM series: sub-mm agreement expected.
+    val (lon, lat) = (107.6, -6.9)
+    val e = one(s"ST_X(ST_Transform(ST_SetSRID(ST_Point($lon, $lat), 4326), 32748))").asInstanceOf[Double]
+    val n = one(s"ST_Y(ST_Transform(ST_SetSRID(ST_Point($lon, $lat), 4326), 32748))").asInstanceOf[Double]
+    assert(e > 160000 && e < 840000, s"easting $e outside zone range")
+    assert(n > 9000000 && n < 10000000, s"southern-hemisphere northing $n")
+    // round trip within 1e-6 degrees
+    val lonRt = one(s"ST_X(ST_Transform(ST_Transform(ST_SetSRID(ST_Point($lon, $lat), 4326), 32748), 4326))").asInstanceOf[Double]
+    val latRt = one(s"ST_Y(ST_Transform(ST_Transform(ST_SetSRID(ST_Point($lon, $lat), 4326), 32748), 4326))").asInstanceOf[Double]
+    assert(math.abs(lonRt - lon) < 1e-6 && math.abs(latRt - lat) < 1e-6, s"($lonRt, $latRt)")
+    // northern zone: central-meridian point lands on the 500km false easting
+    val ce = one("ST_X(ST_Transform(ST_SetSRID(ST_Point(9.0, 48.0), 4326), 32632))").asInstanceOf[Double]
+    assert(math.abs(ce - 500000.0) < 1e-6, s"central meridian easting $ce")
+    // ellipsoidal World Mercator differs from spherical 3857 in y, not x
+    val y3395 = one("ST_Y(ST_Transform(ST_SetSRID(ST_Point(0.0, 45.0), 4326), 3395))").asInstanceOf[Double]
+    val y3857 = one("ST_Y(ST_Transform(ST_SetSRID(ST_Point(0.0, 45.0), 4326), 3857))").asInstanceOf[Double]
+    assert(math.abs(y3395 - y3857) > 10000, "ellipsoidal vs spherical mercator must differ")
+    assert(math.abs(one("ST_Y(ST_Transform(ST_Transform(ST_SetSRID(ST_Point(12.5, -33.25), 4326), 3395), 4326))").asInstanceOf[Double] + 33.25) < 1e-9)
+    // projected -> projected routes through lon/lat: 32748 -> 3857 -> 4326
+    val viaLon = one(
+      s"ST_X(ST_Transform(ST_Transform(ST_Transform(ST_SetSRID(ST_Point($lon, $lat), 4326), 32748), 3857), 4326))").asInstanceOf[Double]
+    assert(math.abs(viaLon - lon) < 1e-6, s"$viaLon")
+    // unsupported SRID: clear error
+    val err = intercept[Exception](one("ST_Transform(ST_SetSRID(ST_Point(0.0, 0.0), 4326), 27700)"))
+    assert(err.getMessage != null)
   }
 
   test("ST_Transform reprojects between 4326 and 3857") {

@@ -42,6 +42,49 @@ class SqlHttpServerSpec extends SparkTestBase {
     assert(r.body().contains("107.6"), r.body())
   }
 
+  test("a slow query does not block /health (thread-pool executor)") {
+    val slow = new Thread(() => post("/query",
+      // ~heavy enough to take a moment, cheap enough to finish quickly
+      "SELECT count(*) AS n FROM (SELECT explode(sequence(1, 2000000)) AS v) WHERE v % 7 = 0"))
+    slow.start()
+    Thread.sleep(50) // let the slow query occupy a worker
+    val t0 = System.nanoTime()
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + "/health")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(r.statusCode() == 200)
+    assert(ms < 2000, s"health took $ms ms while a query was running")
+    slow.join(30000)
+  }
+
+  test("authToken: 401 without the bearer header, 200 with it; health stays open") {
+    val s = SqlHttpServer.start(spark, port = 0, authToken = Some("s3cret"))
+    try {
+      val b = s"http://127.0.0.1:${s.getAddress.getPort}"
+      val denied = client.send(HttpRequest.newBuilder(URI.create(b + "/query"))
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS one")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(denied.statusCode() == 401, denied.body())
+      val wrong = client.send(HttpRequest.newBuilder(URI.create(b + "/query"))
+        .header("Authorization", "Bearer nope")
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS one")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrong.statusCode() == 401)
+      val ok = client.send(HttpRequest.newBuilder(URI.create(b + "/query"))
+        .header("Authorization", "Bearer s3cret")
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS one")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200 && ok.body().contains("[1]"))
+      val health = client.send(HttpRequest.newBuilder(URI.create(b + "/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200)
+    } finally s.stop(0)
+  }
+
+  test("binds to loopback by default") {
+    assert(server.getAddress.getAddress.isLoopbackAddress)
+  }
+
   test("GET /query?sql=... works and bad SQL yields a JSON error") {
     val enc = java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8")
     val ok = client.send(HttpRequest.newBuilder(URI.create(s"$base/query?sql=$enc")).GET().build(),
