@@ -221,6 +221,21 @@ object SparkEntry {
          |                '), (', CAST($CX AS STRING), ' ', CAST($CY + 2.0 AS STRING), '))'))))), 2) AS sum_hull_area
          |FROM customer
          |WHERE ST_Area(ST_Buffer($PT, 2.0)) BETWEEN 12.0 AND 12.6""".stripMargin),
+    // UTM reprojection (zone 48S = EPSG:32748, the reference's Indonesian
+    // data region): forward easting/northing at cm rounding, plus the
+    // round trip back to lon/lat at 1e-6° — the oracle recomputes the
+    // forward Snyder series in plain SQL and echoes the inputs
+    "q_st_transform" -> sql(
+      s"""SELECT c_custkey,
+         |       floor(ST_X(utm) * 100 + 0.5) / 100 AS easting,
+         |       floor(ST_Y(utm) * 100 + 0.5) / 100 AS northing,
+         |       floor(ST_X(ST_Transform(utm, 4326)) * 1000000 + 0.5) / 1000000 AS lon_rt,
+         |       floor(ST_Y(ST_Transform(utm, 4326)) * 1000000 + 0.5) / 1000000 AS lat_rt
+         |FROM (SELECT c_custkey,
+         |        ST_Transform(ST_SetSRID(ST_Point(
+         |          105.0 + CAST(c_custkey % 300 AS DOUBLE) / 100.0,
+         |          -7.0 + CAST(c_custkey % 500 AS DOUBLE) / 100.0), 4326), 32748) AS utm
+         |      FROM customer) t""".stripMargin),
     "q_wkt_roundtrip" -> sql(
       s"""SELECT c_custkey,
          |       round(ST_X(ST_GeomFromText(concat('POINT (', CAST($CX AS STRING), ' ', CAST($CY AS STRING), ')'))), 4) AS x2,
@@ -602,6 +617,33 @@ object SparkEntry {
       "SELECT c_nationkey, round(CAST(count(DISTINCT (c_custkey % 50) * 1000 + (c_custkey % 23)) AS DOUBLE), 2) AS area FROM customer GROUP BY c_nationkey",
     "q_st_buffer_union" ->
       "SELECT count(*) AS n_buffer_ok, round(count(*) * 6.0, 2) AS sum_union_area, round(count(*) * 2.0, 2) AS sum_hull_area FROM customer",
+    // forward Snyder transverse-Mercator series (USGS PP 1395 eq. 8-9) in
+    // plain SQL; round trip echoes the inputs (the engine's inverse must
+    // undo its forward to 1e-6°, which the easting/northing columns pin)
+    "q_st_transform" ->
+      """SELECT c_custkey,
+        | floor((500000.0 + 0.9996*nn*(aa + (1-tt+cc)*aa*aa*aa/6 + (5-18*tt+tt*tt+72*cc-58*ep2)*aa*aa*aa*aa*aa/120))*100 + 0.5)/100 AS easting,
+        | floor((10000000.0 + 0.9996*(mm + nn*tan(phi)*(aa*aa/2 + (5-tt+9*cc+4*cc*cc)*aa*aa*aa*aa/24 + (61-58*tt+tt*tt+600*cc-330*ep2)*aa*aa*aa*aa*aa*aa/720)))*100 + 0.5)/100 AS northing,
+        | floor(lon*1000000 + 0.5)/1000000 AS lon_rt,
+        | floor(lat*1000000 + 0.5)/1000000 AS lat_rt
+        |FROM (
+        | SELECT c_custkey, lon, lat, phi, e2, ep2,
+        |   6378137.0/sqrt(1 - e2*sin(phi)*sin(phi)) AS nn,
+        |   tan(phi)*tan(phi) AS tt,
+        |   ep2*cos(phi)*cos(phi) AS cc,
+        |   (radians(lon) - radians(105.0))*cos(phi) AS aa,
+        |   6378137.0*((1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256)*phi
+        |     - (3*e2/8 + 3*e2*e2/32 + 45*e2*e2*e2/1024)*sin(2*phi)
+        |     + (15*e2*e2/256 + 45*e2*e2*e2/1024)*sin(4*phi)
+        |     - (35*e2*e2*e2/3072)*sin(6*phi)) AS mm
+        | FROM (
+        |   SELECT c_custkey, lon, lat, radians(lat) AS phi, e2, e2/(1-e2) AS ep2
+        |   FROM (
+        |     SELECT c_custkey,
+        |       105.0 + CAST(c_custkey % 300 AS DOUBLE)/100.0 AS lon,
+        |       -7.0 + CAST(c_custkey % 500 AS DOUBLE)/100.0 AS lat,
+        |       (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2
+        |     FROM customer)))""".stripMargin,
     "q_wkt_roundtrip" ->
       s"SELECT c_custkey, round($CX, 4) AS x2, concat('POINT (', c_custkey % 10, ' 0)') AS wkt FROM customer",
     "q_geojson_io" ->
