@@ -17,10 +17,14 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.init(spark, "/root/testdata/sf0.1")
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s → $r")
-      r
+    // optional section filter: `runMain graft.ScaleSmoke IVF` runs only the
+    // sections whose label contains the substring
+    val only = args.headOption.getOrElse("")
+    def time[T](label: String)(f: => T): Unit = {
+      if (only.isEmpty || label.contains(only)) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s → $r")
+      }
     }
 
     // 6M-row aggregate (10× lineitem)
@@ -59,8 +63,10 @@ object ScaleSmoke {
     val docs10 = (1 to 10).map(i =>
       docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
         concat(col("text"), lit(s" v$i")).as("text"))).reduce(_ union _)
-    Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8).count()
-    Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8, saltCap = 512).count()
+    if (only.isEmpty || "minhash".contains(only)) {
+      Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8).count()
+      Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8, saltCap = 512).count()
+    }
     time("minhash pairs over 50k docs") {
       Dedup.minhashPairs(docs10, "doc_id", "text", 5, 128, 32, 0.8).count()
     }

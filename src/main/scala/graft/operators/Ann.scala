@@ -131,7 +131,25 @@ object Ann {
       .drop("rn")
   }
 
-  /** LSH top-k: scan only buckets within hamming distance `probes` of the
+  /** All buckets within hamming distance ≤ `probes` of `qBucket` over
+    * `planes` bits — Σ C(planes, i), i ≤ probes buckets, each exactly once
+    * (bit subsets enumerated in increasing-index order). */
+  private[operators] def hammingBall(qBucket: Int, planes: Int, probes: Int): Seq[Int] = {
+    require(planes >= 1 && planes <= 30, s"planes must be in [1,30], got $planes")
+    val p = math.min(math.max(probes, 0), planes)
+    val out = Seq.newBuilder[Int]
+    def walk(start: Int, remaining: Int, acc: Int): Unit = {
+      out += (qBucket ^ acc)
+      if (remaining > 0) {
+        var i = start
+        while (i < planes) { walk(i + 1, remaining - 1, acc | (1 << i)); i += 1 }
+      }
+    }
+    walk(0, p, 0)
+    out.result()
+  }
+
+  /** LSH top-k: scan only buckets within hamming distance ≤ `probes` of the
     * query bucket (multi-probe improves recall without widening buckets). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Float], k: Int,
@@ -141,10 +159,7 @@ object Ann {
     val qBucket = spark.range(1)
       .select(call_function("hyperplane_bucket", typedLit(query), lit(planes)))
       .head().getInt(0)
-    // query bucket + all buckets at hamming distance ≤ probes
-    val candidates: Seq[Int] =
-      if (probes <= 0) Seq(qBucket)
-      else qBucket +: (0 until planes).map(p => qBucket ^ (1 << p))
+    val candidates = hammingBall(qBucket, planes, probes)
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         call_function("hyperplane_bucket", col(vecCol), lit(planes)).as("bucket"))
       .where(col("bucket").isin(candidates: _*))

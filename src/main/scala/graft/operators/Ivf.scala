@@ -49,13 +49,14 @@ object Ivf {
 
     // unit-normalize so Euclidean k-means routes by angle (cosine); norm
     // computed once per vector, not per element
-    val unit = df
+    def featurize(d: DataFrame): DataFrame = d
       .withColumn("__norm", expr(
         s"greatest(sqrt(aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
           s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))"))
       .withColumn("__unit", expr(
         s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
       .withColumn("__features", array_to_vector(col("__unit")))
+    val unit = featurize(df)
 
     val n = df.count()
     require(n > 0, "cannot index an empty corpus")
@@ -64,36 +65,47 @@ object Ivf {
       auto.min(n).toInt
     }
 
-    // bounded training sample: k-means cost must not scale with the corpus
+    // bounded training sample: k-means cost must not scale with the corpus.
+    // Sample the RAW rows, then featurize — sampling above the projection
+    // would normalize the full corpus only to discard most of it.
     val target = math.max(trainSampleSize.toLong, 10L * effectiveK)
-    val trainSet =
-      if (n <= target) unit
-      else unit.sample(withReplacement = false, fraction = math.min(1.0, target.toDouble / n), seed = 42L)
+    val trainSet = featurize(
+      if (n <= target) df
+      else df.sample(withReplacement = false, fraction = math.min(1.0, target.toDouble / n), seed = 42L))
     val model = new KMeans().setK(effectiveK).setMaxIter(maxIter).setSeed(42L)
       .setFeaturesCol("__features").setPredictionCol("cluster")
       .fit(trainSet)
 
+    // persist the assignment: the skew-cap count pass and the write both
+    // consume it, and recomputing means re-running normalization + a
+    // k-centroid predict over the full corpus (spill-safe at scale)
     val assigned = model.transform(unit)
       .drop("__norm", "__unit", "__features")
-
-    // skew cap: clusters past maxPartitionRows split into hash sub-partitions
-    // (bounded collect: one count per centroid)
-    val counts = assigned.groupBy("cluster").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nsub = counts.map { case (c, cnt) =>
-      c -> math.max(1L, (cnt + maxPartitionRows - 1) / maxPartitionRows).toInt
-    }
-    val anySplit = nsub.values.exists(_ > 1)
-    val withSub =
-      if (!anySplit) assigned.withColumn("subpart", lit(0))
-      else {
-        import spark.implicits._
-        val subDf = broadcast(nsub.toSeq.toDF("cluster", "__nsub"))
-        assigned.join(subDf, "cluster")
-          .withColumn("subpart", pmod(hash(col(idCol)), col("__nsub")))
-          .drop("__nsub")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // skew cap: clusters past maxPartitionRows split into hash
+      // sub-partitions (bounded collect: one count per centroid)
+      val counts = assigned.groupBy("cluster").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nsub = counts.map { case (c, cnt) =>
+        c -> math.max(1L, (cnt + maxPartitionRows - 1) / maxPartitionRows).toInt
       }
-    withSub.write.mode("overwrite").partitionBy("cluster", "subpart").parquet(path)
+      val anySplit = nsub.values.exists(_ > 1)
+      val withSub =
+        if (!anySplit) assigned.withColumn("subpart", lit(0))
+        else {
+          import spark.implicits._
+          val subDf = broadcast(nsub.toSeq.toDF("cluster", "__nsub"))
+          assigned.join(subDf, "cluster")
+            .withColumn("subpart", pmod(hash(col(idCol)), col("__nsub")))
+            .drop("__nsub")
+        }
+      // co-locate each (cluster, subpart) in one task before partitionBy:
+      // without this every write task emits a file into every partition dir
+      // (tasks × k small files — the scan-side death of the layout)
+      withSub.repartition(col("cluster"), col("subpart"))
+        .write.mode("overwrite").partitionBy("cluster", "subpart").parquet(path)
+    } finally assigned.unpersist()
 
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))

@@ -29,8 +29,9 @@ object VectorStorage {
   }
 
   /** Approximate top-k over a bucketed corpus: scans only the query bucket
-    * and its hamming-≤1 probe neighbors (when `probes` > 0) via partition
-    * pruning, then exact cosine + top-k inside the pruned set. */
+    * and its hamming-≤`probes` neighbors via partition pruning, then exact
+    * cosine + top-k inside the pruned set. Raising `probes` trades scanned
+    * partitions (Σ C(planes,i), i ≤ probes of 2^planes) for recall. */
   def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
            query: Array[Float], k: Int,
            planes: Int = 8, probes: Int = 1): DataFrame = {
@@ -38,9 +39,7 @@ object VectorStorage {
     val qBucket = spark.range(1)
       .select(call_function("hyperplane_bucket", typedLit(query), lit(planes)))
       .head().getInt(0)
-    val candidates: Seq[Int] =
-      if (probes <= 0) Seq(qBucket)
-      else qBucket +: (0 until planes).map(p => qBucket ^ (1 << p))
+    val candidates = Ann.hammingBall(qBucket, planes, probes)
     spark.read.parquet(path)
       .where(col("bucket").isin(candidates: _*)) // prunes partitions
       .select(col(idCol).as("id"),

@@ -1,6 +1,6 @@
 package graft.sources.geojson
 
-import graft.sources.{DocFiles, GeoJsonSource, StringFilterEval}
+import graft.sources.{AggPushdown, DocFiles, GeoJsonSource, StringFilterEval}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -99,9 +99,10 @@ private class GeoJsonTable(schema: StructType, properties: Map[String, String],
 private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String],
                                  files: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -114,17 +115,32 @@ private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GeoJsonScan(required, options, files, pushed)
+  /** COUNT / COUNT(col) / MIN / MAX (+ GROUP BY) computed on the property
+    * map per file — partial pushdown, Spark combines partition states
+    * (reference pushes COUNT + GROUP BY into its backends:
+    * src/getdata.ts:71-156). */
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val t = AggPushdown.translate(aggregation)
+    agg = t
+    t.isDefined
+  }
+
+  override def build(): Scan = GeoJsonScan(required, options, files, pushed, agg)
 }
 
 private[graft] case class GeoJsonScan(required: StructType, options: Map[String, String],
-                                      files: Seq[String], pushed: Array[Filter])
+                                      files: Seq[String], pushed: Array[Filter],
+                                      agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    agg.map { case (g, s) => AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
-      options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
+      options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
+      agg.map { case (g, s) =>
+        s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
+      }.getOrElse("")
 
   override def bboxSpec: Option[String] = options.get("bbox")
   override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))
@@ -133,15 +149,16 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
     files.map(f => GeoJsonInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GeoJsonReaderFactory(required,
+    GeoJsonReaderFactory(readSchema(),
       options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
-      pushed, options.get("bbox"))
+      pushed, options.get("bbox"), agg)
 }
 
 private case class GeoJsonInputPartition(file: String) extends InputPartition
 
 private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
-                                        filters: Array[Filter], bbox: Option[String])
+                                        filters: Array[Filter], bbox: Option[String],
+                                        agg: Option[(Seq[String], Seq[AggPushdown.Spec])])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -150,19 +167,26 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
       private val geomIdx =
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
-      private val rows: Iterator[InternalRow] =
-        GeoJsonDataSource.documents(file, multiLine).flatMap { json =>
+      private val rows: Iterator[InternalRow] = {
+        val records = GeoJsonDataSource.documents(file, multiLine).flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
             // pushed filters run on the FULL property map (they may reference
             // columns pruned from the output schema) before any row is built
-            if (bboxKeep.forall(_(g)) && filters.forall(StringFilterEval.passes(_, m))) {
-              Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-                if (i == geomIdx) g.orNull
-                else m.get(f.name).map(UTF8String.fromString).orNull
-              }))
-            } else None
+            if (bboxKeep.forall(_(g)) && filters.forall(StringFilterEval.passes(_, m))) Some((m, g))
+            else None
           }
         }
+        agg match {
+          case Some((groups, specs)) =>
+            AggPushdown.aggregate(records.map(_._1), groups, specs)
+          case None => records.map { case (m, g) =>
+            InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+              if (i == geomIdx) g.orNull
+              else m.get(f.name).map(UTF8String.fromString).orNull
+            })
+          }
+        }
+      }
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false

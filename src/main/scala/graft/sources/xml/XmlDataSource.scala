@@ -88,12 +88,23 @@ private class XmlTable(schema: StructType, properties: Map[String, String],
 private class XmlScanBuilder(schema: StructType, options: Map[String, String],
                              files: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COUNT / COUNT(col) / MIN / MAX (+ GROUP BY) computed on the flattened
+    * map per file — partial pushdown, Spark combines partition states
+    * (reference pushes COUNT + GROUP BY into BaseX: src/getdata.ts:71-156,
+    * basex_extension.ts:16-30). */
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val t = graft.sources.AggPushdown.translate(aggregation)
+    agg = t
+    t.isDefined
+  }
 
   /** Accept string-column predicates we can decide on the flattened record
     * map (the reference pushes the same selections into its backend XQuery
@@ -110,17 +121,22 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = XmlScan(required, options, files, pushed)
+  override def build(): Scan = XmlScan(required, options, files, pushed, agg)
 }
 
 private[graft] case class XmlScan(required: StructType, options: Map[String, String],
-                                  files: Seq[String], pushed: Array[Filter])
+                                  files: Seq[String], pushed: Array[Filter],
+                                  agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    agg.map { case (g, s) => graft.sources.AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
-      options.get("bbox").map(b => s", bbox: [$b]").getOrElse("")
+      options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
+      agg.map { case (g, s) =>
+        s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
+      }.getOrElse("")
 
   override def bboxSpec: Option[String] = options.get("bbox")
   override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))
@@ -129,13 +145,14 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
     files.map(f => XmlInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    XmlReaderFactory(required, options.get("recordTag"), pushed, options.get("bbox"))
+    XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg)
 }
 
 private case class XmlInputPartition(file: String) extends InputPartition
 
 private case class XmlReaderFactory(schema: StructType, recordTag: Option[String],
-                                    filters: Array[Filter], bbox: Option[String])
+                                    filters: Array[Filter], bbox: Option[String],
+                                    agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -148,17 +165,23 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       private val rows: Iterator[InternalRow] = {
         val doc = XML.load(new java.net.URI(file).toURL)
         val kml = XmlDataSource.isKml(doc)
-        Xml.records(doc, recordTag).iterator.flatMap { r =>
+        val records = Xml.records(doc, recordTag).iterator.flatMap { r =>
           val (m, g) = Xml.flattenRecord(r, kml)
           // pushed filters run on the FULL flattened map (they may reference
           // columns pruned from the output schema) before any row is built
           if (bboxKeep.forall(_(g)) &&
-              filters.forall(graft.sources.StringFilterEval.passes(_, m))) {
-            Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+              filters.forall(graft.sources.StringFilterEval.passes(_, m))) Some((m, g))
+          else None
+        }
+        agg match {
+          case Some((groups, specs)) =>
+            graft.sources.AggPushdown.aggregate(records.map(_._1), groups, specs)
+          case None => records.map { case (m, g) =>
+            InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
               if (i == geomIdx) g.orNull
               else m.get(f.name).map(UTF8String.fromString).orNull
-            }))
-          } else None
+            })
+          }
         }
       }
       private var current: InternalRow = _

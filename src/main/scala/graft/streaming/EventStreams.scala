@@ -76,6 +76,103 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
+  case class FunnelState(minSignup: Long, clicks: List[Long], purchases: List[Long])
+  case class FunnelUser(user_id: Long, signup_ts: Timestamp,
+                        click_ts: Option[Timestamp], purchase_ts: Option[Timestamp])
+
+  /** True streaming funnel — the batch `q_funnel` semantics (first stage-1
+    * event, then the first stage-2 event within `stageWindowHours` after
+    * it, then stage 3 within the window after that) as per-user custom
+    * state with event-time timeouts.
+    *
+    * Emits one [[FunnelUser]] row per user who signed up, with the stage-2
+    * / stage-3 timestamps when reached — exactly the batch CTE's answer on
+    * the same events, because a user finalizes only once the watermark
+    * passes `t1 + 2·window` (no event that could still arrive can change
+    * the outcome: earlier-than-watermark events never arrive, later ones
+    * are outside the funnel horizon and cannot lower the stage-1 min).
+    *
+    * State per user is bounded by the events inside one funnel horizon:
+    * stage-1 keeps only the running min; stage-2/3 candidates outside
+    * `(min stage-1, +horizon]` — or no longer reachable given the
+    * watermark — are pruned every batch. Users with no stage-1 event keep
+    * nothing older than the watermark and time out quietly. */
+  def streamingFunnel(events: DataFrame,
+                      stages: (String, String, String) = ("signup", "click", "purchase"),
+                      stageWindowHours: Int = 24): Dataset[FunnelUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = stageWindowHours * 3600000L
+    val horizonMs = 2 * windowMs
+    val (s1, s2, s3) = stages
+
+    def finish(uid: Long, s: FunnelState): FunnelUser = {
+      val t1 = s.minSignup
+      val t2 = s.clicks.filter(t => t > t1 && t <= t1 + windowMs)
+        .minOption
+      val t3 = t2.flatMap(c => s.purchases.filter(t => t > c && t <= c + windowMs).minOption)
+      FunnelUser(uid, new Timestamp(t1),
+        t2.map(new Timestamp(_)), t3.map(new Timestamp(_)))
+    }
+
+    events.selectExpr("user_id", "event_type", "ts").as[FunnelEvent]
+      .withWatermark("ts", s"$stageWindowHours hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUser](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .filter(_.minSignup != Long.MaxValue).map(finish(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case `s1` => if (t < s.minSignup) s = s.copy(minSignup = t)
+                case `s2` => s = s.copy(clicks = t :: s.clicks)
+                case `s3` => s = s.copy(purchases = t :: s.purchases)
+                case _    => ()
+              }
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val t1 = s.minSignup
+            val hasS1 = t1 != Long.MaxValue
+            if (hasS1 && wm > t1 + horizonMs) {
+              // outcome already immutable: finalize without waiting for the
+              // timeout to fire
+              state.remove()
+              Iterator.single(finish(uid, s))
+            } else {
+              // prune candidates that can never participate:
+              //  - with a stage-1 min: outside (t1, t1+window] for stage 2 /
+              //    (t1, t1+horizon] for stage 3. A candidate <= min(t1, wm)
+              //    stays dead even if a late stage-1 event lowers t1,
+              //    because late events all carry ts > wm.
+              //  - without one: any candidate <= wm (a future stage-1 event
+              //    has ts > wm, and stages 2/3 must come strictly after it)
+              val keep: (Long, Long) => Boolean =
+                if (hasS1) (t, hi) => t > math.min(t1, wm) && t <= hi
+                else (t, _) => t > wm
+              val pruned = s.copy(
+                clicks = s.clicks.filter(keep(_, t1 + windowMs)),
+                purchases = s.purchases.filter(keep(_, t1 + horizonMs)))
+              state.update(pruned)
+              // finalize when nothing can change: t1+horizon for funnels in
+              // flight, one quiet window past the newest data otherwise
+              val lastSeen = (pruned.clicks ++ pruned.purchases ++
+                (if (hasS1) List(t1) else Nil)).maxOption.getOrElse(wm)
+              val target = if (hasS1) t1 + horizonMs + 1 else math.max(lastSeen, wm) + windowMs
+              state.setTimeoutTimestamp(math.max(target, wm + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Sessionize: per-user session ids from gaps > `gapMinutes` (batch
     * analytics variant using a window function; the streaming variant above
     * uses identical gap logic). */

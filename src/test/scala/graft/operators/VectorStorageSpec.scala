@@ -29,6 +29,40 @@ class VectorStorageSpec extends SparkTestBase {
     assert(fromStorage.head._1 == 0L) // the query vector itself ranks first
   }
 
+  test("hammingBall enumerates exactly the buckets within distance p, once each") {
+    // planes=5, probes=2: 1 + 5 + 10 = 16 distinct buckets
+    val ball = Ann.hammingBall(qBucket = 0x15, planes = 5, probes = 2)
+    assert(ball.length == 16 && ball.distinct.length == 16)
+    assert(ball.forall(b => Integer.bitCount(b ^ 0x15) <= 2))
+    // probes=0 → just the bucket; probes>planes clamps to the full cube
+    assert(Ann.hammingBall(3, 5, 0) == Seq(3))
+    assert(Ann.hammingBall(3, 4, 99).length == 16)
+  }
+
+  test("recall vs brute force is monotone in probes (probes=2 means distance 2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec3").toFile
+    dir.deleteOnExit()
+    VectorStorage.writeBucketed(embs, "embedding", dir.getAbsolutePath, planes = 8)
+    val ids = Seq(0L, 7L, 23L, 101L, 404L)
+    val truth = ids.map { id =>
+      val q = embs.where($"vec_id" === id).select("embedding").head().getSeq[Float](0).toArray
+      id -> Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val recalls = (0 to 3).map { probes =>
+      val hits = ids.map { id =>
+        val q = embs.where($"vec_id" === id).select("embedding").head().getSeq[Float](0).toArray
+        val got = VectorStorage.topK(spark, dir.getAbsolutePath, "vec_id", "embedding",
+          q, k = 10, planes = 8, probes = probes)
+          .collect().map(_.getLong(0)).toSet
+        (got intersect truth(id)).size
+      }.sum
+      hits.toDouble / (ids.size * 10)
+    }
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a }, recalls.toString)
+    assert(recalls.last > recalls.head, recalls.toString) // wider ball finds strictly more here
+  }
+
   test("probe count bounds the partitions read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vec2").toFile
     dir.deleteOnExit()

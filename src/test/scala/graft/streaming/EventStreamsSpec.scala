@@ -65,6 +65,69 @@ class EventStreamsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streamingFunnel matches the batch funnel CTE, including late events") {
+    implicit val sqlCtx = spark.sqlContext
+    // u1: full funnel; u2: signup+click, purchase outside the 24h window;
+    // u3: signup only; u4: click with no signup (never emitted);
+    // u5: funnel whose LATE-arriving earlier signup changes t1 — the click
+    //     at 01:00 is only in-window relative to the late 00:30 signup
+    val batch1 = Seq(
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 05:00:00")),
+      (1L, "purchase", ts("2024-01-01 06:00:00")),
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 01:00:00")),
+      (3L, "signup", ts("2024-01-01 02:00:00")),
+      (4L, "click", ts("2024-01-01 02:00:00")),
+      (5L, "click", ts("2024-01-01 01:00:00")))
+    val batch2 = Seq( // u5's signup arrives LATE but within the watermark delay
+      (5L, "signup", ts("2024-01-01 00:30:00")),
+      (2L, "purchase", ts("2024-01-03 09:00:00"))) // outside u2's 24h window
+    val batch3 = Seq((99L, "signup", ts("2024-02-01 00:00:00")))
+    val batch4 = Seq((99L, "noise", ts("2024-03-05 00:00:00")))
+    val rows = batch1 ++ batch2 ++ batch3 ++ batch4
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    val query = EventStreams.streamingFunnel(events)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      for (b <- Seq(batch1, batch2, batch3, batch4)) {
+        input.addData(b: _*)
+        query.processAllAvailable() // each batch advances the watermark
+      }
+
+      val out = spark.table("funnel_out").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Timestamp]("click_ts") != null), (r.getAs[Timestamp]("purchase_ts") != null)))
+        .toMap
+      // batch truth from the same rows via the q_funnel CTE shape
+      val batch = rows.toDF("user_id", "event_type", "ts")
+      batch.createOrReplaceTempView("funnel_events")
+      val truth = spark.sql(
+        """WITH s1 AS (SELECT user_id, min(unix_timestamp(ts)) AS t1 FROM funnel_events
+          |            WHERE event_type = 'signup' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(unix_timestamp(e.ts)) AS t2 FROM funnel_events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'click' AND unix_timestamp(e.ts) > s1.t1
+          |         AND unix_timestamp(e.ts) <= s1.t1 + 86400 GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(unix_timestamp(e.ts)) AS t3 FROM funnel_events e
+          |       JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE e.event_type = 'purchase' AND unix_timestamp(e.ts) > s2.t2
+          |         AND unix_timestamp(e.ts) <= s2.t2 + 86400 GROUP BY e.user_id)
+          |SELECT s1.user_id, s2.user_id IS NOT NULL AS clicked, s3.user_id IS NOT NULL AS purchased
+          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+      // streaming output covers exactly the batch signup users (99 included)
+      assert(out.keySet == truth.keySet, s"out=${out.keySet} truth=${truth.keySet}")
+      truth.foreach { case (uid, t) => assert(out(uid) == t, s"user $uid: ${out(uid)} vs $t") }
+      assert(out(1L) == ((true, true)) && out(2L) == ((true, false)))
+      assert(out(3L) == ((false, false)) && out(5L) == ((true, false)) && !out.contains(4L))
+    } finally query.stop()
+  }
+
   test("sessionize splits on gaps") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:00:00")),
