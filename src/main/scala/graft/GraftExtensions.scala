@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    graft.types.GraftUdt.register()
     Graft.functionDescriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.SpatialJoinRewrite())
     // runs before V2 scan planning here → rewrites DataSourceV2Relation options
@@ -30,12 +31,17 @@ object Graft {
     (FunctionIdentifier(name), info, builder)
   }
 
-  /** Coerce args to the kernel's input types (a trivial Cast is removed by
-    * the optimizer's SimplifyCasts, so geometry args stay zero-cost). */
+  /** Coerce args to the kernel's input types. Geometry args go through the
+    * identity [[graft.functions.ToWkb]] (accepts WKB binary or the
+    * GeometryUDT at zero cost); everything else through a trivial Cast
+    * (removed by the optimizer's SimplifyCasts). */
   private def coerce(name: String, types: Seq[DataType], es: Seq[Expression]): Seq[Expression] = {
     require(es.length == types.length,
       s"$name expects ${types.length} arguments, got ${es.length}")
-    es.zip(types).map { case (e, dt) => Cast(e, dt) }
+    es.zip(types).map {
+      case (e, BinaryType) => graft.functions.ToWkb(e)
+      case (e, dt)         => Cast(e, dt)
+    }
   }
 
   private val G = BinaryType // geometry = WKB bytes
@@ -133,6 +139,10 @@ object Graft {
     // geometry aggregates
     u("st_union_agg", (e: Expression) => StUnionAgg(e).toAggregateExpression()),
     u("st_extent_agg", (e: Expression) => StExtentAgg(e).toAggregateExpression()),
+    // UDT sugar: readable show() / Dataset[Geometry] boundaries (identity
+    // over the WKB wire format in both directions)
+    u("as_geometry", AsGeometry),
+    u("to_wkb", ToWkb),
     // LLM-data-pipeline kernels (dedup / similarity / text analysis)
     t("minhash_signature", MinhashSignature, Seq(StringType, IntegerType, IntegerType)),
     t("jaccard_shingles", JaccardShingles, Seq(StringType, StringType, IntegerType)),
@@ -151,6 +161,7 @@ object Graft {
 
   /** Idempotent programmatic registration on a live session. */
   def register(spark: SparkSession): Unit = {
+    graft.types.GraftUdt.register() // JTS classes ⇆ GeometryUDT encoders
     val registry = spark.sessionState.functionRegistry
     functionDescriptions.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)

@@ -42,6 +42,12 @@ object dsl {
   def st_union_agg(g: Column): Column = fn("st_union_agg", g)
   def st_extent_agg(g: Column): Column = fn("st_extent_agg", g)
 
+  // UDT sugar: as_geometry(g) makes show() print WKT and lets Dataset[T]
+  // carry JTS Geometry fields; to_wkb(g) goes back. Both are identities
+  // over the WKB storage.
+  def as_geometry(g: Column): Column = fn("as_geometry", g)
+  def to_wkb(g: Column): Column = fn("to_wkb", g)
+
   // pipeline kernels
   def cosine_similarity(a: Column, b: Column): Column = fn("cosine_similarity", a, b)
   def minhash_signature(text: Column, k: Int, n: Int): Column =

@@ -20,24 +20,30 @@ import scala.jdk.CollectionConverters._
   * partition unions/extends locally, only partial buffers shuffle.
   */
 
-/** ST_Union over a group. Geometries accumulate into a buffer that is
-  * collapsed with cascaded union every `FlushAt` items (bounds buffer
-  * memory; cascaded union is O(n log n) vs naive O(n²) pairwise). Union is
-  * idempotent, so byte-identical WKB inputs are deduped on arrival —
-  * grid-snapped envelopes and repeated features skip JTS entirely. */
+/** ST_Union over a group. Raw inputs accumulate content-deduped (union is
+  * idempotent — byte-identical WKB skips JTS entirely) and are collapsed
+  * with cascaded union every `FlushAt` items (bounds buffer memory;
+  * cascaded union is O(n log n) vs naive O(n²) pairwise).
+  *
+  * Two arrival fast paths:
+  *  - exact-duplicate skip (content set), cleared on collapse;
+  *  - covered-rectangle skip: a rectangle whose envelope is covered by an
+  *    already-accepted rectangle cannot change the union (sound ONLY for
+  *    rectangles, where geometry == envelope; general geometries never
+  *    take this path). The tracked set keeps the largest rectangles seen.
+  *
+  * Partial buffers below `RawShip` items serialize as the RAW deduped WKB
+  * list instead of a pre-unioned polygon: the final merge then dedupes
+  * ACROSS partitions and runs one cascaded union over distinct inputs,
+  * instead of re-dissolving 32 partial polygons that mostly repeat each
+  * other (grid-snapped workloads). Buffers past the threshold still ship
+  * as a single unioned geometry, so shuffle size stays bounded either way. */
 case class StUnionAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[StUnionAgg.Buffer] {
-  import StUnionAgg.Buffer
-
-  // Collapse threshold: UnaryUnionOp builds a spatial index and unions
-  // bottom-up, so it is far cheaper to union ONE batch of 2048 geometries
-  // than 32 batches of 64 that each re-union the (increasingly complex)
-  // accumulated result. 2048 small geometries ≈ a few MB of buffer — safe
-  // per aggregation slot; lower it only for very vertex-heavy inputs.
-  private val FlushAt = 2048
+  import StUnionAgg.{Buffer, FlushAt, RawShip, TrackedRects}
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -48,7 +54,12 @@ case class StUnionAgg(
 
   override def createAggregationBuffer(): Buffer = new Buffer
 
+  /** Unions everything pending into a single geometry. */
   private def collapse(buf: Buffer): Unit = {
+    if (buf.raws.nonEmpty) {
+      buf.geoms ++= buf.raws.map(GeomSerde.fromWkb)
+      buf.raws.clear()
+    }
     if (buf.geoms.length > 1) {
       val u = UnaryUnionOp.union(buf.geoms.asJava)
       buf.geoms.clear()
@@ -59,39 +70,100 @@ case class StUnionAgg(
     buf.seen.clear()
   }
 
-  override def update(buf: Buffer, input: InternalRow): Buffer = {
-    val v = child.eval(input)
-    if (v != null) {
-      val wkb = v.asInstanceOf[Array[Byte]]
-      if (buf.seen.add(java.nio.ByteBuffer.wrap(wkb.clone()))) {
-        buf.geoms += GeomSerde.fromWkb(wkb)
-        if (buf.geoms.length >= FlushAt) collapse(buf)
+  private def pending(buf: Buffer): Int = buf.geoms.length + buf.raws.length
+
+  /** Accepts one raw WKB into the buffer (dedup + covered-rect fast paths). */
+  private def accept(buf: Buffer, wkb: Array[Byte]): Unit = {
+    if (!buf.seen.add(java.nio.ByteBuffer.wrap(wkb))) return
+    // a 5-point polygon WKB is <= ~97 bytes: only candidates that small can
+    // be rectangles, so larger inputs skip the parse entirely
+    if (wkb.length <= 100) {
+      val g = GeomSerde.fromWkb(wkb)
+      if (g.isRectangle) {
+        val env = g.getEnvelopeInternal
+        var i = 0
+        while (i < buf.rects.length) {
+          if (buf.rects(i).covers(env)) return // union cannot change
+          i += 1
+        }
+        // track the largest rectangles as future covers
+        if (buf.rects.length < TrackedRects) buf.rects += env
+        else {
+          var smallest = 0
+          i = 1
+          while (i < buf.rects.length) {
+            if (buf.rects(i).getArea < buf.rects(smallest).getArea) smallest = i
+            i += 1
+          }
+          if (env.getArea > buf.rects(smallest).getArea) buf.rects(smallest) = env
+        }
       }
     }
+    buf.raws += wkb
+    if (pending(buf) >= FlushAt) collapse(buf)
+  }
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) accept(buf, v.asInstanceOf[Array[Byte]].clone())
     buf
   }
 
   override def merge(buf: Buffer, other: Buffer): Buffer = {
+    other.raws.foreach(accept(buf, _)) // cross-partition content dedup
     buf.geoms ++= other.geoms
-    if (buf.geoms.length >= FlushAt) collapse(buf)
+    if (pending(buf) >= FlushAt) collapse(buf)
     buf
   }
 
   override def eval(buf: Buffer): Any =
-    if (buf.geoms.isEmpty) null
+    if (pending(buf) == 0) null
     else {
       collapse(buf)
       GeomSerde.toWkb(buf.geoms.head)
     }
 
   override def serialize(buf: Buffer): Array[Byte] = {
-    collapse(buf)
-    if (buf.geoms.isEmpty) Array.emptyByteArray else GeomSerde.toWkb(buf.geoms.head)
+    if (buf.geoms.isEmpty && buf.raws.length <= RawShip) {
+      // raw list: 1-byte tag, count, length-prefixed WKBs
+      var size = 1 + 4
+      buf.raws.foreach(size += 4 + _.length)
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.put(1.toByte).putInt(buf.raws.length)
+      buf.raws.foreach { w => bb.putInt(w.length).put(w) }
+      bb.array()
+    } else {
+      collapse(buf)
+      if (buf.geoms.isEmpty) Array.emptyByteArray
+      else {
+        val w = GeomSerde.toWkb(buf.geoms.head)
+        val bb = java.nio.ByteBuffer.allocate(1 + w.length)
+        bb.put(0.toByte).put(w)
+        bb.array()
+      }
+    }
   }
 
   override def deserialize(bytes: Array[Byte]): Buffer = {
     val b = new Buffer
-    if (bytes.nonEmpty) b.geoms += GeomSerde.fromWkb(bytes)
+    if (bytes.nonEmpty) {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.get() match {
+        case 1 =>
+          val n = bb.getInt
+          var i = 0
+          while (i < n) {
+            val w = new Array[Byte](bb.getInt)
+            bb.get(w)
+            b.raws += w
+            i += 1
+          }
+        case _ =>
+          val w = new Array[Byte](bytes.length - 1)
+          bb.get(w)
+          b.geoms += GeomSerde.fromWkb(w)
+      }
+    }
     b
   }
 
@@ -105,12 +177,28 @@ case class StUnionAgg(
 }
 
 object StUnionAgg {
-  /** Aggregation state: pending geometries plus the content-keyed set of
-    * raw WKB inputs seen since the last collapse (ByteBuffer wraps compare
-    * by content, unlike bare byte arrays). */
+  // Collapse threshold: UnaryUnionOp builds a spatial index and unions
+  // bottom-up, so it is far cheaper to union ONE batch of 2048 geometries
+  // than 32 batches of 64 that each re-union the (increasingly complex)
+  // accumulated result. 2048 small geometries ≈ a few MB of buffer — safe
+  // per aggregation slot; lower it only for very vertex-heavy inputs.
+  private[functions] val FlushAt = 2048
+  // Partial buffers up to this many raw inputs ship un-unioned so the
+  // merge side can dedupe across partitions before the one final union.
+  private[functions] val RawShip = 1024
+  // Covered-rectangle fast path: how many (largest) rectangle envelopes to
+  // keep as covers. Linear probe per rectangle arrival — keep small.
+  private[functions] val TrackedRects = 32
+
+  /** Aggregation state: deduped raw WKB inputs + already-unioned partial
+    * geometries, the content set since the last collapse (ByteBuffer wraps
+    * compare by content, unlike bare byte arrays), and the tracked
+    * rectangle covers. */
   final class Buffer {
+    val raws: ArrayBuffer[Array[Byte]] = ArrayBuffer.empty
     val geoms: ArrayBuffer[Geometry] = ArrayBuffer.empty
     val seen: java.util.HashSet[java.nio.ByteBuffer] = new java.util.HashSet()
+    val rects: ArrayBuffer[Envelope] = ArrayBuffer.empty
   }
 }
 

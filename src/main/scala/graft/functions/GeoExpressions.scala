@@ -23,8 +23,12 @@ private[functions] object GeoKernel {
 
   def check(name: String, expected: Seq[org.apache.spark.sql.types.DataType],
             children: Seq[Expression]): TypeCheckResult = {
+    def ok(exp: DataType, actual: DataType): Boolean = actual match {
+      case udt: UserDefinedType[_] => ok(exp, udt.sqlType) // UDT storage type
+      case other                   => other.sql == exp.sql // ignore nullability
+    }
     val mismatch = expected.zip(children).zipWithIndex.collectFirst {
-      case ((exp, child), i) if child.dataType.sql != exp.sql => // ignore nullability
+      case ((exp, child), i) if !ok(exp, child.dataType) =>
         s"$name argument ${i + 1} expects ${exp.simpleString}, got ${child.dataType.simpleString}"
     }
     mismatch.map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
@@ -349,4 +353,48 @@ case class StDifference(left: Expression, right: Expression)
 case class StSymDifference(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stSymDifference", Seq(BinaryType, BinaryType), BinaryType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+// ------------------------------------------------------------- UDT bridging
+
+/** Zero-cost unwrap: a [[graft.types.GeometryUDT]]-typed column (or plain
+  * WKB binary) to the engine's wire format. The UDT's storage IS the WKB
+  * bytes, so both eval and codegen are the identity — this is the arg
+  * coercion every ST_* function applies, which is what lets UDT columns
+  * flow into the whole surface without a conversion. */
+case class ToWkb(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case udt: UserDefinedType[_] if udt.sqlType == BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"geometry argument expects WKB binary or geometry, got ${other.simpleString(10)}")
+  }
+  override def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "to_wkb"
+}
+
+/** Zero-cost wrap: WKB binary to the [[graft.types.GeometryUDT]] type —
+  * `show()` then prints WKT (JTS toString) and `Dataset[T]` with JTS
+  * geometry fields round-trips. Storage unchanged. */
+case class AsGeometry(child: Expression) extends UnaryExpression with Serializable {
+  // the plain class, not the companion case object: encoder codegen
+  // instantiates dataType.getClass, which needs a public no-arg ctor
+  override def dataType: DataType = new graft.types.GeometryUDT
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case udt: UserDefinedType[_] if udt.sqlType == BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"as_geometry expects WKB binary, got ${other.simpleString(10)}")
+  }
+  override def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "as_geometry"
 }

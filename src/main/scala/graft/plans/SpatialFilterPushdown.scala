@@ -113,9 +113,11 @@ case class SpatialFilterPushdown() extends Rule[LogicalPlan] {
 
   // ---- predicate recognition ----
 
-  /** Trivial casts (inserted by the SQL registration's arg coercion) may
-    * not be simplified yet on the first fixed-point iteration. */
+  /** Identity wrappers from the SQL registration's arg coercion: ToWkb on
+    * geometry args, plus trivial casts not yet simplified on the first
+    * fixed-point iteration. */
   private def strip(e: Expression): Expression = e match {
+    case ToWkb(c)                                  => strip(c)
     case c: Cast if c.child.dataType == c.dataType => strip(c.child)
     case other                                     => other
   }
