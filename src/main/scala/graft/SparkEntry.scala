@@ -34,7 +34,11 @@ object SparkEntry {
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")
         val fixed =
-          if (t == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          // only the NANOS encoding arrives as a long; a normal µs
+          // timestamp column (e.g. rewritten test data) needs no rebuild
+          if (t == "events" &&
+              df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           else df
         fixed.createOrReplaceTempView(t)
       }

@@ -89,11 +89,14 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Resize stub: real implementations decode + scale pixels; the plumbing
-    * contract (binary in → binary out, partition-local batches, deterministic
-    * per blob) is what pipelines depend on. The stub samples every k-th byte
-    * to reach ≈`targetBytes`. */
-  def resize(df: DataFrame, binCol: String, targetBytes: Int): DataFrame = {
+  /** Byte-sampling STAND-IN, not an image operation: the output is NOT a
+    * decodable image — use [[resizeImage]] for real pixel-level scaling.
+    * Exists to exercise the distributed plumbing contract (binary in →
+    * binary out, partition-local batches, deterministic per blob) for
+    * payload kinds this environment has no codecs for (audio/video). The
+    * stand-in samples every k-th byte to reach ≈`targetBytes`. */
+  @deprecated("not an image resize; use resizeImage (real pixels) — this is the codec-less stand-in", "r4")
+  def resizeStub(df: DataFrame, binCol: String, targetBytes: Int): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField(s"${binCol}_resized", BinaryType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)

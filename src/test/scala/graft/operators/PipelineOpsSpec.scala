@@ -255,7 +255,7 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("multimodal resize and feature extraction plumbing") {
     val media = docs.limit(10).select($"doc_id", encode($"text", "UTF-8").as("media"))
-    val resized = Multimodal.resize(media, "media", targetBytes = 32)
+    val resized = Multimodal.resizeStub(media, "media", targetBytes = 32)
     assert(resized.where(length($"media_resized") > 0).count() == 10)
     val feats = Multimodal.extractFeatures(media, "media", dim = 8)
     val v = feats.head().getSeq[Float](2)
