@@ -131,12 +131,35 @@ object Ann {
       .drop("rn")
   }
 
+  /** Largest hamming ball we will enumerate into an `isin()`: past this the
+    * bucket-membership predicate stops being a cheap InSet and the driver
+    * pays the enumeration (C(30, ≤15) would be ~155M Ints). */
+  private[operators] val MaxBallSize = 1 << 18
+
+  /** Σ C(planes, i), i ≤ probes — capped at MaxBallSize + 1 (enough to
+    * detect overflow without computing huge binomials). */
+  private[operators] def ballSize(planes: Int, probes: Int): Long = {
+    var total = 0L
+    var c = 1L // C(planes, 0)
+    var i = 0
+    while (i <= probes && total <= MaxBallSize) {
+      total += c
+      c = c * (planes - i) / (i + 1)
+      i += 1
+    }
+    total
+  }
+
   /** All buckets within hamming distance ≤ `probes` of `qBucket` over
     * `planes` bits — Σ C(planes, i), i ≤ probes buckets, each exactly once
     * (bit subsets enumerated in increasing-index order). */
   private[operators] def hammingBall(qBucket: Int, planes: Int, probes: Int): Seq[Int] = {
     require(planes >= 1 && planes <= 30, s"planes must be in [1,30], got $planes")
     val p = math.min(math.max(probes, 0), planes)
+    val n = ballSize(planes, p)
+    require(n <= MaxBallSize,
+      s"hamming ball too large: sum C($planes, i<=$p) > $MaxBallSize buckets; " +
+        s"reduce probes (or planes) — multi-probe past this size scans most of the corpus anyway")
     val out = Seq.newBuilder[Int]
     def walk(start: Int, remaining: Int, acc: Int): Unit = {
       out += (qBucket ^ acc)

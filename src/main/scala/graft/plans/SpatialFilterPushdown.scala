@@ -80,7 +80,12 @@ case class SpatialFilterPushdown() extends Rule[LogicalPlan] {
   private def newSpec(cond: Expression, geom: Attribute, existing: Option[String]): Option[String] = {
     val envs = splitConjuncts(cond).flatMap(conjunctEnvelope(_, geom))
     if (envs.isEmpty) return None
-    val spec = format(existing.map(parse).foldLeft(intersectAll(envs)) {
+    // A malformed user-supplied bbox option aborts the pushdown (plan left
+    // unchanged) instead of failing planning here with an opaque parse
+    // stack; the scan's own bboxPredicate require() reports it clearly.
+    val existingEnv = existing.map(s => Try(parse(s)))
+    if (existingEnv.exists(_.isFailure)) return None
+    val spec = format(existingEnv.map(_.get).foldLeft(intersectAll(envs)) {
       case (a, b) => intersect(a, b)
     })
     if (existing.contains(spec)) None else Some(spec)
@@ -103,6 +108,7 @@ case class SpatialFilterPushdown() extends Rule[LogicalPlan] {
     if (spec == "empty") None
     else {
       val p = spec.split(",").map(_.trim.toDouble)
+      require(p.length == 4, s"bbox must be 'x0,y0,x1,y1', got: $spec")
       Some(new Envelope(p(0), p(2), p(1), p(3)))
     }
 

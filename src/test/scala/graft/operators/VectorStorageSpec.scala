@@ -39,6 +39,18 @@ class VectorStorageSpec extends SparkTestBase {
     assert(Ann.hammingBall(3, 4, 99).length == 16)
   }
 
+  test("hammingBall refuses balls past MaxBallSize instead of enumerating them") {
+    // C(30, ≤15) ≈ 155M buckets — must fail fast, not OOM the driver
+    val e = intercept[IllegalArgumentException](Ann.hammingBall(0, 30, 15))
+    assert(e.getMessage.contains("hamming ball too large"))
+    // ballSize is exact below the cap and saturates (stops) above it
+    assert(Ann.ballSize(5, 2) == 16L)
+    assert(Ann.ballSize(30, 1) == 31L)
+    assert(Ann.ballSize(30, 15) > Ann.MaxBallSize)
+    // full cube on 18 planes = 2^18 = MaxBallSize: the boundary still works
+    assert(Ann.hammingBall(0, 18, 18).length == (1 << 18))
+  }
+
   test("recall vs brute force is monotone in probes (probes=2 means distance 2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vec3").toFile
     dir.deleteOnExit()

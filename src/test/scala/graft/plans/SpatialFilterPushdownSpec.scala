@@ -136,6 +136,24 @@ class SpatialFilterPushdownSpec extends SparkTestBase {
     assert(bbox == Seq("1.0,2.0,3.0,4.0"), rewritten.toString)
   }
 
+  test("a malformed user-supplied bbox option aborts pushdown, not planning") {
+    // wrong arity and non-numeric specs must not throw inside the optimizer
+    // rule; the plan keeps the user's option untouched (the scan's own
+    // require() owns reporting it if the query is ever executed)
+    for (bad <- Seq("0,0,8", "a,b,c,d")) {
+      val analyzed = spark.read.format("graft-xml").option("recordTag", "r")
+        .option("bbox", bad).load(xmlDir)
+        .where(call_function("st_within", col("geometry"),
+          call_function("st_makeenvelope", lit(0.0), lit(0.0), lit(3.0), lit(3.0))))
+        .queryExecution.analyzed
+      val rewritten = SpatialFilterPushdown()(analyzed) // must not throw
+      val bbox = rewritten.collect {
+        case Filter(_, r: DataSourceV2Relation) => Option(r.options.get("bbox"))
+      }.flatten
+      assert(bbox == Seq(bad), s"bad spec must stay untouched, got $bbox")
+    }
+  }
+
   test("non-spatial filters and other sources are untouched") {
     val df = xml().where(col("name") === "p3")
     assert(!df.queryExecution.executedPlan.toString.contains("bbox"), "no bbox expected")

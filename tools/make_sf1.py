@@ -64,7 +64,7 @@ write("lineitem", replicate(
 
 write("events", replicate(
     f"SELECT event_id + {i*10_000_000} AS event_id, "
-    f"user_id + {i*10_000} AS user_id, "
+    f"user_id + {i*10_000_000} AS user_id, "
     f"* EXCLUDE (event_id, user_id) FROM '{SRC}/events.parquet'"
     for i in range(R)))
 
