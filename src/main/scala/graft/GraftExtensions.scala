@@ -101,6 +101,10 @@ object Graft {
     u("st_area", StArea),
     u("st_length", StLength),
     b("st_distance", StDistance),
+    b("st_distancesphere", StDistanceSphere),
+    b("st_distance_sphere", StDistanceSphere),
+    b("st_distancespheroid", StDistanceSpheroid),
+    b("st_distance_spheroid", StDistanceSpheroid),
     t("st_dwithin", StDWithin, Seq(G, G, DoubleType)),
     // predicates
     b("st_within", StWithin),

@@ -166,6 +166,15 @@ object SparkEntry {
       s"""SELECT c_custkey, round(ST_Distance(pt, ST_Point(30.0, 50.0)), 4) AS dist
          |FROM (SELECT c_custkey, $PT AS pt FROM customer) t
          |WHERE ST_Distance(pt, ST_Point(30.0, 50.0)) <= 40.0""".stripMargin),
+    // geodesic: haversine on the WGS84 mean-radius sphere; lon/lat derived
+    // so the oracle can recompute the same closed form in plain SQL at cm
+    // rounding (the q_st_transform precedent)
+    "q_st_distance_sphere" -> sql(
+      s"""SELECT c_custkey,
+         |       floor(ST_DistanceSphere(pt, ST_Point(30.0, 20.0)) * 100 + 0.5) / 100 AS dist_m
+         |FROM (SELECT c_custkey,
+         |        ST_Point($CX, CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0) AS pt
+         |      FROM customer) t""".stripMargin),
     "q_st_dwithin" -> sql(
       s"""SELECT count(*) AS n_close
          |FROM (SELECT $PT AS pt FROM customer) t
@@ -598,6 +607,18 @@ object SparkEntry {
       s"SELECT c_custkey, $CX AS x, $CY AS y, 4326 AS srid FROM customer",
     "q_st_distance" ->
       s"SELECT c_custkey, round(sqrt(($CX - 30.0)*($CX - 30.0) + ($CY - 50.0)*($CY - 50.0)), 4) AS dist FROM customer WHERE sqrt(($CX - 30.0)*($CX - 30.0) + ($CY - 50.0)*($CY - 50.0)) <= 40.0",
+    // same haversine closed form (dLat/dLon ordering and association match
+    // GeoOps.haversineMeters exactly so both sides agree at cm rounding)
+    "q_st_distance_sphere" ->
+      s"""SELECT c_custkey,
+         | floor(2 * 6371008.771415059 * asin(least(1.0, sqrt(
+         |   sin(radians(20.0 - lat) / 2) * sin(radians(20.0 - lat) / 2) +
+         |   cos(radians(lat)) * cos(radians(20.0)) *
+         |     sin(radians(30.0 - lon) / 2) * sin(radians(30.0 - lon) / 2)
+         | ))) * 100 + 0.5) / 100 AS dist_m
+         |FROM (SELECT c_custkey, $CX AS lon,
+         |        CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0 AS lat
+         |      FROM customer) t""".stripMargin,
     "q_st_dwithin" ->
       s"SELECT count(*) AS n_close FROM customer WHERE sqrt(($CX - 30.0)*($CX - 30.0) + ($CY - 50.0)*($CY - 50.0)) <= 25.0",
     "q_st_within" ->

@@ -238,6 +238,14 @@ case class StDistance(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stDistance", Seq(BinaryType, BinaryType), DoubleType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stDistanceSphere", Seq(BinaryType, BinaryType), DoubleType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+case class StDistanceSpheroid(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stDistanceSpheroid", Seq(BinaryType, BinaryType), DoubleType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
 case class StDWithin(first: Expression, second: Expression, third: Expression)
     extends GeoTernary("GeoOps.stDWithin", Seq(BinaryType, BinaryType, DoubleType), BooleanType) {
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =

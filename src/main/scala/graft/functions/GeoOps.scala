@@ -162,6 +162,84 @@ object GeoOps {
   def stDWithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean =
     read(a).isWithinDistance(read(b), d)
 
+  // ---------------------------------------------------------------- geodesic
+  // WGS84 defining constants; mean radius (2a+b)/3 matches PostGIS's sphere.
+  private val WGS84_A = 6378137.0
+  private val WGS84_F = 1.0 / 298.257223563
+  private val WGS84_B = WGS84_A * (1.0 - WGS84_F)
+  private val MeanRadiusM = (2.0 * WGS84_A + WGS84_B) / 3.0 // 6371008.7714150598
+
+  /** Haversine great-circle distance in meters on the mean-radius sphere.
+    * Coordinates are lon/lat degrees (EPSG:4326). Non-point geometries use
+    * the planar-nearest coordinate pair — exact for points, the common case
+    * (PostGIS ST_DistanceSphere; the reference runs it via its PostGIS
+    * finalresult step, src/index.ts:44). */
+  def stDistanceSphere(a: Array[Byte], b: Array[Byte]): Double = {
+    val cs = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(read(a), read(b))
+    haversineMeters(cs(0).x, cs(0).y, cs(1).x, cs(1).y)
+  }
+
+  private def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = Math.toRadians(lat2 - lat1)
+    val dLon = Math.toRadians(lon2 - lon1)
+    val sLat = Math.sin(dLat / 2.0)
+    val sLon = Math.sin(dLon / 2.0)
+    val h = sLat * sLat +
+      Math.cos(Math.toRadians(lat1)) * Math.cos(Math.toRadians(lat2)) * sLon * sLon
+    2.0 * MeanRadiusM * Math.asin(Math.min(1.0, Math.sqrt(h)))
+  }
+
+  /** Vincenty inverse geodesic distance in meters on the WGS84 ellipsoid
+    * (PostGIS ST_DistanceSpheroid with the default spheroid). Falls back to
+    * the spherical answer for the nearly-antipodal pairs where Vincenty's
+    * iteration is known not to converge (error there ≤ 0.5%). */
+  def stDistanceSpheroid(a: Array[Byte], b: Array[Byte]): Double = {
+    val cs = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(read(a), read(b))
+    vincentyMeters(cs(0).x, cs(0).y, cs(1).x, cs(1).y)
+  }
+
+  private def vincentyMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val L = Math.toRadians(lon2 - lon1)
+    val u1 = Math.atan((1.0 - WGS84_F) * Math.tan(Math.toRadians(lat1)))
+    val u2 = Math.atan((1.0 - WGS84_F) * Math.tan(Math.toRadians(lat2)))
+    val sinU1 = Math.sin(u1); val cosU1 = Math.cos(u1)
+    val sinU2 = Math.sin(u2); val cosU2 = Math.cos(u2)
+    var lambda = L
+    var iter = 0
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    var converged = false
+    while (iter < 100 && !converged) {
+      val sinL = Math.sin(lambda); val cosL = Math.cos(lambda)
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      sinSigma = Math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = Math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0.0) 0.0 // equatorial line
+        else cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+      val c = WGS84_F / 16.0 * cosSqAlpha * (4.0 + WGS84_F * (4.0 - 3.0 * cosSqAlpha))
+      val prev = lambda
+      lambda = L + (1.0 - c) * WGS84_F * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      converged = Math.abs(lambda - prev) < 1e-12
+      iter += 1
+    }
+    if (!converged) return haversineMeters(lon1, lat1, lon2, lat2)
+    val uSq = cosSqAlpha * (WGS84_A * WGS84_A - WGS84_B * WGS84_B) / (WGS84_B * WGS84_B)
+    val bigA = 1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+      (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+    WGS84_B * bigA * (sigma - deltaSigma)
+  }
+
   // -------------------------------------------------------------- predicates
   def stWithin(a: Array[Byte], b: Array[Byte]): Boolean = read(a).within(read(b))
   def stContains(a: Array[Byte], b: Array[Byte]): Boolean = read(a).contains(read(b))

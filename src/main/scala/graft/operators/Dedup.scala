@@ -264,22 +264,27 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each node adopts the min cluster label among itself and neighbors…
+      // each node adopts the min cluster label among itself and neighbors,
+      // carrying its pre-round label as `old` so convergence is decidable
+      // from this round's output alone (no extra join job below)…
       val propagated = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("cluster").as("nbr_cluster"))
         .join(labels, "id")
-        .select(col("id"), least(col("cluster"), col("nbr_cluster")).as("cluster"))
+        .select(col("id"), least(col("cluster"), col("nbr_cluster")).as("cluster"),
+          col("cluster").as("old"))
       // …then pointer-jumps through its label's label (path compression) —
       // O(log diameter) rounds instead of O(diameter).
       // localCheckpoint truncates lineage: without it every round's plan
       // nests all previous rounds and optimizer time grows without bound.
-      val next = ckpt(propagated.toDF("id", "mid")
-        .join(propagated.toDF("mid", "cluster"), "mid")
-        .select("id", "cluster"))
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old")).limit(1).count()
-      labels = next
+      val next = ckpt(propagated.toDF("id", "mid", "old")
+        .join(propagated.toDF("mid", "cluster", "old_r").select("mid", "cluster"), "mid")
+        .select(col("id"), col("cluster"),
+          (col("cluster") =!= col("old")).cast("long").as("chg")))
+      // convergence test is a joinless scan of the just-materialized
+      // checkpoint (narrow partial-sum), not a second shuffle-join job
+      val changed = next.agg(coalesce(sum("chg"), lit(0L))).head.getLong(0)
+      labels = next.select("id", "cluster")
       converged = changed == 0
       i += 1
     }

@@ -179,6 +179,34 @@ class GeoSqlSpec extends SparkTestBase {
     assert(e.getMessage.contains("4326") || e.getCause != null)
   }
 
+  test("geodesic distances") {
+    // sphere: 1° of longitude on the equator is exactly R·π/180 under the
+    // haversine closed form
+    val oneDeg = one("ST_DistanceSphere(ST_Point(0, 0), ST_Point(1, 0))").asInstanceOf[Double]
+    assert(math.abs(oneDeg - 6371008.771415059 * math.Pi / 180) < 1e-6, oneDeg.toString)
+    // Vincenty's classic published fixture (GDA technical manual):
+    // Flinders Peak -> Buninyong, ellipsoidal distance 54 972.271 m
+    val lat1 = -(37 + 57 / 60.0 + 3.72030 / 3600.0)
+    val lon1 = 144 + 25 / 60.0 + 29.52440 / 3600.0
+    val lat2 = -(37 + 39 / 60.0 + 10.15610 / 3600.0)
+    val lon2 = 143 + 55 / 60.0 + 35.38390 / 3600.0
+    val fl = s"ST_Point($lon1, $lat1)"
+    val bu = s"ST_Point($lon2, $lat2)"
+    val d = one(s"ST_DistanceSpheroid($fl, $bu)").asInstanceOf[Double]
+    assert(math.abs(d - 54972.271) < 0.01, d.toString)
+    // both PostGIS spellings resolve to the same kernel
+    assert(one(s"ST_Distance_Spheroid($fl, $bu)") == d)
+    assert(one("ST_Distance_Sphere(ST_Point(3, 4), ST_Point(3, 4))") == 0.0)
+    assert(one("ST_DistanceSpheroid(ST_Point(3, 4), ST_Point(3, 4))") == 0.0)
+    // sphere vs spheroid agree to ~0.5% at mid-latitudes
+    val s = one(s"ST_DistanceSphere($fl, $bu)").asInstanceOf[Double]
+    assert(math.abs(s - d) / d < 0.005, s"sphere $s vs spheroid $d")
+    // antipodal-ish pair where Vincenty famously fails to converge still
+    // returns a sane (spherical-fallback) value instead of looping/NaN
+    val anti = one("ST_DistanceSpheroid(ST_Point(0, 0), ST_Point(179.7, 0))").asInstanceOf[Double]
+    assert(anti > 1.9e7 && anti < 2.1e7, anti.toString)
+  }
+
   test("functions work over a table with codegen") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/customer.parquet")
