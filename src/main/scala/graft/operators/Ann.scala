@@ -136,9 +136,13 @@ object Ann {
     * pays the enumeration (C(30, ≤15) would be ~155M Ints). */
   private[operators] val MaxBallSize = 1 << 18
 
-  /** Σ C(planes, i), i ≤ probes — capped at MaxBallSize + 1 (enough to
-    * detect overflow without computing huge binomials). */
+  /** Σ C(planes, i), i ≤ probes — saturating: the loop stops once the
+    * running sum exceeds MaxBallSize, so the returned value may overshoot
+    * by up to the last binomial term added; only the `> MaxBallSize`
+    * comparison is meaningful past the cap. planes ≤ 62 keeps the Long
+    * binomial recurrence `c * (planes - i)` overflow-free. */
   private[operators] def ballSize(planes: Int, probes: Int): Long = {
+    require(planes >= 0 && planes <= 62, s"planes must be in [0,62], got $planes")
     var total = 0L
     var c = 1L // C(planes, 0)
     var i = 0
@@ -150,16 +154,26 @@ object Ann {
     total
   }
 
+  /** Largest probes value whose full ball over `planes` bits stays within
+    * MaxBallSize (always ≥ 0: a 0-probe ball is a single bucket). */
+  private[operators] def maxFeasibleProbes(planes: Int): Int = {
+    var p = 0
+    while (p < planes && ballSize(planes, p + 1) <= MaxBallSize) p += 1
+    p
+  }
+
   /** All buckets within hamming distance ≤ `probes` of `qBucket` over
     * `planes` bits — Σ C(planes, i), i ≤ probes buckets, each exactly once
-    * (bit subsets enumerated in increasing-index order). */
+    * (bit subsets enumerated in increasing-index order).
+    *
+    * `probes` is clamped to the largest ball that fits MaxBallSize: the
+    * cost being bounded is the DRIVER-side enumeration and the size of the
+    * resulting bucket InSet predicate, so an oversized setting degrades to
+    * the biggest feasible ball instead of failing (e.g. planes=30 clamps
+    * to probes ≤ 4 ≈ 32k buckets). */
   private[operators] def hammingBall(qBucket: Int, planes: Int, probes: Int): Seq[Int] = {
     require(planes >= 1 && planes <= 30, s"planes must be in [1,30], got $planes")
-    val p = math.min(math.max(probes, 0), planes)
-    val n = ballSize(planes, p)
-    require(n <= MaxBallSize,
-      s"hamming ball too large: sum C($planes, i<=$p) > $MaxBallSize buckets; " +
-        s"reduce probes (or planes) — multi-probe past this size scans most of the corpus anyway")
+    val p = math.min(math.min(math.max(probes, 0), planes), maxFeasibleProbes(planes))
     val out = Seq.newBuilder[Int]
     def walk(start: Int, remaining: Int, acc: Int): Unit = {
       out += (qBucket ^ acc)

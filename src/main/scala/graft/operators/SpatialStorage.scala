@@ -25,9 +25,18 @@ object SpatialStorage {
     * With `zorder = true`, rows inside each partition are additionally
     * sorted by the Morton code of a finer sub-grid (cellSize/256), so
     * envelope scans inside a cell touch contiguous row groups — min/max
-    * column statistics on the z-key then prune within the file too. */
+    * column statistics on the z-key then prune within the file too.
+    *
+    * With `geoParquet = true`, every written file additionally carries the
+    * GeoParquet (geoparquet.org spec) `geo` footer metadata — version,
+    * primary column, WKB encoding, dataset bbox — so external engines
+    * (GDAL/GeoPandas/DuckDB-spatial) recognize the output as spatial.
+    * Costs one extra aggregate over `df` (the bbox) plus a distributed
+    * raw byte-copy footer rewrite of the output (row groups are copied,
+    * not re-encoded). */
   def writeGridPartitioned(df: DataFrame, geomCol: String, path: String,
-                           cellSize: Double, zorder: Boolean = false): Unit = {
+                           cellSize: Double, zorder: Boolean = false,
+                           geoParquet: Boolean = false): Unit = {
     Graft.register(df.sparkSession)
     val cx = (call_function("st_xmin", col(geomCol)) + call_function("st_xmax", col(geomCol))) / 2
     val cy = (call_function("st_ymin", col(geomCol)) + call_function("st_ymax", col(geomCol))) / 2
@@ -41,6 +50,69 @@ object SpatialStorage {
           .sortWithinPartitions("grid_cell", "z_key")
       else withCell
     laidOut.write.mode("overwrite").partitionBy("grid_cell").parquet(path)
+    if (geoParquet) {
+      val bbox = df.agg(
+        min(call_function("st_xmin", col(geomCol))),
+        min(call_function("st_ymin", col(geomCol))),
+        max(call_function("st_xmax", col(geomCol))),
+        max(call_function("st_ymax", col(geomCol)))).head()
+      addGeoParquetMetadata(df.sparkSession, path, geomCol,
+        bbox.getDouble(0), bbox.getDouble(1), bbox.getDouble(2), bbox.getDouble(3))
+    }
+  }
+
+  /** The GeoParquet `geo` footer JSON (spec 1.1.0): geometry stored as WKB
+    * in `geomCol`, dataset-level bbox. */
+  private[operators] def geoMetadataJson(geomCol: String, xmin: Double, ymin: Double,
+                                         xmax: Double, ymax: Double): String =
+    s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":""" +
+      s"""{"encoding":"WKB","geometry_types":[],"bbox":[$xmin,$ymin,$xmax,$ymax]}}}"""
+
+  /** Stamps the GeoParquet `geo` key/value metadata onto every parquet file
+    * under `path`. Each file's row groups are APPENDED as raw bytes
+    * (`ParquetFileWriter.appendFile` — no decode/re-encode) into a
+    * temp file whose footer carries the merged metadata, then atomically
+    * renamed over the original; the work is distributed one-task-per-file
+    * so the pass scales with the cluster, not the driver. */
+  def addGeoParquetMetadata(spark: SparkSession, path: String, geomCol: String,
+                            xmin: Double, ymin: Double, xmax: Double, ymax: Double): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val files = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toArray
+    val geoJson = geoMetadataJson(geomCol, xmin, ymin, xmax, ymax)
+    spark.sparkContext.parallelize(files.toIndexedSeq, math.max(1, files.length))
+      .foreach(f => stampGeoFooter(f, geoJson))
+  }
+
+  private def stampGeoFooter(file: String, geoJson: String): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val conf = new Configuration()
+    val inPath = new HPath(file)
+    val tmpPath = new HPath(file + ".geo.tmp")
+    val inFile = HadoopInputFile.fromPath(inPath, conf)
+    val reader = ParquetFileReader.open(inFile)
+    val (schema, kv) =
+      try {
+        val md = reader.getFooter.getFileMetaData
+        (md.getSchema, new java.util.HashMap[String, String](md.getKeyValueMetaData))
+      } finally reader.close()
+    kv.put("geo", geoJson)
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmpPath, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE, 128L * 1024 * 1024, 0)
+    writer.start()
+    writer.appendFile(inFile)
+    writer.end(kv)
+    val fs = inPath.getFileSystem(conf)
+    if (!fs.delete(inPath, false) || !fs.rename(tmpPath, inPath))
+      throw new java.io.IOException(s"failed to swap GeoParquet footer for $file")
   }
 
   /** Reads only the cells overlapping the query envelope (expanded by

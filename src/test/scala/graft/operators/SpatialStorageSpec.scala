@@ -27,6 +27,44 @@ class SpatialStorageSpec extends SparkTestBase {
     assert(window.count() > 0)
   }
 
+  test("geoParquet write stamps the standard geo footer and stays readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geopq").toString
+    SpatialStorage.writeGridPartitioned(pts, "geometry", dir, cellSize = 20.0,
+      geoParquet = true)
+    // plain parquet read still round-trips the data (footer swap is lossless)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == pts.count())
+    // every file carries the GeoParquet `geo` key with version, primary
+    // column, WKB encoding, and the dataset bbox
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), new Configuration()))
+      val geo = try r.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+        finally r.close()
+      assert(geo != null, s"missing geo metadata in $f")
+      assert(geo.contains("\"version\":\"1.1.0\""))
+      assert(geo.contains("\"primary_column\":\"geometry\""))
+      assert(geo.contains("\"encoding\":\"WKB\""))
+      assert(geo.contains("\"bbox\":["))
+    }
+    // the stamped bbox matches the data's true extent
+    val ext = pts.agg(
+      min(call_function("st_xmin", col("geometry"))),
+      max(call_function("st_xmax", col("geometry")))).head()
+    val sample = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.getAbsolutePath), new Configuration()))
+      try r.getFooter.getFileMetaData.getKeyValueMetaData.get("geo") finally r.close()
+    }
+    assert(sample.contains(s"[${ext.getDouble(0)}"), sample)
+  }
+
   test("zorder layout sorts within partitions by morton key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
     SpatialStorage.writeGridPartitioned(pts, "geometry", dir, cellSize = 50.0, zorder = true)

@@ -39,14 +39,21 @@ class VectorStorageSpec extends SparkTestBase {
     assert(Ann.hammingBall(3, 4, 99).length == 16)
   }
 
-  test("hammingBall refuses balls past MaxBallSize instead of enumerating them") {
-    // C(30, ≤15) ≈ 155M buckets — must fail fast, not OOM the driver
-    val e = intercept[IllegalArgumentException](Ann.hammingBall(0, 30, 15))
-    assert(e.getMessage.contains("hamming ball too large"))
+  test("hammingBall clamps balls past MaxBallSize instead of enumerating them") {
+    // C(30, ≤15) ≈ 155M buckets — must clamp to the largest feasible ball,
+    // not OOM the driver enumerating into an isin()
+    val feasible = Ann.maxFeasibleProbes(30)
+    assert(Ann.ballSize(30, feasible) <= Ann.MaxBallSize)
+    assert(Ann.ballSize(30, feasible + 1) > Ann.MaxBallSize)
+    val clamped = Ann.hammingBall(0, 30, 15)
+    assert(clamped.length == Ann.ballSize(30, feasible))
+    assert(clamped.distinct.length == clamped.length)
     // ballSize is exact below the cap and saturates (stops) above it
     assert(Ann.ballSize(5, 2) == 16L)
     assert(Ann.ballSize(30, 1) == 31L)
     assert(Ann.ballSize(30, 15) > Ann.MaxBallSize)
+    // planes past 62 would overflow the Long binomial recurrence — refused
+    intercept[IllegalArgumentException](Ann.ballSize(63, 2))
     // full cube on 18 planes = 2^18 = MaxBallSize: the boundary still works
     assert(Ann.hammingBall(0, 18, 18).length == (1 << 18))
   }
