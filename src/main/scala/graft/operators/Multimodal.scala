@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * fallback for non-image payloads — and [[StubDecoder]], the deterministic
   * stand-in used by the oracled driver query (the synthetic corpus has no
   * real image bytes; the oracle must be able to reproduce the metadata in
-  * SQL). Audio/video codecs aren't in this environment and remain out of
-  * scope. Everything Spark-side — schema, batch shape, partition-preserving
+  * SQL). Uncompressed audio (WAV/AIFF/AU) gets REAL header metadata via
+  * the JDK's javax.sound.sampled (see [[decodeAudioMeta]]); compressed
+  * audio codecs and video aren't in this environment and remain stubs.
+  * Everything Spark-side — schema, batch shape, partition-preserving
   * mapPartitions, metadata struct — is identical for both.
   */
 object Multimodal {
@@ -83,6 +85,62 @@ object Multimodal {
         val meta = if (bytes == null) null else {
           val (mime, w, h) = decoder.decode(bytes)
           Row(mime, w, h, bytes.length.toLong)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(encoder)
+  }
+
+  /** Metadata produced per audio blob. Sentinel zeros mean "not parseable
+    * as audio" (the operator is total; filter on `mime` to route). */
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("sample_rate", DoubleType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** REAL audio header metadata via the JDK's javax.sound.sampled: the
+    * registered file readers parse WAV/AIFF/AU headers (no sample decode).
+    * Compressed codecs (mp3/ogg/aac) have no JDK reader and fall through
+    * to the all-zeros sentinel — the documented environment stub. */
+  object AudioHeaderDecoder extends Serializable {
+    private val mimeByType = Map(
+      "WAVE" -> "audio/wav", "AIFF" -> "audio/aiff", "AIFF-C" -> "audio/aiff",
+      "AU" -> "audio/basic", "SND" -> "audio/basic")
+    /** (mime, sampleRate, channels, frames, durationSec); zeros if not audio. */
+    def decode(bytes: Array[Byte]): (String, Double, Int, Long, Double) =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val rate = fmt.getFrameRate.toDouble
+        val duration =
+          if (frames > 0 && rate > 0) frames / rate
+          else 0.0
+        (mimeByType.getOrElse(aff.getType.toString, "audio/unknown"),
+          fmt.getSampleRate.toDouble, fmt.getChannels, math.max(frames, 0L), duration)
+      } catch {
+        case _: Exception => ("application/octet-stream", 0.0, 0, 0L, 0.0)
+      }
+  }
+
+  /** Adds an `audio_meta` struct by parsing `binCol` headers in
+    * partition-local batches — same iterator-to-iterator, shuffle-free
+    * shape as [[decodeMeta]]. */
+  def decodeAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("audio_meta", audioMetaType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val meta = if (bytes == null) null else {
+          val (mime, rate, ch, frames, dur) = AudioHeaderDecoder.decode(bytes)
+          Row(mime, rate, ch, frames, dur, bytes.length.toLong)
         }
         Row.fromSeq(row.toSeq :+ meta)
       }

@@ -13,23 +13,59 @@ private[sources] object DocFiles {
     * `.load("/data/&#42;.xml")` works and a literal missing path still
     * fails with a clear error. Hidden/metadata files (`_SUCCESS`,
     * `.crc`) are skipped so directories written by Spark itself read
-    * cleanly. */
+    * cleanly. `http(s)://` paths are network collections — see
+    * [[listHttpCollection]]; the per-document readers are URL-streams
+    * already, so executors fetch their own documents (no driver fan-in). */
   def listFiles(paths: Seq[String]): Seq[String] = {
     val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     paths.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val matched = fs.globStatus(path) match {
-        case null => throw new java.io.FileNotFoundException(s"Path does not exist: $p")
-        case arr  => arr.toSeq
+      if (p.startsWith("http://") || p.startsWith("https://")) listHttpCollection(p)
+      else {
+        val path = new Path(p)
+        val fs = path.getFileSystem(conf)
+        val matched = fs.globStatus(path) match {
+          case null => throw new java.io.FileNotFoundException(s"Path does not exist: $p")
+          case arr  => arr.toSeq
+        }
+        val stats = matched.flatMap { s =>
+          if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
+        }
+        stats.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
       }
-      val stats = matched.flatMap { s =>
-        if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
-      }
-      stats.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        .map(_.getPath.toString)
     }
+  }
+
+  private val DocExtensions =
+    Seq(".xml", ".kml", ".gml", ".geojson", ".json", ".ndjson")
+
+  /** Resolves an HTTP collection URL to document URLs, the way the
+    * reference drives a running BaseX's REST surface (GET `/rest/<db>`
+    * answers an XML listing of `<rest:resource>` entries; GET
+    * `/rest/<db>/<doc>` answers the document — reference
+    * extension/basex/basex_extension.ts). A URL already naming a document
+    * (by extension) is returned as-is without a round-trip; a URL whose
+    * response is not a resource listing is treated as a single document. */
+  private[sources] def listHttpCollection(url: String): Seq[String] = {
+    val lower = url.toLowerCase
+    if (DocExtensions.exists(lower.endsWith)) return Seq(url)
+    val body =
+      try {
+        val in = new java.net.URI(url).toURL.openStream()
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch {
+        case e: Exception =>
+          throw new java.io.FileNotFoundException(s"HTTP collection $url: $e")
+      }
+    val resources =
+      try (scala.xml.XML.loadString(body) \\ "resource").map(_.text.trim).filter(_.nonEmpty)
+      catch { case _: Exception => Seq.empty }
+    if (resources.nonEmpty) {
+      val base = if (url.endsWith("/")) url else url + "/"
+      resources.map(base + _)
+    } else Seq(url) // the endpoint served a document, not a listing
   }
 
   /** Spark encodes `.load(p1, p2, …)` as a JSON array under "paths". */

@@ -229,6 +229,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L)._1.startsWith("image/")) // deterministic stub fallback
   }
 
+  test("decodeAudioMeta reads real WAV/AIFF headers, sentinel zeros otherwise") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def audio(kind: AudioFileFormat.Type, rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, kind == AudioFileFormat.Type.AIFF)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, kind, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, audio(AudioFileFormat.Type.WAVE, 44100f, 2, 4410)), // 0.1 s stereo
+      (2L, audio(AudioFileFormat.Type.AIFF, 8000f, 1, 16000)), // 2 s mono
+      (3L, "definitely not audio".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val out = Multimodal.decodeAudioMeta(media, "media")
+      .select($"doc_id", $"audio_meta.mime", $"audio_meta.sample_rate",
+        $"audio_meta.channels", $"audio_meta.frames", $"audio_meta.duration_sec")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getInt(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L)._1 == "audio/wav")
+    assert(out(1L)._2 == 44100.0 && out(1L)._3 == 2 && out(1L)._4 == 4410L)
+    assert(math.abs(out(1L)._5 - 0.1) < 1e-6)
+    assert(out(2L)._1 == "audio/aiff")
+    assert(out(2L)._2 == 8000.0 && out(2L)._3 == 1)
+    assert(math.abs(out(2L)._5 - 2.0) < 1e-6)
+    // non-audio payload: total operator, all-zero sentinel
+    assert(out(3L) == (("application/octet-stream", 0.0, 0, 0L, 0.0)))
+  }
+
   test("resizeImage scales real images and passes through non-images") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

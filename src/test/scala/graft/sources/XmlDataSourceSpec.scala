@@ -118,6 +118,57 @@ class XmlDataSourceSpec extends SparkTestBase {
     }
   }
 
+  test("HTTP collection: BaseX-REST-style listing, document fetch, pushdown intact") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: String, cType: String): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", cType)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    val docA =
+      """<col><feature><name>a</name><kind>k1</kind><gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>1,2</gml:coordinates></gml:Point></feature></col>"""
+    val docB =
+      """<col><feature><name>b</name><kind>k2</kind></feature><feature><name>c</name><kind>k3</kind></feature></col>"""
+    // the BaseX REST listing shape: GET /rest/<db> names the resources
+    val listing =
+      """<rest:database xmlns:rest="http://basex.org/rest" name="db">
+        |  <rest:resource type="xml">a.xml</rest:resource>
+        |  <rest:resource type="xml">b.xml</rest:resource>
+        |</rest:database>""".stripMargin
+    serve("/rest/db/a.xml", docA, "application/xml")
+    serve("/rest/db/b.xml", docB, "application/xml")
+    serve("/rest/db", listing, "application/xml")
+    serve("/pts.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"p1"},"geometry":{"type":"Point","coordinates":[5,6]}}]}""".stripMargin,
+      "application/geo+json")
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // schema inference works over HTTP (bounded sample fetch)
+      val df = spark.read.format("graft-xml").option("recordTag", "feature")
+        .load(s"$base/rest/db")
+      assert(df.count() == 3)
+      assert(df.columns.contains("name") && df.columns.contains("kind"))
+      // pushed string filters still reach the scan on the network path
+      val filtered = df.where(col("name") === "a")
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,a)"), plan)
+      assert(filtered.count() == 1)
+      assert(filtered.head().getAs[String]("kind") == "k1")
+      // a URL naming a document directly (by extension) skips the listing
+      val gj = spark.read.format("graft-geojson").load(s"$base/pts.geojson")
+      assert(gj.count() == 1)
+      assert(gj.head().getAs[String]("name") == "p1")
+    } finally server.stop(0)
+  }
+
   test("SQL over the source: spatial filter composes") {
     spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
       .createOrReplaceTempView("xml_features")
