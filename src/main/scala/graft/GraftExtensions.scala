@@ -153,6 +153,8 @@ object Graft {
     b("sorted_shingles", SortedShingles, Seq(StringType, IntegerType)),
     b("jaccard_sorted", JaccardSorted, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
     b("sig_match_fraction", SigMatchFraction, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
+    b("sig_prefix", SigPrefix, Seq(ArrayType(LongType, containsNull = false), IntegerType)),
+    b("sig_match_fraction_int", SigMatchFractionInt, Seq(ArrayType(IntegerType, containsNull = false), ArrayType(IntegerType, containsNull = false))),
     b("minhash_band_hashes", MinhashBandHashes, Seq(ArrayType(LongType, containsNull = false), IntegerType)),
     u("simhash64", Simhash64, StringType),
     b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),

@@ -44,6 +44,19 @@ case class SigMatchFraction(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class SigPrefix(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.sigPrefix",
+      Seq(ArrayType(LongType, containsNull = false), IntegerType),
+      ArrayType(IntegerType, containsNull = false)) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class SigMatchFractionInt(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.sigMatchFractionInt",
+      Seq(ArrayType(IntegerType, containsNull = false), ArrayType(IntegerType, containsNull = false)), DoubleType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class Simhash64(child: Expression)
     extends GeoUnary("TextOps.simhash64", StringType, LongType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)

@@ -170,6 +170,34 @@ object TextOps {
     m.toDouble / n
   }
 
+  /** First `n` signature positions truncated to 32 bits — the compact
+    * estimate-prune prefix carried through the LSH band self-join. Bytes
+    * per candidate row ARE the cost of an in-join prune at scale (every
+    * enumerated collision reads both sides' arrays), and truncated
+    * equality is still an unbiased minhash-agreement test up to a 2^-32
+    * false match per position. */
+  def sigPrefix(sig: ArrayData, n: Int): ArrayData = {
+    val m = math.min(math.max(n, 0), sig.numElements())
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = sig.getLong(i).toInt; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[sigMatchFraction]] over int-truncated prefixes. */
+  def sigMatchFractionInt(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"signature length mismatch: $n vs ${b.numElements()}")
+    if (n == 0) return 0.0
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (a.getInt(i) == b.getInt(i)) m += 1
+      i += 1
+    }
+    m.toDouble / n
+  }
+
   /** Jaccard of two sorted long arrays via linear merge (no allocation). */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()

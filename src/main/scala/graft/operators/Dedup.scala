@@ -36,11 +36,17 @@ object Dedup {
     *                 ceil(n/saltCap) salt groups and pairs enumerated via a
     *                 group-to-group join — the same pair set, but a hot
     *                 bucket's O(n²) work spreads over O((n/cap)²) tasks
-    *                 instead of landing on one straggler. 0 = off (plain
-    *                 bucket self-join; AQE still splits moderate skew). */
+    *                 instead of landing on one straggler. Salting is ON by
+    *                 default: AQE's skew split is BYTE-thresholded and never
+    *                 fires on narrow bucket rows, so without salting one
+    *                 12k-member bucket (73M pairs) runs in a single task —
+    *                 measured as the q_dedup_minhash sf1 straggler. Buckets
+    *                 at or under the cap get g=1 and degenerate to the plain
+    *                 join, so well-behaved corpora pay only the bucket-size
+    *                 aggregate. 0 = off (plain self-join baseline). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.7, saltCap: Int = 0): DataFrame = {
+                   threshold: Double = 0.7, saltCap: Int = 2048): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     Graft.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -50,17 +56,53 @@ object Dedup {
         call_function("minhash_signature", col("text"), lit(shingleK), lit(numHashes)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Stage 1 — candidates: bucket rows carry ONLY (id, band, h): the bucket
-    // shuffle and the distinct stay narrow no matter how wide the documents.
+    // Stage 1+2 fused — candidates with the estimate prune INSIDE the band
+    // self-join. Chance collisions grow QUADRATICALLY with corpus size
+    // under a fixed band config (measured on the sf1 corpus: 50k docs →
+    // 1.18e9 enumerated / 3.3e8 distinct candidate pairs, 425 s just to
+    // enumerate+distinct them narrow-style), so the prune must run on each
+    // enumerated collision BEFORE the pair-distinct. The prune stage is
+    // memory-bandwidth-bound — every collision reads both sides' arrays —
+    // so bucket rows carry the signature truncated to INTs (512 B/pair of
+    // traffic instead of 2 KB; truncated equality is an unbiased minhash
+    // agreement test up to 2^-32 per position). A SHORT prefix does not
+    // work here: at n=32 the 3.5σ margin widens the cutoff to 0.19 while
+    // collisions inside prefix-covered bands carry a guaranteed 4-match
+    // bias, and ~1/3 of chance pairs survived (measured). Full length
+    // keeps the r5-validated n=numHashes margin, and the exact-Jaccard
+    // refine below is strictly tighter than any estimate, so the FINAL
+    // pair set is unchanged.
+    //
+    // Catalyst's size estimate for `sig` derives from the WIDE text scan,
+    // so read the TRUE cached size and broadcast the prefix attach when it
+    // fits — then only (id, band, h) rows shuffle for the self-join's
+    // sort, with prefixes attached map-side. At 100 TB the prefixes ride
+    // the bucket shuffle instead (bands × 128 B per doc — the price of
+    // pruning before materializing a quadratic pair list).
+    sig.count()
+    val sigSmall =
+      sig.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
+    val prefixLen = numHashes
+    val pfx = sig.select(col("id"),
+      call_function("sig_prefix", col("sig"), lit(prefixLen)).as("pfx"))
+    def pfxAs(id: String, s: String): DataFrame = {
+      val renamed = pfx.toDF(id, s)
+      if (sigSmall) broadcast(renamed) else renamed
+    }
+    val margin = 1.75 / math.sqrt(prefixLen.toDouble)
+    val estKeep = call_function("sig_match_fraction_int", col("pfx_a"), col("pfx_b")) >=
+      lit(threshold - margin)
+
     // Band hashes come from a native kernel (posexplode position = band).
     val buckets = sig.select(col("id"),
         posexplode(call_function("minhash_band_hashes", col("sig"), lit(bands))))
       .toDF("id", "band", "h")
-    val cand =
+    val withPfx = buckets.join(pfxAs("id", "pfx"), "id")
+    val est =
       if (saltCap <= 0) {
-        buckets.toDF("id_a", "band", "h")
-          .join(buckets.toDF("id_b", "band", "h"), Seq("band", "h"))
-          .where(col("id_a") < col("id_b"))
+        withPfx.toDF("id_a", "band", "h", "pfx_a")
+          .join(withPfx.toDF("id_b", "band", "h", "pfx_b"), Seq("band", "h"))
+          .where(col("id_a") < col("id_b") && estKeep)
           .select("id_a", "id_b")
           .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
       } else {
@@ -76,45 +118,25 @@ object Dedup {
           .withColumn("s", pmod(xxhash64(col("id")), col("g")).cast("int"))
         val left = salted.select(col("id").as("id_a"), col("band"), col("h"),
             explode(expr("sequence(s, g - 1)")).as("t"))
+          .join(pfxAs("id_a", "pfx_a"), "id_a")
         val right = salted.select(col("id").as("id_b"), col("band"), col("h"),
-          col("s").as("t"))
+            col("s").as("t"))
+          .join(pfxAs("id_b", "pfx_b"), "id_b")
         left.join(right, Seq("band", "h", "t"))
-          .where(col("id_a") =!= col("id_b"))
+          .where(col("id_a") =!= col("id_b") && estKeep)
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))
           .dropDuplicates("id_a", "id_b")
       }
 
-    // Stage 2 — cheap prune: minhash-estimated Jaccard (matching signature
-    // fraction, σ = √(j(1-j)/n) ≤ 0.5/√n) with a 3.5σ margin, before
-    // touching document content.
-    //
-    // Catalyst's size estimate for `sig` derives from the WIDE text scan, so
-    // it sort-merge-joins even when signatures are megabytes. Materialize
-    // the cache, read the TRUE cached size, and broadcast when it fits —
-    // at 100 TB the cached size is huge and this stays a shuffle join.
-    sig.count()
-    val sigSmall =
-      sig.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
-    def sigAs(id: String, s: String): DataFrame = {
-      val renamed = sig.toDF(id, s)
-      if (sigSmall) broadcast(renamed) else renamed
-    }
-    val margin = 1.75 / math.sqrt(numHashes.toDouble)
-    val est = cand
-      .join(sigAs("id_a", "sig_a"), "id_a")
-      .join(sigAs("id_b", "sig_b"), "id_b")
-      .withColumn("est_jaccard",
-        call_function("sig_match_fraction", col("sig_a"), col("sig_b")))
-      .where(col("est_jaccard") >= threshold - margin)
-      .select("id_a", "id_b")
-
     // Stage 3 — exact refine: per-document sorted shingle-hash sets are
     // computed once, pairs evaluated by linear merge (no per-pair
-    // re-shingling).
+    // re-shingling). Surviving pairs are 16-byte rows whose refine does
+    // O(|doc|) work each — spreadPairs pins full parallelism (AQE would
+    // coalesce the tiny-by-bytes shuffle into too few compute-bound tasks).
     val shingles = base.select(col("id"),
       call_function("sorted_shingles", col("text"), lit(shingleK)).as("sh"))
-    est
+    spreadPairs(est)
       .join(shingles.toDF("id_a", "sh_a"), "id_a")
       .join(shingles.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jaccard", call_function("jaccard_sorted", col("sh_a"), col("sh_b")))
@@ -167,12 +189,24 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand
+    // same compute-vs-bytes mismatch as minhashPairs: the exact-cosine
+    // refine does O(dim) work per 16-byte candidate row — keep it wide
+    spreadPairs(cand)
       .join(base.toDF("id_a", "vec_a"), "id_a")
       .join(base.toDF("id_b", "vec_b"), "id_b")
       .withColumn("cosine", call_function("cosine_similarity", col("vec_a"), col("vec_b")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Narrow (id_a, id_b) candidate frames under-parallelize their refine
+    * stage: AQE coalesces shuffle partitions by BYTES, and 16-byte pair
+    * rows make every downstream compute-heavy stage look tiny. An
+    * explicit-count repartition (exempt from AQE coalescing) pins the
+    * session's configured shuffle width. */
+  private def spreadPairs(cand: DataFrame): DataFrame = {
+    val width = cand.sparkSession.sessionState.conf.numShufflePartitions
+    cand.repartition(width, col("id_a"), col("id_b"))
   }
 
   /** Connected components over a duplicate-pair edge list: assigns each id

@@ -9,6 +9,12 @@ Usage: python3 tools/local_verify.py /tmp/verify_r2 /root/testdata/sf0.01
 import duckdb, json, os, sys, hashlib
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
+# --skip=a,b,c : names whose DuckDB oracle is quadratic and intractable at
+# large SF (they stay gated at sf0.01); reported as SKIP, not counted ok.
+skip_names = set()
+for arg in sys.argv[3:]:
+    if arg.startswith("--skip="):
+        skip_names |= {s for s in arg[len("--skip="):].split(",") if s}
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -37,6 +43,10 @@ fails, ok, skipped = [], 0, 0
 for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
     if not os.path.isdir(path):
+        continue
+    if name in skip_names:
+        skipped += 1
+        print(f"  {name}: SKIP (quadratic oracle, gated at sf0.01)")
         continue
     spark_df = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
     if name not in oracle:

@@ -4,9 +4,14 @@ for scale benchmarking, WITHOUT touching /root/testdata (read-only).
 
 Replication preserves join structure (all foreign keys shift together per
 replica) and keeps the near-duplicate/ANN workloads LINEAR:
-  - documents: every inter-word gap gets a replica-specific salt token, so
-    cross-replica texts share no shingles (near-dup pair count scales ~10x,
-    not ~100x as naive text replication would);
+  - documents: every inter-word gap gets a salt token specific to the
+    (replica, doc) pair, so neither cross-replica texts nor same-replica
+    texts share gap shingles (near-dup pair count scales ~10x, not ~100x
+    as naive text replication would). A replica-only salt is NOT enough:
+    with ' rIs ' in every gap, all docs of one replica class share their
+    gap-derived 5-char shingles, which pushed same-replica cross-doc
+    Jaccard past 0.5 and made the true near-dup pair set quadratic
+    (measured: 1% of ALL sf1 doc pairs at j >= 0.89 before this fix);
   - embeddings: replicas 1..9 get deterministic hash-generated vectors
     (near-orthogonal in 64-d), so only replica 0 carries the planted
     cosine structure.
@@ -68,12 +73,13 @@ write("events", replicate(
     f"* EXCLUDE (event_id, user_id) FROM '{SRC}/events.parquet'"
     for i in range(R)))
 
-# documents: salt every inter-word gap per replica (replica 0 = original)
+# documents: salt every inter-word gap per (replica, doc) — replica 0 is
+# the untouched original carrying the planted near-dup structure
 doc_parts = [f"SELECT * FROM '{SRC}/documents.parquet'"]
 for i in range(1, R):
     doc_parts.append(
         f"SELECT doc_id + {i*1_000_000} AS doc_id, "
-        f"regexp_replace(text, ' ', ' r{i}s ', 'g') AS text, "
+        f"regexp_replace(text, ' ', ' q{i}x' || CAST(doc_id AS VARCHAR) || ' ', 'g') AS text, "
         f"lang, source, n_chars FROM '{SRC}/documents.parquet'")
 write("documents", replicate(doc_parts))
 
