@@ -32,18 +32,23 @@ object Dedup {
     * bucket equi-join for candidates → exact shingle-Jaccard refine ≥
     * `threshold`. Probability of catching a pair with Jaccard j is
     * 1-(1-j^(numHashes/bands))^bands (standard S-curve). */
-  /** @param saltCap when > 0, band buckets larger than this are split into
+  /** @param saltCap band buckets larger than this are split into
     *                 ceil(n/saltCap) salt groups and pairs enumerated via a
     *                 group-to-group join — the same pair set, but a hot
     *                 bucket's O(n²) work spreads over O((n/cap)²) tasks
-    *                 instead of landing on one straggler. Salting is ON by
-    *                 default: AQE's skew split is BYTE-thresholded and never
-    *                 fires on narrow bucket rows, so without salting one
-    *                 12k-member bucket (73M pairs) runs in a single task —
-    *                 measured as the q_dedup_minhash sf1 straggler. Buckets
-    *                 at or under the cap get g=1 and degenerate to the plain
-    *                 join, so well-behaved corpora pay only the bucket-size
-    *                 aggregate. 0 = off (plain self-join baseline). */
+    *                 instead of landing on one straggler (AQE's skew split
+    *                 is BYTE-thresholded and never fires on narrow bucket
+    *                 rows; a 12k-member bucket = 73M pairs on one core was
+    *                 the measured sf1 straggler). The salted plan only
+    *                 engages when the bucket-size probe actually finds a
+    *                 bucket over the cap; 0 disables salting entirely. */
+  /** Collision volume (Σ n·(n−1)/2 over band buckets) above which
+    * minhashPairs switches from the narrow enumerate-then-prune plan to
+    * the carry-signature inline-estimate plan: at ~64M pairs the narrow
+    * pair-distinct costs low seconds; well beyond it the distinct
+    * dominates everything (3.3e8 distinct pairs took 425 s at sf1). */
+  private val InlineEstPairVolume = 64L << 20
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, saltCap: Int = 2048): DataFrame = {
@@ -56,63 +61,95 @@ object Dedup {
         call_function("minhash_signature", col("text"), lit(shingleK), lit(numHashes)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Stage 1+2 fused — candidates with the estimate prune INSIDE the band
-    // self-join. Chance collisions grow QUADRATICALLY with corpus size
-    // under a fixed band config (measured on the sf1 corpus: 50k docs →
-    // 1.18e9 enumerated / 3.3e8 distinct candidate pairs, 425 s just to
-    // enumerate+distinct them narrow-style), so the prune must run on each
-    // enumerated collision BEFORE the pair-distinct. The prune stage is
-    // memory-bandwidth-bound — every collision reads both sides' arrays —
-    // so bucket rows carry the signature truncated to INTs (512 B/pair of
-    // traffic instead of 2 KB; truncated equality is an unbiased minhash
-    // agreement test up to 2^-32 per position). A SHORT prefix does not
-    // work here: at n=32 the 3.5σ margin widens the cutoff to 0.19 while
-    // collisions inside prefix-covered bands carry a guaranteed 4-match
-    // bias, and ~1/3 of chance pairs survived (measured). Full length
-    // keeps the r5-validated n=numHashes margin, and the exact-Jaccard
-    // refine below is strictly tighter than any estimate, so the FINAL
-    // pair set is unchanged.
-    //
-    // Catalyst's size estimate for `sig` derives from the WIDE text scan,
-    // so read the TRUE cached size and broadcast the prefix attach when it
-    // fits — then only (id, band, h) rows shuffle for the self-join's
-    // sort, with prefixes attached map-side. At 100 TB the prefixes ride
-    // the bucket shuffle instead (bands × 128 B per doc — the price of
-    // pruning before materializing a quadratic pair list).
+    // Candidate generation is VOLUME-ADAPTIVE. Chance collisions grow
+    // QUADRATICALLY with corpus size under a fixed band config (measured
+    // on the sf1 corpus: 50k docs → 1.18e9 enumerated / 3.3e8 distinct
+    // candidate pairs, 425 s just to enumerate+distinct them), so the
+    // regime is chosen from the TRUE collision volume Σ n·(n−1)/2 — one
+    // narrow aggregate over bucket sizes, the operator-level analogue of
+    // AQE's stats-driven re-planning:
+    //  - small volume → narrow rows (id, band, h), pair-distinct first,
+    //    estimate via broadcast join-back (minimal constant overhead);
+    //  - large volume → bucket rows carry the signature truncated to INTs
+    //    (512 B/pair of traffic instead of 2 KB; truncated equality is an
+    //    unbiased minhash agreement test up to 2^-32 per position) and the
+    //    estimate prunes INSIDE the self-join, so the distinct only ever
+    //    sees est-survivors. A SHORT prefix does not work: at n=32 the
+    //    3.5σ margin widens the cutoff to 0.19 while collisions inside
+    //    prefix-covered bands carry a guaranteed 4-match bias, and ~1/3 of
+    //    chance pairs survived (measured). Full length keeps the
+    //    r5-validated n=numHashes margin.
+    //  - hot buckets (> saltCap members) additionally use salted
+    //    group-to-group enumeration; with no hot bucket the probe skips
+    //    salting entirely.
+    // The exact-Jaccard refine below is strictly tighter than any
+    // estimate, so every regime produces the SAME final pair set.
     sig.count()
     val sigSmall =
       sig.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
-    val prefixLen = numHashes
+    def sigAs(id: String, s: String): DataFrame = {
+      val renamed = sig.toDF(id, s)
+      if (sigSmall) broadcast(renamed) else renamed
+    }
     val pfx = sig.select(col("id"),
-      call_function("sig_prefix", col("sig"), lit(prefixLen)).as("pfx"))
+      call_function("sig_prefix", col("sig"), lit(numHashes)).as("pfx"))
     def pfxAs(id: String, s: String): DataFrame = {
       val renamed = pfx.toDF(id, s)
       if (sigSmall) broadcast(renamed) else renamed
     }
-    val margin = 1.75 / math.sqrt(prefixLen.toDouble)
-    val estKeep = call_function("sig_match_fraction_int", col("pfx_a"), col("pfx_b")) >=
+    val margin = 1.75 / math.sqrt(numHashes.toDouble)
+    val estKeepInt = call_function("sig_match_fraction_int", col("pfx_a"), col("pfx_b")) >=
       lit(threshold - margin)
 
     // Band hashes come from a native kernel (posexplode position = band).
     val buckets = sig.select(col("id"),
         posexplode(call_function("minhash_band_hashes", col("sig"), lit(bands))))
       .toDF("id", "band", "h")
-    val withPfx = buckets.join(pfxAs("id", "pfx"), "id")
+
+    // the regime probe: bucket-size aggregate (narrow, k-bounded output)
+    val sizes = buckets.groupBy("band", "h").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = sizes.agg(
+      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("volume"),
+      coalesce(max("n"), lit(0L)).as("mx")).head()
+    val (pairVolume, maxBucket) = (probe.getLong(0), probe.getLong(1))
+    val needSalt = saltCap > 0 && maxBucket > saltCap
+    val inlineEst = pairVolume > InlineEstPairVolume
+
     val est =
-      if (saltCap <= 0) {
-        withPfx.toDF("id_a", "band", "h", "pfx_a")
-          .join(withPfx.toDF("id_b", "band", "h", "pfx_b"), Seq("band", "h"))
-          .where(col("id_a") < col("id_b") && estKeep)
+      if (!needSalt && !inlineEst) {
+        // narrow regime: enumerate → distinct → broadcast join-back est
+        sizes.unpersist()
+        buckets.toDF("id_a", "band", "h")
+          .join(buckets.toDF("id_b", "band", "h"), Seq("band", "h"))
+          .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
           .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
+          .join(sigAs("id_a", "sig_a"), "id_a")
+          .join(sigAs("id_b", "sig_b"), "id_b")
+          .where(call_function("sig_match_fraction", col("sig_a"), col("sig_b")) >=
+            lit(threshold - margin))
+          .select("id_a", "id_b")
+      } else if (!needSalt) {
+        // inline-est regime, no hot buckets
+        sizes.unpersist()
+        val withPfx = buckets.join(pfxAs("id", "pfx"), "id")
+        withPfx.toDF("id_a", "band", "h", "pfx_a")
+          .join(withPfx.toDF("id_b", "band", "h", "pfx_b"), Seq("band", "h"))
+          .where(col("id_a") < col("id_b") && estKeepInt)
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
       } else {
-        // Per-bucket salting: members get a deterministic salt group s in
-        // [0, g); the left side replicates each member to every target group
-        // t ≥ s, the right side joins on its own group, so every unordered
-        // pair meets exactly once across (band, h, t) keys (same-group pairs
-        // meet twice in both orders — canonicalize + distinct collapses them,
-        // which the cross-band dropDuplicates needs anyway).
-        val sizes = buckets.groupBy("band", "h").agg(count(lit(1)).as("n"))
+        // Per-bucket salting (+ inline est): members get a deterministic
+        // salt group s in [0, g); the left side replicates each member to
+        // every target group t ≥ s, the right side joins on its own group,
+        // so every unordered pair meets exactly once across (band, h, t)
+        // keys (same-group pairs meet twice in both orders — canonicalize +
+        // distinct collapses them, which the cross-band dropDuplicates
+        // needs anyway). Hot buckets would otherwise enumerate O(n²) pairs
+        // in ONE task: AQE's skew split is byte-thresholded and never fires
+        // on these narrow rows (measured: a 12k-member bucket = 73M pairs
+        // on a single core was the sf1 straggler).
         val salted = buckets.join(sizes, Seq("band", "h"))
           .withColumn("g", greatest(lit(1L), ceil(col("n") / lit(saltCap.toDouble))).cast("int"))
           .withColumn("s", pmod(xxhash64(col("id")), col("g")).cast("int"))
@@ -123,7 +160,7 @@ object Dedup {
             col("s").as("t"))
           .join(pfxAs("id_b", "pfx_b"), "id_b")
         left.join(right, Seq("band", "h", "t"))
-          .where(col("id_a") =!= col("id_b") && estKeep)
+          .where(col("id_a") =!= col("id_b") && estKeepInt)
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"))
           .dropDuplicates("id_a", "id_b")
@@ -315,9 +352,11 @@ object Dedup {
         .join(propagated.toDF("mid", "cluster", "old_r").select("mid", "cluster"), "mid")
         .select(col("id"), col("cluster"),
           (col("cluster") =!= col("old")).cast("long").as("chg")))
-      // convergence test is a joinless scan of the just-materialized
-      // checkpoint (narrow partial-sum), not a second shuffle-join job
-      val changed = next.agg(coalesce(sum("chg"), lit(0L))).head.getLong(0)
+      // convergence test is a joinless probe of the just-materialized
+      // checkpoint: non-converged rounds short-circuit at the first
+      // changed row (limit 1), only the final round scans everything —
+      // no second shuffle-join job either way
+      val changed = next.where(col("chg") === 1L).limit(1).count()
       labels = next.select("id", "cluster")
       converged = changed == 0
       i += 1
