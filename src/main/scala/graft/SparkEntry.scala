@@ -34,12 +34,18 @@ object SparkEntry {
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")
         val fixed =
-          // only the NANOS encoding arrives as a long; a normal µs
-          // timestamp column (e.g. rewritten test data) needs no rebuild
-          if (t == "events" &&
-              df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          else df
+          if (t == "events") df.schema("ts").dataType match {
+            // the NANOS encoding arrives as a long under nanosAsLong
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            // DuckDB-written parquet (e.g. the sf1 generator) arrives as
+            // TIMESTAMP_NTZ, which rejects CAST(ts AS BIGINT); at the
+            // session's UTC timezone the LTZ reinterpretation is value-
+            // identical, so normalize once here
+            case _: org.apache.spark.sql.types.TimestampNTZType =>
+              df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            case _ => df
+          } else df
         fixed.createOrReplaceTempView(t)
       }
       registeredDir.put(key, dir)
