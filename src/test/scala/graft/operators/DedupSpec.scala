@@ -75,6 +75,38 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("lshConfig reproduces the validated 8×8 layout at gate scale and grows with n") {
+    // gate-scale corpora keep the historical layout bit-for-bit
+    assert(Dedup.lshConfig(-1, 1000, 0.95) == (8, 8))
+    assert(Dedup.lshConfig(-1, 1, 0.95) == (8, 8)) // floor, no log-of-zero
+    // 10× the vectors: more planes (smaller buckets), recall re-solved
+    val (pl40k, tb40k) = Dedup.lshConfig(-1, 40000, 0.95)
+    assert(pl40k > 8 && pl40k <= 24)
+    // boundary recall never drops below the 8×8 baseline's 0.988
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    val recall = 1.0 - math.pow(1.0 - math.pow(p, pl40k), tb40k)
+    assert(recall >= 0.988, s"recall $recall under ($pl40k, $tb40k)")
+    // explicit planes pin the bucket layout; tables still solved for recall
+    val (plFixed, tbFixed) = Dedup.lshConfig(12, 40000, 0.95)
+    assert(plFixed == 12 && tbFixed >= 1)
+    // exact-duplicate threshold: any single table suffices
+    assert(Dedup.lshConfig(-1, 1000, 1.0)._2 == 1)
+  }
+
+  test("auto-sized embedding pairs find the same refined pairs as the fixed layout") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // low threshold → dense true-pair structure; auto layout (n≈small → 8
+    // planes, recall-solved tables ≥ 8) must cover the fixed 8×8's pairs
+    val fixed = pairSet(Dedup.embeddingPairs(embs, "vec_id", "embedding",
+      minCosine = 0.4, planes = 8, tables = 8))
+    val auto = pairSet(Dedup.embeddingPairs(embs, "vec_id", "embedding",
+      minCosine = 0.4))
+    assert(fixed.subsetOf(auto),
+      s"auto layout lost ${(fixed -- auto).size} of ${fixed.size} pairs")
+  }
+
   test("reliable checkpoint without a checkpoint dir fails fast") {
     val fresh = spark.newSession()
     // newSession shares the SparkContext, so clear the dir via a fresh check:

@@ -73,13 +73,34 @@ write("events", replicate(
     f"* EXCLUDE (event_id, user_id) FROM '{SRC}/events.parquet'"
     for i in range(R)))
 
-# documents: salt every inter-word gap per (replica, doc) — replica 0 is
-# the untouched original carrying the planted near-dup structure
+# documents: per-replica CAESAR CIPHER on letters (shift i over a-z) —
+# replica 0 is the untouched original carrying the planted near-dup
+# structure.
+#
+# Why a cipher and not salt tokens: the corpus vocabulary is ~30 short
+# words, so 5-char shingles are dominated by gap-crossing types that
+# couple adjacent words. Any scheme that INSERTS material (per-doc gap
+# salts, per-word suffixes) either leaves same-replica docs sharing
+# most gap types (measured: ~4.6M doc pairs at j >= 0.5, an ~18,000x
+# blowup of the 256-pair sf0.1 structure) or destroys the adjacency
+# coupling that makes docs distinct (suffixes push the 5-char window
+# off the word boundary, so ALL same-replica docs collapse toward
+# vocabulary-overlap similarity ~0.8). A letter-substitution cipher
+# instead maps each replica's shingle set EXACTLY isomorphically:
+# within-replica Jaccard is bit-identical to the base corpus (near-dup
+# pairs scale exactly 10x), while every cross-replica shingle differs
+# in all letter positions (shift != 0), so cross-replica j ~ 0. Text
+# length is unchanged, so corpus bytes also scale exactly 10x.
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+
 doc_parts = [f"SELECT * FROM '{SRC}/documents.parquet'"]
 for i in range(1, R):
+    shift = i % 25 + 1  # never 0: every letter must change
+    rot = LOWER[shift:] + LOWER[:shift] + UPPER[shift:] + UPPER[:shift]
     doc_parts.append(
         f"SELECT doc_id + {i*1_000_000} AS doc_id, "
-        f"regexp_replace(text, ' ', ' q{i}x' || CAST(doc_id AS VARCHAR) || ' ', 'g') AS text, "
+        f"translate(text, '{LOWER + UPPER}', '{rot}') AS text, "
         f"lang, source, n_chars FROM '{SRC}/documents.parquet'")
 write("documents", replicate(doc_parts))
 
