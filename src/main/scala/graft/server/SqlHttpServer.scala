@@ -42,6 +42,28 @@ object SqlHttpServer {
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
 
+    // Demo UI (reference: demo/views/index.ejs + demo/public) — a single
+    // self-contained page: SQL form, registered-table list, result table,
+    // and an inline-SVG map of the returned FeatureCollection. No external
+    // assets (the reference pulls Leaflet/Bootstrap from CDNs; this
+    // environment is offline by design, and a dependency-free page keeps
+    // the server JDK-only).
+    server.createContext("/", (ex: HttpExchange) => {
+      if (ex.getRequestURI.getPath != "/")
+        respond(ex, 404, """{"error":"not found"}""")
+      else respondHtml(ex, 200, DemoPage)
+    })
+
+    // analog of the reference's per-DBMS listCollections panel; bearer-gated
+    // like /query when a token is configured (table names are metadata)
+    server.createContext("/tables", (ex: HttpExchange) => {
+      if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
+      else {
+        val names = spark.catalog.listTables().collect().map(_.name).sorted
+        respond(ex, 200, names.map(jstr).mkString("""{"tables":[""", ",", "]}"))
+      }
+    })
+
     server.createContext("/query", (ex: HttpExchange) => {
       try {
         val sql = ex.getRequestMethod match {
@@ -123,11 +145,107 @@ object SqlHttpServer {
     case other               => jstr(other.toString)
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit =
+    respondBytes(ex, code, body, "application/json; charset=utf-8")
+
+  private def respondHtml(ex: HttpExchange, code: Int, body: String): Unit =
+    respondBytes(ex, code, body, "text/html; charset=utf-8")
+
+  private def respondBytes(ex: HttpExchange, code: Int, body: String,
+                           contentType: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
+
+  /** The demo page. Vanilla JS: POSTs the textarea to /query, renders the
+    * row table, and projects any FeatureCollection into an SVG viewport
+    * (equirectangular fit-to-bbox — adequate for a result preview; real
+    * mapping belongs to a real client on the JSON API). */
+  private val DemoPage: String =
+    """<!DOCTYPE html>
+      |<html><head><meta charset="utf-8"><title>graft SQL console</title>
+      |<style>
+      | body{font-family:system-ui,sans-serif;margin:1.5rem;max-width:60rem}
+      | textarea{width:100%;height:6rem;font-family:monospace}
+      | table{border-collapse:collapse;margin-top:1rem}
+      | td,th{border:1px solid #999;padding:.2rem .5rem;font-size:.85rem}
+      | #map{border:1px solid #999;margin-top:1rem;background:#f4f8fb}
+      | #err{color:#b00020;white-space:pre-wrap}
+      | .tables{color:#555;font-size:.85rem}
+      |</style></head><body>
+      |<h1>graft SQL console</h1>
+      |<div class="tables" id="tables">loading tables…</div>
+      |<form id="f"><textarea id="sql" placeholder="SELECT c_name, ST_AsGeoJSON(ST_Point(1.0, 2.0)) AS st_asgeojson FROM customer LIMIT 50"></textarea>
+      |<button type="submit">Run</button></form>
+      |<div id="err"></div><div id="out"></div>
+      |<script>
+      |fetch('/tables').then(r=>r.json()).then(j=>{
+      |  document.getElementById('tables').textContent='tables: '+j.tables.join(', ');
+      |}).catch(()=>{});
+      |document.getElementById('f').addEventListener('submit', ev=>{
+      |  ev.preventDefault();
+      |  const out=document.getElementById('out'), err=document.getElementById('err');
+      |  out.innerHTML=''; err.textContent='';
+      |  fetch('/query',{method:'POST',body:document.getElementById('sql').value})
+      |    .then(r=>r.json()).then(j=>{
+      |      if(j.error){err.textContent=j.error;return;}
+      |      const t=document.createElement('table');
+      |      t.innerHTML='<tr>'+j.columns.map(c=>'<th></th>').join('')+'</tr>';
+      |      j.columns.forEach((c,i)=>{t.rows[0].cells[i].textContent=c;});
+      |      j.rows.forEach(r=>{
+      |        const tr=t.insertRow();
+      |        r.forEach(v=>{tr.insertCell().textContent=v===null?'NULL':String(v);});
+      |      });
+      |      out.appendChild(t);
+      |      if(j.geojson) out.appendChild(renderMap(j.geojson));
+      |    }).catch(e=>{err.textContent=String(e);});
+      |});
+      |function coordsOf(g,acc){
+      |  if(!g)return;
+      |  if(g.type==='GeometryCollection'){(g.geometries||[]).forEach(x=>coordsOf(x,acc));return;}
+      |  const walk=c=>{ if(typeof c[0]==='number')acc.push(c); else c.forEach(walk); };
+      |  if(g.coordinates)walk(g.coordinates);
+      |}
+      |function renderMap(fc){
+      |  const W=760,H=420,P=16,pts=[];
+      |  fc.features.forEach(f=>coordsOf(f.geometry,pts));
+      |  const svg=document.createElementNS('http://www.w3.org/2000/svg','svg');
+      |  svg.setAttribute('width',W);svg.setAttribute('height',H);svg.id='map';
+      |  if(!pts.length)return svg;
+      |  let x0=1/0,y0=1/0,x1=-1/0,y1=-1/0;
+      |  pts.forEach(c=>{x0=Math.min(x0,c[0]);x1=Math.max(x1,c[0]);
+      |                  y0=Math.min(y0,c[1]);y1=Math.max(y1,c[1]);});
+      |  const sx=(W-2*P)/Math.max(x1-x0,1e-9), sy=(H-2*P)/Math.max(y1-y0,1e-9),
+      |        s=Math.min(sx,sy),
+      |        px=c=>P+(c[0]-x0)*s, py=c=>H-P-(c[1]-y0)*s;
+      |  const NS='http://www.w3.org/2000/svg';
+      |  function ring(c){return c.map(p=>px(p)+','+py(p)).join(' ');}
+      |  function draw(g){
+      |    if(!g)return;
+      |    if(g.type==='Point'){
+      |      const e=document.createElementNS(NS,'circle');
+      |      e.setAttribute('cx',px(g.coordinates));e.setAttribute('cy',py(g.coordinates));
+      |      e.setAttribute('r',3);e.setAttribute('fill','#1565c0');svg.appendChild(e);
+      |    }else if(g.type==='MultiPoint'){g.coordinates.forEach(c=>draw({type:'Point',coordinates:c}));
+      |    }else if(g.type==='LineString'){
+      |      const e=document.createElementNS(NS,'polyline');
+      |      e.setAttribute('points',ring(g.coordinates));
+      |      e.setAttribute('fill','none');e.setAttribute('stroke','#2e7d32');svg.appendChild(e);
+      |    }else if(g.type==='MultiLineString'){g.coordinates.forEach(c=>draw({type:'LineString',coordinates:c}));
+      |    }else if(g.type==='Polygon'){
+      |      const e=document.createElementNS(NS,'polygon');
+      |      e.setAttribute('points',ring(g.coordinates[0]));
+      |      e.setAttribute('fill','rgba(230,81,0,.25)');e.setAttribute('stroke','#e65100');
+      |      svg.appendChild(e);
+      |    }else if(g.type==='MultiPolygon'){g.coordinates.forEach(c=>draw({type:'Polygon',coordinates:c}));
+      |    }else if(g.type==='GeometryCollection'){(g.geometries||[]).forEach(draw);}
+      |  }
+      |  fc.features.forEach(f=>draw(f.geometry));
+      |  return svg;
+      |}
+      |</script></body></html>
+      |""".stripMargin
 }

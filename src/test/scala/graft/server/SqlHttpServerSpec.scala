@@ -85,6 +85,43 @@ class SqlHttpServerSpec extends SparkTestBase {
     assert(server.getAddress.getAddress.isLoopbackAddress)
   }
 
+  test("GET / serves the self-contained demo console page") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + "/")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    // SQL form posting to /query and the SVG map renderer, with no
+    // external asset references (the page must work fully offline)
+    assert(r.body().contains("fetch('/query'"), r.body().take(200))
+    assert(r.body().contains("renderMap"))
+    assert(!r.body().toLowerCase.contains("http://cdn") &&
+      !r.body().toLowerCase.contains("https://"), "demo page must be self-contained")
+    // unknown paths under the root context are 404, not the page
+    val miss = client.send(HttpRequest.newBuilder(URI.create(base + "/nope")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(miss.statusCode() == 404)
+  }
+
+  test("GET /tables lists registered tables and honors the auth token") {
+    graft.SparkEntry.init(spark, sfDir)
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + "/tables")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"customer\"") && r.body().contains("\"lineitem\""), r.body())
+
+    val s = SqlHttpServer.start(spark, port = 0, authToken = Some("tok"))
+    try {
+      val b = s"http://127.0.0.1:${s.getAddress.getPort}"
+      val denied = client.send(HttpRequest.newBuilder(URI.create(b + "/tables")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(denied.statusCode() == 401)
+      val ok = client.send(HttpRequest.newBuilder(URI.create(b + "/tables"))
+        .header("Authorization", "Bearer tok").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200)
+    } finally s.stop(0)
+  }
+
   test("GET /query?sql=... works and bad SQL yields a JSON error") {
     val enc = java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8")
     val ok = client.send(HttpRequest.newBuilder(URI.create(s"$base/query?sql=$enc")).GET().build(),
