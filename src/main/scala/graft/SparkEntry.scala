@@ -31,6 +31,10 @@ object SparkEntry {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
       // for: read the raw int64 nanos and downcast to a microsecond timestamp.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the NTZ→LTZ normalization below is value-preserving ONLY at UTC;
+      // pin it here rather than trusting every caller to have set it
+      // (Bench/Verify/tests do, an ad-hoc session may not)
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")
         val fixed =

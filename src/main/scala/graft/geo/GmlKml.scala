@@ -2,7 +2,7 @@ package graft.geo
 
 import org.locationtech.jts.geom._
 
-import scala.xml.{Elem, Node, XML}
+import scala.xml.{Elem, Node}
 
 /** GML (2 & 3) and KML geometry codecs.
   *
@@ -16,9 +16,11 @@ import scala.xml.{Elem, Node, XML}
   */
 object GmlKml {
 
-  def parseGml(xml: String): Geometry = parseGmlNode(XML.loadString(xml))
+  // SecureXml.strict: geometry markup is untrusted data and never
+  // legitimately carries a DOCTYPE — reject XXE vectors at the parser
+  def parseGml(xml: String): Geometry = parseGmlNode(SecureXml.strict.loadString(xml))
 
-  def parseKml(xml: String): Geometry = parseKmlNode(XML.loadString(xml))
+  def parseKml(xml: String): Geometry = parseKmlNode(SecureXml.strict.loadString(xml))
 
   // ------------------------------------------------------------------ GML
 

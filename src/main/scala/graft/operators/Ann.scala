@@ -170,7 +170,7 @@ object Ann {
     * cost being bounded is the DRIVER-side enumeration and the size of the
     * resulting bucket InSet predicate, so an oversized setting degrades to
     * the biggest feasible ball instead of failing (e.g. planes=30 clamps
-    * to probes ≤ 4 ≈ 32k buckets). */
+    * to probes ≤ 5 ≈ 174k buckets). */
   private[operators] def hammingBall(qBucket: Int, planes: Int, probes: Int): Seq[Int] = {
     require(planes >= 1 && planes <= 30, s"planes must be in [1,30], got $planes")
     val p = math.min(math.min(math.max(probes, 0), planes), maxFeasibleProbes(planes))

@@ -113,13 +113,18 @@ object Dedup {
       coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("volume"),
       coalesce(max("n"), lit(0L)).as("mx")).head()
     val (pairVolume, maxBucket) = (probe.getLong(0), probe.getLong(1))
+    // release the probe's cache immediately: the salted branch references
+    // `sizes` lazily and would otherwise pin the blocks for the session's
+    // lifetime (no handle to unpersist after execution); recomputing the
+    // k-bounded aggregate once from the persisted `sig` is cheaper than a
+    // permanent cache leak
+    sizes.unpersist()
     val needSalt = saltCap > 0 && maxBucket > saltCap
     val inlineEst = pairVolume > InlineEstPairVolume
 
     val est =
       if (!needSalt && !inlineEst) {
         // narrow regime: enumerate → distinct → broadcast join-back est
-        sizes.unpersist()
         buckets.toDF("id_a", "band", "h")
           .join(buckets.toDF("id_b", "band", "h"), Seq("band", "h"))
           .where(col("id_a") < col("id_b"))
@@ -132,7 +137,6 @@ object Dedup {
           .select("id_a", "id_b")
       } else if (!needSalt) {
         // inline-est regime, no hot buckets
-        sizes.unpersist()
         val withPfx = buckets.join(pfxAs("id", "pfx"), "id")
         withPfx.toDF("id_a", "band", "h", "pfx_a")
           .join(withPfx.toDF("id_b", "band", "h", "pfx_b"), Seq("band", "h"))
@@ -220,8 +224,12 @@ object Dedup {
     * candidate pairs — measured as a 24× q_embed_dedup blowup at sf1), so
     * planes scales as log2(n / 16) and tables is then solved from the
     * recall the 8×8 default delivers at the decision boundary
-    * (1-(1-p^planes)^tables ≥ 0.988 at cosine = minCosine). Pass both
-    * explicitly to pin a fixed layout. */
+    * (1-(1-p^planes)^tables ≥ 0.988 at cosine = minCosine). Either can be
+    * pinned individually; pass both to fix the whole layout. Auto-sizing
+    * counts the corpus, so `base` is cached for the count + the two
+    * refine joins (same long-lived cache pattern as minhashPairs' `sig`:
+    * recomputing an arbitrary upstream pipeline three times would cost
+    * more than the cached (id, vec) frame). */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double = 0.95, planes: Int = 0,
                      tables: Int = 0): DataFrame = {
@@ -229,7 +237,11 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val (pl, tb) =
       if (planes > 0 && tables > 0) (planes, tables)
-      else lshConfig(if (planes > 0) planes else -1, base.count(), minCosine)
+      else {
+        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lshConfig(if (planes > 0) planes else -1,
+          if (tables > 0) tables else -1, base.count(), minCosine)
+      }
     val buckets = base.select(col("id"),
         posexplode(call_function("hyperplane_buckets", col("vec"), lit(pl), lit(tb))))
       .toDF("id", "tbl", "bucket")
@@ -257,12 +269,14 @@ object Dedup {
     * decision boundary p = 1 - acos(minCosine)/π — 0.988 is exactly what
     * the former fixed 8×8 layout delivered at cosine 0.95, so auto-sizing
     * never trades recall for speed: at n = 1000 it reproduces (8, 8)
-    * verbatim, at n = 40k it picks (11, 13) — ~8× fewer in-bucket chance
-    * pairs for ~1.6× more tables.
+    * verbatim, at n = 40k it picks (12, 14) — 16× fewer in-bucket chance
+    * pairs for 1.75× more tables.
     *
-    * @param planes -1 to derive from n, else used as-is (tables still solved)
+    * @param planes -1 to derive from n, else used as-is
+    * @param tables -1 to solve for boundary recall, else used as-is
     */
-  private[operators] def lshConfig(planes: Int, n: Long, minCosine: Double): (Int, Int) = {
+  private[operators] def lshConfig(planes: Int, tables: Int, n: Long,
+                                   minCosine: Double): (Int, Int) = {
     val pl =
       if (planes > 0) planes
       else math.min(24, math.max(8,
@@ -270,7 +284,8 @@ object Dedup {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, minCosine))) / math.Pi
     val missPerTable = 1.0 - math.pow(p, pl)
     val tb =
-      if (missPerTable <= 0.0) 1 // minCosine = 1: any table catches exact dups
+      if (tables > 0) tables
+      else if (missPerTable <= 0.0) 1 // minCosine = 1: any table catches exact dups
       else math.min(64, math.max(1,
         math.ceil(math.log(1.0 - BoundaryRecall) / math.log(missPerTable)).toInt))
     (pl, tb)

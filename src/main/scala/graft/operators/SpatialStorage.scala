@@ -56,8 +56,11 @@ object SpatialStorage {
         min(call_function("st_ymin", col(geomCol))),
         max(call_function("st_xmax", col(geomCol))),
         max(call_function("st_ymax", col(geomCol)))).head()
-      addGeoParquetMetadata(df.sparkSession, path, geomCol,
-        bbox.getDouble(0), bbox.getDouble(1), bbox.getDouble(2), bbox.getDouble(3))
+      // empty input: nothing was written, nothing to stamp (the aggregate
+      // row is all-null and would NPE on getDouble)
+      if (!bbox.isNullAt(0))
+        addGeoParquetMetadata(df.sparkSession, path, geomCol,
+          bbox.getDouble(0), bbox.getDouble(1), bbox.getDouble(2), bbox.getDouble(3))
     }
   }
 
@@ -71,9 +74,10 @@ object SpatialStorage {
   /** Stamps the GeoParquet `geo` key/value metadata onto every parquet file
     * under `path`. Each file's row groups are APPENDED as raw bytes
     * (`ParquetFileWriter.appendFile` — no decode/re-encode) into a
-    * temp file whose footer carries the merged metadata, then atomically
-    * renamed over the original; the work is distributed one-task-per-file
-    * so the pass scales with the cluster, not the driver. */
+    * hidden temp file whose footer carries the merged metadata, then
+    * swapped in via a hidden backup (readers never see duplicate or
+    * half-written data); the work is distributed one-task-per-file so the
+    * pass scales with the cluster, not the driver. */
   def addGeoParquetMetadata(spark: SparkSession, path: String, geomCol: String,
                             xmin: Double, ymin: Double, xmax: Double, ymax: Double): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -84,18 +88,37 @@ object SpatialStorage {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toArray
     val geoJson = geoMetadataJson(geomCol, xmin, ymin, xmax, ymax)
+    // ship the session's Hadoop conf to executors — a bare `new
+    // Configuration()` there would drop every spark.hadoop.* setting
+    // (s3a credentials, endpoint/impl overrides) and fail on any
+    // non-default filesystem
+    val confEntries = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     spark.sparkContext.parallelize(files.toIndexedSeq, math.max(1, files.length))
-      .foreach(f => stampGeoFooter(f, geoJson))
+      .foreach { f =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        stampGeoFooter(f, geoJson, conf)
+      }
   }
 
-  private def stampGeoFooter(file: String, geoJson: String): Unit = {
-    import org.apache.hadoop.conf.Configuration
+  private def stampGeoFooter(file: String, geoJson: String,
+                             conf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
     import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
-    val conf = new Configuration()
     val inPath = new HPath(file)
-    val tmpPath = new HPath(file + ".geo.tmp")
+    // dot-prefixed working names: parquet/Spark directory listings skip
+    // hidden files, so a reader never sees the half-written copy or counts
+    // the same rows twice mid-swap
+    val parent = inPath.getParent
+    val tmpPath = new HPath(parent, "." + inPath.getName + ".geo.tmp")
+    val bakPath = new HPath(parent, "." + inPath.getName + ".geo.bak")
     val inFile = HadoopInputFile.fromPath(inPath, conf)
     val reader = ParquetFileReader.open(inFile)
     val (schema, kv) =
@@ -110,9 +133,14 @@ object SpatialStorage {
     writer.start()
     writer.appendFile(inFile)
     writer.end(kv)
+    // swap via hidden backup: at no point do a visible original AND a
+    // visible copy coexist, and the data survives a crash at any step
+    // (both working names are hidden; a retry that finds the original
+    // missing can still recover it from .geo.bak by hand)
     val fs = inPath.getFileSystem(conf)
-    if (!fs.delete(inPath, false) || !fs.rename(tmpPath, inPath))
+    if (!fs.rename(inPath, bakPath) || !fs.rename(tmpPath, inPath))
       throw new java.io.IOException(s"failed to swap GeoParquet footer for $file")
+    fs.delete(bakPath, false)
   }
 
   /** Reads only the cells overlapping the query envelope (expanded by

@@ -57,10 +57,15 @@ object SqlHttpServer {
     // analog of the reference's per-DBMS listCollections panel; bearer-gated
     // like /query when a token is configured (table names are metadata)
     server.createContext("/tables", (ex: HttpExchange) => {
-      if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
-      else {
-        val names = spark.catalog.listTables().collect().map(_.name).sorted
-        respond(ex, 200, names.map(jstr).mkString("""{"tables":[""", ",", "]}"))
+      try {
+        if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
+        else {
+          val names = spark.catalog.listTables().collect().map(_.name).sorted
+          respond(ex, 200, names.map(jstr).mkString("""{"tables":[""", ",", "]}"))
+        }
+      } catch {
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
       }
     })
 
@@ -179,17 +184,27 @@ object SqlHttpServer {
       |<h1>graft SQL console</h1>
       |<div class="tables" id="tables">loading tables…</div>
       |<form id="f"><textarea id="sql" placeholder="SELECT c_name, ST_AsGeoJSON(ST_Point(1.0, 2.0)) AS st_asgeojson FROM customer LIMIT 50"></textarea>
+      |<input id="tok" type="password" placeholder="bearer token (if configured)" size="28">
       |<button type="submit">Run</button></form>
       |<div id="err"></div><div id="out"></div>
       |<script>
-      |fetch('/tables').then(r=>r.json()).then(j=>{
-      |  document.getElementById('tables').textContent='tables: '+j.tables.join(', ');
-      |}).catch(()=>{});
+      |function hdrs(){
+      |  const t=document.getElementById('tok').value;
+      |  return t?{'Authorization':'Bearer '+t}:{};
+      |}
+      |function loadTables(){
+      |  fetch('/tables',{headers:hdrs()}).then(r=>r.json()).then(j=>{
+      |    document.getElementById('tables').textContent=
+      |      j.tables?'tables: '+j.tables.join(', '):('tables: '+(j.error||'unavailable'));
+      |  }).catch(()=>{});
+      |}
+      |loadTables();
+      |document.getElementById('tok').addEventListener('change', loadTables);
       |document.getElementById('f').addEventListener('submit', ev=>{
       |  ev.preventDefault();
       |  const out=document.getElementById('out'), err=document.getElementById('err');
       |  out.innerHTML=''; err.textContent='';
-      |  fetch('/query',{method:'POST',body:document.getElementById('sql').value})
+      |  fetch('/query',{method:'POST',headers:hdrs(),body:document.getElementById('sql').value})
       |    .then(r=>r.json()).then(j=>{
       |      if(j.error){err.textContent=j.error;return;}
       |      const t=document.createElement('table');

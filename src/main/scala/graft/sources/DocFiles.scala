@@ -52,20 +52,40 @@ private[sources] object DocFiles {
     if (DocExtensions.exists(lower.endsWith)) return Seq(url)
     val body =
       try {
-        val in = new java.net.URI(url).toURL.openStream()
+        val conn = new java.net.URI(url).toURL.openConnection()
+        // a hung endpoint must fail, not block driver-side planning forever
+        conn.setConnectTimeout(HttpTimeoutMs)
+        conn.setReadTimeout(HttpTimeoutMs)
+        val in = conn.getInputStream
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       } catch {
         case e: Exception =>
           throw new java.io.FileNotFoundException(s"HTTP collection $url: $e")
       }
+    // SecureXml.strict: the listing body is untrusted network content
     val resources =
-      try (scala.xml.XML.loadString(body) \\ "resource").map(_.text.trim).filter(_.nonEmpty)
+      try (graft.geo.SecureXml.strict.loadString(body) \\ "resource")
+        .map(_.text.trim).filter(_.nonEmpty)
       catch { case _: Exception => Seq.empty }
     if (resources.nonEmpty) {
       val base = if (url.endsWith("/")) url else url + "/"
       resources.map(base + _)
     } else Seq(url) // the endpoint served a document, not a listing
+  }
+
+  /** Connect/read timeout for HTTP collection traffic (listing and
+    * per-document fetches), overridable via `graft.http.timeout.ms`. */
+  private[sources] def HttpTimeoutMs: Int =
+    sys.props.get("graft.http.timeout.ms").flatMap(_.toIntOption).getOrElse(60000)
+
+  /** Opens a document URL with timeouts set — shared by the DSv2 readers so
+    * an executor task on a stalled server fails instead of hanging. */
+  private[sources] def openDocStream(url: String): java.io.InputStream = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(HttpTimeoutMs)
+    conn.setReadTimeout(HttpTimeoutMs)
+    conn.getInputStream
   }
 
   /** Spark encodes `.load(p1, p2, …)` as a JSON array under "paths". */

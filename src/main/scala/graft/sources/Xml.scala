@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable.LinkedHashMap
-import scala.xml.{Elem, Node, XML}
+import scala.xml.{Elem, Node}
 
 /** Distributed XML document source with the reference's row-flattening
   * conventions (reference: extension/xml_extension.ts:500-660):
@@ -91,7 +91,7 @@ object Xml {
 
     val flattened = df.mapPartitions { rows =>
       rows.flatMap { row =>
-        val doc = XML.loadString(row.getString(idx))
+        val doc = graft.geo.SecureXml.document.loadString(row.getString(idx))
         val kml = doc.label.equalsIgnoreCase("kml") ||
           doc.namespace != null && doc.namespace.contains("kml")
         records(doc, recordTag).map(r => flattenRecord(r, kml))

@@ -70,7 +70,7 @@ object GeoJsonDataSource {
     * URL-stream read (no SparkSession dependency) so it runs identically on
     * driver (inference) and executors (scan) — same model as graft-xml. */
   def documents(file: String, multiLine: Boolean): Iterator[String] = {
-    val in = new java.net.URI(file).toURL.openStream()
+    val in = graft.sources.DocFiles.openDocStream(file)
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 * 1024)

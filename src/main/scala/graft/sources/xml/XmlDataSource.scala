@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
-import scala.xml.XML
+
 
 /** DataSource V2 for XML document collections:
   *
@@ -44,7 +44,7 @@ class XmlDataSource extends TableProvider with DataSourceRegister {
         val sample = DocFiles.listFiles(DocFiles.pathsOf(options)).take(8) // bounded inference
         val keys = scala.collection.mutable.SortedSet.empty[String]
         sample.foreach { f =>
-          val doc = XML.load(f)
+          val doc = XmlDataSource.loadDoc(f)
           val kml = XmlDataSource.isKml(doc)
           Xml.records(doc, recordTag).foreach { r =>
             keys ++= Xml.flattenRecord(r, kml)._1.keys
@@ -68,6 +68,15 @@ object XmlDataSource {
   def isKml(doc: scala.xml.Elem): Boolean =
     doc.label.equalsIgnoreCase("kml") ||
       (doc.namespace != null && doc.namespace.contains("kml"))
+
+  /** Parses one document by path/URL: XXE-hardened parser, and HTTP(S)
+    * fetches carry connect/read timeouts so a stalled server fails the
+    * task instead of hanging it. */
+  private[sources] def loadDoc(file: String): scala.xml.Elem = {
+    val in = graft.sources.DocFiles.openDocStream(file)
+    try graft.geo.SecureXml.document.load(in)
+    finally in.close()
+  }
 }
 
 private class XmlTable(schema: StructType, properties: Map[String, String],
@@ -163,7 +172,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(graft.sources.StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
-        val doc = XML.load(new java.net.URI(file).toURL)
+        val doc = XmlDataSource.loadDoc(file)
         val kml = XmlDataSource.isKml(doc)
         val records = Xml.records(doc, recordTag).iterator.flatMap { r =>
           val (m, g) = Xml.flattenRecord(r, kml)

@@ -131,4 +131,33 @@ class GeomSerdeSpec extends AnyFunSuite {
       """<Placemark><name>p</name><Point><coordinates>3,4</coordinates></Point></Placemark>"""
     assert(GmlKml.parseKml(placemark).getCoordinate.y == 4)
   }
+
+  test("geometry markup with a DOCTYPE (XXE vector) is rejected, not resolved") {
+    // a crafted column value must not be able to read local files or fetch
+    // URLs from whichever node parses it
+    val xxe =
+      """<!DOCTYPE p [<!ENTITY e SYSTEM "file:///etc/hostname">]>
+        |<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>&e;</gml:coordinates></gml:Point>""".stripMargin
+    intercept[Exception] { GmlKml.parseGml(xxe) }
+    intercept[Exception] {
+      GmlKml.parseKml("<!DOCTYPE k []><Point><coordinates>1,2</coordinates></Point>")
+    }
+  }
+
+  test("document loader keeps DOCTYPE parseable but never resolves external entities") {
+    val withDoctype =
+      """<!DOCTYPE doc [<!ENTITY who "inline">]>
+        |<doc><rec><name>&who;</name></rec></doc>""".stripMargin
+    // internal entities still work (real corpora carry DTDs)…
+    val doc = SecureXml.document.loadString(withDoctype)
+    assert((doc \\ "name").text == "inline")
+    // …but external SYSTEM entities resolve to nothing instead of file reads
+    val external =
+      """<!DOCTYPE doc [<!ENTITY leak SYSTEM "file:///etc/hostname">]>
+        |<doc><rec><name>&leak;</name></rec></doc>""".stripMargin
+    val ext = try Some(SecureXml.document.loadString(external)) catch {
+      case _: Exception => None // rejecting outright is equally safe
+    }
+    ext.foreach(d => assert((d \\ "name").text.isEmpty, "external entity must not resolve"))
+  }
 }

@@ -77,20 +77,23 @@ class DedupSpec extends SparkTestBase {
 
   test("lshConfig reproduces the validated 8×8 layout at gate scale and grows with n") {
     // gate-scale corpora keep the historical layout bit-for-bit
-    assert(Dedup.lshConfig(-1, 1000, 0.95) == (8, 8))
-    assert(Dedup.lshConfig(-1, 1, 0.95) == (8, 8)) // floor, no log-of-zero
+    assert(Dedup.lshConfig(-1, -1, 1000, 0.95) == (8, 8))
+    assert(Dedup.lshConfig(-1, -1, 1, 0.95) == (8, 8)) // floor, no log-of-zero
     // 10× the vectors: more planes (smaller buckets), recall re-solved
-    val (pl40k, tb40k) = Dedup.lshConfig(-1, 40000, 0.95)
+    val (pl40k, tb40k) = Dedup.lshConfig(-1, -1, 40000, 0.95)
     assert(pl40k > 8 && pl40k <= 24)
     // boundary recall never drops below the 8×8 baseline's 0.988
     val p = 1.0 - math.acos(0.95) / math.Pi
     val recall = 1.0 - math.pow(1.0 - math.pow(p, pl40k), tb40k)
     assert(recall >= 0.988, s"recall $recall under ($pl40k, $tb40k)")
-    // explicit planes pin the bucket layout; tables still solved for recall
-    val (plFixed, tbFixed) = Dedup.lshConfig(12, 40000, 0.95)
+    // either knob pins independently: explicit planes still solve tables,
+    // explicit tables still derive planes from n
+    val (plFixed, tbFixed) = Dedup.lshConfig(12, -1, 40000, 0.95)
     assert(plFixed == 12 && tbFixed >= 1)
+    val (plAuto, tbPinned) = Dedup.lshConfig(-1, 5, 40000, 0.95)
+    assert(plAuto > 8 && tbPinned == 5)
     // exact-duplicate threshold: any single table suffices
-    assert(Dedup.lshConfig(-1, 1000, 1.0)._2 == 1)
+    assert(Dedup.lshConfig(-1, -1, 1000, 1.0)._2 == 1)
   }
 
   test("auto-sized embedding pairs find the same refined pairs as the fixed layout") {

@@ -27,6 +27,15 @@ class SpatialStorageSpec extends SparkTestBase {
     assert(window.count() > 0)
   }
 
+  test("geoParquet write on an empty frame completes without stamping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geopq-empty").toString
+    SpatialStorage.writeGridPartitioned(pts.where(lit(false)), "geometry", dir,
+      cellSize = 20.0, geoParquet = true) // must not NPE on the all-null bbox
+    // an empty partitioned write yields no data files — nothing to stamp
+    val files = new java.io.File(dir).listFiles()
+    assert(files != null && !files.exists(_.getName.endsWith(".parquet")))
+  }
+
   test("geoParquet write stamps the standard geo footer and stays readable") {
     val dir = java.nio.file.Files.createTempDirectory("graft-geopq").toString
     SpatialStorage.writeGridPartitioned(pts, "geometry", dir, cellSize = 20.0,
