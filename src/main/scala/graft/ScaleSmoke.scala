@@ -86,6 +86,22 @@ object ScaleSmoke {
       Dedup.minhashPairs(skewed, "doc_id", "text", 5, 128, 32, 0.8, saltCap = 512).count()
     }
 
+    // Distributed connected components at graph scale: 5M edges as 5k
+    // chains of length 1000 — deep chains are pointer jumping's worst case
+    // (~log2(1000) ≈ 10 rounds). The RDD loop shuffles the edge table once;
+    // each round moves only label rows.
+    time("clustering 5M-edge graph (5k chains x 1000)") {
+      val pairs = spark.range(5000000L)
+        .where(pmod(col("id"), lit(1000)) =!= 999) // break chains every 1000
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val labels = Dedup.clusters(pairs, maxIterations = 30, smallGraphThreshold = 0)
+      // every member of chain k must label to its head 1000k
+      labels.where(col("cluster") =!= (col("id") - pmod(col("id"), lit(1000)))).count() match {
+        case 0L => s"${labels.count()} nodes labeled, all correct"
+        case n  => throw new AssertionError(s"$n mislabeled nodes")
+      }
+    }
+
     // Distributed kNN join (large-Q path): 5k queries against a 50k corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")
