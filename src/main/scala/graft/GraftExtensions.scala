@@ -3,7 +3,7 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** SQL-interface registration: makes every ST_* function callable from
@@ -105,6 +105,13 @@ object Graft {
     b("st_distance_sphere", StDistanceSphere),
     b("st_distancespheroid", StDistanceSpheroid),
     b("st_distance_spheroid", StDistanceSpheroid),
+    // ST_GeoHash(geom [, maxchars]) — 1-arg form = auto precision
+    desc("st_geohash", es => {
+      val padded = if (es.length == 1) es :+ Literal(0) else es
+      val c = coerce("st_geohash", Seq(G, IntegerType), padded)
+      StGeoHash(c(0), c(1))
+    }),
+    u("st_pointfromgeohash", StPointFromGeoHash, StringType),
     t("st_dwithin", StDWithin, Seq(G, G, DoubleType)),
     // predicates
     b("st_within", StWithin),

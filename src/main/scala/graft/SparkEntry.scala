@@ -185,6 +185,14 @@ object SparkEntry {
          |FROM (SELECT c_custkey,
          |        ST_Point($CX, CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0) AS pt
          |      FROM customer) t""".stripMargin),
+    // geohash at precision 5 = 13 lon bits + 12 lat bits interleaved —
+    // the oracle recomputes the bit math in plain SQL (bisection ≡
+    // floor-scale at dyadic boundaries, exact in IEEE doubles both sides)
+    "q_st_geohash" -> sql(
+      s"""SELECT c_custkey, ST_GeoHash(pt, 5) AS gh5
+         |FROM (SELECT c_custkey,
+         |        ST_Point($CX, CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0) AS pt
+         |      FROM customer) t""".stripMargin),
     "q_st_dwithin" -> sql(
       s"""SELECT count(*) AS n_close
          |FROM (SELECT $PT AS pt FROM customer) t
@@ -630,6 +638,28 @@ object SparkEntry {
          |FROM (SELECT c_custkey, $CX AS lon,
          |        CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0 AS lat
          |      FROM customer) t""".stripMargin,
+    // geohash precision 5: 13 lon bits + 12 lat bits interleaved MSB-first,
+    // 5-bit groups through the base-32 alphabet. floor-scale cell indexing
+    // is exactly the kernel's bisection: cell boundaries 45k/1024 are dyadic
+    // (IEEE-exact on both engines) and the 4-decimal/0.5-step test
+    // coordinates sit ≥ 1e-7 from any non-coincident boundary.
+    "q_st_geohash" ->
+      s"""SELECT c_custkey,
+         |  list_aggregate([
+         |    substring('0123456789bcdefghjkmnpqrstuvwxyz',
+         |              CAST(((v >> (5 * (4 - k))) & 31) AS INT) + 1, 1)
+         |    for k in range(0, 5)], 'string_agg', '') AS gh5
+         |FROM (
+         |  SELECT c_custkey,
+         |    list_sum([((lx >> (12 - i)) & 1) * (CAST(1 AS BIGINT) << (24 - 2*i)) for i in range(0, 13)])
+         |    + list_sum([((ly >> (11 - j)) & 1) * (CAST(1 AS BIGINT) << (23 - 2*j)) for j in range(0, 12)]) AS v
+         |  FROM (
+         |    SELECT c_custkey,
+         |      CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT) AS lx,
+         |      CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT) AS ly
+         |    FROM (SELECT c_custkey, $CX AS lon,
+         |            CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0 AS lat
+         |          FROM customer))) t""".stripMargin,
     "q_st_dwithin" ->
       s"SELECT count(*) AS n_close FROM customer WHERE sqrt(($CX - 30.0)*($CX - 30.0) + ($CY - 50.0)*($CY - 50.0)) <= 25.0",
     "q_st_within" ->

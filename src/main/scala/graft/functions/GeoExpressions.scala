@@ -246,6 +246,14 @@ case class StDistanceSpheroid(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stDistanceSpheroid", Seq(BinaryType, BinaryType), DoubleType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+case class StGeoHash(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stGeoHash", Seq(BinaryType, IntegerType), StringType) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+case class StPointFromGeoHash(child: Expression)
+    extends GeoUnary("GeoOps.stPointFromGeoHash", StringType, BinaryType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
 case class StDWithin(first: Expression, second: Expression, third: Expression)
     extends GeoTernary("GeoOps.stDWithin", Seq(BinaryType, BinaryType, DoubleType), BooleanType) {
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =

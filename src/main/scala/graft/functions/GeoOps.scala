@@ -321,6 +321,76 @@ object GeoOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // --------------------------------------------------------------- geohash
+
+  private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** PostGIS ST_GeoHash: base-32 geohash of the geometry's envelope center
+    * (lon/lat only). `maxChars <= 0` = auto precision — the longest hash
+    * whose cell still contains the whole envelope (degenerate envelopes,
+    * i.e. points, get the 20-char maximum). */
+  def stGeoHash(b: Array[Byte], maxChars: Int): UTF8String = {
+    val env = read(b).getEnvelopeInternal
+    require(env.getMinX >= -180 && env.getMaxX <= 180 &&
+      env.getMinY >= -90 && env.getMaxY <= 90,
+      "ST_GeoHash requires lon/lat coordinates (SRID 4326 bounds)")
+    val lon = (env.getMinX + env.getMaxX) / 2
+    val lat = (env.getMinY + env.getMaxY) / 2
+    val auto = maxChars <= 0
+    val limit = if (auto) 20 else maxChars
+    val sb = new java.lang.StringBuilder(limit)
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var evenBit = true
+    var done = false
+    while (!done && sb.length < limit) {
+      var ch = 0
+      var i = 0
+      while (i < 5) {
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (lon >= mid) { ch = ch * 2 + 1; lonLo = mid } else { ch = ch * 2; lonHi = mid }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { ch = ch * 2 + 1; latLo = mid } else { ch = ch * 2; latHi = mid }
+        }
+        evenBit = !evenBit
+        i += 1
+      }
+      // auto precision stops BEFORE the first cell that loses the envelope
+      if (auto && !(env.getMinX >= lonLo && env.getMaxX <= lonHi &&
+          env.getMinY >= latLo && env.getMaxY <= latHi)) done = true
+      else sb.append(GeohashBase32.charAt(ch))
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** PostGIS ST_PointFromGeoHash: center point of the geohash cell. */
+  def stPointFromGeoHash(h: UTF8String): Array[Byte] = {
+    val s = h.toString.toLowerCase
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var evenBit = true
+    s.foreach { c =>
+      val idx = GeohashBase32.indexOf(c)
+      require(idx >= 0, s"invalid geohash character '$c'")
+      var bit = 4
+      while (bit >= 0) {
+        val on = (idx >> bit & 1) == 1
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (on) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (on) latLo = mid else latHi = mid
+        }
+        evenBit = !evenBit
+        bit -= 1
+      }
+    }
+    stPoint((lonLo + lonHi) / 2, (latLo + latHi) / 2)
+  }
+
   // ------------------------------------------------------------ geom → geom
   def stCentroid(b: Array[Byte]): Array[Byte] = write(read(b).getCentroid)
   def stEnvelope(b: Array[Byte]): Array[Byte] = write(read(b).getEnvelope)

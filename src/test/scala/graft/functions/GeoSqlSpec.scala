@@ -207,6 +207,24 @@ class GeoSqlSpec extends SparkTestBase {
     assert(anti > 1.9e7 && anti < 2.1e7, anti.toString)
   }
 
+  test("ST_GeoHash matches the published base-32 vectors, round-trips via ST_PointFromGeoHash") {
+    // classic vectors (Wikipedia/geohash.org): ezs42 ↔ (-5.6, 42.6),
+    // u4pruydqqvj ↔ (10.40744, 57.64911)
+    assert(one("ST_GeoHash(ST_Point(-5.6, 42.6), 5)") == "ezs42")
+    assert(one("ST_GeoHash(ST_Point(10.40744, 57.64911), 11)") == "u4pruydqqvj")
+    // 1-arg auto precision: a point gets the 20-char maximum
+    assert(one("ST_GeoHash(ST_Point(10.40744, 57.64911))").asInstanceOf[String].length == 20)
+    // a 2°-wide envelope stops at the cell that still contains it
+    val boxHash = one("ST_GeoHash(ST_MakeEnvelope(10.0, 57.0, 12.0, 58.0))").asInstanceOf[String]
+    assert(boxHash.nonEmpty && boxHash.length <= 2, boxHash)
+    // decode = cell center: within half a cell of the original point
+    val x = one("ST_X(ST_PointFromGeoHash('u4pruydqqvj'))").asInstanceOf[Double]
+    val y = one("ST_Y(ST_PointFromGeoHash('u4pruydqqvj'))").asInstanceOf[Double]
+    assert(math.abs(x - 10.40744) < 1e-4 && math.abs(y - 57.64911) < 1e-4)
+    // non-lon/lat coordinates are rejected like PostGIS
+    intercept[Exception] { spark.sql("SELECT ST_GeoHash(ST_Point(500.0, 0.0), 5)").collect() }
+  }
+
   test("functions work over a table with codegen") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/customer.parquet")
