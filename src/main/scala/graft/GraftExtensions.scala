@@ -167,6 +167,8 @@ object Graft {
     b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),
     b("rolling_fingerprint_fast", RollingFingerprintFast, Seq(StringType, IntegerType)),
     u("lang_id", LangId, StringType),
+    u("dup_line_fraction", DupLineFraction, StringType),
+    u("top_token_fraction", TopTokenFraction, StringType),
     b("cosine_similarity", CosineSimilarity, Seq(ArrayType(FloatType), ArrayType(FloatType))),
     b("hyperplane_bucket", HyperplaneBucket, Seq(ArrayType(FloatType), IntegerType)),
     t("hyperplane_buckets", HyperplaneBuckets, Seq(ArrayType(FloatType), IntegerType, IntegerType)),

@@ -478,6 +478,27 @@ object SparkEntry {
         |                       w -> w IN ('the', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
         |             / size(split(text, ' ')), 4) AS stop_ratio
         |FROM documents""".stripMargin),
+    // Gopher-style repetition signals; ' a ' → newline plants multi-line
+    // structure (the corpus is single-line) identically on both sides
+    "q_repetition" -> ((spark, dir) => {
+      init(spark, dir)
+      spark.table("documents").select(col("doc_id"),
+        expr("floor(dup_line_fraction(replace(text, ' a ', chr(10))) * 10000 + 0.5) / 10000")
+          .as("dup_line_frac"),
+        expr("floor(top_token_fraction(text) * 10000 + 0.5) / 10000")
+          .as("top_tok_frac"))
+    }),
+    // PII redaction with planted addresses/URLs/phones (the corpus has
+    // none, which would make the oracle an identity check)
+    "q_redact_pii" -> ((spark, dir) => {
+      init(spark, dir)
+      val planted = spark.table("documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          (col("doc_id") % 7).cast("string"),
+          lit("@mail.example.com or 555-123-4567 via https://ex.com/p/"),
+          col("doc_id").cast("string")).as("text"))
+      planted.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("clean"))
+    }),
     "q_token_count" -> sql(
       """SELECT doc_id,
         |       CAST(size(split(trim(text), ' ')) AS BIGINT) AS n_ws,
@@ -860,6 +881,32 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars2, len(string_split(trim(text), ' ')) AS n_tokens_ws, round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, round(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio FROM documents""",
     "q_token_count" ->
       """SELECT doc_id, len(string_split(trim(text), ' ')) AS n_ws, len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpe FROM documents""",
+    // duplicate-line fraction over trimmed non-blank lines; top-token share
+    // over lowercased single-space tokens — list math mirrors the kernels
+    "q_repetition" ->
+      """SELECT doc_id,
+        |  floor((CASE WHEN nlines = 0 THEN 0.0 ELSE 1.0 - ndistinct / nlines END) * 10000 + 0.5) / 10000 AS dup_line_frac,
+        |  floor((CASE WHEN ntok = 0 THEN 0.0 ELSE maxcnt / ntok END) * 10000 + 0.5) / 10000 AS top_tok_frac
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS DOUBLE) AS nlines,
+        |    CAST(len(list_distinct(lines)) AS DOUBLE) AS ndistinct,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(coalesce(list_max(list_transform(list_distinct(toks),
+        |           w -> len(list_filter(toks, x -> x = w)))), 0) AS DOUBLE) AS maxcnt
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(list_transform(string_split(replace(text, ' a ', chr(10)), chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+        |      list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+        |    FROM documents) raw) agg""".stripMargin,
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id % 7 AS VARCHAR) || '@mail.example.com or 555-123-4567 via https://ex.com/p/' || CAST(doc_id AS VARCHAR),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
     "q_token_topk" ->
       "SELECT token, count(*) AS freq FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents) t WHERE token <> '' GROUP BY token ORDER BY freq DESC, token LIMIT 20",
     "q_bigrams" ->

@@ -77,6 +77,16 @@ case class LangId(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+case class DupLineFraction(child: Expression)
+    extends GeoUnary("TextOps.dupLineFraction", StringType, DoubleType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class TopTokenFraction(child: Expression)
+    extends GeoUnary("TextOps.topTokenFraction", StringType, DoubleType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends GeoBinary("TextOps.cosineSimilarity",
       Seq(ArrayType(FloatType), ArrayType(FloatType)), DoubleType) {

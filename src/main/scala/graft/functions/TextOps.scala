@@ -489,4 +489,50 @@ object TextOps {
     }
     new GenericArrayData(out)
   }
+
+  // -------------------------------------------------- repetition signals
+
+  /** Fraction of non-blank (trimmed) lines that duplicate an earlier line
+    * — the Gopher-style duplicate-line repetition signal. 0.0 for text
+    * with no non-blank lines. Mirrors the SQL form
+    * `1 - len(distinct(lines)) / len(lines)` over trimmed, non-empty
+    * newline splits so the DuckDB oracle reproduces it exactly. */
+  def dupLineFraction(text: UTF8String): Double = {
+    val s = text.toString
+    val seen = new java.util.HashSet[String]()
+    var total = 0
+    var from = 0
+    while (from <= s.length) {
+      val nl = s.indexOf('\n', from)
+      val until = if (nl < 0) s.length else nl
+      val line = s.substring(from, until).trim
+      if (line.nonEmpty) { total += 1; seen.add(line) }
+      from = until + 1
+    }
+    if (total == 0) 0.0 else 1.0 - seen.size.toDouble / total
+  }
+
+  /** Share of the single most frequent lowercased space-token in the
+    * token count — the Gopher top-word repetition signal. 0.0 for
+    * token-free text. Split = single-space with empties dropped, matching
+    * `list_filter(string_split(lower(text), ' '), w -> w <> '')`. */
+  def topTokenFraction(text: UTF8String): Double = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val counts = new java.util.HashMap[String, Int]()
+    var total = 0
+    var max = 0
+    var from = 0
+    while (from <= s.length) {
+      val sp = s.indexOf(' ', from)
+      val until = if (sp < 0) s.length else sp
+      if (until > from) {
+        val w = s.substring(from, until)
+        total += 1
+        val c = counts.merge(w, 1, Integer.sum)
+        if (c > max) max = c
+      }
+      from = until + 1
+    }
+    if (total == 0) 0.0 else max.toDouble / total
+  }
 }

@@ -19,6 +19,24 @@ object TextAnalysis {
 
   def langId(text: Column): Column = call_function("lang_id", text)
 
+  /** Gopher-style repetition signals: fraction of duplicate (trimmed,
+    * non-blank) lines, and the most frequent token's share of all tokens.
+    * High values flag boilerplate/template documents for removal. */
+  def dupLineFraction(text: Column): Column = call_function("dup_line_fraction", text)
+  def topTokenFraction(text: Column): Column = call_function("top_token_fraction", text)
+
+  /** PII redaction for training corpora: emails → `<EMAIL>`, URLs →
+    * `<URL>`, NANP-style phone numbers → `<PHONE>`. Pure
+    * `regexp_replace` chain (codegen'd, no UDF); patterns are RE2-safe so
+    * the same SQL runs on other engines. URL first so an address inside a
+    * URL redacts as one unit. */
+  def redactPii(text: Column): Column = {
+    val url = regexp_replace(text, lit("https?://[^\\s]+"), lit("<URL>"))
+    val email = regexp_replace(url,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>"))
+    regexp_replace(email, lit("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"), lit("<PHONE>"))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

@@ -133,4 +133,30 @@ class TextKernelsSpec extends SparkTestBase {
       .head().getString(0)
     assert(r.length == 16 && r.forall(c => "0123456789abcdef".contains(c)))
   }
+
+  test("repetition signals: duplicate-line and top-token fractions") {
+    def dup(s: String) = TextOps.dupLineFraction(UTF8String.fromString(s))
+    def top(s: String) = TextOps.topTokenFraction(UTF8String.fromString(s))
+    assert(dup("a\nb\nc") == 0.0)
+    assert(dup("x\nx\nx\nx") == 0.75) // 4 lines, 1 distinct
+    assert(dup("  x \nx\n\n  \ny") == 1.0 - 2.0 / 3.0) // trim + blank-skip
+    assert(dup("") == 0.0 && dup("\n\n") == 0.0)
+    assert(top("a b a c") == 0.5)
+    assert(top("The the THE") == 1.0) // lowercased
+    assert(top("") == 0.0 && top("   ") == 0.0)
+    assert(top("one  two") == 0.5) // empty tokens from double spaces dropped
+  }
+
+  test("redact_pii masks emails, urls, and phone numbers") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(Tuple1(
+      "mail bob.smith+x@corp.example.org call 555-123-4567 see https://a.io/p?q=1 done"
+    ))).toDF("text")
+    val out = df.select(graft.operators.TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(out == "mail <EMAIL> call <PHONE> see <URL> done", out)
+    // 10-digit runs without separators are NOT phones (no false redaction)
+    val keep = df.sparkSession.createDataFrame(Seq(Tuple1("order 5551234567 qty 3"))).toDF("text")
+    val kept = keep.select(graft.operators.TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(kept == "order 5551234567 qty 3", kept)
+  }
 }
