@@ -105,6 +105,7 @@ object Graft {
     b("st_distance_sphere", StDistanceSphere),
     b("st_distancespheroid", StDistanceSpheroid),
     b("st_distance_spheroid", StDistanceSpheroid),
+    t("st_project", StProject, Seq(G, DoubleType, DoubleType)),
     // ST_GeoHash(geom [, maxchars]) — 1-arg form = auto precision
     desc("st_geohash", es => {
       val padded = if (es.length == 1) es :+ Literal(0) else es

@@ -185,6 +185,18 @@ object SparkEntry {
          |FROM (SELECT c_custkey,
          |        ST_Point($CX, CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0) AS pt
          |      FROM customer) t""".stripMargin),
+    // geodesic forward problem: point at distance+bearing on the same
+    // mean-radius sphere as ST_DistanceSphere; oracle recomputes the
+    // closed form at 1e-6° rounding (the q_st_transform precedent)
+    "q_st_project" -> sql(
+      s"""SELECT c_custkey,
+         |  floor(ST_X(p2) * 1000000 + 0.5) / 1000000 AS lon2,
+         |  floor(ST_Y(p2) * 1000000 + 0.5) / 1000000 AS lat2
+         |FROM (SELECT c_custkey,
+         |        ST_Project(ST_Point($CX, CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0),
+         |                   1000.0 + CAST(c_custkey % 5 AS DOUBLE) * 500.0,
+         |                   radians(CAST(c_custkey % 360 AS DOUBLE))) AS p2
+         |      FROM customer) t""".stripMargin),
     // geohash at precision 5 = 13 lon bits + 12 lat bits interleaved —
     // the oracle recomputes the bit math in plain SQL (bisection ≡
     // floor-scale at dyadic boundaries, exact in IEEE doubles both sides)
@@ -659,6 +671,23 @@ object SparkEntry {
          |FROM (SELECT c_custkey, $CX AS lon,
          |        CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0 AS lat
          |      FROM customer) t""".stripMargin,
+    // same spherical forward closed form as GeoOps.stProject, term order
+    // preserved so both engines agree at 1e-6° rounding
+    "q_st_project" ->
+      s"""SELECT c_custkey,
+         |  floor(degrees(lon1 + atan2(sin(az)*sin(delta)*cos(lat1),
+         |                             cos(delta) - sin(lat1)*sin(lat2))) * 1000000 + 0.5) / 1000000 AS lon2,
+         |  floor(degrees(lat2) * 1000000 + 0.5) / 1000000 AS lat2
+         |FROM (
+         |  SELECT c_custkey, lon1, lat1, az, delta,
+         |    asin(sin(lat1)*cos(delta) + cos(lat1)*sin(delta)*cos(az)) AS lat2
+         |  FROM (
+         |    SELECT c_custkey,
+         |      radians($CX) AS lon1,
+         |      radians(CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0) AS lat1,
+         |      radians(CAST(c_custkey % 360 AS DOUBLE)) AS az,
+         |      (1000.0 + CAST(c_custkey % 5 AS DOUBLE) * 500.0) / 6371008.771415059 AS delta
+         |    FROM customer) base) t""".stripMargin,
     // geohash precision 5: 13 lon bits + 12 lat bits interleaved MSB-first,
     // 5-bit groups through the base-32 alphabet. floor-scale cell indexing
     // is exactly the kernel's bisection: cell boundaries 45k/1024 are dyadic

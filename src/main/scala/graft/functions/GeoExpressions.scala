@@ -246,6 +246,11 @@ case class StDistanceSpheroid(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stDistanceSpheroid", Seq(BinaryType, BinaryType), DoubleType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
+case class StProject(first: Expression, second: Expression, third: Expression)
+    extends GeoTernary("GeoOps.stProject", Seq(BinaryType, DoubleType, DoubleType), BinaryType) {
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
 case class StGeoHash(left: Expression, right: Expression)
     extends GeoBinary("GeoOps.stGeoHash", Seq(BinaryType, IntegerType), StringType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)

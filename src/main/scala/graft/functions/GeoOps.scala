@@ -321,6 +321,22 @@ object GeoOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** PostGIS ST_Project: the point `distanceM` meters from `b` (lon/lat)
+    * along `azimuthRad` (radians clockwise from north) — spherical forward
+    * problem on the same mean radius as [[stDistanceSphere]]. */
+  def stProject(b: Array[Byte], distanceM: Double, azimuthRad: Double): Array[Byte] = {
+    val c = read(b).getCoordinate
+    val lat1 = math.toRadians(c.y)
+    val lon1 = math.toRadians(c.x)
+    val delta = distanceM / MeanRadiusM
+    val lat2 = math.asin(math.sin(lat1) * math.cos(delta) +
+      math.cos(lat1) * math.sin(delta) * math.cos(azimuthRad))
+    val lon2 = lon1 + math.atan2(
+      math.sin(azimuthRad) * math.sin(delta) * math.cos(lat1),
+      math.cos(delta) - math.sin(lat1) * math.sin(lat2))
+    stPoint(math.toDegrees(lon2), math.toDegrees(lat2))
+  }
+
   // --------------------------------------------------------------- geohash
 
   private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"

@@ -207,6 +207,20 @@ class GeoSqlSpec extends SparkTestBase {
     assert(anti > 1.9e7 && anti < 2.1e7, anti.toString)
   }
 
+  test("ST_Project solves the spherical forward problem") {
+    // one mean-radius degree of arc = R * π/180 ≈ 111195.08 m
+    val arcDeg = 6371008.771415059 * math.Pi / 180.0
+    val north = one(s"ST_Y(ST_Project(ST_Point(0.0, 0.0), $arcDeg, 0.0))").asInstanceOf[Double]
+    assert(math.abs(north - 1.0) < 1e-9, north)
+    val east = one(s"ST_X(ST_Project(ST_Point(0.0, 0.0), $arcDeg, radians(90.0)))").asInstanceOf[Double]
+    assert(math.abs(east - 1.0) < 1e-9, east)
+    // forward then inverse: distance back to the start equals the input
+    val d = one(
+      s"ST_DistanceSphere(ST_Point(10.0, 50.0), ST_Project(ST_Point(10.0, 50.0), 5000.0, radians(37.0)))"
+    ).asInstanceOf[Double]
+    assert(math.abs(d - 5000.0) < 1e-6, d)
+  }
+
   test("ST_GeoHash matches the published base-32 vectors, round-trips via ST_PointFromGeoHash") {
     // classic vectors (Wikipedia/geohash.org): ezs42 ↔ (-5.6, 42.6),
     // u4pruydqqvj ↔ (10.40744, 57.64911)
