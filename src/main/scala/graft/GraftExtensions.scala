@@ -198,10 +198,17 @@ object Graft {
 
   /** The reference's user-facing entry point: raw SQL in, result out, with
     * automatic FeatureCollection conversion when an `st_asgeojson` column is
-    * present. GeoJSON export collects — use only on final, reduced results. */
-  def processQuery(spark: SparkSession, sqlText: String): QueryResult = {
+    * present. Both the returned frame and the FeatureCollection are capped at
+    * `maxRows` — the conversion collects to the driver, so an uncapped call
+    * over a large result would materialize it whole. The reference's own
+    * conversion runs on the already-reduced final result
+    * (src/index.ts:323 convertRestoGeoJSON); `maxRows` is the same guarantee
+    * made explicit. Pass `Int.MaxValue` only when the caller has already
+    * bounded the result. */
+  def processQuery(spark: SparkSession, sqlText: String,
+                   maxRows: Int = 10000): QueryResult = {
     register(spark)
-    val df = spark.sql(sqlText)
+    val df = spark.sql(sqlText).limit(maxRows)
     val geoCol = df.schema.fieldNames.find(_.equalsIgnoreCase("st_asgeojson"))
     val geo = geoCol.map { c =>
       val wkb = df.withColumn(c, StGeomFromGeoJsonCol(df, c))

@@ -85,8 +85,8 @@ object SqlHttpServer {
         if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
         else if (sql.trim.isEmpty) respond(ex, 400, """{"error":"empty sql"}""")
         else {
-          val result = Graft.processQuery(spark, sql)
-          val rows = result.df.limit(maxRows).collect()
+          val result = Graft.processQuery(spark, sql, maxRows)
+          val rows = result.df.collect()
           val cols = result.df.schema.fieldNames
           val sb = new StringBuilder("""{"columns":[""")
           sb.append(cols.map(jstr).mkString(","))

@@ -42,6 +42,22 @@ class SqlHttpServerSpec extends SparkTestBase {
     assert(r.body().contains("107.6"), r.body())
   }
 
+  test("maxRows caps the GeoJSON FeatureCollection, not just the tabular rows") {
+    // 5000-point result against a maxRows=100 server: the tabular rows AND
+    // the FeatureCollection must both carry exactly 100 entries — the
+    // conversion collects to the driver, so an uncapped geojson branch
+    // would materialize all 5000 (and OOM at scale).
+    val r = post("/query",
+      "SELECT v AS id, ST_AsGeoJSON(ST_Point(CAST(v AS DOUBLE) / 100.0, 1.0)) AS st_asgeojson " +
+        "FROM (SELECT explode(sequence(1, 5000)) AS v)")
+    assert(r.statusCode() == 200, r.body().take(300))
+    val nFeatures = "\"type\":\"Feature\"".r.findAllIn(r.body()).length
+    assert(nFeatures == 100, s"expected 100 features, got $nFeatures")
+    // tabular branch agrees with the geojson branch: row ids run 1..100
+    assert(r.body().contains("[100,"), "row id 100 missing")
+    assert(!r.body().contains("[101,"), "row id 101 leaked past maxRows")
+  }
+
   test("a slow query does not block /health (thread-pool executor)") {
     val slow = new Thread(() => post("/query",
       // ~heavy enough to take a moment, cheap enough to finish quickly
