@@ -30,18 +30,28 @@ object Bench {
     spark.sql("SELECT count(*) FROM lineitem").collect()
     force(SparkEntry.queries.head._2(spark, sfDir))
 
-    // best-of-N: steady-state time, robust to one-off JIT/GC pauses
+    // Best-of-N, INTERLEAVED: the suite runs N full round-robin passes
+    // (q1..qk, q1..qk) rather than N back-to-back runs per query, so a
+    // transient box stall can only inflate ONE sample of a query — with
+    // back-to-back samples a single multi-second stall poisoned both and
+    // the min was still wrong (observed: a 0.3 s query recorded as 5.1 s).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+    // optional name filter for local iteration (driver leaves it unset)
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    val queries = SparkEntry.queries.toSeq.filter { case (n, _) =>
+      nameFilter.forall(f => n.matches(f)) }
+    val samples = Array.fill(queries.size)(List.empty[Double])
+    for (_ <- 1 to runs; ((name, fn), i) <- queries.zipWithIndex) {
+      val t0 = System.nanoTime()
+      val t = try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
           Double.NaN
         }
-      }
-      name -> times.min // TotalOrdering: NaN sorts greatest, so min = best good run
+      samples(i) ::= t
+    }
+    val results = queries.zipWithIndex.map { case ((name, _), i) =>
+      name -> samples(i).min // TotalOrdering: NaN sorts greatest, so min = best good run
     }
     // a query is failed only if no run succeeded — never report its
     // time-to-exception as a passing bench entry
@@ -50,8 +60,8 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.keys.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+      else failed.map("\"" + _._1 + "\"").mkString(""","failed":[""", ",", "]")
+    val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

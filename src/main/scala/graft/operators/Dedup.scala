@@ -39,15 +39,15 @@ object Dedup {
     *                 instead of landing on one straggler (AQE's skew split
     *                 is BYTE-thresholded and never fires on narrow bucket
     *                 rows; a 12k-member bucket = 73M pairs on one core was
-    *                 the measured sf1 straggler). The salted plan only
-    *                 engages when the bucket-size probe actually finds a
-    *                 bucket over the cap; 0 disables salting entirely. */
-  /** Collision volume (Σ n·(n−1)/2 over band buckets) above which
-    * minhashPairs switches from the narrow enumerate-then-prune plan to
-    * the carry-signature inline-estimate plan: at ~64M pairs the narrow
-    * pair-distinct costs low seconds; well beyond it the distinct
-    * dominates everything (3.3e8 distinct pairs took 425 s at sf1). */
-  private val InlineEstPairVolume = 64L << 20
+    *                 the measured sf1 straggler). 0 disables salting. */
+  /** Band buckets up to this size enumerate raw narrow pairs; larger
+    * buckets carry int signatures and est-prune inside the self-join.
+    * The cap bounds the raw-pair volume reaching the distinct to
+    * ≤ (cap−1)/2 pairs PER BUCKET ROW — linear in corpus size, with the
+    * quadratic tail (chance collisions grow quadratically under a fixed
+    * band config; measured at sf1: 50k docs → 1.18e9 enumerated / 3.3e8
+    * distinct pairs, 425 s) confined to the est-pruned inline path. */
+  private val InlineBucketCap = 64
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
@@ -61,114 +61,90 @@ object Dedup {
         call_function("minhash_signature", col("text"), lit(shingleK), lit(numHashes)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Candidate generation is VOLUME-ADAPTIVE. Chance collisions grow
-    // QUADRATICALLY with corpus size under a fixed band config (measured
-    // on the sf1 corpus: 50k docs → 1.18e9 enumerated / 3.3e8 distinct
-    // candidate pairs, 425 s just to enumerate+distinct them), so the
-    // regime is chosen from the TRUE collision volume Σ n·(n−1)/2 — one
-    // narrow aggregate over bucket sizes, the operator-level analogue of
-    // AQE's stats-driven re-planning:
-    //  - small volume → narrow rows (id, band, h), pair-distinct first,
-    //    estimate via broadcast join-back (minimal constant overhead);
-    //  - large volume → bucket rows carry the signature truncated to INTs
-    //    (512 B/pair of traffic instead of 2 KB; truncated equality is an
-    //    unbiased minhash agreement test up to 2^-32 per position) and the
-    //    estimate prunes INSIDE the self-join, so the distinct only ever
-    //    sees est-survivors. A SHORT prefix does not work: at n=32 the
-    //    3.5σ margin widens the cutoff to 0.19 while collisions inside
-    //    prefix-covered bands carry a guaranteed 4-match bias, and ~1/3 of
-    //    chance pairs survived (measured). Full length keeps the
-    //    r5-validated n=numHashes margin.
-    //  - hot buckets (> saltCap members) additionally use salted
-    //    group-to-group enumeration; with no hot bucket the probe skips
-    //    salting entirely.
-    // The exact-Jaccard refine below is strictly tighter than any
-    // estimate, so every regime produces the SAME final pair set.
-    sig.count()
-    val sigSmall =
-      sig.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
-    def sigAs(id: String, s: String): DataFrame = {
-      val renamed = sig.toDF(id, s)
-      if (sigSmall) broadcast(renamed) else renamed
-    }
-    val pfx = sig.select(col("id"),
-      call_function("sig_prefix", col("sig"), lit(numHashes)).as("pfx"))
-    def pfxAs(id: String, s: String): DataFrame = {
-      val renamed = pfx.toDF(id, s)
-      if (sigSmall) broadcast(renamed) else renamed
-    }
-    val margin = 1.75 / math.sqrt(numHashes.toDouble)
-    val estKeepInt = call_function("sig_match_fraction_int", col("pfx_a"), col("pfx_b")) >=
-      lit(threshold - margin)
-
+    // Candidate generation is PER-BUCKET ADAPTIVE, decided inside the plan
+    // by a window count over (band, h) — no driver-side probe jobs (the
+    // r6 global-regime probe cost two extra jobs per call, ~0.5 s of pure
+    // constant at sf0.1). Each bucket routes by its own size n:
+    //  - n ≤ InlineBucketCap → narrow rows (id, band, h): raw pairs go to
+    //    the distinct, but the cap bounds them to ≤ (cap−1)/2 per bucket
+    //    row — LINEAR in corpus size, immune to the quadratic
+    //    chance-collision tail (measured at sf1: 3.3e8 distinct pairs,
+    //    425 s, all from buckets far above any sane cap);
+    //  - n > InlineBucketCap → bucket rows carry the signature truncated
+    //    to INTs (512 B/pair of traffic instead of 2 KB; truncated
+    //    equality is an unbiased minhash agreement test up to 2^-32 per
+    //    position) and the estimate prunes INSIDE the self-join, so the
+    //    distinct only ever sees est-survivors. A SHORT prefix does not
+    //    work: at n=32 the 3.5σ margin widens the cutoff to 0.19 while
+    //    collisions inside prefix-covered bands carry a guaranteed
+    //    4-match bias, and ~1/3 of chance pairs survived (measured). Full
+    //    length keeps the r5-validated n=numHashes margin.
+    //  - n > saltCap additionally splits into salt groups so the O(n²)
+    //    enumeration spreads over O((n/cap)²) tasks instead of one
+    //    straggler.
+    // Every candidate pair then passes the same full-signature estimate
+    // join-back and the exact-Jaccard refine (strictly tighter than any
+    // estimate), so the routing never changes the final pair set.
     // Band hashes come from a native kernel (posexplode position = band).
     val buckets = sig.select(col("id"),
         posexplode(call_function("minhash_band_hashes", col("sig"), lit(bands))))
       .toDF("id", "band", "h")
 
-    // the regime probe: bucket-size aggregate (narrow, k-bounded output)
-    val sizes = buckets.groupBy("band", "h").agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probe = sizes.agg(
-      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("volume"),
-      coalesce(max("n"), lit(0L)).as("mx")).head()
-    val (pairVolume, maxBucket) = (probe.getLong(0), probe.getLong(1))
-    // release the probe's cache immediately: the salted branch references
-    // `sizes` lazily and would otherwise pin the blocks for the session's
-    // lifetime (no handle to unpersist after execution); recomputing the
-    // k-bounded aggregate once from the persisted `sig` is cheaper than a
-    // permanent cache leak
-    sizes.unpersist()
-    val needSalt = saltCap > 0 && maxBucket > saltCap
-    val inlineEst = pairVolume > InlineEstPairVolume
+    import org.apache.spark.sql.expressions.Window
+    val sized = buckets.withColumn("n",
+      count(lit(1)).over(Window.partitionBy("band", "h")))
+    // a forced salt cap below the inline cap must also force the inline
+    // path, so the salted sub-plan sees every bucket it is asked to split
+    val inlineCap = if (saltCap > 0) math.min(InlineBucketCap, saltCap)
+                    else InlineBucketCap
 
-    val est =
-      if (!needSalt && !inlineEst) {
-        // narrow regime: enumerate → distinct → broadcast join-back est
-        buckets.toDF("id_a", "band", "h")
-          .join(buckets.toDF("id_b", "band", "h"), Seq("band", "h"))
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-          .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
-          .join(sigAs("id_a", "sig_a"), "id_a")
-          .join(sigAs("id_b", "sig_b"), "id_b")
-          .where(call_function("sig_match_fraction", col("sig_a"), col("sig_b")) >=
-            lit(threshold - margin))
-          .select("id_a", "id_b")
-      } else if (!needSalt) {
-        // inline-est regime, no hot buckets
-        val withPfx = buckets.join(pfxAs("id", "pfx"), "id")
-        withPfx.toDF("id_a", "band", "h", "pfx_a")
-          .join(withPfx.toDF("id_b", "band", "h", "pfx_b"), Seq("band", "h"))
-          .where(col("id_a") < col("id_b") && estKeepInt)
-          .select("id_a", "id_b")
-          .dropDuplicates("id_a", "id_b")
-      } else {
-        // Per-bucket salting (+ inline est): members get a deterministic
-        // salt group s in [0, g); the left side replicates each member to
-        // every target group t ≥ s, the right side joins on its own group,
-        // so every unordered pair meets exactly once across (band, h, t)
-        // keys (same-group pairs meet twice in both orders — canonicalize +
-        // distinct collapses them, which the cross-band dropDuplicates
-        // needs anyway). Hot buckets would otherwise enumerate O(n²) pairs
-        // in ONE task: AQE's skew split is byte-thresholded and never fires
-        // on these narrow rows (measured: a 12k-member bucket = 73M pairs
-        // on a single core was the sf1 straggler).
-        val salted = buckets.join(sizes, Seq("band", "h"))
-          .withColumn("g", greatest(lit(1L), ceil(col("n") / lit(saltCap.toDouble))).cast("int"))
-          .withColumn("s", pmod(xxhash64(col("id")), col("g")).cast("int"))
-        val left = salted.select(col("id").as("id_a"), col("band"), col("h"),
-            explode(expr("sequence(s, g - 1)")).as("t"))
-          .join(pfxAs("id_a", "pfx_a"), "id_a")
-        val right = salted.select(col("id").as("id_b"), col("band"), col("h"),
-            col("s").as("t"))
-          .join(pfxAs("id_b", "pfx_b"), "id_b")
-        left.join(right, Seq("band", "h", "t"))
-          .where(col("id_a") =!= col("id_b") && estKeepInt)
-          .select(least(col("id_a"), col("id_b")).as("id_a"),
-            greatest(col("id_a"), col("id_b")).as("id_b"))
-          .dropDuplicates("id_a", "id_b")
-      }
+    // small buckets: narrow self-join on (band, h) — the window already
+    // hash-partitioned both sides by the join key, so no extra exchange
+    val small = sized.where(col("n") <= inlineCap).select("id", "band", "h")
+    val candNarrow = small.toDF("id_a", "band", "h")
+      .join(small.toDF("id_b", "band", "h"), Seq("band", "h"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+
+    // big buckets: carry the int signature, est-prune inline, salt when
+    // over saltCap (members get a deterministic salt group s in [0, g);
+    // the left side replicates each member to every target group t ≥ s,
+    // the right side joins on its own group, so every unordered pair
+    // meets exactly once across (band, h, t) keys; same-group pairs meet
+    // in both orders — canonicalize + distinct collapses them, which the
+    // cross-band dropDuplicates needs anyway)
+    val pfx = sig.select(col("id"),
+      call_function("sig_prefix", col("sig"), lit(numHashes)).as("pfx"))
+    val margin = 1.75 / math.sqrt(numHashes.toDouble)
+    val estKeepInt = call_function("sig_match_fraction_int", col("pfx_a"), col("pfx_b")) >=
+      lit(threshold - margin)
+    val big = sized.where(col("n") > inlineCap)
+      .withColumn("g",
+        if (saltCap > 0) greatest(lit(1L), ceil(col("n") / lit(saltCap.toDouble))).cast("int")
+        else lit(1))
+      .withColumn("s", pmod(xxhash64(col("id")), col("g")).cast("int"))
+    val left = big.select(col("id").as("id_a"), col("band"), col("h"),
+        explode(expr("sequence(s, g - 1)")).as("t"))
+      .join(pfx.toDF("id_a", "pfx_a"), "id_a")
+    val right = big.select(col("id").as("id_b"), col("band"), col("h"),
+        col("s").as("t"))
+      .join(pfx.toDF("id_b", "pfx_b"), "id_b")
+    val candBig = left.join(right, Seq("band", "h", "t"))
+      .where(col("id_a") =!= col("id_b") && estKeepInt)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+
+    // Catalyst sizes `sig` from the WIDE text scan and would never
+    // broadcast it; AQE re-plans the join-backs from true shuffle sizes
+    // at runtime (BHJ when the signature table is actually small), so no
+    // driver-side materialize-and-measure is needed.
+    val est = candNarrow.union(candBig)
+      .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
+      .join(sig.toDF("id_a", "sig_a"), "id_a")
+      .join(sig.toDF("id_b", "sig_b"), "id_b")
+      .where(call_function("sig_match_fraction", col("sig_a"), col("sig_b")) >=
+        lit(threshold - margin))
+      .select("id_a", "id_b")
 
     // Stage 3 — exact refine: per-document sorted shingle-hash sets are
     // computed once, pairs evaluated by linear merge (no per-pair
