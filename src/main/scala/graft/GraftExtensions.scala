@@ -73,7 +73,14 @@ object Graft {
     u("st_astext", StAsText),
     u("st_asgeojson", StAsGeoJSON),
     u("st_asbinary", StAsBinary),
-    u("st_asgml", StAsGML),
+    // 1-arg → GML3; PostGIS 2-arg form ST_AsGML(version, geom) → GML2/GML3
+    desc("st_asgml", es => es match {
+      case Seq(g)    => StAsGML(coerce("st_asgml", Seq(G), Seq(g)).head)
+      case Seq(v, g) =>
+        val c = coerce("st_asgml", Seq(IntegerType, G), Seq(v, g)); StAsGMLVersion(c(0), c(1))
+      case other => throw new IllegalArgumentException(
+        s"st_asgml expects 1 or 2 arguments, got ${other.length}")
+    }),
     u("st_askml", StAsKML),
     // accessors
     u("st_x", StX),

@@ -131,6 +131,11 @@ case class StAsBinary(child: Expression) extends GeoUnary("GeoOps.stAsBinary", B
 case class StAsGML(child: Expression) extends GeoUnary("GeoOps.stAsGML", BinaryType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
+case class StAsGMLVersion(left: Expression, right: Expression)
+    extends GeoBinary("GeoOps.stAsGMLVersion", Seq(IntegerType, BinaryType), StringType) {
+  override def prettyName: String = "st_asgml"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
 case class StAsKML(child: Expression) extends GeoUnary("GeoOps.stAsKML", BinaryType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }

@@ -44,6 +44,13 @@ object GeoOps {
   def stAsGeoJSON(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoJson.write(read(b)))
   def stAsBinary(b: Array[Byte]): Array[Byte] = b
   def stAsGML(b: Array[Byte]): UTF8String = UTF8String.fromString(GmlKml.writeGml(read(b)))
+  /** PostGIS 2-arg form `ST_AsGML(version, geom)`: 2 → GML2
+    * (gml:coordinates / outerBoundaryIs), 3 → GML3 (gml:pos/posList). */
+  def stAsGMLVersion(version: Int, b: Array[Byte]): UTF8String = version match {
+    case 2 => UTF8String.fromString(GmlKml.writeGml2(read(b)))
+    case 3 => UTF8String.fromString(GmlKml.writeGml(read(b)))
+    case v => throw new IllegalArgumentException(s"ST_AsGML version must be 2 or 3, got $v")
+  }
   def stAsKML(b: Array[Byte]): UTF8String = UTF8String.fromString(GmlKml.writeKml(read(b)))
 
   // -------------------------------------------------------------- accessors

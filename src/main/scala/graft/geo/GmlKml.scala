@@ -178,6 +178,68 @@ object GmlKml {
     case other => throw new IllegalArgumentException(s"cannot write ${other.getGeometryType} as GML")
   }
 
+  /** GML 2 writer: `gml:coordinates` ("x,y x,y") and
+    * outerBoundaryIs/innerBoundaryIs — the encoding PostGIS emits for
+    * `ST_AsGML(2, geom)` and the shape of the reference's GML2 corpora
+    * (reference: test/testmanual/result/basex97_gml2.json queries run over
+    * GML2 documents; extension/basex/basex_extension.ts:53 gml module
+    * config). The parser accepts both GML2 and GML3, so either version
+    * round-trips through parseGml. */
+  def writeGml2(g: Geometry): String = {
+    val sb = new StringBuilder
+    writeGml2Node(g, sb)
+    val s = sb.toString
+    val i = s.indexOf('>')
+    s.substring(0, i) + " xmlns:gml=\"http://www.opengis.net/gml\"" + s.substring(i)
+  }
+
+  private def coordTuples(cs: Array[Coordinate]): String =
+    cs.map(c => s"${fmt(c.x)},${fmt(c.y)}").mkString(" ")
+
+  private def writeGml2Node(g: Geometry, sb: StringBuilder): Unit = g match {
+    case p: Point =>
+      sb ++= s"<gml:Point><gml:coordinates>${fmt(p.getX)},${fmt(p.getY)}</gml:coordinates></gml:Point>"
+    case l: LineString if l.isInstanceOf[LinearRing] =>
+      sb ++= s"<gml:LinearRing><gml:coordinates>${coordTuples(l.getCoordinates)}</gml:coordinates></gml:LinearRing>"
+    case l: LineString =>
+      sb ++= s"<gml:LineString><gml:coordinates>${coordTuples(l.getCoordinates)}</gml:coordinates></gml:LineString>"
+    case p: Polygon =>
+      sb ++= "<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>"
+      sb ++= coordTuples(p.getExteriorRing.getCoordinates)
+      sb ++= "</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>"
+      (0 until p.getNumInteriorRing).foreach { i =>
+        sb ++= "<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>"
+        sb ++= coordTuples(p.getInteriorRingN(i).getCoordinates)
+        sb ++= "</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>"
+      }
+      sb ++= "</gml:Polygon>"
+    case m: MultiPoint =>
+      sb ++= "<gml:MultiPoint>"
+      (0 until m.getNumGeometries).foreach { i =>
+        sb ++= "<gml:pointMember>"; writeGml2Node(m.getGeometryN(i), sb); sb ++= "</gml:pointMember>"
+      }
+      sb ++= "</gml:MultiPoint>"
+    case m: MultiLineString =>
+      sb ++= "<gml:MultiLineString>"
+      (0 until m.getNumGeometries).foreach { i =>
+        sb ++= "<gml:lineStringMember>"; writeGml2Node(m.getGeometryN(i), sb); sb ++= "</gml:lineStringMember>"
+      }
+      sb ++= "</gml:MultiLineString>"
+    case m: MultiPolygon =>
+      sb ++= "<gml:MultiPolygon>"
+      (0 until m.getNumGeometries).foreach { i =>
+        sb ++= "<gml:polygonMember>"; writeGml2Node(m.getGeometryN(i), sb); sb ++= "</gml:polygonMember>"
+      }
+      sb ++= "</gml:MultiPolygon>"
+    case gc: GeometryCollection =>
+      sb ++= "<gml:MultiGeometry>"
+      (0 until gc.getNumGeometries).foreach { i =>
+        sb ++= "<gml:geometryMember>"; writeGml2Node(gc.getGeometryN(i), sb); sb ++= "</gml:geometryMember>"
+      }
+      sb ++= "</gml:MultiGeometry>"
+    case other => throw new IllegalArgumentException(s"cannot write ${other.getGeometryType} as GML2")
+  }
+
   /** KML writer (coordinates tuples, outer/innerBoundaryIs). */
   def writeKml(g: Geometry): String = {
     val sb = new StringBuilder

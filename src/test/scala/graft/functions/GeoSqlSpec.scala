@@ -100,6 +100,32 @@ class GeoSqlSpec extends SparkTestBase {
     assert(one("ST_AsKML(ST_Point(1, 2))") == "<Point><coordinates>1,2</coordinates></Point>")
   }
 
+  test("ST_AsGML(version, geom) emits GML2 that round-trips (PostGIS 2-arg form)") {
+    // GML2 = gml:coordinates tuples + outerBoundaryIs/innerBoundaryIs — the
+    // encoding of the reference's GML2 corpora (basex97_gml2.json runs)
+    assert(one("ST_AsGML(2, ST_Point(1, 2))") ==
+      """<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>1,2</gml:coordinates></gml:Point>""")
+    val poly = one(
+      "ST_AsGML(2, ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'))").toString
+    assert(poly.contains("<gml:outerBoundaryIs>") && poly.contains("<gml:innerBoundaryIs>"), poly)
+    assert(poly.contains("<gml:coordinates>0,0 4,0 4,4 0,4 0,0</gml:coordinates>"), poly)
+    assert(!poly.contains("posList"), s"GML2 output must not use GML3 posList: $poly")
+    // the parser reads both versions, so every GML2 document round-trips
+    for (wkt <- Seq("POINT (1 2)", "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+      "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))")) {
+      val rt = one(s"ST_AsText(ST_GeomFromGML(ST_AsGML(2, ST_GeomFromText('$wkt'))))")
+      assert(rt == wkt, s"GML2 roundtrip of $wkt gave $rt")
+    }
+    // 3-arg version selector: 3 = GML3 (same as the 1-arg form)
+    assert(one("ST_AsGML(3, ST_Point(1, 2))") == one("ST_AsGML(ST_Point(1, 2))"))
+    // invalid version fails fast with a clear message
+    val e = intercept[Exception](one("ST_AsGML(4, ST_Point(1, 2))"))
+    assert(e.getMessage != null)
+  }
+
   test("null propagation") {
     assert(spark.sql("SELECT ST_X(CAST(NULL AS BINARY))").head().isNullAt(0))
     assert(spark.sql("SELECT ST_Distance(ST_Point(0, 0), CAST(NULL AS BINARY))").head().isNullAt(0))
