@@ -27,26 +27,68 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
-  /** Pairs within `radius`: refine = ST_DWithin(l, r, radius). */
+  /** Pairs within `radius`: refine = ST_DWithin(l, r, radius).
+    * `cellSize ≤ 0` derives the grid from envelope stats ([[autoCellSize]]). */
   def distanceJoin(left: DataFrame, leftGeom: String,
                    right: DataFrame, rightGeom: String,
-                   radius: Double, cellSize: Double): DataFrame =
+                   radius: Double, cellSize: Double = 0.0): DataFrame =
     join(left, leftGeom, right, rightGeom, radius, cellSize,
       (lg, rg) => call_function("st_dwithin", lg, rg, lit(radius)))
 
   /** Intersecting pairs: refine = ST_Intersects(l, r). */
   def intersectsJoin(left: DataFrame, leftGeom: String,
                      right: DataFrame, rightGeom: String,
-                     cellSize: Double): DataFrame =
+                     cellSize: Double = 0.0): DataFrame =
     join(left, leftGeom, right, rightGeom, 0.0, cellSize,
       (lg, rg) => call_function("st_intersects", lg, rg))
 
   /** Left-geometry-within-right pairs: refine = ST_Within(l, r). */
   def withinJoin(left: DataFrame, leftGeom: String,
                  right: DataFrame, rightGeom: String,
-                 cellSize: Double): DataFrame =
+                 cellSize: Double = 0.0): DataFrame =
     join(left, leftGeom, right, rightGeom, 0.0, cellSize,
       (lg, rg) => call_function("st_within", lg, rg))
+
+  /** Rows drawn from each side for the auto grid: LocalLimit short-circuits
+    * the scan, so the sample job's cost is corpus-size-independent. */
+  private val SampleRows = 20000
+
+  /** Grid size from a bounded envelope-stats sample:
+    * max(radius, median extent, p99 extent / 16) — PBSM-standard sizing
+    * with a replication guard. A cell much smaller than a typical envelope
+    * explodes the per-row cell count (each geometry covers
+    * O((extent/cell)²) cells); much larger and candidate pruning degrades
+    * toward a per-cell cartesian. The median alone fails on MIXED inputs
+    * (points + country-sized polygons: median 0 → the polygons shatter
+    * into tens of thousands of cells), so the p99/16 term caps the
+    * replication of all but the outlier tail at ≤ ~289 cells per row;
+    * over-wide cells that result only concentrate candidates, which AQE's
+    * skew-join split absorbs. Falls back to 1/256 of the sampled span for
+    * degenerate inputs (all points, radius 0), and to 1.0 when even the
+    * span is a single point. */
+  def autoCellSize(left: DataFrame, leftGeom: String,
+                   right: DataFrame, rightGeom: String,
+                   radius: Double): Double = {
+    Graft.register(left.sparkSession)
+    val sample = left.select(col(leftGeom).as("g")).limit(SampleRows)
+      .unionAll(right.select(col(rightGeom).as("g")).limit(SampleRows))
+    val row = sample.select(
+        greatest(
+          call_function("st_xmax", col("g")) - call_function("st_xmin", col("g")),
+          call_function("st_ymax", col("g")) - call_function("st_ymin", col("g"))).as("ext"),
+        call_function("st_xmin", col("g")).as("x0"),
+        call_function("st_xmax", col("g")).as("x1"),
+        call_function("st_ymin", col("g")).as("y0"),
+        call_function("st_ymax", col("g")).as("y1"))
+      .agg(percentile_approx(col("ext"), lit(0.5), lit(1000)).as("med"),
+        percentile_approx(col("ext"), lit(0.99), lit(1000)).as("p99"),
+        (max("x1") - min("x0")).as("spanx"), (max("y1") - min("y0")).as("spany"))
+      .head()
+    def d(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    val span = math.max(d(2), d(3))
+    val c = math.max(radius, math.max(d(0), d(1) / 16.0))
+    if (c > 0) c else if (span > 0) span / 256.0 else 1.0
+  }
 
   private def join(left: DataFrame, leftGeom: String,
                    right: DataFrame, rightGeom: String,
@@ -54,7 +96,9 @@ object SpatialJoin {
                    refine: (Column, Column) => Column): DataFrame = {
     require(leftGeom != rightGeom, "geometry columns must have distinct names")
     Graft.register(left.sparkSession)
-    val cell = lit(cellSize)
+    val cell = lit(
+      if (cellSize > 0) cellSize
+      else autoCellSize(left, leftGeom, right, rightGeom, radius))
 
     val l = left.withColumn("__cell",
       explode(call_function("grid_cells", col(leftGeom), lit(radius), cell)))

@@ -60,4 +60,39 @@ class SpatialJoinSpec extends SparkTestBase {
     val grid = SpatialJoin.withinJoin(cust, "cgeom", boxes, "bg", cellSize = 15.0)
     assert(grid.count() == brute.count())
   }
+
+  test("auto cell size matches the explicit-size result (cellSize = 0)") {
+    val brute = cust.crossJoin(supp)
+      .where(call_function("st_dwithin", col("cgeom"), col("sgeom"), lit(5.0)))
+    val auto = SpatialJoin.distanceJoin(cust, "cgeom", supp, "sgeom", 5.0)
+    assert(pairsOf(auto) == pairsOf(brute))
+    assert(auto.count() == brute.count(), "duplicates under the auto grid")
+  }
+
+  test("auto cell size stays sane on skewed inputs") {
+    // Point side (zero extents) + a few country-sized polygons: a naive
+    // median-of-all-extents would say 0 (explodes the grid); trusting the
+    // polygons would say 50 (degrades to per-cell cartesian). The sizing
+    // must produce a cell that keeps BOTH sides' per-row cell counts
+    // bounded: points land in O(1) cells, and the replication of the big
+    // envelopes is capped by extent/cell ≈ a handful per axis.
+    val polys = spark.sql(
+      """SELECT id, ST_MakeEnvelope(x0, y0, x0 + 50.0, y0 + 50.0) AS bg
+        |FROM VALUES (1, 0.0, 0.0), (2, 30.0, 30.0), (3, 55.0, 5.0) AS t(id, x0, y0)""".stripMargin)
+    val cs = SpatialJoin.autoCellSize(cust, "cgeom", polys, "bg", radius = 0.0)
+    // dominated by the point side's median extent (0) → span/256 fallback
+    // territory through the radius=0 path; must be positive and no larger
+    // than the data span (≈110 on x, 97 on y)
+    assert(cs > 0.0, s"auto cell size must be positive, got $cs")
+    assert(cs <= 110.0, s"auto cell size wider than the data span: $cs")
+    // per-row replication stays bounded on both sides
+    val polyCells = polys.select(explode(call_function("grid_cells", col("bg"), lit(0.0), lit(cs))))
+    assert(polyCells.count() <= 3L * 64L * 64L,
+      s"polygon replication exploded at cell=$cs: ${polyCells.count()} cells for 3 rows")
+    val ptCells = cust.select(explode(call_function("grid_cells", col("cgeom"), lit(0.0), lit(cs))))
+    assert(ptCells.count() == cust.count(), "a point must land in exactly one cell")
+    // and the join itself still returns the exact result
+    val brute = cust.crossJoin(polys).where(call_function("st_within", col("cgeom"), col("bg")))
+    assert(SpatialJoin.withinJoin(cust, "cgeom", polys, "bg").count() == brute.count())
+  }
 }
