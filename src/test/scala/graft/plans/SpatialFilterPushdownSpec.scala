@@ -73,6 +73,35 @@ class SpatialFilterPushdownSpec extends SparkTestBase {
     assert(rev.count() == 3) // p7, p8, p9
   }
 
+  test("every recognized predicate derives the bbox in BOTH argument orders") {
+    // the reference pushes geo:within with either operand order
+    // (extension/basex/basex_extension.ts:46 supportedSpatialFunctionPrefix);
+    // envelope-intersection pruning is order-symmetric for every relation
+    val box = call_function("st_makeenvelope", lit(1.5), lit(1.5), lit(4.5), lit(4.5))
+    val cases: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
+      ("st_within", call_function("st_within", col("geometry"), box),
+        call_function("st_within", box, col("geometry"))),
+      ("st_contains", call_function("st_contains", col("geometry"), box),
+        call_function("st_contains", box, col("geometry"))),
+      ("st_coveredby", call_function("st_coveredby", col("geometry"), box),
+        call_function("st_coveredby", box, col("geometry"))),
+      ("st_covers", call_function("st_covers", col("geometry"), box),
+        call_function("st_covers", box, col("geometry"))),
+      ("st_intersects", call_function("st_intersects", col("geometry"), box),
+        call_function("st_intersects", box, col("geometry"))))
+    for ((name, fwd, rev) <- cases; pred <- Seq(fwd, rev)) {
+      val plan = xml().where(pred).queryExecution.executedPlan.toString
+      assert(plan.contains("bbox: [1.5,1.5,4.5,4.5]"), s"$name: $plan")
+    }
+    // distance-comparison forms: radius on either side of the comparison
+    val dist = call_function("st_distance", col("geometry"),
+      call_function("st_point", lit(5.0), lit(5.0)))
+    for (pred <- Seq(dist <= lit(1.5), lit(1.5) >= dist)) {
+      val plan = geo().where(pred).queryExecution.executedPlan.toString
+      assert(plan.contains("bbox: [3.5,3.5,6.5,6.5]"), plan)
+    }
+  }
+
   test("conjuncts intersect envelopes; disjoint constraints yield the empty scan") {
     val both = xml().where(
       call_function("st_intersects", col("geometry"),
