@@ -672,11 +672,12 @@ object SparkEntry {
          |        CAST(c_custkey % 97 AS DOUBLE) / 2.0 - 10.0 AS lat
          |      FROM customer) t""".stripMargin,
     // same spherical forward closed form as GeoOps.stProject, term order
-    // preserved so both engines agree at 1e-6° rounding
+    // preserved so both engines agree at 1e-6° rounding (incl. the
+    // [-180, 180) longitude wrap: (x + 540) % 360 - 180, fmod is exact)
     "q_st_project" ->
       s"""SELECT c_custkey,
-         |  floor(degrees(lon1 + atan2(sin(az)*sin(delta)*cos(lat1),
-         |                             cos(delta) - sin(lat1)*sin(lat2))) * 1000000 + 0.5) / 1000000 AS lon2,
+         |  floor(((degrees(lon1 + atan2(sin(az)*sin(delta)*cos(lat1),
+         |                               cos(delta) - sin(lat1)*sin(lat2))) + 540) % 360 - 180) * 1000000 + 0.5) / 1000000 AS lon2,
          |  floor(degrees(lat2) * 1000000 + 0.5) / 1000000 AS lat2
          |FROM (
          |  SELECT c_custkey, lon1, lat1, az, delta,

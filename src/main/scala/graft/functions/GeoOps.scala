@@ -341,7 +341,12 @@ object GeoOps {
     val lon2 = lon1 + math.atan2(
       math.sin(azimuthRad) * math.sin(delta) * math.cos(lat1),
       math.cos(delta) - math.sin(lat1) * math.sin(lat2))
-    stPoint(math.toDegrees(lon2), math.toDegrees(lat2))
+    // normalize into [-180, 180) like PostGIS (projecting east from
+    // lon 179.9 must not emit lon > 180, which downstream SRID-bounds
+    // checks — e.g. ST_GeoHash — reject); toDegrees(lon2) ∈ (-360, 360),
+    // so one fmod after a positive shift suffices
+    val lonDeg = (math.toDegrees(lon2) + 540.0) % 360.0 - 180.0
+    stPoint(lonDeg, math.toDegrees(lat2))
   }
 
   // --------------------------------------------------------------- geohash

@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Internal persists that must OUTLIVE their call — the returned plan
+    * references them lazily (minhash signatures, the embedding base frame,
+    * the final clustering-label RDD), so they cannot be unpersisted before
+    * the caller executes the result. A long-lived session releases them
+    * with [[releaseCaches]] once results are consumed; without it the
+    * blocks linger until evicted (MEMORY_AND_DISK is LRU-evictable, so
+    * this is hygiene, not an OOM). */
+  private val tracked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Boolean]())
+  private def track[A <: AnyRef](h: A): A = { tracked.add(h); h }
+
+  /** Unpersists every cache left behind by dedup calls in this JVM. Call
+    * AFTER consuming the returned frames: a result backed by a
+    * localCheckpoint (distributed clustering) cannot be re-executed once
+    * its blocks are released. */
+  def releaseCaches(): Unit = {
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      it.next() match {
+        case df: DataFrame                     => df.unpersist(blocking = false)
+        case rdd: org.apache.spark.rdd.RDD[_]  => rdd.unpersist(blocking = false)
+        case _                                 => ()
+      }
+      it.remove()
+    }
+  }
+
   /** Exact dedup: one representative row (min id) per identical text.
     * Single hash-aggregate; at 100 TB group on a 128-bit hash of the text
     * rather than the full text to keep shuffle rows small. */
@@ -57,9 +84,9 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // signatures feed three consumers (bucketing + both sides of the
     // estimate join): persist so the O(len·numHashes) pass runs once
-    val sig = base.select(col("id"),
+    val sig = track(base.select(col("id"),
         call_function("minhash_signature", col("text"), lit(shingleK), lit(numHashes)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // Candidate generation is PER-BUCKET ADAPTIVE, decided inside the plan
     // by a window count over (band, h) — no driver-side probe jobs (the
@@ -214,7 +241,7 @@ object Dedup {
     val (pl, tb) =
       if (planes > 0 && tables > 0) (planes, tables)
       else {
-        base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        track(base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         lshConfig(if (planes > 0) planes else -1,
           if (tables > 0) tables else -1, base.count(), minCosine)
       }
@@ -452,6 +479,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    // the final labels RDD backs the returned frame (its localCheckpoint
+    // blocks ARE the data) — released via Dedup.releaseCaches()
+    track(labels)
     import spark.implicits._
     labels.toDF("id", "cluster")
       .select(col("id").cast(idType), col("cluster").cast(idType))

@@ -84,9 +84,17 @@ object SpatialStorage {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(root, true)
-    val files = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).toArray
+    val listed = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(_.isFile).map(_.getPath).toArray
+    // data files, plus the originals of any orphaned .geo.bak left by a
+    // crashed previous stamp (the original is missing then — only the
+    // backup still holds the bytes; stampGeoFooter restores it on entry)
+    val files = (listed.filter(_.getName.endsWith(".parquet")) ++
+        listed.filter(_.getName.endsWith(".geo.bak")).map { b =>
+          new HPath(b.getParent,
+            b.getName.stripPrefix(".").stripSuffix(".geo.bak"))
+        })
+      .map(_.toString).distinct
     val geoJson = geoMetadataJson(geomCol, xmin, ymin, xmax, ymax)
     // ship the session's Hadoop conf to executors — a bare `new
     // Configuration()` there would drop every spark.hadoop.* setting
@@ -119,6 +127,19 @@ object SpatialStorage {
     val parent = inPath.getParent
     val tmpPath = new HPath(parent, "." + inPath.getName + ".geo.tmp")
     val bakPath = new HPath(parent, "." + inPath.getName + ".geo.bak")
+    val fs = inPath.getFileSystem(conf)
+    // self-heal from a previously crashed stamp: a crash between the two
+    // swap renames leaves the original missing with the data intact under
+    // .geo.bak — restore it and redo the stamp from scratch. Leftovers
+    // from before the crash point (stale .bak/.tmp next to an intact
+    // original) are deleted: rename-to-existing fails on HDFS/local FS,
+    // so a stale .bak would otherwise block every future stamp.
+    if (!fs.exists(inPath) && fs.exists(bakPath) &&
+        !fs.rename(bakPath, inPath))
+      throw new java.io.IOException(
+        s"failed to restore $file from interrupted-stamp backup $bakPath")
+    fs.delete(bakPath, false)
+    fs.delete(tmpPath, false)
     val inFile = HadoopInputFile.fromPath(inPath, conf)
     val reader = ParquetFileReader.open(inFile)
     val (schema, kv) =
@@ -136,8 +157,7 @@ object SpatialStorage {
     // swap via hidden backup: at no point do a visible original AND a
     // visible copy coexist, and the data survives a crash at any step
     // (both working names are hidden; a retry that finds the original
-    // missing can still recover it from .geo.bak by hand)
-    val fs = inPath.getFileSystem(conf)
+    // missing restores it from .geo.bak on entry, above)
     if (!fs.rename(inPath, bakPath) || !fs.rename(tmpPath, inPath))
       throw new java.io.IOException(s"failed to swap GeoParquet footer for $file")
     fs.delete(bakPath, false)

@@ -75,16 +75,23 @@ private[sources] object DocFiles {
   }
 
   /** Connect/read timeout for HTTP collection traffic (listing and
-    * per-document fetches), overridable via `graft.http.timeout.ms`. */
+    * per-document fetches), overridable via the `graft.http.timeout.ms`
+    * JVM property. Resolved where EVALUATED: driver-side for planning
+    * (listing, schema inference), and at reader-factory CONSTRUCTION for
+    * scans — the factories capture the value on the driver and serialize
+    * it to executors, so a driver-set property governs executor fetches
+    * too (executor JVMs don't inherit driver sys.props). */
   private[sources] def HttpTimeoutMs: Int =
     sys.props.get("graft.http.timeout.ms").flatMap(_.toIntOption).getOrElse(60000)
 
   /** Opens a document URL with timeouts set — shared by the DSv2 readers so
-    * an executor task on a stalled server fails instead of hanging. */
-  private[sources] def openDocStream(url: String): java.io.InputStream = {
+    * an executor task on a stalled server fails instead of hanging.
+    * Executor-side callers must pass the driver-captured timeout. */
+  private[sources] def openDocStream(url: String,
+                                     timeoutMs: Int = HttpTimeoutMs): java.io.InputStream = {
     val conn = new java.net.URI(url).toURL.openConnection()
-    conn.setConnectTimeout(HttpTimeoutMs)
-    conn.setReadTimeout(HttpTimeoutMs)
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
     conn.getInputStream
   }
 

@@ -69,8 +69,9 @@ object GeoJsonDataSource {
   /** One whole-file document, or one document per non-blank line (NDJSON).
     * URL-stream read (no SparkSession dependency) so it runs identically on
     * driver (inference) and executors (scan) — same model as graft-xml. */
-  def documents(file: String, multiLine: Boolean): Iterator[String] = {
-    val in = graft.sources.DocFiles.openDocStream(file)
+  def documents(file: String, multiLine: Boolean,
+      timeoutMs: Int = graft.sources.DocFiles.HttpTimeoutMs): Iterator[String] = {
+    val in = graft.sources.DocFiles.openDocStream(file, timeoutMs)
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 * 1024)
@@ -151,14 +152,16 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
   override def createReaderFactory(): PartitionReaderFactory =
     GeoJsonReaderFactory(readSchema(),
       options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
-      pushed, options.get("bbox"), agg)
+      pushed, options.get("bbox"), agg,
+      graft.sources.DocFiles.HttpTimeoutMs) // driver capture: executors don't see driver sys.props
 }
 
 private case class GeoJsonInputPartition(file: String) extends InputPartition
 
 private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
                                         filters: Array[Filter], bbox: Option[String],
-                                        agg: Option[(Seq[String], Seq[AggPushdown.Spec])])
+                                        agg: Option[(Seq[String], Seq[AggPushdown.Spec])],
+                                        httpTimeoutMs: Int)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -168,7 +171,7 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
-        val records = GeoJsonDataSource.documents(file, multiLine).flatMap { json =>
+        val records = GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs).flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
             // pushed filters run on the FULL property map (they may reference
             // columns pruned from the output schema) before any row is built

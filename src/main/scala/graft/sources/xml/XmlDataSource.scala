@@ -72,8 +72,9 @@ object XmlDataSource {
   /** Parses one document by path/URL: XXE-hardened parser, and HTTP(S)
     * fetches carry connect/read timeouts so a stalled server fails the
     * task instead of hanging it. */
-  private[sources] def loadDoc(file: String): scala.xml.Elem = {
-    val in = graft.sources.DocFiles.openDocStream(file)
+  private[sources] def loadDoc(file: String,
+      timeoutMs: Int = graft.sources.DocFiles.HttpTimeoutMs): scala.xml.Elem = {
+    val in = graft.sources.DocFiles.openDocStream(file, timeoutMs)
     try graft.geo.SecureXml.document.load(in)
     finally in.close()
   }
@@ -154,14 +155,16 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
     files.map(f => XmlInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg)
+    XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg,
+      graft.sources.DocFiles.HttpTimeoutMs) // driver capture: executors don't see driver sys.props
 }
 
 private case class XmlInputPartition(file: String) extends InputPartition
 
 private case class XmlReaderFactory(schema: StructType, recordTag: Option[String],
                                     filters: Array[Filter], bbox: Option[String],
-                                    agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])])
+                                    agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])],
+                                    httpTimeoutMs: Int)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -172,7 +175,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(graft.sources.StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
-        val doc = XmlDataSource.loadDoc(file)
+        val doc = XmlDataSource.loadDoc(file, httpTimeoutMs)
         val kml = XmlDataSource.isKml(doc)
         val records = Xml.records(doc, recordTag).iterator.flatMap { r =>
           val (m, g) = Xml.flattenRecord(r, kml)

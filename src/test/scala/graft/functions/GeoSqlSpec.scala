@@ -245,6 +245,14 @@ class GeoSqlSpec extends SparkTestBase {
       s"ST_DistanceSphere(ST_Point(10.0, 50.0), ST_Project(ST_Point(10.0, 50.0), 5000.0, radians(37.0)))"
     ).asInstanceOf[Double]
     assert(math.abs(d - 5000.0) < 1e-6, d)
+    // antimeridian: projecting east from lon 179.9 wraps into [-180, 180)
+    // like PostGIS (raw forward solution would exceed 180 and be rejected
+    // by SRID-bounds checks, e.g. ST_GeoHash)
+    val wrapped = one(s"ST_X(ST_Project(ST_Point(179.9, 0.0), $arcDeg, radians(90.0)))")
+      .asInstanceOf[Double]
+    assert(math.abs(wrapped - (-179.1)) < 1e-9, s"expected -179.1, got $wrapped")
+    assert(one(s"ST_GeoHash(ST_Project(ST_Point(179.9, 0.0), $arcDeg, radians(90.0)), 5)")
+      .toString.nonEmpty)
   }
 
   test("ST_GeoHash matches the published base-32 vectors, round-trips via ST_PointFromGeoHash") {

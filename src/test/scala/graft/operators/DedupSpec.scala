@@ -37,6 +37,20 @@ class DedupSpec extends SparkTestBase {
     assert(plain.exists { case (a, b) => b - a == 700000 }) // planted pairs too
   }
 
+  test("releaseCaches drops the persists left behind by dedup calls") {
+    Dedup.releaseCaches() // drain anything from earlier tests
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashPairs(docs, "doc_id", "text").count()
+    Dedup.embeddingPairs(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", minCosine = 0.9).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > baseline,
+      "expected dedup calls to leave tracked caches behind")
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      "releaseCaches must return the session to its cache baseline")
+    Dedup.releaseCaches() // idempotent on a drained registry
+  }
+
   test("clusters with reliable checkpoint matches localCheckpoint result") {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
     ckptDir.deleteOnExit()

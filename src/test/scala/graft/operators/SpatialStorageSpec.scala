@@ -74,6 +74,37 @@ class SpatialStorageSpec extends SparkTestBase {
     assert(sample.contains(s"[${ext.getDouble(0)}"), sample)
   }
 
+  test("footer stamp self-heals from a crashed previous stamp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geopq-heal").toString
+    SpatialStorage.writeGridPartitioned(pts, "geometry", dir, cellSize = 20.0,
+      geoParquet = true)
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // simulate the two crash states the swap can leave behind:
+    // (a) crash between the renames — original gone, data only in .geo.bak
+    val crashed = files.head
+    val bak = new java.io.File(crashed.getParent, "." + crashed.getName + ".geo.bak")
+    assert(crashed.renameTo(bak))
+    // (b) a stale .bak next to an INTACT original (crash after tmp write,
+    // before bak delete) — rename-to-existing would block the next stamp
+    val stale = files.last
+    val staleBak = new java.io.File(stale.getParent, "." + stale.getName + ".geo.bak")
+    java.nio.file.Files.copy(stale.toPath, staleBak.toPath)
+    // re-stamping the same directory must restore (a), clear (b), and
+    // leave every file stamped and readable
+    val ext = pts.agg(
+      min(call_function("st_xmin", col("geometry"))),
+      min(call_function("st_ymin", col("geometry"))),
+      max(call_function("st_xmax", col("geometry"))),
+      max(call_function("st_ymax", col("geometry")))).head()
+    SpatialStorage.addGeoParquetMetadata(spark, dir, "geometry",
+      ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+    assert(crashed.exists, "crashed file not restored from .geo.bak")
+    assert(!bak.exists && !staleBak.exists, "backup leftovers not cleared")
+    assert(spark.read.parquet(dir).count() == pts.count())
+  }
+
   test("zorder layout sorts within partitions by morton key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
     SpatialStorage.writeGridPartitioned(pts, "geometry", dir, cellSize = 50.0, zorder = true)

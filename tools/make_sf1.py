@@ -4,14 +4,13 @@ for scale benchmarking, WITHOUT touching /root/testdata (read-only).
 
 Replication preserves join structure (all foreign keys shift together per
 replica) and keeps the near-duplicate/ANN workloads LINEAR:
-  - documents: every inter-word gap gets a salt token specific to the
-    (replica, doc) pair, so neither cross-replica texts nor same-replica
-    texts share gap shingles (near-dup pair count scales ~10x, not ~100x
-    as naive text replication would). A replica-only salt is NOT enough:
-    with ' rIs ' in every gap, all docs of one replica class share their
-    gap-derived 5-char shingles, which pushed same-replica cross-doc
-    Jaccard past 0.5 and made the true near-dup pair set quadratic
-    (measured: 1% of ALL sf1 doc pairs at j >= 0.89 before this fix);
+  - documents: each replica applies a distinct Caesar cipher to every
+    letter (see the comment above the cipher loop for why substitution
+    beats salt-token insertion on this ~30-word vocabulary), so
+    cross-replica texts share no shingles and the near-dup pair set
+    scales ~10x, not ~100x as naive text replication would. Distinct
+    shifts exist only for replicas <= 26 (25 non-identity rotations +
+    the original), asserted below;
   - embeddings: replicas 1..9 get deterministic hash-generated vectors
     (near-orthogonal in 64-d), so only replica 0 carries the planted
     cosine structure.
@@ -94,9 +93,12 @@ write("events", replicate(
 LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
 
+assert R <= 26, (
+    "only 25 distinct non-identity Caesar shifts exist; replicas > 26 "
+    "would repeat a cipher and create exact cross-replica duplicate texts")
 doc_parts = [f"SELECT * FROM '{SRC}/documents.parquet'"]
 for i in range(1, R):
-    shift = i % 25 + 1  # never 0: every letter must change
+    shift = (i - 1) % 25 + 1  # shifts 1..25, never 0: every letter must change
     rot = LOWER[shift:] + LOWER[:shift] + UPPER[shift:] + UPPER[:shift]
     doc_parts.append(
         f"SELECT doc_id + {i*1_000_000} AS doc_id, "
