@@ -1,0 +1,149 @@
+package graft.sources.xquery
+
+import org.apache.spark.sql.sources._
+
+/** BaseX-flavored XQuery generation for the pushdown subset the graft
+  * document sources support — the engine-side analog of the reference
+  * driving a live BaseX by constructing XQuery against its session API
+  * (reference: extension/xml_extension.ts:1313 `constructXQuery`,
+  * extension/basex/basex_extension.ts:385
+  * `constructSpatialFunctionTwoArgs` / :415 `...OneArgs` / :379
+  * `constructModFunction`; version table at basex_extension.ts:32
+  * `moduleConfig`).
+  *
+  * No live server is spoken to here (none exists in this environment);
+  * the generator covers the reference's construction shapes so a
+  * deployment with a real BaseX can push the same selections server-side:
+  * per-version document access (`db:open` / `db:get`), `*:column`
+  * selection paths, attribute (`_attribute__`) access, `mod` arithmetic,
+  * and the `geo:*` EXPath module calls guarded by the supported spatial
+  * type list. Strings are compared verbatim against the reference's
+  * templates in XQueryGenSpec.
+  */
+object XQueryGen {
+
+  /** BaseX version dialects (reference: basex_extension.ts:32 moduleConfig
+    * — 7.6 and 9.7 open documents with db:open, 10.5 renamed it db:get and
+    * db:list-details to db:list). */
+  sealed abstract class Version(
+      val name: String,
+      val docFunc: (String, String) => String,
+      val collectionNamesFunc: String => String)
+  case object BaseX76 extends Version("7.6",
+    (db, col) => s"""db:open("$db","$col")""",
+    db => s"""db:list-details("$db")/text()""")
+  case object BaseX97 extends Version("9.7",
+    (db, col) => s"""db:open("$db","$col")""",
+    db => s"""db:list-details("$db")/text()""")
+  case object BaseX105 extends Version("10.5",
+    (db, col) => s"""db:get("$db","$col")""",
+    db => s"""db:list("$db")""")
+
+  /** PostGIS name → EXPath geo module name, with arity (reference:
+    * basex_extension.ts:75 supportedSpatialFunctionPrefix for 9.7). */
+  val SpatialFunctions: Map[String, (String, Int)] = Map(
+    "ST_Distance"     -> ("distance", 2),
+    "ST_Intersects"   -> ("intersects", 2),
+    "ST_Within"       -> ("within", 2),
+    "ST_Dimension"    -> ("dimension", 1),
+    "ST_GeometryType" -> ("geometry-type", 1),
+    "ST_SRID"         -> ("srid", 1))
+
+  /** GML spatial element names, reference order (basex_extension.ts:112
+    * supportedSpatialType). */
+  val GmlSpatialTypes: Seq[String] = Seq("MultiPoint", "Point", "LineString",
+    "LinearRing", "Polygon", "MultiLineString", "MultiPolygon", "MultiGeometry")
+
+  /** GML record path under the collection root (reference:
+    * xml_extension.ts:497 constructExtensionQuery, case "gml"). */
+  val GmlRecordPath = "gml:featureMember/*"
+
+  private def spatialTypeGuard: String =
+    GmlSpatialTypes.map(t => s"*/local-name()='$t'").mkString(" or ")
+
+  /** `geo:fn(constant, <spatial child>) op constant2` — the reference's
+    * two-arg shape (basex_extension.ts:385). `ST_Intersects` drops the
+    * comparison and negates for false, as the reference does. */
+  def spatialFunctionTwoArgs(postGISName: String, constant1: String,
+                             operator: String, constant2: String): String = {
+    val (fn, arity) = SpatialFunctions(postGISName)
+    require(arity == 2, s"$postGISName is not a two-arg spatial function")
+    if (fn == "intersects") {
+      val call = s"geo:$fn($constant1, *[$spatialTypeGuard]/*)"
+      if (constant2 == "false" || constant2 == "0") s"not($call)" else call
+    } else
+      s"geo:$fn($constant1, *[$spatialTypeGuard]/*) $operator $constant2"
+  }
+
+  /** `geo:fn(<spatial child>) op constant` — the reference's one-arg shape
+    * (basex_extension.ts:415); `geometry-type` answers a QName, so its
+    * comparison goes through local-name(). */
+  def spatialFunctionOneArg(postGISName: String, operator: String,
+                            constant: String): String = {
+    val (fn, arity) = SpatialFunctions(postGISName)
+    require(arity == 1, s"$postGISName is not a one-arg spatial function")
+    val call = s"geo:$fn(*[$spatialTypeGuard]/*)"
+    if (fn == "geometry-type") s"local-name($call) $operator $constant"
+    else s"$call $operator $constant"
+  }
+
+  /** `*:col mod k op c` (reference: basex_extension.ts:379). */
+  def modFunction(column: String, k: Long, operator: String, c: Long): String =
+    s"*:$column mod $k $operator $c"
+
+  /** Column selection path in the GML dialect: `*:col`, with the flattened
+    * `_attribute__…` forms routed to `@attr` access (reference:
+    * xml_extension.ts:1667-1706 — the same `parent__child` / `_attribute__`
+    * convention the graft-xml reader flattens). */
+  def columnPath(column: String): String =
+    if (column.startsWith("_attribute__")) {
+      column.split("__").filter(_.nonEmpty) match {
+        case Array("_attribute", attr)         => s"@$attr"
+        case Array("_attribute", parent, attr) => s"*:$parent/@$attr"
+        case _ => s"@${column.stripPrefix("_attribute__")}"
+      }
+    } else if (column.contains("__")) {
+      val Array(parent, child) = column.split("__", 2)
+      s"*:$parent/*:$child"
+    } else s"*:$column"
+
+  private def literal(v: Any): String = v match {
+    case s: String => s"'$s'"
+    case other     => String.valueOf(other)
+  }
+
+  /** The pushdown subset the graft-xml source accepts, as XQuery predicate
+    * text. None for filters the source would not push either. */
+  def fromSparkFilter(f: Filter): Option[String] = f match {
+    case EqualTo(c, v)            => Some(s"${columnPath(c)} = ${literal(v)}")
+    case GreaterThan(c, v)        => Some(s"${columnPath(c)} > ${literal(v)}")
+    case GreaterThanOrEqual(c, v) => Some(s"${columnPath(c)} >= ${literal(v)}")
+    case LessThan(c, v)           => Some(s"${columnPath(c)} < ${literal(v)}")
+    case LessThanOrEqual(c, v)    => Some(s"${columnPath(c)} <= ${literal(v)}")
+    case Not(EqualTo(c, v))       => Some(s"${columnPath(c)} != ${literal(v)}")
+    case IsNotNull(c)             => Some(s"exists(${columnPath(c)})")
+    case IsNull(c)                => Some(s"not(exists(${columnPath(c)}))")
+    case StringStartsWith(c, v)   => Some(s"starts-with(${columnPath(c)}, '$v')")
+    case StringEndsWith(c, v)     => Some(s"ends-with(${columnPath(c)}, '$v')")
+    case StringContains(c, v)     => Some(s"contains(${columnPath(c)}, '$v')")
+    case And(l, r) =>
+      for (a <- fromSparkFilter(l); b <- fromSparkFilter(r)) yield s"($a and $b)"
+    case Or(l, r) =>
+      for (a <- fromSparkFilter(l); b <- fromSparkFilter(r)) yield s"($a or $b)"
+    case _ => None
+  }
+
+  /** A full selection over one collection, the reference's root FLWOR line:
+    * `for $<col>i in <docFunc>//<path>[<where>]` + a return of the matched
+    * record (xml_extension.ts:1380 buildNestedCollectionQuery root). The
+    * predicates are the conjunction of every pushable filter plus any
+    * spatial predicate text from the helpers above. */
+  def selection(db: String, collection: String, version: Version,
+                filters: Seq[Filter] = Nil,
+                spatialPredicates: Seq[String] = Nil): String = {
+    val preds = filters.flatMap(fromSparkFilter) ++ spatialPredicates
+    val whereRoot = if (preds.isEmpty) "" else preds.mkString("[", " and ", "]")
+    s"""for $$${collection}i in ${version.docFunc(db, collection)}//$GmlRecordPath$whereRoot
+       |return $$${collection}i""".stripMargin
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sources.xquery
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+/** Generated XQuery must match the reference's construction templates
+  * verbatim (extension/basex/basex_extension.ts constructors), so a
+  * deployment pointing at a real BaseX pushes the same server-side
+  * selections the reference does. */
+class XQueryGenSpec extends SparkTestBase {
+
+  private val typeGuard =
+    "*/local-name()='MultiPoint' or */local-name()='Point' or " +
+    "*/local-name()='LineString' or */local-name()='LinearRing' or " +
+    "*/local-name()='Polygon' or */local-name()='MultiLineString' or " +
+    "*/local-name()='MultiPolygon' or */local-name()='MultiGeometry'"
+
+  test("two-arg spatial selection matches the reference template") {
+    // reference: basex_extension.ts:385 constructSpatialFunctionTwoArgs
+    //   `geo:${funcName}(${constant1}, *[${types}]/*) ${operator} ${constant2}`
+    val gml = "$gmlconst"
+    assert(XQueryGen.spatialFunctionTwoArgs("ST_Distance", gml, "<", "100") ==
+      s"geo:distance($gml, *[$typeGuard]/*) < 100")
+    assert(XQueryGen.spatialFunctionTwoArgs("ST_Within", gml, "=", "true") ==
+      s"geo:within($gml, *[$typeGuard]/*) = true")
+    // intersects: comparison dropped; false negates (reference special case)
+    assert(XQueryGen.spatialFunctionTwoArgs("ST_Intersects", gml, "=", "true") ==
+      s"geo:intersects($gml, *[$typeGuard]/*)")
+    assert(XQueryGen.spatialFunctionTwoArgs("ST_Intersects", gml, "=", "false") ==
+      s"not(geo:intersects($gml, *[$typeGuard]/*))")
+  }
+
+  test("one-arg spatial and mod selections match the reference templates") {
+    // reference: basex_extension.ts:415 constructSpatialFunctionOneArgs
+    assert(XQueryGen.spatialFunctionOneArg("ST_Dimension", "=", "2") ==
+      s"geo:dimension(*[$typeGuard]/*) = 2")
+    // geometry-type answers a QName → local-name() wrapper
+    assert(XQueryGen.spatialFunctionOneArg("ST_GeometryType", "=", "'Point'") ==
+      s"local-name(geo:geometry-type(*[$typeGuard]/*)) = 'Point'")
+    // reference: basex_extension.ts:379 constructModFunction
+    assert(XQueryGen.modFunction("custkey", 2, "=", 0) == "*:custkey mod 2 = 0")
+  }
+
+  test("column paths follow the flattening convention both ways") {
+    assert(XQueryGen.columnPath("name") == "*:name")
+    assert(XQueryGen.columnPath("address__city") == "*:address/*:city")
+    assert(XQueryGen.columnPath("_attribute__id") == "@id")
+    assert(XQueryGen.columnPath("_attribute__road__lanes") == "*:road/@lanes")
+  }
+
+  test("Spark pushdown filters translate to XQuery predicates") {
+    assert(XQueryGen.fromSparkFilter(EqualTo("name", "a")) ==
+      Some("*:name = 'a'"))
+    assert(XQueryGen.fromSparkFilter(GreaterThan("pop", 1000)) ==
+      Some("*:pop > 1000"))
+    assert(XQueryGen.fromSparkFilter(
+      And(EqualTo("kind", "k1"), StringStartsWith("name", "ma"))) ==
+      Some("(*:kind = 'k1' and starts-with(*:name, 'ma'))"))
+    assert(XQueryGen.fromSparkFilter(EqualNullSafe("name", "a")).isEmpty)
+  }
+
+  test("versioned document access matches the reference's moduleConfig") {
+    // reference: basex_extension.ts:32 (7.6/9.7 db:open; 10.5 db:get/db:list)
+    assert(XQueryGen.BaseX97.docFunc("graft", "masjid") == """db:open("graft","masjid")""")
+    assert(XQueryGen.BaseX105.docFunc("graft", "masjid") == """db:get("graft","masjid")""")
+    assert(XQueryGen.BaseX97.collectionNamesFunc("graft") == """db:list-details("graft")/text()""")
+    assert(XQueryGen.BaseX105.collectionNamesFunc("graft") == """db:list("graft")""")
+  }
+
+  test("full selection FLWOR over the in-process HTTP listing's pushed filters") {
+    // the same BaseX-REST-style fixture the DSv2 HTTP tests use: the scan's
+    // PUSHED filters are exactly what a live-BaseX deployment would instead
+    // compile into the where-root of the FLWOR line
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: String): Unit =
+      server.createContext(path, new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/xml")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    serve("/rest/db",
+      """<rest:database xmlns:rest="http://basex.org/rest" name="db">
+        |  <rest:resource type="xml">a.xml</rest:resource>
+        |</rest:database>""".stripMargin)
+    serve("/rest/db/a.xml",
+      """<col><feature><name>a</name><kind>k1</kind></feature></col>""")
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val df = spark.read.format("graft-xml").option("recordTag", "feature")
+        .load(s"$base/rest/db")
+        .where(col("name") === "a" && col("kind") =!= "k0")
+      // the filters reached the scan…
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("EqualTo(name,a)"), plan)
+      assert(df.count() == 1)
+      // …and the same filters compile to the reference-shaped FLWOR
+      val xq = XQueryGen.selection("db", "masjid", XQueryGen.BaseX97,
+        filters = Seq(EqualTo("name", "a"), Not(EqualTo("kind", "k0"))))
+      assert(xq ==
+        """for $masjidi in db:open("db","masjid")//gml:featureMember/*[*:name = 'a' and *:kind != 'k0']
+          |return $masjidi""".stripMargin, xq)
+      // spatial predicate composes into the same where-root
+      val spatial = XQueryGen.selection("db", "masjid", XQueryGen.BaseX105,
+        spatialPredicates = Seq(
+          XQueryGen.spatialFunctionTwoArgs("ST_Within", "$poly", "=", "true")))
+      assert(spatial.startsWith(
+        """for $masjidi in db:get("db","masjid")//gml:featureMember/*[geo:within($poly, """), spatial)
+    } finally server.stop(0)
+  }
+}
