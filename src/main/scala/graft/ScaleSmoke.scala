@@ -102,22 +102,22 @@ object ScaleSmoke {
       }
     }
 
-    // Distributed kNN join (large-Q path): 5k queries against a 50k corpus,
+    // Distributed kNN join (large-Q path): 5k queries against a 20k-vector corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")
     val embs10 = (1 to 10).map(i =>
       embs.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
       .reduce(_ union _)
-    time("LSH kNN join 5k queries x 50k corpus") {
+    time("LSH kNN join 5k queries x 20k corpus") {
       operators.Ann.knnJoinLsh(embs10, "vec_id", "embedding",
         embs10.limit(5000), "vec_id", "embedding", k = 5).count()
     }
 
-    // partition-pruned ANN serving paths over the same 50k corpus
+    // partition-pruned ANN serving paths over the same 20k-vector corpus
     val q0 = embs.where(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
     val vsDir = java.nio.file.Files.createTempDirectory("scale-vs").toString
-    time("VectorStorage write 50k bucketed") {
+    time("VectorStorage write 20k bucketed") {
       operators.VectorStorage.writeBucketed(embs10, "embedding", vsDir, planes = 8)
     }
     time("VectorStorage top-10 (pruned read)") {
@@ -125,14 +125,38 @@ object ScaleSmoke {
         k = 10, planes = 8, probes = 1).count()
     }
     val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivf").toString
-    time("IVF train+write 50k, k=64") {
+    time("IVF train+write 20k, k=64") {
       operators.Ivf.writeIndexed(embs10, "vec_id", "embedding", ivfDir, k = 64, maxIter = 5)
     }
     time("IVF top-10 (nprobe=4)") {
       operators.Ivf.topK(spark, ivfDir, "vec_id", "embedding", q0, k = 10, nprobe = 4).count()
     }
 
-    // IVF at scale-realistic parameters: 1M vectors, k=512, training bounded
+    // Serving at 10× the corpus (200k vectors): the pruned probe must stay
+    // FLAT while the write pass scales linearly — the claim that makes
+    // bucket-partitioned layouts the 100 TB serving path. Same planes /
+    // nprobe as the small corpus so the two probe timings are comparable.
+    val embs100 = embs.withColumn("__r", explode(lit((0 until 100).toArray)))
+      .select((col("vec_id") + col("__r").cast("long") * 1000000L).as("vec_id"),
+        col("embedding"))
+    val vsBig = java.nio.file.Files.createTempDirectory("scale-vs-big").toString
+    time("VectorStorage write 200k bucketed") {
+      operators.VectorStorage.writeBucketed(embs100, "embedding", vsBig, planes = 8)
+    }
+    time("VectorStorage top-10 (pruned read, 200k)") {
+      operators.VectorStorage.topK(spark, vsBig, "vec_id", "embedding", q0,
+        k = 10, planes = 8, probes = 1).count()
+    }
+    val ivfBig200 = java.nio.file.Files.createTempDirectory("scale-ivf-200k").toString
+    time("IVF train+write 200k, k=64 (50k-sample train)") {
+      operators.Ivf.writeIndexed(embs100, "vec_id", "embedding", ivfBig200,
+        k = 64, maxIter = 5, trainSampleSize = 50000)
+    }
+    time("IVF top-10 (nprobe=4, 200k)") {
+      operators.Ivf.topK(spark, ivfBig200, "vec_id", "embedding", q0, k = 10, nprobe = 4).count()
+    }
+
+    // IVF at scale-realistic parameters: 400k vectors, k=512, training bounded
     // to a 50k sample — train cost is independent of corpus size (the 20×
     // corpus growth shows up only in the linear assignment+write pass), and
     // a probe touches nprobe/k = 4/512 ≈ 0.8% of the corpus.
@@ -140,11 +164,11 @@ object ScaleSmoke {
       .select((col("vec_id") + col("__r").cast("long") * 1000000L).as("vec_id"),
         col("embedding"))
     val ivfBig = java.nio.file.Files.createTempDirectory("scale-ivf-big").toString
-    time("IVF train+write 1M vectors, k=512 (50k-sample train)") {
+    time("IVF train+write 400k vectors, k=512 (50k-sample train)") {
       operators.Ivf.writeIndexed(embs200, "vec_id", "embedding", ivfBig,
         k = 512, maxIter = 3, trainSampleSize = 50000)
     }
-    time("IVF top-10 over 1M (nprobe=4 of 512)") {
+    time("IVF top-10 over 400k (nprobe=4 of 512)") {
       operators.Ivf.topK(spark, ivfBig, "vec_id", "embedding", q0, k = 10, nprobe = 4).count()
     }
     spark.stop()
