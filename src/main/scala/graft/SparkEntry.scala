@@ -297,6 +297,12 @@ object SparkEntry {
          |         CAST($CX AS STRING), ',', CAST($CY AS STRING),
          |         '</gml:coordinates></gml:Point>'))), 4) AS gx
          |FROM customer""".stripMargin),
+    // GML2 writer (ST_AsGML 2-arg form) feeding the parser: the written
+    // gml:coordinates round-trip exactly, so X survives to 4 decimals
+    "q_gml2_roundtrip" -> sql(
+      s"""SELECT c_custkey,
+         |       round(ST_X(ST_GeomFromGML(ST_AsGML(2, ST_Point($CX, $CY)))), 4) AS gx
+         |FROM customer""".stripMargin),
     "q_kml_io" -> sql(
       s"""SELECT c_custkey,
          |       round(ST_Y(ST_GeomFromKML(concat(
@@ -766,6 +772,9 @@ object SparkEntry {
     "q_geojson_io" ->
       s"""SELECT c_custkey, round($CX, 4) AS x2, round($CY, 4) AS y2, concat('{"type":"Point","coordinates":[', c_custkey % 5, '.0,1.0]}') AS gj FROM customer""",
     "q_gml_io" ->
+      s"SELECT c_custkey, round($CX, 4) AS gx FROM customer",
+    // writer→parser identity: the oracle is the coordinate itself
+    "q_gml2_roundtrip" ->
       s"SELECT c_custkey, round($CX, 4) AS gx FROM customer",
     "q_kml_io" ->
       s"SELECT c_custkey, round($CY, 4) AS gy FROM customer",
