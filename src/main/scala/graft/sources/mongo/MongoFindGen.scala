@@ -1,0 +1,124 @@
+package graft.sources.mongo
+
+import org.apache.spark.sql.sources._
+
+/** MongoDB `find` / CouchDB Mango selector generation for the pushdown
+  * subset the graft document sources support — the engine-side analog of
+  * the reference pushing selector JSON into live document stores
+  * (reference: extension/mongodb/mongo_extension.ts:96 `col.find(
+  * JSON.parse(where), {projection: …})`, :123 `constructModFunction`,
+  * :129 `constructSTDistanceFunction`, :154 `constructProjectionQuery`;
+  * extension/json_extension.ts:42 operator table / :312 comparison
+  * shapes; extension/couchdb/couchdb_extension.ts:84 paginated
+  * `db.find({selector, skip, fields})`).
+  *
+  * No live MongoDB/CouchDB exists in this environment; the generator
+  * covers the reference's construction shapes verbatim (spec-pinned) so
+  * a deployment with a real store can push the same selections
+  * server-side. Deviation: the reference's IS NULL / IS NOT NULL
+  * branches emit unquoted object keys, which its own
+  * `JSON.parse(where)` would reject — here they are emitted as strict
+  * JSON (quoted keys, same operators).
+  */
+object MongoFindGen {
+
+  /** SQL operator → Mongo operator (reference: json_extension.ts:42). */
+  val Operators: Map[String, String] = Map(
+    "AND" -> "$and", "OR" -> "$or",
+    "="  -> "$eq", "<" -> "$lt", ">" -> "$gt", "<=" -> "$lte", ">=" -> "$gte",
+    "IN" -> "$in", "NOT IN" -> "$nin")
+
+  private def jval(v: Any): String = v match {
+    case s: String => "\"" + s + "\""
+    case d: Double => num(d)
+    case f: Float  => num(f.toDouble)
+    case other     => String.valueOf(other)
+  }
+
+  /** JS prints integral numbers without a fraction part; match it so the
+    * templates compare verbatim. */
+  private def num(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  /** `{"properties.col": { "$op": value }}` (json_extension.ts:312). */
+  def comparison(column: String, sqlOperator: String, value: Any): String =
+    s"""{"properties.$column": { "${Operators(sqlOperator)}": ${jval(value)} }}"""
+
+  /** `{ "properties.col": { "$mod": [ k, c ] } }`
+    * (mongo_extension.ts:123). */
+  def modFunction(column: String, k: Long, c: Long): String =
+    s"""{ "properties.$column": { "$$mod": [ $k, $c ] } }"""
+
+  /** ST_Distance(geojsonLiteral, geometry) op degrees → `$near` with
+    * min/max distance in meters (reference converts degrees at
+    * 111.32 km/degree — mongo_extension.ts:129: `<=` caps, `>=` floors,
+    * `=` pins both). */
+  def stDistanceNear(geoJson: String, operator: String, degrees: Double): String = {
+    val meters = num(degrees * 111.32 * 1000)
+    val bounds = operator match {
+      case "<=" => s""", "$$maxDistance": $meters"""
+      case ">=" => s""", "$$minDistance": $meters"""
+      case "="  => s""", "$$maxDistance": $meters, "$$minDistance": $meters"""
+      case other => throw new IllegalArgumentException(
+        s"ST_Distance pushdown supports <=, >=, =; got $other")
+    }
+    s"""{"geometry" : {"$$near": {"$$geometry": $geoJson $bounds}}}"""
+  }
+
+  /** The pushdown subset the graft sources accept, as a Mongo selector.
+    * None for filters the source would not push either. */
+  def fromSparkFilter(f: Filter): Option[String] = f match {
+    case EqualTo(c, v)            => Some(comparison(c, "=", v))
+    case LessThan(c, v)           => Some(comparison(c, "<", v))
+    case GreaterThan(c, v)        => Some(comparison(c, ">", v))
+    case LessThanOrEqual(c, v)    => Some(comparison(c, "<=", v))
+    case GreaterThanOrEqual(c, v) => Some(comparison(c, ">=", v))
+    case In(c, vs) =>
+      Some(s"""{"properties.$c": {"$$in": [${vs.map(jval).mkString(", ")}]}}""")
+    case Not(In(c, vs)) =>
+      Some(s"""{"properties.$c": {"$$nin": [${vs.map(jval).mkString(", ")}]}}""")
+    case Not(EqualTo(c, v)) =>
+      Some(s"""{"properties.$c": { "$$ne": ${jval(v)} }}""")
+    case IsNull(c) => Some(
+      s"""{"$$or" : [{ "properties.$c" : { "$$exists": false } }, { "properties.$c" : null }] }""")
+    case IsNotNull(c) => Some(
+      s"""{"$$and" : [{ "properties.$c" : { "$$exists": true } }, { "properties.$c" :  { "$$ne": null } }] }""")
+    case And(l, r) =>
+      for (a <- fromSparkFilter(l); b <- fromSparkFilter(r))
+        yield s"""{ "$$and" : [$a, $b]}"""
+    case Or(l, r) =>
+      for (a <- fromSparkFilter(l); b <- fromSparkFilter(r))
+        yield s"""{ "$$or" : [$a, $b]}"""
+    case _ => None
+  }
+
+  /** `{"_id": 0, geometry verbatim, properties.* behind $ifNull}` —
+    * the reference's projection (mongo_extension.ts:154). */
+  def projection(columns: Seq[String]): String =
+    if (columns.isEmpty) "{}"
+    else columns.map {
+      case "geometry" => ""","geometry": 1"""
+      case c => s""","properties.$c": { "$$ifNull": [ "$$properties.$c", null ] }"""
+    }.mkString("""{"_id": 0""", "", "}")
+
+  /** One conjunction selector from every pushable filter plus literal
+    * selector fragments (mod / $near) — the `where` argument of
+    * `col.find(where, {projection})`. */
+  def selector(filters: Seq[Filter], extra: Seq[String] = Nil): String = {
+    val parts = filters.flatMap(fromSparkFilter) ++ extra
+    parts match {
+      case Seq()    => "{}"
+      case Seq(one) => one
+      case many     => many.mkString("""{ "$and" : [""", ", ", "]}")
+    }
+  }
+
+  /** CouchDB Mango request body: the SAME selector, paginated in batches
+    * of 25 like the reference's recursive fetch
+    * (couchdb_extension.ts:84 `{selector, skip, fields}`). */
+  def couchQuery(selectorJson: String, fields: Seq[String], batch: Int): String = {
+    val f = if (fields.isEmpty) ""
+            else s""", "fields": [${fields.map(c => "\"" + c + "\"").mkString(", ")}]"""
+    s"""{"selector": $selectorJson, "skip": ${batch * 25}$f}"""
+  }
+}
