@@ -49,6 +49,11 @@ object Bench {
           Double.NaN
         }
       samples(i) ::= t
+      // outside the timed section: drop the per-call caches dedup queries
+      // leave behind (each invocation rebuilds its own), so later queries
+      // aren't measured under the accumulated memory pressure of every
+      // earlier run's persisted frames
+      graft.operators.Dedup.releaseCaches()
     }
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       name -> samples(i).min // TotalOrdering: NaN sorts greatest, so min = best good run
