@@ -38,6 +38,14 @@ object XQueryGen {
   case object BaseX105 extends Version("10.5",
     (db, col) => s"""db:get("$db","$col")""",
     db => s"""db:list("$db")""")
+  /** eXist-db opens collections by hierarchical path and pushes no spatial
+    * or selection functions (reference:
+    * extension/existdb_extension/existdb_extension.ts:36 moduleConfig —
+    * modules and supportedSelectionFunctions are empty), so only the plain
+    * predicate subset composes with this dialect. */
+  case object ExistDb601 extends Version("6.0.1",
+    (db, col) => s"""collection("/db/$db/$col")""",
+    db => s"/db/$db")
 
   /** PostGIS name → EXPath geo module name, with arity (reference:
     * basex_extension.ts:75 supportedSpatialFunctionPrefix for 9.7). */

@@ -66,6 +66,14 @@ class XQueryGenSpec extends SparkTestBase {
     assert(XQueryGen.BaseX105.docFunc("graft", "masjid") == """db:get("graft","masjid")""")
     assert(XQueryGen.BaseX97.collectionNamesFunc("graft") == """db:list-details("graft")/text()""")
     assert(XQueryGen.BaseX105.collectionNamesFunc("graft") == """db:list("graft")""")
+    // eXist-db 6.0.1: hierarchical collection path, no spatial pushdown
+    // (reference: existdb_extension.ts:36)
+    assert(XQueryGen.ExistDb601.docFunc("graft", "masjid") ==
+      """collection("/db/graft/masjid")""")
+    val ex = XQueryGen.selection("graft", "masjid", XQueryGen.ExistDb601,
+      filters = Seq(EqualTo("name", "a")))
+    assert(ex.startsWith(
+      """for $masjidi in collection("/db/graft/masjid")//gml:featureMember/*[*:name = 'a']"""), ex)
   }
 
   test("full selection FLWOR over the in-process HTTP listing's pushed filters") {
