@@ -118,6 +118,11 @@ object Dedup {
       .toDF("id", "band", "h")
 
     import org.apache.spark.sql.expressions.Window
+    // NOTE: the routed self-joins consume this frame from several branches
+    // and each recomputes the explode + window shuffle from the cached
+    // `sig`. Persisting it here was measured SLOWER at sf0.1 (cache-write
+    // barrier > the narrow recomputes); the recompute reads the signature
+    // cache, so no O(len·numHashes) work repeats.
     val sized = buckets.withColumn("n",
       count(lit(1)).over(Window.partitionBy("band", "h")))
     // a forced salt cap below the inline cap must also force the inline
