@@ -141,6 +141,34 @@ object XQueryGen {
     case _ => None
   }
 
+  /** COUNT projection element, the reference's aggregation shape
+    * (xml_extension.ts:1913 funcArr push — a `_func__count__<col>` wrapper
+    * element around the star-namespace count of the column; `*` counts
+    * whole rows). The
+    * engine-side counterpart is the DSv2 aggregate pushdown
+    * (graft.sources.AggPushdown), which evaluates the same COUNT/GROUP BY
+    * at the scan. */
+  def countProjection(column: String): String = {
+    val path = if (column == "*") "" else s"/*:$column"
+    s"element{'_func__count__$column'}{attribute{'order'}{'1'}," +
+      s"attribute{'group'}{'_func__count__$column'},count($$aggregaterow$path)}"
+  }
+
+  /** The aggregation FLWOR (xml_extension.ts:697): without GROUP BY the
+    * whole `$doc` is one aggregate row; with it, rows group by the
+    * star-namespace column paths (xml_extension.ts:2045
+    * constructGroupByQuery). */
+  def aggregation(groupBy: Seq[String], projections: Seq[String]): String =
+    if (groupBy.isEmpty)
+      s"""let $$aggregaterow := $$doc
+         |let $$aggregated:=element{'result'}{(${projections.mkString(",")})}""".stripMargin
+    else {
+      val keys = groupBy.map(c => s"$$aggregaterow/*:$c").mkString(",")
+      s"""let $$aggregated :=for $$aggregaterow in $$doc
+         |group by $$group := $keys
+         |return element{'result'}{(${projections.mkString(",")})}""".stripMargin
+    }
+
   /** A full selection over one collection, the reference's root FLWOR line:
     * `for $<col>i in <docFunc>//<path>[<where>]` + a return of the matched
     * record (xml_extension.ts:1380 buildNestedCollectionQuery root). The

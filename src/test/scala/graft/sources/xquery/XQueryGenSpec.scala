@@ -76,6 +76,23 @@ class XQueryGenSpec extends SparkTestBase {
       """for $masjidi in collection("/db/graft/masjid")//gml:featureMember/*[*:name = 'a']"""), ex)
   }
 
+  test("COUNT + GROUP BY aggregation matches the reference shapes") {
+    // reference: xml_extension.ts:1913 (count wrapper element), :697
+    // (aggregation FLWOR), :2045 (group-by key paths)
+    assert(XQueryGen.countProjection("nama") ==
+      "element{'_func__count__nama'}{attribute{'order'}{'1'}," +
+        "attribute{'group'}{'_func__count__nama'},count($aggregaterow/*:nama)}")
+    assert(XQueryGen.countProjection("*").contains("count($aggregaterow)}"))
+    val plain = XQueryGen.aggregation(Nil, Seq(XQueryGen.countProjection("*")))
+    assert(plain.startsWith("let $aggregaterow := $doc"), plain)
+    val grouped = XQueryGen.aggregation(Seq("kind"), Seq(XQueryGen.countProjection("nama")))
+    assert(grouped.contains("group by $group := $aggregaterow/*:kind"), grouped)
+    assert(grouped.startsWith("let $aggregated :=for $aggregaterow in $doc"), grouped)
+    // two keys join with commas, reference order preserved
+    assert(XQueryGen.aggregation(Seq("kind", "city"), Seq("x"))
+      .contains("$aggregaterow/*:kind,$aggregaterow/*:city"))
+  }
+
   test("full selection FLWOR over the in-process HTTP listing's pushed filters") {
     // the same BaseX-REST-style fixture the DSv2 HTTP tests use: the scan's
     // PUSHED filters are exactly what a live-BaseX deployment would instead
