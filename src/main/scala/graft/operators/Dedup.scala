@@ -26,7 +26,11 @@ object Dedup {
   /** Unpersists every cache left behind by dedup calls in this JVM. Call
     * AFTER consuming the returned frames: a result backed by a
     * localCheckpoint (distributed clustering) cannot be re-executed once
-    * its blocks are released. */
+    * its blocks are released. The registry is JVM-GLOBAL — with concurrent
+    * dedup consumers in one JVM, a release by one drops the others'
+    * unconsumed checkpoint blocks too; serialize release points (e.g.
+    * between pipeline stages, as Bench does between runs) or skip release
+    * and rely on LRU eviction. */
   def releaseCaches(): Unit = {
     val it = tracked.iterator()
     while (it.hasNext) {
@@ -350,8 +354,10 @@ object Dedup {
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the pair list once up front: the union below references it
     // twice and every propagation round again — without this the full
-    // upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per reference
-    val mat = ckpt(pairs)
+    // upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per reference.
+    // Tracked: localCheckpoint blocks persist for the JVM's lifetime
+    // otherwise (releaseCaches is the only way to drop them).
+    val mat = track(ckpt(pairs))
 
     // the driver path unions by Long id — only safe for integral id columns
     // (a string id would cast to null and corrupt the union-find)
@@ -503,6 +509,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+    var prevCkpt: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -528,11 +535,19 @@ object Dedup {
       // changed row (limit 1), only the final round scans everything —
       // no second shuffle-join job either way
       val changed = next.where(col("chg") === 1L).limit(1).count()
+      // `next` is materialized (eager checkpoint + the count above), so the
+      // previous round's checkpoint blocks are dead — drop them now instead
+      // of leaking one checkpointed frame per round for the JVM's lifetime
+      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+      prevCkpt = next
       labels = next.select("id", "cluster")
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
+    // the final round's checkpoint backs the returned frame — released via
+    // Dedup.releaseCaches() once the caller has consumed it
+    if (prevCkpt != null) track(prevCkpt)
     labels
   }
 

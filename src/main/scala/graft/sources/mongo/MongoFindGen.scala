@@ -28,26 +28,53 @@ object MongoFindGen {
     "="  -> "$eq", "<" -> "$lt", ">" -> "$gt", "<=" -> "$lte", ">=" -> "$gte",
     "IN" -> "$in", "NOT IN" -> "$nin")
 
+  /** JSON string escaping (quotes, backslashes, control chars) — the
+    * emitted selector must survive the deployment's own
+    * `JSON.parse(where)` (mongo_extension.ts:96) for ANY value. */
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   private def jval(v: Any): String = v match {
-    case s: String => "\"" + s + "\""
+    case s: String => jstr(s)
     case d: Double => num(d)
     case f: Float  => num(f.toDouble)
     case other     => String.valueOf(other)
   }
 
-  /** JS prints integral numbers without a fraction part; match it so the
-    * templates compare verbatim. */
+  /** JS number printing: integral without a fraction part, and never
+    * scientific notation below 1e21 — Scala's Double.toString switches to
+    * exponent form at 1e7, which would diverge from the reference's
+    * template for large distance bounds. */
   private def num(d: Double): String =
-    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+    if (d == d.toLong.toDouble) d.toLong.toString
+    else {
+      val s = d.toString
+      if (s.contains('E')) new java.math.BigDecimal(s).toPlainString else s
+    }
+
+  /** A `properties.`-prefixed key, escaped like every other JSON string
+    * (schema-derived column names are still arbitrary text). */
+  private def key(column: String): String = jstr("properties." + column)
 
   /** `{"properties.col": { "$op": value }}` (json_extension.ts:312). */
   def comparison(column: String, sqlOperator: String, value: Any): String =
-    s"""{"properties.$column": { "${Operators(sqlOperator)}": ${jval(value)} }}"""
+    s"""{${key(column)}: { "${Operators(sqlOperator)}": ${jval(value)} }}"""
 
   /** `{ "properties.col": { "$mod": [ k, c ] } }`
     * (mongo_extension.ts:123). */
   def modFunction(column: String, k: Long, c: Long): String =
-    s"""{ "properties.$column": { "$$mod": [ $k, $c ] } }"""
+    s"""{ ${key(column)}: { "$$mod": [ $k, $c ] } }"""
 
   /** ST_Distance(geojsonLiteral, geometry) op degrees → `$near` with
     * min/max distance in meters (reference converts degrees at
@@ -74,15 +101,15 @@ object MongoFindGen {
     case LessThanOrEqual(c, v)    => Some(comparison(c, "<=", v))
     case GreaterThanOrEqual(c, v) => Some(comparison(c, ">=", v))
     case In(c, vs) =>
-      Some(s"""{"properties.$c": {"$$in": [${vs.map(jval).mkString(", ")}]}}""")
+      Some(s"""{${key(c)}: {"$$in": [${vs.map(jval).mkString(", ")}]}}""")
     case Not(In(c, vs)) =>
-      Some(s"""{"properties.$c": {"$$nin": [${vs.map(jval).mkString(", ")}]}}""")
+      Some(s"""{${key(c)}: {"$$nin": [${vs.map(jval).mkString(", ")}]}}""")
     case Not(EqualTo(c, v)) =>
-      Some(s"""{"properties.$c": { "$$ne": ${jval(v)} }}""")
+      Some(s"""{${key(c)}: { "$$ne": ${jval(v)} }}""")
     case IsNull(c) => Some(
-      s"""{"$$or" : [{ "properties.$c" : { "$$exists": false } }, { "properties.$c" : null }] }""")
+      s"""{"$$or" : [{ ${key(c)} : { "$$exists": false } }, { ${key(c)} : null }] }""")
     case IsNotNull(c) => Some(
-      s"""{"$$and" : [{ "properties.$c" : { "$$exists": true } }, { "properties.$c" :  { "$$ne": null } }] }""")
+      s"""{"$$and" : [{ ${key(c)} : { "$$exists": true } }, { ${key(c)} :  { "$$ne": null } }] }""")
     case And(l, r) =>
       for (a <- fromSparkFilter(l); b <- fromSparkFilter(r))
         yield s"""{ "$$and" : [$a, $b]}"""
@@ -98,7 +125,7 @@ object MongoFindGen {
     if (columns.isEmpty) "{}"
     else columns.map {
       case "geometry" => ""","geometry": 1"""
-      case c => s""","properties.$c": { "$$ifNull": [ "$$properties.$c", null ] }"""
+      case c => s""",${key(c)}: { "$$ifNull": [ ${jstr("$properties." + c)}, null ] }"""
     }.mkString("""{"_id": 0""", "", "}")
 
   /** One conjunction selector from every pushable filter plus literal
@@ -118,7 +145,7 @@ object MongoFindGen {
     * (couchdb_extension.ts:84 `{selector, skip, fields}`). */
   def couchQuery(selectorJson: String, fields: Seq[String], batch: Int): String = {
     val f = if (fields.isEmpty) ""
-            else s""", "fields": [${fields.map(c => "\"" + c + "\"").mkString(", ")}]"""
+            else s""", "fields": [${fields.map(jstr).mkString(", ")}]"""
     s"""{"selector": $selectorJson, "skip": ${batch * 25}$f}"""
   }
 }

@@ -104,7 +104,12 @@ object XQueryGen {
     * xml_extension.ts:1667-1706 — the same `parent__child` / `_attribute__`
     * convention the graft-xml reader flattens). */
   def columnPath(column: String): String =
-    if (column.startsWith("_attribute__")) {
+    if (column.startsWith("_undef__"))
+      throw new IllegalArgumentException(
+        s"$column has no single document path — un-named group members " +
+          "match in several positions; use the comparison filters, which " +
+          "expand to the reference's disjunction")
+    else if (column.startsWith("_attribute__")) {
       column.split("__").filter(_.nonEmpty) match {
         case Array("_attribute", attr)         => s"@$attr"
         case Array("_attribute", parent, attr) => s"*:$parent/@$attr"
@@ -115,25 +120,51 @@ object XQueryGen {
       s"*:$parent/*:$child"
     } else s"*:$column"
 
+  /** XQuery single-quoted string literal: an embedded apostrophe escapes
+    * by doubling (XQuery 3.1 §2.4.4) — without it any value containing
+    * `'` generates a syntax error (and an injection vector). */
+  private def quote(s: String): String = s"'${s.replace("'", "''")}'"
+
   private def literal(v: Any): String = v match {
-    case s: String => s"'$s'"
+    case s: String => quote(s)
     case other     => String.valueOf(other)
   }
 
+  /** An `_undef__<name>` column matches in SEVERAL document positions
+    * (reference: xml_extension.ts:1712-1738, gml branch) — a child
+    * element, an attribute at either level, or a member of a nested
+    * collection group; the predicate is their disjunction. */
+  private def undefPredicate(name: String, op: String, value: String): String =
+    s"(*:$name $op $value or @$name $op $value or */@$name $op $value or " +
+      s"*[@_is_collection='true']/*/*:$name $op $value or " +
+      s"*[@_is_collection='true']/*/@$name $op $value)"
+
+  private def compare(c: String, op: String, v: Any): String =
+    if (c.startsWith("_undef__"))
+      undefPredicate(c.stripPrefix("_undef__"), op, literal(v))
+    else s"${columnPath(c)} $op ${literal(v)}"
+
   /** The pushdown subset the graft-xml source accepts, as XQuery predicate
-    * text. None for filters the source would not push either. */
+    * text. None for filters the source would not push either (including
+    * the function-style forms on `_undef__` columns, whose multi-position
+    * semantics only the comparison shape covers). */
   def fromSparkFilter(f: Filter): Option[String] = f match {
-    case EqualTo(c, v)            => Some(s"${columnPath(c)} = ${literal(v)}")
-    case GreaterThan(c, v)        => Some(s"${columnPath(c)} > ${literal(v)}")
-    case GreaterThanOrEqual(c, v) => Some(s"${columnPath(c)} >= ${literal(v)}")
-    case LessThan(c, v)           => Some(s"${columnPath(c)} < ${literal(v)}")
-    case LessThanOrEqual(c, v)    => Some(s"${columnPath(c)} <= ${literal(v)}")
-    case Not(EqualTo(c, v))       => Some(s"${columnPath(c)} != ${literal(v)}")
-    case IsNotNull(c)             => Some(s"exists(${columnPath(c)})")
-    case IsNull(c)                => Some(s"not(exists(${columnPath(c)}))")
-    case StringStartsWith(c, v)   => Some(s"starts-with(${columnPath(c)}, '$v')")
-    case StringEndsWith(c, v)     => Some(s"ends-with(${columnPath(c)}, '$v')")
-    case StringContains(c, v)     => Some(s"contains(${columnPath(c)}, '$v')")
+    case EqualTo(c, v)            => Some(compare(c, "=", v))
+    case GreaterThan(c, v)        => Some(compare(c, ">", v))
+    case GreaterThanOrEqual(c, v) => Some(compare(c, ">=", v))
+    case LessThan(c, v)           => Some(compare(c, "<", v))
+    case LessThanOrEqual(c, v)    => Some(compare(c, "<=", v))
+    case Not(EqualTo(c, v))       => Some(compare(c, "!=", v))
+    case IsNotNull(c) if !c.startsWith("_undef__") =>
+      Some(s"exists(${columnPath(c)})")
+    case IsNull(c) if !c.startsWith("_undef__") =>
+      Some(s"not(exists(${columnPath(c)}))")
+    case StringStartsWith(c, v) if !c.startsWith("_undef__") =>
+      Some(s"starts-with(${columnPath(c)}, ${quote(v)})")
+    case StringEndsWith(c, v) if !c.startsWith("_undef__") =>
+      Some(s"ends-with(${columnPath(c)}, ${quote(v)})")
+    case StringContains(c, v) if !c.startsWith("_undef__") =>
+      Some(s"contains(${columnPath(c)}, ${quote(v)})")
     case And(l, r) =>
       for (a <- fromSparkFilter(l); b <- fromSparkFilter(r)) yield s"($a and $b)"
     case Or(l, r) =>

@@ -64,6 +64,20 @@ class MongoFindGenSpec extends SparkTestBase {
     assert(MongoFindGen.fromSparkFilter(EqualNullSafe("x", "y")).isEmpty)
   }
 
+  test("values with quotes/backslashes and large bounds stay parseable JSON") {
+    // the deployment's own JSON.parse(where) must survive ANY value
+    val sel = MongoFindGen.selector(Seq(EqualTo("name", """Masjid "Raya" C:\x""")))
+    val parsed = spark.range(1).select(
+      get_json_object(lit(sel), "$['properties.name'].$eq")).head().getString(0)
+    assert(parsed == """Masjid "Raya" C:\x""", sel)
+    // JS never prints scientific notation below 1e21; Scala's Double
+    // switches at 1e7 — a 123.456-degree bound (13743121.92 m, fractional
+    // and ≥ 1e7) must print plain, exactly as JSON.stringify does
+    val near = MongoFindGen.stDistanceNear("{}", "<=", 123.456)
+    assert(near.contains("\"$maxDistance\": 13743121.92"), near)
+    assert(!near.contains("E"), near)
+  }
+
   test("CouchDB Mango body paginates the same selector in 25-doc batches") {
     // reference: couchdb_extension.ts:84 — {selector, skip: batch*25, fields}
     val sel = MongoFindGen.selector(Seq(EqualTo("kind", "mosque")))

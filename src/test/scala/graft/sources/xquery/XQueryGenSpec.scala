@@ -49,6 +49,23 @@ class XQueryGenSpec extends SparkTestBase {
     assert(XQueryGen.columnPath("_attribute__road__lanes") == "*:road/@lanes")
   }
 
+  test("apostrophes in values escape by doubling; _undef__ expands to the disjunction") {
+    // XQuery 3.1 §2.4.4: '' inside a single-quoted literal — without it
+    // any value containing ' is a syntax error / injection vector
+    assert(XQueryGen.fromSparkFilter(EqualTo("name", "O'Brien")) ==
+      Some("*:name = 'O''Brien'"))
+    assert(XQueryGen.fromSparkFilter(StringContains("name", "d'I")) ==
+      Some("contains(*:name, 'd''I')"))
+    // _undef__<group> members match in several document positions
+    // (reference: xml_extension.ts:1712-1738) — comparisons expand to the
+    // reference's disjunction; single-path forms refuse
+    val undef = XQueryGen.fromSparkFilter(EqualTo("_undef__measure", "12")).get
+    assert(undef.startsWith("(*:measure = '12' or @measure = '12' or "), undef)
+    assert(undef.contains("*[@_is_collection='true']/*/*:measure = '12'"), undef)
+    assert(XQueryGen.fromSparkFilter(StringStartsWith("_undef__measure", "1")).isEmpty)
+    intercept[IllegalArgumentException](XQueryGen.columnPath("_undef__measure"))
+  }
+
   test("Spark pushdown filters translate to XQuery predicates") {
     assert(XQueryGen.fromSparkFilter(EqualTo("name", "a")) ==
       Some("*:name = 'a'"))
