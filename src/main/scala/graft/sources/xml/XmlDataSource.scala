@@ -146,7 +146,17 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
-      }.getOrElse("")
+      }.getOrElse("") + xqueryPreview
+
+  /** The pushed predicates as the XQuery a live BaseX deployment would
+    * receive — surfaced in `explain` for observability (the engine
+    * evaluates them at the scan here; [[graft.sources.xquery.XQueryGen]]
+    * covers the server-side construction). */
+  private def xqueryPreview: String = {
+    val preds = pushed.toSeq.flatMap(graft.sources.xquery.XQueryGen.fromSparkFilter)
+    if (preds.isEmpty) ""
+    else s", XQueryPredicates: [${preds.mkString(" and ")}]"
+  }
 
   override def bboxSpec: Option[String] = options.get("bbox")
   override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))

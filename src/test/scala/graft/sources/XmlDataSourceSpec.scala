@@ -41,6 +41,9 @@ class XmlDataSourceSpec extends SparkTestBase {
       .where(col("name") === "a")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,a)"), plan)
+    // the scan also surfaces the XQuery a live BaseX would receive
+    // (Spark adds the implicit IsNotNull → exists())
+    assert(plan.contains("XQueryPredicates: [exists(*:name) and *:name = 'a']"), plan)
     assert(df.count() == 1)
     assert(df.head().getAs[String]("kind") == "k1")
   }
