@@ -141,7 +141,19 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
-      }.getOrElse("")
+      }.getOrElse("") + selectorPreview
+
+  /** The pushed predicates as the Mongo/CouchDB selector a live document
+    * store would receive — surfaced in `explain` for observability (the
+    * engine evaluates them at the scan here;
+    * [[graft.sources.mongo.MongoFindGen]] covers the server-side
+    * construction). */
+  private def selectorPreview: String =
+    if (pushed.isEmpty) ""
+    else graft.sources.mongo.MongoFindGen.selector(pushed.toIndexedSeq) match {
+      case "{}" => ""
+      case sel  => s", MongoSelector: $sel"
+    }
 
   override def bboxSpec: Option[String] = options.get("bbox")
   override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))

@@ -66,6 +66,8 @@ class GeoJsonSourceSpec extends SparkTestBase {
     val df = spark.read.format("graft-geojson").load(dir).where($"name" === "beta")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,beta)"), plan)
+    // the scan surfaces the selector a live Mongo/CouchDB would receive
+    assert(plan.contains("""{"properties.name": { "$eq": "beta" }}"""), plan)
     assert(df.count() == 1)
     // filter on a column pruned from the output
     assert(spark.read.format("graft-geojson").load(dir)
