@@ -95,6 +95,34 @@ private[sources] object DocFiles {
     conn.getInputStream
   }
 
+  /** POSTs a request body and returns the response text — the transport for
+    * server-side query execution (BaseX `rest:query`, CouchDB `_find`).
+    * Timeouts as in [[openDocStream]]; an HTTP error status raises with the
+    * response head so a rejected query fails the task with the server's
+    * diagnostic instead of a parse error downstream. */
+  private[sources] def post(url: String, body: String, contentType: String,
+                            timeoutMs: Int): String = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", contentType)
+    conn.setDoOutput(true)
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text =
+      if (in == null) ""
+      else try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    if (code >= 400)
+      throw new java.io.IOException(s"POST $url: HTTP $code ${text.take(500)}")
+    text
+  }
+
   /** Spark encodes `.load(p1, p2, …)` as a JSON array under "paths". */
   def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { js =>

@@ -43,12 +43,23 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
       case Some(cols) =>
         GeoJsonDataSource.schemaFor(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case None =>
-        val multiLine = Option(options.get("multiLine")).forall(_.toBoolean)
-        val sample = DocFiles.listFiles(DocFiles.pathsOf(options)).take(8) // bounded inference
         val keys = scala.collection.mutable.SortedSet.empty[String]
-        sample.foreach { f =>
-          GeoJsonDataSource.documents(f, multiLine).foreach { json =>
-            GeoJsonSource.flattenFeature(json).foreach { case (m, _) => keys ++= m.keys }
+        if (GeoJsonDataSource.serverMode(options)) {
+          // server mode: sample = the first unselected _find page per database
+          DocFiles.pathsOf(options).foreach { db =>
+            graft.sources.mongo.CouchFind
+              .page(db, "{}", Nil, 0, DocFiles.HttpTimeoutMs)
+              .foreach { json =>
+                GeoJsonSource.flattenFeature(json).foreach { case (m, _) => keys ++= m.keys }
+              }
+          }
+        } else {
+          val multiLine = Option(options.get("multiLine")).forall(_.toBoolean)
+          val sample = DocFiles.listFiles(DocFiles.pathsOf(options)).take(8) // bounded inference
+          sample.foreach { f =>
+            GeoJsonDataSource.documents(f, multiLine).foreach { json =>
+              GeoJsonSource.flattenFeature(json).foreach { case (m, _) => keys ++= m.keys }
+            }
           }
         }
         GeoJsonDataSource.schemaFor(keys.toSeq)
@@ -56,15 +67,28 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GeoJsonTable(schema, properties.asScala.toMap,
-      DocFiles.listFiles(DocFiles.pathsOf(new CaseInsensitiveStringMap(properties))))
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // server mode: each path IS a database endpoint, not a listing to expand
+    val files = if (GeoJsonDataSource.serverMode(opts)) DocFiles.pathsOf(opts)
+                else DocFiles.listFiles(DocFiles.pathsOf(opts))
+    new GeoJsonTable(schema, properties.asScala.toMap, files)
+  }
 }
 
 object GeoJsonDataSource {
   def schemaFor(cols: Seq[String]): StructType = StructType(
     cols.map(StructField(_, StringType, nullable = true)) :+
       StructField("geometry", BinaryType, nullable = true))
+
+  /** `serverPushdown=true`: paths are CouchDB database URLs and the scan
+    * executes via `_find` ([[graft.sources.mongo.CouchFind]]). */
+  private[geojson] def serverMode(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("serverPushdown")).exists(_.toBoolean)
+
+  private[geojson] def serverMode(options: Map[String, String]): Boolean =
+    options.get("serverPushdown").orElse(options.get("serverpushdown"))
+      .exists(_.toBoolean)
 
   /** One whole-file document, or one document per non-blank line (NDJSON).
     * URL-stream read (no SparkSession dependency) so it runs identically on
@@ -141,7 +165,8 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
-      }.getOrElse("") + selectorPreview
+      }.getOrElse("") + selectorPreview +
+      (if (GeoJsonDataSource.serverMode(options)) ", ServerExec: couchdb-find" else "")
 
   /** The pushed predicates as the Mongo/CouchDB selector a live document
     * store would receive — surfaced in `explain` for observability (the
@@ -165,7 +190,8 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
     GeoJsonReaderFactory(readSchema(),
       options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
       pushed, options.get("bbox"), agg,
-      graft.sources.DocFiles.HttpTimeoutMs) // driver capture: executors don't see driver sys.props
+      graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
+      GeoJsonDataSource.serverMode(options))
 }
 
 private case class GeoJsonInputPartition(file: String) extends InputPartition
@@ -173,8 +199,38 @@ private case class GeoJsonInputPartition(file: String) extends InputPartition
 private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
                                         filters: Array[Filter], bbox: Option[String],
                                         agg: Option[(Seq[String], Seq[AggPushdown.Spec])],
-                                        httpTimeoutMs: Int)
+                                        httpTimeoutMs: Int,
+                                        serverPushdown: Boolean = false)
   extends PartitionReaderFactory {
+
+  /** Mango `fields` projection for server mode: every column the reader
+    * still needs — the output schema, the columns pushed filters reference
+    * (they re-apply locally on the returned docs), and the geometry when a
+    * bbox prune runs. An aggregate scan skips the projection: its source
+    * columns live inside the agg spec, and the filter has already cut the
+    * transferred rows. */
+  private def serverFields: Seq[String] =
+    if (agg.isDefined) Nil
+    else {
+      val needed = schema.fieldNames.toSeq ++
+        filters.toSeq.flatMap(_.references.toSeq) ++
+        (if (bbox.isDefined) Seq("geometry") else Nil)
+      needed.distinct.map {
+        case "geometry" => "geometry"
+        case c          => s"properties.$c"
+      }
+    }
+
+  /** Feature documents of one partition. Local mode reads files/URLs;
+    * server mode runs the pushed predicates INSIDE CouchDB via `_find` —
+    * but the caller still re-applies every filter, so the two modes agree
+    * even against a server that ignored the selector. */
+  private def documents(file: String): Iterator[String] =
+    if (serverPushdown && file.startsWith("http"))
+      graft.sources.mongo.CouchFind.docs(file,
+        graft.sources.mongo.MongoFindGen.selector(filters.toIndexedSeq),
+        serverFields, httpTimeoutMs)
+    else GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GeoJsonInputPartition].file
@@ -183,7 +239,7 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
-        val records = GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs).flatMap { json =>
+        val records = documents(file).flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
             // pushed filters run on the FULL property map (they may reference
             // columns pruned from the output schema) before any row is built

@@ -1,0 +1,83 @@
+package graft.sources.mongo
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+
+/** CouchDB `_find` execution — the live half of the reference's CouchDB
+  * integration (reference: extension/couchdb/couchdb_extension.ts:84
+  * recursively calls `db.find({selector, skip, fields})` in batches of 25;
+  * `POST /<db>/_find` is CouchDB's documented Mango HTTP endpoint, and 25
+  * is its default page size, which is why the reference's skip stride
+  * works without an explicit limit).
+  *
+  * The graft-geojson source uses this when `serverPushdown=true` on an
+  * `http(s)://` path: the path names a database, the pushed predicates
+  * travel as the [[MongoFindGen]] Mango selector, and only matching
+  * documents cross the wire. The scan re-applies every pushed filter
+  * locally afterwards, so a server that ignores the selector degrades to
+  * transfer cost, never to a wrong result.
+  */
+object CouchFind {
+
+  /** CouchDB's default `_find` page size (couchdb_extension.ts:84). */
+  val PageSize = 25
+
+  /** Backstop against a misbehaving server that answers full pages
+    * forever — 4M pages = 100M documents through one `_find` cursor is
+    * far past the point where the data belongs in a bulk snapshot. */
+  private val MaxPages = 4 * 1000 * 1000
+
+  /** One page of documents (as JSON text), reference stride: page `batch`
+    * covers rows [batch*25, batch*25+25). */
+  def page(dbUrl: String, selector: String, fields: Seq[String], batch: Int,
+           timeoutMs: Int): Seq[String] = {
+    val body = MongoFindGen.couchQuery(selector, fields, batch)
+    val resp = graft.sources.DocFiles.post(
+      s"${dbUrl.stripSuffix("/")}/_find", body, "application/json", timeoutMs)
+    docsOf(resp)
+  }
+
+  /** All matching documents, lazily paginated — each partition reader pulls
+    * pages as Spark consumes rows, so a LIMIT stops the HTTP traffic too. */
+  def docs(dbUrl: String, selector: String, fields: Seq[String],
+           timeoutMs: Int): Iterator[String] =
+    new Iterator[Seq[String]] {
+      private var batch = 0
+      private var last: Seq[String] = null
+      override def hasNext: Boolean = last == null || last.size == PageSize
+      override def next(): Seq[String] = {
+        require(batch < MaxPages, s"$dbUrl/_find exceeded $MaxPages pages")
+        last = page(dbUrl, selector, fields, batch, timeoutMs)
+        batch += 1
+        last
+      }
+    }.flatten
+
+  /** Extracts the `docs` array of a `_find` response, each document
+    * re-serialized verbatim (streaming copy, no tree built). */
+  private[mongo] def docsOf(responseJson: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val f = new JsonFactory()
+    val p = f.createParser(responseJson)
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT,
+        "_find response must be a JSON object")
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        p.currentName() match {
+          case "docs" =>
+            require(p.nextToken() == JsonToken.START_ARRAY,
+              "_find docs must be an array")
+            while (p.nextToken() != JsonToken.END_ARRAY) {
+              val sw = new java.io.StringWriter()
+              val gen = f.createGenerator(sw)
+              gen.copyCurrentStructure(p)
+              gen.close()
+              out += sw.toString
+            }
+          case _ =>
+            p.nextToken(); p.skipChildren()
+        }
+      }
+    } finally p.close()
+    out.toSeq
+  }
+}

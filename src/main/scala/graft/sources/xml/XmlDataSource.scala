@@ -146,7 +146,9 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
-      }.getOrElse("") + xqueryPreview
+      }.getOrElse("") + xqueryPreview +
+      (if (options.get("serverPushdown").orElse(options.get("serverpushdown"))
+             .exists(_.toBoolean)) ", ServerExec: basex-rest" else "")
 
   /** The pushed predicates as the XQuery a live BaseX deployment would
     * receive — surfaced in `explain` for observability (the engine
@@ -166,7 +168,9 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
 
   override def createReaderFactory(): PartitionReaderFactory =
     XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg,
-      graft.sources.DocFiles.HttpTimeoutMs) // driver capture: executors don't see driver sys.props
+      graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
+      options.get("serverPushdown").orElse(options.get("serverpushdown")).exists(_.toBoolean),
+      options.get("basexVersion").orElse(options.get("basexversion")))
 }
 
 private case class XmlInputPartition(file: String) extends InputPartition
@@ -174,8 +178,28 @@ private case class XmlInputPartition(file: String) extends InputPartition
 private case class XmlReaderFactory(schema: StructType, recordTag: Option[String],
                                     filters: Array[Filter], bbox: Option[String],
                                     agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])],
-                                    httpTimeoutMs: Int)
+                                    httpTimeoutMs: Int,
+                                    serverPushdown: Boolean = false,
+                                    basexVersion: Option[String] = None)
   extends PartitionReaderFactory {
+
+  /** Record elements of one partition's document. Local mode parses the
+    * whole document; server mode ([[graft.sources.xquery.BaseXRest]]) runs
+    * the pushed predicates INSIDE the database and receives only matching
+    * records — but the caller still re-applies every filter, so the two
+    * modes agree even against a server that ignored the query. */
+  private def recordElems(file: String): Seq[(scala.xml.Node, Boolean)] =
+    if (serverPushdown && file.startsWith("http")) {
+      graft.sources.xquery.BaseXRest.fetchRecords(file,
+          graft.sources.xquery.BaseXRest.versionOf(basexVersion),
+          recordTag, filters.toIndexedSeq, httpTimeoutMs)
+        // kml-ness is per record here (no document root to inspect)
+        .map(r => (r, r.namespace != null && r.namespace.contains("kml")))
+    } else {
+      val doc = XmlDataSource.loadDoc(file, httpTimeoutMs)
+      val kml = XmlDataSource.isKml(doc)
+      Xml.records(doc, recordTag).map(r => (r, kml))
+    }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XmlInputPartition].file
@@ -185,9 +209,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(graft.sources.StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
-        val doc = XmlDataSource.loadDoc(file, httpTimeoutMs)
-        val kml = XmlDataSource.isKml(doc)
-        val records = Xml.records(doc, recordTag).iterator.flatMap { r =>
+        val records = recordElems(file).iterator.flatMap { case (r, kml) =>
           val (m, g) = Xml.flattenRecord(r, kml)
           // pushed filters run on the FULL flattened map (they may reference
           // columns pruned from the output schema) before any row is built

@@ -204,13 +204,21 @@ object XQueryGen {
     * `for $<col>i in <docFunc>//<path>[<where>]` + a return of the matched
     * record (xml_extension.ts:1380 buildNestedCollectionQuery root). The
     * predicates are the conjunction of every pushable filter plus any
-    * spatial predicate text from the helpers above. */
+    * spatial predicate text from the helpers above.
+    *
+    * The defaults reproduce the reference's GML construction verbatim
+    * (spec-pinned). The live execution path ([[BaseXRest]]) overrides
+    * `recordPath` for non-GML record tags and `varName` when the collection
+    * name is not a valid XQuery NCName (e.g. `a.xml`). */
   def selection(db: String, collection: String, version: Version,
                 filters: Seq[Filter] = Nil,
-                spatialPredicates: Seq[String] = Nil): String = {
+                spatialPredicates: Seq[String] = Nil,
+                recordPath: String = "//" + GmlRecordPath,
+                varName: String = null): String = {
+    val v = Option(varName).getOrElse(collection + "i")
     val preds = filters.flatMap(fromSparkFilter) ++ spatialPredicates
     val whereRoot = if (preds.isEmpty) "" else preds.mkString("[", " and ", "]")
-    s"""for $$${collection}i in ${version.docFunc(db, collection)}//$GmlRecordPath$whereRoot
-       |return $$${collection}i""".stripMargin
+    s"""for $$$v in ${version.docFunc(db, collection)}$recordPath$whereRoot
+       |return $$$v""".stripMargin
   }
 }

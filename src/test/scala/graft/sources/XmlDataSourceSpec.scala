@@ -172,6 +172,80 @@ class XmlDataSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("serverPushdown: predicates execute on the BaseX REST endpoint") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import scala.jdk.CollectionConverters._
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val docGets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val docs = Map(
+      "a.xml" -> Seq(
+        ("""<feature><name>a</name><kind>k1</kind><gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:coordinates>1,2</gml:coordinates></gml:Point></feature>""", "a")),
+      "b.xml" -> Seq(
+        ("""<feature><name>b</name><kind>k2</kind></feature>""", "b"),
+        ("""<feature><name>c</name><kind>k3</kind></feature>""", "c")))
+    val listing =
+      """<rest:database xmlns:rest="http://basex.org/rest" name="db">
+        |  <rest:resource type="xml">a.xml</rest:resource>
+        |  <rest:resource type="xml">b.xml</rest:resource>
+        |</rest:database>""".stripMargin
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    // POST /rest runs the rest:query; the fake evaluates ONLY the
+    // name-equality predicate and ignores everything else — which the
+    // client must survive, since it re-applies all pushed filters locally
+    server.createContext("/rest", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod == "POST") {
+          val q = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          posted.add(q)
+          val doc = """db:open\("db","([^"]+)"\)""".r.findFirstMatchIn(q).get.group(1)
+          val nameEq = """\*:name = '([^']*)'""".r.findFirstMatchIn(q).map(_.group(1))
+          val recs = docs(doc).collect { case (xml, name) if nameEq.forall(_ == name) => xml }
+          respond(ex, s"<rest-results>${recs.mkString}</rest-results>")
+        } else respond(ex, listing) // GET /rest/db → the resource listing
+    })
+    docs.keys.foreach { d =>
+      server.createContext(s"/rest/db/$d", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          docGets.incrementAndGet()
+          respond(ex, s"<col>${docs(d).map(_._1).mkString}</col>")
+        }
+      })
+    }
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest/db"
+      def rd = spark.read.format("graft-xml").option("recordTag", "feature")
+        .option("columns", "name,kind").option("serverPushdown", "true").load(base)
+      // no predicate → the per-document queries return every record
+      assert(rd.count() == 3)
+      // pushed predicate → evaluated inside the database
+      val f = rd.where(col("name") === "a")
+      assert(f.queryExecution.executedPlan.toString.contains("ServerExec: basex-rest"))
+      assert(f.count() == 1)
+      assert(f.head().getAs[String]("kind") == "k1")
+      // the sent XQuery is the reference's selection construction
+      val sent = posted.asScala.filter(_.contains("a.xml")).last
+      assert(sent.contains(
+        """for $axmli in db:open("db","a.xml")//*:feature[exists(*:name) and *:name = 'a']"""),
+        sent)
+      assert(sent.contains("<rest:query xmlns:rest=\"http://basex.org/rest\">"), sent)
+      // geometry crosses the wire as records, not rows
+      assert(rd.where(call_function("st_x", col("geometry")) === 1.0).count() == 1)
+      // a predicate the server ignores (kind=) comes back as a superset;
+      // the local re-apply keeps the result exact
+      assert(rd.where(col("kind") === "k2").select("name")
+        .collect().map(_.getString(0)).toSeq == Seq("b"))
+      // server mode never fetched a full document
+      assert(docGets.get == 0)
+    } finally server.stop(0)
+  }
+
   test("SQL over the source: spatial filter composes") {
     spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
       .createOrReplaceTempView("xml_features")
