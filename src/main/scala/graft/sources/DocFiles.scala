@@ -63,10 +63,15 @@ private[sources] object DocFiles {
         case e: Exception =>
           throw new java.io.FileNotFoundException(s"HTTP collection $url: $e")
       }
-    // SecureXml.strict: the listing body is untrusted network content
+    // SecureXml.strict: the listing body is untrusted network content.
+    // BaseX names resources in element text (<rest:resource>a.xml</…>),
+    // eXist in a name attribute (<exist:resource name="a.xml"/>).
     val resources =
       try (graft.geo.SecureXml.strict.loadString(body) \\ "resource")
-        .map(_.text.trim).filter(_.nonEmpty)
+        .flatMap { r =>
+          Some(r.text.trim).filter(_.nonEmpty)
+            .orElse(r.attribute("name").map(_.text.trim).filter(_.nonEmpty))
+        }
       catch { case _: Exception => Seq.empty }
     if (resources.nonEmpty) {
       val base = if (url.endsWith("/")) url else url + "/"

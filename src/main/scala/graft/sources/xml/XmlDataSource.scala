@@ -148,7 +148,10 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
       }.getOrElse("") + xqueryPreview +
       (if (options.get("serverPushdown").orElse(options.get("serverpushdown"))
-             .exists(_.toBoolean)) ", ServerExec: basex-rest" else "")
+             .exists(_.toBoolean))
+        if (options.get("dialect").contains("existdb")) ", ServerExec: existdb-rest"
+        else ", ServerExec: basex-rest"
+      else "")
 
   /** The pushed predicates as the XQuery a live BaseX deployment would
     * receive — surfaced in `explain` for observability (the engine
@@ -170,6 +173,7 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
     XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg,
       graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
       options.get("serverPushdown").orElse(options.get("serverpushdown")).exists(_.toBoolean),
+      options.get("dialect"),
       options.get("basexVersion").orElse(options.get("basexversion")))
 }
 
@@ -180,6 +184,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
                                     agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])],
                                     httpTimeoutMs: Int,
                                     serverPushdown: Boolean = false,
+                                    dialect: Option[String] = None,
                                     basexVersion: Option[String] = None)
   extends PartitionReaderFactory {
 
@@ -190,9 +195,10 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
     * modes agree even against a server that ignored the query. */
   private def recordElems(file: String): Seq[(scala.xml.Node, Boolean)] =
     if (serverPushdown && file.startsWith("http")) {
-      graft.sources.xquery.BaseXRest.fetchRecords(file,
-          graft.sources.xquery.BaseXRest.versionOf(basexVersion),
-          recordTag, filters.toIndexedSeq, httpTimeoutMs)
+      if (bbox.contains("empty")) Nil // provably-unsatisfiable prune: no query
+      else graft.sources.xquery.BaseXRest.fetchRecords(file,
+          graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
+          recordTag, filters.toIndexedSeq, bbox, httpTimeoutMs)
         // kml-ness is per record here (no document root to inspect)
         .map(r => (r, r.namespace != null && r.namespace.contains("kml")))
     } else {

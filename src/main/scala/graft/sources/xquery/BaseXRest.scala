@@ -45,42 +45,86 @@ object BaseXRest {
       s"<rest:text><![CDATA[$safe]]></rest:text></rest:query>"
   }
 
+  /** eXist-db's REST query body — the protocol differs from BaseX: the
+    * query POSTs to the collection URL itself inside a `<query>` element
+    * in the eXist namespace, and the response arrives wrapped in
+    * `<exist:result>` (eXist REST API; the reference's second live
+    * backend — extension/existdb_extension/existdb_extension.ts). */
+  def existQueryBody(xquery: String): String = {
+    val safe = xquery.replace("]]>", "]]]]><![CDATA[>")
+    "<query xmlns=\"http://exist.sourceforge.net/NS/exist\">" +
+      s"<text><![CDATA[$safe]]></text></query>"
+  }
+
+  /** A bbox prune as the `geo:intersects` predicate a live BaseX evaluates
+    * with its EXPath geo module — the spatial half of the reference's
+    * pushdown (basex_extension.ts:385 constructSpatialFunctionTwoArgs;
+    * the envelope travels as a GML2 polygon literal, the reference's GML
+    * corpus dialect). */
+  def bboxPredicate(spec: String): Option[String] =
+    if (spec == "empty") None // unsatisfiable: the caller skips the query
+    else {
+      val p = spec.split(",").map(_.trim.toDouble)
+      require(p.length == 4, s"bbox must be 'x0,y0,x1,y1', got: $spec")
+      val env = new org.locationtech.jts.geom.Envelope(p(0), p(2), p(1), p(3))
+      val gml = graft.geo.GmlKml.writeGml2(
+        new org.locationtech.jts.geom.GeometryFactory().toGeometry(env))
+      Some(XQueryGen.spatialFunctionTwoArgs("ST_Intersects", gml, "=", "true"))
+    }
+
   /** The XQuery one partition sends for one document: the reference's
-    * selection FLWOR wrapped in a single result element so the response
-    * is one well-formed document whatever the match count. The record
-    * path honors the source's `recordTag` option (`/&#42;` = children of
-    * the document root, the tag-less default of
-    * [[graft.sources.Xml.records]]). */
+    * selection FLWOR, for BaseX wrapped in a single result element so the
+    * response is one well-formed document whatever the match count (eXist
+    * wraps responses in `exist:result` itself). The record path honors
+    * the source's `recordTag` option (`/&#42;` = children of the document
+    * root, the tag-less default of [[graft.sources.Xml.records]]). A bbox
+    * prune joins the predicates as `geo:intersects` on BaseX; eXist gets
+    * no spatial predicate, matching the reference's empty eXist module
+    * config (existdb_extension.ts:36) — the scan's local prune covers it. */
   def documentQuery(db: String, doc: String, version: XQueryGen.Version,
-                    recordTag: Option[String], filters: Seq[Filter]): String = {
+                    recordTag: Option[String], filters: Seq[Filter],
+                    bbox: Option[String] = None): String = {
     val recordPath = recordTag.map(t => s"//*:$t").getOrElse("/*")
     val varName = doc.replaceAll("[^A-Za-z0-9]", "") + "i"
-    val sel = XQueryGen.selection(db, doc, version, filters,
+    val spatial =
+      if (version == XQueryGen.ExistDb601) Nil
+      else bbox.flatMap(bboxPredicate).toSeq
+    val sel = XQueryGen.selection(db, doc, version, filters, spatial,
       recordPath = recordPath, varName = varName)
-    s"element{'rest-results'}{$sel}"
+    if (version == XQueryGen.ExistDb601) sel else s"element{'rest-results'}{$sel}"
   }
 
-  /** `basexVersion` option value → dialect (default 9.7, the reference's
-    * primary target — basex_extension.ts:32 moduleConfig). */
-  def versionOf(name: Option[String]): XQueryGen.Version = name match {
-    case None | Some("9.7") => XQueryGen.BaseX97
-    case Some("7.6")        => XQueryGen.BaseX76
-    case Some("10.5")       => XQueryGen.BaseX105
-    case Some(other) => throw new IllegalArgumentException(
-      s"basexVersion '$other' not supported (7.6, 9.7, 10.5)")
-  }
+  /** `dialect` + `basexVersion` options → dialect (default BaseX 9.7, the
+    * reference's primary target — basex_extension.ts:32 moduleConfig). */
+  def versionOf(dialect: Option[String], basexVersion: Option[String]): XQueryGen.Version =
+    dialect match {
+      case Some("existdb") => XQueryGen.ExistDb601
+      case None | Some("basex") => basexVersion match {
+        case None | Some("9.7") => XQueryGen.BaseX97
+        case Some("7.6")        => XQueryGen.BaseX76
+        case Some("10.5")       => XQueryGen.BaseX105
+        case Some(other) => throw new IllegalArgumentException(
+          s"basexVersion '$other' not supported (7.6, 9.7, 10.5)")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"dialect '$other' not supported (basex, existdb)")
+    }
 
-  /** Runs the document query and answers the matched record elements.
-    * The response root is the `rest-results` wrapper from
-    * [[documentQuery]]; its element children are the records. */
+  /** Runs the document query and answers the matched record elements —
+    * the element children of the response root (the `rest-results`
+    * wrapper on BaseX, `exist:result` on eXist). */
   def fetchRecords(docUrl: String, version: XQueryGen.Version,
                    recordTag: Option[String], filters: Seq[Filter],
-                   timeoutMs: Int): Seq[scala.xml.Elem] = {
+                   bbox: Option[String], timeoutMs: Int): Seq[scala.xml.Elem] = {
     val (root, db, doc) = anatomy(docUrl).getOrElse(
       throw new IllegalArgumentException(
         s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
-    val body = queryBody(documentQuery(db, doc, version, recordTag, filters))
-    val resp = graft.sources.DocFiles.post(root, body, "application/xml", timeoutMs)
+    val xquery = documentQuery(db, doc, version, recordTag, filters, bbox)
+    // eXist POSTs to the collection URL; BaseX to the REST root
+    val (postUrl, body) =
+      if (version == XQueryGen.ExistDb601) (s"$root/$db", existQueryBody(xquery))
+      else (root, queryBody(xquery))
+    val resp = graft.sources.DocFiles.post(postUrl, body, "application/xml", timeoutMs)
     // SecureXml.strict: the response is untrusted network content
     graft.geo.SecureXml.strict.loadString(resp)
       .child.collect { case e: scala.xml.Elem => e }

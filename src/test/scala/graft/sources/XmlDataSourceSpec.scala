@@ -241,8 +241,79 @@ class XmlDataSourceSpec extends SparkTestBase {
       // the local re-apply keeps the result exact
       assert(rd.where(col("kind") === "k2").select("name")
         .collect().map(_.getString(0)).toSeq == Seq("b"))
+      // a bbox prune travels as geo:intersects with a GML2 envelope —
+      // the reference's spatial pushdown into BaseX; the fake ignores it
+      // (superset) and the local prune keeps the result exact
+      val boxed = spark.read.format("graft-xml").option("recordTag", "feature")
+        .option("columns", "name,kind").option("serverPushdown", "true")
+        .option("bbox", "0,0,2,3").load(base)
+      assert(boxed.collect().map(_.getAs[String]("name")).toSeq == Seq("a"))
+      val spatialSent = posted.asScala.last
+      assert(spatialSent.contains("geo:intersects(<gml:Polygon"), spatialSent)
+      assert(spatialSent.contains("outerBoundaryIs"), spatialSent)
+      // an unsatisfiable prune never reaches the server
+      val before = posted.size
+      assert(spark.read.format("graft-xml").option("recordTag", "feature")
+        .option("columns", "name,kind").option("serverPushdown", "true")
+        .option("bbox", "empty").load(base).count() == 0)
+      assert(posted.size == before)
       // server mode never fetched a full document
       assert(docGets.get == 0)
+    } finally server.stop(0)
+  }
+
+  test("serverPushdown: eXist-db dialect speaks the eXist REST protocol") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import scala.jdk.CollectionConverters._
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    // eXist names listing resources in a `name` attribute
+    val listing =
+      """<exist:result xmlns:exist="http://exist.sourceforge.net/NS/exist">
+        |  <exist:collection name="/db/db">
+        |    <exist:resource name="a.xml" created="2026-01-01"/>
+        |  </exist:collection>
+        |</exist:result>""".stripMargin
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/exist/rest/db", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod == "POST") {
+          val q = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          posted.add(q)
+          // the fake evaluates the name-equality predicate
+          val nameEq = """\*:name = '([^']*)'""".r.findFirstMatchIn(q).map(_.group(1))
+          val recs = Seq(
+            ("""<feature><name>a</name><kind>k1</kind></feature>""", "a"),
+            ("""<feature><name>b</name><kind>k2</kind></feature>""", "b"))
+            .collect { case (xml, n) if nameEq.forall(_ == n) => xml }
+          respond(ex,
+            "<exist:result xmlns:exist=\"http://exist.sourceforge.net/NS/exist\">" +
+              recs.mkString + "</exist:result>")
+        } else respond(ex, listing)
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/exist/rest/db"
+      val rd = spark.read.format("graft-xml").option("recordTag", "feature")
+        .option("columns", "name,kind")
+        .option("serverPushdown", "true").option("dialect", "existdb").load(base)
+      assert(rd.count() == 2)
+      val f = rd.where(col("name") === "a")
+      assert(f.queryExecution.executedPlan.toString.contains("ServerExec: existdb-rest"))
+      assert(f.head().getAs[String]("kind") == "k1")
+      val sent = posted.asScala.last
+      // the eXist protocol envelope + the reference's hierarchical
+      // collection() access (existdb_extension.ts:36), no result wrapper
+      assert(sent.contains("<query xmlns=\"http://exist.sourceforge.net/NS/exist\">"), sent)
+      assert(sent.contains(
+        """for $axmli in collection("/db/db/a.xml")//*:feature[exists(*:name) and *:name = 'a']"""),
+        sent)
+      assert(!sent.contains("rest-results"), sent)
     } finally server.stop(0)
   }
 
