@@ -215,22 +215,38 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(graft.sources.StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
-        val records = recordElems(file).iterator.flatMap { case (r, kml) =>
-          val (m, g) = Xml.flattenRecord(r, kml)
-          // pushed filters run on the FULL flattened map (they may reference
-          // columns pruned from the output schema) before any row is built
-          if (bboxKeep.forall(_(g)) &&
-              filters.forall(graft.sources.StringFilterEval.passes(_, m))) Some((m, g))
-          else None
+        // COUNT(+GROUP BY) can aggregate INSIDE the database when every
+        // pushed piece is XQuery-expressible — only per-group partials
+        // cross the wire then (the reference's COUNT pushdown into BaseX)
+        val serverAgg = agg.filter { case (groups, specs) =>
+          serverPushdown && file.startsWith("http") && !bbox.contains("empty") &&
+            graft.sources.xquery.BaseXRest.supportsServerAgg(
+              graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
+              filters.toIndexedSeq, bbox, groups, specs)
         }
-        agg match {
-          case Some((groups, specs)) =>
-            graft.sources.AggPushdown.aggregate(records.map(_._1), groups, specs)
-          case None => records.map { case (m, g) =>
-            InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-              if (i == geomIdx) g.orNull
-              else m.get(f.name).map(UTF8String.fromString).orNull
-            })
+        if (serverAgg.isDefined) {
+          val (groups, specs) = serverAgg.get
+          graft.sources.xquery.BaseXRest.fetchAggRows(file,
+            graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
+            recordTag, filters.toIndexedSeq, groups, specs, httpTimeoutMs).iterator
+        } else {
+          val records = recordElems(file).iterator.flatMap { case (r, kml) =>
+            val (m, g) = Xml.flattenRecord(r, kml)
+            // pushed filters run on the FULL flattened map (they may reference
+            // columns pruned from the output schema) before any row is built
+            if (bboxKeep.forall(_(g)) &&
+                filters.forall(graft.sources.StringFilterEval.passes(_, m))) Some((m, g))
+            else None
+          }
+          agg match {
+            case Some((groups, specs)) =>
+              graft.sources.AggPushdown.aggregate(records.map(_._1), groups, specs)
+            case None => records.map { case (m, g) =>
+              InternalRow.fromSeq(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+                if (i == geomIdx) g.orNull
+                else m.get(f.name).map(UTF8String.fromString).orNull
+              })
+            }
           }
         }
       }

@@ -110,6 +110,90 @@ object BaseXRest {
         s"dialect '$other' not supported (basex, existdb)")
     }
 
+  /** Whether a pushed aggregation can run INSIDE the database instead of
+    * transferring matching records (the reference pushes COUNT + GROUP BY
+    * into BaseX — src/getdata.ts:71-156). Server aggregation forfeits the
+    * local filter re-apply (there are no records to re-check — the same
+    * trust model as any federated COUNT pushdown), so it only applies
+    * when every pushed piece is faithfully expressible: all filters
+    * compile to XQuery, no bbox (its local envelope-prune semantics
+    * differ from geo:intersects), COUNT-only specs, simple column names
+    * (the reference's count wrapper paths — no `parent__child` /
+    * `_attribute__` forms), and a BaseX dialect. */
+  private[sources] def supportsServerAgg(version: XQueryGen.Version, filters: Seq[Filter],
+                        bbox: Option[String],
+                        groups: Seq[String],
+                        specs: Seq[graft.sources.AggPushdown.Spec]): Boolean = {
+    import graft.sources.AggPushdown._
+    def simple(c: String) = c.matches("[A-Za-z][A-Za-z0-9]*")
+    version != XQueryGen.ExistDb601 && bbox.isEmpty &&
+      filters.forall(f => XQueryGen.fromSparkFilter(f).isDefined) &&
+      groups.forall(simple) &&
+      specs.forall { case CountStarSpec => true
+                     case CountSpec(c)  => simple(c)
+                     case _             => false }
+  }
+
+  /** The aggregation XQuery for one document: the filtered record sequence
+    * bound to `$doc`, the reference's aggregation FLWOR
+    * ([[XQueryGen.aggregation]] / [[XQueryGen.countProjection]]) over it,
+    * and one `result` element per group in the response wrapper. Group
+    * keys travel as elements named after the column (a `null='true'`
+    * attribute marks a group whose records lack the element, keeping SQL
+    * NULL distinct from empty text); `COUNT(*)` uses a `star` wrapper
+    * (the reference's literal `_func__count__*` is not a legal element
+    * name to construct). */
+  private[sources] def aggregateQuery(db: String, doc: String, version: XQueryGen.Version,
+                     recordTag: Option[String], filters: Seq[Filter],
+                     groups: Seq[String],
+                     specs: Seq[graft.sources.AggPushdown.Spec]): String = {
+    import graft.sources.AggPushdown._
+    val recordPath = recordTag.map(t => s"//*:$t").getOrElse("/*")
+    val preds = filters.flatMap(XQueryGen.fromSparkFilter)
+    val where = if (preds.isEmpty) "" else preds.mkString("[", " and ", "]")
+    val projections = groups.map { g =>
+      s"element{'$g'}{let $$v := ($$aggregaterow/*:$g)[1] " +
+        s"return if (exists($$v)) then data($$v) else attribute{'null'}{'true'}}"
+    } ++ specs.map {
+      case CountStarSpec => "element{'_func__count__star'}{count($aggregaterow)}"
+      case CountSpec(c)  => XQueryGen.countProjection(c)
+      case other => throw new IllegalArgumentException(s"not server-pushable: $other")
+    }
+    s"""let $$doc := ${version.docFunc(db, doc)}$recordPath$where
+       |${XQueryGen.aggregation(groups, projections)}
+       |return element{'rest-results'}{$$aggregated}""".stripMargin
+  }
+
+  /** Runs the aggregation query and answers PARTIAL per-group rows in the
+    * [[graft.sources.AggPushdown.schemaFor]] layout (groups first, then
+    * counts) — Spark sums the per-document partials exactly as it does
+    * the local per-partition ones. Result children parse positionally:
+    * the projection order above is the document order of the response. */
+  private[sources] def fetchAggRows(docUrl: String, version: XQueryGen.Version,
+                   recordTag: Option[String], filters: Seq[Filter],
+                   groups: Seq[String],
+                   specs: Seq[graft.sources.AggPushdown.Spec],
+                   timeoutMs: Int): Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (root, db, doc) = anatomy(docUrl).getOrElse(
+      throw new IllegalArgumentException(
+        s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
+    val xq = aggregateQuery(db, doc, version, recordTag, filters, groups, specs)
+    val resp = graft.sources.DocFiles.post(root, queryBody(xq), "application/xml", timeoutMs)
+    graft.geo.SecureXml.strict.loadString(resp)
+      .child.collect { case e: scala.xml.Elem => e }
+      .map { result =>
+        val cells = result.child.collect { case e: scala.xml.Elem => e }
+        require(cells.length == groups.length + specs.length,
+          s"aggregation result arity ${cells.length} != ${groups.length + specs.length}")
+        val groupVals = cells.take(groups.length).map { e =>
+          if (e.attribute("null").isDefined) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(e.text)
+        }
+        val countVals = cells.drop(groups.length).map(e => e.text.trim.toLong)
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(groupVals ++ countVals)
+      }
+  }
+
   /** Runs the document query and answers the matched record elements —
     * the element children of the response root (the `rest-results`
     * wrapper on BaseX, `exist:result` on eXist). */

@@ -197,7 +197,9 @@ class XmlDataSourceSpec extends SparkTestBase {
     }
     // POST /rest runs the rest:query; the fake evaluates ONLY the
     // name-equality predicate and ignores everything else — which the
-    // client must survive, since it re-applies all pushed filters locally
+    // client must survive, since it re-applies all pushed filters locally.
+    // Aggregation queries (the count-wrapper shapes) group and count the
+    // matching records like a real BaseX would run the FLWOR.
     server.createContext("/rest", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         if (ex.getRequestMethod == "POST") {
@@ -205,8 +207,31 @@ class XmlDataSourceSpec extends SparkTestBase {
           posted.add(q)
           val doc = """db:open\("db","([^"]+)"\)""".r.findFirstMatchIn(q).get.group(1)
           val nameEq = """\*:name = '([^']*)'""".r.findFirstMatchIn(q).map(_.group(1))
-          val recs = docs(doc).collect { case (xml, name) if nameEq.forall(_ == name) => xml }
-          respond(ex, s"<rest-results>${recs.mkString}</rest-results>")
+          val matched = docs(doc).filter { case (_, name) => nameEq.forall(_ == name) }
+          if (q.contains("_func__count__")) {
+            def fieldOf(xml: String, f: String): Option[String] =
+              s"<$f[^>]*>([^<]*)</$f>".r.findFirstMatchIn(xml).map(_.group(1))
+            val groupCols = """element\{'(\w+)'\}\{let""".r
+              .findAllMatchIn(q).map(_.group(1)).toSeq
+            val countNames = """element\{'(_func__count__\w+)'\}""".r
+              .findAllMatchIn(q).map(_.group(1)).toSeq
+            val grouped =
+              if (groupCols.isEmpty) Seq(Nil -> matched)
+              else matched.groupBy { case (xml, _) => groupCols.map(fieldOf(xml, _)) }
+                .toSeq.map { case (k, v) => (groupCols.zip(k.map(_.orNull)), v) }
+            val results = grouped.map { case (key, rs) =>
+              val gx = key.map { case (c, v) => s"<$c>$v</$c>" }.mkString
+              val cx = countNames.map {
+                case n @ "_func__count__star" => s"<$n>${rs.size}</$n>"
+                case n =>
+                  val c = n.stripPrefix("_func__count__")
+                  s"<$n>${rs.count(r => fieldOf(r._1, c).isDefined)}</$n>"
+              }.mkString
+              s"<result>$gx$cx</result>"
+            }
+            respond(ex, s"<rest-results>${results.mkString}</rest-results>")
+          } else
+            respond(ex, s"<rest-results>${matched.map(_._1).mkString}</rest-results>")
         } else respond(ex, listing) // GET /rest/db → the resource listing
     })
     docs.keys.foreach { d =>
@@ -241,6 +266,22 @@ class XmlDataSourceSpec extends SparkTestBase {
       // the local re-apply keeps the result exact
       assert(rd.where(col("kind") === "k2").select("name")
         .collect().map(_.getString(0)).toSeq == Seq("b"))
+      // COUNT + GROUP BY aggregates INSIDE the database — per-group
+      // partials cross the wire, not records (the reference's COUNT
+      // pushdown into BaseX)
+      val counts = rd.groupBy("kind").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(counts == Map("k1" -> 1L, "k2" -> 1L, "k3" -> 1L))
+      val aggSent = posted.asScala.last
+      assert(aggSent.contains("group by $group := $aggregaterow/*:kind"), aggSent)
+      assert(aggSent.contains("count($aggregaterow)"), aggSent)
+      // COUNT(col) uses the reference's count-wrapper projection
+      import org.apache.spark.sql.functions.count
+      assert(rd.groupBy("kind").agg(count("name").as("n"))
+        .collect().map(_.getLong(1)).sum == 3)
+      assert(posted.asScala.last.contains(
+        "element{'_func__count__name'}{attribute{'order'}{'1'}"),
+        posted.asScala.last)
       // a bbox prune travels as geo:intersects with a GML2 envelope —
       // the reference's spatial pushdown into BaseX; the fake ignores it
       // (superset) and the local prune keeps the result exact
