@@ -228,7 +228,10 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
   private def documents(file: String): Iterator[String] =
     if (serverPushdown && file.startsWith("http"))
       graft.sources.mongo.CouchFind.docs(file,
-        graft.sources.mongo.MongoFindGen.selector(filters.toIndexedSeq),
+        graft.sources.mongo.MongoFindGen.selector(
+          // widened: Mango matches type-sensitively, graft columns are
+          // strings — numeric-looking literals match either JSON typing
+          filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen)),
         serverFields, httpTimeoutMs)
     else GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs)
 

@@ -27,13 +27,46 @@ object CouchFind {
   private val MaxPages = 4 * 1000 * 1000
 
   /** One page of documents (as JSON text), reference stride: page `batch`
-    * covers rows [batch*25, batch*25+25). */
+    * covers rows [batch*25, batch*25+25). The limit is explicit so the
+    * stride holds even when the endpoint's default page size is not 25. */
   def page(dbUrl: String, selector: String, fields: Seq[String], batch: Int,
            timeoutMs: Int): Seq[String] = {
-    val body = MongoFindGen.couchQuery(selector, fields, batch)
+    val body = MongoFindGen.couchQuery(selector, fields, batch, Some(PageSize))
     val resp = graft.sources.DocFiles.post(
       s"${dbUrl.stripSuffix("/")}/_find", body, "application/json", timeoutMs)
     docsOf(resp)
+  }
+
+  /** Widens POSITIVE comparison leaves whose value is a numeric-looking
+    * string into `(string form OR numeric form)`. Every graft column is
+    * StringType, but CouchDB documents keep their JSON types and Mango
+    * matching is type-sensitive — `{"$eq": "5"}` misses a document whose
+    * property is the number 5, a subset exclusion the local filter
+    * re-apply could never recover. The widened selector is a SUPERSET of
+    * either typing (local re-apply narrows it back); negative shapes
+    * ($ne/$nin) already match across type boundaries and must NOT widen
+    * (an OR of negations is weaker in the wrong direction), so `Not`
+    * subtrees pass through untouched. */
+  private[sources] def widen(f: org.apache.spark.sql.sources.Filter): org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    def num(v: Any): Option[Double] = v match {
+      case s: String => s.toDoubleOption
+      case _         => None
+    }
+    f match {
+      case EqualTo(c, v) => num(v).map(n => Or(f, EqualTo(c, n))).getOrElse(f)
+      case LessThan(c, v) => num(v).map(n => Or(f, LessThan(c, n))).getOrElse(f)
+      case GreaterThan(c, v) => num(v).map(n => Or(f, GreaterThan(c, n))).getOrElse(f)
+      case LessThanOrEqual(c, v) =>
+        num(v).map(n => Or(f, LessThanOrEqual(c, n))).getOrElse(f)
+      case GreaterThanOrEqual(c, v) =>
+        num(v).map(n => Or(f, GreaterThanOrEqual(c, n))).getOrElse(f)
+      case In(c, vs) if vs.exists(num(_).isDefined) =>
+        In(c, vs ++ vs.flatMap(num(_)).map(d => d: Any))
+      case And(l, r) => And(widen(l), widen(r))
+      case Or(l, r)  => Or(widen(l), widen(r))
+      case other     => other
+    }
   }
 
   /** All matching documents, lazily paginated — each partition reader pulls

@@ -142,10 +142,16 @@ object MongoFindGen {
 
   /** CouchDB Mango request body: the SAME selector, paginated in batches
     * of 25 like the reference's recursive fetch
-    * (couchdb_extension.ts:84 `{selector, skip, fields}`). */
-  def couchQuery(selectorJson: String, fields: Seq[String], batch: Int): String = {
+    * (couchdb_extension.ts:84 `{selector, skip, fields}`). The reference
+    * relies on CouchDB's default `_find` limit being 25; the live
+    * execution path passes `limit` explicitly so the skip stride and the
+    * termination check stay correct against an endpoint configured with
+    * a different default. */
+  def couchQuery(selectorJson: String, fields: Seq[String], batch: Int,
+                 limit: Option[Int] = None): String = {
     val f = if (fields.isEmpty) ""
             else s""", "fields": [${fields.map(jstr).mkString(", ")}]"""
-    s"""{"selector": $selectorJson, "skip": ${batch * 25}$f}"""
+    val l = limit.map(n => s""", "limit": $n""").getOrElse("")
+    s"""{"selector": $selectorJson, "skip": ${batch * 25}$f$l}"""
   }
 }

@@ -169,12 +169,16 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => XmlInputPartition(f): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dialect = options.get("dialect")
+    val basexVersion = options.get("basexVersion").orElse(options.get("basexversion"))
+    // validate the dialect choice at planning time, not inside a task
+    graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion)
     XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg,
       graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
       options.get("serverPushdown").orElse(options.get("serverpushdown")).exists(_.toBoolean),
-      options.get("dialect"),
-      options.get("basexVersion").orElse(options.get("basexversion")))
+      dialect, basexVersion)
+  }
 }
 
 private case class XmlInputPartition(file: String) extends InputPartition

@@ -45,22 +45,39 @@ object BaseXRest {
       s"<rest:text><![CDATA[$safe]]></rest:text></rest:query>"
   }
 
+  /** eXist's REST result-chunk size for one `<query>` POST. Without an
+    * explicit `max` eXist applies its OWN default (10), silently
+    * truncating; [[fetchRecords]] pages with `start`/`max` until a short
+    * chunk arrives. */
+  val ExistPageSize = 1000
+
   /** eXist-db's REST query body — the protocol differs from BaseX: the
     * query POSTs to the collection URL itself inside a `<query>` element
-    * in the eXist namespace, and the response arrives wrapped in
-    * `<exist:result>` (eXist REST API; the reference's second live
-    * backend — extension/existdb_extension/existdb_extension.ts). */
-  def existQueryBody(xquery: String): String = {
+    * in the eXist namespace with explicit `start`/`max` paging attributes
+    * (1-based), and the response arrives wrapped in `<exist:result>`
+    * (eXist REST API; the reference's second live backend —
+    * extension/existdb_extension/existdb_extension.ts). */
+  def existQueryBody(xquery: String, start: Int = 1, max: Int = ExistPageSize): String = {
     val safe = xquery.replace("]]>", "]]]]><![CDATA[>")
-    "<query xmlns=\"http://exist.sourceforge.net/NS/exist\">" +
+    "<query xmlns=\"http://exist.sourceforge.net/NS/exist\" " +
+      s"""start="$start" max="$max">""" +
       s"<text><![CDATA[$safe]]></text></query>"
   }
 
-  /** A bbox prune as the `geo:intersects` predicate a live BaseX evaluates
+  /** A bbox prune as a `geo:intersects` predicate a live BaseX evaluates
     * with its EXPath geo module — the spatial half of the reference's
     * pushdown (basex_extension.ts:385 constructSpatialFunctionTwoArgs;
-    * the envelope travels as a GML2 polygon literal, the reference's GML
-    * corpus dialect). */
+    * the box travels as a GML2 polygon literal, the reference's GML
+    * corpus dialect). The shape deliberately differs from the reference's
+    * two-arg template to stay a SUPERSET of the scan's local prune (which
+    * re-applies afterwards): `geo:envelope($g)` tests envelope
+    * intersection exactly like [[graft.sources.StringFilterEval
+    * .bboxPredicate]] (exact `geo:intersects` would drop envelope-only
+    * matches the local prune keeps), the `(*|*&#47;*)` step finds spatial
+    * elements both as direct children and under a wrapper (both shapes
+    * [[graft.sources.Xml.flattenRecord]] accepts), and `some … satisfies`
+    * keeps any record with at least one intersecting geometry (⊇ the
+    * local last-geometry test) without erroring on geometry-less records. */
   def bboxPredicate(spec: String): Option[String] =
     if (spec == "empty") None // unsatisfiable: the caller skips the query
     else {
@@ -69,29 +86,45 @@ object BaseXRest {
       val env = new org.locationtech.jts.geom.Envelope(p(0), p(2), p(1), p(3))
       val gml = graft.geo.GmlKml.writeGml2(
         new org.locationtech.jts.geom.GeometryFactory().toGeometry(env))
-      Some(XQueryGen.spatialFunctionTwoArgs("ST_Intersects", gml, "=", "true"))
+      val guard = XQueryGen.GmlSpatialTypes.map(t => s"local-name()='$t'").mkString(" or ")
+      Some(s"(some $$g in (*|*/*)[$guard] satisfies " +
+        s"geo:intersects($gml, geo:envelope($$g)))")
     }
 
   /** The XQuery one partition sends for one document: the reference's
     * selection FLWOR, for BaseX wrapped in a single result element so the
     * response is one well-formed document whatever the match count (eXist
     * wraps responses in `exist:result` itself). The record path honors
-    * the source's `recordTag` option (`/&#42;` = children of the document
-    * root, the tag-less default of [[graft.sources.Xml.records]]). A bbox
-    * prune joins the predicates as `geo:intersects` on BaseX; eXist gets
-    * no spatial predicate, matching the reference's empty eXist module
-    * config (existdb_extension.ts:36) — the scan's local prune covers it. */
+    * the source's `recordTag` option ([[recordPath]]). A bbox prune joins
+    * the predicates as `geo:intersects` on BaseX; eXist gets no spatial
+    * predicate, matching the reference's empty eXist module config
+    * (existdb_extension.ts:36) — the scan's local prune covers it. */
   def documentQuery(db: String, doc: String, version: XQueryGen.Version,
                     recordTag: Option[String], filters: Seq[Filter],
                     bbox: Option[String] = None): String = {
-    val recordPath = recordTag.map(t => s"//*:$t").getOrElse("/*")
-    val varName = doc.replaceAll("[^A-Za-z0-9]", "") + "i"
+    val recordPath = BaseXRest.recordPath(recordTag)
+    val varName = BaseXRest.varName(doc)
     val spatial =
       if (version == XQueryGen.ExistDb601) Nil
       else bbox.flatMap(bboxPredicate).toSeq
     val sel = XQueryGen.selection(db, doc, version, filters, spatial,
       recordPath = recordPath, varName = varName)
     if (version == XQueryGen.ExistDb601) sel else s"element{'rest-results'}{$sel}"
+  }
+
+  /** Descendant `*:tag` steps for a recordTag; two child steps (children
+    * of the document's ROOT element — `db:open` answers a document node,
+    * so a single step would select the root itself) for the tag-less
+    * default, matching [[graft.sources.Xml.records]]. */
+  private def recordPath(recordTag: Option[String]): String =
+    recordTag.map(t => s"//*:$t").getOrElse("/*/*")
+
+  /** A valid XQuery variable name for a document: non-NCName characters
+    * drop, and a leading digit (or empty remainder) gains a letter prefix
+    * (`2024.xml` must not generate `$2024xmli`). */
+  private def varName(doc: String): String = {
+    val cleaned = doc.replaceAll("[^A-Za-z0-9]", "")
+    (if (cleaned.isEmpty || cleaned.head.isDigit) "d" + cleaned else cleaned) + "i"
   }
 
   /** `dialect` + `basexVersion` options → dialect (default BaseX 9.7, the
@@ -116,10 +149,17 @@ object BaseXRest {
     * local filter re-apply (there are no records to re-check — the same
     * trust model as any federated COUNT pushdown), so it only applies
     * when every pushed piece is faithfully expressible: all filters
-    * compile to XQuery, no bbox (its local envelope-prune semantics
-    * differ from geo:intersects), COUNT-only specs, simple column names
-    * (the reference's count wrapper paths — no `parent__child` /
-    * `_attribute__` forms), and a BaseX dialect. */
+    * compile to XQuery, no bbox (its local envelope-prune semantics are
+    * a record-level test, not a predicate the count query can share),
+    * COUNT-only specs, at most ONE group column (XQuery's `group by`
+    * binds one variable per spec — the reference's comma-joined key list
+    * is not a valid GroupingSpecList to send), simple column names (no
+    * `parent__child` / `_attribute__` forms), and a BaseX dialect.
+    *
+    * Residual trust caveat (documented, inherent to counting inside the
+    * store): records whose filter column repeats or nests diverge —
+    * pushed predicates match existentially server-side while local
+    * flattening compares the last simple value. */
   private[sources] def supportsServerAgg(version: XQueryGen.Version, filters: Seq[Filter],
                         bbox: Option[String],
                         groups: Seq[String],
@@ -128,7 +168,7 @@ object BaseXRest {
     def simple(c: String) = c.matches("[A-Za-z][A-Za-z0-9]*")
     version != XQueryGen.ExistDb601 && bbox.isEmpty &&
       filters.forall(f => XQueryGen.fromSparkFilter(f).isDefined) &&
-      groups.forall(simple) &&
+      groups.length <= 1 && groups.forall(simple) &&
       specs.forall { case CountStarSpec => true
                      case CountSpec(c)  => simple(c)
                      case _             => false }
@@ -136,31 +176,38 @@ object BaseXRest {
 
   /** The aggregation XQuery for one document: the filtered record sequence
     * bound to `$doc`, the reference's aggregation FLWOR
-    * ([[XQueryGen.aggregation]] / [[XQueryGen.countProjection]]) over it,
-    * and one `result` element per group in the response wrapper. Group
-    * keys travel as elements named after the column (a `null='true'`
-    * attribute marks a group whose records lack the element, keeping SQL
-    * NULL distinct from empty text); `COUNT(*)` uses a `star` wrapper
-    * (the reference's literal `_func__count__*` is not a legal element
-    * name to construct). */
+    * ([[XQueryGen.aggregation]]) over it, and one `result` element per
+    * group in the response wrapper. Three deliberate deviations from the
+    * reference's projection templates keep the counts equal to the local
+    * [[graft.sources.AggPushdown.aggregate]] semantics: `COUNT(col)`
+    * counts RECORDS carrying a simple-valued column
+    * (`$aggregaterow[*:c[not(*)]]`) rather than column elements (a record
+    * with two `<c>` children counts once, like the flattened map);
+    * group keys read the LAST simple-valued element (`[not(*)][last()]`,
+    * the flattening's last-wins rule) and atomize safely when elements
+    * repeat; `COUNT(*)` uses a `star` wrapper (the reference's literal
+    * `_func__count__*` is not a legal element name to construct). A
+    * `null='true'` attribute marks a group whose records lack the
+    * element, keeping SQL NULL distinct from empty text. */
   private[sources] def aggregateQuery(db: String, doc: String, version: XQueryGen.Version,
                      recordTag: Option[String], filters: Seq[Filter],
                      groups: Seq[String],
                      specs: Seq[graft.sources.AggPushdown.Spec]): String = {
     import graft.sources.AggPushdown._
-    val recordPath = recordTag.map(t => s"//*:$t").getOrElse("/*")
+    def keyOf(c: String) = s"($$aggregaterow/*:$c[not(*)])[last()]"
     val preds = filters.flatMap(XQueryGen.fromSparkFilter)
     val where = if (preds.isEmpty) "" else preds.mkString("[", " and ", "]")
     val projections = groups.map { g =>
-      s"element{'$g'}{let $$v := ($$aggregaterow/*:$g)[1] " +
+      s"element{'$g'}{let $$v := ${keyOf(g)} " +
         s"return if (exists($$v)) then data($$v) else attribute{'null'}{'true'}}"
     } ++ specs.map {
       case CountStarSpec => "element{'_func__count__star'}{count($aggregaterow)}"
-      case CountSpec(c)  => XQueryGen.countProjection(c)
+      case CountSpec(c) =>
+        s"element{'_func__count__$c'}{count($$aggregaterow[*:$c[not(*)]])}"
       case other => throw new IllegalArgumentException(s"not server-pushable: $other")
     }
-    s"""let $$doc := ${version.docFunc(db, doc)}$recordPath$where
-       |${XQueryGen.aggregation(groups, projections)}
+    s"""let $$doc := ${version.docFunc(db, doc)}${recordPath(recordTag)}$where
+       |${XQueryGen.aggregation(groups, projections, keyOf)}
        |return element{'rest-results'}{$$aggregated}""".stripMargin
   }
 
@@ -196,7 +243,9 @@ object BaseXRest {
 
   /** Runs the document query and answers the matched record elements —
     * the element children of the response root (the `rest-results`
-    * wrapper on BaseX, `exist:result` on eXist). */
+    * wrapper on BaseX, `exist:result` on eXist). BaseX answers everything
+    * in the one wrapper; eXist chunks, so its branch pages with
+    * `start`/`max` until a short chunk arrives. */
   def fetchRecords(docUrl: String, version: XQueryGen.Version,
                    recordTag: Option[String], filters: Seq[Filter],
                    bbox: Option[String], timeoutMs: Int): Seq[scala.xml.Elem] = {
@@ -204,13 +253,27 @@ object BaseXRest {
       throw new IllegalArgumentException(
         s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
     val xquery = documentQuery(db, doc, version, recordTag, filters, bbox)
-    // eXist POSTs to the collection URL; BaseX to the REST root
-    val (postUrl, body) =
-      if (version == XQueryGen.ExistDb601) (s"$root/$db", existQueryBody(xquery))
-      else (root, queryBody(xquery))
-    val resp = graft.sources.DocFiles.post(postUrl, body, "application/xml", timeoutMs)
-    // SecureXml.strict: the response is untrusted network content
-    graft.geo.SecureXml.strict.loadString(resp)
-      .child.collect { case e: scala.xml.Elem => e }
+    // SecureXml.strict everywhere: responses are untrusted network content
+    def elems(resp: String): Seq[scala.xml.Elem] =
+      graft.geo.SecureXml.strict.loadString(resp)
+        .child.collect { case e: scala.xml.Elem => e }
+    if (version == XQueryGen.ExistDb601) {
+      // eXist POSTs to the collection URL and pages
+      val url = s"$root/$db"
+      val acc = scala.collection.mutable.ArrayBuffer.empty[scala.xml.Elem]
+      var start = 1
+      var page: Seq[scala.xml.Elem] = null
+      while (page == null || page.size == ExistPageSize) {
+        // backstop against a server that answers full pages forever
+        require(start < 100 * 1000 * 1000, s"$url exceeded 100M paged records")
+        page = elems(graft.sources.DocFiles.post(url,
+          existQueryBody(xquery, start, ExistPageSize), "application/xml", timeoutMs))
+        acc ++= page
+        start += page.size
+      }
+      acc.toSeq
+    } else
+      elems(graft.sources.DocFiles.post(root, queryBody(xquery),
+        "application/xml", timeoutMs))
   }
 }

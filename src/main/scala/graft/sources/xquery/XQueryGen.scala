@@ -144,6 +144,16 @@ object XQueryGen {
       undefPredicate(c.stripPrefix("_undef__"), op, literal(v))
     else s"${columnPath(c)} $op ${literal(v)}"
 
+  /** Existence path for IS [NOT] NULL. A simple column exists only when
+    * a SIMPLE-valued element does (`*:c[not(*)]`): the flattening maps an
+    * element with element children to `c__<child>` keys, never `c`, so a
+    * plain `exists(*:c)` would declare non-null — and a live server would
+    * then DROP `IS NULL` rows the engine keeps (a subset divergence the
+    * local re-apply cannot recover). Nested and attribute paths already
+    * match the flattening's existence rule. */
+  private def nullTestPath(c: String): String =
+    if (!c.contains("__")) s"*:$c[not(*)]" else columnPath(c)
+
   /** The pushdown subset the graft-xml source accepts, as XQuery predicate
     * text. None for filters the source would not push either (including
     * the function-style forms on `_undef__` columns, whose multi-position
@@ -156,9 +166,9 @@ object XQueryGen {
     case LessThanOrEqual(c, v)    => Some(compare(c, "<=", v))
     case Not(EqualTo(c, v))       => Some(compare(c, "!=", v))
     case IsNotNull(c) if !c.startsWith("_undef__") =>
-      Some(s"exists(${columnPath(c)})")
+      Some(s"exists(${nullTestPath(c)})")
     case IsNull(c) if !c.startsWith("_undef__") =>
-      Some(s"not(exists(${columnPath(c)}))")
+      Some(s"not(exists(${nullTestPath(c)}))")
     case StringStartsWith(c, v) if !c.startsWith("_undef__") =>
       Some(s"starts-with(${columnPath(c)}, ${quote(v)})")
     case StringEndsWith(c, v) if !c.startsWith("_undef__") =>
@@ -188,13 +198,17 @@ object XQueryGen {
   /** The aggregation FLWOR (xml_extension.ts:697): without GROUP BY the
     * whole `$doc` is one aggregate row; with it, rows group by the
     * star-namespace column paths (xml_extension.ts:2045
-    * constructGroupByQuery). */
-  def aggregation(groupBy: Seq[String], projections: Seq[String]): String =
+    * constructGroupByQuery). The default `keyOf` reproduces the
+    * reference's key paths verbatim; the live execution path
+    * ([[BaseXRest]]) overrides it with a single-item last-wins path so
+    * multi-valued elements atomize instead of erroring. */
+  def aggregation(groupBy: Seq[String], projections: Seq[String],
+                  keyOf: String => String = c => s"$$aggregaterow/*:$c"): String =
     if (groupBy.isEmpty)
       s"""let $$aggregaterow := $$doc
          |let $$aggregated:=element{'result'}{(${projections.mkString(",")})}""".stripMargin
     else {
-      val keys = groupBy.map(c => s"$$aggregaterow/*:$c").mkString(",")
+      val keys = groupBy.map(keyOf).mkString(",")
       s"""let $$aggregated :=for $$aggregaterow in $$doc
          |group by $$group := $keys
          |return element{'result'}{(${projections.mkString(",")})}""".stripMargin

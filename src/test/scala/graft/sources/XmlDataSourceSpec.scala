@@ -43,7 +43,7 @@ class XmlDataSourceSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,a)"), plan)
     // the scan also surfaces the XQuery a live BaseX would receive
     // (Spark adds the implicit IsNotNull → exists())
-    assert(plan.contains("XQueryPredicates: [exists(*:name) and *:name = 'a']"), plan)
+    assert(plan.contains("XQueryPredicates: [exists(*:name[not(*)]) and *:name = 'a']"), plan)
     assert(df.count() == 1)
     assert(df.head().getAs[String]("kind") == "k1")
   }
@@ -257,7 +257,7 @@ class XmlDataSourceSpec extends SparkTestBase {
       // the sent XQuery is the reference's selection construction
       val sent = posted.asScala.filter(_.contains("a.xml")).last
       assert(sent.contains(
-        """for $axmli in db:open("db","a.xml")//*:feature[exists(*:name) and *:name = 'a']"""),
+        """for $axmli in db:open("db","a.xml")//*:feature[exists(*:name[not(*)]) and *:name = 'a']"""),
         sent)
       assert(sent.contains("<rest:query xmlns:rest=\"http://basex.org/rest\">"), sent)
       // geometry crosses the wire as records, not rows
@@ -273,15 +273,30 @@ class XmlDataSourceSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getLong(1))).toMap
       assert(counts == Map("k1" -> 1L, "k2" -> 1L, "k3" -> 1L))
       val aggSent = posted.asScala.last
-      assert(aggSent.contains("group by $group := $aggregaterow/*:kind"), aggSent)
+      // last-wins simple-valued key path: multi-valued elements atomize
+      // instead of erroring, matching the flattening's rule
+      assert(aggSent.contains(
+        "group by $group := ($aggregaterow/*:kind[not(*)])[last()]"), aggSent)
       assert(aggSent.contains("count($aggregaterow)"), aggSent)
-      // COUNT(col) uses the reference's count-wrapper projection
+      // COUNT(col) counts RECORDS carrying a simple-valued column — the
+      // local flattened-map semantics, not raw element occurrences
       import org.apache.spark.sql.functions.count
       assert(rd.groupBy("kind").agg(count("name").as("n"))
         .collect().map(_.getLong(1)).sum == 3)
       assert(posted.asScala.last.contains(
-        "element{'_func__count__name'}{attribute{'order'}{'1'}"),
+        "element{'_func__count__name'}{count($aggregaterow[*:name[not(*)]])}"),
         posted.asScala.last)
+      // tag-less reads select children of the document ROOT (db:open
+      // answers a document node — one step would select the root itself)
+      assert(spark.read.format("graft-xml").option("columns", "name,kind")
+        .option("serverPushdown", "true").load(base).count() == 3)
+      assert(posted.asScala.last.contains("\"a.xml\")/*/*") ||
+        posted.asScala.last.contains("\"b.xml\")/*/*"), posted.asScala.last)
+      // a multi-column GROUP BY is not a valid XQuery GroupingSpecList —
+      // it must fall back to record transfer, not send a broken query
+      val mg = rd.groupBy("kind", "name").count().collect()
+      assert(mg.length == 3 && mg.map(_.getLong(2)).sum == 3)
+      assert(!posted.asScala.last.contains("_func__count__"), posted.asScala.last)
       // a bbox prune travels as geo:intersects with a GML2 envelope —
       // the reference's spatial pushdown into BaseX; the fake ignores it
       // (superset) and the local prune keeps the result exact
@@ -292,6 +307,10 @@ class XmlDataSourceSpec extends SparkTestBase {
       val spatialSent = posted.asScala.last
       assert(spatialSent.contains("geo:intersects(<gml:Polygon"), spatialSent)
       assert(spatialSent.contains("outerBoundaryIs"), spatialSent)
+      // envelope semantics + any-geometry + both nesting shapes: the
+      // server-side prune must be a SUPERSET of the local envelope test
+      assert(spatialSent.contains("some $g in (*|*/*)["), spatialSent)
+      assert(spatialSent.contains("geo:envelope($g)"), spatialSent)
       // an unsatisfiable prune never reaches the server
       val before = posted.size
       assert(spark.read.format("graft-xml").option("recordTag", "feature")
@@ -350,9 +369,13 @@ class XmlDataSourceSpec extends SparkTestBase {
       val sent = posted.asScala.last
       // the eXist protocol envelope + the reference's hierarchical
       // collection() access (existdb_extension.ts:36), no result wrapper
-      assert(sent.contains("<query xmlns=\"http://exist.sourceforge.net/NS/exist\">"), sent)
+      // explicit paging attributes: without max, eXist truncates at its
+      // own default result-chunk size
       assert(sent.contains(
-        """for $axmli in collection("/db/db/a.xml")//*:feature[exists(*:name) and *:name = 'a']"""),
+        "<query xmlns=\"http://exist.sourceforge.net/NS/exist\" start=\"1\" max=\"1000\">"),
+        sent)
+      assert(sent.contains(
+        """for $axmli in collection("/db/db/a.xml")//*:feature[exists(*:name[not(*)]) and *:name = 'a']"""),
         sent)
       assert(!sent.contains("rest-results"), sent)
     } finally server.stop(0)

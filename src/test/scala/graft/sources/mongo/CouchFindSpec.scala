@@ -48,6 +48,12 @@ class CouchFindSpec extends SparkTestBase {
       assert(f.count() == 20)
       val sent = posted.asScala.last
       assert(sent.contains("""{"properties.grp": { "$eq": "1" }}"""), sent)
+      // Mango matches type-sensitively: a numeric-looking literal widens
+      // to (string OR number) so typed documents still match; the local
+      // re-apply narrows the superset back
+      assert(sent.contains("""{"properties.grp": { "$eq": 1 }}"""), sent)
+      // the page size is explicit, not the endpoint's default
+      assert(sent.contains(""""limit": 25"""), sent)
       // the Mango fields projection covers output AND filter columns
       val names = df.where(col("grp") === "2").select("name")
         .collect().map(_.getString(0))
