@@ -69,6 +69,13 @@ object XmlDataSource {
     doc.label.equalsIgnoreCase("kml") ||
       (doc.namespace != null && doc.namespace.contains("kml"))
 
+  /** KML heuristic for a bare record element (no document root in sight):
+    * its own namespace, or — for a server-side projected record, which is
+    * a namespace-less `result` wrapper — any child's. */
+  private[sources] def kmlish(e: scala.xml.Elem): Boolean =
+    (e.namespace != null && e.namespace.contains("kml")) ||
+      e.child.exists(c => c.namespace != null && c.namespace.contains("kml"))
+
   /** Parses one document by path/URL: XXE-hardened parser, and HTTP(S)
     * fetches carry connect/read timeouts so a stalled server fails the
     * task instead of hanging it. */
@@ -192,19 +199,39 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
                                     basexVersion: Option[String] = None)
   extends PartitionReaderFactory {
 
+  /** Columns the reader genuinely needs from each record: the output
+    * schema (or, under an aggregate, the aggregate's source columns),
+    * whatever the pushed filters re-check, and the geometry when a bbox
+    * prunes. Server mode projects the record to these when expressible. */
+  private def neededColumns: Seq[String] = {
+    val base = agg match {
+      case Some((groups, specs)) => groups ++ specs.collect {
+        case graft.sources.AggPushdown.CountSpec(c) => c
+        case graft.sources.AggPushdown.MinSpec(c)   => c
+        case graft.sources.AggPushdown.MaxSpec(c)   => c
+      }
+      case None => schema.fieldNames.toSeq
+    }
+    (base ++ filters.toSeq.flatMap(_.references.toSeq) ++
+      (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
+  }
+
   /** Record elements of one partition's document. Local mode parses the
     * whole document; server mode ([[graft.sources.xquery.BaseXRest]]) runs
     * the pushed predicates INSIDE the database and receives only matching
-    * records — but the caller still re-applies every filter, so the two
-    * modes agree even against a server that ignored the query. */
+    * records (projected to [[neededColumns]] when expressible) — but the
+    * caller still re-applies every filter, so the two modes agree even
+    * against a server that ignored the query. */
   private def recordElems(file: String): Seq[(scala.xml.Node, Boolean)] =
     if (serverPushdown && file.startsWith("http")) {
       if (bbox.contains("empty")) Nil // provably-unsatisfiable prune: no query
       else graft.sources.xquery.BaseXRest.fetchRecords(file,
           graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
-          recordTag, filters.toIndexedSeq, bbox, httpTimeoutMs)
-        // kml-ness is per record here (no document root to inspect)
-        .map(r => (r, r.namespace != null && r.namespace.contains("kml")))
+          recordTag, filters.toIndexedSeq, bbox, httpTimeoutMs,
+          Some(neededColumns))
+        // kml-ness is per record here (no document root to inspect); a
+        // projected record carries it only on the copied spatial children
+        .map(r => (r, XmlDataSource.kmlish(r)))
     } else {
       val doc = XmlDataSource.loadDoc(file, httpTimeoutMs)
       val kml = XmlDataSource.isKml(doc)

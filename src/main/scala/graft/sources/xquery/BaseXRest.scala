@@ -91,24 +91,51 @@ object BaseXRest {
         s"geo:intersects($gml, geo:envelope($$g)))")
     }
 
+  /** Server-side column projection: a return expression copying only the
+    * needed child elements (plus the spatial children when geometry or a
+    * bbox prune is needed) — the engine-side analog of the reference
+    * projecting its backend queries (extension/xml_extension.ts
+    * getFieldsData; mongo_extension.ts:154 constructProjectionQuery).
+    * Only SIMPLE columns project faithfully (copied `*:c` children
+    * flatten to the same map entries, duplicates preserved in document
+    * order for the last-wins rule); any needed `parent__child`,
+    * `_attribute__`, or `_undef__` column makes this None and the whole
+    * record travels instead. */
+  private[sources] def projectionExpr(varName: String, columns: Seq[String],
+                                      wantGeometry: Boolean): Option[String] = {
+    val simple = columns.filterNot(_ == "geometry").distinct
+    if (!simple.forall(_.matches("[A-Za-z][A-Za-z0-9]*"))) None
+    else {
+      val guard = XQueryGen.GmlSpatialTypes.map(t => s"local-name()='$t'").mkString(" or ")
+      val parts = simple.map(c => s"$$$varName/*:$c") ++
+        (if (wantGeometry) Seq(s"$$$varName/(*|*/*)[$guard]") else Nil)
+      Some(s"element{'result'}{${parts.mkString(",")}}")
+    }
+  }
+
   /** The XQuery one partition sends for one document: the reference's
     * selection FLWOR, for BaseX wrapped in a single result element so the
     * response is one well-formed document whatever the match count (eXist
     * wraps responses in `exist:result` itself). The record path honors
-    * the source's `recordTag` option ([[recordPath]]). A bbox prune joins
-    * the predicates as `geo:intersects` on BaseX; eXist gets no spatial
-    * predicate, matching the reference's empty eXist module config
-    * (existdb_extension.ts:36) — the scan's local prune covers it. */
+    * the source's `recordTag` option ([[recordPath]]); `needed` columns
+    * project server-side when expressible ([[projectionExpr]]). A bbox
+    * prune joins the predicates as `geo:intersects` on BaseX; eXist gets
+    * no spatial predicate, matching the reference's empty eXist module
+    * config (existdb_extension.ts:36) — the scan's local prune covers it. */
   def documentQuery(db: String, doc: String, version: XQueryGen.Version,
                     recordTag: Option[String], filters: Seq[Filter],
-                    bbox: Option[String] = None): String = {
+                    bbox: Option[String] = None,
+                    needed: Option[Seq[String]] = None): String = {
     val recordPath = BaseXRest.recordPath(recordTag)
     val varName = BaseXRest.varName(doc)
     val spatial =
       if (version == XQueryGen.ExistDb601) Nil
       else bbox.flatMap(bboxPredicate).toSeq
+    val wantGeometry = needed.exists(_.contains("geometry")) || bbox.isDefined
+    val returnExpr = needed
+      .flatMap(cols => projectionExpr(varName, cols, wantGeometry)).orNull
     val sel = XQueryGen.selection(db, doc, version, filters, spatial,
-      recordPath = recordPath, varName = varName)
+      recordPath = recordPath, varName = varName, returnExpr = returnExpr)
     if (version == XQueryGen.ExistDb601) sel else s"element{'rest-results'}{$sel}"
   }
 
@@ -248,11 +275,12 @@ object BaseXRest {
     * `start`/`max` until a short chunk arrives. */
   def fetchRecords(docUrl: String, version: XQueryGen.Version,
                    recordTag: Option[String], filters: Seq[Filter],
-                   bbox: Option[String], timeoutMs: Int): Seq[scala.xml.Elem] = {
+                   bbox: Option[String], timeoutMs: Int,
+                   needed: Option[Seq[String]] = None): Seq[scala.xml.Elem] = {
     val (root, db, doc) = anatomy(docUrl).getOrElse(
       throw new IllegalArgumentException(
         s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
-    val xquery = documentQuery(db, doc, version, recordTag, filters, bbox)
+    val xquery = documentQuery(db, doc, version, recordTag, filters, bbox, needed)
     // SecureXml.strict everywhere: responses are untrusted network content
     def elems(resp: String): Seq[scala.xml.Elem] =
       graft.geo.SecureXml.strict.loadString(resp)

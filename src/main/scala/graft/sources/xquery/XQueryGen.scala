@@ -222,17 +222,20 @@ object XQueryGen {
     *
     * The defaults reproduce the reference's GML construction verbatim
     * (spec-pinned). The live execution path ([[BaseXRest]]) overrides
-    * `recordPath` for non-GML record tags and `varName` when the collection
-    * name is not a valid XQuery NCName (e.g. `a.xml`). */
+    * `recordPath` for non-GML record tags, `varName` when the collection
+    * name is not a valid XQuery NCName (e.g. `a.xml`), and `returnExpr`
+    * to project the record server-side. */
   def selection(db: String, collection: String, version: Version,
                 filters: Seq[Filter] = Nil,
                 spatialPredicates: Seq[String] = Nil,
                 recordPath: String = "//" + GmlRecordPath,
-                varName: String = null): String = {
+                varName: String = null,
+                returnExpr: String = null): String = {
     val v = Option(varName).getOrElse(collection + "i")
+    val ret = Option(returnExpr).getOrElse(s"$$$v")
     val preds = filters.flatMap(fromSparkFilter) ++ spatialPredicates
     val whereRoot = if (preds.isEmpty) "" else preds.mkString("[", " and ", "]")
     s"""for $$$v in ${version.docFunc(db, collection)}$recordPath$whereRoot
-       |return $$$v""".stripMargin
+       |return $ret""".stripMargin
   }
 }

@@ -230,8 +230,23 @@ class XmlDataSourceSpec extends SparkTestBase {
               s"<result>$gx$cx</result>"
             }
             respond(ex, s"<rest-results>${results.mkString}</rest-results>")
-          } else
-            respond(ex, s"<rest-results>${matched.map(_._1).mkString}</rest-results>")
+          } else {
+            // selection mode — apply a server-side projection when the
+            // query's return clause asks for one, like a real BaseX would
+            val projCols = """\$\w+/\*:(\w+)""".r.findAllMatchIn(q).map(_.group(1)).toList
+            val wantGeom = q.contains("""/(*|*/*)[""")
+            val body =
+              if (projCols.isEmpty) matched.map(_._1).mkString
+              else matched.map { case (xml, _) =>
+                val cols = projCols.flatMap(c =>
+                  s"(?s)<$c[^>]*>.*?</$c>".r.findFirstIn(xml))
+                val geom =
+                  if (wantGeom) "(?s)<gml:Point.*?</gml:Point>".r.findFirstIn(xml).toList
+                  else Nil
+                s"<result>${(cols ++ geom).mkString}</result>"
+              }.mkString
+            respond(ex, s"<rest-results>$body</rest-results>")
+          }
         } else respond(ex, listing) // GET /rest/db → the resource listing
     })
     docs.keys.foreach { d =>
@@ -266,6 +281,13 @@ class XmlDataSourceSpec extends SparkTestBase {
       // the local re-apply keeps the result exact
       assert(rd.where(col("kind") === "k2").select("name")
         .collect().map(_.getString(0)).toSeq == Seq("b"))
+      // narrow reads project server-side: only the output + re-check
+      // columns cross the wire, and the filter still applies to them
+      val narrow = rd.where(col("name") === "a").select("kind")
+      assert(narrow.collect().map(_.getString(0)).toSeq == Seq("k1"))
+      val narrowSent = posted.asScala.filter(_.contains("a.xml")).last
+      assert(narrowSent.contains("return element{'result'}{$axmli/*:kind,$axmli/*:name}"),
+        narrowSent)
       // COUNT + GROUP BY aggregates INSIDE the database — per-group
       // partials cross the wire, not records (the reference's COUNT
       // pushdown into BaseX)

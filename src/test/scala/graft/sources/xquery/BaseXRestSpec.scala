@@ -48,6 +48,18 @@ class BaseXRestSpec extends AnyFunSuite {
     assert(p.contains("geo:envelope($g)"), p)
   }
 
+  test("projectionExpr: simple columns + geometry project; flattened forms fall back") {
+    assert(BaseXRest.projectionExpr("vi", Seq("name", "kind"), wantGeometry = false) ==
+      Some("element{'result'}{$vi/*:name,$vi/*:kind}"))
+    val withGeom = BaseXRest.projectionExpr("vi", Seq("name", "geometry"), wantGeometry = true).get
+    assert(withGeom.startsWith("element{'result'}{$vi/*:name,$vi/(*|*/*)["), withGeom)
+    // attribute / nested / un-named group columns cannot be rebuilt from a
+    // copied child list — the whole record must travel
+    assert(BaseXRest.projectionExpr("vi", Seq("_attribute__kind__t"), wantGeometry = false).isEmpty)
+    assert(BaseXRest.projectionExpr("vi", Seq("addr__zip"), wantGeometry = false).isEmpty)
+    assert(BaseXRest.projectionExpr("vi", Seq("_undef__g"), wantGeometry = false).isEmpty)
+  }
+
   test("supportsServerAgg gates on expressibility") {
     import graft.sources.AggPushdown._
     val ok = Seq[Filter](EqualTo("name", "a"))
