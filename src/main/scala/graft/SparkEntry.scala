@@ -371,6 +371,99 @@ object SparkEntry {
           round(call_function("st_x", col("geometry")), 4).as("gx"))
     }),
 
+    // Live server-execution paths under the gate: the same derived
+    // documents served from in-process BaseX-REST / CouchDB-_find
+    // endpoints (which honestly evaluate the equality predicate and, for
+    // _find, paginate in the skip-25 stride); serverPushdown=true sends
+    // the generated XQuery / Mango selector over the wire and the scan
+    // re-applies the filters locally. localCheckpoint materializes the
+    // result while the server is still up.
+    "q_xml_server" -> ((spark, dir) => {
+      init(spark, dir)
+      val recs = spark.sql(
+        """SELECT c_custkey % 4 AS part,
+          |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING), '</nk></rec>') AS r
+          |FROM customer""".stripMargin)
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => (s"d$p.xml", rows.map(_.getString(1)).mkString) }
+      val listing = "<rest:database xmlns:rest=\"http://basex.org/rest\">" +
+        recs.keys.toSeq.sorted.map(n => s"<rest:resource>$n</rest:resource>").mkString +
+        "</rest:database>"
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/rest", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val resp =
+            if (ex.getRequestMethod == "POST") {
+              val q = new String(ex.getRequestBody.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val doc = """db:open\("db","([^"]+)"\)""".r.findFirstMatchIn(q).get.group(1)
+              val nkEq = """\*:nk = '([^']*)'""".r.findFirstMatchIn(q).map(_.group(1))
+              val body = nkEq match {
+                case Some(v) => // evaluate the pushed predicate like a real BaseX
+                  s"<rec>((?:(?!</rec>).)*)</rec>".r.findAllIn(recs(doc))
+                    .filter(_.contains(s"<nk>$v</nk>")).mkString
+                case None => recs(doc)
+              }
+              s"<rest-results>$body</rest-results>"
+            } else listing
+          val b = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest/db"
+        spark.read.format("graft-xml")
+          .option("recordTag", "rec").option("columns", "name,nk")
+          .option("serverPushdown", "true")
+          .load(base)
+          .where(col("nk") === "7").select("name", "nk")
+          .localCheckpoint(true)
+      } finally server.stop(0)
+    }),
+    "q_geojson_couch" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.sql(
+        s"""SELECT concat('{"type":"Feature","properties":{"name":"', c_name,
+           |  '","nk":"', CAST(c_nationkey AS STRING),
+           |  '"},"geometry":{"type":"Point","coordinates":[', CAST($CX AS STRING), ',',
+           |  CAST($CY AS STRING), ']}}') AS j
+           |FROM customer""".stripMargin)
+        .collect().map(_.getString(0)).toIndexedSeq
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/db/_find", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val skip = """"skip": (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+          val nkEq = """"properties\.nk": \{ "\$eq": "([^"]*)" \}""".r
+            .findFirstMatchIn(body).map(_.group(1))
+          val matched = docs.filter(d => nkEq.forall(v => d.contains(s""""nk":"$v"""")))
+          val page = matched.slice(skip, skip + 25)
+          val resp = s"""{"docs":[${page.mkString(",")}]}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, resp.length)
+          ex.getResponseBody.write(resp)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/db"
+        spark.read.format("graft-geojson")
+          .option("columns", "name,nk").option("serverPushdown", "true")
+          .load(base)
+          .where(col("nk") === "7")
+          .select(col("name"), col("nk"),
+            round(call_function("st_x", col("geometry")), 4).as("gx"))
+          .localCheckpoint(true)
+      } finally server.stop(0)
+    }),
+
     // -------------------------------------------- LLM-data-pipeline surface
     "q_dedup_exact" -> ((spark, dir) => {
       init(spark, dir)
@@ -792,6 +885,10 @@ object SparkEntry {
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 3",
     "q_geojson_dsv2" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 3",
+    "q_xml_server" ->
+      "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 7",
+    "q_geojson_couch" ->
+      s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 7",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     // Exact all-pairs 5-shingle Jaccard ≥ 0.5. Equals the LSH+refine result
