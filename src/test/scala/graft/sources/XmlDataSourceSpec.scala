@@ -403,6 +403,20 @@ class XmlDataSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("SQL-only flow: CREATE TEMPORARY VIEW ... USING graft-xml") {
+    // the reference's users work purely in SQL — the DDL path must reach
+    // the same DSv2 source with pushdown intact
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW xml_sql_view
+         |USING `graft-xml`
+         |OPTIONS (path '$dir', recordTag 'feature', columns 'name,kind')""".stripMargin)
+    assert(spark.sql("SELECT name FROM xml_sql_view WHERE kind = 'k2'")
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+    val plan = spark.sql("SELECT name FROM xml_sql_view WHERE name = 'a'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,a)"), plan)
+  }
+
   test("SQL over the source: spatial filter composes") {
     spark.read.format("graft-xml").option("recordTag", "feature").load(dir)
       .createOrReplaceTempView("xml_features")
