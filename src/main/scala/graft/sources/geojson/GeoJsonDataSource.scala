@@ -172,13 +172,18 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
     * store would receive — surfaced in `explain` for observability (the
     * engine evaluates them at the scan here;
     * [[graft.sources.mongo.MongoFindGen]] covers the server-side
-    * construction). */
-  private def selectorPreview: String =
-    if (pushed.isEmpty) ""
-    else graft.sources.mongo.MongoFindGen.selector(pushed.toIndexedSeq) match {
+    * construction). In server mode the preview shows the WIDENED
+    * selector, i.e. exactly the `_find` wire text. */
+  private def selectorPreview: String = {
+    val fs = pushed.toIndexedSeq
+    val eff = if (GeoJsonDataSource.serverMode(options))
+      fs.map(graft.sources.mongo.CouchFind.widen) else fs
+    if (eff.isEmpty) ""
+    else graft.sources.mongo.MongoFindGen.selector(eff) match {
       case "{}" => ""
       case sel  => s", MongoSelector: $sel"
     }
+  }
 
   override def bboxSpec: Option[String] = options.get("bbox")
   override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))

@@ -50,7 +50,9 @@ object CouchFind {
   private[sources] def widen(f: org.apache.spark.sql.sources.Filter): org.apache.spark.sql.sources.Filter = {
     import org.apache.spark.sql.sources._
     def num(v: Any): Option[Double] = v match {
-      case s: String => s.toDoubleOption
+      // NaN/Infinity have no JSON literal — widening them would emit an
+      // invalid selector and fail the whole query
+      case s: String => s.toDoubleOption.filter(d => !d.isNaN && !d.isInfinite)
       case _         => None
     }
     f match {

@@ -152,6 +152,7 @@ object MongoFindGen {
     val f = if (fields.isEmpty) ""
             else s""", "fields": [${fields.map(jstr).mkString(", ")}]"""
     val l = limit.map(n => s""", "limit": $n""").getOrElse("")
-    s"""{"selector": $selectorJson, "skip": ${batch * 25}$f$l}"""
+    // the skip stride MUST equal the page size or pages overlap/skip rows
+    s"""{"selector": $selectorJson, "skip": ${batch * limit.getOrElse(25)}$f$l}"""
   }
 }

@@ -20,6 +20,16 @@ import org.apache.spark.sql.sources.Filter
   */
 object BaseXRest {
 
+  /** One predicate matching any supported GML spatial element — shared by
+    * the bbox prune and the projection so the projection always copies
+    * exactly the element set the server-side prune tested. */
+  private val SpatialGuard =
+    XQueryGen.GmlSpatialTypes.map(t => s"local-name()='$t'").mkString(" or ")
+
+  /** A column that maps to one simple `*:c` child — the only shape the
+    * server-side projection and aggregation paths can rebuild. */
+  private def simpleName(c: String): Boolean = c.matches("[A-Za-z][A-Za-z0-9]*")
+
   /** Splits a listed document URL `<rest-root>/<db>/<doc>` into
     * (POST endpoint, database, document) — the inverse of the listing in
     * [[graft.sources.DocFiles.listHttpCollection]] (GET `/rest/<db>`
@@ -86,8 +96,7 @@ object BaseXRest {
       val env = new org.locationtech.jts.geom.Envelope(p(0), p(2), p(1), p(3))
       val gml = graft.geo.GmlKml.writeGml2(
         new org.locationtech.jts.geom.GeometryFactory().toGeometry(env))
-      val guard = XQueryGen.GmlSpatialTypes.map(t => s"local-name()='$t'").mkString(" or ")
-      Some(s"(some $$g in (*|*/*)[$guard] satisfies " +
+      Some(s"(some $$g in (*|*/*)[$SpatialGuard] satisfies " +
         s"geo:intersects($gml, geo:envelope($$g)))")
     }
 
@@ -104,11 +113,10 @@ object BaseXRest {
   private[sources] def projectionExpr(varName: String, columns: Seq[String],
                                       wantGeometry: Boolean): Option[String] = {
     val simple = columns.filterNot(_ == "geometry").distinct
-    if (!simple.forall(_.matches("[A-Za-z][A-Za-z0-9]*"))) None
+    if (!simple.forall(simpleName)) None
     else {
-      val guard = XQueryGen.GmlSpatialTypes.map(t => s"local-name()='$t'").mkString(" or ")
       val parts = simple.map(c => s"$$$varName/*:$c") ++
-        (if (wantGeometry) Seq(s"$$$varName/(*|*/*)[$guard]") else Nil)
+        (if (wantGeometry) Seq(s"$$$varName/(*|*/*)[$SpatialGuard]") else Nil)
       Some(s"element{'result'}{${parts.mkString(",")}}")
     }
   }
@@ -192,12 +200,11 @@ object BaseXRest {
                         groups: Seq[String],
                         specs: Seq[graft.sources.AggPushdown.Spec]): Boolean = {
     import graft.sources.AggPushdown._
-    def simple(c: String) = c.matches("[A-Za-z][A-Za-z0-9]*")
     version != XQueryGen.ExistDb601 && bbox.isEmpty &&
       filters.forall(f => XQueryGen.fromSparkFilter(f).isDefined) &&
-      groups.length <= 1 && groups.forall(simple) &&
+      groups.length <= 1 && groups.forall(simpleName) &&
       specs.forall { case CountStarSpec => true
-                     case CountSpec(c)  => simple(c)
+                     case CountSpec(c)  => simpleName(c)
                      case _             => false }
   }
 

@@ -145,14 +145,15 @@ object XQueryGen {
     else s"${columnPath(c)} $op ${literal(v)}"
 
   /** Existence path for IS [NOT] NULL. A simple column exists only when
-    * a SIMPLE-valued element does (`*:c[not(*)]`): the flattening maps an
-    * element with element children to `c__<child>` keys, never `c`, so a
-    * plain `exists(*:c)` would declare non-null — and a live server would
-    * then DROP `IS NULL` rows the engine keeps (a subset divergence the
-    * local re-apply cannot recover). Nested and attribute paths already
-    * match the flattening's existence rule. */
+    * a SIMPLE-valued, un-grouped element does (`*:c[not(*)][not(@group)]`):
+    * the flattening maps an element with element children to `c__<child>`
+    * keys and a `group`-attributed one to `_undef__<group>`, never `c`,
+    * so a plain `exists(*:c)` would declare non-null — and a live server
+    * would then DROP `IS NULL` rows the engine keeps (a subset divergence
+    * the local re-apply cannot recover). Nested and attribute paths
+    * already match the flattening's existence rule. */
   private def nullTestPath(c: String): String =
-    if (!c.contains("__")) s"*:$c[not(*)]" else columnPath(c)
+    if (!c.contains("__")) s"*:$c[not(*)][not(@group)]" else columnPath(c)
 
   /** The pushdown subset the graft-xml source accepts, as XQuery predicate
     * text. None for filters the source would not push either (including

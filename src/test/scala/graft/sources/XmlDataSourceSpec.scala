@@ -43,7 +43,7 @@ class XmlDataSourceSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(name,a)"), plan)
     // the scan also surfaces the XQuery a live BaseX would receive
     // (Spark adds the implicit IsNotNull → exists())
-    assert(plan.contains("XQueryPredicates: [exists(*:name[not(*)]) and *:name = 'a']"), plan)
+    assert(plan.contains("XQueryPredicates: [exists(*:name[not(*)][not(@group)]) and *:name = 'a']"), plan)
     assert(df.count() == 1)
     assert(df.head().getAs[String]("kind") == "k1")
   }
@@ -272,7 +272,7 @@ class XmlDataSourceSpec extends SparkTestBase {
       // the sent XQuery is the reference's selection construction
       val sent = posted.asScala.filter(_.contains("a.xml")).last
       assert(sent.contains(
-        """for $axmli in db:open("db","a.xml")//*:feature[exists(*:name[not(*)]) and *:name = 'a']"""),
+        """for $axmli in db:open("db","a.xml")//*:feature[exists(*:name[not(*)][not(@group)]) and *:name = 'a']"""),
         sent)
       assert(sent.contains("<rest:query xmlns:rest=\"http://basex.org/rest\">"), sent)
       // geometry crosses the wire as records, not rows
@@ -397,7 +397,7 @@ class XmlDataSourceSpec extends SparkTestBase {
         "<query xmlns=\"http://exist.sourceforge.net/NS/exist\" start=\"1\" max=\"1000\">"),
         sent)
       assert(sent.contains(
-        """for $axmli in collection("/db/db/a.xml")//*:feature[exists(*:name[not(*)]) and *:name = 'a']"""),
+        """for $axmli in collection("/db/db/a.xml")//*:feature[exists(*:name[not(*)][not(@group)]) and *:name = 'a']"""),
         sent)
       assert(!sent.contains("rest-results"), sent)
     } finally server.stop(0)

@@ -22,6 +22,11 @@ class CouchWidenSpec extends AnyFunSuite {
 
   test("non-numeric values and structure-only nodes pass through") {
     assert(CouchFind.widen(EqualTo("name", "beta")) == EqualTo("name", "beta"))
+    // NaN/Infinity parse as doubles but have no JSON literal — widening
+    // them would emit an invalid selector and fail the query
+    assert(CouchFind.widen(EqualTo("x", "NaN")) == EqualTo("x", "NaN"))
+    assert(CouchFind.widen(EqualTo("x", "Infinity")) == EqualTo("x", "Infinity"))
+    assert(CouchFind.widen(LessThan("x", "-Infinity")) == LessThan("x", "-Infinity"))
     assert(CouchFind.widen(IsNull("name")) == IsNull("name"))
     assert(CouchFind.widen(And(EqualTo("a", "1"), EqualTo("b", "x"))) ==
       And(Or(EqualTo("a", "1"), EqualTo("a", 1.0)), EqualTo("b", "x")))
