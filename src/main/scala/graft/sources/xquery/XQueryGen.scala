@@ -166,6 +166,12 @@ object XQueryGen {
     case LessThan(c, v)           => Some(compare(c, "<", v))
     case LessThanOrEqual(c, v)    => Some(compare(c, "<=", v))
     case Not(EqualTo(c, v))       => Some(compare(c, "!=", v))
+    // XQuery's general `=` against a sequence IS the existential IN, and
+    // its empty-sequence result (false) matches SQL's NULL IN (...) being
+    // unknown → dropped. NOT IN stays unpushed: not(c = (...)) answers
+    // TRUE on a missing element where SQL answers unknown.
+    case In(c, vs) if !c.startsWith("_undef__") && vs.forall(_ != null) =>
+      Some(s"${columnPath(c)} = (${vs.map(literal).mkString(", ")})")
     case IsNotNull(c) if !c.startsWith("_undef__") =>
       Some(s"exists(${nullTestPath(c)})")
     case IsNull(c) if !c.startsWith("_undef__") =>

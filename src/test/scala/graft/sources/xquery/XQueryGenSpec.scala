@@ -74,6 +74,13 @@ class XQueryGenSpec extends SparkTestBase {
     assert(XQueryGen.fromSparkFilter(
       And(EqualTo("kind", "k1"), StringStartsWith("name", "ma"))) ==
       Some("(*:kind = 'k1' and starts-with(*:name, 'ma'))"))
+    // IN = XQuery's existential general comparison against a sequence;
+    // its empty-sequence false matches SQL's NULL IN (...) = unknown.
+    // NOT IN must NOT push (not() answers true on a missing element)
+    assert(XQueryGen.fromSparkFilter(In("kind", Array("k1", "o'k"))) ==
+      Some("*:kind = ('k1', 'o''k')"))
+    assert(XQueryGen.fromSparkFilter(Not(In("kind", Array("k1")))).isEmpty)
+    assert(XQueryGen.fromSparkFilter(In("_undef__m", Array("1"))).isEmpty)
     assert(XQueryGen.fromSparkFilter(EqualNullSafe("name", "a")).isEmpty)
   }
 
