@@ -221,6 +221,132 @@ object XQueryGen {
          |return element{'result'}{(${projections.mkString(",")})}""".stripMargin
     }
 
+  /** One side of a two-collection join: the collection name and its pushed
+    * per-table predicates (the reference splits WHERE per table before
+    * constructing — src/preprocessing.ts:8 filterWhereStatement). */
+  case class JoinSide(collection: String, filters: Seq[Filter] = Nil)
+
+  /** Join-key access inside the ON comparison — the reference's
+    * constructColumnOn (xml_extension.ts:745, gml branch): simple columns
+    * read `*:col/text()`, flattened attribute forms read `@attr/data()`. */
+  private def onAccess(column: String): String =
+    if (column.startsWith("_attribute__")) {
+      column.split("__").filter(_.nonEmpty) match {
+        case Array("_attribute", attr)         => s"@$attr/data()"
+        case Array("_attribute", parent, attr) => s"*:$parent/@$attr/data()"
+        case _ => s"@${column.stripPrefix("_attribute__")}/data()"
+      }
+    } else s"*:$column/text()"
+
+  /** The FLWOR `where` for the ON conjunction, reference operand order —
+    * the RIGHT side's column leads each comparison
+    * (xml_extension.ts:770: `$<right>/<rightCol> = $<left>/<leftCol>`),
+    * leaves carry a trailing space and AND composes without one
+    * (:724 `${resultLeft}${translation} ${resultRight}`). */
+  def joinOnClause(leftVar: String, rightVar: String,
+                   on: Seq[(String, String)]): String =
+    on.map { case (l, r) =>
+      s"$$$rightVar/${onAccess(r)} = $$$leftVar/${onAccess(l)} "
+    }.mkString("and ")
+
+  /** The first-wins duplicate-name dedup applied to every merged record
+    * (xml_extension.ts:644 getUniqueColumnOnly, verbatim — both
+    * collections' children share one namespace, the first occurrence of
+    * each local-name survives). */
+  val UniqueColumnOnly: String =
+    "return element {'result'}{for $node in distinct-values($joinedCol/*/" +
+      "local-name()) return $joinedCol/*[local-name() eq $node][1]}"
+
+  /** The null-column skeleton for outer joins (xml_extension.ts:1101
+    * constructColumnNull): the unmatched side contributes its first
+    * record's element NAMES with empty content, so the merged row keeps
+    * the full column set. */
+  private def nullColumn(collection: String, doc: String): String = {
+    val v = collection
+    s"""let $$nullCol$collection := for $$${v}i in $doc[1]
+       |let $$element$collection:=for $$${v}j in $$${v}i/*
+       |return element{$$${v}j/local-name()}{attribute{'order'}{$$${v}j/@order},attribute{'group'}{$$${v}j/@group}}
+       |return $$element$collection""".stripMargin
+  }
+
+  /** Two-collection join compiled to ONE backend query — the reference
+    * pushes exactly-two-collection non-FULL joins into BaseX
+    * (src/getdata.ts:110 dispatch; extension/xml_extension.ts:614
+    * constructJoinQuery), reduced here to the simple-record case (nested
+    * `@_is_collection` branches omitted — the graft flattening carries
+    * nested data in-record; projections ride the whole record, the
+    * reference's `columnAs == "*"` arm).
+    *
+    * INNER (xml_extension.ts:712): both collections iterate in one `for`,
+    * the ON conjunction compiles into the FLWOR `where`
+    * ([[joinOnClause]]), and each surviving pair merges both records
+    * first-wins by local-name ([[UniqueColumnOnly]]) behind the
+    * any-columns-exist guard (:658 constructNoMatchedProjection).
+    * LEFT (:1052): the right side iterates in a per-left subquery; an
+    * unmatched left record instead merges the right collection's
+    * null-column skeleton (:1101, :1180). RIGHT (:1245) swaps the roles.
+    * An optional GROUP BY/aggregate tail reuses [[aggregation]], the
+    * shape the reference appends as `aggregationQuery` (:697). */
+  def joinQuery(db: String, left: JoinSide, right: JoinSide,
+                on: Seq[(String, String)], joinType: String = "INNER",
+                version: Version = BaseX97,
+                recordPath: String = "//" + GmlRecordPath,
+                groupBy: Seq[String] = Nil,
+                aggProjections: Seq[String] = Nil): String = {
+    require(on.nonEmpty, "join pushdown needs at least one ON equality")
+    def preds(s: JoinSide): String = {
+      val ps = s.filters.flatMap(fromSparkFilter)
+      if (ps.isEmpty) "" else ps.mkString("[", " and ", "]")
+    }
+    val tail =
+      if (aggProjections.isEmpty) "return $doc"
+      else aggregation(groupBy, aggProjections) + "\nreturn $aggregated"
+    joinType match {
+      case "INNER" =>
+        val (lv, rv) = (left.collection + "i", right.collection + "i")
+        s"""let $$doc:= for $$$lv in ${version.docFunc(db, left.collection)}$recordPath${preds(left)}, $$$rv in ${version.docFunc(db, right.collection)}$recordPath${preds(right)}
+           |where ${joinOnClause(lv, rv, on)}
+           |return if(exists($$$lv/*) or exists($$$rv/*)) then(
+           |let $$joinedCol := element{'result'}{($$$lv/*,$$$rv/*)}
+           |$UniqueColumnOnly
+           |) else()
+           |$tail""".stripMargin
+      case "LEFT" | "RIGHT" =>
+        // RIGHT swaps the iteration roles (outer loop walks the right
+        // collection, the left side null-extends) but keeps the ON
+        // operand order (xml_extension.ts:1245)
+        val (outer, inner) = if (joinType == "LEFT") (left, right) else (right, left)
+        val onClause =
+          if (joinType == "LEFT") joinOnClause("left", "right", on)
+          else joinOnClause("right", "left", on)
+        val docOf = (s: JoinSide) =>
+          s"let $$doc${s.collection} := " + selection(db, s.collection, version,
+            s.filters, recordPath = recordPath, varName = s.collection + "i")
+        s"""${docOf(outer)}
+           |${docOf(inner)}
+           |${nullColumn(inner.collection, s"$$doc${inner.collection}")}
+           |let $$doc:= for $$left in $$doc${outer.collection}
+           |let $$element${outer.collection} :=$$left/*
+           |let $$matchedRow := for $$right in $$doc${inner.collection}
+           |where $onClause
+           |let $$element${inner.collection}:=$$right/*
+           |let $$joinedCol :=  element{'result'}{($$left/*,$$right/*)}
+           |$UniqueColumnOnly
+           |return if(empty($$matchedRow)) then(
+           |let $$element${inner.collection}:=$$nullCol${inner.collection}
+           |let $$joinedCol :=  element{'result'}{($$left/*,$$nullCol${inner.collection})}
+           |$UniqueColumnOnly
+           |)else(
+           |$$matchedRow
+           |)
+           |$tail""".stripMargin
+      case other =>
+        throw new IllegalArgumentException(
+          s"join type '$other' not pushable (reference pushes INNER/LEFT/RIGHT " +
+            "2-collection joins — src/getdata.ts:95 excludes FULL)")
+    }
+  }
+
   /** A full selection over one collection, the reference's root FLWOR line:
     * `for $<col>i in <docFunc>//<path>[<where>]` + a return of the matched
     * record (xml_extension.ts:1380 buildNestedCollectionQuery root). The

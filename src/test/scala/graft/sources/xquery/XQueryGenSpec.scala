@@ -117,6 +117,63 @@ class XQueryGenSpec extends SparkTestBase {
       .contains("$aggregaterow/*:kind,$aggregaterow/*:city"))
   }
 
+  test("two-collection INNER join compiles to the reference's single FLWOR") {
+    // reference: src/getdata.ts:110 dispatches 2-collection non-FULL joins
+    // to ONE backend query; xml_extension.ts:712 INNER branch — both
+    // collections in one `for`, ON in the FLWOR `where` with the RIGHT
+    // operand leading (:770), merged records deduped first-wins (:644)
+    val xq = XQueryGen.joinQuery("graft", XQueryGen.JoinSide("city",
+        Seq(EqualTo("kind", "k1"))),
+      XQueryGen.JoinSide("road"), Seq(("name", "cityname")))
+    // the ON leaf keeps its reference trailing space (:770) — <SP> marks it
+    assert(xq ==
+      """let $doc:= for $cityi in db:open("graft","city")//gml:featureMember/*[*:kind = 'k1'], $roadi in db:open("graft","road")//gml:featureMember/*
+        |where $roadi/*:cityname/text() = $cityi/*:name/text()<SP>
+        |return if(exists($cityi/*) or exists($roadi/*)) then(
+        |let $joinedCol := element{'result'}{($cityi/*,$roadi/*)}
+        |return element {'result'}{for $node in distinct-values($joinedCol/*/local-name()) return $joinedCol/*[local-name() eq $node][1]}
+        |) else()
+        |return $doc""".stripMargin.replace("<SP>", " "), xq)
+    // multi-key ON: leaves keep their trailing space, `and` composes
+    // without one (xml_extension.ts:724)
+    assert(XQueryGen.joinOnClause("ai", "bi",
+      Seq(("x", "y"), ("_attribute__id", "z"))) ==
+      "$bi/*:y/text() = $ai/*:x/text() and $bi/*:z/text() = $ai/@id/data() ")
+  }
+
+  test("LEFT join null-extends through the reference's skeleton; FULL refuses") {
+    // reference: xml_extension.ts:1052 LEFT/RIGHT branch — per-left
+    // subquery, unmatched rows merge the null-column skeleton (:1101)
+    val xq = XQueryGen.joinQuery("graft", XQueryGen.JoinSide("city"),
+      XQueryGen.JoinSide("road"), Seq(("name", "cityname")), joinType = "LEFT")
+    assert(xq.startsWith(
+      """let $doccity := for $cityi in db:open("graft","city")//gml:featureMember/*
+        |return $cityi
+        |let $docroad := for $roadi in db:open("graft","road")//gml:featureMember/*
+        |return $roadi
+        |let $nullColroad := for $roadi in $docroad[1]""".stripMargin), xq)
+    assert(xq.contains("let $matchedRow := for $right in $docroad\n" +
+      "where $right/*:cityname/text() = $left/*:name/text() "), xq)
+    assert(xq.contains("return if(empty($matchedRow)) then(\n" +
+      "let $elementroad:=$nullColroad\n" +
+      "let $joinedCol :=  element{'result'}{($left/*,$nullColroad)}"), xq)
+    // RIGHT swaps the iteration roles (:1245): outer loop walks road
+    val rq = XQueryGen.joinQuery("graft", XQueryGen.JoinSide("city"),
+      XQueryGen.JoinSide("road"), Seq(("name", "cityname")), joinType = "RIGHT")
+    assert(rq.contains("let $doc:= for $left in $docroad"), rq)
+    assert(rq.contains("let $nullColcity := for $cityi in $doccity[1]"), rq)
+    // FULL never pushes (src/getdata.ts:95 joinIsFullJoin exclusion)
+    intercept[IllegalArgumentException](
+      XQueryGen.joinQuery("graft", XQueryGen.JoinSide("a"),
+        XQueryGen.JoinSide("b"), Seq(("x", "y")), joinType = "FULL"))
+    // a COUNT+GROUP BY tail reuses the aggregation FLWOR (:697)
+    val agg = XQueryGen.joinQuery("graft", XQueryGen.JoinSide("city"),
+      XQueryGen.JoinSide("road"), Seq(("name", "cityname")),
+      groupBy = Seq("kind"), aggProjections = Seq(XQueryGen.countProjection("*")))
+    assert(agg.endsWith("return $aggregated"), agg)
+    assert(agg.contains("group by $group := $aggregaterow/*:kind"), agg)
+  }
+
   test("full selection FLWOR over the in-process HTTP listing's pushed filters") {
     // the same BaseX-REST-style fixture the DSv2 HTTP tests use: the scan's
     // PUSHED filters are exactly what a live-BaseX deployment would instead
