@@ -424,6 +424,84 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally server.stop(0)
     }),
+    // The reference's 2-collection JOIN pushdown, live under the gate
+    // (getdata.ts:110 dispatches 2-table joins to ONE backend query;
+    // xml_extension.ts:614 constructJoinQuery): customers and nations
+    // served as separate in-process BaseX-REST databases, joined through
+    // Spark's own DSv2 join negotiation (SupportsPushDownJoin) — the
+    // endpoint honestly evaluates the ON equality but IGNORES the pushed
+    // per-side predicate, so the gate also proves the scan's local
+    // re-apply reduces the server's superset to the exact join.
+    "q_xml_join_server" -> ((spark, dir) => {
+      init(spark, dir)
+      val custRecs = spark.sql(
+        """SELECT c_custkey % 4 AS part,
+          |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING), '</nk></rec>') AS r
+          |FROM customer""".stripMargin)
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => (s"d$p.xml", rows.map(_.getString(1)).mkString) }
+      val natDoc = spark.sql(
+        """SELECT concat('<rec><nname>', n_name, '</nname><nkey>', CAST(n_nationkey AS STRING), '</nkey></rec>') AS r
+          |FROM nation""".stripMargin)
+        .collect().map(_.getString(0)).mkString
+      def listing(names: Seq[String]) =
+        "<rest:database xmlns:rest=\"http://basex.org/rest\">" +
+          names.sorted.map(n => s"<rest:resource>$n</rest:resource>").mkString +
+          "</rest:database>"
+      val rec = s"<rec>((?:(?!</rec>).)*)</rec>".r
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/rest", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val resp =
+            if (ex.getRequestMethod == "POST") {
+              val q = new String(ex.getRequestBody.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val opened = """db:open\("([^"]+)","([^"]+)"\)""".r
+                .findAllMatchIn(q).map(m => (m.group(1), m.group(2))).toSeq
+              val body = opened match {
+                case Seq(("dbc", doc), ("dbn", _)) =>
+                  // the join query: evaluate ONLY the ON equality (nk =
+                  // nkey) — per-side predicates deliberately ignored
+                  val nats = rec.findAllMatchIn(natDoc).map(_.group(1)).map { n =>
+                    ("<nkey>([^<]*)</nkey>".r.findFirstMatchIn(n).get.group(1), n)
+                  }.toMap
+                  rec.findAllMatchIn(custRecs(doc)).map(_.group(1)).flatMap { c =>
+                    val nk = "<nk>([^<]*)</nk>".r.findFirstMatchIn(c).get.group(1)
+                    nats.get(nk).map(n => s"<result><l>$c</l><r>$n</r></result>")
+                  }.mkString
+                case Seq(("dbc", doc)) => custRecs(doc)
+                case Seq(("dbn", _))   => natDoc
+                case _                 => ""
+              }
+              s"<rest-results>$body</rest-results>"
+            } else if (ex.getRequestURI.getPath.endsWith("dbn")) listing(Seq("n.xml"))
+            else listing(custRecs.keys.toSeq)
+          val b = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+      })
+      server.start()
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest"
+        val c = spark.read.format("graft-xml")
+          .option("recordTag", "rec").option("columns", "name,nk")
+          .option("serverPushdown", "true").load(s"$base/dbc")
+        val n = spark.read.format("graft-xml")
+          .option("recordTag", "rec").option("columns", "nname,nkey")
+          .option("serverPushdown", "true").load(s"$base/dbn")
+        c.join(n, c("nk") === n("nkey"))
+          .where(col("nname").startsWith("NATION_1"))
+          .select(col("name"), col("nk"), col("nname"))
+          .localCheckpoint(true)
+      } finally {
+        spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+        server.stop(0)
+      }
+    }),
     "q_geojson_couch" -> ((spark, dir) => {
       init(spark, dir)
       val docs = spark.sql(
@@ -887,6 +965,10 @@ object SparkEntry {
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 3",
     "q_xml_server" ->
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 7",
+    "q_xml_join_server" ->
+      """SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE starts_with(n_name, 'NATION_1')""".stripMargin,
     "q_geojson_couch" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 7",
     "q_dedup_exact" ->

@@ -102,13 +102,129 @@ private class XmlTable(schema: StructType, properties: Map[String, String],
     new XmlScanBuilder(schema, properties ++ options.asScala.toMap, files)
 }
 
-private class XmlScanBuilder(schema: StructType, options: Map[String, String],
-                             files: Seq[String])
+private class XmlScanBuilder(val schema: StructType, val options: Map[String, String],
+                             val files: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownJoin {
   private var required: StructType = schema
-  private var pushed: Array[Filter] = Array.empty
-  private var agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None
+  private[xml] var pushed: Array[Filter] = Array.empty
+  private[xml] var agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None
+  private[xml] var join: Option[XmlJoinState] = None
+
+  private[xml] def serverPushdown: Boolean =
+    options.get("serverPushdown").orElse(options.get("serverpushdown"))
+      .exists(_.toBoolean) && files.nonEmpty && files.forall(_.startsWith("http"))
+
+  /** The one REST root every file of this side lives under, when they all
+    * parse as `<root>/<db>/<doc>` URLs — a pushed join sends one query per
+    * document pair to one server. */
+  private[xml] def restRoot: Option[String] = {
+    val roots = files.map(f => graft.sources.xquery.BaseXRest.anatomy(f).map(_._1))
+    if (files.nonEmpty && roots.forall(_.isDefined) && roots.flatten.distinct.length == 1)
+      roots.head else None
+  }
+
+  private[xml] def dialectVersion: Option[graft.sources.xquery.XQueryGen.Version] =
+    scala.util.Try(graft.sources.xquery.BaseXRest.versionOf(options.get("dialect"),
+      options.get("basexVersion").orElse(options.get("basexversion")))).toOption
+
+  /** INNER equi-joins of two server-pushdown collections on ONE server
+    * evaluate inside the database — the reference's 2-collection join
+    * pushdown (src/getdata.ts:110 canJoin dispatch;
+    * extension/xml_extension.ts:614 constructJoinQuery), surfaced through
+    * Spark's own DSv2 join-pushdown negotiation
+    * (`spark.sql.optimizer.datasourceV2JoinPushdown`). Both sides must be
+    * plain record scans (no aggregate, no bbox prune, not already joined)
+    * of the same dialect under the same REST root. */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: XmlScanBuilder =>
+        serverPushdown && o.serverPushdown &&
+          join.isEmpty && o.join.isEmpty && agg.isEmpty && o.agg.isEmpty &&
+          options.get("bbox").isEmpty && o.options.get("bbox").isEmpty &&
+          dialectVersion.isDefined && dialectVersion == o.dialectVersion &&
+          restRoot.isDefined && restRoot == o.restRoot
+      case _ => false
+    }
+
+  /** `=` leaves (optionally AND-composed) over single-part column
+    * references — the shape the join query's FLWOR `where` carries. */
+  private def eqPairs(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Seq[(String, String)]] = p match {
+    case a: org.apache.spark.sql.connector.expressions.filter.And =>
+      for (l <- eqPairs(a.left()); r <- eqPairs(a.right())) yield l ++ r
+    case _ if p.name() == "=" =>
+      p.children() match {
+        case Array(l: org.apache.spark.sql.connector.expressions.NamedReference,
+                   r: org.apache.spark.sql.connector.expressions.NamedReference)
+            if l.fieldNames.length == 1 && r.fieldNames.length == 1 =>
+          Some(Seq((l.fieldNames.head, r.fieldNames.head)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def pushDownJoin(other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftSideRequiredColumnsWithAliases: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightSideRequiredColumnsWithAliases: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    // INNER only: the scan re-applies the (deliberately widened) server
+    // condition locally, which restores exactness for inner pairs but
+    // cannot resurrect an outer row the server wrongly considered matched
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN) return false
+    if (!isOtherSideCompatibleForJoin(other)) return false
+    val o = other.asInstanceOf[XmlScanBuilder]
+    val leftCols = leftSideRequiredColumnsWithAliases.toSeq
+      .map(c => (c.colName, Option(c.alias).getOrElse(c.colName)))
+    val rightCols = rightSideRequiredColumnsWithAliases.toSeq
+      .map(c => (c.colName, Option(c.alias).getOrElse(c.colName)))
+    if (!leftCols.forall(c => schema.fieldNames.contains(c._1)) ||
+        !rightCols.forall(c => o.schema.fieldNames.contains(c._1))) return false
+    // resolve each condition reference: output (aliased) names first, the
+    // side's original columns as fallback (ON keys need not be projected)
+    val leftOut = leftCols.map { case (c, out) => out -> c }.toMap
+    val rightOut = rightCols.map { case (c, out) => out -> c }.toMap
+    def resolve(name: String): Option[Either[String, String]] =
+      (leftOut.get(name), rightOut.get(name)) match {
+        case (Some(c), None) => Some(Left(c))
+        case (None, Some(c)) => Some(Right(c))
+        case (None, None) =>
+          (schema.fieldNames.contains(name), o.schema.fieldNames.contains(name)) match {
+            case (true, false) => Some(Left(name))
+            case (false, true) => Some(Right(name))
+            case _             => None // absent or ambiguous
+          }
+        case _ => None // ambiguous across sides
+      }
+    // a key column must map to one document path the FLWOR can compare
+    def joinable(c: String): Boolean =
+      c != "geometry" && !c.startsWith("_undef__")
+    val on = eqPairs(condition).map(_.map { case (a, b) =>
+      (resolve(a), resolve(b)) match {
+        case (Some(Left(lc)), Some(Right(rc))) if joinable(lc) && joinable(rc) =>
+          Some((lc, rc))
+        case (Some(Right(rc)), Some(Left(lc))) if joinable(lc) && joinable(rc) =>
+          Some((lc, rc))
+        case _ => None
+      }
+    })
+    on match {
+      case Some(pairs) if pairs.nonEmpty && pairs.forall(_.isDefined) =>
+        def typeOf(side: StructType, c: String): DataType =
+          side.fields(side.fieldIndex(c)).dataType
+        val joined = StructType(
+          leftCols.map { case (c, out) => StructField(out, typeOf(schema, c)) } ++
+            rightCols.map { case (c, out) => StructField(out, typeOf(o.schema, c)) })
+        join = Some(XmlJoinState(pairs.flatten, leftCols, rightCols,
+          files, o.files, options.get("recordTag"), o.options.get("recordTag"),
+          pushed.toIndexedSeq, o.pushed.toIndexedSeq, joined))
+        required = joined
+        true
+      case _ => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -118,6 +234,7 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
     * (reference pushes COUNT + GROUP BY into BaseX: src/getdata.ts:71-156,
     * basex_extension.ts:16-30). */
   override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (join.isDefined) return false // joined rows aggregate in Spark
     val t = graft.sources.AggPushdown.translate(aggregation)
     agg = t
     t.isDefined
@@ -131,6 +248,7 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
     * InternalRow is ever built, and string comparison uses UTF8String binary
     * order, i.e. exactly Spark's StringType ordering. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (join.isDefined) return filters // post-join predicates stay in Spark
     val (supported, unsupported) = filters.partition(graft.sources.StringFilterEval.supports)
     pushed = supported
     unsupported
@@ -138,7 +256,108 @@ private class XmlScanBuilder(schema: StructType, options: Map[String, String],
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = XmlScan(required, options, files, pushed, agg)
+  override def build(): Scan = join match {
+    case Some(js) => XmlJoinScan(required, js, options)
+    case None     => XmlScan(required, options, files, pushed, agg)
+  }
+}
+
+/** A successfully negotiated server-side join: the ON equality pairs
+  * (left column, right column), each side's required columns as
+  * (column, output name), files, record tags, and pushed per-side
+  * filters, plus the full joined schema before any later pruning. */
+private[xml] case class XmlJoinState(
+    on: Seq[(String, String)],
+    leftCols: Seq[(String, String)], rightCols: Seq[(String, String)],
+    leftFiles: Seq[String], rightFiles: Seq[String],
+    leftRecordTag: Option[String], rightRecordTag: Option[String],
+    leftFilters: Seq[Filter], rightFilters: Seq[Filter],
+    joinedSchema: StructType)
+
+/** The scan for a pushed 2-collection join: one input partition per
+  * (left document, right document) pair, each POSTing the join FLWOR
+  * ([[graft.sources.xquery.BaseXRest.joinDocumentQuery]]) so only
+  * matching record pairs cross the wire — and re-applying the ON
+  * equality plus every pushed per-side filter on the flattened records,
+  * so a server that widens (or ignores) the condition costs transfer,
+  * never correctness. The reference runs the same construction as one
+  * single-threaded session query (getdata.ts:110); here each document
+  * pair is an independent Spark task. */
+private[graft] case class XmlJoinScan(required: StructType, js: XmlJoinState,
+                                      options: Map[String, String])
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xml server-join ${js.leftFiles.length}x${js.rightFiles.length} docs, " +
+      s"On: [${js.on.map { case (l, r) => s"$l = $r" }.mkString(", ")}], " +
+      s"LeftFilters: [${js.leftFilters.mkString(", ")}], " +
+      s"RightFilters: [${js.rightFilters.mkString(", ")}], ServerExec: " +
+      (if (options.get("dialect").contains("existdb")) "existdb-rest-join"
+       else "basex-rest-join")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (for (lf <- js.leftFiles; rf <- js.rightFiles)
+      yield XmlJoinPartition(lf, rf): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dialect = options.get("dialect")
+    val basexVersion = options.get("basexVersion").orElse(options.get("basexversion"))
+    // validate the dialect choice at planning time, not inside a task
+    graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion)
+    XmlJoinReaderFactory(required, js,
+      graft.sources.DocFiles.HttpTimeoutMs, // driver capture (no executor sys.props)
+      dialect, basexVersion)
+  }
+}
+
+private case class XmlJoinPartition(left: String, right: String) extends InputPartition
+
+private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
+                                        httpTimeoutMs: Int,
+                                        dialect: Option[String],
+                                        basexVersion: Option[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[XmlJoinPartition]
+    new PartitionReader[InternalRow] {
+      // output field → (comes from the left side, source column)
+      private val colFor: Map[String, (Boolean, String)] =
+        (js.leftCols.map { case (c, out) => out -> (true, c) } ++
+          js.rightCols.map { case (c, out) => out -> (false, c) }).toMap
+      private val rows: Iterator[InternalRow] =
+        graft.sources.xquery.BaseXRest.fetchJoinRecords(p.left, p.right,
+          graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
+          js.leftRecordTag, js.leftFilters, js.rightRecordTag, js.rightFilters,
+          js.on, httpTimeoutMs).iterator.flatMap { case (le, re) =>
+          val (lm, lg) = Xml.flattenRecord(le, XmlDataSource.kmlish(le))
+          val (rm, rg) = Xml.flattenRecord(re, XmlDataSource.kmlish(re))
+          // local re-apply of everything the server was asked to do: the
+          // pushed per-side filters AND the ON equality on the flattened
+          // values (the server's element-level comparison is a superset)
+          val keep =
+            js.leftFilters.forall(graft.sources.StringFilterEval.passes(_, lm)) &&
+              js.rightFilters.forall(graft.sources.StringFilterEval.passes(_, rm)) &&
+              js.on.forall { case (lc, rc) =>
+                (lm.get(lc), rm.get(rc)) match {
+                  case (Some(a), Some(b)) => a == b
+                  case _                  => false
+                }
+              }
+          if (!keep) None
+          else Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.map { f =>
+            val (isLeft, col) = colFor(f.name)
+            if (col == "geometry") (if (isLeft) lg else rg).orNull
+            else (if (isLeft) lm else rm).get(col).map(UTF8String.fromString).orNull
+          }))
+        }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[graft] case class XmlScan(required: StructType, options: Map[String, String],

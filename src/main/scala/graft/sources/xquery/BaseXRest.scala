@@ -288,20 +288,27 @@ object BaseXRest {
       throw new IllegalArgumentException(
         s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
     val xquery = documentQuery(db, doc, version, recordTag, filters, bbox, needed)
+    runQuery(root, s"$root/$db", version, xquery, timeoutMs)
+  }
+
+  /** POSTs one XQuery and answers the response root's element children,
+    * paging on the eXist dialect (which chunks at [[ExistPageSize]] and
+    * truncates at its own default without explicit `start`/`max`). */
+  private def runQuery(root: String, existUrl: String, version: XQueryGen.Version,
+                       xquery: String, timeoutMs: Int): Seq[scala.xml.Elem] = {
     // SecureXml.strict everywhere: responses are untrusted network content
     def elems(resp: String): Seq[scala.xml.Elem] =
       graft.geo.SecureXml.strict.loadString(resp)
         .child.collect { case e: scala.xml.Elem => e }
     if (version == XQueryGen.ExistDb601) {
       // eXist POSTs to the collection URL and pages
-      val url = s"$root/$db"
       val acc = scala.collection.mutable.ArrayBuffer.empty[scala.xml.Elem]
       var start = 1
       var page: Seq[scala.xml.Elem] = null
       while (page == null || page.size == ExistPageSize) {
         // backstop against a server that answers full pages forever
-        require(start < 100 * 1000 * 1000, s"$url exceeded 100M paged records")
-        page = elems(graft.sources.DocFiles.post(url,
+        require(start < 100 * 1000 * 1000, s"$existUrl exceeded 100M paged records")
+        page = elems(graft.sources.DocFiles.post(existUrl,
           existQueryBody(xquery, start, ExistPageSize), "application/xml", timeoutMs))
         acc ++= page
         start += page.size
@@ -310,5 +317,71 @@ object BaseXRest {
     } else
       elems(graft.sources.DocFiles.post(root, queryBody(xquery),
         "application/xml", timeoutMs))
+  }
+
+  /** The per-document-pair join XQuery the live path sends — the
+    * reference's 2-collection join pushdown (src/getdata.ts:110,
+    * xml_extension.ts:712 INNER branch; [[XQueryGen.joinQuery]] carries
+    * the verbatim template). Two deliberate deviations keep the server
+    * result a SUPERSET of local evaluation, which the scan's local
+    * re-apply then reduces to exactness:
+    *
+    *  - the ON comparison reads ELEMENT paths (`$r&#47;*:col = $l&#47;*:col`),
+    *    not the reference's `/text()` — a general comparison over
+    *    elements atomizes each occurrence's full string value, so a
+    *    record whose key element carries mixed content (several text
+    *    nodes) still matches the concatenated value local flattening
+    *    compares, where per-text-node comparison would silently DROP the
+    *    pair (the unrecoverable direction); repeated key elements match
+    *    existentially, a superset of the flattening's last-wins value;
+    *  - each surviving pair returns BOTH records re-wrapped whole
+    *    (`element{'l'}{$l/@*, $l&#47;*}`), not the merged first-wins dedup —
+    *    the two sides flatten independently on the engine side, so
+    *    same-named columns never shadow each other and every pushed
+    *    filter re-checks against exactly the values the local path
+    *    would have produced. */
+  private[sources] def joinDocumentQuery(
+      dbL: String, docL: String, recordTagL: Option[String], filtersL: Seq[Filter],
+      dbR: String, docR: String, recordTagR: Option[String], filtersR: Seq[Filter],
+      on: Seq[(String, String)], version: XQueryGen.Version): String = {
+    def preds(fs: Seq[Filter]): String = {
+      val ps = fs.flatMap(XQueryGen.fromSparkFilter)
+      if (ps.isEmpty) "" else ps.mkString("[", " and ", "]")
+    }
+    // reference operand order: the right side leads (xml_extension.ts:770)
+    val onClause = on.map { case (lc, rc) =>
+      s"$$r/${XQueryGen.columnPath(rc)} = $$l/${XQueryGen.columnPath(lc)}"
+    }.mkString(" and ")
+    val body =
+      s"""for $$l in ${version.docFunc(dbL, docL)}${recordPath(recordTagL)}${preds(filtersL)}, $$r in ${version.docFunc(dbR, docR)}${recordPath(recordTagR)}${preds(filtersR)}
+         |where $onClause
+         |return element{'result'}{element{'l'}{$$l/@*,$$l/*},element{'r'}{$$r/@*,$$r/*}}""".stripMargin
+    if (version == XQueryGen.ExistDb601) body
+    else s"element{'rest-results'}{$body}"
+  }
+
+  /** Runs the join query for one (left document, right document) pair and
+    * answers the surviving record pairs. Both documents must live under
+    * ONE REST root (the compatibility gate checks this at planning time);
+    * eXist pages pair-results like any other query. */
+  private[sources] def fetchJoinRecords(
+      leftDocUrl: String, rightDocUrl: String, version: XQueryGen.Version,
+      recordTagL: Option[String], filtersL: Seq[Filter],
+      recordTagR: Option[String], filtersR: Seq[Filter],
+      on: Seq[(String, String)],
+      timeoutMs: Int): Seq[(scala.xml.Elem, scala.xml.Elem)] = {
+    val (rootL, dbL, docL) = anatomy(leftDocUrl).getOrElse(
+      throw new IllegalArgumentException(s"join pushdown needs REST URLs; got $leftDocUrl"))
+    val (rootR, dbR, docR) = anatomy(rightDocUrl).getOrElse(
+      throw new IllegalArgumentException(s"join pushdown needs REST URLs; got $rightDocUrl"))
+    require(rootL == rootR, s"join pushdown spans one server; got $rootL vs $rootR")
+    val xq = joinDocumentQuery(dbL, docL, recordTagL, filtersL,
+      dbR, docR, recordTagR, filtersR, on, version)
+    runQuery(rootL, s"$rootL/$dbL", version, xq, timeoutMs).map { pair =>
+      val sides = pair.child.collect { case e: scala.xml.Elem => e }
+      require(sides.length == 2 && sides.head.label == "l" && sides(1).label == "r",
+        s"join result must pair <l> and <r> wrappers, got: $pair")
+      (sides.head, sides(1))
+    }
   }
 }
