@@ -484,7 +484,9 @@ object SparkEntry {
         }
       })
       server.start()
-      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      val joinConf = "spark.sql.optimizer.datasourceV2JoinPushdown"
+      val priorJoinConf = spark.conf.getOption(joinConf)
+      spark.conf.set(joinConf, "true")
       try {
         val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest"
         val c = spark.read.format("graft-xml")
@@ -498,7 +500,10 @@ object SparkEntry {
           .select(col("name"), col("nk"), col("nname"))
           .localCheckpoint(true)
       } finally {
-        spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+        priorJoinConf match {
+          case Some(v) => spark.conf.set(joinConf, v)
+          case None    => spark.conf.unset(joinConf)
+        }
         server.stop(0)
       }
     }),

@@ -219,7 +219,7 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
             rightCols.map { case (c, out) => StructField(out, typeOf(o.schema, c)) })
         join = Some(XmlJoinState(pairs.flatten, leftCols, rightCols,
           files, o.files, options.get("recordTag"), o.options.get("recordTag"),
-          pushed.toIndexedSeq, o.pushed.toIndexedSeq, joined))
+          pushed.toIndexedSeq, o.pushed.toIndexedSeq))
         required = joined
         true
       case _ => false
@@ -265,14 +265,24 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
 /** A successfully negotiated server-side join: the ON equality pairs
   * (left column, right column), each side's required columns as
   * (column, output name), files, record tags, and pushed per-side
-  * filters, plus the full joined schema before any later pruning. */
+  * filters. */
 private[xml] case class XmlJoinState(
     on: Seq[(String, String)],
     leftCols: Seq[(String, String)], rightCols: Seq[(String, String)],
     leftFiles: Seq[String], rightFiles: Seq[String],
     leftRecordTag: Option[String], rightRecordTag: Option[String],
-    leftFilters: Seq[Filter], rightFilters: Seq[Filter],
-    joinedSchema: StructType)
+    leftFilters: Seq[Filter], rightFilters: Seq[Filter]) {
+
+  /** Columns one side genuinely needs from its records: its required
+    * output, whatever its pushed filters re-check, and its ON keys — the
+    * set the join query projects server-side when expressible. */
+  def needed(left: Boolean): Seq[String] = {
+    val (cols, filters, keys) =
+      if (left) (leftCols, leftFilters, on.map(_._1))
+      else (rightCols, rightFilters, on.map(_._2))
+    (cols.map(_._1) ++ filters.flatMap(_.references.toSeq) ++ keys).distinct
+  }
+}
 
 /** The scan for a pushed 2-collection join: one input partition per
   * (left document, right document) pair, each POSTing the join FLWOR
@@ -329,7 +339,9 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
         graft.sources.xquery.BaseXRest.fetchJoinRecords(p.left, p.right,
           graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
           js.leftRecordTag, js.leftFilters, js.rightRecordTag, js.rightFilters,
-          js.on, httpTimeoutMs).iterator.flatMap { case (le, re) =>
+          js.on, httpTimeoutMs,
+          Some(js.needed(left = true)), Some(js.needed(left = false)))
+          .iterator.flatMap { case (le, re) =>
           val (lm, lg) = Xml.flattenRecord(le, XmlDataSource.kmlish(le))
           val (rm, rg) = Xml.flattenRecord(re, XmlDataSource.kmlish(re))
           // local re-apply of everything the server was asked to do: the

@@ -111,13 +111,14 @@ object BaseXRest {
     * `_attribute__`, or `_undef__` column makes this None and the whole
     * record travels instead. */
   private[sources] def projectionExpr(varName: String, columns: Seq[String],
-                                      wantGeometry: Boolean): Option[String] = {
+                                      wantGeometry: Boolean,
+                                      as: String = "result"): Option[String] = {
     val simple = columns.filterNot(_ == "geometry").distinct
     if (!simple.forall(simpleName)) None
     else {
       val parts = simple.map(c => s"$$$varName/*:$c") ++
         (if (wantGeometry) Seq(s"$$$varName/(*|*/*)[$SpatialGuard]") else Nil)
-      Some(s"element{'result'}{${parts.mkString(",")}}")
+      Some(s"element{'$as'}{${parts.mkString(",")}}")
     }
   }
 
@@ -343,19 +344,28 @@ object BaseXRest {
   private[sources] def joinDocumentQuery(
       dbL: String, docL: String, recordTagL: Option[String], filtersL: Seq[Filter],
       dbR: String, docR: String, recordTagR: Option[String], filtersR: Seq[Filter],
-      on: Seq[(String, String)], version: XQueryGen.Version): String = {
-    def preds(fs: Seq[Filter]): String = {
-      val ps = fs.flatMap(XQueryGen.fromSparkFilter)
-      if (ps.isEmpty) "" else ps.mkString("[", " and ", "]")
-    }
+      on: Seq[(String, String)], version: XQueryGen.Version,
+      neededL: Option[Seq[String]] = None,
+      neededR: Option[Seq[String]] = None): String = {
     // reference operand order: the right side leads (xml_extension.ts:770)
     val onClause = on.map { case (lc, rc) =>
       s"$$r/${XQueryGen.columnPath(rc)} = $$l/${XQueryGen.columnPath(lc)}"
     }.mkString(" and ")
+    // each side projects server-side when its needed columns are simple
+    // (the single-table path's projectionExpr contract — the needed set
+    // already includes ON keys and filter references so the local
+    // re-apply still sees every value it checks); otherwise the whole
+    // record travels, attributes included
+    def wrapper(as: String): String = {
+      val needed = if (as == "l") neededL else neededR
+      needed.flatMap(cols =>
+        projectionExpr(as, cols, cols.contains("geometry"), as))
+        .getOrElse(s"element{'$as'}{$$$as/@*,$$$as/*}")
+    }
     val body =
-      s"""for $$l in ${version.docFunc(dbL, docL)}${recordPath(recordTagL)}${preds(filtersL)}, $$r in ${version.docFunc(dbR, docR)}${recordPath(recordTagR)}${preds(filtersR)}
+      s"""for $$l in ${version.docFunc(dbL, docL)}${recordPath(recordTagL)}${XQueryGen.predBracket(filtersL)}, $$r in ${version.docFunc(dbR, docR)}${recordPath(recordTagR)}${XQueryGen.predBracket(filtersR)}
          |where $onClause
-         |return element{'result'}{element{'l'}{$$l/@*,$$l/*},element{'r'}{$$r/@*,$$r/*}}""".stripMargin
+         |return element{'result'}{${wrapper("l")},${wrapper("r")}}""".stripMargin
     if (version == XQueryGen.ExistDb601) body
     else s"element{'rest-results'}{$body}"
   }
@@ -369,14 +379,16 @@ object BaseXRest {
       recordTagL: Option[String], filtersL: Seq[Filter],
       recordTagR: Option[String], filtersR: Seq[Filter],
       on: Seq[(String, String)],
-      timeoutMs: Int): Seq[(scala.xml.Elem, scala.xml.Elem)] = {
+      timeoutMs: Int,
+      neededL: Option[Seq[String]] = None,
+      neededR: Option[Seq[String]] = None): Seq[(scala.xml.Elem, scala.xml.Elem)] = {
     val (rootL, dbL, docL) = anatomy(leftDocUrl).getOrElse(
       throw new IllegalArgumentException(s"join pushdown needs REST URLs; got $leftDocUrl"))
     val (rootR, dbR, docR) = anatomy(rightDocUrl).getOrElse(
       throw new IllegalArgumentException(s"join pushdown needs REST URLs; got $rightDocUrl"))
     require(rootL == rootR, s"join pushdown spans one server; got $rootL vs $rootR")
     val xq = joinDocumentQuery(dbL, docL, recordTagL, filtersL,
-      dbR, docR, recordTagR, filtersR, on, version)
+      dbR, docR, recordTagR, filtersR, on, version, neededL, neededR)
     runQuery(rootL, s"$rootL/$dbL", version, xq, timeoutMs).map { pair =>
       val sides = pair.child.collect { case e: scala.xml.Elem => e }
       require(sides.length == 2 && sides.head.label == "l" && sides(1).label == "r",

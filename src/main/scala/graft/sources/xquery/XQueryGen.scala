@@ -227,16 +227,14 @@ object XQueryGen {
   case class JoinSide(collection: String, filters: Seq[Filter] = Nil)
 
   /** Join-key access inside the ON comparison — the reference's
-    * constructColumnOn (xml_extension.ts:745, gml branch): simple columns
-    * read `*:col/text()`, flattened attribute forms read `@attr/data()`. */
+    * constructColumnOn (xml_extension.ts:745, gml branch): element paths
+    * read `…/text()`, attribute forms `…/data()`. Routing through
+    * [[columnPath]] extends the reference's simple/attribute handling to
+    * `parent__child` keys (which would otherwise emit a never-matching
+    * `*:parent__child` step) and REFUSES `_undef__` keys rather than
+    * silently joining nothing. */
   private def onAccess(column: String): String =
-    if (column.startsWith("_attribute__")) {
-      column.split("__").filter(_.nonEmpty) match {
-        case Array("_attribute", attr)         => s"@$attr/data()"
-        case Array("_attribute", parent, attr) => s"*:$parent/@$attr/data()"
-        case _ => s"@${column.stripPrefix("_attribute__")}/data()"
-      }
-    } else s"*:$column/text()"
+    columnPath(column) + (if (column.startsWith("_attribute__")) "/data()" else "/text()")
 
   /** The FLWOR `where` for the ON conjunction, reference operand order —
     * the RIGHT side's column leads each comparison
@@ -294,10 +292,7 @@ object XQueryGen {
                 groupBy: Seq[String] = Nil,
                 aggProjections: Seq[String] = Nil): String = {
     require(on.nonEmpty, "join pushdown needs at least one ON equality")
-    def preds(s: JoinSide): String = {
-      val ps = s.filters.flatMap(fromSparkFilter)
-      if (ps.isEmpty) "" else ps.mkString("[", " and ", "]")
-    }
+    def preds(s: JoinSide): String = predBracket(s.filters)
     val tail =
       if (aggProjections.isEmpty) "return $doc"
       else aggregation(groupBy, aggProjections) + "\nreturn $aggregated"
@@ -347,6 +342,15 @@ object XQueryGen {
     }
   }
 
+  /** Every pushable filter (plus any pre-compiled predicate text) as ONE
+    * root predicate bracket — the `[…and…]` the reference appends to its
+    * collection iteration lines. Shared by the selection, the generator
+    * join, and the live join so the three paths cannot diverge. */
+  def predBracket(filters: Seq[Filter], extra: Seq[String] = Nil): String = {
+    val ps = filters.flatMap(fromSparkFilter) ++ extra
+    if (ps.isEmpty) "" else ps.mkString("[", " and ", "]")
+  }
+
   /** A full selection over one collection, the reference's root FLWOR line:
     * `for $<col>i in <docFunc>//<path>[<where>]` + a return of the matched
     * record (xml_extension.ts:1380 buildNestedCollectionQuery root). The
@@ -366,8 +370,7 @@ object XQueryGen {
                 returnExpr: String = null): String = {
     val v = Option(varName).getOrElse(collection + "i")
     val ret = Option(returnExpr).getOrElse(s"$$$v")
-    val preds = filters.flatMap(fromSparkFilter) ++ spatialPredicates
-    val whereRoot = if (preds.isEmpty) "" else preds.mkString("[", " and ", "]")
+    val whereRoot = predBracket(filters, spatialPredicates)
     s"""for $$$v in ${version.docFunc(db, collection)}$recordPath$whereRoot
        |return $ret""".stripMargin
   }

@@ -111,8 +111,9 @@ class XmlJoinPushdownSpec extends SparkTestBase {
         """for $l in db:open("dba","a.xml")//*:feature[exists(*:kind[not(*)][not(@group)]) and *:kind = 'k1' and exists(*:name[not(*)][not(@group)])], $r in db:open("dbb","b.xml")//*:feature[exists(*:ref[not(*)][not(@group)])]"""),
         sent)
       assert(sent.contains("where $r/*:ref = $l/*:name"), sent)
+      // narrow sides PROJECT server-side (output + filter refs + ON keys)
       assert(sent.contains(
-        "return element{'result'}{element{'l'}{$l/@*,$l/*},element{'r'}{$r/@*,$r/*}}"),
+        "return element{'result'}{element{'l'}{$l/*:name,$l/*:kind},element{'r'}{$r/*:ref,$r/*:pop}}"),
         sent)
     }
   }

@@ -139,6 +139,13 @@ class XQueryGenSpec extends SparkTestBase {
     assert(XQueryGen.joinOnClause("ai", "bi",
       Seq(("x", "y"), ("_attribute__id", "z"))) ==
       "$bi/*:y/text() = $ai/*:x/text() and $bi/*:z/text() = $ai/@id/data() ")
+    // nested keys walk the flattening's document path (a bare
+    // `*:addr__zip` step would match nothing); _undef__ keys refuse
+    // rather than silently joining zero rows
+    assert(XQueryGen.joinOnClause("ai", "bi", Seq(("addr__zip", "zip"))) ==
+      "$bi/*:zip/text() = $ai/*:addr/*:zip/text() ")
+    intercept[IllegalArgumentException](
+      XQueryGen.joinOnClause("ai", "bi", Seq(("_undef__m", "zip"))))
   }
 
   test("LEFT join null-extends through the reference's skeleton; FULL refuses") {
