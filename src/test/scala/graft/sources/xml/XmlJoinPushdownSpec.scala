@@ -162,6 +162,71 @@ class XmlJoinPushdownSpec extends SparkTestBase {
     }
   }
 
+  test("eXist dialect joins through the eXist REST protocol") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    def listing(db: String, res: String) =
+      s"""<exist:result xmlns:exist="http://exist.sourceforge.net/NS/exist">
+         |  <exist:collection name="/db/$db">
+         |    <exist:resource name="$res" created="2026-01-01"/>
+         |  </exist:collection>
+         |</exist:result>""".stripMargin
+    def inner(rec: String) =
+      rec.replaceAll("^<feature>", "").replaceAll("</feature>$", "")
+    Seq(("dba", "a.xml"), ("dbb", "b.xml")).foreach { case (db, res) =>
+      server.createContext(s"/exist/rest/$db", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          if (ex.getRequestMethod == "POST") {
+            val q = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            posted.add(q)
+            // the join query POSTs to the LEFT collection URL; cartesian
+            // pairs again (where ignored), one page
+            val body = (for (lr <- docs(("dba", "a.xml")); rr <- docs(("dbb", "b.xml")))
+              yield s"<result><l>${inner(lr)}</l><r>${inner(rr)}</r></result>").mkString
+            respond(ex,
+              "<exist:result xmlns:exist=\"http://exist.sourceforge.net/NS/exist\">" +
+                body + "</exist:result>")
+          } else respond(ex, listing(db, res))
+      })
+    }
+    server.start()
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/exist/rest"
+      def erd(db: String, cols: String) =
+        spark.read.format("graft-xml").option("recordTag", "feature")
+          .option("serverPushdown", "true").option("dialect", "existdb")
+          .option("columns", cols).load(s"$base/$db")
+      val a = erd("dba", "name,kind")
+      val b = erd("dbb", "ref,pop")
+      val j = a.join(b, a("name") === b("ref")).select("kind", "pop")
+      assert(j.queryExecution.executedPlan.toString.contains("existdb-rest-join"),
+        j.queryExecution.executedPlan.toString)
+      assert(j.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("k1", "10")))
+      val sent = posted.asScala.last
+      // eXist protocol envelope with explicit paging, hierarchical
+      // collection() access for BOTH sides, no BaseX result wrapper
+      assert(sent.contains(
+        "<query xmlns=\"http://exist.sourceforge.net/NS/exist\" start=\"1\" max=\"1000\">"),
+        sent)
+      assert(sent.contains("""collection("/db/dba/a.xml")//*:feature"""), sent)
+      assert(sent.contains("""collection("/db/dbb/b.xml")//*:feature"""), sent)
+      assert(sent.contains("where $r/*:ref = $l/*:name"), sent)
+      assert(!sent.contains("rest-results"), sent)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+      server.stop(0)
+    }
+  }
+
   test("a second join on top stays in Spark (2-collection pushdown, like the reference)") {
     withServer { (base, _) =>
       val a = rd(base, "dba", "name,kind")
