@@ -124,10 +124,21 @@ private class GeoJsonTable(schema: StructType, properties: Map[String, String],
 private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String],
                                  files: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None
+  private var limit: Option[Int] = None
+
+  /** Per-partition truncation after the local filter re-apply — exactly
+    * LocalLimit's contract. Server mode needs no wire change: the `_find`
+    * pages pull lazily, so consuming n rows stops the HTTP traffic at
+    * ceil(n/25) pages by itself. */
+  override def pushLimit(l: Int): Boolean = {
+    if (agg.isDefined) false
+    else { limit = Some(l); true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -150,18 +161,20 @@ private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String
     t.isDefined
   }
 
-  override def build(): Scan = GeoJsonScan(required, options, files, pushed, agg)
+  override def build(): Scan = GeoJsonScan(required, options, files, pushed, agg, limit)
 }
 
 private[graft] case class GeoJsonScan(required: StructType, options: Map[String, String],
                                       files: Seq[String], pushed: Array[Filter],
-                                      agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None)
+                                      agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None,
+                                      limit: Option[Int] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan {
   override def readSchema(): StructType =
     agg.map { case (g, s) => AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(l => s", PushedLimit: $l").getOrElse("") +
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
@@ -196,7 +209,7 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
       options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
       pushed, options.get("bbox"), agg,
       graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
-      GeoJsonDataSource.serverMode(options))
+      GeoJsonDataSource.serverMode(options), limit)
 }
 
 private case class GeoJsonInputPartition(file: String) extends InputPartition
@@ -205,7 +218,8 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
                                         filters: Array[Filter], bbox: Option[String],
                                         agg: Option[(Seq[String], Seq[AggPushdown.Spec])],
                                         httpTimeoutMs: Int,
-                                        serverPushdown: Boolean = false)
+                                        serverPushdown: Boolean = false,
+                                        limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   /** Mango `fields` projection for server mode: every column the reader
@@ -247,7 +261,7 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
       private val rows: Iterator[InternalRow] = {
-        val records = documents(file).flatMap { json =>
+        val matching = documents(file).flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
             // pushed filters run on the FULL property map (they may reference
             // columns pruned from the output schema) before any row is built
@@ -255,6 +269,9 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
             else None
           }
         }
+        // pushed LIMIT: per-partition truncation after the re-apply; the
+        // lazy _find pages stop pulling once n rows are consumed
+        val records = limit.map(matching.take).getOrElse(matching)
         agg match {
           case Some((groups, specs)) =>
             AggPushdown.aggregate(records.map(_._1), groups, specs)

@@ -106,11 +106,24 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
                              val files: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownJoin {
+    with SupportsPushDownJoin with SupportsPushDownLimit {
   private var required: StructType = schema
   private[xml] var pushed: Array[Filter] = Array.empty
   private[xml] var agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None
   private[xml] var join: Option[XmlJoinState] = None
+  private var limit: Option[Int] = None
+
+  /** A pushed LIMIT truncates each partition after the local filter
+    * re-apply, which is exactly LocalLimit's per-partition contract in
+    * both modes (Spark's GlobalLimit still combines partitions). Server
+    * scans additionally cap the QUERY when nothing re-applies afterwards
+    * — with pushed filters the server's first-n matches could shrink
+    * under the local re-apply (widened predicates), an under-delivery
+    * no local step could repair, so the wire cap stays off then. */
+  override def pushLimit(l: Int): Boolean = {
+    if (agg.isDefined || join.isDefined) false
+    else { limit = Some(l); true }
+  }
 
   private[xml] def serverPushdown: Boolean =
     options.get("serverPushdown").orElse(options.get("serverpushdown"))
@@ -258,7 +271,7 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
 
   override def build(): Scan = join match {
     case Some(js) => XmlJoinScan(required, js, options)
-    case None     => XmlScan(required, options, files, pushed, agg)
+    case None     => XmlScan(required, options, files, pushed, agg, limit)
   }
 }
 
@@ -374,13 +387,15 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
 
 private[graft] case class XmlScan(required: StructType, options: Map[String, String],
                                   files: Seq[String], pushed: Array[Filter],
-                                  agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None)
+                                  agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None,
+                                  limit: Option[Int] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan {
   override def readSchema(): StructType =
     agg.map { case (g, s) => graft.sources.AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(l => s", PushedLimit: $l").getOrElse("") +
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
@@ -415,7 +430,7 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
     XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg,
       graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
       options.get("serverPushdown").orElse(options.get("serverpushdown")).exists(_.toBoolean),
-      dialect, basexVersion)
+      dialect, basexVersion, limit)
   }
 }
 
@@ -427,7 +442,8 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
                                     httpTimeoutMs: Int,
                                     serverPushdown: Boolean = false,
                                     dialect: Option[String] = None,
-                                    basexVersion: Option[String] = None)
+                                    basexVersion: Option[String] = None,
+                                    limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   /** Columns the reader genuinely needs from each record: the output
@@ -459,7 +475,10 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       else graft.sources.xquery.BaseXRest.fetchRecords(file,
           graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
           recordTag, filters.toIndexedSeq, bbox, httpTimeoutMs,
-          Some(neededColumns))
+          Some(neededColumns),
+          // wire cap only when NOTHING re-applies afterwards — the
+          // server's first-n could otherwise shrink under the re-apply
+          if (filters.isEmpty && bbox.isEmpty) limit else None)
         // kml-ness is per record here (no document root to inspect); a
         // projected record carries it only on the copied spatial children
         .map(r => (r, XmlDataSource.kmlish(r)))
@@ -492,7 +511,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
             graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
             recordTag, filters.toIndexedSeq, groups, specs, httpTimeoutMs).iterator
         } else {
-          val records = recordElems(file).iterator.flatMap { case (r, kml) =>
+          val matching = recordElems(file).iterator.flatMap { case (r, kml) =>
             val (m, g) = Xml.flattenRecord(r, kml)
             // pushed filters run on the FULL flattened map (they may reference
             // columns pruned from the output schema) before any row is built
@@ -500,6 +519,9 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
                 filters.forall(graft.sources.StringFilterEval.passes(_, m))) Some((m, g))
             else None
           }
+          // pushed LIMIT: per-partition truncation AFTER the re-apply —
+          // LocalLimit's contract exactly (builder refuses limit+agg)
+          val records = limit.map(matching.take).getOrElse(matching)
           agg match {
             case Some((groups, specs)) =>
               graft.sources.AggPushdown.aggregate(records.map(_._1), groups, specs)

@@ -134,7 +134,8 @@ object BaseXRest {
   def documentQuery(db: String, doc: String, version: XQueryGen.Version,
                     recordTag: Option[String], filters: Seq[Filter],
                     bbox: Option[String] = None,
-                    needed: Option[Seq[String]] = None): String = {
+                    needed: Option[Seq[String]] = None,
+                    limit: Option[Int] = None): String = {
     val recordPath = BaseXRest.recordPath(recordTag)
     val varName = BaseXRest.varName(doc)
     val spatial =
@@ -145,7 +146,12 @@ object BaseXRest {
       .flatMap(cols => projectionExpr(varName, cols, wantGeometry)).orNull
     val sel = XQueryGen.selection(db, doc, version, filters, spatial,
       recordPath = recordPath, varName = varName, returnExpr = returnExpr)
-    if (version == XQueryGen.ExistDb601) sel else s"element{'rest-results'}{$sel}"
+    // a pushed LIMIT caps the wire: subsequence keeps the first n records
+    // (the caller only passes it when no filter/bbox re-applies — any n
+    // records satisfy an unordered LIMIT, so first-n is exact)
+    val capped = limit.map(n => s"subsequence($sel, 1, $n)").getOrElse(sel)
+    if (version == XQueryGen.ExistDb601) capped
+    else s"element{'rest-results'}{$capped}"
   }
 
   /** Descendant `*:tag` steps for a recordTag; two child steps (children
@@ -284,11 +290,12 @@ object BaseXRest {
   def fetchRecords(docUrl: String, version: XQueryGen.Version,
                    recordTag: Option[String], filters: Seq[Filter],
                    bbox: Option[String], timeoutMs: Int,
-                   needed: Option[Seq[String]] = None): Seq[scala.xml.Elem] = {
+                   needed: Option[Seq[String]] = None,
+                   limit: Option[Int] = None): Seq[scala.xml.Elem] = {
     val (root, db, doc) = anatomy(docUrl).getOrElse(
       throw new IllegalArgumentException(
         s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
-    val xquery = documentQuery(db, doc, version, recordTag, filters, bbox, needed)
+    val xquery = documentQuery(db, doc, version, recordTag, filters, bbox, needed, limit)
     runQuery(root, s"$root/$db", version, xquery, timeoutMs)
   }
 

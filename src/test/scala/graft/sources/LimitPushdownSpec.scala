@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pushed LIMIT on both DSv2 sources: per-partition truncation after the
+  * local filter re-apply (LocalLimit's exact contract), plus a wire-level
+  * `subsequence` cap on predicate-free server scans — `SELECT * FROM t
+  * LIMIT 10` against a huge HTTP collection must not transfer the
+  * collection. With pushed filters the wire cap stays OFF: the server's
+  * first-n matches could shrink under the local re-apply (widened
+  * predicates), an under-delivery nothing local can repair. */
+class LimitPushdownSpec extends SparkTestBase {
+
+  import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+  import scala.jdk.CollectionConverters._
+
+  test("local graft-xml: limit truncates after filters, plan shows the push") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-limit").toFile
+    (0 until 3).foreach { i =>
+      val f = new java.io.File(dir, s"d$i.xml")
+      val recs = (0 until 4).map(j =>
+        s"<feature><name>n${i}_$j</name><kind>k${j % 2}</kind></feature>").mkString
+      java.nio.file.Files.write(f.toPath, s"<col>$recs</col>".getBytes("UTF-8"))
+    }
+    val rd = spark.read.format("graft-xml").option("recordTag", "feature")
+      .option("columns", "name,kind").load(dir.getAbsolutePath)
+    val lim = rd.limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 5"),
+      lim.queryExecution.executedPlan.toString)
+    assert(lim.count() == 5)
+    // with an absorbed filter the truncation happens AFTER the filter:
+    // k0 matches 2 of 4 records per doc, limit 3 still finds 3 across docs
+    val fl = rd.where(col("kind") === "k0").limit(3)
+    assert(fl.queryExecution.executedPlan.toString.contains("PushedLimit: 3"),
+      fl.queryExecution.executedPlan.toString)
+    assert(fl.count() == 3)
+    assert(fl.collect().forall(_.getString(1) == "k0"))
+    // a limit above an aggregate stays in Spark (builder refuses agg+limit)
+    assert(rd.groupBy("kind").count().limit(1).count() == 1)
+  }
+
+  test("server graft-xml: predicate-free limits cap the wire, filtered ones do not") {
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val recs = (0 until 6).map(j => s"<rec><name>n$j</name><kind>k${j % 2}</kind></rec>")
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/rest", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestMethod == "POST") {
+          val q = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          posted.add(q)
+          // honest subsequence; predicates deliberately IGNORED (superset)
+          val n = """subsequence\(.*, 1, (\d+)\)""".r
+            .findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(recs.size)
+          respond(ex, s"<rest-results>${recs.take(n).mkString}</rest-results>")
+        } else respond(ex,
+          """<rest:database xmlns:rest="http://basex.org/rest">
+            |<rest:resource>a.xml</rest:resource></rest:database>""".stripMargin)
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest/db"
+      def rd = spark.read.format("graft-xml").option("recordTag", "rec")
+        .option("columns", "name,kind").option("serverPushdown", "true").load(base)
+      // no predicate → the cap travels in the query
+      assert(rd.limit(2).count() == 2)
+      assert(posted.asScala.last.contains("subsequence("), posted.asScala.last)
+      // pushed filter → NO wire cap (first-n could shrink under re-apply);
+      // the server ignores the predicate, re-apply + local take stay exact
+      val fl = rd.where(col("kind") === "k1").limit(2)
+      assert(fl.collect().map(_.getString(0)).toSeq == Seq("n1", "n3"))
+      assert(!posted.asScala.last.contains("subsequence("), posted.asScala.last)
+    } finally server.stop(0)
+  }
+
+  test("server graft-geojson: a limit stops the _find paging") {
+    val posted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val docs = (0 until 60).map(i =>
+      s"""{"type":"Feature","properties":{"name":"p$i"},"geometry":{"type":"Point","coordinates":[$i,0]}}""")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/db/_find", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        posted.incrementAndGet()
+        val skip = """"skip": (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+        val resp = s"""{"docs":[${docs.slice(skip, skip + 25).mkString(",")}]}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/db"
+      val rd = spark.read.format("graft-geojson")
+        .option("columns", "name").option("serverPushdown", "true").load(base)
+      val lim = rd.limit(3)
+      assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit: 3"),
+        lim.queryExecution.executedPlan.toString)
+      assert(lim.count() == 3)
+      // 3 rows consumed ≤ one 25-doc page: exactly one _find POST
+      assert(posted.get() == 1, s"expected 1 page pull, got ${posted.get()}")
+    } finally server.stop(0)
+  }
+}
