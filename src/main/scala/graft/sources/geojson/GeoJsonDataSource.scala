@@ -251,7 +251,10 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
           // widened: Mango matches type-sensitively, graft columns are
           // strings — numeric-looking literals match either JSON typing
           filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen)),
-        serverFields, httpTimeoutMs)
+        serverFields, httpTimeoutMs,
+        // cursor cap only when NOTHING re-applies afterwards (the same
+        // gate as the XML wire cap): first-n is exact then
+        if (filters.isEmpty && bbox.isEmpty) limit else None)
     else GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -28,10 +28,11 @@ object CouchFind {
 
   /** One page of documents (as JSON text), reference stride: page `batch`
     * covers rows [batch*25, batch*25+25). The limit is explicit so the
-    * stride holds even when the endpoint's default page size is not 25. */
+    * stride holds even when the endpoint's default page size is not 25;
+    * the final page of a capped cursor shrinks it to the remainder. */
   def page(dbUrl: String, selector: String, fields: Seq[String], batch: Int,
-           timeoutMs: Int): Seq[String] = {
-    val body = MongoFindGen.couchQuery(selector, fields, batch, Some(PageSize))
+           timeoutMs: Int, limit: Int = PageSize): Seq[String] = {
+    val body = MongoFindGen.couchQuery(selector, fields, batch, Some(limit))
     val resp = graft.sources.DocFiles.post(
       s"${dbUrl.stripSuffix("/")}/_find", body, "application/json", timeoutMs)
     docsOf(resp)
@@ -72,17 +73,26 @@ object CouchFind {
   }
 
   /** All matching documents, lazily paginated — each partition reader pulls
-    * pages as Spark consumes rows, so a LIMIT stops the HTTP traffic too. */
+    * pages as Spark consumes rows, so a LIMIT stops the HTTP traffic too.
+    * `maxDocs` caps the cursor itself (the last page asks the server for only
+    * the remainder) — the reader passes it ONLY when nothing re-applies
+    * locally, where first-n is exact; with filters in play the lazy
+    * paging still stops early but each page stays full-size so the local
+    * re-apply can keep looking. */
   def docs(dbUrl: String, selector: String, fields: Seq[String],
-           timeoutMs: Int): Iterator[String] =
+           timeoutMs: Int, maxDocs: Option[Int] = None): Iterator[String] =
     new Iterator[Seq[String]] {
       private var batch = 0
+      private var served = 0
       private var last: Seq[String] = null
-      override def hasNext: Boolean = last == null || last.size == PageSize
+      override def hasNext: Boolean =
+        (last == null || last.size == PageSize) && maxDocs.forall(served < _)
       override def next(): Seq[String] = {
         require(batch < MaxPages, s"$dbUrl/_find exceeded $MaxPages pages")
-        last = page(dbUrl, selector, fields, batch, timeoutMs)
+        val pageLimit = maxDocs.map(m => math.min(PageSize, m - served)).getOrElse(PageSize)
+        last = page(dbUrl, selector, fields, batch, timeoutMs, pageLimit)
         batch += 1
+        served += last.size
         last
       }
     }.flatten

@@ -354,7 +354,7 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
           js.leftRecordTag, js.leftFilters, js.rightRecordTag, js.rightFilters,
           js.on, httpTimeoutMs,
           Some(js.needed(left = true)), Some(js.needed(left = false)))
-          .iterator.flatMap { case (le, re) =>
+          .flatMap { case (le, re) =>
           val (lm, lg) = Xml.flattenRecord(le, XmlDataSource.kmlish(le))
           val (rm, rg) = Xml.flattenRecord(re, XmlDataSource.kmlish(re))
           // local re-apply of everything the server was asked to do: the
@@ -469,9 +469,9 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
     * records (projected to [[neededColumns]] when expressible) — but the
     * caller still re-applies every filter, so the two modes agree even
     * against a server that ignored the query. */
-  private def recordElems(file: String): Seq[(scala.xml.Node, Boolean)] =
+  private def recordElems(file: String): Iterator[(scala.xml.Node, Boolean)] =
     if (serverPushdown && file.startsWith("http")) {
-      if (bbox.contains("empty")) Nil // provably-unsatisfiable prune: no query
+      if (bbox.contains("empty")) Iterator.empty // unsatisfiable prune: no query
       else graft.sources.xquery.BaseXRest.fetchRecords(file,
           graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
           recordTag, filters.toIndexedSeq, bbox, httpTimeoutMs,
@@ -485,7 +485,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
     } else {
       val doc = XmlDataSource.loadDoc(file, httpTimeoutMs)
       val kml = XmlDataSource.isKml(doc)
-      Xml.records(doc, recordTag).map(r => (r, kml))
+      Xml.records(doc, recordTag).iterator.map(r => (r, kml))
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -511,7 +511,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
             graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
             recordTag, filters.toIndexedSeq, groups, specs, httpTimeoutMs).iterator
         } else {
-          val matching = recordElems(file).iterator.flatMap { case (r, kml) =>
+          val matching = recordElems(file).flatMap { case (r, kml) =>
             val (m, g) = Xml.flattenRecord(r, kml)
             // pushed filters run on the FULL flattened map (they may reference
             // columns pruned from the output schema) before any row is built

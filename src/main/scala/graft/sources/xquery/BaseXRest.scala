@@ -291,7 +291,7 @@ object BaseXRest {
                    recordTag: Option[String], filters: Seq[Filter],
                    bbox: Option[String], timeoutMs: Int,
                    needed: Option[Seq[String]] = None,
-                   limit: Option[Int] = None): Seq[scala.xml.Elem] = {
+                   limit: Option[Int] = None): Iterator[scala.xml.Elem] = {
     val (root, db, doc) = anatomy(docUrl).getOrElse(
       throw new IllegalArgumentException(
         s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
@@ -299,32 +299,37 @@ object BaseXRest {
     runQuery(root, s"$root/$db", version, xquery, timeoutMs)
   }
 
-  /** POSTs one XQuery and answers the response root's element children,
-    * paging on the eXist dialect (which chunks at [[ExistPageSize]] and
-    * truncates at its own default without explicit `start`/`max`). */
+  /** POSTs one XQuery and answers the response root's element children.
+    * BaseX answers everything in one response; the eXist dialect chunks
+    * at [[ExistPageSize]] (and truncates at its OWN default without
+    * explicit `start`/`max`), so its branch pages LAZILY — the caller
+    * pulls pages as it consumes records, and a pushed LIMIT (or any
+    * early stop) ends the HTTP traffic, like the CouchDB `_find`
+    * cursor. */
   private def runQuery(root: String, existUrl: String, version: XQueryGen.Version,
-                       xquery: String, timeoutMs: Int): Seq[scala.xml.Elem] = {
+                       xquery: String, timeoutMs: Int): Iterator[scala.xml.Elem] = {
     // SecureXml.strict everywhere: responses are untrusted network content
     def elems(resp: String): Seq[scala.xml.Elem] =
       graft.geo.SecureXml.strict.loadString(resp)
         .child.collect { case e: scala.xml.Elem => e }
     if (version == XQueryGen.ExistDb601) {
       // eXist POSTs to the collection URL and pages
-      val acc = scala.collection.mutable.ArrayBuffer.empty[scala.xml.Elem]
-      var start = 1
-      var page: Seq[scala.xml.Elem] = null
-      while (page == null || page.size == ExistPageSize) {
-        // backstop against a server that answers full pages forever
-        require(start < 100 * 1000 * 1000, s"$existUrl exceeded 100M paged records")
-        page = elems(graft.sources.DocFiles.post(existUrl,
-          existQueryBody(xquery, start, ExistPageSize), "application/xml", timeoutMs))
-        acc ++= page
-        start += page.size
-      }
-      acc.toSeq
+      new Iterator[Seq[scala.xml.Elem]] {
+        private var start = 1
+        private var last: Seq[scala.xml.Elem] = null
+        override def hasNext: Boolean = last == null || last.size == ExistPageSize
+        override def next(): Seq[scala.xml.Elem] = {
+          // backstop against a server that answers full pages forever
+          require(start < 100 * 1000 * 1000, s"$existUrl exceeded 100M paged records")
+          last = elems(graft.sources.DocFiles.post(existUrl,
+            existQueryBody(xquery, start, ExistPageSize), "application/xml", timeoutMs))
+          start += last.size
+          last
+        }
+      }.flatten
     } else
       elems(graft.sources.DocFiles.post(root, queryBody(xquery),
-        "application/xml", timeoutMs))
+        "application/xml", timeoutMs)).iterator
   }
 
   /** The per-document-pair join XQuery the live path sends — the
@@ -388,7 +393,7 @@ object BaseXRest {
       on: Seq[(String, String)],
       timeoutMs: Int,
       neededL: Option[Seq[String]] = None,
-      neededR: Option[Seq[String]] = None): Seq[(scala.xml.Elem, scala.xml.Elem)] = {
+      neededR: Option[Seq[String]] = None): Iterator[(scala.xml.Elem, scala.xml.Elem)] = {
     val (rootL, dbL, docL) = anatomy(leftDocUrl).getOrElse(
       throw new IllegalArgumentException(s"join pushdown needs REST URLs; got $leftDocUrl"))
     val (rootR, dbR, docR) = anatomy(rightDocUrl).getOrElse(

@@ -227,6 +227,26 @@ class XmlJoinPushdownSpec extends SparkTestBase {
     }
   }
 
+  test("a spatial predicate on one side refuses the push, falls back correctly") {
+    withServer { (base, _) =>
+      // SpatialFilterPushdown injects a derived bbox into the side's scan
+      // options; the join gate refuses bbox sides (the widened spatial
+      // prune and the join cap have unproven interplay) and Spark joins
+      // locally over the two still-pushed-down single-table scans
+      val a = rd(base, "dba", "name,kind")
+      val b = rd(base, "dbb", "ref,pop")
+      val j = a.join(b, a("name") === b("ref"))
+        .where(call_function("st_intersects", a("geometry"),
+          call_function("st_geomfromtext", lit("POLYGON((2 3,4 3,4 5,2 5,2 3))"))))
+        .select("name", "pop")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("server-join"), plan)
+      // dba record n1 carries Point(3 4) inside the box; n2 has no geometry
+      assert(j.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("n1", "10")))
+    }
+  }
+
   test("a second join on top stays in Spark (2-collection pushdown, like the reference)") {
     withServer { (base, _) =>
       val a = rd(base, "dba", "name,kind")
