@@ -253,7 +253,9 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
           filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen)),
         serverFields, httpTimeoutMs,
         // cursor cap only when NOTHING re-applies afterwards (the same
-        // gate as the XML wire cap): first-n is exact then
+        // gate as the XML wire cap); it is a transfer hint, not a
+        // truncation — a zero-row document (empty FeatureCollection)
+        // makes the reader pull past it and paging resumes full-size
         if (filters.isEmpty && bbox.isEmpty) limit else None)
     else GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs)
 

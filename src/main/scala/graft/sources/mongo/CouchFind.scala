@@ -26,13 +26,15 @@ object CouchFind {
     * far past the point where the data belongs in a bulk snapshot. */
   private val MaxPages = 4 * 1000 * 1000
 
-  /** One page of documents (as JSON text), reference stride: page `batch`
-    * covers rows [batch*25, batch*25+25). The limit is explicit so the
-    * stride holds even when the endpoint's default page size is not 25;
-    * the final page of a capped cursor shrinks it to the remainder. */
-  def page(dbUrl: String, selector: String, fields: Seq[String], batch: Int,
+  /** One page of documents (as JSON text). `skip` is the absolute
+    * document offset (docs already served by this cursor) and `limit`
+    * the page size to ask for — explicit on every request so the stride
+    * holds even when the endpoint's default page size is not 25, and so
+    * a shrunk page (the capped cursor's remainder) cannot corrupt the
+    * offset of the one after it. */
+  def page(dbUrl: String, selector: String, fields: Seq[String], skip: Int,
            timeoutMs: Int, limit: Int = PageSize): Seq[String] = {
-    val body = MongoFindGen.couchQuery(selector, fields, batch, Some(limit))
+    val body = MongoFindGen.couchQuery(selector, fields, skip, Some(limit))
     val resp = graft.sources.DocFiles.post(
       s"${dbUrl.stripSuffix("/")}/_find", body, "application/json", timeoutMs)
     docsOf(resp)
@@ -74,28 +76,22 @@ object CouchFind {
 
   /** All matching documents, lazily paginated — each partition reader pulls
     * pages as Spark consumes rows, so a LIMIT stops the HTTP traffic too.
-    * `maxDocs` caps the cursor itself (the last page asks the server for only
-    * the remainder) — the reader passes it ONLY when nothing re-applies
-    * locally, where first-n is exact; with filters in play the lazy
-    * paging still stops early but each page stays full-size so the local
-    * re-apply can keep looking. */
+    * `maxDocs` is a TRANSFER HINT, not a truncation: while under it the
+    * cursor asks the server for only the remainder (a pushed LIMIT n on a
+    * predicate-free scan transfers n documents), but if the consumer
+    * keeps pulling past it — a document that flattened to ZERO rows
+    * (empty FeatureCollection) makes n docs yield fewer than n rows —
+    * paging resumes with full-size pages, so the cap can never
+    * under-deliver. The reader passes it only when nothing re-applies
+    * locally; with filters in play every page stays full-size so the
+    * local re-apply can keep looking. */
   def docs(dbUrl: String, selector: String, fields: Seq[String],
            timeoutMs: Int, maxDocs: Option[Int] = None): Iterator[String] =
-    new Iterator[Seq[String]] {
-      private var batch = 0
-      private var served = 0
-      private var last: Seq[String] = null
-      override def hasNext: Boolean =
-        (last == null || last.size == PageSize) && maxDocs.forall(served < _)
-      override def next(): Seq[String] = {
-        require(batch < MaxPages, s"$dbUrl/_find exceeded $MaxPages pages")
-        val pageLimit = maxDocs.map(m => math.min(PageSize, m - served)).getOrElse(PageSize)
-        last = page(dbUrl, selector, fields, batch, timeoutMs, pageLimit)
-        batch += 1
-        served += last.size
-        last
-      }
-    }.flatten
+    graft.sources.Paged.pull(MaxPages, s"$dbUrl/_find",
+      ask = served => maxDocs.filter(_ > served)
+        .map(m => math.min(PageSize, m - served)).getOrElse(PageSize),
+      fetch = (served, ask) =>
+        page(dbUrl, selector, fields, served, timeoutMs, ask))
 
   /** Extracts the `docs` array of a `_find` response, each document
     * re-serialized verbatim (streaming copy, no tree built). */

@@ -140,19 +140,21 @@ object MongoFindGen {
     }
   }
 
-  /** CouchDB Mango request body: the SAME selector, paginated in batches
-    * of 25 like the reference's recursive fetch
+  /** CouchDB Mango request body: the SAME selector, paginated like the
+    * reference's recursive fetch
     * (couchdb_extension.ts:84 `{selector, skip, fields}`). The reference
-    * relies on CouchDB's default `_find` limit being 25; the live
-    * execution path passes `limit` explicitly so the skip stride and the
-    * termination check stay correct against an endpoint configured with
-    * a different default. */
-  def couchQuery(selectorJson: String, fields: Seq[String], batch: Int,
+    * relies on CouchDB's default `_find` limit being 25 and strides by
+    * batch*25; here `skip` is the ABSOLUTE document offset (the count of
+    * documents the cursor has already served) so a page whose `limit`
+    * shrank — the capped cursor's remainder page — still resumes exactly
+    * where the previous one ended instead of re-deriving the offset from
+    * the shrunk limit (which would re-read early rows and drop the
+    * tail). */
+  def couchQuery(selectorJson: String, fields: Seq[String], skip: Int,
                  limit: Option[Int] = None): String = {
     val f = if (fields.isEmpty) ""
             else s""", "fields": [${fields.map(jstr).mkString(", ")}]"""
     val l = limit.map(n => s""", "limit": $n""").getOrElse("")
-    // the skip stride MUST equal the page size or pages overlap/skip rows
-    s"""{"selector": $selectorJson, "skip": ${batch * limit.getOrElse(25)}$f$l}"""
+    s"""{"selector": $selectorJson, "skip": $skip$f$l}"""
   }
 }

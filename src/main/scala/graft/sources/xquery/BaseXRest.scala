@@ -313,20 +313,13 @@ object BaseXRest {
       graft.geo.SecureXml.strict.loadString(resp)
         .child.collect { case e: scala.xml.Elem => e }
     if (version == XQueryGen.ExistDb601) {
-      // eXist POSTs to the collection URL and pages
-      new Iterator[Seq[scala.xml.Elem]] {
-        private var start = 1
-        private var last: Seq[scala.xml.Elem] = null
-        override def hasNext: Boolean = last == null || last.size == ExistPageSize
-        override def next(): Seq[scala.xml.Elem] = {
-          // backstop against a server that answers full pages forever
-          require(start < 100 * 1000 * 1000, s"$existUrl exceeded 100M paged records")
-          last = elems(graft.sources.DocFiles.post(existUrl,
-            existQueryBody(xquery, start, ExistPageSize), "application/xml", timeoutMs))
-          start += last.size
-          last
-        }
-      }.flatten
+      // eXist POSTs to the collection URL and pages; `start` is the
+      // 1-based absolute record offset (= served + 1). 100k pages of
+      // [[ExistPageSize]] = the old 100M-record backstop.
+      graft.sources.Paged.pull(100 * 1000, existUrl,
+        ask = _ => ExistPageSize,
+        fetch = (served, ask) => elems(graft.sources.DocFiles.post(existUrl,
+          existQueryBody(xquery, served + 1, ask), "application/xml", timeoutMs)))
     } else
       elems(graft.sources.DocFiles.post(root, queryBody(xquery),
         "application/xml", timeoutMs)).iterator

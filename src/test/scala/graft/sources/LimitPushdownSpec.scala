@@ -176,4 +176,61 @@ class LimitPushdownSpec extends SparkTestBase {
       assert(lastLimit.get() == 25, s"filtered page asked for ${lastLimit.get()}")
     } finally server.stop(0)
   }
+
+  /** An honest-paging `_find` endpoint that records every (skip, limit)
+    * request pair — the stride itself is under test here. */
+  private def withFindServer(docs: IndexedSeq[String])(
+      body: (String, java.util.List[(Int, Int)]) => Unit): Unit = {
+    val asked = new java.util.concurrent.CopyOnWriteArrayList[(Int, Int)]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/db/_find", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val skip = """"skip": (\d+)""".r.findFirstMatchIn(req).map(_.group(1).toInt).getOrElse(0)
+        val lim = """"limit": (\d+)""".r.findFirstMatchIn(req).map(_.group(1).toInt).getOrElse(25)
+        asked.add((skip, lim))
+        val resp = s"""{"docs":[${docs.slice(skip, skip + lim).mkString(",")}]}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/db", asked)
+    finally server.stop(0)
+  }
+
+  test("capped _find cursor keeps the skip stride across a page boundary") {
+    val docs = (0 until 60).map(i =>
+      s"""{"type":"Feature","properties":{"name":"p$i"},"geometry":{"type":"Point","coordinates":[$i,0]}}""")
+    withFindServer(docs) { (base, asked) =>
+      val rd = spark.read.format("graft-geojson")
+        .option("columns", "name").option("serverPushdown", "true").load(base)
+      // 25 < 30 and 30 % 25 != 0: the remainder page must resume at the
+      // ABSOLUTE offset 25, not re-derive it from the shrunk limit (a
+      // batch*limit stride would ask skip=5 — duplicates + dropped tail)
+      val names = rd.limit(30).collect().map(_.getString(0)).toSeq
+      assert(names == (0 until 30).map(i => s"p$i"), names)
+      assert(asked.asScala.toSeq == Seq((0, 25), (25, 5)), asked.asScala)
+    }
+  }
+
+  test("a zero-row document cannot make the capped cursor under-deliver") {
+    // doc 0 flattens to ZERO rows (empty FeatureCollection): first-3-docs
+    // yields only 2 rows, so the cap must be a transfer hint the reader
+    // can pull past, never a truncation
+    val docs = """{"type":"FeatureCollection","features":[]}""" +:
+      (1 until 30).map(i =>
+        s"""{"type":"Feature","properties":{"name":"p$i"},"geometry":{"type":"Point","coordinates":[$i,0]}}""")
+    withFindServer(docs.toIndexedSeq) { (base, asked) =>
+      val rd = spark.read.format("graft-geojson")
+        .option("columns", "name").option("serverPushdown", "true").load(base)
+      val names = rd.limit(3).collect().map(_.getString(0)).toSeq
+      assert(names == Seq("p1", "p2", "p3"), names)
+      // capped first ask (3 docs), then the resumed full-size page from
+      // the correct absolute offset
+      assert(asked.asScala.toSeq == Seq((0, 3), (3, 25)), asked.asScala)
+    }
+  }
 }

@@ -79,12 +79,17 @@ class MongoFindGenSpec extends SparkTestBase {
   }
 
   test("CouchDB Mango body paginates the same selector in 25-doc batches") {
-    // reference: couchdb_extension.ts:84 — {selector, skip: batch*25, fields}
+    // reference: couchdb_extension.ts:84 — {selector, skip, fields} where
+    // the stride walks 25 docs per batch; skip here is the absolute offset
     val sel = MongoFindGen.selector(Seq(EqualTo("kind", "mosque")))
-    assert(MongoFindGen.couchQuery(sel, Seq("geometry", "kind"), batch = 0) ==
+    assert(MongoFindGen.couchQuery(sel, Seq("geometry", "kind"), skip = 0) ==
       s"""{"selector": $sel, "skip": 0, "fields": ["geometry", "kind"]}""")
-    assert(MongoFindGen.couchQuery(sel, Nil, batch = 3) ==
+    assert(MongoFindGen.couchQuery(sel, Nil, skip = 75) ==
       s"""{"selector": $sel, "skip": 75}""")
+    // a shrunk capped page must NOT perturb the offset of the next one:
+    // the remainder page at offset 25 asks {"skip": 25, "limit": 5}
+    assert(MongoFindGen.couchQuery(sel, Nil, skip = 25, limit = Some(5)) ==
+      s"""{"selector": $sel, "skip": 25, "limit": 5}""")
   }
 
   test("the DSv2 scan's pushed filters are exactly what the selector compiles") {
