@@ -37,6 +37,22 @@ private[sources] object DocFiles {
     }
   }
 
+  /** Total on-disk bytes of the listed documents, or empty when any of
+    * them is a network URL (no measurable size) or the filesystem cannot
+    * answer — the caller falls back to Spark's conservative default. */
+  def bytesOf(files: Seq[String]): java.util.OptionalLong =
+    if (files.exists(f => f.startsWith("http://") || f.startsWith("https://")))
+      java.util.OptionalLong.empty()
+    else try {
+      val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      var total = 0L
+      files.foreach { f =>
+        val p = new Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen
+      }
+      java.util.OptionalLong.of(total)
+    } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+
   private val DocExtensions =
     Seq(".xml", ".kml", ".gml", ".geojson", ".json", ".ndjson")
 
@@ -152,4 +168,26 @@ trait GraftSpatialScan extends Scan {
   def bboxSpec: Option[String]
   /** Same scan with the bbox prune replaced by `spec`. */
   def withBbox(spec: String): Scan
+}
+
+/** Real input-size statistics for the optimizer. Without these a DSv2
+  * relation weighs in at `spark.sql.defaultSizeInBytes` (Long.MaxValue),
+  * so a join between a small document collection and a large fact table
+  * can never plan a broadcast-hash join statically — AQE only converts
+  * it AFTER the small side has paid a full shuffle write. Raw document
+  * bytes are the estimate: XML/JSON markup overhead makes that an upper
+  * bound on the flattened row data, so a broadcast decision based on it
+  * is safe. HTTP collections answer "unknown" (empty), keeping the
+  * conservative default — claiming a size we never measured could
+  * broadcast an unbounded network collection. */
+trait GraftDocStatistics
+  extends org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  def files: Seq[String]
+  // computed once per scan: one driver-side getFileStatus per document
+  private lazy val bytes = DocFiles.bytesOf(files)
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
 }

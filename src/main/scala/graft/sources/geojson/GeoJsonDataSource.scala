@@ -168,7 +168,8 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
                                       files: Seq[String], pushed: Array[Filter],
                                       agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None,
                                       limit: Option[Int] = None)
-  extends Scan with Batch with graft.sources.GraftSpatialScan {
+  extends Scan with Batch with graft.sources.GraftSpatialScan
+  with graft.sources.GraftDocStatistics {
   override def readSchema(): StructType =
     agg.map { case (g, s) => AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this

@@ -389,7 +389,8 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
                                   files: Seq[String], pushed: Array[Filter],
                                   agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None,
                                   limit: Option[Int] = None)
-  extends Scan with Batch with graft.sources.GraftSpatialScan {
+  extends Scan with Batch with graft.sources.GraftSpatialScan
+  with graft.sources.GraftDocStatistics {
   override def readSchema(): StructType =
     agg.map { case (g, s) => graft.sources.AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this
