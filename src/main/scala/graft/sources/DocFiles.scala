@@ -39,19 +39,31 @@ private[sources] object DocFiles {
 
   /** Total on-disk bytes of the listed documents, or empty when any of
     * them is a network URL (no measurable size) or the filesystem cannot
-    * answer — the caller falls back to Spark's conservative default. */
+    * answer — the caller falls back to Spark's conservative default.
+    * Statistics are best-effort by contract, so ANY failure (including
+    * the RuntimeExceptions some Hadoop connectors wrap auth/config
+    * errors in) degrades to "unknown" rather than failing planning.
+    * One listStatus per parent directory, not one RPC per file — a
+    * 10k-document collection costs a handful of driver round-trips. */
   def bytesOf(files: Seq[String]): java.util.OptionalLong =
     if (files.exists(f => f.startsWith("http://") || f.startsWith("https://")))
       java.util.OptionalLong.empty()
     else try {
       val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
       var total = 0L
-      files.foreach { f =>
-        val p = new Path(f)
-        total += p.getFileSystem(conf).getFileStatus(p).getLen
+      files.map(new Path(_)).groupBy(_.getParent).foreach { case (parent, ps) =>
+        val fs = parent.getFileSystem(conf)
+        if (ps.size <= 2) total += ps.map(fs.getFileStatus(_).getLen).sum
+        else {
+          // one listing amortizes the whole sibling group; per-file
+          // status only when the group is too small to pay for it
+          val wanted = ps.map(_.getName).toSet
+          total += fs.listStatus(parent)
+            .filter(s => wanted(s.getPath.getName)).map(_.getLen).sum
+        }
       }
       java.util.OptionalLong.of(total)
-    } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+    } catch { case scala.util.control.NonFatal(_) => java.util.OptionalLong.empty() }
 
   private val DocExtensions =
     Seq(".xml", ".kml", ".gml", ".geojson", ".json", ".ndjson")

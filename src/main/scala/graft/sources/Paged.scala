@@ -36,6 +36,10 @@ object Paged {
         // forever
         require(pages < backstopPages, s"$what exceeded $backstopPages pages")
         lastAsked = ask(served)
+        // an ask of 0 would make every empty page look continuable
+        // (0 >= 0) and spin no-op fetches into the backstop — pin the
+        // invariant here so no future cursor can drift into it
+        require(lastAsked > 0, s"$what: page ask must be positive, got $lastAsked")
         last = fetch(served, lastAsked)
         pages += 1
         served += last.size
