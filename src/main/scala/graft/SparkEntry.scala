@@ -713,6 +713,17 @@ object SparkEntry {
       """SELECT doc_id,
         |       md5(CAST(regexp_replace(lower(trim(text)), '\\s+', ' ') AS BINARY)) AS fp
         |FROM documents""".stripMargin),
+    "q_decontaminate" -> ((spark, dir) => {
+      init(spark, dir)
+      // eval set = every 20th document; flag training docs sharing any
+      // word 4-gram with it (benchmark n-grams broadcast; corpus never
+      // shuffles — only hit rows reach the per-doc count)
+      val docs = spark.table("documents")
+      operators.TextAnalysis.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4)
+    }),
     "q_fingerprint_rolling" -> ((spark, dir) => {
       init(spark, dir)
       spark.table("documents")
@@ -1136,6 +1147,17 @@ object SparkEntry {
       "SELECT bigram, count(*) AS freq FROM (SELECT unnest(ws[1:len(ws)-1]) || ' ' || unnest(ws[2:len(ws)]) AS bigram FROM (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents) s) t GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20",
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents""",
+    // same tokenization as q_lm_score's ws CTE; ws[i:i+3] is DuckDB's
+    // 1-based INCLUSIVE slice = 4 words; range(1, len-2) is empty for
+    // docs shorter than 4 words, mirroring wordNgrams' guard
+    "q_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),
+        |ng AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) AS ngram FROM ws),
+        |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 20 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.ngram) AS hit_ngrams
+        |FROM ng g JOIN bench b ON g.ngram = b.ngram
+        |WHERE g.doc_id % 20 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
     "q_quality_filter" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2 FROM documents
         |WHERE length(text) BETWEEN 200 AND 1000000

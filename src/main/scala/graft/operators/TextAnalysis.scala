@@ -179,6 +179,43 @@ object TextAnalysis {
   }
 
   /** One-call quality report over a document table. */
+  /** All word n-grams of `text` (whitespace-tokenized, lowercased),
+    * joined back to strings; a document shorter than `n` words has
+    * none. Pure column expression — no UDF, stays in codegen. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val ws = filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` distinct word `n`-grams with an evaluation set, with
+    * their overlap counts — the standard pre-training hygiene step that
+    * keeps eval answers out of the training corpus (n-gram-overlap
+    * matching as published for GPT-3/PaLM-style dedup against
+    * benchmarks).
+    *
+    * Scale design: evaluation suites are small by nature (thousands of
+    * documents), so their DISTINCT n-grams BROADCAST; the corpus side
+    * explodes its n-grams map-side into the broadcast hash join, and
+    * only the HIT rows — rare by construction — reach the one shuffle
+    * (the per-document distinct count). The 100 TB corpus is never
+    * shuffled and never holds more than a partition's n-grams in
+    * flight. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val bench = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("ngram")).distinct()
+    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .join(broadcast(bench), "ngram")
+      .groupBy(idCol).agg(countDistinct("ngram").as("hit_ngrams"))
+      .where(col("hit_ngrams") >= minOverlap)
+  }
+
   def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Graft.register(df.sparkSession)
     val t = col(textCol)

@@ -156,6 +156,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("decontaminate flags n-gram overlap with the benchmark, broadcast-planned") {
+    val benchmark = Seq(
+      (100L, "What is the capital of France Paris is the answer")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaked: shares the 8-gram "what is the capital of france paris is"
+      (1L, "trivia dump: what is the capital of France Paris is where it ends up"),
+      // clean: overlapping words but no shared 8-gram
+      (2L, "the capital of Germany is Berlin and France is elsewhere entirely"),
+      // shorter than 8 words: no n-grams at all
+      (3L, "capital of France")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, benchmark, "doc_id", "text")
+    // the benchmark n-gram set must broadcast — the corpus side stays
+    // map-side with no shuffle before the hit count
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.keySet == Set(1L), rows)
+    assert(rows(1L) >= 1)
+    // case-insensitivity: the leak is detected across casing differences
+    val shouted = corpus.withColumn("text", upper($"text"))
+    assert(TextAnalysis.decontaminate(shouted, benchmark, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // minOverlap raises the bar past a single shared n-gram
+    assert(TextAnalysis.decontaminate(corpus, benchmark, "doc_id", "text",
+      minOverlap = 100).count() == 0)
+  }
+
   test("bigram LM score ranks in-domain text above gibberish") {
     val model = TextAnalysis.bigramModel(docs, "text", topK = 20000)
     assert(model.bigrams.nonEmpty && model.unigrams.nonEmpty)
