@@ -71,6 +71,24 @@ object ScaleSmoke {
       Dedup.minhashPairs(docs10, "doc_id", "text", 5, 128, 32, 0.8).count()
     }
 
+    // Benchmark decontamination at corpus scale: 50k docs against a
+    // 250-doc eval set. The eval set's distinct 8-grams broadcast; the
+    // corpus explodes n-grams map-side and only hit rows shuffle — cost
+    // should scale with the corpus scan, not with corpus × benchmark.
+    if (only.isEmpty || "decontaminate".contains(only)) {
+      // JIT warmup for the explode + broadcast-join shape (see minhash note)
+      graft.operators.TextAnalysis.decontaminate(
+        docs.limit(500), docs.where(col("doc_id") % 20 === 0), "doc_id", "text").count()
+    }
+    time("decontaminate 5k docs vs 250-doc benchmark") {
+      graft.operators.TextAnalysis.decontaminate(
+        docs, docs.where(col("doc_id") % 20 === 0), "doc_id", "text").count()
+    }
+    time("decontaminate 50k docs vs 250-doc benchmark") {
+      graft.operators.TextAnalysis.decontaminate(
+        docs10, docs.where(col("doc_id") % 20 === 0), "doc_id", "text").count()
+    }
+
     // Hot-bucket skew: 5k identical boilerplate docs land every band in ONE
     // bucket (12.5M intra-bucket pairs → 800M generated join rows). With AQE
     // on, the skew-join split already spreads the hot partition; saltCap
