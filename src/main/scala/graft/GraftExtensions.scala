@@ -198,10 +198,15 @@ object Graft {
         spark.experimental.extraOptimizations :+ graft.plans.SpatialFilterPushdown()
   }
 
-  /** Result of [[processQuery]]: the frame, plus — when the query projects
-    * `ST_AsGeoJSON` — the rows re-shaped as a GeoJSON FeatureCollection
-    * (reference: src/index.ts:349 processQuery / :323 convertRestoGeoJSON). */
-  case class QueryResult(df: org.apache.spark.sql.DataFrame, geoJson: Option[String])
+  /** Result of [[processQuery]]: the frame, its rows — collected ONCE,
+    * capped at `maxRows` — plus, when the query projects `ST_AsGeoJSON`,
+    * the same rows re-shaped as a GeoJSON FeatureCollection
+    * (reference: src/index.ts:349 processQuery / :323 convertRestoGeoJSON).
+    * Serving layers should read `rows`, not re-collect `df` (one Spark
+    * job per request, not two). */
+  case class QueryResult(df: org.apache.spark.sql.DataFrame,
+                         rows: Array[org.apache.spark.sql.Row],
+                         geoJson: Option[String])
 
   /** The reference's user-facing entry point: raw SQL in, result out, with
     * automatic FeatureCollection conversion when an `st_asgeojson` column is
@@ -216,15 +221,50 @@ object Graft {
                    maxRows: Int = 10000): QueryResult = {
     register(spark)
     val df = spark.sql(sqlText).limit(maxRows)
+    val rows = df.collect() // the ONE driver materialization per request
     val geoCol = df.schema.fieldNames.find(_.equalsIgnoreCase("st_asgeojson"))
-    val geo = geoCol.map { c =>
-      val wkb = df.withColumn(c, StGeomFromGeoJsonCol(df, c))
-      graft.sources.GeoJsonSource.toFeatureCollection(wkb.withColumnRenamed(c, "geometry"), "geometry")
-    }
-    QueryResult(df, geo)
+    val geo = geoCol.map(featureCollection(rows, df.schema, _))
+    QueryResult(df, rows, geo)
   }
 
-  private def StGeomFromGeoJsonCol(df: org.apache.spark.sql.DataFrame, c: String) =
-    org.apache.spark.sql.functions.call_function("st_geomfromgeojson",
-      org.apache.spark.sql.functions.col(c))
+  /** The already-collected rows as a FeatureCollection — same shape as
+    * [[graft.sources.GeoJsonSource.toFeatureCollection]] but built from
+    * the request's single collect. The geometry column holds GeoJSON
+    * text (it was projected by `ST_AsGeoJSON`); parse → write normalizes
+    * it and rejects non-GeoJSON content the way the old
+    * `ST_GeomFromGeoJSON` round-trip did. */
+  private def featureCollection(rows: Array[org.apache.spark.sql.Row],
+                                schema: org.apache.spark.sql.types.StructType,
+                                geomCol: String): String = {
+    val geomIdx = schema.fieldIndex(geomCol)
+    val others = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val sb = new StringBuilder("""{"type":"FeatureCollection","features":[""")
+    rows.zipWithIndex.foreach { case (row, i) =>
+      if (i > 0) sb.append(',')
+      sb.append("""{"type":"Feature","properties":{""")
+      others.zipWithIndex.foreach { case ((f, fi), oi) =>
+        if (oi > 0) sb.append(',')
+        sb.append('"').append(f.name).append("\":")
+        row.get(fi) match {
+          case null => sb.append("null")
+          // NaN/Infinity have no JSON literal — emit null, not bare NaN
+          case d: java.lang.Double if d.isNaN || d.isInfinite => sb.append("null")
+          case f: java.lang.Float if f.isNaN || f.isInfinite => sb.append("null")
+          case n: Number => sb.append(n.toString)
+          case b: Boolean => sb.append(b.toString)
+          case s => sb.append('"')
+            .append(s.toString.replace("\\", "\\\\").replace("\"", "\\\""))
+            .append('"')
+        }
+      }
+      sb.append("},\"geometry\":")
+      row.get(geomIdx) match {
+        case null => sb.append("null")
+        case g => sb.append(graft.geo.GeoJson.write(graft.geo.GeoJson.parse(g.toString)))
+      }
+      sb.append('}')
+    }
+    sb.append("]}")
+    sb.toString
+  }
 }

@@ -71,9 +71,18 @@ object SqlHttpServer {
 
     server.createContext("/query", (ex: HttpExchange) => {
       try {
+        // auth and origin are decided BEFORE the body is read: an
+        // unauthenticated client must not be able to buffer an
+        // arbitrarily large body on a handler thread
+        if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
+        else if (!sameSite(ex)) respond(ex, 403, """{"error":"cross-site request refused"}""")
+        else {
         val sql = ex.getRequestMethod match {
           case "POST" =>
-            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val body = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+            if (body.length > MaxBodyBytes)
+              throw new IllegalArgumentException(s"request body exceeds $MaxBodyBytes bytes")
+            new String(body, StandardCharsets.UTF_8)
           case "GET" =>
             Option(ex.getRequestURI.getRawQuery).toSeq
               .flatMap(_.split("&").toSeq)
@@ -82,11 +91,10 @@ object SqlHttpServer {
               }.getOrElse("")
           case _ => ""
         }
-        if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
-        else if (sql.trim.isEmpty) respond(ex, 400, """{"error":"empty sql"}""")
+        if (sql.trim.isEmpty) respond(ex, 400, """{"error":"empty sql"}""")
         else {
           val result = Graft.processQuery(spark, sql, maxRows)
-          val rows = result.df.collect()
+          val rows = result.rows // collected once inside processQuery
           val cols = result.df.schema.fieldNames
           val sb = new StringBuilder("""{"columns":[""")
           sb.append(cols.map(jstr).mkString(","))
@@ -107,16 +115,42 @@ object SqlHttpServer {
           sb.append('}')
           respond(ex, 200, sb.toString)
         }
+        }
       } catch {
         case e: Throwable =>
           respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
       }
     })
 
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // daemon threads: HttpServer.stop() does not shut down a
+    // caller-supplied executor, and non-daemon pool threads would keep
+    // the JVM alive after srv.stop(0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-sql-http")
+      t.setDaemon(true)
+      t
+    }))
     server.start()
     server
   }
+
+  /** Requests are refused at most 1 MB of SQL — far past any real query,
+    * well short of a memory-exhaustion body. */
+  private val MaxBodyBytes = 1024 * 1024
+
+  /** Browser CSRF guard: the endpoint executes arbitrary SQL, and
+    * loopback binding does NOT stop a malicious page the user browses
+    * from POSTing to 127.0.0.1 (a no-preflight simple request). Browsers
+    * attach `Origin` to cross-site POSTs; refuse any whose host differs
+    * from the host the request was addressed to. Non-browser clients
+    * send no Origin header and pass. */
+  private def sameSite(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Origin")).forall { origin =>
+      val originHost = try new java.net.URI(origin).getHost catch { case _: Exception => null }
+      val reqHost = Option(ex.getRequestHeaders.getFirst("Host"))
+        .map(_.takeWhile(_ != ':')).orNull
+      originHost != null && originHost == reqHost
+    }
 
   /** Constant-time bearer-token check (no token configured = open). */
   private def authorized(ex: HttpExchange, token: Option[String]): Boolean =
@@ -128,22 +162,13 @@ object SqlHttpServer {
       }
     }
 
-  private def jstr(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"'  => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  private def jstr(s: String): String = graft.JsonText.str(s)
 
   private def jval(v: Any): String = v match {
     case null                => "null"
+    // NaN/Infinity have no JSON literal — bare `NaN` breaks every parser
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
     case n: Number           => n.toString
     case b: Boolean          => b.toString
     case bytes: Array[Byte]  => jstr(java.util.Base64.getEncoder.encodeToString(bytes))

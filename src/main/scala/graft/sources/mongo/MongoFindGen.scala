@@ -31,19 +31,7 @@ object MongoFindGen {
   /** JSON string escaping (quotes, backslashes, control chars) — the
     * emitted selector must survive the deployment's own
     * `JSON.parse(where)` (mongo_extension.ts:96) for ANY value. */
-  private def jstr(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"'           => sb.append("\\\"")
-      case '\\'          => sb.append("\\\\")
-      case '\n'          => sb.append("\\n")
-      case '\r'          => sb.append("\\r")
-      case '\t'          => sb.append("\\t")
-      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
-      case c             => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  private def jstr(s: String): String = graft.JsonText.str(s)
 
   private def jval(v: Any): String = v match {
     case s: String => jstr(s)

@@ -59,7 +59,11 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // a late event above the watermark may precede the
+                  // session's current start — the merged session starts
+                  // at the earliest event, as batch sessionize would
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= emit(s)
                   cur = Some(SessionState(t, t, 1))
@@ -103,16 +107,24 @@ object EventStreams {
                       stageWindowHours: Int = 24): Dataset[FunnelUser] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val windowMs = stageWindowHours * 3600000L
-    val horizonMs = 2 * windowMs
+    val windowSec = stageWindowHours * 3600L
     val (s1, s2, s3) = stages
 
+    // batch q_funnel compares unix_timestamp values — SECOND-floored —
+    // so every stage comparison here floors the same way; comparing raw
+    // milliseconds would disagree with the batch CTE at sub-second
+    // boundaries (its own window bounds are in whole seconds too)
+    def sec(tMs: Long): Long = Math.floorDiv(tMs, 1000L)
+
     def finish(uid: Long, s: FunnelState): FunnelUser = {
-      val t1 = s.minSignup
-      val t2 = s.clicks.filter(t => t > t1 && t <= t1 + windowMs)
+      val t1s = sec(s.minSignup)
+      val t2 = s.clicks.filter(t => sec(t) > t1s && sec(t) <= t1s + windowSec)
         .minOption
-      val t3 = t2.flatMap(c => s.purchases.filter(t => t > c && t <= c + windowMs).minOption)
-      FunnelUser(uid, new Timestamp(t1),
+      val t3 = t2.flatMap { c =>
+        val t2s = sec(c)
+        s.purchases.filter(t => sec(t) > t2s && sec(t) <= t2s + windowSec).minOption
+      }
+      FunnelUser(uid, new Timestamp(s.minSignup),
         t2.map(new Timestamp(_)), t3.map(new Timestamp(_)))
     }
 
@@ -140,32 +152,43 @@ object EventStreams {
             }
             val wm = state.getCurrentWatermarkMs()
             val t1 = s.minSignup
+            val t1s = sec(t1)
             val hasS1 = t1 != Long.MaxValue
-            if (hasS1 && wm > t1 + horizonMs) {
+            // first ms of the first SECOND past the funnel horizon: any
+            // event at or past it floors strictly outside every stage
+            // bound (stage-2 <= t1s+window, stage-3 <= t2s+window <=
+            // t1s+2*window)
+            val horizonEndMs = (t1s + 2 * windowSec + 1) * 1000L
+            if (hasS1 && wm >= horizonEndMs) {
               // outcome already immutable: finalize without waiting for the
               // timeout to fire
               state.remove()
               Iterator.single(finish(uid, s))
             } else {
-              // prune candidates that can never participate:
-              //  - with a stage-1 min: outside (t1, t1+window] for stage 2 /
-              //    (t1, t1+horizon] for stage 3. A candidate <= min(t1, wm)
-              //    stays dead even if a late stage-1 event lowers t1,
-              //    because late events all carry ts > wm.
+              // prune candidates that can never participate (all bounds in
+              // floored seconds, matching finish):
+              //  - with a stage-1 min: outside (t1s, t1s+window] for stage
+              //    2 / (t1s, t1s+2*window] for stage 3. A candidate with
+              //    sec <= t1s AND ts <= wm stays dead even if a late
+              //    stage-1 event lowers t1, because late events all carry
+              //    ts > wm (so their floor can never drop below this
+              //    candidate's).
               //  - without one: any candidate <= wm (a future stage-1 event
-              //    has ts > wm, and stages 2/3 must come strictly after it)
+              //    has ts > wm, and stages 2/3 must floor strictly after it)
               val keep: (Long, Long) => Boolean =
-                if (hasS1) (t, hi) => t > math.min(t1, wm) && t <= hi
+                if (hasS1) (t, hiSec) => (sec(t) > t1s || t > wm) && sec(t) <= hiSec
                 else (t, _) => t > wm
               val pruned = s.copy(
-                clicks = s.clicks.filter(keep(_, t1 + windowMs)),
-                purchases = s.purchases.filter(keep(_, t1 + horizonMs)))
+                clicks = s.clicks.filter(keep(_, t1s + windowSec)),
+                purchases = s.purchases.filter(keep(_, t1s + 2 * windowSec)))
               state.update(pruned)
-              // finalize when nothing can change: t1+horizon for funnels in
-              // flight, one quiet window past the newest data otherwise
+              // finalize when nothing can change: the horizon end for
+              // funnels in flight, one quiet window past the newest data
+              // otherwise
               val lastSeen = (pruned.clicks ++ pruned.purchases ++
                 (if (hasS1) List(t1) else Nil)).maxOption.getOrElse(wm)
-              val target = if (hasS1) t1 + horizonMs + 1 else math.max(lastSeen, wm) + windowMs
+              val target = if (hasS1) horizonEndMs
+                           else math.max(lastSeen, wm) + windowSec * 1000L
               state.setTimeoutTimestamp(math.max(target, wm + 1))
               Iterator.empty
             }
@@ -188,7 +211,13 @@ object EventStreams {
         when(col("prev_ts").isNull ||
           col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1L)
           .otherwise(0L))
-      .withColumn("session_seq", sum("new_session").over(byUser))
+      // ROWS frame: the default RANGE frame includes ORDER BY peers, so
+      // a new_session flag on one of two tied rows would leak its
+      // increment into the other; with the tiebreaker orderCols the ROWS
+      // cumulative sum is deterministic and assigns the break to exactly
+      // the flagged row
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("prev_ts", "new_session")
   }
 }

@@ -57,6 +57,10 @@ object StreamingDedup {
     import spark.implicits._
     df.select(keyCol.as("key"),
         col(idCol).cast("long").as("id"), col(tsCol).cast("timestamp").as("ts"))
+      // a null id/ts would kill the query at the non-nullable Keyed
+      // encoder (and a null key — null text — would collapse all null
+      // rows into one "duplicate"): drop them instead of dying
+      .where(col("key").isNotNull && col("id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", delayThreshold)
       .as[Keyed]
       .groupByKey(_.key)

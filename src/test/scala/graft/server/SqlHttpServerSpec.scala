@@ -138,6 +138,33 @@ class SqlHttpServerSpec extends SparkTestBase {
     } finally s.stop(0)
   }
 
+  test("NaN/Infinity render as JSON null, never as bare NaN") {
+    val r = post("/query",
+      "SELECT sqrt(-1.0) AS nan_col, CAST('Infinity' AS DOUBLE) AS inf_col, 2.5 AS ok")
+    assert(r.statusCode() == 200, r.body())
+    assert(!r.body().contains("NaN") && !r.body().contains("Infinity"), r.body())
+    assert(r.body().contains("[null,null,2.5]"), r.body())
+  }
+
+  test("cross-site Origin is refused; same-host Origin passes") {
+    val evil = client.send(HttpRequest.newBuilder(URI.create(base + "/query"))
+      .header("Origin", "http://evil.example")
+      .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS x")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(evil.statusCode() == 403, evil.body())
+    val same = client.send(HttpRequest.newBuilder(URI.create(base + "/query"))
+      .header("Origin", s"http://127.0.0.1:${server.getAddress.getPort}")
+      .POST(HttpRequest.BodyPublishers.ofString("SELECT 1 AS x")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(same.statusCode() == 200, same.body())
+  }
+
+  test("an oversized request body is refused, not buffered") {
+    val r = post("/query", "SELECT 1 AS x -- " + ("p" * (1024 * 1024)))
+    assert(r.statusCode() == 400, r.statusCode().toString)
+    assert(r.body().contains("exceeds"), r.body())
+  }
+
   test("GET /query?sql=... works and bad SQL yields a JSON error") {
     val enc = java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8")
     val ok = client.send(HttpRequest.newBuilder(URI.create(s"$base/query?sql=$enc")).GET().build(),

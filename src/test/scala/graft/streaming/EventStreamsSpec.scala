@@ -79,7 +79,15 @@ class EventStreamsSpec extends SparkTestBase {
       (2L, "click", ts("2024-01-01 01:00:00")),
       (3L, "signup", ts("2024-01-01 02:00:00")),
       (4L, "click", ts("2024-01-01 02:00:00")),
-      (5L, "click", ts("2024-01-01 01:00:00")))
+      (5L, "click", ts("2024-01-01 01:00:00")),
+      // sub-second boundaries: batch compares unix_timestamp (floored
+      // seconds), so u6's click counts only via the next-second event and
+      // u7's same-second click must NOT count at all
+      (6L, "signup", ts("2024-01-01 00:00:00.2")),
+      (6L, "click", ts("2024-01-01 00:00:00.7")),
+      (6L, "click", ts("2024-01-01 00:00:01.1")),
+      (7L, "signup", ts("2024-01-01 00:00:00.2")),
+      (7L, "click", ts("2024-01-01 00:00:00.9")))
     val batch2 = Seq( // u5's signup arrives LATE but within the watermark delay
       (5L, "signup", ts("2024-01-01 00:30:00")),
       (2L, "purchase", ts("2024-01-03 09:00:00"))) // outside u2's 24h window
@@ -125,6 +133,31 @@ class EventStreamsSpec extends SparkTestBase {
       truth.foreach { case (uid, t) => assert(out(uid) == t, s"user $uid: ${out(uid)} vs $t") }
       assert(out(1L) == ((true, true)) && out(2L) == ((true, false)))
       assert(out(3L) == ((false, false)) && out(5L) == ((true, false)) && !out.contains(4L))
+      assert(out(6L) == ((true, false)) && out(7L) == ((false, false)))
+    } finally query.stop()
+  }
+
+  test("streamingSessionize: a late event before the session start lowers it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val query = EventStreams.streamingSessionize(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:30:00")), (1L, ts("2024-01-01 10:45:00")))
+      query.processAllAvailable() // watermark = 10:45 - 30m = 10:15
+      // late but above the watermark, EARLIER than the session's start
+      input.addData((1L, ts("2024-01-01 10:20:00")))
+      query.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 18:00:00"))) // close user 1's session
+      query.processAllAvailable()
+      val u1 = spark.table("sess_late_out").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1)
+      // batch sessionize on the same three events: one session 10:20→10:45
+      assert(u1.head.getAs[Timestamp]("session_start") == ts("2024-01-01 10:20:00"))
+      assert(u1.head.getAs[Long]("n_events") == 3)
     } finally query.stop()
   }
 

@@ -33,6 +33,27 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("null text/id rows are dropped, not fatal (and don't dedupe each other)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.lang.Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val query = StreamingDedup.firstOccurrences(docs, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("dedup_null_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "alpha", ts("2024-01-01 00:00:00")),
+        (2L, null, ts("2024-01-01 00:01:00")),   // null text: dropped
+        (null, "beta", ts("2024-01-01 00:02:00")), // null id: dropped
+        (3L, null, ts("2024-01-01 00:03:00")),   // second null text
+        (4L, "beta", ts("2024-01-01 00:04:00")))
+      query.processAllAvailable() // would throw before the null guard
+      val out = spark.table("dedup_null_out").collect()
+        .map(_.getAs[Long]("id")).sorted.toSeq
+      assert(out == Seq(1L, 4L))
+    } finally query.stop()
+  }
+
   test("streaming near-dup dedup collapses small-edit variants by fingerprint") {
     import org.apache.spark.unsafe.types.UTF8String
     val base = "the quick brown fox jumps over the lazy dog and keeps on running"
