@@ -20,8 +20,10 @@ object ScaleSmoke {
     // optional section filter: `runMain graft.ScaleSmoke IVF` runs only the
     // sections whose label contains the substring
     val only = args.headOption.getOrElse("")
+    def willTime(labels: String*): Boolean =
+      only.isEmpty || labels.exists(_.contains(only))
     def time[T](label: String)(f: => T): Unit = {
-      if (only.isEmpty || label.contains(only)) {
+      if (willTime(label)) {
         val t0 = System.nanoTime(); val r = f
         println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s → $r")
       }
@@ -63,7 +65,12 @@ object ScaleSmoke {
     val docs10 = (1 to 10).map(i =>
       docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
         concat(col("text"), lit(s" v$i")).as("text"))).reduce(_ union _)
-    if (only.isEmpty || "minhash".contains(only)) {
+    // the warmup must fire whenever ANY timed section of its family will
+    // run — gating on the family name alone would leave a focused filter
+    // run (e.g. `ScaleSmoke 50k`) timing cold-JIT executions
+    if (willTime("minhash pairs over 50k docs",
+        "minhash over 55k docs with 5k-identical hot bucket, saltCap=0",
+        "minhash over 55k docs with 5k-identical hot bucket, saltCap=512")) {
       Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8).count()
       Dedup.minhashPairs(docs, "doc_id", "text", 5, 128, 32, 0.8, saltCap = 512).count()
     }
@@ -75,7 +82,8 @@ object ScaleSmoke {
     // 250-doc eval set. The eval set's distinct 8-grams broadcast; the
     // corpus explodes n-grams map-side and only hit rows shuffle — cost
     // should scale with the corpus scan, not with corpus × benchmark.
-    if (only.isEmpty || "decontaminate".contains(only)) {
+    if (willTime("decontaminate 5k docs vs 250-doc benchmark",
+        "decontaminate 50k docs vs 250-doc benchmark")) {
       // JIT warmup for the explode + broadcast-join shape (see minhash note)
       graft.operators.TextAnalysis.decontaminate(
         docs.limit(500), docs.where(col("doc_id") % 20 === 0), "doc_id", "text").count()

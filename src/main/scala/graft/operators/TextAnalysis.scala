@@ -178,7 +178,6 @@ object TextAnalysis {
     df.withColumn("lm_logprob", score(col(textCol)))
   }
 
-  /** One-call quality report over a document table. */
   /** All word n-grams of `text` (whitespace-tokenized, lowercased),
     * joined back to strings; a document shorter than `n` words has
     * none. Pure column expression — no UDF, stays in codegen. */
@@ -200,22 +199,26 @@ object TextAnalysis {
     *
     * Scale design: evaluation suites are small by nature (thousands of
     * documents), so their DISTINCT n-grams BROADCAST; the corpus side
-    * explodes its n-grams map-side into the broadcast hash join, and
-    * only the HIT rows — rare by construction — reach the one shuffle
-    * (the per-document distinct count). The 100 TB corpus is never
-    * shuffled and never holds more than a partition's n-grams in
-    * flight. */
+    * explodes its n-grams — de-duplicated per document map-side, so a
+    * boilerplate document repeating a leaked n-gram K times probes the
+    * join once, not K times — and only the HIT rows, rare by
+    * construction and already unique per (document, n-gram), reach the
+    * one shuffle (a plain per-document count, no distinct aggregate).
+    * The 100 TB corpus is never shuffled and never holds more than a
+    * partition's n-grams in flight. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
                     n: Int = 8, minOverlap: Int = 1): DataFrame = {
     val bench = benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("ngram")).distinct()
-    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+    corpus.select(col(idCol),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("ngram"))
       .join(broadcast(bench), "ngram")
-      .groupBy(idCol).agg(countDistinct("ngram").as("hit_ngrams"))
+      .groupBy(idCol).agg(count(lit(1)).as("hit_ngrams"))
       .where(col("hit_ngrams") >= minOverlap)
   }
 
+  /** One-call quality report over a document table. */
   def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Graft.register(df.sparkSession)
     val t = col(textCol)
