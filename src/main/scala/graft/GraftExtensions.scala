@@ -227,44 +227,15 @@ object Graft {
     QueryResult(df, rows, geo)
   }
 
-  /** The already-collected rows as a FeatureCollection — same shape as
-    * [[graft.sources.GeoJsonSource.toFeatureCollection]] but built from
-    * the request's single collect. The geometry column holds GeoJSON
-    * text (it was projected by `ST_AsGeoJSON`); parse → write normalizes
-    * it and rejects non-GeoJSON content the way the old
-    * `ST_GeomFromGeoJSON` round-trip did. */
+  /** The already-collected rows as a FeatureCollection, via the one
+    * shared emitter ([[graft.sources.GeoJsonSource.toFeatureCollection]]).
+    * The geometry column holds GeoJSON text (it was projected by
+    * `ST_AsGeoJSON`); parse → write normalizes it and rejects
+    * non-GeoJSON content the way the old `ST_GeomFromGeoJSON`
+    * round-trip did. */
   private def featureCollection(rows: Array[org.apache.spark.sql.Row],
                                 schema: org.apache.spark.sql.types.StructType,
-                                geomCol: String): String = {
-    val geomIdx = schema.fieldIndex(geomCol)
-    val others = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
-    val sb = new StringBuilder("""{"type":"FeatureCollection","features":[""")
-    rows.zipWithIndex.foreach { case (row, i) =>
-      if (i > 0) sb.append(',')
-      sb.append("""{"type":"Feature","properties":{""")
-      others.zipWithIndex.foreach { case ((f, fi), oi) =>
-        if (oi > 0) sb.append(',')
-        sb.append('"').append(f.name).append("\":")
-        row.get(fi) match {
-          case null => sb.append("null")
-          // NaN/Infinity have no JSON literal — emit null, not bare NaN
-          case d: java.lang.Double if d.isNaN || d.isInfinite => sb.append("null")
-          case f: java.lang.Float if f.isNaN || f.isInfinite => sb.append("null")
-          case n: Number => sb.append(n.toString)
-          case b: Boolean => sb.append(b.toString)
-          case s => sb.append('"')
-            .append(s.toString.replace("\\", "\\\\").replace("\"", "\\\""))
-            .append('"')
-        }
-      }
-      sb.append("},\"geometry\":")
-      row.get(geomIdx) match {
-        case null => sb.append("null")
-        case g => sb.append(graft.geo.GeoJson.write(graft.geo.GeoJson.parse(g.toString)))
-      }
-      sb.append('}')
-    }
-    sb.append("]}")
-    sb.toString
-  }
+                                geomCol: String): String =
+    graft.sources.GeoJsonSource.toFeatureCollection(rows, schema, geomCol)(
+      g => graft.geo.GeoJson.write(graft.geo.GeoJson.parse(g.toString)))
 }

@@ -75,7 +75,7 @@ object SqlHttpServer {
         // unauthenticated client must not be able to buffer an
         // arbitrarily large body on a handler thread
         if (!authorized(ex, authToken)) respond(ex, 401, """{"error":"unauthorized"}""")
-        else if (!sameSite(ex)) respond(ex, 403, """{"error":"cross-site request refused"}""")
+        else if (!browserGuard(ex, bindAddress)) respond(ex, 403, """{"error":"cross-site request refused"}""")
         else {
         val sql = ex.getRequestMethod match {
           case "POST" =>
@@ -140,17 +140,45 @@ object SqlHttpServer {
 
   /** Browser CSRF guard: the endpoint executes arbitrary SQL, and
     * loopback binding does NOT stop a malicious page the user browses
-    * from POSTing to 127.0.0.1 (a no-preflight simple request). Browsers
-    * attach `Origin` to cross-site POSTs; refuse any whose host differs
-    * from the host the request was addressed to. Non-browser clients
-    * send no Origin header and pass. */
-  private def sameSite(ex: HttpExchange): Boolean =
-    Option(ex.getRequestHeaders.getFirst("Origin")).forall { origin =>
-      val originHost = try new java.net.URI(origin).getHost catch { case _: Exception => null }
-      val reqHost = Option(ex.getRequestHeaders.getFirst("Host"))
-        .map(_.takeWhile(_ != ':')).orNull
-      originHost != null && originHost == reqHost
+    * from reaching 127.0.0.1 (a no-preflight simple POST, or an
+    * Origin-less `<img>`/`<script>` GET). Three checks, all vacuous for
+    * non-browser clients (curl/JDBC send none of these headers):
+    *
+    *  1. `Host` must be a name this server actually answers for —
+    *     loopback literals or the configured bind address. This is the
+    *     DNS-rebinding defense (rebinding makes Origin and Host AGREE,
+    *     so comparing them to each other proves nothing). A wildcard
+    *     bind serves under names it cannot know, so the check is
+    *     skipped — the docs require `authToken` there, and a bearer
+    *     token is itself CSRF-proof (browsers never attach it
+    *     cross-site).
+    *  2. `Origin`, when present, must match the request's own host —
+    *     refuses cross-site POSTs from browser pages.
+    *  3. `Sec-Fetch-Site`, when present, must be `same-origin` or
+    *     `none` — refuses the Origin-less cross-site vectors
+    *     (`<img src="http://127.0.0.1:…/query?sql=…">`) on every
+    *     modern browser. */
+  private[server] def browserGuard(ex: HttpExchange, bindAddress: String): Boolean = {
+    val wildcardBind = bindAddress == "0.0.0.0" || bindAddress == "::" || bindAddress == "[::]"
+    val reqHost = Option(ex.getRequestHeaders.getFirst("Host")).map(hostOf).getOrElse("")
+    val hostOk = wildcardBind || reqHost == bindAddress ||
+      Set("localhost", "127.0.0.1", "::1").contains(reqHost)
+    val originOk = Option(ex.getRequestHeaders.getFirst("Origin")).forall { origin =>
+      val oh = try Option(new java.net.URI(origin).getHost) catch { case _: Exception => None }
+      oh.exists(o => o.stripPrefix("[").stripSuffix("]") == reqHost)
     }
+    val fetchSiteOk = Option(ex.getRequestHeaders.getFirst("Sec-Fetch-Site"))
+      .forall(v => v.equalsIgnoreCase("same-origin") || v.equalsIgnoreCase("none"))
+    hostOk && originOk && fetchSiteOk
+  }
+
+  /** Host header → bare host: strips the port and IPv6 brackets
+    * (`[::1]:8080` → `::1`, `localhost:8080` → `localhost`). */
+  private def hostOf(hostHeader: String): String = {
+    val h = hostHeader.trim
+    if (h.startsWith("[")) h.drop(1).takeWhile(_ != ']')
+    else h.takeWhile(_ != ':')
+  }
 
   /** Constant-time bearer-token check (no token configured = open). */
   private def authorized(ex: HttpExchange, token: Option[String]): Boolean =

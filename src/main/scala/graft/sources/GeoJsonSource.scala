@@ -113,31 +113,42 @@ object GeoJsonSource {
     * (reference: src/index.ts:323 convertRestoGeoJSON): rows → GeoJSON
     * FeatureCollection string per partition-collected result. Intended for
     * result export of SMALL final frames (it collects to the driver). */
-  def toFeatureCollection(df: DataFrame, geomCol: String): String = {
-    val geomIdx = df.schema.fieldIndex(geomCol)
-    val others = df.schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+  def toFeatureCollection(df: DataFrame, geomCol: String): String =
+    toFeatureCollection(df.collect(), df.schema, geomCol)(
+      g => GeoJson.write(GeomSerde.fromWkb(g.asInstanceOf[Array[Byte]])))
+
+  /** The same conversion over already-collected rows — the serving path
+    * calls this with its single per-request collect, with a `geomJson`
+    * that matches what the geometry column actually holds (WKB here,
+    * `ST_AsGeoJSON` text in `Graft.processQuery`). One emitter for every
+    * FeatureCollection the engine produces: property names and string
+    * values are RFC 8259-escaped, NaN/Infinity (no JSON literal) emit as
+    * null. */
+  def toFeatureCollection(rows: Array[Row], schema: StructType,
+                          geomCol: String)(geomJson: Any => String): String = {
+    val geomIdx = schema.fieldIndex(geomCol)
+    val others = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
     val sb = new StringBuilder("""{"type":"FeatureCollection","features":[""")
-    val rows = df.collect()
     rows.zipWithIndex.foreach { case (row, i) =>
       if (i > 0) sb.append(',')
       sb.append("""{"type":"Feature","properties":{""")
       others.zipWithIndex.foreach { case ((f, fi), oi) =>
         if (oi > 0) sb.append(',')
-        sb.append('"').append(f.name).append("\":")
-        val v = row.get(fi)
-        v match {
+        sb.append(graft.JsonText.str(f.name)).append(':')
+        row.get(fi) match {
           case null => sb.append("null")
+          case d: java.lang.Double if d.isNaN || d.isInfinite => sb.append("null")
+          case fl: java.lang.Float if fl.isNaN || fl.isInfinite => sb.append("null")
           case n: Number => sb.append(n.toString)
           case b: Boolean => sb.append(b.toString)
-          case s => sb.append('"')
-            .append(s.toString.replace("\\", "\\\\").replace("\"", "\\\""))
-            .append('"')
+          case s => sb.append(graft.JsonText.str(s.toString))
         }
       }
       sb.append("},\"geometry\":")
-      val g = row.get(geomIdx)
-      if (g == null) sb.append("null")
-      else sb.append(GeoJson.write(GeomSerde.fromWkb(g.asInstanceOf[Array[Byte]])))
+      row.get(geomIdx) match {
+        case null => sb.append("null")
+        case g => sb.append(geomJson(g))
+      }
       sb.append('}')
     }
     sb.append("]}")

@@ -81,7 +81,8 @@ object EventStreams {
   }
 
   case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
-  case class FunnelState(minSignup: Long, clicks: List[Long], purchases: List[Long])
+  case class FunnelState(minSignup: Long, clicks: List[Long], purchases: List[Long],
+                         emitted: Boolean = false)
   case class FunnelUser(user_id: Long, signup_ts: Timestamp,
                         click_ts: Option[Timestamp], purchase_ts: Option[Timestamp])
 
@@ -101,10 +102,19 @@ object EventStreams {
     * stage-1 keeps only the running min; stage-2/3 candidates outside
     * `(min stage-1, +horizon]` — or no longer reachable given the
     * watermark — are pruned every batch. Users with no stage-1 event keep
-    * nothing older than the watermark and time out quietly. */
+    * nothing older than the watermark and time out quietly.
+    *
+    * After a user's row is emitted, a three-field TOMBSTONE survives for
+    * `tombstoneHours` of event time so a repeat stage-1 event cannot
+    * produce a second row for the same user (batch emits one row per
+    * user). Past the tombstone a repeat signup starts a fresh funnel row
+    * — the bounded-state trade: remembering every emitted user forever
+    * is exactly the unbounded state this operator is designed to avoid,
+    * so the parity guarantee is "one row per user per `tombstoneHours`". */
   def streamingFunnel(events: DataFrame,
                       stages: (String, String, String) = ("signup", "click", "purchase"),
-                      stageWindowHours: Int = 24): Dataset[FunnelUser] = {
+                      stageWindowHours: Int = 24,
+                      tombstoneHours: Int = 7 * 24): Dataset[FunnelUser] = {
     val spark = events.sparkSession
     import spark.implicits._
     val windowSec = stageWindowHours * 3600L
@@ -134,11 +144,26 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelState, FunnelUser](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val tombstoneMs = tombstoneHours * 3600000L
+          // emit + leave a tombstone: the row is final, but the key must
+          // stay known for tombstoneMs so a repeat stage-1 event cannot
+          // emit the same user twice
+          def emitOnce(s: FunnelState, wm: Long): Iterator[FunnelUser] = {
+            state.update(FunnelState(s.minSignup, Nil, Nil, emitted = true))
+            state.setTimeoutTimestamp(wm + tombstoneMs)
+            Iterator.single(finish(uid, s))
+          }
           if (state.hasTimedOut) {
-            val out = state.getOption
-              .filter(_.minSignup != Long.MaxValue).map(finish(uid, _)).toSeq
-            state.remove()
-            out.iterator
+            state.getOption match {
+              case Some(s) if s.emitted || s.minSignup == Long.MaxValue =>
+                state.remove(); Iterator.empty
+              case Some(s) => emitOnce(s, state.getCurrentWatermarkMs())
+              case None => Iterator.empty
+            }
+          } else if (state.getOption.exists(_.emitted)) {
+            // row already out: swallow late/repeat events; the tombstone
+            // timeout set at emission still stands and will clear it
+            Iterator.empty
           } else {
             var s = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
             evs.foreach { e =>
@@ -162,8 +187,7 @@ object EventStreams {
             if (hasS1 && wm >= horizonEndMs) {
               // outcome already immutable: finalize without waiting for the
               // timeout to fire
-              state.remove()
-              Iterator.single(finish(uid, s))
+              emitOnce(s, wm)
             } else {
               // prune candidates that can never participate (all bounds in
               // floored seconds, matching finish):
