@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Dedup, Multimodal, SpatialJoin, TextAnalysis}
+import graft.operators.{Ann, Corpus, Dedup, Multimodal, SpatialJoin, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -746,6 +746,48 @@ object SparkEntry {
       TextAnalysis.lmScore(docs.select("doc_id", "text"), "text", model)
         .select(col("doc_id"), round(col("lm_logprob"), 4).as("lm"))
     }),
+    // ------------------------------------------------ corpus construction
+    // Deterministic hash sampling: membership is a function of doc_id only
+    // (hashUniform), so the oracle recomputes the exact same sample
+    "q_sample_hash" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.sampleByHash(spark.table("documents"), "doc_id", 0.25, salt = "s1")
+        .select("doc_id", "source")
+    }),
+    // Domain-mixture down-sampling: src0 halved, src1 doubled, everything
+    // else at the uniform 6000-token budget
+    "q_docmix" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.mixture(spark.table("documents"), "doc_id", "source", "n_chars",
+        budgetPerDomain = 6000.0, weights = Map("src0" -> 0.5, "src1" -> 2.0))
+        .select("doc_id", "source")
+    }),
+    // Greedy sequential packing into 2000-token bins per source; the oracle
+    // replays the same walk as a lockstep recursive CTE
+    "q_pack_sequences" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.packSequences(spark.table("documents"), "source", "doc_id",
+        "n_chars", budget = 2000L)
+    }),
+    // 10-token windows every 5 tokens (50% overlap)
+    "q_chunk_overlap" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.chunkWindows(spark.table("documents"), "doc_id", "text",
+        chunkSize = 10, stride = 5)
+    }),
+    "q_tfidf" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.tfIdfTopTerms(spark.table("documents"), "doc_id", "text", k = 25)
+    }),
+    // Exact interpolated percentiles per source (Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition)
+    "q_stats_quantiles" -> sql(
+      """SELECT source,
+        |       round(percentile(n_chars, 0.5), 4) AS q50,
+        |       round(percentile(n_chars, 0.9), 4) AS q90,
+        |       round(percentile(n_chars, 0.99), 4) AS q99
+        |FROM documents GROUP BY source""".stripMargin),
+
     "q_multimodal" -> ((spark, dir) => {
       init(spark, dir)
       val media = spark.table("documents")
@@ -1179,6 +1221,48 @@ object SparkEntry {
         |       GROUP BY doc_id)
         |SELECT d.doc_id, round(COALESCE(sc.s, 0.0), 4) AS lm
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // hashUniform replayed in DuckDB: first 8 md5 hex chars as u32 / 2^32
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat('s1', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.25""".stripMargin,
+    "q_docmix" ->
+      """WITH dom AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS dom_tokens FROM documents GROUP BY source),
+        |rates AS (SELECT source, least(1.0, 6000.0 * (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 2.0 ELSE 1.0 END) / dom_tokens) AS accept_rate FROM dom)
+        |SELECT d.doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE CAST(concat('0x', substr(md5(concat('mix', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < r.accept_rate""".stripMargin,
+    // greedy packing replayed as a lockstep recursive CTE: one recursion
+    // step advances every source by one document (idx ordering = doc_id)
+    "q_pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS idx
+        |  FROM documents),
+        |pack AS (
+        |  SELECT source, doc_id, n_chars, idx, n_chars AS running, CAST(0 AS BIGINT) AS bin
+        |  FROM t WHERE idx = 1
+        |  UNION ALL
+        |  SELECT t.source, t.doc_id, t.n_chars, t.idx,
+        |         CASE WHEN p.running + t.n_chars > 2000 THEN t.n_chars ELSE p.running + t.n_chars END,
+        |         CASE WHEN p.running + t.n_chars > 2000 THEN p.bin + 1 ELSE p.bin END
+        |  FROM pack p JOIN t ON t.source = p.source AND t.idx = p.idx + 1)
+        |SELECT source, doc_id, n_chars, bin FROM pack""".stripMargin,
+    // list_slice(ws, s, s+9) is 1-based inclusive = Spark slice(ws, s, 10)
+    "q_chunk_overlap" ->
+      """SELECT doc_id, CAST(s.start AS BIGINT) AS start,
+        |       array_to_string(list_slice(string_split(text, ' '), s.start, s.start + 9), ' ') AS chunk
+        |FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(string_split(text, ' ')) - 9), 5)) AS start) s""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents) t
+        |  WHERE token <> '' GROUP BY doc_id, token)
+        |SELECT token, round(sum(tf) * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(*)), 4) AS tfidf
+        |FROM tf GROUP BY token ORDER BY tfidf DESC, token LIMIT 25""".stripMargin,
+    "q_stats_quantiles" ->
+      """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS q50,
+        |       round(quantile_cont(n_chars, 0.9), 4) AS q90,
+        |       round(quantile_cont(n_chars, 0.99), 4) AS q99
+        |FROM documents GROUP BY source""".stripMargin,
     "q_multimodal" ->
       "SELECT doc_id, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime, CAST(16 + (length(text) % 640) AS INTEGER) AS width, CAST(16 + ((length(text) // 7) % 480) AS INTEGER) AS height, CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
     "q_events_window" ->

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for LLM training-data pipelines:
+  * deterministic sampling, domain-mixture weighting, greedy sequence
+  * packing, sliding-window chunking, and corpus TF-IDF.
+  *
+  * Everything here is built for the 100 TB case:
+  *   - sampling decisions are PURE scan-level predicates derived from a
+  *     portable hash — no shuffle, no RNG state, reproducible across
+  *     re-runs, partitions, and engines (the same expression evaluates
+  *     identically in DuckDB/Trino, which is how the oracle verifies it);
+  *   - the only aggregations are tiny (per-domain token totals: one row
+  *     per domain), broadcast back onto the corpus scan;
+  *   - packing is the classic secondary-sort pattern — hash-partition by
+  *     group, sort within partitions, one O(1)-state sequential pass —
+  *     the corpus bodies shuffle once and driver state is zero.
+  */
+object Corpus {
+
+  /** Deterministic uniform in [0, 1) derived from `md5(salt ++ key)`:
+    * the first 8 hex chars as an unsigned 32-bit integer / 2^32.
+    *
+    * This is the reproducibility primitive for sampling: a rerun of the
+    * pipeline (or the same pipeline on another engine) selects the SAME
+    * rows, which is what makes training sets auditable. Pure codegen'd
+    * column expression — no UDF, no RNG, no shuffle.
+    */
+  def hashUniform(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic Bernoulli sample at `rate` keyed on `idCol`.
+    *
+    * Unlike `df.sample()` (partition-order-dependent RNG), membership is a
+    * function of the row's id alone: stable under repartitioning, task
+    * retries, and incremental reprocessing. The predicate sits at the scan
+    * (WholeStageCodegen, no shuffle), so at 100 TB this is a single
+    * filtered pass.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double,
+                   salt: String = "sample"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.where(hashUniform(col(idCol), salt) < rate)
+  }
+
+  /** Domain-mixture down-sampling: keep each domain's expected token count
+    * at `budgetPerDomain * weight(domain)` by accepting each document with
+    * probability `min(1, budget * w / domainTokens)`, decided by the
+    * deterministic [[hashUniform]] key.
+    *
+    * This is the standard "data mixture" step when assembling a training
+    * corpus from heterogeneous sources (web/books/code/...) with target
+    * proportions. Plan shape at scale: one partial-aggregated pass to get
+    * per-domain token totals (|domains| rows — always tiny relative to the
+    * corpus), broadcast-joined back onto the corpus scan; bodies never
+    * shuffle and the driver holds nothing.
+    */
+  def mixture(df: DataFrame, idCol: String, domainCol: String, tokenCol: String,
+              budgetPerDomain: Double, weights: Map[String, Double] = Map.empty,
+              salt: String = "mix"): DataFrame = {
+    require(budgetPerDomain > 0.0, "budgetPerDomain must be positive")
+    val domTokens = df.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("double").as("dom_tokens"))
+    val w: Column =
+      if (weights.isEmpty) lit(1.0)
+      else {
+        val entries = weights.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        coalesce(element_at(map(entries: _*), col(domainCol)), lit(1.0))
+      }
+    val rates = domTokens.select(col(domainCol),
+      least(lit(1.0), lit(budgetPerDomain) * w / col("dom_tokens")).as("accept_rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(hashUniform(col(idCol), salt) < col("accept_rate"))
+  }
+
+  /** Greedy sequential sequence packing: within each group (domain, shard,
+    * ...), walk documents in `orderCol` order and assign consecutive bin
+    * ids, closing a bin when adding the next document would exceed
+    * `budget` tokens. A document larger than `budget` gets a bin of its
+    * own. Returns `(groupCol, orderCol, tokenCol, bin)`.
+    *
+    * This is how pre-tokenized documents are packed into fixed-length
+    * training sequences. Packing is inherently sequential per group, so
+    * the scalable cut is the secondary-sort pattern: hash-partition by
+    * group, sort `(group, order)` within partitions, then a single
+    * mapPartitions pass with O(1) state per partition. One shuffle of
+    * (group, order, token) triples — document BODIES are not in the
+    * shuffle — and no driver-side state. For a group too large for one
+    * task's time budget, pre-split it by a range of `orderCol` into
+    * composite group keys (each segment packs independently; at most one
+    * under-filled bin per seam).
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df
+      .select(col(groupCol).cast("string"), col(orderCol).cast("long"),
+        col(tokenCol).cast("long"))
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // groups are clustered by the sort; state resets on group change
+        var group: String = null
+        var running = 0L
+        var bin = 0L
+        it.map { case (g, ord, tok) =>
+          if (group == null || g != group) { group = g; running = tok; bin = 0L }
+          else if (running + tok > budget) { bin += 1; running = tok }
+          else { running += tok }
+          (g, ord, tok, bin)
+        }
+      }
+    packed.toDF(groupCol, orderCol, tokenCol, "bin")
+  }
+
+  /** Sliding word-window chunking: split `textCol` on single spaces and
+    * emit windows of `chunkSize` tokens every `stride` tokens (overlap =
+    * `chunkSize - stride`). Returns `(idCol, start, chunk)` with 1-based
+    * `start`. Documents shorter than `chunkSize` yield one (short) chunk.
+    *
+    * The standard context-window preparation step (RAG indexing, long-doc
+    * training). Pure generator expressions — split/sequence/slice all
+    * codegen'd, rows explode map-side with no shuffle; output size is
+    * input tokens × (chunkSize / stride), decided per-row.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.withColumn("__ws", split(col(textCol), " "))
+      .select(col(idCol),
+        explode(sequence(lit(1),
+          greatest(lit(1), size(col("__ws")) - lit(chunkSize - 1)),
+          lit(stride))).as("start"),
+        col("__ws"))
+      .select(col(idCol), col("start").cast("long").as("start"),
+        array_join(slice(col("__ws"), col("start"), lit(chunkSize)), " ").as("chunk"))
+  }
+
+  /** Corpus-level TF-IDF: the `k` highest-scoring tokens, where
+    * `score(t) = totalTf(t) * ln(N / docFreq(t))`. Ties broken by token
+    * for determinism. Whitespace tokenization on lowercased text.
+    *
+    * Two-stage aggregation keeps it partial-agg friendly: (doc, token)
+    * counts combine map-side before the token-level rollup, so the shuffle
+    * carries one row per distinct (doc, token), not one per token
+    * occurrence. The final top-k is a TakeOrdered over |vocab| rows.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = df.count().toDouble
+    val tf = df
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("total_tf"), count(lit(1)).as("doc_f"))
+      .select(col("token"),
+        round(col("total_tf") * log(lit(n) / col("doc_f")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("token"))
+      .limit(k)
+  }
+}

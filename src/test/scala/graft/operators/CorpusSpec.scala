@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashUniform is deterministic and in [0, 1)") {
+    val u = docs.select(Corpus.hashUniform($"doc_id", "s").as("u"))
+    val vals = u.collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.0 && v < 1.0))
+    val again = docs.select(Corpus.hashUniform($"doc_id", "s").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(vals.sameElements(again))
+    // distinct salts decorrelate
+    val other = docs.select(Corpus.hashUniform($"doc_id", "t").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(!vals.sameElements(other))
+  }
+
+  test("sampleByHash is stable under repartitioning and near the target rate") {
+    val a = Corpus.sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleByHash(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.15) // 50 docs at sf0.001 — loose bound
+    // rate is monotone: a higher rate strictly contains a lower one
+    val c = Corpus.sampleByHash(docs, "doc_id", 0.6).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(c))
+  }
+
+  test("sampleByHash stays a scan-level filter (no shuffle)") {
+    val plan = Corpus.sampleByHash(docs, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("mixture keeps everything under a huge budget and respects weights") {
+    val all = Corpus.mixture(docs, "doc_id", "source", "n_chars",
+      budgetPerDomain = 1e12)
+    assert(all.count() == docs.count())
+    // same salt ⇒ membership at weight w is monotone in w
+    val lo = Corpus.mixture(docs, "doc_id", "source", "n_chars", 500.0,
+      weights = Map.empty).select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Corpus.mixture(docs, "doc_id", "source", "n_chars", 500.0,
+      weights = docs.select("source").distinct().collect()
+        .map(r => r.getString(0) -> 3.0).toMap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && hi.size > lo.size)
+  }
+
+  test("mixture broadcasts the per-domain rates") {
+    val plan = Corpus.mixture(docs, "doc_id", "source", "n_chars", 500.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("packSequences matches a single-threaded greedy reference") {
+    val out = Corpus.packSequences(docs, "source", "doc_id", "n_chars", budget = 1500L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: greedy walk per source in doc_id order
+    val ref = docs.select($"source", $"doc_id", $"n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        var running = 0L; var bin = -1L
+        rows.sortBy(_._2).map { case (_, id, tok) =>
+          if (bin < 0 || running + tok > 1500L) { bin += 1; running = tok }
+          else running += tok
+          (src, id, tok, bin)
+        }.toSeq
+      }.toSet
+    assert(out.toSet == ref)
+    // invariant: no bin exceeds the budget unless it holds a single oversized doc
+    out.groupBy(t => (t._1, t._4)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum <= 1500L || rows.length == 1)
+    }
+  }
+
+  test("chunkWindows emits the expected strided windows") {
+    val one = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Corpus.chunkWindows(one, "doc_id", "text", chunkSize = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 1L, "a b c d"), (1L, 3L, "c d e f"),
+      // short doc: one window covering what exists
+      (2L, 1L, "x y")))
+    // every full-length chunk has exactly chunkSize tokens
+    val big = Corpus.chunkWindows(docs, "doc_id", "text", 10, 5)
+    assert(big.where(size(split($"chunk", " ")) > 10).count() == 0)
+  }
+
+  test("tfIdfTopTerms scores a ubiquitous token at zero and ranks rare tokens") {
+    val toy = Seq((1L, "apple apple zebra"), (2L, "apple banana"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    val out = Corpus.tfIdfTopTerms(toy, "doc_id", "text", 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 'apple' appears in all 3 docs → idf = ln(1) = 0
+    assert(out("apple") == 0.0)
+    // singletons: tf 1 × ln(3)
+    assert(math.abs(out("zebra") - math.log(3.0)) < 1e-3)
+    assert(out("zebra") > out("apple"))
+    // k truncation is honored with deterministic ties
+    val k2 = Corpus.tfIdfTopTerms(toy, "doc_id", "text", 2).collect()
+    assert(k2.length == 2)
+  }
+}
