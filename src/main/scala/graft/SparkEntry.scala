@@ -779,6 +779,13 @@ object SparkEntry {
       init(spark, dir)
       Corpus.tfIdfTopTerms(spark.table("documents"), "doc_id", "text", k = 25)
     }),
+    // Exact substring-level dedup signal: fraction of each doc's 8-token
+    // windows that occur more than once anywhere in the corpus
+    "q_dup_spans" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.dupSpanStats(spark.table("documents"), "doc_id", "text",
+        windowTokens = 8)
+    }),
     // Exact interpolated percentiles per source (Spark `percentile` and
     // DuckDB `quantile_cont` share the linear-interpolation definition)
     "q_stats_quantiles" -> sql(
@@ -1258,6 +1265,17 @@ object SparkEntry {
         |  WHERE token <> '' GROUP BY doc_id, token)
         |SELECT token, round(sum(tf) * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(*)), 4) AS tfidf
         |FROM tf GROUP BY token ORDER BY tfidf DESC, token LIMIT 25""".stripMargin,
+    // same tokenization as q_lm_score; range(1, len-6) = 8-token windows
+    "q_dup_spans" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),
+        |win AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |        FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM ws)),
+        |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1)
+        |SELECT w.doc_id, count(*) AS n_windows,
+        |       CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_windows,
+        |       round(CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM win w LEFT JOIN dup d ON w.h = d.h
+        |GROUP BY w.doc_id""".stripMargin,
     "q_stats_quantiles" ->
       """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS q50,
         |       round(quantile_cont(n_chars, 0.9), 4) AS q90,

@@ -143,6 +143,52 @@ object Corpus {
         array_join(slice(col("__ws"), col("start"), lit(chunkSize)), " ").as("chunk"))
   }
 
+  /** Exact duplicated-span statistics (the substring-level dedup signal
+    * from Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): for each document, how many of its `windowTokens`-token
+    * windows (taken every `stride` positions) occur more than once in the
+    * corpus — in another document or repeated within the same one.
+    * Returns `(idCol, n_windows, n_dup_windows, dup_frac)`; documents
+    * shorter than `windowTokens` have no windows and are omitted.
+    *
+    * Pipelines filter or trim on `dup_frac` where document-level MinHash
+    * misses partial overlap (shared boilerplate, quoted passages, licence
+    * blocks). Exact substring detection inherently touches every token
+    * position; the plan keeps the per-position payload to
+    * `(docId, md5 hash)` — window STRINGS never shuffle — with one
+    * hash-partitioned exchange for the corpus-wide occurrence count and
+    * one for the per-doc rollup. At extreme corpus sizes raise
+    * `hashSampleMod`: CONTENT-DEFINED window sampling (keep a window iff
+    * its own hash ≡ 0 mod m) selects the SAME windows in every occurrence
+    * of a span — positional striding cannot do this, since two
+    * occurrences at different offsets never share strided positions — so
+    * shuffle volume drops ~m× while a duplicated span covering w windows
+    * is missed only with probability (1 - 1/m)^w, and `dup_frac` stays an
+    * unbiased estimate over the sampled windows.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int, hashSampleMod: Int = 1): DataFrame = {
+    require(windowTokens > 1 && hashSampleMod > 0)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")
+    val allWins = df
+      .select(col(idCol).as("__id"), toks.as("__ws"))
+      .where(size(col("__ws")) >= windowTokens)
+      .select(col("__id"), explode(expr(
+        s"""transform(sequence(1, size(__ws) - ${windowTokens - 1}),
+           |  i -> md5(cast(array_join(slice(__ws, i, $windowTokens), ' ') as binary)))""".stripMargin)).as("h"))
+    val wins =
+      if (hashSampleMod == 1) allWins
+      else allWins.where(
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % hashSampleMod === 0)
+    val flagged = wins.withColumn("c",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    flagged.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("__id").as(idCol), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
+  }
+
   /** Corpus-level TF-IDF: the `k` highest-scoring tokens, where
     * `score(t) = totalTf(t) * ln(N / docFreq(t))`. Ties broken by token
     * for determinism. Whitespace tokenization on lowercased text.

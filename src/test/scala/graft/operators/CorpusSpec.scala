@@ -95,6 +95,33 @@ class CorpusSpec extends SparkTestBase {
     assert(big.where(size(split($"chunk", " ")) > 10).count() == 0)
   }
 
+  test("dupSpanStats flags planted shared spans and omits short docs") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val toy = Seq(
+      (1L, s"one two three four $shared"),
+      (2L, s"$shared nine ten eleven twelve"),
+      (3L, "totally unique words that appear nowhere else in this corpus"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Corpus.dupSpanStats(toy, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // the 8-token shared span is exactly one duplicated window in each doc
+    assert(out(1L)._1 >= 1 && out(2L)._1 >= 1)
+    assert(out(3L) == ((0L, 0.0)))
+    assert(!out.contains(4L)) // shorter than the window → no windows
+    // content-defined sampling keeps the SAME windows in every occurrence
+    // of a span, so detection is all-or-nothing across occurrences — even
+    // though the two copies sit at different (misaligned) offsets
+    val long = (1 to 20).map(i => s"s$i").mkString(" ")
+    val toy2 = Seq((1L, s"$long x y z"), (2L, s"p q r $long")).toDF("doc_id", "text")
+    val hits = Corpus.dupSpanStats(toy2, "doc_id", "text", 8, hashSampleMod = 2)
+      .where($"n_dup_windows" > 0).count()
+    assert(hits == 0 || hits == 2)
+    // and the full (mod=1) run must flag both copies
+    val full = Corpus.dupSpanStats(toy2, "doc_id", "text", 8)
+      .where($"n_dup_windows" > 0).count()
+    assert(full == 2)
+  }
+
   test("tfIdfTopTerms scores a ubiquitous token at zero and ranks rare tokens") {
     val toy = Seq((1L, "apple apple zebra"), (2L, "apple banana"),
       (3L, "apple cherry")).toDF("doc_id", "text")
