@@ -17,11 +17,11 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.init(spark, "/root/testdata/sf0.1")
-    // optional section filter: `runMain graft.ScaleSmoke IVF` runs only the
-    // sections whose label contains the substring
-    val only = args.headOption.getOrElse("")
+    // optional section filter: `runMain graft.ScaleSmoke IVF,dup` runs only
+    // the sections whose label contains any comma-separated substring
+    val only = args.headOption.getOrElse("").split(',')
     def willTime(labels: String*): Boolean =
-      only.isEmpty || labels.exists(_.contains(only))
+      only.exists(o => labels.exists(_.contains(o)))
     def time[T](label: String)(f: => T): Unit = {
       if (willTime(label)) {
         val t0 = System.nanoTime(); val r = f
@@ -196,6 +196,33 @@ object ScaleSmoke {
     }
     time("IVF top-10 over 400k (nprobe=4 of 512)") {
       operators.Ivf.topK(spark, ivfBig, "vec_id", "embedding", q0, k = 10, nprobe = 4).count()
+    }
+
+    // Corpus-construction ops at two scales (5k docs = sf0.1; 50k = 10×):
+    // dupSpanStats is the token-heavy one (every token position shuffles a
+    // (docId, hash) pair) — the content-defined sampling knob should cut
+    // its cost without losing the all-or-nothing detection property.
+    import operators.Corpus
+    if (willTime("dup spans 5k docs", "dup spans 50k docs",
+        "dup spans 50k docs, hashSampleMod=4", "pack 50k docs", "mixture 50k docs")) {
+      Corpus.dupSpanStats(docs.limit(500), "doc_id", "text", 8).count() // JIT warmup
+    }
+    time("dup spans 5k docs") {
+      Corpus.dupSpanStats(docs, "doc_id", "text", 8).count()
+    }
+    time("dup spans 50k docs") {
+      Corpus.dupSpanStats(docs10, "doc_id", "text", 8).count()
+    }
+    time("dup spans 50k docs, hashSampleMod=4") {
+      Corpus.dupSpanStats(docs10, "doc_id", "text", 8, hashSampleMod = 4).count()
+    }
+    time("pack 50k docs") {
+      Corpus.packSequences(docs10.withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source", col("doc_id") % 20), "source", "doc_id", "n_chars", 2000L).count()
+    }
+    time("mixture 50k docs") {
+      Corpus.mixture(docs10.withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source", col("doc_id") % 20), "doc_id", "source", "n_chars", 120000.0).count()
     }
     spark.stop()
   }
