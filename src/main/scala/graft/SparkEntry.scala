@@ -779,6 +779,14 @@ object SparkEntry {
       init(spark, dir)
       Corpus.tfIdfTopTerms(spark.table("documents"), "doc_id", "text", k = 25)
     }),
+    // Deterministic 75/12.5/12.5 split (binary-exact thresholds, so the
+    // oracle's CASE chain compares the identical doubles)
+    "q_split" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.assignSplit(spark.table("documents"), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select("doc_id", "split")
+    }),
     // Exact substring-level dedup signal: fraction of each doc's 8-token
     // windows that occur more than once anywhere in the corpus
     "q_dup_spans" -> ((spark, dir) => {
@@ -1265,6 +1273,12 @@ object SparkEntry {
         |  WHERE token <> '' GROUP BY doc_id, token)
         |SELECT token, round(sum(tf) * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(*)), 4) AS tfidf
         |FROM tf GROUP BY token ORDER BY tfidf DESC, token LIMIT 25""".stripMargin,
+    "q_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |      FROM documents) t""".stripMargin,
     // same tokenization as q_lm_score; range(1, len-6) = 8-token windows
     "q_dup_spans" ->
       """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),

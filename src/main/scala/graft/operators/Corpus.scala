@@ -47,6 +47,37 @@ object Corpus {
     df.where(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Deterministic train/val/test split assignment: adds a `split` column
+    * placing each row in exactly one named fraction — disjoint,
+    * exhaustive, and stable (a row's split never changes as the corpus
+    * grows, because membership depends only on its id). Order matters:
+    * fractions stack as cumulative [[hashUniform]] thresholds. Prefer
+    * binary-exact fractions (0.75/0.125/0.125) when an external system
+    * must reproduce the thresholds bit-for-bit.
+    *
+    * Pure codegen'd CASE chain at the scan — no shuffle, no RNG, and no
+    * train/test leakage on reprocessing (the eval rows stay eval rows).
+    */
+  def assignSplit(df: DataFrame, idCol: String, fractions: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.forall(_._2 > 0.0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = hashUniform(col(idCol), salt)
+    val split =
+      if (fractions.size == 1) lit(fractions.head._1)
+      else {
+        // thresholds for all but the last fraction; the last is `otherwise`
+        val cum = fractions.init.scanLeft(0.0)(_ + _._2).tail
+        val first = when(u < cum.head, lit(fractions.head._1))
+        fractions.tail.init.zip(cum.tail)
+          .foldLeft(first) { case (acc, ((name, _), c)) => acc.when(u < c, lit(name)) }
+          .otherwise(lit(fractions.last._1))
+      }
+    df.withColumn("split", split)
+  }
+
   /** Domain-mixture down-sampling: keep each domain's expected token count
     * at `budgetPerDomain * weight(domain)` by accepting each document with
     * probability `min(1, budget * w / domainTokens)`, decided by the

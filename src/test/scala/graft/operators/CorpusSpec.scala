@@ -95,6 +95,71 @@ class CorpusSpec extends SparkTestBase {
     assert(big.where(size(split($"chunk", " ")) > 10).count() == 0)
   }
 
+  test("assignSplit is disjoint, exhaustive, and stable as the corpus grows") {
+    val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val out = Corpus.assignSplit(docs, "doc_id", fr)
+    val m = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet.subsetOf(Set("train", "val", "test")))
+    assert(m.values.sum == docs.count()) // exhaustive: every row exactly once
+    // stability: assignment on a SUBSET matches the full-corpus assignment
+    // (membership is a function of the id alone)
+    val full = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sub = Corpus.assignSplit(docs.where($"doc_id" % 2 === 0), "doc_id", fr)
+      .select("doc_id", "split").collect()
+    assert(sub.forall(r => full(r.getLong(0)) == r.getString(1)))
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("corpus build composes end-to-end as one lazy pipeline") {
+    val bench = docs.where($"doc_id" % 17 === 0).select($"doc_id", $"text")
+    val cleaned = TextAnalysis.qualityFilter(docs, "text")
+    val deduped = Dedup.dropExactDuplicates(cleaned, "doc_id", "text")
+    val contaminated = TextAnalysis.decontaminate(
+      deduped, bench, "doc_id", "text", n = 4)
+    val decont = deduped.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val mixed = Corpus.mixture(decont, "doc_id", "source", "n_chars", 4000.0)
+    val packed = Corpus.packSequences(mixed, "source", "doc_id", "n_chars", 2000L)
+    // each stage only removes rows; packing conserves them
+    val n0 = docs.count(); val n1 = cleaned.count(); val n2 = deduped.count()
+    val n3 = decont.count(); val n4 = mixed.count()
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 > 0)
+    assert(packed.count() == n4)
+    // every surviving doc is assigned a bin and no bin exceeds the budget
+    // (single-doc bins excepted)
+    packed.groupBy("source", "bin").agg(sum("n_chars").as("s"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) <= 2000L || r.getLong(3) == 1L)
+      }
+  }
+
+  test("sampling and split assignment run unchanged on streams") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val stream = Corpus.assignSplit(
+      Corpus.sampleByHash(ms.toDF().toDF("doc_id", "text"), "doc_id", 0.5),
+      "doc_id", Seq("train" -> 0.75, "val" -> 0.25))
+    val q = stream.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      val batch = Seq.tabulate(40)(i => (i.toLong, s"doc $i"))
+      ms.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_stream")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      val expected = Corpus.assignSplit(
+        Corpus.sampleByHash(batch.toDF("doc_id", "text"), "doc_id", 0.5),
+        "doc_id", Seq("train" -> 0.75, "val" -> 0.25))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(streamed == expected && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dupSpanStats flags planted shared spans and omits short docs") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val toy = Seq(
