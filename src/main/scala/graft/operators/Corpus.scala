@@ -27,7 +27,9 @@ object Corpus {
     * This is the reproducibility primitive for sampling: a rerun of the
     * pipeline (or the same pipeline on another engine) selects the SAME
     * rows, which is what makes training sets auditable. Pure codegen'd
-    * column expression — no UDF, no RNG, no shuffle.
+    * column expression — no UDF, no RNG, no shuffle. A null key yields a
+    * null uniform, so predicates built on it drop null-id rows — ids are
+    * expected to be non-null upstream.
     */
   def hashUniform(key: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string")).cast("binary")), 1, 8), 16, 10)
@@ -124,6 +126,9 @@ object Corpus {
     * task's time budget, pre-split it by a range of `orderCol` into
     * composite group keys (each segment packs independently; at most one
     * under-filled bin per seam).
+    *
+    * Rows with a null order or token value are dropped (they cannot be
+    * placed deterministically); a null group is a valid group of its own.
     */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
@@ -131,6 +136,7 @@ object Corpus {
     val spark = df.sparkSession
     import spark.implicits._
     val packed = df
+      .where(col(orderCol).isNotNull && col(tokenCol).isNotNull)
       .select(col(groupCol).cast("string"), col(orderCol).cast("long"),
         col(tokenCol).cast("long"))
       .repartition(col(groupCol))
@@ -164,7 +170,8 @@ object Corpus {
   def chunkWindows(df: DataFrame, idCol: String, textCol: String,
                    chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
-    df.withColumn("__ws", split(col(textCol), " "))
+    df.where(col(textCol).isNotNull)
+      .withColumn("__ws", split(col(textCol), " "))
       .select(col(idCol),
         explode(sequence(lit(1),
           greatest(lit(1), size(col("__ws")) - lit(chunkSize - 1)),

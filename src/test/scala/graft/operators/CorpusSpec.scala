@@ -160,6 +160,23 @@ class CorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("null handling: null ids drop from samples, null tokens drop from packing") {
+    val withNulls = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "a", 10L), (null, "b", 20L), (3L, "c", null), (4L, null, 40L))
+      .toDF("doc_id", "source", "n_chars")
+    // null id → null uniform → row dropped from the sample, not crashed
+    assert(Corpus.sampleByHash(withNulls, "doc_id", 1.0).count() == 3)
+    // null token rows cannot be packed; null group is a group of its own
+    val packed = Corpus.packSequences(withNulls, "source", "doc_id", "n_chars", 100L)
+      .collect()
+    assert(packed.length == 2) // (1,a,10) and (4,null,40)
+    assert(packed.exists(_.isNullAt(0)))
+    // null text yields no chunks and no dup-span windows, not a crash
+    val nullText = Seq[(Long, String)]((1L, null), (2L, "x y z")).toDF("doc_id", "text")
+    assert(Corpus.chunkWindows(nullText, "doc_id", "text", 2, 1).count() == 2)
+    assert(Corpus.dupSpanStats(nullText, "doc_id", "text", 2).count() == 1)
+  }
+
   test("dupSpanStats flags planted shared spans and omits short docs") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val toy = Seq(
