@@ -224,6 +224,24 @@ object ScaleSmoke {
       Corpus.mixture(docs10.withColumn("n_chars", length(col("text")).cast("long"))
         .withColumn("source", col("doc_id") % 20), "doc_id", "source", "n_chars", 120000.0).count()
     }
+
+    // BPE: the corpus-scale stage is the word count (distinct-word
+    // shuffle); the merge loop sees only the vocabulary, so train cost
+    // should be near-FLAT across the corpus decade. Encode is broadcast +
+    // map-only.
+    import operators.Bpe
+    time("bpe train 200 merges, 5k docs") {
+      Bpe.train(docs, "text", numMerges = 200).merges.size
+    }
+    time("bpe train 200 merges, 50k docs") {
+      Bpe.train(docs10, "text", numMerges = 200).merges.size
+    }
+    if (willTime("bpe encode 50k docs")) {
+      val model = Bpe.train(docs10, "text", numMerges = 200)
+      time("bpe encode 50k docs") {
+        Bpe.encode(docs10, "text", model).agg(sum("bpe_len")).collect()(0).getLong(0)
+      }
+    }
     spark.stop()
   }
 }

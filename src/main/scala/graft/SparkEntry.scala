@@ -779,6 +779,17 @@ object SparkEntry {
       init(spark, dir)
       Corpus.tfIdfTopTerms(spark.table("documents"), "doc_id", "text", k = 25)
     }),
+    // BPE tokenizer: learn 200 merges from the corpus word counts
+    // (vocabulary-bounded driver loop), tokenize every document. Not
+    // ANSI-SQL-expressible (iterative argmax) → no oracle entry; the
+    // driver records the weaker rows-only check and BpeSpec pins the
+    // algorithm against the hand-computed Sennrich example
+    "q_bpe" -> ((spark, dir) => {
+      init(spark, dir)
+      val model = operators.Bpe.train(spark.table("documents"), "text", numMerges = 200)
+      operators.Bpe.encode(spark.table("documents"), "text", model)
+        .select(col("doc_id"), col("bpe_len").cast("long").as("bpe_len"))
+    }),
     // Deterministic 75/12.5/12.5 split (binary-exact thresholds, so the
     // oracle's CASE chain compares the identical doubles)
     "q_split" -> ((spark, dir) => {
