@@ -225,6 +225,14 @@ object ScaleSmoke {
         .withColumn("source", col("doc_id") % 20), "doc_id", "source", "n_chars", 120000.0).count()
     }
 
+    // Token-budgeted contiguous shard export (range shuffle + offset pass
+    // + map-only stamp + partitioned write)
+    time("writeShards 50k docs") {
+      val out = java.nio.file.Files.createTempDirectory("scale-shards").toString
+      Corpus.writeShards(docs10.withColumn("n_tok", length(col("text")).cast("long")),
+        "doc_id", "n_tok", shardTokens = 200000L, out).count()
+    }
+
     // BPE: the corpus-scale stage is the word count (distinct-word
     // shuffle); the merge loop sees only the vocabulary, so train cost
     // should be near-FLAT across the corpus decade. Encode is broadcast +

@@ -227,6 +227,89 @@ object Corpus {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
   }
 
+  /** Assign a global, deterministic, CONTIGUOUS shard id by token budget:
+    * rows ordered by `orderCol` are cut into shards of ≈ `shardTokens`
+    * tokens (a document straddling a boundary stays in the earlier
+    * shard). Adds a `shard` column.
+    *
+    * This is the export layout training dataloaders want — shard k holds
+    * strictly earlier documents than shard k+1, every shard lands near
+    * the size target, and a re-run reproduces the identical assignment.
+    * Plan: range-repartition on `orderCol`, one lightweight pass for
+    * per-partition token sums (|partitions| rows to the driver, prefix
+    * summed into global offsets), then a map-only pass stamps shards
+    * from the running offset. Two scans of the shuffled layout; persist
+    * the input first if a 100 TB run cannot afford the second scan.
+    */
+  def shardByTokens(df: DataFrame, orderCol: String, tokenCol: String,
+                    shardTokens: Long): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    val spark = df.sparkSession
+    val ranged = df
+      .where(col(orderCol).isNotNull && col(tokenCol).isNotNull)
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val tokIdx = ranged.schema.fieldIndex(tokenCol)
+    // ONE RDD lineage for both passes: range boundaries are sampled per
+    // evaluation (seeded by RDD id), so re-evaluating the DataFrame could
+    // place rows differently than the offsets assume — and sharing the
+    // lineage also lets the stamping job reuse the sort's shuffle files
+    val rdd0 = ranged.rdd
+    val perPart = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.get(tokIdx).asInstanceOf[Number].longValue())
+      Iterator((pid, s))
+    }.collect().toMap
+    val offsets = (0 until rdd0.getNumPartitions)
+      .scanLeft(0L)((acc, p) => acc + perPart.getOrElse(p, 0L))
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shard", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.map { row =>
+        val t = row.get(tokIdx).asInstanceOf[Number].longValue()
+        val shard = cum / shardTokens // assigned by start offset
+        cum += t
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ shard)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Write the corpus as token-budgeted contiguous shards
+    * (`outDir/shard=K/...parquet`) plus a `MANIFEST.json` recording, per
+    * shard, the document count, token sum, and `orderCol` range — what a
+    * dataloader needs to plan epochs without listing files. Returns the
+    * manifest as a DataFrame-shaped summary (one row per shard). The
+    * manifest file is underscore-prefixed so parquet readers skip it,
+    * like `_SUCCESS`.
+    */
+  def writeShards(df: DataFrame, orderCol: String, tokenCol: String,
+                  shardTokens: Long, outDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val sharded = shardByTokens(df, orderCol, tokenCol, shardTokens)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // partition-column readback infers int — normalize to long
+    val manifest = spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol).cast("long")).as("n_tokens"),
+        min(col(orderCol)).as("first_order"), max(col(orderCol)).as("last_order"))
+      .orderBy("shard")
+    val rows = manifest.collect() // one row per shard — bounded by design
+    val json = rows.map { r =>
+      s"""{"shard": ${r.getLong(0)}, "n_docs": ${r.getLong(1)}, "n_tokens": ${r.getLong(2)},
+         | "first_order": ${graft.JsonText.str(String.valueOf(r.get(3)))},
+         | "last_order": ${graft.JsonText.str(String.valueOf(r.get(4)))}}""".stripMargin.replaceAll("\n", "")
+    }.mkString("[", ",\n ", "]")
+    val path = new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    manifest
+  }
+
   /** Corpus-level TF-IDF: the `k` highest-scoring tokens, where
     * `score(t) = totalTf(t) * ln(N / docFreq(t))`. Ties broken by token
     * for determinism. Whitespace tokenization on lowercased text.

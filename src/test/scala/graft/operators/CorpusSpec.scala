@@ -160,6 +160,56 @@ class CorpusSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("shardByTokens: contiguous, deterministic, near-budget shards") {
+    val base = docs.withColumn("n_tok", length($"text").cast("long"))
+    val sharded = Corpus.shardByTokens(base, "doc_id", "n_tok", shardTokens = 3000L)
+      .select($"doc_id", $"n_tok", $"shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sharded.length == docs.count())
+    // contiguity: shard k's docs all precede shard k+1's in doc_id order
+    val byShard = sharded.groupBy(_._3).toSeq.sortBy(_._1)
+    byShard.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a.map(_._1).max < b.map(_._1).min)
+      case _ =>
+    }
+    // shard ids are dense from 0
+    assert(byShard.map(_._1) == (0L until byShard.length.toLong))
+    // every shard except the last lands within one document of the
+    // budget: its span is one budget window, shifted by the tails of the
+    // straddling docs on each side → sum ∈ (budget - maxDoc, budget + maxDoc)
+    val maxDoc = sharded.map(_._2).max
+    byShard.init.foreach { case (_, rows) =>
+      val s = rows.map(_._2).sum
+      assert(s > 3000L - maxDoc && s < 3000L + maxDoc)
+    }
+    // determinism across runs
+    val again = Corpus.shardByTokens(base, "doc_id", "n_tok", 3000L)
+      .select($"doc_id", $"shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sharded.map(t => (t._1, t._3)).toSet)
+  }
+
+  test("writeShards: layout round-trips and the manifest matches the data") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus-shards").toString
+    val base = docs.withColumn("n_tok", length($"text").cast("long"))
+    val manifest = Corpus.writeShards(base, "doc_id", "n_tok", 3000L, dir)
+      .collect()
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // manifest rows agree with an independent readback aggregation
+    val check = back.groupBy($"shard".cast("long")).agg(
+      count(lit(1)).as("n"), sum($"n_tok").as("t")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    manifest.foreach { r =>
+      assert(check(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+    // _MANIFEST.json is valid JSON with one entry per shard
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+    assert(txt.trim.startsWith("[") && txt.contains("\"n_tokens\""))
+    assert(txt.split("\\{").length - 1 == manifest.length)
+  }
+
   test("null handling: null ids drop from samples, null tokens drop from packing") {
     val withNulls = Seq[(java.lang.Long, String, java.lang.Long)](
       (1L, "a", 10L), (null, "b", 20L), (3L, "c", null), (4L, null, 40L))
