@@ -227,6 +227,16 @@ object Corpus {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
   }
 
+  /** Deterministic training order for epoch `epoch`: a pseudo-random but
+    * fully reproducible permutation key (`epoch_order` column) derived
+    * from the row id and epoch number. Sorting or range-partitioning by
+    * it "shuffles" the corpus differently every epoch with zero RNG
+    * state; feeding it to [[shardByTokens]] as the order column exports
+    * reshuffled contiguous shards per epoch.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.withColumn("epoch_order", hashUniform(col(idCol), s"epoch$epoch"))
+
   /** Assign a global, deterministic, CONTIGUOUS shard id by token budget:
     * rows ordered by `orderCol` are cut into shards of ≈ `shardTokens`
     * tokens (a document straddling a boundary stays in the earlier

@@ -189,6 +189,26 @@ class CorpusSpec extends SparkTestBase {
     assert(again == sharded.map(t => (t._1, t._3)).toSet)
   }
 
+  test("epochOrder: reproducible per-epoch permutations that differ across epochs") {
+    val e1 = Corpus.epochOrder(docs, "doc_id", 1)
+      .orderBy($"epoch_order").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e1again = Corpus.epochOrder(docs, "doc_id", 1)
+      .orderBy($"epoch_order").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e2 = Corpus.epochOrder(docs, "doc_id", 2)
+      .orderBy($"epoch_order").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(e1 == e1again)       // deterministic
+    assert(e1 != e2)            // epochs differ
+    assert(e1.toSet == e2.toSet) // both are permutations of the corpus
+    // composes with shardByTokens: different epochs shard differently
+    val s1 = Corpus.shardByTokens(Corpus.epochOrder(docs, "doc_id", 1)
+      .withColumn("n_tok", length($"text").cast("long")), "epoch_order", "n_tok", 3000L)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = Corpus.shardByTokens(Corpus.epochOrder(docs, "doc_id", 2)
+      .withColumn("n_tok", length($"text").cast("long")), "epoch_order", "n_tok", 3000L)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 != s2 && s1.keySet == s2.keySet)
+  }
+
   test("writeShards: layout round-trips and the manifest matches the data") {
     val dir = java.nio.file.Files.createTempDirectory("corpus-shards").toString
     val base = docs.withColumn("n_tok", length($"text").cast("long"))
