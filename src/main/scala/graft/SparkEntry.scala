@@ -1272,15 +1272,20 @@ object SparkEntry {
         |         CASE WHEN p.running + t.n_chars > 2000 THEN p.bin + 1 ELSE p.bin END
         |  FROM pack p JOIN t ON t.source = p.source AND t.idx = p.idx + 1)
         |SELECT source, doc_id, n_chars, bin FROM pack""".stripMargin,
-    // list_slice(ws, s, s+9) is 1-based inclusive = Spark slice(ws, s, 10)
+    // list_slice(ws, s, s+9) is 1-based inclusive = Spark slice(ws, s, 10);
+    // the appended greatest(1, len-9) start is the end-anchored window that
+    // guarantees tail coverage (deduplicated when the stride already hits it)
     "q_chunk_overlap" ->
       """SELECT doc_id, CAST(s.start AS BIGINT) AS start,
         |       array_to_string(list_slice(string_split(text, ' '), s.start, s.start + 9), ' ') AS chunk
-        |FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(string_split(text, ' ')) - 9), 5)) AS start) s""".stripMargin,
+        |FROM documents, LATERAL (
+        |  SELECT unnest(list_distinct(list_append(
+        |    generate_series(1, greatest(1, len(string_split(text, ' ')) - 9), 5),
+        |    greatest(1, len(string_split(text, ' ')) - 9)))) AS start) s""".stripMargin,
     "q_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents) t
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents) t
         |  WHERE token <> '' GROUP BY doc_id, token)
         |SELECT token, round(sum(tf) * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(*)), 4) AS tfidf
         |FROM tf GROUP BY token ORDER BY tfidf DESC, token LIMIT 25""".stripMargin,

@@ -67,7 +67,7 @@ object Corpus {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val u = hashUniform(col(idCol), salt)
-    val split =
+    val chain =
       if (fractions.size == 1) lit(fractions.head._1)
       else {
         // thresholds for all but the last fraction; the last is `otherwise`
@@ -77,7 +77,10 @@ object Corpus {
           .foldLeft(first) { case (acc, ((name, _), c)) => acc.when(u < c, lit(name)) }
           .otherwise(lit(fractions.last._1))
       }
-    df.withColumn("split", split)
+    // a null id must NOT fall through the CASE into the last fraction
+    // (which would quietly contaminate the eval split) — it gets a null
+    // split the caller can see and handle
+    df.withColumn("split", when(u.isNull, lit(null: String)).otherwise(chain))
   }
 
   /** Domain-mixture down-sampling: keep each domain's expected token count
@@ -104,10 +107,13 @@ object Corpus {
         val entries = weights.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
         coalesce(element_at(map(entries: _*), col(domainCol)), lit(1.0))
       }
-    val rates = domTokens.select(col(domainCol),
+    val rates = domTokens.select(col(domainCol).as("__dom"),
       least(lit(1.0), lit(budgetPerDomain) * w / col("dom_tokens")).as("accept_rate"))
-    df.join(broadcast(rates), Seq(domainCol))
+    // null-safe equality: a null domain is a domain of its own (matching
+    // packSequences' contract) — a plain equi-join would silently drop it
+    df.join(broadcast(rates), col(domainCol) <=> col("__dom"))
       .where(hashUniform(col(idCol), salt) < col("accept_rate"))
+      .drop("__dom", "accept_rate")
   }
 
   /** Greedy sequential sequence packing: within each group (domain, shard,
@@ -143,12 +149,15 @@ object Corpus {
       .sortWithinPartitions(col(groupCol), col(orderCol))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
-        // groups are clustered by the sort; state resets on group change
+        // groups are clustered by the sort; state resets on group change.
+        // `started` is the no-previous-group sentinel — a null GROUP is a
+        // valid group and must not re-trigger the reset on every row
+        var started = false
         var group: String = null
         var running = 0L
         var bin = 0L
         it.map { case (g, ord, tok) =>
-          if (group == null || g != group) { group = g; running = tok; bin = 0L }
+          if (!started || g != group) { started = true; group = g; running = tok; bin = 0L }
           else if (running + tok > budget) { bin += 1; running = tok }
           else { running += tok }
           (g, ord, tok, bin)
@@ -161,6 +170,11 @@ object Corpus {
     * emit windows of `chunkSize` tokens every `stride` tokens (overlap =
     * `chunkSize - stride`). Returns `(idCol, start, chunk)` with 1-based
     * `start`. Documents shorter than `chunkSize` yield one (short) chunk.
+    * COVERAGE IS TOTAL: when `(nTokens - chunkSize)` is not a stride
+    * multiple, one extra window anchored at the document end is emitted,
+    * so the tail tokens always appear in some chunk (with more than the
+    * usual overlap) — for the RAG/training use case a never-indexed tail
+    * is silent data loss.
     *
     * The standard context-window preparation step (RAG indexing, long-doc
     * training). Pure generator expressions — split/sequence/slice all
@@ -170,12 +184,12 @@ object Corpus {
   def chunkWindows(df: DataFrame, idCol: String, textCol: String,
                    chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val lastStart = greatest(lit(1), size(col("__ws")) - lit(chunkSize - 1))
     df.where(col(textCol).isNotNull)
       .withColumn("__ws", split(col(textCol), " "))
       .select(col(idCol),
-        explode(sequence(lit(1),
-          greatest(lit(1), size(col("__ws")) - lit(chunkSize - 1)),
-          lit(stride))).as("start"),
+        explode(array_distinct(concat(
+          sequence(lit(1), lastStart, lit(stride)), array(lastStart)))).as("start"),
         col("__ws"))
       .select(col(idCol), col("start").cast("long").as("start"),
         array_join(slice(col("__ws"), col("start"), lit(chunkSize)), " ").as("chunk"))
@@ -202,7 +216,10 @@ object Corpus {
     * occurrences at different offsets never share strided positions — so
     * shuffle volume drops ~m× while a duplicated span covering w windows
     * is missed only with probability (1 - 1/m)^w, and `dup_frac` stays an
-    * unbiased estimate over the sampled windows.
+    * unbiased estimate over the sampled windows. Under sampling (m > 1) a
+    * document whose windows are ALL sampled away has no rows in the
+    * output — callers distinguishing "no duplicated spans" from "not
+    * measured" should left-join and treat missing as unmeasured.
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    windowTokens: Int, hashSampleMod: Int = 1): DataFrame = {
@@ -235,7 +252,11 @@ object Corpus {
     * reshuffled contiguous shards per epoch.
     */
   def epochOrder(df: DataFrame, idCol: String, epoch: Int): DataFrame =
-    df.withColumn("epoch_order", hashUniform(col(idCol), s"epoch$epoch"))
+    // full md5 hex, not the 32-bit uniform: a double from 32 bits collides
+    // at birthday scale (~2^16 rows), and downstream consumers
+    // (shardByTokens) need a collision-free total order for determinism
+    df.withColumn("epoch_order",
+      md5(concat(lit(s"epoch$epoch"), col(idCol).cast("string")).cast("binary")))
 
   /** Assign a global, deterministic, CONTIGUOUS shard id by token budget:
     * rows ordered by `orderCol` are cut into shards of ≈ `shardTokens`
@@ -250,6 +271,10 @@ object Corpus {
     * summed into global offsets), then a map-only pass stamps shards
     * from the running offset. Two scans of the shuffled layout; persist
     * the input first if a 100 TB run cannot afford the second scan.
+    *
+    * `orderCol` values must be UNIQUE (an id, or [[epochOrder]]'s
+    * collision-free key): ties are ordered by shuffle fetch order, which
+    * can differ between runs and would break the reproducibility claim.
     */
   def shardByTokens(df: DataFrame, orderCol: String, tokenCol: String,
                     shardTokens: Long): DataFrame = {
@@ -307,10 +332,16 @@ object Corpus {
         min(col(orderCol)).as("first_order"), max(col(orderCol)).as("last_order"))
       .orderBy("shard")
     val rows = manifest.collect() // one row per shard — bounded by design
+    // numeric order bounds stay JSON numbers (a string "100" < "20"
+    // lexicographically — poison for range logic); other types quote
+    def jval(v: Any): String = v match {
+      case n: java.lang.Number => n.toString
+      case other => graft.JsonText.str(String.valueOf(other))
+    }
     val json = rows.map { r =>
       s"""{"shard": ${r.getLong(0)}, "n_docs": ${r.getLong(1)}, "n_tokens": ${r.getLong(2)},
-         | "first_order": ${graft.JsonText.str(String.valueOf(r.get(3)))},
-         | "last_order": ${graft.JsonText.str(String.valueOf(r.get(4)))}}""".stripMargin.replaceAll("\n", "")
+         | "first_order": ${jval(r.get(3))},
+         | "last_order": ${jval(r.get(4))}}""".stripMargin.replaceAll("\n", "")
     }.mkString("[", ",\n ", "]")
     val path = new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -332,9 +363,11 @@ object Corpus {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val n = df.count().toDouble
+    // \s+ tokenization, matching dupSpanStats/Bpe — a single-space split
+    // would leave tab/newline-joined junk tokens with spuriously high idf
     val tf = df
       .select(col(idCol).as("__id"),
-        explode(split(lower(trim(col(textCol))), " ")).as("token"))
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
     tf.groupBy(col("token"))

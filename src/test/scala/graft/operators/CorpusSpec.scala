@@ -88,8 +88,16 @@ class CorpusSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(out == Set(
       (1L, 1L, "a b c d"), (1L, 3L, "c d e f"),
+      // end-anchored window: token 'g' must appear in some chunk
+      (1L, 4L, "d e f g"),
       // short doc: one window covering what exists
       (2L, 1L, "x y")))
+    // total coverage: every token of every doc appears in >= 1 chunk
+    val docsTokens = one.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").toSet).toMap
+    val covered = out.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.flatMap(_._3.split(" ")).toSet }
+    assert(covered == docsTokens)
     // every full-length chunk has exactly chunkSize tokens
     val big = Corpus.chunkWindows(docs, "doc_id", "text", 10, 5)
     assert(big.where(size(split($"chunk", " ")) > 10).count() == 0)
@@ -241,6 +249,22 @@ class CorpusSpec extends SparkTestBase {
       .collect()
     assert(packed.length == 2) // (1,a,10) and (4,null,40)
     assert(packed.exists(_.isNullAt(0)))
+    // the null GROUP respects the budget too (the reset sentinel must not
+    // re-fire on every null-group row)
+    val nullGroup = Seq[(String, Long, Long)]((null, 1L, 60L), (null, 2L, 60L),
+      (null, 3L, 60L)).toDF("source", "doc_id", "n_chars")
+    val bins = Corpus.packSequences(nullGroup, "source", "doc_id", "n_chars", 100L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // null ids get a null split, never a silent seat in the last fraction
+    val splits = Corpus.assignSplit(withNulls, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5)).select("doc_id", "split").collect()
+    assert(splits.filter(_.isNullAt(0)).forall(_.isNullAt(1)))
+    assert(splits.filterNot(_.isNullAt(0)).forall(!_.isNullAt(1)))
+    // a null domain survives mixture (null-safe rate join)
+    val mixedAll = Corpus.mixture(withNulls.where($"doc_id".isNotNull &&
+      $"n_chars".isNotNull), "doc_id", "source", "n_chars", 1e12)
+    assert(mixedAll.count() == 2 && mixedAll.where($"source".isNull).count() == 1)
     // null text yields no chunks and no dup-span windows, not a crash
     val nullText = Seq[(Long, String)]((1L, null), (2L, "x y z")).toDF("doc_id", "text")
     assert(Corpus.chunkWindows(nullText, "doc_id", "text", 2, 1).count() == 2)
