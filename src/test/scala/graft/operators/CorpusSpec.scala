@@ -61,6 +61,23 @@ class CorpusSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("plan shapes: chunking explodes map-side, dup-spans shuffles twice, tfidf partial-aggs") {
+    val chunkPlan = Corpus.chunkWindows(docs, "doc_id", "text", 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), chunkPlan)
+    // one exchange for the corpus-wide window count on h, one for the
+    // per-doc rollup — nothing else moves
+    val spanPlan = Corpus.dupSpanStats(docs, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(spanPlan).length <= 2, spanPlan)
+    // the (doc, token) pre-aggregation combines map-side before the shuffle
+    val tfidfPlan = Corpus.tfIdfTopTerms(docs, "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(tfidfPlan.contains("partial_count"), tfidfPlan)
+    // the final top-k is a TakeOrdered, not a global sort
+    assert(tfidfPlan.contains("TakeOrderedAndProject"), tfidfPlan)
+  }
+
   test("packSequences matches a single-threaded greedy reference") {
     val out = Corpus.packSequences(docs, "source", "doc_id", "n_chars", budget = 1500L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
