@@ -174,12 +174,25 @@ object Graft {
     u("simhash64", Simhash64, StringType),
     b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),
     b("rolling_fingerprint_fast", RollingFingerprintFast, Seq(StringType, IntegerType)),
+    b("word_window_hashes", WordWindowHashes, Seq(ArrayType(StringType), IntegerType)),
     u("lang_id", LangId, StringType),
     u("dup_line_fraction", DupLineFraction, StringType),
     u("top_token_fraction", TopTokenFraction, StringType),
     b("cosine_similarity", CosineSimilarity, Seq(ArrayType(FloatType), ArrayType(FloatType))),
     b("hyperplane_bucket", HyperplaneBucket, Seq(ArrayType(FloatType), IntegerType)),
     t("hyperplane_buckets", HyperplaneBuckets, Seq(ArrayType(FloatType), IntegerType, IntegerType)),
+    // deterministic-sampling primitive: hash_uniform(key, salt) = the
+    // engine-portable uniform in [0,1) behind Corpus.sampleByHash /
+    // assignSplit / mixture — composed from builtin codegen'd expressions
+    // so SQL (and the HTTP endpoint) can sample reproducibly:
+    //   WHERE hash_uniform(doc_id, 's1') < 0.25
+    desc("hash_uniform", es => {
+      require(es.length == 2, s"hash_uniform expects (key, salt), got ${es.length} args")
+      import org.apache.spark.sql.catalyst.expressions.{Concat, Conv, Divide, Md5, Substring}
+      val bytes = Cast(Concat(Seq(Cast(es(1), StringType), Cast(es(0), StringType))), BinaryType)
+      val dec = Conv(Substring(Md5(bytes), Literal(1), Literal(8)), Literal(16), Literal(10))
+      Divide(Cast(dec, DoubleType), Literal(4294967296.0))
+    }),
   )
 
   /** Idempotent programmatic registration on a live session. */

@@ -250,6 +250,28 @@ object ScaleSmoke {
         Bpe.encode(docs10, "text", model).agg(sum("bpe_len")).collect()(0).getLong(0)
       }
     }
+
+    // third decade for the corpus ops: 500k docs (100× the sf0.1 table).
+    // Every replica shares its windows with the original ⇒ dup-span work
+    // scales with TRUE duplicate volume, the honest worst case.
+    val docs100 = docs.withColumn("__r", explode(lit((0 until 100).toArray)))
+      .select((col("doc_id") + col("__r").cast("long") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" w"), col("__r").cast("string")).as("text"))
+    time("dup spans 500k docs") {
+      Corpus.dupSpanStats(docs100, "doc_id", "text", 8).count()
+    }
+    time("pack 500k docs") {
+      Corpus.packSequences(docs100.withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source", col("doc_id") % 20), "source", "doc_id", "n_chars", 2000L).count()
+    }
+    time("writeShards 500k docs") {
+      val out = java.nio.file.Files.createTempDirectory("scale-shards-big").toString
+      Corpus.writeShards(docs100.withColumn("n_tok", length(col("text")).cast("long")),
+        "doc_id", "n_tok", shardTokens = 2000000L, out).count()
+    }
+    time("bpe train 200 merges, 500k docs") {
+      Bpe.train(docs100, "text", numMerges = 200).merges.size
+    }
     spark.stop()
   }
 }

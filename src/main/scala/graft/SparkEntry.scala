@@ -1295,10 +1295,11 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
         |      FROM documents) t""".stripMargin,
-    // same tokenization as q_lm_score; range(1, len-6) = 8-token windows
+    // same tokenization as q_lm_score; range(1, len-6) = 8-token windows;
+    // the 60-bit md5-prefix fingerprint matches the engine's shuffle key
     "q_dup_spans" ->
       """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),
-        |win AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |win AS (SELECT doc_id, CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
         |        FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM ws)),
         |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1)
         |SELECT w.doc_id, count(*) AS n_windows,

@@ -72,6 +72,13 @@ case class RollingFingerprintFast(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class WordWindowHashes(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.wordWindowHashes",
+      Seq(ArrayType(StringType), IntegerType),
+      ArrayType(LongType, containsNull = false)) {
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class LangId(child: Expression)
     extends GeoUnary("TextOps.langId", StringType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)

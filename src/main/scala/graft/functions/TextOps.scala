@@ -65,6 +65,48 @@ object TextOps {
     h
   }
 
+  /** 60-bit md5-prefix fingerprints — identical values to
+    * `CONV(SUBSTR(md5_hex(window), 1, 15), 16, 10)` over the
+    * space-joined window string — for EVERY `window`-word sliding window
+    * of `words`. One thread-local digest, per-word bytes extracted once:
+    * no per-window string building, which is what made the equivalent
+    * expression pipeline (transform + array_join + md5 + conv) allocation-
+    * bound at tens of millions of windows. Used by Corpus.dupSpanStats;
+    * the DuckDB oracle replays the same md5 arithmetic. */
+  def wordWindowHashes(words: ArrayData, window: Int): ArrayData = {
+    val n = words.numElements()
+    if (window <= 0 || n < window)
+      return new GenericArrayData(Array.emptyLongArray)
+    val wb = new Array[Array[Byte]](n)
+    var k = 0
+    while (k < n) {
+      val u = words.getUTF8String(k)
+      wb(k) = if (u == null) Array.emptyByteArray else u.getBytes
+      k += 1
+    }
+    val d = md5Digest.get()
+    val out = new Array[Byte](16)
+    val res = new Array[Long](n - window + 1)
+    val space = ' '.toByte
+    var i = 0
+    while (i < res.length) {
+      d.reset()
+      var j = i
+      while (j < i + window) {
+        if (j > i) d.update(space)
+        d.update(wb(j))
+        j += 1
+      }
+      d.digest(out, 0, 16)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (out(b) & 0xffL); b += 1 }
+      res(i) = h >>> 4 // first 15 hex nibbles, matching CONV(...,16,10)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** Affine permutation parameters for minhash, derived from a fixed LCG. */

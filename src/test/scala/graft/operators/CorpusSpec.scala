@@ -61,6 +61,16 @@ class CorpusSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hash_uniform SQL function is bit-identical to Corpus.hashUniform") {
+    docs.createOrReplaceTempView("corpus_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, hash_uniform(doc_id, 's1') AS u FROM corpus_docs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaApi = docs.select($"doc_id", Corpus.hashUniform($"doc_id", "s1").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("plan shapes: chunking explodes map-side, dup-spans shuffles twice, tfidf partial-aggs") {
     val chunkPlan = Corpus.chunkWindows(docs, "doc_id", "text", 10, 5)
       .queryExecution.executedPlan.toString
