@@ -202,10 +202,22 @@ object ScaleSmoke {
     // dupSpanStats is the token-heavy one (every token position shuffles a
     // (docId, hash) pair) — the content-defined sampling knob should cut
     // its cost without losing the all-or-nothing detection property.
-    import operators.Corpus
+    import operators.{Bpe, Corpus}
+    // the warmups must fire for EVERY section of their family a focused
+    // filter might select — 50k and 500k variants alike — or that run
+    // times cold whole-stage-codegen JIT instead of the operator
     if (willTime("dup spans 5k docs", "dup spans 50k docs",
-        "dup spans 50k docs, hashSampleMod=4", "pack 50k docs", "mixture 50k docs")) {
+        "dup spans 50k docs, hashSampleMod=4", "dup spans 500k docs",
+        "mixture 50k docs")) {
       Corpus.dupSpanStats(docs.limit(500), "doc_id", "text", 8).count() // JIT warmup
+    }
+    if (willTime("pack 50k docs", "pack 500k docs", "writeShards 50k docs",
+        "writeShards 500k docs", "bpe train 200 merges, 5k docs",
+        "bpe train 200 merges, 50k docs", "bpe train 200 merges, 500k docs")) {
+      val tiny = docs.limit(500).withColumn("n", length(col("text")).cast("long"))
+      Corpus.packSequences(tiny, "n", "doc_id", "n", 100000L).count()
+      Corpus.shardByTokens(tiny, "doc_id", "n", 100000L).count()
+      Bpe.train(docs.limit(500), "text", numMerges = 5).merges.size
     }
     time("dup spans 5k docs") {
       Corpus.dupSpanStats(docs, "doc_id", "text", 8).count()
@@ -237,7 +249,6 @@ object ScaleSmoke {
     // shuffle); the merge loop sees only the vocabulary, so train cost
     // should be near-FLAT across the corpus decade. Encode is broadcast +
     // map-only.
-    import operators.Bpe
     time("bpe train 200 merges, 5k docs") {
       Bpe.train(docs, "text", numMerges = 200).merges.size
     }

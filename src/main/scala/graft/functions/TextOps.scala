@@ -77,11 +77,14 @@ object TextOps {
     val n = words.numElements()
     if (window <= 0 || n < window)
       return new GenericArrayData(Array.emptyLongArray)
+    // null slots mirror array_join semantics (skipped entirely, no
+    // separator); isNullAt is the representation-safe check — an
+    // UnsafeArrayData null slot can surface as a zero-length string
+    // through getUTF8String
     val wb = new Array[Array[Byte]](n)
     var k = 0
     while (k < n) {
-      val u = words.getUTF8String(k)
-      wb(k) = if (u == null) Array.emptyByteArray else u.getBytes
+      wb(k) = if (words.isNullAt(k)) null else words.getUTF8String(k).getBytes
       k += 1
     }
     val d = md5Digest.get()
@@ -91,10 +94,14 @@ object TextOps {
     var i = 0
     while (i < res.length) {
       d.reset()
+      var emitted = 0
       var j = i
       while (j < i + window) {
-        if (j > i) d.update(space)
-        d.update(wb(j))
+        if (wb(j) != null) {
+          if (emitted > 0) d.update(space)
+          d.update(wb(j))
+          emitted += 1
+        }
         j += 1
       }
       d.digest(out, 0, 16)

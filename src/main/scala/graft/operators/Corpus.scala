@@ -229,7 +229,9 @@ object Corpus {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    windowTokens: Int, hashSampleMod: Int = 1): DataFrame = {
     require(windowTokens > 1 && hashSampleMod > 0)
-    graft.Graft.register(df.sparkSession) // word_window_hashes kernel
+    // idempotent registration of the word_window_hashes kernel — the same
+    // pattern Dedup.jaccardRefine uses for its kernel call
+    graft.Graft.register(df.sparkSession)
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")
     val allWins = df
       .select(col(idCol).as("__id"), toks.as("__ws"))

@@ -147,6 +147,31 @@ class TextKernelsSpec extends SparkTestBase {
     assert(top("one  two") == 0.5) // empty tokens from double spaces dropped
   }
 
+  test("word_window_hashes equals the md5/conv expression pipeline, nulls as array_join") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(
+      Tuple1(Seq("alpha", "beta", "gamma", "delta")),
+      Tuple1(Seq("x")))).toDF("ws")
+    val viaKernel = df.select(call_function("word_window_hashes", col("ws"), lit(2)).as("h"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val viaExpr = df.where(size(col("ws")) >= 2).select(expr(
+      """transform(sequence(1, size(ws) - 1),
+        |  i -> cast(conv(substring(md5(cast(array_join(slice(ws, i, 2), ' ') as binary)), 1, 15), 16, 10) as bigint))""".stripMargin).as("h"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(viaKernel.head == viaExpr.head)
+    assert(viaKernel(1) == Seq.empty) // shorter than the window
+    // null slots follow array_join semantics: skipped, no separator
+    val withNull = spark.createDataFrame(Seq(
+      Tuple1(Seq("a", null, "b")))).toDF("ws")
+    val k = withNull.select(call_function("word_window_hashes", col("ws"), lit(2)).as("h"))
+      .head().getSeq[Long](0)
+    val e = withNull.select(expr(
+      """transform(sequence(1, 2),
+        |  i -> cast(conv(substring(md5(cast(array_join(slice(ws, i, 2), ' ') as binary)), 1, 15), 16, 10) as bigint))""".stripMargin).as("h"))
+      .head().getSeq[Long](0)
+    assert(k == e)
+  }
+
   test("redact_pii masks emails, urls, and phone numbers") {
     import org.apache.spark.sql.functions._
     val df = spark.createDataFrame(Seq(Tuple1(
