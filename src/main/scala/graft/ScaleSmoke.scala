@@ -283,6 +283,19 @@ object ScaleSmoke {
     time("bpe train 200 merges, 500k docs") {
       Bpe.train(docs100, "text", numMerges = 200).merges.size
     }
+
+    // classifier quality filter: train on 5k labeled docs, score 500k —
+    // scoring is the part that sees the full corpus and must be map-only
+    if (willTime("quality classifier score 500k docs")) {
+      val passing = operators.TextAnalysis.qualityFilter(docs, "text").select("doc_id")
+      val pos = docs.join(passing, Seq("doc_id"))
+      val neg = docs.join(passing, Seq("doc_id"), "left_anti")
+      val model = operators.QualityClassifier.train(pos, neg, "text", numFeatures = 1 << 16)
+      time("quality classifier score 500k docs") {
+        operators.QualityClassifier.score(docs100, "text", model)
+          .agg(sum(when(col("quality_prob") >= 0.5, 1L).otherwise(0L))).collect()(0).getLong(0)
+      }
+    }
     spark.stop()
   }
 }

@@ -790,6 +790,22 @@ object SparkEntry {
       operators.Bpe.encode(spark.table("documents"), "text", model)
         .select(col("doc_id"), col("bpe_len").cast("long").as("bpe_len"))
     }),
+    // Trained quality filter (fastText-style hashed-n-gram logistic
+    // regression): the heuristic gate labels the training split, the
+    // model scores every document. L-BFGS float aggregation order makes
+    // exact probabilities run-dependent → rows-only gate; the spec pins
+    // held-out separation instead
+    "q_quality_classifier" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.table("documents")
+      val passing = TextAnalysis.qualityFilter(docs, "text").select("doc_id")
+      val pos = docs.join(passing, Seq("doc_id"))
+      val neg = docs.join(passing, Seq("doc_id"), "left_anti")
+      val model = operators.QualityClassifier.train(pos, neg, "text",
+        numFeatures = 1 << 14)
+      operators.QualityClassifier.score(docs, "text", model)
+        .select(col("doc_id"), round(col("quality_prob"), 2).as("q"))
+    }),
     // Deterministic 75/12.5/12.5 split (binary-exact thresholds, so the
     // oracle's CASE chain compares the identical doubles)
     "q_split" -> ((spark, dir) => {
