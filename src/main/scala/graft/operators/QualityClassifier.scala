@@ -64,7 +64,10 @@ object QualityClassifier {
   def score(df: DataFrame, textCol: String, model: LogisticRegressionModel): DataFrame = {
     val numFeatures = model.numFeatures
     val feats = featurize(df, textCol, numFeatures)
-    val scored = model.setFeaturesCol("features").setProbabilityCol("__prob")
+    // copy before the column setters — they mutate in place, and the
+    // caller's model should not change under them
+    val scored = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setFeaturesCol("features").setProbabilityCol("__prob")
       .setPredictionCol("__pred").setRawPredictionCol("__raw")
       .transform(feats)
     val probAt1 = org.apache.spark.ml.functions.vector_to_array(col("__prob")).getItem(1)
