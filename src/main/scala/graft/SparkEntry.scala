@@ -798,11 +798,13 @@ object SparkEntry {
     "q_quality_classifier" -> ((spark, dir) => {
       init(spark, dir)
       val docs = spark.table("documents")
-      val passing = TextAnalysis.qualityFilter(docs, "text").select("doc_id")
-      val pos = docs.join(passing, Seq("doc_id"))
-      val neg = docs.join(passing, Seq("doc_id"), "left_anti")
+      // label by predicate at the scan (no join); null text sorts negative
+      val pass = TextAnalysis.qualityPass(col("text"))
+      val pos = docs.where(pass)
+      val neg = docs.where(!coalesce(pass, lit(false)))
+      // bounded deterministic training sample: corpus-size-independent
       val model = operators.QualityClassifier.train(pos, neg, "text",
-        numFeatures = 1 << 14)
+        numFeatures = 1 << 14, maxTrainDocs = 100000L, sampleIdCol = Some("doc_id"))
       operators.QualityClassifier.score(docs, "text", model)
         .select(col("doc_id"), round(col("quality_prob"), 2).as("q"))
     }),

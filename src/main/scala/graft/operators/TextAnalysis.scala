@@ -82,6 +82,20 @@ object TextAnalysis {
   def fingerprintRollingFast(text: Column, window: Int = 16): Column =
     call_function("rolling_fingerprint_fast", text, lit(window))
 
+  /** The C4/Gopher quality conjunction as a reusable predicate column —
+    * null text yields null (three-valued logic applies at the caller). */
+  def qualityPass(t: Column,
+                  minChars: Int = 200, maxChars: Int = 1000000,
+                  minTokens: Int = 5, maxPunctRatio: Double = 0.3,
+                  minStopwordRatio: Double = 0.0,
+                  minMeanWordLen: Double = 2.0,
+                  maxMeanWordLen: Double = 12.0): Column =
+    length(t).between(minChars, maxChars) &&
+      tokenCountWs(t) >= minTokens &&
+      punctRatio(t) <= maxPunctRatio &&
+      stopwordRatio(t) >= minStopwordRatio &&
+      meanWordLength(t).between(minMeanWordLen, maxMeanWordLen)
+
   /** C4/Gopher-style quality gate: keeps rows passing all bounds. Pure
     * column predicates — fully pushed into the scan stage, no extra pass.
     * Bounds follow the published C4 heuristics adapted to column form. */
@@ -90,14 +104,9 @@ object TextAnalysis {
                     minTokens: Int = 5, maxPunctRatio: Double = 0.3,
                     minStopwordRatio: Double = 0.0,
                     minMeanWordLen: Double = 2.0,
-                    maxMeanWordLen: Double = 12.0): DataFrame = {
-    val t = col(textCol)
-    df.where(length(t).between(minChars, maxChars) &&
-      tokenCountWs(t) >= minTokens &&
-      punctRatio(t) <= maxPunctRatio &&
-      stopwordRatio(t) >= minStopwordRatio &&
-      meanWordLength(t).between(minMeanWordLen, maxMeanWordLen))
-  }
+                    maxMeanWordLen: Double = 12.0): DataFrame =
+    df.where(qualityPass(col(textCol), minChars, maxChars, minTokens,
+      maxPunctRatio, minStopwordRatio, minMeanWordLen, maxMeanWordLen))
 
   /** One-pass corpus statistics: document/token totals plus length and
     * quality percentiles (t-digest `percentile_approx` — mergeable sketches,

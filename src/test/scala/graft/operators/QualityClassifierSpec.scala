@@ -48,6 +48,40 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("training is bit-deterministic across runs and repartitioning") {
+    val m1 = QualityClassifier.train(pos, neg, "text", numFeatures = 1 << 12)
+    val m2 = QualityClassifier.train(pos.repartition(7), neg.repartition(3), "text",
+      numFeatures = 1 << 12)
+    assert(m1.intercept == m2.intercept)
+    assert(java.util.Arrays.equals(m1.weights, m2.weights))
+  }
+
+  test("maxTrainDocs bounds each side via the deterministic hash sample") {
+    // cap of 40 → ≤20 per side out of 60; training must still separate
+    val model = QualityClassifier.train(pos, neg, "text", numFeatures = 1 << 12,
+      maxTrainDocs = 40L, sampleIdCol = Some("doc_id"))
+    val heldPos = (61 to 70).map(i => (i.toLong, goodDoc(i))).toDF("doc_id", "text")
+    val heldNeg = (61 to 70).map(i => (i.toLong + 1000, badDoc(i))).toDF("doc_id", "text")
+    val scored = QualityClassifier.score(heldPos.union(heldNeg), "text", model)
+      .select($"doc_id", $"quality_prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val worstGood = (61 to 70).map(i => scored(i.toLong)).min
+    val bestBad = (61 to 70).map(i => scored(i.toLong + 1000)).max
+    assert(worstGood > bestBad)
+    // the bounded path is ALSO deterministic (hash sample, not RNG)
+    val again = QualityClassifier.train(pos, neg, "text", numFeatures = 1 << 12,
+      maxTrainDocs = 40L, sampleIdCol = Some("doc_id"))
+    assert(java.util.Arrays.equals(model.weights, again.weights))
+  }
+
+  test("an empty side is rejected, not silently trained through") {
+    val empty = pos.where(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(pos, empty, "text", numFeatures = 1 << 12)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("null and empty text score without crashing") {
     val model = QualityClassifier.train(pos, neg, "text", numFeatures = 1 << 12)
     val edge = Seq[(Long, String)]((1L, null), (2L, ""), (3L, "   "))
