@@ -1236,12 +1236,16 @@ object SparkEntry {
     // same tokenization as q_lm_score's ws CTE; ws[i:i+3] is DuckDB's
     // 1-based INCLUSIVE slice = 4 words; range(1, len-2) is empty for
     // docs shorter than 4 words, mirroring wordNgrams' guard
+    // the engine compares 60-bit md5 window hashes (never the n-gram
+    // strings); the oracle reproduces the identical hash, so even a
+    // collision would be seen identically on both sides
     "q_decontaminate" ->
       """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),
-        |ng AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+3], ' '))) AS ngram FROM ws),
-        |bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 20 = 0)
-        |SELECT g.doc_id, count(DISTINCT g.ngram) AS hit_ngrams
-        |FROM ng g JOIN bench b ON g.ngram = b.ngram
+        |ng AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15)) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 1))) AS i FROM ws)),
+        |bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % 20 = 0)
+        |SELECT g.doc_id, count(*) AS hit_ngrams
+        |FROM ng g JOIN bench b ON g.h = b.h
         |WHERE g.doc_id % 20 <> 0
         |GROUP BY g.doc_id""".stripMargin,
     "q_quality_filter" ->

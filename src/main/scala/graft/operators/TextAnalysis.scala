@@ -199,6 +199,35 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct word-window hashes of each row's text — the
+    * [[graft.operators.Corpus.dupSpanStats]] `word_window_hashes` kernel
+    * (one rolling md5 per window, 60-bit values, exactly reproducible in
+    * external SQL engines), instead of materialized n-gram STRINGS: the
+    * join keys and the broadcast set carry 8-byte longs, and the n-gram
+    * text is never allocated. */
+  private def ngramHashes(df: DataFrame, textCol: String, n: Int): Column = {
+    graft.Graft.register(df.sparkSession)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= lit(""))
+    array_distinct(call_function("word_window_hashes", toks, lit(n)))
+  }
+
+  /** A pre-built decontamination probe: the evaluation suite's distinct
+    * word-`n`-gram hashes, cached so repeated decontamination calls (new
+    * corpus drops, several corpora against one benchmark) pay the
+    * eval-side build once. Call [[release]] when done. */
+  final class BenchmarkNgrams private[TextAnalysis] (val n: Int,
+                                                     private[TextAnalysis] val hashes: DataFrame) {
+    def release(): Unit = { hashes.unpersist() }
+  }
+
+  /** Build (and cache) the benchmark side of [[decontaminate]] once. */
+  def prepareBenchmark(benchmark: DataFrame, textCol: String, n: Int = 8): BenchmarkNgrams = {
+    val h = benchmark.select(explode(ngramHashes(benchmark, textCol, n)).as("__ngh"))
+      .distinct().cache()
+    h.count() // materialize now, so every later call starts from the cache
+    new BenchmarkNgrams(n, h)
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minOverlap` distinct word `n`-grams with an evaluation set, with
     * their overlap counts — the standard pre-training hygiene step that
@@ -207,25 +236,37 @@ object TextAnalysis {
     * benchmarks).
     *
     * Scale design: evaluation suites are small by nature (thousands of
-    * documents), so their DISTINCT n-grams BROADCAST; the corpus side
-    * explodes its n-grams — de-duplicated per document map-side, so a
-    * boilerplate document repeating a leaked n-gram K times probes the
-    * join once, not K times — and only the HIT rows, rare by
-    * construction and already unique per (document, n-gram), reach the
-    * one shuffle (a plain per-document count, no distinct aggregate).
-    * The 100 TB corpus is never shuffled and never holds more than a
-    * partition's n-grams in flight. */
+    * documents), so their DISTINCT n-gram HASHES broadcast (8 bytes per
+    * n-gram — the n-gram strings are never materialized on either side);
+    * the corpus side explodes its window hashes — de-duplicated per
+    * document map-side, so a boilerplate document repeating a leaked
+    * n-gram K times probes the join once, not K times — and only the HIT
+    * rows, rare by construction and already unique per (document, hash),
+    * reach the one shuffle (a plain per-document count, no distinct
+    * aggregate). The 100 TB corpus is never shuffled and never holds
+    * more than a partition's hashes in flight. Both sides use the same
+    * md5-derived window hash, so a (vanishingly unlikely) collision is
+    * seen identically by any engine reproducing the hash — results stay
+    * exactly comparable. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
-                    n: Int = 8, minOverlap: Int = 1): DataFrame = {
-    val bench = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("ngram")).distinct()
-    corpus.select(col(idCol),
-        explode(array_distinct(wordNgrams(col(textCol), n))).as("ngram"))
-      .join(broadcast(bench), "ngram")
+                    n: Int = 8, minOverlap: Int = 1): DataFrame =
+    decontaminateAgainst(corpus, idCol, textCol, n, minOverlap,
+      benchmark.select(explode(ngramHashes(benchmark, textCol, n)).as("__ngh")).distinct())
+
+  /** [[decontaminate]] against a [[prepareBenchmark]] handle: the
+    * eval-side distinct+broadcast build (the per-call constant) is
+    * amortized across calls. */
+  def decontaminate(corpus: DataFrame, prepared: BenchmarkNgrams,
+                    idCol: String, textCol: String, minOverlap: Int): DataFrame =
+    decontaminateAgainst(corpus, idCol, textCol, prepared.n, minOverlap, prepared.hashes)
+
+  private def decontaminateAgainst(corpus: DataFrame, idCol: String, textCol: String,
+                                   n: Int, minOverlap: Int, bench: DataFrame): DataFrame =
+    corpus.select(col(idCol), explode(ngramHashes(corpus, textCol, n)).as("__ngh"))
+      .join(broadcast(bench), "__ngh")
       .groupBy(idCol).agg(count(lit(1)).as("hit_ngrams"))
       .where(col("hit_ngrams") >= minOverlap)
-  }
 
   /** One-call quality report over a document table. */
   def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {

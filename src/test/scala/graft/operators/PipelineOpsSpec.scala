@@ -185,6 +185,27 @@ class PipelineOpsSpec extends SparkTestBase {
       minOverlap = 100).count() == 0)
   }
 
+  test("prepared benchmark handle matches one-shot decontaminate and reuses its cache") {
+    val benchmark = Seq(
+      (100L, "What is the capital of France Paris is the answer")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "trivia dump: what is the capital of France Paris is where it ends up"),
+      (2L, "the capital of Germany is Berlin and France is elsewhere entirely")
+    ).toDF("doc_id", "text")
+    val oneShot = TextAnalysis.decontaminate(corpus, benchmark, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prepared = TextAnalysis.prepareBenchmark(benchmark, "text")
+    try {
+      val viaHandle = TextAnalysis.decontaminate(corpus, prepared, "doc_id", "text", 1)
+      assert(viaHandle.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
+      // the handle's eval side is cached: the second call's plan reads it
+      val plan = TextAnalysis.decontaminate(corpus, prepared, "doc_id", "text", 1)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally prepared.release()
+  }
+
   test("bigram LM score ranks in-domain text above gibberish") {
     val model = TextAnalysis.bigramModel(docs, "text", topK = 20000)
     assert(model.bigrams.nonEmpty && model.unigrams.nonEmpty)
