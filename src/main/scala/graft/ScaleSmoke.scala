@@ -240,7 +240,7 @@ object ScaleSmoke {
     // Token-budgeted contiguous shard export (range shuffle + offset pass
     // + map-only stamp + partitioned write)
     time("writeShards 50k docs") {
-      val out = java.nio.file.Files.createTempDirectory("scale-shards").toString
+      val out = java.nio.file.Files.createTempDirectory("scale-shards").toString + "/out"
       Corpus.writeShards(docs10.withColumn("n_tok", length(col("text")).cast("long")),
         "doc_id", "n_tok", shardTokens = 200000L, out).count()
     }
@@ -276,7 +276,7 @@ object ScaleSmoke {
         .withColumn("source", col("doc_id") % 20), "source", "doc_id", "n_chars", 2000L).count()
     }
     time("writeShards 500k docs") {
-      val out = java.nio.file.Files.createTempDirectory("scale-shards-big").toString
+      val out = java.nio.file.Files.createTempDirectory("scale-shards-big").toString + "/out"
       Corpus.writeShards(docs100.withColumn("n_tok", length(col("text")).cast("long")),
         "doc_id", "n_tok", shardTokens = 2000000L, out).count()
     }

@@ -80,6 +80,14 @@ object Bpe {
         while (k < s.length - 1) {
           val p = (s(k), s(k + 1))
           if (pairCount(p) <= 0) pairCount.remove(p)
+          // prune the reverse index too: without this, a re-segmented
+          // word's stale entries make later merges of p re-walk words
+          // that no longer contain it (a no-op retract/re-add per word —
+          // correct but the merge loop degrades on large vocabularies)
+          pairWords.get(p).foreach { set =>
+            set -= i
+            if (set.isEmpty) pairWords.remove(p)
+          }
           k += 1
         }
       }
@@ -125,8 +133,11 @@ object Bpe {
   def encodeWord(word: String, model: BpeModel): Vector[String] = {
     var s = toSymbols(word)
     // standard rank-priority loop: repeatedly merge the lowest-rank
-    // adjacent pair present — equivalent to applying merges in order but
-    // O(len · log) with the rank map instead of a pass per merge
+    // adjacent pair present — equivalent to applying merges in rank order
+    // without a pass per merge-table entry. Each iteration rescans the
+    // word (O(len) per merge, O(len²) worst case for a word that merges
+    // down to one token); natural-language word lengths keep this cheap,
+    // and a heap would only pay off on pathological inputs
     var done = false
     while (!done && s.length > 1) {
       var bestRank = Int.MaxValue

@@ -225,6 +225,15 @@ object Corpus {
     * document whose windows are ALL sampled away has no rows in the
     * output — callers distinguishing "no duplicated spans" from "not
     * measured" should left-join and treat missing as unmeasured.
+    *
+    * Every aggregation here has a map-side combiner and the one join is
+    * AQE-skew-splittable — deliberately NO window function over `h`: a
+    * `count(*) OVER (PARTITION BY h)` buffers each hash partition whole,
+    * so one pathologically hot span (licence boilerplate repeated tens
+    * of millions of times across a 100 TB corpus) would land in a single
+    * task. Here the hot hash collapses map-side to one `(h, count)` row,
+    * and the join's left side carries one row per (document, hash) —
+    * occurrence multiplicity never concentrates in one task.
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    windowTokens: Int, hashSampleMod: Int = 1): DataFrame = {
@@ -241,11 +250,23 @@ object Corpus {
     val wins =
       if (hashSampleMod == 1) allWins
       else allWins.where(col("h") % hashSampleMod === 0)
-    val flagged = wins.withColumn("c",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    flagged.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    // per-(doc, hash) occurrence counts: a doc's windows sit in one input
+    // row, so the partial agg collapses them before the exchange — the
+    // shuffle carries distinct (docId, hash) pairs
+    val perDoc = wins.groupBy(col("__id"), col("h"))
+      .agg(count(lit(1)).as("__nw"))
+    // corpus-wide counts per hash derived FROM perDoc (Σ per-doc counts),
+    // so the corpus scan + first exchange are shared between both
+    // consumers (ReuseExchange) instead of scanning the text twice; the
+    // hottest span collapses to one row per (doc, hash) before this
+    // aggregate, and only duplicated hashes survive to the join
+    val dupHashes = perDoc.groupBy(col("h"))
+      .agg(sum(col("__nw")).as("__c")).where(col("__c") > 1)
+      .select(col("h"))
+    perDoc.join(dupHashes.withColumn("__dup", lit(1)), Seq("h"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(col("__nw")).as("n_windows"),
+        sum(when(col("__dup").isNotNull, col("__nw")).otherwise(0L)).as("n_dup_windows"))
       .select(col("__id").as(idCol), col("n_windows"), col("n_dup_windows"),
         round(col("n_dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"))
   }
@@ -325,12 +346,21 @@ object Corpus {
     * manifest as a DataFrame-shaped summary (one row per shard). The
     * manifest file is underscore-prefixed so parquet readers skip it,
     * like `_SUCCESS`.
+    *
+    * `mode` defaults to `ErrorIfExists`: a shard export is usually a
+    * one-shot publish, and silently clobbering an existing data
+    * directory is the wrong default. Pass `SaveMode.Overwrite`
+    * explicitly to replace a previous export — the whole `outDir` is
+    * then deleted first (Spark's overwrite semantics), manifest
+    * included.
     */
   def writeShards(df: DataFrame, orderCol: String, tokenCol: String,
-                  shardTokens: Long, outDir: String): DataFrame = {
+                  shardTokens: Long, outDir: String,
+                  mode: org.apache.spark.sql.SaveMode =
+                    org.apache.spark.sql.SaveMode.ErrorIfExists): DataFrame = {
     val spark = df.sparkSession
     val sharded = shardByTokens(df, orderCol, tokenCol, shardTokens)
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    sharded.write.mode(mode).partitionBy("shard").parquet(outDir)
     // partition-column readback infers int — normalize to long
     val manifest = spark.read.parquet(outDir)
       .groupBy(col("shard").cast("long").as("shard"))

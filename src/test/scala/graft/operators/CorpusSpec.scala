@@ -75,11 +75,15 @@ class CorpusSpec extends SparkTestBase {
     val chunkPlan = Corpus.chunkWindows(docs, "doc_id", "text", 10, 5)
       .queryExecution.executedPlan.toString
     assert(!chunkPlan.contains("Exchange"), chunkPlan)
-    // one exchange for the corpus-wide window count on h, one for the
-    // per-doc rollup — nothing else moves
+    // every moved row is a combiner-collapsed (doc,hash) or (hash,count)
+    // pair and NOTHING buffers a whole hash partition: no window function
+    // (a hot boilerplate span would land it in one task), just partial
+    // aggregates and an AQE-splittable join
     val spanPlan = Corpus.dupSpanStats(docs, "doc_id", "text", 8)
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(spanPlan).length <= 2, spanPlan)
+    assert(!spanPlan.contains("Window"), spanPlan)
+    assert("Exchange".r.findAllIn(spanPlan).length <= 5, spanPlan)
+    assert(spanPlan.contains("partial_count"), spanPlan)
     // the (doc, token) pre-aggregation combines map-side before the shuffle
     val tfidfPlan = Corpus.tfIdfTopTerms(docs, "doc_id", "text", 10)
       .queryExecution.executedPlan.toString
@@ -245,10 +249,19 @@ class CorpusSpec extends SparkTestBase {
   }
 
   test("writeShards: layout round-trips and the manifest matches the data") {
-    val dir = java.nio.file.Files.createTempDirectory("corpus-shards").toString
+    // a subpath the writer creates itself: the default ErrorIfExists mode
+    // refuses a pre-existing target
+    val dir = java.nio.file.Files.createTempDirectory("corpus-shards").toString + "/out"
     val base = docs.withColumn("n_tok", length($"text").cast("long"))
     val manifest = Corpus.writeShards(base, "doc_id", "n_tok", 3000L, dir)
       .collect()
+    // a second write to the same target must refuse, not clobber
+    intercept[Exception] {
+      Corpus.writeShards(base, "doc_id", "n_tok", 3000L, dir)
+    }
+    // ... unless overwrite is explicit
+    Corpus.writeShards(base, "doc_id", "n_tok", 3000L, dir,
+      org.apache.spark.sql.SaveMode.Overwrite)
     val back = spark.read.parquet(dir)
     assert(back.count() == docs.count())
     // manifest rows agree with an independent readback aggregation
