@@ -190,10 +190,13 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
     * selector, i.e. exactly the `_find` wire text. */
   private def selectorPreview: String = {
     val fs = pushed.toIndexedSeq
-    val eff = if (GeoJsonDataSource.serverMode(options))
-      fs.map(graft.sources.mongo.CouchFind.widen) else fs
-    if (eff.isEmpty) ""
-    else graft.sources.mongo.MongoFindGen.selector(eff) match {
+    val server = GeoJsonDataSource.serverMode(options)
+    val eff = if (server) fs.map(graft.sources.mongo.CouchFind.widen) else fs
+    val extras = if (server)
+      options.get("bbox").flatMap(graft.sources.mongo.CouchFind.bboxSelector).toSeq
+    else Nil
+    if (eff.isEmpty && extras.isEmpty) ""
+    else graft.sources.mongo.MongoFindGen.selector(eff, extras) match {
       case "{}" => ""
       case sel  => s", MongoSelector: $sel"
     }
@@ -251,7 +254,10 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
         graft.sources.mongo.MongoFindGen.selector(
           // widened: Mango matches type-sensitively, graft columns are
           // strings — numeric-looking literals match either JSON typing
-          filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen)),
+          filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen),
+          // spatial prune travels too: the bbox becomes a coordinate
+          // range clause for Point docs (superset; re-applied below)
+          bbox.flatMap(graft.sources.mongo.CouchFind.bboxSelector).toSeq),
         serverFields, httpTimeoutMs,
         // cursor cap only when NOTHING re-applies afterwards (the same
         // gate as the XML wire cap); it is a transfer hint, not a

@@ -74,6 +74,22 @@ object CouchFind {
     }
   }
 
+  /** The scan's `bbox` option (written by SpatialFilterPushdown) as a
+    * Mango range clause for the `_find` selector, or None when the spec
+    * cannot prune server-side: the `empty` sentinel means the local
+    * predicate already drops everything (one page of waste at most — not
+    * worth a selector no real corpus produces), and a malformed spec is
+    * left for the scan's own bboxPredicate `require` to report. The
+    * local re-apply always runs regardless ([[MongoFindGen.bboxClause]]
+    * ships a superset). */
+  private[graft] def bboxSelector(spec: String): Option[String] = {
+    if (spec == "empty") return None
+    val parts = spec.split(",").map(_.trim.toDoubleOption)
+    if (parts.length != 4 || parts.exists(_.isEmpty)) None
+    else Some(MongoFindGen.bboxClause(
+      parts(0).get, parts(1).get, parts(2).get, parts(3).get))
+  }
+
   /** All matching documents, lazily paginated — each partition reader pulls
     * pages as Spark consumes rows, so a LIMIT stops the HTTP traffic too.
     * `maxDocs` is a TRANSFER HINT, not a truncation: while under it the

@@ -80,6 +80,28 @@ object MongoFindGen {
     s"""{"geometry" : {"$$near": {"$$geometry": $geoJson $bounds}}}"""
   }
 
+  /** The engine's envelope (bbox) prune as a Mango range clause over
+    * GeoJSON Point coordinates — the document-store analog of the
+    * `geo:intersects` constraint the XML path ships to BaseX. Mango has
+    * no geo operator (the reference's `$near` is MongoDB-only,
+    * mongo_extension.ts:129), but dotted paths index arrays, so a Point's
+    * x/y are addressable as `geometry.coordinates.0/1` and range-compare
+    * as JSON numbers.
+    *
+    * Soundness: a Point's envelope is the point itself, so the ranges
+    * equal the local prune exactly for Points; every NON-Point geometry
+    * passes via the `$ne` branch (its envelope cannot be derived by a
+    * range clause), and documents without a geometry fail both branches —
+    * which matches the local re-apply, whose bbox predicate drops
+    * null-geometry rows too. The transferred set is therefore always a
+    * superset of the local result, never a truncation. */
+  def bboxClause(x0: Double, y0: Double, x1: Double, y1: Double): String =
+    s"""{ "$$or" : [{"geometry.type": { "$$ne": "Point" }}, { "$$and" : [""" +
+      s"""{"geometry.coordinates.0": { "$$gte": ${num(x0)} }}, """ +
+      s"""{"geometry.coordinates.0": { "$$lte": ${num(x1)} }}, """ +
+      s"""{"geometry.coordinates.1": { "$$gte": ${num(y0)} }}, """ +
+      s"""{"geometry.coordinates.1": { "$$lte": ${num(y1)} }}]}]}"""
+
   /** The pushdown subset the graft sources accept, as a Mongo selector.
     * None for filters the source would not push either. */
   def fromSparkFilter(f: Filter): Option[String] = f match {

@@ -68,4 +68,75 @@ class CouchFindSpec extends SparkTestBase {
       assert(df.where(call_function("st_x", col("geometry")) === 5.0).count() == 1)
     } finally server.stop(0)
   }
+
+  test("spatial WHERE travels as a Mango coordinate-range clause and cuts pages") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import scala.jdk.CollectionConverters._
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    // 120 Point docs on a line, plus one polygon doc the range clause can
+    // never express — the $or's $ne branch must keep it on the wire
+    val points = (0 until 120).map { i =>
+      s"""{"_id":"d$i","type":"Feature","properties":{"name":"p$i"},"geometry":{"type":"Point","coordinates":[$i,1]}}"""
+    }
+    val poly =
+      """{"_id":"poly","type":"Feature","properties":{"name":"zone"},"geometry":{"type":"Polygon","coordinates":[[[2,0],[4,0],[4,2],[2,2],[2,0]]]}}"""
+    val docs = points :+ poly
+    server.createContext("/db/_find", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        posted.add(body)
+        val skip = """"skip": (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+        // honest Mango semantics for the bbox shape: Points range-filter
+        // on x, non-Points pass through the $ne branch
+        val gte = """"geometry\.coordinates\.0": \{ "\$gte": (-?\d+(?:\.\d+)?) \}""".r
+          .findFirstMatchIn(body).map(_.group(1).toDouble)
+        val lte = """"geometry\.coordinates\.0": \{ "\$lte": (-?\d+(?:\.\d+)?) \}""".r
+          .findFirstMatchIn(body).map(_.group(1).toDouble)
+        val matched = docs.filter { d =>
+          val x = """"coordinates":\[(-?\d+)""".r.findFirstMatchIn(d).map(_.group(1).toDouble)
+          x match {
+            case Some(v) => gte.forall(v >= _) && lte.forall(v <= _)
+            case None    => true // the polygon: $ne "Point" branch
+          }
+        }
+        val page = matched.slice(skip, skip + CouchFind.PageSize)
+        val resp = s"""{"docs":[${page.mkString(",")}]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/db"
+      graft.Graft.register(spark)
+      val df = spark.read.format("graft-geojson")
+        .option("serverPushdown", "true").option("columns", "name").load(base)
+      posted.clear()
+      // full scan: 121 docs = 5 pages
+      assert(df.count() == 121)
+      val fullPages = posted.asScala.size
+      assert(fullPages == 5, s"$fullPages")
+      posted.clear()
+      // spatial WHERE → SpatialFilterPushdown writes the bbox option →
+      // the reader ships it as a coordinate range; only the 6 in-range
+      // points + the polygon cross the wire (1 page, not 5)
+      val sel = df.where(expr(
+        "st_intersects(geometry, st_geomfromtext('POLYGON((10 0, 15 0, 15 2, 10 2, 10 0))'))"))
+      assert(sel.count() == 6) // points x=10..15; the polygon fails the exact predicate
+      val sent = posted.asScala.mkString("\n")
+      assert(sent.contains(""""geometry.coordinates.0": { "$gte": 10 }"""), sent)
+      assert(sent.contains(""""geometry.coordinates.0": { "$lte": 15 }"""), sent)
+      assert(sent.contains(""""geometry.coordinates.1": { "$gte": 0 }"""), sent)
+      assert(sent.contains(""""geometry.coordinates.1": { "$lte": 2 }"""), sent)
+      assert(sent.contains("""{"geometry.type": { "$ne": "Point" }}"""), sent)
+      assert(posted.asScala.size == 1, s"expected 1 page after prune, got ${posted.asScala.size}")
+      // the polygon doc reached the engine (superset) but the EXACT
+      // predicate dropped it locally; a within() that admits it keeps it
+      val within = df.where(expr(
+        "st_intersects(geometry, st_geomfromtext('POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))'))"))
+      assert(within.collect().map(_.getString(0)).sorted.toSeq == Seq("p2", "p3", "p4", "zone"))
+    } finally server.stop(0)
+  }
 }
