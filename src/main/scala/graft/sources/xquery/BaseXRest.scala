@@ -193,13 +193,15 @@ object BaseXRest {
     * when every pushed piece is faithfully expressible: all filters
     * compile to XQuery, no bbox (its local envelope-prune semantics are
     * a record-level test, not a predicate the count query can share),
-    * COUNT-only specs, at most ONE group column (XQuery's `group by`
-    * binds one variable per spec — the reference's comma-joined key list
-    * is not a valid GroupingSpecList to send), simple column names (no
+    * COUNT / MIN / MAX specs (MIN/MAX compare as strings under the
+    * codepoint collation, which equals the local UTF8String binary
+    * order — UTF-8 byte order preserves codepoints), any number of
+    * group columns (multi-key grouping binds one variable per column —
+    * [[XQueryGen.aggregation]]), simple column names (no
     * `parent__child` / `_attribute__` forms), and a BaseX dialect.
     *
-    * Residual trust caveat (documented, inherent to counting inside the
-    * store): records whose filter column repeats or nests diverge —
+    * Residual trust caveat (documented, inherent to aggregating inside
+    * the store): records whose filter column repeats or nests diverge —
     * pushed predicates match existentially server-side while local
     * flattening compares the last simple value. */
   private[sources] def supportsServerAgg(version: XQueryGen.Version, filters: Seq[Filter],
@@ -209,10 +211,11 @@ object BaseXRest {
     import graft.sources.AggPushdown._
     version != XQueryGen.ExistDb601 && bbox.isEmpty &&
       filters.forall(f => XQueryGen.fromSparkFilter(f).isDefined) &&
-      groups.length <= 1 && groups.forall(simpleName) &&
+      groups.forall(simpleName) &&
       specs.forall { case CountStarSpec => true
                      case CountSpec(c)  => simpleName(c)
-                     case _             => false }
+                     case MinSpec(c)    => simpleName(c)
+                     case MaxSpec(c)    => simpleName(c) }
   }
 
   /** The aggregation XQuery for one document: the filtered record sequence
@@ -245,10 +248,23 @@ object BaseXRest {
       case CountStarSpec => "element{'_func__count__star'}{count($aggregaterow)}"
       case CountSpec(c) =>
         s"element{'_func__count__$c'}{count($$aggregaterow[*:$c[not(*)]])}"
-      case other => throw new IllegalArgumentException(s"not server-pushable: $other")
+      // MIN/MAX over the per-record last-wins value, FORCED to xs:string:
+      // fn:min/max cast untypedAtomic to double, which would order "10"
+      // before "9" differently from the local string comparison. The
+      // trailing /string() also drops records without the element (where
+      // string($empty) would inject "") so absence never becomes the
+      // minimum; an all-absent group answers the null marker.
+      case MinSpec(c) =>
+        s"element{'_func__min__$c'}{let $$v := min(for $$r in $$aggregaterow " +
+          s"return ($$r/*:$c[not(*)])[last()]/string()) " +
+          s"return if (exists($$v)) then $$v else attribute{'null'}{'true'}}"
+      case MaxSpec(c) =>
+        s"element{'_func__max__$c'}{let $$v := max(for $$r in $$aggregaterow " +
+          s"return ($$r/*:$c[not(*)])[last()]/string()) " +
+          s"return if (exists($$v)) then $$v else attribute{'null'}{'true'}}"
     }
     s"""let $$doc := ${version.docFunc(db, doc)}${recordPath(recordTag)}$where
-       |${XQueryGen.aggregation(groups, projections, keyOf)}
+       |${XQueryGen.aggregation(groups, projections, keyOf, multiVarSpecs = true)}
        |return element{'rest-results'}{$$aggregated}""".stripMargin
   }
 
@@ -277,8 +293,14 @@ object BaseXRest {
           if (e.attribute("null").isDefined) null
           else org.apache.spark.unsafe.types.UTF8String.fromString(e.text)
         }
-        val countVals = cells.drop(groups.length).map(e => e.text.trim.toLong)
-        org.apache.spark.sql.catalyst.InternalRow.fromSeq(groupVals ++ countVals)
+        val aggVals = cells.drop(groups.length).zip(specs).map {
+          case (e, graft.sources.AggPushdown.CountStarSpec |
+                   graft.sources.AggPushdown.CountSpec(_)) => e.text.trim.toLong
+          case (e, _) => // MIN/MAX: nullable string partials
+            if (e.attribute("null").isDefined) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(e.text)
+        }
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(groupVals ++ aggVals)
       }
   }
 

@@ -208,16 +208,30 @@ object XQueryGen {
     * constructGroupByQuery). The default `keyOf` reproduces the
     * reference's key paths verbatim; the live execution path
     * ([[BaseXRest]]) overrides it with a single-item last-wins path so
-    * multi-valued elements atomize instead of erroring. */
+    * multi-valued elements atomize instead of erroring.
+    *
+    * Multi-key grouping has two emissions. The default reproduces the
+    * reference verbatim: the key list comma-joins into ONE grouping spec
+    * (constructGroupByQuery) — which is NOT a valid XQuery
+    * GroupingSpecList for more than one key, so the reference's own
+    * multi-key construction could never execute as generated.
+    * `multiVarSpecs=true` (the live execution path, [[BaseXRest]]) binds
+    * one variable per column instead (`$group0 := k0, $group1 := k1`),
+    * the form a real server accepts. */
   def aggregation(groupBy: Seq[String], projections: Seq[String],
-                  keyOf: String => String = c => s"$$aggregaterow/*:$c"): String =
+                  keyOf: String => String = c => s"$$aggregaterow/*:$c",
+                  multiVarSpecs: Boolean = false): String =
     if (groupBy.isEmpty)
       s"""let $$aggregaterow := $$doc
          |let $$aggregated:=element{'result'}{(${projections.mkString(",")})}""".stripMargin
     else {
-      val keys = groupBy.map(keyOf).mkString(",")
+      val specList =
+        if (groupBy.length == 1) s"$$group := ${keyOf(groupBy.head)}"
+        else if (multiVarSpecs) groupBy.zipWithIndex
+          .map { case (c, i) => s"$$group$i := ${keyOf(c)}" }.mkString(", ")
+        else s"$$group := ${groupBy.map(keyOf).mkString(",")}"
       s"""let $$aggregated :=for $$aggregaterow in $$doc
-         |group by $$group := $keys
+         |group by $specList
          |return element{'result'}{(${projections.mkString(",")})}""".stripMargin
     }
 

@@ -208,12 +208,13 @@ class XmlDataSourceSpec extends SparkTestBase {
           val doc = """db:open\("db","([^"]+)"\)""".r.findFirstMatchIn(q).get.group(1)
           val nameEq = """\*:name = '([^']*)'""".r.findFirstMatchIn(q).map(_.group(1))
           val matched = docs(doc).filter { case (_, name) => nameEq.forall(_ == name) }
-          if (q.contains("_func__count__")) {
+          if (q.contains("_func__")) {
             def fieldOf(xml: String, f: String): Option[String] =
               s"<$f[^>]*>([^<]*)</$f>".r.findFirstMatchIn(xml).map(_.group(1))
             val groupCols = """element\{'(\w+)'\}\{let""".r
               .findAllMatchIn(q).map(_.group(1)).toSeq
-            val countNames = """element\{'(_func__count__\w+)'\}""".r
+              .filterNot(_.startsWith("_func__")) // min/max also bind `let`
+            val aggNames = """element\{'(_func__\w+)'\}""".r
               .findAllMatchIn(q).map(_.group(1)).toSeq
             val grouped =
               if (groupCols.isEmpty) Seq(Nil -> matched)
@@ -221,11 +222,16 @@ class XmlDataSourceSpec extends SparkTestBase {
                 .toSeq.map { case (k, v) => (groupCols.zip(k.map(_.orNull)), v) }
             val results = grouped.map { case (key, rs) =>
               val gx = key.map { case (c, v) => s"<$c>$v</$c>" }.mkString
-              val cx = countNames.map {
+              val cx = aggNames.map {
                 case n @ "_func__count__star" => s"<$n>${rs.size}</$n>"
-                case n =>
+                case n if n.startsWith("_func__count__") =>
                   val c = n.stripPrefix("_func__count__")
                   s"<$n>${rs.count(r => fieldOf(r._1, c).isDefined)}</$n>"
+                case n => // min/max: string order over present values
+                  val c = n.replaceFirst("_func__(min|max)__", "")
+                  val vs = rs.flatMap(r => fieldOf(r._1, c))
+                  if (vs.isEmpty) s"""<$n null="true"/>"""
+                  else s"<$n>${if (n.contains("__min__")) vs.min else vs.max}</$n>"
               }.mkString
               s"<result>$gx$cx</result>"
             }
@@ -314,11 +320,27 @@ class XmlDataSourceSpec extends SparkTestBase {
         .option("serverPushdown", "true").load(base).count() == 3)
       assert(posted.asScala.last.contains("\"a.xml\")/*/*") ||
         posted.asScala.last.contains("\"b.xml\")/*/*"), posted.asScala.last)
-      // a multi-column GROUP BY is not a valid XQuery GroupingSpecList —
-      // it must fall back to record transfer, not send a broken query
+      // MIN/MAX aggregate inside the database too — forced to xs:string
+      // (fn:min would cast untyped values to double and re-order "10"
+      // before "9" differently from the local string comparison), with
+      // the null marker for an all-absent group
+      import org.apache.spark.sql.functions.{min, max}
+      val mm = rd.groupBy("kind").agg(min("name").as("lo"), max("name").as("hi"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(mm == Set(("k1", "a", "a"), ("k2", "b", "b"), ("k3", "c", "c")))
+      val mmSent = posted.asScala.last
+      assert(mmSent.contains("element{'_func__min__name'}{let $v := min(for $r in $aggregaterow " +
+        "return ($r/*:name[not(*)])[last()]/string())"), mmSent)
+      assert(mmSent.contains("element{'_func__max__name'}{let $v := max("), mmSent)
+      // a multi-column GROUP BY binds one grouping variable per key (the
+      // reference's comma-joined key list would be invalid XQuery) and
+      // STILL aggregates server-side
       val mg = rd.groupBy("kind", "name").count().collect()
       assert(mg.length == 3 && mg.map(_.getLong(2)).sum == 3)
-      assert(!posted.asScala.last.contains("_func__count__"), posted.asScala.last)
+      val mgSent = posted.asScala.last
+      assert(mgSent.contains("group by $group0 := ($aggregaterow/*:kind[not(*)])[last()], " +
+        "$group1 := ($aggregaterow/*:name[not(*)])[last()]"), mgSent)
+      assert(mgSent.contains("_func__count__star"), mgSent)
       // a bbox prune travels as geo:intersects with a GML2 envelope —
       // the reference's spatial pushdown into BaseX; the fake ignores it
       // (superset) and the local prune keeps the result exact

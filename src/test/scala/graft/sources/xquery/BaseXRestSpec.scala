@@ -66,16 +66,18 @@ class BaseXRestSpec extends AnyFunSuite {
     assert(BaseXRest.supportsServerAgg(XQueryGen.BaseX97, ok, None,
       Seq("kind"), Seq(CountStarSpec)))
     // eXist pushes no aggregation; bbox prune has record-level semantics;
-    // >1 group key is not a valid GroupingSpecList; min/max and nested
-    // columns transfer records instead
+    // nested columns transfer records instead. Multi-key groups and
+    // MIN/MAX (since round 8) travel server-side.
     assert(!BaseXRest.supportsServerAgg(XQueryGen.ExistDb601, ok, None,
       Seq("kind"), Seq(CountStarSpec)))
     assert(!BaseXRest.supportsServerAgg(XQueryGen.BaseX97, ok, Some("0,0,1,1"),
       Seq("kind"), Seq(CountStarSpec)))
-    assert(!BaseXRest.supportsServerAgg(XQueryGen.BaseX97, ok, None,
+    assert(BaseXRest.supportsServerAgg(XQueryGen.BaseX97, ok, None,
       Seq("kind", "name"), Seq(CountStarSpec)))
+    assert(BaseXRest.supportsServerAgg(XQueryGen.BaseX97, ok, None,
+      Seq("kind"), Seq(MinSpec("name"), MaxSpec("name"))))
     assert(!BaseXRest.supportsServerAgg(XQueryGen.BaseX97, ok, None,
-      Seq("kind"), Seq(MinSpec("name"))))
+      Seq("kind"), Seq(MinSpec("addr__zip"))))
     assert(!BaseXRest.supportsServerAgg(XQueryGen.BaseX97, ok, None,
       Seq("addr__zip"), Seq(CountStarSpec)))
     // a pushed filter with no XQuery form (IS NULL on an _undef__ column
