@@ -109,6 +109,50 @@ object GeoJsonSource {
     }(encoder)
   }
 
+  /** Distributed GeoJSON export — the 100 TB-shaped inverse of
+    * [[toFeatureCollection]] (which collects to the driver): one NDJSON
+    * Feature per LINE, one file per partition, plus an underscore-prefixed
+    * `_MANIFEST.json` (feature count + property columns — the
+    * [[graft.operators.Corpus.writeShards]] manifest pattern; parquet and
+    * the graft sources both skip `_` files). Entirely executor-side: the
+    * feature line is built from codegen'd column expressions (`to_json`
+    * for RFC-escaped properties, `st_asgeojson` for the geometry) and
+    * written by Spark's text sink — no driver collect at any size. The
+    * export reads straight back through
+    * `spark.read.format("graft-geojson").option("multiLine","false")`.
+    *
+    * `mode` defaults to `ErrorIfExists`, like [[graft.operators.Corpus
+    * .writeShards]]: pass `SaveMode.Overwrite` explicitly to replace. */
+  def writeFeatures(df: DataFrame, geomCol: String, outDir: String,
+                    saveMode: org.apache.spark.sql.SaveMode =
+                      org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.Graft.register(df.sparkSession)
+    val props = df.schema.fieldNames.filterNot(_ == geomCol).toSeq
+    require(df.schema.fieldNames.contains(geomCol),
+      s"geometry column '$geomCol' not in ${df.schema.fieldNames.mkString(", ")}")
+    // to_json omits null properties; the reader's flattening answers null
+    // for a missing key, so the round-trip preserves SQL NULL
+    val propsJson =
+      if (props.isEmpty) lit("{}") else to_json(struct(props.map(col): _*))
+    val line = concat(
+      lit("""{"type":"Feature","properties":"""), propsJson,
+      lit(""","geometry":"""),
+      coalesce(call_function("st_asgeojson", col(geomCol)), lit("null")),
+      lit("}"))
+    df.select(line.as("value")).write.mode(saveMode).text(outDir)
+    // manifest from a readback count (scan of what was just written — no
+    // extra pass over the source frame, no driver-held rows)
+    val n = df.sparkSession.read.text(outDir).count()
+    val json = s"""{"n_features": $n, "geometry_col": ${graft.JsonText.str(geomCol)},""" +
+      s""" "properties": [${props.map(graft.JsonText.str).mkString(", ")}]}"""
+    val path = new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json")
+    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Inverse direction — the reference's result shape
     * (reference: src/index.ts:323 convertRestoGeoJSON): rows → GeoJSON
     * FeatureCollection string per partition-collected result. Intended for

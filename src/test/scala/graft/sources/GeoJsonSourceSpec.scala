@@ -116,6 +116,37 @@ class GeoJsonSourceSpec extends SparkTestBase {
     unfiltered.unpersist()
   }
 
+  test("writeFeatures: distributed NDJSON export round-trips through the reader") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ndjson").toString
+    val out = base + "/export"
+    val src = Seq(
+      ("alpha", "POINT (107.6 -6.9)"),
+      ("be\"ta\nline", "POINT (1 2)"), // JSON-escaping must survive
+      ("nogeom", null)
+    ).toDF("name", "wkt")
+      .withColumn("geometry",
+        when($"wkt".isNotNull, call_function("st_geomfromtext", $"wkt")))
+      .drop("wkt")
+      .repartition(3) // several part files: one reader partition each
+    GeoJsonSource.writeFeatures(src, "geometry", out)
+    // manifest written, underscore-prefixed (readers skip it)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    assert(manifest.contains(""""n_features": 3""") &&
+      manifest.contains(""""name""""), manifest)
+    // a second export must refuse, not clobber
+    intercept[Exception] { GeoJsonSource.writeFeatures(src, "geometry", out) }
+    val back = spark.read.format("graft-geojson")
+      .option("multiLine", "false").load(out)
+    val rows = back.select($"name",
+        when($"geometry".isNotNull, call_function("st_astext", $"geometry")).as("wkt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      ("alpha", "POINT (107.6 -6.9)"),
+      ("be\"ta\nline", "POINT (1 2)"),
+      ("nogeom", null)))
+  }
+
   test("round trip back to a FeatureCollection") {
     val df = GeoJsonSource.fromDocuments(Seq(fc).toDF("json"), "json")
     val out = GeoJsonSource.toFeatureCollection(df.orderBy("name"), "geometry")
