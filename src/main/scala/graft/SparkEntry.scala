@@ -547,6 +547,85 @@ object SparkEntry {
       } finally server.stop(0)
     }),
 
+    // The MongoDB live path under the same gate: identical documents, but
+    // the wire is the REAL binary protocol — OP_MSG frames over TCP, BSON
+    // bodies (graft.sources.mongo.MongoWire/Bson) — against an in-process
+    // endpoint that honestly evaluates the nk equality and pages the
+    // cursor in find/getMore batches. The engine result hash-matches
+    // plain SQL over customer, exactly like the Couch/BaseX gates.
+    "q_geojson_mongo" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.sql(
+        s"""SELECT concat('{"type":"Feature","properties":{"name":"', c_name,
+           |  '","nk":"', CAST(c_nationkey AS STRING),
+           |  '"},"geometry":{"type":"Point","coordinates":[', CAST($CX AS STRING), ',',
+           |  CAST($CY AS STRING), ']}}') AS j
+           |FROM customer""".stripMargin)
+        .collect().map(_.getString(0)).toIndexedSeq
+      val server = new java.net.ServerSocket(0, 16,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      val cursors = new java.util.concurrent.ConcurrentHashMap[
+        Long, scala.collection.mutable.Queue[String]]()
+      val nextCursor = new java.util.concurrent.atomic.AtomicLong(1L)
+      def reply(cmdJson: String): String = {
+        val batch = """"batchSize":(\d+)""".r.findFirstMatchIn(cmdJson)
+          .map(_.group(1).toInt).getOrElse(101)
+        def page(q: scala.collection.mutable.Queue[String], id: Long, first: Boolean) = {
+          val out = (0 until math.min(batch, q.size)).map(_ => q.dequeue())
+          val more = q.nonEmpty
+          if (!more) cursors.remove(id) else cursors.put(id, q)
+          s"""{"cursor":{"${if (first) "firstBatch" else "nextBatch"}":[${out.mkString(",")}],""" +
+            s""""id":${if (more) id else 0L},"ns":"db.features"},"ok":1.0}"""
+        }
+        if (cmdJson.contains(""""find":""")) {
+          val nkEq = """"properties\.nk":\{"\$eq":"([^"]*)"\}""".r
+            .findFirstMatchIn(cmdJson).map(_.group(1))
+          val matched = docs.filter(d => nkEq.forall(v => d.contains(s""""nk":"$v"""")))
+          page(scala.collection.mutable.Queue(matched: _*), nextCursor.getAndIncrement(), first = true)
+        } else {
+          val id = """"getMore":(\d+)""".r.findFirstMatchIn(cmdJson).get.group(1).toLong
+          page(Option(cursors.get(id)).getOrElse(scala.collection.mutable.Queue.empty), id, first = false)
+        }
+      }
+      val acceptor = new Thread(() => {
+        try while (true) {
+          val sock = server.accept()
+          new Thread(() => try {
+            val in = new java.io.DataInputStream(sock.getInputStream)
+            val out = new java.io.DataOutputStream(sock.getOutputStream)
+            while (true) {
+              val lenB = new Array[Byte](4); in.readFully(lenB)
+              val total = java.nio.ByteBuffer.wrap(lenB)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+              val rest = new Array[Byte](total - 4); in.readFully(rest)
+              val buf = java.nio.ByteBuffer.wrap(rest)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val reqId = buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
+              buf.get() // kind 0
+              val body = graft.sources.mongo.Bson.fromJson(
+                reply(graft.sources.mongo.Bson.toJson(buf)))
+              val frame = java.nio.ByteBuffer.allocate(21 + body.length)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              frame.putInt(21 + body.length).putInt(1).putInt(reqId).putInt(2013)
+              frame.putInt(0).put(0.toByte).put(body)
+              out.write(frame.array()); out.flush()
+            }
+          } catch { case _: Throwable => () }).start()
+        } catch { case _: Throwable => () }
+      })
+      acceptor.setDaemon(true)
+      acceptor.start()
+      try {
+        spark.read.format("graft-geojson")
+          .option("columns", "name,nk").option("serverPushdown", "true")
+          .load(s"mongodb://127.0.0.1:${server.getLocalPort}/db/features")
+          .where(col("nk") === "7")
+          .select(col("name"), col("nk"),
+            round(call_function("st_x", col("geometry")), 4).as("gx"))
+          .localCheckpoint(true)
+      } finally server.close()
+    }),
+
     // -------------------------------------------- LLM-data-pipeline surface
     "q_dedup_exact" -> ((spark, dir) => {
       init(spark, dir)
@@ -1072,6 +1151,8 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE starts_with(n_name, 'NATION_1')""".stripMargin,
     "q_geojson_couch" ->
+      s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 7",
+    "q_geojson_mongo" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 7",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",

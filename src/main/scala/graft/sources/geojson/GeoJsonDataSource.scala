@@ -45,13 +45,17 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
       case None =>
         val keys = scala.collection.mutable.SortedSet.empty[String]
         if (GeoJsonDataSource.serverMode(options)) {
-          // server mode: sample = the first unselected _find page per database
+          // server mode: sample = the first unselected page per database
+          // (`_find` page on CouchDB, find first batch on MongoDB)
           DocFiles.pathsOf(options).foreach { db =>
-            graft.sources.mongo.CouchFind
-              .page(db, "{}", Nil, 0, DocFiles.HttpTimeoutMs)
-              .foreach { json =>
-                GeoJsonSource.flattenFeature(json).foreach { case (m, _) => keys ++= m.keys }
-              }
+            val sample =
+              if (graft.sources.mongo.MongoWire.isMongoUrl(db))
+                graft.sources.mongo.MongoWire.sample(db, 25, DocFiles.HttpTimeoutMs)
+              else graft.sources.mongo.CouchFind
+                .page(db, "{}", Nil, 0, DocFiles.HttpTimeoutMs)
+            sample.foreach { json =>
+              GeoJsonSource.flattenFeature(json).foreach { case (m, _) => keys ++= m.keys }
+            }
           }
         } else {
           val multiLine = Option(options.get("multiLine")).forall(_.toBoolean)
@@ -180,7 +184,10 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
       }.getOrElse("") + selectorPreview +
-      (if (GeoJsonDataSource.serverMode(options)) ", ServerExec: couchdb-find" else "")
+      (if (!GeoJsonDataSource.serverMode(options)) ""
+       else if (files.exists(graft.sources.mongo.MongoWire.isMongoUrl))
+         ", ServerExec: mongodb-find"
+       else ", ServerExec: couchdb-find")
 
   /** The pushed predicates as the Mongo/CouchDB selector a live document
     * store would receive — surfaced in `explain` for observability (the
@@ -226,44 +233,55 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
                                         limit: Option[Int] = None)
   extends PartitionReaderFactory {
 
-  /** Mango `fields` projection for server mode: every column the reader
-    * still needs — the output schema, the columns pushed filters reference
-    * (they re-apply locally on the returned docs), and the geometry when a
-    * bbox prune runs. An aggregate scan skips the projection: its source
-    * columns live inside the agg spec, and the filter has already cut the
-    * transferred rows. */
-  private def serverFields: Seq[String] =
+  /** Every column the reader still needs in server mode — the output
+    * schema, the columns pushed filters reference (they re-apply locally
+    * on the returned docs), and the geometry when a bbox prune runs. An
+    * aggregate scan skips the projection: its source columns live inside
+    * the agg spec, and the filter has already cut the transferred rows. */
+  private def neededColumns: Seq[String] =
     if (agg.isDefined) Nil
-    else {
-      val needed = schema.fieldNames.toSeq ++
-        filters.toSeq.flatMap(_.references.toSeq) ++
-        (if (bbox.isDefined) Seq("geometry") else Nil)
-      needed.distinct.map {
-        case "geometry" => "geometry"
-        case c          => s"properties.$c"
-      }
+    else (schema.fieldNames.toSeq ++
+      filters.toSeq.flatMap(_.references.toSeq) ++
+      (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
+
+  /** The needed columns as Mango `fields` document paths. */
+  private def serverFields: Seq[String] =
+    neededColumns.map {
+      case "geometry" => "geometry"
+      case c          => s"properties.$c"
     }
 
+  /** The selector every server-mode path ships: widened pushed filters
+    * (Mongo/Mango match type-sensitively; graft columns are strings, so
+    * numeric-looking literals match either JSON typing) plus the bbox as
+    * a coordinate-range clause for Point docs — always a SUPERSET, and
+    * every piece re-applies locally below. */
+  private def serverSelector: String =
+    graft.sources.mongo.MongoFindGen.selector(
+      filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen),
+      bbox.flatMap(graft.sources.mongo.CouchFind.bboxSelector).toSeq)
+
+  // cursor cap only when NOTHING re-applies afterwards (the same gate as
+  // the XML wire cap); it is a transfer hint, not a truncation — a
+  // zero-row document (empty FeatureCollection) makes the reader pull
+  // past it and paging resumes full-size
+  private def transferHint: Option[Int] =
+    if (filters.isEmpty && bbox.isEmpty) limit else None
+
   /** Feature documents of one partition. Local mode reads files/URLs;
-    * server mode runs the pushed predicates INSIDE CouchDB via `_find` —
-    * but the caller still re-applies every filter, so the two modes agree
+    * server mode runs the pushed predicates INSIDE the store — CouchDB
+    * via paginated `_find`, MongoDB via the OP_MSG find/getMore cursor —
+    * but the caller still re-applies every filter, so all modes agree
     * even against a server that ignored the selector. */
   private def documents(file: String): Iterator[String] =
-    if (serverPushdown && file.startsWith("http"))
-      graft.sources.mongo.CouchFind.docs(file,
-        graft.sources.mongo.MongoFindGen.selector(
-          // widened: Mango matches type-sensitively, graft columns are
-          // strings — numeric-looking literals match either JSON typing
-          filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen),
-          // spatial prune travels too: the bbox becomes a coordinate
-          // range clause for Point docs (superset; re-applied below)
-          bbox.flatMap(graft.sources.mongo.CouchFind.bboxSelector).toSeq),
-        serverFields, httpTimeoutMs,
-        // cursor cap only when NOTHING re-applies afterwards (the same
-        // gate as the XML wire cap); it is a transfer hint, not a
-        // truncation — a zero-row document (empty FeatureCollection)
-        // makes the reader pull past it and paging resumes full-size
-        if (filters.isEmpty && bbox.isEmpty) limit else None)
+    if (serverPushdown && graft.sources.mongo.MongoWire.isMongoUrl(file))
+      // bare column names: MongoFindGen.projection prefixes `properties.`
+      // itself (the reference's constructProjectionQuery contract)
+      graft.sources.mongo.MongoWire.docs(file, serverSelector, neededColumns,
+        httpTimeoutMs, transferHint)
+    else if (serverPushdown && file.startsWith("http"))
+      graft.sources.mongo.CouchFind.docs(file, serverSelector,
+        serverFields, httpTimeoutMs, transferHint)
     else GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -1,0 +1,55 @@
+package graft.sources.mongo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BsonSpec extends AnyFunSuite {
+
+  test("canonical bytes: the spec's {hello: world} example") {
+    // bsonspec.org's worked example:
+    // \x16\x00\x00\x00 \x02 hello\x00 \x06\x00\x00\x00 world\x00 \x00
+    val expected = Array[Byte](
+      0x16, 0, 0, 0, 0x02, 'h', 'e', 'l', 'l', 'o', 0,
+      0x06, 0, 0, 0, 'w', 'o', 'r', 'l', 'd', 0, 0)
+    assert(Bson.fromJson("""{"hello": "world"}""").toSeq == expected.toSeq)
+  }
+
+  test("round-trips every JSON shape the selector/feature model uses") {
+    val json =
+      """{"find":"coll","filter":{"$and":[{"properties.grp":{"$eq":"1"}},{"geometry.coordinates.0":{"$gte":10.5}}]},""" +
+        """"n":3,"big":9999999999,"neg":-2,"ok":true,"nothing":null,""" +
+        """"arr":[1,"two",{"three":3.5}],"empty":{}}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(Bson.toJson(Bson.fromJson(json))) == mapper.readTree(json))
+  }
+
+  test("int32 / int64 / double pick the right BSON element types") {
+    def typeByteOf(json: String): Byte = Bson.fromJson(json)(4)
+    assert(typeByteOf("""{"v": 3}""") == 0x10)          // int32
+    assert(typeByteOf("""{"v": 9999999999}""") == 0x12) // int64
+    assert(typeByteOf("""{"v": 1.5}""") == 0x01)        // double
+  }
+
+  test("decodes the non-JSON types a real server stamps (ObjectId, datetime)") {
+    // hand-built document: {_id: ObjectId(00..0b), ts: datetime 1000}
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x07); out.write("_id".getBytes); out.write(0)
+    (0 until 12).foreach(out.write)
+    out.write(0x09); out.write("ts".getBytes); out.write(0)
+    out.write(Array[Byte](-24, 3, 0, 0, 0, 0, 0, 0)) // 1000 LE
+    val body = out.toByteArray
+    val doc = java.nio.ByteBuffer.allocate(body.length + 5)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(body.length + 5).put(body).put(0.toByte).array()
+    val json = Bson.toJson(doc)
+    assert(json.contains("\"_id\":\"000102030405060708090a0b\""), json)
+    assert(json.contains("\"ts\":1000"), json)
+  }
+
+  test("unknown element types fail loudly instead of desyncing") {
+    val doc = java.nio.ByteBuffer.allocate(11).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(11).put(0x7F.toByte).put('x'.toByte).put(0.toByte)
+      .putInt(0).array()
+    val e = intercept[IllegalArgumentException] { Bson.toJson(doc) }
+    assert(e.getMessage.contains("0x7f"), e.getMessage)
+  }
+}
