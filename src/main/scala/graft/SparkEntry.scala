@@ -66,6 +66,95 @@ object SparkEntry {
   private def sql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => init(spark, dir).sql(q)
 
+  /** Shared in-process BaseX-REST endpoint + read for the two join gates:
+    * customer records sharded over four `dbc` documents, nation records
+    * in `dbn` (all) and `dbn2` (nationkey < 10 only — the LEFT gate's
+    * restricted right side, so null extension provably occurs). The fake
+    * evaluates ONLY the join's ON equality; per-side predicates are
+    * deliberately ignored (superset), which the local re-apply absorbs. */
+  private def xmlJoinServerGate(spark: SparkSession, leftJoin: Boolean): DataFrame = {
+    val custRecs = spark.sql(
+      """SELECT c_custkey % 4 AS part,
+        |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING), '</nk></rec>') AS r
+        |FROM customer""".stripMargin)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rows) => (s"d$p.xml", rows.map(_.getString(1)).mkString) }
+    def natDoc(maxExclusive: Int) = spark.sql(
+      s"""SELECT concat('<rec><nname>', n_name, '</nname><nkey>', CAST(n_nationkey AS STRING), '</nkey></rec>') AS r
+         |FROM nation WHERE n_nationkey < $maxExclusive""".stripMargin)
+      .collect().map(_.getString(0)).mkString
+    val natDocs = Map("dbn" -> natDoc(Int.MaxValue), "dbn2" -> natDoc(10))
+    def listing(names: Seq[String]) =
+      "<rest:database xmlns:rest=\"http://basex.org/rest\">" +
+        names.sorted.map(n => s"<rest:resource>$n</rest:resource>").mkString +
+        "</rest:database>"
+    val rec = s"<rec>((?:(?!</rec>).)*)</rec>".r
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rest", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val resp =
+          if (ex.getRequestMethod == "POST") {
+            val q = new String(ex.getRequestBody.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val opened = """db:open\("([^"]+)","([^"]+)"\)""".r
+              .findAllMatchIn(q).map(m => (m.group(1), m.group(2))).toSeq
+            val body = opened match {
+              case Seq(("dbc", doc), (rdb, _)) if natDocs.contains(rdb) =>
+                // the join query: evaluate ONLY the ON equality (nk =
+                // nkey) — per-side predicates deliberately ignored
+                val nats = rec.findAllMatchIn(natDocs(rdb)).map(_.group(1)).map { n =>
+                  ("<nkey>([^<]*)</nkey>".r.findFirstMatchIn(n).get.group(1), n)
+                }.toMap
+                rec.findAllMatchIn(custRecs(doc)).map(_.group(1)).flatMap { c =>
+                  val nk = "<nk>([^<]*)</nk>".r.findFirstMatchIn(c).get.group(1)
+                  nats.get(nk).map(n => s"<result><l>$c</l><r>$n</r></result>")
+                }.mkString
+              case Seq(("dbc", doc))                       => custRecs(doc)
+              case Seq((rdb, _)) if natDocs.contains(rdb)  => natDocs(rdb)
+              case _                                       => ""
+            }
+            s"<rest-results>$body</rest-results>"
+          } else if (ex.getRequestURI.getPath.endsWith("dbn") ||
+                     ex.getRequestURI.getPath.endsWith("dbn2")) listing(Seq("n.xml"))
+          else listing(custRecs.keys.toSeq)
+        val b = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      }
+    })
+    server.start()
+    val joinConf = "spark.sql.optimizer.datasourceV2JoinPushdown"
+    val priorJoinConf = spark.conf.getOption(joinConf)
+    spark.conf.set(joinConf, "true")
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest"
+      val c = spark.read.format("graft-xml")
+        .option("recordTag", "rec").option("columns", "name,nk")
+        .option("serverPushdown", "true").load(s"$base/dbc")
+      val n = spark.read.format("graft-xml")
+        .option("recordTag", "rec").option("columns", "nname,nkey")
+        .option("serverPushdown", "true")
+        .load(s"$base/${if (leftJoin) "dbn2" else "dbn"}")
+      val joined =
+        if (leftJoin)
+          c.join(n, c("nk") === n("nkey"), "left")
+            .select(col("name"), col("nk"), col("nname"))
+        else
+          c.join(n, c("nk") === n("nkey"))
+            .where(col("nname").startsWith("NATION_1"))
+            .select(col("name"), col("nk"), col("nname"))
+      joined.localCheckpoint(true)
+    } finally {
+      priorJoinConf match {
+        case Some(v) => spark.conf.set(joinConf, v)
+        case None    => spark.conf.unset(joinConf)
+      }
+      server.stop(0)
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Grid-partitioned spatial distance join + aggregate: customers within
     * distance 8 of a supplier, counted per nation. */
@@ -434,78 +523,17 @@ object SparkEntry {
     // re-apply reduces the server's superset to the exact join.
     "q_xml_join_server" -> ((spark, dir) => {
       init(spark, dir)
-      val custRecs = spark.sql(
-        """SELECT c_custkey % 4 AS part,
-          |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING), '</nk></rec>') AS r
-          |FROM customer""".stripMargin)
-        .collect().groupBy(_.getLong(0))
-        .map { case (p, rows) => (s"d$p.xml", rows.map(_.getString(1)).mkString) }
-      val natDoc = spark.sql(
-        """SELECT concat('<rec><nname>', n_name, '</nname><nkey>', CAST(n_nationkey AS STRING), '</nkey></rec>') AS r
-          |FROM nation""".stripMargin)
-        .collect().map(_.getString(0)).mkString
-      def listing(names: Seq[String]) =
-        "<rest:database xmlns:rest=\"http://basex.org/rest\">" +
-          names.sorted.map(n => s"<rest:resource>$n</rest:resource>").mkString +
-          "</rest:database>"
-      val rec = s"<rec>((?:(?!</rec>).)*)</rec>".r
-      val server = com.sun.net.httpserver.HttpServer.create(
-        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-      server.createContext("/rest", new com.sun.net.httpserver.HttpHandler {
-        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
-          val resp =
-            if (ex.getRequestMethod == "POST") {
-              val q = new String(ex.getRequestBody.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8)
-              val opened = """db:open\("([^"]+)","([^"]+)"\)""".r
-                .findAllMatchIn(q).map(m => (m.group(1), m.group(2))).toSeq
-              val body = opened match {
-                case Seq(("dbc", doc), ("dbn", _)) =>
-                  // the join query: evaluate ONLY the ON equality (nk =
-                  // nkey) — per-side predicates deliberately ignored
-                  val nats = rec.findAllMatchIn(natDoc).map(_.group(1)).map { n =>
-                    ("<nkey>([^<]*)</nkey>".r.findFirstMatchIn(n).get.group(1), n)
-                  }.toMap
-                  rec.findAllMatchIn(custRecs(doc)).map(_.group(1)).flatMap { c =>
-                    val nk = "<nk>([^<]*)</nk>".r.findFirstMatchIn(c).get.group(1)
-                    nats.get(nk).map(n => s"<result><l>$c</l><r>$n</r></result>")
-                  }.mkString
-                case Seq(("dbc", doc)) => custRecs(doc)
-                case Seq(("dbn", _))   => natDoc
-                case _                 => ""
-              }
-              s"<rest-results>$body</rest-results>"
-            } else if (ex.getRequestURI.getPath.endsWith("dbn")) listing(Seq("n.xml"))
-            else listing(custRecs.keys.toSeq)
-          val b = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          ex.sendResponseHeaders(200, b.length)
-          ex.getResponseBody.write(b)
-          ex.close()
-        }
-      })
-      server.start()
-      val joinConf = "spark.sql.optimizer.datasourceV2JoinPushdown"
-      val priorJoinConf = spark.conf.getOption(joinConf)
-      spark.conf.set(joinConf, "true")
-      try {
-        val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest"
-        val c = spark.read.format("graft-xml")
-          .option("recordTag", "rec").option("columns", "name,nk")
-          .option("serverPushdown", "true").load(s"$base/dbc")
-        val n = spark.read.format("graft-xml")
-          .option("recordTag", "rec").option("columns", "nname,nkey")
-          .option("serverPushdown", "true").load(s"$base/dbn")
-        c.join(n, c("nk") === n("nkey"))
-          .where(col("nname").startsWith("NATION_1"))
-          .select(col("name"), col("nk"), col("nname"))
-          .localCheckpoint(true)
-      } finally {
-        priorJoinConf match {
-          case Some(v) => spark.conf.set(joinConf, v)
-          case None    => spark.conf.unset(joinConf)
-        }
-        server.stop(0)
-      }
+      xmlJoinServerGate(spark, leftJoin = false)
+    }),
+    // The live OUTER join under the gate: live INNER pairs + a live fetch
+    // of the left side, null-extended locally (XmlDataSource round 8 —
+    // exact even against a server that mismatches pairs, where the
+    // reference trusts its backend's constructOuterJoin answer). The
+    // right side carries only nations 0..9, so customers of nations
+    // 10+ MUST null-extend for the oracle hash to match.
+    "q_xml_join_left_server" -> ((spark, dir) => {
+      init(spark, dir)
+      xmlJoinServerGate(spark, leftJoin = true)
     }),
     "q_geojson_couch" -> ((spark, dir) => {
       init(spark, dir)
@@ -1150,6 +1178,12 @@ object SparkEntry {
       """SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE starts_with(n_name, 'NATION_1')""".stripMargin,
+    // live LEFT join: the right side holds only nations 0..9, so
+    // customers of nations 10+ must come back null-extended
+    "q_xml_join_left_server" ->
+      """SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, n_name AS nname
+        |FROM customer LEFT JOIN nation
+        |  ON c_nationkey = n_nationkey AND n_nationkey < 10""".stripMargin,
     "q_geojson_couch" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 7",
     "q_geojson_mongo" ->

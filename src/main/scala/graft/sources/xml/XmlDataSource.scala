@@ -183,10 +183,20 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
       leftSideRequiredColumnsWithAliases: Array[SupportsPushDownJoin.ColumnWithAlias],
       rightSideRequiredColumnsWithAliases: Array[SupportsPushDownJoin.ColumnWithAlias],
       condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
-    // INNER only: the scan re-applies the (deliberately widened) server
-    // condition locally, which restores exactness for inner pairs but
-    // cannot resurrect an outer row the server wrongly considered matched
-    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN) return false
+    // INNER pairs come straight off the server query (re-applied locally).
+    // LEFT/RIGHT execute as live INNER pairs + a live fetch of the OUTER
+    // side's records, null-extending locally — see XmlJoinScan; the
+    // reference instead trusts its server's outer-join answer
+    // (xml_extension.ts:1052 constructOuterJoin), which the exactness
+    // invariant here cannot (a wrongly-matched pair can be dropped but
+    // the null-extended row it displaced could not be resurrected
+    // without knowing the outer side's full record set — so we fetch it).
+    val jt = joinType match {
+      case org.apache.spark.sql.connector.join.JoinType.INNER_JOIN       => "inner"
+      case org.apache.spark.sql.connector.join.JoinType.LEFT_OUTER_JOIN  => "left"
+      case org.apache.spark.sql.connector.join.JoinType.RIGHT_OUTER_JOIN => "right"
+      case _ => return false
+    }
     if (!isOtherSideCompatibleForJoin(other)) return false
     val o = other.asInstanceOf[XmlScanBuilder]
     val leftCols = leftSideRequiredColumnsWithAliases.toSeq
@@ -232,7 +242,7 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
             rightCols.map { case (c, out) => StructField(out, typeOf(o.schema, c)) })
         join = Some(XmlJoinState(pairs.flatten, leftCols, rightCols,
           files, o.files, options.get("recordTag"), o.options.get("recordTag"),
-          pushed.toIndexedSeq, o.pushed.toIndexedSeq))
+          pushed.toIndexedSeq, o.pushed.toIndexedSeq, jt))
         required = joined
         true
       case _ => false
@@ -277,14 +287,15 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
 
 /** A successfully negotiated server-side join: the ON equality pairs
   * (left column, right column), each side's required columns as
-  * (column, output name), files, record tags, and pushed per-side
-  * filters. */
+  * (column, output name), files, record tags, pushed per-side filters,
+  * and the join type (`inner` / `left` / `right`). */
 private[xml] case class XmlJoinState(
     on: Seq[(String, String)],
     leftCols: Seq[(String, String)], rightCols: Seq[(String, String)],
     leftFiles: Seq[String], rightFiles: Seq[String],
     leftRecordTag: Option[String], rightRecordTag: Option[String],
-    leftFilters: Seq[Filter], rightFilters: Seq[Filter]) {
+    leftFilters: Seq[Filter], rightFilters: Seq[Filter],
+    joinType: String = "inner") {
 
   /** Columns one side genuinely needs from its records: its required
     * output, whatever its pushed filters re-check, and its ON keys — the
@@ -297,15 +308,27 @@ private[xml] case class XmlJoinState(
   }
 }
 
-/** The scan for a pushed 2-collection join: one input partition per
-  * (left document, right document) pair, each POSTing the join FLWOR
+/** The scan for a pushed 2-collection join. INNER: one input partition
+  * per (left document, right document) pair, each POSTing the join FLWOR
   * ([[graft.sources.xquery.BaseXRest.joinDocumentQuery]]) so only
   * matching record pairs cross the wire — and re-applying the ON
   * equality plus every pushed per-side filter on the flattened records,
   * so a server that widens (or ignores) the condition costs transfer,
   * never correctness. The reference runs the same construction as one
   * single-threaded session query (getdata.ts:110); here each document
-  * pair is an independent Spark task. */
+  * pair is an independent Spark task.
+  *
+  * LEFT/RIGHT OUTER: one partition per OUTER-side document, which runs
+  * the live INNER join against every opposite document PLUS one live
+  * selection of its own records, then null-extends locally every record
+  * with no surviving pair. This is EXACT even against a server that
+  * wrongly matches pairs (the reference instead trusts its backend's
+  * constructOuterJoin answer, xml_extension.ts:1052): a dropped bogus
+  * pair re-surfaces as the null-extended row because the outer side's
+  * record set is known, not inferred from the server's pairing. Wire
+  * cost = inner pairs + the outer side's records — still strictly less
+  * than the local fallback (both sides in full) whenever the join
+  * selects at all. */
 private[graft] case class XmlJoinScan(required: StructType, js: XmlJoinState,
                                       options: Map[String, String])
   extends Scan with Batch {
@@ -313,15 +336,22 @@ private[graft] case class XmlJoinScan(required: StructType, js: XmlJoinState,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xml server-join ${js.leftFiles.length}x${js.rightFiles.length} docs, " +
+      s"Type: ${js.joinType}, " +
       s"On: [${js.on.map { case (l, r) => s"$l = $r" }.mkString(", ")}], " +
       s"LeftFilters: [${js.leftFilters.mkString(", ")}], " +
       s"RightFilters: [${js.rightFilters.mkString(", ")}], ServerExec: " +
       (if (options.get("dialect").contains("existdb")) "existdb-rest-join"
        else "basex-rest-join")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (for (lf <- js.leftFiles; rf <- js.rightFiles)
-      yield XmlJoinPartition(lf, rf): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = js.joinType match {
+    case "left" => // all opposite docs in one task: null-extension needs them
+      js.leftFiles.map(lf => XmlJoinPartition(Seq(lf), js.rightFiles): InputPartition).toArray
+    case "right" =>
+      js.rightFiles.map(rf => XmlJoinPartition(js.leftFiles, Seq(rf)): InputPartition).toArray
+    case _ =>
+      (for (lf <- js.leftFiles; rf <- js.rightFiles)
+        yield XmlJoinPartition(Seq(lf), Seq(rf)): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dialect = options.get("dialect")
@@ -334,7 +364,8 @@ private[graft] case class XmlJoinScan(required: StructType, js: XmlJoinState,
   }
 }
 
-private case class XmlJoinPartition(left: String, right: String) extends InputPartition
+private case class XmlJoinPartition(lefts: Seq[String], rights: Seq[String])
+  extends InputPartition
 
 private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
                                         httpTimeoutMs: Int,
@@ -343,39 +374,90 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XmlJoinPartition]
+    val version = graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion)
     new PartitionReader[InternalRow] {
       // output field → (comes from the left side, source column)
       private val colFor: Map[String, (Boolean, String)] =
         (js.leftCols.map { case (c, out) => out -> (true, c) } ++
           js.rightCols.map { case (c, out) => out -> (false, c) }).toMap
-      private val rows: Iterator[InternalRow] =
-        graft.sources.xquery.BaseXRest.fetchJoinRecords(p.left, p.right,
-          graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
-          js.leftRecordTag, js.leftFilters, js.rightRecordTag, js.rightFilters,
-          js.on, httpTimeoutMs,
-          Some(js.needed(left = true)), Some(js.needed(left = false)))
-          .flatMap { case (le, re) =>
-          val (lm, lg) = Xml.flattenRecord(le, XmlDataSource.kmlish(le))
-          val (rm, rg) = Xml.flattenRecord(re, XmlDataSource.kmlish(re))
-          // local re-apply of everything the server was asked to do: the
-          // pushed per-side filters AND the ON equality on the flattened
-          // values (the server's element-level comparison is a superset)
-          val keep =
-            js.leftFilters.forall(graft.sources.StringFilterEval.passes(_, lm)) &&
-              js.rightFilters.forall(graft.sources.StringFilterEval.passes(_, rm)) &&
-              js.on.forall { case (lc, rc) =>
-                (lm.get(lc), rm.get(rc)) match {
-                  case (Some(a), Some(b)) => a == b
-                  case _                  => false
+
+      private def row(lm: scala.collection.Map[String, String], lg: Option[Array[Byte]],
+                      rm: scala.collection.Map[String, String], rg: Option[Array[Byte]]) =
+        InternalRow.fromSeq(schema.fields.toIndexedSeq.map { f =>
+          val (isLeft, col) = colFor(f.name)
+          if (col == "geometry") (if (isLeft) lg else rg).orNull
+          else (if (isLeft) lm else rm).get(col).map(UTF8String.fromString).orNull
+        })
+
+      // match identity for the outer side: the needed string values (ON
+      // keys included); equal values ⇒ identical filter + join outcome,
+      // so multiplicity is exact even across indistinguishable records
+      private def outerKey(m: scala.collection.Map[String, String], needed: Seq[String]) =
+        needed.filterNot(_ == "geometry").map(m.get)
+
+      private val matchedOuter = scala.collection.mutable.HashSet.empty[Seq[Option[String]]]
+
+      private val pairRows: Iterator[InternalRow] =
+        (for (lf <- p.lefts.iterator; rf <- p.rights.iterator) yield (lf, rf)).flatMap {
+          case (lf, rf) =>
+            graft.sources.xquery.BaseXRest.fetchJoinRecords(lf, rf, version,
+              js.leftRecordTag, js.leftFilters, js.rightRecordTag, js.rightFilters,
+              js.on, httpTimeoutMs,
+              Some(js.needed(left = true)), Some(js.needed(left = false)))
+              .flatMap { case (le, re) =>
+                val (lm, lg) = Xml.flattenRecord(le, XmlDataSource.kmlish(le))
+                val (rm, rg) = Xml.flattenRecord(re, XmlDataSource.kmlish(re))
+                // local re-apply of everything the server was asked to do:
+                // the pushed per-side filters AND the ON equality on the
+                // flattened values (element-level matching is a superset)
+                val keep =
+                  js.leftFilters.forall(graft.sources.StringFilterEval.passes(_, lm)) &&
+                    js.rightFilters.forall(graft.sources.StringFilterEval.passes(_, rm)) &&
+                    js.on.forall { case (lc, rc) =>
+                      (lm.get(lc), rm.get(rc)) match {
+                        case (Some(a), Some(b)) => a == b
+                        case _                  => false
+                      }
+                    }
+                if (!keep) None
+                else {
+                  js.joinType match {
+                    case "left"  => matchedOuter += outerKey(lm, js.needed(left = true))
+                    case "right" => matchedOuter += outerKey(rm, js.needed(left = false))
+                    case _       => ()
+                  }
+                  Some(row(lm, lg, rm, rg))
                 }
               }
-          if (!keep) None
-          else Some(InternalRow.fromSeq(schema.fields.toIndexedSeq.map { f =>
-            val (isLeft, col) = colFor(f.name)
-            if (col == "geometry") (if (isLeft) lg else rg).orNull
-            else (if (isLeft) lm else rm).get(col).map(UTF8String.fromString).orNull
-          }))
         }
+
+      /** Null-extended rows for the outer side — evaluated only AFTER the
+        * pair stream drains (the lazy ++ below), when `matchedOuter` is
+        * complete: a live selection of the outer document's own records
+        * (filters re-applied locally, exactly like a plain scan), one
+        * null-extended row per record whose key never matched. */
+      private def nullRows: Iterator[InternalRow] = {
+        val left = js.joinType == "left"
+        val (files, tag, filters, needed) =
+          if (left) (p.lefts, js.leftRecordTag, js.leftFilters, js.needed(left = true))
+          else (p.rights, js.rightRecordTag, js.rightFilters, js.needed(left = false))
+        files.iterator.flatMap { f =>
+          graft.sources.xquery.BaseXRest.fetchRecords(f, version, tag, filters,
+            bbox = None, timeoutMs = httpTimeoutMs, needed = Some(needed))
+            .flatMap { rec =>
+              val (m, g) = Xml.flattenRecord(rec, XmlDataSource.kmlish(rec))
+              if (!filters.forall(graft.sources.StringFilterEval.passes(_, m))) None
+              else if (matchedOuter.contains(outerKey(m, needed))) None
+              else if (left) Some(row(m, g, Map.empty, None))
+              else Some(row(Map.empty, None, m, g))
+            }
+        }
+      }
+
+      private val rows: Iterator[InternalRow] =
+        if (js.joinType == "inner") pairRows
+        else pairRows ++ nullRows // ++ is by-name: nullRows builds after drain
+
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false

@@ -97,7 +97,7 @@ class XmlJoinPushdownSpec extends SparkTestBase {
       val j = a.join(b, a("name") === b("ref")).select("name", "kind", "pop")
         .where(col("kind") === "k1")
       val plan = j.queryExecution.executedPlan.toString
-      assert(plan.contains("server-join 1x1 docs, On: [name = ref]"), plan)
+      assert(plan.contains("server-join 1x1 docs, Type: inner, On: [name = ref]"), plan)
       // the server answered the full cartesian; the exact inner result
       // survives because the scan re-applies ON + per-side filters
       assert(j.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
@@ -154,11 +154,56 @@ class XmlJoinPushdownSpec extends SparkTestBase {
       val ne = a.join(b, a("name") < b("ref"))
       assert(!ne.queryExecution.executedPlan.toString.contains("server-join"))
       assert(ne.count() == 2) // (n1,n3), (n2,n3)
-      // LEFT joins stay local: the re-apply could drop a server-matched
-      // pair but cannot resurrect the null-extended row it displaced
+    }
+  }
+
+  test("LEFT join pushes: live inner pairs + live left fetch, exact against a lying server") {
+    withServer { (base, posted) =>
+      val a = rd(base, "dba", "name,kind")
+      val b = rd(base, "dbb", "ref,pop")
       val lj = a.join(b, a("name") === b("ref"), "left")
-      assert(!lj.queryExecution.executedPlan.toString.contains("server-join"))
-      assert(lj.count() == 2)
+        .select("name", "kind", "pop")
+      val plan = lj.queryExecution.executedPlan.toString
+      assert(plan.contains("server-join") && plan.contains("Type: left"), plan)
+      // the fake answers the join with the full CARTESIAN (a lying
+      // server): the re-apply drops the bogus pairs AND the null
+      // extension resurrects n2, because the left side's record set is
+      // fetched live, not inferred from the server's pairing
+      assert(lj.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet == Set(("n1", "k1", "10"), ("n2", "k2", null)))
+      // wire shape: the join FLWOR for the pairs plus ONE single-doc
+      // selection for the left side's records
+      val joins = posted.asScala.filter(q =>
+        q.contains("\"a.xml\"") && q.contains("\"b.xml\""))
+      val selections = posted.asScala.filter(q =>
+        q.contains("\"a.xml\"") && !q.contains("\"b.xml\""))
+      assert(joins.nonEmpty && selections.nonEmpty, posted.asScala.mkString("\n"))
+      // parity with Spark's own local join semantics
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "false")
+      val local = a.join(b, a("name") === b("ref"), "left")
+        .select("name", "kind", "pop")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      assert(local == Set(("n1", "k1", "10"), ("n2", "k2", null)))
+    }
+  }
+
+  test("RIGHT join pushes and null-extends the right side's unmatched records") {
+    withServer { (base, _) =>
+      val a = rd(base, "dba", "name,kind")
+      val b = rd(base, "dbb", "ref,pop")
+      val rj = a.join(b, a("name") === b("ref"), "right")
+        .select("kind", "ref", "pop")
+      val plan = rj.queryExecution.executedPlan.toString
+      assert(plan.contains("server-join") && plan.contains("Type: right"), plan)
+      assert(rj.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet == Set(("k1", "n1", "10"), (null, "n3", "30")))
+      // a per-side filter composes with the null extension: only k1
+      // survives on the left, n3 still null-extends
+      val fj = a.where(col("kind") === "k1")
+        .join(b, a("name") === b("ref"), "right").select("kind", "pop")
+      assert(fj.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSet == Set(("k1", "10"), (null, "30")))
     }
   }
 
