@@ -132,13 +132,17 @@ object GeoJsonSource {
     require(df.schema.fieldNames.contains(geomCol),
       s"geometry column '$geomCol' not in ${df.schema.fieldNames.mkString(", ")}")
     // to_json omits null properties; the reader's flattening answers null
-    // for a missing key, so the round-trip preserves SQL NULL
+    // for a missing key, so the round-trip preserves SQL NULL. Column
+    // references are backtick-quoted: GeoJSON property keys may contain
+    // dots (the reader keeps raw JSON keys as flat column names), which
+    // a bare col() would parse as a nested-field path
+    def ref(name: String) = col("`" + name.replace("`", "``") + "`")
     val propsJson =
-      if (props.isEmpty) lit("{}") else to_json(struct(props.map(col): _*))
+      if (props.isEmpty) lit("{}") else to_json(struct(props.map(ref): _*))
     val line = concat(
       lit("""{"type":"Feature","properties":"""), propsJson,
       lit(""","geometry":"""),
-      coalesce(call_function("st_asgeojson", col(geomCol)), lit("null")),
+      coalesce(call_function("st_asgeojson", ref(geomCol)), lit("null")),
       lit("}"))
     df.select(line.as("value")).write.mode(saveMode).text(outDir)
     // manifest from a readback count (scan of what was just written — no

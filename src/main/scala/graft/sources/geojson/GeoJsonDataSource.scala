@@ -290,8 +290,11 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
       private val geomIdx =
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
+      // kept for close(): a pushed LIMIT (or any early stop) leaves the
+      // Mongo wire cursor mid-page — its socket must not outlive the task
+      private val source = documents(file)
       private val rows: Iterator[InternalRow] = {
-        val matching = documents(file).flatMap { json =>
+        val matching = source.flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
             // pushed filters run on the FULL property map (they may reference
             // columns pruned from the output schema) before any row is built
@@ -317,7 +320,10 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = source match {
+        case c: AutoCloseable => c.close()
+        case _                => ()
+      }
     }
   }
 }

@@ -28,25 +28,29 @@ object Bson {
 
   // ------------------------------------------------------------- encode
 
-  /** JSON text → one BSON document's bytes. */
-  def fromJson(json: String): Array[Byte] = encodeDoc(mapper.readTree(json))
+  /** JSON text → one BSON document's bytes. `longFields` names elements
+    * (at any depth) whose integral values MUST encode as int64 even when
+    * they fit int32 — commands like `getMore` require the cursor id to
+    * be int64, and JSON cannot express the distinction. */
+  def fromJson(json: String, longFields: Set[String] = Set.empty): Array[Byte] =
+    encodeDoc(mapper.readTree(json), longFields)
 
-  private def encodeDoc(node: JsonNode): Array[Byte] = {
+  private def encodeDoc(node: JsonNode, longFields: Set[String]): Array[Byte] = {
     require(node.isObject, s"BSON document must encode a JSON object, got: $node")
     val out = new ByteArrayOutputStream()
     val it = node.fields()
     while (it.hasNext) {
       val e = it.next()
-      encodeElement(out, e.getKey, e.getValue)
+      encodeElement(out, e.getKey, e.getValue, longFields)
     }
     finishDoc(out)
   }
 
-  private def encodeArray(node: JsonNode): Array[Byte] = {
+  private def encodeArray(node: JsonNode, longFields: Set[String]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     var i = 0
     val it = node.elements()
-    while (it.hasNext) { encodeElement(out, i.toString, it.next()); i += 1 }
+    while (it.hasNext) { encodeElement(out, i.toString, it.next(), longFields); i += 1 }
     finishDoc(out)
   }
 
@@ -57,7 +61,8 @@ object Bson {
     buf.array()
   }
 
-  private def encodeElement(out: ByteArrayOutputStream, name: String, v: JsonNode): Unit = {
+  private def encodeElement(out: ByteArrayOutputStream, name: String, v: JsonNode,
+                            longFields: Set[String]): Unit = {
     def cstring(s: String): Unit = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       require(!b.contains(0.toByte), s"BSON names cannot contain NUL: $s")
@@ -75,6 +80,8 @@ object Bson {
       out.write(0x02); cstring(name)
       val b = v.textValue().getBytes(java.nio.charset.StandardCharsets.UTF_8)
       le(b.length + 1); out.write(b, 0, b.length); out.write(0)
+    } else if (v.isIntegralNumber && v.canConvertToLong && longFields.contains(name)) {
+      out.write(0x12); cstring(name); le8(v.longValue())
     } else if (v.isInt || (v.isIntegralNumber && v.canConvertToInt)) {
       out.write(0x10); cstring(name); le(v.intValue())
     } else if (v.isIntegralNumber && v.canConvertToLong) {
@@ -88,10 +95,10 @@ object Bson {
       out.write(0x0A); cstring(name)
     } else if (v.isObject) {
       out.write(0x03); cstring(name)
-      val d = encodeDoc(v); out.write(d, 0, d.length)
+      val d = encodeDoc(v, longFields); out.write(d, 0, d.length)
     } else if (v.isArray) {
       out.write(0x04); cstring(name)
-      val d = encodeArray(v); out.write(d, 0, d.length)
+      val d = encodeArray(v, longFields); out.write(d, 0, d.length)
     } else throw new IllegalArgumentException(s"cannot BSON-encode: $v")
   }
 

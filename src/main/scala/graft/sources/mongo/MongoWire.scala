@@ -30,6 +30,12 @@ object MongoWire {
     * that a pushed LIMIT's early stop saves wire traffic. */
   val BatchSize = 101
 
+  /** Backstop against a misbehaving server that answers non-zero cursor
+    * ids with empty batches forever — the [[CouchFind.MaxPages]] analog
+    * (4M batches ≈ 400M documents through one cursor, far past the point
+    * where the data belongs in a bulk snapshot). */
+  val MaxBatches = 4 * 1000 * 1000
+
   /** Parses `mongodb://host:port/db/collection` (exactly one database and
     * one collection segment — the graft document model's table address). */
   def anatomy(url: String): Option[(String, Int, String, String)] = {
@@ -45,9 +51,13 @@ object MongoWire {
   private val requestCounter = new java.util.concurrent.atomic.AtomicInteger(1)
 
   /** One OP_MSG round-trip over an open socket: sends the command
-    * document (JSON text), answers the reply's kind-0 document as JSON. */
-  private def command(in: DataInputStream, out: DataOutputStream, commandJson: String): String = {
-    val body = Bson.fromJson(commandJson)
+    * document (JSON text), answers the reply's kind-0 document as JSON.
+    * `longFields` forces named integral fields to BSON int64 — a real
+    * mongod REQUIRES `getMore`'s cursor id to be int64, and a small id
+    * would otherwise round-trip through JSON as int32. */
+  private def command(in: DataInputStream, out: DataOutputStream, commandJson: String,
+                      longFields: Set[String] = Set.empty): String = {
+    val body = Bson.fromJson(commandJson, longFields)
     val requestId = requestCounter.getAndIncrement()
     val len = 16 + 4 + 1 + body.length // header + flagBits + section kind + doc
     val buf = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
@@ -76,58 +86,62 @@ object MongoWire {
     Bson.toJson(reply)
   }
 
-  /** All documents matching `selectorJson`, lazily paged: the find
-    * command's `firstBatch`, then `getMore` on the server cursor as the
-    * consumer pulls — an early stop (pushed LIMIT) kills the traffic and
-    * the cursor is closed. `fields` projects server-side via the
-    * reference's projection construction ([[MongoFindGen.projection]]).
-    * Documents come back as JSON text for the shared flattening layer. */
-  def docs(url: String, selectorJson: String, fields: Seq[String],
-           timeoutMs: Int, maxDocs: Option[Int] = None): Iterator[String] = {
-    val (host, port, db, coll) = anatomy(url).getOrElse(
-      throw new IllegalArgumentException(
-        s"mongodb pushdown needs mongodb://host:port/db/collection; got $url"))
-    val projection = MongoFindGen.projection(fields)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** The lazily-paged document cursor [[docs]] answers: also
+    * [[AutoCloseable]], because an early stop (a pushed LIMIT, a
+    * consumer exception) leaves the socket and the server cursor open —
+    * the scan's `PartitionReader.close()` must call [[close]]. A fully
+    * drained cursor closes itself. */
+  final class DocCursor private[MongoWire] (host: String, port: Int, db: String,
+                                            coll: String, selectorJson: String,
+                                            projection: String, timeoutMs: Int,
+                                            maxDocs: Option[Int], maxBatches: Int)
+    extends scala.collection.AbstractIterator[String] with AutoCloseable {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    private var socket: Socket = _
+    private var in: DataInputStream = _
+    private var out: DataOutputStream = _
+    private var batch: Iterator[String] = Iterator.empty
+    private var findSent = false
+    private var cursorId = 0L
+    private var served = 0
+    private var batches = 0
 
-    new scala.collection.AbstractIterator[String] {
-      private var socket: Socket = _
-      private var in: DataInputStream = _
-      private var out: DataOutputStream = _
-      private var batch: Iterator[String] = Iterator.empty
-      private var cursorId: Long = -1L // -1 = find not sent yet
-      private var served = 0
+    private def ask: Int =
+      maxDocs.filter(_ > served).map(m => math.min(BatchSize, m - served))
+        .getOrElse(BatchSize)
 
-      private def ask: Int =
-        maxDocs.filter(_ > served).map(m => math.min(BatchSize, m - served))
-          .getOrElse(BatchSize)
+    private def open(): Unit = {
+      socket = new Socket()
+      socket.connect(new InetSocketAddress(host, port), timeoutMs)
+      socket.setSoTimeout(timeoutMs)
+      in = new DataInputStream(socket.getInputStream)
+      out = new DataOutputStream(socket.getOutputStream)
+    }
 
-      private def open(): Unit = {
-        socket = new Socket()
-        socket.connect(new InetSocketAddress(host, port), timeoutMs)
-        socket.setSoTimeout(timeoutMs)
-        in = new DataInputStream(socket.getInputStream)
-        out = new DataOutputStream(socket.getOutputStream)
-      }
+    private def parseCursor(replyJson: String): Unit = {
+      val root = mapper.readTree(replyJson)
+      require(root.path("ok").asDouble(0.0) == 1.0,
+        s"mongodb command failed: $replyJson")
+      val cursor = root.path("cursor")
+      val docsNode =
+        if (cursor.has("firstBatch")) cursor.path("firstBatch")
+        else cursor.path("nextBatch")
+      val items = scala.collection.mutable.ArrayBuffer.empty[String]
+      docsNode.forEach(d => items += mapper.writeValueAsString(d))
+      batch = items.iterator
+      cursorId = cursor.path("id").asLong(0L)
+      require(cursorId >= 0L, s"negative cursor id in reply: $replyJson")
+      served += items.length
+      batches += 1
+      require(batches <= maxBatches,
+        s"cursor exceeded $maxBatches batches — misbehaving server?")
+    }
 
-      private def parseCursor(replyJson: String): Unit = {
-        val root = mapper.readTree(replyJson)
-        require(root.path("ok").asDouble(0.0) == 1.0,
-          s"mongodb command failed: $replyJson")
-        val cursor = root.path("cursor")
-        val docsNode =
-          if (cursor.has("firstBatch")) cursor.path("firstBatch")
-          else cursor.path("nextBatch")
-        val items = scala.collection.mutable.ArrayBuffer.empty[String]
-        docsNode.forEach(d => items += mapper.writeValueAsString(d))
-        batch = items.iterator
-        cursorId = cursor.path("id").asLong(0L)
-        served += items.length
-      }
-
-      private def pull(): Unit = {
-        if (cursorId == -1L) {
+    private def pull(): Unit =
+      try {
+        if (!findSent) {
           open()
+          findSent = true
           parseCursor(command(in, out,
             s"""{"find": ${graft.JsonText.str(coll)}, "filter": $selectorJson,""" +
               s""" "projection": $projection, "batchSize": $ask,""" +
@@ -135,29 +149,47 @@ object MongoWire {
         } else if (cursorId != 0L) {
           parseCursor(command(in, out,
             s"""{"getMore": $cursorId, "collection": ${graft.JsonText.str(coll)},""" +
-              s""" "batchSize": $ask, "$$db": ${graft.JsonText.str(db)}}"""))
+              s""" "batchSize": $ask, "$$db": ${graft.JsonText.str(db)}}""",
+            longFields = Set("getMore")))
         }
-      }
+      } catch { case t: Throwable => close(); throw t }
 
-      private def close(): Unit = if (socket != null) {
-        try socket.close() catch { case _: java.io.IOException => () }
-        socket = null
-      }
-
-      override def hasNext: Boolean = {
-        while (!batch.hasNext && cursorId != 0L) pull()
-        val more = batch.hasNext
-        if (!more) close()
-        more
-      }
-
-      override def next(): String =
-        if (hasNext) batch.next() else Iterator.empty.next()
+    override def close(): Unit = if (socket != null) {
+      try socket.close() catch { case _: java.io.IOException => () }
+      socket = null
     }
+
+    override def hasNext: Boolean = {
+      while (!batch.hasNext && (!findSent || cursorId != 0L)) pull()
+      val more = batch.hasNext
+      if (!more) close()
+      more
+    }
+
+    override def next(): String =
+      if (hasNext) batch.next() else Iterator.empty.next()
+  }
+
+  /** All documents matching `selectorJson`, lazily paged: the find
+    * command's `firstBatch`, then `getMore` on the server cursor as the
+    * consumer pulls. The cursor is [[AutoCloseable]] — call `close()`
+    * when stopping early. `fields` projects server-side via the
+    * reference's projection construction ([[MongoFindGen.projection]]).
+    * Documents come back as JSON text for the shared flattening layer. */
+  def docs(url: String, selectorJson: String, fields: Seq[String],
+           timeoutMs: Int, maxDocs: Option[Int] = None,
+           maxBatches: Int = MaxBatches): DocCursor = {
+    val (host, port, db, coll) = anatomy(url).getOrElse(
+      throw new IllegalArgumentException(
+        s"mongodb pushdown needs mongodb://host:port/db/collection; got $url"))
+    new DocCursor(host, port, db, coll, selectorJson,
+      MongoFindGen.projection(fields), timeoutMs, maxDocs, maxBatches)
   }
 
   /** First-page sample for schema inference (the CouchDB first-page
-    * analog): up to `n` unselected documents. */
-  def sample(url: String, n: Int, timeoutMs: Int): Seq[String] =
-    docs(url, "{}", Nil, timeoutMs, maxDocs = Some(n)).take(n).toSeq
+    * analog): up to `n` unselected documents, cursor closed. */
+  def sample(url: String, n: Int, timeoutMs: Int): Seq[String] = {
+    val cur = docs(url, "{}", Nil, timeoutMs, maxDocs = Some(n))
+    try cur.take(n).toSeq finally cur.close()
+  }
 }

@@ -391,9 +391,13 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
 
       // match identity for the outer side: the needed string values (ON
       // keys included); equal values ⇒ identical filter + join outcome,
-      // so multiplicity is exact even across indistinguishable records
-      private def outerKey(m: scala.collection.Map[String, String], needed: Seq[String]) =
-        needed.filterNot(_ == "geometry").map(m.get)
+      // so multiplicity is exact even across indistinguishable records.
+      // Hoisted once — the per-pair bookkeeping below is the hot path.
+      private val outerNeeded: Seq[String] =
+        (if (js.joinType == "right") js.needed(left = false)
+         else js.needed(left = true)).filterNot(_ == "geometry")
+      private def outerKey(m: scala.collection.Map[String, String]) =
+        outerNeeded.map(m.get)
 
       private val matchedOuter = scala.collection.mutable.HashSet.empty[Seq[Option[String]]]
 
@@ -422,8 +426,8 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
                 if (!keep) None
                 else {
                   js.joinType match {
-                    case "left"  => matchedOuter += outerKey(lm, js.needed(left = true))
-                    case "right" => matchedOuter += outerKey(rm, js.needed(left = false))
+                    case "left"  => matchedOuter += outerKey(lm)
+                    case "right" => matchedOuter += outerKey(rm)
                     case _       => ()
                   }
                   Some(row(lm, lg, rm, rg))
@@ -447,7 +451,7 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
             .flatMap { rec =>
               val (m, g) = Xml.flattenRecord(rec, XmlDataSource.kmlish(rec))
               if (!filters.forall(graft.sources.StringFilterEval.passes(_, m))) None
-              else if (matchedOuter.contains(outerKey(m, needed))) None
+              else if (matchedOuter.contains(outerKey(m))) None
               else if (left) Some(row(m, g, Map.empty, None))
               else Some(row(Map.empty, None, m, g))
             }

@@ -147,6 +147,18 @@ class GeoJsonSourceSpec extends SparkTestBase {
       ("nogeom", null)))
   }
 
+  test("writeFeatures: dotted property names export (legal JSON keys, not field paths)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ndjson-dot").toString + "/x"
+    // the reader keeps raw JSON keys as flat column names — "addr.city"
+    // is one column, which a bare col() would parse as addr->city
+    val src = Seq(("Bandung", "POINT (1 2)")).toDF("addr.city", "wkt")
+      .withColumn("geometry", call_function("st_geomfromtext", $"wkt")).drop("wkt")
+    GeoJsonSource.writeFeatures(src, "geometry", out)
+    val back = spark.read.format("graft-geojson").option("multiLine", "false").load(out)
+    assert(back.columns.toSet == Set("addr.city", "geometry"))
+    assert(back.select(back.col("`addr.city`")).head.getString(0) == "Bandung")
+  }
+
   test("round trip back to a FeatureCollection") {
     val df = GeoJsonSource.fromDocuments(Seq(fc).toDF("json"), "json")
     val out = GeoJsonSource.toFeatureCollection(df.orderBy("name"), "geometry")

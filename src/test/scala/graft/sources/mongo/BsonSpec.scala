@@ -27,6 +27,9 @@ class BsonSpec extends AnyFunSuite {
     assert(typeByteOf("""{"v": 3}""") == 0x10)          // int32
     assert(typeByteOf("""{"v": 9999999999}""") == 0x12) // int64
     assert(typeByteOf("""{"v": 1.5}""") == 0x01)        // double
+    // longFields forces int64 for small values — a real mongod rejects
+    // an int32 getMore cursor id ("expected type 'long'")
+    assert(Bson.fromJson("""{"getMore": 3}""", Set("getMore"))(4) == 0x12)
   }
 
   test("decodes the non-JSON types a real server stamps (ObjectId, datetime)") {

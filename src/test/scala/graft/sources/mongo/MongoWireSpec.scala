@@ -20,6 +20,9 @@ object FakeMongod {
 
   final class Server(docsJson: Seq[String]) {
     val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    /** Live client connections — lets specs assert the cursor's socket
+      * hygiene (early stop must close, not leak). */
+    val activeConnections = new java.util.concurrent.atomic.AtomicInteger(0)
     private val docs = docsJson.map(mapper.readTree)
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[Long, scala.collection.mutable.Queue[JsonNode]]()
@@ -30,7 +33,9 @@ object FakeMongod {
     private val acceptThread = new Thread(() => {
       try while (true) {
         val sock = server.accept()
-        new Thread(() => try serve(sock) catch { case _: Throwable => () }).start()
+        activeConnections.incrementAndGet()
+        new Thread(() => try serve(sock) catch { case _: Throwable => () }
+          finally activeConnections.decrementAndGet()).start()
       } catch { case _: Throwable => () }
     })
     acceptThread.setDaemon(true)
@@ -232,6 +237,44 @@ class MongoWireSpec extends SparkTestBase {
       assert(df.where(col("name").startsWith("p25")).count() == 11) // p25, p250..p259
       // geometry survives the BSON wire
       assert(df.where(call_function("st_x", col("geometry")) === 5.0).count() == 1)
+    } finally srv.stop()
+  }
+
+  test("an early stop closes the socket and a drained cursor self-closes") {
+    val srv = new FakeMongod.Server(featureDocs)
+    try {
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      // early stop: take fewer than the batch, then close() — the socket
+      // must not outlive the consumer (the PartitionReader close path)
+      val cur = MongoWire.docs(url, "{}", Nil, 5000)
+      assert(cur.take(7).size == 7)
+      cur.close()
+      // drained cursor: closes itself when hasNext answers false
+      val all = MongoWire.docs(url, "{}", Nil, 5000)
+      assert(all.size == 260)
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (srv.activeConnections.get() != 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(srv.activeConnections.get() == 0,
+        s"leaked connections: ${srv.activeConnections.get()}")
+    } finally srv.stop()
+  }
+
+  test("the batch backstop fires instead of paging forever") {
+    val srv = new FakeMongod.Server(featureDocs)
+    try {
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      // cap of 2 batches < the 3 these 260 docs need: the guard fires on
+      // the third pull — the same guard that stops a misbehaving server
+      // answering non-zero cursor ids with empty batches forever
+      val e = intercept[IllegalArgumentException] {
+        MongoWire.docs(url, "{}", Nil, 5000, maxBatches = 2).size
+      }
+      assert(e.getMessage.contains("batches"), e.getMessage)
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (srv.activeConnections.get() != 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(srv.activeConnections.get() == 0, "backstop failure must still close")
     } finally srv.stop()
   }
 
