@@ -129,8 +129,9 @@ object MongoWire {
       val items = scala.collection.mutable.ArrayBuffer.empty[String]
       docsNode.forEach(d => items += mapper.writeValueAsString(d))
       batch = items.iterator
+      // opaque int64 per the wire spec — only 0 means "cursor exhausted";
+      // negative ids are legitimate (FerretDB-style proxies use them)
       cursorId = cursor.path("id").asLong(0L)
-      require(cursorId >= 0L, s"negative cursor id in reply: $replyJson")
       served += items.length
       batches += 1
       require(batches <= maxBatches,
@@ -152,9 +153,25 @@ object MongoWire {
               s""" "batchSize": $ask, "$$db": ${graft.JsonText.str(db)}}""",
             longFields = Set("getMore")))
         }
-      } catch { case t: Throwable => close(); throw t }
+      } catch { case t: Throwable =>
+        // the stream may be desynced mid-frame: skip the killCursors
+        // courtesy (cursorId = 0) and just release the socket
+        cursorId = 0L; close(); throw t
+      }
 
     override def close(): Unit = if (socket != null) {
+      // early stop with a live server cursor: best-effort killCursors so
+      // the server reclaims it now instead of at cursorTimeoutMillis —
+      // mongod cursors are NOT connection-bound, so closing the socket
+      // alone would leave them idling server-side. The cursors array
+      // element (BSON name "0") must be int64, like getMore.
+      if (findSent && cursorId != 0L)
+        try command(in, out,
+          s"""{"killCursors": ${graft.JsonText.str(coll)}, "cursors": [$cursorId],""" +
+            s""" "$$db": ${graft.JsonText.str(db)}}""",
+          longFields = Set("0"))
+        catch { case _: Throwable => () } // reclaim is advisory; close regardless
+      cursorId = 0L
       try socket.close() catch { case _: java.io.IOException => () }
       socket = null
     }

@@ -23,6 +23,12 @@ object FakeMongod {
     /** Live client connections — lets specs assert the cursor's socket
       * hygiene (early stop must close, not leak). */
     val activeConnections = new java.util.concurrent.atomic.AtomicInteger(0)
+    def awaitNoConnections(timeoutMs: Long = 5000): Boolean = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (activeConnections.get() != 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      activeConnections.get() == 0
+    }
     private val docs = docsJson.map(mapper.readTree)
     private val cursors =
       new java.util.concurrent.ConcurrentHashMap[Long, scala.collection.mutable.Queue[JsonNode]]()
@@ -90,6 +96,10 @@ object FakeMongod {
         if (!more) cursors.remove(id)
         s"""{"cursor":{"nextBatch":[${batch.map(_.toString).mkString(",")}],""" +
           s""""id":${if (more) id else 0L},"ns":"x.y"},"ok":1.0}"""
+      } else if (cmd.has("killCursors")) {
+        val killed = scala.collection.mutable.ArrayBuffer.empty[Long]
+        cmd.path("cursors").forEach(n => { killed += n.asLong(); cursors.remove(n.asLong()) })
+        s"""{"cursorsKilled":[${killed.mkString(",")}],"ok":1.0}"""
       } else s"""{"ok":0.0,"errmsg":"unknown command"}"""
     }
 
@@ -244,19 +254,22 @@ class MongoWireSpec extends SparkTestBase {
     val srv = new FakeMongod.Server(featureDocs)
     try {
       val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
-      // early stop: take fewer than the batch, then close() — the socket
-      // must not outlive the consumer (the PartitionReader close path)
+      // early stop: fewer docs than the cursor holds, then close() — the
+      // socket must not outlive the consumer (the PartitionReader close
+      // path), and the SERVER cursor must be reclaimed via killCursors
+      // (mongod cursors are not connection-bound)
       val cur = MongoWire.docs(url, "{}", Nil, 5000)
       assert(cur.take(7).size == 7)
       cur.close()
-      // drained cursor: closes itself when hasNext answers false
+      assert(srv.received.asScala.exists(_.contains("\"killCursors\"")),
+        srv.received.asScala.mkString("\n"))
+      // drained cursor: closes itself when hasNext answers false, and no
+      // killCursors is needed (the server already ended the cursor)
+      srv.received.clear()
       val all = MongoWire.docs(url, "{}", Nil, 5000)
       assert(all.size == 260)
-      val deadline = System.nanoTime() + 5e9.toLong
-      while (srv.activeConnections.get() != 0 && System.nanoTime() < deadline)
-        Thread.sleep(20)
-      assert(srv.activeConnections.get() == 0,
-        s"leaked connections: ${srv.activeConnections.get()}")
+      assert(!srv.received.asScala.exists(_.contains("\"killCursors\"")))
+      assert(srv.awaitNoConnections(), "leaked connections")
     } finally srv.stop()
   }
 
@@ -271,10 +284,7 @@ class MongoWireSpec extends SparkTestBase {
         MongoWire.docs(url, "{}", Nil, 5000, maxBatches = 2).size
       }
       assert(e.getMessage.contains("batches"), e.getMessage)
-      val deadline = System.nanoTime() + 5e9.toLong
-      while (srv.activeConnections.get() != 0 && System.nanoTime() < deadline)
-        Thread.sleep(20)
-      assert(srv.activeConnections.get() == 0, "backstop failure must still close")
+      assert(srv.awaitNoConnections(), "backstop failure must still close")
     } finally srv.stop()
   }
 
