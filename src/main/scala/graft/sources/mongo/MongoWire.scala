@@ -36,12 +36,14 @@ object MongoWire {
     * where the data belongs in a bulk snapshot). */
   val MaxBatches = 4 * 1000 * 1000
 
-  /** Parses `mongodb://host:port/db/collection` (exactly one database and
-    * one collection segment — the graft document model's table address). */
+  /** Parses `mongodb://host[:port]/db/collection` (exactly one database
+    * and one collection segment — the graft document model's table
+    * address; port defaults to MongoDB's standard 27017). */
   def anatomy(url: String): Option[(String, Int, String, String)] = {
-    val m = "^mongodb://([^/:]+):(\\d+)/([^/]+)/([^/?#]+)$".r
+    val m = "^mongodb://([^/:]+)(?::(\\d+))?/([^/]+)/([^/?#]+)$".r
     url match {
-      case m(host, port, db, coll) => Some((host, port.toInt, db, coll))
+      case m(host, port, db, coll) =>
+        Some((host, Option(port).map(_.toInt).getOrElse(27017), db, coll))
       case _ => None
     }
   }

@@ -206,6 +206,31 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally prepared.release()
   }
 
+  test("decontaminate composes with Structured Streaming via the prepared probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchmark = Seq(
+      (100L, "What is the capital of France Paris is the answer")
+    ).toDF("doc_id", "text")
+    // the prepared probe is a cached batch frame joined by broadcast —
+    // stream-compatible by construction (stateless per micro-batch)
+    val prepared = TextAnalysis.prepareBenchmark(benchmark, "text")
+    val ms = MemoryStream[(Long, String)]
+    val stream = TextAnalysis.decontaminate(
+      ms.toDF().toDF("doc_id", "text"), prepared, "doc_id", "text", 1)
+    val q = stream.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("complete").start() // aggregation → complete mode
+    try {
+      ms.addData(
+        (1L, "trivia dump: what is the capital of France Paris is where it ends up"),
+        (2L, "the capital of Germany is Berlin and France is elsewhere entirely"))
+      q.processAllAvailable()
+      val hits = spark.table("decon_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(hits.keySet == Set(1L) && hits(1L) >= 1)
+    } finally { q.stop(); prepared.release() }
+  }
+
   test("bigram LM score ranks in-domain text above gibberish") {
     val model = TextAnalysis.bigramModel(docs, "text", topK = 20000)
     assert(model.bigrams.nonEmpty && model.unigrams.nonEmpty)

@@ -159,6 +159,19 @@ class GeoJsonSourceSpec extends SparkTestBase {
     assert(back.select(back.col("`addr.city`")).head.getString(0) == "Bandung")
   }
 
+  test("writeFeatures: an empty frame exports an empty, readable collection") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ndjson-empty").toString + "/x"
+    val src = Seq(("a", "POINT (1 2)")).toDF("name", "wkt")
+      .withColumn("geometry", call_function("st_geomfromtext", $"wkt")).drop("wkt")
+      .where(lit(false))
+    GeoJsonSource.writeFeatures(src, "geometry", out)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    assert(manifest.contains(""""n_features": 0"""), manifest)
+    assert(spark.read.format("graft-geojson").option("multiLine", "false")
+      .option("columns", "name").load(out).count() == 0)
+  }
+
   test("round trip back to a FeatureCollection") {
     val df = GeoJsonSource.fromDocuments(Seq(fc).toDF("json"), "json")
     val out = GeoJsonSource.toFeatureCollection(df.orderBy("name"), "geometry")

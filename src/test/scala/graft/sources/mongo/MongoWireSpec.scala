@@ -290,6 +290,7 @@ class MongoWireSpec extends SparkTestBase {
 
   test("anatomy parses collection URLs and rejects malformed ones") {
     assert(MongoWire.anatomy("mongodb://h:27017/db/coll") == Some(("h", 27017, "db", "coll")))
+    assert(MongoWire.anatomy("mongodb://h/db/coll") == Some(("h", 27017, "db", "coll")))
     assert(MongoWire.anatomy("mongodb://h:27017/dbonly").isEmpty)
     assert(MongoWire.anatomy("http://h:1/db/coll").isEmpty)
   }
