@@ -38,12 +38,18 @@ object MongoWire {
 
   /** Parses `mongodb://host[:port]/db/collection` (exactly one database
     * and one collection segment — the graft document model's table
-    * address; port defaults to MongoDB's standard 27017). */
+    * address; port defaults to MongoDB's standard 27017 and must be a
+    * valid TCP port — an overflowing or zero port is malformed, not a
+    * deferred connect error). */
   def anatomy(url: String): Option[(String, Int, String, String)] = {
     val m = "^mongodb://([^/:]+)(?::(\\d+))?/([^/]+)/([^/?#]+)$".r
     url match {
       case m(host, port, db, coll) =>
-        Some((host, Option(port).map(_.toInt).getOrElse(27017), db, coll))
+        Option(port).map(_.toIntOption) match {
+          case None => Some((host, 27017, db, coll))
+          case Some(Some(p)) if p >= 1 && p <= 65535 => Some((host, p, db, coll))
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -140,26 +146,33 @@ object MongoWire {
         s"cursor exceeded $maxBatches batches — misbehaving server?")
     }
 
-    private def pull(): Unit =
-      try {
-        if (!findSent) {
-          open()
-          findSent = true
-          parseCursor(command(in, out,
-            s"""{"find": ${graft.JsonText.str(coll)}, "filter": $selectorJson,""" +
-              s""" "projection": $projection, "batchSize": $ask,""" +
-              s""" "$$db": ${graft.JsonText.str(db)}}"""))
-        } else if (cursorId != 0L) {
-          parseCursor(command(in, out,
-            s"""{"getMore": $cursorId, "collection": ${graft.JsonText.str(coll)},""" +
-              s""" "batchSize": $ask, "$$db": ${graft.JsonText.str(db)}}""",
-            longFields = Set("getMore")))
-        }
-      } catch { case t: Throwable =>
-        // the stream may be desynced mid-frame: skip the killCursors
-        // courtesy (cursorId = 0) and just release the socket
-        cursorId = 0L; close(); throw t
-      }
+    private def pull(): Unit = {
+      // phase 1 — the wire round-trip: a failure here (connect, timeout,
+      // mid-frame IO) leaves the stream possibly desynced, so skip the
+      // killCursors courtesy (cursorId = 0) and just release the socket
+      val replyJson =
+        try {
+          if (!findSent) {
+            open()
+            findSent = true
+            command(in, out,
+              s"""{"find": ${graft.JsonText.str(coll)}, "filter": $selectorJson,""" +
+                s""" "projection": $projection, "batchSize": $ask,""" +
+                s""" "$$db": ${graft.JsonText.str(db)}}""")
+          } else if (cursorId != 0L) {
+            command(in, out,
+              s"""{"getMore": $cursorId, "collection": ${graft.JsonText.str(coll)},""" +
+                s""" "batchSize": $ask, "$$db": ${graft.JsonText.str(db)}}""",
+              longFields = Set("getMore"))
+          } else null
+        } catch { case t: Throwable => cursorId = 0L; close(); throw t }
+      // phase 2 — parsing: the reply frame was fully consumed, so the
+      // stream sits at a clean boundary and close() can still reclaim
+      // the live cursor (ok:0 replies, the maxBatches backstop)
+      if (replyJson != null)
+        try parseCursor(replyJson)
+        catch { case t: Throwable => close(); throw t }
+    }
 
     override def close(): Unit = if (socket != null) {
       // early stop with a live server cursor: best-effort killCursors so
@@ -200,7 +213,7 @@ object MongoWire {
            maxBatches: Int = MaxBatches): DocCursor = {
     val (host, port, db, coll) = anatomy(url).getOrElse(
       throw new IllegalArgumentException(
-        s"mongodb pushdown needs mongodb://host:port/db/collection; got $url"))
+        s"mongodb pushdown needs mongodb://host[:port]/db/collection; got $url"))
     new DocCursor(host, port, db, coll, selectorJson,
       MongoFindGen.projection(fields), timeoutMs, maxDocs, maxBatches)
   }

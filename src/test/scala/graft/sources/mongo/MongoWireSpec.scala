@@ -293,5 +293,8 @@ class MongoWireSpec extends SparkTestBase {
     assert(MongoWire.anatomy("mongodb://h/db/coll") == Some(("h", 27017, "db", "coll")))
     assert(MongoWire.anatomy("mongodb://h:27017/dbonly").isEmpty)
     assert(MongoWire.anatomy("http://h:1/db/coll").isEmpty)
+    // out-of-range ports are malformed, not deferred connect errors
+    assert(MongoWire.anatomy("mongodb://h:99999999999/db/coll").isEmpty)
+    assert(MongoWire.anatomy("mongodb://h:0/db/coll").isEmpty)
   }
 }
