@@ -442,6 +442,25 @@ object SparkEntry {
         .where(col("nk") === "3")
         .select("name", "nk")
     }),
+    // The distributed NDJSON export under the gate: customer rows become
+    // a GeoJSON frame, writeFeatures exports it (codegen'd feature lines,
+    // file per partition, no driver collect), the graft-geojson reader
+    // reads it back — write→read round-trip hash-proven against plain SQL
+    "q_geojson_export" -> ((spark, dir) => {
+      init(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-gj-export").toString + "/x"
+      val src = spark.sql(
+        s"""SELECT c_name AS name, CAST(c_nationkey AS STRING) AS nk,
+           |       ST_Point($CX, $CY) AS geometry
+           |FROM customer""".stripMargin)
+      sources.GeoJsonSource.writeFeatures(src, "geometry", out)
+      spark.read.format("graft-geojson")
+        .option("multiLine", "false").option("columns", "name,nk")
+        .load(out)
+        .where(col("nk") === "11")
+        .select(col("name"), col("nk"),
+          round(call_function("st_x", col("geometry")), 4).as("gx"))
+    }),
     "q_geojson_dsv2" -> ((spark, dir) => {
       init(spark, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-gj-gate").toString
@@ -1172,6 +1191,8 @@ object SparkEntry {
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 3",
     "q_geojson_dsv2" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 3",
+    "q_geojson_export" ->
+      s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 11",
     "q_xml_server" ->
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 7",
     "q_xml_join_server" ->
