@@ -31,26 +31,32 @@ object Bson {
   /** JSON text → one BSON document's bytes. `longFields` names elements
     * (at any depth) whose integral values MUST encode as int64 even when
     * they fit int32 — commands like `getMore` require the cursor id to
-    * be int64, and JSON cannot express the distinction. */
-  def fromJson(json: String, longFields: Set[String] = Set.empty): Array[Byte] =
-    encodeDoc(mapper.readTree(json), longFields)
+    * be int64, and JSON cannot express the distinction. `binaryFields`
+    * names textual elements whose value is base64 of raw bytes to encode
+    * as BSON binary subtype 0 — SASL conversations carry their payloads
+    * as binary, and JSON cannot express that either. */
+  def fromJson(json: String, longFields: Set[String] = Set.empty,
+               binaryFields: Set[String] = Set.empty): Array[Byte] =
+    encodeDoc(mapper.readTree(json), longFields, binaryFields)
 
-  private def encodeDoc(node: JsonNode, longFields: Set[String]): Array[Byte] = {
+  private def encodeDoc(node: JsonNode, longFields: Set[String],
+                        binaryFields: Set[String]): Array[Byte] = {
     require(node.isObject, s"BSON document must encode a JSON object, got: $node")
     val out = new ByteArrayOutputStream()
     val it = node.fields()
     while (it.hasNext) {
       val e = it.next()
-      encodeElement(out, e.getKey, e.getValue, longFields)
+      encodeElement(out, e.getKey, e.getValue, longFields, binaryFields)
     }
     finishDoc(out)
   }
 
-  private def encodeArray(node: JsonNode, longFields: Set[String]): Array[Byte] = {
+  private def encodeArray(node: JsonNode, longFields: Set[String],
+                          binaryFields: Set[String]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     var i = 0
     val it = node.elements()
-    while (it.hasNext) { encodeElement(out, i.toString, it.next(), longFields); i += 1 }
+    while (it.hasNext) { encodeElement(out, i.toString, it.next(), longFields, binaryFields); i += 1 }
     finishDoc(out)
   }
 
@@ -62,7 +68,7 @@ object Bson {
   }
 
   private def encodeElement(out: ByteArrayOutputStream, name: String, v: JsonNode,
-                            longFields: Set[String]): Unit = {
+                            longFields: Set[String], binaryFields: Set[String]): Unit = {
     def cstring(s: String): Unit = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       require(!b.contains(0.toByte), s"BSON names cannot contain NUL: $s")
@@ -76,7 +82,13 @@ object Bson {
       val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(n).array()
       out.write(b, 0, 8)
     }
-    if (v.isTextual) {
+    if (v.isTextual && binaryFields.contains(name)) {
+      // BSON binary, subtype 0 (generic): the JSON value is base64 of
+      // the raw bytes (SASL payloads travel this way)
+      val raw = java.util.Base64.getDecoder.decode(v.textValue())
+      out.write(0x05); cstring(name)
+      le(raw.length); out.write(0); out.write(raw, 0, raw.length)
+    } else if (v.isTextual) {
       out.write(0x02); cstring(name)
       val b = v.textValue().getBytes(java.nio.charset.StandardCharsets.UTF_8)
       le(b.length + 1); out.write(b, 0, b.length); out.write(0)
@@ -95,10 +107,10 @@ object Bson {
       out.write(0x0A); cstring(name)
     } else if (v.isObject) {
       out.write(0x03); cstring(name)
-      val d = encodeDoc(v, longFields); out.write(d, 0, d.length)
+      val d = encodeDoc(v, longFields, binaryFields); out.write(d, 0, d.length)
     } else if (v.isArray) {
       out.write(0x04); cstring(name)
-      val d = encodeArray(v, longFields); out.write(d, 0, d.length)
+      val d = encodeArray(v, longFields, binaryFields); out.write(d, 0, d.length)
     } else throw new IllegalArgumentException(s"cannot BSON-encode: $v")
   }
 

@@ -48,6 +48,21 @@ class BsonSpec extends AnyFunSuite {
     assert(json.contains("\"ts\":1000"), json)
   }
 
+  test("binaryFields encode base64 text as BSON binary subtype 0") {
+    // {"payload": <3 bytes 01 02 03>} — SASL payloads travel as binary,
+    // and JSON cannot express the distinction (the longFields analog)
+    val b64 = java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2, 3))
+    val doc = Bson.fromJson(s"""{"payload": "$b64"}""", binaryFields = Set("payload"))
+    assert(doc(4) == 0x05, doc.toSeq)                   // binary element type
+    assert(doc.slice(13, 18).toSeq == Seq[Byte](3, 0, 0, 0, 0), doc.toSeq) // len + subtype 0
+    assert(doc.slice(18, 21).toSeq == Seq[Byte](1, 2, 3))
+    // decode answers the same base64 text → lossless round trip
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(Bson.toJson(doc)).path("payload").asText() == b64)
+    // without the marker the same JSON stays a plain string
+    assert(Bson.fromJson(s"""{"payload": "$b64"}""")(4) == 0x02)
+  }
+
   test("unknown element types fail loudly instead of desyncing") {
     val doc = java.nio.ByteBuffer.allocate(11).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(11).put(0x7F.toByte).put('x'.toByte).put(0.toByte)
