@@ -688,6 +688,20 @@ object SparkEntry {
           |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50""".stripMargin)
       Dedup.dropExactDuplicates(planted, "doc_id", "text").select("doc_id")
     }),
+    // Incremental admission against a frozen snapshot: 50 clones of
+    // corpus texts (must be refused) + 50 genuinely new texts (must be
+    // admitted); the Bloom filter routes, the confirm join decides, so
+    // the result is exact regardless of false positives.
+    "q_dedup_incremental" -> ((spark, dir) => {
+      init(spark, dir)
+      val incoming = spark.sql(
+        """SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 50
+          |UNION ALL
+          |SELECT doc_id + 300000 AS doc_id,
+          |       concat(text, ' fresh-', CAST(doc_id AS STRING)) AS text
+          |FROM documents WHERE doc_id < 50""".stripMargin)
+      Dedup.dropSeen(incoming, spark.table("documents"), "text").select("doc_id")
+    }),
     "q_dedup_minhash" -> ((spark, dir) => {
       init(spark, dir)
       Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
@@ -1229,6 +1243,16 @@ object SparkEntry {
         |                 SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
         |keepers AS (SELECT min(doc_id) AS doc_id FROM planted GROUP BY md5(text))
         |SELECT doc_id FROM keepers""".stripMargin,
+    // Incremental dedup reduces to exact anti-membership of the frozen
+    // corpus's text set — the Bloom filter is pure routing.
+    "q_dedup_incremental" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' fresh-' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = i.text)""".stripMargin,
     // Salted candidate generation must produce the identical pair set —
     // same oracle as q_dedup_minhash.
     "q_dedup_minhash_salted" ->

@@ -58,6 +58,53 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup — the cross-snapshot shape: admit only the
+    * `incoming` rows (a new crawl batch) whose text does NOT already
+    * exist in `corpus` (a frozen, already-curated snapshot). The naive
+    * `left_anti` join re-shuffles the ENTIRE corpus's hashes on every
+    * batch — at 10^10 frozen docs that is a few hundred GB of exchange to
+    * admit a batch a thousandth the size. Here the corpus reduces to a
+    * Bloom filter over its text hashes (one map-side aggregation scan;
+    * the filter broadcasts back), and incoming routes against it:
+    *
+    *  - bloom MISSES are definitely new (no false negatives) — they pass
+    *    through with no join at all;
+    *  - bloom HITS — true duplicates plus the fpp tail — are confirmed
+    *    exactly: the rare hit hashes shuffle (tiny), AQE broadcasts them
+    *    into a semi-join probe of the corpus scan (corpus hashes never
+    *    shuffle), and the surviving true-duplicate hashes (small by
+    *    construction) broadcast into the final anti-join.
+    *
+    * The result is EXACT for any fpp — the bloom only routes, the
+    * confirm join decides — so `fpp` trades filter size against confirm
+    * volume only (~1.2 GB of filter per 10^9 corpus docs at the 1%
+    * default; raise fpp if driver/executor memory is the bound). Corpus
+    * is scanned twice (filter build + confirm probe), both map-side;
+    * `expectedItems` sizes the filter and defaults to a `corpus.count()`
+    * (a third scan — pass the known snapshot size to skip it). NULL
+    * texts compare equal to NULL texts, like the grouped [[exact]].
+    */
+  def dropSeen(incoming: DataFrame, corpus: DataFrame, textCol: String,
+               expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    def hashOf(c: org.apache.spark.sql.Column) =
+      coalesce(md5(c.cast("binary")), lit("null"))
+    val corpusHashes = corpus.select(hashOf(col(textCol)).as("__h"))
+    val n = if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
+    val filter = corpusHashes.stat.bloomFilter("__h", n, fpp)
+    val filterB = spark.sparkContext.broadcast(filter)
+    val mightContain = udf((h: String) => filterB.value.mightContainString(h))
+    val inc = incoming.withColumn("__h", hashOf(col(textCol)))
+    val misses = inc.where(!mightContain(col("__h")))
+    val hits = inc.where(mightContain(col("__h")))
+    // hit hashes are rare (dups + fpp): AQE sees the tiny shuffle and
+    // broadcasts them, so the corpus confirm scan is probe-only
+    val hitHashes = hits.select("__h").distinct()
+    val dupHashes = corpusHashes.join(hitHashes, Seq("__h"), "left_semi").distinct()
+    val newFromHits = hits.join(dupHashes, Seq("__h"), "left_anti")
+    misses.unionByName(newFromHits).drop("__h")
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     * shingle(k) → `numHashes` minhash sig → `bands` band-hash buckets →
     * bucket equi-join for candidates → exact shingle-Jaccard refine ≥

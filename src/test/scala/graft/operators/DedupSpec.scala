@@ -37,6 +37,45 @@ class DedupSpec extends SparkTestBase {
     assert(plain.exists { case (a, b) => b - a == 700000 }) // planted pairs too
   }
 
+  test("dropSeen admits exactly the unseen texts (bloom routes, join decides)") {
+    val corpus = docs.select($"doc_id", $"text")
+    val incoming = docs.limit(40).select(($"doc_id" + 900000).as("doc_id"), $"text")
+      .union(docs.limit(40).select(($"doc_id" + 950000).as("doc_id"),
+        concat($"text", lit(" unseen")).as("text")))
+    val kept = Dedup.dropSeen(incoming, corpus, "text")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.size == 40 && keptIds.forall(_ >= 950000), keptIds.take(5))
+    // schema passes through untouched
+    assert(kept.columns.toSeq == incoming.columns.toSeq)
+    // no sort-merge join anywhere: the confirm probes are broadcast, so
+    // the corpus's hashes never shuffle (the 100 TB property)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("dropSeen stays exact when the bloom filter is saturated with false positives") {
+    val corpus = docs.select($"doc_id", $"text")
+    val incoming = docs.limit(30).select(($"doc_id" + 900000).as("doc_id"), $"text")
+      .union(docs.limit(100).select(($"doc_id" + 950000).as("doc_id"),
+        concat($"text", lit(" fp-probe")).as("text")))
+    // a filter sized for 4 items at 40% fpp saturates against the full
+    // corpus — nearly every incoming row becomes a bloom HIT and must be
+    // rescued by the exact confirm join
+    val kept = Dedup.dropSeen(incoming, corpus, "text", expectedItems = 4, fpp = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 100 && kept.forall(_ >= 950000))
+  }
+
+  test("dropSeen treats NULL text as a value: refused iff the corpus has one") {
+    val corpusWithNull = Seq((1L, "alpha"), (2L, null)).toDF("doc_id", "text")
+    val corpusNoNull = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val incoming = Seq((10L, null), (11L, "beta")).toDF("doc_id", "text")
+    assert(Dedup.dropSeen(incoming, corpusWithNull, "text")
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(Dedup.dropSeen(incoming, corpusNoNull, "text")
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
   test("releaseCaches drops the persists left behind by dedup calls") {
     Dedup.releaseCaches() // drain anything from earlier tests
     val baseline = spark.sparkContext.getPersistentRDDs.size
