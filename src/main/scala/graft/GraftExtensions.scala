@@ -166,8 +166,8 @@ object Graft {
     t("minhash_signature", MinhashSignature, Seq(StringType, IntegerType, IntegerType)),
     t("jaccard_shingles", JaccardShingles, Seq(StringType, StringType, IntegerType)),
     b("sorted_shingles", SortedShingles, Seq(StringType, IntegerType)),
-    b("jaccard_sorted", JaccardSorted, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
-    b("sig_match_fraction", SigMatchFraction, Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))),
+    b("jaccard_sorted", JaccardSorted, Seq(ArrayType(LongType), ArrayType(LongType))),
+    b("sig_match_fraction", SigMatchFraction, Seq(ArrayType(LongType), ArrayType(LongType))),
     b("sig_prefix", SigPrefix, Seq(ArrayType(LongType, containsNull = false), IntegerType)),
     b("sig_match_fraction_int", SigMatchFractionInt, Seq(ArrayType(IntegerType, containsNull = false), ArrayType(IntegerType, containsNull = false))),
     b("minhash_band_hashes", MinhashBandHashes, Seq(ArrayType(LongType, containsNull = false), IntegerType)),

@@ -708,6 +708,23 @@ object SparkEntry {
           shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
+    // Near-dup admission against a FROZEN index: the corpus signatures are
+    // written once (build timed in-gate — honest), then the planted batch
+    // (25 clones + 25 tail-mutated) probes them with broadcast-only joins.
+    // Same oracle shape as q_dedup_minhash, restricted to cross pairs.
+    "q_dedup_index" -> ((spark, dir) => {
+      init(spark, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_mhidx").toString + "/idx"
+      Dedup.writeMinhashIndex(spark.table("documents"), "doc_id", "text", idx,
+        shingleK = 5, numHashes = 128, bands = 32)
+      val incoming = spark.sql(
+        """SELECT doc_id + 800000 AS doc_id, text FROM documents WHERE doc_id < 25
+          |UNION ALL
+          |SELECT doc_id + 850000 AS doc_id, concat(text, ' zz') AS text
+          |FROM documents WHERE doc_id < 25""".stripMargin)
+      Dedup.nearDupsAgainstIndex(incoming, "doc_id", "text", idx, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
     // maxHamming = 3 ⇐ 4×16-bit block LSH: ≤ 3 flipped bits leave at least
     // one block intact (pigeonhole), so recall is exhaustive and the DuckDB
     // all-pairs oracle applies.
@@ -1243,6 +1260,23 @@ object SparkEntry {
         |                 SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
         |keepers AS (SELECT min(doc_id) AS doc_id FROM planted GROUP BY md5(text))
         |SELECT doc_id FROM keepers""".stripMargin,
+    // Cross pairs only (incoming × corpus), exact 5-shingle Jaccard ≥ 0.5;
+    // the same S-curve/no-mid-band argument as q_dedup_minhash applies
+    // (planted pairs sit at j ≥ 0.9, unrelated pairs below 0.45). The
+    // least/greatest length prefilter is lossless: J ≤ min|sh|/max|sh|.
+    "q_dedup_index" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 800000 AS doc_id, text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 850000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id < 25),
+        |shc AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
+        |        FROM (SELECT doc_id, lower(text) s FROM documents) d),
+        |shi AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
+        |        FROM (SELECT doc_id, lower(text) s FROM incoming) d)
+        |SELECT id_a, id_b, round(inter / (la + lb - inter), 4) AS jaccard
+        |FROM (SELECT i.doc_id id_a, c.doc_id id_b, len(list_intersect(i.sh, c.sh))::DOUBLE inter, len(i.sh)::DOUBLE la, len(c.sh)::DOUBLE lb
+        |      FROM shi i JOIN shc c ON least(len(i.sh), len(c.sh))::DOUBLE / greatest(len(i.sh), len(c.sh)) >= 0.5) p
+        |WHERE inter / (la + lb - inter) >= 0.5""".stripMargin,
     // Incremental dedup reduces to exact anti-membership of the frozen
     // corpus's text set — the Bloom filter is pure routing.
     "q_dedup_incremental" ->

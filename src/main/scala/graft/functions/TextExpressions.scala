@@ -25,9 +25,13 @@ case class SortedShingles(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+// containsNull relaxed to true: file sources force nullable array
+// elements on read (asNullable), and the frozen minhash index feeds these
+// two kernels from parquet — the writer guarantees no null elements ever
+// exist, the nullable declaration only placates the analyzer's cast check
 case class JaccardSorted(left: Expression, right: Expression)
     extends GeoBinary("TextOps.jaccardSorted",
-      Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false)), DoubleType) {
+      Seq(ArrayType(LongType), ArrayType(LongType)), DoubleType) {
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
@@ -40,7 +44,7 @@ case class MinhashBandHashes(left: Expression, right: Expression)
 
 case class SigMatchFraction(left: Expression, right: Expression)
     extends GeoBinary("TextOps.sigMatchFraction",
-      Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false)), DoubleType) {
+      Seq(ArrayType(LongType), ArrayType(LongType)), DoubleType) { // see JaccardSorted note
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 

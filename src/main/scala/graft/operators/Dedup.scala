@@ -105,6 +105,100 @@ object Dedup {
     misses.unionByName(newFromHits).drop("__h")
   }
 
+  /** Builds the frozen MinHash near-dup index — the NEAR-duplicate analog
+    * of [[dropSeen]]'s cross-snapshot shape, and the serving-path pattern
+    * `VectorStorage` established for ANN: pay the signature pass ONCE
+    * when the snapshot freezes, then admit each new batch against the
+    * index without recomputing or shuffling the corpus. Layout:
+    *
+    *   path/docs/   (id, sig, sh)   — signature + sorted shingle hashes,
+    *                                  the self-contained refine payload
+    *   path/bands/  (band, h, id)   — LSH bucket table, partitioned by
+    *                                  band, h-sorted for row-group skips
+    *   path/_INDEX.json             — (shingleK, numHashes, bands); the
+    *                                  query path refuses a mismatch
+    *
+    * One corpus scan builds both tables (the signature frame persists
+    * across the two writes). */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String, path: String,
+                        shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = corpus.sparkSession
+    Graft.register(spark)
+    val payload = corpus
+      .select(col(idCol).as("id"),
+        call_function("minhash_signature", col(textCol), lit(shingleK), lit(numHashes)).as("sig"),
+        call_function("sorted_shingles", col(textCol), lit(shingleK)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      payload.write.mode("errorifexists").parquet(s"$path/docs")
+      payload.select(col("id"),
+          posexplode(call_function("minhash_band_hashes", col("sig"), lit(bands))))
+        .toDF("id", "band", "h")
+        .repartition(col("band")).sortWithinPartitions("h")
+        .write.mode("errorifexists").partitionBy("band").parquet(s"$path/bands")
+      val manifest = new org.apache.hadoop.fs.Path(path, "_INDEX.json")
+      val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(manifest, false)
+      try out.write(
+        s"""{"shingle_k": $shingleK, "num_hashes": $numHashes, "bands": $bands}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } finally payload.unpersist(blocking = false)
+  }
+
+  /** Near-duplicate pairs between a new batch and a frozen
+    * [[writeMinhashIndex]] snapshot: `(id_a = incoming id, id_b = corpus
+    * id, jaccard)` with the exact shingle-Jaccard ≥ `threshold` — the
+    * same three-stage semantics as [[minhashPairs]] (bucket collision →
+    * signature-estimate prune → exact refine), restricted to cross
+    * pairs. The batch side BROADCASTS (bucket rows, then signatures), so
+    * both index scans are probe-only: no corpus rows ever shuffle, and
+    * per-batch cost is two index scans + work proportional to the
+    * candidates. For corpus-sized "batches" use [[minhashPairs]] on the
+    * union instead — broadcasting a corpus is the wrong plan. */
+  def nearDupsAgainstIndex(incoming: DataFrame, idCol: String, textCol: String,
+                           path: String, threshold: Double = 0.7): DataFrame = {
+    val spark = incoming.sparkSession
+    Graft.register(spark)
+    val manifest = new org.apache.hadoop.fs.Path(path, "_INDEX.json")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(manifest)
+    val params = try {
+      val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
+      in.readFully(bytes)
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+    val (shingleK, numHashes, bands) =
+      (params.path("shingle_k").asInt(), params.path("num_hashes").asInt(),
+        params.path("bands").asInt())
+    require(shingleK > 0 && numHashes > 0 && bands > 0, s"corrupt index manifest: $params")
+
+    val margin = 1.75 / math.sqrt(numHashes.toDouble)
+    val incPayload = track(incoming
+      .select(col(idCol).as("inc_id"),
+        call_function("minhash_signature", col(textCol), lit(shingleK), lit(numHashes)).as("sig_q"),
+        call_function("sorted_shingles", col(textCol), lit(shingleK)).as("sh_q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val incBands = incPayload.select(col("inc_id"),
+        posexplode(call_function("minhash_band_hashes", col("sig_q"), lit(bands))))
+      .toDF("inc_id", "band", "h")
+    val cand = spark.read.parquet(s"$path/bands")
+      .join(broadcast(incBands), Seq("band", "h"))
+      .select("inc_id", "id").distinct() // multi-band collisions collapse
+    // (file sources force nullable array elements on read; the refine
+    // kernels accept them — see the JaccardSorted nullability note)
+    spark.read.parquet(s"$path/docs")
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(incPayload), Seq("inc_id"))
+      .where(call_function("sig_match_fraction", col("sig"), col("sig_q")) >=
+        lit(threshold - margin))
+      .withColumn("jaccard", call_function("jaccard_sorted", col("sh"), col("sh_q")))
+      .where(col("jaccard") >= threshold)
+      .select(col("inc_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     * shingle(k) → `numHashes` minhash sig → `bands` band-hash buckets →
     * bucket equi-join for candidates → exact shingle-Jaccard refine ≥

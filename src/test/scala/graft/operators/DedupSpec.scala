@@ -66,6 +66,39 @@ class DedupSpec extends SparkTestBase {
     assert(kept.size == 100 && kept.forall(_ >= 950000))
   }
 
+  test("frozen minhash index finds the same cross pairs as the direct bucket join") {
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    val corpus = docs.select($"doc_id", $"text")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir,
+      shingleK = 5, numHashes = 128, bands = 32)
+    val incoming = docs.limit(25).select(($"doc_id" + 800000).as("doc_id"), $"text")
+      .union(docs.limit(25).select(($"doc_id" + 850000).as("doc_id"),
+        concat($"text", lit(" zz")).as("text")))
+    val viaIndex = Dedup.nearDupsAgainstIndex(incoming, "doc_id", "text", dir, threshold = 0.5)
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val idxPairs = canon(viaIndex.select("id_a", "id_b").collect())
+    // ground truth: the direct three-stage join over the union, filtered
+    // to pairs crossing the incoming/corpus boundary — identical band
+    // hashing ⇒ identical candidates ⇒ identical refined pairs
+    val direct = canon(Dedup.minhashPairs(corpus.union(incoming), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+      .where(col("id_a") < 800000 && col("id_b") >= 800000)
+      .select("id_a", "id_b").collect())
+    assert(idxPairs == direct)
+    assert(idxPairs.size >= 50, idxPairs.size) // every planted doc pairs with its source
+    // exact clones refine to jaccard 1.0 through the stored shingle sets
+    assert(viaIndex.where(col("id_a") < 850000 && col("jaccard") === 1.0).count() >= 25)
+    // batch-probe plan: both index scans are broadcast-probed, no shuffle
+    // of index rows (the 100 TB property)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // a second build refuses to clobber the frozen snapshot
+    intercept[Exception] { Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir) }
+    Dedup.releaseCaches()
+  }
+
   test("dropSeen treats NULL text as a value: refused iff the corpus has one") {
     val corpusWithNull = Seq((1L, "alpha"), (2L, null)).toDF("doc_id", "text")
     val corpusNoNull = Seq((1L, "alpha")).toDF("doc_id", "text")
