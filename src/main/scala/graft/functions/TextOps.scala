@@ -213,6 +213,10 @@ object TextOps {
     var i = 0
     var m = 0
     while (i < n) {
+      // the declared input type is nullable (file sources force it on
+      // read) but a null slot would silently read as 0L — fail loudly
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        s"sig_match_fraction: null signature element at position $i")
       if (a.getLong(i) == b.getLong(i)) m += 1
       i += 1
     }
@@ -256,6 +260,10 @@ object TextOps {
     var j = 0
     var inter = 0
     while (i < na && j < nb) {
+      // nullable declared type (file-source reads) — a null slot would
+      // read as 0L and fabricate matches; fail loudly instead
+      require(!a.isNullAt(i) && !b.isNullAt(j),
+        "jaccard_sorted: null shingle-hash element")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { inter += 1; i += 1; j += 1 }

@@ -35,9 +35,10 @@ object Dedup {
     val it = tracked.iterator()
     while (it.hasNext) {
       it.next() match {
-        case df: DataFrame                     => df.unpersist(blocking = false)
-        case rdd: org.apache.spark.rdd.RDD[_]  => rdd.unpersist(blocking = false)
-        case _                                 => ()
+        case df: DataFrame                             => df.unpersist(blocking = false)
+        case rdd: org.apache.spark.rdd.RDD[_]          => rdd.unpersist(blocking = false)
+        case b: org.apache.spark.broadcast.Broadcast[_] => b.destroy()
+        case _                                         => ()
       }
       it.remove()
     }
@@ -92,9 +93,17 @@ object Dedup {
     val corpusHashes = corpus.select(hashOf(col(textCol)).as("__h"))
     val n = if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
     val filter = corpusHashes.stat.bloomFilter("__h", n, fpp)
-    val filterB = spark.sparkContext.broadcast(filter)
+    // tracked like the persists: the filter can be GB-sized and lives on
+    // every executor for as long as the returned plan is referenced —
+    // releaseCaches() destroys it once results are consumed
+    val filterB = track(spark.sparkContext.broadcast(filter))
     val mightContain = udf((h: String) => filterB.value.mightContainString(h))
-    val inc = incoming.withColumn("__h", hashOf(col(textCol)))
+    // persisted: three branches (misses, hits, the confirm) consume this
+    // frame — without the cache the batch lineage runs three times, and a
+    // nondeterministic lineage (a rand() sample upstream) could even
+    // route a row into neither or both branches
+    val inc = track(incoming.withColumn("__h", hashOf(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val misses = inc.where(!mightContain(col("__h")))
     val hits = inc.where(mightContain(col("__h")))
     // hit hashes are rare (dups + fpp): AQE sees the tiny shuffle and

@@ -111,17 +111,30 @@ object MongoWire {
           }.toMap).getOrElse(Map.empty)
         val mech = params.get("authMechanism")
         val mechOk = mech.forall(m => m == "SCRAM-SHA-1" || m == "SCRAM-SHA-256")
+        // boolean options are STRICT: `tls=True`/`tls=1` must not silently
+        // fail open to plaintext — anything but true/false is malformed
+        def boolOpt(key: String): Option[Option[Boolean]] =
+          params.get(key) match {
+            case None          => Some(None)
+            case Some("true")  => Some(Some(true))
+            case Some("false") => Some(Some(false))
+            case Some(_)       => None
+          }
         for {
           p <- portOk
           c <- credsOk
           if mechOk
+          tlsOpt <- boolOpt("tls")
+          sslOpt <- boolOpt("ssl")
+          if tlsOpt.isEmpty || sslOpt.isEmpty || tlsOpt == sslOpt // no tls=true&ssl=false
+          insecureOpt <- boolOpt("tlsAllowInvalidCertificates")
         } yield ConnSpec(host, p, db, coll, c,
           authSource = params.getOrElse("authSource", db),
           authMechanism = mech,
           compressors = params.get("compressors").toSeq
             .flatMap(_.split(",")).filter(_ == "zlib"),
-          tls = params.get("tls").orElse(params.get("ssl")).contains("true"),
-          tlsInsecure = params.get("tlsAllowInvalidCertificates").contains("true"))
+          tls = tlsOpt.orElse(sslOpt).getOrElse(false),
+          tlsInsecure = insecureOpt.getOrElse(false))
       case _ => None
     }
   }
@@ -257,6 +270,11 @@ object MongoWire {
 
     private def open(): Unit = {
       val plain = new Socket()
+      // assigned BEFORE connect/handshake so a failure anywhere in
+      // establishment still reaches close()'s socket cleanup (a TLS
+      // handshake refusal must not leak the connected fd across task
+      // retries); re-assigned to the TLS wrapper on success below
+      socket = plain
       plain.connect(new InetSocketAddress(spec.host, spec.port), timeoutMs)
       plain.setSoTimeout(timeoutMs)
       socket =
@@ -455,9 +473,12 @@ object MongoWire {
   def docs(url: String, selectorJson: String, fields: Seq[String],
            timeoutMs: Int, maxDocs: Option[Int] = None,
            maxBatches: Int = MaxBatches): DocCursor = {
-    val spec = ConnSpec.parse(url).getOrElse(
+    val spec = ConnSpec.parse(url).getOrElse {
+      // the echoed URL must not leak credentials into logs/Spark UI
+      val redacted = url.replaceFirst("://[^@/]+@", "://***@")
       throw new IllegalArgumentException(
-        s"mongodb pushdown needs mongodb://[user:pass@]host[:port]/db/collection[?options]; got $url"))
+        s"mongodb pushdown needs mongodb://[user:pass@]host[:port]/db/collection[?options]; got $redacted")
+    }
     new DocCursor(spec, selectorJson,
       MongoFindGen.projection(fields), timeoutMs, maxDocs, maxBatches)
   }

@@ -132,6 +132,8 @@ object Scram {
       (cp >= 0xFDD0 && cp <= 0xFDEF) || (cp & 0xFFFE) == 0xFFFE || // C.4 non-characters
       (cp >= 0xD800 && cp <= 0xDFFF) ||                        // C.5 surrogates
       cp == 0xFFFD ||                                          // C.6 inappropriate
+      (cp >= 0x1D173 && cp <= 0x1D17A) ||                      // C.2.2 musical controls
+      (cp >= 0x2FF0 && cp <= 0x2FFB) ||                        // C.7 ideographic description
       cp == 0x0340 || cp == 0x0341 || cp == 0x200E || cp == 0x200F ||
       (cp >= 0x202A && cp <= 0x202E) ||                        // C.8 change display
       cp == 0xE0001 || (cp >= 0xE0020 && cp <= 0xE007F)        // C.9 tagging

@@ -109,7 +109,10 @@ object FakeMongod {
             val inf = new java.util.zip.Inflater(); inf.setInput(packed)
             val plain = new Array[Byte](unSize)
             var off = 0
-            while (off < unSize && !inf.finished()) off += inf.inflate(plain, off, unSize - off)
+            var made = 1
+            while (off < unSize && !inf.finished() && made != 0) {
+              made = inf.inflate(plain, off, unSize - off); off += made
+            }
             inf.end()
             require(off == unSize, "truncated compressed request")
             ByteBuffer.wrap(plain).order(ByteOrder.LITTLE_ENDIAN)
@@ -477,6 +480,19 @@ class MongoWireSpec extends SparkTestBase {
     assert(MongoWire.ConnSpec.parse("mongodb://u%2:p@h/d/c").isEmpty)
     // credential-less URLs keep working unchanged
     assert(MongoWire.ConnSpec.parse("mongodb://h/d/c").get.creds.isEmpty)
+    // boolean options are strict: a typo must NOT silently fail open to
+    // plaintext — it is a malformed URL
+    assert(MongoWire.ConnSpec.parse("mongodb://h/d/c?tls=True").isEmpty)
+    assert(MongoWire.ConnSpec.parse("mongodb://h/d/c?tls=1").isEmpty)
+    assert(MongoWire.ConnSpec.parse("mongodb://h/d/c?tls=true&ssl=false").isEmpty)
+    assert(MongoWire.ConnSpec.parse("mongodb://h/d/c?ssl=true").get.tls)
+    assert(MongoWire.ConnSpec.parse("mongodb://h/d/c?tls=false").exists(!_.tls))
+    // a parse-failure message never echoes the password
+    val leak = intercept[IllegalArgumentException] {
+      MongoWire.docs("mongodb://admin:S3cret@h/d/c?authMechanism=PLAIN", "{}", Nil, 1000)
+    }
+    assert(!leak.getMessage.contains("S3cret"), leak.getMessage)
+    assert(leak.getMessage.contains("***@"), leak.getMessage)
   }
 
   test("SCRAM-SHA-256 authentication: negotiated, verified, required") {
