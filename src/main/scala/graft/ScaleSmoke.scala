@@ -97,6 +97,49 @@ object ScaleSmoke {
         docs10, docs.where(col("doc_id") % 20 === 0), "doc_id", "text").count()
     }
 
+    // Incremental admission against a frozen snapshot: per-batch cost must
+    // track the BATCH (bloom misses pass join-free, rare hits confirm via
+    // broadcast probes), with the corpus contributing only map-side scans.
+    def batchFrom(c: org.apache.spark.sql.DataFrame) =
+      c.limit(250).select((col("doc_id") + 77000000L).as("doc_id"), col("text"))
+        .union(c.limit(250).select((col("doc_id") + 78000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+    if (willTime("dropSeen 500-doc batch vs 5k corpus",
+        "dropSeen 500-doc batch vs 50k corpus")) {
+      Dedup.dropSeen(batchFrom(docs).limit(50), docs.limit(500), "text").count()
+    }
+    time("dropSeen 500-doc batch vs 5k corpus") {
+      Dedup.dropSeen(batchFrom(docs), docs, "text").count()
+    }
+    time("dropSeen 500-doc batch vs 50k corpus") {
+      Dedup.dropSeen(batchFrom(docs10), docs10, "text").count()
+    }
+
+    // Frozen minhash index: the signature pass runs ONCE at freeze time;
+    // each batch then probes with broadcast-only joins. The probe row is
+    // the serving cost; the direct union join row is what it replaces
+    // (re-signaturing + re-bucketing the corpus per batch).
+    val idxRoot = java.nio.file.Files.createTempDirectory("smoke_mhidx").toString
+    if (willTime("minhash index build, 50k docs",
+        "index probe, 500-doc batch vs 50k index",
+        "direct union minhash for the same batch (what the index avoids)")) {
+      Dedup.writeMinhashIndex(docs.limit(500), "doc_id", "text", s"$idxRoot/warm")
+      Dedup.nearDupsAgainstIndex(batchFrom(docs).limit(50), "doc_id", "text",
+        s"$idxRoot/warm", 0.8).count()
+    }
+    time("minhash index build, 50k docs") {
+      Dedup.writeMinhashIndex(docs10, "doc_id", "text", s"$idxRoot/big"); "built"
+    }
+    time("index probe, 500-doc batch vs 50k index") {
+      Dedup.nearDupsAgainstIndex(batchFrom(docs10), "doc_id", "text", s"$idxRoot/big", 0.8).count()
+    }
+    time("direct union minhash for the same batch (what the index avoids)") {
+      // cross pairs only (id_a < batch base ≤ id_b) — the index path by
+      // construction reports no batch-internal pairs
+      Dedup.minhashPairs(docs10.union(batchFrom(docs10)), "doc_id", "text", 5, 128, 32, 0.8)
+        .where(col("id_a") < 77000000L && col("id_b") >= 77000000L).count()
+    }
+
     // Hot-bucket skew: 5k identical boilerplate docs land every band in ONE
     // bucket (12.5M intra-bucket pairs → 800M generated join rows). With AQE
     // on, the skew-join split already spreads the hot partition; saltCap
