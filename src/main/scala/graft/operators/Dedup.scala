@@ -85,24 +85,31 @@ object Dedup {
     * (a third scan — pass the known snapshot size to skip it). NULL
     * texts compare equal to NULL texts, like the grouped [[exact]].
     */
-  def dropSeen(incoming: DataFrame, corpus: DataFrame, textCol: String,
-               expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
-    val spark = incoming.sparkSession
-    def hashOf(c: org.apache.spark.sql.Column) =
-      coalesce(md5(c.cast("binary")), lit("null"))
-    val corpusHashes = corpus.select(hashOf(col(textCol)).as("__h"))
+  private def seenHashOf(c: org.apache.spark.sql.Column) =
+    coalesce(md5(c.cast("binary")), lit("null"))
+
+  /** Corpus → (hash frame, broadcast bloom membership predicate). The
+    * broadcast is [[track]]ed: the filter can be GB-sized and lives on
+    * every executor for as long as the returned plans are referenced —
+    * releaseCaches() destroys it once results are consumed. */
+  private def corpusBloom(corpus: DataFrame, textCol: String, expectedItems: Long,
+                          fpp: Double): (DataFrame, org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val corpusHashes = corpus.select(seenHashOf(col(textCol)).as("__h"))
     val n = if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
     val filter = corpusHashes.stat.bloomFilter("__h", n, fpp)
-    // tracked like the persists: the filter can be GB-sized and lives on
-    // every executor for as long as the returned plan is referenced —
-    // releaseCaches() destroys it once results are consumed
-    val filterB = track(spark.sparkContext.broadcast(filter))
+    val filterB = track(corpus.sparkSession.sparkContext.broadcast(filter))
     val mightContain = udf((h: String) => filterB.value.mightContainString(h))
+    (corpusHashes, (c: org.apache.spark.sql.Column) => mightContain(c))
+  }
+
+  def dropSeen(incoming: DataFrame, corpus: DataFrame, textCol: String,
+               expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val (corpusHashes, mightContain) = corpusBloom(corpus, textCol, expectedItems, fpp)
     // persisted: three branches (misses, hits, the confirm) consume this
     // frame — without the cache the batch lineage runs three times, and a
     // nondeterministic lineage (a rand() sample upstream) could even
     // route a row into neither or both branches
-    val inc = track(incoming.withColumn("__h", hashOf(col(textCol)))
+    val inc = track(incoming.withColumn("__h", seenHashOf(col(textCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val misses = inc.where(!mightContain(col("__h")))
     val hits = inc.where(mightContain(col("__h")))
@@ -111,6 +118,28 @@ object Dedup {
     val hitHashes = hits.select("__h").distinct()
     val dupHashes = corpusHashes.join(hitHashes, Seq("__h"), "left_semi").distinct()
     val newFromHits = hits.join(dupHashes, Seq("__h"), "left_anti")
+    misses.unionByName(newFromHits).drop("__h")
+  }
+
+  /** [[graft.streaming.StreamingDedup.dropSeenStream]]'s engine — the
+    * [[dropSeen]] semantics with a STREAMING incoming frame. Stateless
+    * (membership is against a frozen set, nothing accumulates across
+    * batches): misses pass join-free per micro-batch; the rare bloom
+    * hits confirm through a stream-static left-outer join (+ null
+    * check — left ANTI is not supported stream-static) against the
+    * distinct corpus-hash frame, persisted so the static side is scanned
+    * once and probed thereafter. */
+  private[graft] def dropSeenStreamImpl(incoming: DataFrame, corpus: DataFrame,
+                                        textCol: String, expectedItems: Long,
+                                        fpp: Double): DataFrame = {
+    val (corpusHashes, mightContain) = corpusBloom(corpus, textCol, expectedItems, fpp)
+    val inc = incoming.withColumn("__h", seenHashOf(col(textCol)))
+    val misses = inc.where(!mightContain(col("__h")))
+    val seen = track(corpusHashes.distinct().withColumn("__seen", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newFromHits = inc.where(mightContain(col("__h")))
+      .join(seen, Seq("__h"), "left_outer")
+      .where(col("__seen").isNull).drop("__seen")
     misses.unionByName(newFromHits).drop("__h")
   }
 

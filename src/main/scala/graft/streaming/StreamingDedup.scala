@@ -50,6 +50,31 @@ object StreamingDedup {
       idCol, tsCol, delayThreshold, ttlMs)
   }
 
+  /** Streaming admission against a FROZEN corpus — [[graft.operators
+    * .Dedup.dropSeen]]'s semantics on an unbounded stream: emit only the
+    * stream rows whose text does not exist in the static snapshot.
+    * Stateless (unlike [[firstOccurrences]] there is no growing state —
+    * membership is against a frozen set, so nothing accumulates):
+    *
+    *  - the corpus reduces ONCE to a broadcast Bloom filter (one static
+    *    scan) + a persisted distinct-hash frame;
+    *  - per micro-batch, bloom misses pass with no join (no false
+    *    negatives), and the rare bloom hits are confirmed by a
+    *    stream-static left-outer join against the cached hash frame
+    *    (left ANTI is not supported stream-static; outer + null-check is
+    *    its supported equivalent).
+    *
+    * Exact for any fpp, like the batch operator. The returned frame is
+    * streaming; compose with watermarks/sinks as usual. Note the cached
+    * corpus-hash frame and the broadcast live until
+    * `Dedup.releaseCaches()` — per the batch operator's contract. */
+  def dropSeenStream(incoming: DataFrame, corpus: DataFrame, textCol: String,
+                     expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(incoming.isStreaming, "dropSeenStream wants a streaming incoming frame")
+    require(!corpus.isStreaming, "the frozen corpus must be a static frame")
+    graft.operators.Dedup.dropSeenStreamImpl(incoming, corpus, textCol, expectedItems, fpp)
+  }
+
   private def dedupByKey(df: DataFrame, keyCol: org.apache.spark.sql.Column,
                          idCol: String, tsCol: String,
                          delayThreshold: String, ttlMs: Long): Dataset[Hit] = {

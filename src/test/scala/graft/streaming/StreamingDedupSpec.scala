@@ -85,4 +85,44 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(out == Seq(1L, 2L))
     } finally query.stop()
   }
+
+  test("dropSeenStream admits only texts unseen in the frozen corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "alpha"), (101L, "beta"), (102L, "gamma"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // a saturated filter (4 items at 40% fpp would be honest too — use
+    // defaults here; the batch operator's spec covers fp saturation)
+    val query = StreamingDedup.dropSeenStream(docs, corpus, "text")
+      .writeStream.format("memory").queryName("dropseen_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "delta"))
+      query.processAllAvailable()
+      input.addData((3L, "beta"), (4L, "epsilon"), (5L, "delta"))
+      query.processAllAvailable()
+      val out = spark.table("dropseen_out").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      // corpus texts refused in every batch; unseen admitted — note 5
+      // passes too: membership is against the FROZEN set only (stateless;
+      // compose with firstOccurrences for stream-internal dedup)
+      assert(out == Seq(2L, 4L, 5L))
+      // schema passes through
+      assert(spark.table("dropseen_out").columns.toSeq == Seq("doc_id", "text"))
+    } finally { query.stop(); graft.operators.Dedup.releaseCaches() }
+  }
+
+  test("dropSeenStream rejects a static incoming or streaming corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val static = Seq((1L, "a")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      StreamingDedup.dropSeenStream(static, static, "text")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingDedup.dropSeenStream(stream, stream, "text")
+    }
+  }
 }
