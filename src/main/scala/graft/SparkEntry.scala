@@ -63,6 +63,90 @@ object SparkEntry {
   private val CX = "(c_acctbal / 100.0)"
   private val CY = "CAST(c_custkey % 97 AS DOUBLE)"
 
+  /** In-process OP_MSG endpoint serving customer-derived Feature
+    * documents for the live Mongo gates: real wire frames, honest
+    * nk-equality evaluation for `find`, cursor paging via `getMore`, and
+    * honest per-property COUNT grouping for the generated `aggregate`
+    * pipeline (the endpoint groups its real documents by the property
+    * the pipeline names — it does not echo precomputed answers). */
+  private def withInlineMongod(spark: org.apache.spark.sql.SparkSession)(
+      body: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = spark.sql(
+      s"""SELECT concat('{"type":"Feature","properties":{"name":"', c_name,
+         |  '","nk":"', CAST(c_nationkey AS STRING),
+         |  '"},"geometry":{"type":"Point","coordinates":[', CAST($CX AS STRING), ',',
+         |  CAST($CY AS STRING), ']}}') AS j
+         |FROM customer""".stripMargin)
+      .collect().map(_.getString(0)).toIndexedSeq
+    val server = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val cursors = new java.util.concurrent.ConcurrentHashMap[
+      Long, scala.collection.mutable.Queue[String]]()
+    val nextCursor = new java.util.concurrent.atomic.AtomicLong(1L)
+    def reply(cmdJson: String): String = {
+      val batch = """"batchSize":(\d+)""".r.findFirstMatchIn(cmdJson)
+        .map(_.group(1).toInt).getOrElse(101)
+      def page(q: scala.collection.mutable.Queue[String], id: Long, first: Boolean) = {
+        val out = (0 until math.min(batch, q.size)).map(_ => q.dequeue())
+        val more = q.nonEmpty
+        if (!more) cursors.remove(id) else cursors.put(id, q)
+        s"""{"cursor":{"${if (first) "firstBatch" else "nextBatch"}":[${out.mkString(",")}],""" +
+          s""""id":${if (more) id else 0L},"ns":"db.features"},"ok":1.0}"""
+      }
+      if (cmdJson.contains(""""find":""")) {
+        val nkEq = """"properties\.nk":\{"\$eq":"([^"]*)"\}""".r
+          .findFirstMatchIn(cmdJson).map(_.group(1))
+        val matched = docs.filter(d => nkEq.forall(v => d.contains(s""""nk":"$v"""")))
+        page(scala.collection.mutable.Queue(matched: _*), nextCursor.getAndIncrement(), first = true)
+      } else if (cmdJson.contains(""""aggregate":""")) {
+        val gcol = """\$f\.properties\.([A-Za-z0-9_]+)""".r.findFirstMatchIn(cmdJson)
+          .map(_.group(1)).getOrElse(
+            throw new IllegalArgumentException(s"inline mongod: no group column in $cmdJson"))
+        val ex = ("\"" + gcol + "\":\"([^\"]*)\"").r
+        val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        docs.foreach(d => ex.findFirstMatchIn(d).foreach(m =>
+          counts(m.group(1)) = counts.getOrElse(m.group(1), 0L) + 1))
+        val rows = counts.map { case (v, n) =>
+          s"""{"_id":{"g0":${graft.JsonText.str(v)}},"a0":$n}"""
+        }.toIndexedSeq
+        page(scala.collection.mutable.Queue(rows: _*), nextCursor.getAndIncrement(), first = true)
+      } else {
+        val id = """"getMore":(\d+)""".r.findFirstMatchIn(cmdJson).get.group(1).toLong
+        page(Option(cursors.get(id)).getOrElse(scala.collection.mutable.Queue.empty), id, first = false)
+      }
+    }
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        new Thread(() => try {
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          while (true) {
+            val lenB = new Array[Byte](4); in.readFully(lenB)
+            val total = java.nio.ByteBuffer.wrap(lenB)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+            val rest = new Array[Byte](total - 4); in.readFully(rest)
+            val buf = java.nio.ByteBuffer.wrap(rest)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val reqId = buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
+            buf.get() // kind 0
+            val body = graft.sources.mongo.Bson.fromJson(
+              reply(graft.sources.mongo.Bson.toJson(buf)))
+            val frame = java.nio.ByteBuffer.allocate(21 + body.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            frame.putInt(21 + body.length).putInt(1).putInt(reqId).putInt(2013)
+            frame.putInt(0).put(0.toByte).put(body)
+            out.write(frame.array()); out.flush()
+          }
+        } catch { case _: Throwable => () }).start()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    try body(s"mongodb://127.0.0.1:${server.getLocalPort}/db/features")
+    finally server.close()
+  }
+
   private def sql(q: String): (SparkSession, String) => DataFrame =
     (spark, dir) => init(spark, dir).sql(q)
 
@@ -602,75 +686,32 @@ object SparkEntry {
     // plain SQL over customer, exactly like the Couch/BaseX gates.
     "q_geojson_mongo" -> ((spark, dir) => {
       init(spark, dir)
-      val docs = spark.sql(
-        s"""SELECT concat('{"type":"Feature","properties":{"name":"', c_name,
-           |  '","nk":"', CAST(c_nationkey AS STRING),
-           |  '"},"geometry":{"type":"Point","coordinates":[', CAST($CX AS STRING), ',',
-           |  CAST($CY AS STRING), ']}}') AS j
-           |FROM customer""".stripMargin)
-        .collect().map(_.getString(0)).toIndexedSeq
-      val server = new java.net.ServerSocket(0, 16,
-        java.net.InetAddress.getByName("127.0.0.1"))
-      val cursors = new java.util.concurrent.ConcurrentHashMap[
-        Long, scala.collection.mutable.Queue[String]]()
-      val nextCursor = new java.util.concurrent.atomic.AtomicLong(1L)
-      def reply(cmdJson: String): String = {
-        val batch = """"batchSize":(\d+)""".r.findFirstMatchIn(cmdJson)
-          .map(_.group(1).toInt).getOrElse(101)
-        def page(q: scala.collection.mutable.Queue[String], id: Long, first: Boolean) = {
-          val out = (0 until math.min(batch, q.size)).map(_ => q.dequeue())
-          val more = q.nonEmpty
-          if (!more) cursors.remove(id) else cursors.put(id, q)
-          s"""{"cursor":{"${if (first) "firstBatch" else "nextBatch"}":[${out.mkString(",")}],""" +
-            s""""id":${if (more) id else 0L},"ns":"db.features"},"ok":1.0}"""
-        }
-        if (cmdJson.contains(""""find":""")) {
-          val nkEq = """"properties\.nk":\{"\$eq":"([^"]*)"\}""".r
-            .findFirstMatchIn(cmdJson).map(_.group(1))
-          val matched = docs.filter(d => nkEq.forall(v => d.contains(s""""nk":"$v"""")))
-          page(scala.collection.mutable.Queue(matched: _*), nextCursor.getAndIncrement(), first = true)
-        } else {
-          val id = """"getMore":(\d+)""".r.findFirstMatchIn(cmdJson).get.group(1).toLong
-          page(Option(cursors.get(id)).getOrElse(scala.collection.mutable.Queue.empty), id, first = false)
-        }
-      }
-      val acceptor = new Thread(() => {
-        try while (true) {
-          val sock = server.accept()
-          new Thread(() => try {
-            val in = new java.io.DataInputStream(sock.getInputStream)
-            val out = new java.io.DataOutputStream(sock.getOutputStream)
-            while (true) {
-              val lenB = new Array[Byte](4); in.readFully(lenB)
-              val total = java.nio.ByteBuffer.wrap(lenB)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
-              val rest = new Array[Byte](total - 4); in.readFully(rest)
-              val buf = java.nio.ByteBuffer.wrap(rest)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-              val reqId = buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
-              buf.get() // kind 0
-              val body = graft.sources.mongo.Bson.fromJson(
-                reply(graft.sources.mongo.Bson.toJson(buf)))
-              val frame = java.nio.ByteBuffer.allocate(21 + body.length)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-              frame.putInt(21 + body.length).putInt(1).putInt(reqId).putInt(2013)
-              frame.putInt(0).put(0.toByte).put(body)
-              out.write(frame.array()); out.flush()
-            }
-          } catch { case _: Throwable => () }).start()
-        } catch { case _: Throwable => () }
-      })
-      acceptor.setDaemon(true)
-      acceptor.start()
-      try {
+      withInlineMongod(spark) { url =>
         spark.read.format("graft-geojson")
           .option("columns", "name,nk").option("serverPushdown", "true")
-          .load(s"mongodb://127.0.0.1:${server.getLocalPort}/db/features")
+          .load(url)
           .where(col("nk") === "7")
           .select(col("name"), col("nk"),
             round(call_function("st_x", col("geometry")), 4).as("gx"))
           .localCheckpoint(true)
-      } finally server.close()
+      }
+    }),
+
+    // The in-database aggregation path: COUNT(*)+GROUP BY travels as ONE
+    // `aggregate` pipeline command ($project/$unwind normalize +
+    // $group), the endpoint honestly groups its real documents by the
+    // named property, and only per-group partial rows cross the wire —
+    // the Mongo analog of the BaseX COUNT pushdown, hash-proven against
+    // plain SQL GROUP BY over customer.
+    "q_geojson_mongo_agg" -> ((spark, dir) => {
+      init(spark, dir)
+      withInlineMongod(spark) { url =>
+        spark.read.format("graft-geojson")
+          .option("columns", "name,nk").option("serverPushdown", "true")
+          .load(url)
+          .groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+      }
     }),
 
     // -------------------------------------------- LLM-data-pipeline surface
@@ -1240,6 +1281,10 @@ object SparkEntry {
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 7",
     "q_geojson_mongo" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 7",
+    // The in-database aggregation: per-group partials summed by Spark
+    // must equal the plain GROUP BY.
+    "q_geojson_mongo_agg" ->
+      "SELECT CAST(c_nationkey AS VARCHAR) AS nk, count(*) AS cnt FROM customer GROUP BY 1",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     // Exact all-pairs 5-shingle Jaccard ≥ 0.5. Equals the LSH+refine result

@@ -186,7 +186,13 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
       }.getOrElse("") + selectorPreview +
       (if (!GeoJsonDataSource.serverMode(options)) ""
        else if (files.exists(graft.sources.mongo.MongoWire.isMongoUrl))
-         ", ServerExec: mongodb-find"
+         if (pushed.isEmpty && options.get("bbox").isEmpty &&
+             agg.exists(_._2.forall {
+               case graft.sources.AggPushdown.CountStarSpec   => true
+               case _: graft.sources.AggPushdown.CountSpec    => true
+               case _                                         => false
+             })) ", ServerExec: mongodb-aggregate"
+         else ", ServerExec: mongodb-find"
        else ", ServerExec: couchdb-find")
 
   /** The pushed predicates as the Mongo/CouchDB selector a live document
@@ -232,6 +238,30 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
                                         serverPushdown: Boolean = false,
                                         limit: Option[Int] = None)
   extends PartitionReaderFactory {
+
+  /** The pushed aggregation as count columns (None = COUNT(*)) when EVERY
+    * spec is a count — the subset the Mongo `aggregate` pipeline ships
+    * in-database. MIN/MAX stay local: Mongo's `$min`/`$max` string
+    * rendering of doubles diverges from the flattened map's (the BaseX
+    * path forces xs:string where the collations provably agree; no such
+    * forcing exists for Mongo numerics). */
+  private def serverAggCountCols: Option[Seq[Option[String]]] = agg.flatMap { case (_, specs) =>
+    val counts: Seq[Option[Option[String]]] = specs.map {
+      case graft.sources.AggPushdown.CountStarSpec => Some(None)
+      case graft.sources.AggPushdown.CountSpec(c)  => Some(Some(c))
+      case _                                       => None
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatten) else None
+  }
+
+  /** In-database aggregation is EXACT only when nothing re-applies
+    * locally afterwards (the BaseX agg guard): no pushed filters (the
+    * widened selector is a superset — fine under a re-apply, an
+    * overcount inside `$group`), no bbox, counts only. Anything else
+    * falls back to record transfer with the local partial aggregate. */
+  private def serverAggApplicable(file: String): Boolean =
+    serverPushdown && graft.sources.mongo.MongoWire.isMongoUrl(file) &&
+      filters.isEmpty && bbox.isEmpty && serverAggCountCols.isDefined
 
   /** Every column the reader still needs in server mode — the output
     * schema, the columns pushed filters reference (they re-apply locally
@@ -290,10 +320,38 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
       private val geomIdx =
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
+      private val serverAggMode = serverAggApplicable(file)
       // kept for close(): a pushed LIMIT (or any early stop) leaves the
       // Mongo wire cursor mid-page — its socket must not outlive the task
-      private val source = documents(file)
-      private val rows: Iterator[InternalRow] = {
+      private val source: Iterator[String] =
+        if (serverAggMode)
+          graft.sources.mongo.MongoWire.aggregate(file,
+            graft.sources.mongo.MongoFindGen.aggregationPipeline(
+              agg.get._1, serverAggCountCols.get), httpTimeoutMs)
+        else documents(file)
+      private val rows: Iterator[InternalRow] = if (serverAggMode) {
+        // the pipeline's per-group partial documents ({_id: {g0: …},
+        // a0: n, …}) ARE the scan output — decode straight into the
+        // AggPushdown.schemaFor row layout
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val groups = agg.get._1
+        val counts = serverAggCountCols.get
+        val base = source.map { json =>
+          val root = mapper.readTree(json)
+          val idNode = root.path("_id")
+          InternalRow.fromSeq(
+            groups.indices.map { i =>
+              val g = idNode.path(s"g$i")
+              if (g.isMissingNode || g.isNull) null else UTF8String.fromString(g.asText())
+            } ++ counts.indices.map(i => root.path(s"a$i").asLong(0L)))
+        }
+        if (groups.nonEmpty) base
+        // global agg over an empty collection: $group emits nothing, but
+        // the partial contract needs one zero row (the local analog at
+        // AggPushdown.aggregate's "one row always")
+        else if (base.hasNext) base
+        else Iterator.single(InternalRow.fromSeq(counts.map(_ => 0L)))
+      } else {
         val matching = source.flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
             // pushed filters run on the FULL property map (they may reference

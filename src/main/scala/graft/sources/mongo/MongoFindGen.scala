@@ -167,4 +167,46 @@ object MongoFindGen {
     val l = limit.map(n => s""", "limit": $n""").getOrElse("")
     s"""{"selector": $selectorJson, "skip": $skip$f$l}"""
   }
+
+  /** Aggregation pipeline for the server-side COUNT(+GROUP BY) pushdown —
+    * the Mongo analog of the XQuery aggregation FLWOR (the reference
+    * pushes COUNT+GROUP BY into BaseX, getdata.ts:71-156; its Mongo
+    * driver stops at find, so this closes the same local/live asymmetry
+    * r8 closed for BaseX). Counts evaluate INSIDE the database; only one
+    * partial document per group crosses the wire.
+    *
+    * Row-identity contract with the local flattening
+    * (`GeoJsonSource.flattenFeature`: every non-collection document is
+    * ONE row — whatever its `type` — and a FeatureCollection is one row
+    * per element): the `$project`+`$unwind` prefix normalizes each stored
+    * document to its feature rows (`f` = the `features` array when
+    * present, else `[$$ROOT]`) before grouping, so server counts equal
+    * local row counts. Group keys pass through `$toString` after an
+    * `$ifNull`, so missing and explicit-null keys both group under null
+    * and typed keys collapse to their string rendering the way the local
+    * string map does (caveat mirroring the BaseX min/max forcing: Mongo
+    * renders whole doubles without the trailing `.0`, so a DOUBLE-typed
+    * group key can label its group differently than the local path —
+    * integer and string keys agree exactly). COUNT(col) counts rows
+    * whose property is present and non-null, like the local map.
+    * Not faithful for a FeatureCollection NESTED inside another
+    * collection's `features` (the local parse recurses; `$unwind` counts
+    * it once) — GeoJSON does not nest collections. Output docs:
+    * `{_id: {g0: …}, a0: n, a1: n}`. */
+  def aggregationPipeline(groups: Seq[String], countCols: Seq[Option[String]]): String = {
+    def prop(c: String) = jstr("$f.properties." + c)
+    val id =
+      if (groups.isEmpty) "null"
+      else groups.zipWithIndex.map { case (g, i) =>
+        s""""g$i": {"$$toString": {"$$ifNull": [${prop(g)}, null]}}"""
+      }.mkString("{", ", ", "}")
+    val accs = countCols.zipWithIndex.map {
+      case (None, i) => s""""a$i": {"$$sum": 1}"""
+      case (Some(c), i) =>
+        s""""a$i": {"$$sum": {"$$cond": [{"$$eq": [{"$$ifNull": [${prop(c)}, null]}, null]}, 0, 1]}}"""
+    }
+    s"""[{"$$project": {"f": {"$$cond": [{"$$isArray": ["$$features"]}, "$$features", ["$$$$ROOT"]]}}},""" +
+      s""" {"$$unwind": "$$f"},""" +
+      s""" {"$$group": {"_id": $id, ${accs.mkString(", ")}}}]"""
+  }
 }

@@ -249,8 +249,9 @@ object MongoWire {
     * consumer exception) leaves the socket and the server cursor open —
     * the scan's `PartitionReader.close()` must call [[close]]. A fully
     * drained cursor closes itself. */
-  final class DocCursor private[MongoWire] (spec: ConnSpec, selectorJson: String,
-                                            projection: String, timeoutMs: Int,
+  final class DocCursor private[MongoWire] (spec: ConnSpec,
+                                            firstCommand: (ConnSpec, Int) => String,
+                                            timeoutMs: Int,
                                             maxDocs: Option[Int], maxBatches: Int)
     extends scala.collection.AbstractIterator[String] with AutoCloseable {
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -417,11 +418,7 @@ object MongoWire {
           if (!findSent) {
             open()
             findSent = true
-            command(in, out,
-              s"""{"find": ${graft.JsonText.str(spec.coll)}, "filter": $selectorJson,""" +
-                s""" "projection": $projection, "batchSize": $ask,""" +
-                s""" "$$db": ${graft.JsonText.str(spec.db)}}""",
-              compress = compress)
+            command(in, out, firstCommand(spec, ask), compress = compress)
           } else if (cursorId != 0L) {
             command(in, out,
               s"""{"getMore": $cursorId, "collection": ${graft.JsonText.str(spec.coll)},""" +
@@ -470,18 +467,36 @@ object MongoWire {
     * consumer pulls. The cursor is [[AutoCloseable]] — call `close()`
     * when stopping early. `fields` projects server-side via the
     * reference's projection construction ([[MongoFindGen.projection]]). */
-  def docs(url: String, selectorJson: String, fields: Seq[String],
-           timeoutMs: Int, maxDocs: Option[Int] = None,
-           maxBatches: Int = MaxBatches): DocCursor = {
-    val spec = ConnSpec.parse(url).getOrElse {
+  private def parsedSpec(url: String): ConnSpec =
+    ConnSpec.parse(url).getOrElse {
       // the echoed URL must not leak credentials into logs/Spark UI
       val redacted = url.replaceFirst("://[^@/]+@", "://***@")
       throw new IllegalArgumentException(
         s"mongodb pushdown needs mongodb://[user:pass@]host[:port]/db/collection[?options]; got $redacted")
     }
-    new DocCursor(spec, selectorJson,
-      MongoFindGen.projection(fields), timeoutMs, maxDocs, maxBatches)
+
+  def docs(url: String, selectorJson: String, fields: Seq[String],
+           timeoutMs: Int, maxDocs: Option[Int] = None,
+           maxBatches: Int = MaxBatches): DocCursor = {
+    val projection = MongoFindGen.projection(fields)
+    new DocCursor(parsedSpec(url), (spec, ask) =>
+      s"""{"find": ${graft.JsonText.str(spec.coll)}, "filter": $selectorJson,""" +
+        s""" "projection": $projection, "batchSize": $ask,""" +
+        s""" "$$db": ${graft.JsonText.str(spec.db)}}""",
+      timeoutMs, maxDocs, maxBatches)
   }
+
+  /** Runs an aggregation pipeline INSIDE MongoDB — the same lazy cursor
+    * (`aggregate` returns one; `getMore` pages it like find's), but only
+    * the pipeline's output documents cross the wire. Used by the
+    * graft-geojson scan's server-side COUNT+GROUP BY pushdown
+    * ([[MongoFindGen.aggregationPipeline]]). */
+  def aggregate(url: String, pipelineJson: String, timeoutMs: Int,
+                maxBatches: Int = MaxBatches): DocCursor =
+    new DocCursor(parsedSpec(url), (spec, ask) =>
+      s"""{"aggregate": ${graft.JsonText.str(spec.coll)}, "pipeline": $pipelineJson,""" +
+        s""" "cursor": {"batchSize": $ask}, "$$db": ${graft.JsonText.str(spec.db)}}""",
+      timeoutMs, None, maxBatches)
 
   /** First-page sample for schema inference (the CouchDB first-page
     * analog): up to `n` unselected documents, cursor closed. */

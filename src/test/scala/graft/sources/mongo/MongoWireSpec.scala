@@ -237,17 +237,80 @@ object FakeMongod {
       handleData(cmd)
     }
 
+    /** First cursor page over a result set (shared by find/aggregate). */
+    private def firstPage(results: Seq[JsonNode], batchSize: Int, ns: String): String = {
+      val q = scala.collection.mutable.Queue(results: _*)
+      val first = (0 until math.min(batchSize, q.size)).map(_ => q.dequeue())
+      val id = if (q.nonEmpty) { val c = nextCursor.getAndIncrement(); cursors.put(c, q); c }
+               else 0L
+      s"""{"cursor":{"firstBatch":[${first.map(_.toString).mkString(",")}],""" +
+        s""""id":$id,"ns":"$ns"},"ok":1.0}"""
+    }
+
     private def handleData(cmd: JsonNode): String = {
       if (cmd.has("find")) {
-        val batchSize = cmd.path("batchSize").asInt(101)
         val matched = docs.filter(Selector.matches(cmd.path("filter"), _))
           .map(project(cmd.path("projection"), _))
-        val q = scala.collection.mutable.Queue(matched: _*)
-        val first = (0 until math.min(batchSize, q.size)).map(_ => q.dequeue())
-        val id = if (q.nonEmpty) { val c = nextCursor.getAndIncrement(); cursors.put(c, q); c }
-                 else 0L
-        s"""{"cursor":{"firstBatch":[${first.map(_.toString).mkString(",")}],""" +
-          s""""id":$id,"ns":"${cmd.path("$db").asText}.${cmd.path("find").asText}"},"ok":1.0}"""
+        firstPage(matched, cmd.path("batchSize").asInt(101),
+          s"${cmd.path("$db").asText}.${cmd.path("find").asText}")
+      } else if (cmd.has("aggregate")) {
+        // honest evaluation of the pipeline subset MongoFindGen generates
+        // ($match via the Selector, $group with $toString/$ifNull keys and
+        // $sum/$cond accumulators) — unknown stages/operators fail loudly
+        var current: Seq[JsonNode] = docs
+        val out = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+        cmd.path("pipeline").forEach { stage =>
+          if (stage.has("$match"))
+            current = current.filter(Selector.matches(stage.path("$match"), _))
+          else if (stage.has("$project")) {
+            val spec = stage.path("$project")
+            current = current.map { doc =>
+              val o = mapper.createObjectNode()
+              spec.fields().asScala.foreach { f =>
+                val v = AggEval.expr(f.getValue, doc)
+                o.set[ObjectNode](f.getKey,
+                  if (v.isMissingNode) com.fasterxml.jackson.databind.node.NullNode.instance else v)
+              }
+              o: JsonNode
+            }
+          } else if (stage.has("$unwind")) {
+            val path = stage.path("$unwind").asText()
+            require(path.startsWith("$"), s"fake mongod: $$unwind path $path")
+            val fld = path.drop(1)
+            current = current.flatMap { doc =>
+              val arr = doc.path(fld)
+              if (arr.isArray) arr.elements().asScala.toSeq.map { el =>
+                val o = doc.deepCopy[ObjectNode](); o.set[ObjectNode](fld, el); o: JsonNode
+              }
+              else if (arr.isMissingNode || arr.isNull) Nil // mongo drops these
+              else Seq(doc)
+            }
+          } else if (stage.has("$group")) {
+            val g = stage.path("$group")
+            val accs = g.fields().asScala.filter(_.getKey != "_id").toSeq
+            val grouped = scala.collection.mutable.LinkedHashMap.empty[String, ObjectNode]
+            current.foreach { doc =>
+              val idVal = AggEval.expr(g.path("_id"), doc)
+              val key = idVal.toString
+              val row = grouped.getOrElseUpdate(key, {
+                val o = mapper.createObjectNode()
+                o.set[ObjectNode]("_id", idVal)
+                accs.foreach(a => o.put(a.getKey, 0L))
+                o
+              })
+              accs.foreach { a =>
+                val sumSpec = a.getValue.path("$sum")
+                require(!sumSpec.isMissingNode, s"fake mongod: unsupported accumulator ${a.getValue}")
+                val inc = AggEval.expr(sumSpec, doc)
+                row.put(a.getKey, row.path(a.getKey).asLong() + inc.asLong())
+              }
+            }
+            current = Nil
+            out ++= grouped.values
+          } else throw new IllegalArgumentException(s"fake mongod: unsupported stage $stage")
+        }
+        firstPage(out.toSeq, cmd.path("cursor").path("batchSize").asInt(101),
+          s"${cmd.path("$db").asText}.${cmd.path("aggregate").asText}")
       } else if (cmd.has("getMore")) {
         val id = cmd.path("getMore").asLong()
         val batchSize = cmd.path("batchSize").asInt(101)
@@ -290,6 +353,64 @@ object FakeMongod {
         }
       }
       out
+    }
+  }
+
+  /** Aggregation-expression evaluation for the pipeline shapes
+    * MongoFindGen generates — field paths, $ifNull, $toString, $cond,
+    * $eq — with Mongo's semantics (missing flows to null through
+    * $ifNull; $toString renders whole doubles without a decimal point,
+    * like a real server). Unknown operators fail loudly. */
+  object AggEval {
+    import com.fasterxml.jackson.databind.node.{BooleanNode, NullNode, TextNode}
+    def expr(e: JsonNode, doc: JsonNode): JsonNode =
+      if (e.isTextual && e.textValue() == "$$ROOT") doc
+      else if (e.isTextual && e.textValue().startsWith("$"))
+        e.textValue().drop(1).split("\\.").foldLeft(doc)((n, seg) => n.path(seg))
+      else if (e.isArray) {
+        val a = mapper.createArrayNode()
+        e.forEach { el =>
+          val v = expr(el, doc)
+          a.add(if (v.isMissingNode) NullNode.instance else v)
+        }
+        a
+      }
+      else if (e.isObject) {
+        val keys = e.fieldNames().asScala.toSeq
+        if (keys.size == 1 && keys.head.startsWith("$")) op(keys.head, e.path(keys.head), doc)
+        else { // document literal with computed fields (the _id spec)
+          val o = mapper.createObjectNode()
+          e.fields().asScala.foreach { f =>
+            val v = expr(f.getValue, doc)
+            o.set[ObjectNode](f.getKey, if (v.isMissingNode) NullNode.instance else v)
+          }
+          o
+        }
+      } else e
+    private def op(name: String, args: JsonNode, doc: JsonNode): JsonNode = name match {
+      case "$ifNull" =>
+        val v = expr(args.get(0), doc)
+        if (v.isMissingNode || v.isNull) expr(args.get(1), doc) else v
+      case "$toString" =>
+        val v = expr(args, doc)
+        if (v.isMissingNode || v.isNull) NullNode.instance
+        else if (v.isTextual) v
+        else if (v.isNumber) {
+          val d = v.doubleValue()
+          TextNode.valueOf(
+            if (v.isIntegralNumber) v.asLong().toString
+            else if (d == math.floor(d) && !d.isInfinite) d.toLong.toString // 4.0 → "4"
+            else v.asText())
+        } else TextNode.valueOf(v.asText())
+      case "$cond" =>
+        if (expr(args.get(0), doc).asBoolean()) expr(args.get(1), doc)
+        else expr(args.get(2), doc)
+      case "$eq" =>
+        def norm(n: JsonNode): JsonNode = if (n.isMissingNode) NullNode.instance else n
+        BooleanNode.valueOf(norm(expr(args.get(0), doc)) == norm(expr(args.get(1), doc)))
+      case "$isArray" =>
+        BooleanNode.valueOf(expr(args.get(0), doc).isArray)
+      case other => throw new IllegalArgumentException(s"fake mongod AggEval: $other")
     }
   }
 
@@ -563,6 +684,70 @@ class MongoWireSpec extends SparkTestBase {
       val plainUrl = s"mongodb://sa:pw@127.0.0.1:${srv.port}/db/features"
       assert(MongoWire.docs(plainUrl, "{}", Nil, 5000).size == 260)
       assert(srv.frameLog.asScala.forall(_._1 == 2013), srv.frameLog.asScala.toSeq)
+    } finally srv.stop()
+  }
+
+  test("COUNT+GROUP BY executes inside MongoDB via the aggregate pipeline") {
+    // gaps exercise COUNT(col) semantics; the odd shapes pin the
+    // row-identity contract with the local flattening (any non-collection
+    // doc = one row, a FeatureCollection = one row per element)
+    val gappy = featureDocs ++ Seq(
+      """{"_id":"x1","type":"Feature","properties":{"name":"nx","grp":"1"}}""",
+      """{"_id":"x2","type":"Feature","properties":{"name":"ny","grp":"1","num":null}}""",
+      """{"_id":"x3","type":"Oddity","properties":{"grp":"1","num":9}}""",
+      """{"_id":"x4","type":"FeatureCollection","features":[
+           {"type":"Feature","properties":{"grp":"2","num":1}},
+           {"type":"Feature","properties":{"grp":"2"}}]}""".replaceAll("\n\\s*", ""))
+    val srv = new FakeMongod.Server(gappy)
+    try {
+      graft.Graft.register(spark)
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      val serverDf = spark.read.format("graft-geojson")
+        .option("serverPushdown", "true").load(url)
+      srv.received.clear()
+      val grouped = serverDf.groupBy("grp")
+        .agg(count(lit(1)).as("n"), count(col("num")).as("nn"))
+      assert(grouped.queryExecution.executedPlan.toString
+        .contains("ServerExec: mongodb-aggregate"))
+      val got = grouped.collect().map(r =>
+        r.getAs[String]("grp") -> (r.getAs[Long]("n"), r.getAs[Long]("nn"))).toMap
+      // featureDocs: 65 per grp 0..3, all with num; extras: grp 1 gains
+      // x1 (missing num), x2 (null num), x3 (num 9); grp 2 gains the two
+      // collection elements (one with num)
+      assert(got("0") == ((65L, 65L)), got)
+      assert(got("1") == ((68L, 66L)), got)
+      assert(got("2") == ((67L, 66L)), got)
+      assert(got("3") == ((65L, 65L)), got)
+      // the count traveled as ONE aggregate command: no find, no record
+      // transfer, the verbatim normalize-unwind-group pipeline
+      val cmds = srv.received.asScala.toSeq
+      assert(cmds.count(_.contains("\"aggregate\"")) == 1, cmds)
+      assert(!cmds.exists(_.contains("\"find\"")), cmds)
+      val sent = cmds.find(_.contains("\"aggregate\"")).get
+      assert(sent.contains(""""$unwind":"$f""""), sent)
+      assert(sent.contains(""""$isArray":["$features"]"""), sent)
+      assert(sent.contains(""""$toString""""), sent)
+      assert(sent.contains(""""$sum":1"""), sent)
+      // global COUNT(*) too — 260 + x1 + x2 + x3 + two collection rows
+      srv.received.clear()
+      assert(serverDf.count() == 265L)
+      assert(srv.received.asScala.exists(_.contains("\"aggregate\"")))
+      // local-mode parity: the same documents as files answer identically
+      val dir = java.nio.file.Files.createTempDirectory("aggjson")
+      gappy.zipWithIndex.foreach { case (j, i) =>
+        java.nio.file.Files.write(dir.resolve(s"d$i.json"), j.getBytes("UTF-8")) }
+      val localDf = spark.read.format("graft-geojson").load(dir.toString + "/*.json")
+      val localGot = localDf.groupBy("grp")
+        .agg(count(lit(1)).as("n"), count(col("num")).as("nn")).collect()
+        .map(r => r.getAs[String]("grp") -> (r.getAs[Long]("n"), r.getAs[Long]("nn"))).toMap
+      assert(localGot == got, s"local=$localGot server=$got")
+      // the guard: a pushed filter (no local re-apply possible after
+      // aggregation) falls back to record transfer + local partials
+      srv.received.clear()
+      assert(serverDf.where(col("grp") === "1").count() == 68L)
+      val afterFilter = srv.received.asScala.toSeq
+      assert(afterFilter.exists(_.contains("\"find\"")), afterFilter)
+      assert(!afterFilter.exists(_.contains("\"aggregate\"")), afterFilter)
     } finally srv.stop()
   }
 
