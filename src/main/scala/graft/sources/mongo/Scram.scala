@@ -164,6 +164,10 @@ object Scram {
     /** server-first (`r=…,s=…,i=…`) → client-final (`c=biws,r=…,p=…`). */
     def clientFinal(serverFirst: String): String = {
       val attrs = parseAttrs(serverFirst)
+      // RFC 5802 §5.1: m= reserves mandatory extensions — a client that
+      // does not understand one MUST fail the exchange, not ignore it
+      attrs.get("m").foreach(m => throw new SecurityException(
+        s"SCRAM: server demands unsupported mandatory extension m=$m"))
       val nonce = attrs.getOrElse("r",
         throw new IllegalArgumentException(s"SCRAM server-first lacks r=: $serverFirst"))
       require(nonce.startsWith(clientNonce) && nonce.length > clientNonce.length,

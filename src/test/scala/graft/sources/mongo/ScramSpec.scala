@@ -76,6 +76,13 @@ class ScramSpec extends AnyFunSuite {
     assert(mine.sameElements(jdk))
   }
 
+  test("an unsupported mandatory extension fails the exchange (RFC 5802 m=)") {
+    intercept[SecurityException] {
+      new Scram.ClientSession(Scram.Sha256, "user", "pencil", "cnonce")
+        .clientFinal("m=ext,r=cnonceXYZ,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    }
+  }
+
   test("downgrade and replay defenses") {
     val s = new Scram.ClientSession(Scram.Sha256, "user", "pencil", "cnonce")
     // iteration count below 4096 = downgrade attempt
