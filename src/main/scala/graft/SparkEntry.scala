@@ -562,6 +562,27 @@ object SparkEntry {
         .select(col("name"), col("nk"),
           round(call_function("st_x", col("geometry")), 4).as("gx"))
     }),
+    // Pushed TopN on the document source (SupportsPushDownTopN): the scan
+    // answers each partition's top-15 from a bounded heap — n rows per
+    // partition reach Spark's global sort instead of the whole
+    // collection. Unique names make the top-15 set deterministic.
+    "q_geojson_topn" -> ((spark, dir) => {
+      init(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gj-topn").toString
+      spark.sql(
+        s"""SELECT concat('{"type":"Feature","properties":{"name":"', c_name,
+           |  '","nk":"', CAST(c_nationkey AS STRING),
+           |  '"},"geometry":{"type":"Point","coordinates":[', CAST($CX AS STRING), ',',
+           |  CAST($CY AS STRING), ']}}') AS j
+           |FROM customer""".stripMargin)
+        .repartition(4).write.mode("overwrite").text(tmp)
+      spark.read.format("graft-geojson")
+        .option("multiLine", "false").option("columns", "name,nk")
+        .load(tmp)
+        .orderBy(col("name")).limit(15)
+        .select(col("name"), col("nk"),
+          round(call_function("st_x", col("geometry")), 4).as("gx"))
+    }),
 
     // Live server-execution paths under the gate: the same derived
     // documents served from in-process BaseX-REST / CouchDB-_find
@@ -613,6 +634,64 @@ object SparkEntry {
           .option("serverPushdown", "true")
           .load(base)
           .where(col("nk") === "7").select("name", "nk")
+          .localCheckpoint(true)
+      } finally server.stop(0)
+    }),
+    // Pushed TopN through the live wire: ORDER BY + LIMIT travels as the
+    // FLWOR `order by` + `subsequence` cap (SupportsPushDownTopN,
+    // TopNPushdown/BaseXRest.orderByClause) — the endpoint honestly
+    // sorts by the ordered key and serves only the capped prefix per
+    // document, each partition's top-n merging under Spark's global
+    // sort. Names are unique, so the top-10 set is deterministic and
+    // the DuckDB ORDER BY/LIMIT oracle hash-matches.
+    "q_xml_topn_server" -> ((spark, dir) => {
+      init(spark, dir)
+      val recs = spark.sql(
+        """SELECT c_custkey % 4 AS part,
+          |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING), '</nk></rec>') AS r
+          |FROM customer""".stripMargin)
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => (s"d$p.xml", rows.map(_.getString(1)).toSeq) }
+      val listing = "<rest:database xmlns:rest=\"http://basex.org/rest\">" +
+        recs.keys.toSeq.sorted.map(n => s"<rest:resource>$n</rest:resource>").mkString +
+        "</rest:database>"
+      def nameOf(r: String): String =
+        "<name>([^<]*)</name>".r.findFirstMatchIn(r).get.group(1)
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/rest", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val resp =
+            if (ex.getRequestMethod == "POST") {
+              val q = new String(ex.getRequestBody.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val doc = """db:open\("db","([^"]+)"\)""".r.findFirstMatchIn(q).get.group(1)
+              // honest BaseX: sort when ordered (codepoint = String order
+              // on this ASCII corpus), cap when subsequenced
+              val ordered =
+                if (!q.contains("order by")) recs(doc)
+                else {
+                  val s = recs(doc).sortBy(nameOf)
+                  if (q.contains("descending")) s.reverse else s
+                }
+              val n = """(?s)subsequence\(.*, 1, (\d+)\)""".r
+                .findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(ordered.size)
+              s"<rest-results>${ordered.take(n).mkString}</rest-results>"
+            } else listing
+          val b = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest/db"
+        spark.read.format("graft-xml")
+          .option("recordTag", "rec").option("columns", "name,nk")
+          .option("serverPushdown", "true")
+          .load(base)
+          .orderBy(col("name").desc).limit(10).select("name", "nk")
           .localCheckpoint(true)
       } finally server.stop(0)
     }),
@@ -1267,6 +1346,12 @@ object SparkEntry {
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 11",
     "q_xml_server" ->
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 7",
+    // unique names → the top-10 SET is deterministic, so the sorted-rows
+    // hash compare is exact
+    "q_xml_topn_server" ->
+      "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer ORDER BY c_name DESC LIMIT 10",
+    "q_geojson_topn" ->
+      s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer ORDER BY c_name LIMIT 15",
     "q_xml_join_server" ->
       """SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -129,20 +129,41 @@ private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String
                                  files: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None
   private var limit: Option[Int] = None
+  private var topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None
 
   /** Per-partition truncation after the local filter re-apply — exactly
     * LocalLimit's contract. Server mode needs no wire change: the `_find`
     * pages pull lazily, so consuming n rows stops the HTTP traffic at
     * ceil(n/25) pages by itself. */
   override def pushLimit(l: Int): Boolean = {
-    if (agg.isDefined) false
+    if (agg.isDefined || topn.isDefined) false
     else { limit = Some(l); true }
   }
+
+  /** A pushed ORDER BY + LIMIT ([[graft.sources.TopNPushdown]]): each
+    * partition answers its own top-n via a bounded heap after the local
+    * re-apply; PARTIAL pushdown, Spark merges globally. The document-store
+    * wire deliberately does NOT cap here (unlike the XQuery path): the
+    * flattened columns compare as strings, but the stored JSON values may
+    * be numbers, and BSON/Mango sort orders numbers before strings and
+    * `9 < 10` — so a server-side sort+limit could under-deliver on
+    * perfectly conforming servers. Every matching document transfers
+    * (exactly as without the TopN) and the heap reduces locally. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    if (agg.isDefined || limit.isDefined) false
+    else graft.sources.TopNPushdown.translate(orders, schema) match {
+      case Some(keys) => topn = Some((keys, l)); true
+      case None       => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -165,13 +186,14 @@ private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String
     t.isDefined
   }
 
-  override def build(): Scan = GeoJsonScan(required, options, files, pushed, agg, limit)
+  override def build(): Scan = GeoJsonScan(required, options, files, pushed, agg, limit, topn)
 }
 
 private[graft] case class GeoJsonScan(required: StructType, options: Map[String, String],
                                       files: Seq[String], pushed: Array[Filter],
                                       agg: Option[(Seq[String], Seq[AggPushdown.Spec])] = None,
-                                      limit: Option[Int] = None)
+                                      limit: Option[Int] = None,
+                                      topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan
   with graft.sources.GraftDocStatistics {
   override def readSchema(): StructType =
@@ -180,6 +202,7 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
   override def description(): String =
     s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      topn.map { case (ks, n) => s", PushedTopN: [${ks.mkString(", ")}], N: $n" }.getOrElse("") +
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
@@ -226,7 +249,7 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
       options.get("multiline").orElse(options.get("multiLine")).forall(_.toBoolean),
       pushed, options.get("bbox"), agg,
       graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
-      GeoJsonDataSource.serverMode(options), limit)
+      GeoJsonDataSource.serverMode(options), limit, topn)
 }
 
 private case class GeoJsonInputPartition(file: String) extends InputPartition
@@ -236,7 +259,8 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
                                         agg: Option[(Seq[String], Seq[AggPushdown.Spec])],
                                         httpTimeoutMs: Int,
                                         serverPushdown: Boolean = false,
-                                        limit: Option[Int] = None)
+                                        limit: Option[Int] = None,
+                                        topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None)
   extends PartitionReaderFactory {
 
   /** The pushed aggregation as count columns (None = COUNT(*)) when EVERY
@@ -272,6 +296,7 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     if (agg.isDefined) Nil
     else (schema.fieldNames.toSeq ++
       filters.toSeq.flatMap(_.references.toSeq) ++
+      topn.map(_._1.map(_.col)).getOrElse(Nil) ++ // sort keys compare locally
       (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
 
   /** The needed columns as Mango `fields` document paths. */
@@ -361,8 +386,14 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
           }
         }
         // pushed LIMIT: per-partition truncation after the re-apply; the
-        // lazy _find pages stop pulling once n rows are consumed
-        val records = limit.map(matching.take).getOrElse(matching)
+        // lazy _find pages stop pulling once n rows are consumed. Pushed
+        // TopN: the bounded per-partition heap (exclusive with limit)
+        val records = topn match {
+          case Some((keys, n)) =>
+            graft.sources.TopNPushdown.topN(matching, keys, n)(
+              r => graft.sources.TopNPushdown.keyVec(keys, r._1))
+          case None => limit.map(matching.take).getOrElse(matching)
+        }
         agg match {
           case Some((groups, specs)) =>
             AggPushdown.aggregate(records.map(_._1), groups, specs)

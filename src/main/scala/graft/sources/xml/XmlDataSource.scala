@@ -106,12 +106,14 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
                              val files: Seq[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownJoin with SupportsPushDownLimit {
+    with SupportsPushDownJoin with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var required: StructType = schema
   private[xml] var pushed: Array[Filter] = Array.empty
   private[xml] var agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None
   private[xml] var join: Option[XmlJoinState] = None
   private var limit: Option[Int] = None
+  private var topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None
 
   /** A pushed LIMIT truncates each partition after the local filter
     * re-apply, which is exactly LocalLimit's per-partition contract in
@@ -121,9 +123,26 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
     * under the local re-apply (widened predicates), an under-delivery
     * no local step could repair, so the wire cap stays off then. */
   override def pushLimit(l: Int): Boolean = {
-    if (agg.isDefined || join.isDefined) false
+    if (agg.isDefined || join.isDefined || topn.isDefined) false
     else { limit = Some(l); true }
   }
+
+  /** A pushed ORDER BY + LIMIT ([[graft.sources.TopNPushdown]]): each
+    * partition answers its own top-n via a bounded heap after the local
+    * filter re-apply; PARTIAL pushdown, so Spark's global sort still
+    * merges partitions. Server scans with nothing to re-apply
+    * additionally ship the `order by` + `subsequence` cap in the XQuery
+    * ([[graft.sources.xquery.BaseXRest.orderByClause]]). */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    if (agg.isDefined || join.isDefined || limit.isDefined) false
+    else graft.sources.TopNPushdown.translate(orders, schema) match {
+      case Some(keys) => topn = Some((keys, l)); true
+      case None       => false
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   private[xml] def serverPushdown: Boolean =
     options.get("serverPushdown").orElse(options.get("serverpushdown"))
@@ -281,7 +300,7 @@ private class XmlScanBuilder(val schema: StructType, val options: Map[String, St
 
   override def build(): Scan = join match {
     case Some(js) => XmlJoinScan(required, js, options)
-    case None     => XmlScan(required, options, files, pushed, agg, limit)
+    case None     => XmlScan(required, options, files, pushed, agg, limit, topn)
   }
 }
 
@@ -474,7 +493,8 @@ private case class XmlJoinReaderFactory(schema: StructType, js: XmlJoinState,
 private[graft] case class XmlScan(required: StructType, options: Map[String, String],
                                   files: Seq[String], pushed: Array[Filter],
                                   agg: Option[(Seq[String], Seq[graft.sources.AggPushdown.Spec])] = None,
-                                  limit: Option[Int] = None)
+                                  limit: Option[Int] = None,
+                                  topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan
   with graft.sources.GraftDocStatistics {
   override def readSchema(): StructType =
@@ -483,6 +503,7 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
   override def description(): String =
     s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      topn.map { case (ks, n) => s", PushedTopN: [${ks.mkString(", ")}], N: $n" }.getOrElse("") +
       options.get("bbox").map(b => s", bbox: [$b]").getOrElse("") +
       agg.map { case (g, s) =>
         s", PushedAggregation: [${s.mkString(", ")}], PushedGroupBy: [${g.mkString(", ")}]"
@@ -517,7 +538,7 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
     XmlReaderFactory(readSchema(), options.get("recordTag"), pushed, options.get("bbox"), agg,
       graft.sources.DocFiles.HttpTimeoutMs, // driver capture: executors don't see driver sys.props
       options.get("serverPushdown").orElse(options.get("serverpushdown")).exists(_.toBoolean),
-      dialect, basexVersion, limit)
+      dialect, basexVersion, limit, topn)
   }
 }
 
@@ -530,7 +551,8 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
                                     serverPushdown: Boolean = false,
                                     dialect: Option[String] = None,
                                     basexVersion: Option[String] = None,
-                                    limit: Option[Int] = None)
+                                    limit: Option[Int] = None,
+                                    topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None)
   extends PartitionReaderFactory {
 
   /** Columns the reader genuinely needs from each record: the output
@@ -547,6 +569,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       case None => schema.fieldNames.toSeq
     }
     (base ++ filters.toSeq.flatMap(_.references.toSeq) ++
+      topn.map(_._1.map(_.col)).getOrElse(Nil) ++ // sort keys re-compare locally
       (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
   }
 
@@ -565,7 +588,12 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
           Some(neededColumns),
           // wire cap only when NOTHING re-applies afterwards — the
           // server's first-n could otherwise shrink under the re-apply
-          if (filters.isEmpty && bbox.isEmpty) limit else None)
+          if (filters.isEmpty && bbox.isEmpty) limit else None,
+          // the TopN cap shares the gate, plus: every key must map to one
+          // simple element path the order-by clause can rebuild
+          if (filters.isEmpty && bbox.isEmpty)
+            topn.filter(_._1.forall(k => graft.sources.xquery.BaseXRest.simpleName(k.col)))
+          else None)
         // kml-ness is per record here (no document root to inspect); a
         // projected record carries it only on the copied spatial children
         .map(r => (r, XmlDataSource.kmlish(r)))
@@ -607,8 +635,15 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
             else None
           }
           // pushed LIMIT: per-partition truncation AFTER the re-apply —
-          // LocalLimit's contract exactly (builder refuses limit+agg)
-          val records = limit.map(matching.take).getOrElse(matching)
+          // LocalLimit's contract exactly (builder refuses limit+agg);
+          // pushed TopN: the bounded per-partition heap (mutually
+          // exclusive with limit by the builder)
+          val records = topn match {
+            case Some((keys, n)) =>
+              graft.sources.TopNPushdown.topN(matching, keys, n)(
+                r => graft.sources.TopNPushdown.keyVec(keys, r._1))
+            case None => limit.map(matching.take).getOrElse(matching)
+          }
           agg match {
             case Some((groups, specs)) =>
               graft.sources.AggPushdown.aggregate(records.map(_._1), groups, specs)

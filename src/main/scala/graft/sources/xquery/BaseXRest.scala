@@ -27,8 +27,9 @@ object BaseXRest {
     XQueryGen.GmlSpatialTypes.map(t => s"local-name()='$t'").mkString(" or ")
 
   /** A column that maps to one simple `*:c` child — the only shape the
-    * server-side projection and aggregation paths can rebuild. */
-  private def simpleName(c: String): Boolean = c.matches("[A-Za-z][A-Za-z0-9]*")
+    * server-side projection, aggregation, and order-by paths can
+    * rebuild. */
+  private[sources] def simpleName(c: String): Boolean = c.matches("[A-Za-z][A-Za-z0-9]*")
 
   /** Splits a listed document URL `<rest-root>/<db>/<doc>` into
     * (POST endpoint, database, document) — the inverse of the listing in
@@ -135,7 +136,8 @@ object BaseXRest {
                     recordTag: Option[String], filters: Seq[Filter],
                     bbox: Option[String] = None,
                     needed: Option[Seq[String]] = None,
-                    limit: Option[Int] = None): String = {
+                    limit: Option[Int] = None,
+                    sort: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None): String = {
     val recordPath = BaseXRest.recordPath(recordTag)
     val varName = BaseXRest.varName(doc)
     val spatial =
@@ -145,14 +147,44 @@ object BaseXRest {
     val returnExpr = needed
       .flatMap(cols => projectionExpr(varName, cols, wantGeometry)).orNull
     val sel = XQueryGen.selection(db, doc, version, filters, spatial,
-      recordPath = recordPath, varName = varName, returnExpr = returnExpr)
+      recordPath = recordPath, varName = varName, returnExpr = returnExpr,
+      orderBy = sort.map(s => orderByClause(varName, s._1)).orNull)
     // a pushed LIMIT caps the wire: subsequence keeps the first n records
     // (the caller only passes it when no filter/bbox re-applies — any n
-    // records satisfy an unordered LIMIT, so first-n is exact)
-    val capped = limit.map(n => s"subsequence($sel, 1, $n)").getOrElse(sel)
+    // records satisfy an unordered LIMIT, so first-n is exact). A pushed
+    // TopN caps the same way over the ORDERED sequence; see
+    // [[orderByClause]] for why a conforming server's first-n is exact.
+    val capped = limit.orElse(sort.map(_._2))
+      .map(n => s"subsequence($sel, 1, $n)").getOrElse(sel)
     if (version == XQueryGen.ExistDb601) capped
     else s"element{'rest-results'}{$capped}"
   }
+
+  /** The FLWOR `order by` clause for a pushed TopN
+    * ([[graft.sources.TopNPushdown]]). Per key: the record's LAST
+    * simple-valued, un-grouped element — exactly the value
+    * [[graft.sources.Xml.flattenRecord]] maps to the column, so the
+    * server orders by what the engine compares — with `/string()`
+    * dropping absent elements to the empty sequence, which the
+    * `empty least`/`empty greatest` modifier then places where Spark
+    * puts NULLs. The unstated collation is XQuery's default codepoint
+    * collation: codepoint order == UTF-8 byte order == `UTF8String`
+    * binary order, the engine's `StringType` comparison — so a
+    * conforming server's first-n equals the local first-n and the
+    * `subsequence` cap is exact. Same residual trust caveat as the
+    * in-database aggregation ([[supportsServerAgg]]): the caller only
+    * caps when no filter/bbox re-applies locally, and a server that
+    * ignored the `order by` would under-deliver like one that
+    * miscounts a pushed COUNT. */
+  private[sources] def orderByClause(varName: String,
+                                     keys: Seq[graft.sources.TopNPushdown.SortKey]): String =
+    "order by " + keys.map { k =>
+      val dir = if (k.descending) "descending" else "ascending"
+      // empty least ⟺ (ASC NULLS FIRST | DESC NULLS LAST); the other two
+      // combinations need the empties at the sequence's greatest end
+      val empty = if (k.descending == k.nullsLast) "least" else "greatest"
+      s"($$$varName/*:${k.col}[not(*)][not(@group)])[last()]/string() $dir empty $empty"
+    }.mkString(", ")
 
   /** Descendant `*:tag` steps for a recordTag; two child steps (children
     * of the document's ROOT element — `db:open` answers a document node,
@@ -313,11 +345,13 @@ object BaseXRest {
                    recordTag: Option[String], filters: Seq[Filter],
                    bbox: Option[String], timeoutMs: Int,
                    needed: Option[Seq[String]] = None,
-                   limit: Option[Int] = None): Iterator[scala.xml.Elem] = {
+                   limit: Option[Int] = None,
+                   sort: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None)
+      : Iterator[scala.xml.Elem] = {
     val (root, db, doc) = anatomy(docUrl).getOrElse(
       throw new IllegalArgumentException(
         s"serverPushdown needs <rest-root>/<db>/<doc> URLs; got $docUrl"))
-    val xquery = documentQuery(db, doc, version, recordTag, filters, bbox, needed, limit)
+    val xquery = documentQuery(db, doc, version, recordTag, filters, bbox, needed, limit, sort)
     runQuery(root, s"$root/$db", version, xquery, timeoutMs)
   }
 

@@ -381,11 +381,14 @@ object XQueryGen {
                 spatialPredicates: Seq[String] = Nil,
                 recordPath: String = "//" + GmlRecordPath,
                 varName: String = null,
-                returnExpr: String = null): String = {
+                returnExpr: String = null,
+                orderBy: String = null): String = {
     val v = Option(varName).getOrElse(collection + "i")
     val ret = Option(returnExpr).getOrElse(s"$$$v")
     val whereRoot = predBracket(filters, spatialPredicates)
-    s"""for $$$v in ${version.docFunc(db, collection)}$recordPath$whereRoot
-       |return $ret""".stripMargin
+    // an `order by` clause (a pushed TopN — BaseXRest.orderByClause)
+    // slots between the iteration line and the return, the FLWOR grammar
+    val ob = Option(orderBy).map(_ + "\n").getOrElse("")
+    s"for $$$v in ${version.docFunc(db, collection)}$recordPath$whereRoot\n${ob}return $ret"
   }
 }
