@@ -35,9 +35,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   * and the `saslStart`/`saslContinue` conversation stay uncompressed as
   * the spec requires; `?tls=true` wraps the connection in TLS with
   * certificate + hostname verification (`tlsAllowInvalidCertificates=
-  * true` disables both, the driver option's semantics). Remaining
-  * documented cut: replica-set/SRV topology discovery (single-node
-  * address only — `mongodb+srv://` needs DNS SRV/TXT resolution).
+  * true` disables both, the driver option's semantics). A multi-host
+  * seed list (`mongodb://h1,h2,…/db/coll` — how a replica set is
+  * addressed) walks the members until it finds the PRIMARY: unreachable
+  * members are skipped, a secondary's `hello` primary announcement
+  * jumps the queue (bounded hops), and credential failures abort
+  * without replaying the password against other members. Remaining
+  * documented cut: `mongodb+srv://` (DNS SRV/TXT resolution — no DNS
+  * in this environment) and secondary read preferences (reads always
+  * target the primary, the consistency-conservative default).
   */
 object MongoWire {
 
@@ -55,19 +61,37 @@ object MongoWire {
   private val OpMsg = 2013
   private val OpCompressed = 2012
 
-  /** One parsed `mongodb://` collection address. `creds` carries
+  /** One parsed `mongodb://` collection address. `hosts` is the seed
+    * list in connection-string order (a replica set's members — the
+    * cursor walks it until it finds the primary); `creds` carries
     * percent-decoded userinfo; `authSource` defaults to the path
     * database (the connection-string contract); `compressors` keeps only
     * the ones this client speaks (zlib); `tls`/`tlsInsecure` mirror the
     * driver options `tls=true` / `tlsAllowInvalidCertificates=true`. */
-  final case class ConnSpec(host: String, port: Int, db: String, coll: String,
+  final case class ConnSpec(hosts: Seq[(String, Int)], db: String, coll: String,
                             creds: Option[(String, String)], authSource: String,
                             authMechanism: Option[String], compressors: Seq[String],
-                            tls: Boolean, tlsInsecure: Boolean)
+                            tls: Boolean, tlsInsecure: Boolean) {
+    /** First seed — the whole address for the common single-host URL. */
+    def host: String = hosts.head._1
+    def port: Int = hosts.head._2
+  }
 
   object ConnSpec {
     private val Url =
-      "^mongodb://(?:([^@/]+)@)?([^/:@]+)(?::(\\d+))?/([^/?#]+)/([^/?#]+)(?:\\?([^#]*))?$".r
+      "^mongodb://(?:([^@/]+)@)?([^/?#@]+)/([^/?#]+)/([^/?#]+)(?:\\?([^#]*))?$".r
+
+    /** One `host[:port]` — the seed-list member grammar and the format of
+      * `hello`'s `primary` field. Port defaults to 27017 and must be a
+      * valid TCP port. */
+    private[mongo] def hostPort(s: String): Option[(String, Int)] = s.indexOf(':') match {
+      case -1 => if (s.nonEmpty) Some((s, 27017)) else None
+      case i =>
+        val h = s.substring(0, i)
+        if (h.isEmpty) None
+        else s.substring(i + 1).toIntOption
+          .filter(v => v >= 1 && v <= 65535).map((h, _))
+    }
 
     /** RFC 3986 percent-decoding ('+' stays literal — userinfo is not a
       * form body). Malformed escapes answer None (a bad URL, not a
@@ -88,10 +112,11 @@ object MongoWire {
     }
 
     def parse(url: String): Option[ConnSpec] = url match {
-      case Url(userinfo, host, port, db, coll, query) =>
-        val portOk = Option(port) match {
-          case None => Some(27017)
-          case Some(p) => p.toIntOption.filter(v => v >= 1 && v <= 65535)
+      case Url(userinfo, hostList, db, coll, query) =>
+        val hostsOk: Option[Seq[(String, Int)]] = {
+          val parsed = hostList.split(",", -1).toSeq.map(hostPort)
+          if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten)
+          else None
         }
         val credsOk: Option[Option[(String, String)]] = Option(userinfo) match {
           case None => Some(None)
@@ -121,14 +146,14 @@ object MongoWire {
             case Some(_)       => None
           }
         for {
-          p <- portOk
+          hs <- hostsOk
           c <- credsOk
           if mechOk
           tlsOpt <- boolOpt("tls")
           sslOpt <- boolOpt("ssl")
           if tlsOpt.isEmpty || sslOpt.isEmpty || tlsOpt == sslOpt // no tls=true&ssl=false
           insecureOpt <- boolOpt("tlsAllowInvalidCertificates")
-        } yield ConnSpec(host, p, db, coll, c,
+        } yield ConnSpec(hs, db, coll, c,
           authSource = params.getOrElse("authSource", db),
           authMechanism = mech,
           compressors = params.get("compressors").toSeq
@@ -139,10 +164,12 @@ object MongoWire {
     }
   }
 
-  /** Parses `mongodb://[user:pass@]host[:port]/db/collection[?options]`
-    * down to the table address (exactly one database and one collection
-    * segment — the graft document model; port defaults to MongoDB's
-    * standard 27017 and must be a valid TCP port). */
+  /** Parses `mongodb://[user:pass@]host1[:port1][,host2[:port2]…]/db/
+    * collection[?options]` down to the table address (exactly one
+    * database and one collection segment — the graft document model;
+    * ports default to MongoDB's standard 27017 and must be valid TCP
+    * ports). Answers the FIRST seed host; the cursor itself walks the
+    * whole list ([[ConnSpec.hosts]]). */
   def anatomy(url: String): Option[(String, Int, String, String)] =
     ConnSpec.parse(url).map(s => (s.host, s.port, s.db, s.coll))
 
@@ -269,14 +296,61 @@ object MongoWire {
       maxDocs.filter(_ > served).map(m => math.min(BatchSize, m - served))
         .getOrElse(BatchSize)
 
+    /** A reachable replica-set member that is not the primary: the walk
+      * in [[open]] moves on — to the announced primary first, when the
+      * member names one. */
+    private final case class NotPrimary(primary: Option[(String, Int)])
+      extends Exception("not primary")
+
+    /** Walks the seed list until one member accepts: connect + TLS, then
+      * — whenever credentials, compression, or a multi-host list demand a
+      * `hello` — the handshake, which throws [[NotPrimary]] on a
+      * secondary. An announced primary jumps the queue (bounded hops, a
+      * proxy that bounces members around must not loop the walk);
+      * credential failures abort IMMEDIATELY rather than replaying a bad
+      * password against every member. Single-host URLs keep the exact
+      * old behavior: no `hello` unless auth/compression needs one. */
     private def open(): Unit = {
+      val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+      val seen = scala.collection.mutable.Set.empty[(String, Int)]
+      val queue = scala.collection.mutable.Queue(spec.hosts: _*)
+      var redirects = 0
+      while (queue.nonEmpty) {
+        val hp = queue.dequeue()
+        if (seen.add(hp)) {
+          try {
+            connect(hp._1, hp._2)
+            if (spec.creds.nonEmpty || spec.compressors.nonEmpty || spec.hosts.length > 1)
+              handshake()
+            return
+          } catch {
+            case NotPrimary(target) =>
+              failures += s"${hp._1}:${hp._2}: not primary" +
+                target.map(t => s" (announces ${t._1}:${t._2})").getOrElse("")
+              close()
+              target.foreach { t =>
+                if (redirects < 3 && !seen.contains(t)) { redirects += 1; t +=: queue }
+              }
+            case e: SecurityException => close(); throw e
+            case e: Exception =>
+              failures += s"${hp._1}:${hp._2}: ${e.getMessage}"
+              close()
+          }
+        }
+      }
+      throw new java.io.IOException(
+        s"no usable mongodb host among ${spec.hosts.map(h => s"${h._1}:${h._2}").mkString(",")}" +
+          s" — ${failures.mkString("; ")}")
+    }
+
+    private def connect(host: String, port: Int): Unit = {
       val plain = new Socket()
       // assigned BEFORE connect/handshake so a failure anywhere in
       // establishment still reaches close()'s socket cleanup (a TLS
       // handshake refusal must not leak the connected fd across task
       // retries); re-assigned to the TLS wrapper on success below
       socket = plain
-      plain.connect(new InetSocketAddress(spec.host, spec.port), timeoutMs)
+      plain.connect(new InetSocketAddress(host, port), timeoutMs)
       plain.setSoTimeout(timeoutMs)
       socket =
         if (!spec.tls) plain
@@ -296,7 +370,7 @@ object MongoWire {
               c
             } else javax.net.ssl.SSLContext.getDefault
           val ssl = ctx.getSocketFactory
-            .createSocket(plain, spec.host, spec.port, true)
+            .createSocket(plain, host, port, true)
             .asInstanceOf[javax.net.ssl.SSLSocket]
           ssl.setSoTimeout(timeoutMs)
           if (!spec.tlsInsecure) {
@@ -309,7 +383,6 @@ object MongoWire {
         }
       in = new DataInputStream(socket.getInputStream)
       out = new DataOutputStream(socket.getOutputStream)
-      if (spec.creds.nonEmpty || spec.compressors.nonEmpty) handshake()
     }
 
     private def checked(replyJson: String, what: String): com.fasterxml.jackson.databind.JsonNode = {
@@ -333,6 +406,12 @@ object MongoWire {
       val hello = checked(command(in, out,
         s"""{"hello": 1, $mechField$compField"$$db": ${graft.JsonText.str(spec.authSource)}}"""),
         "hello")
+      // a multi-host seed list wants the PRIMARY: a replica-set member
+      // (it has a setName) that is not writable sends the walk onward —
+      // before auth, so a bad member never sees the credentials
+      if (spec.hosts.length > 1 && hello.has("setName") &&
+          !hello.path("isWritablePrimary").asBoolean(false))
+        throw NotPrimary(ConnSpec.hostPort(hello.path("primary").asText("")))
       spec.creds.foreach { case (user, pass) =>
         val mech = spec.authMechanism match {
           case Some("SCRAM-SHA-1")   => Scram.Sha1
