@@ -1100,6 +1100,25 @@ object SparkEntry {
       Corpus.dupSpanStats(spark.table("documents"), "doc_id", "text",
         windowTokens = 8)
     }),
+    // Paragraph-level keep-first dedup (C4/FineWeb): the corpus has no
+    // newlines, so the gate synthesizes multi-paragraph pages by joining
+    // 10 docs per page AND appends doc 0's text to every page as shared
+    // boilerplate — every page but the first-occurrence one must lose
+    // that paragraph and reassemble from its survivors. The oracle
+    // reproduces the same construction.
+    "q_paragraph_dedup" -> ((spark, dir) => {
+      init(spark, dir)
+      val boiler = spark.table("documents")
+        .where(col("doc_id") === 0).select(col("text").as("boiler"))
+      val pages = spark.table("documents")
+        .groupBy((col("doc_id") % 50).as("gid"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x("text")), "\n\n").as("body"))
+        .crossJoin(broadcast(boiler))
+        .select(col("gid"), concat(col("body"), lit("\n\n"), col("boiler")).as("text"))
+      Corpus.dropRepeatedParagraphs(pages, "gid", "text")
+    }),
     // Exact interpolated percentiles per source (Spark `percentile` and
     // DuckDB `quantile_cont` share the linear-interpolation definition)
     "q_stats_quantiles" -> sql(
@@ -1653,6 +1672,20 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM win w LEFT JOIN dup d ON w.h = d.h
         |GROUP BY w.doc_id""".stripMargin,
+    // keep-first paragraph dedup over synthesized multi-paragraph pages:
+    // rn=1 in (gid, pos) corpus order IS "the corpus-minimal occurrence"
+    "q_paragraph_dedup" ->
+      """WITH docs AS (SELECT doc_id % 50 AS gid,
+        |                     string_agg(text, chr(10)||chr(10) ORDER BY doc_id)
+        |                       || chr(10)||chr(10)
+        |                       || (SELECT text FROM documents WHERE doc_id = 0) AS txt
+        |              FROM documents GROUP BY 1),
+        |paras AS (SELECT gid, unnest(ps) AS p, generate_subscripts(ps, 1) AS pos, len(ps) AS n
+        |          FROM (SELECT gid, string_split(txt, chr(10)||chr(10)) AS ps FROM docs)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY p ORDER BY gid, pos) AS rn FROM paras)
+        |SELECT gid, string_agg(p, chr(10)||chr(10) ORDER BY pos) AS text,
+        |       max(n) AS n_paras, max(n) - count(*) AS n_dropped
+        |FROM ranked WHERE rn = 1 GROUP BY gid""".stripMargin,
     "q_stats_quantiles" ->
       """SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS q50,
         |       round(quantile_cont(n_chars, 0.9), 4) AS q90,

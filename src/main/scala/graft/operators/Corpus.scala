@@ -413,4 +413,52 @@ object Corpus {
       .orderBy(col("tfidf").desc, col("token"))
       .limit(k)
   }
+
+  /** Paragraph-level exact dedup with KEEP-FIRST semantics — the C4
+    * line-dedup / FineWeb paragraph-dedup rule (Raffel et al. 2020 §2.2
+    * discard repeated three-sentence spans; FineWeb keeps the first
+    * occurrence in corpus order): split each document on `sep`, keep
+    * every paragraph occurrence whose `(doc, position)` is the corpus-
+    * minimal occurrence of that paragraph text, drop the rest, and
+    * reassemble each document from its surviving paragraphs in original
+    * order. Documents whose every paragraph was seen earlier vanish from
+    * the output (a fully-boilerplate page contributes nothing). Returns
+    * `(idCol, textCol, n_paras, n_dropped)`.
+    *
+    * This is the granularity document-level dedup (exact or MinHash)
+    * cannot reach: two distinct pages sharing a navigation block or
+    * licence footer keep their unique prose and lose the repeat.
+    *
+    * Scale shape: paragraphs group on their `md5` (128-bit — the
+    * q_dedup_exact fingerprint, collision-negligible), and the
+    * first-occurrence reduction is `min(struct(doc, pos))` — a partial
+    * aggregate, so the corpus-hot paragraph (the licence block repeated
+    * tens of millions of times at 100 TB) collapses map-side instead of
+    * buffering in one task (deliberately NO row_number window over the
+    * hash). The join back is hash-keyed and AQE-skew-splittable;
+    * paragraph text travels that one exchange plus the per-document
+    * reassembly — both unavoidable for a reassembling rewrite. */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                             sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("__id"),
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__ps"))
+      .select(col("__id"), size(col("__ps")).as("__n"),
+        posexplode(col("__ps")).as(Seq("__pos", "__p")))
+    // first occurrence per paragraph text: min over (doc, pos) collapses
+    // map-side; only (hash, first) pairs cross the first exchange
+    val firsts = paras
+      .groupBy(md5(col("__p")).as("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    paras
+      .join(firsts, md5(col("__p")) === col("__h"))
+      .where(struct(col("__id"), col("__pos")) === col("__first"))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+          x => x("__p")), sep).as(textCol),
+        first(col("__n")).as("n_paras"),
+        (first(col("__n")) - count(lit(1))).as("n_dropped"))
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -352,4 +352,30 @@ class CorpusSpec extends SparkTestBase {
     val k2 = Corpus.tfIdfTopTerms(toy, "doc_id", "text", 2).collect()
     assert(k2.length == 2)
   }
+
+  test("dropRepeatedParagraphs keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\n\nBOILER\n\nunique two"),
+      (2L, "BOILER\n\nfresh text\n\nBOILER"),   // repeats within AND across docs
+      (3L, "BOILER"),                            // fully boilerplate → vanishes
+      (4L, "solo paragraph")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dropRepeatedParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    // doc 1 holds the corpus-first BOILER → intact
+    assert(out(1L) == (("unique one\n\nBOILER\n\nunique two", 3, 0L)))
+    // doc 2 loses both copies, keeps its unique prose in original order
+    assert(out(2L) == (("fresh text", 3, 2L)))
+    // doc 3 contributed nothing new → absent entirely
+    assert(!out.contains(3L))
+    assert(out(4L) == (("solo paragraph", 1, 0L)))
+    // scale guard: the first-occurrence reduction is a partial aggregate,
+    // never a row_number window over the paragraph hash (one hot
+    // boilerplate paragraph must not buffer in a single task)
+    val plan = Corpus.dropRepeatedParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
