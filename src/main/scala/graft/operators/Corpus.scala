@@ -445,13 +445,14 @@ object Corpus {
         split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__ps"))
       .select(col("__id"), size(col("__ps")).as("__n"),
         posexplode(col("__ps")).as(Seq("__pos", "__p")))
+      .withColumn("__h", md5(col("__p"))) // hashed ONCE, key + join column
     // first occurrence per paragraph text: min over (doc, pos) collapses
     // map-side; only (hash, first) pairs cross the first exchange
     val firsts = paras
-      .groupBy(md5(col("__p")).as("__h"))
+      .groupBy(col("__h"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
     paras
-      .join(firsts, md5(col("__p")) === col("__h"))
+      .join(firsts, Seq("__h"))
       .where(struct(col("__id"), col("__pos")) === col("__first"))
       .groupBy(col("__id"))
       .agg(

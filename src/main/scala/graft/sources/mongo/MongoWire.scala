@@ -302,14 +302,25 @@ object MongoWire {
     private final case class NotPrimary(primary: Option[(String, Int)])
       extends Exception("not primary")
 
+    /** A failure that must END the walk, not move it to the next member:
+      * the server rejected the credentials, or a client-side SCRAM check
+      * caught tampering/downgrade — replaying the password against other
+      * members would hand an active attacker more exchanges to work
+      * with. Transport failures mid-auth stay try-next (a member dying
+      * mid-conversation says nothing about the credentials). */
+    private final case class AbortWalk(cause: Throwable) extends Exception(cause)
+
     /** Walks the seed list until one member accepts: connect + TLS, then
       * — whenever credentials, compression, or a multi-host list demand a
       * `hello` — the handshake, which throws [[NotPrimary]] on a
       * secondary. An announced primary jumps the queue (bounded hops, a
-      * proxy that bounces members around must not loop the walk);
-      * credential failures abort IMMEDIATELY rather than replaying a bad
-      * password against every member. Single-host URLs keep the exact
-      * old behavior: no `hello` unless auth/compression needs one. */
+      * proxy that bounces members around must not loop the walk).
+      * Failure taxonomy: credential rejections and SCRAM tamper/downgrade
+      * signals abort IMMEDIATELY ([[AbortWalk]]); everything else —
+      * connect/TLS errors, a member whose `hello` answers ok:0 (e.g.
+      * ShutdownInProgress during a rolling restart) — records the member
+      * and tries the next. Single-host URLs keep the exact old behavior:
+      * no `hello` unless auth/compression needs one. */
     private def open(): Unit = {
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
       val seen = scala.collection.mutable.Set.empty[(String, Int)]
@@ -331,7 +342,7 @@ object MongoWire {
               target.foreach { t =>
                 if (redirects < 3 && !seen.contains(t)) { redirects += 1; t +=: queue }
               }
-            case e: SecurityException => close(); throw e
+            case AbortWalk(cause) => close(); throw cause
             case e: Exception =>
               failures += s"${hp._1}:${hp._2}: ${e.getMessage}"
               close()
@@ -436,7 +447,18 @@ object MongoWire {
       }
     }
 
-    private def authenticate(mech: Scram.Mechanism, user: String, pass: String): Unit = {
+    /** The SCRAM conversation. Server rejections (ok:0 saslStart/
+      * saslContinue), the mutual-auth check, and every client-side
+      * tamper/downgrade defense ([[Scram.ClientSession]]'s
+      * SecurityException/IllegalArgumentException) abort the seed-list
+      * walk — only transport failures (IOException) stay try-next. */
+    private def authenticate(mech: Scram.Mechanism, user: String, pass: String): Unit =
+      try authConversation(mech, user, pass)
+      catch {
+        case t @ (_: SecurityException | _: IllegalArgumentException) => throw AbortWalk(t)
+      }
+
+    private def authConversation(mech: Scram.Mechanism, user: String, pass: String): Unit = {
       val b64 = java.util.Base64.getEncoder
       val b64d = java.util.Base64.getDecoder
       val authDb = graft.JsonText.str(spec.authSource)

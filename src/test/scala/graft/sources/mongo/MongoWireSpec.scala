@@ -38,6 +38,8 @@ object FakeMongod {
       * preference. Mutable so two servers can point at each other
       * after both know their ports. */
     @volatile var replicaIdentity: Option[(String, Boolean, Option[String])] = None
+    /** Answer every `hello` with ok:0 (a member mid-shutdown). */
+    @volatile var helloError: Boolean = false
     /** Request opcodes as they arrived on the wire (2013 OP_MSG /
       * 2012 OP_COMPRESSED) paired with the command name — lets specs
       * assert WHICH commands traveled compressed. */
@@ -225,6 +227,8 @@ object FakeMongod {
 
     private def handle(cmd: JsonNode, conn: Conn): String = {
       if (cmd.has("hello")) {
+        if (helloError)
+          return s"""{"ok":0.0,"errmsg":"ShutdownInProgress","code":91}"""
         val mechs = auth match {
           case Some((_, _, mech)) if cmd.has("saslSupportedMechs") =>
             s""""saslSupportedMechs":["$mech"],"""
@@ -868,6 +872,31 @@ class MongoWireSpec extends SparkTestBase {
       assert(e.getMessage.contains(a.port.toString) && e.getMessage.contains(b.port.toString),
         e.getMessage)
     } finally { a.stop(); b.stop() }
+  }
+
+  test("a member whose hello answers ok:0 is skipped, not fatal") {
+    val sick = new FakeMongod.Server(Nil)
+    val healthy = new FakeMongod.Server(featureDocs.take(6))
+    try {
+      sick.helloError = true // ShutdownInProgress — a rolling restart
+      val url = s"mongodb://127.0.0.1:${sick.port},127.0.0.1:${healthy.port}/db/features"
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 6)
+      assert(sick.received.asScala.forall(_.contains("\"hello\"")), sick.received.asScala)
+    } finally { sick.stop(); healthy.stop() }
+  }
+
+  test("a tampered SCRAM exchange aborts the walk (active attack, no retry)") {
+    val mitm = new FakeMongod.Server(featureDocs.take(3),
+      auth = Some(("u", "pw", "SCRAM-SHA-256")), tamperServerSignature = true)
+    val honest = new FakeMongod.Server(featureDocs.take(3),
+      auth = Some(("u", "pw", "SCRAM-SHA-256")))
+    try {
+      val url = s"mongodb://u:pw@127.0.0.1:${mitm.port},127.0.0.1:${honest.port}/db/features"
+      intercept[SecurityException] { MongoWire.docs(url, "{}", Nil, 1500).toSeq }
+      // the walk must NOT hand the honest member a fresh exchange after
+      // the client-side defense fired
+      assert(honest.received.isEmpty, honest.received.asScala)
+    } finally { mitm.stop(); honest.stop() }
   }
 
   test("an auth failure aborts the walk without replaying the password") {
