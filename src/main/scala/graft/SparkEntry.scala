@@ -695,6 +695,54 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally server.stop(0)
     }),
+    // DPP-style runtime filtering e2e (SupportsRuntimeFiltering): a join
+    // against the selectively-filtered nation dim hands the XML scan the
+    // dim's key values at EXECUTION time; they prune documents at parse
+    // time and ride the wire selector (RuntimeFilterSpec pins the wire
+    // text — this endpoint ignores predicates, superset, so the local
+    // re-apply carries exactness and the hash must equal plain SQL
+    // whether or not the planner chose to inject the pruning subquery).
+    "q_xml_runtime_filter" -> ((spark, dir) => {
+      init(spark, dir)
+      val recs = spark.sql(
+        """SELECT c_custkey % 4 AS part,
+          |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING), '</nk></rec>') AS r
+          |FROM customer""".stripMargin)
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => (s"d$p.xml", rows.map(_.getString(1)).mkString) }
+      val listing = "<rest:database xmlns:rest=\"http://basex.org/rest\">" +
+        recs.keys.toSeq.sorted.map(n => s"<rest:resource>$n</rest:resource>").mkString +
+        "</rest:database>"
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/rest", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val resp =
+            if (ex.getRequestMethod == "POST") {
+              val q = new String(ex.getRequestBody.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val doc = """db:open\("db","([^"]+)"\)""".r.findFirstMatchIn(q).get.group(1)
+              s"<rest-results>${recs(doc)}</rest-results>" // predicates ignored
+            } else listing
+          val b = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest/db"
+        val fact = spark.read.format("graft-xml")
+          .option("recordTag", "rec").option("columns", "name,nk")
+          .option("serverPushdown", "true").load(base)
+        val dim = spark.table("nation")
+          .where(col("n_name") === "NATION_7")
+          .select(col("n_nationkey").cast("string").as("nk"), col("n_name").as("nname"))
+        fact.join(dim, Seq("nk")).select("name", "nk", "nname")
+          .localCheckpoint(true)
+      } finally server.stop(0)
+    }),
     // The reference's 2-collection JOIN pushdown, live under the gate
     // (getdata.ts:110 dispatches 2-table joins to ONE backend query;
     // xml_extension.ts:614 constructJoinQuery): customers and nations
@@ -1369,6 +1417,10 @@ object SparkEntry {
     // hash compare is exact
     "q_xml_topn_server" ->
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer ORDER BY c_name DESC LIMIT 10",
+    "q_xml_runtime_filter" ->
+      """SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'""".stripMargin,
     "q_geojson_topn" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer ORDER BY c_name LIMIT 15",
     "q_xml_join_server" ->

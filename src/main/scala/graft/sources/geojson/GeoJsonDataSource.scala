@@ -195,10 +195,28 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
                                       limit: Option[Int] = None,
                                       topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan
-  with graft.sources.GraftDocStatistics {
+  with graft.sources.GraftDocStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType =
     agg.map { case (g, s) => AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-style) filters — see the graft-xml scan: accepted
+    * values merge into the pushed set, prune documents locally, and ride
+    * the Mango/Mongo selector in server mode (the `_find`/find wire then
+    * transfers only the dimension-matched documents). Refused under a
+    * pushed aggregation. */
+  @volatile private var runtime: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (agg.isDefined) Array.empty
+    else required.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = filters.filter(StringFilterEval.supports)
+
   override def description(): String =
     s"graft-geojson ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(l => s", PushedLimit: $l").getOrElse("") +
@@ -241,8 +259,11 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
   override def bboxSpec: Option[String] = options.get("bbox")
   override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))
 
+  /** Partitions carry the runtime filters — BatchScanExec re-plans
+    * partitions after runtime-filter resolution but keeps the
+    * planning-time reader factory (see the graft-xml scan). */
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GeoJsonInputPartition(f): InputPartition).toArray
+    files.map(f => GeoJsonInputPartition(f, runtime.toIndexedSeq): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     GeoJsonReaderFactory(readSchema(),
@@ -252,7 +273,11 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
       GeoJsonDataSource.serverMode(options), limit, topn)
 }
 
-private case class GeoJsonInputPartition(file: String) extends InputPartition
+/** `runtime` = DPP-style filters resolved AFTER planning
+  * ([[GeoJsonScan.filter]]); the partition is the only post-resolution
+  * channel to the executors. */
+private case class GeoJsonInputPartition(file: String,
+                                         runtime: Seq[Filter] = Nil) extends InputPartition
 
 private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
                                         filters: Array[Filter], bbox: Option[String],
@@ -283,69 +308,73 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     * widened selector is a superset — fine under a re-apply, an
     * overcount inside `$group`), no bbox, counts only. Anything else
     * falls back to record transfer with the local partial aggregate. */
-  private def serverAggApplicable(file: String): Boolean =
+  private def serverAggApplicable(file: String, eff: Seq[Filter]): Boolean =
     serverPushdown && graft.sources.mongo.MongoWire.isMongoUrl(file) &&
-      filters.isEmpty && bbox.isEmpty && serverAggCountCols.isDefined
+      eff.isEmpty && bbox.isEmpty && serverAggCountCols.isDefined
 
   /** Every column the reader still needs in server mode — the output
-    * schema, the columns pushed filters reference (they re-apply locally
-    * on the returned docs), and the geometry when a bbox prune runs. An
-    * aggregate scan skips the projection: its source columns live inside
-    * the agg spec, and the filter has already cut the transferred rows. */
-  private def neededColumns: Seq[String] =
+    * schema, the columns pushed + runtime filters reference (they
+    * re-apply locally on the returned docs), and the geometry when a
+    * bbox prune runs. An aggregate scan skips the projection: its source
+    * columns live inside the agg spec, and the filter has already cut
+    * the transferred rows. */
+  private def neededColumns(eff: Seq[Filter]): Seq[String] =
     if (agg.isDefined) Nil
     else (schema.fieldNames.toSeq ++
-      filters.toSeq.flatMap(_.references.toSeq) ++
+      eff.flatMap(_.references.toSeq) ++
       topn.map(_._1.map(_.col)).getOrElse(Nil) ++ // sort keys compare locally
       (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
 
   /** The needed columns as Mango `fields` document paths. */
-  private def serverFields: Seq[String] =
-    neededColumns.map {
+  private def serverFields(eff: Seq[Filter]): Seq[String] =
+    neededColumns(eff).map {
       case "geometry" => "geometry"
       case c          => s"properties.$c"
     }
 
-  /** The selector every server-mode path ships: widened pushed filters
-    * (Mongo/Mango match type-sensitively; graft columns are strings, so
-    * numeric-looking literals match either JSON typing) plus the bbox as
-    * a coordinate-range clause for Point docs — always a SUPERSET, and
-    * every piece re-applies locally below. */
-  private def serverSelector: String =
+  /** The selector every server-mode path ships: widened pushed + runtime
+    * filters (Mongo/Mango match type-sensitively; graft columns are
+    * strings, so numeric-looking literals match either JSON typing) plus
+    * the bbox as a coordinate-range clause for Point docs — always a
+    * SUPERSET, and every piece re-applies locally below. */
+  private def serverSelector(eff: Seq[Filter]): String =
     graft.sources.mongo.MongoFindGen.selector(
-      filters.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen),
+      eff.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen),
       bbox.flatMap(graft.sources.mongo.CouchFind.bboxSelector).toSeq)
 
   // cursor cap only when NOTHING re-applies afterwards (the same gate as
   // the XML wire cap); it is a transfer hint, not a truncation — a
   // zero-row document (empty FeatureCollection) makes the reader pull
   // past it and paging resumes full-size
-  private def transferHint: Option[Int] =
-    if (filters.isEmpty && bbox.isEmpty) limit else None
+  private def transferHint(eff: Seq[Filter]): Option[Int] =
+    if (eff.isEmpty && bbox.isEmpty) limit else None
 
   /** Feature documents of one partition. Local mode reads files/URLs;
     * server mode runs the pushed predicates INSIDE the store — CouchDB
     * via paginated `_find`, MongoDB via the OP_MSG find/getMore cursor —
     * but the caller still re-applies every filter, so all modes agree
     * even against a server that ignored the selector. */
-  private def documents(file: String): Iterator[String] =
+  private def documents(file: String, eff: Seq[Filter]): Iterator[String] =
     if (serverPushdown && graft.sources.mongo.MongoWire.isMongoUrl(file))
       // bare column names: MongoFindGen.projection prefixes `properties.`
       // itself (the reference's constructProjectionQuery contract)
-      graft.sources.mongo.MongoWire.docs(file, serverSelector, neededColumns,
-        httpTimeoutMs, transferHint)
+      graft.sources.mongo.MongoWire.docs(file, serverSelector(eff), neededColumns(eff),
+        httpTimeoutMs, transferHint(eff))
     else if (serverPushdown && file.startsWith("http"))
-      graft.sources.mongo.CouchFind.docs(file, serverSelector,
-        serverFields, httpTimeoutMs, transferHint)
+      graft.sources.mongo.CouchFind.docs(file, serverSelector(eff),
+        serverFields(eff), httpTimeoutMs, transferHint(eff))
     else GeoJsonDataSource.documents(file, multiLine, httpTimeoutMs)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GeoJsonInputPartition].file
+    val p = partition.asInstanceOf[GeoJsonInputPartition]
+    val file = p.file
+    // pushed + runtime (DPP) filters — the latter ride the partition
+    val eff: Seq[Filter] = filters.toIndexedSeq ++ p.runtime
     new PartitionReader[InternalRow] {
       private val geomIdx =
         if (schema.fieldNames.contains("geometry")) schema.fieldIndex("geometry") else -1
       private val bboxKeep = bbox.map(StringFilterEval.bboxPredicate)
-      private val serverAggMode = serverAggApplicable(file)
+      private val serverAggMode = serverAggApplicable(file, eff)
       // kept for close(): a pushed LIMIT (or any early stop) leaves the
       // Mongo wire cursor mid-page — its socket must not outlive the task
       private val source: Iterator[String] =
@@ -353,7 +382,7 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
           graft.sources.mongo.MongoWire.aggregate(file,
             graft.sources.mongo.MongoFindGen.aggregationPipeline(
               agg.get._1, serverAggCountCols.get), httpTimeoutMs)
-        else documents(file)
+        else documents(file, eff)
       private val rows: Iterator[InternalRow] = if (serverAggMode) {
         // the pipeline's per-group partial documents ({_id: {g0: …},
         // a0: n, …}) ARE the scan output — decode straight into the
@@ -379,9 +408,10 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
       } else {
         val matching = source.flatMap { json =>
           GeoJsonSource.flattenFeature(json).iterator.flatMap { case (m, g) =>
-            // pushed filters run on the FULL property map (they may reference
-            // columns pruned from the output schema) before any row is built
-            if (bboxKeep.forall(_(g)) && filters.forall(StringFilterEval.passes(_, m))) Some((m, g))
+            // pushed + runtime filters run on the FULL property map (they
+            // may reference columns pruned from the output schema) before
+            // any row is built
+            if (bboxKeep.forall(_(g)) && eff.forall(StringFilterEval.passes(_, m))) Some((m, g))
             else None
           }
         }

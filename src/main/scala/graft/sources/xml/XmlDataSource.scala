@@ -496,10 +496,33 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
                                   limit: Option[Int] = None,
                                   topn: Option[(Seq[graft.sources.TopNPushdown.SortKey], Int)] = None)
   extends Scan with Batch with graft.sources.GraftSpatialScan
-  with graft.sources.GraftDocStatistics {
+  with graft.sources.GraftDocStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType =
     agg.map { case (g, s) => graft.sources.AggPushdown.schemaFor(g, s) }.getOrElse(required)
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-style) filters: a join against a filtered dimension
+    * hands this scan the dimension's key values at EXECUTION time, after
+    * planning — the engine-side analog of partition pruning for document
+    * stores. Accepted values merge into the pushed-filter set, so they
+    * drop records at parse time locally and travel inside the
+    * server-side XQuery selector in pushdown mode (their presence also
+    * switches the wire LIMIT/TopN cap off through the existing
+    * nothing-re-applies gate). Not offered under a pushed aggregation:
+    * the agg path's exactness contract is with the planning-time filter
+    * set. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (agg.isDefined) Array.empty
+    else required.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(graft.sources.StringFilterEval.supports)
+
   override def description(): String =
     s"graft-xml ${files.length} files, PushedFilters: [${pushed.mkString(", ")}]" +
       limit.map(l => s", PushedLimit: $l").getOrElse("") +
@@ -527,8 +550,12 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
   override def bboxSpec: Option[String] = options.get("bbox")
   override def withBbox(spec: String): Scan = copy(options = options + ("bbox" -> spec))
 
+  /** Partitions carry the runtime filters: BatchScanExec builds the
+    * reader factory at PLANNING time but re-invokes planInputPartitions
+    * after the runtime filters resolve, so the partition object is the
+    * only channel that reaches the executors post-resolution. */
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => XmlInputPartition(f): InputPartition).toArray
+    files.map(f => XmlInputPartition(f, runtime.toIndexedSeq): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dialect = options.get("dialect")
@@ -542,7 +569,11 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
   }
 }
 
-private case class XmlInputPartition(file: String) extends InputPartition
+/** `runtime` = DPP-style filters resolved AFTER planning
+  * ([[XmlScan.filter]]) — the partition is the only post-resolution
+  * channel to the executors, the reader factory predates them. */
+private case class XmlInputPartition(file: String,
+                                     runtime: Seq[Filter] = Nil) extends InputPartition
 
 private case class XmlReaderFactory(schema: StructType, recordTag: Option[String],
                                     filters: Array[Filter], bbox: Option[String],
@@ -557,9 +588,10 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
 
   /** Columns the reader genuinely needs from each record: the output
     * schema (or, under an aggregate, the aggregate's source columns),
-    * whatever the pushed filters re-check, and the geometry when a bbox
-    * prunes. Server mode projects the record to these when expressible. */
-  private def neededColumns: Seq[String] = {
+    * whatever the pushed + runtime filters re-check, and the geometry
+    * when a bbox prunes. Server mode projects the record to these when
+    * expressible. */
+  private def neededColumns(eff: Seq[Filter]): Seq[String] = {
     val base = agg match {
       case Some((groups, specs)) => groups ++ specs.collect {
         case graft.sources.AggPushdown.CountSpec(c) => c
@@ -568,7 +600,7 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       }
       case None => schema.fieldNames.toSeq
     }
-    (base ++ filters.toSeq.flatMap(_.references.toSeq) ++
+    (base ++ eff.flatMap(_.references.toSeq) ++
       topn.map(_._1.map(_.col)).getOrElse(Nil) ++ // sort keys re-compare locally
       (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
   }
@@ -578,20 +610,21 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
     * the pushed predicates INSIDE the database and receives only matching
     * records (projected to [[neededColumns]] when expressible) — but the
     * caller still re-applies every filter, so the two modes agree even
-    * against a server that ignored the query. */
-  private def recordElems(file: String): Iterator[(scala.xml.Node, Boolean)] =
+    * against a server that ignored the query. `eff` = pushed + runtime
+    * filters of this partition. */
+  private def recordElems(file: String, eff: Seq[Filter]): Iterator[(scala.xml.Node, Boolean)] =
     if (serverPushdown && file.startsWith("http")) {
       if (bbox.contains("empty")) Iterator.empty // unsatisfiable prune: no query
       else graft.sources.xquery.BaseXRest.fetchRecords(file,
           graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
-          recordTag, filters.toIndexedSeq, bbox, httpTimeoutMs,
-          Some(neededColumns),
+          recordTag, eff.toIndexedSeq, bbox, httpTimeoutMs,
+          Some(neededColumns(eff)),
           // wire cap only when NOTHING re-applies afterwards — the
           // server's first-n could otherwise shrink under the re-apply
-          if (filters.isEmpty && bbox.isEmpty) limit else None,
+          if (eff.isEmpty && bbox.isEmpty) limit else None,
           // the TopN cap shares the gate, plus: every key must map to one
           // simple element path the order-by clause can rebuild
-          if (filters.isEmpty && bbox.isEmpty)
+          if (eff.isEmpty && bbox.isEmpty)
             topn.filter(_._1.forall(k => graft.sources.xquery.BaseXRest.simpleName(k.col)))
           else None)
         // kml-ness is per record here (no document root to inspect); a
@@ -604,7 +637,11 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[XmlInputPartition].file
+    val p = partition.asInstanceOf[XmlInputPartition]
+    val file = p.file
+    // pushed + runtime (DPP) filters — the latter arrive via the
+    // partition, resolved after the factory was built
+    val eff: Seq[Filter] = filters.toIndexedSeq ++ p.runtime
     new PartitionReader[InternalRow] {
       // may be pruned away (e.g. count(*) requires no columns)
       private val geomIdx =
@@ -613,25 +650,27 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       private val rows: Iterator[InternalRow] = {
         // COUNT(+GROUP BY) can aggregate INSIDE the database when every
         // pushed piece is XQuery-expressible — only per-group partials
-        // cross the wire then (the reference's COUNT pushdown into BaseX)
+        // cross the wire then (the reference's COUNT pushdown into BaseX).
+        // Runtime filters never coexist with agg (filterAttributes): eff
+        // here is exactly the planning-time filter set.
         val serverAgg = agg.filter { case (groups, specs) =>
           serverPushdown && file.startsWith("http") && !bbox.contains("empty") &&
             graft.sources.xquery.BaseXRest.supportsServerAgg(
               graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
-              filters.toIndexedSeq, bbox, groups, specs)
+              eff.toIndexedSeq, bbox, groups, specs)
         }
         if (serverAgg.isDefined) {
           val (groups, specs) = serverAgg.get
           graft.sources.xquery.BaseXRest.fetchAggRows(file,
             graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
-            recordTag, filters.toIndexedSeq, groups, specs, httpTimeoutMs).iterator
+            recordTag, eff.toIndexedSeq, groups, specs, httpTimeoutMs).iterator
         } else {
-          val matching = recordElems(file).flatMap { case (r, kml) =>
+          val matching = recordElems(file, eff).flatMap { case (r, kml) =>
             val (m, g) = Xml.flattenRecord(r, kml)
             // pushed filters run on the FULL flattened map (they may reference
             // columns pruned from the output schema) before any row is built
             if (bboxKeep.forall(_(g)) &&
-                filters.forall(graft.sources.StringFilterEval.passes(_, m))) Some((m, g))
+                eff.forall(graft.sources.StringFilterEval.passes(_, m))) Some((m, g))
             else None
           }
           // pushed LIMIT: per-partition truncation AFTER the re-apply —
