@@ -971,6 +971,18 @@ object SparkEntry {
     // with probability < 1e-10 (and the hyperplanes are fixed, so
     // found-ness is deterministic, not sampled). At the sf0.01 gate the
     // auto layout is exactly the historical 8 planes × 8 tables.
+    // Symmetric int8 scalar quantization (FAISS SQ8) — the gate projects
+    // integer-exact summaries of the quantized vectors (the codes
+    // themselves are int lists; sums/extrema pin them without relying on
+    // cross-engine array stringification)
+    "q_embed_quantize" -> ((spark, dir) => {
+      init(spark, dir)
+      operators.VectorStorage.quantizeInt8(spark.table("embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("qvec"), lit(0), (a, x) => greatest(a, abs(x.cast("int")))).as("q_absmax"),
+          size(col("qvec")).as("n_dims"))
+    }),
     "q_embed_dedup" -> ((spark, dir) => {
       init(spark, dir)
       val aug = spark.sql(
@@ -1538,6 +1550,20 @@ object SparkEntry {
     // (DuckDB list_transform index is 1-based where Spark transform's is
     // 0-based; the +0.05 shift is computed in double and cast to REAL on both
     // sides so the float inputs to the cosine are bit-identical).
+    // identical IEEE double ops both sides: x(float)→double, /scale,
+    // +0.5, floor — no round() whose tie mode could differ
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN mx = 0 THEN 1.0 ELSE CAST(mx AS DOUBLE) / 127.0 END AS scale
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x))) AS mx
+        |        FROM embeddings))
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+        |       CAST(list_max(list_transform(embedding, x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5)))) AS INTEGER) AS q_absmax,
+        |       len(embedding) AS n_dims
+        |FROM q""".stripMargin,
     "q_embed_dedup" ->
       """WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorStorage {
 
+  /** Symmetric per-vector int8 scalar quantization — the storage half of
+    * ANN at corpus scale (FAISS's SQ8): each vector stores one double
+    * `scale` = max|x|/127 plus an int8 per dimension, a 4× shrink of a
+    * float32 corpus (100 TB of embeddings → 25 TB) with reconstruction
+    * error ≤ scale/2 per dimension. Returns `(idCol, scale, qvec)` with
+    * `q = floor(x/scale + 0.5)` ∈ [-127, 127] (never -128: the formula
+    * rounds half toward +∞ identically in any engine — no banker's/
+    * HALF_UP divergence, which keeps the DuckDB oracle exact). An
+    * all-zero vector quantizes under scale 1 to zeros. Map-only: no
+    * shuffle, codegen'd `transform`/`aggregate` lambdas. Dequantize with
+    * `transform(qvec, q -> q * scale)` for refine-stage exact rescoring
+    * ([[Ann]]); bucket routing ([[writeBucketed]]) composes — quantize
+    * the payload, keep routing on the original floats. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0f), (acc, x) => greatest(acc, abs(x)))
+    df
+      .select(col(idCol), col(vecCol),
+        when(maxAbs === 0.0f, lit(1.0))
+          .otherwise(maxAbs.cast("double") / 127.0).as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("byte")).as("qvec"))
+  }
+
   /** Writes `df` partitioned by the `planes`-bit hyperplane bucket of
     * `vecCol`. Pass the same `planes` at read time. */
   def writeBucketed(df: DataFrame, vecCol: String, path: String,

@@ -94,4 +94,39 @@ class VectorStorageSpec extends SparkTestBase {
     assert(p.contains("bucket"), p)
     assert(noProbe.count() <= 3)
   }
+
+  test("quantizeInt8: known codes, error bound, zero vector, no shuffle") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 1.0f, 0.5f))
+    ).toDF("id", "vec")
+    val q = VectorStorage.quantizeInt8(df, "id", "vec").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    // scale = max|x|/127; q = floor(x/scale + 0.5): half rounds toward +inf
+    assert(math.abs(q(1L)._1 - 1.0 / 127) < 1e-12)
+    assert(q(1L)._2 == Seq[Byte](127, -63, 32))
+    // all-zero vector: scale 1, zero codes (not NaN/-128)
+    assert(q(2L) == ((1.0, Seq[Byte](0, 0, 0))))
+    assert(q(3L)._2 == Seq[Byte](-127, 64, 32))
+    // reconstruction error ≤ scale/2 per dimension, codes within [-127,127]
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 4 - 2))).toDF("id", "vec")
+    val back = VectorStorage.quantizeInt8(big, "id", "vec").collect()
+    val orig = big.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    back.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      codes.zip(orig(r.getLong(0))).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9)
+      }
+    }
+    // map-only: a 4× storage shrink must not cost an exchange
+    val plan = VectorStorage.quantizeInt8(big, "id", "vec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
