@@ -545,6 +545,24 @@ object SparkEntry {
         .select(col("name"), col("nk"),
           round(call_function("st_x", col("geometry")), 4).as("gx"))
     }),
+    // The DSv2 writer (df.write.format("graft-geojson")) under the gate:
+    // distributed NDJSON export via Spark's own BatchWrite protocol
+    // (temp-file + rename task commit), read back through the reader.
+    "q_geojson_v2write" -> ((spark, dir) => {
+      init(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-gj-v2w").toString + "/x"
+      spark.sql(
+        s"""SELECT c_name AS name, CAST(c_nationkey AS STRING) AS nk,
+           |       ST_Point($CX, $CY) AS geometry
+           |FROM customer""".stripMargin)
+        .write.format("graft-geojson").mode("overwrite").save(out)
+      spark.read.format("graft-geojson")
+        .option("multiLine", "false").option("columns", "name,nk")
+        .load(out)
+        .where(col("nk") === "13")
+        .select(col("name"), col("nk"),
+          round(call_function("st_x", col("geometry")), 4).as("gx"))
+    }),
     "q_geojson_dsv2" -> ((spark, dir) => {
       init(spark, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-gj-gate").toString
@@ -1423,6 +1441,8 @@ object SparkEntry {
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 3",
     "q_geojson_export" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 11",
+    "q_geojson_v2write" ->
+      s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 13",
     "q_xml_server" ->
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 7",
     // unique names → the top-10 SET is deterministic, so the sorted-rows

@@ -73,10 +73,13 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    // server mode: each path IS a database endpoint, not a listing to expand
-    val files = if (GeoJsonDataSource.serverMode(opts)) DocFiles.pathsOf(opts)
-                else DocFiles.listFiles(DocFiles.pathsOf(opts))
-    new GeoJsonTable(schema, properties.asScala.toMap, files)
+    // LAZY listing: a write targets a path that may not exist yet, so the
+    // expansion must not run at table resolution — the read path forces
+    // it at scan build and still surfaces missing-path errors there.
+    // Server mode: each path IS a database endpoint, not a listing.
+    new GeoJsonTable(schema, properties.asScala.toMap,
+      () => if (GeoJsonDataSource.serverMode(opts)) DocFiles.pathsOf(opts)
+            else DocFiles.listFiles(DocFiles.pathsOf(opts)))
   }
 }
 
@@ -113,16 +116,23 @@ object GeoJsonDataSource {
 }
 
 private class GeoJsonTable(schema: StructType, properties: Map[String, String],
-                           files: Seq[String]) extends Table with SupportsRead
+                           filesThunk: () => Seq[String]) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
     with graft.sources.GraftSpatialTable {
-  override def name(): String = s"graft-geojson(${files.length} files)"
+  override def name(): String =
+    s"graft-geojson(${properties.getOrElse("path", properties.getOrElse("paths", "?"))})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   // per-scan options win (SpatialFilterPushdown injects a derived `bbox`)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoJsonScanBuilder(schema, properties ++ options.asScala.toMap, files)
+    new GeoJsonScanBuilder(schema, properties ++ options.asScala.toMap, filesThunk())
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GeoJsonWriteBuilder(info)
 }
 
 private class GeoJsonScanBuilder(schema: StructType, options: Map[String, String],

@@ -1,0 +1,181 @@
+package graft.sources.geojson
+
+import graft.geo.{GeoJson, GeomSerde}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** DSv2 batch WRITE for graft-geojson — `df.write.format("graft-geojson")
+  * .mode("append"|"overwrite").save(dir)` emits the same NDJSON
+  * feature-per-line layout as [[graft.sources.GeoJsonSource.writeFeatures]]
+  * (the reference's output format, src/index.ts:323 convertRestoGeoJSON,
+  * as a distributed writer): one file per partition, null properties
+  * omitted (the reader's flattening answers null for a missing key, so
+  * the round-trip preserves SQL NULL), WKB `geometry` → GeoJSON geometry,
+  * and a `_MANIFEST.json` with the feature count. Task attempts write to
+  * a dot-prefixed temp file and RENAME on commit, so a failed/speculative
+  * attempt never leaves a partial file a reader would list (the reader
+  * skips `_`/`.`-prefixed names). Overwrite maps to DSv2 truncate;
+  * `ErrorIfExists`/`Ignore` are not supported by Spark's V2 save() path.
+  */
+private[geojson] class GeoJsonWriteBuilder(info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    val path = Option(info.options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-geojson write needs a path"))
+    val geomCol = Option(info.options.get("geometryColumn")).getOrElse("geometry")
+    val schema = info.schema()
+    require(schema.fieldNames.contains(geomCol),
+      s"geometry column '$geomCol' not in ${schema.fieldNames.mkString(", ")}")
+    val geomOk = schema(geomCol).dataType match {
+      case BinaryType => true // raw WKB (what the reader produces)
+      case u: org.apache.spark.sql.types.UserDefinedType[_] =>
+        u.sqlType == BinaryType // GeometryUDT stores WKB unchanged
+      case _ => false
+    }
+    require(geomOk,
+      s"geometry column '$geomCol' must be WKB binary, got ${schema(geomCol).dataType}")
+    // planning-time type check: properties must be JSON-atomic (the reader
+    // flattens every property to a string column; nested rows would need a
+    // schema the reader does not model)
+    schema.fields.filter(_.name != geomCol).foreach { f =>
+      f.dataType match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | _: DecimalType => ()
+        case other => throw new IllegalArgumentException(
+          s"property '${f.name}': unsupported type $other (string/numeric/boolean only)")
+      }
+    }
+    new GeoJsonWrite(path, geomCol, schema, truncateFirst)
+  }
+}
+
+private class GeoJsonWrite(path: String, geomCol: String, schema: StructType,
+                           truncateFirst: Boolean) extends Write {
+  override def toBatch: BatchWrite = new GeoJsonBatchWrite(path, geomCol, schema, truncateFirst)
+}
+
+private case class GeoJsonCommit(file: String, count: Long) extends WriterCommitMessage
+
+private class GeoJsonBatchWrite(path: String, geomCol: String, schema: StructType,
+                                truncateFirst: Boolean) extends BatchWrite {
+  private def conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    GeoJsonWriterFactory(path, geomCol, schema, new SerializableConfiguration(conf))
+  }
+
+  /** One manifest for the directory: this write's committed counts, plus
+    * the previous manifest's on append (overwrite starts from zero). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val written = messages.collect { case GeoJsonCommit(_, n) => n }.sum
+    val manifest = new Path(dir, "_MANIFEST.json")
+    val previous =
+      if (truncateFirst || !fs.exists(manifest)) 0L
+      else {
+        val in = fs.open(manifest)
+        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                   finally in.close()
+        """"n_features":\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+      }
+    val props = schema.fieldNames.filterNot(_ == geomCol)
+    val json = s"""{"n_features": ${written + previous},""" +
+      s""" "geometry_col": ${graft.JsonText.str(geomCol)},""" +
+      s""" "properties": [${props.map(graft.JsonText.str).mkString(", ")}]}"""
+    val out = fs.create(manifest, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    messages.collect { case GeoJsonCommit(f, _) => f }
+      .foreach(f => try fs.delete(new Path(dir, f), false)
+                    catch { case _: java.io.IOException => () })
+  }
+}
+
+private case class GeoJsonWriterFactory(path: String, geomCol: String, schema: StructType,
+                                        conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GeoJsonDataWriter(path, geomCol, schema, conf, partitionId, taskId)
+}
+
+private class GeoJsonDataWriter(path: String, geomCol: String, schema: StructType,
+                                conf: SerializableConfiguration,
+                                partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  private val dir = new Path(path)
+  private val fs = dir.getFileSystem(conf.value)
+  // the attempt id (taskId) keeps concurrent speculative attempts apart;
+  // the dot prefix keeps readers from listing an in-flight file
+  private val name = s"part-$partitionId-$taskId.ndjson"
+  private val temp = new Path(dir, s".$name.inprogress")
+  private val out = fs.create(temp, true)
+  private val geomIdx = schema.fieldIndex(geomCol)
+  private val fields = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+  private var count = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder("""{"type":"Feature","properties":{""")
+    var emitted = 0
+    fields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) { // null property = omitted key (to_json parity)
+        if (emitted > 0) sb.append(',')
+        emitted += 1
+        sb.append(graft.JsonText.str(f.name)).append(':')
+        f.dataType match {
+          case StringType => sb.append(graft.JsonText.str(row.getUTF8String(i).toString))
+          case BooleanType => sb.append(row.getBoolean(i))
+          case ByteType => sb.append(row.getByte(i))
+          case ShortType => sb.append(row.getShort(i))
+          case IntegerType => sb.append(row.getInt(i))
+          case LongType => sb.append(row.getLong(i))
+          case FloatType =>
+            val v = row.getFloat(i)
+            sb.append(if (v.isNaN || v.isInfinite) "null" else v.toString)
+          case DoubleType =>
+            val v = row.getDouble(i)
+            sb.append(if (v.isNaN || v.isInfinite) "null" else v.toString)
+          case d: DecimalType =>
+            sb.append(row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
+          case other => throw new IllegalStateException(s"unreachable type $other")
+        }
+      }
+    }
+    sb.append("},\"geometry\":")
+    if (row.isNullAt(geomIdx)) sb.append("null")
+    else sb.append(GeoJson.write(GeomSerde.fromWkb(row.getBinary(geomIdx))))
+    sb.append("}\n")
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    count += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!fs.rename(temp, new Path(dir, name)))
+      throw new java.io.IOException(s"rename $temp -> $name failed")
+    GeoJsonCommit(name, count)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    try fs.delete(temp, false) catch { case _: java.io.IOException => () }
+  }
+
+  override def close(): Unit = ()
+}

@@ -181,4 +181,52 @@ class GeoJsonSourceSpec extends SparkTestBase {
     // parse back: still two features
     assert(GeoJsonSource.flattenFeature(out).length == 2)
   }
+
+  test("DSv2 write: df.write.format round-trips, append sums, overwrite truncates") {
+    val out = java.nio.file.Files.createTempDirectory("graft-v2w").toString + "/export"
+    val src = Seq(
+      ("alpha", "POINT (107.6 -6.9)"),
+      ("be\"ta\nline", "POINT (1 2)"), // escaping must survive
+      (null, "POINT (3 4)")            // null property = omitted key = NULL back
+    ).toDF("name", "wkt")
+      .withColumn("geometry",
+        when($"wkt".isNotNull, call_function("st_geomfromtext", $"wkt")))
+      .drop("wkt")
+      .repartition(2)
+    src.write.format("graft-geojson").mode("overwrite").save(out)
+    def manifest: String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    assert(manifest.contains(""""n_features": 3"""), manifest)
+    val back = spark.read.format("graft-geojson").option("multiLine", "false").load(out)
+    val rows = back.select($"name",
+        when($"geometry".isNotNull, call_function("st_astext", $"geometry")).as("wkt"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      ("alpha", "POINT (107.6 -6.9)"),
+      ("be\"ta\nline", "POINT (1 2)"),
+      (null, "POINT (3 4)")))
+    // append adds files AND sums the manifest
+    src.limit(1).write.format("graft-geojson").mode("append").save(out)
+    assert(manifest.contains(""""n_features": 4"""), manifest)
+    assert(spark.read.format("graft-geojson").option("multiLine", "false")
+      .load(out).count() == 4)
+    // overwrite truncates back down
+    src.write.format("graft-geojson").mode("overwrite").save(out)
+    assert(manifest.contains(""""n_features": 3"""), manifest)
+    // no in-progress temp files survive a successful write
+    val leftovers = new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.endsWith(".inprogress"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // planning-time refusals: missing/mistyped geometry, non-atomic property
+    import org.apache.spark.sql.types._
+    intercept[Exception] {
+      Seq(("a", 1)).toDF("name", "geometry")
+        .write.format("graft-geojson").mode("overwrite").save(out + "2")
+    }
+    intercept[Exception] {
+      Seq(("a", Seq(1, 2))).toDF("name", "arr")
+        .withColumn("geometry", call_function("st_geomfromtext", lit("POINT (1 2)")))
+        .write.format("graft-geojson").mode("overwrite").save(out + "3")
+    }
+  }
 }
