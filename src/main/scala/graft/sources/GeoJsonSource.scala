@@ -148,13 +148,9 @@ object GeoJsonSource {
     // manifest from a readback count (scan of what was just written — no
     // extra pass over the source frame, no driver-held rows)
     val n = df.sparkSession.read.text(outDir).count()
-    val json = s"""{"n_features": $n, "geometry_col": ${graft.JsonText.str(geomCol)},""" +
-      s""" "properties": [${props.map(graft.JsonText.str).mkString(", ")}]}"""
-    val path = new org.apache.hadoop.fs.Path(outDir, "_MANIFEST.json")
-    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    writeManifest(dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration),
+      dir, n, geomCol, props)
   }
 
   /** Inverse direction — the reference's result shape
@@ -182,15 +178,7 @@ object GeoJsonSource {
       sb.append("""{"type":"Feature","properties":{""")
       others.zipWithIndex.foreach { case ((f, fi), oi) =>
         if (oi > 0) sb.append(',')
-        sb.append(graft.JsonText.str(f.name)).append(':')
-        row.get(fi) match {
-          case null => sb.append("null")
-          case d: java.lang.Double if d.isNaN || d.isInfinite => sb.append("null")
-          case fl: java.lang.Float if fl.isNaN || fl.isInfinite => sb.append("null")
-          case n: Number => sb.append(n.toString)
-          case b: Boolean => sb.append(b.toString)
-          case s => sb.append(graft.JsonText.str(s.toString))
-        }
+        sb.append(graft.JsonText.str(f.name)).append(':').append(jsonScalar(row.get(fi)))
       }
       sb.append("},\"geometry\":")
       row.get(geomIdx) match {
@@ -201,5 +189,34 @@ object GeoJsonSource {
     }
     sb.append("]}")
     sb.toString
+  }
+
+  /** One property value as JSON — the ONE rendering rule every feature
+    * emitter shares (FeatureCollection export above, the DSv2 writer):
+    * null and non-representable floats (NaN/Infinity have no JSON
+    * literal) emit null, numbers/booleans emit bare (decimals in plain
+    * notation), everything else quotes + RFC 8259-escapes. */
+  private[sources] def jsonScalar(v: Any): String = v match {
+    case null => "null"
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case fl: java.lang.Float if fl.isNaN || fl.isInfinite => "null"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.underlying.toPlainString
+    case n: Number => n.toString
+    case b: Boolean => b.toString
+    case s => graft.JsonText.str(s.toString)
+  }
+
+  /** The `_MANIFEST.json` both export paths write — ONE format
+    * (feature count, geometry column, property names), underscore-
+    * prefixed so readers skip it. */
+  private[sources] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, nFeatures: Long,
+      geomCol: String, props: Seq[String]): Unit = {
+    val json = s"""{"n_features": $nFeatures, "geometry_col": ${graft.JsonText.str(geomCol)},""" +
+      s""" "properties": [${props.map(graft.JsonText.str).mkString(", ")}]}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -10,6 +10,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * the sources to report these filters as fully pushed. */
 private[sources] object StringFilterEval {
 
+  /** Largest IN value list a filter may carry into a server-side
+    * selector/query text. Runtime (DPP) filters can deliver a
+    * broadcast-sized dimension's whole key set — a 100k-item XQuery
+    * sequence or Mango `$or` can exceed server request limits (Mongo
+    * caps command documents at 16MB) or be pathologically slow to
+    * compile. An over-cap filter simply stays OFF the wire: the local
+    * re-apply already evaluates it, so the scan degrades to transfer
+    * cost, never to a wrong result. */
+  val MaxWireInValues = 1000
+
+  /** Whether a filter is small enough to serialize into a wire request. */
+  def wireSafe(f: Filter): Boolean = f match {
+    case org.apache.spark.sql.sources.In(_, vs) => vs.length <= MaxWireInValues
+    case org.apache.spark.sql.sources.And(l, r) => wireSafe(l) && wireSafe(r)
+    case org.apache.spark.sql.sources.Or(l, r)  => wireSafe(l) && wireSafe(r)
+    case org.apache.spark.sql.sources.Not(c)    => wireSafe(c)
+    case _ => true
+  }
+
   /** Parses a `bbox` source option ("x0,y0,x1,y1") into an envelope-test
     * predicate over the record's WKB geometry: keep when the geometry's
     * envelope intersects the box (records without geometry are dropped —

@@ -110,8 +110,22 @@ object GeoJsonDataSource {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       out.toString(java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
-    if (multiLine) Iterator.single(text)
-    else text.linesIterator.map(_.trim).filter(_.nonEmpty)
+    if (multiLine) {
+      // a whole-file document is ONE JSON value; flattenFeature parses the
+      // first object and would silently IGNORE anything after it — so an
+      // NDJSON export read back without multiLine=false must error loudly
+      // instead of returning one row per file
+      val p = new com.fasterxml.jackson.core.JsonFactory().createParser(text)
+      try {
+        p.nextToken()
+        p.skipChildren()
+        if (p.nextToken() != null)
+          throw new IllegalArgumentException(
+            s"$file: trailing JSON after the first document — NDJSON input " +
+              """needs .option("multiLine", "false")""")
+      } finally p.close()
+      Iterator.single(text)
+    } else text.linesIterator.map(_.trim).filter(_.nonEmpty)
   }
 }
 
@@ -126,9 +140,13 @@ private class GeoJsonTable(schema: StructType, properties: Map[String, String],
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
+  // listed ONCE per table, but lazily — a write target need not exist at
+  // table resolution, and a re-queried reader must not re-list per scan
+  private lazy val files: Seq[String] = filesThunk()
+
   // per-scan options win (SpatialFilterPushdown injects a derived `bbox`)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoJsonScanBuilder(schema, properties ++ options.asScala.toMap, filesThunk())
+    new GeoJsonScanBuilder(schema, properties ++ options.asScala.toMap, files)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -221,7 +239,10 @@ private[graft] case class GeoJsonScan(required: StructType, options: Map[String,
     if (agg.isDefined) Array.empty
     else required.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.StringType =>
-        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+        // non-parsing single-part ref: dotted property keys are legal
+        // flat column names here and must not parse as nested-field
+        // paths (see ColumnRef)
+        graft.sources.ColumnRef(f.name)
     }
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
@@ -349,7 +370,11 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     * SUPERSET, and every piece re-applies locally below. */
   private def serverSelector(eff: Seq[Filter]): String =
     graft.sources.mongo.MongoFindGen.selector(
-      eff.toIndexedSeq.map(graft.sources.mongo.CouchFind.widen),
+      // an over-cap IN (a huge runtime-filter value set) stays off the
+      // wire — Mongo caps command documents at 16MB; the local re-apply
+      // still evaluates it
+      eff.toIndexedSeq.filter(StringFilterEval.wireSafe)
+        .map(graft.sources.mongo.CouchFind.widen),
       bbox.flatMap(graft.sources.mongo.CouchFind.bboxSelector).toSeq)
 
   // cursor cap only when NOTHING re-applies afterwards (the same gate as

@@ -67,36 +67,43 @@ private class GeoJsonBatchWrite(path: String, geomCol: String, schema: StructTyp
                                 truncateFirst: Boolean) extends BatchWrite {
   private def conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
+  // task ids restart at 0 per Spark application, so an append from a
+  // fresh session would collide with (and on a local FS silently
+  // overwrite) a previous app's part files — the per-job uuid keeps
+  // names globally unique, like Spark's own file sinks
+  private val jobId = java.util.UUID.randomUUID().toString
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    GeoJsonWriterFactory(path, geomCol, schema, new SerializableConfiguration(conf))
+    GeoJsonWriterFactory(path, geomCol, schema, new SerializableConfiguration(conf), jobId)
   }
 
-  /** One manifest for the directory: this write's committed counts, plus
-    * the previous manifest's on append (overwrite starts from zero). */
+  /** One manifest for the directory: this write's committed counts plus
+    * the previous manifest's on append (overwrite starts from zero), and
+    * the property list UNIONED with the previous one — appended frames
+    * may carry different columns, and a manifest listing only the last
+    * write's schema would misdescribe the earlier features. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val written = messages.collect { case GeoJsonCommit(_, n) => n }.sum
     val manifest = new Path(dir, "_MANIFEST.json")
-    val previous =
-      if (truncateFirst || !fs.exists(manifest)) 0L
+    val (prevCount, prevProps): (Long, Seq[String]) =
+      if (truncateFirst || !fs.exists(manifest)) (0L, Nil)
       else {
         val in = fs.open(manifest)
         val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
                    finally in.close()
-        """"n_features":\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+        root.path("properties").forEach(n => ps += n.asText())
+        (root.path("n_features").asLong(0L), ps.toSeq)
       }
-    val props = schema.fieldNames.filterNot(_ == geomCol)
-    val json = s"""{"n_features": ${written + previous},""" +
-      s""" "geometry_col": ${graft.JsonText.str(geomCol)},""" +
-      s""" "properties": [${props.map(graft.JsonText.str).mkString(", ")}]}"""
-    val out = fs.create(manifest, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val props = (prevProps ++ schema.fieldNames.filterNot(_ == geomCol)).distinct
+    graft.sources.GeoJsonSource.writeManifest(fs, dir, written + prevCount, geomCol, props)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -109,21 +116,22 @@ private class GeoJsonBatchWrite(path: String, geomCol: String, schema: StructTyp
 }
 
 private case class GeoJsonWriterFactory(path: String, geomCol: String, schema: StructType,
-                                        conf: SerializableConfiguration)
+                                        conf: SerializableConfiguration, jobId: String)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GeoJsonDataWriter(path, geomCol, schema, conf, partitionId, taskId)
+    new GeoJsonDataWriter(path, geomCol, schema, conf, partitionId, taskId, jobId)
 }
 
 private class GeoJsonDataWriter(path: String, geomCol: String, schema: StructType,
                                 conf: SerializableConfiguration,
-                                partitionId: Int, taskId: Long)
+                                partitionId: Int, taskId: Long, jobId: String)
   extends DataWriter[InternalRow] {
   private val dir = new Path(path)
   private val fs = dir.getFileSystem(conf.value)
-  // the attempt id (taskId) keeps concurrent speculative attempts apart;
-  // the dot prefix keeps readers from listing an in-flight file
-  private val name = s"part-$partitionId-$taskId.ndjson"
+  // the attempt id (taskId) keeps concurrent speculative attempts apart,
+  // the job uuid keeps separate applications apart; the dot prefix keeps
+  // readers from listing an in-flight file
+  private val name = s"part-$partitionId-$taskId-$jobId.ndjson"
   private val temp = new Path(dir, s".$name.inprogress")
   private val out = fs.create(temp, true)
   private val geomIdx = schema.fieldIndex(geomCol)
@@ -137,24 +145,23 @@ private class GeoJsonDataWriter(path: String, geomCol: String, schema: StructTyp
       if (!row.isNullAt(i)) { // null property = omitted key (to_json parity)
         if (emitted > 0) sb.append(',')
         emitted += 1
-        sb.append(graft.JsonText.str(f.name)).append(':')
-        f.dataType match {
-          case StringType => sb.append(graft.JsonText.str(row.getUTF8String(i).toString))
-          case BooleanType => sb.append(row.getBoolean(i))
-          case ByteType => sb.append(row.getByte(i))
-          case ShortType => sb.append(row.getShort(i))
-          case IntegerType => sb.append(row.getInt(i))
-          case LongType => sb.append(row.getLong(i))
-          case FloatType =>
-            val v = row.getFloat(i)
-            sb.append(if (v.isNaN || v.isInfinite) "null" else v.toString)
-          case DoubleType =>
-            val v = row.getDouble(i)
-            sb.append(if (v.isNaN || v.isInfinite) "null" else v.toString)
-          case d: DecimalType =>
-            sb.append(row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
+        // extract the typed value, then render through the ONE shared
+        // scalar rule (GeoJsonSource.jsonScalar) so the export formats
+        // cannot drift apart
+        val v: Any = f.dataType match {
+          case StringType    => row.getUTF8String(i).toString
+          case BooleanType   => row.getBoolean(i)
+          case ByteType      => row.getByte(i)
+          case ShortType     => row.getShort(i)
+          case IntegerType   => row.getInt(i)
+          case LongType      => row.getLong(i)
+          case FloatType     => row.getFloat(i)
+          case DoubleType    => row.getDouble(i)
+          case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
           case other => throw new IllegalStateException(s"unreachable type $other")
         }
+        sb.append(graft.JsonText.str(f.name)).append(':')
+          .append(graft.sources.GeoJsonSource.jsonScalar(v))
       }
     }
     sb.append("},\"geometry\":")

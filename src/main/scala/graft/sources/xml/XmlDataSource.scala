@@ -517,7 +517,10 @@ private[graft] case class XmlScan(required: StructType, options: Map[String, Str
     if (agg.isDefined) Array.empty
     else required.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.StringType =>
-        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+        // a NON-PARSING single-part ref (see ColumnRef): a flattened
+        // column with a dot (legal in XML element names / JSON keys)
+        // must not resolve as a nested path and fail planning
+        graft.sources.ColumnRef(f.name)
     }
 
   override def filter(filters: Array[Filter]): Unit =
@@ -617,7 +620,10 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
       if (bbox.contains("empty")) Iterator.empty // unsatisfiable prune: no query
       else graft.sources.xquery.BaseXRest.fetchRecords(file,
           graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
-          recordTag, eff.toIndexedSeq, bbox, httpTimeoutMs,
+          // an over-cap IN (a huge runtime-filter value set) stays off the
+          // wire; the local re-apply below still evaluates it
+          recordTag, eff.toIndexedSeq.filter(graft.sources.StringFilterEval.wireSafe),
+          bbox, httpTimeoutMs,
           Some(neededColumns(eff)),
           // wire cap only when NOTHING re-applies afterwards — the
           // server's first-n could otherwise shrink under the re-apply
@@ -655,6 +661,10 @@ private case class XmlReaderFactory(schema: StructType, recordTag: Option[String
         // here is exactly the planning-time filter set.
         val serverAgg = agg.filter { case (groups, specs) =>
           serverPushdown && file.startsWith("http") && !bbox.contains("empty") &&
+            // server agg forfeits the local re-apply, so every predicate
+            // must ALSO fit the wire — an over-cap IN falls back to
+            // record transfer + local partials
+            eff.forall(graft.sources.StringFilterEval.wireSafe) &&
             graft.sources.xquery.BaseXRest.supportsServerAgg(
               graft.sources.xquery.BaseXRest.versionOf(dialect, basexVersion),
               eff.toIndexedSeq, bbox, groups, specs)

@@ -213,10 +213,27 @@ class GeoJsonSourceSpec extends SparkTestBase {
     // overwrite truncates back down
     src.write.format("graft-geojson").mode("overwrite").save(out)
     assert(manifest.contains(""""n_features": 3"""), manifest)
-    // no in-progress temp files survive a successful write
-    val leftovers = new java.io.File(out).listFiles.map(_.getName)
-      .filter(_.endsWith(".inprogress"))
-    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // no in-progress temp files survive a successful write; part names
+    // carry a per-job uuid (task ids restart per application — a fresh
+    // session's append must not collide with an old app's files)
+    val names = new java.io.File(out).listFiles.map(_.getName)
+    assert(!names.exists(_.endsWith(".inprogress")), names.mkString(","))
+    assert(names.filter(_.startsWith("part-")).forall(
+      _.matches("part-\\d+-\\d+-[0-9a-f-]{36}\\.ndjson")), names.mkString(","))
+    // reading NDJSON back in (default) whole-file mode must ERROR, not
+    // silently answer one row per file
+    val e = intercept[Exception] {
+      spark.read.format("graft-geojson").option("columns", "name").load(out).collect()
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("multiLine") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiLine"))), e.toString)
+    // appending a frame with DIFFERENT properties unions the manifest list
+    Seq(("x", "POINT (9 9)")).toDF("pop", "wkt")
+      .withColumn("geometry", call_function("st_geomfromtext", $"wkt")).drop("wkt")
+      .write.format("graft-geojson").mode("append").save(out)
+    assert(manifest.contains(""""n_features": 4"""), manifest)
+    assert(manifest.contains(""""name"""") && manifest.contains(""""pop""""), manifest)
+    src.write.format("graft-geojson").mode("overwrite").save(out) // reset
     // planning-time refusals: missing/mistyped geometry, non-atomic property
     import org.apache.spark.sql.types._
     intercept[Exception] {

@@ -125,4 +125,55 @@ class RuntimeFilterSpec extends SparkTestBase {
     val plain = scan.copy(agg = None)
     assert(plain.filterAttributes().map(_.toString).toSet == Set("name", "kind"))
   }
+
+  test("filter attributes are single-part even for dotted column names") {
+    // Expressions.column would PARSE "addr.city" into a two-part path
+    // that fails to resolve against the flat column — the refs must stay
+    // single-part whatever characters the flattened name carries
+    val scan = geojson.GeoJsonScan(
+      geojson.GeoJsonDataSource.schemaFor(Seq("addr.city", "we`ird")),
+      Map.empty, Seq("f.json"), Array.empty)
+    val refs = scan.filterAttributes()
+    assert(refs.map(_.fieldNames().toSeq).toSet ==
+      Set(Seq("addr.city"), Seq("we`ird")))
+  }
+
+  test("an over-cap IN stays off the wire but still filters locally") {
+    import org.apache.spark.sql.sources.{And, EqualTo, In, Not}
+    val big = In("kind", Array.fill[Any](StringFilterEval.MaxWireInValues + 1)("v"))
+    val small = In("kind", Array[Any]("a", "b"))
+    assert(!StringFilterEval.wireSafe(big))
+    assert(StringFilterEval.wireSafe(small))
+    assert(!StringFilterEval.wireSafe(And(EqualTo("x", "1"), big)))
+    assert(!StringFilterEval.wireSafe(Not(big)))
+    // e2e: the huge IN must not appear in the posted selector, yet the
+    // scan's local re-apply still prunes by it
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val docs = (0 until 6).map(i =>
+      s"""{"type":"Feature","properties":{"name":"p$i","kind":"k$i"},"geometry":{"type":"Point","coordinates":[$i,0]}}""")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/db/_find", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        posted.add(req)
+        val skip = """"skip": (\d+)""".r.findFirstMatchIn(req).map(_.group(1).toInt).getOrElse(0)
+        val resp = s"""{"docs":[${docs.slice(skip, skip + 25).mkString(",")}]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/db"
+      val values = "k2" +: (0 until StringFilterEval.MaxWireInValues + 5).map(i => s"z$i")
+      val rows = spark.read.format("graft-geojson")
+        .option("columns", "name,kind").option("serverPushdown", "true").load(base)
+        .where(col("kind").isin(values: _*))
+        .collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("p2"), rows.mkString(","))
+      val wire = posted.asScala.last
+      assert(!wire.contains("z17"), wire.take(300))
+    } finally server.stop(0)
+  }
 }
