@@ -138,7 +138,8 @@ private class GeoJsonTable(schema: StructType, properties: Map[String, String],
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   // listed ONCE per table, but lazily — a write target need not exist at
   // table resolution, and a re-queried reader must not re-list per scan

@@ -59,6 +59,76 @@ private[geojson] class GeoJsonWriteBuilder(info: LogicalWriteInfo)
 private class GeoJsonWrite(path: String, geomCol: String, schema: StructType,
                            truncateFirst: Boolean) extends Write {
   override def toBatch: BatchWrite = new GeoJsonBatchWrite(path, geomCol, schema, truncateFirst)
+
+  /** Structured Streaming sink — APPEND output mode only: each epoch's
+    * partitions land as their own uuid'd part files and the manifest
+    * count accumulates on epoch commit. Delivery is AT-LEAST-ONCE: a
+    * replayed epoch (failure between task success and commit-log write)
+    * appends its features again — the honest contract for a sink with no
+    * transactional rename log; exactly-once consumers should dedup on a
+    * key column downstream. Complete/Update modes (truncate-per-epoch)
+    * are refused rather than silently clobbering the directory every
+    * trigger. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (truncateFirst) throw new UnsupportedOperationException(
+      "graft-geojson streaming write supports Append output mode only")
+    new GeoJsonStreamingWrite(path, geomCol, schema)
+  }
+}
+
+private class GeoJsonStreamingWrite(path: String, geomCol: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private def conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  private val jobId = java.util.UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    GeoJsonStreamingWriterFactory(path, geomCol, schema,
+      new SerializableConfiguration(conf), jobId)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val written = messages.collect { case GeoJsonCommit(_, n) => n }.sum
+    val manifest = new Path(dir, "_MANIFEST.json")
+    val (prevCount, prevProps): (Long, Seq[String]) =
+      if (!fs.exists(manifest)) (0L, Nil)
+      else {
+        val in = fs.open(manifest)
+        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                   finally in.close()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+        root.path("properties").forEach(n => ps += n.asText())
+        (root.path("n_features").asLong(0L), ps.toSeq)
+      }
+    val props = (prevProps ++ schema.fieldNames.filterNot(_ == geomCol)).distinct
+    graft.sources.GeoJsonSource.writeManifest(fs, dir, written + prevCount, geomCol, props)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    messages.collect { case GeoJsonCommit(f, _) => f }
+      .foreach(f => try fs.delete(new Path(dir, f), false)
+                    catch { case _: java.io.IOException => () })
+  }
+}
+
+private case class GeoJsonStreamingWriterFactory(path: String, geomCol: String,
+                                                 schema: StructType,
+                                                 conf: SerializableConfiguration, jobId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    // the epoch id lands in the file name so every trigger's files are
+    // distinct even when partition/task ids repeat across epochs
+    new GeoJsonDataWriter(path, geomCol, schema, conf, partitionId, taskId,
+      s"$jobId-e$epochId")
 }
 
 private case class GeoJsonCommit(file: String, count: Long) extends WriterCommitMessage

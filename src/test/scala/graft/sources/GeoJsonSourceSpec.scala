@@ -246,4 +246,46 @@ class GeoJsonSourceSpec extends SparkTestBase {
         .write.format("graft-geojson").mode("overwrite").save(out + "3")
     }
   }
+
+  test("streaming write: epochs append NDJSON features, manifest accumulates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-v2ws").toString
+    val out = base + "/stream"
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("name", "x")
+      .withColumn("geometry",
+        call_function("st_point", col("x"), lit(0.0)))
+      .drop("x")
+      .writeStream.format("graft-geojson")
+      .option("checkpointLocation", base + "/ckpt")
+      .outputMode("append")
+      .start(out)
+    try {
+      input.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      input.addData(("c", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("graft-geojson")
+      .option("multiLine", "false").option("columns", "name").load(out)
+    assert(back.select("name").collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    assert(manifest.contains(""""n_features": 3"""), manifest)
+    // every epoch's files are distinct: epoch id is part of the name
+    val names = new java.io.File(out).listFiles.map(_.getName).filter(_.startsWith("part-"))
+    assert(names.exists(_.contains("-e0.")) || names.exists(_.contains("-e0-")) ||
+      names.forall(_.matches("part-\\d+-\\d+-[0-9a-f-]{36}-e\\d+\\.ndjson")), names.mkString(","))
+    // Complete mode (truncate-per-epoch) is refused, not silently destructive
+    val agg = input.toDF().toDF("name", "x").groupBy("name").count()
+      .withColumn("geometry", call_function("st_point", lit(0.0), lit(0.0)))
+    val e = intercept[Exception] {
+      val q2 = agg.writeStream.format("graft-geojson")
+        .option("checkpointLocation", base + "/ckpt2")
+        .outputMode("complete").start(base + "/c")
+      try { input.addData(("d", 4.0)); q2.processAllAvailable() } finally q2.stop()
+    }
+    assert(e.getMessage.contains("Append") || e.toString.contains("Append"), e.toString)
+  }
 }
