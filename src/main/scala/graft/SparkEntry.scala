@@ -1178,6 +1178,14 @@ object SparkEntry {
       Corpus.dupSpanStats(spark.table("documents"), "doc_id", "text",
         windowTokens = 8)
     }),
+    // The removal half of ExactSubstr (Lee et al.): excise every 8-token
+    // span occurring earlier in the corpus, keep-first, reassemble from
+    // surviving tokens.
+    "q_dedup_spans_remove" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.removeDupSpans(spark.table("documents"), "doc_id", "text",
+        windowTokens = 8)
+    }),
     // Paragraph-level keep-first dedup (C4/FineWeb): the corpus has no
     // newlines, so the gate synthesizes multi-paragraph pages by joining
     // 10 docs per page AND appends doc 0's text to every page as shared
@@ -1770,6 +1778,23 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM win w LEFT JOIN dup d ON w.h = d.h
         |GROUP BY w.doc_id""".stripMargin,
+    // ExactSubstr removal: same 60-bit window fingerprints as q_dup_spans
+    // (tokens split from the ORIGINAL text, lowercased per token for
+    // hashing — reassembly keeps original case), keep-first = rn 1 over
+    // (doc, pos), covered positions anti-join the token stream
+    "q_dedup_spans_remove" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws FROM documents),
+        |win AS (SELECT doc_id, i AS pos,
+        |               CAST(concat('0x', substr(md5(array_to_string(list_transform(ws[i:i+7], t -> lower(t)), ' ')), 1, 15)) AS BIGINT) AS h
+        |        FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM ws)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM win),
+        |covered AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS i FROM ranked WHERE rn > 1),
+        |toks AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS t, generate_subscripts(ws, 1) AS i FROM ws)
+        |SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS text,
+        |       max(t.n) AS n_tokens, max(t.n) - count(*) AS n_removed
+        |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.i
+        |WHERE c.i IS NULL
+        |GROUP BY t.doc_id""".stripMargin,
     // keep-first paragraph dedup over synthesized multi-paragraph pages:
     // rn=1 in (gid, pos) corpus order IS "the corpus-minimal occurrence"
     "q_paragraph_dedup" ->

@@ -414,6 +414,64 @@ object Corpus {
       .limit(k)
   }
 
+  /** Exact-substring dedup with REMOVAL — the second half of Lee et al.'s
+    * ExactSubstr (arXiv:2107.06499): where [[dupSpanStats]] only measures,
+    * this EXCISES every `windowTokens`-token span whose content occurs
+    * earlier in the corpus (keep-first, like [[dropRepeatedParagraphs]]),
+    * reassembling each document from its surviving tokens in original
+    * order with single-space joins (whitespace-tokenized reassembly —
+    * the paper operates on token streams too). Matching is
+    * case-insensitive (the [[dupSpanStats]] hash), removal keeps the
+    * original-case tokens. Documents whose every token sits inside a
+    * duplicated span vanish. Returns `(idCol, textCol, n_tokens,
+    * n_removed)`.
+    *
+    * Scale shape: same linear skeleton as [[dupSpanStats]] — the
+    * `word_window_hashes` kernel fingerprints windows (16-byte rows, no
+    * window strings), the first-occurrence reduction is a partial
+    * `min(struct(doc, pos))` aggregate (no window function — a hot
+    * boilerplate span collapses map-side), and the marked ranges expand
+    * to covered token positions that LEFT-ANTI join against the token
+    * stream on (doc, position). Removal inherently touches every token
+    * position, so the anti-join shuffle carries the token stream once —
+    * the irreducible cost of a rewriting pass (the stats pass stays the
+    * cheap screen; run removal on the docs the stats flagged). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int): DataFrame = {
+    require(windowTokens > 1)
+    graft.Graft.register(df.sparkSession)
+    val toks = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    // two consumers (window stream + token stream) share the tokenized
+    // scan via plan reuse — no persist: the operator stays a pure plan
+    val docs = df.select(col(idCol).as("__id"), toks.as("__ts"))
+    val wins = docs
+      .where(size(col("__ts")) >= windowTokens)
+      .select(col("__id"), posexplode(call_function("word_window_hashes",
+        transform(col("__ts"), t => lower(t)), lit(windowTokens))).as(Seq("__pos", "__h")))
+    val firsts = wins.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .where(col("__c") > 1) // only duplicated spans can mark anything
+      .select(col("__h"), col("__first"))
+    // every NON-first occurrence of a duplicated window covers
+    // [pos, pos + w) — expand to distinct covered token positions per doc
+    val covered = wins.join(firsts, Seq("__h"))
+      .where(struct(col("__id"), col("__pos")) =!= col("__first"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1))).as("__i"))
+      .distinct()
+    val tokens = docs.select(col("__id"), size(col("__ts")).as("__n"),
+      posexplode(col("__ts")).as(Seq("__i", "__t")))
+    tokens.join(covered, Seq("__id", "__i"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("__i"), col("__t")))),
+          x => x("__t")), " ").as(textCol),
+        first(col("__n")).as("n_tokens"),
+        (first(col("__n")) - count(lit(1))).as("n_removed"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Paragraph-level exact dedup with KEEP-FIRST semantics — the C4
     * line-dedup / FineWeb paragraph-dedup rule (Raffel et al. 2020 §2.2
     * discard repeated three-sentence spans; FineWeb keeps the first

@@ -378,4 +378,29 @@ class CorpusSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("removeDupSpans excises later occurrences of duplicated windows") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight" // 8 tokens
+    val docs = Seq(
+      (1L, s"intro $span tail words here"),              // corpus-first: intact
+      (2L, s"prefix text then $span suffix"),            // loses the span
+      (3L, span),                                        // fully covered → vanishes
+      (4L, "short doc"),                                 // < window → intact
+      (5L, "Case ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT end") // case-insensitive match
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDupSpans(docs, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"intro $span tail words here", 12, 0L)))
+    assert(out(2L) == (("prefix text then suffix", 12, 8L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == (("short doc", 2, 0L)))
+    // hashing is case-insensitive, the surviving tokens keep their case
+    assert(out(5L) == (("Case end", 10, 8L)))
+    // scale guard: first-occurrence reduction stays a partial aggregate
+    val plan = Corpus.removeDupSpans(docs, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
