@@ -271,6 +271,16 @@ object ScaleSmoke {
     time("dup spans 50k docs, hashSampleMod=4") {
       Corpus.dupSpanStats(docs10, "doc_id", "text", 8, hashSampleMod = 4).count()
     }
+    // the rewriting pass: covered positions anti-join the token stream
+    if (willTime("span removal 5k docs", "span removal 50k docs")) {
+      Corpus.removeDupSpans(docs.limit(500), "doc_id", "text", 8).count() // JIT warmup
+    }
+    time("span removal 5k docs") {
+      Corpus.removeDupSpans(docs, "doc_id", "text", 8).count()
+    }
+    time("span removal 50k docs") {
+      Corpus.removeDupSpans(docs10, "doc_id", "text", 8).count()
+    }
     time("pack 50k docs") {
       Corpus.packSequences(docs10.withColumn("n_chars", length(col("text")).cast("long"))
         .withColumn("source", col("doc_id") % 20), "source", "doc_id", "n_chars", 2000L).count()
