@@ -1145,6 +1145,20 @@ object SparkEntry {
       operators.Bpe.encode(spark.table("documents"), "text", model)
         .select(col("doc_id"), col("bpe_len").cast("long").as("bpe_len"))
     }),
+    // Product quantization (IVF-PQ's code half): codebooks train on a
+    // bounded sample, every embedding encodes to m=8 bytes (32× vs
+    // float32), ADC top-20 for a fixed query. k-means centroids are not
+    // ANSI-SQL-expressible → rows-only gate; PqSpec pins the degenerate
+    // exact case, recall@R on clustered data, and bit-determinism
+    "q_ann_pq" -> ((spark, dir) => {
+      init(spark, dir)
+      val emb = spark.table("embeddings")
+      val model = operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 64)
+      val codes = operators.Pq.encode(emb, "vec_id", "embedding", model)
+      val q = emb.where(col("vec_id") === 1)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      operators.Pq.searchTopK(codes, "vec_id", "codes", model, q, 20)
+    }),
     // Trained quality filter (fastText-style hashed-n-gram logistic
     // regression): the heuristic gate labels the training split, the
     // model scores every document. L-BFGS float aggregation order makes

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.operators.{Corpus => C}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding corpora (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — FAISS's PQ):
+  * split each d-dim vector into `m` subvectors of d/m dims, k-means each
+  * subspace independently (k ≤ 256 centroids), and store ONE BYTE per
+  * subspace — a 128-dim float32 vector becomes m=8 bytes, a 64× shrink
+  * where [[VectorStorage.quantizeInt8]] gives 4×. Search is ADC
+  * (asymmetric distance computation): the query precomputes an m×k table
+  * of partial squared distances once, and each database vector scores as
+  * m table lookups — no decode, no float math per dimension.
+  *
+  * Scale design mirrors [[Ivf]]/[[QualityClassifier]]: training collects
+  * a BOUNDED deterministic sample (`maxTrainVecs`, limit-probed with a
+  * [[Corpus.sampleByHash]] fallback — corpus-size-independent), k-means
+  * runs driver-local with a fixed seed (bit-deterministic codebooks:
+  * sequential float ops, no parallel reduction), and encode/search are
+  * MAP-ONLY over a broadcast model (the lmScore precedent: a per-row
+  * table lookup no built-in expression covers) followed by a TakeOrdered
+  * for the top-k. Compose with [[Ivf]] for IVF-PQ: route on centroids,
+  * store PQ codes as the payload, rescore survivors on original floats
+  * ([[Ann]]) when exactness matters.
+  */
+object Pq {
+
+  /** Trained codebooks: `codebooks(s)(c)` = centroid `c` of subspace `s`
+    * (a d/m-dim float array). Codes index into these per subspace. */
+  final case class Model(dim: Int, m: Int, codebooks: Vector[Vector[Array[Float]]])
+    extends Serializable {
+    def dsub: Int = dim / m
+    def k: Int = codebooks.head.length
+  }
+
+  /** Deterministic driver-local Lloyd iterations over one subspace.
+    * Seeded spread init (every ⌈n/k⌉-th point of the sample — distinct
+    * starting points without an RNG), `iters` fixed rounds, empty
+    * clusters re-seeded to the point farthest from its centroid. */
+  private def kmeans(points: Array[Array[Float]], k: Int, iters: Int): Vector[Array[Float]] = {
+    val n = points.length
+    val kk = math.min(k, n)
+    val dsub = points.head.length
+    val centroids = Array.tabulate(kk)(c => points((c * (n / kk)).min(n - 1)).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) { // assignment: nearest centroid, first-wins ties
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          val cen = centroids(c)
+          val p = points(i)
+          while (j < dsub) { val t = p(j) - cen(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      // update: mean per cluster
+      val sums = Array.fill(kk, dsub)(0.0)
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i); val p = points(i)
+        var j = 0
+        while (j < dsub) { sums(a)(j) += p(j); j += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dsub) { centroids(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        } else {
+          // empty cluster: steal the point farthest from its own centroid
+          var far = 0; var farD = -1.0
+          var i2 = 0
+          while (i2 < n) {
+            val cen = centroids(assign(i2)); val p = points(i2)
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = p(j) - cen(j); d += t * t; j += 1 }
+            if (d > farD) { farD = d; far = i2 }
+            i2 += 1
+          }
+          centroids(c) = points(far).clone()
+          assign(far) = c
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids.map(_.toVector.toArray).toVector // defensive copies
+  }
+
+  /** Trains the `m` per-subspace codebooks on a bounded deterministic
+    * sample. `dim % m` must be 0; `k ≤ 256` so codes fit a byte. */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+            k: Int = 256, maxTrainVecs: Int = 100000, iters: Int = 15): Model = {
+    require(m > 0 && k > 1 && k <= 256, s"need 0 < m, 1 < k <= 256; got m=$m k=$k")
+    val vecs = df.select(col(idCol), col(vecCol)).where(col(vecCol).isNotNull)
+    // guarded probe (one job, ≤ cap+1 rows), exact deterministic sample past it
+    val probe = vecs.limit(maxTrainVecs + 1).collect()
+    val rows: Array[Array[Float]] =
+      (if (probe.length <= maxTrainVecs) probe
+       else {
+         val n = df.count()
+         C.sampleByHash(vecs.toDF(idCol, vecCol), idCol,
+           maxTrainVecs.toDouble / n, "pq-train").collect()
+       }).map(_.getSeq[Float](1).toArray)
+    require(rows.nonEmpty, "PQ training needs at least one vector")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(rows.forall(_.length == dim), "ragged embedding lengths")
+    val dsub = dim / m
+    val books = (0 until m).map { s =>
+      kmeans(rows.map(_.slice(s * dsub, (s + 1) * dsub)), k, iters)
+    }.toVector
+    Model(dim, m, books)
+  }
+
+  /** Encodes every vector to its `m`-byte PQ code — map-only, broadcast
+    * codebooks. Returns `(idCol, codes binary)` — m raw bytes per
+    * vector, each the unsigned centroid index of one subspace. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val enc = udf { (v: Seq[Float]) =>
+      val mm = bc.value
+      require(v.length == mm.dim, s"vector dim ${v.length} != model dim ${mm.dim}")
+      val dsub = mm.dsub
+      val out = new Array[Byte](mm.m)
+      var s = 0
+      while (s < mm.m) {
+        val book = mm.codebooks(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cen = book(c)
+          var d = 0.0; var j = 0
+          while (j < dsub) { val t = v(s * dsub + j) - cen(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** ADC top-`n` nearest codes to `query` by approximate squared L2:
+    * the m×k partial-distance table computes ONCE on the driver and
+    * broadcasts; scoring is m byte-indexed lookups per row (map-only),
+    * the top-n a TakeOrdered. Ties break by id for determinism. */
+  def searchTopK(encoded: DataFrame, idCol: String, codesCol: String,
+                 model: Model, query: Array[Float], n: Int): DataFrame = {
+    require(query.length == model.dim, s"query dim ${query.length} != ${model.dim}")
+    val dsub = model.dsub
+    val table: Array[Array[Double]] = Array.tabulate(model.m) { s =>
+      model.codebooks(s).map { cen =>
+        var d = 0.0; var j = 0
+        while (j < dsub) { val t = query(s * dsub + j) - cen(j); d += t * t; j += 1 }
+        d
+      }.toArray
+    }
+    val bc = encoded.sparkSession.sparkContext.broadcast(table)
+    val adc = udf { (codes: Array[Byte]) =>
+      val t = bc.value
+      var d = 0.0; var s = 0
+      while (s < t.length) { d += t(s)(codes(s) & 0xff); s += 1 }
+      d
+    }
+    encoded
+      .select(col(idCol), round(adc(col(codesCol)), 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(n)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Product quantization: exactness in the degenerate full-codebook case,
+  * recall on clustered data, determinism, code compactness, map-only
+  * encode/score plans. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def syntheticClusters(nCenters: Int, perCenter: Int, dim: Int) = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(nCenters, dim)(rnd.nextFloat() * 10 - 5)
+    val rows = for {
+      c <- 0 until nCenters
+      i <- 0 until perCenter
+    } yield ((c * perCenter + i).toLong,
+      centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    (rows.toDF("id", "vec"), centers)
+  }
+
+  test("m=1 with k >= distinct vectors reproduces exact nearest neighbors") {
+    // full codebook degenerates PQ to a lookup of the vectors themselves:
+    // ADC distance == exact squared L2, so top-k matches brute force
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(4)(rnd.nextFloat()))).toDF("id", "vec")
+    val model = Pq.train(vecs, "id", "vec", m = 1, k = 64, iters = 25)
+    val codes = Pq.encode(vecs, "id", "vec", model)
+    val q = Array.fill(4)(rnd.nextFloat())
+    val got = Pq.searchTopK(codes, "id", "codes", model, q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val want = vecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).zip(q).map { case (a, b) =>
+        val d = a - b; d * d }.sum))
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("clustered corpus: ADC top-10 recall vs brute force, 16x compression") {
+    val (df, _) = syntheticClusters(nCenters = 16, perCenter = 50, dim = 16)
+    val model = Pq.train(df, "id", "vec", m = 4, k = 16)
+    assert(model.dsub == 4 && model.k == 16)
+    val codes = Pq.encode(df, "id", "vec", model)
+    // 16 dims × 4 bytes → 4 bytes of codes
+    assert(codes.head.getAs[Array[Byte]](1).length == 4)
+    val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = Seq(3L, 250L, 777L)
+    queries.foreach { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val qCluster = qid / 50
+      val exact10 = all.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => val d = a - b; d * d }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      // within a tight cluster every member shares one code, so ADC
+      // cannot (and need not) rank INSIDE the cluster — the PQ contract
+      // is recall@R: the exact top-10 sits inside the ADC top-50, and
+      // every ADC top-10 hit is from the query's own cluster
+      val approx50 = Pq.searchTopK(codes, "id", "codes", model, q, 50)
+        .collect().map(_.getLong(0))
+      assert(exact10.subsetOf(approx50.toSet), s"q=$qid missing exact neighbors")
+      assert(approx50.take(10).forall(_ / 50 == qCluster),
+        s"q=$qid strays: ${approx50.take(10).mkString(",")}")
+    }
+  }
+
+  test("training is deterministic and bounded; encode/score plans are map-only") {
+    val (df, _) = syntheticClusters(nCenters = 4, perCenter = 30, dim = 8)
+    val m1 = Pq.train(df, "id", "vec", m = 2, k = 8)
+    val m2 = Pq.train(df, "id", "vec", m = 2, k = 8)
+    assert(m1.codebooks.flatten.flatten == m2.codebooks.flatten.flatten) // bit-equal
+    // over-cap path: bounded deterministic sample still trains
+    val m3 = Pq.train(df, "id", "vec", m = 2, k = 8, maxTrainVecs = 50)
+    assert(m3.codebooks.length == 2 && m3.k == 8)
+    val codes = Pq.encode(df, "id", "vec", m1)
+    assert(!codes.queryExecution.executedPlan.toString.contains("Exchange"),
+      codes.queryExecution.executedPlan)
+    val top = Pq.searchTopK(codes, "id", "codes", m1, Array.fill(8)(0.0f), 3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan) // no global sort exchange
+    assert(top.count() == 3)
+    // dimension guards fail loudly
+    intercept[IllegalArgumentException] {
+      Pq.searchTopK(codes, "id", "codes", m1, Array.fill(5)(0.0f), 3)
+    }
+    intercept[Exception] { Pq.train(df, "id", "vec", m = 3) } // 8 % 3 != 0
+  }
+}
