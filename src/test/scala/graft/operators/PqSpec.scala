@@ -64,6 +64,42 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ composition: centroid routing, ADC candidates, float rescoring") {
+    // unit-normalized clusters: cosine routing (Ivf) and L2 scoring (PQ)
+    // rank identically on the sphere, so the composed pipeline's answer
+    // must equal the brute-force top-10
+    val (raw, _) = syntheticClusters(nCenters = 8, perCenter = 40, dim = 16)
+    val df = raw.select(col("id"), expr(
+      """transform(vec, x -> CAST(CAST(x AS DOUBLE) /
+        |  sqrt(aggregate(vec, CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * v)) AS FLOAT))"""
+        .stripMargin).as("vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    Ivf.writeIndexed(df, "id", "vec", path, k = 8)
+    val all = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 100L).get._2
+    // route: the 2 nearest centroids' partitions only (partition-pruned read)
+    val centroids = spark.read.parquet(s"$path/_graft_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val probes = centroids.sortBy { case (id, c) =>
+      (-dot(c, q) / math.sqrt(dot(c, c) + 1e-30), id) }.take(2).map(_._1)
+    val candidates = spark.read.parquet(path)
+      .where(col("cluster").isin(probes.toIndexedSeq: _*))
+    // ADC over the probed clusters' CODES, then exact rescoring on floats
+    val model = Pq.train(df, "id", "vec", m = 4, k = 32)
+    val codes = Pq.encode(candidates, "id", "vec", model)
+    val cand = Pq.searchTopK(codes, "id", "codes", model, q, 60).select(col("id"))
+    val rescored = candidates.join(cand, "id")
+      .select(col("id"),
+        call_function("cosine_similarity", col("vec"), typedLit(q.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = all.map { case (id, v) => (id, dot(v, q)) }
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSeq
+    assert(rescored == exact, s"got $rescored want $exact")
+  }
+
   test("training is deterministic and bounded; encode/score plans are map-only") {
     val (df, _) = syntheticClusters(nCenters = 4, perCenter = 30, dim = 8)
     val m1 = Pq.train(df, "id", "vec", m = 2, k = 8)

@@ -156,6 +156,59 @@ class TopNPushdownSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("eXist dialect: ordered cap travels and pages stay short") {
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val recs = Seq(5, 2, 9, 1, 7).zipWithIndex.map { case (v, j) =>
+      s"<rec><name>n$v$j</name></rec>"
+    }
+    def nameOf(r: String) = """<name>([^<]*)</name>""".r.findFirstMatchIn(r).get.group(1)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/exist/rest/db", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body =
+          if (ex.getRequestMethod == "POST") {
+            val q = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            posted.add(q)
+            val (start, max) = """start="(\d+)" max="(\d+)"""".r
+              .findFirstMatchIn(q).map(m => (m.group(1).toInt, m.group(2).toInt))
+              .getOrElse((1, 10))
+            // an honest eXist: evaluate order by + subsequence, THEN the
+            // protocol's start/max paging over the result sequence
+            val ordered =
+              if (!q.contains("order by")) recs
+              else { val s = recs.sortBy(nameOf); if (q.contains("descending")) s.reverse else s }
+            val capped = """(?s)subsequence\(.*, 1, (\d+)\)""".r
+              .findFirstMatchIn(q).map(m => ordered.take(m.group(1).toInt)).getOrElse(ordered)
+            "<exist:result xmlns:exist=\"http://exist.sourceforge.net/NS/exist\">" +
+              capped.slice(start - 1, start - 1 + max).mkString + "</exist:result>"
+          } else
+            """<exist:result xmlns:exist="http://exist.sourceforge.net/NS/exist">
+              |  <exist:collection name="/db/db">
+              |    <exist:resource name="a.xml" created="2026-01-01"/>
+              |  </exist:collection>
+              |</exist:result>""".stripMargin
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/exist/rest/db"
+      val rd = spark.read.format("graft-xml").option("recordTag", "rec")
+        .option("columns", "name").option("serverPushdown", "true")
+        .option("dialect", "existdb").load(base)
+      val before = posted.size
+      val top = rd.orderBy(col("name")).limit(2).collect().map(_.getString(0)).toSeq
+      assert(top == recs.map(nameOf).sorted.take(2), top)
+      val wire = posted.asScala.last
+      assert(wire.contains("order by") && wire.contains("subsequence("), wire)
+      // the capped sequence has 2 records: ONE page suffices
+      assert(posted.size - before == 1, s"pages: ${posted.size - before}")
+    } finally server.stop(0)
+  }
+
   test("ascending nulls-last maps to empty greatest on the wire") {
     val sk = Seq(TopNPushdown.SortKey("name", descending = false, nullsLast = true))
     val clause = graft.sources.xquery.BaseXRest.orderByClause("v", sk)
