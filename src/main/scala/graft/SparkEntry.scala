@@ -1797,18 +1797,19 @@ object SparkEntry {
     // hashing — reassembly keeps original case), keep-first = rn 1 over
     // (doc, pos), covered positions anti-join the token stream
     "q_dedup_spans_remove" ->
-      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws FROM documents),
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), w -> w <> '') AS ws FROM documents),
         |win AS (SELECT doc_id, i AS pos,
         |               CAST(concat('0x', substr(md5(array_to_string(list_transform(ws[i:i+7], t -> lower(t)), ' ')), 1, 15)) AS BIGINT) AS h
         |        FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i FROM ws)),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM win),
         |covered AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS i FROM ranked WHERE rn > 1),
-        |toks AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS t, generate_subscripts(ws, 1) AS i FROM ws)
-        |SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS text,
-        |       max(t.n) AS n_tokens, max(t.n) - count(*) AS n_removed
-        |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.i
-        |WHERE c.i IS NULL
-        |GROUP BY t.doc_id""".stripMargin,
+        |toks AS (SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS i FROM ws),
+        |kept AS (SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.i) AS txt, count(*) AS c
+        |         FROM toks t LEFT JOIN covered cv ON t.doc_id = cv.doc_id AND t.i = cv.i
+        |         WHERE cv.i IS NULL GROUP BY t.doc_id)
+        |SELECT w.doc_id, coalesce(k.txt, '') AS text,
+        |       len(w.ws) AS n_tokens, len(w.ws) - coalesce(k.c, 0) AS n_removed
+        |FROM ws w LEFT JOIN kept k ON w.doc_id = k.doc_id""".stripMargin,
     // keep-first paragraph dedup over synthesized multi-paragraph pages:
     // rn=1 in (gid, pos) corpus order IS "the corpus-minimal occurrence"
     "q_paragraph_dedup" ->

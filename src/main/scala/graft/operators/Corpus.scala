@@ -422,9 +422,11 @@ object Corpus {
     * order with single-space joins (whitespace-tokenized reassembly —
     * the paper operates on token streams too). Matching is
     * case-insensitive (the [[dupSpanStats]] hash), removal keeps the
-    * original-case tokens. Documents whose every token sits inside a
-    * duplicated span vanish. Returns `(idCol, textCol, n_tokens,
-    * n_removed)`.
+    * original-case tokens. EVERY input document keeps a row: one whose
+    * every token sits inside a duplicated span (and one with blank/null
+    * text) answers `(id, "", n, n)` rather than vanishing — silent row
+    * loss would break downstream joins on the id. Returns
+    * `(idCol, textCol, n_tokens, n_removed)`.
     *
     * Scale shape: same linear skeleton as [[dupSpanStats]] — the
     * `word_window_hashes` kernel fingerprints windows (16-byte rows, no
@@ -440,9 +442,15 @@ object Corpus {
                      windowTokens: Int): DataFrame = {
     require(windowTokens > 1)
     graft.Graft.register(df.sparkSession)
-    val toks = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
-    // two consumers (window stream + token stream) share the tokenized
-    // scan via plan reuse — no persist: the operator stays a pure plan
+    // null text = no tokens, NOT a null array (size(null) is -1)
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), w => w =!= "")
+    // honest cost note: the corpus tokenizes up to THREE times — the
+    // window stream feeds both the first-occurrence aggregate and the
+    // covered-position join probe (the partial agg sits before the
+    // exchange, so ReuseExchange cannot unify them), plus the token
+    // stream for reassembly. That is the price of a rewriting pass over
+    // every position; callers at extreme scale can persist this
+    // tokenized frame themselves before calling
     val docs = df.select(col(idCol).as("__id"), toks.as("__ts"))
     val wins = docs
       .where(size(col("__ts")) >= windowTokens)
@@ -460,16 +468,23 @@ object Corpus {
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1))).as("__i"))
       .distinct()
-    val tokens = docs.select(col("__id"), size(col("__ts")).as("__n"),
+    val tokens = docs.select(col("__id"),
       posexplode(col("__ts")).as(Seq("__i", "__t")))
-    tokens.join(covered, Seq("__id", "__i"), "left_anti")
+    val kept = tokens.join(covered, Seq("__id", "__i"), "left_anti")
       .groupBy(col("__id"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("__i"), col("__t")))),
-          x => x("__t")), " ").as(textCol),
-        first(col("__n")).as("n_tokens"),
-        (first(col("__n")) - count(lit(1))).as("n_removed"))
-      .withColumnRenamed("__id", idCol)
+          x => x("__t")), " ").as("__kept_text"),
+        count(lit(1)).as("__kept_n"))
+    // EVERY input document keeps a row — a blank/null-text doc and a
+    // fully-excised doc both answer (id, "", n, n-ish), never vanish
+    // (silent row loss would break downstream joins on the doc id)
+    docs.select(col("__id"), size(col("__ts")).as("__n"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__kept_text"), lit("")).as(textCol),
+        col("__n").as("n_tokens"),
+        (col("__n") - coalesce(col("__kept_n"), lit(0L))).as("n_removed"))
   }
 
   /** Paragraph-level exact dedup with KEEP-FIRST semantics — the C4

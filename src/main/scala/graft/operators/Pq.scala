@@ -110,7 +110,10 @@ object Pq {
     val rows: Array[Array[Float]] =
       (if (probe.length <= maxTrainVecs) probe
        else {
-         val n = df.count()
+         // rate over the frame actually sampled (non-null vectors) — a
+         // corpus with many null embeddings must not under-size the
+         // training set
+         val n = vecs.count()
          C.sampleByHash(vecs.toDF(idCol, vecCol), idCol,
            maxTrainVecs.toDouble / n, "pq-train").collect()
        }).map(_.getSeq[Float](1).toArray)
@@ -175,6 +178,10 @@ object Pq {
     val bc = encoded.sparkSession.sparkContext.broadcast(table)
     val adc = udf { (codes: Array[Byte]) =>
       val t = bc.value
+      // codes from a DIFFERENT model would score silently wrong (shorter
+      // loop) or crash mid-task — fail loudly like encode's dim guard
+      require(codes != null && codes.length == t.length,
+        s"codes length ${if (codes == null) "null" else codes.length} != model m ${t.length}")
       var d = 0.0; var s = 0
       while (s < t.length) { d += t(s)(codes(s) & 0xff); s += 1 }
       d

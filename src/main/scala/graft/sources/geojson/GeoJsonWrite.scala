@@ -92,30 +92,15 @@ private class GeoJsonStreamingWrite(path: String, geomCol: String, schema: Struc
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
     val written = messages.collect { case GeoJsonCommit(_, n) => n }.sum
-    val manifest = new Path(dir, "_MANIFEST.json")
-    val (prevCount, prevProps): (Long, Seq[String]) =
-      if (!fs.exists(manifest)) (0L, Nil)
-      else {
-        val in = fs.open(manifest)
-        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-                   finally in.close()
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
-        root.path("properties").forEach(n => ps += n.asText())
-        (root.path("n_features").asLong(0L), ps.toSeq)
-      }
-    val props = (prevProps ++ schema.fieldNames.filterNot(_ == geomCol)).distinct
-    graft.sources.GeoJsonSource.writeManifest(fs, dir, written + prevCount, geomCol, props)
+    // every epoch accumulates (fresh never — Append is the only mode)
+    GeoJsonWriteOps.accumulateManifest(dir.getFileSystem(conf), dir, written,
+      geomCol, schema, fresh = false)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    messages.collect { case GeoJsonCommit(f, _) => f }
-      .foreach(f => try fs.delete(new Path(dir, f), false)
-                    catch { case _: java.io.IOException => () })
+    GeoJsonWriteOps.deleteCommitted(dir.getFileSystem(conf), dir, messages)
   }
 }
 
@@ -132,6 +117,38 @@ private case class GeoJsonStreamingWriterFactory(path: String, geomCol: String,
 }
 
 private case class GeoJsonCommit(file: String, count: Long) extends WriterCommitMessage
+
+/** Commit/abort logic the batch and streaming writes SHARE — one copy of
+  * the manifest parse/accumulate rule and of the committed-file cleanup,
+  * so the two paths cannot drift. */
+private object GeoJsonWriteOps {
+  /** Accumulates onto the previous manifest unless `fresh` (a truncate):
+    * counts sum, property lists union. */
+  def accumulateManifest(fs: org.apache.hadoop.fs.FileSystem, dir: Path, written: Long,
+                         geomCol: String, schema: StructType, fresh: Boolean): Unit = {
+    val manifest = new Path(dir, "_MANIFEST.json")
+    val (prevCount, prevProps): (Long, Seq[String]) =
+      if (fresh || !fs.exists(manifest)) (0L, Nil)
+      else {
+        val in = fs.open(manifest)
+        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+                   finally in.close()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+        root.path("properties").forEach(n => ps += n.asText())
+        (root.path("n_features").asLong(0L), ps.toSeq)
+      }
+    val props = (prevProps ++ schema.fieldNames.filterNot(_ == geomCol)).distinct
+    graft.sources.GeoJsonSource.writeManifest(fs, dir, written + prevCount, geomCol, props)
+  }
+
+  /** Best-effort removal of the files an aborted job's tasks committed. */
+  def deleteCommitted(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+                      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GeoJsonCommit(f, _) => f }
+      .foreach(f => try fs.delete(new Path(dir, f), false)
+                    catch { case _: java.io.IOException => () })
+}
 
 private class GeoJsonBatchWrite(path: String, geomCol: String, schema: StructType,
                                 truncateFirst: Boolean) extends BatchWrite {
@@ -158,30 +175,14 @@ private class GeoJsonBatchWrite(path: String, geomCol: String, schema: StructTyp
     * write's schema would misdescribe the earlier features. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
     val written = messages.collect { case GeoJsonCommit(_, n) => n }.sum
-    val manifest = new Path(dir, "_MANIFEST.json")
-    val (prevCount, prevProps): (Long, Seq[String]) =
-      if (truncateFirst || !fs.exists(manifest)) (0L, Nil)
-      else {
-        val in = fs.open(manifest)
-        val text = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-                   finally in.close()
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
-        root.path("properties").forEach(n => ps += n.asText())
-        (root.path("n_features").asLong(0L), ps.toSeq)
-      }
-    val props = (prevProps ++ schema.fieldNames.filterNot(_ == geomCol)).distinct
-    graft.sources.GeoJsonSource.writeManifest(fs, dir, written + prevCount, geomCol, props)
+    GeoJsonWriteOps.accumulateManifest(dir.getFileSystem(conf), dir, written,
+      geomCol, schema, fresh = truncateFirst)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    messages.collect { case GeoJsonCommit(f, _) => f }
-      .foreach(f => try fs.delete(new Path(dir, f), false)
-                    catch { case _: java.io.IOException => () })
+    GeoJsonWriteOps.deleteCommitted(dir.getFileSystem(conf), dir, messages)
   }
 }
 

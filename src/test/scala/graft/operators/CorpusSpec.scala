@@ -385,19 +385,23 @@ class CorpusSpec extends SparkTestBase {
     val docs = Seq(
       (1L, s"intro $span tail words here"),              // corpus-first: intact
       (2L, s"prefix text then $span suffix"),            // loses the span
-      (3L, span),                                        // fully covered → vanishes
+      (3L, span),                                        // fully covered → empty row
       (4L, "short doc"),                                 // < window → intact
-      (5L, "Case ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT end") // case-insensitive match
+      (5L, "Case ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT end"), // case-insensitive match
+      (6L, null.asInstanceOf[String])                    // null text → (\"\", 0, 0), kept
     ).toDF("doc_id", "text")
     val out = Corpus.removeDupSpans(docs, "doc_id", "text", windowTokens = 8)
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
     assert(out(1L) == ((s"intro $span tail words here", 12, 0L)))
     assert(out(2L) == (("prefix text then suffix", 12, 8L)))
-    assert(!out.contains(3L))
+    // every input doc keeps a row — fully-excised and blank alike
+    assert(out(3L) == (("", 8, 8L)))
     assert(out(4L) == (("short doc", 2, 0L)))
     // hashing is case-insensitive, the surviving tokens keep their case
     assert(out(5L) == (("Case end", 10, 8L)))
+    assert(out(6L) == (("", 0, 0L)))
+    assert(out.size == 6)
     // scale guard: first-occurrence reduction stays a partial aggregate
     val plan = Corpus.removeDupSpans(docs, "doc_id", "text", 8)
       .queryExecution.executedPlan.toString
