@@ -1153,7 +1153,12 @@ object SparkEntry {
     "q_ann_pq" -> ((spark, dir) => {
       init(spark, dir)
       val emb = spark.table("embeddings")
-      val model = operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 64)
+      // gate-sized training bound (the Ivf precedent): codebook quality
+      // saturates far below the corpus and the driver-local k-means is
+      // the gate's whole cost — 10k keeps it a corpus-size-independent
+      // ~1-2 s constant instead of growing to the 100k default cap
+      val model = operators.Pq.train(emb, "vec_id", "embedding", m = 8, k = 64,
+        maxTrainVecs = 10000)
       val codes = operators.Pq.encode(emb, "vec_id", "embedding", model)
       val q = emb.where(col("vec_id") === 1)
         .select(col("embedding")).head.getSeq[Float](0).toArray
