@@ -40,10 +40,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * addressed) walks the members until it finds the PRIMARY: unreachable
   * members are skipped, a secondary's `hello` primary announcement
   * jumps the queue (bounded hops), and credential failures abort
-  * without replaying the password against other members. Remaining
-  * documented cut: `mongodb+srv://` (DNS SRV/TXT resolution — no DNS
-  * in this environment) and secondary read preferences (reads always
-  * target the primary, the consistency-conservative default).
+  * without replaying the password against other members.
+  * `?readPreference=` selects the member CLASS the walk settles on —
+  * `primary` (default), `secondary`, the `*Preferred` modes (preferred
+  * class first, remembered fallback member second, so reads survive an
+  * election window), and `nearest` (first usable member); non-primary
+  * modes travel as `$readPreference` on every read command so a
+  * secondary permits the read. Remaining documented cut:
+  * `mongodb+srv://` (DNS SRV/TXT resolution — no DNS in this
+  * environment) and latency-based `nearest` ordering (no topology
+  * monitor; `nearest` takes seed-list order).
   */
 object MongoWire {
 
@@ -71,11 +77,16 @@ object MongoWire {
   final case class ConnSpec(hosts: Seq[(String, Int)], db: String, coll: String,
                             creds: Option[(String, String)], authSource: String,
                             authMechanism: Option[String], compressors: Seq[String],
-                            tls: Boolean, tlsInsecure: Boolean) {
+                            tls: Boolean, tlsInsecure: Boolean,
+                            readPreference: String = "primary") {
     /** First seed — the whole address for the common single-host URL. */
     def host: String = hosts.head._1
     def port: Int = hosts.head._2
   }
+
+  /** The five standard read-preference modes (server-selection spec). */
+  private val ReadPreferenceModes = Set(
+    "primary", "primaryPreferred", "secondary", "secondaryPreferred", "nearest")
 
   object ConnSpec {
     private val Url =
@@ -145,10 +156,14 @@ object MongoWire {
             case Some("false") => Some(Some(false))
             case Some(_)       => None
           }
+        // readPreference is STRICT like the booleans: a typo'd mode must
+        // not silently read from the wrong member class
+        val rp = params.getOrElse("readPreference", "primary")
         for {
           hs <- hostsOk
           c <- credsOk
           if mechOk
+          if ReadPreferenceModes.contains(rp)
           tlsOpt <- boolOpt("tls")
           sslOpt <- boolOpt("ssl")
           if tlsOpt.isEmpty || sslOpt.isEmpty || tlsOpt == sslOpt // no tls=true&ssl=false
@@ -159,7 +174,8 @@ object MongoWire {
           compressors = params.get("compressors").toSeq
             .flatMap(_.split(",")).filter(_ == "zlib"),
           tls = tlsOpt.orElse(sslOpt).getOrElse(false),
-          tlsInsecure = insecureOpt.getOrElse(false))
+          tlsInsecure = insecureOpt.getOrElse(false),
+          readPreference = rp)
       case _ => None
     }
   }
@@ -176,6 +192,15 @@ object MongoWire {
   def isMongoUrl(url: String): Boolean = url.startsWith("mongodb://")
 
   private val requestCounter = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** `$readPreference` document for non-primary modes — attached to every
+    * read command (find/aggregate/getMore) so a replica-set SECONDARY
+    * permits the read (a direct secondary read without it is refused,
+    * the OP_MSG successor of the old secondaryOk bit). Empty for the
+    * default primary mode: the wire stays byte-identical to before. */
+  private def rpField(spec: ConnSpec): String =
+    if (spec.readPreference == "primary") ""
+    else s""" "$$readPreference": {"mode": ${graft.JsonText.str(spec.readPreference)}},"""
 
   // ------------------------------------------------------------ framing
 
@@ -296,11 +321,17 @@ object MongoWire {
       maxDocs.filter(_ > served).map(m => math.min(BatchSize, m - served))
         .getOrElse(BatchSize)
 
-    /** A reachable replica-set member that is not the primary: the walk
-      * in [[open]] moves on — to the announced primary first, when the
-      * member names one. */
-    private final case class NotPrimary(primary: Option[(String, Int)])
-      extends Exception("not primary")
+    /** A reachable replica-set member whose class the read preference
+      * does not (yet) accept: the walk in [[open]] moves on — to the
+      * announced primary first, when the member names one — and may
+      * remember the member as a `*Preferred` fallback. */
+    private final case class NotPreferred(isPrimary: Boolean, isSecondary: Boolean,
+                                          announced: Option[(String, Int)])
+      extends Exception("member class not preferred") {
+      def describe: String =
+        if (isPrimary) "primary" else if (isSecondary) "secondary"
+        else "neither primary nor secondary"
+    }
 
     /** A failure that must END the walk, not move it to the next member:
       * the server rejected the credentials, or a client-side SCRAM check
@@ -310,36 +341,47 @@ object MongoWire {
       * mid-conversation says nothing about the credentials). */
     private final case class AbortWalk(cause: Throwable) extends Exception(cause)
 
-    /** Walks the seed list until one member accepts: connect + TLS, then
-      * — whenever credentials, compression, or a multi-host list demand a
-      * `hello` — the handshake, which throws [[NotPrimary]] on a
-      * secondary. An announced primary jumps the queue (bounded hops, a
-      * proxy that bounces members around must not loop the walk).
+    /** Walks the seed list until one member the read preference accepts:
+      * connect + TLS, then — whenever credentials, compression, or a
+      * multi-host list demand a `hello` — the handshake, which throws
+      * [[NotPreferred]] on a member of the wrong class. An announced
+      * primary jumps the queue (bounded hops, a proxy that bounces
+      * members around must not loop the walk). The `*Preferred` modes
+      * remember the first member the FALLBACK class would accept and
+      * reconnect to it once the preferred class is exhausted — so
+      * `primaryPreferred` keeps reading through a primary-less election
+      * window and `secondaryPreferred` through a secondary-less one.
       * Failure taxonomy: credential rejections and SCRAM tamper/downgrade
       * signals abort IMMEDIATELY ([[AbortWalk]]); everything else —
       * connect/TLS errors, a member whose `hello` answers ok:0 (e.g.
       * ShutdownInProgress during a rolling restart) — records the member
       * and tries the next. Single-host URLs keep the exact old behavior:
-      * no `hello` unless auth/compression needs one. */
+      * no `hello` unless auth/compression needs one (direct-connection
+      * semantics — read preference never vetoes a directly-addressed
+      * server, matching the server-selection spec). */
     private def open(): Unit = {
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
       val seen = scala.collection.mutable.Set.empty[(String, Int)]
       val queue = scala.collection.mutable.Queue(spec.hosts: _*)
       var redirects = 0
+      var fallback: Option[(String, Int)] = None
       while (queue.nonEmpty) {
         val hp = queue.dequeue()
         if (seen.add(hp)) {
           try {
             connect(hp._1, hp._2)
             if (spec.creds.nonEmpty || spec.compressors.nonEmpty || spec.hosts.length > 1)
-              handshake()
+              handshake(acceptFallback = false)
             return
           } catch {
-            case NotPrimary(target) =>
-              failures += s"${hp._1}:${hp._2}: not primary" +
-                target.map(t => s" (announces ${t._1}:${t._2})").getOrElse("")
+            case np: NotPreferred =>
+              failures += s"${hp._1}:${hp._2}: ${np.describe}" +
+                np.announced.map(t => s" (announces ${t._1}:${t._2})").getOrElse("")
               close()
-              target.foreach { t =>
+              if (fallback.isEmpty && fallbackAccepts(np)) fallback = Some(hp)
+              // an announced primary is only worth visiting when the mode
+              // can ever read from one
+              if (spec.readPreference != "secondary") np.announced.foreach { t =>
                 if (redirects < 3 && !seen.contains(t)) { redirects += 1; t +=: queue }
               }
             case AbortWalk(cause) => close(); throw cause
@@ -349,9 +391,28 @@ object MongoWire {
           }
         }
       }
+      fallback.foreach { hp =>
+        try {
+          connect(hp._1, hp._2)
+          handshake(acceptFallback = true)
+          return
+        } catch {
+          case AbortWalk(cause) => close(); throw cause
+          case e: Exception =>
+            failures += s"${hp._1}:${hp._2} (fallback): ${e.getMessage}"
+            close()
+        }
+      }
       throw new java.io.IOException(
         s"no usable mongodb host among ${spec.hosts.map(h => s"${h._1}:${h._2}").mkString(",")}" +
-          s" — ${failures.mkString("; ")}")
+          s" for readPreference=${spec.readPreference} — ${failures.mkString("; ")}")
+    }
+
+    /** Would the `*Preferred` fallback pass accept this member? */
+    private def fallbackAccepts(np: NotPreferred): Boolean = spec.readPreference match {
+      case "primaryPreferred"   => np.isSecondary
+      case "secondaryPreferred" => np.isPrimary
+      case _                    => false
     }
 
     private def connect(host: String, port: Int): Unit = {
@@ -405,8 +466,10 @@ object MongoWire {
 
     /** `hello` (uncompressed, per the spec) negotiates the SASL mechanism
       * and the compressor list, then runs the SCRAM conversation on the
-      * auth database. Only after the handshake does `compress` turn on. */
-    private def handshake(): Unit = {
+      * auth database. Only after the handshake does `compress` turn on.
+      * `acceptFallback` widens the member-class check to the fallback
+      * class of a `*Preferred` mode (the second walk pass). */
+    private def handshake(acceptFallback: Boolean): Unit = {
       val mechField = spec.creds.map { case (u, _) =>
         s""""saslSupportedMechs": ${graft.JsonText.str(spec.authSource + "." + u)}, """
       }.getOrElse("")
@@ -417,12 +480,26 @@ object MongoWire {
       val hello = checked(command(in, out,
         s"""{"hello": 1, $mechField$compField"$$db": ${graft.JsonText.str(spec.authSource)}}"""),
         "hello")
-      // a multi-host seed list wants the PRIMARY: a replica-set member
-      // (it has a setName) that is not writable sends the walk onward —
-      // before auth, so a bad member never sees the credentials
-      if (spec.hosts.length > 1 && hello.has("setName") &&
-          !hello.path("isWritablePrimary").asBoolean(false))
-        throw NotPrimary(ConnSpec.hostPort(hello.path("primary").asText("")))
+      // a multi-host seed list selects by MEMBER CLASS under the read
+      // preference (default: the primary): a replica-set member (it has
+      // a setName) of the wrong class sends the walk onward — before
+      // auth, so an unselected member never sees the credentials.
+      // Standalone servers carry no member class and are accepted in
+      // every mode (read preference is a replica-set concept).
+      if (spec.hosts.length > 1 && hello.has("setName")) {
+        val isPrimary = hello.path("isWritablePrimary").asBoolean(false)
+        val isSecondary = hello.path("secondary").asBoolean(false)
+        val wanted = spec.readPreference match {
+          case "primary"            => isPrimary
+          case "primaryPreferred"   => isPrimary || (acceptFallback && isSecondary)
+          case "secondary"          => isSecondary
+          case "secondaryPreferred" => isSecondary || (acceptFallback && isPrimary)
+          case _ /* nearest */      => isPrimary || isSecondary
+        }
+        if (!wanted)
+          throw NotPreferred(isPrimary, isSecondary,
+            ConnSpec.hostPort(hello.path("primary").asText("")))
+      }
       spec.creds.foreach { case (user, pass) =>
         val mech = spec.authMechanism match {
           case Some("SCRAM-SHA-1")   => Scram.Sha1
@@ -523,7 +600,7 @@ object MongoWire {
           } else if (cursorId != 0L) {
             command(in, out,
               s"""{"getMore": $cursorId, "collection": ${graft.JsonText.str(spec.coll)},""" +
-                s""" "batchSize": $ask, "$$db": ${graft.JsonText.str(spec.db)}}""",
+                s"""${rpField(spec)} "batchSize": $ask, "$$db": ${graft.JsonText.str(spec.db)}}""",
               longFields = Set("getMore"), compress = compress)
           } else null
         } catch { case t: Throwable => cursorId = 0L; close(); throw t }
@@ -582,7 +659,7 @@ object MongoWire {
     val projection = MongoFindGen.projection(fields)
     new DocCursor(parsedSpec(url), (spec, ask) =>
       s"""{"find": ${graft.JsonText.str(spec.coll)}, "filter": $selectorJson,""" +
-        s""" "projection": $projection, "batchSize": $ask,""" +
+        s"""${rpField(spec)} "projection": $projection, "batchSize": $ask,""" +
         s""" "$$db": ${graft.JsonText.str(spec.db)}}""",
       timeoutMs, maxDocs, maxBatches)
   }
@@ -596,7 +673,8 @@ object MongoWire {
                 maxBatches: Int = MaxBatches): DocCursor =
     new DocCursor(parsedSpec(url), (spec, ask) =>
       s"""{"aggregate": ${graft.JsonText.str(spec.coll)}, "pipeline": $pipelineJson,""" +
-        s""" "cursor": {"batchSize": $ask}, "$$db": ${graft.JsonText.str(spec.db)}}""",
+        s"""${rpField(spec)} "cursor": {"batchSize": $ask},""" +
+        s""" "$$db": ${graft.JsonText.str(spec.db)}}""",
       timeoutMs, None, maxBatches)
 
   /** First-page sample for schema inference (the CouchDB first-page

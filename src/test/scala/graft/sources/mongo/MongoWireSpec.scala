@@ -242,6 +242,7 @@ object FakeMongod {
         val repl = replicaIdentity match {
           case Some((set, primary, prim)) =>
             s""""setName":"$set","isWritablePrimary":$primary,""" +
+              s""""secondary":${!primary},""" +
               prim.map(p => s""""primary":"$p",""").getOrElse("")
           case None => """"isWritablePrimary":true,"""
         }
@@ -250,8 +251,13 @@ object FakeMongod {
       if (cmd.has("saslStart") || cmd.has("saslContinue")) return handleSasl(cmd, conn)
       if (!conn.authed)
         return s"""{"ok":0.0,"errmsg":"command requires authentication","code":13}"""
-      if (replicaIdentity.exists(!_._2))
-        return s"""{"ok":0.0,"errmsg":"not primary","code":10107}"""
+      // a secondary refuses reads UNLESS the command carries a
+      // $readPreference whose mode permits secondary reads (the OP_MSG
+      // successor of secondaryOk); killCursors is cursor-scoped and
+      // always allowed, like a real mongod
+      if (replicaIdentity.exists(!_._2) && !cmd.has("killCursors") &&
+          cmd.path("$readPreference").path("mode").asText("primary") == "primary")
+        return s"""{"ok":0.0,"errmsg":"not primary and secondaryOk=false","code":13435}"""
       handleData(cmd)
     }
 
@@ -868,10 +874,109 @@ class MongoWireSpec extends SparkTestBase {
       b.replicaIdentity = Some(("rs0", false, None))
       val url = s"mongodb://127.0.0.1:${a.port},127.0.0.1:${b.port}/db/features"
       val e = intercept[java.io.IOException] { MongoWire.docs(url, "{}", Nil, 1500).toSeq }
-      assert(e.getMessage.contains("not primary"), e.getMessage)
+      assert(e.getMessage.contains("readPreference=primary"), e.getMessage)
+      assert(e.getMessage.contains("secondary"), e.getMessage)
       assert(e.getMessage.contains(a.port.toString) && e.getMessage.contains(b.port.toString),
         e.getMessage)
     } finally { a.stop(); b.stop() }
+  }
+
+  test("readPreference=secondary routes reads to a secondary member") {
+    val primary = new FakeMongod.Server(featureDocs)
+    val secondary = new FakeMongod.Server(featureDocs)
+    try {
+      primary.replicaIdentity = Some(("rs0", true, None))
+      secondary.replicaIdentity = Some(("rs0", false, Some(s"127.0.0.1:${primary.port}")))
+      // the primary is FIRST in the seed list — selection is by member
+      // class, not seed order
+      val url = s"mongodb://127.0.0.1:${primary.port},127.0.0.1:${secondary.port}" +
+        "/db/features?readPreference=secondary"
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 260)
+      // the primary saw only the hello; every read command on the
+      // secondary (find AND the getMore pages) carried $readPreference —
+      // without it the member refuses, like a real secondary
+      assert(primary.received.asScala.forall(_.contains("\"hello\"")),
+        primary.received.asScala)
+      val reads = secondary.received.asScala.filter(c =>
+        c.contains("\"find\"") || c.contains("\"getMore\""))
+      assert(reads.nonEmpty && reads.forall(
+        _.contains(""""$readPreference":{"mode":"secondary"}""")), reads)
+    } finally { primary.stop(); secondary.stop() }
+  }
+
+  test("readPreference=secondary refuses a deployment with no usable secondary") {
+    val primary = new FakeMongod.Server(featureDocs.take(3))
+    try {
+      primary.replicaIdentity = Some(("rs0", true, None))
+      val url = s"mongodb://127.0.0.1:${primary.port},127.0.0.1:${closedPort()}" +
+        "/db/features?readPreference=secondary"
+      val e = intercept[java.io.IOException] { MongoWire.docs(url, "{}", Nil, 1500).toSeq }
+      assert(e.getMessage.contains("readPreference=secondary"), e.getMessage)
+      // strict mode: the primary must never serve the read
+      assert(primary.received.asScala.forall(_.contains("\"hello\"")),
+        primary.received.asScala)
+    } finally primary.stop()
+  }
+
+  test("secondaryPreferred falls back to the primary when no secondary is usable") {
+    val primary = new FakeMongod.Server(featureDocs.take(5))
+    try {
+      primary.replicaIdentity = Some(("rs0", true, None))
+      val url = s"mongodb://127.0.0.1:${primary.port},127.0.0.1:${closedPort()}" +
+        "/db/features?readPreference=secondaryPreferred"
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 5)
+      val find = primary.received.asScala.find(_.contains("\"find\"")).get
+      assert(find.contains(""""$readPreference":{"mode":"secondaryPreferred"}"""), find)
+    } finally primary.stop()
+  }
+
+  test("primaryPreferred prefers the primary over an earlier-seeded secondary") {
+    val primary = new FakeMongod.Server(featureDocs.take(4))
+    val secondary = new FakeMongod.Server(featureDocs.take(4))
+    try {
+      primary.replicaIdentity = Some(("rs0", true, None))
+      secondary.replicaIdentity = Some(("rs0", false, None))
+      val url = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
+        "/db/features?readPreference=primaryPreferred"
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 4)
+      assert(secondary.received.asScala.forall(_.contains("\"hello\"")),
+        secondary.received.asScala)
+      assert(primary.received.asScala.exists(_.contains("\"find\"")),
+        primary.received.asScala)
+    } finally { primary.stop(); secondary.stop() }
+  }
+
+  test("primaryPreferred falls back to a secondary through an election window") {
+    val secondary = new FakeMongod.Server(featureDocs.take(6))
+    try {
+      secondary.replicaIdentity = Some(("rs0", false, None)) // no primary anywhere
+      val url = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${closedPort()}" +
+        "/db/features?readPreference=primaryPreferred"
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 6)
+      val find = secondary.received.asScala.find(_.contains("\"find\"")).get
+      assert(find.contains(""""$readPreference":{"mode":"primaryPreferred"}"""), find)
+    } finally secondary.stop()
+  }
+
+  test("nearest takes the first usable member in seed order") {
+    val primary = new FakeMongod.Server(featureDocs.take(4))
+    val secondary = new FakeMongod.Server(featureDocs.take(4))
+    try {
+      primary.replicaIdentity = Some(("rs0", true, None))
+      secondary.replicaIdentity = Some(("rs0", false, None))
+      val url = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
+        "/db/features?readPreference=nearest"
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 4)
+      assert(secondary.received.asScala.exists(_.contains("\"find\"")),
+        secondary.received.asScala)
+      assert(primary.received.isEmpty, primary.received.asScala)
+    } finally { primary.stop(); secondary.stop() }
+  }
+
+  test("a malformed readPreference is a malformed URL, never a silent primary read") {
+    assert(MongoWire.anatomy("mongodb://h/db/c?readPreference=Secondary").isEmpty)
+    assert(MongoWire.anatomy("mongodb://h/db/c?readPreference=slaveOk").isEmpty)
+    assert(MongoWire.anatomy("mongodb://h/db/c?readPreference=secondary").nonEmpty)
   }
 
   test("a member whose hello answers ok:0 is skipped, not fatal") {
