@@ -1101,6 +1101,26 @@ object SparkEntry {
       TextAnalysis.lmScore(docs.select("doc_id", "text"), "text", model)
         .select(col("doc_id"), round(col("lm_logprob"), 4).as("lm"))
     }),
+    // CCNet-style head/middle/tail buckets: per-LANGUAGE LM-score
+    // terciles (Wenzek et al. 2020). The tercile split is the exact
+    // SQL ntile(3), computed DISTRIBUTED (Corpus.ntileByGroup: range
+    // partition + prefix-summed offsets — no one-task-per-language
+    // window), and the oracle's single-node ntile window must agree
+    // row-for-row. Scores are rounded to 4 dp BEFORE ordering so the
+    // order both engines see is identical (rounding is hash-proven by
+    // q_lm_score); doc_id breaks remaining ties
+    "q_ccnet_buckets" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.table("documents")
+      val model = TextAnalysis.bigramModel(docs, "text", topK = 20000)
+      val scored = TextAnalysis.lmScore(docs.select("doc_id", "lang", "text"), "text", model)
+        .select(col("doc_id"), col("lang"), round(col("lm_logprob"), 4).as("lm"))
+      Corpus.ntileByGroup(scored, "lang",
+          Seq(col("lm").desc, col("doc_id").asc), 3, "tile")
+        .select(col("doc_id"), col("lang"),
+          when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
     // ------------------------------------------------ corpus construction
     // Deterministic hash sampling: membership is a function of doc_id only
     // (hashUniform), so the oracle recomputes the exact same sample
@@ -1737,6 +1757,25 @@ object SparkEntry {
         |       GROUP BY doc_id)
         |SELECT d.doc_id, round(COALESCE(sc.s, 0.0), 4) AS lm
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // q_lm_score's scoring CTEs + the textbook single-node ntile window —
+    // the distributed ntileByGroup must reproduce it exactly
+    "q_ccnet_buckets" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),
+        |uni AS (SELECT w, count(*) n FROM (SELECT unnest(ws) w FROM ws) GROUP BY w ORDER BY n DESC, w LIMIT 20000),
+        |bg AS (SELECT w1, w2, count(*) n FROM (SELECT unnest(ws[1:len(ws)-1]) w1, unnest(ws[2:len(ws)]) w2 FROM ws) GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20000),
+        |v AS (SELECT count(*) v FROM uni),
+        |docbg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) w1, unnest(ws[2:len(ws)]) w2 FROM ws WHERE len(ws) >= 2),
+        |sc AS (SELECT doc_id, avg(ln((COALESCE(b.n, 0) + 1.0) / (COALESCE(u.n, 0) + (SELECT v FROM v)))) s
+        |       FROM docbg LEFT JOIN bg b ON docbg.w1 = b.w1 AND docbg.w2 = b.w2
+        |                  LEFT JOIN uni u ON docbg.w1 = u.w
+        |       GROUP BY doc_id),
+        |scored AS (SELECT d.doc_id, d.lang, round(COALESCE(sc.s, 0.0), 4) AS lm
+        |           FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+        |SELECT doc_id, lang,
+        |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM (SELECT doc_id, lang,
+        |             ntile(3) OVER (PARTITION BY lang ORDER BY lm DESC, doc_id) AS t
+        |      FROM scored)""".stripMargin,
     // hashUniform replayed in DuckDB: first 8 md5 hex chars as u32 / 2^32
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents

@@ -387,6 +387,83 @@ object Corpus {
     manifest
   }
 
+  /** Exact SQL `ntile(n) OVER (PARTITION BY groupCol ORDER BY orderCols)`
+    * without `WindowExec`'s one-task-per-group constraint — the
+    * CCNet-style head/middle/tail bucketing primitive (Wenzek et al.
+    * 2020 bucket Common Crawl by per-language perplexity terciles; a
+    * plain window would put an entire language in ONE task, the exact
+    * straggler the dup-spans de-windowing removed).
+    *
+    * Plan (the [[shardByTokens]] shape): range-repartition on
+    * `(groupCol, orderCols)` — groups may SPAN partitions, that is the
+    * point — then one lightweight pass for per-(partition, group) row
+    * counts (|partitions × groups| driver rows, prefix-summed into
+    * per-group offsets), then a map-only pass stamps each row's global
+    * rank within its group and converts rank → tile with the SQL-standard
+    * ntile split (first `total % n` tiles get the extra row). Two scans
+    * of the shuffled layout, one shared lineage so the offsets cannot
+    * desync from the stamping pass.
+    *
+    * `orderCols` must reach a TOTAL order within each group (end with a
+    * unique id): ties would be ordered by shuffle fetch order, which can
+    * differ between runs and break determinism. `groupCol` cardinality
+    * is expected to be modest (languages, domains — the partition-count ×
+    * group driver table is the only driver state).
+    */
+  def ntileByGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+                   n: Int, outCol: String = "tile"): DataFrame = {
+    require(n > 0, "ntile needs a positive tile count")
+    val spark = df.sparkSession
+    val sortCols = col(groupCol) +: orderCols
+    val ranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val gIdx = ranged.schema.fieldIndex(groupCol)
+    // ONE lineage for both passes (see shardByTokens: range boundaries
+    // are sampled per evaluation, and the stamp job reuses the sort's
+    // shuffle files)
+    val rdd0 = ranged.rdd
+    val perPart: Array[((Int, Any), Long)] = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r => val g = r.get(gIdx); m.update(g, m.getOrElse(g, 0L) + 1L) }
+      m.iterator.map { case (g, c) => ((pid, g), c) }
+    }.collect()
+    val counts = perPart.toMap
+    val totals: Map[Any, Long] =
+      perPart.groupBy(_._1._2).map { case (g, rows) => g -> rows.map(_._2).sum }
+    val nParts = rdd0.getNumPartitions
+    val offsets: Map[(Int, Any), Long] = totals.keysIterator.flatMap { g =>
+      var acc = 0L
+      (0 until nParts).map { p =>
+        val o = ((p, g), acc); acc += counts.getOrElse((p, g), 0L); o
+      }
+    }.toMap
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val bTotals = spark.sparkContext.broadcast(totals)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val off = bOffsets.value
+      val tot = bTotals.value
+      val local = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { row =>
+        val g = row.get(gIdx)
+        val before = local.getOrElse(g, 0L)
+        local.update(g, before + 1L)
+        val rank = off((pid, g)) + before + 1L
+        val t = tot(g)
+        // SQL ntile over t rows: tiles 1..r hold q+1 rows, the rest q
+        val q = t / n
+        val r = t % n
+        val tile =
+          if (q == 0L) rank // fewer rows than tiles: tile = rank
+          else if (rank <= r * (q + 1)) (rank - 1) / (q + 1) + 1
+          else r + (rank - r * (q + 1) - 1) / q + 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ tile.toInt)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Corpus-level TF-IDF: the `k` highest-scoring tokens, where
     * `score(t) = totalTf(t) * ln(N / docFreq(t))`. Ties broken by token
     * for determinism. Whitespace tokenization on lowercased text.

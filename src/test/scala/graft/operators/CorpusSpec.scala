@@ -228,6 +228,36 @@ class CorpusSpec extends SparkTestBase {
     assert(again == sharded.map(t => (t._1, t._3)).toSet)
   }
 
+  test("ntileByGroup reproduces the SQL ntile window exactly, without its plan") {
+    import org.apache.spark.sql.expressions.Window
+    // groups of awkward sizes: uneven splits (10 = 4+3+3), a group
+    // smaller than the tile count (2 rows, 3 tiles), a singleton, and
+    // enough rows to span several range partitions
+    val rows = (0 until 10).map(i => ("en", i.toLong, (i * 37 % 10).toDouble)) ++
+      (0 until 2).map(i => ("fr", 100L + i, 1.0)) ++ // tied scores: id breaks
+      Seq(("de", 200L, 0.0)) ++
+      (0 until 101).map(i => ("es", 300L + i, (i % 7).toDouble))
+    val df = spark.createDataFrame(rows).toDF("lang", "id", "score").repartition(8)
+    val got = Corpus.ntileByGroup(df, "lang", Seq($"score".desc, $"id".asc), 3)
+      .select($"lang", $"id", $"tile")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = df.withColumn("tile",
+        ntile(3).over(Window.partitionBy($"lang").orderBy($"score".desc, $"id".asc)))
+      .select($"lang", $"id", $"tile")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == want)
+    // deterministic across runs and input partitioning
+    val again = Corpus.ntileByGroup(df.repartition(3), "lang",
+        Seq($"score".desc, $"id".asc), 3)
+      .select($"lang", $"id", $"tile")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(again == got)
+    // the point of the operator: no WindowExec in the plan
+    val plan = Corpus.ntileByGroup(df, "lang", Seq($"score".desc, $"id".asc), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("epochOrder: reproducible per-epoch permutations that differ across epochs") {
     val e1 = Corpus.epochOrder(docs, "doc_id", 1)
       .orderBy($"epoch_order").select("doc_id").collect().map(_.getLong(0)).toSeq
