@@ -1184,6 +1184,28 @@ object SparkEntry {
         .select(col("embedding")).head.getSeq[Float](0).toArray
       operators.Pq.searchTopK(codes, "vec_id", "codes", model, q, 20)
     }),
+    // SemDeDup (Abbas et al. 2023): semantic dedup over the embedding
+    // corpus — k-means clusters, within-cluster cosine collapse, keep
+    // the most-peripheral member. Planted duplicates (the q_embed_dedup
+    // augmentation) must each lose exactly one member. Rows-only by
+    // design: the k-means cluster assignment is not ANSI-SQL-
+    // expressible; SemDedupSpec pins the keep rule, determinism, and
+    // the sub-split path. Gate-sized bounds (k, train sample) keep the
+    // cost a corpus-size-independent constant, the q_ann_pq precedent
+    "q_semdedup" -> ((spark, dir) => {
+      init(spark, dir)
+      val aug = spark.sql(
+        """SELECT vec_id, embedding FROM embeddings
+          |UNION ALL
+          |SELECT vec_id + 100000 AS vec_id,
+          |       transform(embedding, (x, i) ->
+          |         IF(i = 0, CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT), x)) AS embedding
+          |FROM embeddings""".stripMargin)
+      operators.SemDedup.assign(aug, "vec_id", "embedding", tau = 0.95,
+          k = 64, trainSampleSize = 10000)
+        .where(!col("kept"))
+        .select(col("id").as("vec_id"), col("cluster"))
+    }),
     // Trained quality filter (fastText-style hashed-n-gram logistic
     // regression): the heuristic gate labels the training split, the
     // model scores every document. L-BFGS float aggregation order makes
