@@ -1084,6 +1084,18 @@ object SparkEntry {
       spark.table("documents")
         .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text"), 16).as("fp"))
     }),
+    // DSIR importance weights (Xie et al. 2023): every document scored
+    // by ln p̂_target − ln p̂_raw over hashed uni+bigram buckets, target =
+    // the English slice. The 60-bit md5 gram hashes are the oracle-
+    // replayable decontaminate arithmetic, so the weights themselves
+    // hash-match DuckDB at 4 dp
+    "q_dsir" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.table("documents")
+      Corpus.dsirWeights(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", buckets = 10000)
+        .select(col("doc_id"), round(col("dsir_weight"), 4).as("dsir_w"))
+    }),
     // C4-style quality gate as scan-level predicates (352 of 500 docs pass
     // at sf0.01 — real selectivity, not a vacuous filter)
     "q_quality_filter" -> ((spark, dir) => {
@@ -1758,6 +1770,28 @@ object SparkEntry {
         |FROM ng g JOIN bench b ON g.h = b.h
         |WHERE g.doc_id % 20 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+    // DSIR weights rebuilt in SQL: identical md5 gram hashing (unigram =
+    // md5(word), bigram = md5('w1 w2') — the kernel's space-joined
+    // windows), identical add-one smoothing, and per-(doc, bucket)
+    // counts × log-ratio so both engines sum the same terms
+    "q_dsir" ->
+      """WITH ws AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') ws FROM documents),
+        |g1 AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(ws[i]), 1, 15)) AS BIGINT) % 10000 AS b
+        |       FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws) + 1)) AS i FROM ws)),
+        |g2 AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(concat(ws[i], ' ', ws[i+1])), 1, 15)) AS BIGINT) % 10000 AS b
+        |       FROM (SELECT doc_id, lang, ws, unnest(range(1, greatest(len(ws), 1))) AS i FROM ws)),
+        |g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |tc AS (SELECT b, count(*) c FROM g WHERE lang = 'en' GROUP BY b),
+        |rc AS (SELECT b, count(*) c FROM g GROUP BY b),
+        |tt AS (SELECT count(*) t FROM g WHERE lang = 'en'),
+        |rt AS (SELECT count(*) t FROM g),
+        |lr AS (SELECT rc.b, ln((COALESCE(tc.c, 0) + 1.0) / ((SELECT t FROM tt) + 10000)) -
+        |              ln((rc.c + 1.0) / ((SELECT t FROM rt) + 10000)) AS lr
+        |       FROM rc LEFT JOIN tc ON rc.b = tc.b),
+        |db AS (SELECT doc_id, b, count(*) c FROM g GROUP BY doc_id, b),
+        |sc AS (SELECT db.doc_id, sum(db.c * lr.lr) w FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id)
+        |SELECT d.doc_id, round(COALESCE(sc.w, 0.0), 4) AS dsir_w
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q_quality_filter" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2 FROM documents
         |WHERE length(text) BETWEEN 200 AND 1000000

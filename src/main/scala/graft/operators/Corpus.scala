@@ -464,6 +464,64 @@ object Corpus {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much likelier its hashed n-gram features are under
+    * a TARGET corpus' distribution than under the raw corpus' own —
+    * `w(doc) = Σ_gram ln p̂_target(bucket) − ln p̂_raw(bucket)` with
+    * add-one smoothing over `buckets` hashed feature buckets (the
+    * paper's hashed unigram+bigram default). Select high-quality
+    * training data by taking the top weights (`orderBy(desc, id).limit`)
+    * or thresholding — both deterministic given this deterministic
+    * weight.
+    *
+    * Plan shape (100 TB): n-grams hash through the
+    * [[graft.functions.TextOps.wordWindowHashes]] kernel (60-bit md5
+    * values — no n-gram strings allocated, and external engines can
+    * replay the arithmetic, so the weights are oracle-checkable);
+    * bucket-count aggregations collapse map-side to at most `buckets`
+    * rows per side; the log-ratio table (≤ `buckets` rows) broadcasts;
+    * scoring shuffles only per-(doc, bucket) partial counts — document
+    * bodies never shuffle. The raw corpus is scanned twice (its own
+    * distribution + the scoring pass); persist upstream if a run cannot
+    * afford the second scan.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 10000,
+                  ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"n-gram sizes must be >= 1: $ns")
+    graft.Graft.register(raw.sparkSession)
+    def gramBuckets(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= lit(""))
+      df.select(cols :+ explode(flatten(array(
+          ns.map(n => call_function("word_window_hashes", toks, lit(n))): _*))).as("__h"): _*)
+        .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+        .drop("__h")
+    }
+    val tGrams = gramBuckets(target)
+    val rGrams = gramBuckets(raw, col(idCol))
+    val tCnt = tGrams.groupBy("__b").agg(count(lit(1)).as("__tc"))
+    val rCnt = rGrams.groupBy("__b").agg(count(lit(1)).as("__rc"))
+    // bounded scalars: total gram counts per side (one driver row each)
+    val tTotal = tCnt.agg(coalesce(sum("__tc"), lit(0L))).head.getLong(0)
+    val rTotal = rCnt.agg(coalesce(sum("__rc"), lit(0L))).head.getLong(0)
+    val lr = tCnt.join(rCnt, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        (log((coalesce(col("__tc"), lit(0L)) + 1.0) / (tTotal + buckets.toDouble)) -
+         log((coalesce(col("__rc"), lit(0L)) + 1.0) / (rTotal + buckets.toDouble)))
+          .as("__lr"))
+    val scored = rGrams
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(lr), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__n") * col("__lr")).as("dsir_weight"))
+    // left join back so gram-less documents (empty/short text) score 0
+    raw.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+  }
+
   /** Corpus-level TF-IDF: the `k` highest-scoring tokens, where
     * `score(t) = totalTf(t) * ln(N / docFreq(t))`. Ties broken by token
     * for determinism. Whitespace tokenization on lowercased text.

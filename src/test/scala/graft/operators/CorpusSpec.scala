@@ -258,6 +258,32 @@ class CorpusSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("dsirWeights rank target-like documents above disjoint-vocabulary ones") {
+    val target = Seq(
+      (1L, "the model trains on curated encyclopedia text"),
+      (2L, "curated encyclopedia articles about science"),
+      (3L, "science articles the model reads")).toDF("id", "text")
+    val raw = Seq(
+      (10L, "curated encyclopedia text about science"), // target-like
+      (11L, "the model trains on articles"),            // target-like
+      (12L, "zzz qqq xxx vvv kkk jjj"),                 // disjoint vocab
+      (13L, ""),                                        // gram-less -> 0.0
+      (14L, "qqq zzz vvv")).toDF("id", "text")
+    val w = Corpus.dsirWeights(raw, target, "id", "text", buckets = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 5)
+    assert(w(13L) == 0.0)
+    // every target-like doc outranks every disjoint-vocab doc
+    assert(Seq(10L, 11L).map(w).min > Seq(12L, 14L).map(w).max, w)
+    // deterministic
+    val again = Corpus.dsirWeights(raw, target, "id", "text", buckets = 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == w)
+    intercept[IllegalArgumentException] {
+      Corpus.dsirWeights(raw, target, "id", "text", buckets = 0)
+    }
+  }
+
   test("epochOrder: reproducible per-epoch permutations that differ across epochs") {
     val e1 = Corpus.epochOrder(docs, "doc_id", 1)
       .orderBy($"epoch_order").select("doc_id").collect().map(_.getLong(0)).toSeq
