@@ -491,6 +491,19 @@ object SparkEntry {
         .select(col("c_custkey"), col("s_suppkey"),
           round(call_function("st_distance", col("cgeom"), col("sgeom")), 4).as("dist"))
     }),
+    // Exact KNN spatial join: 3 nearest suppliers per customer via the
+    // expanding-radius grid join (no cartesian anywhere); ranks on the
+    // raw doubles (JTS st_distance ≡ the oracle's sqrt form bit-for-bit,
+    // proven by q_spatial_join), ties broken by s_suppkey on both sides
+    "q_knn_spatial" -> ((spark, dir) => {
+      init(spark, dir)
+      val cust = spark.sql(s"SELECT c_custkey, $PT AS cgeom FROM customer")
+      val supp = spark.sql(
+        "SELECT s_suppkey, ST_Point(s_acctbal / 100.0, CAST(s_suppkey % 97 AS DOUBLE)) AS sgeom FROM supplier")
+      SpatialJoin.knnJoin(cust, "cgeom", "c_custkey", supp, "sgeom", "s_suppkey", k = 3)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("knn_dist"), 4).as("dist"), col("knn_rank"))
+    }),
     "q_xml_flatten" -> ((spark, dir) => {
       init(spark, dir)
       val docs = spark.sql(
@@ -1513,6 +1526,15 @@ object SparkEntry {
          |FROM customer, supplier
          |WHERE sqrt((($CX) - (s_acctbal / 100.0))*(($CX) - (s_acctbal / 100.0))
          |         + (($CY) - CAST(s_suppkey % 97 AS DOUBLE))*(($CY) - CAST(s_suppkey % 97 AS DOUBLE))) <= 5.0""".stripMargin,
+    "q_knn_spatial" ->
+      s"""SELECT c_custkey, s_suppkey, round(d, 4) AS dist, CAST(rk AS INTEGER) AS knn_rank
+         |FROM (SELECT c_custkey, s_suppkey, d,
+         |             row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rk
+         |      FROM (SELECT c_custkey, s_suppkey,
+         |                   sqrt((($CX) - (s_acctbal / 100.0))*(($CX) - (s_acctbal / 100.0))
+         |                      + (($CY) - CAST(s_suppkey % 97 AS DOUBLE))*(($CY) - CAST(s_suppkey % 97 AS DOUBLE))) AS d
+         |            FROM customer, supplier))
+         |WHERE rk <= 3""".stripMargin,
     "q_xml_flatten" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nation_str, CAST(c_acctbal AS VARCHAR) AS bal_str, round($CX, 4) AS gx FROM customer",
 

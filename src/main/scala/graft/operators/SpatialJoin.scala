@@ -90,6 +90,115 @@ object SpatialJoin {
     if (c > 0) c else if (span > 0) span / 256.0 else 1.0
   }
 
+  /** Exact k-nearest-neighbors join: each left row pairs with its `k`
+    * nearest right rows by planar `ST_Distance` (ties broken by
+    * `rightId`), with `knn_dist` and `knn_rank` (1 = nearest) appended.
+    * Rows whose side has fewer than `k` counterparts get them all.
+    *
+    * The classic expanding-radius reduction to the grid join: round t
+    * runs [[distanceJoin]] at radius r_t over the still-unresolved left
+    * rows; a left row is RESOLVED once it has ≥ min(k, |right|)
+    * candidates within r_t — its true k nearest are then provably among
+    * them — and only unresolved rows ride into round t+1 at doubled
+    * radius. The initial radius solves expected-k from the right side's
+    * sampled point density, so most rows resolve in round one; each
+    * round re-grids at cell = r_t, keeping envelope replication O(1)
+    * per row no matter how far the radius grows (a fixed fine grid
+    * would shatter an expanded envelope into (r/cell)² cells).
+    *
+    * Scale notes (100 TB): every round is the PBSM grid join (no
+    * cartesian, no driver geometry), per-round state is localCheckpointed
+    * so lineage stays flat, the per-left candidate sets the window ranks
+    * are bounded (≈ density·r², and only rows that NEEDED radius r reach
+    * round r), and the right side is re-scanned once per round — rounds
+    * are logarithmic and in practice 1-3. Degenerate densities (all
+    * right rows at one point) just expand until the span is covered.
+    */
+  def knnJoin(left: DataFrame, leftGeom: String, leftId: String,
+              right: DataFrame, rightGeom: String, rightId: String,
+              k: Int, maxRounds: Int = 40): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(leftGeom != rightGeom, "geometry columns must have distinct names")
+    require(leftId != rightId, "id columns must have distinct names")
+    Graft.register(left.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+
+    val rstats = right.select(
+        call_function("st_xmin", col(rightGeom)).as("x0"),
+        call_function("st_xmax", col(rightGeom)).as("x1"),
+        call_function("st_ymin", col(rightGeom)).as("y0"),
+        call_function("st_ymax", col(rightGeom)).as("y1"))
+      .agg(count(lit(1)), max("x1") - min("x0"), max("y1") - min("y0")).head()
+    val rightTotal = rstats.getLong(0)
+    if (rightTotal == 0L) { // no neighbors to find: empty result, full shape
+      return left.crossJoin(right.limit(0))
+        .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(0))
+        .limit(0)
+    }
+    val rSpanX = if (rstats.isNullAt(1)) 0.0 else rstats.getDouble(1)
+    val rSpanY = if (rstats.isNullAt(2)) 0.0 else rstats.getDouble(2)
+    // the COMBINED extent bounds every left↔right distance (a left row
+    // outside the right extent needs a radius past the right span)
+    val cstats = left.select(
+        call_function("st_xmin", col(leftGeom)).as("x0"),
+        call_function("st_xmax", col(leftGeom)).as("x1"),
+        call_function("st_ymin", col(leftGeom)).as("y0"),
+        call_function("st_ymax", col(leftGeom)).as("y1"))
+      .unionAll(right.select(
+        call_function("st_xmin", col(rightGeom)).as("x0"),
+        call_function("st_xmax", col(rightGeom)).as("x1"),
+        call_function("st_ymin", col(rightGeom)).as("y0"),
+        call_function("st_ymax", col(rightGeom)).as("y1")))
+      .agg(max("x1") - min("x0"), max("y1") - min("y0")).head()
+    def sd(i: Int): Double = if (cstats.isNullAt(i)) 0.0 else cstats.getDouble(i)
+    val maxDist = math.sqrt(sd(0) * sd(0) + sd(1) * sd(1)) // combined diagonal
+    val need = math.min(k.toLong, rightTotal).toInt
+    // expected-k radius from the right side's mean density, 1.2 head-room
+    // so the typical row resolves in round one; degenerate extents fall
+    // back to a slice of the combined span, then to 1.0
+    val r0 = {
+      val area = rSpanX * rSpanY
+      val byDensity =
+        if (area > 0) 1.2 * math.sqrt(k * area / (math.Pi * rightTotal)) else 0.0
+      val c = math.max(byDensity, maxDist / 1024.0)
+      if (c > 0) c else 1.0
+    }
+
+    val w = Window.partitionBy(col(leftId)).orderBy(col("knn_dist"), col(rightId))
+    var unresolved = left
+    var resolved: DataFrame = null
+    var r = r0
+    var rounds = 0
+    while (rounds < maxRounds && !unresolved.isEmpty) {
+      val ranked = distanceJoin(unresolved, leftGeom, right, rightGeom,
+          radius = r, cellSize = r)
+        .withColumn("knn_dist",
+          call_function("st_distance", col(leftGeom), col(rightGeom)))
+        .withColumn("knn_rank", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(leftId))))
+      val done = ranked
+        .where(col("__cnt") >= need && col("knn_rank") <= k)
+        .drop("__cnt")
+        .localCheckpoint(true)
+      resolved = if (resolved == null) done else resolved.unionAll(done)
+      unresolved = unresolved
+        .join(done.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
+        .localCheckpoint(true)
+      // once the radius covers the combined diagonal every right row is
+      // a candidate for every left row, so counts reach |right| ≥ need
+      // and nothing can stay unresolved — a safety net, not a path
+      if (r > maxDist + r0 && !unresolved.isEmpty)
+        throw new IllegalStateException(
+          s"knnJoin did not converge: radius $r exceeds the combined extent " +
+            s"$maxDist with left rows still unresolved")
+      r *= 2
+      rounds += 1
+    }
+    require(unresolved.isEmpty,
+      s"knnJoin did not resolve all left rows in $maxRounds rounds")
+    resolved
+  }
+
   private def join(left: DataFrame, leftGeom: String,
                    right: DataFrame, rightGeom: String,
                    radius: Double, cellSize: Double,

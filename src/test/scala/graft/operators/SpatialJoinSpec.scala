@@ -35,6 +35,45 @@ class SpatialJoinSpec extends SparkTestBase {
     }
   }
 
+  test("knnJoin equals the brute-force window top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val brute = cust.crossJoin(supp)
+      .withColumn("d", call_function("st_distance", col("cgeom"), col("sgeom")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("c_custkey").orderBy(col("d"), col("s_suppkey"))))
+      .where(col("rk") <= 3)
+      .select(col("c_custkey"), col("s_suppkey"), col("d"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = SpatialJoin.knnJoin(cust, "cgeom", "c_custkey",
+        supp, "sgeom", "s_suppkey", k = 3)
+      .select(col("c_custkey"), col("s_suppkey"), col("knn_dist"), col("knn_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == brute)
+  }
+
+  test("knnJoin: fewer right rows than k answers them all; empty right is empty") {
+    val tiny = supp.limit(2)
+    val got = SpatialJoin.knnJoin(cust.limit(5), "cgeom", "c_custkey",
+        tiny, "sgeom", "s_suppkey", k = 10)
+    assert(got.count() == 10) // 5 lefts × both right rows
+    assert(got.groupBy("c_custkey").count().collect().forall(_.getLong(1) == 2))
+    val none = SpatialJoin.knnJoin(cust.limit(5), "cgeom", "c_custkey",
+        supp.limit(0), "sgeom", "s_suppkey", k = 3)
+    assert(none.isEmpty)
+    assert(none.columns.contains("knn_dist") && none.columns.contains("knn_rank"))
+  }
+
+  test("knnJoin resolves far-outlier left rows past the right extent") {
+    // a left point far OUTSIDE the right span: the radius must expand
+    // beyond the right side's own extent to reach its neighbors
+    val far = spark.sql(
+      "SELECT CAST(900000 AS BIGINT) AS c_custkey, ST_Point(5000.0, 5000.0) AS cgeom")
+    val got = SpatialJoin.knnJoin(cust.limit(3).unionAll(far), "cgeom", "c_custkey",
+        supp, "sgeom", "s_suppkey", k = 2)
+    assert(got.where(col("c_custkey") === 900000L).count() == 2)
+    assert(got.groupBy("c_custkey").count().count() == 4)
+  }
+
   test("intersects join equals brute force for envelopes") {
     val lboxes = cust.select(col("c_custkey"),
       expr("ST_MakeEnvelope(ST_X(cgeom), ST_Y(cgeom), ST_X(cgeom) + 3.0, ST_Y(cgeom) + 3.0)").as("lg"))
