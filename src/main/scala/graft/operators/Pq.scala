@@ -39,7 +39,7 @@ object Pq {
     * Seeded spread init (every ⌈n/k⌉-th point of the sample — distinct
     * starting points without an RNG), `iters` fixed rounds, empty
     * clusters re-seeded to the point farthest from its centroid. */
-  private def kmeans(points: Array[Array[Float]], k: Int, iters: Int): Vector[Array[Float]] = {
+  private[operators] def kmeans(points: Array[Array[Float]], k: Int, iters: Int): Vector[Array[Float]] = {
     val n = points.length
     val kk = math.min(k, n)
     val dsub = points.head.length

@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * ascending (centroid-cosine, id) order: an item is dropped iff an
   * earlier-swept clustermate already kept within `tau`.
   *
-  * Scale shape (100 TB): training is the [[Ivf]] recipe — MLlib k-means
-  * on a bounded sample (cost independent of corpus size), fixed seed
-  * (re-runs on the same input layout are bit-identical; k-means|| init
-  * samples per partition, so a RELAID corpus can shift cluster ids —
-  * the Ivf caveat — while the dedup invariants hold), `k` ≈ √n so mean
-  * cluster size grows as √n; the assignment pass is
+  * Scale shape (100 TB): training is bounded-sample (cost independent
+  * of corpus size) and HYBRID — below a flops budget it runs driver-
+  * local with the bit-deterministic [[Pq]] k-means on an id-sorted
+  * sample (no per-iteration Spark jobs, verdicts independent of input
+  * layout); past it, distributed MLlib with a fixed seed (bit-identical
+  * per input layout — the [[Ivf]] caveat). `k` ≈ √n so mean cluster
+  * size grows as √n; the assignment pass is
   * map-only against broadcast centroids; the sweep needs each cluster
   * co-resident in one task, so clusters past `maxClusterRows` are
   * sub-split by hyperplane sign bits (near-identical vectors share
@@ -49,12 +50,11 @@ object SemDedup {
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, tau: Double,
              k: Int = 0, maxIter: Int = 10, trainSampleSize: Int = 100000,
-             maxClusterRows: Long = 100000L): DataFrame = {
+             maxClusterRows: Long = 100000L,
+             maxDriverFlops: Long = 2000000000L): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     val spark = df.sparkSession
     Graft.register(spark)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
     // unit-normalize once: Euclidean k-means on the unit sphere routes by
     // angle, and the sweep's pairwise cosine becomes a plain dot product
@@ -65,7 +65,6 @@ object SemDedup {
           "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))"))
       .withColumn("__unit", expr(
         "transform(__vec, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
-      .withColumn("__features", array_to_vector(col("__unit")))
       .drop("__vec", "__norm")
 
     val n = df.count()
@@ -74,27 +73,24 @@ object SemDedup {
       val auto = if (k > 0) k.toLong else math.round(math.sqrt(n.toDouble)).max(16L).min(4096L)
       auto.min(n).toInt
     }
-    val target = math.max(trainSampleSize.toLong, 10L * effectiveK)
-    val trainSet =
-      if (n <= target) unit
-      else unit.sample(withReplacement = false,
-        fraction = math.min(1.0, target.toDouble / n), seed = 42L)
-    val model = new KMeans().setK(effectiveK).setMaxIter(maxIter).setSeed(42L)
-      .setFeaturesCol("__features").setPredictionCol("cluster")
-      .fit(trainSet)
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val sampleN = math.min(n, math.max(trainSampleSize.toLong, 10L * effectiveK))
 
-    val centersDf = {
-      import spark.implicits._
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-        .toSeq.toDF("cluster", "__centroid")
-    }
-    val assigned = model.transform(unit)
-      .drop("__features")
-      .join(broadcast(centersDf), "cluster")
-      .withColumn("centroid_cos",
-        call_function("cosine_similarity", col("__unit"), col("__centroid")))
-      .drop("__centroid")
+    // Training is a bounded, corpus-size-independent workload — so below
+    // `maxDriverFlops` (k·sample·dim·iters) it runs DRIVER-LOCAL with the
+    // bit-deterministic Pq k-means on an id-SORTED sample: no per-
+    // iteration Spark jobs (measured ~5 s of pure scheduler overhead on
+    // a 4k-vector corpus), and the centroids — hence every verdict —
+    // become independent of the input layout. Past the budget (big k ×
+    // big sample × wide vectors) distributed MLlib takes over; its
+    // k-means|| init samples per partition, so THAT path is
+    // deterministic per layout only (the Ivf caveat).
+    val flops = effectiveK.toLong * sampleN * dim * math.max(maxIter, 1)
+    val assigned: DataFrame =
+      if (flops <= maxDriverFlops)
+        assignDriverLocal(unit, n, sampleN, effectiveK, maxIter)
+      else
+        assignMllib(unit, n, sampleN, effectiveK, maxIter)
 
     // skew guard: bounded collect (one count per centroid), then a
     // per-cluster sign-bit mask — masking the low bits of ONE signature
@@ -158,6 +154,86 @@ object SemDedup {
       }
     }
     spark.createDataFrame(verdicts, schema)
+  }
+
+  /** Driver-local training + broadcast assignment. The sample collects
+    * once (≤ sampleN·dim floats — bounded by the flops budget), sorts by
+    * the id's string rendering so the k-means seeding cannot depend on
+    * partition order, and the assignment UDF does one primitive-array
+    * pass per row: argmin Euclidean ≡ argmax (v·c − |c|²/2) for unit v,
+    * first-wins ties like MLlib. */
+  private def assignDriverLocal(unit: DataFrame, n: Long, sampleN: Long,
+                                k: Int, iters: Int): DataFrame = {
+    val spark = unit.sparkSession
+    val sampled =
+      if (n <= sampleN) unit
+      else Corpus.sampleByHash(unit, "id", sampleN.toDouble / n, "semdedup-train")
+    val pts = sampled.select(col("id").cast("string"), col("__unit"))
+      .collect()
+      .sortBy(_.getString(0))
+      .map { r =>
+        val s = r.getSeq[Float](1)
+        val a = new Array[Float](s.length)
+        var i = 0
+        while (i < a.length) { a(i) = s(i); i += 1 }
+        a
+      }
+    val centroids = Pq.kmeans(pts, k, iters).toArray
+    val halfSq = centroids.map(c => c.map(x => x.toDouble * x).sum / 2.0)
+    val norms = centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum).max(1e-30))
+    val bc = spark.sparkContext.broadcast((centroids, halfSq, norms))
+    val assignU = udf { (v: Array[Float]) =>
+      val (cen, half, nrm) = bc.value
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var bestDot = 0.0
+      var c = 0
+      while (c < cen.length) {
+        val cc = cen(c)
+        val len = math.min(v.length, cc.length)
+        var dot = 0.0
+        var j = 0
+        while (j < len) { dot += v(j).toDouble * cc(j); j += 1 }
+        val score = dot - half(c)
+        if (score > bestScore) { bestScore = score; best = c; bestDot = dot }
+        c += 1
+      }
+      (best, bestDot / nrm(best))
+    }
+    unit.withColumn("__a", assignU(col("__unit")))
+      .select(col("id"), col("__a._1").as("cluster"),
+        col("__a._2").as("centroid_cos"), col("__unit"))
+  }
+
+  /** Distributed MLlib training for configurations past the driver flops
+    * budget; assignment via `model.transform` + a broadcast centroid
+    * join for the centroid cosine. */
+  private def assignMllib(unit: DataFrame, n: Long, sampleN: Long,
+                          k: Int, iters: Int): DataFrame = {
+    val spark = unit.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = unit.withColumn("__features", array_to_vector(col("__unit")))
+    val trainSet =
+      if (n <= sampleN) feats
+      else feats.sample(withReplacement = false,
+        fraction = math.min(1.0, sampleN.toDouble / n), seed = 42L)
+    val model = new KMeans().setK(k).setMaxIter(iters).setSeed(42L)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+      .fit(trainSet)
+    val centersDf = {
+      import spark.implicits._
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toSeq.toDF("cluster", "__centroid")
+    }
+    model.transform(feats)
+      .drop("__features")
+      .join(broadcast(centersDf), "cluster")
+      .withColumn("centroid_cos",
+        call_function("cosine_similarity", col("__unit"), col("__centroid")))
+      .drop("__centroid")
+      .select(col("id"), col("cluster"), col("centroid_cos"), col("__unit"))
   }
 
   /** The corpus minus its semantic duplicates: every input column, one
