@@ -524,6 +524,34 @@ object SparkEntry {
     // DSv2 read paths under the gate: derive documents from customer, write
     // them to disk, read back through the registered formats (with a pushed
     // string filter), and verify the flattened result against plain SQL.
+    // WARC ingest under the gate: a Common-Crawl-shaped archive built
+    // from customer rows (one HTTP response record each, written
+    // DISTRIBUTED through the text sink — the writer's extra newline
+    // between records is legal inter-record noise), read back through
+    // the graft-warc DSv2: record framing, header-filter pushdown, http
+    // parsing, and the body bytes all hash-proven against plain SQL
+    "q_warc" -> ((spark, dir) => {
+      init(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-warc-gate").toString
+      val crlf = "\r\n"
+      // http block = status line + one header + CRLF + body ⇒ 45 + |name|
+      spark.table("customer").select(concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf + "WARC-Target-URI: http://c"),
+          col("c_custkey").cast("string"),
+          lit(".example/" + crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+            "WARC-Record-ID: <urn:uuid:"),
+          col("c_custkey").cast("string"),
+          lit(">" + crlf + "Content-Type: application/http; msgtype=response" + crlf +
+            "Content-Length: "),
+          (length(col("c_name")) + 45).cast("string"),
+          lit(crlf + crlf + "HTTP/1.1 200 OK" + crlf + "Content-Type: text/plain" + crlf + crlf),
+          col("c_name"), lit(crlf)).as("value"))
+        .write.mode("overwrite").text(out)
+      spark.read.format("graft-warc").load(out)
+        .where(col("warc_type") === "response")
+        .select(col("target_uri"), col("http_status"),
+          col("body").cast("string").as("name"), col("content_length"))
+    }),
     "q_xml_dsv2" -> ((spark, dir) => {
       init(spark, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-xml-gate").toString
@@ -1538,6 +1566,11 @@ object SparkEntry {
     "q_xml_flatten" ->
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nation_str, CAST(c_acctbal AS VARCHAR) AS bal_str, round($CX, 4) AS gx FROM customer",
 
+    "q_warc" ->
+      """SELECT concat('http://c', c_custkey, '.example/') AS target_uri,
+        |       200 AS http_status, c_name AS name,
+        |       CAST(45 + length(c_name) AS BIGINT) AS content_length
+        |FROM customer""".stripMargin,
     "q_xml_dsv2" ->
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 3",
     "q_geojson_dsv2" ->

@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+class WarcSourceSpec extends SparkTestBase {
+
+  private def warcRecord(tpe: String, uri: String, id: String,
+                         contentType: String, block: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $tpe\r\n")
+      .append(if (uri != null) s"WARC-Target-URI: $uri\r\n" else "")
+      .append("WARC-Date: 2024-01-15T08:30:00Z\r\n")
+      .append(s"WARC-Record-ID: <urn:uuid:$id>\r\n")
+      .append(s"Content-Type: $contentType\r\n")
+      .append(s"Content-Length: ${block.length}\r\n")
+      .append("\r\n").toString.getBytes(UTF_8)
+    head ++ block ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def httpResponse(status: Int, ctype: String, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status OK\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${body.getBytes(UTF_8).length}\r\n\r\n").getBytes(UTF_8) ++
+      body.getBytes(UTF_8)
+
+  /** warcinfo + request + two responses — the Common Crawl record mix. */
+  private def sampleWarc: Array[Byte] =
+    warcRecord("warcinfo", null, "aaa", "application/warc-fields",
+      "software: graft-test\r\n".getBytes(UTF_8)) ++
+    warcRecord("request", "http://a.example/", "bbb", "application/http; msgtype=request",
+      "GET / HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes(UTF_8)) ++
+    warcRecord("response", "http://a.example/", "ccc", "application/http; msgtype=response",
+      httpResponse(200, "text/html; charset=utf-8", "<html>hello a</html>")) ++
+    warcRecord("response", "http://b.example/", "ddd", "application/http; msgtype=response",
+      httpResponse(404, "text/plain", "not here"))
+
+  private def writePlain(dir: Path): Unit =
+    Files.write(dir.resolve("part-0.warc"), sampleWarc)
+
+  test("parses the Common Crawl record mix with http fields and exact bodies") {
+    val dir = Files.createTempDirectory("warc-spec")
+    writePlain(dir)
+    val df = spark.read.format("graft-warc").load(dir.toString)
+    assert(df.count() == 4)
+    val resp = df.where(col("warc_type") === "response")
+      .orderBy("target_uri")
+      .select("target_uri", "record_id", "http_status", "http_content_type", "body")
+      .collect()
+    assert(resp.map(_.getString(0)).toSeq == Seq("http://a.example/", "http://b.example/"))
+    assert(resp.map(_.getString(1)).toSeq == Seq("urn:uuid:ccc", "urn:uuid:ddd"))
+    assert(resp.map(_.getInt(2)).toSeq == Seq(200, 404))
+    assert(resp.map(_.getString(3)).toSeq ==
+      Seq("text/html; charset=utf-8", "text/plain"))
+    assert(resp.map(r => new String(r.getAs[Array[Byte]](4), UTF_8)).toSeq ==
+      Seq("<html>hello a</html>", "not here"))
+    // non-http records carry the raw block and null http fields
+    val info = df.where(col("warc_type") === "warcinfo").head()
+    assert(info.isNullAt(info.fieldIndex("http_status")))
+    assert(new String(info.getAs[Array[Byte]]("body"), UTF_8) == "software: graft-test\r\n")
+  }
+
+  test("concatenated per-record gzip members decompress transparently") {
+    val dir = Files.createTempDirectory("warc-gz")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close()
+      out.toByteArray
+    }
+    // one gzip member per record — the Common Crawl layout
+    val members = Seq(
+      warcRecord("response", "http://x.example/", "eee", "application/http; msgtype=response",
+        httpResponse(200, "text/plain", "x body")),
+      warcRecord("response", "http://y.example/", "fff", "application/http; msgtype=response",
+        httpResponse(200, "text/plain", "y body"))).map(gz)
+    Files.write(dir.resolve("part-0.warc.gz"), members.flatten.toArray)
+    val df = spark.read.format("graft-warc").load(dir.toString)
+    assert(df.count() == 2)
+    assert(df.select("target_uri").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("http://x.example/", "http://y.example/"))
+  }
+
+  test("header filters push down and block bytes are skipped for rejected records") {
+    val dir = Files.createTempDirectory("warc-push")
+    writePlain(dir)
+    val f = spark.read.format("graft-warc").load(dir.toString)
+      .where(col("warc_type") === "response" && col("target_uri").startsWith("http://a"))
+    assert(f.queryExecution.executedPlan.toString.contains("PushedFilters: ["), f.queryExecution.executedPlan.toString)
+    assert(f.queryExecution.executedPlan.toString.contains("EqualTo(warc_type,response)"))
+    assert(f.count() == 1)
+    assert(new String(f.head().getAs[Array[Byte]]("body"), UTF_8) == "<html>hello a</html>")
+    // http_status filters are NOT header-decidable → stay with Spark
+    val plan2 = spark.read.format("graft-warc").load(dir.toString)
+      .where(col("http_status") === 200).queryExecution.executedPlan.toString
+    assert(!plan2.contains("PushedFilters: [EqualTo(http_status"), plan2)
+  }
+
+  test("column pruning: header-only projections read no blocks") {
+    val dir = Files.createTempDirectory("warc-prune")
+    writePlain(dir)
+    val df = spark.read.format("graft-warc").load(dir.toString)
+      .select("warc_type", "target_uri", "content_length")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("[warc_type#") && !plan.contains("body#"), plan)
+    assert(df.count() == 4)
+    // content_length still reports the block size the scan skipped
+    assert(df.where(col("warc_type") === "warcinfo").head().getLong(2) ==
+      "software: graft-test\r\n".getBytes(UTF_8).length)
+  }
+
+  test("a truncated record fails loudly instead of silently dropping the tail") {
+    val dir = Files.createTempDirectory("warc-trunc")
+    val bytes = sampleWarc
+    Files.write(dir.resolve("part-0.warc"), bytes.take(bytes.length - 40))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir.toString)
+        .select("body").collect()
+    }
+    assert(e.getMessage.contains("truncated") ||
+      Option(e.getCause).exists(_.getMessage.contains("truncated")), e.getMessage)
+  }
+}
