@@ -1054,6 +1054,21 @@ object SparkEntry {
       Dedup.embeddingPairs(aug, "vec_id", "embedding", minCosine = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
+    // HTML main-content extraction (the WARC → text step): documents
+    // wrapped into a full page (head/style/script/comments around the
+    // body) must come back out as clean text — the identical RE2-safe
+    // regex chain runs in DuckDB, so the extraction is hash-proven
+    "q_html_text" -> ((spark, dir) => {
+      init(spark, dir)
+      val html = concat(
+        lit("<html><head><title>d</title><style>p { color: red; }</style>" +
+          "<script>if (1 < 2) { alert(\"x\"); }</script></head>" +
+          "<body><!-- boilerplate --><h1>Doc&nbsp;"),
+        col("doc_id").cast("string"),
+        lit("</h1><p class=\"main\">"), col("text"), lit("</p></body></html>"))
+      spark.table("documents")
+        .select(col("doc_id"), TextAnalysis.htmlToText(html).as("clean"))
+    }),
     "q_lang_id" -> ((spark, dir) => {
       init(spark, dir)
       spark.table("documents")
@@ -1825,6 +1840,23 @@ object SparkEntry {
         |FROM ng g JOIN bench b ON g.h = b.h
         |WHERE g.doc_id % 20 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+    // the identical extraction chain in DuckDB: same patterns (inline
+    // (?is) flags + 'g'), same entity order, same whitespace class
+    "q_html_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  concat('<html><head><title>d</title><style>p { color: red; }</style>',
+        |         '<script>if (1 < 2) { alert("x"); }</script></head>',
+        |         '<body><!-- boilerplate --><h1>Doc&nbsp;', doc_id,
+        |         '</h1><p class="main">', text, '</p></body></html>') AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') x FROM s3),
+        |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(x,
+        |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |         '&#39;', ''''), '&apos;', ''''), '&amp;', '&') x FROM s4)
+        |SELECT doc_id, trim(regexp_replace(x, '[ \t\r\n\f]+', ' ', 'g')) AS clean FROM s5""".stripMargin,
     // DSIR weights rebuilt in SQL: identical md5 gram hashing (unigram =
     // md5(word), bigram = md5('w1 w2') — the kernel's space-joined
     // windows), identical add-one smoothing, and per-(doc, bucket)

@@ -37,6 +37,31 @@ object TextAnalysis {
     regexp_replace(email, lit("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"), lit("<PHONE>"))
   }
 
+  /** Main-content text from an HTML document — the extraction step
+    * between web-archive ingest ([[graft.sources.warc.WarcDataSource]])
+    * and quality filtering in a Common-Crawl-style pipeline. A
+    * deterministic regex pipeline, pure codegen'd column expressions
+    * (no UDF): script/style/comment blocks drop whole, every remaining
+    * tag becomes ONE space (word boundaries survive block tags), the
+    * five XML entities plus `&nbsp;`/`&#39;` decode (`&amp;` last so
+    * double-escapes cannot double-decode), whitespace collapses. All
+    * patterns are RE2-safe with an explicit whitespace class, so an
+    * external engine running the identical chain reproduces the output
+    * byte-for-byte (the q_html_text oracle does). */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, lit("(?is)<script[^>]*>.*?</script>"), lit(" "))
+    val noStyle = regexp_replace(noScript, lit("(?is)<style[^>]*>.*?</style>"), lit(" "))
+    val noComment = regexp_replace(noStyle, lit("(?s)<!--.*?-->"), lit(" "))
+    val noTags = regexp_replace(noComment, lit("<[^>]+>"), lit(" "))
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        call_function("replace", c, lit(e), lit(r))
+      }
+    trim(regexp_replace(decoded, lit("[ \\t\\r\\n\\f]+"), lit(" ")))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

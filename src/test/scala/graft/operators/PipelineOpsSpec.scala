@@ -9,6 +9,39 @@ class PipelineOpsSpec extends SparkTestBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("htmlToText strips markup, decodes entities, and keeps word boundaries") {
+    import spark.implicits._
+    val rows = Seq(
+      ("<html><head><script>if (a < b) { x = \"</p>\"; }</script>" +
+        "<style>h1 { font: x; }</style></head>" +
+        "<body><!-- ad --><h1>Title</h1><p>one</p><p>two &amp;amp; three</p>" +
+        "<span>a&nbsp;b</span> &lt;tag&gt; &#39;q&#39;</body></html>",
+       "Title one two &amp; three a b <tag> 'q'"),
+      ("plain text, no markup", "plain text, no markup"),
+      ("  spaced\n\nout\ttext  ", "spaced out text"))
+    val got = rows.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == rows.map(_._2), got)
+    // null in, null out (expression semantics)
+    assert(Seq((null: String)).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h"))).head.isNullAt(0))
+    // composition: WARC response bodies -> extracted text (the ingest
+    // pipeline's first two stages chained)
+    val dir = java.nio.file.Files.createTempDirectory("warc-html")
+    val body = "<html><body><p>hello&nbsp;crawl</p></body></html>"
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body").getBytes("UTF-8")
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://w.example/\r\n" +
+      s"WARC-Record-ID: <urn:uuid:x>\r\nContent-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++ http ++ "\r\n\r\n".getBytes("UTF-8")
+    java.nio.file.Files.write(dir.resolve("a.warc"), rec)
+    val text = spark.read.format("graft-warc").load(dir.toString)
+      .where(col("warc_type") === "response")
+      .select(TextAnalysis.htmlToText(col("body").cast("string")).as("t"))
+      .head.getString(0)
+    assert(text == "hello crawl")
+  }
+
   test("exact dedup finds planted duplicates") {
     val planted = docs.select($"doc_id", $"text")
       .union(docs.select($"doc_id" + 100000, $"text").limit(5))
