@@ -337,6 +337,47 @@ object ScaleSmoke {
       Bpe.train(docs100, "text", numMerges = 200).merges.size
     }
 
+    // exact KNN spatial join: 300k left x 10k right, k=3 — rounds stay
+    // logarithmic and the per-round join is the grid shape
+    time("knn spatial join 300k x 10k, k=3") {
+      SpatialJoin.knnJoin(cust20, "cgeom", "c_custkey",
+        supp10, "sgeom", "s_suppkey", k = 3).count()
+    }
+
+    // SemDeDup decade: 4k → 40k embeddings (augmented near-dup pairs);
+    // training is bounded (driver-local here), so growth tracks the
+    // assignment + sweep passes — linear in corpus volume
+    val emb = spark.table("embeddings")
+    val aug = spark.sql(
+      """SELECT vec_id, embedding FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 10000000 AS vec_id,
+        |       transform(embedding, (x, i) ->
+        |         IF(i = 0, CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT), x)) AS embedding
+        |FROM embeddings""".stripMargin)
+    val aug10 = (0 until 10).map(i => aug.select(
+        (col("vec_id") + lit(i * 100000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    time("semdedup 4k embeddings") {
+      operators.SemDedup.assign(aug, "vec_id", "embedding", tau = 0.95,
+        k = 64, trainSampleSize = 10000).where(!col("kept")).count()
+    }
+    time("semdedup 40k embeddings") {
+      operators.SemDedup.assign(aug10, "vec_id", "embedding", tau = 0.95,
+        k = 64, trainSampleSize = 10000).where(!col("kept")).count()
+    }
+
+    // DSIR decade: weights over 50k vs 500k docs — bucket tables stay
+    // |buckets|-bounded, scoring shuffle carries (doc, bucket) partials
+    time("dsir weights 50k docs") {
+      Corpus.dsirWeights(docs10, docs10.where(col("doc_id") % 3 === 0),
+        "doc_id", "text").agg(sum("dsir_weight")).collect()(0)
+    }
+    time("dsir weights 500k docs") {
+      Corpus.dsirWeights(docs100, docs100.where(col("doc_id") % 3 === 0),
+        "doc_id", "text").agg(sum("dsir_weight")).collect()(0)
+    }
+
     // classifier quality filter: train on 5k labeled docs, score 500k —
     // scoring is the part that sees the full corpus and must be map-only
     if (willTime("quality classifier score 500k docs")) {
