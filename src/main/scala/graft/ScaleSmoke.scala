@@ -347,7 +347,6 @@ object ScaleSmoke {
     // SemDeDup decade: 4k → 40k embeddings (augmented near-dup pairs);
     // training is bounded (driver-local here), so growth tracks the
     // assignment + sweep passes — linear in corpus volume
-    val emb = spark.table("embeddings")
     val aug = spark.sql(
       """SELECT vec_id, embedding FROM embeddings
         |UNION ALL

@@ -241,7 +241,7 @@ object Corpus {
     // idempotent registration of the word_window_hashes kernel — the same
     // pattern Dedup.jaccardRefine uses for its kernel call
     graft.Graft.register(df.sparkSession)
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")
+    val toks = TextAnalysis.wsTokens(col(textCol))
     val allWins = df
       .select(col(idCol).as("__id"), toks.as("__ws"))
       .where(size(col("__ws")) >= windowTokens)
@@ -413,6 +413,21 @@ object Corpus {
   def ntileByGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column],
                    n: Int, outCol: String = "tile"): DataFrame = {
     require(n > 0, "ntile needs a positive tile count")
+    // the driver offset maps key on the collected row VALUE — sound only
+    // for types whose JVM representation has value equality (a binary
+    // column collects as Array[Byte] with identity equality: every row
+    // would be its own group and the stamp lookups would miss)
+    df.schema(groupCol).dataType match {
+      case _: org.apache.spark.sql.types.BinaryType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType =>
+        throw new IllegalArgumentException(
+          s"ntileByGroup group column '$groupCol' has type " +
+            s"${df.schema(groupCol).dataType.simpleString}: group keys must be " +
+            "atomic (string/numeric/date) — cast or hash the column first")
+      case _ => ()
+    }
     val spark = df.sparkSession
     val sortCols = col(groupCol) +: orderCols
     val ranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
@@ -495,7 +510,7 @@ object Corpus {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"n-gram sizes must be >= 1: $ns")
     graft.Graft.register(raw.sparkSession)
     def gramBuckets(df: DataFrame, cols: Column*): DataFrame = {
-      val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= lit(""))
+      val toks = TextAnalysis.wsTokens(col(textCol))
       df.select(cols :+ explode(flatten(array(
           ns.map(n => call_function("word_window_hashes", toks, lit(n))): _*))).as("__h"): _*)
         .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))

@@ -93,7 +93,9 @@ object SpatialJoin {
   /** Exact k-nearest-neighbors join: each left row pairs with its `k`
     * nearest right rows by planar `ST_Distance` (ties broken by
     * `rightId`), with `knn_dist` and `knn_rank` (1 = nearest) appended.
-    * Rows whose side has fewer than `k` counterparts get them all.
+    * Rows whose side has fewer than `k` counterparts get them all;
+    * null-geometry rows are excluded from both sides (inner-join
+    * semantics — a null has no distance to anything).
     *
     * The classic expanding-radius reduction to the grid join: round t
     * runs [[distanceJoin]] at radius r_t over the still-unresolved left
@@ -123,7 +125,16 @@ object SpatialJoin {
     Graft.register(left.sparkSession)
     import org.apache.spark.sql.expressions.Window
 
-    val rstats = right.select(
+    // null-geometry rows have no distance to anything: excluded from both
+    // sides (inner-join semantics — the distanceJoin rounds would drop
+    // them anyway, but a null LEFT row that merely *dropped* from every
+    // round would read as "unresolved" and crash the convergence check,
+    // and null RIGHT rows must not inflate the |right| the resolution
+    // threshold compares against)
+    val leftNN = left.where(col(leftGeom).isNotNull)
+    val rightNN = right.where(col(rightGeom).isNotNull)
+
+    val rstats = rightNN.select(
         call_function("st_xmin", col(rightGeom)).as("x0"),
         call_function("st_xmax", col(rightGeom)).as("x1"),
         call_function("st_ymin", col(rightGeom)).as("y0"),
@@ -139,12 +150,12 @@ object SpatialJoin {
     val rSpanY = if (rstats.isNullAt(2)) 0.0 else rstats.getDouble(2)
     // the COMBINED extent bounds every left↔right distance (a left row
     // outside the right extent needs a radius past the right span)
-    val cstats = left.select(
+    val cstats = leftNN.select(
         call_function("st_xmin", col(leftGeom)).as("x0"),
         call_function("st_xmax", col(leftGeom)).as("x1"),
         call_function("st_ymin", col(leftGeom)).as("y0"),
         call_function("st_ymax", col(leftGeom)).as("y1"))
-      .unionAll(right.select(
+      .unionAll(rightNN.select(
         call_function("st_xmin", col(rightGeom)).as("x0"),
         call_function("st_xmax", col(rightGeom)).as("x1"),
         call_function("st_ymin", col(rightGeom)).as("y0"),
@@ -165,12 +176,12 @@ object SpatialJoin {
     }
 
     val w = Window.partitionBy(col(leftId)).orderBy(col("knn_dist"), col(rightId))
-    var unresolved = left
+    var unresolved = leftNN
     var resolved: DataFrame = null
     var r = r0
     var rounds = 0
     while (rounds < maxRounds && !unresolved.isEmpty) {
-      val ranked = distanceJoin(unresolved, leftGeom, right, rightGeom,
+      val ranked = distanceJoin(unresolved, leftGeom, rightNN, rightGeom,
           radius = r, cellSize = r)
         .withColumn("knn_dist",
           call_function("st_distance", col(leftGeom), col(rightGeom)))
@@ -196,7 +207,12 @@ object SpatialJoin {
     }
     require(unresolved.isEmpty,
       s"knnJoin did not resolve all left rows in $maxRounds rounds")
-    resolved
+    // an empty (or all-null-geometry) left side never enters the loop:
+    // answer the empty frame in the result's shape, not null
+    if (resolved == null)
+      left.limit(0).crossJoin(right.limit(0))
+        .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(0))
+    else resolved
   }
 
   private def join(left: DataFrame, leftGeom: String,

@@ -212,12 +212,21 @@ object TextAnalysis {
     df.withColumn("lm_logprob", score(col(textCol)))
   }
 
+  /** THE whitespace tokenizer every gram-level operator shares
+    * (lowercase → trim → split on runs of whitespace → drop empties).
+    * Load-bearing for oracle parity: every DuckDB oracle replays exactly
+    * `list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w
+    * <> '')`, so the expression must exist in ONE place — a drift in a
+    * private copy would silently break a hash proof. */
+  private[graft] def wsTokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
+
   /** All word n-grams of `text` (whitespace-tokenized, lowercased),
     * joined back to strings; a document shorter than `n` words has
     * none. Pure column expression — no UDF, stays in codegen. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    val ws = filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
+    val ws = wsTokens(text)
     when(size(ws) >= n,
       transform(sequence(lit(1), size(ws) - (n - 1)),
         i => array_join(slice(ws, i, lit(n)), " ")))
@@ -232,8 +241,7 @@ object TextAnalysis {
     * text is never allocated. */
   private def ngramHashes(df: DataFrame, textCol: String, n: Int): Column = {
     graft.Graft.register(df.sparkSession)
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= lit(""))
-    array_distinct(call_function("word_window_hashes", toks, lit(n)))
+    array_distinct(call_function("word_window_hashes", wsTokens(col(textCol)), lit(n)))
   }
 
   /** A pre-built decontamination probe: the evaluation suite's distinct

@@ -138,14 +138,18 @@ object MongoWire {
             }
             for { du <- pctDecode(u); dp <- pctDecode(p) } yield Some((du, dp))
         }
+        // option KEYS are case-insensitive per the connection-string spec
+        // (readpreference=/TLS= must not silently no-op); values keep
+        // their case
         val params: Map[String, String] = Option(query).map(
           _.split("&").iterator.filter(_.nonEmpty).map { kv =>
             kv.indexOf('=') match {
-              case -1 => kv -> ""
-              case i  => kv.substring(0, i) -> kv.substring(i + 1)
+              case -1 => kv.toLowerCase(java.util.Locale.ROOT) -> ""
+              case i  => kv.substring(0, i).toLowerCase(java.util.Locale.ROOT) ->
+                kv.substring(i + 1)
             }
           }.toMap).getOrElse(Map.empty)
-        val mech = params.get("authMechanism")
+        val mech = params.get("authmechanism")
         val mechOk = mech.forall(m => m == "SCRAM-SHA-1" || m == "SCRAM-SHA-256")
         // boolean options are STRICT: `tls=True`/`tls=1` must not silently
         // fail open to plaintext — anything but true/false is malformed
@@ -158,7 +162,7 @@ object MongoWire {
           }
         // readPreference is STRICT like the booleans: a typo'd mode must
         // not silently read from the wrong member class
-        val rp = params.getOrElse("readPreference", "primary")
+        val rp = params.getOrElse("readpreference", "primary")
         for {
           hs <- hostsOk
           c <- credsOk
@@ -167,9 +171,9 @@ object MongoWire {
           tlsOpt <- boolOpt("tls")
           sslOpt <- boolOpt("ssl")
           if tlsOpt.isEmpty || sslOpt.isEmpty || tlsOpt == sslOpt // no tls=true&ssl=false
-          insecureOpt <- boolOpt("tlsAllowInvalidCertificates")
+          insecureOpt <- boolOpt("tlsallowinvalidcertificates")
         } yield ConnSpec(hs, db, coll, c,
-          authSource = params.getOrElse("authSource", db),
+          authSource = params.getOrElse("authsource", db),
           authMechanism = mech,
           compressors = params.get("compressors").toSeq
             .flatMap(_.split(",")).filter(_ == "zlib"),

@@ -182,8 +182,10 @@ private[warc] object WarcParser {
   /** Records of one stream, pushed `filters` evaluated on the header
     * fields BEFORE the block is read; `needBlock=false` skips every
     * accepted record's block too (header-only projections). */
-  def records(in: InputStream, file: String, filters: Seq[Filter],
+  def records(raw: InputStream, file: String, filters: Seq[Filter],
               needBlock: Boolean): Iterator[Record] = new Iterator[Record] {
+    // one pushback byte: skipFully's post-skip EOF probe (see there)
+    private val in = new java.io.PushbackInputStream(raw, 1)
     private var nextRecord: Record = _
     private var done = false
 
@@ -201,8 +203,11 @@ private[warc] object WarcParser {
         readHeaders(in, file) match {
           case None => done = true
           case Some(headers) =>
-            val len = headers.get("content-length").map(_.toLong).getOrElse(
-              throw new java.io.IOException(s"$file: WARC record without Content-Length"))
+            val len = headers.get("content-length").flatMap(_.toLongOption).getOrElse(
+              throw new java.io.IOException(
+                s"$file: WARC record without a numeric Content-Length"))
+            if (len < 0) throw new java.io.IOException(
+              s"$file: negative WARC Content-Length $len")
             val fields = fieldMap(headers)
             if (!filters.forall(StringFilterEval.passes(_, fields))) {
               skipFully(in, len, file)
@@ -210,6 +215,9 @@ private[warc] object WarcParser {
               skipFully(in, len, file)
               nextRecord = Record(headers, len, None, None, None)
             } else {
+              if (len > Int.MaxValue - 16) throw new java.io.IOException(
+                s"$file: WARC block of $len bytes exceeds the 2 GiB " +
+                  "materialization limit — project header fields only")
               val block = new Array[Byte](len.toInt)
               readFully(in, block, file)
               val isHttp = headers.get("content-type")
@@ -305,7 +313,15 @@ private[warc] object WarcParser {
     }
   }
 
-  private def skipFully(in: InputStream, n: Long, file: String): Unit = {
+  /** Skips exactly `n` block bytes, failing loudly on truncation.
+    * `InputStream.skip` cannot be trusted for that: a FileInputStream
+    * seeks PAST EOF and reports the full count, which would turn a
+    * truncated tail into a silent partial scan — the exact corruption
+    * this parser promises to refuse. So: skip() for speed, then verify
+    * the stream still has a byte (every ISO 28500 record is followed by
+    * its CRLFCRLF separator, so mid-file block ends always have one) and
+    * push it back; a post-skip EOF is truncation. */
+  private def skipFully(in: java.io.PushbackInputStream, n: Long, file: String): Unit = {
     var left = n
     val buf = new Array[Byte](64 * 1024)
     while (left > 0) {
@@ -320,5 +336,9 @@ private[warc] object WarcParser {
         left -= r
       }
     }
+    val probe = in.read()
+    if (probe < 0) throw new EOFException(
+      s"$file: truncated WARC block (skip ran past end of file)")
+    in.unread(probe)
   }
 }

@@ -112,6 +112,23 @@ class WarcSourceSpec extends SparkTestBase {
       "software: graft-test\r\n".getBytes(UTF_8).length)
   }
 
+  test("a truncated block fails loudly even on the SKIP path (seek past EOF)") {
+    // file ends mid-block of a record whose block is only SKIPPED
+    // (header-only projection): FileInputStream.skip seeks past EOF and
+    // claims success, so the parser must probe — a silent partial scan
+    // here would be corrupted training data
+    val dir = Files.createTempDirectory("warc-trunc-skip")
+    val bytes = sampleWarc
+    Files.write(dir.resolve("part-0.warc"), bytes.take(bytes.length - 30))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-warc").load(dir.toString)
+        .select("warc_type").collect() // no body → skip path
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("truncated")), messages(e))
+  }
+
   test("a truncated record fails loudly instead of silently dropping the tail") {
     val dir = Files.createTempDirectory("warc-trunc")
     val bytes = sampleWarc

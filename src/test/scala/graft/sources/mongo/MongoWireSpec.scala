@@ -979,6 +979,18 @@ class MongoWireSpec extends SparkTestBase {
     assert(MongoWire.anatomy("mongodb://h/db/c?readPreference=secondary").nonEmpty)
   }
 
+  test("option KEYS are case-insensitive (connection-string spec); values are not") {
+    // readpreference=/READPREFERENCE= must select the member class, not
+    // silently no-op to a primary read
+    val spec = MongoWire.ConnSpec.parse("mongodb://h/db/c?READPREFERENCE=secondary").get
+    assert(spec.readPreference == "secondary")
+    val spec2 = MongoWire.ConnSpec.parse(
+      "mongodb://h/db/c?AuthSource=admin&TLS=true&tlsallowinvalidcertificates=true").get
+    assert(spec2.authSource == "admin" && spec2.tls && spec2.tlsInsecure)
+    // the VALUE stays case-sensitive: a typo'd mode is still malformed
+    assert(MongoWire.ConnSpec.parse("mongodb://h/db/c?readpreference=Secondary").isEmpty)
+  }
+
   test("a member whose hello answers ok:0 is skipped, not fatal") {
     val sick = new FakeMongod.Server(Nil)
     val healthy = new FakeMongod.Server(featureDocs.take(6))
