@@ -1054,6 +1054,19 @@ object SparkEntry {
       Dedup.embeddingPairs(aug, "vec_id", "embedding", minCosine = 0.95)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
+    // URL canonicalization (the url-dedup pre-pass): mixed-case host +
+    // default port + unsorted query + fragment must collapse to ONE
+    // canonical form. The oracle constructs the EXPECTED output
+    // independently (not a chain replay) — a stronger check
+    "q_url_normalize" -> ((spark, dir) => {
+      init(spark, dir)
+      val url = concat(lit("HTTP://C"), col("c_custkey").cast("string"),
+        lit(".Example.COM:80/p/"), pmod(col("c_custkey"), lit(7)).cast("string"),
+        lit("?z="), col("c_custkey").cast("string"), lit("&a=1#frag"))
+      spark.table("customer").select(col("c_custkey"),
+        TextAnalysis.normalizeUrl(url).as("url_norm"),
+        TextAnalysis.urlDomain(url).as("domain"))
+    }),
     // HTML main-content extraction (the WARC → text step): documents
     // wrapped into a full page (head/style/script/comments around the
     // body) must come back out as clean text — the identical RE2-safe
@@ -1840,6 +1853,12 @@ object SparkEntry {
         |FROM ng g JOIN bench b ON g.h = b.h
         |WHERE g.doc_id % 20 <> 0
         |GROUP BY g.doc_id""".stripMargin,
+    "q_url_normalize" ->
+      """SELECT c_custkey,
+        |       concat('http://c', c_custkey, '.example.com/p/', c_custkey % 7,
+        |              '?a=1&z=', c_custkey) AS url_norm,
+        |       'example.com' AS domain
+        |FROM customer""".stripMargin,
     // the identical extraction chain in DuckDB: same patterns (inline
     // (?is) flags + 'g'), same entity order, same whitespace class
     "q_html_text" ->

@@ -62,6 +62,48 @@ object TextAnalysis {
     trim(regexp_replace(decoded, lit("[ \\t\\r\\n\\f]+"), lit(" ")))
   }
 
+  /** Canonical form of an absolute http(s) URL — the key for URL-level
+    * dedup (the pre-pass web-crawl pipelines run before any content
+    * dedup: the same page fetched as `HTTP://WWW.X.COM:80/a?b=2&a=1#f`
+    * and `http://www.x.com/a?a=1&b=2` must collapse). Scheme and host
+    * lowercase, default ports strip (`:80` http / `:443` https),
+    * fragments drop, query parameters sort bytewise, an empty path
+    * becomes `/`. Pure column expressions (regexp_extract / array_sort —
+    * codegen'd, no UDF) with engine-portable regexes; a value without an
+    * http(s) scheme passes through unchanged. */
+  def normalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http" && hostPort.endsWith(":80"),
+        regexp_replace(hostPort, lit(":80$"), lit("")))
+      .when(scheme === "https" && hostPort.endsWith(":443"),
+        regexp_replace(hostPort, lit(":443$"), lit("")))
+      .otherwise(hostPort)
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val sortedQuery = array_join(array_sort(split(query, "&")), "&")
+    when(scheme === "http" || scheme === "https",
+      concat(scheme, lit("://"), host,
+        when(path === "", "/").otherwise(path),
+        when(query === "", "").otherwise(concat(lit("?"), sortedQuery))))
+      .otherwise(u)
+  }
+
+  /** Registered-domain heuristic from an absolute URL: the last two host
+    * labels (`a.b.example.com` → `example.com`), ports stripped. A real
+    * public-suffix list would refine multi-label suffixes (`co.uk`);
+    * this is the deterministic, dependency-free cut for per-domain
+    * mixing/filtering ([[graft.operators.Corpus.mixture]] keys). */
+  def urlDomain(u: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)),
+      lit("\\.$"), lit(""))
+    val parts = split(host, "\\.")
+    when(host === "", null)
+      .when(size(parts) <= 2, host)
+      .otherwise(concat(element_at(parts, -2), lit("."), element_at(parts, -1)))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

@@ -42,6 +42,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(text == "hello crawl")
   }
 
+  test("normalizeUrl canonicalizes and urlDomain extracts the registered domain") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.X.COM:80/a?b=2&a=1#f", "http://www.x.com/a?a=1&b=2", "x.com"),
+      ("https://Api.Sub.Example.ORG:443", "https://api.sub.example.org/", "example.org"),
+      ("https://h.io:8443/p", "https://h.io:8443/p", "h.io"), // non-default port kept
+      // the documented no-PSL cut: a multi-label public suffix keeps its
+      // last two labels (a real PSL would answer two.co.uk)
+      ("http://one.two.co.uk/", "http://one.two.co.uk/", "co.uk"),
+      ("http://x.com/path", "http://x.com/path", "x.com"),
+      ("ftp://x.com/a", "ftp://x.com/a", "x.com"), // non-http passes through
+      ("not a url", "not a url", null))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.normalizeUrl(col("u")), TextAnalysis.urlDomain(col("u")))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got.toSeq == cases.map(c => (c._2, c._3)), got.toSeq)
+  }
+
   test("exact dedup finds planted duplicates") {
     val planted = docs.select($"doc_id", $"text")
       .union(docs.select($"doc_id" + 100000, $"text").limit(5))
