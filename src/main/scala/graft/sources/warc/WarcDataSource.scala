@@ -77,16 +77,18 @@ private class WarcTable(properties: Map[String, String])
     s"graft-warc(${properties.getOrElse("path", properties.getOrElse("paths", "?"))})"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  private lazy val files: Seq[String] =
+  // listed lazily AND per scan build for streaming: each micro-batch
+  // must see newly-landed files
+  private def listNow(): Seq[String] =
     DocFiles.listFiles(DocFiles.pathsOf(new CaseInsensitiveStringMap(properties.asJava)))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(files)
+    new WarcScanBuilder(listNow(), () => listNow())
 }
 
-private class WarcScanBuilder(files: Seq[String])
+private class WarcScanBuilder(files: Seq[String], listNow: () => Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -104,11 +106,12 @@ private class WarcScanBuilder(files: Seq[String])
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = WarcScan(required, files, pushed)
+  override def build(): Scan = WarcScan(required, files, pushed, listNow)
 }
 
 private[graft] case class WarcScan(required: StructType, files: Seq[String],
-                                   pushed: Array[Filter])
+                                   pushed: Array[Filter],
+                                   listNow: () => Seq[String] = () => Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -118,6 +121,58 @@ private[graft] case class WarcScan(required: StructType, files: Seq[String],
     files.map(f => WarcInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required, pushed, DocFiles.HttpTimeoutMs)
+
+  /** Streaming ingest: each micro-batch reads the files that LANDED
+    * since the last batch (a crawl segment directory filling up). The
+    * offset is the set of seen file paths — monotone under re-listing
+    * (deleted files stay in the offset), serialized as a sorted JSON
+    * array; a production source would compact this log, a cut documented
+    * here. Files must be written atomically (rename-in), the standard
+    * file-stream contract. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(this)
+}
+
+private class WarcMicroBatchStream(scan: WarcScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  @volatile private var seen: Set[String] = Set.empty
+
+  private case class WarcOffset(files: Set[String]) extends SOffset {
+    override def json(): String =
+      mapper.writeValueAsString(files.toArray.sorted)
+  }
+
+  private def parse(o: SOffset): Set[String] = o match {
+    case WarcOffset(fs) => fs
+    case other =>
+      val arr = mapper.readTree(other.json())
+      val b = Set.newBuilder[String]
+      arr.forEach(n => b += n.asText())
+      b.result()
+  }
+
+  override def initialOffset(): SOffset = WarcOffset(Set.empty)
+  override def deserializeOffset(json: String): SOffset = {
+    val arr = mapper.readTree(json)
+    val b = Set.newBuilder[String]
+    arr.forEach(n => b += n.asText())
+    WarcOffset(b.result())
+  }
+  override def latestOffset(): SOffset = {
+    seen = seen ++ scan.listNow()
+    WarcOffset(seen)
+  }
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val fresh = (parse(end) -- parse(start)).toArray.sorted
+    fresh.map(f => WarcInputPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(scan.readSchema(), scan.pushed, DocFiles.HttpTimeoutMs)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class WarcInputPartition(file: String) extends InputPartition

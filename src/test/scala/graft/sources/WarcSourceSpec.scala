@@ -112,6 +112,34 @@ class WarcSourceSpec extends SparkTestBase {
       "software: graft-test\r\n".getBytes(UTF_8).length)
   }
 
+  test("streaming ingest: each micro-batch reads only the files that landed") {
+    val dir = Files.createTempDirectory("warc-stream")
+    def respOnly(uri: String, id: String, body: String): Array[Byte] =
+      warcRecord("response", uri, id, "application/http; msgtype=response",
+        httpResponse(200, "text/html", body))
+    Files.write(dir.resolve("seg-0.warc"), respOnly("http://a.example/", "aa", "<p>alpha</p>"))
+    val q = spark.readStream.format("graft-warc").load(dir.toString)
+      .where(col("warc_type") === "response")
+      .select(col("target_uri"),
+        graft.operators.TextAnalysis.htmlToText(col("body").cast("string")).as("text"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("warc-stream-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.table("warc_stream").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(batch1 == Set(("http://a.example/", "alpha")))
+      // a new segment lands: the next batch reads ONLY it
+      Files.write(dir.resolve("seg-1.warc"), respOnly("http://b.example/", "bb", "<p>beta</p>"))
+      q.processAllAvailable()
+      val all = spark.table("warc_stream").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(all == Set(("http://a.example/", "alpha"), ("http://b.example/", "beta")))
+    } finally q.stop()
+  }
+
   test("a truncated block fails loudly even on the SKIP path (seek past EOF)") {
     // file ends mid-block of a record whose block is only SKIPPED
     // (header-only projection): FileInputStream.skip seeks past EOF and
