@@ -1161,9 +1161,13 @@ object SparkEntry {
     "q_dsir" -> ((spark, dir) => {
       init(spark, dir)
       val docs = spark.table("documents")
+      // + 0.0 collapses IEEE signed zero: a tiny negative weight rounds
+      // to -0.0 in engines that round in doubles (DuckDB), while Spark's
+      // BigDecimal round has no signed zero — the sf1 refresh caught the
+      // "-0" vs "0" hash split on exactly one of 50k docs
       Corpus.dsirWeights(docs, docs.where(col("lang") === "en"),
           "doc_id", "text", buckets = 10000)
-        .select(col("doc_id"), round(col("dsir_weight"), 4).as("dsir_w"))
+        .select(col("doc_id"), (round(col("dsir_weight"), 4) + 0.0).as("dsir_w"))
     }),
     // C4-style quality gate as scan-level predicates (352 of 500 docs pass
     // at sf0.01 — real selectivity, not a vacuous filter)
@@ -1896,7 +1900,7 @@ object SparkEntry {
         |       FROM rc LEFT JOIN tc ON rc.b = tc.b),
         |db AS (SELECT doc_id, b, count(*) c FROM g GROUP BY doc_id, b),
         |sc AS (SELECT db.doc_id, sum(db.c * lr.lr) w FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id)
-        |SELECT d.doc_id, round(COALESCE(sc.w, 0.0), 4) AS dsir_w
+        |SELECT d.doc_id, round(COALESCE(sc.w, 0.0), 4) + 0.0 AS dsir_w
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q_quality_filter" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2 FROM documents
