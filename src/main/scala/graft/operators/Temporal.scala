@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal / ordered-join operators Spark's built-in join surface lacks:
+  * the as-of join (attach the most recent prior — or next upcoming —
+  * right-side row to each left row) and the binned range join (point ∈
+  * [lo, hi] interval joins as an equi-join instead of a nested-loop).
+  *
+  * Both are built for the 100 TB case:
+  *   - the as-of join is the secondary-sort pattern ([[Corpus.packSequences]]
+  *     precedent): one hash exchange on the key columns, a sort within
+  *     partitions, then a single sequential pass with O(1) carried state —
+  *     no window function (a `last_value OVER (PARTITION BY key)` buffers
+  *     each key's partition whole; a hot key would land in one task), no
+  *     driver state, and row BODIES shuffle exactly once;
+  *   - the range join turns Spark's only native plan for
+  *     `point BETWEEN lo AND hi` (BroadcastNestedLoopJoin — quadratic) into
+  *     a bucketed equi-join: intervals explode to the fixed-width buckets
+  *     they cover, points map to exactly one bucket, and the shuffle joins
+  *     on bucket id. Each matching pair meets in exactly ONE bucket (the
+  *     point's), so no post-join dedup is needed.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row attach the payload of the `right` row
+    * with the greatest right time ≤ the left row's time (direction
+    * `"backward"`, the default) or the smallest right time ≥ it
+    * (`"forward"`), matching on equal key columns.
+    *
+    * This is the standard event-enrichment / slowly-changing-dimension
+    * lookup (each trade gets the latest quote at or before it; each
+    * purchase gets the most recent prior click). Semantics follow the
+    * common dataframe-library contract: exact time matches are included,
+    * and `tolerance` (in units of the derived time key — microseconds for
+    * timestamp columns, the column's own units for integral columns)
+    * drops matches farther away than the bound.
+    *
+    * Determinism among equal right times is pinned by `tieCols` (right-side
+    * columns): backward carries the LARGEST `(time, ties)` right row,
+    * forward the SMALLEST — so reruns and repartitions produce identical
+    * output, which is what lets a DuckDB oracle hash-match this operator.
+    *
+    * Mechanics: both sides project to `(keys, time, tag, ties, payload)`,
+    * union, hash-partition by key, sort within partitions by
+    * `(keys, time, tag, ties)` (right rows sort before left rows at equal
+    * time, so exact matches are visible when the left row streams past),
+    * then one `mapPartitions` pass carries the last-seen right payload per
+    * key — O(1) state, no window buffering, one shuffle of the unioned
+    * rows. Left rows with a null time and keys with no eligible right row
+    * emit null payload columns (left-outer semantics). Right rows with a
+    * null time are dropped (they cannot be ordered). A null KEY is a group
+    * of its own (the [[Corpus.packSequences]] convention). Key columns
+    * must be atomic (their values are compared with `Objects.equals` in
+    * the sequential pass).
+    *
+    * @param payloadCols right-side columns to attach (names must not
+    *                    collide with left's); other right columns are
+    *                    dropped
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKeys: Seq[String],
+               rightKeys: Seq[String], leftTime: String, rightTime: String,
+               payloadCols: Seq[String], direction: String = "backward",
+               tolerance: Option[Long] = None,
+               tieCols: Seq[String] = Nil): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "leftKeys and rightKeys must be non-empty and the same length")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")}")
+
+    // normalize the time column to a totally-ordered long: µs for
+    // timestamps/dates, the column's own value for integral types.
+    // Doubles/decimals are rejected (a lossy cast would silently change
+    // which row is "most recent").
+    def timeKey(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _: TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case DateType => unix_micros(col(c).cast(TimestampType))
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"as-of time column '$c' must be a timestamp, date, or integral type, got $other")
+    }
+
+    val payloadFields = payloadCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true))
+    val payloadType = StructType(payloadFields)
+    val tieTypes = tieCols.map(c => right.schema(c).dataType)
+    val nKeys = leftKeys.size
+
+    val leftPrep = left.select(
+      leftKeys.map(col) ++
+        Seq(timeKey(left, leftTime).as("__t"), lit(1).as("__tag")) ++
+        tieTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"__tie$i") } ++
+        Seq(struct(left.columns.toSeq.map(col): _*).as("__l"),
+          lit(null).cast(payloadType).as("__r")): _*)
+    val rightPrep = right
+      .where(col(rightTime).isNotNull)
+      .select(
+        rightKeys.map(col) ++
+          Seq(timeKey(right, rightTime).as("__t"), lit(0).as("__tag")) ++
+          tieCols.zipWithIndex.map { case (c, i) => col(c).as(s"__tie$i") } ++
+          Seq(lit(null).cast(left.schema).as("__l"),
+            struct(payloadCols.map(col): _*).as("__r")): _*)
+    // positional union: the two selects above have identical shapes but
+    // different key column names (left's names win)
+    val unioned = leftPrep.union(rightPrep)
+
+    val keyExprs = leftKeys.map(col)
+    val backward = direction == "backward"
+    // nulls FIRST in both directions: a null-time left row must sort
+    // before every right row so it streams past with nothing carried
+    // (desc's default nulls-last would hand it the final right payload)
+    val timeOrd = if (backward) col("__t").asc_nulls_first else col("__t").desc_nulls_first
+    val tieOrds = tieCols.indices.map(i =>
+      if (backward) col(s"__tie$i").asc_nulls_first else col(s"__tie$i").desc_nulls_first)
+    val sorted = unioned
+      .repartition(keyExprs: _*)
+      .sortWithinPartitions(
+        keyExprs.map(_.asc_nulls_first) ++ Seq(timeOrd, col("__tag").asc) ++ tieOrds: _*)
+
+    val tIdx = nKeys
+    val tagIdx = nKeys + 1
+    val lIdx = nKeys + 2 + tieCols.size
+    val rIdx = lIdx + 1
+    val nPayload = payloadFields.size
+    val tol = tolerance.getOrElse(Long.MaxValue)
+    val outSchema = StructType(left.schema.fields ++ payloadFields)
+
+    val outRdd = sorted.rdd.mapPartitions { it =>
+      // keys are clustered by the sort; carried state resets on key change.
+      // `started` is the no-previous-key sentinel — a null key is a valid
+      // group and must not re-trigger the reset on every row
+      var started = false
+      var curKey: Array[Any] = null
+      var carried: Row = null
+      var carriedT = 0L
+      def sameKey(k: Array[Any]): Boolean = {
+        var i = 0
+        while (i < k.length) {
+          if (!java.util.Objects.equals(curKey(i), k(i))) return false
+          i += 1
+        }
+        true
+      }
+      it.flatMap { row =>
+        val key = Array.tabulate[Any](nKeys)(row.get)
+        if (!started || !sameKey(key)) {
+          started = true; curKey = key; carried = null
+        }
+        if (row.getInt(tagIdx) == 0) { // right row: becomes the carried state
+          carried = row.getStruct(rIdx)
+          carriedT = row.getLong(tIdx)
+          Iterator.empty
+        } else { // left row: emit with the carried payload if eligible
+          val lRow = row.getStruct(lIdx)
+          val matched = carried != null && !row.isNullAt(tIdx) && {
+            val lt = row.getLong(tIdx)
+            val delta = if (backward) lt - carriedT else carriedT - lt
+            delta <= tol
+          }
+          val rVals =
+            if (matched) carried.toSeq
+            else Seq.fill[Any](nPayload)(null)
+          Iterator(Row.fromSeq(lRow.toSeq ++ rVals))
+        }
+      }
+    }
+    left.sparkSession.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Binned range join: rows of `left` joined to rows of `right` where
+    * `left(pointCol)` ∈ `[right(loCol), right(hiCol)]` (inclusive both
+    * ends), optionally under additional equi-conditions `extraKeys`
+    * (left-name → right-name).
+    *
+    * Spark's native plan for an interval predicate with no equality is
+    * BroadcastNestedLoopJoin — every (left, right) pair is tested, which
+    * is quadratic and caps the right side at broadcast size. Here each
+    * interval explodes map-side to the fixed-width buckets it covers,
+    * each point maps to exactly one bucket, and the join is a plain
+    * equi-join on `(bucket, extraKeys)` with the interval predicate
+    * re-applied — hash-partitioned, AQE-skew-splittable, no size cap on
+    * either side. A matching pair meets in exactly one bucket, so the
+    * output needs no dedup.
+    *
+    * `binWidth` trades replication for selectivity: an interval produces
+    * `len/binWidth + 1` bucket rows, a bucket collects every interval
+    * overlapping it. Pass 0 (the default) to auto-size from one tiny
+    * aggregate over the interval lengths (`max(avg, maxLen/1024)`, so no
+    * single interval explodes into more than ~1k buckets and the average
+    * interval covers ~2). Intervals with `lo > hi` and rows with a null
+    * point / bound are dropped (they can match nothing).
+    *
+    * Column names of `left` and `right` must be disjoint (standard join
+    * hygiene — rename upfront).
+    */
+  def rangeJoin(left: DataFrame, pointCol: String, right: DataFrame,
+                loCol: String, hiCol: String, binWidth: Double = 0.0,
+                extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binWidth >= 0.0, s"binWidth must be non-negative, got $binWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right column names must be disjoint, overlapping: ${overlap.mkString(", ")}")
+
+    val valid = right.where(col(loCol).isNotNull && col(hiCol).isNotNull &&
+      col(loCol) <= col(hiCol))
+    val w: Double =
+      if (binWidth > 0.0) binWidth
+      else {
+        // ONE tiny aggregate (a single driver row — bounded by
+        // construction): average and max interval length
+        val row = valid.agg(
+          avg(col(hiCol) - col(loCol)).cast(DoubleType),
+          max(col(hiCol) - col(loCol)).cast(DoubleType)).head()
+        if (row.isNullAt(0)) 1.0 // empty right side: any width joins nothing
+        else math.max(math.max(row.getDouble(0), row.getDouble(1) / 1024.0),
+          java.lang.Double.MIN_NORMAL)
+      }
+
+    val bin = "__graft_bin"
+    val leftB = left
+      .where(col(pointCol).isNotNull)
+      .withColumn(bin, floor(col(pointCol).cast(DoubleType) / w).cast(LongType))
+    val rightB = valid.withColumn(bin,
+      explode(sequence(floor(col(loCol).cast(DoubleType) / w).cast(LongType),
+        floor(col(hiCol).cast(DoubleType) / w).cast(LongType))))
+    val cond = extraKeys.foldLeft(
+      leftB(bin) === rightB(bin) &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol)) {
+      case (acc, (lc, rc)) => acc && col(lc) === col(rc)
+    }
+    leftB.join(rightB, cond).drop(leftB(bin)).drop(rightB(bin))
+  }
+}

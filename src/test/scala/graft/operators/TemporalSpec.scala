@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (key, t, id)
+    ("A", 10L, 1L), ("A", 20L, 2L), ("A", 25L, 3L),
+    ("B", 5L, 4L), ("B", 100L, 5L),
+    ("C", 7L, 6L) // key with no quotes at all
+  ).toDF("sym", "t", "trade_id")
+
+  private def quotes = Seq(
+    ("A", 8L, 1.0), ("A", 20L, 2.0), ("A", 21L, 3.0),
+    ("B", 50L, 4.0)
+  ).toDF("sym", "qt", "px")
+
+  private def asof(direction: String, tol: Option[Long] = None) =
+    Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"), "t", "qt",
+      Seq("qt", "px"), direction, tol)
+      .select("sym", "t", "trade_id", "qt", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+
+  test("backward: most recent quote at or before each trade; no-match keys null") {
+    assert(asof("backward") === Set(
+      ("A", 10L, Some(8L), Some(1.0)),   // 8 <= 10
+      ("A", 20L, Some(20L), Some(2.0)),  // exact match included
+      ("A", 25L, Some(21L), Some(3.0)),
+      ("B", 5L, None, None),             // quote is later
+      ("B", 100L, Some(50L), Some(4.0)),
+      ("C", 7L, None, None)))            // key absent from right
+  }
+
+  test("forward: next quote at or after each trade") {
+    assert(asof("forward") === Set(
+      ("A", 10L, Some(20L), Some(2.0)),
+      ("A", 20L, Some(20L), Some(2.0)),  // exact match included
+      ("A", 25L, None, None),
+      ("B", 5L, Some(50L), Some(4.0)),
+      ("B", 100L, None, None),
+      ("C", 7L, None, None)))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    val b = asof("backward", Some(2L))
+    assert(b.contains(("A", 10L, Some(8L), Some(1.0))))   // delta 2 kept
+    assert(b.contains(("A", 25L, None, None)))            // delta 4 dropped
+    val f = asof("forward", Some(10L))
+    assert(f.contains(("A", 10L, Some(20L), Some(2.0))))  // delta 10 kept
+    assert(f.contains(("B", 5L, None, None)))             // delta 45 dropped
+  }
+
+  test("ties at equal right time are pinned by tieCols (backward max, forward min)") {
+    val l = Seq(("k", 10L)).toDF("k", "t")
+    val r = Seq(("k", 10L, 1L, "first"), ("k", 10L, 2L, "second"))
+      .toDF("k", "rt", "seq", "tag")
+    def run(dir: String) = Temporal.asofJoin(l, r, Seq("k"), Seq("k"), "t", "rt",
+      Seq("seq", "tag"), dir, tieCols = Seq("seq")).select("tag").head().getString(0)
+    assert(run("backward") === "second") // largest (t, tie)
+    assert(run("forward") === "first")   // smallest (t, tie)
+  }
+
+  test("null left time is unmatched, null right time is ignored, null key is a group") {
+    val l = Seq((Some("k"), Option(10L)), (Some("k"), None),
+      (None: Option[String], Option(10L))).toDF("k", "t")
+    val r = Seq((Some("k"), Option(5L), 1.0), (Some("k"), None, 99.0),
+      (None: Option[String], Option(3L), 7.0)).toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(l, r, Seq("k"), Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(row => (Option(row.get(0)), Option(row.get(1)).map(_.asInstanceOf[Long]),
+        Option(row.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      (Some("k"), Some(10L), Some(1.0)), // null-rt right row never carried
+      (Some("k"), None, None),           // null left time → unmatched
+      (None, Some(10L), Some(7.0))))     // null key joins within its own group
+  }
+
+  test("timestamp time columns work in microseconds") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")))
+      .toDF("id", "ts")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), "x"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:11"), "y"))
+      .toDF("id", "rts", "v")
+    val hit = Temporal.asofJoin(l, r, Seq("id"), Seq("id"), "ts", "rts", Seq("v"))
+      .select("v").head().getString(0)
+    assert(hit === "x")
+    // 4 s tolerance (µs units) excludes the 5 s-old match
+    val none = Temporal.asofJoin(l, r, Seq("id"), Seq("id"), "ts", "rts", Seq("v"),
+      tolerance = Some(4000000L)).select("v").head()
+    assert(none.isNullAt(0))
+  }
+
+  test("randomized parity with a join+max_by emulation") {
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong)).toDF("lid", "k", "t")
+    val r = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong)).toDF("rk", "rt", "rid")
+    val got = Temporal.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      Seq("rt", "rid"), tolerance = Some(100L), tieCols = Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // emulation: outer join all eligible rights, keep the max (rt, rid)
+    val want = l.join(r, $"k" === $"rk" && $"rt" <= $"t" && $"t" - $"rt" <= 100L, "left")
+      .groupBy("lid").agg(max_by(struct($"rt", $"rid"), struct($"rt", $"rid")).as("m"))
+      .select($"lid", $"m.rid").as[(Long, Option[Long])].collect().toMap
+    assert(got === want)
+  }
+
+  test("asof validations reject bad input") {
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, quotes, Nil, Nil, "t", "qt", Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"), "t", "qt",
+        Seq("px"), direction = "nearest")
+    }
+    intercept[IllegalArgumentException] { // payload collides with left
+      Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"), "t", "qt", Seq("sym"))
+    }
+    intercept[IllegalArgumentException] { // double time column rejected
+      val l = Seq(("k", 1.5)).toDF("k", "t")
+      Temporal.asofJoin(l, quotes, Seq("k"), Seq("sym"), "t", "qt", Seq("px"))
+    }
+  }
+
+  // ---- rangeJoin ----
+
+  test("rangeJoin matches the cross-join filter on random data, negatives included") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map(i => (i.toLong, rnd.nextDouble() * 400 - 200))
+      .toDF("pid", "p")
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextDouble() * 400 - 200
+      (i.toLong, lo, lo + rnd.nextDouble() * 50)
+    }.toDF("iid", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = pairs(pts.crossJoin(ivs).where($"p" >= $"lo" && $"p" <= $"hi"))
+    assert(pairs(Temporal.rangeJoin(pts, "p", ivs, "lo", "hi")) === want)
+    // explicit width, including one far coarser and one far finer than auto
+    assert(pairs(Temporal.rangeJoin(pts, "p", ivs, "lo", "hi", binWidth = 500.0)) === want)
+    assert(pairs(Temporal.rangeJoin(pts, "p", ivs, "lo", "hi", binWidth = 0.37)) === want)
+  }
+
+  test("rangeJoin: inclusive bounds, invalid intervals and nulls dropped, extra keys") {
+    val pts = Seq((1L, "u1", 5.0), (2L, "u2", 5.0), (3L, "u1", 10.0),
+      (4L, "u1", Double.NaN)).toDF("pid", "pu", "p")
+      .withColumn("p", when(isnan($"p"), lit(null)).otherwise($"p"))
+    val ivs = Seq((10L, "u1", 5.0, 10.0), (20L, "u2", 6.0, 4.0), // lo > hi: dropped
+      (30L, "u2", 0.0, 5.0)).toDF("iid", "iu", "lo", "hi")
+    val out = Temporal.rangeJoin(pts, "p", ivs, "lo", "hi",
+      extraKeys = Seq("pu" -> "iu"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // both endpoints inclusive; user keys respected; null point dropped
+    assert(out === Set((1L, 10L), (3L, 10L), (2L, 30L)))
+  }
+
+  test("rangeJoin survives an empty right side and rejects overlapping names") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val empty = Seq.empty[(Long, Double, Double)].toDF("iid", "lo", "hi")
+    assert(Temporal.rangeJoin(pts, "p", empty, "lo", "hi").count() === 0L)
+    intercept[IllegalArgumentException] { // right reuses left's "pid" name
+      Temporal.rangeJoin(pts, "p", pts.withColumnRenamed("p", "lo")
+        .withColumn("hi", $"lo"), "lo", "hi")
+    }
+  }
+
+  test("rangeJoin plans as an equi-join, not a nested loop") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val plan = Temporal.rangeJoin(pts, "p", ivs, "lo", "hi", binWidth = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+  }
+
+  test("asof join output schema is left ++ payload with payload nullable") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"), "t", "qt", Seq("px"))
+    assert(out.columns.toSeq === Seq("sym", "t", "trade_id", "px"))
+    assert(out.schema("px").nullable)
+  }
+}
