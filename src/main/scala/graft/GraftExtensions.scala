@@ -175,6 +175,16 @@ object Graft {
     b("rolling_fingerprint", RollingFingerprint, Seq(StringType, IntegerType)),
     b("rolling_fingerprint_fast", RollingFingerprintFast, Seq(StringType, IntegerType)),
     b("word_window_hashes", WordWindowHashes, Seq(ArrayType(StringType), IntegerType)),
+    // KMV/theta distinct-count sketch over 60-bit hashes (bounded,
+    // mergeable, deterministic partial state — see SketchAggregates.scala)
+    b("kmv_distinct", (h: Expression, k: Expression) =>
+      KmvDistinctAgg(h, k).toAggregateExpression(), Seq(LongType, IntegerType)),
+    // bounded group-top-k (k-capped heap at every stage; the value child
+    // keeps its own type, so no coerce — see TopKAggregate.scala)
+    desc("topk_agg", es => TopKAgg(es(0), Cast(es(1), IntegerType),
+      reverse = false).toAggregateExpression()),
+    desc("bottomk_agg", es => TopKAgg(es(0), Cast(es(1), IntegerType),
+      reverse = true).toAggregateExpression()),
     u("lang_id", LangId, StringType),
     u("dup_line_fraction", DupLineFraction, StringType),
     u("top_token_fraction", TopTokenFraction, StringType),

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
+
+/** KMV ("k minimum values" / bottom-k theta) distinct-count sketch over
+  * 60-bit hash values — `kmv_distinct(h, k)`.
+  *
+  * The classic mergeable distinct-count sketch (Bar-Yossef et al. 2002;
+  * the architecture behind theta sketches): keep the k smallest DISTINCT
+  * hash values seen; if fewer than k exist the count is exact, otherwise
+  * the k-th smallest hash h₍ₖ₎ estimates the density of a uniform
+  * [0, 2⁶⁰) hash stream and the distinct count is `(k-1)·2⁶⁰ / h₍ₖ₎`
+  * (the unbiased form — `k·2⁶⁰/h₍ₖ₎` overshoots).
+  *
+  * Why this shape at 100 TB: `count(DISTINCT x)` shuffles every distinct
+  * value; this aggregate's partial state is ≤ k longs per partition
+  * regardless of cardinality, merges in O(k log k), and is DETERMINISTIC —
+  * the estimate is a pure function of the input SET, independent of
+  * partitioning and row order, so the same expression replayed by another
+  * engine (the DuckDB oracle sorts distinct hashes and applies the same
+  * formula to the k-th) reproduces it bit-for-bit. That determinism is
+  * what HyperLogLog-style register sketches can't give an exactness gate.
+  *
+  * Inputs are expected to be 60-bit non-negative hashes — the
+  * `word_window_hashes` md5 kernel's output domain (TextOps.scala), the
+  * same fingerprint family every dedup operator here rides. `k` must be a
+  * foldable literal ≥ 2.
+  */
+case class KmvDistinctAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvDistinctAgg.Buffer] {
+  import KmvDistinctAgg.{Buffer, HashSpace}
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure("kmv_distinct expects a LONG hash column")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("kmv_distinct expects a literal INT k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val k: Int = {
+    val v = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+    require(v >= 2, s"kmv_distinct k must be >= 2, got $v")
+    v
+  }
+
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+
+  private def insert(buf: Buffer, v: Long): Unit = {
+    val s = buf.set
+    if (s.size < buf.k) { s.add(v); () }
+    else if (v < s.last) {
+      if (s.add(v)) s.pollLast() // cap: drop the now-(k+1)-th smallest
+    }
+  }
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: Buffer): Any =
+    if (buf.set.size < buf.k) buf.set.size.toDouble // not full: count is exact
+    else {
+      // left-associated exactly as the oracle SQL writes it:
+      // ((k-1) * 2^60) / kth — FP association matters for the hash proof
+      val kth = buf.set.last.longValue()
+      (buf.k - 1).toDouble * HashSpace / kth.toDouble
+    }
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.set.size)
+    bb.putInt(buf.k).putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Buffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.set.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvDistinctAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+object KmvDistinctAgg {
+  /** 2⁶⁰ — the size of the `word_window_hashes` hash space. */
+  val HashSpace: Double = math.pow(2, 60)
+
+  /** ≤ k smallest distinct hashes; TreeSet gives dedup + ordered access. */
+  final class Buffer(val k: Int) {
+    val set = new java.util.TreeSet[java.lang.Long]()
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("heavyHitters is exact: equals groupBy-count-having on skewed data") {
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: item i drawn with weight 1/i over 500 distinct items
+    val weights = (1 to 500).map(i => 1.0 / i)
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val rows = (1 to 20000).map { _ =>
+      val u = rnd.nextDouble() * total
+      s"item${cum.indexWhere(_ >= u)}"
+    }
+    val df = rows.toDF("x").repartition(7)
+    for (k <- Seq(10, 50, 200)) {
+      val got = Sketches.heavyHitters(df, "x", k)
+        .as[(String, Long)].collect().toSet
+      val n = rows.size.toLong
+      val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("heavyHitters: nulls excluded, more counters than distinct items, empty input") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), None).toDF("x")
+    // n = 4 non-null; threshold n/k with k=3 → cnt > 1.33: only a (3)
+    assert(Sketches.heavyHitters(df, "x", 3).as[(String, Long)].collect().toSet
+      === Set(("a", 3L)))
+    // k far above cardinality: every item is a candidate, threshold still applies
+    assert(Sketches.heavyHitters(df, "x", 100).as[(String, Long)].collect().toSet
+      === Set(("a", 3L), ("b", 1L)))
+    val empty = Seq.empty[String].toDF("x")
+    assert(Sketches.heavyHitters(empty, "x", 5).count() === 0L)
+    intercept[IllegalArgumentException] { Sketches.heavyHitters(df, "x", 1) }
+  }
+
+  test("heavyHitters candidate superset survives adversarial partition skew") {
+    // all heavy mass in one partition, noise in the others
+    val heavy = Seq.fill(400)("H")
+    val noise = (1 to 600).map(i => s"n$i")
+    val df = spark.createDataFrame(
+      spark.sparkContext.makeRDD(heavy.map(Tuple1(_)), 1)
+        .union(spark.sparkContext.makeRDD(noise.map(Tuple1(_)), 5)))
+      .toDF("x")
+    // n=1000, k=5 → threshold 200: H (400) must survive
+    assert(Sketches.heavyHitters(df, "x", 5).as[(String, Long)].collect().toSet
+      === Set(("H", 400L)))
+  }
+
+  test("kmv_distinct is exact below k and partitioning-invariant above it") {
+    val hashes = (1 to 5000).map(i => (graft.functions.TextOps.md5Prefix64(s"v$i") >>> 4))
+    // exact regime: 100 distinct < k=256
+    val small = hashes.take(100).toDF("h")
+    assert(small.agg(call_function("kmv_distinct", $"h", lit(256))).head().getDouble(0)
+      === 100.0)
+    // duplicates don't count
+    val duped = (hashes.take(100) ++ hashes.take(100)).toDF("h")
+    assert(duped.agg(call_function("kmv_distinct", $"h", lit(256))).head().getDouble(0)
+      === 100.0)
+    // estimate regime: deterministic across partitionings, and accurate
+    val ests = Seq(1, 4, 13).map { p =>
+      hashes.toDF("h").repartition(p)
+        .agg(call_function("kmv_distinct", $"h", lit(256))).head().getDouble(0)
+    }
+    assert(ests.distinct.size === 1, s"partitioning changed the estimate: $ests")
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 3σ
+    assert(math.abs(ests.head - 5000.0) / 5000.0 < 0.19, s"estimate ${ests.head}")
+  }
+
+  test("kmv_distinct: nulls ignored, grouped aggregation, k validation") {
+    val df = Seq((Some(1L), "a"), (Some(2L), "a"), (None, "a"), (Some(9L), "b"))
+      .toDF("h", "g")
+    val out = df.groupBy("g").agg(call_function("kmv_distinct", $"h", lit(4)).as("d"))
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("a" -> 2.0, "b" -> 1.0))
+    // empty group set → zero
+    assert(Seq.empty[Long].toDF("h")
+      .agg(call_function("kmv_distinct", $"h", lit(4))).head().getDouble(0) === 0.0)
+    val e = intercept[Exception] {
+      df.agg(call_function("kmv_distinct", $"h", lit(1))).head()
+    }
+    // the require fires inside task execution; walk the cause chain
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("k must be >= 2"))
+  }
+
+  test("kmv_distinct matches the oracle's closed form on the full regime") {
+    // replicate the DuckDB oracle's arithmetic exactly: sort distinct
+    // hashes, take the k-th smallest, ((k-1) * 2^60) / kth
+    val k = 64
+    val hashes = (1 to 1000).map(i => (graft.functions.TextOps.md5Prefix64(s"w$i") >>> 4))
+    val got = hashes.toDF("h").repartition(5)
+      .agg(call_function("kmv_distinct", $"h", lit(k))).head().getDouble(0)
+    val kth = hashes.distinct.sorted.apply(k - 1)
+    val want = (k - 1).toDouble * math.pow(2, 60) / kth.toDouble
+    assert(got === want) // bit-exact, not approximate
+  }
+}
