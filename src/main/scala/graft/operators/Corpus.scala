@@ -49,6 +49,68 @@ object Corpus {
     df.where(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Deterministic EXACT-size stratified sample: min(n, |group|) rows per
+    * `groupCol` group — the "same number of documents from every domain /
+    * language" selection step, where [[sampleByHash]]'s Bernoulli rate
+    * can't promise exact counts.
+    *
+    * Selection is the n smallest `(hashUniform(id), id)` pairs per group,
+    * computed with the bounded `bottomk_agg` heap aggregate
+    * (TopKAggregate.scala): map-side partials are already capped at n, so
+    * the shuffle carries ≤ n·partitions ids per group instead of the
+    * group's rows, and no window function buffers a group in one task. A
+    * second pass semi-joins the picked ids back onto the corpus (the
+    * pick frame is |groups|·n rows — broadcastable whenever that is
+    * small). Deterministic: membership depends only on ids, independent
+    * of partitioning; ties are impossible (id is in the sort key).
+    * Null-id rows are dropped; a null group is a group of its own.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, n: Int,
+                       salt: String = "strat"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = hashUniform(col(idCol), salt)
+    val picks = df
+      .where(col(idCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        struct(u.as("u"), col(idCol).as("id")).as("__s"))
+      .groupBy(col("__g"))
+      .agg(call_function("bottomk_agg", col("__s"), lit(n)).as("__ks"))
+      .select(col("__g"), explode(col("__ks.id")).as("__id"))
+    df.join(picks,
+      col(groupCol) <=> col("__g") && col(idCol) === col("__id"), "left_semi")
+  }
+
+  /** Snapshot diff for incremental corpus pipelines: classify every id
+    * across two corpus versions as `added` (in `b` only), `removed` (in
+    * `a` only), `changed` (both, any `contentCols` value differs,
+    * null-safely), or `unchanged`. Returns `(idCol, status)`.
+    *
+    * This is the audit step between crawl snapshots / dataset releases —
+    * what actually changed, before deciding what to re-process. Plan
+    * shape at 100 TB: each side projects to `(id, md5(to_json(content)))`
+    * at the scan, so document BODIES never shuffle — the full-outer join
+    * moves 16-byte hashes, and a changed 100 KB document costs the same
+    * as a changed 10-byte one. Ids must be unique non-null keys within
+    * each snapshot (a null id cannot be matched and would surface as an
+    * added+removed pair).
+    */
+  def diffSnapshots(a: DataFrame, b: DataFrame, idCol: String,
+                    contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    def prep(df: DataFrame, id: String, h: String) =
+      df.select(col(idCol).as(id),
+        // to_json (not concat_ws) so nulls, empties, and field boundaries
+        // hash distinctly
+        md5(to_json(struct(contentCols.map(col): _*))).as(h))
+    prep(a, "__ida", "__ha")
+      .join(prep(b, "__idb", "__hb"), col("__ida") === col("__idb"), "full_outer")
+      .select(coalesce(col("__ida"), col("__idb")).as(idCol),
+        when(col("__ida").isNull, "added")
+          .when(col("__idb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Deterministic train/val/test split assignment: adds a `split` column
     * placing each row in exactly one named fraction — disjoint,
     * exhaustive, and stable (a row's split never changes as the corpus

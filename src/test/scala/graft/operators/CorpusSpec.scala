@@ -463,4 +463,41 @@ class CorpusSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("diffSnapshots classifies added/removed/changed/unchanged, null-safely") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, Some("same"), Some("x")),
+      (2L, Some("old"), Some("x")),
+      (3L, Some("gone"), Some("x")),
+      (4L, None: Option[String], Some("x")),  // null content, unchanged
+      (5L, Some("v"), None: Option[String])   // second col null→value = changed
+    ).toDF("id", "t", "u")
+    val b = Seq(
+      (1L, Some("same"), Some("x")),
+      (2L, Some("new"), Some("x")),
+      (4L, None: Option[String], Some("x")),
+      (5L, Some("v"), Some("now")),
+      (6L, Some("fresh"), Some("x"))
+    ).toDF("id", "t", "u")
+    val out = Corpus.diffSnapshots(a, b, "id", Seq("t", "u"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+    // null vs empty-string content are DIFFERENT states (the to_json point)
+    val n1 = Seq((1L, None: Option[String])).toDF("id", "t")
+    val n2 = Seq((1L, Some(""))).toDF("id", "t")
+    assert(Corpus.diffSnapshots(n1, n2, "id", Seq("t"))
+      .as[(Long, String)].head()._2 === "changed")
+    // bodies never reach the join: both join inputs are (id, md5)
+    // projections, so the exchange moves 16-byte hashes, not documents
+    val joinCols = Corpus.diffSnapshots(a, b, "id", Seq("t", "u"))
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          (j.left.output ++ j.right.output).map(_.name)
+      }
+    assert(joinCols.nonEmpty &&
+      joinCols.forall(cols => !cols.contains("t") && !cols.contains("u")),
+      joinCols.toString)
+  }
 }
