@@ -25,6 +25,43 @@ object EventStreams {
         col("n_events"), col("sum_value"), col("approx_users"))
   }
 
+  /** Stream-stream (or batch) interval join: each left row joins the
+    * right rows matching on `keys` whose event time lies in
+    * `[leftTime - beforeSec, leftTime + afterSec]` (inclusive).
+    *
+    * On two streams this is the canonical Structured Streaming
+    * stream-stream join: both sides carry a watermark and the time-range
+    * condition is what lets Spark BOUND the join state — buffered rows
+    * age out as soon as the other side's watermark passes their
+    * eligibility window, so state never grows with stream length. On
+    * batch frames the same expression is a plain range-condition join
+    * (one definition, batch parity for free — for large BATCH interval
+    * joins with no equality key prefer
+    * [[graft.operators.Temporal.rangeJoin]], which buckets instead of
+    * nested-looping).
+    *
+    * Column names must be disjoint across the two sides (rename
+    * upfront, standard join hygiene).
+    */
+  def intervalJoin(left: DataFrame, leftTime: String,
+                   right: DataFrame, rightTime: String,
+                   keys: Seq[(String, String)],
+                   beforeSec: Long, afterSec: Long,
+                   watermark: String = "2 hours"): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one equality key")
+    require(beforeSec >= 0 && afterSec >= 0,
+      "beforeSec/afterSec must be non-negative")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right column names must be disjoint, overlapping: ${overlap.mkString(", ")}")
+    val l = if (left.isStreaming) left.withWatermark(leftTime, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTime, watermark) else right
+    val cond = keys.map { case (a, b) => l(a) === r(b) }.reduce(_ && _) &&
+      r(rightTime) >= l(leftTime) - expr(s"INTERVAL $beforeSec SECOND") &&
+      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $afterSec SECOND")
+    l.join(r, cond)
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

@@ -173,4 +173,67 @@ class EventStreamsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
+
+  private def intervalFixture = {
+    val purchases = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 12:00:00")),
+      (102L, 2L, ts("2024-01-01 10:30:00")))
+    val clicks = Seq(
+      (1L, ts("2024-01-01 09:10:00"), 1.0), // within 1 h of p100
+      (1L, ts("2024-01-01 09:00:00"), 2.0), // exactly -3600 s: inclusive
+      (1L, ts("2024-01-01 08:59:59"), 4.0), // just outside
+      (1L, ts("2024-01-01 10:00:00"), 8.0), // exact time match
+      (2L, ts("2024-01-01 10:29:00"), 16.0),
+      (3L, ts("2024-01-01 10:00:00"), 32.0)) // key with no purchases
+    (purchases, clicks)
+  }
+
+  test("intervalJoin on streams matches the batch join as watermarks advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val (purchases, clicks) = intervalFixture
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.intervalJoin(
+      pIn.toDF().toDF("pid", "pu", "pts"), "pts",
+      cIn.toDF().toDF("cu", "cts", "cv"), "cts",
+      Seq("pu" -> "cu"), beforeSec = 3600, afterSec = 0, watermark = "10 minutes")
+    val query = joined.select("pid", "cv")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      pIn.addData(purchases: _*)
+      cIn.addData(clicks: _*)
+      query.processAllAvailable()
+      // advance both watermarks far past every window so all pairs emit
+      pIn.addData((999L, 99L, ts("2024-01-02 00:00:00")))
+      cIn.addData((99L, ts("2024-01-02 00:00:00"), 0.0))
+      query.processAllAvailable()
+      val got = spark.table("ij_out").as[(Long, Double)].collect().toSet
+      val want = Set((100L, 1.0), (100L, 2.0), (100L, 8.0), (102L, 16.0),
+        (999L, 0.0))
+      assert(got === want)
+    } finally query.stop()
+  }
+
+  test("intervalJoin batch parity: one definition, same pairs") {
+    val (purchases, clicks) = intervalFixture
+    val got = EventStreams.intervalJoin(
+      purchases.toDF("pid", "pu", "pts"), "pts",
+      clicks.toDF("cu", "cts", "cv"), "cts",
+      Seq("pu" -> "cu"), beforeSec = 3600, afterSec = 0)
+      .select("pid", "cv").as[(Long, Double)].collect().toSet
+    assert(got === Set((100L, 1.0), (100L, 2.0), (100L, 8.0), (102L, 16.0)))
+    // forward window picks up later clicks instead
+    val fwd = EventStreams.intervalJoin(
+      purchases.toDF("pid", "pu", "pts"), "pts",
+      clicks.toDF("cu", "cts", "cv"), "cts",
+      Seq("pu" -> "cu"), beforeSec = 0, afterSec = 7200)
+      .select("pid", "cv").as[(Long, Double)].collect().toSet
+    assert(fwd === Set((100L, 8.0)))
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoin(purchases.toDF("pid", "pu", "pts"), "pts",
+        clicks.toDF("cu", "cts", "cv"), "cts", Nil, 1, 1)
+    }
+  }
 }
