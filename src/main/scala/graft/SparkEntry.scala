@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Corpus, Dedup, Multimodal, SpatialJoin, TextAnalysis}
+import graft.operators.{Ann, Corpus, Dedup, Multimodal, Sketches, SpatialJoin, Temporal, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1406,6 +1406,116 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max("session_seq").as("n_sessions"), count(lit(1)).as("n_ev"))
     }),
+    // Stream-stream interval join, batch-parity gate: every click within
+    // the hour before each purchase (same definition powers the
+    // watermarked streaming join in EventStreamsSpec). Second-floored
+    // timestamps on both engine sides, the q_funnel convention.
+    "q_interval_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val ev = spark.table("events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("pts"),
+          col("user_id").as("pu"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("cts"),
+          col("value").as("cv"))
+      EventStreams.intervalJoin(p, "pts", c, "cts", Seq("pu" -> "cu"),
+          beforeSec = 3600, afterSec = 0)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"), round(sum("cv"), 3).as("sum_v"))
+    }),
+    // As-of join: each purchase gets the most recent prior click by the
+    // same user within 1 hour (the trade←quote enrichment shape). Times
+    // compare at second precision on BOTH engine sides (the q_funnel
+    // convention — events.ts is ns in parquet, µs in Spark), with
+    // click event_id as the deterministic tiebreaker.
+    "q_asof_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val ev = spark.table("events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("pt"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), unix_timestamp(col("ts")).as("ct"),
+          col("event_id").as("click_id"), col("value").as("cv"))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"), Seq("cu"), "pt", "ct",
+          payloadCols = Seq("click_id", "cv"),
+          tolerance = Some(3600L), tieCols = Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("pt"), col("click_id"),
+          round(col("cv"), 3).as("click_value"))
+    }),
+    // Snapshot diff: version B is derived deterministically from the
+    // documents table (drop %7, rewrite %5 of the survivors, add 100 new
+    // ids), then every id is classified across the two versions.
+    "q_snapshot_diff" -> ((spark, dir) => {
+      init(spark, dir)
+      val a = spark.table("documents")
+      val b = a.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.where(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      Corpus.diffSnapshots(a, b, "doc_id", Seq("text"))
+    }),
+    // Bounded group-top-k: k-capped heap at every aggregation stage (no
+    // window, no per-group buffering — see TopKAggregate.scala); ties
+    // pinned by the orderkey in the sort struct.
+    "q_topk_per_group" -> ((spark, dir) => {
+      init(spark, dir)
+      spark.table("orders").groupBy("o_orderpriority")
+        .agg(call_function("topk_agg",
+          struct(col("o_totalprice"), col("o_orderkey")), lit(3)).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("t"))
+        .select(col("o_orderpriority"),
+          round(col("t.o_totalprice"), 2).as("price"),
+          col("t.o_orderkey").as("okey"))
+    }),
+    // Exact deterministic stratified sample: 20 documents per source via
+    // bottomk_agg over (hashUniform, id) — exact counts where Bernoulli
+    // sampling only promises an expectation.
+    "q_stratified_sample" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.stratifiedSample(spark.table("documents"), "source", "doc_id", 20)
+        .select("doc_id", "source")
+    }),
+    // Misra-Gries heavy hitters: the exact words covering > 1/200 of the
+    // corpus token stream, found with bounded per-partition sketch state
+    // plus an exact candidate recount (see operators/Sketches.scala).
+    "q_heavy_hitters" -> ((spark, dir) => {
+      init(spark, dir)
+      val words = spark.table("documents")
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("word"))
+      Sketches.heavyHitters(words, "word", 200)
+        .select(col("item").as("word"), col("cnt"))
+    }),
+    // KMV/theta distinct-count sketch: per-source estimated distinct
+    // vocabulary from the 1024 smallest word hashes — deterministic, so
+    // the DuckDB oracle reproduces the estimate bit-for-bit.
+    "q_distinct_sketch" -> ((spark, dir) => {
+      init(spark, dir)
+      spark.table("documents")
+        .select(col("source"),
+          explode(call_function("word_window_hashes",
+            TextAnalysis.wsTokens(col("text")), lit(1))).as("h"))
+        .groupBy("source")
+        .agg(round(call_function("kmv_distinct", col("h"), lit(1024)), 2)
+          .as("est_distinct_words"))
+    }),
+    // Binned range join: suppliers' account-balance bands [s_acctbal,
+    // s_acctbal + 500] collect the customers whose balance falls inside —
+    // an interval join Spark would otherwise plan as a nested loop.
+    "q_range_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val bands = spark.table("supplier")
+        .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+          (col("s_acctbal") + 500).as("hi"))
+      val cust = spark.table("customer").select("c_custkey", "c_acctbal")
+      Temporal.rangeJoin(cust, "c_acctbal", bands, "lo", "hi")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+    }),
   )
 
   /** DuckDB-runnable oracle per query (driver's correctness gate).
@@ -2065,5 +2175,81 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         |       (SELECT count(*) FROM s2) AS n_signup_click,
         |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+    "q_interval_join" ->
+      """SELECT p.event_id, count(*) AS n_clicks, round(sum(c.value), 3) AS sum_v
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(floor(epoch(c.ts)) AS BIGINT)
+        |     BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 3600 AND CAST(floor(epoch(p.ts)) AS BIGINT)
+        |GROUP BY p.event_id""".stripMargin,
+    // As-of join: correlated ORDER BY ... LIMIT 1 picks the same (second-
+    // floored time, event_id) maximum the operator's tie ordering carries
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS pt,
+        |  (SELECT c.event_id FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |      AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        |      AND CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
+        |    ORDER BY CAST(floor(epoch(c.ts)) AS BIGINT) DESC, c.event_id DESC LIMIT 1) AS click_id,
+        |  (SELECT round(c.value, 3) FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |      AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        |      AND CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
+        |    ORDER BY CAST(floor(epoch(c.ts)) AS BIGINT) DESC, c.event_id DESC LIMIT 1) AS click_value
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q_range_join" ->
+      """SELECT s_suppkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey""".stripMargin,
+    // snapshot diff: the oracle compares text directly (IS DISTINCT FROM)
+    // where the engine compares md5 hashes — equivalent classification
+    "q_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+        |)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+    // group-top-k replayed as the window it replaces; DESC, DESC mirrors
+    // "largest (price, okey) struct wins"
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, round(o_totalprice, 2) AS price, o_orderkey AS okey
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t WHERE rn <= 3""".stripMargin,
+    // stratified sample: rank by the shared hashUniform primitive
+    // (md5-first-8-hex / 2^32), doc_id pins ties (it can't tie anyway)
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+        |  FROM (SELECT doc_id, source,
+        |          CAST(concat('0x', substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |        FROM documents) t) r
+        |WHERE rn <= 20""".stripMargin,
+    // heavy hitters: the sketch is a pruning device only — the RESULT is
+    // the plain exact group-count-threshold, which is what this verifies
+    "q_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS word FROM documents)
+        |SELECT word, count(*) AS cnt FROM w GROUP BY word
+        |HAVING count(*) * 200 > (SELECT count(*) FROM w)""".stripMargin,
+    // KMV sketch: sort each source's distinct 60-bit word hashes, take the
+    // 1024-th smallest, apply the same closed form the aggregate evaluates
+    "q_distinct_sketch" ->
+      """WITH ws AS (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
+        |hs AS (SELECT DISTINCT source, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |       FROM (SELECT source, unnest(ws) AS w FROM ws)),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+        |a AS (SELECT source, count(*) AS nd, max(CASE WHEN rn <= 1024 THEN h END) AS kth FROM r GROUP BY source)
+        |SELECT source, round(CASE WHEN nd < 1024 THEN CAST(nd AS DOUBLE)
+        |                          ELSE (1024 - 1) * power(2, 60) / kth END, 2) AS est_distinct_words
+        |FROM a""".stripMargin,
   )
 }
