@@ -46,11 +46,16 @@ case class KmvDistinctAgg(
       TypeCheckResult.TypeCheckFailure("kmv_distinct expects a LONG hash column")
     else if (kExpr.dataType != IntegerType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("kmv_distinct expects a literal INT k")
+    else if (kExpr.eval(InternalRow.empty).asInstanceOf[Int] < 2)
+      // k is foldable, so the bound can fail at ANALYSIS time with a clean
+      // message instead of as a retried executor-task failure
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_distinct k must be >= 2, got ${kExpr.eval(InternalRow.empty)}")
     else TypeCheckResult.TypeCheckSuccess
 
   private lazy val k: Int = {
     val v = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
-    require(v >= 2, s"kmv_distinct k must be >= 2, got $v")
+    require(v >= 2, s"kmv_distinct k must be >= 2, got $v") // defense in depth
     v
   }
 

@@ -51,6 +51,10 @@ case class TopKAgg(
         s"${prettyName} expects an orderable value, got ${child.dataType}")
     else if (kExpr.dataType != IntegerType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure(s"${prettyName} expects a literal INT k")
+    else if (kExpr.eval(InternalRow.empty).asInstanceOf[Int] < 1)
+      // foldable k: fail the bound at analysis time, not in a retried task
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must be >= 1, got ${kExpr.eval(InternalRow.empty)}")
     else TypeCheckResult.TypeCheckSuccess
   override def prettyName: String = if (reverse) "bottomk_agg" else "topk_agg"
 

@@ -68,6 +68,7 @@ object Corpus {
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, n: Int,
                        salt: String = "strat"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    graft.Graft.register(df.sparkSession) // bottomk_agg, idempotent
     val u = hashUniform(col(idCol), salt)
     val picks = df
       .where(col(idCol).isNotNull)
@@ -97,6 +98,23 @@ object Corpus {
   def diffSnapshots(a: DataFrame, b: DataFrame, idCol: String,
                     contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "contentCols must be non-empty")
+    // a MAP's to_json order follows its internal layout, so two logically
+    // equal maps materialized by different shuffle paths would hash as
+    // 'changed' — refuse rather than silently misclassify (callers can
+    // pre-normalize with sorted map_entries)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case arr: org.apache.spark.sql.types.ArrayType => hasMap(arr.elementType)
+      case _ => false
+    }
+    Seq(a, b).foreach { df =>
+      contentCols.foreach { c =>
+        require(!hasMap(df.schema(c).dataType),
+          s"content column '$c' contains a MAP type, whose JSON key order is " +
+            "layout-dependent — normalize to sorted entries before diffing")
+      }
+    }
     def prep(df: DataFrame, id: String, h: String) =
       df.select(col(idCol).as(id),
         // to_json (not concat_ws) so nulls, empties, and field boundaries

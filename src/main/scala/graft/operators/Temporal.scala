@@ -143,7 +143,13 @@ object Temporal {
       def sameKey(k: Array[Any]): Boolean = {
         var i = 0
         while (i < k.length) {
-          if (!java.util.Objects.equals(curKey(i), k(i))) return false
+          val ok = (curKey(i), k(i)) match {
+            // binary keys surface as Array[Byte], where Objects.equals is
+            // reference identity — compare content like the shuffle did
+            case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+            case (a, b) => java.util.Objects.equals(a, b)
+          }
+          if (!ok) return false
           i += 1
         }
         true
@@ -219,8 +225,11 @@ object Temporal {
           avg(col(hiCol) - col(loCol)).cast(DoubleType),
           max(col(hiCol) - col(loCol)).cast(DoubleType)).head()
         if (row.isNullAt(0)) 1.0 // empty right side: any width joins nothing
-        else math.max(math.max(row.getDouble(0), row.getDouble(1) / 1024.0),
-          java.lang.Double.MIN_NORMAL)
+        // all-zero-length intervals (point lookups): every interval covers
+        // exactly one bucket under ANY width, so use 1.0 — a denormal width
+        // would saturate the bucket cast and collapse the join to one task
+        else if (row.getDouble(1) == 0.0) 1.0
+        else math.max(row.getDouble(0), row.getDouble(1) / 1024.0)
       }
 
     val bin = "__graft_bin"

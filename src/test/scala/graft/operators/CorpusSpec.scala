@@ -499,5 +499,11 @@ class CorpusSpec extends SparkTestBase {
     assert(joinCols.nonEmpty &&
       joinCols.forall(cols => !cols.contains("t") && !cols.contains("u")),
       joinCols.toString)
+    // MAP content refused: its to_json key order is layout-dependent
+    val m = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    val err = intercept[IllegalArgumentException] {
+      Corpus.diffSnapshots(m, m, "id", Seq("m"))
+    }
+    assert(err.getMessage.contains("MAP"))
   }
 }

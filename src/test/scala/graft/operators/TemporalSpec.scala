@@ -128,6 +128,16 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("binary key columns compare by content, not reference") {
+    val l = Seq((Array[Byte](1, 2), 10L), (Array[Byte](3), 10L)).toDF("k", "t")
+    val r = Seq((Array[Byte](1, 2), 5L, "match")).toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(l, r, Seq("k"), Seq("k"), "t", "rt", Seq("v"))
+      .select("t", "v").collect()
+      .map(row => (row.getLong(0), Option(row.getString(1)))).toList
+    // the Array[Byte](1,2) key must carry its quote; Array(3) must not
+    assert(out.toSet === Set((10L, Some("match")), (10L, None)))
+  }
+
   // ---- rangeJoin ----
 
   test("rangeJoin matches the cross-join filter on random data, negatives included") {
@@ -158,6 +168,16 @@ class TemporalSpec extends SparkTestBase {
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     // both endpoints inclusive; user keys respected; null point dropped
     assert(out === Set((1L, 10L), (3L, 10L), (2L, 30L)))
+  }
+
+  test("rangeJoin auto width survives all-zero-length intervals at normal magnitudes") {
+    // point lookups as degenerate intervals: a denormal auto width would
+    // saturate every bucket cast to ±Long.MaxValue
+    val pts = Seq((1L, 1234.5), (2L, -99.0), (3L, 0.5)).toDF("pid", "p")
+    val ivs = Seq((10L, 1234.5, 1234.5), (20L, -99.0, -99.0)).toDF("iid", "lo", "hi")
+    val out = Temporal.rangeJoin(pts, "p", ivs, "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (2L, 20L)))
   }
 
   test("rangeJoin survives an empty right side and rejects overlapping names") {
