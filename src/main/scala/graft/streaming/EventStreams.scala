@@ -62,6 +62,122 @@ object EventStreams {
     l.join(r, cond)
   }
 
+  case class AsofUnionEvent(key: Long, ts: Timestamp, tag: Int,
+                            left_id: Long, value: Double)
+  case class AsofJoinState(rights: List[(Long, Double)],
+                           pend: List[(Long, Long)])
+  case class AsofEnriched(key: Long, left_id: Long, ts: Timestamp,
+                          right_ts: Option[Timestamp], value: Option[Double])
+
+  /** Streaming as-of join: enrich a left event stream with the most
+    * recent prior right event per key (the streaming form of
+    * [[graft.operators.Temporal.asofJoin]] backward mode, which also
+    * serves as the batch path — batch frames delegate to it, so the two
+    * modes share one semantics definition).
+    *
+    * `left` needs columns `(key, ts, left_id)`, `right` `(key, ts,
+    * value)`; each left row is emitted EXACTLY ONCE, when the watermark
+    * passes its event time — at that point no right row at or before it
+    * can still arrive, so the match is final. Exact-time matches
+    * included; ties at equal right time resolve to the largest value
+    * (deterministic); `toleranceMs` drops matches further back than the
+    * bound. Output is append-mode compatible.
+    *
+    * State per key is PROVABLY bounded, watermark-pruned on every
+    * invocation:
+    *   - pending lefts: only those newer than the watermark (older ones
+    *     have emitted), so ≤ one watermark-delay of left events;
+    *   - right buffer: with finite tolerance, only rights within one
+    *     tolerance horizon of the watermark — anything older is out of
+    *     range for EVERY unfinalized left (their times exceed the
+    *     watermark). With `toleranceMs = None`, additionally the single
+    *     newest right at or below the watermark (dominated pruning: a
+    *     newer eligible right always wins), which by the as-of semantics
+    *     must persist indefinitely — any future left may still need it.
+    *     With finite tolerance, a quiesced key's state clears fully via
+    *     event-time timeout.
+    * A left arriving LATER than the watermark (late data) finalizes
+    * immediately against the pruned buffer — best effort, the standard
+    * late-data contract. Both inputs carry the watermark and the query
+    * watermark is the MIN across them: a stalled input holds back
+    * finalization (standard multi-input semantics — feed heartbeats if
+    * one side can go quiet).
+    */
+  def streamingAsofJoin(left: DataFrame, right: DataFrame,
+                        toleranceMs: Option[Long] = None,
+                        watermarkDelay: String = "1 hour"): Dataset[AsofEnriched] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    require(toleranceMs.forall(_ >= 0), "toleranceMs must be non-negative")
+
+    if (!left.isStreaming && !right.isStreaming) {
+      // batch path: same semantics via the batch operator (tie on value)
+      return graft.operators.Temporal.asofJoin(
+        left.selectExpr("key", "ts", "left_id"),
+        right.selectExpr("key AS rkey", "ts AS rts", "value"),
+        Seq("key"), Seq("rkey"), "ts", "rts", Seq("rts", "value"),
+        tolerance = toleranceMs.map(_ * 1000L), // µs in the batch operator
+        tieCols = Seq("value"))
+        .select(col("key"), col("left_id"), col("ts"),
+          col("rts").as("right_ts"), col("value"))
+        .as[AsofEnriched]
+    }
+
+    val l = left.selectExpr("key", "ts", "left_id")
+      .withColumn("tag", lit(1)).withColumn("value", lit(0.0))
+      .withWatermark("ts", watermarkDelay)
+    val r = right.selectExpr("key", "ts", "value")
+      .withColumn("tag", lit(0)).withColumn("left_id", lit(0L))
+      .withWatermark("ts", watermarkDelay)
+    val unioned = l.select("key", "ts", "tag", "left_id", "value")
+      .unionByName(r.select("key", "ts", "tag", "left_id", "value"))
+      .as[AsofUnionEvent]
+
+    unioned.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofJoinState, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, evs: Iterator[AsofUnionEvent], state: GroupState[AsofJoinState]) =>
+          var s = state.getOption.getOrElse(AsofJoinState(Nil, Nil))
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            if (e.tag == 0) s = s.copy(rights = (t, e.value) :: s.rights)
+            else s = s.copy(pend = (t, e.left_id) :: s.pend)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, stillPending) = s.pend.partition(_._1 <= wm)
+          val out = ready.sortBy(identity).map { case (t, id) =>
+            val best = s.rights.iterator
+              .filter(rv => rv._1 <= t && toleranceMs.forall(tl => t - rv._1 <= tl))
+              .foldLeft(Option.empty[(Long, Double)]) { (acc, rv) =>
+                if (acc.forall(a => implicitly[Ordering[(Long, Double)]].lt(a, rv)))
+                  Some(rv) else acc
+              }
+            AsofEnriched(key, id, new Timestamp(t),
+              best.map(b => new Timestamp(b._1)), best.map(_._2))
+          }
+          val keptRights = toleranceMs match {
+            case Some(tl) => s.rights.filter(_._1 >= wm - tl)
+            case None =>
+              // dominated pruning: keep everything past the watermark plus
+              // the single newest right at or below it
+              val newestLe = s.rights.filter(_._1 <= wm)
+                .sortBy(identity).lastOption
+              s.rights.filter(_._1 > wm) ++ newestLe
+          }
+          val ns = AsofJoinState(keptRights, stillPending)
+          if (ns.rights.isEmpty && ns.pend.isEmpty) state.remove()
+          else {
+            state.update(ns)
+            // wake when the earliest pending left finalizes; else (finite
+            // tolerance) when the whole right buffer ages out of range
+            val target = ns.pend.map(_._1 + 1).minOption.orElse(
+              toleranceMs.map(tl => ns.rights.map(_._1 + tl + 1).max))
+            target.foreach(t => state.setTimeoutTimestamp(math.max(t, wm + 1)))
+          }
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

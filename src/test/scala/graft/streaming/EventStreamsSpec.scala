@@ -174,6 +174,91 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("streamingAsofJoin: finalize on watermark, honor out-of-order rights") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.streamingAsofJoin(
+      lIn.toDF().toDF("key", "ts", "left_id"),
+      rIn.toDF().toDF("key", "ts", "value"),
+      toleranceMs = Some(3600000L), watermarkDelay = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    def rows = spark.table("asof_out")
+      .selectExpr("key", "left_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    try {
+      rIn.addData((1L, ts("2024-01-01 09:00:00"), 2.0),
+        (1L, ts("2024-01-01 09:10:00"), 1.0),
+        (2L, ts("2024-01-01 08:00:00"), 5.0))
+      lIn.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+        (2L, ts("2024-01-01 10:00:00"), 200L))
+      query.processAllAvailable()
+      // watermark is 09:50 — nothing finalized yet
+      assert(rows.isEmpty)
+      // a right BELOW the left's time arrives after the left (out of
+      // order but above the watermark): it must win the match
+      rIn.addData((1L, ts("2024-01-01 09:55:00"), 7.0))
+      query.processAllAvailable()
+      // advance the watermark on BOTH inputs: the query watermark is the
+      // MIN across watermarked sources
+      rIn.addData((99L, ts("2024-01-01 12:00:00"), 0.0))
+      lIn.addData((99L, ts("2024-01-01 12:00:00"), 0L))
+      query.processAllAvailable()
+      assert(rows === Set(
+        (1L, 100L, Some(7.0)),   // newest right ≤ 10:00 is 09:55
+        (2L, 200L, None)))       // 08:00 right is outside the 1 h tolerance
+    } finally query.stop()
+  }
+
+  test("streamingAsofJoin matches the batch asofJoin on a randomized stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    def t(min: Int) = ts(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val lefts = (1 to 60).map(i =>
+      (rnd.nextInt(5).toLong, t(rnd.nextInt(100)), i.toLong))
+    val rights = (1 to 80).map(i =>
+      (rnd.nextInt(5).toLong, t(rnd.nextInt(100)), rnd.nextInt(50).toDouble))
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.streamingAsofJoin(
+      lIn.toDF().toDF("key", "ts", "left_id"),
+      rIn.toDF().toDF("key", "ts", "value"),
+      toleranceMs = Some(1800000L), watermarkDelay = "5 minutes")
+    val query = joined.writeStream.format("memory").queryName("asof_par")
+      .outputMode("append").start()
+    try {
+      lIn.addData(lefts: _*); rIn.addData(rights: _*)
+      query.processAllAvailable()
+      // flush: both inputs must advance for the min-watermark to move
+      lIn.addData((999L, ts("2024-01-02 00:00:00"), 0L))
+      rIn.addData((999L, ts("2024-01-02 00:00:00"), 0.0))
+      query.processAllAvailable()
+      val got = spark.table("asof_par").where("key <> 999")
+        .selectExpr("key", "left_id", "right_ts", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      val want = EventStreams.streamingAsofJoin(
+        lefts.toDF("key", "ts", "left_id"), rights.toDF("key", "ts", "value"),
+        toleranceMs = Some(1800000L))
+        .collect().map(e => (e.key, e.left_id,
+          e.right_ts.map(x => x: Any), e.value)).toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+
+  test("streamingAsofJoin batch delegation matches hand-computed enrichment") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 08:00:00"), 101L)).toDF("key", "ts", "left_id")
+    val r = Seq((1L, ts("2024-01-01 09:30:00"), 4.0),
+      (1L, ts("2024-01-01 09:30:00"), 9.0)). // equal time: larger value wins
+      toDF("key", "ts", "value")
+    val out = EventStreams.streamingAsofJoin(l, r).collect()
+      .map(e => e.left_id -> e.value).toMap
+    assert(out === Map(100L -> Some(9.0), 101L -> None))
+  }
+
   private def intervalFixture = {
     val purchases = Seq(
       (100L, 1L, ts("2024-01-01 10:00:00")),
