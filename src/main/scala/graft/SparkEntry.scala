@@ -1503,6 +1503,23 @@ object SparkEntry {
         .agg(round(call_function("kmv_distinct", col("h"), lit(1024)), 2)
           .as("est_distinct_words"))
     }),
+    // Forward as-of: each signup gets the NEXT click by the same user
+    // within 2 h (time-to-first-action analytics); smallest (t, id) wins.
+    "q_asof_forward" -> ((spark, dir) => {
+      init(spark, dir)
+      val ev = spark.table("events")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("st"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), unix_timestamp(col("ts")).as("ct"),
+          col("event_id").as("click_id"))
+      Temporal.asofJoin(signups, clicks, Seq("user_id"), Seq("cu"), "st", "ct",
+          payloadCols = Seq("click_id", "ct"), direction = "forward",
+          tolerance = Some(7200L), tieCols = Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("st"), col("click_id"),
+          (col("ct") - col("st")).as("lag_sec"))
+    }),
     // Binned range join: suppliers' account-balance bands [s_acctbal,
     // s_acctbal + 500] collect the customers whose balance falls inside —
     // an interval join Spark would otherwise plan as a nested loop.
@@ -2197,6 +2214,19 @@ object SparkEntry {
         |      AND CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
         |    ORDER BY CAST(floor(epoch(c.ts)) AS BIGINT) DESC, c.event_id DESC LIMIT 1) AS click_value
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT s.event_id, s.user_id, CAST(floor(epoch(s.ts)) AS BIGINT) AS st,
+        |  (SELECT c.event_id FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = s.user_id
+        |      AND CAST(floor(epoch(c.ts)) AS BIGINT) >= CAST(floor(epoch(s.ts)) AS BIGINT)
+        |      AND CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT) <= 7200
+        |    ORDER BY CAST(floor(epoch(c.ts)) AS BIGINT) ASC, c.event_id ASC LIMIT 1) AS click_id,
+        |  (SELECT CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT) FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = s.user_id
+        |      AND CAST(floor(epoch(c.ts)) AS BIGINT) >= CAST(floor(epoch(s.ts)) AS BIGINT)
+        |      AND CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT) <= 7200
+        |    ORDER BY CAST(floor(epoch(c.ts)) AS BIGINT) ASC, c.event_id ASC LIMIT 1) AS lag_sec
+        |FROM events s WHERE s.event_type = 'signup'""".stripMargin,
     "q_range_join" ->
       """SELECT s_suppkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
         |FROM supplier JOIN customer
