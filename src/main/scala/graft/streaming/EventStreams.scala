@@ -77,8 +77,9 @@ object EventStreams {
     *
     * `left` needs columns `(key, ts, left_id)`, `right` `(key, ts,
     * value)`; each left row is emitted EXACTLY ONCE, when the watermark
-    * passes its event time — at that point no right row at or before it
-    * can still arrive, so the match is final. Exact-time matches
+    * reaches its event time — at that point no right row at or before it
+    * can still arrive (Spark's late filter drops rows at-or-behind the
+    * watermark), so the match is final. Exact-time matches
     * included; ties at equal right time resolve to the largest value
     * (deterministic); `toleranceMs` drops matches further back than the
     * bound. Output is append-mode compatible.
@@ -96,12 +97,17 @@ object EventStreams {
     *     must persist indefinitely — any future left may still need it.
     *     With finite tolerance, a quiesced key's state clears fully via
     *     event-time timeout.
-    * A left arriving LATER than the watermark (late data) finalizes
-    * immediately against the pruned buffer — best effort, the standard
-    * late-data contract. Both inputs carry the watermark and the query
+    * Late rows (event time already behind the watermark) are DROPPED
+    * before the state function runs — Spark's standard late-data
+    * contract under event-time timeouts — so "exactly once" is a
+    * promise about on-time rows. Rows with a null event time are
+    * dropped on the streaming path (they cannot be watermark-ordered);
+    * the batch path follows [[graft.operators.Temporal.asofJoin]]'s
+    * null taxonomy. Both inputs carry the watermark and the query
     * watermark is the MIN across them: a stalled input holds back
     * finalization (standard multi-input semantics — feed heartbeats if
-    * one side can go quiet).
+    * one side can go quiet). Mixing one streaming and one batch input
+    * is rejected.
     */
   def streamingAsofJoin(left: DataFrame, right: DataFrame,
                         toleranceMs: Option[Long] = None,
@@ -123,10 +129,17 @@ object EventStreams {
         .as[AsofEnriched]
     }
 
+    require(left.isStreaming && right.isStreaming,
+      "streamingAsofJoin needs both inputs streaming or both batch — " +
+        "mixing modes cannot union (enrich a stream against a static " +
+        "frame with a stream-static join instead)")
+
     val l = left.selectExpr("key", "ts", "left_id")
+      .where(col("ts").isNotNull) // null times cannot be watermark-ordered
       .withColumn("tag", lit(1)).withColumn("value", lit(0.0))
       .withWatermark("ts", watermarkDelay)
     val r = right.selectExpr("key", "ts", "value")
+      .where(col("ts").isNotNull)
       .withColumn("tag", lit(0)).withColumn("left_id", lit(0L))
       .withWatermark("ts", watermarkDelay)
     val unioned = l.select("key", "ts", "tag", "left_id", "value")
@@ -144,14 +157,16 @@ object EventStreams {
             else s = s.copy(pend = (t, e.left_id) :: s.pend)
           }
           val wm = state.getCurrentWatermarkMs()
+          // Finalize at <= wm: Spark's late filter already drops incoming
+          // rows whose event time is at or behind the watermark
+          // (spec-pinned at ms equality in EventStreamsSpec), so no right
+          // that could match a left at t <= wm can still arrive — waiting
+          // past the watermark would delay emission for nothing.
           val (ready, stillPending) = s.pend.partition(_._1 <= wm)
           val out = ready.sortBy(identity).map { case (t, id) =>
             val best = s.rights.iterator
               .filter(rv => rv._1 <= t && toleranceMs.forall(tl => t - rv._1 <= tl))
-              .foldLeft(Option.empty[(Long, Double)]) { (acc, rv) =>
-                if (acc.forall(a => implicitly[Ordering[(Long, Double)]].lt(a, rv)))
-                  Some(rv) else acc
-              }
+              .maxOption
             AsofEnriched(key, id, new Timestamp(t),
               best.map(b => new Timestamp(b._1)), best.map(_._2))
           }
@@ -160,8 +175,7 @@ object EventStreams {
             case None =>
               // dominated pruning: keep everything past the watermark plus
               // the single newest right at or below it
-              val newestLe = s.rights.filter(_._1 <= wm)
-                .sortBy(identity).lastOption
+              val newestLe = s.rights.filter(_._1 <= wm).maxOption
               s.rights.filter(_._1 > wm) ++ newestLe
           }
           val ns = AsofJoinState(keptRights, stillPending)

@@ -212,6 +212,53 @@ class EventStreamsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streamingAsofJoin watermark boundary: same-batch exact-time right " +
+      "matches, a same-time right in a LATER batch is late-dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.streamingAsofJoin(
+      lIn.toDF().toDF("key", "ts", "left_id"),
+      rIn.toDF().toDF("key", "ts", "value"),
+      watermarkDelay = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("asof_edge")
+      .outputMode("append").start()
+    try {
+      // batch 1: two lefts at 10:00; key 1's exact-time right arrives IN
+      // THE SAME BATCH; heartbeats pin the watermark to exactly 10:00
+      lIn.addData((1L, ts("2024-01-01 10:00:00"), 7L),
+        (2L, ts("2024-01-01 10:00:00"), 8L),
+        (99L, ts("2024-01-01 10:10:00"), 0L))
+      rIn.addData((1L, ts("2024-01-01 10:00:00"), 8.0),
+        (99L, ts("2024-01-01 10:10:00"), 0.0))
+      query.processAllAvailable()
+      // batch 2: key 2's same-time right NOW — with the watermark already
+      // AT 10:00 Spark's late filter drops it (ms equality is late), so
+      // the finalize-at-<= contract loses nothing by not waiting for it
+      rIn.addData((2L, ts("2024-01-01 10:00:00"), 5.0),
+        (99L, ts("2024-01-01 10:11:00"), 0.0))
+      lIn.addData((99L, ts("2024-01-01 10:11:00"), 0L))
+      query.processAllAvailable()
+      val rows = spark.table("asof_edge").where("key IN (1, 2)")
+        .selectExpr("left_id", "value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+        .toSet
+      assert(rows === Set((7L, Some(8.0)), (8L, None)))
+    } finally query.stop()
+  }
+
+  test("streamingAsofJoin rejects mixed streaming/batch inputs") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val batchRight = Seq((1L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("key", "ts", "value")
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.streamingAsofJoin(
+        lIn.toDF().toDF("key", "ts", "left_id"), batchRight)
+    }
+    assert(e.getMessage.contains("both inputs streaming"))
+  }
+
   test("streamingAsofJoin matches the batch asofJoin on a randomized stream") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(23)
