@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Corpus, Dedup, Multimodal, Sketches, SpatialJoin, Temporal, TextAnalysis}
+import graft.operators.{Ann, Corpus, Dedup, Graphs, Multimodal, Sketches, SpatialJoin, Temporal, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1446,6 +1446,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("pt"), col("click_id"),
           round(col("cv"), 3).as("click_value"))
     }),
+    // Weighted PageRank over the customer→supplier flow graph (the
+    // crawl-prioritization authority signal, on the tables we have):
+    // 3 power iterations, damping 0.85. Ranks scale ×1000 before the
+    // 6-dp round so the compare keeps ~9 significant digits while
+    // sitting far above both engines' summation-order FP noise.
+    "q_pagerank" -> ((spark, dir) => {
+      init(spark, dir)
+      val edges = spark.sql(
+        """SELECT concat('c', CAST(o_custkey AS STRING)) AS src,
+          |       concat('s', CAST(l_suppkey AS STRING)) AS dst,
+          |       sum(l_quantity) AS w
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1, 2""".stripMargin)
+      Graphs.pageRank(edges, "src", "dst", Some("w"), iterations = 3)
+        .select(col("node"), round(col("rank") * 1000, 6).as("rank_k"))
+    }),
     // Snapshot diff: version B is derived deterministically from the
     // documents table (drop %7, rewrite %5 of the survivors, add 100 new
     // ids), then every id is classified across the two versions.
@@ -2232,6 +2248,33 @@ object SparkEntry {
         |FROM supplier JOIN customer
         |  ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,
+    // PageRank: the oracle unrolls the same three power iterations; the
+    // base term is written (1.0 - 0.85) on BOTH sides so the IEEE value
+    // matches bit-for-bit (a 0.15 literal is one ulp away)
+    "q_pagerank" ->
+      """WITH e AS (SELECT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+        |                  concat('s', CAST(l_suppkey AS VARCHAR)) AS dst,
+        |                  sum(l_quantity) AS w
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |           GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        |ne AS (SELECT e.src, e.dst, e.w / ow.ow AS share FROM e JOIN ow ON e.src = ow.src),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        |r1 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0) AS r
+        |       FROM nodes LEFT JOIN (SELECT ne.dst AS node, sum(r0.r * ne.share) AS s
+        |                             FROM ne JOIN r0 ON ne.src = r0.node GROUP BY ne.dst) c
+        |       ON nodes.node = c.node),
+        |r2 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0) AS r
+        |       FROM nodes LEFT JOIN (SELECT ne.dst AS node, sum(r1.r * ne.share) AS s
+        |                             FROM ne JOIN r1 ON ne.src = r1.node GROUP BY ne.dst) c
+        |       ON nodes.node = c.node),
+        |r3 AS (SELECT nodes.node, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.s, 0) AS r
+        |       FROM nodes LEFT JOIN (SELECT ne.dst AS node, sum(r2.r * ne.share) AS s
+        |                             FROM ne JOIN r2 ON ne.src = r2.node GROUP BY ne.dst) c
+        |       ON nodes.node = c.node)
+        |SELECT node, round(r * 1000, 6) AS rank_k FROM r3""".stripMargin,
     // snapshot diff: the oracle compares text directly (IS DISTINCT FROM)
     // where the engine compares md5 hashes — equivalent classification
     "q_snapshot_diff" ->

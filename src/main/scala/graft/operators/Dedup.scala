@@ -21,7 +21,7 @@ object Dedup {
     * this is hygiene, not an OOM). */
   private val tracked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Boolean]())
-  private def track[A <: AnyRef](h: A): A = { tracked.add(h); h }
+  private[operators] def track[A <: AnyRef](h: A): A = { tracked.add(h); h }
 
   /** Unpersists every cache left behind by dedup calls in this JVM. Call
     * AFTER consuming the returned frames: a result backed by a
