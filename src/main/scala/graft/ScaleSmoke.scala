@@ -377,6 +377,58 @@ object ScaleSmoke {
         "doc_id", "text").agg(sum("dsir_weight")).collect()(0)
     }
 
+    // Temporal-join decades: events replicated with DISJOINT user spaces
+    // per replica, so matching work grows linearly and never crosses
+    // replicas (the same discipline as the lineitem/docs replication)
+    val ev = spark.table("events")
+    def evX(n: Int) = (1 to n).map(i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * 100000000L)))
+      .reduce(_ union _)
+    for ((label, e) <- Seq("10x" -> evX(10), "100x" -> evX(100))) {
+      time(s"asof join events $label") {
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("pt"))
+        val c = e.where(col("event_type") === "click")
+          .select(col("user_id").as("cu"), unix_timestamp(col("ts")).as("ct"),
+            col("value").as("cv"))
+        operators.Temporal.asofJoin(p, c, Seq("user_id"), Seq("cu"), "pt", "ct",
+          Seq("ct", "cv"), tolerance = Some(3600L))
+          .where(col("cv").isNotNull).count()
+      }
+    }
+    // range-join decade: bands fixed (1k suppliers), points 15k → 1.5M
+    val custT = spark.table("customer")
+    val bands = spark.table("supplier")
+      .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+        (col("s_acctbal") + 500).as("hi"))
+    for ((label, n) <- Seq("10x" -> 10, "100x" -> 100)) {
+      time(s"range join customers $label") {
+        val pts = (1 to n).map(i =>
+          custT.withColumn("c_custkey", col("c_custkey") + lit(i * 1000000000L)))
+          .reduce(_ union _).select("c_custkey", "c_acctbal")
+        operators.Temporal.rangeJoin(pts, "c_acctbal", bands, "lo", "hi")
+          .groupBy("s_suppkey").count().count()
+      }
+    }
+    // sketch decades: candidate state is k-bounded per partition, so the
+    // cost must track the scan, not the vocabulary
+    for ((label, d) <- Seq("50k" -> docs10, "500k" -> docs100)) {
+      time(s"heavy hitters words $label docs") {
+        val words = d.select(explode(
+          operators.TextAnalysis.wsTokens(col("text"))).as("w"))
+        operators.Sketches.heavyHitters(words, "w", 200).count()
+      }
+      time(s"kmv distinct words $label docs") {
+        // neither decade frame carries `source`; group by a derived key
+        d.select((col("doc_id") % 7).as("grp"),
+            explode(call_function("word_window_hashes",
+              operators.TextAnalysis.wsTokens(col("text")), lit(1))).as("h"))
+          .groupBy("grp")
+          .agg(call_function("kmv_distinct", col("h"), lit(1024)))
+          .collect().length
+      }
+    }
+
     // classifier quality filter: train on 5k labeled docs, score 500k —
     // scoring is the part that sees the full corpus and must be map-only
     if (willTime("quality classifier score 500k docs")) {
