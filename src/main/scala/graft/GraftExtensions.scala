@@ -179,6 +179,11 @@ object Graft {
     // mergeable, deterministic partial state — see SketchAggregates.scala)
     b("kmv_distinct", (h: Expression, k: Expression) =>
       KmvDistinctAgg(h, k).toAggregateExpression(), Seq(LongType, IntegerType)),
+    // Count-Min frequency sketch: fixed depth×width counter state,
+    // element-wise merge (see SketchAggregates.scala)
+    t("cms_sketch", (item: Expression, d: Expression, w: Expression) =>
+      CmsAgg(item, d, w).toAggregateExpression(),
+      Seq(StringType, IntegerType, IntegerType)),
     // bounded group-top-k (k-capped heap at every stage; the value child
     // keeps its own type, so no coerce — see TopKAggregate.scala)
     desc("topk_agg", es => TopKAgg(es(0), Cast(es(1), IntegerType),

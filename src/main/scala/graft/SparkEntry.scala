@@ -1446,6 +1446,35 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("pt"), col("click_id"),
           round(col("cv"), 3).as("click_value"))
     }),
+    // Hierarchical aggregate: ROLLUP over (returnflag, linestatus) with
+    // grouping-level markers — subtotal rows are where engines usually
+    // disagree on NULL semantics, so they're pinned under the oracle.
+    "q_rollup" -> sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+    // Pivot: order counts per status spread across priority columns.
+    // Expressed as conditional aggregation so BOTH engines run the
+    // identical portable form (Spark's .pivot sugar plans to the same).
+    "q_pivot" -> sql(
+      """SELECT o_orderstatus,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_value
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+    // Sliding window frame: 7-row centered moving average of daily order
+    // value — the ROWS BETWEEN frame machinery under an oracle.
+    "q_moving_avg" -> sql(
+      """SELECT d, n, round(avg(v) OVER w, 2) AS ma7,
+        |       CAST(sum(n) OVER w AS BIGINT) AS n7
+        |FROM (SELECT date_trunc('DAY', o_orderdate) AS d, count(*) AS n,
+        |             sum(o_totalprice) AS v
+        |      FROM orders GROUP BY 1) t
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin),
     // Weighted PageRank over the customer→supplier flow graph (the
     // crawl-prioritization authority signal, on the tables we have):
     // 3 power iterations, damping 0.85. Ranks scale ×1000 before the
@@ -1495,6 +1524,25 @@ object SparkEntry {
       init(spark, dir)
       Corpus.stratifiedSample(spark.table("documents"), "source", "doc_id", 20)
         .select("doc_id", "source")
+    }),
+    // Count-Min sketch: one 4×1024 counter matrix over the corpus word
+    // stream, then point estimates (min over rows) for doc 1's words.
+    // Both the matrix and the estimates are deterministic functions of
+    // the word multiset, so DuckDB rebuilds them exactly.
+    "q_cms_sketch" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.table("documents")
+      val words = docs.select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+      val sk = words.agg(call_function("cms_sketch", col("w"), lit(4), lit(1024)).as("sk"))
+      val probes = docs.where(col("doc_id") === 1)
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("probe")).distinct()
+      val est = least((0 until 4).map { i =>
+        element_at(col("sk"), (lit(i * 1024) +
+          pmod(element_at(call_function("word_window_hashes",
+            array(concat(lit(s"cms$i:"), col("probe"))), lit(1)), 1), lit(1024L))
+          + 1).cast("int"))
+      }: _*)
+      probes.crossJoin(sk).select(col("probe"), est.as("est"))
     }),
     // Misra-Gries heavy hitters: the exact words covering > 1/200 of the
     // corpus token stream, found with bounded per-partition sketch state
@@ -2248,6 +2296,27 @@ object SparkEntry {
         |FROM supplier JOIN customer
         |  ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 500
         |GROUP BY s_suppkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_value
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT d, n, round(avg(v) OVER w, 2) AS ma7,
+        |       CAST(sum(n) OVER w AS BIGINT) AS n7
+        |FROM (SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n,
+        |             sum(o_totalprice) AS v
+        |      FROM orders GROUP BY 1) t
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
     // PageRank: the oracle unrolls the same three power iterations; the
     // base term is written (1.0 - 0.85) on BOTH sides so the IEEE value
     // matches bit-for-bit (a 0.15 literal is one ulp away)
@@ -2307,6 +2376,19 @@ object SparkEntry {
         |          CAST(concat('0x', substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
         |        FROM documents) t) r
         |WHERE rn <= 20""".stripMargin,
+    // CMS: rebuild the counter matrix as exact grouped counts per
+    // (row, cell), estimate = min over rows at each probe's cells
+    "q_cms_sketch" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w FROM documents),
+        |probes AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS probe FROM documents WHERE doc_id = 1),
+        |rows_ AS (SELECT unnest(range(0, 4)) AS i),
+        |cnt AS (SELECT i, CAST(concat('0x', substr(md5(concat('cms', i, ':', w)), 1, 15)) AS BIGINT) % 1024 AS pos, count(*) AS c
+        |        FROM w CROSS JOIN rows_ GROUP BY 1, 2)
+        |SELECT p.probe, CAST(min(coalesce(cnt.c, 0)) AS BIGINT) AS est
+        |FROM probes p CROSS JOIN rows_ r
+        |LEFT JOIN cnt ON cnt.i = r.i
+        |  AND cnt.pos = CAST(concat('0x', substr(md5(concat('cms', r.i, ':', p.probe)), 1, 15)) AS BIGINT) % 1024
+        |GROUP BY p.probe""".stripMargin,
     // heavy hitters: the sketch is a pruning device only — the RESULT is
     // the plain exact group-count-threshold, which is what this verifies
     "q_heavy_hitters" ->

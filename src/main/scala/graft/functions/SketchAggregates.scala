@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** KMV ("k minimum values" / bottom-k theta) distinct-count sketch over
@@ -113,6 +114,124 @@ case class KmvDistinctAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvDistinctAgg =
     copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** Count-Min sketch aggregate — `cms_sketch(item, depth, width)`: a
+  * `depth × width` counter matrix over the item stream, returned as one
+  * flat `array<long>` (row-major).
+  *
+  * The mergeable frequency sketch (Cormode & Muthukrishnan 2005): each
+  * item increments one counter per row at `md5("cms{i}:" ++ item) mod
+  * width`; a point estimate for any item is the MIN of its counters
+  * (biased high by collisions, never low). Partial state is a fixed
+  * `depth·width` long array no matter how many items or how many
+  * DISTINCT items flow through — the property that matters at 100 TB,
+  * where exact per-item counting shuffles a dictionary. Merge is
+  * element-wise addition, so the sketch is a pure deterministic function
+  * of the input multiset (partitioning- and order-invariant), and the
+  * row hashes are the engine's standard md5 kernel — both facts together
+  * let the DuckDB oracle rebuild the identical matrix and estimates.
+  *
+  * Null items are skipped. `depth`/`width` must be foldable literals
+  * with `depth ≥ 1`, `width ≥ 2`, and `depth·width ≤ 2²²` (a 32 MB
+  * buffer cap).
+  */
+case class CmsAgg(
+    child: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child, depthExpr, widthExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  private def foldableInt(e: Expression): Option[Int] =
+    if (e.dataType == IntegerType && e.foldable)
+      Option(e.eval(InternalRow.empty)).map(_.asInstanceOf[Int])
+    else None
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckFailure("cms_sketch expects a STRING item column")
+    else (foldableInt(depthExpr), foldableInt(widthExpr)) match {
+      case (Some(d), Some(w)) =>
+        if (d < 1 || w < 2) TypeCheckResult.TypeCheckFailure(
+          s"cms_sketch needs depth >= 1 and width >= 2, got ($d, $w)")
+        else if (d.toLong * w > (1 << 22)) TypeCheckResult.TypeCheckFailure(
+          s"cms_sketch depth*width must be <= 2^22, got ${d.toLong * w}")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cms_sketch expects literal INT depth and width")
+    }
+
+  private lazy val depth: Int = foldableInt(depthExpr).get
+  private lazy val width: Int = foldableInt(widthExpr).get
+  // row-salt prefixes "cms0:", "cms1:", ... as UTF-8 bytes
+  private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(i => s"cms$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private lazy val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      val md = digest.get()
+      val out = new Array[Byte](16)
+      var i = 0
+      while (i < depth) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(bytes)
+        md.digest(out, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (out(b) & 0xffL); b += 1 }
+        // top 60 bits — the same CONV(SUBSTR(md5,1,15),16,10) the oracle uses
+        buf(i * width + ((h >>> 4) % width).toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CmsAgg =
+    copy(child = newChildren(0), depthExpr = newChildren(1), widthExpr = newChildren(2))
 }
 
 object KmvDistinctAgg {

@@ -91,6 +91,45 @@ class SketchesSpec extends SparkTestBase {
     assert(msgs.contains("k must be >= 2"))
   }
 
+  test("cms_sketch: counter matrix equals a local replica and is partition-invariant") {
+    val rnd = new scala.util.Random(17)
+    val items = (1 to 3000).map(_ => s"item${rnd.nextInt(300)}")
+    val (depth, width) = (4, 64)
+    // local replica of the exact same row-salted md5 placement
+    def cell(i: Int, s: String): Int =
+      ((graft.functions.TextOps.md5Prefix64(s"cms$i:$s") >>> 4) % width).toInt
+    val want = new Array[Long](depth * width)
+    items.foreach(s => (0 until depth).foreach(i => want(i * width + cell(i, s)) += 1))
+    for (p <- Seq(1, 9)) {
+      val got = items.toDF("x").repartition(p)
+        .agg(call_function("cms_sketch", $"x", lit(depth), lit(width)))
+        .head().getSeq[Long](0)
+      assert(got.toArray.toSeq === want.toSeq, s"partitions=$p")
+    }
+    // point estimate: min over rows — never below the true count
+    val sketch = want
+    def estimate(s: String): Long =
+      (0 until depth).map(i => sketch(i * width + cell(i, s))).min
+    val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong)
+    trueCounts.foreach { case (s, c) => assert(estimate(s) >= c, s) }
+  }
+
+  test("cms_sketch: nulls skipped, grouped use, and validation at analysis time") {
+    val df = Seq((Some("a"), "g"), (None, "g"), (Some("a"), "h")).toDF("x", "g")
+    val bySum = df.groupBy("g")
+      .agg(call_function("cms_sketch", $"x", lit(2), lit(16)).as("sk"))
+      .select($"g", expr("aggregate(sk, 0L, (a, b) -> a + b)").as("total"))
+      .as[(String, Long)].collect().toMap
+    // each non-null item lands once per row: depth 2 → 2 increments
+    assert(bySum === Map("g" -> 2L, "h" -> 2L))
+    val e = intercept[Exception] {
+      df.agg(call_function("cms_sketch", $"x", lit(0), lit(16))).head()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("depth >= 1"))
+  }
+
   test("kmv_distinct matches the oracle's closed form on the full regime") {
     // replicate the DuckDB oracle's arithmetic exactly: sort distinct
     // hashes, take the k-th smallest, ((k-1) * 2^60) / kth
