@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Corpus, Dedup, Graphs, Multimodal, Sketches, SpatialJoin, Temporal, TextAnalysis}
+import graft.operators.{Ann, Corpus, Dedup, Graphs, Multimodal, Retrieval, Sketches, SpatialJoin, Temporal, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1525,6 +1525,30 @@ object SparkEntry {
       Corpus.stratifiedSample(spark.table("documents"), "source", "doc_id", 20)
         .select("doc_id", "source")
     }),
+    // Okapi BM25 lexical scoring against a 4-term query; scores rounded
+    // at 4 dp (ln differs at the ulp level across engines).
+    "q_bm25" -> ((spark, dir) => {
+      init(spark, dir)
+      Retrieval.bm25(spark.table("documents"), "doc_id", "text",
+          Seq("hash", "join", "vector", "stream"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 top-50 with a
+    // length-prior top-50 — the standard lexical+prior combiner. Legs
+    // rank on ROUNDED scores with id tiebreaks so both engines build
+    // identical rank lists.
+    "q_rrf_fusion" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.table("documents")
+      val lex = Retrieval.bm25(docs, "doc_id", "text",
+          Seq("hash", "join", "vector", "stream"))
+        .select(col("doc_id"), round(col("score"), 4).as("s"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(50)
+      val lengthy = docs.select(col("doc_id"), col("n_chars").cast("double").as("s"))
+        .orderBy(col("s").desc, col("doc_id").asc).limit(50)
+      Retrieval.rrfFuse(Seq(lex, lengthy), "doc_id", "s")
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+    }),
     // Count-Min sketch: one 4×1024 counter matrix over the corpus word
     // stream, then point estimates (min over rows) for doc 1's words.
     // Both the matrix and the estimates are deterministic functions of
@@ -2376,6 +2400,39 @@ object SparkEntry {
         |          CAST(concat('0x', substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
         |        FROM documents) t) r
         |WHERE rn <= 20""".stripMargin,
+    // BM25: identical arithmetic, associativity parenthesized to match
+    // the engine's expression tree exactly (only ln is ulp-divergent)
+    "q_bm25" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
+        |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM ws),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM ws),
+        |tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM toks
+        |       WHERE t IN ('hash', 'join', 'vector', 'stream') GROUP BY 1, 2),
+        |dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS nt FROM tf GROUP BY t)
+        |SELECT tf.doc_id, round(sum(
+        |  ln(((SELECT n FROM stats) - dfq.nt + 0.5) / (dfq.nt + 0.5) + 1.0) *
+        |  (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))))
+        |), 4) AS score
+        |FROM tf JOIN dfq ON tf.t = dfq.t
+        |GROUP BY tf.doc_id""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
+        |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM ws),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM ws),
+        |tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM toks
+        |       WHERE t IN ('hash', 'join', 'vector', 'stream') GROUP BY 1, 2),
+        |dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS nt FROM tf GROUP BY t),
+        |bm AS (SELECT tf.doc_id, round(sum(
+        |  ln(((SELECT n FROM stats) - dfq.nt + 0.5) / (dfq.nt + 0.5) + 1.0) *
+        |  (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))))
+        |), 4) AS s FROM tf JOIN dfq ON tf.t = dfq.t GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id ASC LIMIT 50),
+        |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM lex),
+        |lng AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents ORDER BY s DESC, doc_id ASC LIMIT 50),
+        |lngr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM lng),
+        |u AS (SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lexr
+        |      UNION ALL SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lngr)
+        |SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY doc_id""".stripMargin,
     // CMS: rebuild the counter matrix as exact grouped counts per
     // (row, cell), estimate = min over rows at each probe's cells
     "q_cms_sketch" ->
