@@ -306,6 +306,31 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out === Map(100L -> Some(9.0), 101L -> None))
   }
 
+  test("sketch aggregates run under streaming groupBy (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)] // (group, item)
+    val agg = in.toDF().toDF("g", "x").groupBy("g")
+      .agg(call_function("kmv_distinct",
+          call_function("word_window_hashes", array(col("x")), lit(1))(0), lit(64))
+        .as("nd"),
+        call_function("cms_sketch", col("x"), lit(2), lit(32)).as("sk"))
+      .select(col("g"), col("nd"),
+        expr("aggregate(sk, 0L, (a, b) -> a + b)").as("mass"))
+    val query = agg.writeStream.format("memory").queryName("sketch_out")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", "x1"), ("a", "x2"), ("a", "x1"), ("b", "y1"))
+      query.processAllAvailable()
+      in.addData(("a", "x3")) // state must carry across micro-batches
+      query.processAllAvailable()
+      val out = spark.table("sketch_out")
+        .groupBy("g").agg(max("nd").as("nd"), max("mass").as("mass"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      // kmv: exact distinct below k; cms mass: depth 2 → 2 per non-null row
+      assert(out === Map("a" -> ((3.0, 8L)), "b" -> ((1.0, 2L))))
+    } finally query.stop()
+  }
+
   private def intervalFixture = {
     val purchases = Seq(
       (100L, 1L, ts("2024-01-01 10:00:00")),
