@@ -1525,6 +1525,17 @@ object SparkEntry {
       Corpus.stratifiedSample(spark.table("documents"), "source", "doc_id", 20)
         .select("doc_id", "source")
     }),
+    // Z-order layout: bit-interleaved bucket ranks over two dimensions —
+    // the multi-dimensional clustering key lakehouse formats sort by for
+    // data skipping. The gate verifies the z-values themselves.
+    "q_zorder" -> ((spark, dir) => {
+      init(spark, dir)
+      val c = spark.table("customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          (col("c_custkey") % 97).cast("double").as("y"))
+      operators.Layout.withZValue(c, Seq("c_acctbal", "y"), 8)
+        .select("c_custkey", "z")
+    }),
     // Okapi BM25 lexical scoring against a 4-term query; scores rounded
     // at 4 dp (ln differs at the ulp level across engines).
     "q_bm25" -> ((spark, dir) => {
@@ -2400,6 +2411,22 @@ object SparkEntry {
         |          CAST(concat('0x', substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
         |        FROM documents) t) r
         |WHERE rn <= 20""".stripMargin,
+    // z-order: same normalize-bucket-interleave arithmetic; the bit
+    // terms are generated to mirror position i*k + j exactly
+    "q_zorder" -> {
+      // every term fully parenthesized: Postgres-family grammars give
+      // user operators (<<, &, |) ONE shared precedence, left-assoc
+      val terms = (for (i <- 0 until 8; j <- 0 until 2) yield
+        s"(((b$j >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+      s"""WITH s AS (SELECT min(c_acctbal) AS mn0, max(c_acctbal) AS mx0,
+         |                  min(CAST(c_custkey % 97 AS DOUBLE)) AS mn1,
+         |                  max(CAST(c_custkey % 97 AS DOUBLE)) AS mx1 FROM customer),
+         |b AS (SELECT c_custkey,
+         |        CAST(least(floor((c_acctbal - s.mn0) / (s.mx0 - s.mn0) * 255), 255) AS BIGINT) AS b0,
+         |        CAST(least(floor((CAST(c_custkey % 97 AS DOUBLE) - s.mn1) / (s.mx1 - s.mn1) * 255), 255) AS BIGINT) AS b1
+         |      FROM customer, s)
+         |SELECT c_custkey, $terms AS z FROM b""".stripMargin
+    },
     // BM25: identical arithmetic, associativity parenthesized to match
     // the engine's expression tree exactly (only ln is ulp-divergent)
     "q_bm25" ->

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: multi-dimensional clustering for
+  * data-skipping (the Z-ORDER primitive of lakehouse table formats).
+  *
+  * Sorting by a Z-value (bit-interleaved bucket ranks of several
+  * columns) makes rows close in EVERY dimension land in the same files,
+  * so min/max file statistics prune scans for predicates on ANY of the
+  * interleaved columns — where a lexicographic sort only serves its
+  * leading column. This is the standard layout step before writing a
+  * large analytical table that is filtered on several independent
+  * columns (date × domain × quality score, in the corpus case).
+  */
+object Layout {
+
+  /** Adds a Z-value column interleaving `cols` (numeric) at `bits` bits
+    * per dimension. Per column, values min/max-normalize into
+    * `[0, 2^bits)` integer buckets (one tiny min/max aggregate — a
+    * single driver row — is the only extra pass; everything else is a
+    * scan-level codegen'd expression). Nulls and degenerate
+    * constant columns bucket to 0. Bit i of bucket j lands at position
+    * `i·k + j` of the Z-value, so `bits · k` must fit a long (≤ 63).
+    */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                 outCol: String = "z"): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(bits >= 1, s"bits must be >= 1, got $bits")
+    require(bits * cols.size <= 63,
+      s"bits * dimensions must be <= 63, got ${bits * cols.size}")
+    require(!df.columns.contains(outCol), s"output column '$outCol' already exists")
+
+    // ONE bounded aggregate: 2·k doubles to the driver
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val hi = (1L << bits) - 1
+    val k = cols.size
+    val buckets = cols.zipWithIndex.map { case (c, j) =>
+      // an empty frame (or all-null column) aggregates to null: treat as
+      // degenerate so every (non-existent) row buckets to 0
+      val lo = if (mm.isNullAt(2 * j)) 0.0 else mm.getDouble(2 * j)
+      val up = if (mm.isNullAt(2 * j + 1)) 0.0 else mm.getDouble(2 * j + 1)
+      val x = col(c).cast("double")
+      if (up == lo) lit(0L) // constant column: every row bucket 0
+      else
+        // the null gate must come FIRST: least() SKIPS null operands (it
+        // returns the smallest non-null), so a trailing coalesce would
+        // see hi, not null, and null rows would land in the top bucket
+        when(x.isNull, lit(0L))
+          .otherwise(least(floor((x - lit(lo)) / lit(up - lo) * hi), lit(hi))
+            .cast("long"))
+    }
+    val z = (for (i <- 0 until bits; j <- 0 until k) yield
+      shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
+    df.withColumn(outCol, z)
+  }
+
+  /** Z-order the frame: range-partition and sort by the Z-value of
+    * `cols` so each output partition (→ file, when written) covers a
+    * compact multi-dimensional cell. `numPartitions` ≤ 0 keeps the
+    * session default. The Z column is dropped from the result — it only
+    * drives the layout.
+    */
+  def zorderBy(df: DataFrame, cols: Seq[String], bits: Int = 8,
+               numPartitions: Int = 0): DataFrame = {
+    val zc = "__graft_z"
+    val withZ = withZValue(df, cols, bits, zc)
+    val parted =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col(zc))
+      else withZ.repartitionByRange(col(zc))
+    parted.sortWithinPartitions(col(zc)).drop(zc)
+  }
+}

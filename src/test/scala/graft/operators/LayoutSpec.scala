@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("withZValue interleaves bucket bits exactly as the local replica") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 200 - 100,
+      rnd.nextInt(1000).toDouble))
+    val df = rows.toDF("id", "x", "y")
+    val bits = 8
+    val got = Layout.withZValue(df, Seq("x", "y"), bits)
+      .select("id", "z").as[(Long, Long)].collect().toMap
+    // local replica
+    val (xs, ys) = (rows.map(_._2), rows.map(_._3))
+    def bucket(v: Double, lo: Double, up: Double): Long =
+      math.min(math.floor((v - lo) / (up - lo) * 255).toLong, 255L)
+    def interleave(a: Long, b: Long): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1) << (i * 2)) | (((b >> i) & 1) << (i * 2 + 1))).reduce(_ | _)
+    rows.foreach { case (id, x, y) =>
+      val want = interleave(bucket(x, xs.min, xs.max), bucket(y, ys.min, ys.max))
+      assert(got(id) === want, s"id=$id")
+    }
+  }
+
+  test("z-locality: rows close in both dimensions share high z-bits") {
+    // the z-value's top bits are the coarse cell — equal for same-cell
+    // points, different across opposite corners
+    val df = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 999.0, 999.0),
+      (4L, 0.0, 0.0), (5L, 1000.0, 1000.0)).toDF("id", "x", "y")
+    val z = Layout.withZValue(df, Seq("x", "y"), 8)
+      .select("id", "z").as[(Long, Long)].collect().toMap
+    assert((z(1L) >> 10) === (z(2L) >> 10)) // same coarse cell
+    assert((z(4L) >> 10) !== (z(3L) >> 10)) // opposite corners differ
+    assert(z(4L) === 0L && z(5L) === ((1L << 16) - 1)) // extremes
+  }
+
+  test("withZValue: nulls and constant columns bucket to zero; validation") {
+    val df = Seq((1L, Some(5.0), 7.0), (2L, None, 7.0), (3L, Some(1.0), 7.0))
+      .toDF("id", "x", "c")
+    val z = Layout.withZValue(df, Seq("x", "c"), 4)
+      .select("id", "z").as[(Long, Long)].collect().toMap
+    // c is constant → contributes nothing; null x → bucket 0
+    assert(z(2L) === 0L && z(3L) === 0L)
+    assert(z(1L) !== 0L) // x=max → bucket 15
+    intercept[IllegalArgumentException] { Layout.withZValue(df, Nil, 8) }
+    intercept[IllegalArgumentException] { Layout.withZValue(df, Seq("x"), 64) }
+    intercept[IllegalArgumentException] {
+      Layout.withZValue(df, Seq("x", "c"), 32) // 64 bits > 63
+    }
+    intercept[IllegalArgumentException] {
+      Layout.withZValue(df.withColumnRenamed("c", "z"), Seq("x"), 8)
+    }
+    val empty = Seq.empty[(Long, Double)].toDF("id", "x")
+    assert(Layout.withZValue(empty, Seq("x"), 8).count() === 0L)
+  }
+
+  test("zorderBy range-partitions by z and keeps every row, z dropped") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 2000).map(i =>
+      (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100)).toDF("id", "x", "y")
+    val out = Layout.zorderBy(df, Seq("x", "y"), bits = 8, numPartitions = 4)
+    assert(out.columns.toSeq === Seq("id", "x", "y"))
+    assert(out.count() === 2000L)
+    // locality effect: per-partition x-range spans must be narrower on
+    // average than the global span (the point of the exercise)
+    val spans = out.withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max("x") - min("x")).as("span"))
+      .as[(Int, Double)].collect().map(_._2)
+    assert(spans.nonEmpty && spans.min < 100.0 * 0.9, spans.mkString(","))
+  }
+}
