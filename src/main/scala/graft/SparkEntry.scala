@@ -1644,6 +1644,24 @@ object SparkEntry {
     * is ASCII; OraclePreconditionsSpec asserts the corpus-side
     * preconditions these oracles rest on (ASCII text + the Jaccard gap
     * that makes LSH recall lossless). */
+  /** The BM25 oracle CTE block, shared verbatim by q_bm25 and
+    * q_rrf_fusion — ONE definition so the two gates cannot drift (the
+    * wsTokens single-source lesson). Yields a `bm(doc_id, score)`
+    * relation; associativity is parenthesized to match the engine's
+    * expression tree exactly (only ln is ulp-divergent, absorbed by the
+    * 4-dp round). */
+  private val Bm25OracleCtes =
+    """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
+      |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM ws),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM ws),
+      |tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM toks
+      |       WHERE t IN ('hash', 'join', 'vector', 'stream') GROUP BY 1, 2),
+      |dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS nt FROM tf GROUP BY t),
+      |bm AS (SELECT tf.doc_id, round(sum(
+      |  ln(((SELECT n FROM stats) - dfq.nt + 0.5) / (dfq.nt + 0.5) + 1.0) *
+      |  (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))))
+      |), 4) AS score FROM tf JOIN dfq ON tf.t = dfq.t GROUP BY tf.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "q_select_filter" ->
       "SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING' AND c_nationkey <> 3",
@@ -2422,38 +2440,21 @@ object SparkEntry {
          |                  min(CAST(c_custkey % 97 AS DOUBLE)) AS mn1,
          |                  max(CAST(c_custkey % 97 AS DOUBLE)) AS mx1 FROM customer),
          |b AS (SELECT c_custkey,
-         |        CAST(least(floor((c_acctbal - s.mn0) / (s.mx0 - s.mn0) * 255), 255) AS BIGINT) AS b0,
-         |        CAST(least(floor((CAST(c_custkey % 97 AS DOUBLE) - s.mn1) / (s.mx1 - s.mn1) * 255), 255) AS BIGINT) AS b1
+         |        CASE WHEN c_acctbal IS NULL OR s.mx0 = s.mn0 THEN 0
+         |             ELSE CAST(least(floor((c_acctbal - s.mn0) / (s.mx0 - s.mn0) * 255), 255) AS BIGINT) END AS b0,
+         |        CASE WHEN c_custkey IS NULL OR s.mx1 = s.mn1 THEN 0
+         |             ELSE CAST(least(floor((CAST(c_custkey % 97 AS DOUBLE) - s.mn1) / (s.mx1 - s.mn1) * 255), 255) AS BIGINT) END AS b1
          |      FROM customer, s)
          |SELECT c_custkey, $terms AS z FROM b""".stripMargin
     },
     // BM25: identical arithmetic, associativity parenthesized to match
     // the engine's expression tree exactly (only ln is ulp-divergent)
     "q_bm25" ->
-      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
-        |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM ws),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM ws),
-        |tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM toks
-        |       WHERE t IN ('hash', 'join', 'vector', 'stream') GROUP BY 1, 2),
-        |dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS nt FROM tf GROUP BY t)
-        |SELECT tf.doc_id, round(sum(
-        |  ln(((SELECT n FROM stats) - dfq.nt + 0.5) / (dfq.nt + 0.5) + 1.0) *
-        |  (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))))
-        |), 4) AS score
-        |FROM tf JOIN dfq ON tf.t = dfq.t
-        |GROUP BY tf.doc_id""".stripMargin,
+      s"""$Bm25OracleCtes
+        |SELECT doc_id, score FROM bm""".stripMargin,
     "q_rrf_fusion" ->
-      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
-        |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM ws),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(ws)) AS avgdl FROM ws),
-        |tf AS (SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM toks
-        |       WHERE t IN ('hash', 'join', 'vector', 'stream') GROUP BY 1, 2),
-        |dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS nt FROM tf GROUP BY t),
-        |bm AS (SELECT tf.doc_id, round(sum(
-        |  ln(((SELECT n FROM stats) - dfq.nt + 0.5) / (dfq.nt + 0.5) + 1.0) *
-        |  (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / (SELECT avgdl FROM stats))))
-        |), 4) AS s FROM tf JOIN dfq ON tf.t = dfq.t GROUP BY tf.doc_id),
-        |lex AS (SELECT doc_id, s FROM bm ORDER BY s DESC, doc_id ASC LIMIT 50),
+      s"""$Bm25OracleCtes,
+        |lex AS (SELECT doc_id, score AS s FROM bm ORDER BY s DESC, doc_id ASC LIMIT 50),
         |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM lex),
         |lng AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents ORDER BY s DESC, doc_id ASC LIMIT 50),
         |lngr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM lng),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,9 +40,13 @@ object Retrieval {
     // one corpus scan: per-doc matching-term frequencies + doc length.
     // (N, avgdl) comes from its own tiny scan-level aggregate — lengths
     // are cheap to recompute and the tf rows only exist for matches.
-    val toks = df.select(col(idCol).as("__id"),
-      size(TextAnalysis.wsTokens(col(textCol))).as("__len"),
-      explode(TextAnalysis.wsTokens(col(textCol))).as("__t"))
+    // Tokenize ONCE into a named column: size() and explode() land in
+    // different physical operators, so an inlined wsTokens would run the
+    // regex split twice per row (the dupSpanStats materialization lesson)
+    val toks = df
+      .select(col(idCol).as("__id"), TextAnalysis.wsTokens(col(textCol)).as("__ws"))
+      .select(col("__id"), size(col("__ws")).as("__len"),
+        explode(col("__ws")).as("__t"))
       .where(col("__t").isin(lowered: _*))
     val tf = toks.groupBy("__id", "__t")
       .agg(count(lit(1)).as("__tf"), first("__len").as("__len"))
@@ -74,6 +78,10 @@ object Retrieval {
     * from a list simply contribute nothing for it. Returns
     * `(idCol, rrf)` for the union of candidates.
     *
+    * A document appearing more than once within one list is collapsed to
+    * its best score first (RRF defines one rank per document per list —
+    * double-counting would unfairly boost fan-out artifacts).
+    *
     * Scale note: ranking a list with a global window is only sane on
     * BOUNDED candidate lists — cap each leg first (`orderBy(desc).limit(n)`
     * plans as a distributed TakeOrdered, so the cap itself is cheap);
@@ -85,8 +93,9 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     val ranked = lists.map { l =>
       val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
-      l.select(col(idCol).as("__id"),
-        (lit(1.0) / (lit(k.toDouble) + row_number().over(w))).as("__c"))
+      l.groupBy(col(idCol)).agg(max(col(scoreCol)).as(scoreCol))
+        .select(col(idCol).as("__id"),
+          (lit(1.0) / (lit(k.toDouble) + row_number().over(w))).as("__c"))
     }
     ranked.reduce(_ unionByName _)
       .groupBy("__id").agg(sum("__c").as("rrf"))

@@ -85,4 +85,14 @@ class RetrievalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil, "id", "s") }
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(l1), "id", "s", k = 0) }
   }
+
+  test("rrfFuse collapses duplicate ids within one list to their best score") {
+    // a fanned-out candidate list must not double-count: id 1 appears
+    // twice but gets ONE rank (by its best score 9.0 → rank 1)
+    val dup = Seq((1L, 9.0), (1L, 2.0), (2L, 5.0)).toDF("id", "s")
+    val got = Retrieval.rrfFuse(Seq(dup), "id", "s", k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 1.0 / 11) < 1e-12)
+    assert(math.abs(got(2L) - 1.0 / 12) < 1e-12)
+  }
 }
