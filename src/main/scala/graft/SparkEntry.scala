@@ -1525,6 +1525,12 @@ object SparkEntry {
       Corpus.stratifiedSample(spark.table("documents"), "source", "doc_id", 20)
         .select("doc_id", "source")
     }),
+    // Single-pass column profile of the documents table — the
+    // data-quality audit step (null/distinct/min/max per column).
+    "q_profile" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.profile(spark.table("documents"))
+    }),
     // Z-order layout: bit-interleaved bucket ranks over two dimensions —
     // the multi-dimensional clustering key lakehouse formats sort by for
     // data skipping. The gate verifies the z-values themselves.
@@ -2429,6 +2435,16 @@ object SparkEntry {
         |          CAST(concat('0x', substr(md5(concat('strat', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 AS u
         |        FROM documents) t) r
         |WHERE rn <= 20""".stripMargin,
+    // profile: per-column stats as a union, min/max compared in the
+    // column's own type THEN rendered
+    "q_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+    },
     // z-order: same normalize-bucket-interleave arithmetic; the bit
     // terms are generated to mirror position i*k + j exactly
     "q_zorder" -> {

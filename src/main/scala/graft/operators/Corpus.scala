@@ -129,6 +129,37 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Single-pass column profile: for every target column, `(column,
+    * n_rows, n_nulls, n_distinct, min, max)` with min/max rendered as
+    * strings AFTER type-correct comparison (casting first would compare
+    * numbers lexicographically).
+    *
+    * The standard data-quality audit before/after a pipeline stage
+    * (did a join explode nulls? did dedup collapse a key?). All
+    * statistics come from ONE aggregate over ONE scan — Catalyst plans
+    * the multiple `count(DISTINCT)`s with a single Expand, so cost is
+    * bounded by the distinct values per column, not passes — and the
+    * one-row result melts to per-column rows driver-free.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = if (cols.isEmpty) df.columns.toSeq else cols
+    require(targets.nonEmpty, "no columns to profile")
+    val aggs = Seq(count(lit(1)).as("__total")) ++ targets.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        count_distinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val entries = array(targets.map(c => struct(lit(c).as("column"),
+      (col("__total") - col(s"__n_$c")).as("n_nulls"),
+      col(s"__d_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min"), col(s"__mx_$c").as("max"))): _*)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__total").as("n_rows"), explode(entries).as("p"))
+      .select(col("p.column").as("column"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min"), col("p.max"))
+  }
+
   /** Deterministic train/val/test split assignment: adds a `split` column
     * placing each row in exactly one named fraction — disjoint,
     * exhaustive, and stable (a row's split never changes as the corpus

@@ -464,6 +464,25 @@ class CorpusSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("profile: single-pass per-column stats with type-correct min/max") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10.0), Some("b")), (2L, Some(2.0), None),
+      (3L, None: Option[Double], Some("a")), (3L, None: Option[Double], Some("a")))
+      .toDF("id", "v", "s")
+    val p = Corpus.profile(df).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(p("id") === ((4L, 0L, 3L, Some("1"), Some("3"))))
+    // numeric comparison happens BEFORE the string render: 2.0 < 10.0
+    // (a cast-first profile would claim min = "10.0" lexicographically)
+    assert(p("v") === ((4L, 2L, 2L, Some("2.0"), Some("10.0"))))
+    assert(p("s") === ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(Corpus.profile(df, Seq("id")).count() === 1L)
+    // one scan: a single Aggregate chain, no self-joins or unions
+    val plan = Corpus.profile(df).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+  }
+
   test("diffSnapshots classifies added/removed/changed/unchanged, null-safely") {
     import spark.implicits._
     val a = Seq(
