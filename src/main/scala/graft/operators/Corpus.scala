@@ -81,6 +81,42 @@ object Corpus {
       col(groupCol) <=> col("__g") && col(idCol) === col("__id"), "left_semi")
   }
 
+  /** Deterministic WEIGHTED sample without replacement: min(n, |group|)
+    * rows per group, each row's selection odds proportional to
+    * `weightCol` — the Efraimidis–Spirakis A-ES scheme (2006): rank by
+    * `u^(1/w)` with `u = hashUniform(id)` and keep the n LARGEST keys.
+    * Where [[stratifiedSample]] samples uniformly, this is the
+    * quality-weighted selection step (keep more of what a classifier or
+    * PageRank prior scored higher) — still a pure function of ids and
+    * weights, so reruns and repartitions select identical rows.
+    *
+    * Same bounded shape as [[stratifiedSample]]: `topk_agg`'s k-capped
+    * heap per group (map-side partials already ≤ n), a semi-join back.
+    * Rows with null ids or non-positive/null weights are excluded (they
+    * have no defined selection odds). Ties are impossible (id is in the
+    * sort key). Double-precision `pow` makes the KEY engine-specific at
+    * the last ulp, which is why this operator is spec-gated rather than
+    * oracle-gated — determinism holds within the engine.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, n: Int,
+                     salt: String = "wsample"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    graft.Graft.register(df.sparkSession) // topk_agg, idempotent
+    val u = hashUniform(col(idCol), salt)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val picks = df
+      .where(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0.0)
+      .select(col(groupCol).as("__g"),
+        struct(key.as("k"), col(idCol).as("id")).as("__s"))
+      .groupBy(col("__g"))
+      .agg(call_function("topk_agg", col("__s"), lit(n)).as("__ks"))
+      .select(col("__g"), explode(col("__ks.id")).as("__id"))
+    df.join(picks,
+      col(groupCol) <=> col("__g") && col(idCol) === col("__id"), "left_semi")
+  }
+
   /** Snapshot diff for incremental corpus pipelines: classify every id
     * across two corpus versions as `added` (in `b` only), `removed` (in
     * `a` only), `changed` (both, any `contentCols` value differs,

@@ -91,6 +91,31 @@ class TopKAggSpec extends SparkTestBase {
     assert(msgs.contains("k must be >= 1"))
   }
 
+  test("weightedSample: exact counts, weight-proportional odds, deterministic") {
+    // 1000 light (w=1) + 1000 heavy (w=9) rows; A-ES without replacement
+    // must over-represent heavy rows strongly in a 200-row sample
+    val df = (1 to 2000).map(i =>
+      (i.toLong, "g", if (i <= 1000) 1.0 else 9.0)).toDF("id", "g", "w")
+    val s = Corpus.weightedSample(df, "g", "id", "w", 200)
+    assert(s.count() === 200L)
+    val heavy = s.where($"w" === 9.0).count()
+    assert(heavy > 140L, s"heavy=$heavy") // ~90% expected, assert > 70%
+    // deterministic under repartitioning
+    val ids1 = s.select("id").as[Long].collect().toSet
+    val ids2 = Corpus.weightedSample(df.repartition(13), "g", "id", "w", 200)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 === ids2)
+    // zero/negative/null weights are excluded even at huge n
+    val bad = Seq((1L, "g", 0.0), (2L, "g", -1.0),
+      (3L, "g", Double.NaN), (4L, "g", 2.0)).toDF("id", "g", "w")
+      .withColumn("w", when(isnan($"w"), lit(null)).otherwise($"w"))
+    assert(Corpus.weightedSample(bad, "g", "id", "w", 100)
+      .select("id").as[Long].collect().toSeq === Seq(4L))
+    intercept[IllegalArgumentException] {
+      Corpus.weightedSample(df, "g", "id", "w", 0)
+    }
+  }
+
   test("stratifiedSample: exact per-group counts, deterministic, id-keyed") {
     val df = (1 to 900).map(i => (i.toLong, s"g${i % 3}", s"payload$i"))
       .toDF("id", "g", "p")
