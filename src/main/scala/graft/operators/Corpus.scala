@@ -68,14 +68,23 @@ object Corpus {
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, n: Int,
                        salt: String = "strat"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    graft.Graft.register(df.sparkSession) // bottomk_agg, idempotent
-    val u = hashUniform(col(idCol), salt)
+    kPicksSemiJoin(df, groupCol, idCol, col(idCol).isNotNull,
+      hashUniform(col(idCol), salt), "bottomk_agg", n)
+  }
+
+  /** Shared picker shape for the exact-size samplers: the eligible rows'
+    * `(key, id)` pairs fold through the k-bounded heap aggregate per
+    * group, and the picked ids semi-join back onto the corpus. */
+  private def kPicksSemiJoin(df: DataFrame, groupCol: String, idCol: String,
+                             eligible: Column, keyCol: Column, aggName: String,
+                             n: Int): DataFrame = {
+    graft.Graft.register(df.sparkSession) // the heap aggregates, idempotent
     val picks = df
-      .where(col(idCol).isNotNull)
+      .where(eligible)
       .select(col(groupCol).as("__g"),
-        struct(u.as("u"), col(idCol).as("id")).as("__s"))
+        struct(keyCol.as("k"), col(idCol).as("id")).as("__s"))
       .groupBy(col("__g"))
-      .agg(call_function("bottomk_agg", col("__s"), lit(n)).as("__ks"))
+      .agg(call_function(aggName, col("__s"), lit(n)).as("__ks"))
       .select(col("__g"), explode(col("__ks.id")).as("__id"))
     df.join(picks,
       col(groupCol) <=> col("__g") && col(idCol) === col("__id"), "left_semi")
@@ -83,38 +92,36 @@ object Corpus {
 
   /** Deterministic WEIGHTED sample without replacement: min(n, |group|)
     * rows per group, each row's selection odds proportional to
-    * `weightCol` — the Efraimidis–Spirakis A-ES scheme (2006): rank by
-    * `u^(1/w)` with `u = hashUniform(id)` and keep the n LARGEST keys.
-    * Where [[stratifiedSample]] samples uniformly, this is the
-    * quality-weighted selection step (keep more of what a classifier or
-    * PageRank prior scored higher) — still a pure function of ids and
-    * weights, so reruns and repartitions select identical rows.
+    * `weightCol` — the Efraimidis–Spirakis A-ES scheme (2006), in the
+    * LOG-SPACE form: rank by `ln(u)/w` with `u = hashUniform(id)` and
+    * keep the n LARGEST keys (order-equivalent to the textbook
+    * `u^(1/w)`, but `u^(1/w)` UNDERFLOWS to 0 for small weights — a
+    * classifier score of 0.001 zeroes half a group's keys — while the
+    * log form cannot). Where [[stratifiedSample]] samples uniformly,
+    * this is the quality-weighted selection step (keep more of what a
+    * classifier or PageRank prior scored higher) — still a pure
+    * function of ids and weights, so reruns and repartitions select
+    * identical rows.
     *
-    * Same bounded shape as [[stratifiedSample]]: `topk_agg`'s k-capped
-    * heap per group (map-side partials already ≤ n), a semi-join back.
-    * Rows with null ids or non-positive/null weights are excluded (they
-    * have no defined selection odds). Ties are impossible (id is in the
-    * sort key). Double-precision `pow` makes the KEY engine-specific at
-    * the last ulp, which is why this operator is spec-gated rather than
+    * Same bounded shape as [[stratifiedSample]] (shared helper):
+    * `topk_agg`'s k-capped heap per group, a semi-join back. Rows with
+    * null ids or null/NaN/non-positive weights are excluded (no defined
+    * selection odds — NaN needs its own check, since `NaN > 0` is TRUE
+    * under Spark's total ordering and a NaN key would sort above every
+    * real one). Ties are impossible (id is in the sort key).
+    * Double-precision `ln` makes the key engine-specific at the last
+    * ulp, which is why this operator is spec-gated rather than
     * oracle-gated — determinism holds within the engine.
     */
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
                      weightCol: String, n: Int,
                      salt: String = "wsample"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    graft.Graft.register(df.sparkSession) // topk_agg, idempotent
-    val u = hashUniform(col(idCol), salt)
-    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
-    val picks = df
-      .where(col(idCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol) > 0.0)
-      .select(col(groupCol).as("__g"),
-        struct(key.as("k"), col(idCol).as("id")).as("__s"))
-      .groupBy(col("__g"))
-      .agg(call_function("topk_agg", col("__s"), lit(n)).as("__ks"))
-      .select(col("__g"), explode(col("__ks.id")).as("__id"))
-    df.join(picks,
-      col(groupCol) <=> col("__g") && col(idCol) === col("__id"), "left_semi")
+    val w = col(weightCol).cast("double")
+    val key = log(hashUniform(col(idCol), salt)) / w
+    kPicksSemiJoin(df, groupCol, idCol,
+      col(idCol).isNotNull && w.isNotNull && !isnan(w) && w > 0.0,
+      key, "topk_agg", n)
   }
 
   /** Snapshot diff for incremental corpus pipelines: classify every id
@@ -180,16 +187,23 @@ object Corpus {
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val targets = if (cols.isEmpty) df.columns.toSeq else cols
     require(targets.nonEmpty, "no columns to profile")
-    val aggs = Seq(count(lit(1)).as("__total")) ++ targets.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        count_distinct(col(c)).as(s"__d_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    }
-    val entries = array(targets.map(c => struct(lit(c).as("column"),
-      (col("__total") - col(s"__n_$c")).as("n_nulls"),
-      col(s"__d_$c").as("n_distinct"),
-      col(s"__mn_$c").as("min"), col(s"__mx_$c").as("max"))): _*)
+    // backtick-quote every reference and key internal aliases by INDEX:
+    // profile opts every column in automatically, and a legal top-level
+    // name containing a dot would otherwise parse as a nested-field path
+    def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+    val aggs = Seq(count(lit(1)).as("__total")) ++
+      targets.zipWithIndex.flatMap { case (c, j) =>
+        Seq(count(ref(c)).as(s"__n_$j"),
+          count_distinct(ref(c)).as(s"__d_$j"),
+          min(ref(c)).cast("string").as(s"__mn_$j"),
+          max(ref(c)).cast("string").as(s"__mx_$j"))
+      }
+    val entries = array(targets.zipWithIndex.map { case (c, j) =>
+      struct(lit(c).as("column"),
+        (col("__total") - col(s"__n_$j")).as("n_nulls"),
+        col(s"__d_$j").as("n_distinct"),
+        col(s"__mn_$j").as("min"), col(s"__mx_$j").as("max"))
+    }: _*)
     df.agg(aggs.head, aggs.tail: _*)
       .select(col("__total").as("n_rows"), explode(entries).as("p"))
       .select(col("p.column").as("column"), col("n_rows"), col("p.n_nulls"),

@@ -46,7 +46,11 @@ object Graphs {
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"), w.as("w"))
-      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0.0)
+      // the NaN check is load-bearing: NaN > 0.0 is TRUE under Spark's
+      // total ordering, and one NaN weight would poison every rank
+      // reachable from its source through the share sums
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        !isnan(col("w")) && col("w") > 0.0)
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -76,14 +80,16 @@ object Graphs {
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
     }
-    // LAZY result: the only eager work above is nodes.count() (N is a
-    // literal in the plan). The two persisted inputs join the shared
-    // registry instead of being dropped here — unpersisting them now
-    // would force an extra full materialization pass just to snap the
-    // lineage; Bench/long sessions drain the registry between uses via
-    // Dedup.releaseCaches()
+    // LAZY result, but persisted: the first action fills the cache and
+    // every later action reuses it, so multi-action callers neither
+    // re-run the iteration DAG nor observe ulp-different ranks from a
+    // re-executed float sum. The only eager work above is nodes.count()
+    // (N is a literal in the plan). All three caches join the shared
+    // registry — unpersisting the inputs here would force an extra full
+    // materialization pass just to snap the lineage; Bench/long sessions
+    // drain the registry between uses via Dedup.releaseCaches()
     Dedup.track(norm)
     Dedup.track(nodes)
-    ranks
+    Dedup.track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
   }
 }

@@ -105,12 +105,18 @@ class TopKAggSpec extends SparkTestBase {
     val ids2 = Corpus.weightedSample(df.repartition(13), "g", "id", "w", 200)
       .select("id").as[Long].collect().toSet
     assert(ids1 === ids2)
-    // zero/negative/null weights are excluded even at huge n
+    // zero/negative/NaN weights are excluded even at huge n — RAW NaN,
+    // not pre-converted: NaN > 0 is true under Spark's total ordering,
+    // so the operator must carry its own isnan guard
     val bad = Seq((1L, "g", 0.0), (2L, "g", -1.0),
       (3L, "g", Double.NaN), (4L, "g", 2.0)).toDF("id", "g", "w")
-      .withColumn("w", when(isnan($"w"), lit(null)).otherwise($"w"))
     assert(Corpus.weightedSample(bad, "g", "id", "w", 100)
       .select("id").as[Long].collect().toSeq === Seq(4L))
+    // tiny classifier-score weights must not collapse (the u^(1/w)
+    // underflow the log-space key avoids): with w=0.001 everywhere the
+    // sample is still exactly n distinct rows
+    val tiny = (1 to 500).map(i => (i.toLong, "g", 0.001)).toDF("id", "g", "w")
+    assert(Corpus.weightedSample(tiny, "g", "id", "w", 50).count() === 50L)
     intercept[IllegalArgumentException] {
       Corpus.weightedSample(df, "g", "id", "w", 0)
     }

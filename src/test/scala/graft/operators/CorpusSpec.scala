@@ -478,6 +478,11 @@ class CorpusSpec extends SparkTestBase {
     assert(p("v") === ((4L, 2L, 2L, Some("2.0"), Some("10.0"))))
     assert(p("s") === ((4L, 1L, 2L, Some("a"), Some("b"))))
     assert(Corpus.profile(df, Seq("id")).count() === 1L)
+    // a legal top-level column name containing a dot profiles fine
+    // (name-parsing via col() would chase a phantom nested field)
+    val dotted = df.withColumnRenamed("v", "a.b")
+    assert(Corpus.profile(dotted).collect()
+      .map(_.getString(0)).toSet === Set("id", "a.b", "s"))
     // one scan: a single Aggregate chain, no self-joins or unions
     val plan = Corpus.profile(df).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Union"), plan)
