@@ -179,6 +179,10 @@ object Graft {
     // mergeable, deterministic partial state — see SketchAggregates.scala)
     b("kmv_distinct", (h: Expression, k: Expression) =>
       KmvDistinctAgg(h, k).toAggregateExpression(), Seq(LongType, IntegerType)),
+    // HyperLogLog register sketch over 60-bit hashes (2^p-byte state,
+    // element-wise-max merge — see SketchAggregates.scala)
+    b("hll_sketch", (h: Expression, p: Expression) =>
+      HllSketchAgg(h, p).toAggregateExpression(), Seq(LongType, IntegerType)),
     // Count-Min frequency sketch: fixed depth×width counter state,
     // element-wise merge (see SketchAggregates.scala)
     t("cms_sketch", (item: Expression, d: Expression, w: Expression) =>

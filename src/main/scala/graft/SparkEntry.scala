@@ -1608,6 +1608,29 @@ object SparkEntry {
         .agg(round(call_function("kmv_distinct", col("h"), lit(1024)), 2)
           .as("est_distinct_words"))
     }),
+    // HyperLogLog register sketch: per-source distinct-vocabulary sketch
+    // in 64 bytes of state (vs KMV's 8 KB above). The gate pins the
+    // EXACT register content twice over — the 2^55-scaled harmonic sum
+    // (pure integer arithmetic, order-free) and the raw harmonic
+    // estimate whose only roundings are one multiply and one divide,
+    // identically associated in the oracle. The ln-bearing
+    // linear-counting branch stays in Sketches.hllEstimate (spec-gated).
+    "q_hll_distinct" -> ((spark, dir) => {
+      init(spark, dir)
+      spark.table("documents")
+        .select(col("source"),
+          explode(call_function("word_window_hashes",
+            TextAnalysis.wsTokens(col("text")), lit(1))).as("h"))
+        .groupBy("source")
+        .agg(call_function("hll_sketch", col("h"), lit(6)).as("regs"))
+        .select(col("source"),
+          aggregate(col("regs"), lit(0L), (acc, x) =>
+            acc + call_function("shiftleft", lit(1L), lit(55) - x))
+            .as("harmonic_s"))
+        .withColumn("est_distinct_words",
+          round(lit(0.709) * lit(4096.0) * lit((1L << 55).toDouble)
+            / col("harmonic_s").cast("double"), 2))
+    }),
     // Forward as-of: each signup gets the NEXT click by the same user
     // within 2 h (time-to-first-action analytics); smallest (t, id) wins.
     "q_asof_forward" -> ((spark, dir) => {
@@ -2506,6 +2529,25 @@ object SparkEntry {
         |a AS (SELECT source, count(*) AS nd, max(CASE WHEN rn <= 1024 THEN h END) AS kth FROM r GROUP BY source)
         |SELECT source, round(CASE WHEN nd < 1024 THEN CAST(nd AS DOUBLE)
         |                          ELSE (1024 - 1) * power(2, 60) / kth END, 2) AS est_distinct_words
+        |FROM a""".stripMargin,
+    // HLL: rebuild the 64 max-rho registers per source (reg = top 6 hash
+    // bits, rho = 55 - highest-bit-position of the 54-bit tail), then the
+    // exact integer harmonic sum and the identically-associated estimate
+    "q_hll_distinct" ->
+      """WITH ws AS (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
+        |hs AS (SELECT source, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |       FROM (SELECT source, unnest(ws) AS w FROM ws)),
+        |r AS (SELECT source, CAST(h >> 54 AS INT) AS reg,
+        |             max(CASE WHEN h % (1::BIGINT << 54) = 0 THEN 55
+        |                      ELSE 55 - length(bin(h % (1::BIGINT << 54))) END) AS rho
+        |      FROM hs GROUP BY 1, 2),
+        |full_ AS (SELECT s.source, g.reg, coalesce(r.rho, 0) AS rho
+        |          FROM (SELECT DISTINCT source FROM hs) s
+        |          CROSS JOIN (SELECT unnest(range(0, 64)) AS reg) g
+        |          LEFT JOIN r ON r.source = s.source AND r.reg = g.reg),
+        |a AS (SELECT source, CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT) AS harmonic_s FROM full_ GROUP BY source)
+        |SELECT source, harmonic_s,
+        |       round(CAST(0.709 AS DOUBLE) * 4096.0 * CAST(1::BIGINT << 55 AS DOUBLE) / CAST(harmonic_s AS DOUBLE), 2) AS est_distinct_words
         |FROM a""".stripMargin,
   )
 }

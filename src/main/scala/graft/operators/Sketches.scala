@@ -83,4 +83,37 @@ object Sketches {
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > n) // cnt > n/k, exact in integers
   }
+
+  /** alpha_m bias constants from Flajolet et al. 2007 §4. */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The full HyperLogLog estimator over a register array produced by
+    * `hll_sketch(h, p)` — raw harmonic mean with the small-range
+    * linear-counting correction (`m·ln(m/V)` when the raw estimate is
+    * ≤ 2.5m and V empty registers remain). No large-range correction:
+    * the 60-bit hash space makes collisions negligible below 2^50.
+    *
+    * Driver-side math over one small array (the heavy lifting — one
+    * byte-array per group — already happened distributed inside the
+    * aggregate). `ln` makes this libm-dependent, which is why the hash
+    * GATE (q_hll_distinct) pins the transcendental-free harmonic sum
+    * instead and this estimator is spec-bounded against exact counts. */
+  def hllEstimate(registers: Seq[Int]): Double = {
+    val m = registers.length
+    require(m >= 16 && (m & (m - 1)) == 0, s"register count must be a power of two >= 16, got $m")
+    var s = 0.0
+    var zeros = 0
+    registers.foreach { r =>
+      s += 1.0 / (1L << r).toDouble
+      if (r == 0) zeros += 1
+    }
+    val raw = hllAlpha(m) * m * m / s
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
 }

@@ -130,6 +130,64 @@ class SketchesSpec extends SparkTestBase {
     assert(msgs.contains("depth >= 1"))
   }
 
+  test("hll_sketch: registers equal a local replica and are partition-invariant") {
+    val p = 6
+    val m = 1 << p
+    val hashes = (1 to 4000).map(i => (graft.functions.TextOps.md5Prefix64(s"v$i") >>> 4))
+    // local replica of the exact register placement: top p bits route,
+    // rho = 1 + leading zeros of the (60-p)-bit tail
+    val want = new Array[Int](m)
+    hashes.foreach { h =>
+      val idx = (h >>> (60 - p)).toInt
+      val w = h & ((1L << (60 - p)) - 1)
+      val rho = if (w == 0L) 60 - p + 1
+        else 60 - p - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > want(idx)) want(idx) = rho
+    }
+    for (parts <- Seq(1, 9)) {
+      val got = hashes.toDF("h").repartition(parts)
+        .agg(call_function("hll_sketch", $"h", lit(p)))
+        .head().getSeq[Int](0)
+      assert(got.toSeq === want.toSeq, s"partitions=$parts")
+    }
+    // duplicates leave the registers unchanged (a SET function)
+    val duped = (hashes ++ hashes.take(500)).toDF("h")
+      .agg(call_function("hll_sketch", $"h", lit(p))).head().getSeq[Int](0)
+    assert(duped.toSeq === want.toSeq)
+  }
+
+  test("hll_sketch: nulls skipped, grouped use, p validated at analysis time") {
+    val df = Seq((Some(5L), "a"), (Some(5L), "a"), (None, "a"), (Some(9L), "b"))
+      .toDF("h", "g")
+    val out = df.groupBy("g")
+      .agg(call_function("hll_sketch", $"h", lit(4)).as("sk"))
+      .select($"g", expr("aggregate(sk, 0, (a, b) -> a + b)").as("rhosum"))
+      .as[(String, Int)].collect().toMap
+    // one distinct hash per group → exactly one non-zero register each
+    assert(out("a") > 0 && out("b") > 0)
+    val e = intercept[Exception] {
+      df.agg(call_function("hll_sketch", $"h", lit(3))).head()
+    }
+    assert(e.getMessage.contains("[4, 16]"))
+  }
+
+  test("hllEstimate: linear-counting branch is near-exact small, harmonic within 3 sigma large") {
+    def regs(hashes: Seq[Long], p: Int): Seq[Int] =
+      hashes.toDF("h").agg(call_function("hll_sketch", $"h", lit(p)))
+        .head().getSeq[Int](0)
+    // small regime (n << m): linear counting, tight
+    val small = (1 to 40).map(i => graft.functions.TextOps.md5Prefix64(s"s$i") >>> 4)
+    val estSmall = Sketches.hllEstimate(regs(small, 10))
+    assert(math.abs(estSmall - 40.0) <= 2.0, s"small estimate $estSmall")
+    // large regime: standard error 1.04/sqrt(1024) = 3.25%; allow 3 sigma
+    val large = (1 to 20000).map(i => graft.functions.TextOps.md5Prefix64(s"L$i") >>> 4)
+    val estLarge = Sketches.hllEstimate(regs(large, 10))
+    assert(math.abs(estLarge - 20000.0) / 20000.0 < 0.10, s"large estimate $estLarge")
+    // empty sketch → 0 via linear counting (ln(m/m) = 0)
+    assert(Sketches.hllEstimate(Seq.fill(64)(0)) === 0.0)
+    intercept[IllegalArgumentException] { Sketches.hllEstimate(Seq(1, 2, 3)) }
+  }
+
   test("kmv_distinct matches the oracle's closed form on the full regime") {
     // replicate the DuckDB oracle's arithmetic exactly: sort distinct
     // hashes, take the k-th smallest, ((k-1) * 2^60) / kth
