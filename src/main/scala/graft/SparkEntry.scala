@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Corpus, Dedup, Graphs, Multimodal, Retrieval, Sketches, SpatialJoin, Temporal, TextAnalysis}
+import graft.operators.{Ann, Corpus, Dedup, Graphs, Multimodal, Retrieval, Sketches, SkewJoin, SpatialJoin, Temporal, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1631,6 +1631,25 @@ object SparkEntry {
           round(lit(0.709) * lit(4096.0) * lit((1L << 55).toDouble)
             / col("harmonic_s").cast("double"), 2))
     }),
+    // Skew-aware join: events (5 event types over 10k+ rows — every key
+    // is hot) joined to a per-type threshold dimension through the
+    // salted hot path (hotK=10 flags all five types), then filtered and
+    // re-aggregated. The oracle is the PLAIN join — the gate proves the
+    // salt split is invisible in the result. The threshold is max/2
+    // (max of doubles is exact — no summation-order hazard in the
+    // comparison).
+    "q_skew_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val ev = spark.table("events")
+      val left = ev.select(col("event_id"), col("event_type"), col("value"))
+      val right = ev.groupBy(col("event_type").as("typ"))
+        .agg(max(col("value")).as("typ_max"))
+      SkewJoin.join(left, right, "event_type", "typ", "inner",
+          hotK = 10, salt = 8)
+        .where(col("value") > col("typ_max") / 2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_above"), round(sum("value"), 2).as("sum_above"))
+    }),
     // Forward as-of: each signup gets the NEXT click by the same user
     // within 2 h (time-to-first-action analytics); smallest (t, id) wins.
     "q_asof_forward" -> ((spark, dir) => {
@@ -2530,6 +2549,14 @@ object SparkEntry {
         |SELECT source, round(CASE WHEN nd < 1024 THEN CAST(nd AS DOUBLE)
         |                          ELSE (1024 - 1) * power(2, 60) / kth END, 2) AS est_distinct_words
         |FROM a""".stripMargin,
+    // skew join: the oracle is the plain join the salted split must
+    // exactly reproduce
+    "q_skew_join" ->
+      """WITH r AS (SELECT event_type AS typ, max(value) AS typ_max FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_above, round(sum(e.value), 2) AS sum_above
+        |FROM events e JOIN r ON e.event_type = r.typ
+        |WHERE e.value > r.typ_max / 2
+        |GROUP BY e.event_type""".stripMargin,
     // HLL: rebuild the 64 max-rho registers per source (reg = top 6 hash
     // bits, rho = 55 - highest-bit-position of the 54-bit tail), then the
     // exact integer harmonic sum and the identically-associated estimate
