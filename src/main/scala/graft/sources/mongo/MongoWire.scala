@@ -46,10 +46,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   * class first, remembered fallback member second, so reads survive an
   * election window), and `nearest` (first usable member); non-primary
   * modes travel as `$readPreference` on every read command so a
-  * secondary permits the read. Remaining documented cut:
-  * `mongodb+srv://` (DNS SRV/TXT resolution — no DNS in this
-  * environment) and latency-based `nearest` ordering (no topology
-  * monitor; `nearest` takes seed-list order).
+  * secondary permits the read. `mongodb+srv://` URLs resolve their
+  * seed list + TXT default options through DNS first ([[SrvDiscovery]]
+  * — parent-domain validation, TLS-on default, authSource/replicaSet-
+  * only TXT), then behave exactly like the equivalent `mongodb://`
+  * seed-list URL. Remaining documented cut: latency-based `nearest`
+  * ordering (no topology monitor; `nearest` takes seed-list order).
   */
 object MongoWire {
 
@@ -182,6 +184,24 @@ object MongoWire {
           readPreference = rp)
       case _ => None
     }
+
+    /** Parse either scheme: `mongodb+srv://` resolves its seed list and
+      * TXT default options through `resolver` ([[SrvDiscovery]]), then
+      * reuses [[parse]]'s full grammar/strictness on the equivalent
+      * `mongodb://` form — so SRV-discovered specs pass the exact same
+      * validation (strict booleans, read-preference modes, mechanism
+      * whitelist) as hand-written ones. A `replicaSet` option (the one
+      * other TXT-permitted key) is accepted and unused: the seed-list
+      * walk already selects members by observed class, not set name. */
+    def parseOrResolve(url: String, resolver: SrvDiscovery.SrvResolver): Option[ConnSpec] =
+      if (SrvDiscovery.isSrvUrl(url))
+        SrvDiscovery.resolve(url, resolver).flatMap { case (ui, seeds, db, coll, q) =>
+          val hostsStr = seeds.map { case (h, p) => s"$h:$p" }.mkString(",")
+          val prefix = Option(ui).map(_ + "@").getOrElse("")
+          val qs = if (q.nonEmpty) "?" + q else ""
+          parse(s"mongodb://$prefix$hostsStr/$db/$coll$qs")
+        }
+      else parse(url)
   }
 
   /** Parses `mongodb://[user:pass@]host1[:port1][,host2[:port2]…]/db/
@@ -193,7 +213,20 @@ object MongoWire {
   def anatomy(url: String): Option[(String, Int, String, String)] =
     ConnSpec.parse(url).map(s => (s.host, s.port, s.db, s.coll))
 
-  def isMongoUrl(url: String): Boolean = url.startsWith("mongodb://")
+  def isMongoUrl(url: String): Boolean =
+    url.startsWith("mongodb://") || url.startsWith("mongodb+srv://")
+
+  /** DNS resolution seam for `mongodb+srv://`: production uses the JDK
+    * JNDI provider (each executor resolves against its own configured
+    * nameservers); specs inject a fake zone. */
+  @volatile var dnsResolver: SrvDiscovery.SrvResolver = SrvDiscovery.SrvResolver.Jndi
+
+  /** Test seam mapping a logical SRV target name to a connectable
+    * address (the in-process fake mongod listens on loopback, while the
+    * discovery spec's parent-domain rule forces targets under the query
+    * domain — which no sandbox DNS resolves). TLS verification still
+    * sees the LOGICAL name. Empty in production. */
+  @volatile private[mongo] var hostAliases: Map[String, String] = Map.empty
 
   private val requestCounter = new java.util.concurrent.atomic.AtomicInteger(1)
 
@@ -426,7 +459,7 @@ object MongoWire {
       // handshake refusal must not leak the connected fd across task
       // retries); re-assigned to the TLS wrapper on success below
       socket = plain
-      plain.connect(new InetSocketAddress(host, port), timeoutMs)
+      plain.connect(new InetSocketAddress(hostAliases.getOrElse(host, host), port), timeoutMs)
       plain.setSoTimeout(timeoutMs)
       socket =
         if (!spec.tls) plain
@@ -650,11 +683,11 @@ object MongoWire {
     * when stopping early. `fields` projects server-side via the
     * reference's projection construction ([[MongoFindGen.projection]]). */
   private def parsedSpec(url: String): ConnSpec =
-    ConnSpec.parse(url).getOrElse {
+    ConnSpec.parseOrResolve(url, dnsResolver).getOrElse {
       // the echoed URL must not leak credentials into logs/Spark UI
       val redacted = url.replaceFirst("://[^@/]+@", "://***@")
       throw new IllegalArgumentException(
-        s"mongodb pushdown needs mongodb://[user:pass@]host[:port]/db/collection[?options]; got $redacted")
+        s"mongodb pushdown needs mongodb[+srv]://[user:pass@]host[:port]/db/collection[?options]; got $redacted")
     }
 
   def docs(url: String, selectorJson: String, fields: Seq[String],

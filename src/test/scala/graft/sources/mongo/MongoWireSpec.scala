@@ -1026,4 +1026,97 @@ class MongoWireSpec extends SparkTestBase {
       assert(b.received.isEmpty, b.received.asScala) // bad creds never replayed
     } finally { a.stop(); b.stop() }
   }
+
+  // ---- mongodb+srv:// initial DNS seedlist discovery ----
+
+  private def zone(seeds: Seq[(Int, Int, Int, String)],
+                   txts: Seq[String]): SrvDiscovery.SrvResolver =
+    new SrvDiscovery.SrvResolver {
+      override def srv(name: String): Seq[(Int, Int, Int, String)] =
+        if (name == "_mongodb._tcp.cluster0.example.com") seeds else Seq.empty
+      override def txt(name: String): Seq[String] =
+        if (name == "cluster0.example.com") txts else Seq.empty
+    }
+
+  test("mongodb+srv: SRV seeds ordered, TXT defaults applied, TLS on by default") {
+    val r = zone(
+      // priority asc then weight desc: b(0,9) before a(0,2) before c(1,9)
+      Seq((1, 9, 27020, "c.example.com"), (0, 2, 27017, "a.example.com."),
+        (0, 9, 27018, "b.example.com")),
+      Seq("authSource=admin&replicaSet=rs0"))
+    val spec = MongoWire.ConnSpec.parseOrResolve(
+      "mongodb+srv://u:pw@cluster0.example.com/db/coll?readPreference=secondary", r).get
+    assert(spec.hosts === Seq(("b.example.com", 27018), ("a.example.com", 27017),
+      ("c.example.com", 27020)))
+    assert(spec.tls) // SRV default: TLS on
+    assert(spec.authSource === "admin") // from TXT
+    assert(spec.creds === Some(("u", "pw")))
+    assert(spec.readPreference === "secondary")
+    assert(spec.db === "db" && spec.coll === "coll")
+    // URL options override TXT; explicit tls=false overrides the default
+    val over = MongoWire.ConnSpec.parseOrResolve(
+      "mongodb+srv://cluster0.example.com/db/coll?authSource=other&tls=false", r).get
+    assert(over.authSource === "other")
+    assert(!over.tls)
+  }
+
+  test("mongodb+srv: discovery-spec violations fail loudly") {
+    val good = Seq((0, 0, 27017, "a.example.com"))
+    // hostname with fewer than 3 labels
+    intercept[IllegalArgumentException] {
+      MongoWire.ConnSpec.parseOrResolve("mongodb+srv://ex.com/db/c", zone(good, Nil))
+    }
+    // no SRV records published
+    val e1 = intercept[IllegalArgumentException] {
+      MongoWire.ConnSpec.parseOrResolve(
+        "mongodb+srv://cluster0.example.com/db/c", zone(Seq.empty, Nil))
+    }
+    assert(e1.getMessage.contains("no SRV records"))
+    // poisoned answer: target outside the parent domain
+    val e2 = intercept[IllegalArgumentException] {
+      MongoWire.ConnSpec.parseOrResolve("mongodb+srv://cluster0.example.com/db/c",
+        zone(Seq((0, 0, 27017, "evil.attacker.net")), Nil))
+    }
+    assert(e2.getMessage.contains("outside parent domain"))
+    // more than one TXT record
+    intercept[IllegalArgumentException] {
+      MongoWire.ConnSpec.parseOrResolve("mongodb+srv://cluster0.example.com/db/c",
+        zone(good, Seq("authSource=a", "authSource=b")))
+    }
+    // TXT may only carry authSource/replicaSet
+    val e3 = intercept[IllegalArgumentException] {
+      MongoWire.ConnSpec.parseOrResolve("mongodb+srv://cluster0.example.com/db/c",
+        zone(good, Seq("tls=false")))
+    }
+    assert(e3.getMessage.contains("only authSource/replicaSet"))
+    // grammar refusals (not SRV-shaped at all): port or comma list
+    assert(MongoWire.ConnSpec.parseOrResolve(
+      "mongodb+srv://cluster0.example.com:27017/db/c", zone(good, Nil)).isEmpty)
+    assert(MongoWire.ConnSpec.parseOrResolve(
+      "mongodb+srv://h1.example.com,h2.example.com/db/c", zone(good, Nil)).isEmpty)
+  }
+
+  test("mongodb+srv: end-to-end find through a discovered seed") {
+    val srv = new FakeMongod.Server(featureDocs.take(30))
+    val saved = MongoWire.dnsResolver
+    try {
+      MongoWire.dnsResolver =
+        zone(Seq((0, 0, srv.port, "shard0.example.com")), Seq("replicaSet=rs0"))
+      MongoWire.hostAliases = Map("shard0.example.com" -> "127.0.0.1")
+      // the fake speaks plaintext, so the SRV TLS-on default must be
+      // explicitly disabled — proving the default is actually applied
+      val tlsAttempt = intercept[Exception] {
+        MongoWire.docs("mongodb+srv://cluster0.example.com/db/features", "{}", Nil, 1500).size
+      }
+      assert(tlsAttempt != null)
+      val all = MongoWire.docs(
+        "mongodb+srv://cluster0.example.com/db/features?tls=false", "{}", Nil, 5000).toSeq
+      assert(all.size == 30)
+      assert(srv.received.asScala.exists(_.contains("\"find\"")))
+    } finally {
+      MongoWire.dnsResolver = saved
+      MongoWire.hostAliases = Map.empty
+      srv.stop()
+    }
+  }
 }
