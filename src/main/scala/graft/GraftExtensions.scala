@@ -195,6 +195,9 @@ object Graft {
     desc("bottomk_agg", es => TopKAgg(es(0), Cast(es(1), IntegerType),
       reverse = true).toAggregateExpression()),
     u("lang_id", LangId, StringType),
+    // Unicode normalization (NFC oracle-provable; NFKC spec-gated)
+    u("nfc_normalize", NfcNormalize, StringType),
+    u("nfkc_normalize", NfkcNormalize, StringType),
     u("dup_line_fraction", DupLineFraction, StringType),
     u("top_token_fraction", TopTokenFraction, StringType),
     b("cosine_similarity", CosineSimilarity, Seq(ArrayType(FloatType), ArrayType(FloatType))),

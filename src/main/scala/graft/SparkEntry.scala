@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Corpus, Dedup, Graphs, Multimodal, Retrieval, Sketches, SkewJoin, SpatialJoin, Temporal, TextAnalysis}
+import graft.operators.{Ann, Corpus, Dedup, FuzzyJoin, Graphs, Multimodal, Retrieval, Sketches, SkewJoin, SpatialJoin, Temporal, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1067,6 +1067,67 @@ object SparkEntry {
         TextAnalysis.normalizeUrl(url).as("url_norm"),
         TextAnalysis.urlDomain(url).as("domain"))
     }),
+    // Triangle count: deterministic synthetic graph over events (300
+    // nodes, ~10k edges), counted by degree-ordered wedge closure; the
+    // oracle is the literal 3-way self-join
+    "q_triangles" -> ((spark, dir) => {
+      init(spark, dir)
+      val edges = spark.table("events").select(
+        pmod(col("user_id"), lit(300)).as("a"),
+        pmod(col("user_id") * 7 + col("event_id"), lit(300)).as("b"))
+      Graphs.triangleCount(edges, "a", "b")
+    }),
+    // Edit-distance similarity join: part names + planted one-char
+    // deletions, matched through the PassJoin segment equi-join (no
+    // cartesian); the oracle is the cross join the operator avoids
+    "q_fuzzy_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val base = spark.table("part").where(pmod(col("p_partkey"), lit(4)) === 0)
+        .select(col("p_partkey"), col("p_name"))
+      val variants = base.select((col("p_partkey") + 1000000).as("r_key"),
+        concat(substring(col("p_name"), 1, 3),
+          expr("substring(p_name, 5)")).as("r_name"))
+      val right = base.select(col("p_partkey").as("r_key"),
+        col("p_name").as("r_name")).unionByName(variants)
+      FuzzyJoin.join(base, "p_partkey", "p_name", right, "r_key", "r_name", 1)
+    }),
+    // Stable distributed row ids: contiguous 0-based ids in doc_id
+    // order WITHOUT a single-task window — range partition + counted
+    // offsets; the oracle is the window the operator replaces
+    "q_row_ids" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.zipWithRowIds(
+          spark.table("documents").select(col("doc_id"), col("source")),
+          Seq(col("doc_id")))
+        .select(col("doc_id"), col("source"), col("row_id"))
+    }),
+    // Unicode NFC normalization: decomposed accents prepended to each
+    // document must compose to the same bytes both engines produce
+    // (NFC is Unicode-stability-guaranteed, so JDK Normalizer and
+    // DuckDB's utf8proc agree; the codepoint length pins composition
+    // actually happened — 'e'+U+0301 collapses to one char)
+    "q_text_normalize" -> ((spark, dir) => {
+      init(spark, dir)
+      val messy = concat(lit("Cafe\u0301 nai\u0308ve: "), col("text"))
+      spark.table("documents").select(col("doc_id"),
+        call_function("nfc_normalize", messy).as("nfc"),
+        length(call_function("nfc_normalize", messy)).as("n_chars_nfc"))
+    }),
+    // URL blocklist filtering: four synthetic domains over customer,
+    // two blocked — the scan-level NOT IN predicate must keep exactly
+    // the rows whose registered domain (www. stripped by the last-two-
+    // labels rule) survives
+    "q_url_filter" -> ((spark, dir) => {
+      init(spark, dir)
+      val url = concat(lit("https://www."),
+        element_at(array(lit("spam.net"), lit("tracker.biz"),
+          lit("good.com"), lit("news.org")),
+          (pmod(col("c_custkey"), lit(4)) + 1).cast("int")),
+        lit("/p/"), col("c_custkey").cast("string"))
+      val docs = spark.table("customer").select(col("c_custkey"), url.as("url"))
+      TextAnalysis.domainFilter(docs, "url", Seq("Spam.NET", "tracker.biz"))
+        .withColumn("domain", TextAnalysis.urlDomain(col("url")))
+    }),
     // HTML main-content extraction (the WARC → text step): documents
     // wrapped into a full page (head/style/script/comments around the
     // body) must come back out as clean text — the identical RE2-safe
@@ -1359,6 +1420,15 @@ object SparkEntry {
         |       round(percentile(n_chars, 0.9), 4) AS q90,
         |       round(percentile(n_chars, 0.99), 4) AS q99
         |FROM documents GROUP BY source""".stripMargin),
+    // histogram quantile sketch: the single-pass bounded-state
+    // alternative to the exact sort above — 1000 fixed bins over
+    // l_extendedprice, rank interpolation inside the covering bin; the
+    // arithmetic is transcendental-free so the estimates hash-match
+    "q_hist_quantile" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.histogramQuantiles(spark.table("lineitem"), "l_extendedprice",
+        lo = 900.0, hi = 105000.0, nBins = 1000, qs = Seq(0.5, 0.9, 0.99))
+    }),
 
     "q_multimodal" -> ((spark, dir) => {
       init(spark, dir)
@@ -2549,6 +2619,55 @@ object SparkEntry {
         |SELECT source, round(CASE WHEN nd < 1024 THEN CAST(nd AS DOUBLE)
         |                          ELSE (1024 - 1) * power(2, 60) / kth END, 2) AS est_distinct_words
         |FROM a""".stripMargin,
+    // triangles: canonical undirected simple edges, then the 3-way join
+    "q_triangles" ->
+      """WITH raw AS (SELECT CAST(user_id % 300 AS VARCHAR) AS a,
+        |                    CAST((user_id * 7 + event_id) % 300 AS VARCHAR) AS b
+        |             FROM events),
+        |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b)
+        |SELECT count(*) AS n_triangles
+        |FROM e0 ab JOIN e0 bc ON ab.v = bc.u
+        |           JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v""".stripMargin,
+    // fuzzy join: ground truth by exhaustive levenshtein (the cross
+    // join the segment scheme avoids), same threshold
+    "q_fuzzy_join" ->
+      """WITH base AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0),
+        |var AS (SELECT p_partkey + 1000000 AS r_key, concat(substr(p_name, 1, 3), substr(p_name, 5)) AS r_name FROM base),
+        |right_ AS (SELECT p_partkey AS r_key, p_name AS r_name FROM base UNION ALL SELECT r_key, r_name FROM var)
+        |SELECT b.p_partkey, r.r_key, levenshtein(b.p_name, r.r_name) AS edit_dist
+        |FROM base b CROSS JOIN right_ r
+        |WHERE abs(length(b.p_name) - length(r.r_name)) <= 1
+        |  AND levenshtein(b.p_name, r.r_name) <= 1""".stripMargin,
+    // row ids: the one-task window the operator replaces
+    "q_row_ids" ->
+      """SELECT doc_id, source,
+        |       row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |FROM documents""".stripMargin,
+    // NFC: identical decomposed construction (chr = codepoint), then
+    // DuckDB's utf8proc composes — stability guarantees byte equality
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       nfc_normalize(concat('Cafe', chr(769), ' nai', chr(776), 've: ', text)) AS nfc,
+        |       CAST(length(nfc_normalize(concat('Cafe', chr(769), ' nai', chr(776), 've: ', text))) AS INT) AS n_chars_nfc
+        |FROM documents""".stripMargin,
+    // url filter: the oracle constructs the expected survivors directly
+    // (custkey % 4 ∈ {2, 3} — the unblocked domains)
+    "q_url_filter" ->
+      """SELECT c_custkey,
+        |       concat('https://www.', CASE c_custkey % 4 WHEN 2 THEN 'good.com' ELSE 'news.org' END,
+        |              '/p/', c_custkey) AS url,
+        |       CASE c_custkey % 4 WHEN 2 THEN 'good.com' ELSE 'news.org' END AS domain
+        |FROM customer WHERE c_custkey % 4 IN (2, 3)""".stripMargin,
+    // histogram quantiles: identical bin clamping, rank convention, and
+    // interpolation association — bit-exact without rounding
+    "q_hist_quantile" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT CAST(least(greatest(floor((x - 900.0) / 104.1), 0), 999) AS INT) AS bin, count(*) AS cnt FROM v GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum, sum(cnt) OVER () AS total FROM b),
+        |q AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+        |j AS (SELECT q.q, c.bin, c.cnt, c.cum, greatest(ceil(q.q * c.total), 1) AS rnk FROM q CROSS JOIN c),
+        |e AS (SELECT q, bin, 900.0 + 104.1 * (bin + (rnk - (cum - cnt)) / cnt) AS est FROM j WHERE cum >= rnk)
+        |SELECT q, min_by(est, bin) AS est FROM e GROUP BY q""".stripMargin,
     // skew join: the oracle is the plain join the salted split must
     // exactly reproduce
     "q_skew_join" ->

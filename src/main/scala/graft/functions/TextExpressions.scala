@@ -83,6 +83,16 @@ case class WordWindowHashes(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+case class NfcNormalize(child: Expression)
+    extends GeoUnary("TextOps.nfcNormalize", StringType, StringType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class NfkcNormalize(child: Expression)
+    extends GeoUnary("TextOps.nfkcNormalize", StringType, StringType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 case class LangId(child: Expression)
     extends GeoUnary("TextOps.langId", StringType, StringType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)

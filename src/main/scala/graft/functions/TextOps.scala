@@ -295,6 +295,38 @@ object TextOps {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  // ------------------------------------------------- Unicode normalization
+
+  /** Unicode NFC (canonical composition) — the normalization pre-pass a
+    * multilingual corpus needs before any hash-based dedup: `é` typed as
+    * `e` + COMBINING ACUTE and `é` typed precomposed are the SAME text
+    * but different bytes, so every md5/minhash kernel in this engine
+    * would see distinct documents. Normalization is Unicode-stability-
+    * guaranteed (a normalized string stays normalized in every later
+    * Unicode version), so the JDK's implementation and DuckDB's
+    * utf8proc agree byte-for-byte — the q_text_normalize gate is hash-
+    * provable where locale-dependent casing would not be. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most real text
+    // is already NFC and skips the composition allocation entirely
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Unicode NFKC (compatibility composition): fullwidth forms, ligature
+    * folds (`ﬁ` → `fi`), superscripts etc. collapse to their plain
+    * equivalents — the aggressive variant training-corpus pipelines run
+    * before tokenization. Spec-gated only: DuckDB exposes no NFKC, so
+    * no oracle can replay it. */
+  def nfkcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace-delimited lowercase word features

@@ -863,4 +863,96 @@ object Corpus {
         (first(col("__n")) - count(lit(1))).as("n_dropped"))
       .withColumnRenamed("__id", idCol)
   }
+
+  /** Stable contiguous 0-based row ids in the total order of
+    * `orderCols` — the distributed alternative to
+    * `row_number() OVER (ORDER BY …)`, whose partition-less window
+    * moves the WHOLE dataset through one task. Here the data
+    * range-partitions on the order columns, each partition counts
+    * itself (|partitions| longs to the driver — never row data), and a
+    * broadcast prefix sum stamps ids per partition; the sort's shuffle
+    * is the only data movement. Training pipelines use this to give
+    * every example a stable index (epoch shuffling, sharded resume,
+    * example-level provenance).
+    *
+    * The ids are deterministic when `orderCols` is a total order (a
+    * unique key); under ties the split of equal rows across the range
+    * boundary is partitioner-dependent, so tied rows get SOME fixed
+    * permutation of the tied id range — include a tiebreaker column
+    * for full determinism. Both passes share one lineage (the
+    * [[ntileByGroup]] / shardByTokens precedent: range boundaries are
+    * sampled per evaluation, so the count job must reuse the same
+    * materialized sort). */
+  def zipWithRowIds(df: DataFrame, orderCols: Seq[Column],
+                    outCol: String = "row_id"): DataFrame = {
+    require(orderCols.nonEmpty, "zipWithRowIds needs at least one order column")
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val rdd0 = ranged.rdd
+    val counts: Map[Int, Long] = rdd0
+      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size.toLong)))
+      .collect().toMap // |partitions| driver rows, bounded by construction
+    val offsets: Array[Long] = (0 until rdd0.getNumPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var next = bOff.value(pid)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ next)
+        next += 1L
+        r
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** One-pass histogram quantile sketch: fixed-width bins over a known
+    * [lo, hi) range, then rank interpolation inside the covering bin.
+    *
+    * The scale shape exact quantiles can't give: `statsQuantiles`-style
+    * exact percentiles sort the full column (a shuffle carrying every
+    * value); this aggregates to `nBins` counters with map-side partial
+    * combine, so the one exchange moves ≤ nBins·partitions rows no
+    * matter how many values flow in — the classic fixed-bin histogram,
+    * with error bounded by the bin width (hi-lo)/nBins. Bin counts,
+    * cumulative ranks, and the interpolation are all deterministic
+    * integer/IEEE arithmetic (no transcendentals), so the DuckDB oracle
+    * reproduces the estimates bit-for-bit.
+    *
+    * Values below `lo` / at-or-above `hi` clamp to the edge bins (their
+    * mass is counted, their position saturates — callers wanting strict
+    * range semantics filter first). Rank convention: quantile q maps to
+    * rank max(1, ceil(q·n)) over n non-null values; the estimate is
+    * `lo + w·(bin + (rank - cumBefore)/binCount)` in the first bin
+    * whose cumulative count reaches the rank. The per-bin resolution
+    * runs in-plan (a window over the ≤ nBins histogram rows — bounded
+    * by construction, never by data volume). Result: (q, est).
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                         nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(nBins >= 1 && nBins <= (1 << 20), s"nBins must be in [1, 2^20], got $nBins")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol) - lo) / w), lit(0)), lit(nBins - 1))
+      .cast("int")
+    val bins = df.where(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = bins
+      .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+    qs.toDF("q").crossJoin(cum)
+      .withColumn("rank", greatest(ceil(col("q") * col("total")), lit(1L)))
+      .where(col("cum") >= col("rank"))
+      .withColumn("est", lit(lo) + lit(w) *
+        (col("bin") + (col("rank") - (col("cum") - col("cnt"))) / col("cnt")))
+      .groupBy("q").agg(min_by(col("est"), col("bin")).as("est"))
+  }
 }

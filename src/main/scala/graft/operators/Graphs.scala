@@ -92,4 +92,52 @@ object Graphs {
     Dedup.track(nodes)
     Dedup.track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** Exact triangle count by degree-ordered wedge enumeration — the
+    * other standard link-graph statistic (clustering/cohesion signals
+    * for domain-graph quality priors, community spam detection).
+    *
+    * The input digraph canonicalizes to SIMPLE UNDIRECTED edges
+    * (self-loops dropped, duplicates and reverse duplicates collapse to
+    * one `(min, max)` row), then each edge orients from the endpoint
+    * that is SMALLER under the total order (degree, node) to the
+    * larger. In that orientation every triangle contains exactly one
+    * vertex with out-degree 2 inside it, so counting oriented wedges
+    * `s→x, s→y (x < y)` that close with an edge `{x, y}` counts each
+    * triangle exactly once — and the per-node wedge fan-out is bounded
+    * by the ORIENTED out-degree, which the degree ordering caps at
+    * O(√E): total work O(E^1.5) (the Schank–Wagner bound) instead of
+    * Σ deg² — the difference between feasible and hopeless on a power-
+    * law web graph where one hub would otherwise generate deg²ᴴᵘᵇ
+    * wedges. Everything is joins + partial-agg groupBys: Catalyst
+    * plans hash joins, AQE splits residual skew, nothing collects.
+    *
+    * Returns one row `(n_triangles)`. Deterministic integer result →
+    * DuckDB oracle = the literal 3-way self-join. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: degrees, wedges, closure
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = e0
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.select(col("s"), col("t").as("x"))
+      .join(oriented.select(col("s"), col("t").as("y")), "s")
+      .where(col("x") < col("y")) // each out-neighbor pair once
+    // x < y already matches the canonical (min, max) edge form
+    val closed = wedges.join(e0,
+      wedges("x") === e0("u") && wedges("y") === e0("v"), "left_semi")
+    Dedup.track(e0)
+    closed.agg(count(lit(1)).as("n_triangles"))
+  }
 }

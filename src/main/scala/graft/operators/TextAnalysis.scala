@@ -104,6 +104,32 @@ object TextAnalysis {
       .otherwise(concat(element_at(parts, -2), lit("."), element_at(parts, -1)))
   }
 
+  /** Drop rows whose URL's registered domain is on the blocklist — the
+    * standard crawl-corpus hygiene pass (C4/FineWeb-style adult/spam
+    * domain filtering), matching every subdomain because [[urlDomain]]
+    * collapses `a.b.example.com` to `example.com`. The literal-list
+    * shape compiles to a codegen'd scan-level NOT IN predicate (no
+    * join, no shuffle); rows with no parseable http(s) host (null
+    * domain) are KEPT — a blocklist can only veto what it can name.
+    * Domains compare lowercase. */
+  def domainFilter(df: DataFrame, urlCol: String, blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to filter")
+    df.where(not(coalesce(
+      urlDomain(col(urlCol)).isin(blocked.map(_.toLowerCase(java.util.Locale.ROOT)): _*),
+      lit(false))))
+  }
+
+  /** Blocklist-table shape for big lists: broadcast LEFT ANTI join on
+    * the registered domain. Same keep-on-null semantics as the literal
+    * shape (anti join keeps non-matching rows, and null never matches).
+    * At 100 TB the corpus never shuffles — the blocklist broadcasts. */
+  def domainFilter(df: DataFrame, urlCol: String, blocked: DataFrame,
+                   domainCol: String): DataFrame =
+    df.join(
+      broadcast(blocked.select(
+        lower(col(domainCol)).as("__graft_blocked_domain")).distinct()),
+      urlDomain(col(urlCol)) === col("__graft_blocked_domain"), "left_anti")
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

@@ -184,4 +184,33 @@ class TextKernelsSpec extends SparkTestBase {
     val kept = keep.select(graft.operators.TextAnalysis.redactPii(col("text"))).head().getString(0)
     assert(kept == "order 5551234567 qty 3", kept)
   }
+
+  test("nfc/nfkc normalization: composition, compatibility folds, identity fast path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def nfc(s: String): String =
+      Seq(s).toDF("t").select(call_function("nfc_normalize", col("t"))).head().getString(0)
+    def nfkc(s: String): String =
+      Seq(s).toDF("t").select(call_function("nfkc_normalize", col("t"))).head().getString(0)
+    val decomposed = "Cafe\u0301"   // e + COMBINING ACUTE
+    val precomposed = "Caf\u00e9"   // precomposed e-acute
+    assert(decomposed.length === 5 && precomposed.length === 4)
+    assert(nfc(decomposed) === precomposed)
+    // already-normalized text is the identity (incl. plain ASCII)
+    assert(nfc("plain ascii") === "plain ascii")
+    assert(nfc(precomposed) === precomposed)
+    // NFC preserves compatibility characters; NFKC folds them
+    val ligature = "\ufb01le"       // fi-ligature + "le"
+    assert(nfc(ligature) === ligature)
+    assert(nfkc(ligature) === "file")
+    assert(nfkc("\uff26\uff35\uff2c\uff2c") === "FULL") // fullwidth letters
+    // null in, null out (nullIntolerant expression contract)
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(call_function("nfc_normalize", col("t"))).head().isNullAt(0))
+    // dedup consequence: the two spellings hash identically after NFC
+    val spellings = Seq(decomposed, precomposed).toDF("t")
+      .select(md5(call_function("nfc_normalize", col("t"))).as("h"))
+      .distinct().count()
+    assert(spellings === 1L)
+  }
 }

@@ -530,4 +530,78 @@ class CorpusSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("MAP"))
   }
+
+  test("histogramQuantiles: within a bin width of exact, clamped, partition-invariant") {
+    val rnd = new scala.util.Random(23)
+    val vals = (1 to 20000).map(_ => rnd.nextDouble() * 1000.0)
+    val sorted = vals.sorted
+    def exact(q: Double): Double = sorted(math.max(1, math.ceil(q * vals.size).toInt) - 1)
+    val binW = 1000.0 / 500
+    for (parts <- Seq(1, 8)) {
+      val got = Corpus.histogramQuantiles(
+          vals.toDF("x").repartition(parts), "x", 0.0, 1000.0, 500,
+          Seq(0.25, 0.5, 0.9, 0.99, 1.0))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      assert(got.size === 5)
+      got.foreach { case (q, est) =>
+        assert(math.abs(est - exact(q)) <= binW, s"q=$q est=$est exact=${exact(q)}")
+      }
+    }
+    // determinism across partitionings (bin counts are partition-free)
+    val a = Corpus.histogramQuantiles(vals.toDF("x").repartition(3), "x", 0.0, 1000.0, 500, Seq(0.5))
+      .head().getDouble(1)
+    val b = Corpus.histogramQuantiles(vals.toDF("x").repartition(11), "x", 0.0, 1000.0, 500, Seq(0.5))
+      .head().getDouble(1)
+    assert(a === b)
+    // out-of-range values clamp into the edge bins: mass is never lost
+    val clamped = Corpus.histogramQuantiles(
+      Seq(-50.0, -50.0, -50.0, 500.0, 99999.0).toDF("x"), "x", 0.0, 1000.0, 10,
+      Seq(0.5, 1.0)).collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(clamped(0.5) <= 100.0)   // rank 3 of 5 sits in the clamped low bin
+    assert(clamped(1.0) > 900.0)    // the overflow value saturates into the top bin
+    // nulls skipped, empty frame → empty result
+    assert(Corpus.histogramQuantiles(
+      Seq[Option[Double]](None).toDF("x"), "x", 0.0, 1.0, 4, Seq(0.5)).count() === 0)
+    intercept[IllegalArgumentException] {
+      Corpus.histogramQuantiles(vals.toDF("x"), "x", 5.0, 5.0, 10, Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.histogramQuantiles(vals.toDF("x"), "x", 0.0, 1.0, 10, Seq(0.0))
+    }
+  }
+
+  test("zipWithRowIds: contiguous ids in order, partition-invariant, no data to driver") {
+    val rows = scala.util.Random.shuffle((1 to 5000).toList).map(i => (i.toLong, s"v$i"))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = Corpus.zipWithRowIds(df, Seq(col("k")))
+        .select("k", "row_id").as[(Long, Long)].collect().sortBy(_._1)
+      // id i goes to the i-th smallest key: k ranks 1..5000 → ids 0..4999
+      assert(got.map(_._2).toSeq === (0L until 5000L), s"parts=$parts")
+      assert(got.map(_._1).toSeq === (1L to 5000L))
+    }
+    // composite order: ties on the first column break on the second
+    val comp = Seq(("b", 2L), ("a", 9L), ("a", 1L), ("b", 1L)).toDF("g", "k")
+    val ids = Corpus.zipWithRowIds(comp, Seq(col("g"), col("k")))
+      .select("g", "k", "row_id").as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(ids.toSeq === Seq(("a", 1L, 0L), ("a", 9L, 1L), ("b", 1L, 2L), ("b", 2L, 3L)))
+    // empty frame, custom column name
+    val empty = Corpus.zipWithRowIds(Seq.empty[(Long, String)].toDF("k", "v"),
+      Seq(col("k")), outCol = "idx")
+    assert(empty.columns.contains("idx") && empty.count() === 0)
+    intercept[IllegalArgumentException] {
+      Corpus.zipWithRowIds(comp, Seq.empty)
+    }
+  }
+
+  test("histogramQuantiles: aligned integer bins reproduce the exact rank statistic") {
+    // values 0..99 with w=1: every value owns a bin, so interpolation
+    // lands exactly on the rank statistic's value + 1 (bin upper edge
+    // at full rank coverage): q=0.37 -> rank 37 -> bin 36 -> est 37.0
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val got = Corpus.histogramQuantiles(df, "x", 0.0, 100.0, 100, Seq(0.37, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(0.37) === 37.0)
+    assert(got(1.0) === 100.0)
+  }
 }

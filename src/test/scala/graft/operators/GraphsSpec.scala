@@ -83,4 +83,37 @@ class GraphsSpec extends SparkTestBase {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, k) }
     Dedup.releaseCaches()
   }
+
+  test("triangleCount: known graphs, dirty-input canonicalization, brute-force parity") {
+    import spark.implicits._
+    def count(edges: Seq[(String, String)]): Long =
+      Graphs.triangleCount(edges.toDF("a", "b"), "a", "b").head().getLong(0)
+    // one triangle; square has none; K4 has four
+    assert(count(Seq(("a", "b"), ("b", "c"), ("c", "a"))) === 1L)
+    assert(count(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))) === 0L)
+    val k4 = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d") if x < y } yield (x, y)
+    assert(count(k4) === 4L)
+    // self-loops, duplicate and reversed edges collapse before counting
+    assert(count(Seq(("a", "a"), ("a", "b"), ("b", "a"), ("a", "b"),
+      ("b", "c"), ("c", "a"))) === 1L)
+    assert(count(Seq.empty) === 0L)
+    // brute-force parity on a random graph across partitionings
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 2000).map(_ => (s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct
+    val adj = canon.toSet
+    val nodesSorted = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      i <- nodesSorted.indices; j <- (i + 1) until nodesSorted.size
+      if adj((nodesSorted(i), nodesSorted(j)))
+      k <- (j + 1) until nodesSorted.size
+      if adj((nodesSorted(j), nodesSorted(k))) && adj((nodesSorted(i), nodesSorted(k)))
+    } yield 1).size.toLong
+    for (parts <- Seq(1, 7)) {
+      assert(Graphs.triangleCount(edges.toDF("a", "b").repartition(parts), "a", "b")
+        .head().getLong(0) === brute, s"parts=$parts")
+    }
+    Dedup.releaseCaches()
+  }
 }

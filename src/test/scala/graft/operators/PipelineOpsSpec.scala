@@ -60,6 +60,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.toSeq == cases.map(c => (c._2, c._3)), got.toSeq)
   }
 
+  test("domainFilter blocks by registered domain, keeps unparseable, both shapes agree") {
+    import spark.implicits._
+    val rows = Seq(
+      (1, "https://www.spam.net/x"),       // blocked via subdomain collapse
+      (2, "http://SPAM.NET:80/y"),         // blocked case-insensitively
+      (3, "https://deep.cdn.spam.net/z"),  // blocked: any depth collapses
+      (4, "https://good.com/a"),           // kept
+      (5, "not a url"),                    // kept: no domain to veto
+      (6, null.asInstanceOf[String]),      // kept: null URL
+      (7, "https://spam.network/b"))       // kept: different domain, no prefix match
+    val df = rows.toDF("id", "url")
+    val bySeq = TextAnalysis.domainFilter(df, "url", Seq("Spam.net"))
+    assert(bySeq.select("id").as[Int].collect().sorted.toSeq === Seq(4, 5, 6, 7))
+    // the DataFrame (broadcast anti-join) shape answers identically
+    val byDf = TextAnalysis.domainFilter(df, "url", Seq("SPAM.NET").toDF("d"), "d")
+    assert(byDf.select("id").as[Int].collect().sorted.toSeq === Seq(4, 5, 6, 7))
+    assert(byDf.columns.toSeq === Seq("id", "url")) // helper column never escapes
+    // literal shape stays join-free (a scan predicate, not a shuffle)
+    val plan = bySeq.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    intercept[IllegalArgumentException] { TextAnalysis.domainFilter(df, "url", Seq.empty) }
+  }
+
   test("exact dedup finds planted duplicates") {
     val planted = docs.select($"doc_id", $"text")
       .union(docs.select($"doc_id" + 100000, $"text").limit(5))

@@ -331,6 +331,41 @@ class EventStreamsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("hll_sketch runs under streaming groupBy and equals the batch registers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val agg = in.toDF().toDF("g", "x").groupBy("g")
+      .agg(call_function("hll_sketch",
+        call_function("word_window_hashes", array(col("x")), lit(1))(0), lit(4))
+        .as("regs"))
+    val query = agg.writeStream.format("memory").queryName("hll_out")
+      .outputMode("update").start()
+    try {
+      val rows = (1 to 40).map(i => ("a", s"w${i % 25}")) :+ (("b", "solo"))
+      in.addData(rows.take(20): _*)
+      query.processAllAvailable()
+      in.addData(rows.drop(20): _*) // registers must merge across batches
+      query.processAllAvailable()
+      // latest update row per group equals the one-shot batch aggregation
+      val want = rows.toDF("g", "x").groupBy("g")
+        .agg(call_function("hll_sketch",
+          call_function("word_window_hashes", array(col("x")), lit(1))(0), lit(4))
+          .as("regs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+      val outRows = spark.table("hll_out").collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1))
+      // update mode re-emits per batch in no guaranteed order; registers
+      // only grow (element-wise max merge), so the element-wise max of
+      // the emitted rows IS the final state
+      val got = outRows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).reduce((p, q) => p.zip(q).map(t => t._1 max t._2))
+      }
+      assert(got.keySet === want.keySet)
+      assert(got("a").toSeq === want("a").toSeq)
+      assert(got("b").toSeq === want("b").toSeq)
+    } finally query.stop()
+  }
+
   private def intervalFixture = {
     val purchases = Seq(
       (100L, 1L, ts("2024-01-01 10:00:00")),
