@@ -61,13 +61,27 @@ object Bench {
     // a query is failed only if no run succeeded — never report its
     // time-to-exception as a passing bench entry
     val (ok, failed) = results.partition(r => !r._2.isNaN)
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    // stdout values round to ms precision: the driver keeps only the last
+    // ~2 KB of output, and 134 queries at full double precision overflow
+    // that — at 3 decimals the whole map survives the tail
+    def ms3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _._1 + "\"").mkString(""","failed":[""", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    // sidecar with the untruncated numbers, self-contained per run
+    // (BENCH_rN.json artifacts historically lost the front of the map)
+    val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$failedJson,"sf":"$sfDir","runs":$runs}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
+    println(line)
     spark.stop()
   }
 }

@@ -195,6 +195,29 @@ object Graft {
     desc("bottomk_agg", es => TopKAgg(es(0), Cast(es(1), IntegerType),
       reverse = true).toAggregateExpression()),
     u("lang_id", LangId, StringType),
+    // PSL registered-domain of a bare host (bundled snapshot — see
+    // PublicSuffix.scala; TextAnalysis.urlDomain layers URL parsing +
+    // NULLIF on top). The optional second argument is a FOLDABLE string
+    // of newline-separated PSL rules (a full publicsuffix.org file);
+    // the matcher compiles once here at analysis time, never per row.
+    desc("registered_domain", es => {
+      require(es.length == 1 || es.length == 2,
+        s"registered_domain expects (host[, rules_text]), got ${es.length} args")
+      val host = coerce("registered_domain", Seq(StringType), es.take(1)).head
+      if (es.length == 1) RegisteredDomain(host)
+      else {
+        val rules = es(1) match {
+          case lit if lit.foldable && lit.dataType == StringType =>
+            Option(lit.eval(null)).map(_.toString)
+              .getOrElse(throw new IllegalArgumentException(
+                "registered_domain: rules_text must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            "registered_domain: rules_text must be a foldable string literal, " +
+              s"got ${other.sql}")
+        }
+        RegisteredDomain(host, new PslMatcher(rules.split('\n').toSeq))
+      }
+    }),
     // Unicode normalization (NFC oracle-provable; NFKC spec-gated)
     u("nfc_normalize", NfcNormalize, StringType),
     u("nfkc_normalize", NfkcNormalize, StringType),

@@ -127,3 +127,30 @@ case class HyperplaneBuckets(first: Expression, second: Expression, third: Expre
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
 }
+
+/** PSL registered-domain of a bare host (see [[PublicSuffix]]): the
+  * suffix-list lookup stays codegen'd — the compiled [[PslMatcher]] is
+  * attached to the generated class via addReferenceObj, so a deployment
+  * passing the full current PSL pays no per-row indirection beyond two
+  * hash probes per host label. Returns "" for "no registrable domain"
+  * (empty/malformed host or the host IS a public suffix); the Column
+  * wrapper ([[graft.operators.TextAnalysis.urlDomain]]) NULLIFs that. */
+case class RegisteredDomain(child: Expression,
+                            matcher: PslMatcher = PublicSuffix.default)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() =
+    GeoKernel.check(prettyName, Seq(StringType), children)
+  override def nullSafeEval(input: Any): Any =
+    PublicSuffix.registeredDomainWith(matcher,
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val m = ctx.addReferenceObj("pslMatcher", matcher, "graft.functions.PslMatcher")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PublicSuffix.registeredDomainWith($m, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -183,18 +183,34 @@ object Corpus {
     * the multiple `count(DISTINCT)`s with a single Expand, so cost is
     * bounded by the distinct values per column, not passes — and the
     * one-row result melts to per-column rows driver-free.
+    *
+    * `approx = true` swaps every exact `count(DISTINCT)` for the KMV
+    * theta sketch (`kmv_distinct` over a 60-bit md5 hash of the value,
+    * bounded `kmvK`-long state per column) — the 100 TB shape: the
+    * exact plan's Expand shuffles every distinct value of every column,
+    * the sketch shuffles ≤ kmvK longs per column per partition, and
+    * counts under kmvK stay EXACT by construction (the sketch isn't
+    * full). Estimates land within a few percent at k=1024; min/max/
+    * null counts are exact in both modes.
     */
-  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+              approx: Boolean = false, kmvK: Int = 1024): DataFrame = {
     val targets = if (cols.isEmpty) df.columns.toSeq else cols
     require(targets.nonEmpty, "no columns to profile")
+    if (approx) graft.Graft.register(df.sparkSession)
     // backtick-quote every reference and key internal aliases by INDEX:
     // profile opts every column in automatically, and a legal top-level
     // name containing a dot would otherwise parse as a nested-field path
     def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+    def distinctAgg(c: String): Column =
+      if (!approx) count_distinct(ref(c))
+      else round(call_function("kmv_distinct",
+        conv(substring(md5(ref(c).cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(kmvK))).cast("long")
     val aggs = Seq(count(lit(1)).as("__total")) ++
       targets.zipWithIndex.flatMap { case (c, j) =>
         Seq(count(ref(c)).as(s"__n_$j"),
-          count_distinct(ref(c)).as(s"__d_$j"),
+          distinctAgg(c).as(s"__d_$j"),
           min(ref(c)).cast("string").as(s"__mn_$j"),
           max(ref(c)).cast("string").as(s"__mx_$j"))
       }
@@ -567,13 +583,24 @@ object Corpus {
     *
     * `orderCols` must reach a TOTAL order within each group (end with a
     * unique id): ties would be ordered by shuffle fetch order, which can
-    * differ between runs and break determinism. `groupCol` cardinality
-    * is expected to be modest (languages, domains — the partition-count ×
-    * group driver table is the only driver state).
+    * differ between runs and break determinism.
+    *
+    * Group cardinality is guarded, not assumed: the per-(partition,
+    * group) counter table collects to the driver only while it holds
+    * ≤ `maxDriverOffsetEntries` rows (languages, sources — the common
+    * case, two tiny jobs). Above that (domains, user ids — G up to 10⁷⁺)
+    * the SAME offsets compute distributed: counters group by key for a
+    * per-group prefix sum (one shuffle of tiny counter rows), hash back
+    * to their source partition index, and zip with the sorted data —
+    * nothing group-cardinality-sized ever reaches the driver or a
+    * broadcast, and each stamping task holds only ITS partition's
+    * groups (bounded by that partition's row count).
     */
   def ntileByGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column],
-                   n: Int, outCol: String = "tile"): DataFrame = {
+                   n: Int, outCol: String = "tile",
+                   maxDriverOffsetEntries: Long = 100000L): DataFrame = {
     require(n > 0, "ntile needs a positive tile count")
+    require(maxDriverOffsetEntries > 0, "maxDriverOffsetEntries must be positive")
     // the driver offset maps key on the collected row VALUE — sound only
     // for types whose JVM representation has value equality (a binary
     // column collects as Array[Byte] with identity equality: every row
@@ -597,44 +624,89 @@ object Corpus {
     // are sampled per evaluation, and the stamp job reuses the sort's
     // shuffle files)
     val rdd0 = ranged.rdd
-    val perPart: Array[((Int, Any), Long)] = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-      it.foreach { r => val g = r.get(gIdx); m.update(g, m.getOrElse(g, 0L) + 1L) }
-      m.iterator.map { case (g, c) => ((pid, g), c) }
-    }.collect()
-    val counts = perPart.toMap
-    val totals: Map[Any, Long] =
-      perPart.groupBy(_._1._2).map { case (g, rows) => g -> rows.map(_._2).sum }
     val nParts = rdd0.getNumPartitions
-    val offsets: Map[(Int, Any), Long] = totals.keysIterator.flatMap { g =>
-      var acc = 0L
-      (0 until nParts).map { p =>
-        val o = ((p, g), acc); acc += counts.getOrElse((p, g), 0L); o
-      }
-    }.toMap
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val bTotals = spark.sparkContext.broadcast(totals)
+    // SQL ntile of global in-group rank `rank` over `t` rows:
+    // tiles 1..r hold q+1 rows, the rest q
+    def tileOf(rank: Long, t: Long): Int = {
+      val q = t / n
+      val r = t % n
+      val tile =
+        if (q == 0L) rank // fewer rows than tiles: tile = rank
+        else if (rank <= r * (q + 1)) (rank - 1) / (q + 1) + 1
+        else r + (rank - r * (q + 1) - 1) / q + 1
+      tile.toInt
+    }
     val schema = org.apache.spark.sql.types.StructType(
       ranged.schema.fields :+ org.apache.spark.sql.types.StructField(
         outCol, org.apache.spark.sql.types.IntegerType, nullable = false))
-    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      val off = bOffsets.value
-      val tot = bTotals.value
+    // stamp one sorted partition given its groups' (start offset, total)
+    def stamp(it: Iterator[org.apache.spark.sql.Row],
+              offTot: Any => (Long, Long)): Iterator[org.apache.spark.sql.Row] = {
       val local = scala.collection.mutable.HashMap.empty[Any, Long]
       it.map { row =>
         val g = row.get(gIdx)
         val before = local.getOrElse(g, 0L)
         local.update(g, before + 1L)
-        val rank = off((pid, g)) + before + 1L
-        val t = tot(g)
-        // SQL ntile over t rows: tiles 1..r hold q+1 rows, the rest q
-        val q = t / n
-        val r = t % n
-        val tile =
-          if (q == 0L) rank // fewer rows than tiles: tile = rank
-          else if (rank <= r * (q + 1)) (rank - 1) / (q + 1) + 1
-          else r + (rank - r * (q + 1) - 1) / q + 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ tile.toInt)
+        val (off, t) = offTot(g)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ tileOf(off + before + 1L, t))
+      }
+    }
+    val perPartRdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r => val g = r.get(gIdx); m.update(g, m.getOrElse(g, 0L) + 1L) }
+      m.iterator.map { case (g, c) => ((pid, g), c) }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEntries = perPartRdd.count() // ≤ partitions × groups counter rows
+
+    val rdd = if (nEntries <= maxDriverOffsetEntries) {
+      // small-G path: counters fit on the driver; prefix-sum there and
+      // broadcast the offset maps (two tiny jobs, zero extra shuffles)
+      val perPart = perPartRdd.collect()
+      perPartRdd.unpersist(false)
+      val counts = perPart.toMap
+      val totals: Map[Any, Long] =
+        perPart.groupBy(_._1._2).map { case (g, rows) => g -> rows.map(_._2).sum }
+      val offsets: Map[(Int, Any), Long] = totals.keysIterator.flatMap { g =>
+        var acc = 0L
+        (0 until nParts).map { p =>
+          val o = ((p, g), acc); acc += counts.getOrElse((p, g), 0L); o
+        }
+      }.toMap
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val bTotals = spark.sparkContext.broadcast(totals)
+      rdd0.mapPartitionsWithIndex { (pid, it) =>
+        val off = bOffsets.value
+        val tot = bTotals.value
+        stamp(it, g => (off((pid, g)), tot(g)))
+      }
+    } else {
+      // large-G path: the identical prefix sum, distributed. Counters
+      // shuffle once by group (≤ nParts rows per group), each group
+      // prefix-sums its partitions, and the (offset, total) entries hash
+      // BACK to their source partition index to zip with the sorted
+      // data — each stamping task reads only its own partition's groups.
+      // The persisted counter RDD stays in the result's lineage (the
+      // ContextCleaner unpersists it when the frame is released); it is
+      // counter rows, not data rows, and MEMORY_AND_DISK spills.
+      val offs: org.apache.spark.rdd.RDD[(Int, (Any, Long, Long))] = perPartRdd
+        .map { case ((pid, g), c) => (g, (pid, c)) }
+        .groupByKey()
+        .flatMap { case (g, pcs) =>
+          val sorted = pcs.toArray.sortBy(_._1)
+          val total = sorted.iterator.map(_._2).sum
+          var acc = 0L
+          sorted.iterator.map { case (pid, c) =>
+            val o = (pid, (g, acc, total)); acc += c; o
+          }
+        }
+      val byPid = offs.partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      rdd0.zipPartitions(byPid) { (rowIt, offIt) =>
+        val m = scala.collection.mutable.HashMap.empty[Any, (Long, Long)]
+        offIt.foreach { case (_, (g, off, t)) => m.update(g, (off, t)) }
+        stamp(rowIt, m)
       }
     }
     spark.createDataFrame(rdd, schema)
@@ -882,7 +954,11 @@ object Corpus {
     * for full determinism. Both passes share one lineage (the
     * [[ntileByGroup]] / shardByTokens precedent: range boundaries are
     * sampled per evaluation, so the count job must reuse the same
-    * materialized sort). */
+    * materialized sort). The input must also be DETERMINISTIC under
+    * recompute (a re-read source or re-fetched shuffle must yield the
+    * same rows): the count job and the stamp job are separate actions,
+    * and a source that returns different rows per evaluation would
+    * desync the offsets from the stamped partitions. */
   def zipWithRowIds(df: DataFrame, orderCols: Seq[Column],
                     outCol: String = "row_id"): DataFrame = {
     require(orderCols.nonEmpty, "zipWithRowIds needs at least one order column")
@@ -890,7 +966,14 @@ object Corpus {
     val ranged = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
     val rdd0 = ranged.rdd
     val counts: Map[Int, Long] = rdd0
-      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size.toLong)))
+      .mapPartitionsWithIndex { (pid, it) =>
+        // count in a Long loop: Iterator.size returns Int and would
+        // silently overflow (corrupting every later offset) past 2^31
+        // rows in one partition
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1L }
+        Iterator.single((pid, n))
+      }
       .collect().toMap // |partitions| driver rows, bounded by construction
     val offsets: Array[Long] = (0 until rdd0.getNumPartitions)
       .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray

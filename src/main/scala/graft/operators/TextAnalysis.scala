@@ -89,20 +89,36 @@ object TextAnalysis {
       .otherwise(u)
   }
 
-  /** Registered-domain heuristic from an absolute URL: the last two host
-    * labels (`a.b.example.com` → `example.com`), ports stripped. A real
-    * public-suffix list would refine multi-label suffixes (`co.uk`);
-    * this is the deterministic, dependency-free cut for per-domain
-    * mixing/filtering ([[graft.operators.Corpus.mixture]] keys). */
+  /** PSL registered domain from an absolute URL (`a.b.example.com` →
+    * `example.com`, `news.bbc.co.uk` → `bbc.co.uk`), ports stripped —
+    * the grouping key for per-domain mixing/filtering
+    * ([[graft.operators.Corpus.mixture]] keys, [[domainFilter]]
+    * blocklists, URL-level dedup). Suffix rules come from the bundled
+    * [[graft.functions.PublicSuffix.snapshotRules]] snapshot (unlisted
+    * suffixes fall back to last-two-labels — the pre-PSL behavior);
+    * NULL when no http(s) host parses or the host is itself a public
+    * suffix. The lookup is a native codegen'd expression
+    * ([[graft.functions.RegisteredDomain]]), not a UDF. */
   def urlDomain(u: Column): Column = {
-    val host = regexp_replace(
-      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)),
-      lit("\\.$"), lit(""))
-    val parts = split(host, "\\.")
-    when(host === "", null)
-      .when(size(parts) <= 2, host)
-      .otherwise(concat(element_at(parts, -2), lit("."), element_at(parts, -1)))
+    val host = urlHost(u)
+    nullif(call_function("registered_domain", host), lit(""))
   }
+
+  /** [[urlDomain]] with caller-supplied PSL rules — pass the lines of a
+    * full, current publicsuffix.org file when the bundled snapshot's
+    * coverage matters. The rules travel as a foldable literal; the
+    * matcher is compiled ONCE at analysis time (see GraftExtensions'
+    * registered_domain builder) and codegen-referenced, so the per-row
+    * cost is identical to the bundled-snapshot path. */
+  def urlDomain(u: Column, pslRules: Seq[String]): Column = {
+    val host = urlHost(u)
+    nullif(call_function("registered_domain", host,
+      lit(pslRules.mkString("\n"))), lit(""))
+  }
+
+  private def urlHost(u: Column): Column = regexp_replace(
+    lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)),
+    lit("\\.$"), lit(""))
 
   /** Drop rows whose URL's registered domain is on the blocklist — the
     * standard crawl-corpus hygiene pass (C4/FineWeb-style adult/spam

@@ -218,8 +218,12 @@ object MongoWire {
 
   /** DNS resolution seam for `mongodb+srv://`: production uses the JDK
     * JNDI provider (each executor resolves against its own configured
-    * nameservers); specs inject a fake zone. */
-  @volatile var dnsResolver: SrvDiscovery.SrvResolver = SrvDiscovery.SrvResolver.Jndi
+    * nameservers); specs inject a fake zone. private[mongo] like
+    * [[hostAliases]]: a PUBLIC mutable resolver would let any in-process
+    * code globally redirect srv discovery (plaintext connections would
+    * follow silently; TLS still validates the logical name). */
+  @volatile private[mongo] var dnsResolver: SrvDiscovery.SrvResolver =
+    SrvDiscovery.SrvResolver.Jndi
 
   /** Test seam mapping a logical SRV target name to a connectable
     * address (the in-process fake mongod listens on loopback, while the

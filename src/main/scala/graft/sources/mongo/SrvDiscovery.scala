@@ -53,6 +53,14 @@ object SrvDiscovery {
           val attr = c.getAttributes(name, Array(rrType)).get(rrType)
           if (attr == null) Seq.empty
           else (0 until attr.size).map(i => String.valueOf(attr.get(i)))
+        } catch {
+          // JNDI raises NameNotFoundException on NXDOMAIN — which is a
+          // NORMAL answer here: TXT is optional per the discovery spec
+          // (a deployment with SRV records and no TXT at the fqdn must
+          // resolve), and an absent SRV name should surface as
+          // resolve()'s clean "no SRV records" message, not a raw
+          // javax.naming stack
+          case _: javax.naming.NameNotFoundException => Seq.empty
         } finally c.close()
       }
       override def srv(name: String): Seq[(Int, Int, Int, String)] =
@@ -90,12 +98,20 @@ object SrvDiscovery {
       val labels = fqdn.split("\\.", -1).toSeq
       require(labels.length >= 3 && labels.forall(_.nonEmpty),
         s"mongodb+srv hostname must have >= 3 labels (host.domain.tld), got $fqdn")
-      val parentDomain = labels.tail.mkString(".")
+      // DNS names are case-insensitive and resolvers may preserve answer
+      // case: compare (and emit seeds) lowercased, or a legal SRV answer
+      // differing only in case would be rejected as poisoned
+      val parentDomain =
+        labels.tail.mkString(".").toLowerCase(java.util.Locale.ROOT)
 
-      // normalize presentation-form targets (trailing root dot) HERE, so
-      // every resolver implementation gets the same validation semantics
+      // normalize presentation-form targets (trailing root dot, case)
+      // HERE, so every resolver implementation gets the same validation
+      // semantics
       val answers = resolver.srv(s"_mongodb._tcp.$fqdn")
-        .map { case (p, w, port, target) => (p, w, port, target.stripSuffix(".")) }
+        .map { case (p, w, port, target) =>
+          (p, w, port,
+            target.stripSuffix(".").toLowerCase(java.util.Locale.ROOT))
+        }
       require(answers.nonEmpty, s"no SRV records at _mongodb._tcp.$fqdn")
       answers.foreach { case (_, _, port, target) =>
         require(target == parentDomain || target.endsWith(s".$parentDomain"),

@@ -258,6 +258,27 @@ class CorpusSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("ntileByGroup large-G path: distributed offsets match the driver path") {
+    // 100k distinct groups of 1-3 rows: the per-(partition, group)
+    // counter table blows the driver guard, so the offsets must compute
+    // via the distributed group-prefix-sum + zip path — and agree with
+    // the small-G broadcast path bit for bit
+    val rows = (0 until 200000).map { i =>
+      (s"g${i % 100000}", i.toLong, (i * 131 % 997).toDouble)
+    }
+    val df = spark.createDataFrame(rows).toDF("grp", "id", "score").repartition(16)
+    val viaDriver = Corpus.ntileByGroup(df, "grp", Seq($"score".desc, $"id".asc), 2,
+        maxDriverOffsetEntries = Long.MaxValue)
+      .select($"id", $"tile")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val distributed = Corpus.ntileByGroup(df, "grp", Seq($"score".desc, $"id".asc), 2,
+        maxDriverOffsetEntries = 1000L)
+      .select($"id", $"tile")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(distributed.size == 200000)
+    assert(distributed == viaDriver)
+  }
+
   test("dsirWeights rank target-like documents above disjoint-vocabulary ones") {
     val target = Seq(
       (1L, "the model trains on curated encyclopedia text"),
@@ -486,6 +507,30 @@ class CorpusSpec extends SparkTestBase {
     // one scan: a single Aggregate chain, no self-joins or unions
     val plan = Corpus.profile(df).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+  }
+
+  test("profile approx: KMV n_distinct is exact under k and bounded above it") {
+    import spark.implicits._
+    // 17 distinct under k=1024: the sketch never fills, so the estimate
+    // IS the exact count; everything else (rows/nulls/min/max) identical
+    val small = (0 until 300).map(i => (i.toLong % 17, s"s${i % 5}")).toDF("a", "b")
+    val exact = Corpus.profile(small).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Corpus.profile(small, approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx === exact)
+    // 40k distinct over k=1024: the estimate must land within 15% (the
+    // theoretical sd is ~1/sqrt(k) ≈ 3%) — and the plan has no Expand,
+    // the row amplifier Catalyst needs for multiple exact DISTINCTs
+    val big = (0 until 40000).map(i => (i.toLong, i.toLong * 7)).toDF("x", "y")
+    val est = Corpus.profile(big, approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(est("x") - 40000.0) / 40000.0 < 0.15, s"estimate $est")
+    val plan = Corpus.profile(big, approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(Corpus.profile(big).queryExecution.executedPlan.toString
+      .contains("Expand")) // the exact path does use one (2 distincts)
   }
 
   test("diffSnapshots classifies added/removed/changed/unchanged, null-safely") {

@@ -48,9 +48,18 @@ class PipelineOpsSpec extends SparkTestBase {
       ("HTTP://WWW.X.COM:80/a?b=2&a=1#f", "http://www.x.com/a?a=1&b=2", "x.com"),
       ("https://Api.Sub.Example.ORG:443", "https://api.sub.example.org/", "example.org"),
       ("https://h.io:8443/p", "https://h.io:8443/p", "h.io"), // non-default port kept
-      // the documented no-PSL cut: a multi-label public suffix keeps its
-      // last two labels (a real PSL would answer two.co.uk)
-      ("http://one.two.co.uk/", "http://one.two.co.uk/", "co.uk"),
+      // PSL multi-label suffixes (bundled snapshot)
+      ("http://one.two.co.uk/", "http://one.two.co.uk/", "two.co.uk"),
+      ("https://news.BBC.co.uk/sport", "https://news.bbc.co.uk/sport", "bbc.co.uk"),
+      ("http://a.com.au/", "http://a.com.au/", "a.com.au"),
+      ("https://x.y.blogspot.com/p", "https://x.y.blogspot.com/p", "y.blogspot.com"),
+      ("https://user.github.io/repo", "https://user.github.io/repo", "user.github.io"),
+      // wildcard registry *.ck: every label under ck is a suffix...
+      ("http://shop.acme.ck/", "http://shop.acme.ck/", "shop.acme.ck"),
+      // ...EXCEPT the !www.ck exception, which is itself registrable
+      ("http://pages.www.ck/", "http://pages.www.ck/", "www.ck"),
+      // host that IS a public suffix has no registered domain
+      ("http://co.uk/", "http://co.uk/", null),
       ("http://x.com/path", "http://x.com/path", "x.com"),
       ("ftp://x.com/a", "ftp://x.com/a", "x.com"), // non-http passes through
       ("not a url", "not a url", null))
@@ -58,6 +67,34 @@ class PipelineOpsSpec extends SparkTestBase {
       .select(TextAnalysis.normalizeUrl(col("u")), TextAnalysis.urlDomain(col("u")))
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
     assert(got.toSeq == cases.map(c => (c._2, c._3)), got.toSeq)
+  }
+
+  test("urlDomain custom PSL rules and the registered_domain SQL surface") {
+    import spark.implicits._
+    graft.Graft.register(spark)
+    // caller-supplied rules override the snapshot: a full publicsuffix.org
+    // file's lines go through the same path
+    val rules = Seq("// comment", "", "co.example", "*.wild", "!ok.wild")
+    val got = Seq("http://a.b.co.example/", "http://deep.x.wild/",
+        "http://sub.ok.wild/", "http://plain.org/")
+      .toDF("u")
+      .select(TextAnalysis.urlDomain(col("u"), rules))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    // co.example is a suffix; *.wild makes x.wild a suffix; !ok.wild is
+    // registrable; plain.org falls back to the default rule
+    assert(got == Seq("b.co.example", "deep.x.wild", "ok.wild", "plain.org"), got)
+    // SQL: bare-host lookup, mixed case tolerated, suffix-only host -> ''
+    val sql = spark.sql(
+      "SELECT registered_domain('News.BBC.co.uk'), registered_domain('co.uk'), " +
+      "registered_domain('a.b.co.example', 'co.example')")
+      .head
+    assert(sql.getString(0) == "bbc.co.uk" && sql.getString(1) == "" &&
+      sql.getString(2) == "b.co.example", sql.toString)
+    // non-foldable rules argument is rejected with a clear message
+    val e = intercept[Exception] {
+      Seq("h").toDF("h").selectExpr("registered_domain(h, h)").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
   test("domainFilter blocks by registered domain, keeps unparseable, both shapes agree") {

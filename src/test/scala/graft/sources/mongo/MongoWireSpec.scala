@@ -1058,6 +1058,12 @@ class MongoWireSpec extends SparkTestBase {
       "mongodb+srv://cluster0.example.com/db/coll?authSource=other&tls=false", r).get
     assert(over.authSource === "other")
     assert(!over.tls)
+    // DNS is case-insensitive: an answer target differing only in case
+    // is a LEGAL answer, not a poisoned one — and seeds emit lowercased
+    val mixed = MongoWire.ConnSpec.parseOrResolve(
+      "mongodb+srv://cluster0.example.com/db/coll",
+      zone(Seq((0, 0, 27017, "A.EXAMPLE.Com.")), Nil)).get
+    assert(mixed.hosts === Seq(("a.example.com", 27017)))
   }
 
   test("mongodb+srv: discovery-spec violations fail loudly") {
