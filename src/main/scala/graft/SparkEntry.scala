@@ -99,12 +99,21 @@ object SparkEntry {
         val matched = docs.filter(d => nkEq.forall(v => d.contains(s""""nk":"$v"""")))
         page(scala.collection.mutable.Queue(matched: _*), nextCursor.getAndIncrement(), first = true)
       } else if (cmdJson.contains(""""aggregate":""")) {
-        val gcol = """\$f\.properties\.([A-Za-z0-9_]+)""".r.findFirstMatchIn(cmdJson)
-          .map(_.group(1)).getOrElse(
+        // honor the exact typed $match prefix's string branch (the inline
+        // corpus stores every property as a JSON string, so the string
+        // branch IS the whole truth here — FakeMongod in the spec suite
+        // evaluates the full typed expression)
+        // whitespace-tolerant: the command arrives re-rendered compactly
+        val matchEq = """\{"\$eq":\s*\["\$f\.properties\.([A-Za-z0-9_]+)",\s*"([^"]*)"\]\}""".r
+          .findFirstMatchIn(cmdJson).map(m => (m.group(1), m.group(2)))
+        val eligible = docs.filter(d =>
+          matchEq.forall { case (c, v) => d.contains(s""""$c":"$v"""") })
+        val gcol = """"g0":\s*\{"\$toString":\s*\{"\$ifNull":\s*\["\$f\.properties\.([A-Za-z0-9_]+)"""".r
+          .findFirstMatchIn(cmdJson).map(_.group(1)).getOrElse(
             throw new IllegalArgumentException(s"inline mongod: no group column in $cmdJson"))
         val ex = ("\"" + gcol + "\":\"([^\"]*)\"").r
         val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        docs.foreach(d => ex.findFirstMatchIn(d).foreach(m =>
+        eligible.foreach(d => ex.findFirstMatchIn(d).foreach(m =>
           counts(m.group(1)) = counts.getOrElse(m.group(1), 0L) + 1))
         val rows = counts.map { case (v, n) =>
           s"""{"_id":{"g0":${graft.JsonText.str(v)}},"a0":$n}"""
@@ -895,6 +904,21 @@ object SparkEntry {
         spark.read.format("graft-geojson")
           .option("columns", "name,nk").option("serverPushdown", "true")
           .load(url)
+          .groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+      }
+    }),
+    // filtered variant (r9): the pushed equality travels WITH the count
+    // as one aggregate pipeline — an exact typed $match prefix, no
+    // record transfer (MongoFindGen.aggMatchExpr; spec-asserted in
+    // MongoWireSpec that no find command fires)
+    "q_geojson_mongo_agg_filtered" -> ((spark, dir) => {
+      init(spark, dir)
+      withInlineMongod(spark) { url =>
+        spark.read.format("graft-geojson")
+          .option("columns", "name,nk").option("serverPushdown", "true")
+          .load(url)
+          .where(col("nk") === "5")
           .groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint(true)
       }
@@ -2003,6 +2027,8 @@ object SparkEntry {
     // must equal the plain GROUP BY.
     "q_geojson_mongo_agg" ->
       "SELECT CAST(c_nationkey AS VARCHAR) AS nk, count(*) AS cnt FROM customer GROUP BY 1",
+    "q_geojson_mongo_agg_filtered" ->
+      "SELECT CAST(c_nationkey AS VARCHAR) AS nk, count(*) AS cnt FROM customer WHERE c_nationkey = 5 GROUP BY 1",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     // Exact all-pairs 5-shingle Jaccard ≥ 0.5. Equals the LSH+refine result

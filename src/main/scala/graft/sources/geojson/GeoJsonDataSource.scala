@@ -340,9 +340,19 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     * widened selector is a superset — fine under a re-apply, an
     * overcount inside `$group`), no bbox, counts only. Anything else
     * falls back to record transfer with the local partial aggregate. */
+  /** Exact `$match` body for the pushed + runtime filters, or None when
+    * they leave the provably-exact subset (see MongoFindGen.aggMatchExpr)
+    * — nothing re-applies after a server-side `$group`, so "widen and
+    * re-check" is not available here. Over-cap IN lists also disqualify
+    * (the 16MB command ceiling, same as the find path's wire gate). */
+  private def serverAggMatch(eff: Seq[Filter]): Option[String] =
+    if (!eff.forall(StringFilterEval.wireSafe)) None
+    else graft.sources.mongo.MongoFindGen.aggMatchExpr(eff)
+
   private def serverAggApplicable(file: String, eff: Seq[Filter]): Boolean =
     serverPushdown && graft.sources.mongo.MongoWire.isMongoUrl(file) &&
-      eff.isEmpty && bbox.isEmpty && serverAggCountCols.isDefined
+      bbox.isEmpty && serverAggCountCols.isDefined &&
+      serverAggMatch(eff).isDefined
 
   /** Every column the reader still needs in server mode — the output
     * schema, the columns pushed + runtime filters reference (they
@@ -369,14 +379,23 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     * strings, so numeric-looking literals match either JSON typing) plus
     * the bbox as a coordinate-range clause for Point docs — always a
     * SUPERSET, and every piece re-applies locally below. */
-  private def serverSelector(eff: Seq[Filter]): String =
-    graft.sources.mongo.MongoFindGen.selector(
+  private def serverSelector(eff: Seq[Filter]): String = {
+    val base = graft.sources.mongo.MongoFindGen.selector(
       // an over-cap IN (a huge runtime-filter value set) stays off the
       // wire — Mongo caps command documents at 16MB; the local re-apply
       // still evaluates it
       eff.toIndexedSeq.filter(StringFilterEval.wireSafe)
         .map(graft.sources.mongo.CouchFind.widen),
       bbox.flatMap(graft.sources.mongo.CouchFind.bboxSelector).toSeq)
+    // FeatureCollection escape: a stored collection keeps its feature
+    // properties INSIDE the `features` array, where a top-level
+    // `properties.x` clause cannot see them — without this $or branch
+    // the selector would DROP collection docs whose rows match (not a
+    // superset; the local re-apply cannot resurrect an untransferred
+    // doc). Collection docs transfer whole and prune locally per row.
+    if (base == "{}") base
+    else s"""{ "$$or" : [$base, {"features": {"$$exists": true}}]}"""
+  }
 
   // cursor cap only when NOTHING re-applies afterwards (the same gate as
   // the XML wire cap); it is a transfer hint, not a truncation — a
@@ -417,7 +436,8 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
         if (serverAggMode)
           graft.sources.mongo.MongoWire.aggregate(file,
             graft.sources.mongo.MongoFindGen.aggregationPipeline(
-              agg.get._1, serverAggCountCols.get), httpTimeoutMs)
+              agg.get._1, serverAggCountCols.get,
+              serverAggMatch(eff).filter(_ != "true")), httpTimeoutMs)
         else documents(file, eff)
       private val rows: Iterator[InternalRow] = if (serverAggMode) {
         // the pipeline's per-group partial documents ({_id: {g0: …},

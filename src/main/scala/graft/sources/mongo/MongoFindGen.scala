@@ -193,7 +193,8 @@ object MongoFindGen {
     * collection's `features` (the local parse recurses; `$unwind` counts
     * it once) — GeoJSON does not nest collections. Output docs:
     * `{_id: {g0: …}, a0: n, a1: n}`. */
-  def aggregationPipeline(groups: Seq[String], countCols: Seq[Option[String]]): String = {
+  def aggregationPipeline(groups: Seq[String], countCols: Seq[Option[String]],
+                          matchExpr: Option[String] = None): String = {
     def prop(c: String) = jstr("$f.properties." + c)
     val id =
       if (groups.isEmpty) "null"
@@ -205,8 +206,107 @@ object MongoFindGen {
       case (Some(c), i) =>
         s""""a$i": {"$$sum": {"$$cond": [{"$$eq": [{"$$ifNull": [${prop(c)}, null]}, null]}, 0, 1]}}"""
     }
+    val matchStage = matchExpr.map(e => s""" {"$$match": {"$$expr": $e}},""").getOrElse("")
     s"""[{"$$project": {"f": {"$$cond": [{"$$isArray": ["$$features"]}, "$$features", ["$$$$ROOT"]]}}},""" +
       s""" {"$$unwind": "$$f"},""" +
+      matchStage +
       s""" {"$$group": {"_id": $id, ${accs.mkString(", ")}}}]"""
+  }
+
+  /** EXACT typed `$match` expression for the aggregation pushdown —
+    * or None when the filters leave the provably-exact subset.
+    *
+    * Unlike the find path's WIDENED selector (a superset the reader
+    * re-applies locally), nothing re-applies after a server-side
+    * `$group`: the `$match` must accept EXACTLY the feature rows
+    * [[graft.sources.StringFilterEval.passes]] would keep on the
+    * transferred documents. The local contract compares the flattened
+    * STRING RENDERING of each property (the JSON text this engine's own
+    * BSON decoder emits), so each string literal inverse-maps to the
+    * BSON values that render to it, as an `$or` of TYPE-GUARDED
+    * branches (a bare `$eq` would let int 1 match "1.0" through Mongo's
+    * cross-numeric equality):
+    *
+    *   - string: direct equality;
+    *   - int32/int64: canonical-decimal literals, compared numerically
+    *     (type-faithful on the wire: Bson.fromJson encodes integral
+    *     pipeline numbers as int32/int64, so the comparison is exact at
+    *     any magnitude);
+    *   - double: literals that survive `Double.toString` round-trip
+    *     (the decoder's rendering — "1.0" matches double 1.0, never
+    *     int 1, and "1" never matches double 1.0);
+    *   - date: rendered as epoch millis by the decoder → `$toLong`
+    *     comparison under the int64 conditions;
+    *   - bool / objectId: "true"/"false" / 24-hex via `$toString`.
+    *
+    * Missing, null, and object/array-valued properties are all SQL NULL
+    * locally (the flattener skips non-scalars), mirrored by the
+    * `$type ∈ [missing, null, object, array]` guard. Supported filter
+    * shapes: AND-composed EqualTo / EqualNullSafe / In / IsNull /
+    * IsNotNull — the equality family, where TRUE never depends on
+    * three-valued logic. Order/substring predicates and binData-valued
+    * properties stay on the record-transfer path (a binData's base64
+    * rendering has no aggregation-expression equivalent — documented
+    * cut; GeoJSON properties are JSON scalars, which BSON stores
+    * without binData). */
+  def aggMatchExpr(filters: Seq[Filter]): Option[String] = {
+    def path(c: String): Option[String] =
+      // dots/dollars would change the field-path meaning server-side
+      if (c.isEmpty || c.contains('.') || c.contains('$') || c.contains('\u0000')) None
+      else Some("$f.properties." + c)
+    def typeOf(p: String) = s"""{"$$type": ${jstr(p)}}"""
+    def nullish(p: String) =
+      s"""{"$$in": [${typeOf(p)}, ["missing", "null", "object", "array"]]}"""
+    // all BSON values whose flattened rendering equals the literal `v`
+    def valueBranches(p: String, v: String): Option[String] = {
+      val ref = jstr(p)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "string"]}, {"$$eq": [$ref, ${jstr(v)}]}]}"""
+      if (v.matches("-?(0|[1-9][0-9]*)") && v.toLongOption.isDefined) {
+        // canonical decimal inside int64 range: int/long/date renderings.
+        // The literal travels type-faithfully (Bson.fromJson encodes
+        // integral JSON numbers as int32/int64, never doubles), so the
+        // comparison is exact at any magnitude; beyond int64 no stored
+        // integer can render the literal and no branch is needed.
+        b += s"""{"$$and": [{"$$in": [${typeOf(p)}, ["int", "long"]]}, {"$$eq": [$ref, $v]}]}"""
+        b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "date"]}, {"$$eq": [{"$$toLong": $ref}, $v]}]}"""
+      }
+      val d = v.toDoubleOption
+      if (d.exists(x => !x.isNaN && !x.isInfinite && java.lang.Double.toString(x) == v))
+        b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "double"]}, {"$$eq": [$ref, $v]}]}"""
+      if (v == "true" || v == "false")
+        b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "bool"]}, {"$$eq": [$ref, $v]}]}"""
+      if (v.matches("[0-9a-f]{24}"))
+        b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "objectId"]}, {"$$eq": [{"$$toString": $ref}, ${jstr(v)}]}]}"""
+      Some(if (b.size == 1) b.head else s"""{"$$or": [${b.mkString(", ")}]}""")
+    }
+    def conv(f: Filter): Option[String] = f match {
+      case EqualTo(a, v: String)       => path(a).flatMap(valueBranches(_, v))
+      case EqualNullSafe(a, null)      => path(a).map(nullish)
+      case EqualNullSafe(a, v: String) => path(a).flatMap(valueBranches(_, v))
+      case In(a, vs) if vs.forall(x => x == null || x.isInstanceOf[String]) =>
+        // null elements only turn FALSE into UNKNOWN locally — both drop
+        val nonNull = vs.toIndexedSeq.collect { case s: String => s }
+        if (nonNull.isEmpty) Some("false")
+        else path(a).flatMap { p =>
+          val parts = nonNull.map(valueBranches(p, _))
+          if (parts.exists(_.isEmpty)) None
+          else Some(if (parts.size == 1) parts.head.get
+                    else s"""{"$$or": [${parts.map(_.get).mkString(", ")}]}""")
+        }
+      case IsNull(a)    => path(a).map(nullish)
+      case IsNotNull(a) => path(a).map(p => s"""{"$$not": [${nullish(p)}]}""")
+      case And(l, r) =>
+        for (le <- conv(l); re <- conv(r))
+          yield s"""{"$$and": [$le, $re]}"""
+      case _ => None // Or/Not/order/substring: three-valued or rendering-bound
+    }
+    if (filters.isEmpty) Some("true")
+    else {
+      val parts = filters.map(conv)
+      if (parts.exists(_.isEmpty)) None
+      else Some(if (parts.size == 1) parts.head.get
+                else s"""{"$$and": [${parts.map(_.get).mkString(", ")}]}""")
+    }
   }
 }

@@ -44,20 +44,28 @@ import java.nio.charset.StandardCharsets.UTF_8
   * `?readPreference=` selects the member CLASS the walk settles on —
   * `primary` (default), `secondary`, the `*Preferred` modes (preferred
   * class first, remembered fallback member second, so reads survive an
-  * election window), and `nearest` (first usable member); non-primary
+  * election window), and `nearest` (latency-aware: every member's
+  * establishment RTT is probed and the first member inside the
+  * fastest's 15ms locality window wins — the server-selection spec's
+  * localThresholdMS, with a deterministic tiebreak because Spark task
+  * retries must re-pick the same member); non-primary
   * modes travel as `$readPreference` on every read command so a
   * secondary permits the read. `mongodb+srv://` URLs resolve their
   * seed list + TXT default options through DNS first ([[SrvDiscovery]]
   * — parent-domain validation, TLS-on default, authSource/replicaSet-
   * only TXT), then behave exactly like the equivalent `mongodb://`
-  * seed-list URL. Remaining documented cut: latency-based `nearest`
-  * ordering (no topology monitor; `nearest` takes seed-list order).
+  * seed-list URL.
   */
 object MongoWire {
 
   /** Matches the driver-default find batch size granularity; small enough
     * that a pushed LIMIT's early stop saves wire traffic. */
   val BatchSize = 101
+
+  /** `nearest` locality window (the server-selection spec's
+    * localThresholdMS default): members whose establishment RTT lands
+    * within this of the fastest are equivalent candidates. */
+  val NearestThresholdMs = 15L
 
   /** Backstop against a misbehaving server that answers non-zero cursor
     * ids with empty batches forever — the [[CouchFind.MaxPages]] analog
@@ -401,6 +409,9 @@ object MongoWire {
       * semantics — read preference never vetoes a directly-addressed
       * server, matching the server-selection spec). */
     private def open(): Unit = {
+      if (spec.readPreference == "nearest" && spec.hosts.length > 1) {
+        openNearest(); return
+      }
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
       val seen = scala.collection.mutable.Set.empty[(String, Int)]
       val queue = scala.collection.mutable.Queue(spec.hosts: _*)
@@ -447,6 +458,58 @@ object MongoWire {
       throw new java.io.IOException(
         s"no usable mongodb host among ${spec.hosts.map(h => s"${h._1}:${h._2}").mkString(",")}" +
           s" for readPreference=${spec.readPreference} — ${failures.mkString("; ")}")
+    }
+
+    /** Latency-aware `nearest` (closes the r8 documented cut): probe
+      * EVERY seed with a full connect + handshake, timing the
+      * establishment wall-clock (connect + TLS + auth + `hello` — the
+      * driver spec's RTT sample), then settle on the fastest member's
+      * LOCALITY WINDOW: members within [[NearestThresholdMs]] of the
+      * minimum are equivalent (the server-selection spec's
+      * localThresholdMS), and the FIRST of them in seed order wins —
+      * deterministic where a real driver randomizes, because a Spark
+      * task retry must reconnect to the same member. One probe per
+      * member + one reconnect to the winner per cursor open; cursors
+      * are long-lived (a scan partition), so the probe cost amortizes
+      * the way a topology monitor's would. Members that fail to
+      * connect/handshake simply drop out of the candidate set;
+      * credential failures still abort the whole walk (no password
+      * replay). */
+    private def openNearest(): Unit = {
+      val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+      val rtts = scala.collection.mutable.ArrayBuffer.empty[((String, Int), Long)]
+      spec.hosts.distinct.foreach { hp =>
+        val t0 = System.nanoTime()
+        try {
+          connect(hp._1, hp._2)
+          handshake(acceptFallback = false)
+          rtts += ((hp, System.nanoTime() - t0))
+          close()
+        } catch {
+          case AbortWalk(cause) => close(); throw cause
+          case e: Exception =>
+            failures += s"${hp._1}:${hp._2}: ${e.getMessage}"
+            close()
+        }
+      }
+      if (rtts.nonEmpty) {
+        val minRtt = rtts.iterator.map(_._2).min
+        val windowNs = minRtt + NearestThresholdMs * 1000000L
+        val winner = rtts.find(_._2 <= windowNs).get._1 // seed order preserved
+        try {
+          connect(winner._1, winner._2)
+          handshake(acceptFallback = false)
+          return
+        } catch {
+          case AbortWalk(cause) => close(); throw cause
+          case e: Exception =>
+            failures += s"${winner._1}:${winner._2} (nearest winner): ${e.getMessage}"
+            close()
+        }
+      }
+      throw new java.io.IOException(
+        s"no usable mongodb host among ${spec.hosts.map(h => s"${h._1}:${h._2}").mkString(",")}" +
+          s" for readPreference=nearest — ${failures.mkString("; ")}")
     }
 
     /** Would the `*Preferred` fallback pass accept this member? */

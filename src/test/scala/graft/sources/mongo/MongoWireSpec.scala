@@ -40,6 +40,9 @@ object FakeMongod {
     @volatile var replicaIdentity: Option[(String, Boolean, Option[String])] = None
     /** Answer every `hello` with ok:0 (a member mid-shutdown). */
     @volatile var helloError: Boolean = false
+    /** Injected `hello` latency — a far-region member for the
+      * latency-aware `nearest` specs. */
+    @volatile var helloDelayMs: Int = 0
     /** Request opcodes as they arrived on the wire (2013 OP_MSG /
       * 2012 OP_COMPRESSED) paired with the command name — lets specs
       * assert WHICH commands traveled compressed. */
@@ -227,6 +230,7 @@ object FakeMongod {
 
     private def handle(cmd: JsonNode, conn: Conn): String = {
       if (cmd.has("hello")) {
+        if (helloDelayMs > 0) Thread.sleep(helloDelayMs) // a "distant" member
         if (helloError)
           return s"""{"ok":0.0,"errmsg":"ShutdownInProgress","code":91}"""
         val mechs = auth match {
@@ -284,8 +288,14 @@ object FakeMongod {
         var current: Seq[JsonNode] = docs
         val out = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
         cmd.path("pipeline").forEach { stage =>
-          if (stage.has("$match"))
-            current = current.filter(Selector.matches(stage.path("$match"), _))
+          if (stage.has("$match")) {
+            val m = stage.path("$match")
+            // the aggregation pushdown ships {"$expr": <agg expression>};
+            // plain documents still route through the Mango-style selector
+            if (m.has("$expr"))
+              current = current.filter(d => AggEval.expr(m.path("$expr"), d).asBoolean())
+            else current = current.filter(Selector.matches(m, _))
+          }
           else if (stage.has("$project")) {
             val spec = stage.path("$project")
             current = current.map { doc =>
@@ -430,11 +440,48 @@ object FakeMongod {
         if (expr(args.get(0), doc).asBoolean()) expr(args.get(1), doc)
         else expr(args.get(2), doc)
       case "$eq" =>
-        def norm(n: JsonNode): JsonNode = if (n.isMissingNode) NullNode.instance else n
-        BooleanNode.valueOf(norm(expr(args.get(0), doc)) == norm(expr(args.get(1), doc)))
+        BooleanNode.valueOf(eqNodes(expr(args.get(0), doc), expr(args.get(1), doc)))
       case "$isArray" =>
         BooleanNode.valueOf(expr(args.get(0), doc).isArray)
+      case "$type" =>
+        // BSON type name of the evaluated value (the JSON-fixture model:
+        // integral numbers are int/long, fractional are double)
+        val v = expr(args, doc)
+        TextNode.valueOf(
+          if (v.isMissingNode) "missing"
+          else if (v.isNull) "null"
+          else if (v.isTextual) "string"
+          else if (v.isBoolean) "bool"
+          else if (v.isArray) "array"
+          else if (v.isObject) "object"
+          else if (v.isIntegralNumber) "long"
+          else "double")
+      case "$toLong" =>
+        val v = expr(args, doc)
+        if (v.isMissingNode || v.isNull) NullNode.instance
+        else com.fasterxml.jackson.databind.node.LongNode.valueOf(v.asLong())
+      case "$in" =>
+        val v = expr(args.get(0), doc)
+        val arr = expr(args.get(1), doc)
+        require(arr.isArray, s"fake mongod $$in: second arg must be an array, got $arr")
+        BooleanNode.valueOf(arr.elements().asScala.exists(eqNodes(v, _)))
+      case "$and" =>
+        BooleanNode.valueOf(args.elements().asScala.forall(expr(_, doc).asBoolean()))
+      case "$or" =>
+        BooleanNode.valueOf(args.elements().asScala.exists(expr(_, doc).asBoolean()))
+      case "$not" =>
+        val v = if (args.isArray) expr(args.get(0), doc) else expr(args, doc)
+        BooleanNode.valueOf(!v.asBoolean())
       case other => throw new IllegalArgumentException(s"fake mongod AggEval: $other")
+    }
+    /** Mongo equality: numeric values compare across int/long/double
+      * (int 1 == double 1.0 — which is WHY the exact $match type-guards
+      * every numeric branch); everything else by value. */
+    private def eqNodes(a0: JsonNode, b0: JsonNode): Boolean = {
+      def norm(n: JsonNode): JsonNode = if (n.isMissingNode) NullNode.instance else n
+      val a = norm(a0); val b = norm(b0)
+      if (a.isNumber && b.isNumber) a.doubleValue() == b.doubleValue()
+      else a == b
     }
   }
 
@@ -765,13 +812,74 @@ class MongoWireSpec extends SparkTestBase {
         .agg(count(lit(1)).as("n"), count(col("num")).as("nn")).collect()
         .map(r => r.getAs[String]("grp") -> (r.getAs[Long]("n"), r.getAs[Long]("nn"))).toMap
       assert(localGot == got, s"local=$localGot server=$got")
-      // the guard: a pushed filter (no local re-apply possible after
-      // aggregation) falls back to record transfer + local partials
+      // an equality filter now travels WITH the count as one pipeline:
+      // an exact typed $match prefix, no record transfer (r9 — closes
+      // the filtered-agg asymmetry with the BaseX path)
       srv.received.clear()
       assert(serverDf.where(col("grp") === "1").count() == 68L)
       val afterFilter = srv.received.asScala.toSeq
-      assert(afterFilter.exists(_.contains("\"find\"")), afterFilter)
-      assert(!afterFilter.exists(_.contains("\"aggregate\"")), afterFilter)
+      assert(!afterFilter.exists(_.contains("\"find\"")), afterFilter)
+      val pipe = afterFilter.find(_.contains("\"aggregate\"")).get
+      assert(pipe.contains("\"$match\"") && pipe.contains("\"$expr\""), pipe)
+      // an ORDER predicate has no exact $match equivalent (the local
+      // contract compares string renderings): fallback retained
+      srv.received.clear()
+      assert(serverDf.where(col("grp") > "1").count() == 132L) // grps 2,3 + x4's 2
+      val afterRange = srv.received.asScala.toSeq
+      assert(afterRange.exists(_.contains("\"find\"")), afterRange)
+      assert(!afterRange.exists(_.contains("\"aggregate\"")), afterRange)
+    } finally srv.stop()
+  }
+
+  test("filtered aggregate pushdown: the typed $match mirrors the local rendering") {
+    // one property, every BSON-visible typing the flattener renders
+    // differently: int 1 ("1"), double 1.0 ("1.0"), string "1" ("1"),
+    // string "1.0" ("1.0"), bool true ("true"), null, missing, object
+    // (skipped -> NULL), array (skipped -> NULL)
+    val docs = Seq(
+      """{"_id":"a","type":"Feature","properties":{"g":"x","v":1}}""",
+      """{"_id":"b","type":"Feature","properties":{"g":"x","v":1.0}}""",
+      """{"_id":"c","type":"Feature","properties":{"g":"x","v":"1"}}""",
+      """{"_id":"d","type":"Feature","properties":{"g":"x","v":"1.0"}}""",
+      """{"_id":"e","type":"Feature","properties":{"g":"y","v":true}}""",
+      """{"_id":"f","type":"Feature","properties":{"g":"y","v":null}}""",
+      """{"_id":"g","type":"Feature","properties":{"g":"y"}}""",
+      """{"_id":"h","type":"Feature","properties":{"g":"y","v":{"nested":1}}}""",
+      """{"_id":"i","type":"Feature","properties":{"g":"y","v":[1,2]}}""")
+    val srv = new FakeMongod.Server(docs)
+    try {
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      val df = spark.read.format("graft-geojson")
+        .option("serverPushdown", "true").load(url) // schema-inference find here
+      def counted(f: org.apache.spark.sql.Column): Long = {
+        srv.received.clear()
+        val n = df.where(f).count()
+        val cmds = srv.received.asScala.toSeq
+        assert(cmds.exists(_.contains("\"aggregate\"")) &&
+          !cmds.exists(_.contains("\"find\"")), cmds)
+        n
+      }
+      // "1" matches int 1 and string "1" — NEVER double 1.0 (Mongo's
+      // cross-numeric $eq would take it without the type guard)
+      assert(counted(col("v") === "1") == 2L)
+      // "1.0" matches double 1.0 and string "1.0" — never int 1
+      assert(counted(col("v") === "1.0") == 2L)
+      assert(counted(col("v") === "true") == 1L)
+      // NULL = null, missing, and the skipped non-scalars
+      assert(counted(col("v").isNull) == 4L)
+      assert(counted(col("v").isNotNull) == 5L)
+      assert(counted(col("v").isin("1", "true")) == 3L)
+      assert(counted(col("v") === "1" && col("g") === "x") == 2L)
+      // parity: the local path over the same documents as files answers
+      // identically for every pushed shape
+      val dir = java.nio.file.Files.createTempDirectory("aggmatch")
+      docs.zipWithIndex.foreach { case (j, i) =>
+        java.nio.file.Files.write(dir.resolve(s"d$i.json"), j.getBytes("UTF-8")) }
+      val local = spark.read.format("graft-geojson").load(dir.toString + "/*.json")
+      assert(local.where(col("v") === "1").count() == 2L)
+      assert(local.where(col("v") === "1.0").count() == 2L)
+      assert(local.where(col("v").isNull).count() == 4L)
+      assert(local.where(col("v").isin("1", "true")).count() == 3L)
     } finally srv.stop()
   }
 
@@ -958,7 +1066,7 @@ class MongoWireSpec extends SparkTestBase {
     } finally secondary.stop()
   }
 
-  test("nearest takes the first usable member in seed order") {
+  test("nearest reads from the first member inside the locality window") {
     val primary = new FakeMongod.Server(featureDocs.take(4))
     val secondary = new FakeMongod.Server(featureDocs.take(4))
     try {
@@ -967,10 +1075,32 @@ class MongoWireSpec extends SparkTestBase {
       val url = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
         "/db/features?readPreference=nearest"
       assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 4)
+      // both members are loopback-equidistant (inside the 15ms window),
+      // so the deterministic tiebreak picks the FIRST in seed order —
+      // the other member sees only the RTT probe's hello, never a read
       assert(secondary.received.asScala.exists(_.contains("\"find\"")),
         secondary.received.asScala)
-      assert(primary.received.isEmpty, primary.received.asScala)
+      assert(primary.received.asScala.forall(_.contains("\"hello\"")),
+        primary.received.asScala)
+      assert(primary.received.asScala.nonEmpty) // it WAS probed
     } finally { primary.stop(); secondary.stop() }
+  }
+
+  test("nearest skips a distant member even when it leads the seed list") {
+    val far = new FakeMongod.Server(featureDocs.take(4))
+    val near = new FakeMongod.Server(featureDocs.take(4))
+    try {
+      far.replicaIdentity = Some(("rs0", false, None))
+      near.replicaIdentity = Some(("rs0", true, None))
+      far.helloDelayMs = 200 // well past the 15ms locality window
+      val url = s"mongodb://127.0.0.1:${far.port},127.0.0.1:${near.port}" +
+        "/db/features?readPreference=nearest"
+      assert(MongoWire.docs(url, "{}", Nil, 2500).toSeq.size == 4)
+      assert(near.received.asScala.exists(_.contains("\"find\"")),
+        near.received.asScala)
+      assert(far.received.asScala.forall(_.contains("\"hello\"")),
+        far.received.asScala)
+    } finally { far.stop(); near.stop() }
   }
 
   test("a malformed readPreference is a malformed URL, never a silent primary read") {
