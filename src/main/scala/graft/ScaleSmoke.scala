@@ -429,6 +429,45 @@ object ScaleSmoke {
       }
     }
 
+    // fuzzy-join decades: replicas carry DISJOINT name prefixes ("x1x1 ",
+    // "x2x2 " — any two distinct prefixes are >= 2 edits apart, so d=1
+    // matches never cross replicas) and disjoint key spaces: true-pair
+    // volume and candidate volume both grow linearly with replicas, the
+    // measure that must hold at 100 TB (the gate's own 10x growth is
+    // quadratic BY CONSTRUCTION — same vocabulary, denser sampling)
+    val partT = spark.table("part").select(col("p_partkey"), col("p_name"))
+    def partX(n: Int) = (1 to n).map(i => partT
+        .withColumn("p_partkey", col("p_partkey") + lit(i * 100000000L))
+        .withColumn("p_name", concat(lit(s"x${i}x$i "), col("p_name"))))
+      .reduce(_ union _)
+    for ((label, n) <- Seq("10x" -> 10, "100x" -> 100)) {
+      time(s"fuzzy join $label (disjoint replicas)") {
+        val base = partX(n).where(pmod(col("p_partkey"), lit(20)) === 0)
+        val variants = base.select((col("p_partkey") + 1000000000L).as("r_key"),
+          concat(substring(col("p_name"), 1, 3),
+            expr("substring(p_name, 5)")).as("r_name"))
+        val right = base.select(col("p_partkey").as("r_key"),
+          col("p_name").as("r_name")).unionByName(variants)
+        operators.FuzzyJoin.join(base, "p_partkey", "p_name",
+          right, "r_key", "r_name", 1).count()
+      }
+    }
+
+    // pagerank decades: disjoint node spaces per replica (evX), so |V|
+    // and |E| both grow linearly and the fixed-partitioner RDD loop must
+    // track the scan — one normalization pass + 3 narrow-join rounds
+    for ((label, n) <- Seq("10x" -> 10, "100x" -> 100)) {
+      time(s"pagerank events $label") {
+        val edges = evX(n).select(
+          pmod(col("user_id"), lit(300)).as("a") + (col("user_id") / lit(100000000L)).cast("long") * 1000L,
+          pmod(col("user_id") * 7 + col("event_id"), lit(300)).as("b") + (col("user_id") / lit(100000000L)).cast("long") * 1000L)
+          .toDF("a", "b")
+        val r = operators.Graphs.pageRank(edges, "a", "b", None, iterations = 3).count()
+        Dedup.releaseCaches()
+        r
+      }
+    }
+
     // classifier quality filter: train on 5k labeled docs, score 500k —
     // scoring is the part that sees the full corpus and must be map-only
     if (willTime("quality classifier score 500k docs")) {
