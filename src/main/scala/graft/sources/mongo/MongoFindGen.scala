@@ -299,7 +299,49 @@ object MongoFindGen {
       case And(l, r) =>
         for (le <- conv(l); re <- conv(r))
           yield s"""{"$$and": [$le, $re]}"""
-      case _ => None // Or/Not/order/substring: three-valued or rendering-bound
+      // Kleene-sound compositions of the is-TRUE encodings: every leaf
+      // above computes exactly "eval = TRUE" (never unknown), and
+      // OR is TRUE iff either side is TRUE (T∨U = T, U∨F = U ≠ T),
+      // so is-TRUE(Or) = is-TRUE(l) ∨ is-TRUE(r) holds exactly
+      case Or(l, r) =>
+        for (le <- conv(l); re <- conv(r))
+          yield s"""{"$$or": [$le, $re]}"""
+      // NOT(x) is TRUE iff x is FALSE — not "not TRUE" (unknown negates
+      // to unknown, which still drops the row) — so each negation needs
+      // the value to be PRESENT as well as non-matching
+      case Not(EqualTo(a, v: String)) =>
+        for (p <- path(a); b <- valueBranches(p, v))
+          yield s"""{"$$and": [{"$$not": [${nullish(p)}]}, {"$$not": [$b]}]}"""
+      case Not(EqualNullSafe(a, null)) => conv(IsNotNull(a))
+      case Not(EqualNullSafe(a, v: String)) =>
+        // <=> never answers unknown: NOT(<=>) is TRUE when the value is
+        // NULL too, so no presence guard here
+        for (p <- path(a); b <- valueBranches(p, v))
+          yield s"""{"$$or": [${nullish(p)}, {"$$not": [$b]}]}"""
+      case Not(In(a, vs)) if vs.forall(x => x == null || x.isInstanceOf[String]) =>
+        // a null element makes every unmatched row UNKNOWN (x <> NULL),
+        // and NOT(unknown) stays unknown: nothing can ever pass
+        if (vs.contains(null)) Some("false")
+        else {
+          val parts = path(a).map(p =>
+            vs.toIndexedSeq.collect { case s: String => s }.map(valueBranches(p, _)))
+          for {
+            p <- path(a)
+            bs <- parts if bs.forall(_.isDefined)
+          } yield {
+            val eqAny =
+              if (bs.isEmpty) "false"
+              else if (bs.size == 1) bs.head.get
+              else s"""{"$$or": [${bs.map(_.get).mkString(", ")}]}"""
+            s"""{"$$and": [{"$$not": [${nullish(p)}]}, {"$$not": [$eqAny]}]}"""
+          }
+        }
+      case Not(IsNull(a))    => conv(IsNotNull(a))
+      case Not(IsNotNull(a)) => conv(IsNull(a))
+      case Not(And(l, r))    => conv(Or(Not(l), Not(r)))  // De Morgan, Kleene-valid
+      case Not(Or(l, r))     => conv(And(Not(l), Not(r)))
+      case Not(Not(x))       => conv(x)
+      case _ => None // order/substring predicates: rendering-bound (see scaladoc)
     }
     if (filters.isEmpty) Some("true")
     else {

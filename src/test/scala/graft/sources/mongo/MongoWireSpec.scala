@@ -870,8 +870,17 @@ class MongoWireSpec extends SparkTestBase {
       assert(counted(col("v").isNotNull) == 5L)
       assert(counted(col("v").isin("1", "true")) == 3L)
       assert(counted(col("v") === "1" && col("g") === "x") == 2L)
+      // Kleene compositions: OR of is-TRUE encodings; NOT needs the
+      // value PRESENT (NOT(unknown) is unknown and still drops)
+      assert(counted(col("v") === "1" || col("g") === "y") == 7L)
+      assert(counted(!(col("v") === "1")) == 3L) // 1.0, "1.0", true — not null/missing/objects
+      assert(counted(!col("v").isin("1", "1.0")) == 1L) // only true
+      assert(counted(!(col("v") === "1" || col("v") === "true")) == 2L)
+      // <=> never answers unknown: its negation keeps NULLs
+      assert(counted(!(col("v") <=> "1")) == 7L)
       // parity: the local path over the same documents as files answers
-      // identically for every pushed shape
+      // identically for every pushed shape (see also the randomized
+      // property test below)
       val dir = java.nio.file.Files.createTempDirectory("aggmatch")
       docs.zipWithIndex.foreach { case (j, i) =>
         java.nio.file.Files.write(dir.resolve(s"d$i.json"), j.getBytes("UTF-8")) }
@@ -880,6 +889,88 @@ class MongoWireSpec extends SparkTestBase {
       assert(local.where(col("v") === "1.0").count() == 2L)
       assert(local.where(col("v").isNull).count() == 4L)
       assert(local.where(col("v").isin("1", "true")).count() == 3L)
+    } finally srv.stop()
+  }
+
+  test("filtered agg pushdown property: random typed docs x random filter trees") {
+    // the exactness contract, probed at random: pushed-aggregate counts
+    // must equal an in-process replay of flattenFeature +
+    // StringFilterEval.passes on the same documents, for every
+    // AND/OR/NOT tree over the equality family. Doubles are generated
+    // in canonical Double.toString form so the fixture text equals the
+    // BSON round-trip rendering (the contract is defined on transferred
+    // documents).
+    import org.apache.spark.sql.sources._
+    val rnd = new scala.util.Random(42)
+    val typedVals = IndexedSeq[String => String](
+      _ => "1", _ => "2", _ => "-3",                     // ints
+      _ => "1.0", _ => "2.5", _ => "-0.5",               // canonical doubles
+      _ => "true", _ => "false",                          // bools
+      v => "\"" + v + "\"",                              // strings (of the literal pool)
+      _ => "null",
+      _ => "{\"deep\": 1}", _ => "[1, 2]")               // -> SQL NULL locally
+    val litPool = IndexedSeq("1", "2", "-3", "1.0", "2.5", "true", "x", "0")
+    val docs = (0 until 48).map { i =>
+      val fields = Seq("v", "u").flatMap { c =>
+        if (rnd.nextInt(6) == 0) None // missing
+        else Some("\"" + c + "\":" + typedVals(rnd.nextInt(typedVals.size))(
+          litPool(rnd.nextInt(litPool.size))))
+      } :+ ("\"g\":\"" + ("xy" (rnd.nextInt(2))) + "\"")
+      s"""{"_id":"p$i","type":"Feature","properties":{${fields.mkString(",")}}}"""
+    }
+    def leaf(): Filter = {
+      val c = IndexedSeq("v", "u", "g")(rnd.nextInt(3))
+      val v = litPool(rnd.nextInt(litPool.size))
+      rnd.nextInt(5) match {
+        case 0 => EqualTo(c, v)
+        case 1 => EqualNullSafe(c, if (rnd.nextBoolean()) v else null)
+        case 2 => In(c, Array[Any](v, litPool(rnd.nextInt(litPool.size)),
+          if (rnd.nextInt(4) == 0) null else litPool(rnd.nextInt(litPool.size))))
+        case 3 => IsNull(c)
+        case _ => IsNotNull(c)
+      }
+    }
+    def tree(depth: Int): Filter =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => And(tree(depth - 1), tree(depth - 1))
+        case 1 => Or(tree(depth - 1), tree(depth - 1))
+        case 2 => Not(tree(depth - 1))
+        case _ => leaf()
+      }
+    def toCol(f: Filter): org.apache.spark.sql.Column = f match {
+      case EqualTo(a, v)            => col(a) === lit(v)
+      case EqualNullSafe(a, null)   => col(a) <=> lit(null).cast("string")
+      case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+      case In(a, vs)                => col(a).isin(vs.toIndexedSeq.map {
+        case null => lit(null).cast("string"); case x => lit(x) }: _*)
+      case IsNull(a)                => col(a).isNull
+      case IsNotNull(a)             => col(a).isNotNull
+      case And(l, r)                => toCol(l) && toCol(r)
+      case Or(l, r)                 => toCol(l) || toCol(r)
+      case Not(x)                   => !toCol(x)
+      case other => fail(s"unmapped filter $other")
+    }
+    val flattened = docs.flatMap(graft.sources.GeoJsonSource.flattenFeature(_)).map(_._1)
+    val srv = new FakeMongod.Server(docs)
+    try {
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      val df = spark.read.format("graft-geojson")
+        .option("serverPushdown", "true").load(url)
+      var pushed = 0
+      val cases = (1 to 60).map(_ => tree(1 + rnd.nextInt(2)))
+      cases.zipWithIndex.foreach { case (f, i) =>
+        val expected = flattened.count(m => graft.sources.StringFilterEval.passes(f, m))
+        srv.received.clear()
+        val got = df.where(toCol(f)).count()
+        assert(got == expected, s"case $i: $f -> got $got, expected $expected")
+        if (!srv.received.asScala.exists(_.contains("\"find\"")) &&
+            srv.received.asScala.exists(_.contains("\"aggregate\""))) pushed += 1
+      }
+      // every generated shape is inside the exact subset: the $match
+      // path must carry (almost) all of them — a fallback explosion
+      // would mean the subset silently narrowed
+      assert(pushed >= cases.size - 3, s"only $pushed/${cases.size} pushed")
     } finally srv.stop()
   }
 
