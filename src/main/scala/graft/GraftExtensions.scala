@@ -177,6 +177,10 @@ object Graft {
     b("word_window_hashes", WordWindowHashes, Seq(ArrayType(StringType), IntegerType)),
     // KMV/theta distinct-count sketch over 60-bit hashes (bounded,
     // mergeable, deterministic partial state — see SketchAggregates.scala)
+    // asymmetric containment |a∩b|/|a| over sorted hash sets (the
+    // ContainmentJoin refine — see TextOps.containmentSorted)
+    b("containment_sorted", ContainmentSorted,
+      Seq(ArrayType(LongType), ArrayType(LongType))),
     b("kmv_distinct", (h: Expression, k: Expression) =>
       KmvDistinctAgg(h, k).toAggregateExpression(), Seq(LongType, IntegerType)),
     // HyperLogLog register sketch over 60-bit hashes (2^p-byte state,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Corpus, Dedup, FuzzyJoin, Graphs, Multimodal, Retrieval, Sketches, SkewJoin, SpatialJoin, Temporal, TextAnalysis}
+import graft.operators.{Ann, ContainmentJoin, Corpus, Dedup, FuzzyJoin, Graphs, Multimodal, Retrieval, Sketches, SkewJoin, SpatialJoin, Temporal, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1003,6 +1003,21 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(spark.table("documents"), "doc_id", "text",
         shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
       Dedup.clusters(pairs, smallGraphThreshold = 0)
+    }),
+    // Asymmetric containment join (prefix filter, no cartesian): probes
+    // are the first half of every 10th document's tokens — guaranteed
+    // containment 1.0 in their source — and the oracle replays the
+    // identical 60-bit token-hash arithmetic exhaustively
+    "q_containment_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val docs = spark.table("documents")
+      val base = docs.select(col("doc_id").as("full_id"), col("text"))
+      val ws = TextAnalysis.wsTokens(col("text"))
+      val probes = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 1000000).as("probe_id"),
+          array_join(slice(ws, lit(1),
+            greatest(floor(size(ws) / 2), lit(1)).cast("int")), " ").as("text"))
+      ContainmentJoin.join(probes, "probe_id", "text", base, "full_id", "text", 0.9)
     }),
     "q_ngram_jaccard" -> sql(
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2078,6 +2093,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = i.text)""".stripMargin,
     // Salted candidate generation must produce the identical pair set —
     // same oracle as q_dedup_minhash.
+    // exhaustive containment over the SAME 60-bit token hashes the
+    // engine shuffles (bit-exact, collisions included); threshold test
+    // BEFORE the 4-dp round on both sides
+    "q_containment_join" ->
+      """WITH ws AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
+        |p AS (SELECT doc_id + 1000000 AS probe_id, list_slice(ws, 1, greatest(len(ws) // 2, 1)) AS pw
+        |      FROM ws WHERE doc_id % 50 = 0),
+        |ph AS (SELECT DISTINCT probe_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |       FROM (SELECT probe_id, unnest(pw) AS w FROM p)),
+        |bh AS (SELECT DISTINCT doc_id AS full_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |       FROM (SELECT doc_id, unnest(ws) AS w FROM ws)),
+        |pn AS (SELECT probe_id, count(*) AS n FROM ph GROUP BY 1),
+        |i AS (SELECT ph.probe_id, bh.full_id, count(*) AS o FROM ph JOIN bh USING (h) GROUP BY 1, 2)
+        |SELECT i.probe_id, i.full_id, round(o * 1.0 / pn.n, 4) AS containment
+        |FROM i JOIN pn USING (probe_id)
+        |WHERE o * 1.0 / pn.n >= 0.9""".stripMargin,
     "q_dedup_minhash_salted" ->
       """WITH sh AS (SELECT doc_id, CASE WHEN length(s) >= 5 THEN list_distinct([substring(s, i, 5) for i in range(1, length(s) - 3)]) ELSE [s] END sh
         |            FROM (SELECT doc_id, lower(text) s FROM documents) d)

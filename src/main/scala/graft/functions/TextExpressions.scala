@@ -29,6 +29,12 @@ case class SortedShingles(left: Expression, right: Expression)
 // elements on read (asNullable), and the frozen minhash index feeds these
 // two kernels from parquet — the writer guarantees no null elements ever
 // exist, the nullable declaration only placates the analyzer's cast check
+case class ContainmentSorted(left: Expression, right: Expression)
+    extends GeoBinary("TextOps.containmentSorted",
+      Seq(ArrayType(LongType), ArrayType(LongType)), DoubleType) { // see JaccardSorted note
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 case class JaccardSorted(left: Expression, right: Expression)
     extends GeoBinary("TextOps.jaccardSorted",
       Seq(ArrayType(LongType), ArrayType(LongType)), DoubleType) {

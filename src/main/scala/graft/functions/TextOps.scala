@@ -274,6 +274,31 @@ object TextOps {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Exact CONTAINMENT |a ∩ b| / |a| of two sorted distinct hash sets —
+    * the asymmetric near-dup measure (a short document pasted inside a
+    * longer one scores 1.0 here while its Jaccard can be arbitrarily
+    * small). Refinement step after the prefix-filter candidate join
+    * ([[graft.operators.ContainmentJoin]]); an empty `a` answers 0.0
+    * (nothing to contain). */
+  def containmentSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      require(!a.isNullAt(i) && !b.isNullAt(j), // see jaccardSorted note
+        "containment_sorted: null token-hash element")
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / na
+  }
+
   /** Exact Jaccard similarity of the two texts' char k-shingle hash sets
     * (refinement step after LSH candidate generation). */
   def jaccardShingles(a: UTF8String, b: UTF8String, k: Int): Double = {
