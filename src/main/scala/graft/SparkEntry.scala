@@ -1468,6 +1468,18 @@ object SparkEntry {
       Corpus.histogramQuantiles(spark.table("lineitem"), "l_extendedprice",
         lo = 900.0, hi = 105000.0, nBins = 1000, qs = Seq(0.5, 0.9, 0.99))
     }),
+    // range-free quantile leg: deterministic bottom-k-by-hash sample
+    // (bounded aggregate state, no prior [lo, hi)); the oracle takes
+    // the same k smallest md5 rows and the same rank convention
+    "q_sample_quantiles" -> ((spark, dir) => {
+      init(spark, dir)
+      val keyed = spark.table("lineitem").select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("rk"),
+        col("l_extendedprice"))
+      Corpus.sampleQuantiles(keyed, "rk", "l_extendedprice",
+        k = 4096, qs = Seq(0.5, 0.9, 0.99))
+    }),
 
     "q_multimodal" -> ((spark, dir) => {
       init(spark, dir)
@@ -2725,6 +2737,18 @@ object SparkEntry {
         |j AS (SELECT q.q, c.bin, c.cnt, c.cum, greatest(ceil(q.q * c.total), 1) AS rnk FROM q CROSS JOIN c),
         |e AS (SELECT q, bin, 900.0 + 104.1 * (bin + (rnk - (cum - cnt)) / cnt) AS est FROM j WHERE cum >= rnk)
         |SELECT q, min_by(est, bin) AS est FROM e GROUP BY q""".stripMargin,
+    // deterministic bottom-k-by-hash sample quantiles: the identical k
+    // smallest md5(salt||key) rows, values sorted, rank max(1, ceil(q*m))
+    "q_sample_quantiles" ->
+      """WITH v AS (SELECT concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS rk,
+        |                  CAST(l_extendedprice AS DOUBLE) AS x
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT x FROM (SELECT x, row_number() OVER (ORDER BY md5(concat('sq', rk)), x) AS rn FROM v)
+        |      WHERE rn <= 4096),
+        |o AS (SELECT x, row_number() OVER (ORDER BY x) AS r, count(*) OVER () AS m FROM s),
+        |q AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+        |SELECT q.q, o.x AS est
+        |FROM q JOIN o ON o.r = greatest(CAST(ceil(q.q * o.m) AS BIGINT), 1)""".stripMargin,
     // skew join: the oracle is the plain join the salted split must
     // exactly reproduce
     "q_skew_join" ->

@@ -992,6 +992,45 @@ object Corpus {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic sample quantiles with NO prior value range: the
+    * bounded-shuffle third leg of the quantile family —
+    * [[statsQuantiles]]-style exact percentiles sort the whole column,
+    * [[histogramQuantiles]] needs a known [lo, hi) up front; this keeps
+    * the k rows whose `md5(salt ‖ key)` is SMALLEST (an order-invariant,
+    * partition-invariant uniform sample — the bottom-k-by-hash trick
+    * behind [[sampleByHash]]) via the k-capped `bottomk_agg` heap, then
+    * reads quantiles off the sorted sample at rank `max(1, ⌈q·m⌉)`.
+    * One aggregation whose state is ≤ k (hash, value) pairs at every
+    * stage; rank error is the usual sampling bound O(√(q(1−q)/k))
+    * w.h.p. — and the whole construction is DETERMINISTIC (no RNG), so
+    * an external engine replays it bit-for-bit: the DuckDB oracle takes
+    * the same k smallest md5 rows and the same rank convention.
+    *
+    * `keyCol` must be unique per row (it IS the sampling coin; a
+    * repeated key biases the sample toward its duplicates). Null values
+    * are ignored; an empty input answers NULL estimates.
+    */
+  def sampleQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                      k: Int, qs: Seq[Double], salt: String = "sq"): DataFrame = {
+    require(k >= 2, s"sample size k must be >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got $qs")
+    val spark = df.sparkSession
+    graft.Graft.register(spark)
+    import spark.implicits._
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    val sampled = df.where(col(valueCol).isNotNull)
+      .agg(call_function("bottomk_agg",
+        struct(h.as("h"), col(valueCol).cast("double").as("v")), lit(k)).as("__s"))
+      .select(array_sort(expr("transform(__s, x -> x.v)")).as("__vals"),
+        size(col("__s")).as("__m"))
+    qs.toDF("q").crossJoin(sampled)
+      .select(col("q"),
+        when(col("__m") === 0, lit(null).cast("double"))
+          .otherwise(element_at(col("__vals"),
+            greatest(ceil(col("q") * col("__m")), lit(1L)).cast("int"))).as("est"))
+  }
+
   /** One-pass histogram quantile sketch: fixed-width bins over a known
     * [lo, hi) range, then rank interpolation inside the covering bin.
     *

@@ -533,6 +533,41 @@ class CorpusSpec extends SparkTestBase {
       .contains("Expand")) // the exact path does use one (2 distincts)
   }
 
+  test("sampleQuantiles: exact when k covers the data, bounded and stable below it") {
+    import spark.implicits._
+    val n = 20000
+    val rows = (0 until n).map(i => (i.toLong, ((i * 7919) % n).toDouble))
+    val df = rows.toDF("id", "x").repartition(8)
+    // k >= n: the "sample" is the whole dataset -> the exact rank statistic
+    val exact = Corpus.sampleQuantiles(df, "id", "x", 32768, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // values are the permuted 0..n-1, so rank r holds value r-1
+    assert(exact(0.5) == math.ceil(0.5 * n) - 1)
+    assert(exact(0.99) == math.ceil(0.99 * n) - 1)
+    // k << n: within the sampling bound (k=4096 -> sd ~ 0.008 rank), and
+    // DETERMINISTIC + partition-invariant: same answer on any layout
+    val est = Corpus.sampleQuantiles(df, "id", "x", 4096, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est(0.5) / n - 0.5) < 0.05, est)
+    assert(math.abs(est(0.9) / n - 0.9) < 0.05, est)
+    val again = Corpus.sampleQuantiles(df.repartition(3), "id", "x", 4096, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(again == est)
+    // nulls ignored; empty input answers NULL
+    val withNulls = rows.map { case (i, x) => (i, if (i % 2 == 0) Some(x) else None) }
+      .toDF("id", "x")
+    assert(Corpus.sampleQuantiles(withNulls, "id", "x", 32768, Seq(1.0))
+      .head.getDouble(1) == rows.filter(_._1 % 2 == 0).map(_._2).max)
+    assert(Corpus.sampleQuantiles(df.where(lit(false)), "id", "x", 64, Seq(0.5))
+      .head.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      Corpus.sampleQuantiles(df, "id", "x", 1, Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.sampleQuantiles(df, "id", "x", 64, Seq(1.5))
+    }
+  }
+
   test("diffSnapshots classifies added/removed/changed/unchanged, null-safely") {
     import spark.implicits._
     val a = Seq(
