@@ -491,6 +491,15 @@ object SparkEntry {
          |         '<Point><coordinates>', CAST($CX AS STRING), ',', CAST($CY AS STRING),
          |         '</coordinates></Point>'))), 4) AS gy
          |FROM customer""".stripMargin),
+    // DBSCAN over supplier points: deterministic roles + min-core-id
+    // cluster labels; the oracle replays neighborhoods, the recursive
+    // core-core closure, and the border min-label rule
+    "q_dbscan" -> ((spark, dir) => {
+      init(spark, dir)
+      val supp = spark.sql(
+        "SELECT s_suppkey, ST_Point(s_acctbal / 100.0, CAST(s_suppkey % 97 AS DOUBLE)) AS geom FROM supplier")
+      SpatialJoin.dbscan(supp, "s_suppkey", "geom", eps = 6.0, minPts = 3, cellSize = 6.0)
+    }),
     "q_spatial_join" -> ((spark, dir) => {
       init(spark, dir)
       val cust = spark.sql(s"SELECT c_custkey, $PT AS cgeom FROM customer")
@@ -1992,6 +2001,29 @@ object SparkEntry {
       s"SELECT c_custkey, round($CX, 4) AS gx FROM customer",
     "q_kml_io" ->
       s"SELECT c_custkey, round($CY, 4) AS gy FROM customer",
+    // DBSCAN replay: symmetric eps-pairs (self included), core test,
+    // recursive core-core closure (min reachable = min of component,
+    // edges are symmetric), border = min cluster among core neighbors
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT s_suppkey AS id, s_acctbal / 100.0 AS x, CAST(s_suppkey % 97 AS DOUBLE) AS y FROM supplier),
+        |e AS (SELECT a.id AS ida, b.id AS idb FROM p a, p b
+        |      WHERE sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) <= 6.0),
+        |n AS (SELECT ida, count(*) AS cnt FROM e GROUP BY 1),
+        |core AS (SELECT ida AS id FROM n WHERE cnt >= 3),
+        |ce AS (SELECT e.ida, e.idb FROM e JOIN core ca ON e.ida = ca.id JOIN core cb ON e.idb = cb.id),
+        |reach(a, b) AS (SELECT ida, idb FROM ce
+        |                UNION
+        |                SELECT reach.a, ce.idb FROM reach JOIN ce ON reach.b = ce.ida),
+        |r AS (SELECT a, min(b) AS cluster FROM reach GROUP BY a),
+        |b AS (SELECT e.ida AS id, min(r.cluster) AS cluster
+        |      FROM e JOIN core c ON e.idb = c.id JOIN r ON r.a = e.idb
+        |      WHERE e.ida NOT IN (SELECT id FROM core)
+        |      GROUP BY 1)
+        |SELECT p.id AS s_suppkey,
+        |       CASE WHEN r.a IS NOT NULL THEN 'core'
+        |            WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        |       coalesce(r.cluster, b.cluster) AS cluster
+        |FROM p LEFT JOIN r ON r.a = p.id LEFT JOIN b ON b.id = p.id""".stripMargin,
     "q_spatial_join" ->
       s"""SELECT c_custkey, s_suppkey,
          | round(sqrt((($CX) - (s_acctbal / 100.0))*(($CX) - (s_acctbal / 100.0))

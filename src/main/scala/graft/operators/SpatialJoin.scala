@@ -241,4 +241,67 @@ object SpatialJoin {
       .where(refine(col(leftGeom), col(rightGeom)))
       .drop("__cell")
   }
+
+  /** DBSCAN density clustering (Ester et al. 1996) over a geometry
+    * column — the PostGIS `ST_ClusterDBSCAN` analog, composed from this
+    * file's grid distance join and [[Dedup.clusters]]' connected
+    * components, so every stage is the already-scale-proven one:
+    *
+    *   - neighborhoods: one eps-self-join (grid-bucketed, no cartesian),
+    *     counting neighbors INCLUDING the point itself (the classic
+    *     |N_eps(p)| ≥ minPts core test);
+    *   - CORE points (≥ minPts neighbors) cluster by connectivity:
+    *     core–core pairs within eps feed min-label connected components,
+    *     so the cluster label is the MINIMUM core id of the component —
+    *     canonical and deterministic (no arbitrary numbering);
+    *   - BORDER points (non-core within eps of ≥ 1 core) join the
+    *     smallest cluster label among their core neighbors — the classic
+    *     DBSCAN border-tie ambiguity resolved deterministically, because
+    *     a Spark retry must re-derive identical labels;
+    *   - everything else is NOISE (cluster NULL).
+    *
+    * Result: `(idCol, role ∈ core|border|noise, cluster)`. Ids must be
+    * unique; null geometries are noise. Distance is planar ST_Distance
+    * (`eps`-inclusive), deterministic — the DuckDB oracle replays the
+    * whole construction, recursive closure included. */
+  def dbscan(df: DataFrame, idCol: String, geomCol: String,
+             eps: Double, minPts: Int, cellSize: Double = 0.0): DataFrame = {
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = df.select(col(idCol).as("__id"), col(geomCol).as("__g"))
+      .where(col("__g").isNotNull)
+    val pairs = distanceJoin(
+        pts.select(col("__id").as("__ida"), col("__g").as("__ga")), "__ga",
+        pts.select(col("__id").as("__idb"), col("__g").as("__gb")), "__gb",
+        eps, cellSize)
+      .select("__ida", "__idb")
+      // referenced 3x below (counts, edges, borders) — materialized once;
+      // tracked so releaseCaches can drop the checkpoint blocks
+      .localCheckpoint(true)
+    Dedup.track(pairs)
+    val core = pairs.groupBy("__ida").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minPts)
+      .select(col("__ida").as("__core"))
+    val coreEdges = pairs
+      .join(core.select(col("__core").as("__ida")), "__ida")
+      .join(core.select(col("__core").as("__idb")), "__idb")
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+    // every core has its self-pair edge, so isolated cores still label
+    val comps = Dedup.clusters(coreEdges) // (id, cluster) = min reachable id
+    val coreLabeled = comps.select(col("id").as("__id"), col("cluster"))
+    val borderLabeled = pairs
+      .join(core.select(col("__core").as("__idb")), "__idb") // neighbor is core
+      .join(coreLabeled.select(col("__id").as("__idb"), col("cluster")), "__idb")
+      .join(comps.select(col("id").as("__ida")), Seq("__ida"), "left_anti") // non-core only
+      .groupBy(col("__ida").as("__id"))
+      .agg(min("cluster").as("cluster"))
+    pts.select("__id")
+      .join(coreLabeled.withColumn("role", lit("core")), Seq("__id"), "left")
+      .join(borderLabeled
+          .select(col("__id"), col("cluster").as("__bc")), Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("role"),
+          when(col("__bc").isNotNull, "border").otherwise("noise")).as("role"),
+        coalesce(col("cluster"), col("__bc")).as("cluster"))
+  }
 }

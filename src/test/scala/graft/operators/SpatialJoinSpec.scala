@@ -134,4 +134,63 @@ class SpatialJoinSpec extends SparkTestBase {
     val brute = cust.crossJoin(polys).where(call_function("st_within", col("cgeom"), col("bg")))
     assert(SpatialJoin.withinJoin(cust, "cgeom", polys, "bg").count() == brute.count())
   }
+
+  test("dbscan equals a brute-force reference: roles, labels, determinism") {
+    import spark.implicits._
+    // three planted blobs + scattered noise, deterministic coordinates
+    val rnd = new scala.util.Random(11)
+    val blob = (cx: Double, cy: Double, base: Long, n: Int) => (0 until n).map(i =>
+      (base + i, cx + rnd.nextDouble() * 2.0, cy + rnd.nextDouble() * 2.0))
+    val points = blob(0.0, 0.0, 0L, 25) ++ blob(50.0, 0.0, 100L, 20) ++
+      blob(0.0, 50.0, 200L, 3) ++ // too sparse for minPts at small eps
+      (0 until 12).map(i => (300L + i, 200.0 + i * 40.0, 200.0 + i * 30.0))
+    val df = points.toDF("id", "x", "y")
+      .selectExpr("id", "ST_Point(x, y) AS geom").repartition(5)
+    val eps = 1.5; val minPts = 4
+
+    // brute-force DBSCAN with the operator's deterministic conventions
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.sqrt((a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2))
+    val coords = points.map(p => p._1 -> ((p._2, p._3))).toMap
+    val ids = points.map(_._1)
+    val nbrs = ids.map(i => i -> ids.filter(j =>
+      dist(coords(i), coords(j)) <= eps).toSet).toMap
+    val cores = ids.filter(i => nbrs(i).size >= minPts).toSet
+    // components over core-core adjacency; label = min core id
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    cores.toSeq.sorted.foreach { c =>
+      if (!label.contains(c)) {
+        var frontier = Set(c); val comp = scala.collection.mutable.Set(c)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(f => nbrs(f).intersect(cores)).diff(comp.toSet)
+          comp ++= frontier
+        }
+        val m = comp.min
+        comp.foreach(x => label(x) = m)
+      }
+    }
+    val want = ids.map { i =>
+      if (cores(i)) (i, "core", Some(label(i)))
+      else {
+        val coreNbrs = nbrs(i).intersect(cores)
+        if (coreNbrs.nonEmpty) (i, "border", Some(coreNbrs.map(label).min))
+        else (i, "noise", None)
+      }
+    }.toSet
+
+    val got = SpatialJoin.dbscan(df, "id", "geom", eps, minPts)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == want,
+      s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+    assert(got.count(_._2 == "core") >= 40 && got.exists(_._2 == "noise"), got.size)
+    // determinism across partitionings
+    val again = SpatialJoin.dbscan(df.repartition(2), "id", "geom", eps, minPts)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(again == got)
+    // validation
+    intercept[IllegalArgumentException] { SpatialJoin.dbscan(df, "id", "geom", 0.0, 3) }
+    intercept[IllegalArgumentException] { SpatialJoin.dbscan(df, "id", "geom", 1.0, 0) }
+  }
 }
