@@ -1318,6 +1318,16 @@ object SparkEntry {
     // ------------------------------------------------ corpus construction
     // Deterministic hash sampling: membership is a function of doc_id only
     // (hashUniform), so the oracle recomputes the exact same sample
+    // A-ES weighted sample (Corpus.weightedSample): ln(u)/w keys, n
+    // largest per group via the k-capped heap; pure function of ids and
+    // weights, so the oracle replays it (round 9: upgraded from
+    // spec-only to oracle)
+    "q_weighted_sample" -> ((spark, dir) => {
+      init(spark, dir)
+      Corpus.weightedSample(spark.table("documents"), "source", "doc_id",
+          "n_chars", n = 10)
+        .select("doc_id", "source")
+    }),
     "q_sample_hash" -> ((spark, dir) => {
       init(spark, dir)
       Corpus.sampleByHash(spark.table("documents"), "doc_id", 0.25, salt = "s1")
@@ -2409,6 +2419,16 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(concat('0x', substr(md5(concat('s1', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 < 0.25""".stripMargin,
+    // A-ES weighted sample replay: ln(u)/w keys, n largest per group,
+    // ties by id desc (the topk_agg struct order)
+    "q_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, source,
+        |                  ln(CAST(concat('0x', substr(md5(concat('wsample', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)
+        |                    / CAST(n_chars AS DOUBLE) AS key
+        |           FROM documents
+        |           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id DESC) AS rn FROM k)
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
     "q_docmix" ->
       """WITH dom AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS dom_tokens FROM documents GROUP BY source),
         |rates AS (SELECT source, least(1.0, 6000.0 * (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 2.0 ELSE 1.0 END) / dom_tokens) AS accept_rate FROM dom)
