@@ -668,6 +668,77 @@ object SparkEntry {
     // the generated XQuery / Mango selector over the wire and the scan
     // re-applies the filters locally. localCheckpoint materializes the
     // result while the server is still up.
+    // filtered COUNT(+GROUP BY) INSIDE the XML store (round 9 — the
+    // BaseX-side analog of q_geojson_mongo_agg_filtered): predicate and
+    // aggregation travel as ONE aggregation FLWOR, only per-group
+    // partials cross the wire; the inline server evaluates the pushed
+    // query honestly (predicate filter + group + both count semantics)
+    "q_xml_agg_server" -> ((spark, dir) => {
+      init(spark, dir)
+      val recs = spark.sql(
+        """SELECT c_custkey % 4 AS part,
+          |  concat('<rec><name>', c_name, '</name><nk>', CAST(c_nationkey AS STRING),
+          |         '</nk><m>', CAST(c_custkey % 7 AS STRING), '</m></rec>') AS r
+          |FROM customer""".stripMargin)
+        .collect().groupBy(_.getLong(0))
+        .map { case (p, rows) => (s"d$p.xml", rows.map(_.getString(1)).mkString) }
+      val listing = "<rest:database xmlns:rest=\"http://basex.org/rest\">" +
+        recs.keys.toSeq.sorted.map(n => s"<rest:resource>$n</rest:resource>").mkString +
+        "</rest:database>"
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/rest", new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val resp =
+            if (ex.getRequestMethod == "POST") {
+              val q = new String(ex.getRequestBody.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val doc = """db:open\("db","([^"]+)"\)""".r.findFirstMatchIn(q).get.group(1)
+              val nkEq = """\*:nk = '([^']*)'""".r.findFirstMatchIn(q).map(_.group(1))
+              val rec = s"<rec>((?:(?!</rec>).)*)</rec>".r
+              val eligible = rec.findAllIn(recs(doc))
+                .filter(r => nkEq.forall(v => r.contains(s"<nk>$v</nk>"))).toSeq
+              val body =
+                if (!q.contains("group by")) eligible.mkString
+                else {
+                  // the aggregation FLWOR: group by <m>, specs in the
+                  // query's own order (count star / count of a column)
+                  val specs = """_func__count__([a-z*]+|star)""".r
+                    .findAllMatchIn(q).map(_.group(1)).toSeq
+                  val mOf = """<m>([^<]*)</m>""".r
+                  eligible.groupBy(r => mOf.findFirstMatchIn(r).map(_.group(1)))
+                    .toSeq.sortBy(_._1)
+                    .map { case (m, rows) =>
+                      val cells = specs.map {
+                        case "star" => s"<a>${rows.size}</a>"
+                        case c => s"<a>${rows.count(_.contains(s"<$c>"))}</a>"
+                      }.mkString
+                      val key = m.map(v => s"<m>$v</m>")
+                        .getOrElse("""<m null="true"/>""")
+                      s"<result>$key$cells</result>"
+                    }.mkString
+                }
+              s"<rest-results>$body</rest-results>"
+            } else listing
+          val b = resp.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+      })
+      server.start()
+      try {
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}/rest/db"
+        spark.read.format("graft-xml")
+          .option("recordTag", "rec").option("columns", "name,nk,m")
+          .option("serverPushdown", "true")
+          .load(base)
+          .where(col("nk") === "5")
+          .groupBy("m")
+          .agg(count(lit(1)).as("cnt"), count(col("name")).as("n_names"))
+          .localCheckpoint(true)
+      } finally server.stop(0)
+    }),
     "q_xml_server" -> ((spark, dir) => {
       init(spark, dir)
       val recs = spark.sql(
@@ -2068,6 +2139,9 @@ object SparkEntry {
       s"SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk, round($CX, 4) AS gx FROM customer WHERE c_nationkey = 13",
     "q_xml_server" ->
       "SELECT c_name AS name, CAST(c_nationkey AS VARCHAR) AS nk FROM customer WHERE c_nationkey = 7",
+    "q_xml_agg_server" ->
+      """SELECT CAST(c_custkey % 7 AS VARCHAR) AS m, count(*) AS cnt, count(c_name) AS n_names
+        |FROM customer WHERE c_nationkey = 5 GROUP BY 1""".stripMargin,
     // unique names → the top-10 SET is deterministic, so the sorted-rows
     // hash compare is exact
     "q_xml_topn_server" ->
