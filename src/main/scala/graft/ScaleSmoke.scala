@@ -443,7 +443,10 @@ object ScaleSmoke {
     for ((label, n) <- Seq("10x" -> 10, "100x" -> 100)) {
       time(s"fuzzy join $label (disjoint replicas)") {
         val base = partX(n).where(pmod(col("p_partkey"), lit(20)) === 0)
-        val variants = base.select((col("p_partkey") + 1000000000L).as("r_key"),
+        // variant offset far past 100 replicas x 1e8 stride: a 1e9 offset
+        // would alias replica i's variants onto replica i+10's base ids,
+        // breaking FuzzyJoin's unique-id contract on the 100x leg
+        val variants = base.select((col("p_partkey") + 100000000000L).as("r_key"),
           concat(substring(col("p_name"), 1, 3),
             expr("substring(p_name, 5)")).as("r_name"))
         val right = base.select(col("p_partkey").as("r_key"),

@@ -109,9 +109,13 @@ object Corpus {
     * selection odds — NaN needs its own check, since `NaN > 0` is TRUE
     * under Spark's total ordering and a NaN key would sort above every
     * real one). Ties are impossible (id is in the sort key).
-    * Double-precision `ln` makes the key engine-specific at the last
-    * ulp, which is why this operator is spec-gated rather than
-    * oracle-gated — determinism holds within the engine.
+    * Double-precision `ln` is engine-specific at the last ulp; the
+    * q_weighted_sample oracle is nevertheless safe because the
+    * selection-boundary key gaps on the driver's fixed data are
+    * MEASURED at ≥ 5.5e-3 relative — thirteen orders of magnitude
+    * above a 1-ulp divergence (SURVEY §2). On arbitrary data the
+    * guarantee is determinism WITHIN the engine; cross-engine rank
+    * equality holds whenever boundary keys aren't ulp-close.
     */
   def weightedSample(df: DataFrame, groupCol: String, idCol: String,
                      weightCol: String, n: Int,
@@ -202,11 +206,24 @@ object Corpus {
     // profile opts every column in automatically, and a legal top-level
     // name containing a dot would otherwise parse as a nested-field path
     def ref(c: String) = col(s"`${c.replace("`", "``")}`")
-    def distinctAgg(c: String): Column =
+    def distinctAgg(c: String): Column = {
       if (!approx) count_distinct(ref(c))
-      else round(call_function("kmv_distinct",
-        conv(substring(md5(ref(c).cast("string")), 1, 15), 16, 10).cast("long"),
-        lit(kmvK))).cast("long")
+      else {
+        // exact count_distinct normalizes -0.0 to 0.0 (Spark's
+        // NormalizeFloatingNumbers); the hash path must match, or a
+        // float column holding both zeros would answer 2 where the
+        // exact mode answers 1 — adding +0.0 collapses signed zero and
+        // is the identity elsewhere (NaN stays NaN, one rendering)
+        val v = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+            ref(c) + lit(0.0)
+          case _ => ref(c)
+        }
+        round(call_function("kmv_distinct",
+          conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long"),
+          lit(kmvK))).cast("long")
+      }
+    }
     val aggs = Seq(count(lit(1)).as("__total")) ++
       targets.zipWithIndex.flatMap { case (c, j) =>
         Seq(count(ref(c)).as(s"__n_$j"),
@@ -656,6 +673,7 @@ object Corpus {
       it.foreach { r => val g = r.get(gIdx); m.update(g, m.getOrElse(g, 0L) + 1L) }
       m.iterator.map { case (g, c) => ((pid, g), c) }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.track(perPartRdd) // releaseCaches reclaims it (counter rows only)
     val nEntries = perPartRdd.count() // ≤ partitions × groups counter rows
 
     val rdd = if (nEntries <= maxDriverOffsetEntries) {

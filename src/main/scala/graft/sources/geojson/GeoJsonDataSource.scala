@@ -365,12 +365,19 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     else (schema.fieldNames.toSeq ++
       eff.flatMap(_.references.toSeq) ++
       topn.map(_._1.map(_.col)).getOrElse(Nil) ++ // sort keys compare locally
-      (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
+      (if (bbox.isDefined) Seq("geometry") else Nil) ++
+      // FeatureCollection docs keep their feature rows INSIDE `features`
+      // — an inclusion projection of only geometry/properties.* would
+      // strip the array and silently drop every collection row, the
+      // projection-side twin of the selector's features-exists escape.
+      // Absent on plain Feature docs, so this costs nothing there.
+      Seq("features")).distinct
 
   /** The needed columns as Mango `fields` document paths. */
   private def serverFields(eff: Seq[Filter]): Seq[String] =
     neededColumns(eff).map {
       case "geometry" => "geometry"
+      case "features" => "features"
       case c          => s"properties.$c"
     }
 

@@ -135,6 +135,7 @@ object MongoFindGen {
     if (columns.isEmpty) "{}"
     else columns.map {
       case "geometry" => ""","geometry": 1"""
+      case "features" => ""","features": 1""" // collection docs pass whole
       case c => s""",${key(c)}: { "$$ifNull": [ ${jstr("$properties." + c)}, null ] }"""
     }.mkString("""{"_id": 0""", "", "}")
 
@@ -272,8 +273,13 @@ object MongoFindGen {
         b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "date"]}, {"$$eq": [{"$$toLong": $ref}, $v]}]}"""
       }
       val d = v.toDoubleOption
-      if (d.exists(x => !x.isNaN && !x.isInfinite && java.lang.Double.toString(x) == v))
+      if (d.exists(x => !x.isNaN && !x.isInfinite && java.lang.Double.toString(x) == v)) {
+        // signed zero: Mongo's numeric $eq cannot separate 0.0 from -0.0,
+        // but the local rendering contract distinguishes "0.0"/"-0.0" —
+        // no exact branch exists, so the whole filter falls back
+        if (d.contains(0.0)) return None
         b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "double"]}, {"$$eq": [$ref, $v]}]}"""
+      }
       if (v == "true" || v == "false")
         b += s"""{"$$and": [{"$$eq": [${typeOf(p)}, "bool"]}, {"$$eq": [$ref, $v]}]}"""
       if (v.matches("[0-9a-f]{24}"))

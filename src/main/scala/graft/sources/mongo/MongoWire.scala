@@ -492,10 +492,16 @@ object MongoWire {
             close()
         }
       }
-      if (rtts.nonEmpty) {
-        val minRtt = rtts.iterator.map(_._2).min
+      // winner, then failover: a member can die between its successful
+      // RTT probe and the reconnect (rolling restart) — walk the
+      // remaining probed-healthy members rather than aborting while
+      // known-good candidates exist. Each removal recomputes the window
+      // from the still-standing RTTs (seed order breaks ties inside it).
+      val remaining = scala.collection.mutable.ArrayBuffer(rtts.toSeq: _*)
+      while (remaining.nonEmpty) {
+        val minRtt = remaining.iterator.map(_._2).min
         val windowNs = minRtt + NearestThresholdMs * 1000000L
-        val winner = rtts.find(_._2 <= windowNs).get._1 // seed order preserved
+        val winner = remaining.find(_._2 <= windowNs).get._1 // seed order preserved
         try {
           connect(winner._1, winner._2)
           handshake(acceptFallback = false)
@@ -505,6 +511,7 @@ object MongoWire {
           case e: Exception =>
             failures += s"${winner._1}:${winner._2} (nearest winner): ${e.getMessage}"
             close()
+            remaining --= remaining.filter(_._1 == winner)
         }
       }
       throw new java.io.IOException(

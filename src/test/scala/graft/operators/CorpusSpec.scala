@@ -519,6 +519,11 @@ class CorpusSpec extends SparkTestBase {
     val approx = Corpus.profile(small, approx = true).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(approx === exact)
+    // signed zero: exact count_distinct normalizes -0.0 to 0.0; the hash
+    // path must agree (the +0.0 normalization), or this column answers 2
+    val zeros = Seq(0.0, -0.0, 1.5).toDF("z")
+    assert(Corpus.profile(zeros).head.getLong(3) == 2L)
+    assert(Corpus.profile(zeros, approx = true).head.getLong(3) == 2L)
     // 40k distinct over k=1024: the estimate must land within 15% (the
     // theoretical sd is ~1/sqrt(k) ≈ 3%) — and the plan has no Expand,
     // the row amplifier Catalyst needs for multiple exact DISTINCTs

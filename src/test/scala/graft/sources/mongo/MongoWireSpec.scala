@@ -76,12 +76,21 @@ object FakeMongod {
       }
     def port: Int = server.getLocalPort
 
+    /** Accept at most this many connections, then refuse (close
+      * immediately) — a member dying between the nearest probe and the
+      * winner reconnect. Negative = unlimited. */
+    @volatile var maxAccepts: Int = -1
+    private val acceptCount = new java.util.concurrent.atomic.AtomicInteger(0)
     private val acceptThread = new Thread(() => {
       try while (true) {
         val sock = server.accept()
-        activeConnections.incrementAndGet()
-        new Thread(() => try serve(sock) catch { case _: Throwable => () }
-          finally activeConnections.decrementAndGet()).start()
+        if (maxAccepts >= 0 && acceptCount.incrementAndGet() > maxAccepts) {
+          sock.close()
+        } else {
+          activeConnections.incrementAndGet()
+          new Thread(() => try serve(sock) catch { case _: Throwable => () }
+            finally activeConnections.decrementAndGet()).start()
+        }
       } catch { case _: Throwable => () }
     })
     acceptThread.setDaemon(true)
@@ -892,6 +901,57 @@ class MongoWireSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("filtered find transfers FeatureCollection docs whole (projection escape)") {
+    // the selector's features-exists escape is only half the fix: an
+    // inclusion projection of geometry/properties.* would strip the
+    // `features` array and silently drop every collection row — the
+    // projection must pass `features` through
+    val docs = Seq(
+      """{"_id":"f1","type":"Feature","properties":{"nk":"5","name":"plain"}}""",
+      """{"_id":"f2","type":"Feature","properties":{"nk":"9","name":"other"}}""",
+      """{"_id":"c1","type":"FeatureCollection","features":[
+           {"type":"Feature","properties":{"nk":"5","name":"nested-hit"}},
+           {"type":"Feature","properties":{"nk":"9","name":"nested-miss"}}]}"""
+        .replaceAll("\\n\\s*", ""))
+    val srv = new FakeMongod.Server(docs)
+    try {
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      val got = spark.read.format("graft-geojson")
+        .option("columns", "nk,name").option("serverPushdown", "true")
+        .load(url)
+        .where(col("nk") === "5").select("name")
+        .collect().map(_.getString(0)).toSet
+      assert(got == Set("plain", "nested-hit"), got)
+    } finally srv.stop()
+  }
+
+  test("signed-zero literals disqualify the exact $match (no pushed branch exists)") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // Mongo's numeric $eq cannot separate 0.0 from -0.0, while the local
+    // rendering contract distinguishes "0.0"/"-0.0" — no exact branch
+    assert(MongoFindGen.aggMatchExpr(Seq(EqualTo("v", "0.0"))).isEmpty)
+    assert(MongoFindGen.aggMatchExpr(Seq(EqualTo("v", "-0.0"))).isEmpty)
+    assert(MongoFindGen.aggMatchExpr(Seq(In("v", Array[Any]("1", "0.0")))).isEmpty)
+    // "0" has no double branch (Double.toString(0.0) == "0.0" != "0"):
+    // int-typed zero pushes exactly
+    assert(MongoFindGen.aggMatchExpr(Seq(EqualTo("v", "0"))).isDefined)
+    // end-to-end: a corpus holding BOTH zeros answers the same filtered
+    // count pushed (falls back to transfer) and local
+    val docs = Seq(
+      """{"_id":"z1","type":"Feature","properties":{"v":0.0}}""",
+      """{"_id":"z2","type":"Feature","properties":{"v":-0.0}}""",
+      """{"_id":"z3","type":"Feature","properties":{"v":"0.0"}}""")
+    val srv = new FakeMongod.Server(docs)
+    try {
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      val df = spark.read.format("graft-geojson")
+        .option("columns", "v").option("serverPushdown", "true").load(url)
+      // "0.0" matches double 0.0 and string "0.0" — NOT -0.0 (renders "-0.0")
+      assert(df.where(col("v") === "0.0").count() == 2L)
+      assert(df.where(col("v") === "-0.0").count() == 1L)
+    } finally srv.stop()
+  }
+
   test("filtered agg pushdown property: random typed docs x random filter trees") {
     // the exactness contract, probed at random: pushed-aggregate counts
     // must equal an in-process replay of flattenFeature +
@@ -1175,6 +1235,24 @@ class MongoWireSpec extends SparkTestBase {
         primary.received.asScala)
       assert(primary.received.asScala.nonEmpty) // it WAS probed
     } finally { primary.stop(); secondary.stop() }
+  }
+
+  test("nearest fails over when the probed winner dies before the reconnect") {
+    val a = new FakeMongod.Server(featureDocs.take(4))
+    val b = new FakeMongod.Server(featureDocs.take(4))
+    try {
+      a.replicaIdentity = Some(("rs0", true, None))
+      b.replicaIdentity = Some(("rs0", false, None))
+      // member a accepts exactly its RTT probe, then refuses: the winner
+      // reconnect must fail over to the other probed-healthy member
+      // instead of aborting the open
+      a.maxAccepts = 1
+      val url = s"mongodb://127.0.0.1:${a.port},127.0.0.1:${b.port}" +
+        "/db/features?readPreference=nearest"
+      assert(MongoWire.docs(url, "{}", Nil, 2500).toSeq.size == 4)
+      assert(b.received.asScala.exists(_.contains("\"find\"")),
+        b.received.asScala)
+    } finally { a.stop(); b.stop() }
   }
 
   test("nearest skips a distant member even when it leads the seed list") {
