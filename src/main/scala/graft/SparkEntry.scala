@@ -1642,6 +1642,24 @@ object SparkEntry {
     // compare at second precision on BOTH engine sides (the q_funnel
     // convention — events.ts is ns in parquet, µs in Spark), with
     // click event_id as the deterministic tiebreaker.
+    // nearest-direction as-of (pandas merge_asof parity): whichever of
+    // the prior/next click is closer in time, exact tie -> backward
+    "q_asof_nearest" -> ((spark, dir) => {
+      init(spark, dir)
+      val ev = spark.table("events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("pt"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), unix_timestamp(col("ts")).as("ct"),
+          col("event_id").as("click_id"), col("value").as("cv"))
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"), Seq("cu"), "pt", "ct",
+          payloadCols = Seq("click_id", "cv"),
+          direction = "nearest", tolerance = Some(3600L),
+          tieCols = Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("pt"), col("click_id"),
+          round(col("cv"), 3).as("click_value"))
+    }),
     "q_asof_join" -> ((spark, dir) => {
       init(spark, dir)
       val ev = spark.table("events")
@@ -2643,6 +2661,28 @@ object SparkEntry {
         |      AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT)
         |      AND CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
         |    ORDER BY CAST(floor(epoch(c.ts)) AS BIGINT) DESC, c.event_id DESC LIMIT 1) AS click_value
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    // nearest replay: min (|d|, side backward-first, and inside one side
+    // at fixed d the click time is fixed, so the tie is click_id — max
+    // for backward, min for forward (one negated ORDER BY key)
+    "q_asof_nearest" ->
+      """SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS pt,
+        |  (SELECT c.event_id FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |      AND abs(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 3600
+        |    ORDER BY abs(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)),
+        |      (CAST(floor(epoch(c.ts)) AS BIGINT) > CAST(floor(epoch(p.ts)) AS BIGINT)),
+        |      CASE WHEN CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        |           THEN -c.event_id ELSE c.event_id END
+        |    LIMIT 1) AS click_id,
+        |  (SELECT round(c.value, 3) FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |      AND abs(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 3600
+        |    ORDER BY abs(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)),
+        |      (CAST(floor(epoch(c.ts)) AS BIGINT) > CAST(floor(epoch(p.ts)) AS BIGINT)),
+        |      CASE WHEN CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        |           THEN -c.event_id ELSE c.event_id END
+        |    LIMIT 1) AS click_value
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
     "q_asof_forward" ->
       """SELECT s.event_id, s.user_id, CAST(floor(epoch(s.ts)) AS BIGINT) AS st,

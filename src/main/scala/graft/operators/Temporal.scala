@@ -27,8 +27,11 @@ object Temporal {
 
   /** As-of join: for each `left` row attach the payload of the `right` row
     * with the greatest right time ≤ the left row's time (direction
-    * `"backward"`, the default) or the smallest right time ≥ it
-    * (`"forward"`), matching on equal key columns.
+    * `"backward"`, the default), the smallest right time ≥ it
+    * (`"forward"`), or whichever of the two is CLOSER (`"nearest"`,
+    * the pandas merge_asof third direction; an exact-distance tie takes
+    * the backward row — deterministic, documented), matching on equal
+    * key columns.
     *
     * This is the standard event-enrichment / slowly-changing-dimension
     * lookup (each trade gets the latest quote at or before it; each
@@ -49,7 +52,12 @@ object Temporal {
     * time, so exact matches are visible when the left row streams past),
     * then one `mapPartitions` pass carries the last-seen right payload per
     * key — O(1) state, no window buffering, one shuffle of the unioned
-    * rows. Left rows with a null time and keys with no eligible right row
+    * rows. `"nearest"` needs one look AHEAD as well, so its pass buffers
+    * the left rows between two consecutive right rows (resolved the
+    * moment the next right arrives, flushed backward-only at key end):
+    * state is O(left rows between adjacent right rows of one key) — the
+    * gap density of real enrichment data (quotes denser than trades),
+    * never the partition, and still no window. Left rows with a null time and keys with no eligible right row
     * emit null payload columns (left-outer semantics). Right rows with a
     * null time are dropped (they cannot be ordered). A null KEY is a group
     * of its own (the [[Corpus.packSequences]] convention). Key columns
@@ -67,8 +75,8 @@ object Temporal {
                tieCols: Seq[String] = Nil): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "leftKeys and rightKeys must be non-empty and the same length")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be 'backward', 'forward', or 'nearest', got '$direction'")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val collisions = payloadCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
@@ -112,7 +120,11 @@ object Temporal {
     val unioned = leftPrep.union(rightPrep)
 
     val keyExprs = leftKeys.map(col)
-    val backward = direction == "backward"
+    // nearest shares backward's sort layout (time asc, rights first at
+    // equal time — a zero-distance match is unbeatable either way, and
+    // the FIRST right of a time group carries forward's smallest-tie
+    // pick while the LAST carries backward's largest-tie pick)
+    val backward = direction != "forward"
     // nulls FIRST in both directions: a null-time left row must sort
     // before every right row so it streams past with nothing carried
     // (desc's default nulls-last would hand it the final right payload)
@@ -132,7 +144,9 @@ object Temporal {
     val tol = tolerance.getOrElse(Long.MaxValue)
     val outSchema = StructType(left.schema.fields ++ payloadFields)
 
-    val outRdd = sorted.rdd.mapPartitions { it =>
+    val outRdd = if (direction == "nearest")
+      nearestPass(sorted, nKeys, tIdx, tagIdx, lIdx, rIdx, nPayload, tol)
+    else sorted.rdd.mapPartitions { it =>
       // keys are clustered by the sort; carried state resets on key change.
       // `started` is the no-previous-key sentinel — a null key is a valid
       // group and must not re-trigger the reset on every row
@@ -179,6 +193,83 @@ object Temporal {
     }
     left.sparkSession.createDataFrame(outRdd, outSchema)
   }
+
+  /** The `"nearest"` sequential pass: carries the previous right payload
+    * AND buffers pending left rows until the next right row resolves
+    * them (closer side wins, exact tie → backward); key end flushes the
+    * buffer backward-only. Zero-distance lefts resolve immediately —
+    * nothing can beat them. */
+  private def nearestPass(sorted: DataFrame, nKeys: Int, tIdx: Int, tagIdx: Int,
+                          lIdx: Int, rIdx: Int, nPayload: Int,
+                          tol: Long): org.apache.spark.rdd.RDD[Row] =
+    sorted.rdd.mapPartitions { it =>
+      var started = false
+      var curKey: Array[Any] = null
+      var prev: Row = null
+      var prevT = 0L
+      // (left struct, left time, prev payload at push, prev time at push)
+      val pending = scala.collection.mutable.ArrayBuffer.empty[(Row, Long, Row, Long)]
+      def sameKey(k: Array[Any]): Boolean = {
+        var i = 0
+        while (i < k.length) {
+          val ok = (curKey(i), k(i)) match {
+            case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+            case (a, b) => java.util.Objects.equals(a, b)
+          }
+          if (!ok) return false
+          i += 1
+        }
+        true
+      }
+      def resolveWith(nextPayload: Row, nextT: Long): Seq[Row] = {
+        val out = pending.map { case (lRow, lt, p, pT) =>
+          val bd = if (p != null) lt - pT else Long.MaxValue
+          val fd = if (nextPayload != null) nextT - lt else Long.MaxValue
+          val backOk = p != null && bd <= tol
+          val fwdOk = nextPayload != null && fd <= tol
+          val pick =
+            if (backOk && (!fwdOk || bd <= fd)) p
+            else if (fwdOk) nextPayload
+            else null
+          Row.fromSeq(lRow.toSeq ++
+            (if (pick == null) Seq.fill[Any](nPayload)(null) else pick.toSeq))
+        }.toSeq
+        pending.clear()
+        out
+      }
+      val main = it.flatMap { row =>
+        val key = Array.tabulate[Any](nKeys)(row.get)
+        val keyFlush: Seq[Row] =
+          if (!started || !sameKey(key)) {
+            val f = resolveWith(null, 0L) // key end: backward-only
+            started = true; curKey = key; prev = null
+            f
+          } else Seq.empty
+        val emitted: Seq[Row] =
+          if (row.getInt(tagIdx) == 0) { // right row
+            val payload = row.getStruct(rIdx)
+            val t = row.getLong(tIdx)
+            // the FIRST right of this time group resolves the buffer
+            // (forward = smallest ties); later equal-time rights only
+            // update the carried prev (backward = largest ties)
+            val f = resolveWith(payload, t)
+            prev = payload; prevT = t
+            f
+          } else { // left row
+            val lRow = row.getStruct(lIdx)
+            if (row.isNullAt(tIdx))
+              Seq(Row.fromSeq(lRow.toSeq ++ Seq.fill[Any](nPayload)(null)))
+            else {
+              val lt = row.getLong(tIdx)
+              if (prev != null && lt == prevT) // distance 0: unbeatable
+                Seq(Row.fromSeq(lRow.toSeq ++ prev.toSeq))
+              else { pending += ((lRow, lt, prev, prevT)); Seq.empty }
+            }
+          }
+        keyFlush.iterator ++ emitted.iterator
+      }
+      main ++ resolveWith(null, 0L).iterator // partition end: backward-only
+    }
 
   /** Binned range join: rows of `left` joined to rows of `right` where
     * `left(pointCol)` ∈ `[right(loCol), right(hiCol)]` (inclusive both

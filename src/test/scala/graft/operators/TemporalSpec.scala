@@ -95,6 +95,60 @@ class TemporalSpec extends SparkTestBase {
     assert(none.isNullAt(0))
   }
 
+  test("nearest: closer side wins, exact tie takes backward, tolerance both ways") {
+    assert(asof("nearest") === Set(
+      ("A", 10L, Some(8L), Some(1.0)),   // back d=2 beats fwd d=10
+      ("A", 20L, Some(20L), Some(2.0)),  // exact match (d=0) unbeatable
+      ("A", 25L, Some(21L), Some(3.0)),  // back d=4, no forward
+      ("B", 5L, Some(50L), Some(4.0)),   // forward-only match
+      ("B", 100L, Some(50L), Some(4.0)),
+      ("C", 7L, None, None)))
+    // equidistant: back at 8 (d=2) vs fwd at 12 (d=2) -> backward wins
+    val l = Seq(("A", 10L, 1L)).toDF("sym", "t", "trade_id")
+    val q = Seq(("A", 8L, 1.0), ("A", 12L, 2.0)).toDF("sym", "qt", "px")
+    val tie = Temporal.asofJoin(l, q, Seq("sym"), Seq("sym"), "t", "qt",
+      Seq("qt", "px"), "nearest").select("qt", "px").head
+    assert(tie.getLong(0) == 8L && tie.getDouble(1) == 1.0)
+    // tolerance cuts BOTH sides independently
+    assert(asof("nearest", tol = Some(2L)) === Set(
+      ("A", 10L, Some(8L), Some(1.0)),
+      ("A", 20L, Some(20L), Some(2.0)),
+      ("A", 25L, None, None),            // back d=4 > 2, no fwd
+      ("B", 5L, None, None),             // fwd d=45 > 2
+      ("B", 100L, None, None),
+      ("C", 7L, None, None)))
+  }
+
+  test("nearest: randomized parity with a two-sided min_by emulation") {
+    val rnd = new scala.util.Random(17)
+    val l = (1 to 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(500).toLong)).toDF("lid", "k", "t")
+    val r = (1 to 250).map(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(500).toLong, i.toLong)).toDF("rk", "rt", "rid")
+    val got = Temporal.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      Seq("rt", "rid"), direction = "nearest", tolerance = Some(60L),
+      tieCols = Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    // emulation: all eligible rights, pick min (distance, side, ±tie) —
+    // side 0 = backward; within backward ties take the LARGEST (rt, rid)
+    // = smallest (-rt, -rid), forward the smallest (rt, rid)
+    val want = l.join(r,
+        $"k" === $"rk" && abs($"rt" - $"t") <= 60L, "left")
+      .groupBy("lid").agg(min_by(struct($"rt", $"rid"),
+        struct(abs($"rt" - $"t"),
+          when($"rt" <= $"t", 0).otherwise(1),
+          when($"rt" <= $"t", -$"rt").otherwise($"rt"),
+          when($"rt" <= $"t", -$"rid").otherwise($"rid"))).as("m"))
+      .select($"lid", $"m.rid").as[(Long, Option[Long])].collect().toMap
+    assert(got === want)
+    // and it is partition-invariant
+    val again = Temporal.asofJoin(l.repartition(7), r.repartition(3),
+      Seq("k"), Seq("rk"), "t", "rt", Seq("rt", "rid"),
+      direction = "nearest", tolerance = Some(60L), tieCols = Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(again === got)
+  }
+
   test("randomized parity with a join+max_by emulation") {
     val rnd = new scala.util.Random(42)
     val l = (1 to 300).map(i =>
@@ -117,7 +171,7 @@ class TemporalSpec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] {
       Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"), "t", "qt",
-        Seq("px"), direction = "nearest")
+        Seq("px"), direction = "sideways")
     }
     intercept[IllegalArgumentException] { // payload collides with left
       Temporal.asofJoin(trades, quotes, Seq("sym"), Seq("sym"), "t", "qt", Seq("sym"))
