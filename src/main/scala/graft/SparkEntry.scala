@@ -1610,6 +1610,13 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         |       (SELECT count(*) FROM s2) AS n_signup_click,
         |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin),
+    // cohort retention matrix: users bucketed by first-event day,
+    // counted in every later day they were active
+    "q_retention" -> ((spark, dir) => {
+      init(spark, dir)
+      EventStreams.retentionCohorts(spark.table("events"), "user_id", "ts",
+        periodSeconds = 86400L)
+    }),
     "q_sessionize" -> ((spark, dir) => {
       init(spark, dir)
       EventStreams.sessionize(spark.table("events"), gapMinutes = 30,
@@ -2622,6 +2629,13 @@ object SparkEntry {
     // its client API surfaces as float64 → hash mismatch vs Spark's int64.
     "q_events_json" ->
       "SELECT event_type, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n FROM events GROUP BY event_type",
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT f.cohort, e.d - f.cohort AS period_index, count(*) AS active_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_ev FROM (SELECT user_id, CASE WHEN lag(ts) OVER w IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t GROUP BY user_id",
     "q_funnel" ->

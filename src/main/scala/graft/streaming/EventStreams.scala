@@ -390,6 +390,36 @@ object EventStreams {
   /** Sessionize: per-user session ids from gaps > `gapMinutes` (batch
     * analytics variant using a window function; the streaming variant above
     * uses identical gap logic). */
+  /** Cohort retention matrix — the standard product-analytics view of an
+    * event stream: users grouped by their ACQUISITION period (the period
+    * of their first event), counted in every later period they were
+    * active. Returns `(cohort, period_index, active_users)` where
+    * `cohort` is the user's first period (epoch time ÷ periodSeconds,
+    * floored) and `period_index` its offset (0 = the acquisition period
+    * itself, so every cohort's index-0 count is its size).
+    *
+    * Pure relational shape, deterministic, 100 TB-ready: one partial-agg
+    * groupBy per user for the first-event period (|users| rows), a
+    * hash join back onto the per-(user, period) DISTINCT activity set
+    * (collapsed map-side before the join — bodies/events never join
+    * twice), and a final count per (cohort, index). No window function
+    * (a `min OVER (PARTITION BY user)` would buffer each user's events
+    * in one task); null users/timestamps are dropped. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       periodSeconds: Long = 86400L): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val e = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(unix_timestamp(col(tsCol)) / periodSeconds).as("__d"))
+      .distinct() // one row per (user, active period)
+    val first = e.groupBy("__u").agg(min("__d").as("cohort"))
+    e.join(first, "__u")
+      .select(col("cohort"), (col("__d") - col("cohort")).as("period_index"))
+      .groupBy("cohort", "period_index")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
                  orderCols: Seq[String] = Seq("ts")): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -161,6 +161,39 @@ class EventStreamsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("retentionCohorts: brute-force parity, index 0 equals cohort size, no window") {
+    import spark.implicits._
+    // user -> activity days (period = 1s so the fixture is readable)
+    val rows = Seq(
+      (1L, 10L), (1L, 10L), (1L, 12L),          // cohort 10, active 10 & 12
+      (2L, 10L), (2L, 11L),                      // cohort 10, active 10 & 11
+      (3L, 12L),                                 // cohort 12, only itself
+      (4L, 11L), (4L, 13L), (4L, 13L))           // cohort 11, active 11 & 13
+    val df = rows.map { case (u, t) =>
+      (u, new java.sql.Timestamp(t * 1000L)) }.toDF("u", "ts").repartition(4)
+    val got = EventStreams.retentionCohorts(df, "u", "ts", periodSeconds = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Map(
+      (10L, 0L) -> 2L, (10L, 1L) -> 1L, (10L, 2L) -> 1L,
+      (11L, 0L) -> 1L, (11L, 2L) -> 1L,
+      (12L, 0L) -> 1L)
+    assert(got == want, got)
+    // every cohort's index-0 count is its size (acquisition period)
+    assert(got.filter(_._1._2 == 0L).values.sum == 4L)
+    // nulls dropped
+    val withNull = df.union(Seq((null.asInstanceOf[java.lang.Long], new java.sql.Timestamp(0L)))
+      .toDF("u", "ts").select(col("u").cast("long"), col("ts")))
+    assert(EventStreams.retentionCohorts(withNull, "u", "ts", 1L)
+      .agg(org.apache.spark.sql.functions.sum("active_users")).head.getLong(0) == 7L)
+    // no WindowExec — the first-event lookup is a groupBy + join
+    val plan = EventStreams.retentionCohorts(df, "u", "ts", 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    intercept[IllegalArgumentException] {
+      EventStreams.retentionCohorts(df, "u", "ts", 0L)
+    }
+  }
+
   test("sessionize splits on gaps") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:00:00")),
