@@ -1085,7 +1085,7 @@ object SparkEntry {
       Dedup.clusters(pairs, smallGraphThreshold = 0)
     }),
     // Asymmetric containment join (prefix filter, no cartesian): probes
-    // are the first half of every 10th document's tokens — guaranteed
+    // are the first half of every 50th document's tokens — guaranteed
     // containment 1.0 in their source — and the oracle replays the
     // identical 60-bit token-hash arithmetic exhaustively
     "q_containment_join" -> ((spark, dir) => {

@@ -57,9 +57,15 @@ object ContainmentJoin {
             TextAnalysis.wsTokens(col(text)), lit(1)))).as(setOut))
         .where(size(col(setOut)) > 0)
 
-    val l = prep(left, leftId, leftText, "__lid", "__lset")
+    // materialized ONCE: each side is referenced twice (prefix/index
+    // derivation AND the refine re-attach) — without this the tokenize +
+    // hash + sort scan would run twice per side (the dbscan `pairs`
+    // precedent); tracked so releaseCaches reclaims the blocks
+    val l = Dedup.track(prep(left, leftId, leftText, "__lid", "__lset")
       .withColumn("__n", size(col("__lset")))
-    val r = prep(right, rightId, rightText, "__rid", "__rset")
+      .localCheckpoint(true))
+    val r = Dedup.track(prep(right, rightId, rightText, "__rid", "__rset")
+      .localCheckpoint(true))
 
     // right inverted index + global document frequencies
     val rIndex = r.select(col("__rid"), explode(col("__rset")).as("__h"))
@@ -69,7 +75,17 @@ object ContainmentJoin {
     // The window partitions are SINGLE documents — bounded by document
     // length by construction, never by corpus size
     import org.apache.spark.sql.expressions.Window
-    val p = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    // required overlap o = the SMALLEST integer with o/n >= t under the
+    // refine's own double arithmetic — ceil(t*n) alone is off by one
+    // when fl(t*n) rounds across an integer (t=0.07, n=100: fl = 7.0000…1,
+    // ceil = 8, yet 7/100.0 >= 0.07 passes the refine; a prefix one token
+    // short would silently drop that qualifying pair). The true o is
+    // always within 1 of the candidate, so probe c-1, c, c+1.
+    val c = ceil(lit(threshold) * col("__n")).cast("long")
+    val oMin = when((c - 1).cast("double") / col("__n") >= threshold, c - 1)
+      .when(c.cast("double") / col("__n") >= threshold, c)
+      .otherwise(c + 1)
+    val p = (col("__n") - oMin + 1).cast("int")
     val prefix = l
       .select(col("__lid"), col("__n"), explode(col("__lset")).as("__h"))
       .join(dfreq, Seq("__h"), "left")

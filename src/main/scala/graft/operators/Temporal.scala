@@ -57,7 +57,12 @@ object Temporal {
     * moment the next right arrives, flushed backward-only at key end):
     * state is O(left rows between adjacent right rows of one key) — the
     * gap density of real enrichment data (quotes denser than trades),
-    * never the partition, and still no window. Left rows with a null time and keys with no eligible right row
+    * never the partition, and still no window. A finite tolerance
+    * additionally drains the buffer as soon as a left row's forward
+    * window closes, bounding state by the tolerance span even on keys
+    * with sparse or absent rights (without a tolerance, a rights-free
+    * key semantically requires its left side buffered — every answer
+    * can depend on a right at the key's very end). Left rows with a null time and keys with no eligible right row
     * emit null payload columns (left-outer semantics). Right rows with a
     * null time are dropped (they cannot be ordered). A null KEY is a group
     * of its own (the [[Corpus.packSequences]] convention). Key columns
@@ -154,20 +159,7 @@ object Temporal {
       var curKey: Array[Any] = null
       var carried: Row = null
       var carriedT = 0L
-      def sameKey(k: Array[Any]): Boolean = {
-        var i = 0
-        while (i < k.length) {
-          val ok = (curKey(i), k(i)) match {
-            // binary keys surface as Array[Byte], where Objects.equals is
-            // reference identity — compare content like the shuffle did
-            case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
-            case (a, b) => java.util.Objects.equals(a, b)
-          }
-          if (!ok) return false
-          i += 1
-        }
-        true
-      }
+      def sameKey(k: Array[Any]): Boolean = keysEqual(curKey, k)
       it.flatMap { row =>
         val key = Array.tabulate[Any](nKeys)(row.get)
         if (!started || !sameKey(key)) {
@@ -194,6 +186,22 @@ object Temporal {
     left.sparkSession.createDataFrame(outRdd, outSchema)
   }
 
+  /** Key-tuple equality for the sequential passes. Binary keys surface
+    * as Array[Byte], where Objects.equals is reference identity —
+    * compare content like the shuffle did. */
+  private def keysEqual(cur: Array[Any], k: Array[Any]): Boolean = {
+    var i = 0
+    while (i < k.length) {
+      val ok = (cur(i), k(i)) match {
+        case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+        case (a, b) => java.util.Objects.equals(a, b)
+      }
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
   /** The `"nearest"` sequential pass: carries the previous right payload
     * AND buffers pending left rows until the next right row resolves
     * them (closer side wins, exact tie → backward); key end flushes the
@@ -209,18 +217,21 @@ object Temporal {
       var prevT = 0L
       // (left struct, left time, prev payload at push, prev time at push)
       val pending = scala.collection.mutable.ArrayBuffer.empty[(Row, Long, Row, Long)]
-      def sameKey(k: Array[Any]): Boolean = {
-        var i = 0
-        while (i < k.length) {
-          val ok = (curKey(i), k(i)) match {
-            case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
-            case (a, b) => java.util.Objects.equals(a, b)
-          }
-          if (!ok) return false
-          i += 1
+      def sameKey(k: Array[Any]): Boolean = keysEqual(curKey, k)
+      // resolve (backward-only) the buffer PREFIX whose forward window
+      // closed before tNow: entries are in lt-ascending push order
+      def drainPast(tNow: Long): Seq[Row] =
+        if (tol == Long.MaxValue || pending.isEmpty ||
+            tNow - pending.head._2 <= tol) Seq.empty
+        else {
+          val (expired, live) = pending.partition(e => tNow - e._2 > tol)
+          pending.clear(); pending ++= live
+          expired.map { case (lRow, lt, p, pT) =>
+            val pick = if (p != null && lt - pT <= tol) p else null
+            Row.fromSeq(lRow.toSeq ++
+              (if (pick == null) Seq.fill[Any](nPayload)(null) else pick.toSeq))
+          }.toSeq
         }
-        true
-      }
       def resolveWith(nextPayload: Row, nextT: Long): Seq[Row] = {
         val out = pending.map { case (lRow, lt, p, pT) =>
           val bd = if (p != null) lt - pT else Long.MaxValue
@@ -261,9 +272,16 @@ object Temporal {
               Seq(Row.fromSeq(lRow.toSeq ++ Seq.fill[Any](nPayload)(null)))
             else {
               val lt = row.getLong(tIdx)
-              if (prev != null && lt == prevT) // distance 0: unbeatable
-                Seq(Row.fromSeq(lRow.toSeq ++ prev.toSeq))
-              else { pending += ((lRow, lt, prev, prevT)); Seq.empty }
+              // tolerance drain: pending lefts whose forward window has
+              // closed (any later right is > tol away) resolve backward-
+              // only NOW — this keeps the buffer bounded by the tolerance
+              // window on a key with sparse rights
+              val drained = drainPast(lt)
+              val own: Seq[Row] =
+                if (prev != null && lt == prevT) // distance 0: unbeatable
+                  Seq(Row.fromSeq(lRow.toSeq ++ prev.toSeq))
+                else { pending += ((lRow, lt, prev, prevT)); Seq.empty }
+              drained ++ own
             }
           }
         keyFlush.iterator ++ emitted.iterator

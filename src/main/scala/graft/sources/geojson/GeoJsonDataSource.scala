@@ -365,21 +365,21 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
     else (schema.fieldNames.toSeq ++
       eff.flatMap(_.references.toSeq) ++
       topn.map(_._1.map(_.col)).getOrElse(Nil) ++ // sort keys compare locally
-      (if (bbox.isDefined) Seq("geometry") else Nil) ++
-      // FeatureCollection docs keep their feature rows INSIDE `features`
-      // — an inclusion projection of only geometry/properties.* would
-      // strip the array and silently drop every collection row, the
-      // projection-side twin of the selector's features-exists escape.
-      // Absent on plain Feature docs, so this costs nothing there.
-      Seq("features")).distinct
+      (if (bbox.isDefined) Seq("geometry") else Nil)).distinct
 
   /** The needed columns as Mango `fields` document paths. */
   private def serverFields(eff: Seq[Filter]): Seq[String] =
-    neededColumns(eff).map {
+    if (neededColumns(eff).isEmpty) Nil
+    else neededColumns(eff).map {
       case "geometry" => "geometry"
-      case "features" => "features"
       case c          => s"properties.$c"
-    }
+    } :+ "features"
+    // the trailing top-level `features` path is the FeatureCollection
+    // passthrough: an inclusion projection of only geometry/properties.*
+    // would strip the array and silently drop every collection row (the
+    // projection-side twin of the selector's features-exists escape).
+    // Paths are unambiguous here — a PROPERTY named "features" maps to
+    // properties.features above, untouched.
 
   /** The selector every server-mode path ships: widened pushed + runtime
     * filters (Mongo/Mango match type-sensitively; graft columns are
@@ -421,7 +421,7 @@ private case class GeoJsonReaderFactory(schema: StructType, multiLine: Boolean,
       // bare column names: MongoFindGen.projection prefixes `properties.`
       // itself (the reference's constructProjectionQuery contract)
       graft.sources.mongo.MongoWire.docs(file, serverSelector(eff), neededColumns(eff),
-        httpTimeoutMs, transferHint(eff))
+        httpTimeoutMs, transferHint(eff), featuresPassthrough = true)
     else if (serverPushdown && file.startsWith("http"))
       graft.sources.mongo.CouchFind.docs(file, serverSelector(eff),
         serverFields(eff), httpTimeoutMs, transferHint(eff))

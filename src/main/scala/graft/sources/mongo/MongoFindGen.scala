@@ -131,13 +131,16 @@ object MongoFindGen {
 
   /** `{"_id": 0, geometry verbatim, properties.* behind $ifNull}` —
     * the reference's projection (mongo_extension.ts:154). */
-  def projection(columns: Seq[String]): String =
+  def projection(columns: Seq[String],
+                 featuresPassthrough: Boolean = false): String =
     if (columns.isEmpty) "{}"
-    else columns.map {
+    else (columns.map {
       case "geometry" => ""","geometry": 1"""
-      case "features" => ""","features": 1""" // collection docs pass whole
+      // a PROPERTY named "features" is an ordinary property — the
+      // collection passthrough below is a separate top-level path
       case c => s""",${key(c)}: { "$$ifNull": [ ${jstr("$properties." + c)}, null ] }"""
-    }.mkString("""{"_id": 0""", "", "}")
+    } ++ (if (featuresPassthrough) Seq(""","features": 1""") else Nil))
+      .mkString("""{"_id": 0""", "", "}")
 
   /** One conjunction selector from every pushable filter plus literal
     * selector fragments (mod / $near) — the `where` argument of

@@ -766,8 +766,9 @@ object MongoWire {
 
   def docs(url: String, selectorJson: String, fields: Seq[String],
            timeoutMs: Int, maxDocs: Option[Int] = None,
-           maxBatches: Int = MaxBatches): DocCursor = {
-    val projection = MongoFindGen.projection(fields)
+           maxBatches: Int = MaxBatches,
+           featuresPassthrough: Boolean = false): DocCursor = {
+    val projection = MongoFindGen.projection(fields, featuresPassthrough)
     new DocCursor(parsedSpec(url), (spec, ask) =>
       s"""{"find": ${graft.JsonText.str(spec.coll)}, "filter": $selectorJson,""" +
         s"""${rpField(spec)} "projection": $projection, "batchSize": $ask,""" +

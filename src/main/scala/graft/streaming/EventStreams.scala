@@ -387,9 +387,6 @@ object EventStreams {
       }
   }
 
-  /** Sessionize: per-user session ids from gaps > `gapMinutes` (batch
-    * analytics variant using a window function; the streaming variant above
-    * uses identical gap logic). */
   /** Cohort retention matrix — the standard product-analytics view of an
     * event stream: users grouped by their ACQUISITION period (the period
     * of their first event), counted in every later period they were
@@ -420,6 +417,9 @@ object EventStreams {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Sessionize: per-user session ids from gaps > `gapMinutes` (batch
+    * analytics variant using a window function; the streaming variant above
+    * uses identical gap logic). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
                  orderCols: Seq[String] = Seq("ts")): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -55,6 +55,24 @@ class ContainmentJoinSpec extends SparkTestBase {
     assert(run(left, right, 0.9) == Set((1L, 10L, 1.0)))
   }
 
+  test("prefix length survives floating-point thresholds (t*n rounding)") {
+    // t=0.07, n=100: fl(0.07*100) = 7.000000000000001 -> ceil = 8, yet a
+    // pair sharing exactly 7 tokens PASSES the refine (7/100.0 >= 0.07).
+    // The 93 left-only tokens are absent from the right corpus (df 0),
+    // so they fill the naive 93-slot prefix and the 7 shared tokens
+    // would sit entirely in the suffix — a one-short prefix silently
+    // drops the qualifying pair.
+    val shared = (0 until 7).map(i => s"shared$i")
+    val leftOnly = (0 until 93).map(i => s"leftonly$i")
+    val left = Seq(1L -> (leftOnly ++ shared).mkString(" "))
+    val right = Seq(100L -> (shared ++ (0 until 40).map(i => s"rightpad$i")).mkString(" "))
+    assert(run(left, right, 0.07) == Set((1L, 100L, 0.07)))
+    assert(run(left, right, 0.07) == bruteForce(left, right, 0.07))
+    // and the adjustment never OVER-matches: 6 shared tokens stay out
+    val left6 = Seq(1L -> (leftOnly ++ shared.take(6) ++ Seq("x94")).mkString(" "))
+    assert(run(left6, right, 0.07).isEmpty)
+  }
+
   test("threshold validation and same-name id refusal") {
     val df = Seq(1L -> "x").toDF("id", "text")
     intercept[IllegalArgumentException] {

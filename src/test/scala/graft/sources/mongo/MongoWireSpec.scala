@@ -925,6 +925,27 @@ class MongoWireSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("a property literally named 'features' projects as a property") {
+    // the FeatureCollection passthrough is a separate top-level path —
+    // it must not shadow properties.features in the server projection
+    val docs = Seq(
+      """{"_id":"p1","type":"Feature","properties":{"features":"x","nk":"1"}}""",
+      """{"_id":"p2","type":"Feature","properties":{"features":"y","nk":"2"}}""",
+      """{"_id":"c1","type":"FeatureCollection","features":[
+           {"type":"Feature","properties":{"features":"z","nk":"1"}}]}"""
+        .replaceAll("\\n\\s*", ""))
+    val srv = new FakeMongod.Server(docs)
+    try {
+      val url = s"mongodb://127.0.0.1:${srv.port}/db/features"
+      val got = spark.read.format("graft-geojson")
+        .option("columns", "features,nk").option("serverPushdown", "true")
+        .load(url)
+        .where(col("nk") === "1").select("features")
+        .collect().map(_.getString(0)).toSet
+      assert(got == Set("x", "z"), got)
+    } finally srv.stop()
+  }
+
   test("signed-zero literals disqualify the exact $match (no pushed branch exists)") {
     import org.apache.spark.sql.sources.{EqualTo, In}
     // Mongo's numeric $eq cannot separate 0.0 from -0.0, while the local
