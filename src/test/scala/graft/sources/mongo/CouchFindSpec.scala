@@ -54,12 +54,15 @@ class CouchFindSpec extends SparkTestBase {
       assert(sent.contains("""{"properties.grp": { "$eq": 1 }}"""), sent)
       // the page size is explicit, not the endpoint's default
       assert(sent.contains(""""limit": 25"""), sent)
-      // the Mango fields projection covers output AND filter columns
+      // the Mango fields projection covers output AND filter columns,
+      // plus the top-level FeatureCollection passthrough (r9: without
+      // it an inclusion projection strips nested feature rows)
       val names = df.where(col("grp") === "2").select("name")
         .collect().map(_.getString(0))
       assert(names.length == 20 && names.forall(_.nonEmpty))
       val withFields = posted.asScala.last
-      assert(withFields.contains(""""fields": ["properties.name", "properties.grp"]"""),
+      assert(withFields.contains(
+        """"fields": ["properties.name", "properties.grp", "features"]"""),
         withFields)
       // a predicate Mango cannot express is still pushed to the scan and
       // re-applied on the returned documents
