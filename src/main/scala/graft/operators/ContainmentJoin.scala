@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   * 4 dp AFTER the threshold test. Documents with no tokens are dropped
   * (containment over an empty probe set is undefined). Ids must be
   * unique per side and the two id column names must differ.
+  *
+  * CACHE NOTE (the pageRank/dbscan convention): both token-set frames
+  * materialize EAGERLY at call time (each is referenced by two plan
+  * branches — lazy evaluation would tokenize+hash+sort every document
+  * twice) and join the shared [[Dedup.releaseCaches]] registry. Consume
+  * the result before draining that registry: a released checkpoint
+  * block cannot be recomputed (lineage is truncated by design).
   */
 object ContainmentJoin {
 
