@@ -52,7 +52,7 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
               if (graft.sources.mongo.MongoWire.isMongoUrl(db))
                 graft.sources.mongo.MongoWire.sample(db, 25, DocFiles.HttpTimeoutMs)
               else graft.sources.mongo.CouchFind
-                .page(db, "{}", Nil, 0, DocFiles.HttpTimeoutMs)
+                .page(db, "{}", Nil, 0, DocFiles.HttpTimeoutMs)._1
             sample.foreach { json =>
               GeoJsonSource.flattenFeature(json).foreach { case (m, _) => keys ++= m.keys }
             }

@@ -26,18 +26,22 @@ object CouchFind {
     * far past the point where the data belongs in a bulk snapshot. */
   private val MaxPages = 4 * 1000 * 1000
 
-  /** One page of documents (as JSON text). `skip` is the absolute
+  /** One page of documents (as JSON text) plus the response's `bookmark`
+    * cursor when the server sent a usable one. `skip` is the absolute
     * document offset (docs already served by this cursor) and `limit`
     * the page size to ask for — explicit on every request so the stride
     * holds even when the endpoint's default page size is not 25, and so
     * a shrunk page (the capped cursor's remainder) cannot corrupt the
-    * offset of the one after it. */
+    * offset of the one after it. When `bookmark` is supplied it replaces
+    * the skip entirely (CouchDB resumes the cursor there — O(page)
+    * server work instead of the skip's O(offset) document walk). */
   def page(dbUrl: String, selector: String, fields: Seq[String], skip: Int,
-           timeoutMs: Int, limit: Int = PageSize): Seq[String] = {
-    val body = MongoFindGen.couchQuery(selector, fields, skip, Some(limit))
+           timeoutMs: Int, limit: Int = PageSize,
+           bookmark: Option[String] = None): (Seq[String], Option[String]) = {
+    val body = MongoFindGen.couchQuery(selector, fields, skip, Some(limit), bookmark)
     val resp = graft.sources.DocFiles.post(
       s"${dbUrl.stripSuffix("/")}/_find", body, "application/json", timeoutMs)
-    docsOf(resp)
+    pageOf(resp)
   }
 
   /** Widens POSITIVE comparison leaves whose value is a numeric-looking
@@ -102,17 +106,39 @@ object CouchFind {
     * locally; with filters in play every page stays full-size so the
     * local re-apply can keep looking. */
   def docs(dbUrl: String, selector: String, fields: Seq[String],
-           timeoutMs: Int, maxDocs: Option[Int] = None): Iterator[String] =
+           timeoutMs: Int, maxDocs: Option[Int] = None): Iterator[String] = {
+    // Bookmark cursor state: the previous response's bookmark, carried to
+    // the next request so the server resumes in O(page) instead of
+    // re-walking `skip` documents (O(offset), and O(n²/pagesize) total
+    // over the cursor — the reference's skip-stride protocol,
+    // couchdb_extension.ts:84, kept as the fallback when the server omits
+    // bookmarks). `served` still tracks the absolute offset in parallel,
+    // so a server that stops sending bookmarks mid-cursor degrades to an
+    // exact skip resume, never to dropped or re-read rows.
+    var bookmark: Option[String] = None
     graft.sources.Paged.pull(MaxPages, s"$dbUrl/_find",
       ask = served => maxDocs.filter(_ > served)
         .map(m => math.min(PageSize, m - served)).getOrElse(PageSize),
-      fetch = (served, ask) =>
-        page(dbUrl, selector, fields, served, timeoutMs, ask))
+      fetch = (served, ask) => {
+        val (docs, bm) = page(dbUrl, selector, fields, served, timeoutMs, ask, bookmark)
+        bookmark = bm
+        docs
+      })
+  }
 
   /** Extracts the `docs` array of a `_find` response, each document
     * re-serialized verbatim (streaming copy, no tree built). */
-  private[mongo] def docsOf(responseJson: String): Seq[String] = {
+  private[mongo] def docsOf(responseJson: String): Seq[String] =
+    pageOf(responseJson)._1
+
+  /** Extracts the `docs` array plus the response's `bookmark` cursor.
+    * CouchDB sends the literal string `"nil"` when no cursor exists
+    * (and some proxies send `""`) — both normalize to None so the
+    * cursor falls back to skip-stride instead of POSTing a bookmark the
+    * server would reject. */
+  private[mongo] def pageOf(responseJson: String): (Seq[String], Option[String]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bookmark: Option[String] = None
     val f = new JsonFactory()
     val p = f.createParser(responseJson)
     try {
@@ -130,11 +156,15 @@ object CouchFind {
               gen.close()
               out += sw.toString
             }
+          case "bookmark" =>
+            if (p.nextToken() == JsonToken.VALUE_STRING)
+              bookmark = Some(p.getText).filter(b => b.nonEmpty && b != "nil")
+            else p.skipChildren() // null or a non-string shape: no cursor
           case _ =>
             p.nextToken(); p.skipChildren()
         }
       }
     } finally p.close()
-    out.toSeq
+    (out.toSeq, bookmark)
   }
 }

@@ -165,11 +165,21 @@ object MongoFindGen {
     * the shrunk limit (which would re-read early rows and drop the
     * tail). */
   def couchQuery(selectorJson: String, fields: Seq[String], skip: Int,
-                 limit: Option[Int] = None): String = {
+                 limit: Option[Int] = None,
+                 bookmark: Option[String] = None): String = {
     val f = if (fields.isEmpty) ""
             else s""", "fields": [${fields.map(jstr).mkString(", ")}]"""
     val l = limit.map(n => s""", "limit": $n""").getOrElse("")
-    s"""{"selector": $selectorJson, "skip": $skip$f$l}"""
+    // A bookmark REPLACES the skip: CouchDB resumes the cursor at the
+    // bookmark's position, so a skip on top would drop rows relative to
+    // it. Bookmark pagination is O(page) server work where skip-stride is
+    // O(offset) — the cursor prefers it whenever the server offers one
+    // (CouchFind.docs); skip-stride stays the fallback for servers that
+    // omit bookmarks (the reference's protocol, couchdb_extension.ts:84).
+    bookmark match {
+      case Some(b) => s"""{"selector": $selectorJson, "bookmark": ${jstr(b)}$f$l}"""
+      case None    => s"""{"selector": $selectorJson, "skip": $skip$f$l}"""
+    }
   }
 
   /** Aggregation pipeline for the server-side COUNT(+GROUP BY) pushdown —

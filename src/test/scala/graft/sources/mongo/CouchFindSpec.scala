@@ -72,6 +72,65 @@ class CouchFindSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("bookmark pagination: pages 2+ resume at the server's cursor, never by skip") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import scala.jdk.CollectionConverters._
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val posted = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val docs = (0 until 60).map { i =>
+      s"""{"_id":"d$i","type":"Feature","properties":{"name":"p$i"},"geometry":{"type":"Point","coordinates":[$i,1]}}"""
+    }
+    // An honest bookmark server: the opaque cursor encodes the resume
+    // offset; a request carrying BOTH skip and bookmark would double-skip
+    // (CouchDB resumes at the bookmark, then skips on top) — modeled here
+    // so the client's omit-skip contract is actually load-bearing.
+    server.createContext("/db/_find", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        posted.add(body)
+        val bm = """"bookmark": "g1-(\d+)"""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+        val skip = """"skip": (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+        val from = bm.getOrElse(0) + skip
+        val page = docs.slice(from, from + CouchFind.PageSize)
+        val resp =
+          s"""{"docs":[${page.mkString(",")}],"bookmark":"g1-${from + page.size}"}"""
+            .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/db"
+      val got = CouchFind.docs(base, "{}", Nil, timeoutMs = 5000).toVector
+      assert(got.size == 60)
+      assert(got == docs.toVector)
+      val bodies = posted.asScala.toVector
+      assert(bodies.size == 3, bodies.mkString("\n")) // 25 + 25 + 10
+      // page 1 opens with skip-stride (no cursor exists yet)
+      assert(bodies(0).contains(""""skip": 0"""), bodies(0))
+      assert(!bodies(0).contains("bookmark"), bodies(0))
+      // pages 2+ carry the previous response's bookmark and NO skip at
+      // all — zero skip growth is the O(page)-server-work contract
+      assert(bodies(1).contains(""""bookmark": "g1-25""""), bodies(1))
+      assert(bodies(2).contains(""""bookmark": "g1-50""""), bodies(2))
+      assert(!bodies(1).contains("skip") && !bodies(2).contains("skip"),
+        bodies.mkString("\n"))
+    } finally server.stop(0)
+  }
+
+  test("pageOf: bookmark extraction tolerates nil, empty, null and non-string shapes") {
+    assert(CouchFind.pageOf("""{"docs":[{"a":1}],"bookmark":"g1AAAA"}""") ==
+      (Seq("""{"a":1}"""), Some("g1AAAA")))
+    assert(CouchFind.pageOf("""{"docs":[],"bookmark":"nil"}""")._2.isEmpty)
+    assert(CouchFind.pageOf("""{"docs":[],"bookmark":""}""")._2.isEmpty)
+    assert(CouchFind.pageOf("""{"docs":[],"bookmark":null}""")._2.isEmpty)
+    // a malformed bookmark shape must not desync the docs parse
+    assert(CouchFind.pageOf("""{"bookmark":{"x":1},"docs":[{"b":2}]}""") ==
+      (Seq("""{"b":2}"""), None))
+  }
+
   test("spatial WHERE travels as a Mango coordinate-range clause and cuts pages") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     import scala.jdk.CollectionConverters._
