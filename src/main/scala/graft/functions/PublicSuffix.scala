@@ -22,17 +22,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - registered domain = public suffix plus ONE more label; a host that
   *    IS a public suffix has no registered domain.
   *
-  * [[snapshotRules]] is a CURATED OFFLINE SNAPSHOT of the list — the
-  * major ccTLD second-level registries (ICANN section) plus the famous
-  * shared-hosting suffixes (private section: `github.io`,
-  * `blogspot.com`, …), not the full ~15k-rule file (this build has no
-  * network egress to fetch one). Unlisted suffixes fall back to the
-  * default rule, i.e. the old last-two-labels behavior — strictly no
-  * worse than the heuristic this replaces. Deployments that need the
-  * complete current list construct a [[PublicSuffix.Matcher]] from it
-  * and pass it to [[graft.operators.TextAnalysis.urlDomain]]'s rules
-  * overload; the matcher is a few string-interned hash sets, broadcast
-  * implicitly inside the serialized expression.
+  * The DEFAULT matcher compiles the FULL publicsuffix.org snapshot
+  * bundled at `graft/public_suffix_list.dat` (~9.5k rules, MPL 2.0
+  * public data — the OS `publicsuffix` package's copy, checked in as a
+  * resource because this build has no network egress). Unicode IDN
+  * rules are expanded with their punycode (`xn--`) forms at load so
+  * wire-form hosts match them. [[snapshotRules]] — the former default,
+  * a ~200-rule curated subset — remains only as the fallback when the
+  * resource is absent from a repackaged jar. Deployments tracking a
+  * NEWER list than the bundled snapshot construct a
+  * [[PublicSuffix.Matcher]] from its lines and pass it to
+  * [[graft.operators.TextAnalysis.urlDomain]]'s rules overload; the
+  * matcher is a few string-interned hash sets, broadcast implicitly
+  * inside the serialized expression.
+  *
+  * KEY STABILITY: the registered domain is a GROUPING KEY. Hosts under
+  * suffixes the compiled list doesn't know fall back to last-two-labels,
+  * so swapping rule sets (curated → full, or bundled → newer snapshot)
+  * silently migrates the keys of affected hosts. Long-lived per-domain
+  * artifacts (dedup indexes, blocklists, per-domain stats) must pin the
+  * rules they were built with — pass that pinned set to the `rules`
+  * overload rather than relying on the library default across upgrades.
   *
   * Punycode note: matching is exact on the byte form of the host —
   * IDN hosts must be punycoded (as they are on the wire and in the
@@ -105,7 +115,37 @@ object PublicSuffix {
 
   type Matcher = PslMatcher
 
-  val default: PslMatcher = new PslMatcher(snapshotRules)
+  /** The bundled full-list snapshot's rule lines (comments pre-stripped,
+    * entries cut at the first whitespace per the PSL format spec), each
+    * Unicode IDN rule followed by its punycode form. Empty when the
+    * resource is missing (a repackaged jar) — [[default]] then falls
+    * back to [[snapshotRules]]. */
+  lazy val fullRules: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in == null) Seq.empty
+    else try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.takeWhile(!_.isWhitespace)) // PSL spec: entry ends at first whitespace
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .flatMap(punycodeForms)
+        .toVector
+    } finally in.close()
+  }
+
+  /** The rule plus its punycoded form when they differ — hosts arrive
+    * punycoded on the wire while the PSL lists IDN rules in Unicode. */
+  private def punycodeForms(rule: String): Seq[String] = {
+    val (prefix, name) =
+      if (rule.startsWith("!")) ("!", rule.substring(1))
+      else if (rule.startsWith("*.")) ("*.", rule.substring(2))
+      else ("", rule)
+    val ascii =
+      try java.net.IDN.toASCII(name) catch { case _: IllegalArgumentException => name }
+    if (ascii == name) Seq(rule) else Seq(rule, prefix + ascii)
+  }
+
+  val default: PslMatcher =
+    new PslMatcher(if (fullRules.nonEmpty) fullRules else snapshotRules)
 
   /** Static kernel behind the `registered_domain` expression (codegen
     * dispatch — see [[GeoKernel]] and [[RegisteredDomain]]'s

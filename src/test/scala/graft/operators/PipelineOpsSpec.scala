@@ -69,6 +69,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.toSeq == cases.map(c => (c._2, c._3)), got.toSeq)
   }
 
+  test("default matcher compiles the full bundled publicsuffix.org snapshot") {
+    import graft.functions.PublicSuffix
+    // the resource loaded (not the curated fallback): ~9.5k entries, plus
+    // punycode expansions of the Unicode IDN rules
+    assert(PublicSuffix.fullRules.size > 9000, PublicSuffix.fullRules.size)
+    val m = PublicSuffix.default
+    // ICANN rules ABSENT from the curated fallback set
+    assert(m.registeredDomain("shop.acme.com.gh") == "acme.com.gh")
+    assert(m.registeredDomain("a.b.co.zw") == "b.co.zw")
+    // *.jp geographic wildcard + its city exception
+    assert(m.registeredDomain("www.x.chuo.kobe.jp") == "x.chuo.kobe.jp")
+    assert(m.registeredDomain("www.city.kobe.jp") == "city.kobe.jp")
+    // private-section rules absent from the fallback: each CDN/tenant
+    // host is its own registrable domain
+    assert(m.registeredDomain("d1111.cloudfront.net") == "d1111.cloudfront.net")
+    assert(m.registeredDomain("a.d1111.cloudfront.net") == "d1111.cloudfront.net")
+    // Unicode IDN rule matched through its punycode form (公司.cn =
+    // xn--55qx5d.cn — wire-form hosts are punycoded)
+    assert(m.registeredDomain("shop.foo.xn--55qx5d.cn") == "foo.xn--55qx5d.cn")
+    // ...and through its Unicode form for callers that didn't punycode
+    assert(m.registeredDomain("shop.foo.公司.cn") == "foo.公司.cn")
+    // last-two-labels fallback still applies to suffixes the list lacks
+    assert(m.registeredDomain("a.b.madeup-tld") == "b.madeup-tld")
+  }
+
   test("urlDomain custom PSL rules and the registered_domain SQL surface") {
     import spark.implicits._
     graft.Graft.register(spark)
