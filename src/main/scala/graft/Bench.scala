@@ -25,6 +25,31 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
 
+    // CPU-bound calibration: `cpus` parallel threads each run a FIXED
+    // iteration count of a pure-register loop; the wall time inflates in
+    // proportion to external box load. Timed before and after the suite
+    // and published as load_factor = mean(cal) / CalQuietSec, so a reader
+    // can normalize a contended run without a quiet-box re-run (round 9
+    // nearly shipped a false 2.3x regression story for want of this).
+    def calibrate(threads: Int): Double = {
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { s =>
+        val th = new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + s
+          var i = 0
+          while (i < 80 * 1000 * 1000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          }
+          sink.addAndGet(x) // defeat dead-code elimination
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calBefore = calibrate(cpus.toInt)
+
     // warmup: registers views, loads classes, compiles first codegen stages
     SparkEntry.init(spark, sfDir)
     spark.sql("SELECT count(*) FROM lineitem").collect()
@@ -72,12 +97,20 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _._1 + "\"").mkString(""","failed":[""", ",", "]")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    val calAfter = calibrate(cpus.toInt)
+    // Pinned quiet-box time for calibrate(32) on the build machine (32
+    // hw threads; measured best-of-3 while idle). load_factor ~1.0 means
+    // an uncontended run; k means CPU time was ~k x scarcer — divide the
+    // totals by it before comparing across runs or against BASELINE.
+    val CalQuietSec = 0.28
+    val loadFactor = ((calBefore + calAfter) / 2) / CalQuietSec
+    def lf3(v: Double): String = ms3(v)
+    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","load_factor":${lf3(loadFactor)},"queries":$qs$failedJson,"sf":"$sfDir"}"""
     // sidecar with the untruncated numbers, self-contained per run
     // (BENCH_rN.json artifacts historically lost the front of the map)
     val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$failedJson,"sf":"$sfDir","runs":$runs}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","load_factor":$loadFactor,"cal_before_sec":$calBefore,"cal_after_sec":$calAfter,"cal_quiet_sec":$CalQuietSec,"queries":$fullQs$failedJson,"sf":"$sfDir","runs":$runs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line
