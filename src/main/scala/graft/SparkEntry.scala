@@ -1459,6 +1459,25 @@ object SparkEntry {
         .select(col("embedding")).head.getSeq[Float](0).toArray
       operators.Pq.searchTopK(codes, "vec_id", "codes", model, q, 20)
     }),
+    // IVF-PQ end-to-end serving path (write → centroid-partition prune →
+    // ADC), oracle-gated via the DEGENERATE EXACT configuration: m=1
+    // with a codebook ≥ the sub-corpus makes every vector its own
+    // centroid (ADC distance ≡ exact squared L2) and full probe scans
+    // every partition — so the routed+ADC result equals brute force and
+    // plain SQL replays it. vec_id < 200 pins the sub-corpus at every
+    // SF; IvfSpec/PqSpec pin the pruning and approximate regimes.
+    "q_ivf_pq" -> ((spark, dir) => {
+      init(spark, dir)
+      val emb = spark.table("embeddings").where(col("vec_id") < 200)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      operators.Ivf.writeIndexedPq(emb, "vec_id", "embedding", path,
+        pqM = 1, pqK = 256, k = 4)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      operators.Ivf.topKPq(spark, path, "vec_id", q, n = 10, nprobe = 4)
+        .select(col("vec_id").as("id"), col("adc_dist"))
+        .localCheckpoint(true) // the temp store may be reclaimed later
+    }),
     // SemDeDup (Abbas et al. 2023): semantic dedup over the embedding
     // corpus — k-means clusters, within-cluster cosine collapse, keep
     // the most-peripheral member. Planted duplicates (the q_embed_dedup
@@ -2361,6 +2380,19 @@ object SparkEntry {
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(string_split(a.text, ' '), string_split(b.text, ' '))) AS DOUBLE) / len(list_distinct(list_concat(string_split(a.text, ' '), string_split(b.text, ' ')))), 4) AS jac FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1",
     "q_ann_bruteforce" ->
       "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e ORDER BY cosine DESC, id LIMIT 10",
+    // exact squared L2 to the vec_id=0 query over the pinned sub-corpus:
+    // what the degenerate IVF-PQ configuration computes through the
+    // centroid-partitioned store + ADC table (1-based lambda index in
+    // DuckDB list_transform matches the 1-based list element access)
+    "q_ivf_pq" ->
+      """SELECT e.vec_id AS id,
+        |       round(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+        |             (x, i) -> (x - q.emb[i]) * (x - q.emb[i]))), 6) AS adc_dist
+        |FROM embeddings e
+        |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id < 200
+        |ORDER BY adc_dist, id LIMIT 10""".stripMargin,
     // Brute-force top-10 over the planted-neighbor corpus — equals the LSH
     // result because every true top-10 member is a planted near-copy of the
     // query (cosine ≥ 0.9998) whose bucket lies within one probe of the

@@ -41,7 +41,8 @@ object Ivf {
   def writeIndexed(df: DataFrame, idCol: String, vecCol: String, path: String,
                    k: Int = 0, maxIter: Int = 10,
                    trainSampleSize: Int = 100000,
-                   maxPartitionRows: Long = 1000000L): Unit = {
+                   maxPartitionRows: Long = 1000000L,
+                   dropCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     Graft.register(spark)
     import org.apache.spark.ml.clustering.KMeans
@@ -103,7 +104,8 @@ object Ivf {
       // co-locate each (cluster, subpart) in one task before partitionBy:
       // without this every write task emits a file into every partition dir
       // (tasks × k small files — the scan-side death of the layout)
-      withSub.repartition(col("cluster"), col("subpart"))
+      withSub.drop(dropCols: _*) // routing needed vecCol; the files may not
+        .repartition(col("cluster"), col("subpart"))
         .write.mode("overwrite").partitionBy("cluster", "subpart").parquet(path)
     } finally assigned.unpersist()
 
@@ -113,6 +115,84 @@ object Ivf {
     import spark.implicits._
     centers.toSeq.toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$CentroidDir")
+  }
+
+  private val PqDir = "_graft_pq" // PQ codebooks sidecar (invisible to readers)
+
+  /** IVF-PQ (the FAISS IndexIVFPQ composition): trains a [[Pq]] model,
+    * encodes every vector to its m-byte code, and writes the corpus in
+    * the IVF centroid-partitioned layout with the CODES as the payload —
+    * a query prunes to `nprobe` centroid partitions at the file listing
+    * and scores survivors by ADC table lookups, never touching floats.
+    *
+    * `keepVectors=false` (the 100 TB shape) drops the float vectors from
+    * the data files — storage is m bytes + id per row, and exact
+    * rescoring is left to a separate id-join against the raw corpus
+    * ([[Ann]]); `true` keeps them alongside for in-place rescoring.
+    *
+    * The PQ codebooks persist next to the centroids (`_graft_pq`), so
+    * serving needs only the path. Returns the trained model for callers
+    * that encode queries in the same session. */
+  def writeIndexedPq(df: DataFrame, idCol: String, vecCol: String, path: String,
+                     pqM: Int, pqK: Int = 256, k: Int = 0, maxIter: Int = 10,
+                     trainSampleSize: Int = 100000,
+                     maxPartitionRows: Long = 1000000L,
+                     keepVectors: Boolean = false,
+                     pqTrainVecs: Int = 100000, pqIters: Int = 15): Pq.Model = {
+    val spark = df.sparkSession
+    val pq = Pq.train(df, idCol, vecCol, pqM, pqK, pqTrainVecs, pqIters)
+    val codes = Pq.encode(df, idCol, vecCol, pq)
+    // one equi-join on the id (broadcast when codes are small; AQE picks)
+    // — encode is map-only, so at scale prefer fusing via select; the
+    // join keeps arbitrary payload columns of df intact
+    val withCodes = df.join(codes, Seq(idCol))
+    writeIndexed(withCodes, idCol, vecCol, path, k, maxIter,
+      trainSampleSize, maxPartitionRows,
+      dropCols = if (keepVectors) Nil else Seq(vecCol))
+    import spark.implicits._
+    val rows = for {
+      s <- pq.codebooks.indices
+      c <- pq.codebooks(s).indices
+    } yield (s, c, pq.codebooks(s)(c).toSeq, pq.dim, pq.m)
+    rows.toDF("s", "c", "centroid", "dim", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$PqDir")
+    pq
+  }
+
+  /** Loads the PQ codebooks persisted by [[writeIndexedPq]]. */
+  def loadPqModel(spark: SparkSession, path: String): Pq.Model = {
+    val rows = spark.read.parquet(s"$path/$PqDir").collect()
+    require(rows.nonEmpty, s"no PQ model at $path/$PqDir")
+    val dim = rows.head.getInt(3)
+    val m = rows.head.getInt(4)
+    val byS = rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+    val books = (0 until m).map { s =>
+      byS(s).sortBy(_._2).map(_._3).toVector
+    }.toVector
+    Pq.Model(dim, m, books)
+  }
+
+  /** ADC top-`n` over the `nprobe` nearest centroid partitions of a
+    * [[writeIndexedPq]] store — IVF partition pruning at the file
+    * listing, then [[Pq.searchTopK]]'s broadcast-table scoring on the
+    * surviving codes. With full probe and a degenerate-exact model
+    * (m=1, codebook ≥ distinct vectors) this IS brute-force squared-L2
+    * top-k — the oracle-gated configuration (q_ivf_pq). */
+  def topKPq(spark: SparkSession, path: String, idCol: String,
+             query: Array[Float], n: Int, nprobe: Int = 4): DataFrame = {
+    val model = loadPqModel(spark, path)
+    val centroids = spark.read.parquet(s"$path/$CentroidDir")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val probeIds = centroids
+      .map { case (id, c) => (id, cosine(c, query)) }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(math.min(nprobe, centroids.length))
+      .map(_._1)
+    val scan = spark.read.parquet(path)
+      .where(col("cluster").isin(probeIds.toIndexedSeq: _*)) // partition pruning
+    Pq.searchTopK(scan, idCol, "codes", model, query, n)
   }
 
   /** Top-k by exact cosine over the `nprobe` partitions whose centroids are

@@ -171,10 +171,17 @@ object Pq {
                  model: Model, query: Array[Float], n: Int): DataFrame = {
     require(query.length == model.dim, s"query dim ${query.length} != ${model.dim}")
     val dsub = model.dsub
+    // double arithmetic per term (floats widen exactly): the sequential
+    // double sum is bit-identical to the SQL oracle's CAST(... AS
+    // DOUBLE[]) replay, where float-precision terms drift within the
+    // round-to-6 granularity
     val table: Array[Array[Double]] = Array.tabulate(model.m) { s =>
       model.codebooks(s).map { cen =>
         var d = 0.0; var j = 0
-        while (j < dsub) { val t = query(s * dsub + j) - cen(j); d += t * t; j += 1 }
+        while (j < dsub) {
+          val t = query(s * dsub + j).toDouble - cen(j).toDouble
+          d += t * t; j += 1
+        }
         d
       }.toArray
     }

@@ -59,6 +59,44 @@ class IvfSpec extends SparkTestBase {
     assert(centroids == expected, s"n=$n expected=$expected centroids=$centroids")
   }
 
+  test("IVF-PQ: codes-only store, centroid pruning, degenerate full probe = brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val sub = embs.where($"vec_id" < 200).select($"vec_id", $"embedding")
+    // degenerate-exact PQ (m=1, codebook >= corpus): ADC == exact sq L2
+    val model = Ivf.writeIndexedPq(sub, "vec_id", "embedding", path,
+      pqM = 1, pqK = 256, k = 4, maxIter = 3)
+    assert(model.m == 1 && model.k == 200) // every vector its own centroid
+    // the 100 TB shape: data files carry (id, codes), NOT the float vectors
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.toSet == Set("vec_id", "codes", "cluster", "subpart"),
+      stored.columns.mkString(","))
+    // the persisted model round-trips
+    val loaded = Ivf.loadPqModel(spark, path)
+    assert(loaded.dim == model.dim && loaded.m == model.m &&
+      loaded.codebooks.map(_.map(_.toSeq)) == model.codebooks.map(_.map(_.toSeq)))
+
+    val q = sub.where($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+    // partial probe prunes centroid partitions at the file listing
+    val pruned = Ivf.topKPq(spark, path, "vec_id", q, n = 5, nprobe = 1)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cluster"), p)
+    assert(pruned.collect().head.getLong(0) == 0L) // own partition has the query
+
+    // full probe + degenerate model: exactly brute-force squared L2
+    val got = Ivf.topKPq(spark, path, "vec_id", q, n = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = sub.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j).toDouble - q(j).toDouble; d += t * t; j += 1 }
+      (r.getLong(0), BigDecimal(d) // Spark round() semantics: HALF_UP
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(got == brute, s"\ngot  $got\nwant $brute")
+  }
+
   test("full-probe IVF equals brute force (pruning is the only approximation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toFile
     dir.deleteOnExit()
