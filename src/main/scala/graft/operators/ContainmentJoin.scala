@@ -40,12 +40,13 @@ import org.apache.spark.sql.functions._
   * (containment over an empty probe set is undefined). Ids must be
   * unique per side and the two id column names must differ.
   *
-  * CACHE NOTE (the pageRank/dbscan convention): both token-set frames
-  * materialize EAGERLY at call time (each is referenced by two plan
-  * branches — lazy evaluation would tokenize+hash+sort every document
-  * twice) and join the shared [[Dedup.releaseCaches]] registry. Consume
-  * the result before draining that registry: a released checkpoint
-  * block cannot be recomputed (lineage is truncated by design).
+  * CACHE NOTE: both token-set frames materialize EAGERLY at call time
+  * (each is referenced by two plan branches — lazy evaluation would
+  * tokenize+hash+sort every document twice). The RESULT is eagerly
+  * materialized too and the intermediates are released before
+  * returning, so a later [[Dedup.releaseCaches]] cannot strand the
+  * returned frame on dropped checkpoint blocks (the dbscan convention —
+  * the lazy-result shape invited exactly that mistake).
   */
 object ContainmentJoin {
 
@@ -107,12 +108,16 @@ object ContainmentJoin {
     val cand = prefix.join(rIndex, "__h")
       .select("__lid", "__rid")
       .dropDuplicates("__lid", "__rid")
-    cand.join(l.select(col("__lid"), col("__lset")), "__lid")
+    val res = cand.join(l.select(col("__lid"), col("__lset")), "__lid")
       .join(r, "__rid")
       .withColumn("__c",
         call_function("containment_sorted", col("__lset"), col("__rset")))
       .where(col("__c") >= threshold)
       .select(col("__lid").as(leftId), col("__rid").as(rightId),
         round(col("__c"), 4).as("containment"))
+      .localCheckpoint(true) // self-contained: survives releaseCaches
+    l.unpersist(blocking = false)
+    r.unpersist(blocking = false)
+    res
   }
 }

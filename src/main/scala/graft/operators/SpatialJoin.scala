@@ -263,11 +263,37 @@ object SpatialJoin {
     * Result: `(idCol, role ∈ core|border|noise, cluster)`. Ids must be
     * unique; null geometries are noise. Distance is planar ST_Distance
     * (`eps`-inclusive), deterministic — the DuckDB oracle replays the
-    * whole construction, recursive closure included. */
+    * whole construction, recursive closure included.
+    *
+    * The returned frame is eagerly materialized (it is |points| rows —
+    * small next to the eps-join), and the operator's own intermediates
+    * are released before returning, so [[Dedup.releaseCaches]] at ANY
+    * later point cannot strand the result on dropped checkpoint blocks.
+    *
+    * Parameter sweeps (the practical DBSCAN workflow — minPts is tuned,
+    * eps fixed): compute [[epsPairs]] ONCE and call [[dbscanFromPairs]]
+    * per minPts — the eps self-join (the dominant cost) runs once for
+    * the whole sweep. The caller owns the pairs frame's lifetime. */
   def dbscan(df: DataFrame, idCol: String, geomCol: String,
              eps: Double, minPts: Int, cellSize: Double = 0.0): DataFrame = {
+    val pairs = epsPairs(df, idCol, geomCol, eps, cellSize)
+    val res = dbscanFromPairs(df, idCol, geomCol, pairs, minPts)
+      .localCheckpoint(true)
+    pairs.unpersist(blocking = false) // res no longer references the blocks
+    res
+  }
+
+  /** The eps-neighborhood self-join [[dbscanFromPairs]] consumes:
+    * `(__ida, __idb)` for every pair within `eps` (self-pairs included —
+    * the |N_eps(p)| core test counts the point itself). Grid-bucketed,
+    * no cartesian; eagerly materialized (it is read three times per
+    * DBSCAN pass and once per sweep point) and registered with
+    * [[Dedup.track]], so a caller that didn't keep the handle can still
+    * reclaim the blocks via releaseCaches — AFTER its sweep results are
+    * materialized or discarded. */
+  def epsPairs(df: DataFrame, idCol: String, geomCol: String,
+               eps: Double, cellSize: Double = 0.0): DataFrame = {
     require(eps > 0.0, s"eps must be positive, got $eps")
-    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     val pts = df.select(col(idCol).as("__id"), col(geomCol).as("__g"))
       .where(col("__g").isNotNull)
     val pairs = distanceJoin(
@@ -275,10 +301,19 @@ object SpatialJoin {
         pts.select(col("__id").as("__idb"), col("__g").as("__gb")), "__gb",
         eps, cellSize)
       .select("__ida", "__idb")
-      // referenced 3x below (counts, edges, borders) — materialized once;
-      // tracked so releaseCaches can drop the checkpoint blocks
       .localCheckpoint(true)
     Dedup.track(pairs)
+  }
+
+  /** DBSCAN labeling over a PRECOMPUTED eps-neighborhood pair frame
+    * (from [[epsPairs]], or any `(__ida, __idb)` frame with the same
+    * contract). Lazy — the result references `pairs`, whose lifetime
+    * the caller owns; materialize sweep results before releasing it. */
+  def dbscanFromPairs(df: DataFrame, idCol: String, geomCol: String,
+                      pairs: DataFrame, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = df.select(col(idCol).as("__id"), col(geomCol).as("__g"))
+      .where(col("__g").isNotNull)
     val core = pairs.groupBy("__ida").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minPts)
       .select(col("__ida").as("__core"))

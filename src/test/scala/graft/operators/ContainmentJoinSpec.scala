@@ -55,6 +55,22 @@ class ContainmentJoinSpec extends SparkTestBase {
     assert(run(left, right, 0.9) == Set((1L, 10L, 1.0)))
   }
 
+  test("result is self-contained: survives a releaseCaches before consumption") {
+    // the round-9 advice trap: join() checkpoints its token-set frames
+    // into the shared registry; draining it before consuming the result
+    // used to fail unrecoverably. The result is now materialized and the
+    // intermediates released inside join().
+    val full = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val frag = Seq(2L -> "beta delta zeta")
+    import spark.implicits._
+    val res = ContainmentJoin.join(
+      frag.toDF("lid", "text"), "lid", "text",
+      full.toDF("rid", "text"), "rid", "text", 0.99)
+    graft.operators.Dedup.releaseCaches()
+    assert(res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet == Set((2L, 1L, 1.0)))
+  }
+
   test("prefix length survives floating-point thresholds (t*n rounding)") {
     // t=0.07, n=100: fl(0.07*100) = 7.000000000000001 -> ceil = 8, yet a
     // pair sharing exactly 7 tokens PASSES the refine (7/100.0 >= 0.07).

@@ -192,5 +192,29 @@ class SpatialJoinSpec extends SparkTestBase {
     // validation
     intercept[IllegalArgumentException] { SpatialJoin.dbscan(df, "id", "geom", 0.0, 3) }
     intercept[IllegalArgumentException] { SpatialJoin.dbscan(df, "id", "geom", 1.0, 0) }
+
+    // minPts SWEEP over one eps-join: the pairs frame computes once and
+    // both sweep points consume the checkpointed blocks — their plans
+    // scan an ExistingRDD and contain NO grid spatial join
+    val pairs = SpatialJoin.epsPairs(df, "id", "geom", eps)
+    Seq(minPts, 8).foreach { mp =>
+      val sweep = SpatialJoin.dbscanFromPairs(df, "id", "geom", pairs, mp)
+      val p = sweep.queryExecution.executedPlan.toString
+      assert(p.contains("ExistingRDD") && !p.contains("grid_cell_id"), p)
+      val sweepRows = sweep.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val full = SpatialJoin.dbscan(df, "id", "geom", eps, mp)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(sweepRows == full, s"minPts=$mp")
+    }
+    pairs.unpersist()
+
+    // the one-arg dbscan result is SELF-CONTAINED: draining the shared
+    // cache registry after the call must not strand it (the round-9
+    // advice trap — a released checkpoint block cannot be recomputed)
+    val safe = SpatialJoin.dbscan(df, "id", "geom", eps, minPts)
+    graft.operators.Dedup.releaseCaches()
+    assert(safe.count() == points.size.toLong)
   }
 }
