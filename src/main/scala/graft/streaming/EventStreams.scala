@@ -417,6 +417,67 @@ object EventStreams {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  case class RetentionEvent(user_id: Long, ts: Timestamp)
+  case class RetentionState(cohort: Long, pending: List[Long])
+  case class RetentionEmit(cohort: Long, period_index: Long)
+
+  /** Streaming cohort retention — the [[retentionCohorts]] matrix's
+    * emission layer on a live stream: one `(cohort, period_index)` row
+    * per (user, active period), append mode, emitted exactly once when
+    * the watermark finalizes that period. `SUM(active_users) GROUP BY
+    * cohort, period_index` over these rows (or a collect in a test
+    * sink) IS the batch matrix — the one-definition discipline of
+    * streamingSessionize/streamingFunnel.
+    *
+    * Finality argument: the watermark filter drops any event with
+    * `ts < wm`, so every arriving event has period ≥ ⌊wm/period⌋
+    * (`wmPeriod`). A pending period `p < wmPeriod` can therefore never
+    * gain earlier company — and the user's cohort (min period seen,
+    * cohort ≤ p) is equally frozen — so `(cohort, p - cohort)` is final
+    * and emits. Pending periods ≥ wmPeriod wait on a timeout at the
+    * next period boundary past the earliest of them.
+    *
+    * State per user: one long (the cohort — retained for the stream's
+    * lifetime by design: a user active in month 12 must still index off
+    * month 0) plus the pending set, bounded by the watermark horizon ÷
+    * periodSeconds. */
+  def streamingRetention(events: DataFrame,
+                         watermarkDelay: String = "1 hour",
+                         periodSeconds: Long = 86400L): Dataset[RetentionEmit] = {
+    require(periodSeconds >= 1, s"periodSeconds must be >= 1, got $periodSeconds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def periodOf(tMs: Long): Long =
+      Math.floorDiv(Math.floorDiv(tMs, 1000L), periodSeconds)
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .as[RetentionEvent]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionEmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, evs: Iterator[RetentionEvent], state: GroupState[RetentionState]) =>
+          var s = state.getOption.getOrElse(RetentionState(Long.MaxValue, Nil))
+          evs.foreach { e =>
+            val p = periodOf(e.ts.getTime)
+            if (p < s.cohort) s = s.copy(cohort = p)
+            if (!s.pending.contains(p)) s = s.copy(pending = p :: s.pending)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val wmPeriod = periodOf(wm)
+          val (ready, rest) = s.pending.partition(_ < wmPeriod)
+          state.update(s.copy(pending = rest))
+          if (rest.nonEmpty) {
+            // fire when the earliest open period's boundary passes the
+            // watermark, so quiescent streams still flush
+            val target = (rest.min + 1) * periodSeconds * 1000L
+            state.setTimeoutTimestamp(math.max(target, wm + 1))
+          }
+          ready.sorted.map(p => RetentionEmit(s.cohort, p - s.cohort)).iterator
+      }
+  }
+
   /** Sessionize: per-user session ids from gaps > `gapMinutes` (batch
     * analytics variant using a window function; the streaming variant above
     * uses identical gap logic). */

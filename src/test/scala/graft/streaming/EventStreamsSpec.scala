@@ -194,6 +194,60 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("streamingRetention emits the batch matrix as the watermark finalizes periods") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    // periods = minutes; 2-minute watermark so an out-of-order earlier
+    // event can still correct a cohort across batches
+    val query = EventStreams.streamingRetention(events,
+        watermarkDelay = "2 minutes", periodSeconds = 60L)
+      .writeStream.format("memory").queryName("ret_stream")
+      .outputMode("append").start()
+    def t(min: Long, s: Long = 0) = new Timestamp((min * 60 + s) * 1000L)
+    try {
+      input.addData((1L, t(0)), (2L, t(0, 30)), (1L, t(0, 45)))
+      query.processAllAvailable()
+      // u4 arrives OUT OF ORDER: period 3 first...
+      input.addData((4L, t(3)))
+      query.processAllAvailable()
+      // ...then its true first event (period 1, still inside the 2-min
+      // horizon) — the cohort must correct to 1 before anything emits
+      input.addData((2L, t(1, 20)), (4L, t(1, 10)))
+      query.processAllAvailable()
+      input.addData((1L, t(2)), (3L, t(2, 5)))
+      query.processAllAvailable()
+      // sentinels push the watermark: finalize periods 0..3, then 10
+      input.addData((99L, t(10)))
+      query.processAllAvailable()
+      input.addData((99L, t(20)))
+      query.processAllAvailable()
+      input.addData((99L, t(40)))
+      query.processAllAvailable()
+      val got = spark.table("ret_stream")
+        .groupBy("cohort", "period_index").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = Map(
+        (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, // u1, u2 cohort 0
+        (1L, 0L) -> 1L, (1L, 2L) -> 1L,                 // u4: corrected cohort
+        (2L, 0L) -> 1L,                                 // u3
+        (10L, 0L) -> 1L, (10L, 10L) -> 1L)              // sentinel's periods
+      assert(got == want, got)
+      // exactly-once: no (user, period) emitted twice
+      assert(spark.table("ret_stream").count() == want.values.sum)
+      // one-definition parity: the batch matrix over the real users is
+      // the same map (minus the sentinel rows the stream hasn't
+      // finalized past period 10)
+      val realEvents = Seq((1L, t(0)), (2L, t(0, 30)), (1L, t(0, 45)),
+        (4L, t(3)), (2L, t(1, 20)), (4L, t(1, 10)), (1L, t(2)), (3L, t(2, 5)))
+        .toDF("user_id", "ts")
+      val batch = EventStreams.retentionCohorts(realEvents, "user_id", "ts", 60L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(batch == want - ((10L, 0L)) - ((10L, 10L)), batch)
+    } finally query.stop()
+  }
+
   test("sessionize splits on gaps") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:00:00")),
