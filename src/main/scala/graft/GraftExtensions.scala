@@ -199,6 +199,7 @@ object Graft {
     desc("bottomk_agg", es => TopKAgg(es(0), Cast(es(1), IntegerType),
       reverse = true).toAggregateExpression()),
     u("lang_id", LangId, StringType),
+    u("lang_id_nb", LangIdNb, StringType),
     // PSL registered-domain of a bare host (bundled snapshot — see
     // PublicSuffix.scala; TextAnalysis.urlDomain layers URL parsing +
     // NULLIF on top). The optional second argument is a FOLDABLE string

@@ -104,6 +104,11 @@ case class LangId(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+case class LangIdNb(child: Expression)
+    extends GeoUnary("TextOps.langIdNb", StringType, StringType) {
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 case class DupLineFraction(child: Expression)
     extends GeoUnary("TextOps.dupLineFraction", StringType, DoubleType) {
   override protected def withNewChildInternal(c: Expression) = copy(c)

@@ -483,6 +483,13 @@ object TextOps {
       "nl" -> set("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn", "met", "voor", "niet", "aan"))
   }
 
+  /** Char-n-gram Naive Bayes language ID over 28 languages — the real
+    * model behind `lang_id_nb` (see [[LangNb]]; the table is a JVM-wide
+    * lazy val, so the codegen'd static call scores map-only with no
+    * serialized state). */
+  def langIdNb(text: UTF8String): UTF8String =
+    UTF8String.fromString(LangNb.predict(text.toString))
+
   /** N-gram/stopword-heuristic language ID; "und" when nothing matches. */
   def langId(text: UTF8String): UTF8String = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)

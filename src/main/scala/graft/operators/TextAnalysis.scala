@@ -19,6 +19,12 @@ object TextAnalysis {
 
   def langId(text: Column): Column = call_function("lang_id", text)
 
+  /** Char-n-gram Naive Bayes language ID, 28 languages / 9 scripts
+    * (graft.functions.LangNb) — prefer over the stopword [[langId]] for
+    * routing real multilingual corpora. Codegen'd static call; the
+    * model is a per-JVM lazy table (~4 MB), map-only in plans. */
+  def langIdNb(text: Column): Column = call_function("lang_id_nb", text)
+
   /** Gopher-style repetition signals: fraction of duplicate (trimmed,
     * non-blank) lines, and the most frequent token's share of all tokens.
     * High values flag boilerplate/template documents for removal. */
