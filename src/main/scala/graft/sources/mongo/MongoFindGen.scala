@@ -258,11 +258,21 @@ object MongoFindGen {
     * `$type ∈ [missing, null, object, array]` guard. Supported filter
     * shapes: AND-composed EqualTo / EqualNullSafe / In / IsNull /
     * IsNotNull — the equality family, where TRUE never depends on
-    * three-valued logic. Order/substring predicates and binData-valued
-    * properties stay on the record-transfer path (a binData's base64
-    * rendering has no aggregation-expression equivalent — documented
-    * cut; GeoJSON properties are JSON scalars, which BSON stores
-    * without binData). */
+    * three-valued logic.
+    *
+    * DOCUMENTED CUTS — binData and decimal128 property values: a
+    * binData's base64 rendering has no aggregation-expression
+    * equivalent, and decimal128 has no local rendering contract AT ALL
+    * (the BSON decoder rejects type 0x13, so the record-transfer path
+    * fails loudly on such collections). Filters here treat both as
+    * never-equal to any literal: on a third-party collection storing
+    * e.g. decimal128 1.5, a filtered aggregation SILENTLY omits those
+    * rows where the equivalent transferred scan would error — the one
+    * place the two paths' failure modes differ. GeoJSON properties are
+    * JSON scalars, which this engine's own writer stores without either
+    * type, so the cut is reachable only through collections written by
+    * other tools; route those through the transfer path (or add a
+    * decimal `$toString` branch once the decoder learns 0x13). */
   def aggMatchExpr(filters: Seq[Filter]): Option[String] = {
     def path(c: String): Option[String] =
       // dots/dollars would change the field-path meaning server-side

@@ -73,6 +73,30 @@ object MongoWire {
     * where the data belongs in a bulk snapshot). */
   val MaxBatches = 4 * 1000 * 1000
 
+  /** Process-wide RTT samples for `nearest` server selection:
+    * (host, port) → (establishment RTT ns, sampled-at ns). A minimal
+    * topology-monitor analog — real drivers keep a background monitor;
+    * here repeated cursor opens (one per scan partition per query)
+    * reuse the probe within [[RttTtlNs]] instead of serially
+    * re-establishing connect+TLS+auth+hello against EVERY member each
+    * time. Staleness is safe: the winner reconnect re-handshakes, and a
+    * failure there evicts the member's sample and fails over. */
+  private val rttCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long)]()
+
+  /** RTT sample lifetime: long enough to amortize across a scan's
+    * partitions, short enough that a topology change (election, member
+    * move) re-measures within a minute. */
+  val RttTtlNs: Long = 60L * 1000L * 1000L * 1000L
+
+  private[mongo] def clearRttCache(): Unit = rttCache.clear()
+
+  /** Test seam: plant a fresh RTT sample, so locality-window selection
+    * can be asserted deterministically (live loopback probes on a
+    * contended box jitter past the 15ms window). */
+  private[mongo] def seedRttSample(host: String, port: Int, rttNs: Long): Unit =
+    rttCache.put((host, port), (rttNs, System.nanoTime()))
+
   private val ZlibCompressorId: Byte = 2
   private val OpMsg = 2013
   private val OpCompressed = 2012
@@ -479,17 +503,25 @@ object MongoWire {
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
       val rtts = scala.collection.mutable.ArrayBuffer.empty[((String, Int), Long)]
       spec.hosts.distinct.foreach { hp =>
-        val t0 = System.nanoTime()
-        try {
-          connect(hp._1, hp._2)
-          handshake(acceptFallback = false)
-          rtts += ((hp, System.nanoTime() - t0))
-          close()
-        } catch {
-          case AbortWalk(cause) => close(); throw cause
-          case e: Exception =>
-            failures += s"${hp._1}:${hp._2}: ${e.getMessage}"
+        val cached = MongoWire.rttCache.get(hp)
+        if (cached != null && System.nanoTime() - cached._2 <= MongoWire.RttTtlNs) {
+          rtts += ((hp, cached._1)) // fresh sample: skip the serial probe
+        } else {
+          val t0 = System.nanoTime()
+          try {
+            connect(hp._1, hp._2)
+            handshake(acceptFallback = false)
+            val rtt = System.nanoTime() - t0
+            rtts += ((hp, rtt))
+            MongoWire.rttCache.put(hp, (rtt, System.nanoTime()))
             close()
+          } catch {
+            case AbortWalk(cause) => close(); throw cause
+            case e: Exception =>
+              failures += s"${hp._1}:${hp._2}: ${e.getMessage}"
+              MongoWire.rttCache.remove(hp)
+              close()
+          }
         }
       }
       // winner, then failover: a member can die between its successful
@@ -511,6 +543,7 @@ object MongoWire {
           case e: Exception =>
             failures += s"${winner._1}:${winner._2} (nearest winner): ${e.getMessage}"
             close()
+            MongoWire.rttCache.remove(winner) // dead member: drop its sample
             remaining --= remaining.filter(_._1 == winner)
         }
       }

@@ -1239,26 +1239,31 @@ class MongoWireSpec extends SparkTestBase {
   }
 
   test("nearest reads from the first member inside the locality window") {
+    MongoWire.clearRttCache()
     val primary = new FakeMongod.Server(featureDocs.take(4))
     val secondary = new FakeMongod.Server(featureDocs.take(4))
     try {
       primary.replicaIdentity = Some(("rs0", true, None))
       secondary.replicaIdentity = Some(("rs0", false, None))
+      // seed DETERMINISTIC samples (live loopback probes jitter past the
+      // 15ms window on a contended box): both equidistant at 1ms vs 5ms
+      // — inside one window, so the tiebreak picks the FIRST in seed
+      // order; neither member is re-probed (fresh cache)
+      MongoWire.seedRttSample("127.0.0.1", secondary.port, 5L * 1000000L)
+      MongoWire.seedRttSample("127.0.0.1", primary.port, 1L * 1000000L)
       val url = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
         "/db/features?readPreference=nearest"
       assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 4)
-      // both members are loopback-equidistant (inside the 15ms window),
-      // so the deterministic tiebreak picks the FIRST in seed order —
-      // the other member sees only the RTT probe's hello, never a read
+      // the slower-but-in-window member wins on seed order — the read
+      // goes there, and the cached samples mean the loser sees NOTHING
       assert(secondary.received.asScala.exists(_.contains("\"find\"")),
         secondary.received.asScala)
-      assert(primary.received.asScala.forall(_.contains("\"hello\"")),
-        primary.received.asScala)
-      assert(primary.received.asScala.nonEmpty) // it WAS probed
+      assert(primary.received.asScala.isEmpty, primary.received.asScala)
     } finally { primary.stop(); secondary.stop() }
   }
 
   test("nearest fails over when the probed winner dies before the reconnect") {
+    MongoWire.clearRttCache()
     val a = new FakeMongod.Server(featureDocs.take(4))
     val b = new FakeMongod.Server(featureDocs.take(4))
     try {
@@ -1277,6 +1282,7 @@ class MongoWireSpec extends SparkTestBase {
   }
 
   test("nearest skips a distant member even when it leads the seed list") {
+    MongoWire.clearRttCache()
     val far = new FakeMongod.Server(featureDocs.take(4))
     val near = new FakeMongod.Server(featureDocs.take(4))
     try {
@@ -1291,6 +1297,28 @@ class MongoWireSpec extends SparkTestBase {
       assert(far.received.asScala.forall(_.contains("\"hello\"")),
         far.received.asScala)
     } finally { far.stop(); near.stop() }
+  }
+
+  test("nearest RTT cache: a second cursor open reuses the probes within the TTL") {
+    MongoWire.clearRttCache()
+    val primary = new FakeMongod.Server(featureDocs.take(4))
+    val secondary = new FakeMongod.Server(featureDocs.take(4))
+    try {
+      primary.replicaIdentity = Some(("rs0", true, None))
+      secondary.replicaIdentity = Some(("rs0", false, None))
+      val url = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
+        "/db/features?readPreference=nearest"
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 4)
+      // the losing member saw exactly the first open's RTT probe
+      val probes = primary.received.asScala.size
+      assert(probes > 0, "first open must probe every member")
+      // second open: every member's RTT comes from the cache — the loser
+      // sees NO additional traffic, the winner goes straight to the read
+      assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 4)
+      assert(primary.received.asScala.size == probes,
+        s"expected no re-probe, got ${primary.received.asScala.size - probes} extra")
+      assert(secondary.received.asScala.count(_.contains("\"find\"")) == 2)
+    } finally { primary.stop(); secondary.stop() }
   }
 
   test("a malformed readPreference is a malformed URL, never a silent primary read") {
