@@ -75,10 +75,14 @@ object Bench {
         }
       samples(i) ::= t
       // outside the timed section: drop the per-call caches dedup queries
-      // leave behind (each invocation rebuilds its own), so later queries
-      // aren't measured under the accumulated memory pressure of every
-      // earlier run's persisted frames
+      // leave behind (each invocation rebuilds its own) AND the
+      // self-contained result checkpoints (consumed by force above), so
+      // later queries aren't measured under the accumulated memory
+      // pressure of every earlier run's persisted frames — at 20× the
+      // lingering result blocks alone inflated individually-fast queries
+      // 5-10× late in the suite
       graft.operators.Dedup.releaseCaches()
+      graft.operators.Dedup.releaseResults()
     }
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       name -> samples(i).min // TotalOrdering: NaN sorts greatest, so min = best good run

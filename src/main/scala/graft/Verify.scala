@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the written parquet IS the consumed result: drop operator caches
+      // and result checkpoints so 143 queries don't accumulate blocks
+      graft.operators.Dedup.releaseCaches()
+      graft.operators.Dedup.releaseResults()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

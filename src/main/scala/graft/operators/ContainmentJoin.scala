@@ -108,14 +108,15 @@ object ContainmentJoin {
     val cand = prefix.join(rIndex, "__h")
       .select("__lid", "__rid")
       .dropDuplicates("__lid", "__rid")
-    val res = cand.join(l.select(col("__lid"), col("__lset")), "__lid")
+    val res = Dedup.trackResult(cand
+      .join(l.select(col("__lid"), col("__lset")), "__lid")
       .join(r, "__rid")
       .withColumn("__c",
         call_function("containment_sorted", col("__lset"), col("__rset")))
       .where(col("__c") >= threshold)
       .select(col("__lid").as(leftId), col("__rid").as(rightId),
         round(col("__c"), 4).as("containment"))
-      .localCheckpoint(true) // self-contained: survives releaseCaches
+      .localCheckpoint(true)) // self-contained: survives releaseCaches
     l.unpersist(blocking = false)
     r.unpersist(blocking = false)
     res

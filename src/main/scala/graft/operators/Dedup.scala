@@ -31,8 +31,29 @@ object Dedup {
     * unconsumed checkpoint blocks too; serialize release points (e.g.
     * between pipeline stages, as Bench does between runs) or skip release
     * and rely on LRU eviction. */
-  def releaseCaches(): Unit = {
-    val it = tracked.iterator()
+  def releaseCaches(): Unit = drain(tracked)
+
+  /** RESULT frames the self-contained operators (dbscan,
+    * ContainmentJoin.join) materialize before returning. Kept in a
+    * SEPARATE registry so [[releaseCaches]] — the hygiene call the
+    * operator docs tell users to make once intermediates are done —
+    * can never strand an unconsumed result (the round-9 advice trap).
+    * Harnesses that run MANY operator calls in one JVM (Bench, Verify)
+    * call [[releaseResults]] between queries once each result is fully
+    * consumed; otherwise the blocks linger until the RDD is GC'd and
+    * the ContextCleaner reclaims them (observed as suite-wide memory
+    * pressure at 20×: individually-fast queries read 5-10× slower late
+    * in a 143-query run). */
+  private val trackedResults = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Boolean]())
+  private[graft] def trackResult[A <: AnyRef](h: A): A = { trackedResults.add(h); h }
+
+  /** Releases materialized RESULT frames (see [[trackResult]]). Only
+    * call once those results are consumed — they cannot be recomputed. */
+  def releaseResults(): Unit = drain(trackedResults)
+
+  private def drain(reg: java.util.Set[AnyRef]): Unit = {
+    val it = reg.iterator()
     while (it.hasNext) {
       it.next() match {
         case df: DataFrame                             => df.unpersist(blocking = false)

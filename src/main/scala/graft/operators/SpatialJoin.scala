@@ -277,8 +277,8 @@ object SpatialJoin {
   def dbscan(df: DataFrame, idCol: String, geomCol: String,
              eps: Double, minPts: Int, cellSize: Double = 0.0): DataFrame = {
     val pairs = epsPairs(df, idCol, geomCol, eps, cellSize)
-    val res = dbscanFromPairs(df, idCol, geomCol, pairs, minPts)
-      .localCheckpoint(true)
+    val res = Dedup.trackResult(
+      dbscanFromPairs(df, idCol, geomCol, pairs, minPts).localCheckpoint(true))
     pairs.unpersist(blocking = false) // res no longer references the blocks
     res
   }
