@@ -48,7 +48,13 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    val calBefore = calibrate(cpus.toInt)
+    // The calibration config is PINNED independent of SPARK_GRAFT_CPUS:
+    // CalQuietSec was measured for calibrate(32) on the build machine, so
+    // running the loop with a different thread count would scale
+    // load_factor arbitrarily and break cross-run comparison. The thread
+    // count ships in the artifact so a reader can check the match.
+    val CalThreads = 32
+    val calBefore = calibrate(CalThreads)
 
     // warmup: registers views, loads classes, compiles first codegen stages
     SparkEntry.init(spark, sfDir)
@@ -101,7 +107,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _._1 + "\"").mkString(""","failed":[""", ",", "]")
     val total = ok.map(_._2).sum
-    val calAfter = calibrate(cpus.toInt)
+    val calAfter = calibrate(CalThreads)
     // Pinned quiet-box time for calibrate(32) on the build machine (32
     // hw threads; measured best-of-3 while idle). load_factor ~1.0 means
     // an uncontended run; k means CPU time was ~k x scarcer — divide the
@@ -114,7 +120,7 @@ object Bench {
     // (BENCH_rN.json artifacts historically lost the front of the map)
     val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","load_factor":$loadFactor,"cal_before_sec":$calBefore,"cal_after_sec":$calAfter,"cal_quiet_sec":$CalQuietSec,"queries":$fullQs$failedJson,"sf":"$sfDir","runs":$runs}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","load_factor":$loadFactor,"cal_before_sec":$calBefore,"cal_after_sec":$calAfter,"cal_quiet_sec":$CalQuietSec,"cal_threads":$CalThreads,"queries":$fullQs$failedJson,"sf":"$sfDir","runs":$runs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has the line

@@ -22,6 +22,15 @@ object SparkEntry {
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[Integer, String]()
 
+  /** One temp store for the q_ivf_pq gate per JVM, deleted at exit —
+    * the write is mode=overwrite, so repeated gate runs reuse it
+    * instead of leaving a dead store per invocation. */
+  private lazy val ivfPqGateDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -1479,7 +1488,10 @@ object SparkEntry {
     "q_ivf_pq" -> ((spark, dir) => {
       init(spark, dir)
       val emb = spark.table("embeddings").where(col("vec_id") < 200)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      // ONE store path per JVM, overwritten each call (every layer of
+      // writeIndexedPq writes mode=overwrite): a fresh temp dir per
+      // invocation accumulated dead stores over a 20-run bench
+      val path = ivfPqGateDir
       // gate-sized iteration bounds: with a full codebook the PQ train
       // converges AT INIT (every point its own centroid), and IVF
       // routing cannot affect a full-probe result — iterations past 1-2
@@ -1488,9 +1500,13 @@ object SparkEntry {
         pqM = 1, pqK = 256, k = 4, maxIter = 2, pqIters = 1)
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head.getSeq[Float](0).toArray
-      operators.Ivf.topKPq(spark, path, "vec_id", q, n = 10, nprobe = 4)
-        .select(col("vec_id").as("id"), col("adc_dist"))
-        .localCheckpoint(true) // the temp store may be reclaimed later
+      // trackResult: the checkpoint blocks release with the other
+      // self-contained results (Bench's releaseResults between runs)
+      // instead of lingering for the JVM's lifetime
+      operators.Dedup.trackResult(
+        operators.Ivf.topKPq(spark, path, "vec_id", q, n = 10, nprobe = 4)
+          .select(col("vec_id").as("id"), col("adc_dist"))
+          .localCheckpoint(true)) // the temp store may be reclaimed later
     }),
     // SemDeDup (Abbas et al. 2023): semantic dedup over the embedding
     // corpus — k-means clusters, within-cluster cosine collapse, keep

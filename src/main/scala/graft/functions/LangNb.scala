@@ -3,7 +3,7 @@ package graft.functions
 /** Character-n-gram Naive Bayes language identifier — the real-model
   * upgrade over the 5-language stopword heuristic (`lang_id`), exposed
   * as `lang_id_nb`. fastText-style shape (Joulin et al. 2016, "Bag of
-  * Tricks for Efficient Text Classification"): character 1–3-grams
+  * Tricks for Efficient Text Classification"): character 1–4-grams
   * hashed into a fixed bucket table, multinomial NB with add-one
   * smoothing, argmax over per-language log-likelihoods (uniform prior).
   *

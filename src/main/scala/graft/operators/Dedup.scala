@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Weak-reference registry: entries vanish once the caller drops every
+    * strong reference to the handle, so an unreleased frame/RDD/broadcast
+    * stays reclaimable by GC + ContextCleaner exactly as if it were never
+    * tracked (a strong-ref set would pin every result of a long-lived
+    * session forever — the round-10 advice finding). The synchronized
+    * wrapper is the mutex for [[drain]]'s iterate-and-remove. */
+  private def weakRegistry(): java.util.Set[AnyRef] =
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
+
   /** Internal persists that must OUTLIVE their call — the returned plan
     * references them lazily (minhash signatures, the embedding base frame,
     * the final clustering-label RDD), so they cannot be unpersisted before
@@ -19,8 +29,7 @@ object Dedup {
     * with [[releaseCaches]] once results are consumed; without it the
     * blocks linger until evicted (MEMORY_AND_DISK is LRU-evictable, so
     * this is hygiene, not an OOM). */
-  private val tracked = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Boolean]())
+  private val tracked = weakRegistry()
   private[operators] def track[A <: AnyRef](h: A): A = { tracked.add(h); h }
 
   /** Unpersists every cache left behind by dedup calls in this JVM. Call
@@ -43,16 +52,18 @@ object Dedup {
     * consumed; otherwise the blocks linger until the RDD is GC'd and
     * the ContextCleaner reclaims them (observed as suite-wide memory
     * pressure at 20×: individually-fast queries read 5-10× slower late
-    * in a 143-query run). */
-  private val trackedResults = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[AnyRef, java.lang.Boolean]())
+    * in a 143-query run). Weak-referenced (see [[weakRegistry]]) so a
+    * consumer that never calls releaseResults leaks nothing: once its
+    * DataFrame goes unreachable, the entry disappears and the
+    * ContextCleaner path applies unhindered. */
+  private val trackedResults = weakRegistry()
   private[graft] def trackResult[A <: AnyRef](h: A): A = { trackedResults.add(h); h }
 
   /** Releases materialized RESULT frames (see [[trackResult]]). Only
     * call once those results are consumed — they cannot be recomputed. */
   def releaseResults(): Unit = drain(trackedResults)
 
-  private def drain(reg: java.util.Set[AnyRef]): Unit = {
+  private def drain(reg: java.util.Set[AnyRef]): Unit = reg.synchronized {
     val it = reg.iterator()
     while (it.hasNext) {
       it.next() match {

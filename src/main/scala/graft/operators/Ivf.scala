@@ -37,26 +37,44 @@ object Ivf {
     * @param maxPartitionRows clusters larger than this are hash-sub-split
     *              into `subpart` partitions of at most about this many
     *              rows, so skewed corpora cannot produce giant partitions
+    * @param metric "cosine" (default): vectors unit-normalize before
+    *              k-means, so assignment and probe routing are angular —
+    *              pair with [[topK]]'s exact-cosine rescoring. "l2":
+    *              k-means runs on the RAW vectors and routing is squared
+    *              L2 — the metric [[Pq]] ADC scores with, so IVF-PQ
+    *              stores use it (FAISS IndexIVFPQ keeps the coarse
+    *              quantizer and PQ on ONE metric for exactly this
+    *              reason: angular routing over an unnormalized corpus
+    *              can prune the partition holding the true L2-nearest
+    *              neighbor). The metric persists in the centroid sidecar
+    *              and serving reads it back — a store never gets probed
+    *              with the wrong metric.
     */
   def writeIndexed(df: DataFrame, idCol: String, vecCol: String, path: String,
                    k: Int = 0, maxIter: Int = 10,
                    trainSampleSize: Int = 100000,
                    maxPartitionRows: Long = 1000000L,
-                   dropCols: Seq[String] = Nil): Unit = {
+                   dropCols: Seq[String] = Nil,
+                   metric: String = "cosine"): Unit = {
     val spark = df.sparkSession
     Graft.register(spark)
+    require(metric == "cosine" || metric == "l2", s"metric must be cosine|l2, got $metric")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    // unit-normalize so Euclidean k-means routes by angle (cosine); norm
-    // computed once per vector, not per element
-    def featurize(d: DataFrame): DataFrame = d
-      .withColumn("__norm", expr(
-        s"greatest(sqrt(aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
-          s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))"))
-      .withColumn("__unit", expr(
-        s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
-      .withColumn("__features", array_to_vector(col("__unit")))
+    // cosine: unit-normalize so Euclidean k-means routes by angle; norm
+    // computed once per vector, not per element. l2: raw vectors.
+    def featurize(d: DataFrame): DataFrame =
+      if (metric == "l2")
+        d.withColumn("__features", array_to_vector(
+          expr(s"transform($vecCol, x -> CAST(x AS FLOAT))")))
+      else d
+        .withColumn("__norm", expr(
+          s"greatest(sqrt(aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+            s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))"))
+        .withColumn("__unit", expr(
+          s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
+        .withColumn("__features", array_to_vector(col("__unit")))
     val unit = featurize(df)
 
     val n = df.count()
@@ -110,11 +128,35 @@ object Ivf {
     } finally assigned.unpersist()
 
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
+      (i, c.toArray.map(_.toFloat), metric)
     }
     import spark.implicits._
-    centers.toSeq.toDF("cluster", "centroid")
+    centers.toSeq.toDF("cluster", "centroid", "metric")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$CentroidDir")
+  }
+
+  /** Centroids + the store's routing metric ("cosine" if the sidecar
+    * predates the metric column). */
+  private def loadCentroids(spark: SparkSession, path: String): (Array[(Int, Array[Float])], String) = {
+    val df = spark.read.parquet(s"$path/$CentroidDir")
+    val metric = if (df.columns.contains("metric"))
+      df.select("metric").head().getString(0) else "cosine"
+    val cents = df.select("cluster", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    (cents, metric)
+  }
+
+  /** The `nprobe` cluster ids whose centroids are nearest `query` under
+    * the store's own metric — the SAME metric k-means assigned rows
+    * with, so probing agrees with the layout by construction. */
+  private def probeClusters(centroids: Array[(Int, Array[Float])], metric: String,
+                            query: Array[Float], nprobe: Int): Array[Int] = {
+    val scored =
+      if (metric == "l2") centroids.map { case (id, c) => (id, sqL2(c, query)) }
+      else centroids.map { case (id, c) => (id, -cosine(c, query)) }
+    scored.sortBy { case (id, d) => (d, id) } // ascending = nearest first
+      .take(math.min(nprobe, centroids.length))
+      .map(_._1)
   }
 
   private val PqDir = "_graft_pq" // PQ codebooks sidecar (invisible to readers)
@@ -132,13 +174,20 @@ object Ivf {
     *
     * The PQ codebooks persist next to the centroids (`_graft_pq`), so
     * serving needs only the path. Returns the trained model for callers
-    * that encode queries in the same session. */
+    * that encode queries in the same session.
+    *
+    * `metric` defaults to "l2" — ADC scores squared L2, so the coarse
+    * quantizer trains, assigns, and routes on squared L2 too (one metric
+    * end to end, the FAISS IndexIVFPQ invariant). Pass "cosine" only for
+    * a corpus known unit-normalized, where the two metrics rank
+    * identically. */
   def writeIndexedPq(df: DataFrame, idCol: String, vecCol: String, path: String,
                      pqM: Int, pqK: Int = 256, k: Int = 0, maxIter: Int = 10,
                      trainSampleSize: Int = 100000,
                      maxPartitionRows: Long = 1000000L,
                      keepVectors: Boolean = false,
-                     pqTrainVecs: Int = 100000, pqIters: Int = 15): Pq.Model = {
+                     pqTrainVecs: Int = 100000, pqIters: Int = 15,
+                     metric: String = "l2"): Pq.Model = {
     val spark = df.sparkSession
     val pq = Pq.train(df, idCol, vecCol, pqM, pqK, pqTrainVecs, pqIters)
     // FUSED encode: the code column rides the same corpus scan the
@@ -148,7 +197,8 @@ object Ivf {
       .withColumn("codes", Pq.encoder(df, pq)(col(vecCol)))
     writeIndexed(withCodes, idCol, vecCol, path, k, maxIter,
       trainSampleSize, maxPartitionRows,
-      dropCols = if (keepVectors) Nil else Seq(vecCol))
+      dropCols = if (keepVectors) Nil else Seq(vecCol),
+      metric = metric)
     import spark.implicits._
     val rows = for {
       s <- pq.codebooks.indices
@@ -182,38 +232,37 @@ object Ivf {
   def topKPq(spark: SparkSession, path: String, idCol: String,
              query: Array[Float], n: Int, nprobe: Int = 4): DataFrame = {
     val model = loadPqModel(spark, path)
-    val centroids = spark.read.parquet(s"$path/$CentroidDir")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    val probeIds = centroids
-      .map { case (id, c) => (id, cosine(c, query)) }
-      .sortBy { case (id, cos) => (-cos, id) }
-      .take(math.min(nprobe, centroids.length))
-      .map(_._1)
+    val (centroids, metric) = loadCentroids(spark, path)
+    val probeIds = probeClusters(centroids, metric, query, nprobe)
     val scan = spark.read.parquet(path)
       .where(col("cluster").isin(probeIds.toIndexedSeq: _*)) // partition pruning
     Pq.searchTopK(scan, idCol, "codes", model, query, n)
   }
 
-  /** Top-k by exact cosine over the `nprobe` partitions whose centroids are
-    * nearest the query — everything else is pruned at the file listing. */
+  /** Top-k by exact cosine over the `nprobe` partitions whose centroids
+    * are nearest the query under the STORE's metric — everything else is
+    * pruned at the file listing. Pairs naturally with metric="cosine"
+    * stores (routing and rescoring agree); on an "l2" store the routing
+    * follows the layout's L2 assignment while rescoring stays cosine. */
   def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
            query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
     Graft.register(spark)
-    val centroids = spark.read.parquet(s"$path/$CentroidDir")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    val probeIds = centroids
-      .map { case (id, c) => (id, cosine(c, query)) }
-      .sortBy { case (id, cos) => (-cos, id) }
-      .take(math.min(nprobe, centroids.length))
-      .map(_._1)
+    val (centroids, metric) = loadCentroids(spark, path)
+    val probeIds = probeClusters(centroids, metric, query, nprobe)
     spark.read.parquet(path)
       .where(col("cluster").isin(probeIds.toIndexedSeq: _*)) // partition pruning
       .select(col(idCol).as("id"),
         call_function("cosine_similarity", col(vecCol), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+  }
+
+  private def sqL2(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) {
+      val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1
+    }
+    d
   }
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {

@@ -97,6 +97,77 @@ class IvfSpec extends SparkTestBase {
     assert(got == brute, s"\ngot  $got\nwant $brute")
   }
 
+  test("IVF-PQ at realistic m=8/k=256: pruned probe keeps recall on clustered data") {
+    // non-degenerate serving configuration (the q_ivf_pq gate pins only
+    // the m=1 exact case): 8 sub-quantizers of 256 centroids over a
+    // planted 16-cluster corpus, probing 4 of 16 coarse partitions.
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    val centers = Array.fill(16, dim)(rnd.nextFloat() * 10 - 5)
+    val rows = for { c <- 0 until 16; i <- 0 until 100 } yield
+      ((c * 100 + i).toLong,
+        centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f).toSeq)
+    val df = rows.toDF("id", "vec")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-m8").toString + "/idx"
+    Ivf.writeIndexedPq(df, "id", "vec", path, pqM = 8, pqK = 256, k = 16, maxIter = 5)
+
+    val all = rows.map { case (id, v) => (id, v.toArray) }
+    Seq(42L, 505L, 1337L).foreach { qid =>
+      val q = all.find(_._1 == qid).get._2
+      val exact10 = all.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+      val probed = Ivf.topKPq(spark, path, "id", q, n = 50, nprobe = 4)
+      // nprobe < k: the scan must prune at the file listing
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cluster"), plan)
+      val adc50 = probed.collect().map(_.getLong(0))
+      // recall contract (the PqSpec bound, now THROUGH the store + pruned
+      // listing): all exact top-10 inside the ADC top-50, and the ADC
+      // top-10 stays inside the query's own planted cluster
+      val recall = exact10.count(adc50.toSet).toDouble / 10
+      assert(recall == 1.0, s"q=$qid recall@10-in-50 = $recall")
+      assert(adc50.take(10).forall(_ / 100 == qid / 100),
+        s"q=$qid strays: ${adc50.take(10).mkString(",")}")
+    }
+  }
+
+  test("unnormalized corpus: L2 routing probes the partition angular routing would prune") {
+    // the FAISS one-metric invariant: ADC scores squared L2, so routing
+    // must too. Cluster A sits far out along +x (magnitude ~100), cluster
+    // B near the origin; the query points along +x but is CLOSE to B —
+    // cosine picks A's centroid (alignment), L2 picks B's (distance).
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    def jitter() = (rnd.nextFloat() - 0.5f) * 0.1f
+    val a = (0L until 50L).map(i => (i,
+      Seq.tabulate(dim)(j => (if (j == 0) 100f else 0f) + jitter())))
+    val b = (50L until 100L).map(i => (i,
+      Seq.tabulate(dim)(j => (if (j == 1) 0.5f else 0f) + jitter())))
+    val df = (a ++ b).toDF("id", "vec")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-l2").toString + "/idx"
+    Ivf.writeIndexedPq(df, "id", "vec", path, pqM = 4, pqK = 64, k = 2, maxIter = 5)
+
+    val q = Array.tabulate(dim)(j => if (j == 0) 3f else 0f)
+    // sanity: angular routing WOULD have picked cluster A's centroid
+    val cents = spark.read.parquet(s"$path/_graft_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def cos(x: Array[Float], y: Array[Float]) = {
+      val d = x.zip(y).map { case (p, r2) => p.toDouble * r2 }.sum
+      d / (math.sqrt(x.map(v => v.toDouble * v).sum) * math.sqrt(y.map(v => v.toDouble * v).sum))
+    }
+    def sq(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, r2) => val t = p.toDouble - r2; t * t }.sum
+    val byCos = cents.maxBy { case (_, c) => cos(c, q) }._1
+    val byL2 = cents.minBy { case (_, c) => sq(c, q) }._1
+    assert(byCos != byL2, "fixture must separate the metrics")
+
+    // with one probe, topKPq must land in the TRUE L2-nearest cluster (B)
+    val got = Ivf.topKPq(spark, path, "id", q, n = 10, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(got.forall(_ >= 50L), s"angular-routed miss: ${got.mkString(",")}")
+  }
+
   test("full-probe IVF equals brute force (pruning is the only approximation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toFile
     dir.deleteOnExit()
