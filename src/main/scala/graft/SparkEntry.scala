@@ -1629,6 +1629,26 @@ object SparkEntry {
           col("media_meta.width").as("width"), col("media_meta.height").as("height"),
           col("media_meta.n_bytes").as("n_bytes"))
     }),
+    // REAL MP4 container parsing, oracle-gated end to end: each document
+    // row synthesizes a VALID ISO BMFF blob (ftyp+moov/mvhd+trak/tkhd)
+    // whose duration/dimensions derive from doc_id, then the parser
+    // (VideoHeaderDecoder — the SAME code path real corpora use) reads
+    // them back; the oracle replays the doc_id arithmetic in plain SQL.
+    // MKV/EBML and the corrupt-payload sentinel are spec-gated
+    // (VideoMetaSpec: hand-built boxes incl. v1/largesize/unknown-size)
+    "q_video_meta" -> ((spark, dir) => {
+      init(spark, dir)
+      val mk = udf { (id: Long) =>
+        Multimodal.syntheticMp4(
+          width = (160 + (id % 8) * 160).toInt, height = (90 + (id % 8) * 90).toInt,
+          durationTicks = (id % 300) * 1000 + 500, timescale = 1000)
+      }
+      val media = spark.table("documents").select(col("doc_id"), mk(col("doc_id")).as("media"))
+      Multimodal.decodeVideoMeta(media, "media")
+        .select(col("doc_id"), col("video_meta.mime").as("mime"),
+          col("video_meta.width").as("width"), col("video_meta.height").as("height"),
+          col("video_meta.duration_sec").as("duration_sec"))
+    }),
 
     // ----------------------------------------------------- events/streaming
     "q_events_window" -> sql(
@@ -2685,6 +2705,8 @@ object SparkEntry {
         |FROM documents GROUP BY source""".stripMargin,
     "q_multimodal" ->
       "SELECT doc_id, CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime, CAST(16 + (length(text) % 640) AS INTEGER) AS width, CAST(16 + ((length(text) // 7) % 480) AS INTEGER) AS height, CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
+    "q_video_meta" ->
+      "SELECT doc_id, 'video/mp4' AS mime, CAST(160 + (doc_id % 8) * 160 AS INTEGER) AS width, CAST(90 + (doc_id % 8) * 90 AS INTEGER) AS height, CAST((doc_id % 300) + 0.5 AS DOUBLE) AS duration_sec FROM documents",
     "q_events_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 3) AS sum_value FROM events GROUP BY 1, 2",
     // CAST(sum(..) AS BIGINT): DuckDB's integer sum returns HUGEINT, which

@@ -55,6 +55,7 @@ object LangNb {
     "pl" -> ("szybki brązowy lis przeskakuje nad leniwym psem. to jest krótki przykład polskiego tekstu o pogodzie i świecie. ludzie często piszą o nauce i historii. " +
       "ja ty on ona my wy oni i lub ale nie z od dla są jest był były być mieć miał będzie może kiedy gdzie ponieważ także bardzo"),
     "cs" -> ("rychlá hnědá liška skáče přes líného psa. toto je krátký příklad českého textu o počasí a světě. lidé často píší o vědě a historii. " +
+      "včera jsme šli do města a koupili jsme si nové boty. moje sestra bydlí ve starém domě a každé ráno chodí pěšky do práce. na podzim hodně prší a děti si hrají doma u stolu. " +
       "já ty on ona my vy oni a nebo ale ne s od pro jsou je byl byly být mít měl bude může mohl kdy kde protože také velmi"),
     "ro" -> ("vulpea maro rapidă sare peste câinele leneș. acesta este un scurt exemplu de text românesc despre vreme și lume. oamenii scriu adesea despre știință și istorie. " +
       "eu tu el ea noi voi ei și sau dar nu cu de pentru sunt este era erau fi avea va fi ar fi poate când unde pentru că foarte"),
@@ -82,6 +83,7 @@ object LangNb {
     "ja" -> ("素早い茶色の狐はのろまな犬を飛び越えます。これは天気と世界についての日本語の短い例文です。人々はよく科学や歴史について書きます。 " +
       "これは それは あれは です ます でした ありました いません ください そして しかし また ので から まで とき どこ なぜ わたし あなた かれ かのじょ とても"),
     "zh" -> ("敏捷的棕色狐狸跳过了懒狗。这是一段关于天气和世界的简短中文示例文本。人们经常写关于科学和历史的文章。 " +
+      "她每天早上坐火车去城市工作，晚上在家里看书。我们住在小镇上，周末喜欢去山里散步。学生们在教室里学习数学和语文。 " +
       "我 你 他 她 我们 你们 他们 和 或者 但是 不 与 从 为了 是 有 了 会 能 可以 什么时候 哪里 因为 这个 那个 的 在 非常"),
     "ko" -> ("빠른 갈색 여우가 게으른 개를 뛰어넘습니다. 이것은 날씨와 세계에 관한 짧은 한국어 예문입니다. 사람들은 종종 과학과 역사에 대해 씁니다. " +
       "나는 너는 그는 그녀는 우리는 그들은 그리고 또는 하지만 아니다 와 과 부터 위해 이다 있다 없다 했다 할 것이다 수 있다 언제 어디 왜냐하면 이것 그것 매우"),

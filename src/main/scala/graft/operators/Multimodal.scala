@@ -147,6 +147,272 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Metadata produced per video blob. Sentinel zeros mean "not parseable
+    * as a known container" (total operator; filter on `mime` to route). */
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** REAL video CONTAINER metadata — pure-spec header parsing, the same
+    * pattern as [[AudioHeaderDecoder]]'s WAV/AIFF path (no codec library
+    * exists in this environment, and none is needed: duration and
+    * dimensions live in the container headers).
+    *
+    *  - MP4 / ISO BMFF (ISO 14496-12): walks the box tree — `ftyp` major
+    *    brand → mime, `moov/mvhd` → timescale + duration (v0 32-bit and
+    *    v1 64-bit layouts, and the size==1 largesize form), `moov/trak/
+    *    tkhd` → width/height (16.16 fixed point; max over tracks, audio
+    *    tracks carry 0×0).
+    *  - Matroska / WebM (EBML, RFC 8794): reads the EBML header's DocType
+    *    for the mime, then scans Segment → Info for TimestampScale
+    *    (default 1 ms) and Duration (4- or 8-byte float, in scale units),
+    *    and Segment → Tracks → TrackEntry(type=video) → Video for
+    *    PixelWidth / PixelHeight. Unknown-size elements (all value bits
+    *    set) extend to the end of the enclosing range, per the RFC.
+    *
+    * FRAME decode remains out of environment — this closes the container
+    * metadata stub only. Corrupt/foreign payloads return the all-zeros
+    * sentinel; the operator is total. */
+  object VideoHeaderDecoder extends Serializable {
+    private val Sentinel = ("application/octet-stream", 0, 0, 0.0)
+
+    /** (mime, width, height, durationSec); zeros if not a known container. */
+    def decode(bytes: Array[Byte]): (String, Int, Int, Double) =
+      try {
+        if (bytes == null || bytes.length < 8) Sentinel
+        else if (bytes.length >= 12 &&
+          bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+          parseMp4(bytes)
+        else if (be32(bytes, 0) == 0x1a45dfa3) parseMkv(bytes)
+        else Sentinel
+      } catch { case _: Exception => Sentinel }
+
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be64(b: Array[Byte], o: Int): Long =
+      ((be32(b, o) & 0xffffffffL) << 32) | (be32(b, o + 4) & 0xffffffffL)
+
+    // ---- ISO BMFF ----
+
+    /** Visit each box in [from, to): f(type, payloadFrom, payloadTo). */
+    private def boxes(b: Array[Byte], from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size32 = be32(b, o)
+        val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val (header, size) =
+          if (size32 == 1) { require(o + 16 <= to, "truncated largesize"); (16, be64(b, o + 8)) }
+          else if (size32 == 0) (8, (to - o).toLong) // box extends to end
+          else (8, size32.toLong & 0xffffffffL)
+        require(size >= header && o + size <= to, s"box $typ overruns")
+        f(typ, o + header, (o + size).toInt)
+        o += size.toInt
+      }
+    }
+
+    private def parseMp4(b: Array[Byte]): (String, Int, Int, Double) = {
+      var mime = "video/mp4"
+      var duration = 0.0
+      var w = 0; var h = 0
+      boxes(b, 0, b.length) { (typ, from, to) =>
+        typ match {
+          case "ftyp" =>
+            val brand = new String(b, from, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            mime = brand match {
+              case "M4A " => "audio/mp4"
+              case "qt  " => "video/quicktime"
+              case _      => "video/mp4"
+            }
+          case "moov" =>
+            boxes(b, from, to) { (t2, f2, t2e) =>
+              t2 match {
+                case "mvhd" =>
+                  val v = b(f2) & 0xff
+                  if (v == 1) { // 64-bit creation/modification/duration
+                    val timescale = be32(b, f2 + 20) & 0xffffffffL
+                    val dur = be64(b, f2 + 24)
+                    if (timescale > 0) duration = dur.toDouble / timescale
+                  } else {
+                    val timescale = be32(b, f2 + 12) & 0xffffffffL
+                    val dur = be32(b, f2 + 16) & 0xffffffffL
+                    if (timescale > 0) duration = dur.toDouble / timescale
+                  }
+                case "trak" =>
+                  boxes(b, f2, t2e) { (t3, f3, _) =>
+                    if (t3 == "tkhd") {
+                      val v = b(f3) & 0xff
+                      // width/height are the LAST 8 bytes of the box in
+                      // both versions (16.16 fixed point): ver+flags(4) +
+                      // times/id/duration (20 v0 / 32 v1) + layer block
+                      // (16) + matrix (36)
+                      val wOff = f3 + (if (v == 1) 88 else 76)
+                      val tw = be16(b, wOff)      // integer part
+                      val th = be16(b, wOff + 4)
+                      if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+                    }
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      (mime, w, h, duration)
+    }
+
+    // ---- EBML / Matroska ----
+
+    /** EBML element id at o: value INCLUDES the marker bits (RFC 8794
+      * encodes ids as-stored). Returns (id, lengthBytes). */
+    private def ebmlId(b: Array[Byte], o: Int): (Long, Int) = {
+      val first = b(o) & 0xff
+      require(first != 0, "invalid EBML id")
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..4 for class A-D
+      require(len >= 1 && len <= 4 && o + len <= b.length, "bad id length")
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      (v, len)
+    }
+
+    /** EBML size at o: marker bit stripped. Returns (size, lengthBytes);
+      * size == -1 means "unknown" (all value bits set). */
+    private def ebmlSize(b: Array[Byte], o: Int): (Long, Int) = {
+      val first = b(o) & 0xff
+      require(first != 0, "invalid EBML size")
+      val len = Integer.numberOfLeadingZeros(first) - 23
+      require(len >= 1 && len <= 8 && o + len <= b.length, "bad size length")
+      var v = (first & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      val allOnes = (1L << (7 * len)) - 1
+      (if (v == allOnes) -1L else v, len)
+    }
+
+    /** Visit each child element of [from, to): f(id, payloadFrom, payloadTo). */
+    private def ebmlChildren(b: Array[Byte], from: Int, to: Int)(f: (Long, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o < to) {
+        val (id, idLen) = ebmlId(b, o)
+        val (sz, szLen) = ebmlSize(b, o + idLen)
+        val pFrom = o + idLen + szLen
+        val pTo = if (sz < 0) to else pFrom + sz.toInt // unknown: to range end
+        require(pTo <= to, s"EBML element overruns")
+        f(id, pFrom, pTo)
+        o = pTo
+      }
+    }
+
+    private def ebmlUint(b: Array[Byte], from: Int, to: Int): Long = {
+      var v = 0L; var i = from
+      while (i < to) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+
+    private def ebmlFloat(b: Array[Byte], from: Int, to: Int): Double = (to - from) match {
+      case 4 => java.lang.Float.intBitsToFloat(be32(b, from)).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(be64(b, from))
+      case 0 => 0.0
+      case n => throw new IllegalArgumentException(s"EBML float of $n bytes")
+    }
+
+    private def parseMkv(b: Array[Byte]): (String, Int, Int, Double) = {
+      var mime = "video/x-matroska"
+      var timestampScale = 1000000L // ns per tick: spec default = 1 ms
+      var durationTicks = 0.0
+      var w = 0; var h = 0
+      ebmlChildren(b, 0, b.length) { (id, from, to) =>
+        id match {
+          case 0x1a45dfa3L => // EBML header: DocType names the flavor
+            ebmlChildren(b, from, to) { (hid, hf, ht) =>
+              if (hid == 0x4282L) {
+                val dt = new String(b, hf, ht - hf, java.nio.charset.StandardCharsets.US_ASCII)
+                mime = if (dt == "webm") "video/webm" else "video/x-matroska"
+              }
+            }
+          case 0x18538067L => // Segment
+            ebmlChildren(b, from, to) { (sid, sf, st) =>
+              sid match {
+                case 0x1549a966L => // Info
+                  ebmlChildren(b, sf, st) { (iid, inf, int) =>
+                    if (iid == 0x2ad7b1L) timestampScale = ebmlUint(b, inf, int)
+                    else if (iid == 0x4489L) durationTicks = ebmlFloat(b, inf, int)
+                  }
+                case 0x1654ae6bL => // Tracks
+                  ebmlChildren(b, sf, st) { (tid, tf, tt) =>
+                    if (tid == 0xaeL) { // TrackEntry
+                      var isVideo = false; var tw = 0; var th = 0
+                      ebmlChildren(b, tf, tt) { (eid, ef, et) =>
+                        if (eid == 0x83L) isVideo = ebmlUint(b, ef, et) == 1L
+                        else if (eid == 0xe0L) // Video settings
+                          ebmlChildren(b, ef, et) { (vid, vf, vt) =>
+                            if (vid == 0xb0L) tw = ebmlUint(b, vf, vt).toInt
+                            else if (vid == 0xbaL) th = ebmlUint(b, vf, vt).toInt
+                          }
+                      }
+                      if (isVideo) { w = math.max(w, tw); h = math.max(h, th) }
+                    }
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      (mime, w, h, durationTicks * timestampScale / 1e9)
+    }
+  }
+
+  /** Minimal VALID ISO BMFF blob (ftyp + moov[mvhd + trak[tkhd]]) with
+    * the given duration and dimensions — a deterministic fixture
+    * generator for testing the container parser (and the q_video_meta
+    * oracle gate) without codec libraries. v0 layouts throughout. */
+  def syntheticMp4(width: Int, height: Int, durationTicks: Long, timescale: Int): Array[Byte] = {
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+    val mvhd = {
+      val p = new Array[Byte](100) // v0: ver+flags(4)+times(8)+ts(4)+dur(4)+rest(80)
+      System.arraycopy(be32(timescale), 0, p, 12, 4)
+      System.arraycopy(be32(durationTicks.toInt), 0, p, 16, 4)
+      p
+    }
+    val tkhd = {
+      val p = new Array[Byte](84) // v0: ver+flags(4)+20+16+matrix(36)+w(4)+h(4)
+      System.arraycopy(be32(width << 16), 0, p, 76, 4)  // 16.16 fixed
+      System.arraycopy(be32(height << 16), 0, p, 80, 4)
+      p
+    }
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++ "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
+  /** Adds a `video_meta` struct by parsing `binCol` container headers in
+    * partition-local batches — same iterator-to-iterator, shuffle-free
+    * shape as [[decodeMeta]]/[[decodeAudioMeta]]. */
+  def decodeVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("video_meta", videoMetaType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val meta = if (bytes == null) null else {
+          val (mime, w, h, dur) = VideoHeaderDecoder.decode(bytes)
+          Row(mime, w, h, dur, bytes.length.toLong)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(encoder)
+  }
+
   /** Byte-sampling STAND-IN, not an image operation: the output is NOT a
     * decodable image — use [[resizeImage]] for real pixel-level scaling.
     * Exists to exercise the distributed plumbing contract (binary in →

@@ -73,8 +73,19 @@ object MongoWire {
     * where the data belongs in a bulk snapshot). */
   val MaxBatches = 4 * 1000 * 1000
 
+  /** RTT cache key: the member address PLUS every connection option
+    * that changes what an "establishment" probe measures — TLS mode,
+    * credentials, auth source/mechanism, compressors. Two URIs to the
+    * same member with different security settings measure different
+    * handshakes (TLS negotiation, SCRAM round-trips) and must not
+    * reuse each other's sample. */
+  private[mongo] final case class RttKey(host: String, port: Int,
+      tls: Boolean, tlsInsecure: Boolean, user: Option[String],
+      authSource: String, authMechanism: Option[String],
+      compressors: Seq[String])
+
   /** Process-wide RTT samples for `nearest` server selection:
-    * (host, port) → (establishment RTT ns, sampled-at ns). A minimal
+    * [[RttKey]] → (establishment RTT ns, sampled-at ns). A minimal
     * topology-monitor analog — real drivers keep a background monitor;
     * here repeated cursor opens (one per scan partition per query)
     * reuse the probe within [[RttTtlNs]] instead of serially
@@ -82,7 +93,7 @@ object MongoWire {
     * time. Staleness is safe: the winner reconnect re-handshakes, and a
     * failure there evicts the member's sample and fails over. */
   private val rttCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[RttKey, (Long, Long)]()
 
   /** RTT sample lifetime: long enough to amortize across a scan's
     * partitions, short enough that a topology change (election, member
@@ -91,11 +102,17 @@ object MongoWire {
 
   private[mongo] def clearRttCache(): Unit = rttCache.clear()
 
-  /** Test seam: plant a fresh RTT sample, so locality-window selection
-    * can be asserted deterministically (live loopback probes on a
-    * contended box jitter past the 15ms window). */
-  private[mongo] def seedRttSample(host: String, port: Int, rttNs: Long): Unit =
-    rttCache.put((host, port), (rttNs, System.nanoTime()))
+  /** Test seam: plant a fresh RTT sample under the key `url` would use,
+    * so locality-window selection can be asserted deterministically
+    * (live loopback probes on a contended box jitter past the 15ms
+    * window). */
+  private[mongo] def seedRttSample(url: String, host: String, port: Int, rttNs: Long): Unit = {
+    val spec = ConnSpec.parse(url).getOrElse(
+      throw new IllegalArgumentException(s"unparseable mongodb url: $url"))
+    rttCache.put(RttKey(host, port, spec.tls, spec.tlsInsecure,
+      spec.creds.map(_._1), spec.authSource, spec.authMechanism,
+      spec.compressors), (rttNs, System.nanoTime()))
+  }
 
   private val ZlibCompressorId: Byte = 2
   private val OpMsg = 2013
@@ -499,11 +516,19 @@ object MongoWire {
       * connect/handshake simply drop out of the candidate set;
       * credential failures still abort the whole walk (no password
       * replay). */
+    /** The cache key this connection's probes measure under — same
+      * member, different TLS/auth/compressor settings = different key
+      * (a TLS+SCRAM establishment is not a plaintext one). */
+    private def rttKey(hp: (String, Int)): MongoWire.RttKey =
+      MongoWire.RttKey(hp._1, hp._2, spec.tls, spec.tlsInsecure,
+        spec.creds.map(_._1), spec.authSource, spec.authMechanism,
+        spec.compressors)
+
     private def openNearest(): Unit = {
       val failures = scala.collection.mutable.ArrayBuffer.empty[String]
       val rtts = scala.collection.mutable.ArrayBuffer.empty[((String, Int), Long)]
       spec.hosts.distinct.foreach { hp =>
-        val cached = MongoWire.rttCache.get(hp)
+        val cached = MongoWire.rttCache.get(rttKey(hp))
         if (cached != null && System.nanoTime() - cached._2 <= MongoWire.RttTtlNs) {
           rtts += ((hp, cached._1)) // fresh sample: skip the serial probe
         } else {
@@ -513,13 +538,13 @@ object MongoWire {
             handshake(acceptFallback = false)
             val rtt = System.nanoTime() - t0
             rtts += ((hp, rtt))
-            MongoWire.rttCache.put(hp, (rtt, System.nanoTime()))
+            MongoWire.rttCache.put(rttKey(hp), (rtt, System.nanoTime()))
             close()
           } catch {
             case AbortWalk(cause) => close(); throw cause
             case e: Exception =>
               failures += s"${hp._1}:${hp._2}: ${e.getMessage}"
-              MongoWire.rttCache.remove(hp)
+              MongoWire.rttCache.remove(rttKey(hp))
               close()
           }
         }
@@ -543,7 +568,7 @@ object MongoWire {
           case e: Exception =>
             failures += s"${winner._1}:${winner._2} (nearest winner): ${e.getMessage}"
             close()
-            MongoWire.rttCache.remove(winner) // dead member: drop its sample
+            MongoWire.rttCache.remove(rttKey(winner)) // dead member: drop its sample
             remaining --= remaining.filter(_._1 == winner)
         }
       }

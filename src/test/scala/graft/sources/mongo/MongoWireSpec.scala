@@ -1249,10 +1249,10 @@ class MongoWireSpec extends SparkTestBase {
       // 15ms window on a contended box): both equidistant at 1ms vs 5ms
       // — inside one window, so the tiebreak picks the FIRST in seed
       // order; neither member is re-probed (fresh cache)
-      MongoWire.seedRttSample("127.0.0.1", secondary.port, 5L * 1000000L)
-      MongoWire.seedRttSample("127.0.0.1", primary.port, 1L * 1000000L)
       val url = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
         "/db/features?readPreference=nearest"
+      MongoWire.seedRttSample(url, "127.0.0.1", secondary.port, 5L * 1000000L)
+      MongoWire.seedRttSample(url, "127.0.0.1", primary.port, 1L * 1000000L)
       assert(MongoWire.docs(url, "{}", Nil, 1500).toSeq.size == 4)
       // the slower-but-in-window member wins on seed order — the read
       // goes there, and the cached samples mean the loser sees NOTHING
@@ -1318,6 +1318,32 @@ class MongoWireSpec extends SparkTestBase {
       assert(primary.received.asScala.size == probes,
         s"expected no re-probe, got ${primary.received.asScala.size - probes} extra")
       assert(secondary.received.asScala.count(_.contains("\"find\"")) == 2)
+    } finally { primary.stop(); secondary.stop() }
+  }
+
+  test("nearest RTT cache keys on the connection config, not just (host, port)") {
+    MongoWire.clearRttCache()
+    val primary = new FakeMongod.Server(featureDocs.take(4))
+    val secondary = new FakeMongod.Server(featureDocs.take(4))
+    try {
+      primary.replicaIdentity = Some(("rs0", true, None))
+      secondary.replicaIdentity = Some(("rs0", false, None))
+      val url1 = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
+        "/db/features?readPreference=nearest"
+      // seed BOTH members under url1's key: url1 opens with zero probes
+      MongoWire.seedRttSample(url1, "127.0.0.1", secondary.port, 1L * 1000000L)
+      MongoWire.seedRttSample(url1, "127.0.0.1", primary.port, 5L * 1000000L)
+      assert(MongoWire.docs(url1, "{}", Nil, 1500).toSeq.size == 4)
+      assert(primary.received.asScala.isEmpty, "url1 must ride the seeded samples")
+      // SAME members, different auth source: a (host, port)-keyed cache
+      // would reuse url1's samples and skip probing; the config-keyed
+      // cache must measure this connection shape itself — the losing
+      // member sees its hello probe
+      val url2 = s"mongodb://127.0.0.1:${secondary.port},127.0.0.1:${primary.port}" +
+        "/db/features?readPreference=nearest&authSource=admin"
+      assert(MongoWire.docs(url2, "{}", Nil, 1500).toSeq.size == 4)
+      assert(primary.received.asScala.exists(_.contains("\"hello\"")),
+        s"url2 must re-probe under its own key: ${primary.received.asScala}")
     } finally { primary.stop(); secondary.stop() }
   }
 

@@ -248,6 +248,86 @@ class EventStreamsSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streamingRetention drops late-beyond-watermark data, matching the batch matrix minus it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val query = EventStreams.streamingRetention(events,
+        watermarkDelay = "2 minutes", periodSeconds = 60L)
+      .writeStream.format("memory").queryName("ret_late")
+      .outputMode("append").start()
+    def t(min: Long, s: Long = 0) = new Timestamp((min * 60 + s) * 1000L)
+    try {
+      // t(0, 5), not t(0): an event at exactly epoch 0 equals the
+      // initial watermark and the late filter's boundary drops it
+      input.addData((1L, t(0, 5)), (1L, t(1)), (2L, t(1, 30)))
+      query.processAllAvailable()
+      // push the watermark to min 8 (10 - 2 delay)
+      input.addData((99L, t(10)))
+      query.processAllAvailable()
+      // LATE beyond the watermark: u1's period-2 return and a brand-new
+      // user u7 whose only event is below the watermark — both must be
+      // dropped before state (u7 must never appear in ANY cohort)
+      input.addData((1L, t(2, 5)), (7L, t(3)))
+      query.processAllAvailable()
+      // finalize everything through the sentinel's period
+      input.addData((99L, t(20)))
+      query.processAllAvailable()
+      input.addData((99L, t(40)))
+      query.processAllAvailable()
+      val got = spark.table("ret_late")
+        .groupBy("cohort", "period_index").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // batch parity over the events WITHOUT the dropped pair
+      // (the final t(40) sentinel event is excluded too: its period is
+      // still open when the query stops)
+      val kept = Seq((1L, t(0, 5)), (1L, t(1)), (2L, t(1, 30)),
+        (99L, t(10)), (99L, t(20)))
+        .toDF("user_id", "ts")
+      val batch = EventStreams.retentionCohorts(kept, "user_id", "ts", 60L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch, s"got $got batch $batch")
+      assert(!got.keySet.exists(_._1 == 3L), "dropped user u7 leaked a cohort")
+    } finally query.stop()
+  }
+
+  test("streamingRetention timeout-flushes several open periods across cohorts at once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    // 10-minute delay: the first batch's own max event time must not
+    // advance the watermark past any open boundary
+    val query = EventStreams.streamingRetention(events,
+        watermarkDelay = "10 minutes", periodSeconds = 60L)
+      .writeStream.format("memory").queryName("ret_flush")
+      .outputMode("append").start()
+    def t(min: Long, s: Long = 0) = new Timestamp((min * 60 + s) * 1000L)
+    try {
+      // u1: cohort 0 with FOUR open periods; u2: cohort 5 with two —
+      // all buffered while the watermark sits at 0
+      input.addData((1L, t(0, 5)), (1L, t(1)), (1L, t(2)), (1L, t(3)),
+        (2L, t(5)), (2L, t(6)))
+      query.processAllAvailable()
+      assert(spark.table("ret_flush").count() == 0L) // nothing final yet
+      // ONE watermark jump past every open boundary: the quiescent users
+      // get no further events; the EventTimeTimeout must re-invoke their
+      // groups and flush all six periods in this trigger
+      input.addData((99L, t(30)))
+      query.processAllAvailable()
+      val got = spark.table("ret_flush")
+        .groupBy("cohort", "period_index").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = Map(
+        (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (0L, 3L) -> 1L,
+        (5L, 0L) -> 1L, (5L, 1L) -> 1L)
+      assert(got == want, s"got $got")
+      // exactly-once across the flush
+      assert(spark.table("ret_flush").count() == want.values.sum)
+    } finally query.stop()
+  }
+
   test("sessionize splits on gaps") {
     val batch = Seq(
       (1L, ts("2024-01-01 00:00:00")),
