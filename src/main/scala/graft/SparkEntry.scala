@@ -247,7 +247,7 @@ object SparkEntry {
           c.join(n, c("nk") === n("nkey"))
             .where(col("nname").startsWith("NATION_1"))
             .select(col("name"), col("nk"), col("nname"))
-      joined.localCheckpoint(true)
+      operators.Dedup.trackResult(joined.localCheckpoint(true))
     } finally {
       priorJoinConf match {
         case Some(v) => spark.conf.set(joinConf, v)
@@ -746,6 +746,7 @@ object SparkEntry {
           .groupBy("m")
           .agg(count(lit(1)).as("cnt"), count(col("name")).as("n_names"))
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       } finally server.stop(0)
     }),
     "q_xml_server" -> ((spark, dir) => {
@@ -792,6 +793,7 @@ object SparkEntry {
           .load(base)
           .where(col("nk") === "7").select("name", "nk")
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       } finally server.stop(0)
     }),
     // Pushed TopN through the live wire: ORDER BY + LIMIT travels as the
@@ -850,6 +852,7 @@ object SparkEntry {
           .load(base)
           .orderBy(col("name").desc).limit(10).select("name", "nk")
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       } finally server.stop(0)
     }),
     // DPP-style runtime filtering e2e (SupportsRuntimeFiltering): a join
@@ -898,6 +901,7 @@ object SparkEntry {
           .select(col("n_nationkey").cast("string").as("nk"), col("n_name").as("nname"))
         fact.join(dim, Seq("nk")).select("name", "nk", "nname")
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       } finally server.stop(0)
     }),
     // The reference's 2-collection JOIN pushdown, live under the gate
@@ -969,6 +973,7 @@ object SparkEntry {
           .select(col("name"), col("nk"),
             round(call_function("st_x", col("geometry")), 4).as("gx"))
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       } finally server.stop(0)
     }),
 
@@ -988,6 +993,7 @@ object SparkEntry {
           .select(col("name"), col("nk"),
             round(call_function("st_x", col("geometry")), 4).as("gx"))
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       }
     }),
 
@@ -1005,6 +1011,7 @@ object SparkEntry {
           .load(url)
           .groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       }
     }),
     // filtered variant (r9): the pushed equality travels WITH the count
@@ -1020,6 +1027,7 @@ object SparkEntry {
           .where(col("nk") === "5")
           .groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint(true)
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
       }
     }),
 

@@ -117,8 +117,10 @@ object ContainmentJoin {
       .select(col("__lid").as(leftId), col("__rid").as(rightId),
         round(col("__c"), 4).as("containment"))
       .localCheckpoint(true)) // self-contained: survives releaseCaches
-    l.unpersist(blocking = false)
-    r.unpersist(blocking = false)
+    // releaseFrame, not unpersist: these are checkpoint-backed, and
+    // Dataset.unpersist silently no-ops on checkpoints
+    Dedup.releaseFrame(l)
+    Dedup.releaseFrame(r)
     res
   }
 }

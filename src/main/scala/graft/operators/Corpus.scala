@@ -777,9 +777,9 @@ object Corpus {
     // the partial frame is ~|distinct (doc, bucket)| rows — far smaller
     // than the gram stream but still corpus-sized, and the default
     // deserialized in-heap checkpoint OOMs where spilling is the point
-    val rPairs = gramBuckets(raw, col(idCol))
+    val rPairs = Dedup.track(gramBuckets(raw, col(idCol))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val rCnt: Map[Long, Long] = rPairs
       .groupBy("__b").agg(sum("__n").as("__rc"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -12,15 +12,64 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Weak-reference registry: entries vanish once the caller drops every
-    * strong reference to the handle, so an unreleased frame/RDD/broadcast
-    * stays reclaimable by GC + ContextCleaner exactly as if it were never
-    * tracked (a strong-ref set would pin every result of a long-lived
-    * session forever — the round-10 advice finding). The synchronized
-    * wrapper is the mutex for [[drain]]'s iterate-and-remove. */
-  private def weakRegistry(): java.util.Set[AnyRef] =
-    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
+  /** Resource registry, split by how Spark retains each resource kind:
+    *
+    *  - SQL-cached DataFrames (`.persist`): the session's CacheManager
+    *    holds the cached plan STRONGLY until `unpersist`, so a weak ref
+    *    to the Dataset wrapper would leak the cache permanently the
+    *    moment GC clears it (the wrapper is garbage as soon as the
+    *    operator returns — only the registry keeps it findable). These
+    *    are held strongly; the extra retention over CacheManager's own
+    *    pin is just the wrapper object.
+    *  - localCheckpoint-backed frames: `Dataset.unpersist` is a silent
+    *    NO-OP for these (the plan is a LogicalRDD, never in the
+    *    CacheManager — measured: blocks survive unpersist). The real
+    *    resource is the checkpointed RDD, so the registry weak-tracks
+    *    the LogicalRDD leaves' RDDs: while the result frame is alive the
+    *    refs stay valid and drain frees the blocks eagerly; once the
+    *    frame is dropped, GC + ContextCleaner reclaim as if untracked
+    *    (the round-10 advice finding — nothing pins an abandoned result).
+    *  - bare RDDs / broadcasts: ContextCleaner reclaims them on GC, so
+    *    weak refs suffice; drain releases eagerly while reachable.
+    *
+    * The synchronized wrapper is the mutex for [[drain]]'s
+    * iterate-and-remove. */
+  private final class Registry {
+    val strong: java.util.Set[AnyRef] =
+      java.util.Collections.synchronizedSet(new java.util.LinkedHashSet[AnyRef]())
+    val weak: java.util.Set[AnyRef] =
+      java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
+    def add(h: AnyRef): Unit = h match {
+      case ds: org.apache.spark.sql.Dataset[_] =>
+        val df = ds.toDF()
+        if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          strong.add(df) // SQL-cached: CacheManager pins it until unpersist
+        else {
+          // checkpoint-backed (or plain): the blocks live on the leaf RDDs
+          checkpointRdds(df).foreach(weak.add)
+          ()
+        }
+      case other => weak.add(other); ()
+    }
+  }
+
+  /** The checkpointed RDDs a materialized frame's plan scans (LogicalRDD
+    * leaves) — the handles that actually free localCheckpoint blocks. */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Frees the blocks behind a MATERIALIZED frame. `Dataset.unpersist`
+    * only drops SQL-cache entries; for localCheckpoint-backed frames it
+    * is a silent no-op (the plan is never in the CacheManager), so this
+    * also unpersists the LogicalRDD leaves' RDDs. Only call on frames
+    * whose checkpoint blocks nothing else still references. */
+  private[graft] def releaseFrame(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+  }
 
   /** Internal persists that must OUTLIVE their call — the returned plan
     * references them lazily (minhash signatures, the embedding base frame,
@@ -29,7 +78,7 @@ object Dedup {
     * with [[releaseCaches]] once results are consumed; without it the
     * blocks linger until evicted (MEMORY_AND_DISK is LRU-evictable, so
     * this is hygiene, not an OOM). */
-  private val tracked = weakRegistry()
+  private val tracked = new Registry
   private[operators] def track[A <: AnyRef](h: A): A = { tracked.add(h); h }
 
   /** Unpersists every cache left behind by dedup calls in this JVM. Call
@@ -52,28 +101,33 @@ object Dedup {
     * consumed; otherwise the blocks linger until the RDD is GC'd and
     * the ContextCleaner reclaims them (observed as suite-wide memory
     * pressure at 20×: individually-fast queries read 5-10× slower late
-    * in a 143-query run). Weak-referenced (see [[weakRegistry]]) so a
-    * consumer that never calls releaseResults leaks nothing: once its
-    * DataFrame goes unreachable, the entry disappears and the
-    * ContextCleaner path applies unhindered. */
-  private val trackedResults = weakRegistry()
+    * in a 143-query run). Checkpoint-backed results register as weak refs
+    * to their underlying RDDs (see [[Registry]]), so a consumer that
+    * never calls releaseResults leaks nothing: once its DataFrame goes
+    * unreachable, the entries clear and the ContextCleaner path applies
+    * unhindered. */
+  private val trackedResults = new Registry
   private[graft] def trackResult[A <: AnyRef](h: A): A = { trackedResults.add(h); h }
 
   /** Releases materialized RESULT frames (see [[trackResult]]). Only
     * call once those results are consumed — they cannot be recomputed. */
   def releaseResults(): Unit = drain(trackedResults)
 
-  private def drain(reg: java.util.Set[AnyRef]): Unit = reg.synchronized {
-    val it = reg.iterator()
-    while (it.hasNext) {
-      it.next() match {
-        case df: DataFrame                             => df.unpersist(blocking = false)
-        case rdd: org.apache.spark.rdd.RDD[_]          => rdd.unpersist(blocking = false)
-        case b: org.apache.spark.broadcast.Broadcast[_] => b.destroy()
-        case _                                         => ()
+  private def drain(reg: Registry): Unit = {
+    def drainSet(set: java.util.Set[AnyRef]): Unit = set.synchronized {
+      val it = set.iterator()
+      while (it.hasNext) {
+        it.next() match {
+          case ds: org.apache.spark.sql.Dataset[_]        => releaseFrame(ds.toDF())
+          case rdd: org.apache.spark.rdd.RDD[_]           => rdd.unpersist(blocking = false)
+          case b: org.apache.spark.broadcast.Broadcast[_] => b.destroy()
+          case _                                          => ()
+        }
+        it.remove()
       }
-      it.remove()
     }
+    drainSet(reg.strong)
+    drainSet(reg.weak)
   }
 
   /** Exact dedup: one representative row (min id) per identical text.
@@ -749,7 +803,8 @@ object Dedup {
       // `next` is materialized (eager checkpoint + the count above), so the
       // previous round's checkpoint blocks are dead — drop them now instead
       // of leaking one checkpointed frame per round for the JVM's lifetime
-      if (prevCkpt != null) prevCkpt.unpersist(blocking = false)
+      // (releaseFrame, not unpersist: unpersist is a no-op on checkpoints)
+      if (prevCkpt != null) releaseFrame(prevCkpt)
       prevCkpt = next
       labels = next.select("id", "cluster")
       converged = changed == 0

@@ -192,9 +192,14 @@ object SpatialJoin {
         .drop("__cnt")
         .localCheckpoint(true)
       resolved = if (resolved == null) done else resolved.unionAll(done)
+      val prevUnresolved = if (rounds == 0) null else unresolved
       unresolved = unresolved
         .join(done.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
         .localCheckpoint(true)
+      // the new checkpoint is materialized (eager), so the PREVIOUS
+      // round's unresolved blocks are dead — but only rounds >= 1 own
+      // their frame (round 0's input may share the caller's checkpoints)
+      if (prevUnresolved != null) Dedup.releaseFrame(prevUnresolved)
       // once the radius covers the combined diagonal every right row is
       // a candidate for every left row, so counts reach |right| ≥ need
       // and nothing can stay unresolved — a safety net, not a path
@@ -212,7 +217,13 @@ object SpatialJoin {
     if (resolved == null)
       left.limit(0).crossJoin(right.limit(0))
         .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(0))
-    else resolved
+    else {
+      // the last round's (empty-by-require) unresolved checkpoint is dead
+      if (rounds > 0) Dedup.releaseFrame(unresolved)
+      // the result unions the rounds' checkpointed `done` frames — register
+      // them so releaseResults() reclaims the blocks once consumed
+      Dedup.trackResult(resolved)
+    }
   }
 
   private def join(left: DataFrame, leftGeom: String,
@@ -279,7 +290,8 @@ object SpatialJoin {
     val pairs = epsPairs(df, idCol, geomCol, eps, cellSize)
     val res = Dedup.trackResult(
       dbscanFromPairs(df, idCol, geomCol, pairs, minPts).localCheckpoint(true))
-    pairs.unpersist(blocking = false) // res no longer references the blocks
+    Dedup.releaseFrame(pairs) // res no longer references the blocks
+                              // (unpersist alone no-ops on checkpoints)
     res
   }
 

@@ -123,6 +123,26 @@ class DedupSpec extends SparkTestBase {
     Dedup.releaseCaches() // idempotent on a drained registry
   }
 
+  test("releaseResults frees the checkpoint blocks behind self-contained results") {
+    Dedup.releaseCaches(); Dedup.releaseResults() // drain earlier tests
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.size
+    // dbscan returns a localCheckpoint-backed self-contained frame:
+    // Dataset.unpersist is a silent NO-OP for those (the plan is a
+    // LogicalRDD, never in the CacheManager), so this test fails against
+    // a drain that only calls unpersist — the blocks must go through the
+    // underlying RDD handles
+    val pts = spark.range(30).selectExpr("id", "ST_Point(CAST(id % 6 AS DOUBLE), CAST(id % 5 AS DOUBLE)) AS g")
+    val res = SpatialJoin.dbscan(pts, "id", "g", eps = 1.5, minPts = 3)
+    assert(res.count() == 30)
+    assert(sc.getPersistentRDDs.size > baseline,
+      "expected the self-contained result to hold checkpoint blocks")
+    Dedup.releaseCaches() // internal intermediates (clusters' checkpoints)
+    Dedup.releaseResults() // the result frame itself
+    assert(sc.getPersistentRDDs.size <= baseline,
+      "the drains must free every localCheckpoint block, not just SQL caches")
+  }
+
   test("clusters with reliable checkpoint matches localCheckpoint result") {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
     ckptDir.deleteOnExit()
