@@ -86,9 +86,17 @@ object Bench {
       // later queries aren't measured under the accumulated memory
       // pressure of every earlier run's persisted frames — at 20× the
       // lingering result blocks alone inflated individually-fast queries
-      // 5-10× late in the suite
-      graft.operators.Dedup.releaseCaches()
-      graft.operators.Dedup.releaseResults()
+      // 5-10× late in the suite. BLOCKING so the block-manager removal
+      // work of a 40M-row predecessor doesn't bleed into the NEXT
+      // query's timed section (measured at 20× best-of-1:
+      // q_geojson_v2write read 31 s mid-suite vs 2.8 s isolated — a
+      // transient, not a scaling defect). NO forced GC here: a full GC
+      // clears the soft-referenced codegen caches and every subsequent
+      // query re-pays compilation (measured +22% on the sf0.1 suite);
+      // the interleaved best-of-N minimum is the mechanism that absorbs
+      // one-off stall transients instead
+      graft.operators.Dedup.releaseCaches(blocking = true)
+      graft.operators.Dedup.releaseResults(blocking = true)
     }
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       name -> samples(i).min // TotalOrdering: NaN sorts greatest, so min = best good run

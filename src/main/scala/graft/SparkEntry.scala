@@ -1769,6 +1769,29 @@ object SparkEntry {
         |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
         |       count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+    // GROUPING SETS with a level set neither ROLLUP nor CUBE can express:
+    // ((rf, ls), (ls), ()) — skips the (rf)-only level and keeps the
+    // (ls)-only one, so the planner's Expand must follow the explicit
+    // set list, not a prefix/powerset shorthand. Identical SQL text runs
+    // on both engines.
+    "q_grouping_sets" -> sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin),
+    // CUBE: the full power set of the two keys — the one level ROLLUP
+    // lacks is (linestatus)-only; grouping markers disambiguate natural
+    // NULLs from subtotal rows.
+    "q_cube" -> sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
     // Pivot: order counts per status spread across priority columns.
     // Expressed as conditional aggregation so BOTH engines run the
     // identical portable form (Spark's .pivot sugar plans to the same).
@@ -2815,6 +2838,21 @@ object SparkEntry {
         |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
         |       count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,

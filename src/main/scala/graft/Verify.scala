@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional name filter (regex) for incremental re-dumps into an
+    // existing outDir; oracle_sql.json is always rewritten in full
+    val nameFilter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+    SparkEntry.queries
+      .filter { case (n, _) => nameFilter.forall(f => n.matches(f)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

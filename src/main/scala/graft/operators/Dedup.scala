@@ -66,9 +66,9 @@ object Dedup {
     * is a silent no-op (the plan is never in the CacheManager), so this
     * also unpersists the LogicalRDD leaves' RDDs. Only call on frames
     * whose checkpoint blocks nothing else still references. */
-  private[graft] def releaseFrame(df: DataFrame): Unit = {
-    df.unpersist(blocking = false)
-    checkpointRdds(df).foreach(_.unpersist(blocking = false))
+  private[graft] def releaseFrame(df: DataFrame, blocking: Boolean = false): Unit = {
+    df.unpersist(blocking)
+    checkpointRdds(df).foreach(_.unpersist(blocking))
   }
 
   /** Internal persists that must OUTLIVE their call — the returned plan
@@ -89,7 +89,11 @@ object Dedup {
     * unconsumed checkpoint blocks too; serialize release points (e.g.
     * between pipeline stages, as Bench does between runs) or skip release
     * and rely on LRU eviction. */
-  def releaseCaches(): Unit = drain(tracked)
+  def releaseCaches(): Unit = releaseCaches(blocking = false)
+  /** @param blocking when true, waits for block removal to complete before
+    *                 returning — benchmark harnesses use this so removal
+    *                 work doesn't bleed into the NEXT timed section. */
+  def releaseCaches(blocking: Boolean): Unit = drain(tracked, blocking)
 
   /** RESULT frames the self-contained operators (dbscan,
     * ContainmentJoin.join) materialize before returning. Kept in a
@@ -111,15 +115,17 @@ object Dedup {
 
   /** Releases materialized RESULT frames (see [[trackResult]]). Only
     * call once those results are consumed — they cannot be recomputed. */
-  def releaseResults(): Unit = drain(trackedResults)
+  def releaseResults(): Unit = releaseResults(blocking = false)
+  /** @param blocking see [[releaseCaches(blocking:Boolean)*]]. */
+  def releaseResults(blocking: Boolean): Unit = drain(trackedResults, blocking)
 
-  private def drain(reg: Registry): Unit = {
+  private def drain(reg: Registry, blocking: Boolean = false): Unit = {
     def drainSet(set: java.util.Set[AnyRef]): Unit = set.synchronized {
       val it = set.iterator()
       while (it.hasNext) {
         it.next() match {
-          case ds: org.apache.spark.sql.Dataset[_]        => releaseFrame(ds.toDF())
-          case rdd: org.apache.spark.rdd.RDD[_]           => rdd.unpersist(blocking = false)
+          case ds: org.apache.spark.sql.Dataset[_]        => releaseFrame(ds.toDF(), blocking)
+          case rdd: org.apache.spark.rdd.RDD[_]           => rdd.unpersist(blocking)
           case b: org.apache.spark.broadcast.Broadcast[_] => b.destroy()
           case _                                          => ()
         }
