@@ -14,7 +14,7 @@ FAMILIES = [
     ("dedup", r"^q_(dedup_|embed_dedup|containment_join|fuzzy_join|semdedup|dup_spans|paragraph_dedup|decontaminate|ngram_jaccard)"),
     ("ANN/vectors", r"^q_(ann_|knn_join|embed_quantize|ivf_pq)"),
     ("text kernels", r"^q_(lang_id|text_|quality_|lm_score|repetition|redact|html|url_|bpe|token_|bigrams|tfidf|fingerprint|dsir|ccnet)"),
-    ("sampling/stats", r"^q_(sample|docmix|split|stratified|weighted|quantile|hist|profile|row_ids|pack|chunk)"),
+    ("sampling/stats", r"^q_(sample|docmix|split|stratified|weighted|quantile|hist|profile|row_ids|pack|chunk|stats_)"),
     ("sketches", r"^q_(heavy_hitters|distinct_sketch|cms|hll)"),
     ("joins/layout", r"^q_(asof|range_join|interval_join|skew_join|topk_per_group|snapshot_diff|zorder)"),
     ("graphs/retrieval", r"^q_(pagerank|triangles|bm25|rrf)"),
