@@ -51,6 +51,22 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(got == brute)
   }
 
+  test("knnJoin releases superseded round state and its result via releaseResults") {
+    Dedup.releaseCaches(); Dedup.releaseResults() // drain earlier tests
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.size
+    val res = SpatialJoin.knnJoin(cust, "cgeom", "c_custkey",
+      supp, "sgeom", "s_suppkey", k = 3)
+    assert(res.count() > 0)
+    // only the result's own `done` checkpoints may remain; the per-round
+    // unresolved frames were freed as each round materialized
+    val held = sc.getPersistentRDDs.size
+    assert(held > baseline, "expected the result to hold checkpoint blocks")
+    Dedup.releaseResults()
+    assert(sc.getPersistentRDDs.size <= baseline,
+      "releaseResults must free the knnJoin result's checkpoint blocks")
+  }
+
   test("knnJoin: fewer right rows than k answers them all; empty right is empty") {
     val tiny = supp.limit(2)
     val got = SpatialJoin.knnJoin(cust.limit(5), "cgeom", "c_custkey",

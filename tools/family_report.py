@@ -7,7 +7,7 @@ Usage: python3 tools/family_report.py sf0.01=BENCH1.json sf0.1=BENCH2.json sf1=B
 import json, sys, re
 
 FAMILIES = [
-    ("relational", r"^q_(select|filter|groupby|join_inner|join_left|join_full|subquery|mod_filter|date_filter|orderby|distinct|expr|like|having|union|intersect|except|exists|window|rollup|pivot|moving_avg)"),
+    ("relational", r"^q_(select|filter|groupby|join_inner|join_left|join_full|subquery|mod_filter|date_filter|orderby|distinct|expr|like|having|union|intersect|except|exists|window|rollup|pivot|moving_avg|grouping_sets|cube)"),
     ("spatial scalar", r"^q_(st_|wkt_|geojson_io|gml|kml)"),
     ("spatial agg/join", r"^q_(spatial_join|knn_spatial|dbscan)"),
     ("document sources", r"^q_(xml|geojson_dsv2|geojson_export|geojson_v2write|geojson_topn|geojson_couch|geojson_mongo|warc)"),
