@@ -1878,6 +1878,44 @@ object SparkEntry {
       operators.Layout.withZValue(c, Seq("c_acctbal", "y"), 8)
         .select("c_custkey", "z")
     }),
+    // Bucketed co-located join: both sides written with the SAME bucket
+    // count on the join key (Layout.writeBucketed), then joined AND
+    // aggregated on that key with broadcast disabled — the bucketed
+    // distribution satisfies both, so the plan carries ZERO Exchange
+    // (plan-asserted in LayoutSpec; here the oracle proves the layout
+    // changes nothing semantically). Cold-cost-by-design: the timed
+    // section pays both table writes — the shuffle a bucketed layout
+    // prepays once per LOAD, amortized across every co-located join
+    // after it.
+    "q_bucketed_join" -> ((spark, dir) => {
+      init(spark, dir)
+      val wh = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-bucketed").getAbsolutePath
+      operators.Layout.writeBucketed(
+        spark.table("orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", s"$wh/orders", "o_custkey", 16,
+        sortCols = Seq("o_custkey"))
+      operators.Layout.writeBucketed(
+        spark.table("customer").select(col("c_custkey"), col("c_acctbal")),
+        "graft_bkt_customer", s"$wh/customer", "c_custkey", 16,
+        sortCols = Seq("c_custkey"))
+      val bcast = "spark.sql.autoBroadcastJoinThreshold"
+      val prior = spark.conf.getOption(bcast)
+      spark.conf.set(bcast, "-1")
+      try {
+        spark.table("graft_bkt_customer")
+          .join(spark.table("graft_bkt_orders"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .localCheckpoint(true) // materialize under the conf, restore after
+          .transform(operators.Dedup.trackResult[org.apache.spark.sql.DataFrame])
+      } finally prior match {
+        case Some(v) => spark.conf.set(bcast, v)
+        case None    => spark.conf.unset(bcast)
+      }
+    }),
     // Okapi BM25 lexical scoring against a 4-term query; scores rounded
     // at 4 dp (ln differs at the ulp level across engines).
     "q_bm25" -> ((spark, dir) => {
@@ -2954,6 +2992,13 @@ object SparkEntry {
          |      FROM customer, s)
          |SELECT c_custkey, $terms AS z FROM b""".stripMargin
     },
+    // bucketed join: the layout changes the PLAN, never the result —
+    // plain SQL replays it
+    "q_bucketed_join" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
     // BM25: identical arithmetic, associativity parenthesized to match
     // the engine's expression tree exactly (only ln is ulp-divergent)
     "q_bm25" ->

@@ -74,4 +74,34 @@ object Layout {
       else withZ.repartitionByRange(col(zc))
     parted.sortWithinPartitions(col(zc)).drop(zc)
   }
+
+  /** Bucketed (hash-clustered) table layout — the CO-LOCATED JOIN
+    * primitive the 100 TB design leans on: two tables written with the
+    * same bucket count on their join key hash-route matching keys to
+    * matching buckets AT WRITE TIME, so joins between them (and
+    * aggregations on the bucket key) plan with ZERO Exchange — the
+    * shuffle is paid once when the table is laid down, not per query.
+    * Equality filters on the key also prune to a single bucket's files
+    * (`SelectedBucketsCount` in the scan).
+    *
+    * Spark's bucketing metadata lives in the session catalog, so the
+    * table registers under `name` with its files at the caller-owned
+    * `path` (external table: dropping the name never deletes data).
+    * Any existing registration is replaced. `sortCols` adds in-bucket
+    * ordering (sort-merge joins then skip the per-task sort too).
+    */
+  def writeBucketed(df: DataFrame, name: String, path: String, key: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    // saveAsTable(Overwrite) on a pre-existing EXTERNAL table validates
+    // the old schema/bucket spec first; a plain drop gives replace
+    // semantics for re-runs with a different layout
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
 }

@@ -73,4 +73,45 @@ class LayoutSpec extends SparkTestBase {
       .as[(Int, Double)].collect().map(_._2)
     assert(spans.nonEmpty && spans.min < 100.0 * 0.9, spans.mkString(","))
   }
+
+  test("co-bucketed join + bucket-key aggregate plan ZERO exchanges; " +
+      "key-equality filter prunes to one bucket") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkt-spec").toString
+    val left = spark.range(0, 1000)
+      .select(($"id" % 200).as("k"), ($"id" * 2).as("lv"))
+    val right = spark.range(0, 500)
+      .select(($"id" % 200).as("k"), ($"id" + 7).as("rv"))
+    Layout.writeBucketed(left, "bkt_left", s"$wh/l", "k", 8, Seq("k"))
+    Layout.writeBucketed(right, "bkt_right", s"$wh/r", "k", 8, Seq("k"))
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1")
+    try {
+      val joined = spark.table("bkt_left")
+        .join(spark.table("bkt_right"), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join + bucket-key agg must not shuffle:\n$plan")
+      // semantics unchanged vs the plain (shuffled) join
+      val plain = left.join(right, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s"))
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(m(joined) == m(plain))
+      // bucket pruning: an equality filter on the bucket key reads 1/8.
+      // autoBucketedScan must be pinned OFF here — with nothing upstream
+      // demanding the bucketed distribution the planner reverts to a
+      // plain (splittable) scan and the pruning is lost with it
+      val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val priorAuto = spark.conf.get(auto)
+      spark.conf.set(auto, "false")
+      try {
+        val pruned = spark.table("bkt_left").where($"k" === 42)
+        val scan = pruned.queryExecution.executedPlan.toString
+        assert(scan.contains("SelectedBucketsCount: 1 out of 8"), scan)
+        assert(pruned.count() == 5)
+      } finally spark.conf.set(auto, priorAuto)
+    } finally spark.conf.set(bcast, prior)
+  }
 }
