@@ -99,13 +99,11 @@ object Pq {
     centroids.map(_.toVector.toArray).toVector // defensive copies
   }
 
-  /** Trains the `m` per-subspace codebooks on a bounded deterministic
-    * sample. `dim % m` must be 0; `k ≤ 256` so codes fit a byte. */
-  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
-            k: Int = 256, maxTrainVecs: Int = 100000, iters: Int = 15): Model = {
-    require(m > 0 && k > 1 && k <= 256, s"need 0 < m, 1 < k <= 256; got m=$m k=$k")
+  /** Bounded deterministic training sample: guarded limit probe (one
+    * job, ≤ cap+1 rows), exact [[Corpus.sampleByHash]] past the cap. */
+  private def trainSample(df: DataFrame, idCol: String, vecCol: String,
+                          maxTrainVecs: Int, salt: String): Array[Array[Float]] = {
     val vecs = df.select(col(idCol), col(vecCol)).where(col(vecCol).isNotNull)
-    // guarded probe (one job, ≤ cap+1 rows), exact deterministic sample past it
     val probe = vecs.limit(maxTrainVecs + 1).collect()
     val rows: Array[Array[Float]] =
       (if (probe.length <= maxTrainVecs) probe
@@ -115,17 +113,165 @@ object Pq {
          // training set
          val n = vecs.count()
          C.sampleByHash(vecs.toDF(idCol, vecCol), idCol,
-           maxTrainVecs.toDouble / n, "pq-train").collect()
+           maxTrainVecs.toDouble / n, salt).collect()
        }).map(_.getSeq[Float](1).toArray)
     require(rows.nonEmpty, "PQ training needs at least one vector")
+    require(rows.forall(_.length == rows.head.length), "ragged embedding lengths")
+    rows
+  }
+
+  private def trainOnRows(rows: Array[Array[Float]], m: Int, k: Int,
+                          iters: Int): Model = {
     val dim = rows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    require(rows.forall(_.length == dim), "ragged embedding lengths")
     val dsub = dim / m
     val books = (0 until m).map { s =>
       kmeans(rows.map(_.slice(s * dsub, (s + 1) * dsub)), k, iters)
     }.toVector
     Model(dim, m, books)
+  }
+
+  /** Trains the `m` per-subspace codebooks on a bounded deterministic
+    * sample. `dim % m` must be 0; `k ≤ 256` so codes fit a byte. */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+            k: Int = 256, maxTrainVecs: Int = 100000, iters: Int = 15): Model = {
+    require(m > 0 && k > 1 && k <= 256, s"need 0 < m, 1 < k <= 256; got m=$m k=$k")
+    trainOnRows(trainSample(df, idCol, vecCol, maxTrainVecs, "pq-train"),
+      m, k, iters)
+  }
+
+  /** OPQ: PQ behind a learned ORTHOGONAL rotation (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013 — FAISS's `OPQMatrix`). Plain PQ
+    * quantizes each d/m-dim subspace independently, so variance that
+    * CORRELATES across the subspace boundary is quantized twice badly;
+    * OPQ alternates (a) PQ training in the rotated space with (b) the
+    * orthogonal Procrustes solve R = UVᵀ of svd(Xᵀ X̂) that best aligns
+    * the data to its current reconstruction X̂ — monotonically
+    * decreasing quantization error, same m bytes per vector. Rotation
+    * preserves L2 exactly (‖xR − qR‖ = ‖x − q‖), so ADC search in the
+    * rotated space answers the ORIGINAL-space query: [[searchTopKOpq]]
+    * just rotates the query. Train is driver-local over the same
+    * bounded sample as [[train]] (d×d Procrustes per round: breeze SVD
+    * on a 64×64 for the gate corpus); encode adds one d×d matvec per
+    * vector, map-only. */
+  final case class OpqModel(rotation: Array[Array[Float]], pq: Model)
+    extends Serializable {
+    def dim: Int = pq.dim
+  }
+
+  private def rotate(r: Array[Array[Float]], v: Array[Float]): Array[Float] = {
+    val d = v.length
+    val out = new Array[Float](d)
+    var j = 0
+    while (j < d) {
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += v(i) * r(i)(j); i += 1 }
+      out(j) = acc.toFloat; j += 1
+    }
+    out
+  }
+
+  private[operators] def reconstruct(model: Model, codes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](model.dim)
+    val dsub = model.dsub
+    var s = 0
+    while (s < model.m) {
+      val cen = model.codebooks(s)(codes(s) & 0xff)
+      System.arraycopy(cen, 0, out, s * dsub, dsub)
+      s += 1
+    }
+    out
+  }
+
+  private def encodeRow(model: Model, v: Array[Float]): Array[Byte] = {
+    val dsub = model.dsub
+    val out = new Array[Byte](model.m)
+    var s = 0
+    while (s < model.m) {
+      val book = model.codebooks(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var d = 0.0; var j = 0
+        while (j < dsub) { val t = v(s * dsub + j) - cen(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Mean squared quantization error of `model` over `rows` (rotated
+    * first when `rotation` is given) — the objective OPQ minimizes;
+    * spec-visible so improvement is assertable. */
+  private[graft] def quantizationMse(rows: Array[Array[Float]], model: Model,
+                                     rotation: Option[Array[Array[Float]]] = None): Double = {
+    var acc = 0.0
+    rows.foreach { v0 =>
+      val v = rotation.fold(v0)(r => rotate(r, v0))
+      val rec = reconstruct(model, encodeRow(model, v))
+      var j = 0
+      while (j < v.length) { val t = v(j) - rec(j); acc += t * t; j += 1 }
+    }
+    acc / rows.length
+  }
+
+  /** Trains OPQ: `opqIters` alternations of rotated-space PQ training
+    * and the Procrustes rotation update, then a final full-strength PQ
+    * pass under the learned rotation. Deterministic end-to-end (seeded
+    * kmeans, LAPACK SVD). */
+  def trainOpq(df: DataFrame, idCol: String, vecCol: String, m: Int,
+               k: Int = 256, maxTrainVecs: Int = 100000, iters: Int = 15,
+               opqIters: Int = 8): OpqModel = {
+    require(m > 0 && k > 1 && k <= 256, s"need 0 < m, 1 < k <= 256; got m=$m k=$k")
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val rows = trainSample(df, idCol, vecCol, maxTrainVecs, "opq-train")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    import breeze.linalg.{DenseMatrix, svd}
+    val x = DenseMatrix.tabulate(rows.length, dim)((i, j) => rows(i)(j).toDouble)
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0f else 0.0f)
+    var it = 0
+    while (it < opqIters) {
+      val rotated = rows.map(v => rotate(r, v))
+      // few inner Lloyd rounds per alternation — the alternation itself
+      // is the outer optimizer (FAISS uses niter=25 total with cheap
+      // inner steps; the final pass below gets the full budget)
+      val model = trainOnRows(rotated, m, k, math.max(iters / 3, 2))
+      val recon = rotated.map(v => reconstruct(model, encodeRow(model, v)))
+      val xhat = DenseMatrix.tabulate(rows.length, dim)((i, j) => recon(i)(j).toDouble)
+      val s = svd(x.t * xhat) // M = Xᵀ X̂ = U Σ Vᵀ → R = U Vᵀ
+      val rNew = s.U * s.Vt
+      r = Array.tabulate(dim, dim)((i, j) => rNew(i, j).toFloat)
+      it += 1
+    }
+    OpqModel(r, trainOnRows(rows.map(v => rotate(r, v)), m, k, iters))
+  }
+
+  /** Encodes under the OPQ rotation — one d×d matvec then the PQ
+    * encoder, map-only with a broadcast model. */
+  def encodeOpq(df: DataFrame, idCol: String, vecCol: String,
+                opq: OpqModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(opq)
+    val enc = udf { (v: Array[Float]) =>
+      val o = bc.value
+      require(v.length == o.dim, s"vector dim ${v.length} != model dim ${o.dim}")
+      encodeRow(o.pq, rotate(o.rotation, v))
+    }
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** ADC top-`n` for an ORIGINAL-space query against OPQ codes: the
+    * query rotates once on the driver, then [[searchTopK]] applies —
+    * orthogonality makes the rotated-space distances the true ones. */
+  def searchTopKOpq(encoded: DataFrame, idCol: String, codesCol: String,
+                    opq: OpqModel, query: Array[Float], n: Int): DataFrame = {
+    require(query.length == opq.dim, s"query dim ${query.length} != ${opq.dim}")
+    searchTopK(encoded, idCol, codesCol, opq.pq, rotate(opq.rotation, query), n)
   }
 
   /** The encode kernel as a reusable column function — broadcast

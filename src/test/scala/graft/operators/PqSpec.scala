@@ -121,4 +121,69 @@ class PqSpec extends SparkTestBase {
     }
     intercept[Exception] { Pq.train(df, "id", "vec", m = 3) } // 8 % 3 != 0
   }
+
+  /** Axis-aligned cluster structure mixed ACROSS the m=2 subspace
+    * boundary by a fixed global rotation: plain PQ must quantize the
+    * mixed halves independently and pays for the cross-boundary
+    * correlation; OPQ's learned rotation un-mixes it. */
+  private def rotatedClusters(dim: Int) = {
+    val rnd = new scala.util.Random(97)
+    // a deterministic random orthogonal matrix via Gram-Schmidt
+    val g = Array.fill(dim, dim)(rnd.nextGaussian())
+    for (i <- 0 until dim) {
+      for (p <- 0 until i) {
+        val d = (0 until dim).map(j => g(i)(j) * g(p)(j)).sum
+        for (j <- 0 until dim) g(i)(j) -= d * g(p)(j)
+      }
+      val n = math.sqrt((0 until dim).map(j => g(i)(j) * g(i)(j)).sum)
+      for (j <- 0 until dim) g(i)(j) /= n
+    }
+    // product of two independent 16-cluster half-spaces + small noise,
+    // then mix by g: after un-mixing, k=16 per subspace captures each
+    // half almost exactly; in the mixed basis each half sees BOTH
+    // cluster choices and 16 centroids cannot cover the 256 combinations
+    val half = dim / 2
+    val centersA = Array.fill(16, half)(rnd.nextGaussian() * 4.0)
+    val centersB = Array.fill(16, half)(rnd.nextGaussian() * 4.0)
+    val rows = (0 until 600).map { i =>
+      val a = centersA(rnd.nextInt(16)); val b = centersB(rnd.nextInt(16))
+      val axis = Array.tabulate(dim)(j =>
+        (if (j < half) a(j) else b(j - half)) + rnd.nextGaussian() * 0.05)
+      val mixed = Array.tabulate(dim)(j =>
+        (0 until dim).map(l => axis(l) * g(l)(j)).sum.toFloat)
+      (i.toLong, mixed.toSeq)
+    }
+    rows.toDF("id", "vec")
+  }
+
+  test("OPQ: learned rotation beats plain PQ on cross-subspace structure; " +
+      "search answers original-space queries") {
+    val df = rotatedClusters(dim = 8)
+    val sample = df.collect().map(_.getSeq[Float](1).toArray)
+    val pq = Pq.train(df, "id", "vec", m = 2, k = 16, iters = 15)
+    val opq = Pq.trainOpq(df, "id", "vec", m = 2, k = 16, iters = 15, opqIters = 6)
+    // rotation is orthogonal: RᵀR ≈ I
+    val r = opq.rotation
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r.indices.map(l => r(l)(i).toDouble * r(l)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4, s"RtR($i,$j)=$dot")
+    }
+    val pqMse = Pq.quantizationMse(sample, pq)
+    val opqMse = Pq.quantizationMse(sample, opq.pq, Some(opq.rotation))
+    assert(opqMse < 0.8 * pqMse,
+      s"OPQ must reduce quantization error: pq=$pqMse opq=$opqMse")
+    // end-to-end: ADC over OPQ codes answers an ORIGINAL-space query.
+    // Rows sharing the probe's cluster combo quantize to the SAME code
+    // (ties break by id), so the guarantee is membership in a top-k that
+    // covers the cell population (~600/256 rows), not top-1
+    val probe = sample(123).clone()
+    probe(0) += 0.01f
+    val codes = Pq.encodeOpq(df, "id", "vec", opq)
+    val top = Pq.searchTopKOpq(codes, "id", "codes", opq, probe, 10)
+      .collect().map(_.getLong(0))
+    assert(top.contains(123L), top.mkString(","))
+    // deterministic retrain
+    val opq2 = Pq.trainOpq(df, "id", "vec", m = 2, k = 16, iters = 15, opqIters = 6)
+    assert(opq2.rotation.flatten.toSeq == opq.rotation.flatten.toSeq)
+  }
 }
