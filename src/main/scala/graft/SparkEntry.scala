@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, ContainmentJoin, Corpus, Dedup, FuzzyJoin, Graphs, Multimodal, Retrieval, Sketches, SkewJoin, SpatialJoin, Temporal, TextAnalysis}
+import graft.operators.{Ann, ContainmentJoin, Corpus, Dedup, FuzzyJoin, Graphs, Layout, Multimodal, Retrieval, Sketches, SkewJoin, SpatialJoin, Temporal, TextAnalysis}
 import graft.sources.Xml
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1759,6 +1759,36 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("pt"), col("click_id"),
           round(col("cv"), 3).as("click_value"))
     }),
+    // Gap-fill / resample: per event_type 5-minute sums densified to a
+    // regular grid, missing bins carrying the last observed value
+    // forward (asofJoin-backed — one exchange, O(1) state, no window).
+    // src_t === t is the observed-vs-filled flag on both engine sides.
+    "q_gap_fill" -> ((spark, dir) => {
+      init(spark, dir)
+      val obs = spark.table("events")
+        .where(col("ts").isNotNull)
+        .groupBy(col("event_type").as("k"),
+          (unix_timestamp(col("ts")).divide(300).cast("long") * 300).as("t"))
+        .agg(sum("value").as("v"))
+      Temporal.gapFill(obs, Seq("k"), "t", 300L, Seq("v"))
+        .select(col("k"), col("t"), col("src_t"),
+          round(col("v"), 3).as("v_fill"),
+          (col("src_t") === col("t")).as("observed"))
+    }),
+    // SCD type-2 build: each customer's order-priority history collapsed
+    // to validity intervals (half-open, valid_to = next change, null on
+    // the current version); o_orderkey pins equal-date order.
+    "q_scd2" -> ((spark, dir) => {
+      init(spark, dir)
+      val log = spark.table("orders").select(
+        col("o_custkey").as("k"), col("o_orderdate").cast("date").as("t"),
+        col("o_orderpriority").as("prio"), col("o_orderkey").as("tie"))
+      Temporal.scd2(log, Seq("k"), "t", Seq("prio"), tieCols = Seq("tie"))
+        .select(col("k"), col("prio"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"),
+          col("is_current"))
+    }),
     // Hierarchical aggregate: ROLLUP over (returnflag, linestatus) with
     // grouping-level markers — subtotal rows are where engines usually
     // disagree on NULL semantics, so they're pinned under the oracle.
@@ -1811,6 +1841,18 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin),
+    // Navigation-window surface: lag/lead/first_value + ntile over each
+    // customer's order history, one fully-pinned ordering (date, then
+    // orderkey). Identical SQL text runs on both engines; the delta
+    // against the previous order is where off-by-one frame bugs show.
+    "q_window_lag" -> sql(
+      """SELECT o_orderkey AS okey, o_custkey AS ckey,
+        |       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+        |       round(lead(o_totalprice) OVER w, 2) AS next_price,
+        |       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |       ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
     // Weighted PageRank over the customer→supplier flow graph (the
     // crawl-prioritization authority signal, on the tables we have):
     // 3 power iterations, damping 0.85. Ranks scale ×1000 before the
@@ -1827,6 +1869,22 @@ object SparkEntry {
       Graphs.pageRank(edges, "src", "dst", Some("w"), iterations = 3)
         .select(col("node"), round(col("rank") * 1000, 6).as("rank_k"))
     }),
+    // Multi-source BFS over the undirected customer↔supplier trade
+    // graph: hop distance from the %1000 customer seed set, capped at 4
+    // hops. Oracle = DuckDB WITH RECURSIVE walk + min(dist) — the
+    // frontier loop must agree with the declarative fixpoint exactly.
+    "q_graph_bfs" -> ((spark, dir) => {
+      init(spark, dir)
+      val edges = spark.sql(
+        """SELECT DISTINCT concat('c', CAST(o_custkey AS STRING)) AS src,
+          |       concat('s', CAST(l_suppkey AS STRING)) AS dst
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)
+      val sources = spark.sql(
+        """SELECT DISTINCT concat('c', CAST(c_custkey AS STRING)) AS node
+          |FROM customer WHERE c_custkey % 1000 = 0""".stripMargin)
+      Graphs.bfs(edges, "src", "dst", sources, "node",
+        maxHops = 4, undirected = true)
+    }),
     // Snapshot diff: version B is derived deterministically from the
     // documents table (drop %7, rewrite %5 of the survivors, add 100 new
     // ids), then every id is classified across the two versions.
@@ -1839,6 +1897,28 @@ object SparkEntry {
         .unionByName(a.where(col("doc_id") < 100)
           .withColumn("doc_id", col("doc_id") + 1000000))
       Corpus.diffSnapshots(a, b, "doc_id", Seq("text"))
+    }),
+    // CDC MERGE / upsert: a derived change batch (updates on %3 keys,
+    // deletes on %5 keys at CONFLICTING sequence numbers — on %15 keys
+    // the update wins when the delete's seq is 1 and loses when it's 3 —
+    // plus fresh inserts) applied onto the documents snapshot. Winner
+    // per key = highest (seq, op, payloads) struct; one full-outer join.
+    "q_merge_upsert" -> ((spark, dir) => {
+      init(spark, dir)
+      val changes = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op,
+          |       concat(text, ' [rev2]') AS text, lang
+          |FROM documents WHERE doc_id % 3 = 0
+          |UNION ALL
+          |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3L ELSE 1L END, 'D',
+          |       CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |FROM documents WHERE doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id + 2000000, 1L, 'I',
+          |       concat('new doc ', CAST(doc_id AS STRING)), 'en'
+          |FROM documents WHERE doc_id < 50""".stripMargin)
+      Layout.mergeChanges(spark.table("documents"), changes, "doc_id",
+        "seq", "op", Seq("text", "lang"))
     }),
     // Bounded group-top-k: k-capped heap at every aggregation stage (no
     // window, no per-group buffering — see TopKAggregate.scala); ties
@@ -2905,6 +2985,85 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_orderkey AS okey, o_custkey AS ckey,
+        |       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+        |       round(lead(o_totalprice) OVER w, 2) AS next_price,
+        |       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |       ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    // gap-fill: the declarative replay — grid via generate_series, fill
+    // via IGNORE NULLS running last_value over the grid join
+    "q_gap_fill" ->
+      """WITH obs AS (SELECT event_type AS k,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 300 * 300 AS t,
+        |         sum(value) AS v
+        |       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT k, min(t) AS lo, max(t) AS hi FROM obs GROUP BY k),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi, 300)) AS t FROM b),
+        |f AS (SELECT g.k, g.t,
+        |        last_value(o.v IGNORE NULLS) OVER w AS v,
+        |        last_value(o.t IGNORE NULLS) OVER w AS src_t
+        |      FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.t = o.t
+        |      WINDOW w AS (PARTITION BY g.k ORDER BY g.t))
+        |SELECT k, t, src_t, round(v, 3) AS v_fill, (t = src_t) AS observed
+        |FROM f""".stripMargin,
+    // SCD2: lag collapses no-op changes, lead closes the intervals; both
+    // windows share one (key × (date, orderkey)) ordering
+    "q_scd2" ->
+      """WITH log AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS t,
+        |         o_orderpriority AS prio, o_orderkey AS tie FROM orders),
+        |m AS (SELECT k, t, prio, tie,
+        |        lag(prio) OVER (PARTITION BY k ORDER BY t, tie) AS pp FROM log),
+        |c AS (SELECT k, t, prio, tie FROM m
+        |      WHERE pp IS NULL OR prio IS DISTINCT FROM pp)
+        |SELECT k, prio, CAST(t AS VARCHAR) AS valid_from,
+        |       CAST(lead(t) OVER (PARTITION BY k ORDER BY t, tie) AS VARCHAR) AS valid_to,
+        |       (lead(t) OVER (PARTITION BY k ORDER BY t, tie) IS NULL) AS is_current
+        |FROM c""".stripMargin,
+    // CDC merge: winner per key by (seq, op, payloads) descending with
+    // nulls low — the same total order Spark's max(struct(...)) applies
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id, CAST(2 AS BIGINT) AS seq, 'U' AS op,
+        |         text || ' [rev2]' AS text, lang
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END, 'D',
+        |         NULL, NULL
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 1, 'I',
+        |         'new doc ' || CAST(doc_id AS VARCHAR), 'en'
+        |  FROM documents WHERE doc_id < 50),
+        |w AS (SELECT doc_id, op, text, lang,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                   text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |      FROM changes),
+        |win AS (SELECT * FROM w WHERE rn = 1)
+        |SELECT coalesce(s.doc_id, win.doc_id) AS doc_id,
+        |       CASE WHEN win.op IS NOT NULL THEN win.text ELSE s.text END AS text,
+        |       CASE WHEN win.op IS NOT NULL THEN win.lang ELSE s.lang END AS lang
+        |FROM documents s FULL OUTER JOIN win ON s.doc_id = win.doc_id
+        |WHERE win.op IS NULL OR win.op <> 'D'""".stripMargin,
+    // BFS: the recursive-CTE fixpoint capped at 4 hops; UNION dedups
+    // (node, dist) pairs so the walk terminates, min() projects BFS level
+    "q_graph_bfs" ->
+      """WITH RECURSIVE eb AS (
+        |  SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+        |         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM eb UNION ALL SELECT dst, src FROM eb),
+        |seeds AS (SELECT DISTINCT concat('c', CAST(c_custkey AS VARCHAR)) AS node
+        |          FROM customer WHERE c_custkey % 1000 = 0),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON walk.node = e.src
+        |  WHERE walk.dist < 4)
+        |SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node""".stripMargin,
     // PageRank: the oracle unrolls the same three power iterations; the
     // base term is written (1.0 - 0.85) on BOTH sides so the IEEE value
     // matches bit-for-bit (a 0.15 literal is one ulp away)

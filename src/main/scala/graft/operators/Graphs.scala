@@ -165,4 +165,95 @@ object Graphs {
     Dedup.track(e0)
     closed.agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Multi-source BFS: hop distance from the nearest of `sources` to
+    * every node reachable within `maxHops` edges. Returns `(node, dist)`
+    * — sources at 0, unreachable nodes absent. `undirected` unions the
+    * reversed edges first. The reachability/provenance primitive
+    * (crawl-frontier depth, contamination blast radius from a seed set,
+    * link-distance features).
+    *
+    * Scale shape — the [[pageRank]] loop skeleton: edges hash-partition
+    * ONCE and persist; each round is a co-partitioned (narrow on the
+    * edge side) join of the frontier against the adjacency, a
+    * map-side-combined `reduceByKey` dedup of the new reach set (≤ |V|
+    * rows), and a narrow `leftOuterJoin` against the visited set to
+    * drop already-settled nodes — a node enters the frontier at its
+    * FIRST (= minimal) hop count and never again, so rounds shrink as
+    * the frontier saturates. Per round one `isEmpty()` driver check
+    * stops early on frontier exhaustion; all state is `(node, dist)`
+    * pairs, nothing driver-sized. Oracle-reproducible: DuckDB replays
+    * it as a `WITH RECURSIVE` walk capped at `maxHops` + `min(dist)`.
+    */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+          sources: DataFrame, nodeCol: String, maxHops: Int,
+          undirected: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+    val spark = edges.sparkSession
+    val fwd = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = if (undirected)
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))) else fwd
+
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    // adjacency keyed by src, deduped (parallel edges add nothing to
+    // reachability), fixed-partitioned once for every round's narrow join
+    val adj = e.rdd.map(r => ((r.getString(0), r.getString(1)), ()))
+      .reduceByKey((a, _) => a)
+      .map { case ((s, d), _) => (s, d) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var visited: org.apache.spark.rdd.RDD[(String, Int)] = sources
+      .select(col(nodeCol).cast("string"))
+      .where(col(nodeCol).isNotNull)
+      .rdd.map(r => (r.getString(0), 0))
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var hop = 0
+    var done = maxHops == 0
+    while (!done) {
+      hop += 1
+      val d = hop // fix the closure's capture per round
+      val next = adj.join(frontier) // co-partitioned: narrow
+        .map { case (_, (dst, _)) => (dst, d) }
+        .reduceByKey(part, (a, _) => a) // map-side combine; keeps `part`
+        .leftOuterJoin(visited) // both on `part`: narrow
+        .filter { case (_, (_, seen)) => seen.isEmpty }
+        .mapValues(_._1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.isEmpty()) { // materializes `next` into its cache
+        next.unpersist(blocking = false)
+        done = true
+      } else {
+        // fullOuterJoin (not union) keeps the fixed partitioner, so the
+        // NEXT round's joins stay narrow; both inputs are already cached
+        // on `part`, and count() materializes the merge BEFORE its
+        // parents retire — per-round state is exactly (visited, frontier)
+        val merged = visited.fullOuterJoin(next)
+          .mapValues { case (old, add) => old.getOrElse(add.get) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        visited.unpersist(blocking = false)
+        if (frontier ne visited) frontier.unpersist(blocking = false)
+        visited = merged
+        frontier = next
+        done = hop == maxHops
+      }
+    }
+    if (frontier ne visited) frontier.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val out = spark.createDataFrame(
+      visited.map { case (n, d) => org.apache.spark.sql.Row(n, d) }, schema)
+    Dedup.track(visited)
+    Dedup.track(out.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 }

@@ -104,4 +104,47 @@ object Layout {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(name)
   }
+
+  /** MERGE a CDC change batch into a snapshot (the lakehouse
+    * `MERGE INTO` / upsert primitive): `changes` rows carry a key, a
+    * monotone sequence (`seqCol` — commit LSN / change timestamp), an
+    * operation (`opCol`: `"D"` deletes, anything else upserts), and the
+    * new `payloadCols`. Per key the HIGHEST-sequence change wins, then
+    * applies against the snapshot: delete drops the row (or is a no-op
+    * on an absent key), upsert replaces the payload or inserts the key.
+    * Output schema = `key ++ payloadCols`.
+    *
+    * Winner selection is a single `max(struct(seq, op, payloads…))`
+    * aggregation — partial-agg shuffles one winner candidate per key
+    * per map task, never the change log — so equal-`seqCol` conflicts
+    * resolve deterministically by the struct order (op, then payloads,
+    * descending; nulls low). The apply is ONE full-outer equi-join on
+    * the key; at 100 TB the snapshot side arrives hash-clustered when
+    * it was laid down with [[writeBucketed]] on the key (zero Exchange
+    * on the big side), and a small change batch broadcasts under AQE.
+    */
+  def mergeChanges(snapshot: DataFrame, changes: DataFrame, key: String,
+                   seqCol: String, opCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(!payloadCols.contains(key), "payloadCols must not repeat the key")
+    val missing = (Seq(key, seqCol, opCol) ++ payloadCols)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"changes is missing columns: ${missing.mkString(", ")}")
+    require(snapshot.columns.contains(key) && payloadCols.forall(snapshot.columns.contains),
+      "snapshot must carry the key and every payload column")
+
+    val winners = changes
+      .groupBy(col(key))
+      .agg(max(struct(col(seqCol) +: col(opCol) +: payloadCols.map(col): _*)).as("__w"))
+      .select(Seq(col(key).as("__k"), col(s"__w.$opCol").as("__op")) ++
+        payloadCols.map(c => col(s"__w.$c").as(s"__p_$c")): _*)
+    snapshot.select(col(key) +: payloadCols.map(col): _*)
+      .join(winners, col(key) === col("__k"), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(
+        coalesce(col(key), col("__k")).as(key) +:
+          payloadCols.map(c =>
+            when(col("__op").isNotNull, col(s"__p_$c")).otherwise(col(c)).as(c)): _*)
+  }
 }

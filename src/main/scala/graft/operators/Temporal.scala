@@ -355,4 +355,114 @@ object Temporal {
     }
     leftB.join(rightB, cond).drop(leftB(bin)).drop(rightB(bin))
   }
+
+  /** Gap-fill (time-series resample): given one observation row per
+    * `(keyCols, timeCol)` bin — `timeCol` integral, bins `step` apart —
+    * emit EVERY bin between each key's first and last observation,
+    * carrying the most recent observed `valueCols` forward into the
+    * missing bins (the standard gauge/metric densify before joins or
+    * window math over a regular grid).
+    *
+    * Mechanics: one bounded aggregate derives each key's `[min, max]`
+    * span; `sequence` + `explode` lays down the grid (per-key grid size
+    * = span/step — rows are generated in the scan task, never collected);
+    * the fill is [[asofJoin]] `backward` with the grid as the left side,
+    * so it inherits the secondary-sort shape — ONE hash exchange on the
+    * keys, O(1) carried state, no window buffering. An exact-bin
+    * observation is its own "most recent ≤" match, so observed bins pass
+    * through unchanged. The output adds `srcTimeCol`: the time bin the
+    * values were carried FROM (equal to the bin itself on observed rows
+    * — `col(srcTimeCol) === col(timeCol)` is the "observed" flag; fill
+    * staleness is their difference).
+    *
+    * Like any per-entity series operator, one key's timeline streams
+    * through one task — choose the key granularity so a single series
+    * is task-sized (entity/metric ids, not a global key). Callers with
+    * several rows per bin aggregate first; with equal-bin duplicates the
+    * largest payload struct wins (the [[asofJoin]] backward tie rule),
+    * which keeps reruns deterministic but usually isn't the aggregation
+    * you meant.
+    *
+    * @param step grid pitch in the units of `timeCol` (must divide the
+    *             observation bins' spacing for observed bins to align)
+    */
+  def gapFill(df: DataFrame, keyCols: Seq[String], timeCol: String, step: Long,
+              valueCols: Seq[String], srcTimeCol: String = "src_t"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(step > 0, s"step must be positive, got $step")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    require(!df.columns.contains(srcTimeCol),
+      s"srcTimeCol '$srcTimeCol' collides with an input column")
+    df.schema(timeCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"gapFill time column '$timeCol' must be integral (pre-binned), got $other")
+    }
+
+    val keyed = df.select(
+      (keyCols.map(col) :+ col(timeCol).cast(LongType).as(timeCol)) ++
+        valueCols.map(col): _*)
+    // one key-partial aggregate: |keys| rows, never the grid
+    val bounds = keyed.groupBy(keyCols.map(col): _*)
+      .agg(min(col(timeCol)).as("__lo"), max(col(timeCol)).as("__hi"))
+    val grid = bounds.select(
+      keyCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"), lit(step))).as(timeCol): _*)
+
+    // rename the right side so nothing collides with the grid's columns
+    val obs = keyed.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) ++
+        Seq(col(timeCol).as("__ot"), col(timeCol).as(srcTimeCol)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    asofJoin(grid, obs, keyCols, keyCols.map(c => s"__k_$c"), timeCol, "__ot",
+        payloadCols = srcTimeCol +: valueCols.map(c => s"__v_$c"))
+      .select(
+        (keyCols.map(col) :+ col(timeCol) :+ col(srcTimeCol)) ++
+          valueCols.map(c => col(s"__v_$c").as(c)): _*)
+  }
+
+  /** Build a type-2 slowly-changing dimension from a change log: one
+    * validity interval per distinct consecutive `attrCols` state of each
+    * key, ordered by `(timeCol, tieCols)`. No-op changes (a row whose
+    * attributes equal the key's previous state) collapse into the open
+    * interval. Output = keys ++ attrs ++ `valid_from` / `valid_to` /
+    * `is_current`, with `valid_to` the NEXT version's `valid_from`
+    * (half-open intervals, the warehouse convention) and null on the
+    * current version.
+    *
+    * Shape: two ranked windows over the same `(keys × (time, ties))`
+    * ordering — one Exchange, one sort, both window passes stream over
+    * it. Per-key window state is the key's CHANGE COUNT (versions per
+    * entity — tens, not the event scale that rules windows out for
+    * [[asofJoin]]), so buffering a key's partition is bounded by
+    * construction. Ties must be pinned by `tieCols` for determinism;
+    * equal-`(time, ties)` duplicates are a caller bug (order undefined).
+    * Null times are dropped (they cannot be ordered into a timeline).
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], timeCol: String,
+           attrCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val reserved = Seq("valid_from", "valid_to", "is_current")
+    val clash = (keyCols ++ attrCols).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"key/attr columns collide with output columns: ${clash.mkString(", ")}")
+
+    import org.apache.spark.sql.expressions.Window
+    val order = (col(timeCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val state = struct(attrCols.map(col): _*)
+    val withPrev = df
+      .where(col(timeCol).isNotNull)
+      .withColumn("__prev", lag(state, 1).over(w))
+    // first row per key: lag is null; <=> makes attr-level nulls compare
+    // as states, not as unknowns
+    val changes = withPrev
+      .where(col("__prev").isNull || !(state <=> col("__prev")))
+      .drop("__prev")
+    changes
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++ attrCols.map(col) ++ reserved.map(col): _*)
+  }
 }

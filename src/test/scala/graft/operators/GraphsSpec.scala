@@ -116,4 +116,63 @@ class GraphsSpec extends SparkTestBase {
     }
     Dedup.releaseCaches()
   }
+
+  // ------------------------------------------------------------------- bfs
+
+  private def runBfs(edges: Seq[(String, String)], sources: Seq[String],
+                     maxHops: Int, undirected: Boolean = false): Map[String, Int] =
+    Graphs.bfs(edges.toDF("s", "t").repartition(5), "s", "t",
+        sources.toDF("node"), "node", maxHops, undirected)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  /** Local BFS reference: min hops from any source, capped. */
+  private def referenceBfs(edges: Seq[(String, String)], sources: Seq[String],
+                           maxHops: Int, undirected: Boolean): Map[String, Int] = {
+    val adj = (if (undirected) edges ++ edges.map(_.swap) else edges)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = sources.map(_ -> 0).toMap
+    var frontier = sources.toSet
+    for (d <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil)) -- dist.keySet
+      dist = dist ++ next.map(_ -> d)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfs: hop distances on a hand-built digraph, cap and direction") {
+    // a -> b -> c -> d,  e isolated-from-sources, b -> a back edge
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "a"), ("e", "d"))
+    assert(runBfs(edges, Seq("a"), 4) ===
+      Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    // cap stops the walk: d (and anything past it) is absent at 2 hops
+    assert(runBfs(edges, Seq("a"), 2) === Map("a" -> 0, "b" -> 1, "c" -> 2))
+    // undirected: e becomes reachable THROUGH d
+    assert(runBfs(edges, Seq("a"), 4, undirected = true) ===
+      Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4))
+    // multi-source takes the nearest seed; a source with no edges stays at 0
+    assert(runBfs(edges, Seq("c", "zzz"), 4) ===
+      Map("c" -> 0, "zzz" -> 0, "d" -> 1))
+  }
+
+  test("bfs: maxHops 0 returns exactly the seed set; empty seeds empty out") {
+    val edges = Seq(("a", "b"))
+    assert(runBfs(edges, Seq("a"), 0) === Map("a" -> 0))
+    assert(runBfs(edges, Nil, 3) === Map.empty[String, Int])
+    intercept[IllegalArgumentException] { runBfs(edges, Seq("a"), -1) }
+  }
+
+  test("bfs on a random graph equals the local reference, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 3000).map(_ =>
+      (s"n${rnd.nextInt(300)}", s"n${rnd.nextInt(300)}")).distinct
+    val sources = Seq("n0", "n7", "n42")
+    for (hops <- Seq(1, 3, 7)) {
+      assert(runBfs(edges, sources, hops) ===
+        referenceBfs(edges, sources, hops, undirected = false), s"hops=$hops")
+    }
+    assert(runBfs(edges, sources, 5, undirected = true) ===
+      referenceBfs(edges, sources, 5, undirected = true))
+    Dedup.releaseCaches()
+  }
 }

@@ -114,4 +114,56 @@ class LayoutSpec extends SparkTestBase {
       } finally spark.conf.set(auto, priorAuto)
     } finally spark.conf.set(bcast, prior)
   }
+
+  // ---------------------------------------------------------- mergeChanges
+
+  test("mergeChanges applies latest-wins upserts, deletes, and inserts") {
+    val snap = Seq((1L, "one", 10), (2L, "two", 20), (3L, "three", 30))
+      .toDF("id", "name", "qty")
+    val changes = Seq(
+      (2L, 5L, "U", "TWO", 22),     // update
+      (3L, 1L, "D", null, 0),       // delete
+      (4L, 2L, "I", "four", 40),    // insert
+      (9L, 7L, "D", null, 0)        // delete of an absent key: no-op
+    ).toDF("id", "seq", "op", "name", "qty")
+    val got = Layout.mergeChanges(snap, changes, "id", "seq", "op",
+        Seq("name", "qty"))
+    assert(got.columns.toSeq === Seq("id", "name", "qty"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq ===
+      Seq((1L, "one", 10), (2L, "TWO", 22), (4L, "four", 40)))
+  }
+
+  test("mergeChanges: highest sequence wins per key, both conflict orders") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val changes = Seq(
+      (1L, 1L, "D", null), (1L, 2L, "U", "a2"), // delete then update: update wins
+      (2L, 2L, "D", null), (2L, 1L, "U", "b2"), // update then delete: delete wins
+      (3L, 1L, "I", "c1"), (3L, 3L, "U", "c3"), (3L, 2L, "D", null) // churn: U@3 wins
+    ).toDF("id", "seq", "op", "v")
+    val got = Layout.mergeChanges(snap, changes, "id", "seq", "op", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a2"), (3L, "c3")))
+  }
+
+  test("mergeChanges validation and one-shuffle-per-side plan") {
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq((1L, 1L, "U", "x")).toDF("id", "seq", "op", "v")
+    intercept[IllegalArgumentException] {
+      Layout.mergeChanges(snap, changes, "id", "seq", "op", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.mergeChanges(snap, changes, "id", "seq", "op", Seq("id"))
+    }
+    intercept[IllegalArgumentException] { // missing op column in changes
+      Layout.mergeChanges(snap, changes.drop("op"), "id", "seq", "op", Seq("v"))
+    }
+    intercept[IllegalArgumentException] { // payload absent from snapshot
+      Layout.mergeChanges(snap.drop("v"), changes, "id", "seq", "op", Seq("v"))
+    }
+    // winner selection must be a partial aggregate, not a window sort
+    val plan = Layout.mergeChanges(snap, changes, "id", "seq", "op", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"winner selection planned a window:\n$plan")
+  }
 }

@@ -258,4 +258,107 @@ class TemporalSpec extends SparkTestBase {
     assert(out.columns.toSeq === Seq("sym", "t", "trade_id", "px"))
     assert(out.schema("px").nullable)
   }
+
+  // ---------------------------------------------------------------- gapFill
+
+  test("gapFill densifies each key's span and carries values forward") {
+    val obs = Seq(
+      ("a", 100L, 1.0), ("a", 130L, 2.0), ("a", 140L, 3.0), // gap at 110,120
+      ("b", 0L, 9.0),                                       // single bin
+      ("c", 50L, 5.0), ("c", 80L, 6.0)                      // gaps at 60,70
+    ).toDF("k", "t", "v")
+    val got = Temporal.gapFill(obs, Seq("k"), "t", 10L, Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    val want = Seq(
+      ("a", 100L, 100L, 1.0), ("a", 110L, 100L, 1.0), ("a", 120L, 100L, 1.0),
+      ("a", 130L, 130L, 2.0), ("a", 140L, 140L, 3.0),
+      ("b", 0L, 0L, 9.0),
+      ("c", 50L, 50L, 5.0), ("c", 60L, 50L, 5.0), ("c", 70L, 50L, 5.0),
+      ("c", 80L, 80L, 6.0))
+    assert(got.toSeq === want)
+  }
+
+  test("gapFill: observed flag via src_t, multiple value columns, schema") {
+    val obs = Seq(("x", 0L, 1.0, "u"), ("x", 30L, 2.0, "w")).toDF("k", "t", "v", "s")
+    val out = Temporal.gapFill(obs, Seq("k"), "t", 10L, Seq("v", "s"))
+    assert(out.columns.toSeq === Seq("k", "t", "src_t", "v", "s"))
+    val rows = out.withColumn("obs", $"src_t" === $"t")
+      .collect().map(r => (r.getLong(1), r.getBoolean(5), r.getString(4)))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((0L, true, "u"), (10L, false, "u"),
+      (20L, false, "u"), (30L, true, "w")))
+  }
+
+  test("gapFill validation: step, time type, value cols, collision") {
+    val obs = Seq(("a", 1L, 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      Temporal.gapFill(obs, Seq("k"), "t", 0L, Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.gapFill(obs, Nil, "t", 10L, Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.gapFill(obs, Seq("k"), "t", 10L, Nil)
+    }
+    intercept[IllegalArgumentException] { // double time must be pre-binned
+      Temporal.gapFill(Seq(("a", 1.5, 1.0)).toDF("k", "t", "v"),
+        Seq("k"), "t", 10L, Seq("v"))
+    }
+    intercept[IllegalArgumentException] { // srcTimeCol collision
+      Temporal.gapFill(Seq(("a", 1L, 1.0)).toDF("k", "src_t", "v"),
+        Seq("k"), "src_t", 10L, Seq("v"))
+    }
+  }
+
+  // ------------------------------------------------------------------ scd2
+
+  test("scd2 collapses no-op changes and chains half-open intervals") {
+    val log = Seq(
+      (1L, 10L, "A", 1L), (1L, 20L, "A", 2L), // no-op: collapses into 10
+      (1L, 30L, "B", 3L), (1L, 40L, "A", 4L), // back to A = a NEW version
+      (2L, 5L, "X", 5L)
+    ).toDF("k", "t", "attr", "tie")
+    val got = Temporal.scd2(log, Seq("k"), "t", Seq("attr"), Seq("tie"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(x => (x._1, x._3))
+    assert(got.toSeq === Seq(
+      (1L, "A", 10L, 30L, false),
+      (1L, "B", 30L, 40L, false),
+      (1L, "A", 40L, -1L, true),
+      (2L, "X", 5L, -1L, true)))
+  }
+
+  test("scd2: ties pinned by tieCols, null times dropped, null attrs are states") {
+    val log = Seq(
+      (Some(1L), Some(10L), Some("A"), 2L),
+      (Some(1L), Some(10L), Some("B"), 1L), // same time: tie=1 orders FIRST
+      (Some(1L), None, Some("C"), 3L),      // null time: dropped
+      (Some(1L), Some(20L), None, 4L),      // null attr is a real state
+      (Some(1L), Some(30L), None, 5L)       // ...and a null==null no-op
+    ).toDF("k", "t", "attr", "tie")
+    val got = Temporal.scd2(log, Seq("k"), "t", Seq("attr"), Seq("tie"))
+      .collect()
+      .map(r => (Option(r.get(1)).map(_.toString).getOrElse("∅"), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(x => (x._2, x._3))
+    // B (tie 1) becomes a zero-length [10,10) version, A (tie 2) follows
+    // at the same time, then the null state at 20 collapsing the 30 no-op
+    assert(got.toSeq === Seq(("B", 10L, 10L), ("A", 10L, 20L), ("∅", 20L, -1L)))
+  }
+
+  test("scd2 validation: reserved output names, empty key/attr lists") {
+    val log = Seq((1L, 10L, "A")).toDF("k", "t", "valid_from")
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(log, Seq("k"), "t", Seq("valid_from"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(log, Nil, "t", Seq("valid_from"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(log, Seq("k"), "t", Nil)
+    }
+  }
 }
