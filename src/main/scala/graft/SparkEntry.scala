@@ -1841,6 +1841,22 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin),
+    // Native recursive CTE (Spark 4.x WITH RECURSIVE): generate the
+    // month calendar spine declaratively and left-join order aggregates
+    // onto it — the classic date-dimension build, zero-order months
+    // kept. Identical SQL text runs on both engines; the recursion is
+    // bounded by the WHERE guard (80 iterations).
+    "q_recursive_cte" -> sql(
+      """WITH RECURSIVE months(mon) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE mon < CAST('2001-08-01' AS DATE))
+        |SELECT CAST(mon AS STRING) AS mon_s, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+        |GROUP BY mon""".stripMargin),
     // Navigation-window surface: lag/lead/first_value + ntile over each
     // customer's order history, one fully-pinned ordering (date, then
     // orderkey). Identical SQL text runs on both engines; the delta
@@ -2985,6 +3001,17 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(mon) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE mon < CAST('2001-08-01' AS DATE))
+        |SELECT CAST(mon AS STRING) AS mon_s, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+        |GROUP BY mon""".stripMargin,
     "q_window_lag" ->
       """SELECT o_orderkey AS okey, o_custkey AS ckey,
         |       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
