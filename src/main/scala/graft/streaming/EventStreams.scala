@@ -478,6 +478,88 @@ object EventStreams {
       }
   }
 
+  case class GapObs(k: String, ts: Timestamp, v: Double)
+  case class GapFillState(lastBin: Long, lastVal: Double,
+                          pending: List[(Long, Double)])
+  case class GapFillEmit(k: String, t: Long, src_t: Long, v: Double)
+
+  /** Streaming gap-fill: the watermark-finalized counterpart of
+    * [[graft.operators.Temporal.gapFill]]. Observations `(k, ts, v)` bin
+    * to `floor(epochSec / stepSeconds)`; once the watermark passes a
+    * bin, that bin is FINAL (no more observations can arrive for it —
+    * the watermark contract), so the operator emits it plus forward-fill
+    * rows for every empty bin since the key's previous emission,
+    * carrying the last observed value and its source bin. Emission is
+    * append-mode, exactly once per `(k, t)`: `lastBin` only moves
+    * forward, so replays and late triggers can never re-emit a bin.
+    *
+    * Parity contract with the batch operator: when every observation is
+    * below the final watermark, the emitted set EQUALS
+    * `gapFill(obs, Seq(k), bin, 1, Seq(v))` on the binned frame (grid
+    * from each key's first to last bin, observed bins pass through,
+    * `src_t = t` flags them) — spec-asserted against out-of-order input.
+    * Bins after a key's LAST finalized observation stay open (a later
+    * observation may extend the series; batch, which sees the closed
+    * set, grids exactly to max bin — same rows either way).
+    *
+    * State per key: the fill cursor (one bin + one value) plus the
+    * pending observations still above the watermark — bounded by
+    * watermark-horizon / step, never the stream. Equal-bin duplicates
+    * keep the MAX value (deterministic; pre-aggregate upstream if you
+    * mean a different combine — the batch operator's contract). An
+    * event-time timer fires when the earliest pending bin's boundary
+    * passes the watermark, so keys flush even when quiescent.
+    */
+  def streamingGapFill(obs: DataFrame, stepSeconds: Long,
+                       watermarkDelay: String = "1 hour"): Dataset[GapFillEmit] = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    def binOf(tMs: Long): Long =
+      Math.floorDiv(Math.floorDiv(tMs, 1000L), stepSeconds)
+    obs.select(col("k").cast("string").as("k"),
+        col("ts").cast("timestamp").as("ts"), col("v").cast("double").as("v"))
+      .where(col("k").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+      .as[GapObs]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[GapFillState, GapFillEmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, evs: Iterator[GapObs], state: GroupState[GapFillState]) =>
+          var s = state.getOption.getOrElse(GapFillState(Long.MinValue, 0.0, Nil))
+          evs.foreach { e =>
+            val b = binOf(e.ts.getTime)
+            // bins at or below the cursor are already emitted — the
+            // watermark admitted this event, so b can only trail lastBin
+            // on a replayed trigger; drop rather than double-emit
+            if (b > s.lastBin) {
+              val (same, rest) = s.pending.partition(_._1 == b)
+              val v = (e.v :: same.map(_._2)).max
+              s = s.copy(pending = (b, v) :: rest)
+            }
+          }
+          val wmBin = binOf(state.getCurrentWatermarkMs())
+          val (ready, rest) = s.pending.partition(_._1 < wmBin)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapFillEmit]
+          var (cur, curV) = (s.lastBin, s.lastVal)
+          ready.sortBy(_._1).foreach { case (b, v) =>
+            if (cur != Long.MinValue) {
+              var t = cur + 1
+              while (t < b) { out += GapFillEmit(key, t, cur, curV); t += 1 }
+            }
+            out += GapFillEmit(key, b, b, v)
+            cur = b; curV = v
+          }
+          state.update(GapFillState(cur, curV, rest))
+          if (rest.nonEmpty) {
+            val target = (rest.map(_._1).min + 1) * stepSeconds * 1000L
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Sessionize: per-user session ids from gaps > `gapMinutes` (batch
     * analytics variant using a window function; the streaming variant above
     * uses identical gap logic). */

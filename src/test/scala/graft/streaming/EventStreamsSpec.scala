@@ -595,4 +595,98 @@ class EventStreamsSpec extends SparkTestBase {
         clicks.toDF("cu", "cts", "cv"), "cts", Nil, 1, 1)
     }
   }
+
+  test("streamingGapFill emits the batch grid as the watermark finalizes bins") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val obs = input.toDF().toDF("k", "ts", "v")
+    // 60 s bins, 2-minute watermark so an out-of-order earlier bin can
+    // still land before its successors finalize
+    val query = EventStreams.streamingGapFill(obs, stepSeconds = 60L,
+        watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    // base shifted off epoch 0: the initial watermark is 0 and the
+    // stateful operator drops rows at-or-below it, so a ts of exactly
+    // 1970-01-01T00:00:00 never reaches the state function
+    val B = 60L
+    def t(min: Long, s: Long = 0) = new Timestamp(((B + min) * 60 + s) * 1000L)
+    try {
+      // a's bin 3 arrives BEFORE its bin 1 (out of order, within horizon)
+      input.addData(("a", t(0), 1.0), ("a", t(3), 2.0), ("b", t(2), 9.0))
+      query.processAllAvailable()
+      input.addData(("a", t(1, 30), 1.5))
+      query.processAllAvailable()
+      // duplicate observation in a's bin 1: max wins (1.5 > 0.5)
+      input.addData(("a", t(1, 10), 0.5))
+      query.processAllAvailable()
+      // sentinel key pushes the global watermark past every real bin;
+      // repeated triggers let the event-time timers flush quiescent keys
+      input.addData(("z", t(30), 0.0))
+      query.processAllAvailable()
+      input.addData(("z", t(60), 0.0))
+      query.processAllAvailable()
+      input.addData(("z", t(90), 0.0))
+      query.processAllAvailable()
+
+      val got = spark.table("gap_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val real = got.filterNot(_._1 == "z")
+      val want = Set(
+        ("a", B + 0, B + 0, 1.0), ("a", B + 1, B + 1, 1.5),
+        ("a", B + 2, B + 1, 1.5), ("a", B + 3, B + 3, 2.0),
+        ("b", B + 2, B + 2, 9.0))
+      assert(real === want, real)
+      // exactly-once: no (k, t) row twice
+      val all = spark.table("gap_stream").count()
+      assert(all == spark.table("gap_stream").select("k", "t").distinct().count())
+
+      // one-definition parity: batch gapFill over the same finalized
+      // observations (binned, duplicate combined by max) gives the same rows
+      val batchObs = Seq(("a", B + 0, 1.0), ("a", B + 1, 1.5), ("a", B + 3, 2.0),
+        ("b", B + 2, 9.0)).toDF("k", "t", "v")
+      val batch = graft.operators.Temporal.gapFill(batchObs, Seq("k"), "t", 1L, Seq("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batch === want, batch)
+    } finally query.stop()
+  }
+
+  test("streamingGapFill: late-beyond-watermark bins never re-emit, fills stay monotone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val query = EventStreams.streamingGapFill(
+        input.toDF().toDF("k", "ts", "v"), stepSeconds = 60L,
+        watermarkDelay = "1 minutes")
+      .writeStream.format("memory").queryName("gap_late")
+      .outputMode("append").start()
+    val B = 60L // off epoch 0, same reason as above
+    def t(min: Long, s: Long = 0) = new Timestamp(((B + min) * 60 + s) * 1000L)
+    try {
+      input.addData(("a", t(0), 1.0))
+      query.processAllAvailable()
+      input.addData(("a", t(5), 6.0)) // wm -> minute 4: bins 0..3 finalizable
+      query.processAllAvailable()
+      input.addData(("a", t(10), 11.0)) // wm -> 9: bin 5 finalizes, fills 6..8 open
+      query.processAllAvailable()
+      // a DEAD-LATE event for bin 2 (wm is far past): must not re-emit
+      // or fork the already-emitted fill at bin 2
+      input.addData(("a", t(2), 99.0))
+      query.processAllAvailable()
+      input.addData(("a", t(20), 0.0)) // finalize through bin 10
+      query.processAllAvailable()
+      input.addData(("a", t(40), 0.0))
+      query.processAllAvailable()
+      val got = spark.table("gap_late")
+        .collect().map(r => (r.getLong(1) - B, r.getLong(2) - B, r.getDouble(3))).toSet
+      val bins0to10 = Set(
+        (0L, 0L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 0L, 1.0), (4L, 0L, 1.0),
+        (5L, 5L, 6.0), (6L, 5L, 6.0), (7L, 5L, 6.0), (8L, 5L, 6.0), (9L, 5L, 6.0),
+        (10L, 10L, 11.0))
+      assert(got.filter(_._1 <= 10L) === bins0to10, got)
+      assert(spark.table("gap_late").select("t").distinct().count()
+        == spark.table("gap_late").count())
+    } finally query.stop()
+  }
 }
