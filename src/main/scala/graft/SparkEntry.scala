@@ -1841,6 +1841,20 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin),
+    // Distribution-window surface: percent_rank / cume_dist /
+    // dense_rank plus a value-RANGE frame sum (peers included by VALUE,
+    // not row position — the frame ROWS can't express). One pinned
+    // ordering; identical SQL text runs on both engines.
+    "q_window_percentile" -> sql(
+      """SELECT o_orderkey AS okey,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       dense_rank() OVER w AS drnk,
+        |       round(sum(o_totalprice) OVER
+        |         (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS rng_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin),
     // Native recursive CTE (Spark 4.x WITH RECURSIVE): generate the
     // month calendar spine declaratively and left-join order aggregates
     // onto it — the classic date-dimension build, zero-order months
@@ -3001,6 +3015,16 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
+    "q_window_percentile" ->
+      """SELECT o_orderkey AS okey,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       dense_rank() OVER w AS drnk,
+        |       round(sum(o_totalprice) OVER
+        |         (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS rng_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_recursive_cte" ->
       """WITH RECURSIVE months(mon) AS (
         |  SELECT CAST('1995-01-01' AS DATE)
