@@ -1841,6 +1841,23 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin),
+    // String-kernel surface: the classic scalar string functions under
+    // one exact gate (case folds, slicing, padding, replace, reverse,
+    // edit distance, first-letter caps, code points). Identical SQL
+    // text runs on both engines; every value compares exactly.
+    "q_string_funcs" -> sql(
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_u,
+        |       length(c_name) AS name_len,
+        |       substr(c_name, 1, 8) AS name_pre,
+        |       replace(c_name, '0', '#') AS name_rep,
+        |       lpad(CAST(c_nationkey AS STRING), 4, '0') AS nk_pad,
+        |       reverse(c_mktsegment) AS seg_rev,
+        |       levenshtein(c_mktsegment, 'MACHINERY') AS lev,
+        |       concat(upper(substr(lower(c_mktsegment), 1, 1)),
+        |              substr(lower(c_mktsegment), 2)) AS seg_cap,
+        |       ascii(c_name) AS first_code
+        |FROM customer""".stripMargin),
     // Distribution-window surface: percent_rank / cume_dist /
     // dense_rank plus a value-RANGE frame sum (peers included by VALUE,
     // not row position — the frame ROWS can't express). One pinned
@@ -1914,6 +1931,19 @@ object SparkEntry {
           |FROM customer WHERE c_custkey % 1000 = 0""".stripMargin)
       Graphs.bfs(edges, "src", "dst", sources, "node",
         maxHops = 4, undirected = true)
+    }),
+    // Synchronous label propagation, 2 rounds, min-label count tiebreak:
+    // deterministic community labels over the undirected trade graph.
+    // The oracle unrolls the same two rounds as grouped counts +
+    // row_number — the distributed argmax reduce must agree with the
+    // declarative replay exactly, node by node.
+    "q_label_prop" -> ((spark, dir) => {
+      init(spark, dir)
+      val edges = spark.sql(
+        """SELECT DISTINCT concat('c', CAST(o_custkey AS STRING)) AS src,
+          |       concat('s', CAST(l_suppkey AS STRING)) AS dst
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)
+      Graphs.labelPropagation(edges, "src", "dst", rounds = 2)
     }),
     // Snapshot diff: version B is derived deterministically from the
     // documents table (drop %7, rewrite %5 of the survivors, add 100 new
@@ -3015,6 +3045,19 @@ object SparkEntry {
         |             sum(o_totalprice) AS v
         |      FROM orders GROUP BY 1) t
         |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_u,
+        |       length(c_name) AS name_len,
+        |       substr(c_name, 1, 8) AS name_pre,
+        |       replace(c_name, '0', '#') AS name_rep,
+        |       lpad(CAST(c_nationkey AS STRING), 4, '0') AS nk_pad,
+        |       reverse(c_mktsegment) AS seg_rev,
+        |       levenshtein(c_mktsegment, 'MACHINERY') AS lev,
+        |       concat(upper(substr(lower(c_mktsegment), 1, 1)),
+        |              substr(lower(c_mktsegment), 2)) AS seg_cap,
+        |       ascii(c_name) AS first_code
+        |FROM customer""".stripMargin,
     "q_window_percentile" ->
       """SELECT o_orderkey AS okey,
         |       round(percent_rank() OVER w, 6) AS pr,
@@ -3099,6 +3142,35 @@ object SparkEntry {
         |       CASE WHEN win.op IS NOT NULL THEN win.lang ELSE s.lang END AS lang
         |FROM documents s FULL OUTER JOIN win ON s.doc_id = win.doc_id
         |WHERE win.op IS NULL OR win.op <> 'D'""".stripMargin,
+    // label propagation: the same two synchronous rounds unrolled —
+    // per-round neighbor-label counts, argmax by (count DESC, label ASC)
+    "q_label_prop" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS src,
+        |         concat('s', CAST(l_suppkey AS VARCHAR)) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS lab FROM n),
+        |c1 AS (SELECT e.dst AS node, l0.lab, count(*) AS c
+        |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
+        |b1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab,
+        |                row_number() OVER (PARTITION BY node
+        |                                   ORDER BY c DESC, lab ASC) AS rn
+        |         FROM c1) t WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(b1.lab, n.node) AS lab
+        |       FROM n LEFT JOIN b1 ON n.node = b1.node),
+        |c2 AS (SELECT e.dst AS node, l1.lab, count(*) AS c
+        |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
+        |b2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab,
+        |                row_number() OVER (PARTITION BY node
+        |                                   ORDER BY c DESC, lab ASC) AS rn
+        |         FROM c2) t WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(b2.lab, n.node) AS lab
+        |       FROM n LEFT JOIN b2 ON n.node = b2.node)
+        |SELECT node, lab AS label FROM l2""".stripMargin,
     // BFS: the recursive-CTE fixpoint capped at 4 hops; UNION dedups
     // (node, dist) pairs so the walk terminates, min() projects BFS level
     "q_graph_bfs" ->

@@ -256,4 +256,79 @@ object Graphs {
     Dedup.track(visited)
     Dedup.track(out.persist(StorageLevel.MEMORY_AND_DISK))
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it takes the MOST
+    * FREQUENT label among its neighbors, count ties broken by the
+    * SMALLEST label (and an isolated node keeps its label). A fixed
+    * round count plus the deterministic tiebreak makes the result a
+    * pure function of the edge multiset — reruns, repartitions, and a
+    * declarative replay (the DuckDB oracle unrolls the same rounds as
+    * grouped counts + row_number) all agree, unlike the
+    * randomized-order LPA variants. Returns `(node, label)`.
+    *
+    * Scale shape — the [[pageRank]]/[[bfs]] loop skeleton: the deduped
+    * adjacency hash-partitions ONCE; each round is a narrow
+    * adjacency⋈labels join, a map-side-combined count of
+    * `(node, label)` pairs (≤ distinct neighbor-labels per node, never
+    * |E| raw), and an argmax `reduceByKey` back on the fixed
+    * partitioner (max under the total order count-desc/label-asc —
+    * associative, so partial aggregation applies). Labels are |V|
+    * rows; nothing driver-side.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int, undirected: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val fwd = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = if (undirected)
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))) else fwd
+
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    val adj = e.rdd.map(r => ((r.getString(0), r.getString(1)), ()))
+      .reduceByKey((a, _) => a)
+      .map { case ((s, d), _) => (s, d) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def better(a: (String, Long), b: (String, Long)): (String, Long) =
+      if (a._2 > b._2 || (a._2 == b._2 && a._1 <= b._1)) a else b
+
+    var labels: org.apache.spark.rdd.RDD[(String, String)] =
+      nodes.mapValues(_ => null: String).mapPartitions(
+        it => it.map { case (n, _) => (n, n) }, preservesPartitioning = true)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.rdd.RDD[_]]
+    for (_ <- 1 to rounds) {
+      val counts = adj.join(labels) // co-partitioned: narrow
+        .map { case (_, (dst, lab)) => ((dst, lab), 1L) }
+        .reduceByKey(_ + _) // map-side combined; ≤ distinct (node, label)
+        .map { case ((n, lab), c) => (n, (lab, c)) }
+        .reduceByKey(part, better _) // argmax back on the fixed partitioner
+      val next = labels.leftOuterJoin(counts) // both on `part`: narrow
+        .mapValues { case (own, best) => best.map(_._1).getOrElse(own) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before the parent retires
+      retired += labels
+      labels = next
+    }
+    retired.foreach(_.unpersist(blocking = false))
+    adj.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val out = spark.createDataFrame(
+      labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, schema)
+    Dedup.track(labels)
+    Dedup.track(out.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 }

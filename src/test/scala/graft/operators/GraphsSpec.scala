@@ -162,6 +162,61 @@ class GraphsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { runBfs(edges, Seq("a"), -1) }
   }
 
+  // --------------------------------------------------- labelPropagation
+
+  /** Local synchronous LPA with the same (count desc, label asc) rule. */
+  private def referenceLpa(edges: Seq[(String, String)], rounds: Int,
+                           undirected: Boolean): Map[String, String] = {
+    val dir = (if (undirected) edges ++ edges.map(_.swap) else edges).distinct
+    val nodes = (dir.map(_._1) ++ dir.map(_._2)).distinct
+    val in = dir.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = nodes.map { v =>
+        val nb = in.getOrElse(v, Nil).map(lab)
+        if (nb.isEmpty) v -> lab(v)
+        else {
+          val counts = nb.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  private def runLpa(edges: Seq[(String, String)], rounds: Int,
+                     undirected: Boolean = true): Map[String, String] =
+    Graphs.labelPropagation(edges.toDF("s", "t").repartition(5), "s", "t",
+        rounds, undirected)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("labelPropagation: two planted communities resolve to their min ids") {
+    // clique {a1,a2,a3} and clique {b1,b2,b3} joined by one weak bridge
+    val cl = Seq(("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("b1", "b2"), ("b1", "b3"), ("b2", "b3"), ("a3", "b1"))
+    val got = runLpa(cl, rounds = 4)
+    assert(got === referenceLpa(cl, 4, undirected = true))
+    // the two tight triangles agree internally on a label each
+    assert(Set(got("a1"), got("a2")).size == 1)
+    assert(Set(got("b2"), got("b3")).size == 1)
+  }
+
+  test("labelPropagation equals the local reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 2500).map(_ =>
+      (s"n${rnd.nextInt(200)}", s"n${rnd.nextInt(200)}")).distinct
+      .filter(e => e._1 != e._2)
+    for (rounds <- Seq(1, 2, 3)) {
+      assert(runLpa(edges, rounds) ===
+        referenceLpa(edges, rounds, undirected = true), s"rounds=$rounds")
+    }
+    // directed variant: labels flow along edge direction only
+    assert(runLpa(edges, 2, undirected = false) ===
+      referenceLpa(edges, 2, undirected = false))
+    intercept[IllegalArgumentException] { runLpa(edges, 0) }
+    Dedup.releaseCaches()
+  }
+
   test("bfs on a random graph equals the local reference, any partitioning") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 3000).map(_ =>

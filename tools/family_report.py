@@ -7,7 +7,7 @@ Usage: python3 tools/family_report.py sf0.01=BENCH1.json sf0.1=BENCH2.json sf1=B
 import json, sys, re
 
 FAMILIES = [
-    ("relational", r"^q_(select|filter|groupby|join_inner|join_left|join_full|subquery|mod_filter|date_filter|orderby|distinct|expr|like|having|union|intersect|except|exists|window|rollup|pivot|moving_avg|grouping_sets|cube|recursive_cte)"),
+    ("relational", r"^q_(select|filter|groupby|join_inner|join_left|join_full|subquery|mod_filter|date_filter|orderby|distinct|expr|like|having|union|intersect|except|exists|window|rollup|pivot|moving_avg|grouping_sets|cube|recursive_cte|string_funcs)"),
     ("spatial scalar", r"^q_(st_|wkt_|geojson_io|gml|kml)"),
     ("spatial agg/join", r"^q_(spatial_join|knn_spatial|dbscan)"),
     ("document sources", r"^q_(xml|geojson_dsv2|geojson_export|geojson_v2write|geojson_topn|geojson_couch|geojson_mongo|warc)"),
@@ -17,7 +17,7 @@ FAMILIES = [
     ("sampling/stats", r"^q_(sample|docmix|split|stratified|weighted|quantile|hist|profile|row_ids|pack|chunk|stats_)"),
     ("sketches", r"^q_(heavy_hitters|distinct_sketch|cms|hll)"),
     ("joins/layout", r"^q_(asof|range_join|interval_join|skew_join|topk_per_group|snapshot_diff|zorder|bucketed_join|merge_upsert|gap_fill|scd2)"),
-    ("graphs/retrieval", r"^q_(pagerank|triangles|bm25|rrf|graph_bfs)"),
+    ("graphs/retrieval", r"^q_(pagerank|triangles|bm25|rrf|graph_bfs|label_prop)"),
     ("multimodal", r"^q_(multimodal|video_meta)"),
     ("events/streaming", r"^q_(events|funnel|sessionize|retention)"),
 ]
