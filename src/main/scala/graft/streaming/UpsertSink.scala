@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.operators.Layout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Streaming CDC upsert sink: maintain a keyed snapshot table on disk by
+  * applying each micro-batch of changes (key, seq, op, payload) through
+  * [[Layout.mergeChanges]] — the streaming counterpart of the batch
+  * MERGE, with the two properties a sink needs:
+  *
+  *   - **Exactly-once across replays.** The manifest records the last
+  *     applied `batchId`; a replayed micro-batch (foreachBatch re-runs
+  *     after failure) is skipped by id. Even without the id check the
+  *     apply is idempotent — latest-seq-wins winners are stable and
+  *     delete-of-absent / overwrite-with-same are no-ops — but the id
+  *     check also skips the wasted rewrite.
+  *   - **Bucket-pruned rewrites.** The snapshot hash-clusters into
+  *     `numBuckets` buckets by `xxhash64(key)`; a micro-batch rewrites
+  *     ONLY the buckets its keys land in, and the new manifest points
+  *     untouched buckets at their existing files. At 100 TB this is the
+  *     difference between rewriting gigabytes and rewriting the table:
+  *     rewrite cost scales with the CHANGE batch's key spread, not the
+  *     snapshot size (the lakehouse copy-on-write MERGE shape; size
+  *     `numBuckets` so one bucket ≈ a comfortable rewrite unit).
+  *
+  * Disk layout: `path/delta/b<batchId>/__bucket=<k>/…` immutable bucket
+  * dirs; `path/_manifest/m<batchId>.json` mapping every bucket to the
+  * delta dir currently holding it; `path/_CURRENT` → manifest name,
+  * swapped by atomic rename (readers see the old or the new manifest,
+  * never a mix). Superseded delta dirs stay on disk until an external
+  * cleanup (documented cost; they are what makes the swap safe for
+  * in-flight readers).
+  *
+  * Wire it with `changes.writeStream.foreachBatch(sink(spark, path,
+  * …))`, or drive [[applyBatch]] directly batch by batch.
+  */
+object UpsertSink {
+
+  private val BucketCol = "__bucket"
+
+  case class Manifest(batchId: Long, buckets: Map[Int, String])
+
+  private def manifestDir(path: String) = Paths.get(path, "_manifest")
+  private def currentPtr(path: String) = Paths.get(path, "_CURRENT")
+
+  /** The current manifest, or None before the first applied batch. */
+  def readManifest(path: String): Option[Manifest] = {
+    val ptr = currentPtr(path)
+    if (!Files.exists(ptr)) return None
+    val name = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim
+    val txt = new String(Files.readAllBytes(manifestDir(path).resolve(name)),
+      StandardCharsets.UTF_8)
+    // flat hand-rolled JSON: {"batchId":N,"buckets":{"0":"delta/b0",...}}
+    val id = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
+      .getOrElse(sys.error(s"malformed manifest $name")).group(1).toLong
+    val pairs = """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(txt)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    Some(Manifest(id, pairs))
+  }
+
+  private def writeManifest(path: String, m: Manifest): Unit = {
+    Files.createDirectories(manifestDir(path))
+    val name = s"m${m.batchId}.json"
+    val body = s"""{"batchId":${m.batchId},"buckets":{""" +
+      m.buckets.toSeq.sortBy(_._1)
+        .map { case (b, d) => s""""$b":"$d"""" }.mkString(",") + "}}"
+    Files.write(manifestDir(path).resolve(name),
+      body.getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(path, "_CURRENT.tmp")
+    Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPtr(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketDir(path: String, delta: String, b: Int): String =
+    s"$path/$delta/$BucketCol=$b"
+
+  /** Union-read of specific bucket dirs (the bucket id is a path
+    * partition, not stored in the files, so each dir reads with the
+    * bare key+payload schema). */
+  private def readBuckets(spark: SparkSession, dirs: Seq[String]): Option[DataFrame] =
+    dirs.map(spark.read.parquet(_)).reduceOption(_ unionByName _)
+
+  /** The current snapshot as a DataFrame. */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    val dirs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, d) => bucketDir(path, d, b) }
+    readBuckets(spark, dirs).getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Apply one CDC micro-batch. Returns true when applied, false when
+    * skipped (empty batch, or a replayed/out-of-order batchId). */
+  def applyBatch(spark: SparkSession, path: String, key: String,
+                 seqCol: String, opCol: String, payloadCols: Seq[String],
+                 numBuckets: Int)(changes: DataFrame, batchId: Long): Boolean = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val prev = readManifest(path)
+    if (prev.exists(_.batchId >= batchId)) return false // replayed batch
+    val bucketOf = pmod(xxhash64(col(key)), lit(numBuckets)).cast("int")
+    // one micro-batch — bounded; checkpointed because it is read three
+    // times below (touched list, merge, and the foreachBatch source
+    // frame is only valid inside this call)
+    val batch = changes.withColumn(BucketCol, bucketOf).localCheckpoint(true)
+    try {
+      // the touched-bucket list is ≤ numBuckets ints — driver-safe
+      val touched = batch.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return false // empty batch
+
+      val existingDirs = prev.toSeq.flatMap(m => touched.flatMap(b =>
+        m.buckets.get(b).map(d => bucketDir(path, d, b))))
+      val snapTouched = readBuckets(spark, existingDirs).getOrElse {
+        // first batch (or all-new buckets): empty snapshot, batch schema
+        batch.select((key +: payloadCols).map(col): _*).limit(0)
+      }
+
+      val merged = Layout.mergeChanges(snapTouched, batch.drop(BucketCol),
+          key, seqCol, opCol, payloadCols)
+        .withColumn(BucketCol, bucketOf)
+      val deltaDir = s"delta/b$batchId"
+      merged.write.mode("overwrite").partitionBy(BucketCol)
+        .parquet(s"$path/$deltaDir")
+
+      // a merge can delete a bucket EMPTY: partitionBy writes no dir for
+      // it, so such buckets drop out of the manifest entirely
+      val written = touched.filter(b =>
+        Files.exists(Paths.get(path, deltaDir, s"$BucketCol=$b"))).toSet
+      val base = prev.map(_.buckets).getOrElse(Map.empty)
+      val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
+      writeManifest(path, Manifest(batchId, next))
+      true
+    } finally graft.operators.Dedup.releaseFrame(batch)
+  }
+
+  /** foreachBatch adapter: `changes.writeStream.foreachBatch(
+    * UpsertSink.sink(spark, path, …)).outputMode("append")`. */
+  def sink(spark: SparkSession, path: String, key: String, seqCol: String,
+           opCol: String, payloadCols: Seq[String], numBuckets: Int)
+    : (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(spark, path, key, seqCol, opCol, payloadCols,
+      numBuckets)(df, id); () }
+}

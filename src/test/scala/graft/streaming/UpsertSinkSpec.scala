@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Layout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.nio.file.Files
+
+class UpsertSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-upsert").toString
+
+  private def snap(path: String): Seq[(Long, String)] =
+    UpsertSink.readSnapshot(spark, path)
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+
+  private val B = 8
+
+  private def apply(path: String, rows: Seq[(Long, Long, String, String)],
+                    id: Long): Boolean =
+    UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"), B)(
+      rows.toDF("id", "seq", "op", "v"), id)
+
+  test("sequential batches fold exactly like batch mergeChanges") {
+    val path = tmp()
+    val b0 = Seq((1L, 1L, "I", "one"), (2L, 1L, "I", "two"), (3L, 1L, "I", "three"))
+    val b1 = Seq((2L, 2L, "U", "TWO"), (4L, 1L, "I", "four"))
+    val b2 = Seq((3L, 2L, "D", null), (1L, 3L, "U", "ONE"),
+      (1L, 2L, "D", null)) // in-batch conflict: U@3 beats D@2
+    assert(apply(path, b0, 0) && apply(path, b1, 1) && apply(path, b2, 2))
+
+    // fold the same batches through the batch operator
+    var folded: DataFrame = Seq.empty[(Long, String)].toDF("id", "v")
+    for (b <- Seq(b0, b1, b2))
+      folded = Layout.mergeChanges(folded, b.toDF("id", "seq", "op", "v"),
+        "id", "seq", "op", Seq("v"))
+    val want = folded.as[(Long, String)].collect().sorted.toSeq
+    assert(snap(path) === want)
+    assert(want === Seq((1L, "ONE"), (2L, "TWO"), (4L, "four")))
+  }
+
+  test("replayed batch ids are skipped and change nothing") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    assert(apply(path, Seq((1L, 2L, "U", "b")), 1))
+    val before = snap(path)
+    val mbefore = UpsertSink.readManifest(path).get
+    // same id replayed, and an OLDER id — both no-ops
+    assert(!apply(path, Seq((1L, 9L, "U", "XXX")), 1))
+    assert(!apply(path, Seq((1L, 9L, "U", "XXX")), 0))
+    assert(snap(path) === before && before === Seq((1L, "b")))
+    assert(UpsertSink.readManifest(path).get == mbefore)
+  }
+
+  test("rewrites prune to touched buckets; untouched manifest entries survive") {
+    val path = tmp()
+    // spread keys over several buckets
+    assert(apply(path, (1L to 40L).map(i => (i, 1L, "I", s"v$i")), 0))
+    val m0 = UpsertSink.readManifest(path).get
+    assert(m0.buckets.values.toSet === Set("delta/b0"))
+    // touch exactly one key → exactly that key's bucket repoints
+    assert(apply(path, Seq((7L, 2L, "U", "V7")), 1))
+    val m1 = UpsertSink.readManifest(path).get
+    val moved = m1.buckets.filter(_._2 == "delta/b1").keySet
+    assert(moved.size == 1)
+    assert(m1.buckets.filter(_._2 == "delta/b0") ==
+      m0.buckets.view.filterKeys(!moved.contains(_)).toMap)
+    assert(snap(path).toMap.apply(7L) == "V7")
+    assert(snap(path).size == 40)
+  }
+
+  test("a bucket deleted empty drops out of the manifest") {
+    val path = tmp()
+    assert(apply(path, Seq((5L, 1L, "I", "five")), 0))
+    assert(UpsertSink.readManifest(path).get.buckets.size == 1)
+    assert(apply(path, Seq((5L, 2L, "D", null)), 1))
+    val m = UpsertSink.readManifest(path).get
+    assert(m.batchId == 1 && m.buckets.isEmpty)
+  }
+
+  test("end-to-end: foreachBatch stream maintains the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = input.toDF().toDF("id", "seq", "op", "v")
+      .writeStream
+      .foreachBatch(UpsertSink.sink(spark, path, "id", "seq", "op", Seq("v"), B))
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, "I", "a"), (2L, 1L, "I", "b"))
+      query.processAllAvailable()
+      input.addData((1L, 2L, "U", "a2"), (3L, 1L, "I", "c"))
+      query.processAllAvailable()
+      input.addData((2L, 2L, "D", null))
+      query.processAllAvailable()
+      assert(snap(path) === Seq((1L, "a2"), (3L, "c")))
+    } finally query.stop()
+  }
+}
