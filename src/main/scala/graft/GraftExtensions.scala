@@ -183,6 +183,13 @@ object Graft {
       Seq(ArrayType(LongType), ArrayType(LongType))),
     b("kmv_distinct", (h: Expression, k: Expression) =>
       KmvDistinctAgg(h, k).toAggregateExpression(), Seq(LongType, IntegerType)),
+    // KMV state materialization + state rollup (the aggregate-once /
+    // re-aggregate-anywhere pattern — see KmvStateLike)
+    b("kmv_sketch", (h: Expression, k: Expression) =>
+      KmvStateAgg(h, k).toAggregateExpression(), Seq(LongType, IntegerType)),
+    b("kmv_merge", (s: Expression, k: Expression) =>
+      KmvMergeAgg(s, k).toAggregateExpression(),
+      Seq(org.apache.spark.sql.types.ArrayType(LongType, containsNull = false), IntegerType)),
     // HyperLogLog register sketch over 60-bit hashes (2^p-byte state,
     // element-wise-max merge — see SketchAggregates.scala)
     b("hll_sketch", (h: Expression, p: Expression) =>

@@ -2122,6 +2122,31 @@ object SparkEntry {
         .agg(round(call_function("kmv_distinct", col("h"), lit(1024)), 2)
           .as("est_distinct_words"))
     }),
+    // Mergeable-sketch ROLLUP: per-(source, lang) KMV states
+    // materialized, then rolled up per source by merging STATES — no
+    // rescan of the token stream — and the estimate off the merged
+    // state must equal the single-pass per-source sketch bit-for-bit
+    // (bottomK(A∪B) = bottomK(bottomK(A)∪bottomK(B))). The oracle is
+    // the single-pass replay, so the gate hashes the whole
+    // aggregate-once / re-aggregate-anywhere path.
+    "q_sketch_rollup" -> ((spark, dir) => {
+      init(spark, dir)
+      val k = 16 // below the ~31-word corpus vocabulary, so states
+                 // TRUNCATE and the estimator branch is the one hashed
+      val lvl1 = spark.table("documents")
+        .select(col("source"), col("lang"),
+          explode(call_function("word_window_hashes",
+            TextAnalysis.wsTokens(col("text")), lit(1))).as("h"))
+        .groupBy("source", "lang")
+        .agg(call_function("kmv_sketch", col("h"), lit(k)).as("sk"))
+      val rolled = lvl1.groupBy("source")
+        .agg(call_function("kmv_merge", col("sk"), lit(k)).as("sk"))
+      rolled.select(col("source"),
+        round(when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+            element_at(col("sk"), k).cast("double")), 2)
+          .as("est_distinct_words"))
+    }),
     // HyperLogLog register sketch: per-source distinct-vocabulary sketch
     // in 64 bytes of state (vs KMV's 8 KB above). The gate pins the
     // EXACT register content twice over — the 2^55-scaled harmonic sum
@@ -3324,6 +3349,17 @@ object SparkEntry {
         |a AS (SELECT source, count(*) AS nd, max(CASE WHEN rn <= 1024 THEN h END) AS kth FROM r GROUP BY source)
         |SELECT source, round(CASE WHEN nd < 1024 THEN CAST(nd AS DOUBLE)
         |                          ELSE (1024 - 1) * power(2, 60) / kth END, 2) AS est_distinct_words
+        |FROM a""".stripMargin,
+    // sketch rollup: the single-pass replay — if the engine's two-level
+    // state merge is lossless this is the same number
+    "q_sketch_rollup" ->
+      """WITH ws AS (SELECT source, list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws FROM documents),
+        |hs AS (SELECT DISTINCT source, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |       FROM (SELECT source, unnest(ws) AS w FROM ws)),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+        |a AS (SELECT source, count(*) AS nd, max(CASE WHEN rn <= 16 THEN h END) AS kth FROM r GROUP BY source)
+        |SELECT source, round(CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+        |                          ELSE (16 - 1) * power(2, 60) / kth END, 2) AS est_distinct_words
         |FROM a""".stripMargin,
     // triangles: canonical undirected simple edges, then the 3-way join
     "q_triangles" ->

@@ -346,4 +346,143 @@ object KmvDistinctAgg {
   final class Buffer(val k: Int) {
     val set = new java.util.TreeSet[java.lang.Long]()
   }
+
+  private[functions] def insert(buf: Buffer, v: Long): Unit = {
+    val s = buf.set
+    if (s.size < buf.k) { s.add(v); () }
+    else if (v < s.last) {
+      if (s.add(v)) s.pollLast()
+    }
+  }
+
+  private[functions] def serializeBuf(buf: Buffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.set.size)
+    bb.putInt(buf.k).putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  private[functions] def deserializeBuf(bytes: Array[Byte]): Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Buffer(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.set.add(bb.getLong); i += 1 }
+    buf
+  }
+}
+
+/** Shared shape of the two sketch-STATE aggregates: the same bottom-k
+  * buffer as [[KmvDistinctAgg]], but `eval` returns the state itself —
+  * the k smallest distinct hashes, sorted ascending, as `array<long>` —
+  * instead of collapsing to the estimate. Materialized states are what
+  * make the 100 TB rollup pattern work: aggregate once at the finest
+  * grain (per day / per partition / per source-shard), STORE the
+  * states, then re-aggregate to any coarser grain by merging states —
+  * no rescan of the raw data, and `bottomK(A ∪ B) =
+  * bottomK(bottomK(A) ∪ bottomK(B))` makes the merged state IDENTICAL
+  * to the single-pass state (spec-pinned), so estimates off rolled-up
+  * states carry the same oracle-reproducible determinism. */
+sealed trait KmvStateLike extends TypedImperativeAggregate[KmvDistinctAgg.Buffer] {
+  import KmvDistinctAgg.Buffer
+  def kExpr: Expression
+
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  protected lazy val k: Int = {
+    val v = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
+    require(v >= 2, s"kmv state k must be >= 2, got $v")
+    v
+  }
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) KmvDistinctAgg.insert(buf, it.next())
+    buf
+  }
+  override def eval(buf: Buffer): Any = {
+    val out = new Array[Any](buf.set.size)
+    val it = buf.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override def serialize(buf: Buffer): Array[Byte] = KmvDistinctAgg.serializeBuf(buf)
+  override def deserialize(bytes: Array[Byte]): Buffer = KmvDistinctAgg.deserializeBuf(bytes)
+
+  protected def checkK: TypeCheckResult =
+    if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("expects a literal INT k")
+    else if (kExpr.eval(InternalRow.empty).asInstanceOf[Int] < 2)
+      TypeCheckResult.TypeCheckFailure(
+        s"k must be >= 2, got ${kExpr.eval(InternalRow.empty)}")
+    else TypeCheckResult.TypeCheckSuccess
+}
+
+/** `kmv_sketch(h, k)` — build the KMV state from raw 60-bit hashes. */
+case class KmvStateAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KmvStateLike {
+  import KmvDistinctAgg.Buffer
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure("kmv_sketch expects a LONG hash column")
+    else checkK
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) KmvDistinctAgg.insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvStateAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvStateAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvStateAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** `kmv_merge(state, k)` — roll up materialized KMV states (each an
+  * `array<long>` from [[KmvStateAgg]] or a previous merge) into the
+  * state of the union. Null states are skipped. */
+case class KmvMergeAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KmvStateLike {
+  import KmvDistinctAgg.Buffer
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => checkK
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_merge expects an ARRAY<LONG> state column, got $other")
+  }
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        KmvDistinctAgg.insert(buf, arr.getLong(i)); i += 1
+      }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = newChildren(0), kExpr = newChildren(1))
 }

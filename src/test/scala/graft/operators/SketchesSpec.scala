@@ -199,4 +199,54 @@ class SketchesSpec extends SparkTestBase {
     val want = (k - 1).toDouble * math.pow(2, 60) / kth.toDouble
     assert(got === want) // bit-exact, not approximate
   }
+
+  test("kmv_sketch state is the sorted bottom-k distinct set, any partitioning") {
+    val rnd = new scala.util.Random(5)
+    val hashes = (1 to 3000).map(_ => rnd.nextLong(1L << 60)).map(math.abs)
+    val want = hashes.distinct.sorted.take(64)
+    for (parts <- Seq(1, 9)) {
+      val got = hashes.toDF("h").repartition(parts)
+        .agg(call_function("kmv_sketch", $"h", lit(64))).head().getSeq[Long](0)
+      assert(got.toSeq === want, s"parts=$parts")
+    }
+    // below k: the full distinct set, still sorted
+    val small = Seq(9L, 3L, 9L, 1L).toDF("h")
+      .agg(call_function("kmv_sketch", $"h", lit(64))).head().getSeq[Long](0)
+    assert(small.toSeq === Seq(1L, 3L, 9L))
+  }
+
+  test("kmv_merge rollup state EQUALS the single-pass state (lossless merge)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 5000).map(_ => (s"g${rnd.nextInt(7)}", math.abs(rnd.nextLong(1L << 60))))
+    val df = rows.toDF("g", "h").repartition(11)
+    val k = 32
+    // two-level: per-group states, merged
+    val rolled = df.groupBy("g").agg(call_function("kmv_sketch", $"h", lit(k)).as("sk"))
+      .agg(call_function("kmv_merge", $"sk", lit(k))).head().getSeq[Long](0)
+    // single pass over everything
+    val single = df.agg(call_function("kmv_sketch", $"h", lit(k))).head().getSeq[Long](0)
+    assert(rolled.toSeq === single.toSeq)
+    assert(single.toSeq === rows.map(_._2).distinct.sorted.take(k))
+    // and the estimate off the merged state equals kmv_distinct
+    val est = df.agg(call_function("kmv_distinct", $"h", lit(k))).head().getDouble(0)
+    val kth = single(k - 1)
+    assert(est === (k - 1).toDouble * math.pow(2, 60) / kth.toDouble)
+  }
+
+  test("kmv_merge: null states skipped, validation at analysis time") {
+    val states = Seq(Some(Seq(5L, 7L)), None, Some(Seq(1L, 7L, 9L)))
+      .toDF("sk")
+    val merged = states.agg(call_function("kmv_merge", $"sk", lit(4)))
+      .head().getSeq[Long](0)
+    assert(merged.toSeq === Seq(1L, 5L, 7L, 9L)) // dedup of 7, capped sort
+    intercept[Exception] { // non-literal / bad k fails analysis
+      Seq(Seq(1L)).toDF("sk").agg(call_function("kmv_merge", $"sk", lit(1))).head()
+    }
+    intercept[Exception] { // wrong child type
+      Seq("x").toDF("sk").agg(call_function("kmv_merge", $"sk", lit(4))).head()
+    }
+    intercept[Exception] {
+      Seq(1L).toDF("h").agg(call_function("kmv_sketch", $"h", lit(1))).head()
+    }
+  }
 }
