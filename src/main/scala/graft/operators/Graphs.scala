@@ -257,6 +257,110 @@ object Graphs {
     Dedup.track(out.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Multi-source weighted shortest paths (Bellman-Ford relaxation):
+    * minimum path WEIGHT from the nearest of `sources` to every node
+    * reachable within `maxIter` edges. Positive weights required (the
+    * classic precondition; a non-positive weight fails fast). Returns
+    * `(node, dist)` — sources at 0.0, unreachable nodes absent.
+    *
+    * Same fixed-partitioner loop as [[bfs]], with values instead of hop
+    * counts: each round relaxes every edge out of the CHANGED set only
+    * (frontier discipline — a node re-enters the frontier only when its
+    * distance improves, so rounds shrink as distances settle), one
+    * narrow adjacency⋈frontier join + a min-combining `reduceByKey` +
+    * a narrow merge against the settled map, early exit when a round
+    * improves nothing. maxIter bounds worst-case chains (|V|-1 is the
+    * exact bound; real link graphs settle in tens of rounds).
+    *
+    * No SQL oracle BY DESIGN: a weighted recursive-CTE replay
+    * enumerates (node, pathWeight) pairs — combinatorial on dense
+    * graphs — so this operator is spec-gated against a local
+    * Bellman-Ford reference instead (the [[bfs]] hop metric, whose
+    * fixpoint DuckDB can replay, carries the oracle for the shared
+    * loop skeleton).
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, sources: DataFrame, nodeCol: String,
+                    maxIter: Int, undirected: Boolean = false): DataFrame = {
+    require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
+    val spark = edges.sparkSession
+    val fwd = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+    val e = if (undirected)
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    else fwd
+
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
+    // parallel edges collapse to their MINIMUM weight (the only one a
+    // shortest path can use); the positivity check rides the same pass
+    val adj = e.rdd.map { r =>
+      val w = r.getDouble(2)
+      require(w > 0.0 && !w.isNaN,
+        s"shortestPaths requires positive weights, got $w")
+      ((r.getString(0), r.getString(1)), w)
+    }.reduceByKey(math.min(_: Double, _: Double))
+      .map { case ((s, d), w) => (s, (d, w)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var dist: org.apache.spark.rdd.RDD[(String, Double)] = sources
+      .select(col(nodeCol).cast("string"))
+      .where(col(nodeCol).isNotNull)
+      .rdd.map(r => (r.getString(0), 0.0))
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var hop = 0
+    var done = maxIter == 0
+    while (!done) {
+      hop += 1
+      val relaxed = adj.join(frontier) // co-partitioned: narrow
+        .map { case (_, ((d, w), dv)) => (d, dv + w) }
+        .reduceByKey(part, math.min(_: Double, _: Double)) // map-side combined
+      // merge candidates against settled distances; carry an improved
+      // flag so the round's frontier and the stop check share one pass
+      val upd = dist.fullOuterJoin(relaxed) // both on `part`: narrow
+        .mapValues {
+          case (Some(o), Some(c)) => if (c < o) (c, true) else (o, false)
+          case (Some(o), None) => (o, false)
+          case (None, Some(c)) => (c, true)
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = upd.filter(_._2._2).mapValues(_._1)
+      if (next.isEmpty()) { // materializes upd
+        upd.unpersist(blocking = false)
+        done = true
+      } else {
+        val merged = upd.mapValues(_._1).persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        val nextF = next.persist(StorageLevel.MEMORY_AND_DISK)
+        nextF.count()
+        upd.unpersist(blocking = false)
+        dist.unpersist(blocking = false)
+        if (frontier ne dist) frontier.unpersist(blocking = false)
+        dist = merged
+        frontier = nextF
+        done = hop == maxIter
+      }
+    }
+    if (frontier ne dist) frontier.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val out = spark.createDataFrame(
+      dist.map { case (n, d) => org.apache.spark.sql.Row(n, d) }, schema)
+    Dedup.track(dist)
+    Dedup.track(out.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it takes the MOST
     * FREQUENT label among its neighbors, count ties broken by the

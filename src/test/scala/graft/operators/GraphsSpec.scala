@@ -217,6 +217,69 @@ class GraphsSpec extends SparkTestBase {
     Dedup.releaseCaches()
   }
 
+  // --------------------------------------------------------- shortestPaths
+
+  /** Local Bellman-Ford with the same bounded-round semantics. */
+  private def referenceSssp(edges: Seq[(String, String, Double)],
+                            sources: Seq[String], maxIter: Int,
+                            undirected: Boolean): Map[String, Double] = {
+    val dir0 = if (undirected) edges ++ edges.map(e => (e._2, e._1, e._3)) else edges
+    val dir = dir0.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).min).toSeq.map { case ((s, d), w) => (s, d, w) }
+    var dist = sources.map(_ -> 0.0).toMap
+    var frontier = sources.toSet
+    var it = 0
+    while (it < maxIter && frontier.nonEmpty) {
+      it += 1
+      val cand = dir.filter(e => frontier.contains(e._1))
+        .groupBy(_._2).view.mapValues(es =>
+          es.map(e => dist(e._1) + e._3).min).toMap
+      val improved = cand.filter { case (n, d) => dist.get(n).forall(d < _) }
+      dist = dist ++ improved
+      frontier = improved.keySet
+    }
+    dist
+  }
+
+  private def runSssp(edges: Seq[(String, String, Double)], sources: Seq[String],
+                      maxIter: Int, undirected: Boolean = false): Map[String, Double] =
+    Graphs.shortestPaths(edges.toDF("s", "t", "w").repartition(5), "s", "t", "w",
+        sources.toDF("node"), "node", maxIter, undirected)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("shortestPaths: weighted relaxation beats the greedy hop path") {
+    // a->c direct costs 10; a->b->c costs 3 — weight metric must pick 3
+    // even though BFS reaches c in 1 hop
+    val edges = Seq(("a", "c", 10.0), ("a", "b", 1.0), ("b", "c", 2.0),
+      ("c", "d", 1.0))
+    assert(runSssp(edges, Seq("a"), 10) ===
+      Map("a" -> 0.0, "b" -> 1.0, "c" -> 3.0, "d" -> 4.0))
+    // the bounded variant: 1 round only sees direct edges
+    assert(runSssp(edges, Seq("a"), 1) ===
+      Map("a" -> 0.0, "b" -> 1.0, "c" -> 10.0))
+    // multi-source: nearest seed wins; isolated seed stays at 0
+    assert(runSssp(edges, Seq("b", "zz"), 10) ===
+      Map("b" -> 0.0, "zz" -> 0.0, "c" -> 2.0, "d" -> 3.0))
+    // undirected: d reaches back to a through c<-b<-a reversed
+    assert(runSssp(edges, Seq("d"), 10, undirected = true)("a") === 4.0)
+    intercept[Exception] { runSssp(Seq(("a", "b", -1.0)), Seq("a"), 3) }
+    intercept[IllegalArgumentException] { runSssp(edges, Seq("a"), -1) }
+  }
+
+  test("shortestPaths equals the local Bellman-Ford on a random weighted graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 2500).map(_ => (s"n${rnd.nextInt(250)}",
+      s"n${rnd.nextInt(250)}", 1.0 + rnd.nextInt(9))).distinct
+    val sources = Seq("n0", "n13")
+    for (iters <- Seq(2, 6, 30)) { // 30 ≫ diameter: the early exit path
+      assert(runSssp(edges, sources, iters) ===
+        referenceSssp(edges, sources, iters, undirected = false), s"iters=$iters")
+    }
+    assert(runSssp(edges, sources, 30, undirected = true) ===
+      referenceSssp(edges, sources, 30, undirected = true))
+    Dedup.releaseCaches()
+  }
+
   test("bfs on a random graph equals the local reference, any partitioning") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 3000).map(_ =>
