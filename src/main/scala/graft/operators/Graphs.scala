@@ -373,12 +373,14 @@ object Graphs {
     *
     * Scale shape — the [[pageRank]]/[[bfs]] loop skeleton: the deduped
     * adjacency hash-partitions ONCE; each round is a narrow
-    * adjacency⋈labels join, a map-side-combined count of
-    * `(node, label)` pairs (≤ distinct neighbor-labels per node, never
-    * |E| raw), and an argmax `reduceByKey` back on the fixed
-    * partitioner (max under the total order count-desc/label-asc —
-    * associative, so partial aggregation applies). Labels are |V|
-    * rows; nothing driver-side.
+    * adjacency⋈labels join followed by ONE shuffle — an
+    * `aggregateByKey` straight onto the fixed partitioner that builds a
+    * bounded per-node label→count map (map-side combined, so a
+    * combiner emits ≤ distinct neighbor-labels per node per partition,
+    * never |E| raw pairs) — and a narrow argmax over each map (max
+    * under the total order count-desc/label-asc). Labels are |V| rows;
+    * each round's superseded label RDD unpersists as soon as its
+    * successor materializes; nothing driver-side.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int, undirected: Boolean = true): DataFrame = {
@@ -407,22 +409,30 @@ object Graphs {
     var labels: org.apache.spark.rdd.RDD[(String, String)] =
       nodes.mapValues(_ => null: String).mapPartitions(
         it => it.map { case (n, _) => (n, n) }, preservesPartitioning = true)
-    val retired = scala.collection.mutable.ArrayBuffer.empty[
-      org.apache.spark.rdd.RDD[_]]
     for (_ <- 1 to rounds) {
+      // ONE shuffle per round: the neighbor-label pairs aggregate
+      // straight onto the fixed partitioner as a per-node label→count
+      // map (bounded by distinct neighbor labels — map-side combined),
+      // then the argmax is a narrow mapValues over that map.
       val counts = adj.join(labels) // co-partitioned: narrow
-        .map { case (_, (dst, lab)) => ((dst, lab), 1L) }
-        .reduceByKey(_ + _) // map-side combined; ≤ distinct (node, label)
-        .map { case ((n, lab), c) => (n, (lab, c)) }
-        .reduceByKey(part, better _) // argmax back on the fixed partitioner
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .aggregateByKey(
+          scala.collection.mutable.Map.empty[String, Long], part)(
+          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
+          (a, b) => {
+            b.foreach { case (lab, c) =>
+              a.update(lab, a.getOrElse(lab, 0L) + c)
+            }
+            a
+          })
+        .mapValues(m => m.iterator.reduce(better _)._1) // narrow argmax
       val next = labels.leftOuterJoin(counts) // both on `part`: narrow
-        .mapValues { case (own, best) => best.map(_._1).getOrElse(own) }
+        .mapValues { case (own, best) => best.getOrElse(own) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before the parent retires
-      retired += labels
+      labels.unpersist(blocking = false) // eager: round 0 is a no-op
       labels = next
     }
-    retired.foreach(_.unpersist(blocking = false))
     adj.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -134,17 +134,27 @@ object Layout {
     require(snapshot.columns.contains(key) && payloadCols.forall(snapshot.columns.contains),
       "snapshot must carry the key and every payload column")
 
-    val winners = changes
+    // a NULL op is a malformed change (neither delete nor upsert): fail
+    // LOUDLY during the scan rather than silently ignoring it for
+    // existing keys / emitting a phantom all-null row for new ones
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isNull,
+        raise_error(concat(lit(s"mergeChanges: NULL $opCol for key="),
+          col(key).cast("string"))))
+        .otherwise(col(opCol)))
+    val winners = checked
       .groupBy(col(key))
       .agg(max(struct(col(seqCol) +: col(opCol) +: payloadCols.map(col): _*)).as("__w"))
       .select(Seq(col(key).as("__k"), col(s"__w.$opCol").as("__op")) ++
         payloadCols.map(c => col(s"__w.$c").as(s"__p_$c")): _*)
+    // branch on the CHANGE-SIDE KEY, not the op: __k null ⇔ snapshot
+    // passthrough; __k present ⇒ __op present (checked above)
     snapshot.select(col(key) +: payloadCols.map(col): _*)
       .join(winners, col(key) === col("__k"), "full_outer")
-      .where(col("__op").isNull || col("__op") =!= "D")
+      .where(col("__k").isNull || col("__op") =!= "D")
       .select(
         coalesce(col(key), col("__k")).as(key) +:
           payloadCols.map(c =>
-            when(col("__op").isNotNull, col(s"__p_$c")).otherwise(col(c)).as(c)): _*)
+            when(col("__k").isNotNull, col(s"__p_$c")).otherwise(col(c)).as(c)): _*)
   }
 }

@@ -379,9 +379,10 @@ object Temporal {
     * through one task — choose the key granularity so a single series
     * is task-sized (entity/metric ids, not a global key). Callers with
     * several rows per bin aggregate first; with equal-bin duplicates the
-    * largest payload struct wins (the [[asofJoin]] backward tie rule),
+    * largest `(valueCols…)` tuple wins (the payloads ride as [[asofJoin]]
+    * backward tie columns, so the rule is enforced, not just assumed),
     * which keeps reruns deterministic but usually isn't the aggregation
-    * you meant.
+    * you meant. Payload columns must therefore be orderable types.
     *
     * @param step grid pitch in the units of `timeCol` (must divide the
     *             observation bins' spacing for observed bins to align)
@@ -414,8 +415,14 @@ object Temporal {
       keyCols.map(c => col(c).as(s"__k_$c")) ++
         Seq(col(timeCol).as("__ot"), col(timeCol).as(srcTimeCol)) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    // equal-bin duplicate observations: the payload columns ride as
+    // as-of TIE columns, so backward mode carries the largest
+    // (valueCols…) tuple — the documented "largest payload struct wins"
+    // rule, made real. Ties only extend the within-partition sort: no
+    // extra exchange, and reruns/repartitions stay bit-identical.
     asofJoin(grid, obs, keyCols, keyCols.map(c => s"__k_$c"), timeCol, "__ot",
-        payloadCols = srcTimeCol +: valueCols.map(c => s"__v_$c"))
+        payloadCols = srcTimeCol +: valueCols.map(c => s"__v_$c"),
+        tieCols = valueCols.map(c => s"__v_$c"))
       .select(
         (keyCols.map(col) :+ col(timeCol) :+ col(srcTimeCol)) ++
           valueCols.map(c => col(s"__v_$c").as(c)): _*)

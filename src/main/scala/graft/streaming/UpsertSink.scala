@@ -42,10 +42,35 @@ object UpsertSink {
 
   private val BucketCol = "__bucket"
 
-  case class Manifest(batchId: Long, buckets: Map[Int, String])
+  /** Snapshot table manifest. Beyond the batch id and bucket map it
+    * pins the LAYOUT CONTRACT — `numBuckets`, the key column, and the
+    * snapshot schema (key + payloads, as Spark DDL). The bucket of a
+    * key is `pmod(xxhash64(key), numBuckets)`, and xxhash64 output
+    * depends on the key's Spark TYPE (an INT 5 and a BIGINT 5 hash
+    * differently) — so a later caller passing a different bucket
+    * count or key type would probe/rewrite the WRONG buckets and
+    * silently corrupt the snapshot (missed deletes, duplicate keys).
+    * [[applyBatch]] therefore fails fast on any layout mismatch. */
+  case class Manifest(batchId: Long, numBuckets: Int, key: String,
+                      schemaDdl: String, buckets: Map[Int, String])
 
   private def manifestDir(path: String) = Paths.get(path, "_manifest")
   private def currentPtr(path: String) = Paths.get(path, "_CURRENT")
+
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def jsonUnescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Snapshot-schema DDL for a change frame: key + payload columns,
+    * name and type only (nullability normalized — merge output
+    * nullability is not part of the layout contract). */
+  private def snapshotDdl(df: DataFrame, key: String,
+                          payloadCols: Seq[String]): String =
+    org.apache.spark.sql.types.StructType(
+      (key +: payloadCols).map(c =>
+        org.apache.spark.sql.types.StructField(c, df.schema(c).dataType)))
+      .toDDL
 
   /** The current manifest, or None before the first applied batch. */
   def readManifest(path: String): Option[Manifest] = {
@@ -54,18 +79,32 @@ object UpsertSink {
     val name = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim
     val txt = new String(Files.readAllBytes(manifestDir(path).resolve(name)),
       StandardCharsets.UTF_8)
-    // flat hand-rolled JSON: {"batchId":N,"buckets":{"0":"delta/b0",...}}
+    // flat hand-rolled JSON:
+    // {"batchId":N,"numBuckets":K,"key":"id","schema":"id BIGINT,…",
+    //  "buckets":{"0":"delta/b0",…}}
+    def fail() = sys.error(s"malformed manifest $name")
     val id = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
-      .getOrElse(sys.error(s"malformed manifest $name")).group(1).toLong
-    val pairs = """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(txt)
+      .getOrElse(fail()).group(1).toLong
+    val nb = """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .getOrElse(fail()).group(1).toInt
+    val key = """"key"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+      .getOrElse(fail()).group(1)
+    val ddl = """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+      .getOrElse(fail()).group(1)
+    // bucket pairs parse only inside the trailing "buckets" object, so
+    // a numeric-looking column name in the schema can't collide
+    val bucketsTxt = txt.substring(txt.indexOf("\"buckets\""))
+    val pairs = """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(bucketsTxt)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
-    Some(Manifest(id, pairs))
+    Some(Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs))
   }
 
   private def writeManifest(path: String, m: Manifest): Unit = {
     Files.createDirectories(manifestDir(path))
     val name = s"m${m.batchId}.json"
-    val body = s"""{"batchId":${m.batchId},"buckets":{""" +
+    val body = s"""{"batchId":${m.batchId},"numBuckets":${m.numBuckets},""" +
+      s""""key":"${jsonEscape(m.key)}","schema":"${jsonEscape(m.schemaDdl)}",""" +
+      s""""buckets":{""" +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",") + "}}"
     Files.write(manifestDir(path).resolve(name),
@@ -85,13 +124,20 @@ object UpsertSink {
   private def readBuckets(spark: SparkSession, dirs: Seq[String]): Option[DataFrame] =
     dirs.map(spark.read.parquet(_)).reduceOption(_ unionByName _)
 
-  /** The current snapshot as a DataFrame. */
+  /** The current snapshot as a DataFrame. An all-rows-deleted snapshot
+    * (empty bucket map) still returns a correctly-TYPED empty frame —
+    * the schema rides in the manifest, so downstream selects of the
+    * key/payload columns keep resolving. */
   def readSnapshot(spark: SparkSession, path: String): DataFrame = {
     val m = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
     val dirs = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => bucketDir(path, d, b) }
-    readBuckets(spark, dirs).getOrElse(spark.emptyDataFrame)
+    readBuckets(spark, dirs).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Apply one CDC micro-batch. Returns true when applied, false when
@@ -101,6 +147,22 @@ object UpsertSink {
                  numBuckets: Int)(changes: DataFrame, batchId: Long): Boolean = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val prev = readManifest(path)
+    val ddl = snapshotDdl(changes, key, payloadCols)
+    prev.foreach { m =>
+      // layout-contract check BEFORE any hashing: a different bucket
+      // count or key/payload type would route keys away from the
+      // buckets their existing versions live in (xxhash64 is
+      // type-sensitive) — corrupting instead of merging
+      require(m.numBuckets == numBuckets,
+        s"snapshot at $path is bucketed numBuckets=${m.numBuckets}; " +
+          s"applyBatch called with $numBuckets")
+      require(m.key == key,
+        s"snapshot at $path is keyed on '${m.key}'; applyBatch called " +
+          s"with '$key'")
+      require(m.schemaDdl == ddl,
+        s"snapshot at $path has schema [${m.schemaDdl}]; this batch " +
+          s"would write [$ddl]")
+    }
     if (prev.exists(_.batchId >= batchId)) return false // replayed batch
     val bucketOf = pmod(xxhash64(col(key)), lit(numBuckets)).cast("int")
     // one micro-batch — bounded; checkpointed because it is read three
@@ -133,7 +195,7 @@ object UpsertSink {
         Files.exists(Paths.get(path, deltaDir, s"$BucketCol=$b"))).toSet
       val base = prev.map(_.buckets).getOrElse(Map.empty)
       val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
-      writeManifest(path, Manifest(batchId, next))
+      writeManifest(path, Manifest(batchId, numBuckets, key, ddl, next))
       true
     } finally graft.operators.Dedup.releaseFrame(batch)
   }

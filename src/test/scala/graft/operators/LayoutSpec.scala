@@ -166,4 +166,19 @@ class LayoutSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"winner selection planned a window:\n$plan")
   }
+
+  test("mergeChanges rejects a NULL op loudly instead of mangling it") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // NULL op on an existing key AND on a new key — both malformed
+    val changes = Seq((1L, 1L, null: String, "x"), (9L, 1L, null: String, "y"))
+      .toDF("id", "seq", "op", "v")
+    val e = intercept[Exception] {
+      Layout.mergeChanges(snap, changes, "id", "seq", "op", Seq("v")).collect()
+    }
+    // Spark wraps raise_error; the message must name the column and key
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("NULL op")),
+      s"expected a NULL-op failure, got: ${msgs(e).mkString(" | ")}")
+  }
 }

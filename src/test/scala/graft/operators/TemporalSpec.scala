@@ -311,6 +311,30 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("gapFill: equal-bin duplicates resolve to the largest payload tuple") {
+    // three observations share bin 10 — the documented rule says the
+    // largest (valueCols…) tuple wins, and the winner must carry into
+    // the filled bins too. Repartition shapes must not change the pick.
+    val obs = Seq(
+      ("a", 10L, 1.0, "lo"), ("a", 10L, 9.0, "hi"), ("a", 10L, 9.0, "he"),
+      ("a", 40L, 2.0, "x"))
+      .toDF("k", "t", "v", "s")
+    // largest (v, s) tuple in bin 10 is (9.0, "hi") — v breaks first,
+    // then s breaks the 9.0 tie
+    val want = Seq(
+      ("a", 10L, 10L, 9.0, "hi"),
+      ("a", 20L, 10L, 9.0, "hi"),
+      ("a", 30L, 10L, 9.0, "hi"),
+      ("a", 40L, 40L, 2.0, "x"))
+    for (parts <- Seq(1, 7)) {
+      val got = Temporal.gapFill(obs.repartition(parts), Seq("k"), "t", 10L,
+          Seq("v", "s"))
+        .select("k", "t", "src_t", "v", "s")
+        .as[(String, Long, Long, Double, String)].collect().sortBy(_._2).toSeq
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   // ------------------------------------------------------------------ scd2
 
   test("scd2 collapses no-op changes and chains half-open intervals") {

@@ -79,6 +79,43 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(apply(path, Seq((5L, 2L, "D", null)), 1))
     val m = UpsertSink.readManifest(path).get
     assert(m.batchId == 1 && m.buckets.isEmpty)
+    // an all-rows-deleted snapshot still reads with its TYPED schema
+    // (the manifest carries the DDL) — downstream selects keep resolving
+    val empty = UpsertSink.readSnapshot(spark, path)
+    assert(empty.schema.map(f => (f.name, f.dataType.sql)) ===
+      Seq(("id", "BIGINT"), ("v", "STRING")))
+    assert(empty.select("id", "v").count() === 0)
+  }
+
+  test("layout-contract mismatches fail fast instead of corrupting") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    val m = UpsertSink.readManifest(path).get
+    assert(m.numBuckets == B && m.key == "id")
+    assert(m.schemaDdl == "id BIGINT,v STRING")
+    // different bucket count → keys would hash into the wrong buckets
+    val eNb = intercept[IllegalArgumentException] {
+      UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"), B + 1)(
+        Seq((1L, 2L, "U", "b")).toDF("id", "seq", "op", "v"), 1)
+    }
+    assert(eNb.getMessage.contains("numBuckets"))
+    // different key TYPE → xxhash64 output changes → same corruption
+    val eTy = intercept[IllegalArgumentException] {
+      UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"), B)(
+        Seq((1, 2L, "U", "b")).toDF("id", "seq", "op", "v"), 1)
+    }
+    assert(eTy.getMessage.contains("schema"))
+    // different key column name
+    val eKey = intercept[IllegalArgumentException] {
+      UpsertSink.applyBatch(spark, path, "k", "seq", "op", Seq("v"), B)(
+        Seq((1L, 2L, "U", "b")).toDF("k", "seq", "op", "v"), 1)
+    }
+    assert(eKey.getMessage.contains("keyed"))
+    // the snapshot is untouched by the rejected calls
+    assert(snap(path) === Seq((1L, "a")))
+    // and a CONFORMING batch still applies
+    assert(apply(path, Seq((1L, 2L, "U", "b")), 1))
+    assert(snap(path) === Seq((1L, "b")))
   }
 
   test("end-to-end: foreachBatch stream maintains the snapshot") {
