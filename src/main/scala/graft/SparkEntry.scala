@@ -1932,6 +1932,26 @@ object SparkEntry {
       Graphs.bfs(edges, "src", "dst", sources, "node",
         maxHops = 4, undirected = true)
     }),
+    // Weighted multi-source shortest paths (Bellman-Ford) over a PLANTED
+    // layered DAG: edges c → c+δ (δ ∈ 1..3, weight 1 + (c*31 + δ*17) % 7),
+    // sources every 20th customer, hop cap 8. The DAG + small integer
+    // weights keep the DuckDB weighted-walk replay tractable: the
+    // recursive CTE dedups (node, dist, hops) TRIPLES, whose count is
+    // bounded by hops × the few-dozen reachable integer distances per
+    // node — never the (exponential) path count. Exact-FP safe: every
+    // dist is a sum of ≤ 8 small integers carried as doubles.
+    "q_shortest_paths" -> ((spark, dir) => {
+      init(spark, dir)
+      val edges = spark.sql(
+        """SELECT c_custkey AS src, c_custkey + d AS dst,
+          |       CAST(1 + (c_custkey * 31 + d * 17) % 7 AS DOUBLE) AS w
+          |FROM customer CROSS JOIN (SELECT * FROM VALUES (1), (2), (3) AS t(d))
+          |WHERE c_custkey + d <= (SELECT max(c_custkey) FROM customer)""".stripMargin)
+      val sources = spark.sql(
+        "SELECT c_custkey AS node FROM customer WHERE c_custkey % 20 = 0")
+      Graphs.shortestPaths(edges, "src", "dst", "w", sources, "node",
+        maxIter = 8)
+    }),
     // Synchronous label propagation, 2 rounds, min-label count tiebreak:
     // deterministic community labels over the undirected trade graph.
     // The oracle unrolls the same two rounds as grouped counts +
@@ -1979,6 +1999,49 @@ object SparkEntry {
           |FROM documents WHERE doc_id < 50""".stripMargin)
       Layout.mergeChanges(spark.table("documents"), changes, "doc_id",
         "seq", "op", Seq("text", "lang"))
+    }),
+    // Streaming↔batch CDC parity: three derived change batches applied
+    // through the exactly-once UpsertSink (manifest + bucket-pruned
+    // copy-on-write, 16 buckets) must land on the same snapshot the
+    // declarative fold produces. Batch 1 carries delete-vs-update
+    // conflicts resolved by seq (%20 keys: D@3 beats U@2; others: U@2
+    // beats D@1); batch 2 carries an equal-seq D/U tie on %63 keys
+    // (op 'U' > 'D' in the winner struct). Cold-cost-by-design: each
+    // pass builds a fresh snapshot table in a temp dir.
+    "q_upsert_stream_parity" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-upsert-gate").toString
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op,
+          |       concat(text, ' [u1]') AS text, lang
+          |FROM documents WHERE doc_id % 6 = 0
+          |UNION ALL
+          |SELECT doc_id, 2L, 'I', text, lang
+          |FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+          |UNION ALL
+          |SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN 3L ELSE 1L END, 'D',
+          |       CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin)
+      val b2 = spark.sql(
+        """SELECT doc_id, 4L AS seq, 'D' AS op,
+          |       CAST(NULL AS STRING) AS text, CAST(NULL AS STRING) AS lang
+          |FROM documents WHERE doc_id % 9 = 0
+          |UNION ALL
+          |SELECT doc_id, 4L, 'U', concat('final ', CAST(doc_id AS STRING)), 'xx'
+          |FROM documents WHERE doc_id % 7 = 0
+          |UNION ALL
+          |SELECT doc_id + 3000000, 1L, 'I',
+          |       concat('new ', CAST(doc_id AS STRING)), 'en'
+          |FROM documents WHERE doc_id < 30""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 16) _
+      applyB(b0, 0); applyB(b1, 1); applyB(b2, 2)
+      graft.streaming.UpsertSink.readSnapshot(spark, path)
+        .select("doc_id", "text", "lang")
     }),
     // Bounded group-top-k: k-capped heap at every aggregation stage (no
     // window, no per-group buffering — see TopKAggregate.scala); ties
@@ -3167,6 +3230,63 @@ object SparkEntry {
         |       CASE WHEN win.op IS NOT NULL THEN win.lang ELSE s.lang END AS lang
         |FROM documents s FULL OUTER JOIN win ON s.doc_id = win.doc_id
         |WHERE win.op IS NULL OR win.op <> 'D'""".stripMargin,
+    // CDC stream parity: the three micro-batches folded declaratively —
+    // per batch, winner per key by the same (seq, op, payloads) DESC
+    // NULLS LAST order, applied by full-outer join onto the prior state
+    "q_upsert_stream_parity" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS seq, 'I' AS op, text, lang
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |w0 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b0),
+        |s0 AS (SELECT doc_id, text, lang FROM w0 WHERE rn = 1 AND op <> 'D'),
+        |b1 AS (
+        |  SELECT doc_id, CAST(2 AS BIGINT) AS seq, 'U' AS op,
+        |         text || ' [u1]' AS text, lang
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'I', text, lang
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN 3 ELSE 1 END, 'D',
+        |         NULL, NULL
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w1 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b1),
+        |s1 AS (SELECT coalesce(s.doc_id, w.doc_id) AS doc_id,
+        |         CASE WHEN w.op IS NOT NULL THEN w.text ELSE s.text END AS text,
+        |         CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s.lang END AS lang
+        |       FROM s0 s FULL OUTER JOIN (SELECT * FROM w1 WHERE rn = 1) w
+        |         ON s.doc_id = w.doc_id
+        |       WHERE w.op IS NULL OR w.op <> 'D'),
+        |b2 AS (
+        |  SELECT doc_id, CAST(4 AS BIGINT) AS seq, 'D' AS op,
+        |         CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang
+        |  FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'U', 'final ' || CAST(doc_id AS VARCHAR), 'xx'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 1, 'I', 'new ' || CAST(doc_id AS VARCHAR), 'en'
+        |  FROM documents WHERE doc_id < 30),
+        |w2 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b2),
+        |s2 AS (SELECT coalesce(s.doc_id, w.doc_id) AS doc_id,
+        |         CASE WHEN w.op IS NOT NULL THEN w.text ELSE s.text END AS text,
+        |         CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s.lang END AS lang
+        |       FROM s1 s FULL OUTER JOIN (SELECT * FROM w2 WHERE rn = 1) w
+        |         ON s.doc_id = w.doc_id
+        |       WHERE w.op IS NULL OR w.op <> 'D')
+        |SELECT doc_id, text, lang FROM s2""".stripMargin,
     // label propagation: the same two synchronous rounds unrolled —
     // per-round neighbor-label counts, argmax by (count DESC, label ASC)
     "q_label_prop" ->
@@ -3212,6 +3332,25 @@ object SparkEntry {
         |  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON walk.node = e.src
         |  WHERE walk.dist < 4)
         |SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node""".stripMargin,
+    // weighted shortest paths: the hop-capped weighted walk — UNION
+    // dedups (node, d, hops) triples (bounded on the planted DAG), min(d)
+    // projects the Bellman-Ford answer "min path weight within 8 edges"
+    "q_shortest_paths" ->
+      """WITH RECURSIVE
+        |e AS (SELECT CAST(c_custkey AS VARCHAR) AS src,
+        |             CAST(c_custkey + d AS VARCHAR) AS dst,
+        |             CAST(1 + (c_custkey * 31 + d * 17) % 7 AS DOUBLE) AS w
+        |      FROM customer CROSS JOIN (VALUES (1), (2), (3)) t(d)
+        |      WHERE c_custkey + d <= (SELECT max(c_custkey) FROM customer)),
+        |seeds AS (SELECT CAST(c_custkey AS VARCHAR) AS node
+        |          FROM customer WHERE c_custkey % 20 = 0),
+        |walk(node, d, hops) AS (
+        |  SELECT node, CAST(0 AS DOUBLE), 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, walk.d + e.w, walk.hops + 1
+        |  FROM walk JOIN e ON walk.node = e.src
+        |  WHERE walk.hops < 8)
+        |SELECT node, min(d) AS dist FROM walk GROUP BY node""".stripMargin,
     // PageRank: the oracle unrolls the same three power iterations; the
     // base term is written (1.0 - 0.85) on BOTH sides so the IEEE value
     // matches bit-for-bit (a 0.15 literal is one ulp away)

@@ -209,8 +209,63 @@ object Ivf {
     pq
   }
 
-  /** Loads the PQ codebooks persisted by [[writeIndexedPq]]. */
-  def loadPqModel(spark: SparkSession, path: String): Pq.Model = {
+  /** IVF-OPQ-PQ (FAISS's `OPQn,IVFk,PQm` recipe): like [[writeIndexedPq]]
+    * but every vector first passes the learned orthogonal OPQ rotation —
+    * the corpus rotates ONCE at build (one d×d matvec per row, map-only),
+    * the coarse quantizer trains/assigns and the PQ codes encode in the
+    * ROTATED space, and the rotation persists in the `_graft_pq` sidecar
+    * (rows with `s = -1`). Serving ([[topKPq]]) rotates the query once on
+    * the driver; orthogonality makes rotated-space L2 the true L2, so
+    * results are comparable to plain PQ at identical m/k — with less
+    * quantization error whenever variance correlates across subspace
+    * boundaries. `keepVectors=true` keeps the ORIGINAL-space vectors in
+    * the files (exact rescoring is original-space); the rotated copy is
+    * never stored. */
+  def writeIndexedOpq(df: DataFrame, idCol: String, vecCol: String, path: String,
+                      pqM: Int, pqK: Int = 256, k: Int = 0, maxIter: Int = 10,
+                      trainSampleSize: Int = 100000,
+                      maxPartitionRows: Long = 1000000L,
+                      keepVectors: Boolean = false,
+                      pqTrainVecs: Int = 100000, pqIters: Int = 15,
+                      opqIters: Int = 8): Pq.OpqModel = {
+    val spark = df.sparkSession
+    val opq = Pq.trainOpq(df, idCol, vecCol, pqM, pqK, pqTrainVecs, pqIters,
+      opqIters)
+    val rotVec = "__graft_rotvec"
+    require(!df.columns.contains(rotVec), s"column $rotVec is reserved")
+    val bcR = spark.sparkContext.broadcast(opq.rotation)
+    val rot = udf { (v: Array[Float]) =>
+      val r = bcR.value
+      require(v.length == r.length, s"vector dim ${v.length} != model dim ${r.length}")
+      Pq.rotate(r, v)
+    }
+    // ONE corpus pass: rotate, encode, route — the code and rotated
+    // columns ride the same scan the coarse assignment reads
+    val withCodes = df.where(col(vecCol).isNotNull)
+      .withColumn(rotVec, rot(col(vecCol)))
+      .withColumn("codes", Pq.encoder(df, opq.pq)(col(rotVec)))
+    writeIndexed(withCodes, idCol, rotVec, path, k, maxIter,
+      trainSampleSize, maxPartitionRows,
+      dropCols = if (keepVectors) Seq(rotVec) else Seq(rotVec, vecCol),
+      metric = "l2")
+    import spark.implicits._
+    val pq = opq.pq
+    val bookRows = for {
+      s <- pq.codebooks.indices
+      c <- pq.codebooks(s).indices
+    } yield (s, c, pq.codebooks(s)(c).toSeq, pq.dim, pq.m)
+    val rotRows = opq.rotation.indices.map(i =>
+      (-1, i, opq.rotation(i).toSeq, pq.dim, pq.m))
+    (bookRows ++ rotRows).toDF("s", "c", "centroid", "dim", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$PqDir")
+    opq
+  }
+
+  /** Loads the PQ codebooks persisted by [[writeIndexedPq]] /
+    * [[writeIndexedOpq]], plus the OPQ rotation when the store has one
+    * (`s = -1` sidecar rows; absent on plain-PQ stores). */
+  def loadPqModelWithRotation(spark: SparkSession, path: String)
+    : (Pq.Model, Option[Array[Array[Float]]]) = {
     val rows = spark.read.parquet(s"$path/$PqDir").collect()
     require(rows.nonEmpty, s"no PQ model at $path/$PqDir")
     val dim = rows.head.getInt(3)
@@ -220,8 +275,15 @@ object Ivf {
     val books = (0 until m).map { s =>
       byS(s).sortBy(_._2).map(_._3).toVector
     }.toVector
-    Pq.Model(dim, m, books)
+    val rotation = byS.get(-1).map(_.sortBy(_._2).map(_._3))
+    rotation.foreach(r => require(r.length == dim && r.forall(_.length == dim),
+      s"malformed OPQ rotation at $path/$PqDir"))
+    (Pq.Model(dim, m, books), rotation)
   }
+
+  /** Loads the PQ codebooks persisted by [[writeIndexedPq]]. */
+  def loadPqModel(spark: SparkSession, path: String): Pq.Model =
+    loadPqModelWithRotation(spark, path)._1
 
   /** ADC top-`n` over the `nprobe` nearest centroid partitions of a
     * [[writeIndexedPq]] store — IVF partition pruning at the file
@@ -231,12 +293,15 @@ object Ivf {
     * top-k — the oracle-gated configuration (q_ivf_pq). */
   def topKPq(spark: SparkSession, path: String, idCol: String,
              query: Array[Float], n: Int, nprobe: Int = 4): DataFrame = {
-    val model = loadPqModel(spark, path)
+    val (model, rotation) = loadPqModelWithRotation(spark, path)
+    // OPQ store: the query rotates ONCE on the driver into the space the
+    // centroids and codes live in (orthogonal ⇒ distances unchanged)
+    val q = rotation.fold(query)(r => Pq.rotate(r, query))
     val (centroids, metric) = loadCentroids(spark, path)
-    val probeIds = probeClusters(centroids, metric, query, nprobe)
+    val probeIds = probeClusters(centroids, metric, q, nprobe)
     val scan = spark.read.parquet(path)
       .where(col("cluster").isin(probeIds.toIndexedSeq: _*)) // partition pruning
-    Pq.searchTopK(scan, idCol, "codes", model, query, n)
+    Pq.searchTopK(scan, idCol, "codes", model, q, n)
   }
 
   /** Top-k by exact cosine over the `nprobe` partitions whose centroids

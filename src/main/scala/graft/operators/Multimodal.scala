@@ -235,18 +235,24 @@ object Multimodal {
                 case "mvhd" =>
                   val v = b(f2) & 0xff
                   if (v == 1) { // 64-bit creation/modification/duration
+                    require(t2e - f2 >= 32, "mvhd v1 payload too short")
                     val timescale = be32(b, f2 + 20) & 0xffffffffL
                     val dur = be64(b, f2 + 24)
                     if (timescale > 0) duration = dur.toDouble / timescale
                   } else {
+                    require(t2e - f2 >= 20, "mvhd v0 payload too short")
                     val timescale = be32(b, f2 + 12) & 0xffffffffL
                     val dur = be32(b, f2 + 16) & 0xffffffffL
                     if (timescale > 0) duration = dur.toDouble / timescale
                   }
                 case "trak" =>
-                  boxes(b, f2, t2e) { (t3, f3, _) =>
+                  boxes(b, f2, t2e) { (t3, f3, t3e) =>
                     if (t3 == "tkhd") {
                       val v = b(f3) & 0xff
+                      // a short payload must reject, not read the next
+                      // box's bytes as width/height
+                      require(t3e - f3 >= (if (v == 1) 94 else 82),
+                        "tkhd payload too short")
                       // width/height are the LAST 8 bytes of the box in
                       // both versions (16.16 fixed point): ver+flags(4) +
                       // times/id/duration (20 v0 / 32 v1) + layer block
@@ -301,8 +307,11 @@ object Multimodal {
         val (id, idLen) = ebmlId(b, o)
         val (sz, szLen) = ebmlSize(b, o + idLen)
         val pFrom = o + idLen + szLen
+        // bound-check in LONG space BEFORE narrowing: an 8-byte size like
+        // 2^33+16 would truncate to a small positive int and slip past an
+        // int-space check — a silent misparse, not a loud reject
+        require(sz < 0 || sz <= (to - pFrom).toLong, "EBML element overruns")
         val pTo = if (sz < 0) to else pFrom + sz.toInt // unknown: to range end
-        require(pTo <= to, s"EBML element overruns")
         f(id, pFrom, pTo)
         o = pTo
       }

@@ -159,7 +159,7 @@ object Pq {
     def dim: Int = pq.dim
   }
 
-  private def rotate(r: Array[Array[Float]], v: Array[Float]): Array[Float] = {
+  private[operators] def rotate(r: Array[Array[Float]], v: Array[Float]): Array[Float] = {
     val d = v.length
     val out = new Array[Float](d)
     var j = 0

@@ -179,4 +179,58 @@ class IvfSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6) / 1e6)).toSeq
     assert(ivf == brute)
   }
+
+  test("IVF-OPQ store: rotation persists in the sidecar, query rotates once, " +
+      "recall >= the plain-PQ floor at identical m/k") {
+    // cross-subspace structure: each cluster varies along ONE dense
+    // direction that straddles every m=4 subspace boundary — the case
+    // OPQ's learned rotation exists for
+    val rnd = new scala.util.Random(77)
+    val dim = 16
+    val centers = Array.fill(12, dim)(rnd.nextFloat() * 8 - 4)
+    val dirs = Array.fill(12, dim)(rnd.nextFloat() - 0.5f)
+    val rows = for { c <- 0 until 12; i <- 0 until 80 } yield {
+      val t = (rnd.nextFloat() - 0.5f) * 4
+      ((c * 80 + i).toLong,
+        centers(c).zip(dirs(c)).map { case (x, d) =>
+          x + d * t + (rnd.nextFloat() - 0.5f) * 0.05f }.toSeq)
+    }
+    val df = rows.toDF("id", "vec")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfopq").toString
+    val pPq = base + "/pq"; val pOpq = base + "/opq"
+    Ivf.writeIndexedPq(df, "id", "vec", pPq, pqM = 4, pqK = 16, k = 12, maxIter = 5)
+    val opq = Ivf.writeIndexedOpq(df, "id", "vec", pOpq, pqM = 4, pqK = 16,
+      k = 12, maxIter = 5, opqIters = 6)
+
+    // the rotation round-trips through the _graft_pq sidecar; a plain-PQ
+    // store loads with NO rotation (back-compat)
+    val (_, rot) = Ivf.loadPqModelWithRotation(spark, pOpq)
+    assert(rot.isDefined && rot.get.length == dim)
+    assert(rot.get.flatten.toSeq == opq.rotation.flatten.toSeq)
+    assert(Ivf.loadPqModelWithRotation(spark, pPq)._2.isEmpty)
+
+    val all = rows.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+    def recallAt(path: String): Double = {
+      val qids = Seq(40L, 333L, 777L)
+      qids.map { qid =>
+        val q = all.find(_._1 == qid).get._2
+        val exact10 = all.map { case (id, v) =>
+          (id, v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum)
+        }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+        // STRICT top-10 (no slack set): the configuration where PQ-vs-OPQ
+        // code quality is visible — measured 0.40 vs 0.57 on this corpus
+        val got = Ivf.topKPq(spark, path, "id", q, n = 10, nprobe = 12)
+          .collect().map(_.getLong(0)).toSet
+        exact10.count(got).toDouble / 10
+      }.sum / qids.size
+    }
+    // full probe on both stores: the ONLY difference is PQ vs OPQ codes
+    val rPq = recallAt(pPq); val rOpq = recallAt(pOpq)
+    assert(rOpq >= rPq, s"OPQ store recall $rOpq < plain-PQ floor $rPq")
+    assert(rOpq >= 0.5, s"OPQ store recall $rOpq below the expected band")
+    // pruned serving still prunes at the file listing on the OPQ store
+    val probed = Ivf.topKPq(spark, pOpq, "id", all.head._2, n = 5, nprobe = 3)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"), plan)
+  }
 }

@@ -96,6 +96,48 @@ class VideoMetaSpec extends SparkTestBase {
     assert(math.abs(dur - 12.0) < 1e-9) // 12000 ticks x default 1 ms
   }
 
+  test("hostile containers: truncated/cyclic/overflowing boxes reject to the " +
+      "sentinel and always terminate (the WarcSourceSpec truncation discipline)") {
+    val S = ("application/octet-stream", 0, 0, 0.0)
+    def d(b: Array[Byte]) = Multimodal.VideoHeaderDecoder.decode(b)
+
+    // -- ISO BMFF hostiles --
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    // box declares more bytes than the blob holds
+    assert(d(ftyp ++ be32(4096) ++ "moov".getBytes("US-ASCII") ++ new Array[Byte](8)) == S)
+    // size smaller than its own header (4 < 8): a naive `o += size` walker
+    // loops here forever — must reject instead
+    assert(d(ftyp ++ be32(4) ++ "free".getBytes("US-ASCII")) == S)
+    // largesize form truncated before the 64-bit size field
+    assert(d(ftyp ++ be32(1) ++ "moov".getBytes("US-ASCII")) == S)
+    // largesize declaring less than its own 16-byte header
+    assert(d(ftyp ++ be32(1) ++ "moov".getBytes("US-ASCII") ++ be64(8L) ++ new Array[Byte](8)) == S)
+    // mvhd payload too short for its version layout: must NOT read the
+    // following box's bytes as timescale/duration
+    assert(d(ftyp ++ box("moov", box("mvhd", Array[Byte](0, 0, 0, 0)))) == S)
+    assert(d(ftyp ++ box("moov", box("mvhd", Array[Byte](1, 0, 0, 0, 9, 9)))) == S)
+    // tkhd payload too short (v0 needs 82 bytes)
+    assert(d(ftyp ++ box("moov", box("trak", box("tkhd", new Array[Byte](40))))) == S)
+
+    // -- EBML hostiles --
+    val magic = id(0x1a, 0x45, 0xdf, 0xa3)
+    // declared size beyond the blob
+    assert(d(magic ++ Array((0x80 | 0x60).toByte) ++ new Array[Byte](4)) == S)
+    // zero id byte after a valid header element
+    assert(d(magic ++ vsize(2) ++ Array(0x00.toByte, 0x00.toByte)) == S)
+    // 8-byte size whose value (2^33 + 8) truncates to a SMALL positive int
+    // (8): the long-space bound check must reject, not misparse
+    val hugeSize = Array[Byte](0x01, 0x02, 0x00, 0x00, 0x00, 0x00, 0x00, 0x08)
+    assert(d(magic ++ hugeSize ++ new Array[Byte](32)) == S)
+    // size field itself truncated (5-byte length, 2 bytes present)
+    assert(d(magic ++ Array(0x08.toByte, 0x01.toByte)) == S)
+
+    // termination sanity: every hostile above returns promptly (no walker
+    // loops) AND a well-formed blob still parses after the guards
+    val ok = Multimodal.syntheticMp4(320, 240, 5500, 1000)
+    assert(d(ok) == ("video/mp4", 320, 240, 5.5))
+  }
+
   test("decodeVideoMeta is total: corrupt/foreign payloads get the zero sentinel; plumbing distributed") {
     val rows = Seq(
       (1L, Multimodal.syntheticMp4(320, 240, 5500, 1000)),
