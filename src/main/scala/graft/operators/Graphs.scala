@@ -193,14 +193,20 @@ object Graphs {
     val fwd = edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val e = if (undirected)
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))) else fwd
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
     // adjacency keyed by src, deduped (parallel edges add nothing to
-    // reachability), fixed-partitioned once for every round's narrow join
-    val adj = e.rdd.map(r => ((r.getString(0), r.getString(1)), ()))
+    // reachability), fixed-partitioned once for every round's narrow
+    // join. Undirected doubling happens INSIDE the one RDD scan — a
+    // DataFrame self-union would evaluate the (possibly expensive)
+    // upstream edge derivation twice, since Spark does not dedupe
+    // common subplans across union branches.
+    val adj = fwd.rdd.flatMap { r =>
+        val s = r.getString(0); val d = r.getString(1)
+        if (undirected) Iterator(((s, d), ()), ((d, s), ()))
+        else Iterator(((s, d), ()))
+      }
       .reduceByKey((a, _) => a)
       .map { case ((s, d), _) => (s, d) }
       .partitionBy(part)
@@ -289,19 +295,20 @@ object Graphs {
         col(dstCol).cast("string").as("dst"),
         col(weightCol).cast("double").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
-    val e = if (undirected)
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    else fwd
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
     // parallel edges collapse to their MINIMUM weight (the only one a
-    // shortest path can use); the positivity check rides the same pass
-    val adj = e.rdd.map { r =>
+    // shortest path can use); the positivity check and the undirected
+    // doubling ride the same single pass (a self-union would re-run the
+    // upstream edge derivation — common subplans don't dedupe)
+    val adj = fwd.rdd.flatMap { r =>
       val w = r.getDouble(2)
       require(w > 0.0 && !w.isNaN,
         s"shortestPaths requires positive weights, got $w")
-      ((r.getString(0), r.getString(1)), w)
+      val s = r.getString(0); val d = r.getString(1)
+      if (undirected) Iterator(((s, d), w), ((d, s), w))
+      else Iterator(((s, d), w))
     }.reduceByKey(math.min(_: Double, _: Double))
       .map { case ((s, d), w) => (s, (d, w)) }
       .partitionBy(part)
@@ -371,16 +378,25 @@ object Graphs {
     * grouped counts + row_number) all agree, unlike the
     * randomized-order LPA variants. Returns `(node, label)`.
     *
-    * Scale shape — the [[pageRank]]/[[bfs]] loop skeleton: the deduped
-    * adjacency hash-partitions ONCE; each round is a narrow
-    * adjacency⋈labels join followed by ONE shuffle — an
-    * `aggregateByKey` straight onto the fixed partitioner that builds a
-    * bounded per-node label→count map (map-side combined, so a
-    * combiner emits ≤ distinct neighbor-labels per node per partition,
-    * never |E| raw pairs) — and a narrow argmax over each map (max
-    * under the total order count-desc/label-asc). Labels are |V| rows;
-    * each round's superseded label RDD unpersists as soon as its
-    * successor materializes; nothing driver-side.
+    * Scale shape — the [[pageRank]]/[[bfs]] loop skeleton, tightened to
+    * ONE shuffle per round and TWO at build:
+    *   - build: the edge multiset dedups in a single `reduceByKey`
+    *     whose partitioner routes by the SRC component (dedup and
+    *     co-location in one pass — no follow-up `partitionBy`); the
+    *     node set derives from it with one more shuffle onto the node
+    *     partitioner.
+    *   - round: labels partition i holds exactly the nodes whose edges
+    *     live in adjacency partition i, so the neighbor-label expansion
+    *     is a narrow `zipPartitions` hash join; the `((node, label), 1)`
+    *     counts then `reduceByKey` map-side-combined (primitive longs,
+    *     no serialized containers) onto a NODE-routed partitioner —
+    *     the round's only shuffle — and the per-node argmax (max under
+    *     the total order count-desc/label-asc) plus the merge with the
+    *     previous labels are a second narrow `zipPartitions`.
+    * Labels are |V| rows; per-partition state (the label hash map, the
+    * argmax map) is |V|/P entries; each round's superseded label RDD
+    * unpersists as soon as its successor materializes; nothing
+    * driver-side.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int, undirected: Boolean = true): DataFrame = {
@@ -389,46 +405,62 @@ object Graphs {
     val fwd = edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val e = if (undirected)
-      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))) else fwd
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    val adj = e.rdd.map(r => ((r.getString(0), r.getString(1)), ()))
-      .reduceByKey((a, _) => a)
-      .map { case ((s, d), _) => (s, d) }
-      .partitionBy(part)
+    // routes a (String, String) key by its FIRST component's `part`
+    // partition — used for edges (by src) and counts (by node), so all
+    // per-node state of partition i co-locates with labels partition i
+    val byFirst = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = part.numPartitions
+      override def getPartition(key: Any): Int =
+        part.getPartition(key.asInstanceOf[(String, String)]._1)
+    }
+    // dedup + src-route in ONE shuffle (a follow-up partitionBy would
+    // re-shuffle the whole adjacency for nothing), with the undirected
+    // doubling inside the same single scan (a self-union would run the
+    // upstream edge derivation twice)
+    val adj = fwd.rdd.flatMap { r =>
+        val s = r.getString(0); val d = r.getString(1)
+        if (undirected) Iterator(((s, d), ()), ((d, s), ()))
+        else Iterator(((s, d), ()))
+      }
+      .reduceByKey(byFirst, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = adj.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+    val nodes = adj.flatMap { case ((s, d), _) => Iterator((s, ()), (d, ())) }
       .reduceByKey(part, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    def better(a: (String, Long), b: (String, Long)): (String, Long) =
-      if (a._2 > b._2 || (a._2 == b._2 && a._1 <= b._1)) a else b
 
     var labels: org.apache.spark.rdd.RDD[(String, String)] =
       nodes.mapValues(_ => null: String).mapPartitions(
         it => it.map { case (n, _) => (n, n) }, preservesPartitioning = true)
     for (_ <- 1 to rounds) {
-      // ONE shuffle per round: the neighbor-label pairs aggregate
-      // straight onto the fixed partitioner as a per-node label→count
-      // map (bounded by distinct neighbor labels — map-side combined),
-      // then the argmax is a narrow mapValues over that map.
-      val counts = adj.join(labels) // co-partitioned: narrow
-        .map { case (_, (dst, lab)) => (dst, lab) }
-        .aggregateByKey(
-          scala.collection.mutable.Map.empty[String, Long], part)(
-          (m, lab) => { m.update(lab, m.getOrElse(lab, 0L) + 1L); m },
-          (a, b) => {
-            b.foreach { case (lab, c) =>
-              a.update(lab, a.getOrElse(lab, 0L) + c)
-            }
-            a
-          })
-        .mapValues(m => m.iterator.reduce(better _)._1) // narrow argmax
-      val next = labels.leftOuterJoin(counts) // both on `part`: narrow
-        .mapValues { case (own, best) => best.getOrElse(own) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // narrow hash join: labels partition i covers every src of adj
+      // partition i (both routed by part(first)), so the neighbor-label
+      // expansion needs no shuffle
+      val expanded = labels.zipPartitions(adj) { (lit, eit) =>
+        val lab = new java.util.HashMap[String, String]()
+        lit.foreach { case (n, l) => lab.put(n, l) }
+        eit.map { case ((s, d), _) => ((d, lab.get(s)), 1L) }
+      }
+      // the round's ONE shuffle: (node, label) counts combine map-side
+      // as primitive longs and land node-routed
+      val counts = expanded.reduceByKey(byFirst, _ + _)
+      // narrow by construction: partition i of `counts` holds exactly
+      // the nodes `part` sends to partition i of `labels`
+      val next = labels.zipPartitions(counts, preservesPartitioning = true) {
+        (lit, cit) =>
+          val best = new java.util.HashMap[String, (String, Long)]()
+          cit.foreach { case ((n, lab), c) =>
+            val cur = best.get(n)
+            if (cur == null || c > cur._2 || (c == cur._2 && lab < cur._1))
+              best.put(n, (lab, c))
+          }
+          lit.map { case (n, own) =>
+            val b = best.get(n)
+            (n, if (b == null) own else b._1)
+          }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before the parent retires
       labels.unpersist(blocking = false) // eager: round 0 is a no-op
       labels = next
