@@ -31,6 +31,13 @@ object SparkEntry {
     d.toString
   }
 
+  /** Same per-JVM reuse for the q_ivf_opq gate's store. */
+  private lazy val ivfOpqGateDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfopq-gate")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -1516,6 +1523,40 @@ object SparkEntry {
           .select(col("vec_id").as("id"), col("adc_dist"))
           .localCheckpoint(true)) // the temp store may be reclaimed later
     }),
+    // IVF-OPQ round-trip (train rotation → rotate corpus → encode →
+    // store → load rotation → rotate query → ADC candidates → exact
+    // rescore), oracle-gated: the m=1 full-codebook degenerate store
+    // makes rotated-space ADC ≈ exact L2 up to float-rotation error
+    // (~1e-6 relative — R is float32-orthogonal), so the ADC top-50
+    // candidate set certainly covers the true top-10; the final rank
+    // and the compared distances come from an EXACT original-space
+    // rescore (keepVectors=true), which plain SQL replays. The serving
+    // pattern itself — ANN candidates then exact rescore — is the real
+    // production shape, now under the oracle end-to-end.
+    "q_ivf_opq" -> ((spark, dir) => {
+      init(spark, dir)
+      val emb = spark.table("embeddings").where(col("vec_id") < 200)
+      val path = ivfOpqGateDir
+      operators.Ivf.writeIndexedOpq(emb, "vec_id", "embedding", path,
+        pqM = 1, pqK = 256, k = 4, maxIter = 2, pqIters = 1, opqIters = 1,
+        keepVectors = true)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val cand = operators.Ivf.topKPq(spark, path, "vec_id", q, n = 50,
+        nprobe = 4).select(col("vec_id"))
+      val qcol = typedLit(q.toSeq)
+      val exactDist = aggregate(
+        zip_with(col("embedding"), qcol, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      operators.Dedup.trackResult(
+        cand.join(emb, "vec_id")
+          .select(col("vec_id").as("id"), round(exactDist, 6).as("l2_dist"))
+          .orderBy(col("l2_dist"), col("id"))
+          .limit(10)
+          .localCheckpoint(true))
+    }),
     // SemDeDup (Abbas et al. 2023): semantic dedup over the embedding
     // corpus — k-means clusters, within-cluster cosine collapse, keep
     // the most-peripheral member. Planted duplicates (the q_embed_dedup
@@ -2740,6 +2781,18 @@ object SparkEntry {
         |            FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id < 200
         |ORDER BY adc_dist, id LIMIT 10""".stripMargin,
+    // IVF-OPQ: the exact-rescore top-10 — identical arithmetic to the
+    // q_ivf_pq replay; the OPQ store only has to SELECT a candidate
+    // superset, which the degenerate-exact ADC guarantees
+    "q_ivf_opq" ->
+      """SELECT e.vec_id AS id,
+        |       round(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+        |             (x, i) -> (x - q.emb[i]) * (x - q.emb[i]))), 6) AS l2_dist
+        |FROM embeddings e
+        |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id < 200
+        |ORDER BY l2_dist, id LIMIT 10""".stripMargin,
     // Brute-force top-10 over the planted-neighbor corpus — equals the LSH
     // result because every true top-10 member is a planted near-copy of the
     // query (cosine ≥ 0.9998) whose bucket lies within one probe of the

@@ -173,17 +173,21 @@ object Graphs {
     * (crawl-frontier depth, contamination blast radius from a seed set,
     * link-distance features).
     *
-    * Scale shape — the [[pageRank]] loop skeleton: edges hash-partition
-    * ONCE and persist; each round is a co-partitioned (narrow on the
-    * edge side) join of the frontier against the adjacency, a
+    * Scale shape — the [[pageRank]] loop skeleton, tightened (round 12)
+    * to ONE adjacency shuffle at build (dedup and src-routing share a
+    * single `reduceByKey`; the undirected doubling rides the one edge
+    * scan) and per round: a narrow `zipPartitions` frontier expansion
+    * (frontier partition i covers every src of adjacency partition i by
+    * construction — a per-partition hash set replaces the pair join), a
     * map-side-combined `reduceByKey` dedup of the new reach set (≤ |V|
-    * rows), and a narrow `leftOuterJoin` against the visited set to
-    * drop already-settled nodes — a node enters the frontier at its
-    * FIRST (= minimal) hop count and never again, so rounds shrink as
-    * the frontier saturates. Per round one `isEmpty()` driver check
-    * stops early on frontier exhaustion; all state is `(node, dist)`
-    * pairs, nothing driver-sized. Oracle-reproducible: DuckDB replays
-    * it as a `WITH RECURSIVE` walk capped at `maxHops` + `min(dist)`.
+    * rows — the round's only shuffle), and a narrow `leftOuterJoin`
+    * against the visited set to drop already-settled nodes — a node
+    * enters the frontier at its FIRST (= minimal) hop count and never
+    * again, so rounds shrink as the frontier saturates. Per round one
+    * `isEmpty()` driver check stops early on frontier exhaustion; all
+    * state is `(node, dist)` pairs, nothing driver-sized.
+    * Oracle-reproducible: DuckDB replays it as a `WITH RECURSIVE` walk
+    * capped at `maxHops` + `min(dist)`.
     */
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
           sources: DataFrame, nodeCol: String, maxHops: Int,
@@ -196,20 +200,25 @@ object Graphs {
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    // adjacency keyed by src, deduped (parallel edges add nothing to
-    // reachability), fixed-partitioned once for every round's narrow
-    // join. Undirected doubling happens INSIDE the one RDD scan — a
-    // DataFrame self-union would evaluate the (possibly expensive)
-    // upstream edge derivation twice, since Spark does not dedupe
-    // common subplans across union branches.
+    // routes a (String, String) edge key by its SRC component's `part`
+    // partition, so adjacency partition i holds exactly the out-edges
+    // of the nodes `part` sends to partition i
+    val bySrc = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = part.numPartitions
+      override def getPartition(key: Any): Int =
+        part.getPartition(key.asInstanceOf[(String, String)]._1)
+    }
+    // adjacency deduped (parallel edges add nothing to reachability) and
+    // src-routed in ONE shuffle. Undirected doubling happens INSIDE the
+    // one RDD scan — a DataFrame self-union would evaluate the (possibly
+    // expensive) upstream edge derivation twice, since Spark does not
+    // dedupe common subplans across union branches.
     val adj = fwd.rdd.flatMap { r =>
         val s = r.getString(0); val d = r.getString(1)
         if (undirected) Iterator(((s, d), ()), ((d, s), ()))
         else Iterator(((s, d), ()))
       }
-      .reduceByKey((a, _) => a)
-      .map { case ((s, d), _) => (s, d) }
-      .partitionBy(part)
+      .reduceByKey(bySrc, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var visited: org.apache.spark.rdd.RDD[(String, Int)] = sources
@@ -224,8 +233,15 @@ object Graphs {
     while (!done) {
       hop += 1
       val d = hop // fix the closure's capture per round
-      val next = adj.join(frontier) // co-partitioned: narrow
-        .map { case (_, (dst, _)) => (dst, d) }
+      // narrow frontier expansion: frontier partition i holds exactly
+      // the nodes whose out-edges live in adjacency partition i
+      val next = frontier.zipPartitions(adj) { (fit, eit) =>
+          val f = new java.util.HashSet[String]()
+          fit.foreach { case (n, _) => f.add(n) }
+          eit.flatMap { case ((s, dst), _) =>
+            if (f.contains(s)) Iterator((dst, d)) else Iterator.empty
+          }
+        }
         .reduceByKey(part, (a, _) => a) // map-side combine; keeps `part`
         .leftOuterJoin(visited) // both on `part`: narrow
         .filter { case (_, (_, seen)) => seen.isEmpty }
@@ -273,10 +289,13 @@ object Graphs {
     * counts: each round relaxes every edge out of the CHANGED set only
     * (frontier discipline — a node re-enters the frontier only when its
     * distance improves, so rounds shrink as distances settle), one
-    * narrow adjacency⋈frontier join + a min-combining `reduceByKey` +
-    * a narrow merge against the settled map, early exit when a round
-    * improves nothing. maxIter bounds worst-case chains (|V|-1 is the
-    * exact bound; real link graphs settle in tens of rounds).
+    * narrow `zipPartitions` relaxation (frontier partition i covers
+    * every src of adjacency partition i) + a min-combining
+    * `reduceByKey` — the round's only shuffle — + a narrow merge
+    * against the settled map, early exit when a round improves nothing.
+    * The adjacency dedups-to-min and src-routes in ONE build shuffle.
+    * maxIter bounds worst-case chains (|V|-1 is the exact bound; real
+    * link graphs settle in tens of rounds).
     *
     * No SQL oracle BY DESIGN: a weighted recursive-CTE replay
     * enumerates (node, pathWeight) pairs — combinatorial on dense
@@ -298,10 +317,18 @@ object Graphs {
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
+    // routes a (String, String) edge key by its SRC component's `part`
+    // partition (the [[bfs]] co-location contract)
+    val bySrc = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = part.numPartitions
+      override def getPartition(key: Any): Int =
+        part.getPartition(key.asInstanceOf[(String, String)]._1)
+    }
     // parallel edges collapse to their MINIMUM weight (the only one a
-    // shortest path can use); the positivity check and the undirected
-    // doubling ride the same single pass (a self-union would re-run the
-    // upstream edge derivation — common subplans don't dedupe)
+    // shortest path can use) AND src-route in one shuffle; the
+    // positivity check and the undirected doubling ride the same single
+    // pass (a self-union would re-run the upstream edge derivation —
+    // common subplans don't dedupe)
     val adj = fwd.rdd.flatMap { r =>
       val w = r.getDouble(2)
       require(w > 0.0 && !w.isNaN,
@@ -309,9 +336,7 @@ object Graphs {
       val s = r.getString(0); val d = r.getString(1)
       if (undirected) Iterator(((s, d), w), ((d, s), w))
       else Iterator(((s, d), w))
-    }.reduceByKey(math.min(_: Double, _: Double))
-      .map { case ((s, d), w) => (s, (d, w)) }
-      .partitionBy(part)
+    }.reduceByKey(bySrc, math.min(_: Double, _: Double))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var dist: org.apache.spark.rdd.RDD[(String, Double)] = sources
@@ -325,8 +350,18 @@ object Graphs {
     var done = maxIter == 0
     while (!done) {
       hop += 1
-      val relaxed = adj.join(frontier) // co-partitioned: narrow
-        .map { case (_, ((d, w), dv)) => (d, dv + w) }
+      // narrow relaxation: frontier partition i covers every src of
+      // adjacency partition i (both routed by part(src))
+      val relaxed = frontier.zipPartitions(adj) { (fit, eit) =>
+          // boxed values: a missing key must surface as null, not unbox
+          val f = new java.util.HashMap[String, java.lang.Double]()
+          fit.foreach { case (n, dv) => f.put(n, dv) }
+          eit.flatMap { case ((s, d), w) =>
+            val dv = f.get(s)
+            if (dv ne null) Iterator((d, dv.doubleValue + w))
+            else Iterator.empty
+          }
+        }
         .reduceByKey(part, math.min(_: Double, _: Double)) // map-side combined
       // merge candidates against settled distances; carry an improved
       // flag so the round's frontier and the stop check share one pass

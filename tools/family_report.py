@@ -12,12 +12,12 @@ FAMILIES = [
     ("spatial agg/join", r"^q_(spatial_join|knn_spatial|dbscan)"),
     ("document sources", r"^q_(xml|geojson_dsv2|geojson_export|geojson_v2write|geojson_topn|geojson_couch|geojson_mongo|warc)"),
     ("dedup", r"^q_(dedup_|embed_dedup|containment_join|fuzzy_join|semdedup|dup_spans|paragraph_dedup|decontaminate|ngram_jaccard)"),
-    ("ANN/vectors", r"^q_(ann_|knn_join|embed_quantize|ivf_pq)"),
+    ("ANN/vectors", r"^q_(ann_|knn_join|embed_quantize|ivf_pq|ivf_opq)"),
     ("text kernels", r"^q_(lang_id|text_|quality_|lm_score|repetition|redact|html|url_|bpe|token_|bigrams|tfidf|fingerprint|dsir|ccnet)"),
     ("sampling/stats", r"^q_(sample|docmix|split|stratified|weighted|quantile|hist|profile|row_ids|pack|chunk|stats_)"),
     ("sketches", r"^q_(heavy_hitters|distinct_sketch|cms|hll|sketch_rollup)"),
-    ("joins/layout", r"^q_(asof|range_join|interval_join|skew_join|topk_per_group|snapshot_diff|zorder|bucketed_join|merge_upsert|gap_fill|scd2)"),
-    ("graphs/retrieval", r"^q_(pagerank|triangles|bm25|rrf|graph_bfs|label_prop)"),
+    ("joins/layout", r"^q_(asof|range_join|interval_join|skew_join|topk_per_group|snapshot_diff|zorder|bucketed_join|merge_upsert|gap_fill|scd2|upsert_stream_parity)"),
+    ("graphs/retrieval", r"^q_(pagerank|triangles|bm25|rrf|graph_bfs|label_prop|shortest_paths)"),
     ("multimodal", r"^q_(multimodal|video_meta)"),
     ("events/streaming", r"^q_(events|funnel|sessionize|retention)"),
 ]
