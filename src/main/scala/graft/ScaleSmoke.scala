@@ -171,6 +171,65 @@ object ScaleSmoke {
       }
     }
 
+    // Weighted shortest paths at the same 5M-edge graph scale: chain
+    // weights are deterministic, every node's distance from its chain
+    // head is an exact integer sum — verifies the Bellman-Ford loop's
+    // frontier discipline AND its answer at 5M edges. Sources = every
+    // chain head; 12 rounds reach depth 12 of each 1000-chain (the
+    // frontier is 5k × active-depth rows — rounds stay cheap).
+    time("shortestPaths 5M-edge graph (5k chains x 1000, 12 rounds)") {
+      val pairs = spark.range(5000000L)
+        .where(pmod(col("id"), lit(1000)) =!= 999)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"),
+          (pmod(col("id"), lit(7)) + 1).cast("double").as("w"))
+      val sources = spark.range(5000L).select((col("id") * 1000L).as("node"))
+      val dist = operators.Graphs.shortestPaths(pairs, "src", "dst", "w",
+        sources, "node", maxIter = 12)
+      // node h + k (k <= 12) sits at dist = sum of w over the k chain
+      // edges before it — replayable as a closed form per node
+      val bad = dist
+        .select(col("node").cast("long").as("n"), col("dist"))
+        .withColumn("k", pmod(col("n"), lit(1000L)))
+        // k = 0 (a chain head) must be 0.0 — sequence(n, n-1) would
+        // DESCEND in Spark, not come back empty
+        .withColumn("want", expr(
+          "IF(k = 0, CAST(0.0 AS DOUBLE), " +
+            "aggregate(sequence(n - k, n - 1), CAST(0.0 AS DOUBLE), " +
+            "(acc, i) -> acc + CAST(pmod(i, 7) + 1 AS DOUBLE)))"))
+        .where(col("dist") =!= col("want")).count()
+      val n = dist.count()
+      operators.Dedup.releaseFrame(dist)
+      if (bad != 0L) throw new AssertionError(s"$bad wrong distances")
+      s"$n nodes reached (5k chains x depth 12 + heads), all distances exact"
+    }
+
+    // Label propagation at 3M edges of planted triangles: after round 1
+    // each triangle {3k, 3k+1, 3k+2} carries labels (3k+1, 3k, 3k) (ties
+    // break to the min label), and round 2 collapses all three to 3k —
+    // a closed-form invariant at scale, no brute-force reference needed.
+    // (A 2-clique graph would NOT work: synchronous LPA oscillates on
+    // bipartite structure — pairs swap labels every round.)
+    // Node ids zero-pad to 7 digits: labels are STRINGS and the min-label
+    // tiebreak is string order, so "1000000" < "999999" would flip the
+    // min inside the 6 triangles that straddle a power of ten (measured:
+    // exactly 18 nodes off with raw ids) — padding makes string order =
+    // numeric order, keeping the closed-form invariant exact.
+    time("labelPropagation 3M-edge triangle graph, 2 rounds") {
+      val base = spark.range(1000000L).select((col("id") * 3).as("a"))
+      def pad(c: org.apache.spark.sql.Column) = format_string("%07d", c)
+      val pairs = base.select(pad(col("a")).as("src"), pad(col("a") + 1).as("dst"))
+        .union(base.select(pad(col("a") + 1).as("src"), pad(col("a") + 2).as("dst")))
+        .union(base.select(pad(col("a")).as("src"), pad(col("a") + 2).as("dst")))
+      val labels = operators.Graphs.labelPropagation(pairs, "src", "dst", rounds = 2)
+      val bad = labels
+        .select(col("node").cast("long").as("n"), col("label").cast("long").as("l"))
+        .where(col("l") =!= col("n") - pmod(col("n"), lit(3L))).count()
+      val n = labels.count()
+      operators.Dedup.releaseFrame(labels)
+      if (bad != 0L) throw new AssertionError(s"$bad wrong labels")
+      s"$n nodes labeled, every triangle collapsed to its min member"
+    }
+
     // Distributed kNN join (large-Q path): 5k queries against a 20k-vector corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")

@@ -2041,6 +2041,28 @@ object SparkEntry {
       Layout.mergeChanges(spark.table("documents"), changes, "doc_id",
         "seq", "op", Seq("text", "lang"))
     }),
+    // Small-file compaction identity: the documents table writes
+    // FRAGMENTED (16 writer tasks × 4 partition dirs ≈ 64 small files),
+    // Layout.compact merges each leaf dir independently (no global
+    // shuffle — coalesce per directory), and the compacted table must
+    // hash-equal the plain source INCLUDING the partition column — the
+    // oracle proves compaction changes layout, never content.
+    // Cold-cost-by-design: the fragmented write + compaction run inside
+    // the gate.
+    "q_compact" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-compact-gate").toString + "/t"
+      spark.table("documents").select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("p", (col("doc_id") % 4).cast("int"))
+        .repartition(16)
+        .write.mode("overwrite").partitionBy("p").parquet(path)
+      val stats = operators.Layout.compact(spark, path, parallelism = 4)
+      require(stats.dirsCompacted == 4 && stats.filesAfter < stats.filesBefore,
+        s"compaction did not run: $stats")
+      spark.read.parquet(path)
+        .select(col("doc_id"), col("text"), col("lang"), col("p"))
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 16 buckets) must land on the same snapshot the
@@ -3283,6 +3305,10 @@ object SparkEntry {
         |       CASE WHEN win.op IS NOT NULL THEN win.lang ELSE s.lang END AS lang
         |FROM documents s FULL OUTER JOIN win ON s.doc_id = win.doc_id
         |WHERE win.op IS NULL OR win.op <> 'D'""".stripMargin,
+    // compaction identity: the compacted read must equal the source
+    "q_compact" ->
+      """SELECT doc_id, text, lang, CAST(doc_id % 4 AS INTEGER) AS p
+        |FROM documents""".stripMargin,
     // CDC stream parity: the three micro-batches folded declaratively —
     // per batch, winner per key by the same (seq, op, payloads) DESC
     // NULLS LAST order, applied by full-outer join onto the prior state

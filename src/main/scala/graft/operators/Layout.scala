@@ -75,6 +75,110 @@ object Layout {
     parted.sortWithinPartitions(col(zc)).drop(zc)
   }
 
+  /** Result of one [[compact]] pass. */
+  final case class CompactStats(dirsScanned: Int, dirsCompacted: Int,
+                                filesBefore: Long, filesAfter: Long,
+                                bytes: Long)
+
+  /** Small-file compaction for a parquet directory tree (optionally
+    * Hive-partitioned) — the operational primitive every long-lived
+    * 100 TB table needs: streaming sinks, CDC appliers, and per-batch
+    * writers leave thousands of KB-sized files per partition, and scan
+    * cost degrades to task-per-file long before data size matters.
+    *
+    * Mechanics: walk the tree for LEAF directories holding data files
+    * (`_`/`.`-prefixed sidecars like `_graft_centroids` or `_SUCCESS`
+    * are skipped, per the Spark convention); a directory whose files
+    * already average ≥ `targetBytes / 2` or number ≤ 1 is left alone;
+    * each remaining directory compacts INDEPENDENTLY — read that
+    * directory only, `coalesce(ceil(dirBytes / targetBytes))` (a narrow
+    * repartition-down: no shuffle, no sort), write to a staging subdir,
+    * then swap (delete originals, move staged files in). Content is
+    * preserved as a multiset — row order inside files may change, and
+    * partition values stay encoded in the directory path, so readers of
+    * the partitioned table see identical data (`q_compact` hash-proves
+    * this against the uncompacted source).
+    *
+    * Scale shape: NO global shuffle and no whole-table job — compaction
+    * cost is proportional to the bytes in the directories that actually
+    * need it, and directories compact in parallel (`parallelism`
+    * concurrent per-directory jobs; each job's task count is the file
+    * count it reads). The swap is not transactional (this operator
+    * targets PLAIN directory tables — a concurrent reader mid-swap can
+    * see a directory's rows doubled or missing; run it in a maintenance
+    * window, or use the manifest-swapped [[graft.streaming.UpsertSink]]
+    * layout when readers must never block). Crash mid-swap leaves
+    * either the originals plus a `.graft_compact_tmp` staging dir (a
+    * re-run finishes the job; readers ignore the dot-dir) or the
+    * compacted files alone — never a state that loses rows committed
+    * before the pass.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              parallelism: Int = 4): CompactStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    require(fs.exists(root), s"no directory at $path")
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+
+    // leaf dirs that directly hold visible data files
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[
+      (org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])]
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(dir).filterNot(e => hidden(e.getPath.getName))
+      val files = entries.filter(_.isFile)
+      if (files.nonEmpty) leaves += ((dir, files))
+      entries.filter(_.isDirectory).foreach(e => walk(e.getPath))
+    }
+    walk(root)
+
+    val todo = leaves.filter { case (_, files) =>
+      files.length > 1 && files.map(_.getLen).sum / files.length < targetBytes / 2
+    }.toSeq
+
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = todo.map { case (dir, files) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val bytes = files.map(_.getLen).sum
+            val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+            val staging = new org.apache.hadoop.fs.Path(dir, ".graft_compact_tmp")
+            val dfs = dir.getFileSystem(hconf)
+            if (dfs.exists(staging)) dfs.delete(staging, true) // stale re-run
+            spark.read.parquet(dir.toString)
+              .coalesce(k) // narrow: merge partitions, no shuffle
+              .write.mode("overwrite").parquet(staging.toString)
+            val staged = dfs.listStatus(staging)
+              .filter(e => e.isFile && !hidden(e.getPath.getName))
+            // swap: originals out, staged in (see the crash-window note)
+            files.foreach(f => dfs.delete(f.getPath, false))
+            staged.zipWithIndex.foreach { case (e, i) =>
+              dfs.rename(e.getPath,
+                new org.apache.hadoop.fs.Path(dir, s"graft-compact-$i.parquet"))
+            }
+            dfs.delete(staging, true)
+            results.add((files.length.toLong, staged.length.toLong, bytes))
+          }
+        })
+      }
+      futures.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
+
+    import scala.jdk.CollectionConverters._
+    val done = results.asScala.toSeq
+    CompactStats(
+      dirsScanned = leaves.length,
+      dirsCompacted = done.length,
+      filesBefore = done.map(_._1).sum,
+      filesAfter = done.map(_._2).sum,
+      bytes = done.map(_._3).sum)
+  }
+
   /** Bucketed (hash-clustered) table layout — the CO-LOCATED JOIN
     * primitive the 100 TB design leans on: two tables written with the
     * same bucket count on their join key hash-route matching keys to

@@ -167,6 +167,57 @@ class LayoutSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"winner selection planned a window:\n$plan")
   }
 
+  test("compact merges small files per leaf dir, preserves content and pruning") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, (i % 4).toInt, s"v$i")).toDF("id", "p", "v")
+    df.repartition(25).write.partitionBy("p").parquet(base) // ~25 frags per dir
+    val before = spark.read.parquet(base)
+      .select("id", "p", "v").as[(Long, Int, String)].collect().sorted.toSeq
+
+    val stats = Layout.compact(spark, base, parallelism = 2)
+    assert(stats.dirsScanned == 4 && stats.dirsCompacted == 4, stats.toString)
+    assert(stats.filesBefore > stats.filesAfter && stats.filesAfter == 4,
+      stats.toString) // tiny dirs → exactly one file each
+    val after = spark.read.parquet(base)
+    assert(after.select("id", "p", "v").as[(Long, Int, String)]
+      .collect().sorted.toSeq === before)
+    // the partitioned layout still prunes at the file listing
+    val plan = after.where($"p" === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p"), plan)
+    // a healthy table (1 file per dir now) is left alone
+    val stats2 = Layout.compact(spark, base)
+    assert(stats2.dirsScanned == 4 && stats2.dirsCompacted == 0)
+    // dirs whose files already average >= targetBytes/2 are skipped too
+    val statsTiny = Layout.compact(spark, base, targetBytes = 2)
+    assert(statsTiny.dirsCompacted == 0)
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, base, targetBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, base + "/definitely-missing")
+    }
+  }
+
+  test("compact ignores sidecar dirs and recovers from a stale staging dir") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .repartition(4).write.parquet(base)
+    // a sidecar dir (the _graft_centroids convention) must not be touched
+    val side = new java.io.File(base, "_graft_side"); side.mkdirs()
+    val marker = new java.io.File(side, "keep.txt")
+    java.nio.file.Files.write(marker.toPath, "x".getBytes)
+    // a stale staging dir from a crashed pass must not poison the re-run
+    val stale = new java.io.File(base, ".graft_compact_tmp"); stale.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stale, "junk").toPath, "y".getBytes)
+
+    val stats = Layout.compact(spark, base)
+    assert(stats.dirsCompacted == 1 && stats.filesAfter == 1)
+    assert(marker.exists, "sidecar dir was touched")
+    assert(!stale.exists, "stale staging dir should be cleaned by the pass")
+    assert(spark.read.parquet(base).as[(Long, String)].collect().sorted.toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("mergeChanges rejects a NULL op loudly instead of mangling it") {
     val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     // NULL op on an existing key AND on a new key — both malformed

@@ -118,6 +118,34 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(snap(path) === Seq((1L, "b")))
   }
 
+  test("crash window: a written-but-uncommitted delta leaves the snapshot " +
+      "intact and the replayed batch completes exactly-once") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a"), (2L, 1L, "I", "b")), 0))
+    val m0 = UpsertSink.readManifest(path).get
+
+    // simulate the crash: batch 1's delta dir exists on disk (the
+    // foreachBatch died after the parquet write, before writeManifest) —
+    // hand-write a delta that would update key 1
+    val fakeDelta = java.nio.file.Paths.get(path, "delta", "b1", "__bucket=0")
+    java.nio.file.Files.createDirectories(fakeDelta.getParent)
+    Seq((1L, "CRASHED")).toDF("id", "v").write.parquet(fakeDelta.toString)
+
+    // readers only follow the manifest: the orphan delta is invisible
+    assert(UpsertSink.readManifest(path).get == m0)
+    assert(snap(path) === Seq((1L, "a"), (2L, "b")))
+
+    // the stream replays batch 1 (same batchId, the REAL changes): the
+    // apply overwrites the orphan dir (mode=overwrite per batch dir) and
+    // commits the manifest — exactly-once across the crash
+    assert(apply(path, Seq((1L, 2L, "U", "a2")), 1))
+    assert(snap(path) === Seq((1L, "a2"), (2L, "b")))
+    assert(UpsertSink.readManifest(path).get.batchId == 1)
+    // and a second replay of the same id is skipped
+    assert(!apply(path, Seq((1L, 9L, "U", "XXX")), 1))
+    assert(snap(path) === Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("end-to-end: foreachBatch stream maintains the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
