@@ -150,7 +150,11 @@ object Layout {
             val staging = new org.apache.hadoop.fs.Path(dir, ".graft_compact_tmp")
             val dfs = dir.getFileSystem(hconf)
             if (dfs.exists(staging)) dfs.delete(staging, true) // stale re-run
-            spark.read.parquet(dir.toString)
+            // read the EXPLICIT file list, not the directory: a dir read
+            // recurses into partition subdirectories, which would absorb
+            // a child partition's rows into the parent and then duplicate
+            // them when only the parent's files are swapped out
+            spark.read.parquet(files.map(_.getPath.toString): _*)
               .coalesce(k) // narrow: merge partitions, no shuffle
               .write.mode("overwrite").parquet(staging.toString)
             val staged = dfs.listStatus(staging)

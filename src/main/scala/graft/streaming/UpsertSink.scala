@@ -186,7 +186,12 @@ object UpsertSink {
           key, seqCol, opCol, payloadCols)
         .withColumn(BucketCol, bucketOf)
       val deltaDir = s"delta/b$batchId"
-      merged.write.mode("overwrite").partitionBy(BucketCol)
+      // co-locate each bucket in one task before partitionBy: without
+      // this every write task emits a file into every bucket dir
+      // (tasks × buckets small files — the scan-side death of the
+      // layout; the Ivf.writeIndexed precedent)
+      merged.repartition(col(BucketCol))
+        .write.mode("overwrite").partitionBy(BucketCol)
         .parquet(s"$path/$deltaDir")
 
       // a merge can delete a bucket EMPTY: partitionBy writes no dir for
@@ -198,6 +203,61 @@ object UpsertSink {
       writeManifest(path, Manifest(batchId, numBuckets, key, ddl, next))
       true
     } finally graft.operators.Dedup.releaseFrame(batch)
+  }
+
+  /** Reclaims storage the snapshot no longer references: delta
+    * directories whose buckets all point elsewhere in the CURRENT
+    * manifest, and manifest files older than the current one. The
+    * atomic `_CURRENT` swap is what makes superseded deltas safe to
+    * keep for in-flight readers — and this is the documented external
+    * cleanup that eventually drops them. Returns
+    * `(deltaDirsRemoved, manifestsRemoved)`.
+    *
+    * Safety: only ever deletes under `path/delta` and `path/_manifest`;
+    * the current manifest and every delta dir it references survive by
+    * construction. Run it when no reader can still hold a pre-swap
+    * manifest (readers resolve `_CURRENT` at open; a grace window of
+    * one query lifetime suffices). Idempotent — a second call finds
+    * nothing. */
+  def vacuum(path: String): (Int, Int) = {
+    val m = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    val live = m.buckets.values.toSet // delta dirs the snapshot points at
+    // NIO directory streams hold an open handle until closed
+    def withListing[T](dir: java.nio.file.Path)(
+        f: Seq[java.nio.file.Path] => T): T = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        f(s.iterator().asScala.toSeq)
+      } finally s.close()
+    }
+    val deltaRoot = Paths.get(path, "delta")
+    var dirs = 0
+    if (Files.isDirectory(deltaRoot)) withListing(deltaRoot) { entries =>
+      entries.foreach { d =>
+        if (Files.isDirectory(d) && !live.contains(s"delta/${d.getFileName}")) {
+          // delete recursively, children first
+          val w = Files.walk(d)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+          finally w.close()
+          dirs += 1
+        }
+      }
+    }
+    val current = s"m${m.batchId}.json"
+    var manifests = 0
+    val mdir = manifestDir(path)
+    if (Files.isDirectory(mdir)) withListing(mdir) { entries =>
+      entries.foreach { f =>
+        if (Files.isRegularFile(f) && f.getFileName.toString != current) {
+          Files.delete(f)
+          manifests += 1
+        }
+      }
+    }
+    (dirs, manifests)
   }
 
   /** foreachBatch adapter: `changes.writeStream.foreachBatch(

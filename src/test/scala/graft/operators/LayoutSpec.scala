@@ -198,6 +198,25 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("compact: a dir holding BOTH files and partition subdirs compacts " +
+      "only its own files — child rows are neither absorbed nor duplicated") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact3").toString + "/t"
+    // parent-level fragments
+    Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("id", "v")
+      .repartition(3).write.parquet(base)
+    // a child partition dir alongside them (the mixed layout some
+    // writers leave behind)
+    Seq((10L, "c1"), (11L, "c2")).toDF("id", "v")
+      .repartition(2).write.parquet(base + "/extra=1")
+    val before = spark.read.option("basePath", base).parquet(base)
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    val stats = Layout.compact(spark, base)
+    assert(stats.dirsCompacted == 2, stats.toString) // parent AND child
+    val after = spark.read.option("basePath", base).parquet(base)
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(after === before, s"rows changed: $after vs $before")
+  }
+
   test("compact ignores sidecar dirs and recovers from a stale staging dir") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
     Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")

@@ -146,6 +146,32 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(snap(path) === Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("vacuum drops fully-superseded deltas and old manifests, nothing live") {
+    val path = tmp()
+    // b0 populates many buckets; b1 rewrites EVERY key (so delta/b0 is
+    // fully superseded); b2 touches one key
+    assert(apply(path, (1L to 40L).map(i => (i, 1L, "I", s"v$i")), 0))
+    assert(apply(path, (1L to 40L).map(i => (i, 2L, "U", s"w$i")), 1))
+    assert(apply(path, Seq((7L, 3L, "U", "W7")), 2))
+    val before = snap(path)
+    import scala.jdk.CollectionConverters._
+    val deltaRoot = java.nio.file.Paths.get(path, "delta")
+    def deltas() = java.nio.file.Files.list(deltaRoot).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(deltas() == Set("b0", "b1", "b2"))
+
+    val (dirs, manifests) = UpsertSink.vacuum(path)
+    assert(dirs == 1 && manifests == 2, s"($dirs, $manifests)") // b0; m0+m1
+    assert(deltas() == Set("b1", "b2")) // b1 still holds 7's old bucket? no —
+    // b1 holds every OTHER key's bucket; b2 holds key 7's. Both live.
+    assert(snap(path) === before)
+    // idempotent
+    assert(UpsertSink.vacuum(path) == ((0, 0)))
+    // and the sink still works after a vacuum
+    assert(apply(path, Seq((41L, 1L, "I", "new")), 3))
+    assert(snap(path).toMap.apply(41L) == "new")
+  }
+
   test("end-to-end: foreachBatch stream maintains the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
