@@ -38,6 +38,35 @@ object SparkEntry {
     d.toString
   }
 
+  /** Per-JVM dir for the q_compact gate (the fragmented write is
+    * mode=overwrite, so repeated bench passes reuse it). */
+  private lazy val compactGateDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-compact-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  /** Per-JVM dir for the q_upsert_stream_parity gate, WIPED at every
+    * invocation: the gate's batchIds restart at 0 each pass, and the
+    * sink's replay guard would (correctly) skip them against a
+    * surviving manifest — a clean slate keeps each pass the same
+    * cold-cost apply sequence without accumulating temp stores. */
+  private def upsertGateDir(): String = {
+    val d = new java.io.File(upsertGateRoot)
+    if (d.exists) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    d.mkdirs()
+    d.toString
+  }
+  private lazy val upsertGateRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-upsert-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -2051,8 +2080,7 @@ object SparkEntry {
     // the gate.
     "q_compact" -> ((spark, dir) => {
       init(spark, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-compact-gate").toString + "/t"
+      val path = compactGateDir
       spark.table("documents").select(col("doc_id"), col("text"), col("lang"))
         .withColumn("p", (col("doc_id") % 4).cast("int"))
         .repartition(16)
@@ -2073,8 +2101,7 @@ object SparkEntry {
     // pass builds a fresh snapshot table in a temp dir.
     "q_upsert_stream_parity" -> ((spark, dir) => {
       init(spark, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-upsert-gate").toString
+      val path = upsertGateDir()
       val b0 = spark.sql(
         """SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
           |FROM documents WHERE doc_id % 2 = 0""".stripMargin)

@@ -16,6 +16,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** Routes a `(String, String)` key by its FIRST component's partition
+    * under `base` — how the iterative operators co-locate a node's
+    * edges ([[bfs]]/[[shortestPaths]]) or per-node counts
+    * ([[labelPropagation]]) with that node's state partition, making
+    * the per-round zipPartitions merges narrow by construction. */
+  private def byFirstOf(base: org.apache.spark.Partitioner): org.apache.spark.Partitioner =
+    new org.apache.spark.Partitioner {
+      override def numPartitions: Int = base.numPartitions
+      override def getPartition(key: Any): Int =
+        base.getPartition(key.asInstanceOf[(String, String)]._1)
+    }
+
   /** Weighted PageRank by `iterations` rounds of power iteration:
     *
     *   r₀(v)    = 1/N
@@ -200,14 +212,7 @@ object Graphs {
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    // routes a (String, String) edge key by its SRC component's `part`
-    // partition, so adjacency partition i holds exactly the out-edges
-    // of the nodes `part` sends to partition i
-    val bySrc = new org.apache.spark.Partitioner {
-      override def numPartitions: Int = part.numPartitions
-      override def getPartition(key: Any): Int =
-        part.getPartition(key.asInstanceOf[(String, String)]._1)
-    }
+    val bySrc = byFirstOf(part)
     // adjacency deduped (parallel edges add nothing to reachability) and
     // src-routed in ONE shuffle. Undirected doubling happens INSIDE the
     // one RDD scan — a DataFrame self-union would evaluate the (possibly
@@ -317,13 +322,7 @@ object Graphs {
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    // routes a (String, String) edge key by its SRC component's `part`
-    // partition (the [[bfs]] co-location contract)
-    val bySrc = new org.apache.spark.Partitioner {
-      override def numPartitions: Int = part.numPartitions
-      override def getPartition(key: Any): Int =
-        part.getPartition(key.asInstanceOf[(String, String)]._1)
-    }
+    val bySrc = byFirstOf(part)
     // parallel edges collapse to their MINIMUM weight (the only one a
     // shortest path can use) AND src-route in one shuffle; the
     // positivity check and the undirected doubling ride the same single
@@ -443,14 +442,9 @@ object Graphs {
 
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    // routes a (String, String) key by its FIRST component's `part`
-    // partition — used for edges (by src) and counts (by node), so all
-    // per-node state of partition i co-locates with labels partition i
-    val byFirst = new org.apache.spark.Partitioner {
-      override def numPartitions: Int = part.numPartitions
-      override def getPartition(key: Any): Int =
-        part.getPartition(key.asInstanceOf[(String, String)]._1)
-    }
+    // used for edges (by src) and counts (by node), so all per-node
+    // state of partition i co-locates with labels partition i
+    val byFirst = byFirstOf(part)
     // dedup + src-route in ONE shuffle (a follow-up partitionBy would
     // re-shuffle the whole adjacency for nothing), with the undirected
     // doubling inside the same single scan (a self-union would run the

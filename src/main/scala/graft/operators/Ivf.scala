@@ -199,14 +199,24 @@ object Ivf {
       trainSampleSize, maxPartitionRows,
       dropCols = if (keepVectors) Nil else Seq(vecCol),
       metric = metric)
+    writePqSidecar(spark, path, pq, rotation = None)
+    pq
+  }
+
+  /** ONE sidecar serialization for both PQ writers: codebook rows
+    * (s ≥ 0) plus, for OPQ stores, the rotation rows (s = -1) — a
+    * schema change here reaches every store the same way. */
+  private def writePqSidecar(spark: SparkSession, path: String, pq: Pq.Model,
+                             rotation: Option[Array[Array[Float]]]): Unit = {
     import spark.implicits._
-    val rows = for {
+    val bookRows = for {
       s <- pq.codebooks.indices
       c <- pq.codebooks(s).indices
     } yield (s, c, pq.codebooks(s)(c).toSeq, pq.dim, pq.m)
-    rows.toDF("s", "c", "centroid", "dim", "m")
+    val rotRows = rotation.toSeq.flatMap(r =>
+      r.indices.map(i => (-1, i, r(i).toSeq, pq.dim, pq.m)))
+    (bookRows ++ rotRows).toDF("s", "c", "centroid", "dim", "m")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$PqDir")
-    pq
   }
 
   /** IVF-OPQ-PQ (FAISS's `OPQn,IVFk,PQm` recipe): like [[writeIndexedPq]]
@@ -248,16 +258,7 @@ object Ivf {
       trainSampleSize, maxPartitionRows,
       dropCols = if (keepVectors) Seq(rotVec) else Seq(rotVec, vecCol),
       metric = "l2")
-    import spark.implicits._
-    val pq = opq.pq
-    val bookRows = for {
-      s <- pq.codebooks.indices
-      c <- pq.codebooks(s).indices
-    } yield (s, c, pq.codebooks(s)(c).toSeq, pq.dim, pq.m)
-    val rotRows = opq.rotation.indices.map(i =>
-      (-1, i, opq.rotation(i).toSeq, pq.dim, pq.m))
-    (bookRows ++ rotRows).toDF("s", "c", "centroid", "dim", "m")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/$PqDir")
+    writePqSidecar(spark, path, opq.pq, rotation = Some(opq.rotation))
     opq
   }
 

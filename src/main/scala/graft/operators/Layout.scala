@@ -103,15 +103,25 @@ object Layout {
     * cost is proportional to the bytes in the directories that actually
     * need it, and directories compact in parallel (`parallelism`
     * concurrent per-directory jobs; each job's task count is the file
-    * count it reads). The swap is not transactional (this operator
-    * targets PLAIN directory tables — a concurrent reader mid-swap can
-    * see a directory's rows doubled or missing; run it in a maintenance
-    * window, or use the manifest-swapped [[graft.streaming.UpsertSink]]
-    * layout when readers must never block). Crash mid-swap leaves
-    * either the originals plus a `.graft_compact_tmp` staging dir (a
-    * re-run finishes the job; readers ignore the dot-dir) or the
-    * compacted files alone — never a state that loses rows committed
-    * before the pass.
+    * count it reads).
+    *
+    * Crash safety — a write-ahead marker makes the swap RE-RUNNABLE
+    * without ever losing committed rows (readers can still transiently
+    * see a directory's rows doubled mid-swap; run in a maintenance
+    * window, or use the manifest-swapped
+    * [[graft.streaming.UpsertSink]] layout when readers must never
+    * block):
+    *   1. staged files write under `.graft_compact_tmp` (invisible);
+    *   2. a `.graft_compact_swap` marker records the delete set and a
+    *      rename nonce — nothing visible has changed before this point,
+    *      so a crash pre-marker just discards the staging dir;
+    *   3. staged files rename IN (nonce-unique names — no collision
+    *      with any original or a previous pass's output), THEN the
+    *      recorded originals delete, then marker + staging clean up.
+    * Every delete/rename return value is checked (Hadoop FileSystem
+    * signals failure by returning false, not throwing). A re-run (or
+    * the next [[compact]] call) finds the marker and idempotently
+    * completes step 3 — renames and deletes skip what already happened.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20,
@@ -122,22 +132,35 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
     require(fs.exists(root), s"no directory at $path")
-    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
 
-    // leaf dirs that directly hold visible data files
-    val leaves = scala.collection.mutable.ArrayBuffer.empty[
-      (org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])]
-    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
-      val entries = fs.listStatus(dir).filterNot(e => hidden(e.getPath.getName))
-      val files = entries.filter(_.isFile)
-      if (files.nonEmpty) leaves += ((dir, files))
-      entries.filter(_.isDirectory).foreach(e => walk(e.getPath))
+    def listLeaves(): Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])] = {
+      val leaves = scala.collection.mutable.ArrayBuffer.empty[
+        (org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])]
+      def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+        val entries = fs.listStatus(dir)
+          .filterNot(e => hiddenName(e.getPath.getName))
+        val files = entries.filter(_.isFile)
+        if (files.nonEmpty) leaves += ((dir, files))
+        entries.filter(_.isDirectory).foreach(e => walk(e.getPath))
+      }
+      walk(root)
+      leaves.toSeq
     }
-    walk(root)
 
+    // recovery pass FIRST: finish (or discard) any swap a previous crash
+    // left behind, in every directory of the tree — then list fresh
+    def walkAll(dir: org.apache.hadoop.fs.Path): Unit = {
+      recoverSwap(fs, dir)
+      fs.listStatus(dir)
+        .filter(e => e.isDirectory && !hiddenName(e.getPath.getName))
+        .foreach(e => walkAll(e.getPath))
+    }
+    walkAll(root)
+
+    val leaves = listLeaves()
     val todo = leaves.filter { case (_, files) =>
       files.length > 1 && files.map(_.getLen).sum / files.length < targetBytes / 2
-    }.toSeq
+    }
 
     val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
@@ -147,9 +170,8 @@ object Layout {
           override def call(): Unit = {
             val bytes = files.map(_.getLen).sum
             val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-            val staging = new org.apache.hadoop.fs.Path(dir, ".graft_compact_tmp")
+            val staging = new org.apache.hadoop.fs.Path(dir, CompactStaging)
             val dfs = dir.getFileSystem(hconf)
-            if (dfs.exists(staging)) dfs.delete(staging, true) // stale re-run
             // read the EXPLICIT file list, not the directory: a dir read
             // recurses into partition subdirectories, which would absorb
             // a child partition's rows into the parent and then duplicate
@@ -158,14 +180,31 @@ object Layout {
               .coalesce(k) // narrow: merge partitions, no shuffle
               .write.mode("overwrite").parquet(staging.toString)
             val staged = dfs.listStatus(staging)
-              .filter(e => e.isFile && !hidden(e.getPath.getName))
-            // swap: originals out, staged in (see the crash-window note)
-            files.foreach(f => dfs.delete(f.getPath, false))
-            staged.zipWithIndex.foreach { case (e, i) =>
-              dfs.rename(e.getPath,
-                new org.apache.hadoop.fs.Path(dir, s"graft-compact-$i.parquet"))
+              .filter(e => e.isFile && !hiddenName(e.getPath.getName))
+            // COMMIT POINT: the marker records the delete set + nonce;
+            // from here the swap completes (here or on a re-run)
+            val nonce = java.lang.Long.toHexString(System.nanoTime())
+            val marker = new org.apache.hadoop.fs.Path(dir, CompactMarker)
+            val out = dfs.create(marker, true)
+            try out.write(
+              (nonce +: files.map(_.getPath.getName).toSeq).mkString("\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            // staged IN first (nonce names cannot collide), originals out
+            staged.foreach { e =>
+              val dest = new org.apache.hadoop.fs.Path(dir,
+                s"graft-compact-$nonce-${e.getPath.getName}")
+              require(dfs.rename(e.getPath, dest),
+                s"compact: rename failed: ${e.getPath} -> $dest")
             }
-            dfs.delete(staging, true)
+            files.foreach { f =>
+              require(dfs.delete(f.getPath, false) || !dfs.exists(f.getPath),
+                s"compact: delete failed: ${f.getPath}")
+            }
+            require(dfs.delete(marker, false),
+              s"compact: marker cleanup failed: $marker")
+            require(!dfs.exists(staging) || dfs.delete(staging, true),
+              s"compact: staging cleanup failed: $staging")
             results.add((files.length.toLong, staged.length.toLong, bytes))
           }
         })
@@ -181,6 +220,59 @@ object Layout {
       filesBefore = done.map(_._1).sum,
       filesAfter = done.map(_._2).sum,
       bytes = done.map(_._3).sum)
+  }
+
+  private val CompactStaging = ".graft_compact_tmp"
+  private val CompactMarker = ".graft_compact_swap"
+  private def hiddenName(n: String): Boolean =
+    n.startsWith("_") || n.startsWith(".")
+
+  /** Finishes (marker present — the swap committed; complete it) or
+    * discards (staging without marker — nothing visible ever changed)
+    * a crashed [[compact]] swap in `dir`. Idempotent. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, CompactMarker)
+    val staging = new org.apache.hadoop.fs.Path(dir, CompactStaging)
+    if (!fs.exists(marker)) {
+      if (fs.exists(staging))
+        require(fs.delete(staging, true),
+          s"compact: stale staging cleanup failed: $staging")
+      return
+    }
+    val txt = {
+      val in = fs.open(marker)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty, s"compact: malformed swap marker $marker")
+    val nonce = lines.head
+    val originals = lines.tail
+    if (fs.exists(staging)) {
+      fs.listStatus(staging)
+        .filter(e => e.isFile && !hiddenName(e.getPath.getName))
+        .foreach { e =>
+          val dest = new org.apache.hadoop.fs.Path(dir,
+            s"graft-compact-$nonce-${e.getPath.getName}")
+          // a file already renamed by the crashed pass leaves no staged
+          // copy behind (rename is a move) — anything still staged goes in
+          require(fs.rename(e.getPath, dest),
+            s"compact: recovery rename failed: ${e.getPath} -> $dest")
+        }
+    }
+    originals.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(dir, n)
+      if (fs.exists(p))
+        require(fs.delete(p, false), s"compact: recovery delete failed: $p")
+    }
+    require(fs.delete(marker, false),
+      s"compact: recovery marker cleanup failed: $marker")
+    if (fs.exists(staging))
+      require(fs.delete(staging, true),
+        s"compact: recovery staging cleanup failed: $staging")
   }
 
   /** Bucketed (hash-clustered) table layout — the CO-LOCATED JOIN

@@ -50,9 +50,17 @@ object UpsertSink {
     * differently) — so a later caller passing a different bucket
     * count or key type would probe/rewrite the WRONG buckets and
     * silently corrupt the snapshot (missed deletes, duplicate keys).
-    * [[applyBatch]] therefore fails fast on any layout mismatch. */
+    * [[applyBatch]] therefore fails fast on any layout mismatch.
+    *
+    * A LEGACY manifest (written before the contract fields existed)
+    * reads back with `numBuckets = -1` and empty `key`/`schemaDdl`:
+    * the snapshot stays readable, the layout checks are skipped for
+    * that one apply (nothing recorded to check against), and the next
+    * successful apply rewrites the manifest with the full contract. */
   case class Manifest(batchId: Long, numBuckets: Int, key: String,
-                      schemaDdl: String, buckets: Map[Int, String])
+                      schemaDdl: String, buckets: Map[Int, String]) {
+    def hasLayout: Boolean = numBuckets > 0
+  }
 
   private def manifestDir(path: String) = Paths.get(path, "_manifest")
   private def currentPtr(path: String) = Paths.get(path, "_CURRENT")
@@ -85,12 +93,14 @@ object UpsertSink {
     def fail() = sys.error(s"malformed manifest $name")
     val id = """"batchId"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt)
       .getOrElse(fail()).group(1).toLong
+    // layout-contract fields are OPTIONAL on read: a pre-contract
+    // manifest is legacy, not malformed
     val nb = """"numBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-      .getOrElse(fail()).group(1).toInt
+      .map(_.group(1).toInt).getOrElse(-1)
     val key = """"key"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
-      .getOrElse(fail()).group(1)
+      .map(_.group(1)).getOrElse("")
     val ddl = """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
-      .getOrElse(fail()).group(1)
+      .map(_.group(1)).getOrElse("")
     // bucket pairs parse only inside the trailing "buckets" object, so
     // a numeric-looking column name in the schema can't collide
     val bucketsTxt = txt.substring(txt.indexOf("\"buckets\""))
@@ -134,6 +144,9 @@ object UpsertSink {
     val dirs = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, d) => bucketDir(path, d, b) }
     readBuckets(spark, dirs).getOrElse {
+      if (!m.hasLayout) throw new IllegalStateException(
+        s"snapshot at $path is empty and its legacy manifest records no " +
+          "schema; apply a batch to upgrade it")
       val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -148,11 +161,13 @@ object UpsertSink {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val prev = readManifest(path)
     val ddl = snapshotDdl(changes, key, payloadCols)
-    prev.foreach { m =>
+    prev.filter(_.hasLayout).foreach { m =>
       // layout-contract check BEFORE any hashing: a different bucket
       // count or key/payload type would route keys away from the
       // buckets their existing versions live in (xxhash64 is
-      // type-sensitive) — corrupting instead of merging
+      // type-sensitive) — corrupting instead of merging. A legacy
+      // manifest recorded nothing to check against; this apply trusts
+      // the caller once and writes the full contract.
       require(m.numBuckets == numBuckets,
         s"snapshot at $path is bucketed numBuckets=${m.numBuckets}; " +
           s"applyBatch called with $numBuckets")

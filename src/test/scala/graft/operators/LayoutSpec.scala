@@ -237,6 +237,52 @@ class LayoutSpec extends SparkTestBase {
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("compact crash recovery: a committed swap marker is completed by the " +
+      "next pass with no row lost, duplicated, or left invisible") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact4").toString + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .repartition(4).write.parquet(base)
+    val want = spark.read.parquet(base)
+      .as[(Long, String)].collect().sorted.toSeq
+
+    // fabricate the exact post-commit crash state: staged files written,
+    // marker recorded (nonce + delete set), NO rename/delete happened
+    val dir = new java.io.File(base)
+    val originals = dir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val staging = new java.io.File(base, ".graft_compact_tmp")
+    spark.read.parquet(originals.map(_.getPath).toIndexedSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    val marker = new java.io.File(base, ".graft_compact_swap")
+    java.nio.file.Files.write(marker.toPath,
+      ("cafebabe" +: originals.map(_.getName).toSeq).mkString("\n").getBytes)
+
+    // the next pass recovers FIRST (completes the swap), then finds one
+    // healthy file and has nothing left to compact
+    val stats = Layout.compact(spark, base)
+    assert(stats.dirsCompacted == 0, stats.toString)
+    assert(!marker.exists && !staging.exists)
+    val got = spark.read.parquet(base).as[(Long, String)].collect().sorted.toSeq
+    assert(got === want, s"rows changed across recovery: $got")
+    val names = dir.listFiles().filter(_.isFile).map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(names.forall(_.startsWith("graft-compact-cafebabe-")), names.toSeq)
+
+    // and the PARTIALLY-completed variant: one staged file already
+    // renamed in, one original already deleted — recovery finishes the rest
+    val originals2 = names
+    spark.read.parquet(base).coalesce(1)
+      .write.mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.write(marker.toPath,
+      ("beef" +: originals2.toSeq).mkString("\n").getBytes)
+    // simulate: delete one original (as if the crashed pass got that far)
+    java.nio.file.Files.delete(new java.io.File(base, originals2.head).toPath)
+    val stats2 = Layout.compact(spark, base)
+    assert(stats2.dirsCompacted == 0)
+    val got2 = spark.read.parquet(base).as[(Long, String)].collect().sorted.toSeq
+    assert(got2 === want, s"rows changed across partial recovery: $got2")
+  }
+
   test("mergeChanges rejects a NULL op loudly instead of mangling it") {
     val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     // NULL op on an existing key AND on a new key — both malformed

@@ -146,6 +146,31 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(snap(path) === Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("a legacy pre-contract manifest reads, applies once unchecked, and " +
+      "upgrades to the full contract on that apply") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    // rewrite the current manifest in the OLD format (batchId + buckets
+    // only) — what a pre-upgrade sink version left on disk
+    val m = UpsertSink.readManifest(path).get
+    val legacy = s"""{"batchId":${m.batchId},"buckets":{""" +
+      m.buckets.toSeq.sortBy(_._1)
+        .map { case (b, d) => s""""$b":"$d"""" }.mkString(",") + "}}"
+    val mdir = java.nio.file.Paths.get(path, "_manifest")
+    java.nio.file.Files.write(mdir.resolve(s"m${m.batchId}.json"),
+      legacy.getBytes("UTF-8"))
+    val read = UpsertSink.readManifest(path).get
+    assert(!read.hasLayout && read.buckets == m.buckets)
+    assert(snap(path) === Seq((1L, "a"))) // snapshot still readable
+    // the next apply is trusted once (nothing recorded to check) and
+    // writes the full contract back
+    assert(apply(path, Seq((1L, 2L, "U", "b")), 1))
+    val upgraded = UpsertSink.readManifest(path).get
+    assert(upgraded.hasLayout && upgraded.numBuckets == B &&
+      upgraded.key == "id" && upgraded.schemaDdl == "id BIGINT,v STRING")
+    assert(snap(path) === Seq((1L, "b")))
+  }
+
   test("vacuum drops fully-superseded deltas and old manifests, nothing live") {
     val path = tmp()
     // b0 populates many buckets; b1 rewrites EVERY key (so delta/b0 is
