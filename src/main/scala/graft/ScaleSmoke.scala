@@ -230,6 +230,26 @@ object ScaleSmoke {
       s"$n nodes labeled, every triangle collapsed to its min member"
     }
 
+    // Compaction at small-files scale: 1,000 fragments across 4
+    // partition dirs (the shape a month of micro-batch appends leaves),
+    // merged to 4 files with content verified by full-column checksum.
+    time("compact 1000-file partitioned table -> 4") {
+      val dir = java.nio.file.Files.createTempDirectory("scale-compact").toString + "/t"
+      val df = spark.table("documents")
+        .withColumn("p", (col("doc_id") % 4).cast("int"))
+      df.repartition(250).write.partitionBy("p").parquet(dir)
+      val sumBefore = spark.read.parquet(dir)
+        .agg(expr("bit_xor(xxhash64(doc_id, text, p))")).head().getLong(0)
+      val stats = operators.Layout.compact(spark, dir, parallelism = 4)
+      val sumAfter = spark.read.parquet(dir)
+        .agg(expr("bit_xor(xxhash64(doc_id, text, p))")).head().getLong(0)
+      if (sumAfter != sumBefore)
+        throw new AssertionError(s"content changed: $sumBefore -> $sumAfter")
+      if (stats.filesAfter != 4)
+        throw new AssertionError(s"expected 4 files, got ${stats.filesAfter}")
+      s"${stats.filesBefore} -> ${stats.filesAfter} files across ${stats.dirsCompacted} dirs, checksum stable"
+    }
+
     // Distributed kNN join (large-Q path): 5k queries against a 20k-vector corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")
