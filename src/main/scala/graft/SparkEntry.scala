@@ -2093,7 +2093,9 @@ object SparkEntry {
     }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
-    // copy-on-write, 16 buckets) must land on the same snapshot the
+    // copy-on-write, 8 buckets — enough dirs to exercise pruning while
+    // keeping the gate's FS constant visible-cost honest) must land on
+    // the same snapshot the
     // declarative fold produces. Batch 1 carries delete-vs-update
     // conflicts resolved by seq (%20 keys: D@3 beats U@2; others: U@2
     // beats D@1); batch 2 carries an equal-seq D/U tie on %63 keys
@@ -2128,7 +2130,7 @@ object SparkEntry {
           |       concat('new ', CAST(doc_id AS STRING)), 'en'
           |FROM documents WHERE doc_id < 30""".stripMargin)
       val applyB = graft.streaming.UpsertSink.applyBatch(
-        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 16) _
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
       applyB(b0, 0); applyB(b1, 1); applyB(b2, 2)
       graft.streaming.UpsertSink.readSnapshot(spark, path)
         .select("doc_id", "text", "lang")
