@@ -8,11 +8,16 @@ import org.apache.spark.storage.StorageLevel
   *
   * The pipeline need behind this: crawl prioritization and document
   * weighting use link-graph authority (PageRank / harmonic-centrality
-  * style signals over the domain graph) as a quality prior. The graph is
-  * just an edge table, so the natural Spark shape is iterative
-  * join+aggregate over DataFrames — every step is Catalyst-planned
-  * (partial aggregation, AQE skew splitting, broadcast when one side is
-  * tiny), no custom partitioner bookkeeping.
+  * style signals over the domain graph) as a quality prior. The graph
+  * is just an edge table. [[triangleCount]] stays a declarative
+  * join+aggregate pipeline (Catalyst plans the hash joins, AQE splits
+  * skew); the ITERATIVE operators — [[pageRank]], [[bfs]],
+  * [[shortestPaths]], [[labelPropagation]] — deliberately run as RDD
+  * loops over ONE fixed hash partitioning instead: a DataFrame loop
+  * pays a per-round plan compile and re-shuffles |E| every round,
+  * while the fixed partitioner shuffles the edge table once and keeps
+  * every per-round join/merge narrow (measured 7.2 → ~2.5 s on the
+  * pageRank gate when this file made that switch).
   */
 object Graphs {
 
@@ -20,13 +25,42 @@ object Graphs {
     * under `base` — how the iterative operators co-locate a node's
     * edges ([[bfs]]/[[shortestPaths]]) or per-node counts
     * ([[labelPropagation]]) with that node's state partition, making
-    * the per-round zipPartitions merges narrow by construction. */
-  private def byFirstOf(base: org.apache.spark.Partitioner): org.apache.spark.Partitioner =
-    new org.apache.spark.Partitioner {
-      override def numPartitions: Int = base.numPartitions
-      override def getPartition(key: Any): Int =
-        base.getPartition(key.asInstanceOf[(String, String)]._1)
+    * the per-round zipPartitions merges narrow by construction.
+    * Value-equal instances compare equal, so partitioner-aware RDD ops
+    * recognize two identically-routed datasets as co-partitioned. */
+  private final class ByFirstOf(val base: org.apache.spark.Partitioner)
+    extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = base.numPartitions
+    override def getPartition(key: Any): Int =
+      base.getPartition(key.asInstanceOf[(String, String)]._1)
+    override def equals(o: Any): Boolean = o match {
+      case b: ByFirstOf => b.base == base
+      case _ => false
     }
+    override def hashCode: Int = 31 + base.hashCode
+  }
+  private def byFirstOf(base: org.apache.spark.Partitioner): org.apache.spark.Partitioner =
+    new ByFirstOf(base)
+
+  /** UTF-8 byte order (= code-point order) for label comparisons: Java's
+    * `<` on String compares UTF-16 CODE UNITS, which ranks
+    * supplementary-plane characters (surrogate pairs, 0xD800-prefixed)
+    * BELOW U+E000..U+FFFF — while DuckDB (and Spark SQL's own
+    * UTF8String) compare UTF-8 bytes. The oracle-parity contract
+    * ("reruns and the declarative replay agree node by node") needs the
+    * engine to order labels the way the replaying engines do. */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    val la = a.length; val lb = b.length
+    val n = math.min(la, lb)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+    }
+    la < lb
+  }
 
   /** Weighted PageRank by `iterations` rounds of power iteration:
     *
@@ -192,12 +226,17 @@ object Graphs {
     * (frontier partition i covers every src of adjacency partition i by
     * construction — a per-partition hash set replaces the pair join), a
     * map-side-combined `reduceByKey` dedup of the new reach set (≤ |V|
-    * rows — the round's only shuffle), and a narrow `leftOuterJoin`
-    * against the visited set to drop already-settled nodes — a node
-    * enters the frontier at its FIRST (= minimal) hop count and never
-    * again, so rounds shrink as the frontier saturates. Per round one
-    * `isEmpty()` driver check stops early on frontier exhaustion; all
-    * state is `(node, dist)` pairs, nothing driver-sized.
+    * rows — the round's only shuffle), and a narrow merge onto the
+    * single state map `(node, (dist, isNew))` — a node enters at its
+    * FIRST (= minimal) hop count and never again, so rounds shrink as
+    * the frontier saturates. ONE persisted RDD and ONE driver job per
+    * round (the new-node count doubles as materialization and the
+    * early-exit check); the frontier is a narrow filter view over the
+    * cached state, never a second copy. All state is (node, dist)
+    * pairs, nothing driver-sized. Lineage (and task-closure size)
+    * grows linearly with rounds — immaterial in the tens-of-rounds
+    * regime link graphs settle in; wrap the loop with a reliable
+    * checkpoint if you genuinely need the |V|-1 worst case.
     * Oracle-reproducible: DuckDB replays it as a `WITH RECURSIVE` walk
     * capped at `maxHops` + `min(dist)`.
     */
@@ -226,52 +265,46 @@ object Graphs {
       .reduceByKey(bySrc, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var visited: org.apache.spark.rdd.RDD[(String, Int)] = sources
+    // ONE state map per round: (node, (dist, isNew)) — isNew marks the
+    // current frontier, so the frontier is a filter VIEW over the cached
+    // state instead of a second persisted copy
+    var state: org.apache.spark.rdd.RDD[(String, (Int, Boolean))] = sources
       .select(col(nodeCol).cast("string"))
       .where(col(nodeCol).isNotNull)
       .rdd.map(r => (r.getString(0), 0))
       .reduceByKey(part, (a, _) => a)
+      .mapValues(d => (d, true)) // preserves the partitioner
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited
     var hop = 0
     var done = maxHops == 0
     while (!done) {
       hop += 1
       val d = hop // fix the closure's capture per round
-      // narrow frontier expansion: frontier partition i holds exactly
-      // the nodes whose out-edges live in adjacency partition i
-      val next = frontier.zipPartitions(adj) { (fit, eit) =>
+      // narrow frontier expansion: state partition i holds exactly the
+      // nodes whose out-edges live in adjacency partition i
+      val reached = state.zipPartitions(adj) { (sit, eit) =>
           val f = new java.util.HashSet[String]()
-          fit.foreach { case (n, _) => f.add(n) }
+          sit.foreach { case (n, (_, isNew)) => if (isNew) f.add(n) }
           eit.flatMap { case ((s, dst), _) =>
             if (f.contains(s)) Iterator((dst, d)) else Iterator.empty
           }
         }
         .reduceByKey(part, (a, _) => a) // map-side combine; keeps `part`
-        .leftOuterJoin(visited) // both on `part`: narrow
-        .filter { case (_, (_, seen)) => seen.isEmpty }
-        .mapValues(_._1)
+      // narrow merge (both on `part`): settled nodes keep their first
+      // (= minimal) hop and leave the frontier; new nodes enter it
+      val upd = state.fullOuterJoin(reached)
+        .mapValues {
+          case (Some((o, _)), _) => (o, false)
+          case (None, Some(nd)) => (nd, true)
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty()) { // materializes `next` into its cache
-        next.unpersist(blocking = false)
-        done = true
-      } else {
-        // fullOuterJoin (not union) keeps the fixed partitioner, so the
-        // NEXT round's joins stay narrow; both inputs are already cached
-        // on `part`, and count() materializes the merge BEFORE its
-        // parents retire — per-round state is exactly (visited, frontier)
-        val merged = visited.fullOuterJoin(next)
-          .mapValues { case (old, add) => old.getOrElse(add.get) }
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count()
-        visited.unpersist(blocking = false)
-        if (frontier ne visited) frontier.unpersist(blocking = false)
-        visited = merged
-        frontier = next
-        done = hop == maxHops
-      }
+      // the round's ONE job: materializes upd AND answers the stop check
+      val fresh = upd.filter(_._2._2).count()
+      state.unpersist(blocking = false)
+      state = upd
+      done = fresh == 0L || hop == maxHops
     }
-    if (frontier ne visited) frontier.unpersist(blocking = false)
     adj.unpersist(blocking = false)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("node",
@@ -279,28 +312,36 @@ object Graphs {
       org.apache.spark.sql.types.StructField("dist",
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     val out = spark.createDataFrame(
-      visited.map { case (n, d) => org.apache.spark.sql.Row(n, d) }, schema)
-    Dedup.track(visited)
+      state.map { case (n, (d, _)) => org.apache.spark.sql.Row(n, d) }, schema)
+    Dedup.track(state)
     Dedup.track(out.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Multi-source weighted shortest paths (Bellman-Ford relaxation):
     * minimum path WEIGHT from the nearest of `sources` to every node
     * reachable within `maxIter` edges. Positive weights required (the
-    * classic precondition; a non-positive weight fails fast). Returns
+    * classic precondition; a non-positive weight fails LOUDLY — the
+    * check rides the executor-side adjacency scan, where the data is,
+    * so it surfaces as a SparkException wrapping the
+    * IllegalArgumentException rather than a driver-side throw — a
+    * driver pre-scan would cost a full extra pass over |E|). Returns
     * `(node, dist)` — sources at 0.0, unreachable nodes absent.
     *
     * Same fixed-partitioner loop as [[bfs]], with values instead of hop
     * counts: each round relaxes every edge out of the CHANGED set only
     * (frontier discipline — a node re-enters the frontier only when its
     * distance improves, so rounds shrink as distances settle), one
-    * narrow `zipPartitions` relaxation (frontier partition i covers
-    * every src of adjacency partition i) + a min-combining
-    * `reduceByKey` — the round's only shuffle — + a narrow merge
-    * against the settled map, early exit when a round improves nothing.
-    * The adjacency dedups-to-min and src-routes in ONE build shuffle.
-    * maxIter bounds worst-case chains (|V|-1 is the exact bound; real
-    * link graphs settle in tens of rounds).
+    * narrow `zipPartitions` relaxation (state partition i covers every
+    * src of adjacency partition i; the frontier is the `improved`-flag
+    * filter view over the cached state, never a second copy) + a
+    * min-combining `reduceByKey` — the round's only shuffle — + a
+    * narrow merge; ONE persisted RDD and ONE driver job per round (the
+    * improved count doubles as materialization and the early-exit
+    * check). The adjacency dedups-to-min and src-routes in ONE build
+    * shuffle. maxIter bounds worst-case chains (|V|-1 is the exact
+    * bound; real link graphs settle in tens of rounds — lineage and
+    * task-closure size grow linearly with rounds, so wrap the loop
+    * with a reliable checkpoint if you genuinely need the worst case).
     *
     * No SQL oracle BY DESIGN: a weighted recursive-CTE replay
     * enumerates (node, pathWeight) pairs — combinatorial on dense
@@ -338,23 +379,25 @@ object Graphs {
     }.reduceByKey(bySrc, math.min(_: Double, _: Double))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var dist: org.apache.spark.rdd.RDD[(String, Double)] = sources
+    // ONE state map per round: (node, (dist, improved)) — the frontier
+    // is the improved-flag filter view over the cached state
+    var state: org.apache.spark.rdd.RDD[(String, (Double, Boolean))] = sources
       .select(col(nodeCol).cast("string"))
       .where(col(nodeCol).isNotNull)
       .rdd.map(r => (r.getString(0), 0.0))
       .reduceByKey(part, (a, _) => a)
+      .mapValues(d => (d, true)) // preserves the partitioner
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = dist
     var hop = 0
     var done = maxIter == 0
     while (!done) {
       hop += 1
-      // narrow relaxation: frontier partition i covers every src of
+      // narrow relaxation: state partition i covers every src of
       // adjacency partition i (both routed by part(src))
-      val relaxed = frontier.zipPartitions(adj) { (fit, eit) =>
+      val relaxed = state.zipPartitions(adj) { (sit, eit) =>
           // boxed values: a missing key must surface as null, not unbox
           val f = new java.util.HashMap[String, java.lang.Double]()
-          fit.foreach { case (n, dv) => f.put(n, dv) }
+          sit.foreach { case (n, (dv, isNew)) => if (isNew) f.put(n, dv) }
           eit.flatMap { case ((s, d), w) =>
             val dv = f.get(s)
             if (dv ne null) Iterator((d, dv.doubleValue + w))
@@ -362,34 +405,22 @@ object Graphs {
           }
         }
         .reduceByKey(part, math.min(_: Double, _: Double)) // map-side combined
-      // merge candidates against settled distances; carry an improved
-      // flag so the round's frontier and the stop check share one pass
-      val upd = dist.fullOuterJoin(relaxed) // both on `part`: narrow
+      // narrow merge: candidates against settled distances, improved
+      // flag carried for the next frontier and the stop check
+      val upd = state.fullOuterJoin(relaxed) // both on `part`: narrow
         .mapValues {
-          case (Some(o), Some(c)) => if (c < o) (c, true) else (o, false)
-          case (Some(o), None) => (o, false)
+          case (Some((o, _)), Some(c)) => if (c < o) (c, true) else (o, false)
+          case (Some((o, _)), None) => (o, false)
           case (None, Some(c)) => (c, true)
           case (None, None) => throw new IllegalStateException("unreachable")
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val next = upd.filter(_._2._2).mapValues(_._1)
-      if (next.isEmpty()) { // materializes upd
-        upd.unpersist(blocking = false)
-        done = true
-      } else {
-        val merged = upd.mapValues(_._1).persist(StorageLevel.MEMORY_AND_DISK)
-        merged.count()
-        val nextF = next.persist(StorageLevel.MEMORY_AND_DISK)
-        nextF.count()
-        upd.unpersist(blocking = false)
-        dist.unpersist(blocking = false)
-        if (frontier ne dist) frontier.unpersist(blocking = false)
-        dist = merged
-        frontier = nextF
-        done = hop == maxIter
-      }
+      // the round's ONE job: materializes upd AND answers the stop check
+      val improved = upd.filter(_._2._2).count()
+      state.unpersist(blocking = false)
+      state = upd
+      done = improved == 0L || hop == maxIter
     }
-    if (frontier ne dist) frontier.unpersist(blocking = false)
     adj.unpersist(blocking = false)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("node",
@@ -397,15 +428,18 @@ object Graphs {
       org.apache.spark.sql.types.StructField("dist",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     val out = spark.createDataFrame(
-      dist.map { case (n, d) => org.apache.spark.sql.Row(n, d) }, schema)
-    Dedup.track(dist)
+      state.map { case (n, (d, _)) => org.apache.spark.sql.Row(n, d) }, schema)
+    Dedup.track(state)
     Dedup.track(out.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it takes the MOST
     * FREQUENT label among its neighbors, count ties broken by the
-    * SMALLEST label (and an isolated node keeps its label). A fixed
+    * SMALLEST label in UTF-8 byte order — the order external replaying
+    * engines and Spark SQL itself compare strings in, NOT Java's UTF-16
+    * code-unit order (they differ for supplementary-plane ids; see
+    * [[utf8Less]]) — and an isolated node keeps its label. A fixed
     * round count plus the deterministic tiebreak makes the result a
     * pure function of the edge multiset — reruns, repartitions, and a
     * declarative replay (the DuckDB oracle unrolls the same rounds as
@@ -461,7 +495,7 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels: org.apache.spark.rdd.RDD[(String, String)] =
-      nodes.mapValues(_ => null: String).mapPartitions(
+      nodes.mapPartitions(
         it => it.map { case (n, _) => (n, n) }, preservesPartitioning = true)
     for (_ <- 1 to rounds) {
       // narrow hash join: labels partition i covers every src of adj
@@ -482,7 +516,10 @@ object Graphs {
           val best = new java.util.HashMap[String, (String, Long)]()
           cit.foreach { case ((n, lab), c) =>
             val cur = best.get(n)
-            if (cur == null || c > cur._2 || (c == cur._2 && lab < cur._1))
+            // tiebreak in UTF-8 byte order, the order DuckDB's replay and
+            // Spark SQL's own string comparison use (see utf8Less)
+            if (cur == null || c > cur._2 ||
+                (c == cur._2 && utf8Less(lab, cur._1)))
               best.put(n, (lab, c))
           }
           lit.map { case (n, own) =>

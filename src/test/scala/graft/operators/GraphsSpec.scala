@@ -293,4 +293,21 @@ class GraphsSpec extends SparkTestBase {
       referenceBfs(edges, sources, 5, undirected = true))
     Dedup.releaseCaches()
   }
+
+  test("labelPropagation tiebreak is UTF-8 byte order, not UTF-16 code units") {
+    // U+1F600 (a surrogate pair) sorts ABOVE U+FF01 in UTF-8/code-point
+    // order, but Java's String < puts the 0xD83D lead surrogate BELOW
+    // 0xFF01 — the exact divergence utf8Less exists to fix
+    val smiley = new String(Character.toChars(0x1F600))
+    val fw = "！" // FULLWIDTH EXCLAMATION, BMP above surrogates
+    assert(Graphs.utf8Less(fw, smiley) && !(fw < smiley),
+      "test fixture must sit in the divergence window")
+    // node x has two neighbors named fw and smiley: a 1-vs-1 count tie.
+    // Round 1 must hand x the UTF-8-smaller label (fw).
+    val edges = Seq((fw, "x"), (smiley, "x")).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, "src", "dst", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("x") == fw, s"tie went to ${got("x")}")
+    Dedup.releaseCaches()
+  }
 }
