@@ -32,9 +32,16 @@ object Layout {
       s"bits * dimensions must be <= 63, got ${bits * cols.size}")
     require(!df.columns.contains(outCol), s"output column '$outCol' already exists")
 
-    // ONE bounded aggregate: 2·k doubles to the driver
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    // ONE bounded aggregate: 2·k doubles to the driver. NaNs are
+    // excluded from the bounds (Spark orders NaN GREATEST, so one NaN
+    // row would make max()=NaN, the normalizer NaN for every row, and
+    // the whole dimension silently degenerate to the top bucket) —
+    // NaN rows themselves bucket to 0 with the nulls below.
+    def clean(c: String) = {
+      val x = col(c).cast("double")
+      when(!isnan(x), x)
+    }
+    val aggs = cols.flatMap(c => Seq(min(clean(c)), max(clean(c))))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
     val hi = (1L << bits) - 1
     val k = cols.size
@@ -46,10 +53,11 @@ object Layout {
       val x = col(c).cast("double")
       if (up == lo) lit(0L) // constant column: every row bucket 0
       else
-        // the null gate must come FIRST: least() SKIPS null operands (it
-        // returns the smallest non-null), so a trailing coalesce would
-        // see hi, not null, and null rows would land in the top bucket
-        when(x.isNull, lit(0L))
+        // the null/NaN gate must come FIRST: least() SKIPS null operands
+        // (it returns the smallest non-null) and orders NaN greatest, so
+        // a trailing coalesce would land null rows in the top bucket and
+        // a NaN value would ride through floor() into the interleave
+        when(x.isNull || isnan(x), lit(0L))
           .otherwise(least(floor((x - lit(lo)) / lit(up - lo) * hi), lit(hi))
             .cast("long"))
     }
@@ -176,20 +184,32 @@ object Layout {
             // recurses into partition subdirectories, which would absorb
             // a child partition's rows into the parent and then duplicate
             // them when only the parent's files are swapped out
-            spark.read.parquet(files.map(_.getPath.toString): _*)
+            // mergeSchema: a leaf dir may mix files written before and
+            // after a schema evolution; inferring from one footer would
+            // silently drop the newer columns from the rewrite
+            spark.read.option("mergeSchema", "true")
+              .parquet(files.map(_.getPath.toString): _*)
               .coalesce(k) // narrow: merge partitions, no shuffle
               .write.mode("overwrite").parquet(staging.toString)
             val staged = dfs.listStatus(staging)
               .filter(e => e.isFile && !hiddenName(e.getPath.getName))
             // COMMIT POINT: the marker records the delete set + nonce;
-            // from here the swap completes (here or on a re-run)
+            // from here the swap completes (here or on a re-run). It
+            // writes to a temp name and RENAMES in — rename is the
+            // atomic primitive, so a crash mid-write leaves a hidden
+            // temp file recovery ignores, never a truncated marker
+            // whose partial delete list would strand originals
             val nonce = java.lang.Long.toHexString(System.nanoTime())
             val marker = new org.apache.hadoop.fs.Path(dir, CompactMarker)
-            val out = dfs.create(marker, true)
+            val markerTmp = new org.apache.hadoop.fs.Path(dir,
+              CompactMarker + s".$nonce.tmp")
+            val out = dfs.create(markerTmp, true)
             try out.write(
               (nonce +: files.map(_.getPath.getName).toSeq).mkString("\n")
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
+            require(dfs.rename(markerTmp, marker),
+              s"compact: marker commit failed: $markerTmp -> $marker")
             // staged IN first (nonce names cannot collide), originals out
             staged.foreach { e =>
               val dest = new org.apache.hadoop.fs.Path(dir,
@@ -209,8 +229,20 @@ object Layout {
           }
         })
       }
-      futures.foreach(_.get()) // propagate the first failure
-    } finally pool.shutdown()
+      try futures.foreach(_.get()) // propagate the first failure
+      catch {
+        case t: Throwable =>
+          // drop the QUEUED directories; in-flight swaps must finish
+          // (interrupting one mid-rename would strand a half-applied
+          // swap behind a live marker for the next run to recover)
+          futures.foreach(_.cancel(false))
+          throw t
+      }
+    } finally {
+      pool.shutdown()
+      // never return while background tasks could still mutate the tree
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    }
 
     import scala.jdk.CollectionConverters._
     val done = results.asScala.toSeq
@@ -234,6 +266,14 @@ object Layout {
                           dir: org.apache.hadoop.fs.Path): Unit = {
     val marker = new org.apache.hadoop.fs.Path(dir, CompactMarker)
     val staging = new org.apache.hadoop.fs.Path(dir, CompactStaging)
+    // a crash mid-marker-WRITE leaves only the hidden temp (the rename
+    // never happened — nothing visible changed): discard it
+    fs.listStatus(dir)
+      .filter(e => e.isFile &&
+        e.getPath.getName.startsWith(CompactMarker + ".") &&
+        e.getPath.getName.endsWith(".tmp"))
+      .foreach(e => require(fs.delete(e.getPath, false),
+        s"compact: stale marker-temp cleanup failed: ${e.getPath}"))
     if (!fs.exists(marker)) {
       if (fs.exists(staging))
         require(fs.delete(staging, true),
@@ -334,14 +374,20 @@ object Layout {
     require(snapshot.columns.contains(key) && payloadCols.forall(snapshot.columns.contains),
       "snapshot must carry the key and every payload column")
 
-    // a NULL op is a malformed change (neither delete nor upsert): fail
-    // LOUDLY during the scan rather than silently ignoring it for
-    // existing keys / emitting a phantom all-null row for new ones
-    val checked = changes.withColumn(opCol,
-      when(col(opCol).isNull,
-        raise_error(concat(lit(s"mergeChanges: NULL $opCol for key="),
-          col(key).cast("string"))))
-        .otherwise(col(opCol)))
+    // a NULL op or a NULL KEY is a malformed change: fail LOUDLY during
+    // the scan. (A null key never equi-joins, so its winner row would
+    // surface unmatched on the change side and emit a phantom all-null
+    // output row every batch — silently accumulating through a CDC sink.)
+    val checked = changes
+      .withColumn(opCol,
+        when(col(opCol).isNull,
+          raise_error(concat(lit(s"mergeChanges: NULL $opCol for key="),
+            col(key).cast("string"))))
+          .otherwise(col(opCol)))
+      .withColumn(key,
+        when(col(key).isNull,
+          raise_error(lit(s"mergeChanges: NULL $key in a change row")))
+          .otherwise(col(key)))
     val winners = checked
       .groupBy(col(key))
       .agg(max(struct(col(seqCol) +: col(opCol) +: payloadCols.map(col): _*)).as("__w"))

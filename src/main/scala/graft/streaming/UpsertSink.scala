@@ -5,7 +5,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Streaming CDC upsert sink: maintain a keyed snapshot table on disk by
   * applying each micro-batch of changes (key, seq, op, payload) through
@@ -30,10 +29,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Disk layout: `path/delta/b<batchId>/__bucket=<k>/…` immutable bucket
   * dirs; `path/_manifest/m<batchId>.json` mapping every bucket to the
   * delta dir currently holding it; `path/_CURRENT` → manifest name,
-  * swapped by atomic rename (readers see the old or the new manifest,
-  * never a mix). Superseded delta dirs stay on disk until an external
-  * cleanup (documented cost; they are what makes the swap safe for
+  * swapped by rename-with-overwrite (readers see the old or the new
+  * manifest, never a mix). Superseded delta dirs stay on disk until
+  * [[vacuum]] drops them (they are what makes the swap safe for
   * in-flight readers).
+  *
+  * ALL paths resolve through the Hadoop FileSystem API — local disk,
+  * HDFS, or any object store the session's Hadoop configuration knows;
+  * Spark writes the data files and the same FileSystem handles the
+  * manifest/pointer/bucket-listing metadata, so the sink never mixes
+  * driver-local filesystem views with cluster-visible ones.
   *
   * Wire it with `changes.writeStream.foreachBatch(sink(spark, path,
   * …))`, or drive [[applyBatch]] directly batch by batch.
@@ -62,8 +67,34 @@ object UpsertSink {
     def hasLayout: Boolean = numBuckets > 0
   }
 
-  private def manifestDir(path: String) = Paths.get(path, "_manifest")
-  private def currentPtr(path: String) = Paths.get(path, "_CURRENT")
+  // ---- Hadoop-FS metadata IO ------------------------------------------
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(hadoopConf())
+
+  private def manifestDir(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_manifest")
+  private def currentPtr(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_CURRENT")
+
+  private def readText(f: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeText(f: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
 
   private def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -72,21 +103,28 @@ object UpsertSink {
 
   /** Snapshot-schema DDL for a change frame: key + payload columns,
     * name and type only (nullability normalized — merge output
-    * nullability is not part of the layout contract). */
+    * nullability is not part of the layout contract). Validates the
+    * columns exist FIRST, so a typo'd payload name fails with the
+    * column list, not a schema-lookup stack trace. */
   private def snapshotDdl(df: DataFrame, key: String,
-                          payloadCols: Seq[String]): String =
+                          payloadCols: Seq[String]): String = {
+    val missing = (key +: payloadCols).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing columns: ${missing.mkString(", ")}")
     org.apache.spark.sql.types.StructType(
       (key +: payloadCols).map(c =>
         org.apache.spark.sql.types.StructField(c, df.schema(c).dataType)))
       .toDDL
+  }
 
   /** The current manifest, or None before the first applied batch. */
   def readManifest(path: String): Option[Manifest] = {
     val ptr = currentPtr(path)
-    if (!Files.exists(ptr)) return None
-    val name = new String(Files.readAllBytes(ptr), StandardCharsets.UTF_8).trim
-    val txt = new String(Files.readAllBytes(manifestDir(path).resolve(name)),
-      StandardCharsets.UTF_8)
+    val f = fsOf(ptr)
+    if (!f.exists(ptr)) return None
+    val name = readText(f, ptr).trim
+    val txt = readText(f,
+      new org.apache.hadoop.fs.Path(manifestDir(path), name))
     // flat hand-rolled JSON:
     // {"batchId":N,"numBuckets":K,"key":"id","schema":"id BIGINT,…",
     //  "buckets":{"0":"delta/b0",…}}
@@ -101,28 +139,38 @@ object UpsertSink {
       .map(_.group(1)).getOrElse("")
     val ddl = """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
-    // bucket pairs parse only inside the trailing "buckets" object, so
-    // a numeric-looking column name in the schema can't collide
-    val bucketsTxt = txt.substring(txt.indexOf("\"buckets\""))
+    // bucket pairs parse only inside the TRAILING "buckets" object
+    // (lastIndexOf: the writer emits it last, so an escaped "buckets"
+    // inside a pathological key/schema value cannot shadow it), so a
+    // numeric-looking column name in the schema can't collide either
+    val bucketsTxt = txt.substring(txt.lastIndexOf("\"buckets\""))
     val pairs = """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(bucketsTxt)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
     Some(Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs))
   }
 
   private def writeManifest(path: String, m: Manifest): Unit = {
-    Files.createDirectories(manifestDir(path))
+    val mdir = manifestDir(path)
+    val f = fsOf(mdir)
+    f.mkdirs(mdir)
     val name = s"m${m.batchId}.json"
     val body = s"""{"batchId":${m.batchId},"numBuckets":${m.numBuckets},""" +
       s""""key":"${jsonEscape(m.key)}","schema":"${jsonEscape(m.schemaDdl)}",""" +
       s""""buckets":{""" +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",") + "}}"
-    Files.write(manifestDir(path).resolve(name),
-      body.getBytes(StandardCharsets.UTF_8))
-    val tmp = Paths.get(path, "_CURRENT.tmp")
-    Files.write(tmp, name.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPtr(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeText(f, new org.apache.hadoop.fs.Path(mdir, name), body)
+    // pointer swap via FileContext rename-with-OVERWRITE — the atomic
+    // primitive on local disk and HDFS (a plain FileSystem.rename
+    // refuses existing destinations, and delete-then-rename would open
+    // a window with NO current pointer)
+    val ptr = currentPtr(path)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_CURRENT.tmp")
+    writeText(f, tmp, name)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, hadoopConf())
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def bucketDir(path: String, delta: String, b: Int): String =
@@ -210,9 +258,15 @@ object UpsertSink {
         .parquet(s"$path/$deltaDir")
 
       // a merge can delete a bucket EMPTY: partitionBy writes no dir for
-      // it, so such buckets drop out of the manifest entirely
+      // it, so such buckets drop out of the manifest entirely. The
+      // existence check goes through the SAME FileSystem Spark wrote
+      // with — a driver-local check would see nothing on HDFS/object
+      // stores and silently drop every touched bucket from the manifest.
+      val deltaPath = new org.apache.hadoop.fs.Path(path, deltaDir)
+      val dfs = fsOf(deltaPath)
       val written = touched.filter(b =>
-        Files.exists(Paths.get(path, deltaDir, s"$BucketCol=$b"))).toSet
+        dfs.exists(new org.apache.hadoop.fs.Path(deltaPath, s"$BucketCol=$b")))
+        .toSet
       val base = prev.map(_.buckets).getOrElse(Map.empty)
       val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
       writeManifest(path, Manifest(batchId, numBuckets, key, ddl, next))
@@ -223,53 +277,45 @@ object UpsertSink {
   /** Reclaims storage the snapshot no longer references: delta
     * directories whose buckets all point elsewhere in the CURRENT
     * manifest, and manifest files older than the current one. The
-    * atomic `_CURRENT` swap is what makes superseded deltas safe to
-    * keep for in-flight readers — and this is the documented external
-    * cleanup that eventually drops them. Returns
-    * `(deltaDirsRemoved, manifestsRemoved)`.
+    * `_CURRENT` swap is what makes superseded deltas safe to keep for
+    * in-flight readers — and this is the cleanup that eventually drops
+    * them. Returns `(deltaDirsRemoved, manifestsRemoved)`.
     *
     * Safety: only ever deletes under `path/delta` and `path/_manifest`;
     * the current manifest and every delta dir it references survive by
-    * construction. Run it when no reader can still hold a pre-swap
-    * manifest (readers resolve `_CURRENT` at open; a grace window of
-    * one query lifetime suffices). Idempotent — a second call finds
-    * nothing. */
+    * construction, and only delta dirs whose batchId is ≤ the CURRENT
+    * committed id are candidates — an in-flight [[applyBatch]] always
+    * writes a HIGHER id (batchIds are monotone; replays return before
+    * writing), so vacuum racing a live writer cannot delete the delta
+    * the writer is about to commit. Run it when no READER can still
+    * hold a pre-swap manifest (readers resolve `_CURRENT` at open; a
+    * grace window of one query lifetime suffices). Idempotent — a
+    * second call finds nothing. */
   def vacuum(path: String): (Int, Int) = {
     val m = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
     val live = m.buckets.values.toSet // delta dirs the snapshot points at
-    // NIO directory streams hold an open handle until closed
-    def withListing[T](dir: java.nio.file.Path)(
-        f: Seq[java.nio.file.Path] => T): T = {
-      val s = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        f(s.iterator().asScala.toSeq)
-      } finally s.close()
-    }
-    val deltaRoot = Paths.get(path, "delta")
+    val deltaRoot = new org.apache.hadoop.fs.Path(path, "delta")
+    val f = fsOf(deltaRoot)
     var dirs = 0
-    if (Files.isDirectory(deltaRoot)) withListing(deltaRoot) { entries =>
-      entries.foreach { d =>
-        if (Files.isDirectory(d) && !live.contains(s"delta/${d.getFileName}")) {
-          // delete recursively, children first
-          val w = Files.walk(d)
-          try w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
-          finally w.close()
-          dirs += 1
-        }
+    if (f.exists(deltaRoot)) f.listStatus(deltaRoot).foreach { e =>
+      val nm = e.getPath.getName
+      val id = if (nm.startsWith("b")) nm.drop(1).toLongOption else None
+      if (e.isDirectory && id.exists(_ <= m.batchId) &&
+          !live.contains(s"delta/$nm")) {
+        require(f.delete(e.getPath, true),
+          s"vacuum: delta delete failed: ${e.getPath}")
+        dirs += 1
       }
     }
     val current = s"m${m.batchId}.json"
     var manifests = 0
     val mdir = manifestDir(path)
-    if (Files.isDirectory(mdir)) withListing(mdir) { entries =>
-      entries.foreach { f =>
-        if (Files.isRegularFile(f) && f.getFileName.toString != current) {
-          Files.delete(f)
-          manifests += 1
-        }
+    if (f.exists(mdir)) f.listStatus(mdir).foreach { e =>
+      if (e.isFile && e.getPath.getName != current) {
+        require(f.delete(e.getPath, false),
+          s"vacuum: manifest delete failed: ${e.getPath}")
+        manifests += 1
       }
     }
     (dirs, manifests)

@@ -39,6 +39,37 @@ class LayoutSpec extends SparkTestBase {
     assert(z(4L) === 0L && z(5L) === ((1L << 16) - 1)) // extremes
   }
 
+  test("withZValue: one NaN must not poison a dimension's bounds") {
+    // Spark orders NaN GREATEST: an unguarded max() would return NaN,
+    // the normalizer would be NaN for every row, and least(NaN, hi)
+    // would shove EVERY row — healthy values included — into the top
+    // bucket, silently killing data skipping on that column
+    val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, Double.NaN))
+      .toDF("id", "a", "b")
+    val z = Layout.withZValue(df, Seq("a", "b"), bits = 4)
+      .select("id", "z").as[(Long, Long)].collect().toMap
+    // bounds for b come from the non-NaN rows {10, 20}; a spans {1..3}.
+    // Distinct healthy rows must get DISTINCT z-values (not all-top),
+    // and the NaN row's b-dimension buckets to 0 like a null.
+    assert(z(1L) != z(2L), s"dimension degenerated: $z")
+    val zNanExpected = Layout.withZValue(
+      Seq((3L, 3.0, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "a", "b").withColumn("b", col("b").cast("double")),
+      Seq("a", "b"), bits = 4).select("z").head().getLong(0)
+    // the single-row frame's own bounds differ, so compare via the rule,
+    // not values: NaN b contributes 0 bits exactly as null b does in a
+    // frame with the same a-bounds
+    val zOfNan = Layout.withZValue(df, Seq("a", "b"), bits = 4)
+      .where($"id" === 3L).select("z").head().getLong(0)
+    val zOfNull = Layout.withZValue(
+      df.withColumn("b", when($"id" === 3L, lit(null).cast("double"))
+        .otherwise($"b")),
+      Seq("a", "b"), bits = 4)
+      .where($"id" === 3L).select("z").head().getLong(0)
+    assert(zOfNan == zOfNull, s"NaN ($zOfNan) and null ($zOfNull) must bucket alike")
+    assert(zNanExpected == 0L) // degenerate single-row frame sanity
+  }
+
   test("withZValue: nulls and constant columns bucket to zero; validation") {
     val df = Seq((1L, Some(5.0), 7.0), (2L, None, 7.0), (3L, Some(1.0), 7.0))
       .toDF("id", "x", "c")
@@ -296,5 +327,19 @@ class LayoutSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("NULL op")),
       s"expected a NULL-op failure, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("mergeChanges rejects a NULL change key (it would emit a phantom row)") {
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq((java.lang.Long.valueOf(1L), 1L, "U", "x"),
+      (null.asInstanceOf[java.lang.Long], 2L, "U", "y"))
+      .toDF("id", "seq", "op", "v")
+    val e = intercept[Exception] {
+      Layout.mergeChanges(snap, changes, "id", "seq", "op", Seq("v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("NULL id")),
+      s"expected a NULL-key failure, got: ${msgs(e).mkString(" | ")}")
   }
 }
