@@ -51,18 +51,31 @@ object SparkEntry {
     * sink's replay guard would (correctly) skip them against a
     * surviving manifest — a clean slate keeps each pass the same
     * cold-cost apply sequence without accumulating temp stores. */
-  private def upsertGateDir(): String = {
-    val d = new java.io.File(upsertGateRoot)
+  private def wipedDir(root: String): String = {
+    val d = new java.io.File(root)
     if (d.exists) {
-      java.nio.file.Files.walk(d.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds a directory stream until closed — leaking one
+      // per gate invocation leaks file descriptors across a bench run
+      val walk = java.nio.file.Files.walk(d.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
     }
     d.mkdirs()
     d.toString
   }
+  private def upsertGateDir(): String = wipedDir(upsertGateRoot)
   private lazy val upsertGateRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-upsert-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  /** Per-JVM dir for the q_compact_sink gate, wiped per invocation for
+    * the same restart-at-batch-0 reason as [[upsertGateDir]]. */
+  private def compactSinkGateDir(): String = wipedDir(compactSinkGateRoot)
+  private lazy val compactSinkGateRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-compact-sink-gate")
     d.toFile.deleteOnExit()
     d.toString + "/t"
   }
@@ -2091,6 +2104,41 @@ object SparkEntry {
       spark.read.parquet(path)
         .select(col("doc_id"), col("text"), col("lang"), col("p"))
     }),
+    // Reader-safe compaction over the SINK-managed layout: three applied
+    // insert batches split along the sink's OWN bucket routing
+    // (pmod(xxhash64(doc_id), 8) — Spark SQL's xxhash64 IS the sink's
+    // hash, so each batch touches a disjoint bucket set and the snapshot
+    // genuinely fragments across three delta dirs); compactSnapshot
+    // merges them into one behind the atomic manifest swap (no
+    // doubled-rows window — nothing visible changes before the pointer
+    // moves, unlike the in-place path) and vacuum reclaims the
+    // superseded dirs; the surviving snapshot must hash-equal the plain
+    // table (the bucket split is invisible to content, so the oracle
+    // needs no xxhash64 — merge CONFLICT semantics are oracled
+    // separately by q_upsert_stream_parity / q_merge_upsert).
+    // Cold-cost-by-design: each pass builds, compacts, and vacuums a
+    // fresh snapshot. q_compact proves the same identity for the
+    // in-place path over a plain partitioned tree.
+    "q_compact_sink" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = compactSinkGateDir()
+      def slice(lo: Int, hi: Int) = spark.sql(
+        s"""SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
+           |FROM documents
+           |WHERE pmod(xxhash64(doc_id), 8) BETWEEN $lo AND $hi""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
+      applyB(slice(0, 2), 0); applyB(slice(3, 5), 1); applyB(slice(6, 7), 2)
+      val frag = graft.streaming.UpsertSink.readManifest(path).get
+        .buckets.values.toSet.size
+      val stats = graft.streaming.UpsertSink.compactSnapshot(spark, path)
+      require(frag == 3 && stats.dirsCompacted == frag,
+        s"sink compaction did not run: fragmented over $frag dirs, $stats")
+      val (vd, _) = graft.streaming.UpsertSink.vacuum(path)
+      require(vd == frag, s"vacuum reclaimed $vd of $frag superseded dirs")
+      graft.streaming.UpsertSink.readSnapshot(spark, path)
+        .select("doc_id", "text", "lang")
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 8 buckets — enough dirs to exercise pruning while
@@ -3338,6 +3386,11 @@ object SparkEntry {
     "q_compact" ->
       """SELECT doc_id, text, lang, CAST(doc_id % 4 AS INTEGER) AS p
         |FROM documents""".stripMargin,
+    // sink-layout compaction identity: the three bucket-split insert
+    // batches cover every document exactly once, so the compacted +
+    // vacuumed snapshot must equal the plain table (the bucket routing
+    // is Spark-side only — no xxhash64 needed here)
+    "q_compact_sink" -> "SELECT doc_id, text, lang FROM documents",
     // CDC stream parity: the three micro-batches folded declaratively —
     // per batch, winner per key by the same (seq, op, payloads) DESC
     // NULLS LAST order, applied by full-outer join onto the prior state

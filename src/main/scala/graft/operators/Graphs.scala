@@ -75,19 +75,34 @@ object Graphs {
     * external engine can replay it (the DuckDB oracle unrolls the same
     * iterations). Returns `(node, rank)`.
     *
-    * Scale shape: edges normalize ONCE (one groupBy on src, joined back
-    * and persisted — edge payload is `(src, dst, w/W)`), then each
-    * iteration is one join (ranks ⋈ edges on src) + one partial-agg
-    * groupBy on dst + a left join onto the node list for no-inbound
-    * nodes. Ranks are |V| rows, edges |E| rows; nothing driver-side, no
-    * collect, iteration count is a small constant. Null or non-positive
-    * weights and null endpoints are dropped.
+    * Scale shape — the [[bfs]]/[[labelPropagation]] single-state loop
+    * skeleton (round 13): edges normalize ONCE (one groupBy on src,
+    * joined back — edge payload is `(src, dst, w/W)`), then parallel
+    * `(src, dst)` shares SUM and src-route in a single `reduceByKey`
+    * build shuffle. Each iteration is a narrow `zipPartitions`
+    * contribution scan (ranks partition i covers every src of adjacency
+    * partition i by construction — a per-partition hash map replaces
+    * the pair join) + a map-side-combined `reduceByKey` of
+    * contributions onto the node partitioner — the round's ONLY
+    * shuffle — + a second narrow `zipPartitions` merging contributions
+    * onto the node list (no-inbound nodes get the base rank). Ranks are
+    * |V| rows, edges |E| rows; nothing driver-side, no collect,
+    * iteration count is a small constant; rounds chain lazily (one job
+    * at the first downstream action) unless `checkpointEvery` cuts the
+    * chain. Null or non-positive weights and null endpoints are dropped.
+    *
+    * @param checkpointEvery if > 0, reliably checkpoint (and
+    *   materialize) the rank state every that-many rounds, bounding
+    *   lineage/task-closure growth for large `iterations`; requires
+    *   `sparkContext.setCheckpointDir`. 0 (default) = never — right for
+    *   the small fixed iteration counts a quality prior uses.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: Option[String] = None, iterations: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    requireCheckpointDir(edges, checkpointEvery, "pageRank")
     val w = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
@@ -104,34 +119,40 @@ object Graphs {
       .select(col("src"), col("dst"), (col("w") / col("__ow")).as("share"))
 
     // The power iteration runs as an RDD loop over ONE fixed hash
-    // partitioning (round 9; the q_dedup_cluster_distributed Pregel
-    // precedent): edges and ranks co-partition on src once, so each
-    // round's contribution join is NARROW (zero shuffle on the edge
+    // partitioning (round 9; single-state zipPartitions form round 13 —
+    // the bfs/labelPropagation skeleton): edges src-route once, so each
+    // round's contribution scan is NARROW (zero shuffle on the edge
     // side — the bulk), and only the reduceByKey of map-side-combined
-    // contributions (≤ |V| rows per partition) plus the rank rebuild
-    // move data. The equivalent DataFrame loop paid a per-iteration
-    // plan compile + two shuffling joins: 7.2 → ~2.5 s at sf0.1, and
-    // at 100 TB the fixed partitioner is exactly what keeps |E| from
-    // re-shuffling every round. Closures are fixed named functions —
-    // no per-round codegen.
+    // contributions (≤ |V| rows per partition) moves data; the rank
+    // rebuild is a second narrow zipPartitions. The equivalent
+    // DataFrame loop paid a per-iteration plan compile + two shuffling
+    // joins (7.2 → ~2.5 s at sf0.1 when this file switched); replacing
+    // the per-round pair joins (CoGroupedRDDs materializing group
+    // buffers) with hash-map zipPartitions is the same constant-factor
+    // cut bfs took in round 12. At 100 TB the fixed partitioner is
+    // exactly what keeps |E| from re-shuffling every round. Closures
+    // are fixed named functions — no per-round codegen.
     val spark = edges.sparkSession
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
-    val normRdd = norm.rdd
-      .map(r => (r.getString(0), (r.getString(1), r.getDouble(2))))
-      .partitionBy(part)
+    val bySrc = byFirstOf(part)
+    // parallel (src, dst) shares SUM (contribution is r(src)·Σshare) and
+    // src-route in ONE build shuffle — no follow-up partitionBy
+    val adj = norm.rdd
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .reduceByKey(bySrc, _ + _)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // node set FROM the cached normalized edges (norm keeps every valid
-    // edge row, so src ∪ dst here equals the input's) — the upstream
+    // node set FROM the cached adjacency (norm keeps every valid edge
+    // row, so src ∪ dst here equals the input's) — the upstream
     // edge-building DAG runs exactly ONCE; reduceByKey-as-distinct
-    // keeps the fixed partitioner
-    val nodesRdd = normRdd
-      .flatMap { case (s, (d, _)) => Iterator((s, ()), (d, ())) }
+    // lands on the node partitioner
+    val nodesRdd = adj
+      .flatMap { case ((s, d), _) => Iterator((s, ()), (d, ())) }
       .reduceByKey(part, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodesRdd.count() // one job; N is needed as a literal below
     if (n == 0L) {
-      normRdd.unpersist(blocking = false)
+      adj.unpersist(blocking = false)
       nodesRdd.unpersist(blocking = false)
       return e.select(col("src").as("node"), lit(0.0).as("rank")).limit(0)
     }
@@ -139,12 +160,36 @@ object Graphs {
     val base = (1.0 - damping) / n
     var ranksRdd: org.apache.spark.rdd.RDD[(String, Double)] =
       nodesRdd.mapValues(_ => 1.0 / n) // mapValues preserves the partitioner
+    var round = 0
     for (_ <- 1 to iterations) {
-      val contrib = normRdd.join(ranksRdd) // co-partitioned: narrow
-        .map { case (_, ((dst, share), r)) => (dst, r * share) }
-        .reduceByKey(part, _ + _)
-      ranksRdd = nodesRdd.leftOuterJoin(contrib) // both on `part`: narrow
-        .mapValues { case (_, in) => base + damping * in.getOrElse(0.0) }
+      round += 1
+      // narrow contribution scan: ranks partition i holds exactly the
+      // nodes whose out-edges live in adjacency partition i
+      val contrib = ranksRdd.zipPartitions(adj) { (rit, eit) =>
+          // boxed: a rank-less src (impossible by construction, but the
+          // contract is "absent → no contribution", not an unbox NPE)
+          val rk = new java.util.HashMap[String, java.lang.Double]()
+          rit.foreach { case (nd, r) => rk.put(nd, r) }
+          eit.flatMap { case ((s, d), share) =>
+            val r = rk.get(s)
+            if (r ne null) Iterator((d, r.doubleValue * share))
+            else Iterator.empty
+          }
+        }
+        .reduceByKey(part, _ + _) // the round's ONLY shuffle; map-side combined
+      // narrow merge onto the node list: no-inbound nodes get base rank
+      ranksRdd = nodesRdd.zipPartitions(contrib, preservesPartitioning = true) {
+        (nit, cit) =>
+          val in = new java.util.HashMap[String, java.lang.Double]()
+          cit.foreach { case (nd, c) => in.put(nd, c) }
+          nit.map { case (nd, _) =>
+            val c = in.get(nd)
+            (nd, base + damping * (if (c ne null) c.doubleValue else 0.0))
+          }
+      }
+      if (checkpointEvery > 0 && round % checkpointEvery == 0 &&
+          round < iterations)
+        ranksRdd = checkpointState(ranksRdd)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("node",
@@ -159,9 +204,36 @@ object Graphs {
     // re-executed float sum. The only eager work above is nodesRdd.count()
     // (N is a literal). All caches join the shared registry —
     // Bench/long sessions drain it between uses via Dedup.releaseCaches()
-    Dedup.track(normRdd)
+    Dedup.track(adj)
     Dedup.track(nodesRdd)
     Dedup.track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Validates the `checkpointEvery` contract shared by the iterative
+    * loops: non-negative, and a reliable checkpoint dir must be set
+    * when periodic checkpointing is requested (a missing dir would
+    * otherwise fail mid-loop with Spark's own stack trace). */
+  private def requireCheckpointDir(df: DataFrame, every: Int, op: String): Unit = {
+    require(every >= 0, s"checkpointEvery must be >= 0, got $every")
+    if (every > 0) require(
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      s"$op(checkpointEvery=$every) requires sparkContext.setCheckpointDir " +
+        "(reliable checkpoints bound lineage by writing state to the " +
+        "checkpoint filesystem)")
+  }
+
+  /** Reliably checkpoints a loop-state RDD: persist (so the checkpoint
+    * write reads the cache, not a recompute), mark, materialize — the
+    * one action runs the rounds since the last cut AND writes the
+    * checkpoint files, after which the RDD's lineage is the checkpoint
+    * read. The cache joins the shared registry for later draining. */
+  private def checkpointState[T](rdd: org.apache.spark.rdd.RDD[T])
+    : org.apache.spark.rdd.RDD[T] = {
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.checkpoint()
+    rdd.count()
+    Dedup.track(rdd)
+    rdd
   }
 
   /** Exact triangle count by degree-ordered wedge enumeration — the
@@ -235,15 +307,17 @@ object Graphs {
     * cached state, never a second copy. All state is (node, dist)
     * pairs, nothing driver-sized. Lineage (and task-closure size)
     * grows linearly with rounds — immaterial in the tens-of-rounds
-    * regime link graphs settle in; wrap the loop with a reliable
-    * checkpoint if you genuinely need the |V|-1 worst case.
+    * regime link graphs settle in; `checkpointEvery = k` cuts the
+    * chain with a reliable checkpoint every k hops (requires
+    * `sparkContext.setCheckpointDir`) for the |V|-1 worst case.
     * Oracle-reproducible: DuckDB replays it as a `WITH RECURSIVE` walk
     * capped at `maxHops` + `min(dist)`.
     */
   def bfs(edges: DataFrame, srcCol: String, dstCol: String,
           sources: DataFrame, nodeCol: String, maxHops: Int,
-          undirected: Boolean = false): DataFrame = {
+          undirected: Boolean = false, checkpointEvery: Int = 0): DataFrame = {
     require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+    requireCheckpointDir(edges, checkpointEvery, "bfs")
     val spark = edges.sparkSession
     val fwd = edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
@@ -299,6 +373,9 @@ object Graphs {
           case (None, None) => throw new IllegalStateException("unreachable")
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // a periodic reliable checkpoint marks BEFORE the round's job, so
+      // the one action below also writes the cut (from the fresh cache)
+      if (checkpointEvery > 0 && hop % checkpointEvery == 0) upd.checkpoint()
       // the round's ONE job: materializes upd AND answers the stop check
       val fresh = upd.filter(_._2._2).count()
       state.unpersist(blocking = false)
@@ -340,20 +417,25 @@ object Graphs {
     * check). The adjacency dedups-to-min and src-routes in ONE build
     * shuffle. maxIter bounds worst-case chains (|V|-1 is the exact
     * bound; real link graphs settle in tens of rounds — lineage and
-    * task-closure size grow linearly with rounds, so wrap the loop
-    * with a reliable checkpoint if you genuinely need the worst case).
+    * task-closure size grow linearly with rounds, so set
+    * `checkpointEvery` — a reliable checkpoint every k rounds, needs
+    * `sparkContext.setCheckpointDir` — for the worst case).
     *
-    * No SQL oracle BY DESIGN: a weighted recursive-CTE replay
-    * enumerates (node, pathWeight) pairs — combinatorial on dense
-    * graphs — so this operator is spec-gated against a local
-    * Bellman-Ford reference instead (the [[bfs]] hop metric, whose
-    * fixpoint DuckDB can replay, carries the oracle for the shared
-    * loop skeleton).
+    * Oracle-reproducible (round 12): DuckDB replays the hop-capped
+    * weighted walk as a recursive CTE deduping `(node, dist, hops)`
+    * TRIPLES + `min(dist)` — tractable as long as the per-node
+    * reachable distance set is small (the q_shortest_paths gate plants
+    * a layered DAG with small integer weights to guarantee that; a
+    * dense arbitrary-weight graph would make the replay combinatorial,
+    * which bounds the ORACLE, not this operator). Exact-FP safe when
+    * every dist is a sum of small integers carried as doubles.
     */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, sources: DataFrame, nodeCol: String,
-                    maxIter: Int, undirected: Boolean = false): DataFrame = {
+                    maxIter: Int, undirected: Boolean = false,
+                    checkpointEvery: Int = 0): DataFrame = {
     require(maxIter >= 0, s"maxIter must be non-negative, got $maxIter")
+    requireCheckpointDir(edges, checkpointEvery, "shortestPaths")
     val spark = edges.sparkSession
     val fwd = edges
       .select(col(srcCol).cast("string").as("src"),
@@ -415,6 +497,9 @@ object Graphs {
           case (None, None) => throw new IllegalStateException("unreachable")
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // a periodic reliable checkpoint marks BEFORE the round's job, so
+      // the one action below also writes the cut (from the fresh cache)
+      if (checkpointEvery > 0 && hop % checkpointEvery == 0) upd.checkpoint()
       // the round's ONE job: materializes upd AND answers the stop check
       val improved = upd.filter(_._2._2).count()
       state.unpersist(blocking = false)
@@ -467,8 +552,10 @@ object Graphs {
     * driver-side.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int, undirected: Boolean = true): DataFrame = {
+                       rounds: Int, undirected: Boolean = true,
+                       checkpointEvery: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    requireCheckpointDir(edges, checkpointEvery, "labelPropagation")
     val spark = edges.sparkSession
     val fwd = edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
@@ -497,7 +584,7 @@ object Graphs {
     var labels: org.apache.spark.rdd.RDD[(String, String)] =
       nodes.mapPartitions(
         it => it.map { case (n, _) => (n, n) }, preservesPartitioning = true)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // narrow hash join: labels partition i covers every src of adj
       // partition i (both routed by part(first)), so the neighbor-label
       // expansion needs no shuffle
@@ -527,6 +614,9 @@ object Graphs {
             (n, if (b == null) own else b._1)
           }
       }.persist(StorageLevel.MEMORY_AND_DISK)
+      // a periodic reliable checkpoint marks BEFORE the round's job, so
+      // the one action below also writes the cut (from the fresh cache)
+      if (checkpointEvery > 0 && r % checkpointEvery == 0) next.checkpoint()
       next.count() // materialize before the parent retires
       labels.unpersist(blocking = false) // eager: round 0 is a no-op
       labels = next

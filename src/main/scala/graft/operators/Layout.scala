@@ -113,11 +113,18 @@ object Layout {
     * concurrent per-directory jobs; each job's task count is the file
     * count it reads).
     *
-    * Crash safety — a write-ahead marker makes the swap RE-RUNNABLE
-    * without ever losing committed rows (readers can still transiently
-    * see a directory's rows doubled mid-swap; run in a maintenance
-    * window, or use the manifest-swapped
-    * [[graft.streaming.UpsertSink]] layout when readers must never
+    * A manifest-managed [[graft.streaming.UpsertSink]] snapshot (a
+    * `_CURRENT` pointer at the root) routes to
+    * [[graft.streaming.UpsertSink.compactSnapshot]] instead: its
+    * bucket deltas compact into a NEW delta dir committed by the
+    * sink's atomic manifest swap, so concurrent readers never see the
+    * in-place path's transient doubled-rows window at all.
+    *
+    * Crash safety of the in-place path — a write-ahead marker makes
+    * the swap RE-RUNNABLE without ever losing committed rows (readers
+    * can still transiently see a directory's rows doubled mid-swap;
+    * run in a maintenance window, or lay the table down as an
+    * [[graft.streaming.UpsertSink]] snapshot when readers must never
     * block):
     *   1. staged files write under `.graft_compact_tmp` (invisible);
     *   2. a `.graft_compact_swap` marker records the delete set and a
@@ -140,6 +147,12 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
     require(fs.exists(root), s"no directory at $path")
+
+    // a sink-managed snapshot compacts through its manifest swap — the
+    // in-place rename swap below would expose readers to transiently
+    // doubled rows, and its renamed files would dodge the manifest
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_CURRENT")))
+      return graft.streaming.UpsertSink.compactSnapshot(spark, path)
 
     def listLeaves(): Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])] = {
       val leaves = scala.collection.mutable.ArrayBuffer.empty[

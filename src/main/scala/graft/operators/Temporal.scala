@@ -382,7 +382,9 @@ object Temporal {
     * largest `(valueCols…)` tuple wins (the payloads ride as [[asofJoin]]
     * backward tie columns, so the rule is enforced, not just assumed),
     * which keeps reruns deterministic but usually isn't the aggregation
-    * you meant. Payload columns must therefore be orderable types.
+    * you meant. Non-orderable payload types (e.g. `MapType`) can't join
+    * the tie-break and keep the older arbitrary-winner behavior; the
+    * orderable columns still tie-break deterministically around them.
     *
     * @param step grid pitch in the units of `timeCol` (must divide the
     *             observation bins' spacing for observed bins to align)
@@ -420,9 +422,16 @@ object Temporal {
     // (valueCols…) tuple — the documented "largest payload struct wins"
     // rule, made real. Ties only extend the within-partition sort: no
     // extra exchange, and reruns/repartitions stay bit-identical.
+    // Non-orderable payload types (MapType, …) cannot sort and are left
+    // out of the tie-break rather than failing analysis — among those
+    // columns an equal-bin winner is arbitrary (the pre-tie behavior);
+    // among orderable ones the rule still holds.
+    val orderableVals = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        keyed.schema(c).dataType))
     asofJoin(grid, obs, keyCols, keyCols.map(c => s"__k_$c"), timeCol, "__ot",
         payloadCols = srcTimeCol +: valueCols.map(c => s"__v_$c"),
-        tieCols = valueCols.map(c => s"__v_$c"))
+        tieCols = orderableVals.map(c => s"__v_$c"))
       .select(
         (keyCols.map(col) :+ col(timeCol) :+ col(srcTimeCol)) ++
           valueCols.map(c => col(s"__v_$c").as(c)): _*)

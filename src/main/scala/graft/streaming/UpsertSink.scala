@@ -149,11 +149,16 @@ object UpsertSink {
     Some(Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs))
   }
 
-  private def writeManifest(path: String, m: Manifest): Unit = {
+  /** Writes manifest `name` and atomically swaps `_CURRENT` to it.
+    * Names encode the batchId (`m<id>.json` for applies,
+    * `m<id>.c<nonce>.json` for compactions — same id: a compaction
+    * changes layout, never state), which is what [[vacuum]]'s
+    * strictly-older guard parses. */
+  private def writeManifest(path: String, m: Manifest,
+                            name: String): Unit = {
     val mdir = manifestDir(path)
     val f = fsOf(mdir)
     f.mkdirs(mdir)
-    val name = s"m${m.batchId}.json"
     val body = s"""{"batchId":${m.batchId},"numBuckets":${m.numBuckets},""" +
       s""""key":"${jsonEscape(m.key)}","schema":"${jsonEscape(m.schemaDdl)}",""" +
       s""""buckets":{""" +
@@ -269,9 +274,88 @@ object UpsertSink {
         .toSet
       val base = prev.map(_.buckets).getOrElse(Map.empty)
       val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
-      writeManifest(path, Manifest(batchId, numBuckets, key, ddl, next))
+      writeManifest(path, Manifest(batchId, numBuckets, key, ddl, next),
+        s"m$batchId.json")
       true
     } finally graft.operators.Dedup.releaseFrame(batch)
+  }
+
+  /** Reader-safe compaction for a sink-managed snapshot: rewrites every
+    * bucket into ONE new delta dir (`delta/c<batchId>-<nonce>` — one
+    * task and one file per bucket) and commits it through the SAME
+    * manifest-swap protocol as [[applyBatch]], so a concurrent reader
+    * resolves `_CURRENT` to either the fragmented or the compacted
+    * layout — never a mix, never a doubled or missing row. This is the
+    * snapshot counterpart of [[graft.operators.Layout.compact]], whose
+    * in-place rename swap has a documented transient doubled-rows
+    * window; here nothing visible changes before the pointer swap, and
+    * a crash at ANY point leaves only orphan files for [[vacuum]] to
+    * reclaim (after the next applied batch raises the committed id —
+    * the strictly-older guards treat same-id files as possibly
+    * in-flight).
+    *
+    * The compacted manifest keeps the CURRENT `batchId` (compaction
+    * changes layout, not state), so the exactly-once replay guard and
+    * the streaming engine's id sequence are untouched. Like
+    * [[applyBatch]] and [[vacuum]] it belongs to the single-WRITER
+    * maintenance protocol — readers need no coordination, but don't
+    * race it with a live apply.
+    *
+    * No-op (and zero Spark jobs) when the snapshot is empty or already
+    * spans ≤ `maxDeltaDirs` delta dirs. Cost is one full snapshot
+    * rewrite — run it when the delta-dir count (≈ applied batches since
+    * the last compaction) makes scan-side dir listing and small files
+    * the bottleneck, not per batch. Returns [[Layout.CompactStats]]
+    * with dirs = DELTA dirs (scanned = spanned before, compacted =
+    * merged away), files/bytes = data files under the live buckets.
+    */
+  def compactSnapshot(spark: SparkSession, path: String,
+                      maxDeltaDirs: Int = 1): Layout.CompactStats = {
+    require(maxDeltaDirs >= 1, s"maxDeltaDirs must be >= 1, got $maxDeltaDirs")
+    val m = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    val liveDirs = m.buckets.values.toSet
+    val f = fsOf(new org.apache.hadoop.fs.Path(path))
+    def stat(dirs: Seq[String]): (Long, Long) =
+      dirs.foldLeft((0L, 0L)) { case ((n, by), d) =>
+        val fl = f.listStatus(new org.apache.hadoop.fs.Path(d)).filter(e =>
+          e.isFile && !e.getPath.getName.startsWith("_") &&
+            !e.getPath.getName.startsWith("."))
+        (n + fl.length, by + fl.map(_.getLen).sum)
+      }
+    if (m.buckets.isEmpty || liveDirs.size <= maxDeltaDirs)
+      return Layout.CompactStats(liveDirs.size, 0, 0L, 0L, 0L)
+    val bucketDirs = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, d) => b -> bucketDir(path, d, b) }
+    val (filesBefore, bytes) = stat(bucketDirs.map(_._2))
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val deltaDir = s"delta/c${m.batchId}-$nonce"
+    // each bucket dir reads with the bare key+payload schema (the bucket
+    // id is path metadata); the lit tag re-attaches it, and the
+    // repartition co-locates each bucket in one task before partitionBy
+    // — one output file per bucket, the applyBatch write shape
+    bucketDirs
+      .map { case (b, d) =>
+        spark.read.parquet(d).withColumn(BucketCol, lit(b)) }
+      .reduce(_ unionByName _)
+      .repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(s"$path/$deltaDir")
+    // every manifest bucket holds ≥1 row (applyBatch drops empty ones),
+    // so every bucket dir must exist post-write; a missing one means the
+    // rewrite LOST data — fail loudly, leaving _CURRENT untouched
+    val deltaPath = new org.apache.hadoop.fs.Path(path, deltaDir)
+    m.buckets.keys.foreach(b => require(
+      f.exists(new org.apache.hadoop.fs.Path(deltaPath, s"$BucketCol=$b")),
+      s"compactSnapshot: bucket $b missing from the rewrite at $deltaPath; " +
+        "manifest not swapped"))
+    writeManifest(path,
+      m.copy(buckets = m.buckets.map { case (b, _) => b -> deltaDir }),
+      s"m${m.batchId}.c$nonce.json")
+    val (filesAfter, _) = stat(m.buckets.keys.toSeq.sorted
+      .map(b => bucketDir(path, deltaDir, b)))
+    Layout.CompactStats(liveDirs.size, liveDirs.size, filesBefore,
+      filesAfter, bytes)
   }
 
   /** Reclaims storage the snapshot no longer references: delta
@@ -283,11 +367,13 @@ object UpsertSink {
     *
     * Safety: only ever deletes under `path/delta` and `path/_manifest`;
     * the current manifest and every delta dir it references survive by
-    * construction, and only delta dirs whose batchId is ≤ the CURRENT
-    * committed id are candidates — an in-flight [[applyBatch]] always
-    * writes a HIGHER id (batchIds are monotone; replays return before
-    * writing), so vacuum racing a live writer cannot delete the delta
-    * the writer is about to commit. Run it when no READER can still
+    * construction, and only delta dirs AND manifest files whose batchId
+    * is ≤ (deltas) / < (manifests) the CURRENT committed id are
+    * candidates — an in-flight [[applyBatch]] always writes a HIGHER id
+    * (batchIds are monotone; replays return before writing), so vacuum
+    * racing a live writer can delete neither the delta the writer is
+    * about to commit nor the manifest it has written but not yet
+    * swapped `_CURRENT` to. Run it when no READER can still
     * hold a pre-swap manifest (readers resolve `_CURRENT` at open; a
     * grace window of one query lifetime suffices). Idempotent — a
     * second call finds nothing. */
@@ -300,19 +386,37 @@ object UpsertSink {
     var dirs = 0
     if (f.exists(deltaRoot)) f.listStatus(deltaRoot).foreach { e =>
       val nm = e.getPath.getName
-      val id = if (nm.startsWith("b")) nm.drop(1).toLongOption else None
-      if (e.isDirectory && id.exists(_ <= m.batchId) &&
-          !live.contains(s"delta/$nm")) {
+      // b<id> (applies) reclaim at id ≤ current — an in-flight apply is
+      // always a HIGHER id. c<id>-<nonce> ([[compactSnapshot]]) reclaim
+      // at id < current only — an in-flight compaction writes the
+      // CURRENT id, so a same-id non-live compact dir might be about to
+      // be committed (a superseded same-id one lingers until the next
+      // applied batch raises the id; bounded, documented).
+      val reclaimable =
+        if (nm.startsWith("b")) nm.drop(1).toLongOption.exists(_ <= m.batchId)
+        else if (nm.startsWith("c"))
+          nm.drop(1).takeWhile(_.isDigit).toLongOption.exists(_ < m.batchId)
+        else false
+      if (e.isDirectory && reclaimable && !live.contains(s"delta/$nm")) {
         require(f.delete(e.getPath, true),
           s"vacuum: delta delete failed: ${e.getPath}")
         dirs += 1
       }
     }
-    val current = s"m${m.batchId}.json"
     var manifests = 0
     val mdir = manifestDir(path)
+    // the manifest guard mirrors the delta guard above: delete only ids
+    // STRICTLY below the current committed one. An in-flight applyBatch
+    // may already have written m<id>.json for a higher id without having
+    // swapped _CURRENT yet — deleting it would leave the pointer dangling
+    // the instant the writer swaps. Unparseable names are left alone.
     if (f.exists(mdir)) f.listStatus(mdir).foreach { e =>
-      if (e.isFile && e.getPath.getName != current) {
+      val nm = e.getPath.getName
+      // leading digits cover both m<id>.json and m<id>.c<nonce>.json;
+      // a same-id compaction manifest might be in-flight (see above)
+      val id = if (nm.startsWith("m") && nm.endsWith(".json"))
+        nm.stripPrefix("m").takeWhile(_.isDigit).toLongOption else None
+      if (e.isFile && id.exists(_ < m.batchId)) {
         require(f.delete(e.getPath, false),
           s"vacuum: manifest delete failed: ${e.getPath}")
         manifests += 1

@@ -294,6 +294,53 @@ class GraphsSpec extends SparkTestBase {
     Dedup.releaseCaches()
   }
 
+  test("checkpointEvery: >20-round loops checkpoint periodically with " +
+      "identical results; a missing checkpoint dir fails loudly") {
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    if (prior.isEmpty) // the contract check must fire BEFORE any Spark job
+      intercept[IllegalArgumentException] {
+        Graphs.bfs(Seq(("a", "b")).toDF("s", "t"), "s", "t",
+          Seq("a").toDF("node"), "node", 3, checkpointEvery = 2)
+      }
+    intercept[IllegalArgumentException] { // negative is a caller bug
+      Graphs.pageRank(Seq(("a", "b")).toDF("s", "t"), "s", "t",
+        checkpointEvery = -1)
+    }
+    sc.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    locally {
+      // a 30-link chain forces 30 genuine rounds (frontier of size 1)
+      val chain = (0 until 30).map(i => ("n%02d".format(i), "n%02d".format(i + 1)))
+      val ckBfs = Graphs.bfs(chain.toDF("s", "t"), "s", "t",
+          Seq("n00").toDF("node"), "node", maxHops = 30, checkpointEvery = 5)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(ckBfs === runBfs(chain, Seq("n00"), 30) && ckBfs("n30") == 30)
+
+      val wchain = chain.map { case (a, b) => (a, b, 1.0) }
+      val ckSssp = Graphs.shortestPaths(wchain.toDF("s", "t", "w"), "s", "t",
+          "w", Seq("n00").toDF("node"), "node", maxIter = 30, checkpointEvery = 7)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(ckSssp === runSssp(wchain, Seq("n00"), 30))
+
+      val ckLpa = Graphs.labelPropagation(chain.toDF("s", "t"), "s", "t",
+          rounds = 22, undirected = true, checkpointEvery = 4)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(ckLpa === referenceLpa(chain, 22, undirected = true))
+
+      val ranksCk = Graphs.pageRank(chain.toDF("s", "t"), "s", "t",
+          iterations = 25, checkpointEvery = 6)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ranksRef = referenceRanks(wchain, 25, 0.85)
+      assert(ranksCk.keySet === ranksRef.keySet)
+      ranksCk.foreach { case (n, r) =>
+        assert(math.abs(r - ranksRef(n)) < 1e-12, n) }
+      Dedup.releaseCaches()
+    }
+    // the dir stays set for the rest of the session — harmless, since
+    // only checkpointEvery > 0 ever checkpoints
+  }
+
   test("labelPropagation tiebreak is UTF-8 byte order, not UTF-16 code units") {
     // U+1F600 (a surrogate pair) sorts ABOVE U+FF01 in UTF-8/code-point
     // order, but Java's String < puts the 0xD83D lead surrogate BELOW

@@ -469,6 +469,72 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L) == (("application/octet-stream", 0.0, 0, 0L, 0.0)))
   }
 
+  test("hostile image/audio headers fuzz: truncated files, lying chunk " +
+      "sizes, ~2 GiB declared payloads — decoders stay total and " +
+      "header-bounded (the VideoMetaSpec discipline)") {
+    // ---- images ----
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val whole = png(40, 30)
+    def img(b: Array[Byte]) = Multimodal.ImageIoDecoder.decode(b)
+    // signature-only and mid-IHDR truncations: no escape, stub fallback
+    // (mime still image/* — the decoder's totality contract)
+    for (cut <- Seq(0, 1, 8, 12, 20)) {
+      val (m, w, h) = img(whole.take(cut))
+      assert(m.startsWith("image/"), s"cut=$cut -> $m ($w x $h)")
+    }
+    // IHDR lying about width (2^30 pixels): header-only decode must
+    // return WITHOUT allocating pixel rows — either the parsed huge
+    // header or the stub fallback (if the reader rejects the CRC), never
+    // an OOM or escaped exception. IHDR width = bytes 16..19.
+    val lying = whole.clone()
+    lying(16) = 0x40.toByte; lying(17) = 0; lying(18) = 0; lying(19) = 0
+    val (lm, lw, _) = img(lying)
+    assert(lm.startsWith("image/") && (lw == (1 << 30) || lw < 1024),
+      s"$lm $lw")
+
+    // ---- audio ----
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    /** PCM WAV header declaring `dataLen` payload bytes, carrying none. */
+    def wavHeader(dataLen: Int): Array[Byte] =
+      ascii("RIFF") ++ le32(36 + dataLen) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+        le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+        ascii("data") ++ le32(dataLen)
+    def aud(b: Array[Byte]) = Multimodal.AudioHeaderDecoder.decode(b)
+    val S = ("application/octet-stream", 0.0, 0, 0L, 0.0)
+
+    // ~2 GiB declared data with ZERO bytes present: the header parse must
+    // report the declared frames (header math only — nothing allocates,
+    // nothing reads past the header) and return promptly
+    val lyingWav = wavHeader(0x7ffffff0)
+    val (am, rate, ch, frames, dur) = aud(lyingWav)
+    assert(am == "audio/wav" && rate == 44100.0 && ch == 2)
+    assert(frames == 0x7ffffff0L / 4)
+    assert(math.abs(dur - frames / 44100.0) < 1e-6)
+    // truncations at every boundary: RIFF tag only, mid-fmt, before data
+    for (cut <- Seq(2, 4, 10, 16, 25, 40)) {
+      assert(aud(wavHeader(100).take(cut)) == S, s"cut=$cut")
+    }
+    // fmt chunk lying about its own size (3 bytes: shorter than any PCM
+    // header) and a RIFF size smaller than its children
+    assert(aud(ascii("RIFF") ++ le32(8) ++ ascii("WAVE") ++ ascii("fmt ") ++
+      le32(3) ++ Array[Byte](1, 0, 2)) == S)
+    // zero-channel / zero-rate PCM header: division guards must hold
+    val zeroFmt = ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(0) ++ le32(0) ++
+      le32(0) ++ le16(0) ++ le16(16) ++ ascii("data") ++ le32(0)
+    val z = aud(zeroFmt)
+    assert(z == S || (z._1 == "audio/wav" && z._5 == 0.0), z.toString)
+  }
+
   test("resizeImage scales real images and passes through non-images") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -335,6 +335,27 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("gapFill: a non-orderable (map) payload fills without failing " +
+      "analysis; orderable columns still tie-break around it") {
+    // MapType can't sort, so it must be excluded from the tie columns
+    // instead of blowing up asofJoin's sort at analysis time
+    val obs = Seq(
+      ("a", 10L, 1.0, Map("m" -> 1)), ("a", 10L, 9.0, Map("m" -> 2)),
+      ("a", 40L, 2.0, Map("m" -> 3)))
+      .toDF("k", "t", "v", "tags")
+    val out = Temporal.gapFill(obs, Seq("k"), "t", 10L, Seq("v", "tags"))
+      .select("k", "t", "src_t", "v", "tags")
+      .collect().map(r => (r.getLong(1), r.getDouble(3),
+        r.getMap[String, Int](4).toMap)).sortBy(_._1)
+    // the orderable column v still picks the 9.0 winner in bin 10, and
+    // the map that RIDES with the winning row comes along (payloads
+    // travel as one row — excluding maps from the TIE columns doesn't
+    // decouple them from the chosen row)
+    assert(out.map(_._1).toSeq === Seq(10L, 20L, 30L, 40L))
+    assert(out.map(_._2).toSeq === Seq(9.0, 9.0, 9.0, 2.0))
+    assert(out(0)._3 === Map("m" -> 2) && out(3)._3 === Map("m" -> 3))
+  }
+
   // ------------------------------------------------------------------ scd2
 
   test("scd2 collapses no-op changes and chains half-open intervals") {

@@ -157,6 +157,76 @@ class WarcSourceSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("truncated")), messages(e))
   }
 
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  private def expectFail(name: String, bytes: Array[Byte], gzipped: Boolean,
+                         needles: Seq[String], cols: Seq[String]): Unit = {
+    val dir = Files.createTempDirectory(s"warc-fuzz-$name")
+    Files.write(dir.resolve(if (gzipped) "part-0.warc.gz" else "part-0.warc"),
+      bytes)
+    val e = intercept[Exception] {
+      spark.read.format("graft-warc").load(dir.toString)
+        .select(cols.head, cols.tail: _*).collect()
+    }
+    val ms = messages(e).mkString(" | ").toLowerCase(java.util.Locale.ROOT)
+    assert(needles.exists(n => ms.contains(n.toLowerCase(java.util.Locale.ROOT))),
+      s"$name: got [$ms], wanted one of $needles")
+  }
+
+  test("hostile inputs fuzz: truncated gzip members, lying Content-Length, " +
+      "2 GiB declared blocks, malformed headers — every case rejects " +
+      "LOUDLY, never a silent partial scan (the VideoMetaSpec discipline)") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close()
+      out.toByteArray
+    }
+    def record(contentLength: String, block: Array[Byte]): Array[Byte] =
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:z>\r\n" +
+        s"Content-Length: $contentLength\r\n\r\n").getBytes(UTF_8) ++
+        block ++ "\r\n\r\n".getBytes(UTF_8)
+
+    // a gzip member cut mid-DEFLATE: the decompressor's own loud EOF
+    val member = gz(sampleWarc)
+    expectFail("gz-truncated", member.take(member.length / 2), gzipped = true,
+      Seq("zlib", "truncated", "unexpected end", "eof", "corrupt", "premature"),
+      Seq("body"))
+    // a VALID gzip member whose record lies: Content-Length 5000, 20 bytes
+    // present — the truncation must surface through the decompressed view
+    expectFail("gz-lying-length", gz(record("5000", new Array[Byte](20))),
+      gzipped = true, Seq("truncated warc block"), Seq("body"))
+    // ~2 GiB declared with the body projected: the materialization guard
+    expectFail("declared-2gib", record("2147483647", new Array[Byte](8)),
+      gzipped = false, Seq("2 gib materialization limit"), Seq("body"))
+    // same declaration on the header-only SKIP path: seek-past-EOF probe
+    expectFail("declared-2gib-skip", record("2147483647", new Array[Byte](8)),
+      gzipped = false, Seq("truncated warc block"), Seq("warc_type"))
+    // negative and non-numeric Content-Length
+    expectFail("negative-length", record("-5", Array.empty), gzipped = false,
+      Seq("negative warc content-length"), Seq("warc_type"))
+    expectFail("nan-length", record("xyz", Array.empty), gzipped = false,
+      Seq("without a numeric content-length"), Seq("warc_type"))
+    // header line without a colon
+    expectFail("no-colon",
+      "WARC/1.0\r\nThisIsNotAHeader\r\n\r\n".getBytes(UTF_8), gzipped = false,
+      Seq("malformed warc header"), Seq("warc_type"))
+    // garbage instead of a version line
+    expectFail("no-version",
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8), gzipped = false,
+      Seq("expected warc version line"), Seq("warc_type"))
+    // EOF inside the header block (no terminating blank line)
+    expectFail("eof-in-headers",
+      "WARC/1.0\r\nWARC-Type: response\r\n".getBytes(UTF_8), gzipped = false,
+      Seq("truncated warc header block"), Seq("warc_type"))
+
+    // sanity: a well-formed file still parses after all the guards
+    val ok = Files.createTempDirectory("warc-fuzz-ok")
+    Files.write(ok.resolve("part-0.warc"), sampleWarc)
+    assert(spark.read.format("graft-warc").load(ok.toString).count() == 4)
+  }
+
   test("a truncated record fails loudly instead of silently dropping the tail") {
     val dir = Files.createTempDirectory("warc-trunc")
     val bytes = sampleWarc

@@ -201,6 +201,99 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(snap(path).toMap.apply(41L) == "new")
   }
 
+  test("vacuum racing a live writer leaves the writer's uncommitted " +
+      "manifest AND delta in place") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    assert(apply(path, Seq((1L, 2L, "U", "b")), 1))
+    val m1 = UpsertSink.readManifest(path).get
+    assert(m1.batchId == 1)
+
+    // fabricate the race window: an in-flight applyBatch for batch 2 has
+    // already written its delta dir AND its manifest file, but has NOT
+    // yet swapped _CURRENT (which still points at m1.json)
+    val fakeDelta = java.nio.file.Paths.get(path, "delta", "b2", "__bucket=0")
+    java.nio.file.Files.createDirectories(fakeDelta.getParent)
+    Seq((1L, "inflight")).toDF("id", "v").write.parquet(fakeDelta.toString)
+    val mdir = java.nio.file.Paths.get(path, "_manifest")
+    java.nio.file.Files.write(mdir.resolve("m2.json"),
+      s"""{"batchId":2,"numBuckets":$B,"key":"id","schema":"id BIGINT,v STRING","buckets":{"0":"delta/b2"}}"""
+        .getBytes("UTF-8"))
+
+    val (dirs, manifests) = UpsertSink.vacuum(path)
+    // m0.json is dead (id 0 < 1) and delta/b0 is superseded; the
+    // in-flight m2.json (id 2 > 1) and delta/b2 (id 2 > 1) must survive
+    assert(dirs == 1 && manifests == 1, s"($dirs, $manifests)")
+    assert(java.nio.file.Files.exists(mdir.resolve("m2.json")))
+    assert(java.nio.file.Files.exists(fakeDelta))
+    assert(!java.nio.file.Files.exists(mdir.resolve("m0.json")))
+    // the snapshot under _CURRENT is untouched
+    assert(snap(path) === Seq((1L, "b")))
+    // …so when the writer completes its swap, the pointer resolves: the
+    // post-swap snapshot reads through m2.json
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_CURRENT"),
+      "m2.json".getBytes("UTF-8"))
+    // LocalFileSystem checksum sidecar describes the old bytes — drop it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path, "._CURRENT.crc"))
+    assert(UpsertSink.readManifest(path).get.batchId == 2)
+    assert(snap(path) === Seq((1L, "inflight")))
+  }
+
+  test("compactSnapshot merges delta dirs behind the manifest swap: a " +
+      "concurrent reader never sees a doubled or missing row") {
+    val path = tmp()
+    assert(apply(path, (1L to 40L).map(i => (i, 1L, "I", s"v$i")), 0))
+    assert(apply(path, (1L to 40L).filter(_ % 3 == 0)
+      .map(i => (i, 2L, "U", s"w$i")), 1))
+    assert(apply(path, Seq((41L, 1L, "I", "x"), (5L, 2L, "D", null)), 2))
+    val want = snap(path)
+    val m2 = UpsertSink.readManifest(path).get
+    assert(m2.buckets.values.toSet.size > 1) // genuinely fragmented
+
+    // a reader that resolved _CURRENT BEFORE the compaction: its plan is
+    // bound to the old bucket dirs, which the swap must leave on disk
+    val preReader = UpsertSink.readSnapshot(spark, path)
+
+    val stats = UpsertSink.compactSnapshot(spark, path)
+    assert(stats.dirsScanned == m2.buckets.values.toSet.size &&
+      stats.dirsCompacted == stats.dirsScanned, stats.toString)
+    assert(stats.filesBefore >= stats.filesAfter && stats.filesAfter > 0)
+
+    // pre-compact reader: every row exactly once (old dirs intact)
+    assert(preReader.select("id", "v").as[(Long, String)]
+      .collect().sorted.toSeq === want)
+    // post-compact reader: identical content, same batchId (compaction
+    // is layout, not state), one delta dir, every bucket entry on it
+    assert(snap(path) === want)
+    val mc = UpsertSink.readManifest(path).get
+    assert(mc.batchId == m2.batchId && mc.buckets.keySet == m2.buckets.keySet)
+    val compactDirs = mc.buckets.values.toSet
+    assert(compactDirs.size == 1 && compactDirs.head.startsWith("delta/c2-"))
+
+    // a second compaction is a no-op (already one dir, zero jobs)
+    assert(UpsertSink.compactSnapshot(spark, path) ===
+      graft.operators.Layout.CompactStats(1, 0, 0L, 0L, 0L))
+
+    // Layout.compact routes a _CURRENT-managed tree here instead of the
+    // in-place swap (which would double rows transiently)
+    assert(graft.operators.Layout.compact(spark, path) ===
+      graft.operators.Layout.CompactStats(1, 0, 0L, 0L, 0L))
+
+    // vacuum reclaims the superseded b-dirs and old manifests; the
+    // snapshot reads identically after, and the sink still applies
+    val (dirs, manifests) = UpsertSink.vacuum(path)
+    assert(dirs == 3 && manifests == 2, s"($dirs, $manifests)")
+    assert(snap(path) === want)
+    assert(apply(path, Seq((42L, 1L, "I", "y")), 3))
+    assert(snap(path).toMap.apply(42L) == "y")
+    // after the id advances past the compaction, the superseded m2.json
+    // AND the same-id compaction manifest become reclaimable (the
+    // strictly-older guard now sees id 2 < 3)
+    val (_, manifests2) = UpsertSink.vacuum(path)
+    assert(manifests2 == 2)
+  }
+
   test("end-to-end: foreachBatch stream maintains the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
