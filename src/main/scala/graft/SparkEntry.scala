@@ -80,6 +80,14 @@ object SparkEntry {
     d.toString + "/t"
   }
 
+  /** Per-JVM dir for the q_upsert_time_travel gate (same wipe rule). */
+  private def timeTravelGateDir(): String = wipedDir(timeTravelGateRoot)
+  private lazy val timeTravelGateRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-time-travel-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -2139,6 +2147,40 @@ object SparkEntry {
       graft.streaming.UpsertSink.readSnapshot(spark, path)
         .select("doc_id", "text", "lang")
     }),
+    // TIME-TRAVEL read over the sink layout (round 13): three batches
+    // land (insert evens → update %6 / delete %10 with an equal-seq
+    // U-beats-D tie at %30 → delete EVERYTHING), then readSnapshotAt
+    // recovers the state AS OF batch 1 from the retained manifests —
+    // the lakehouse VERSION AS OF primitive, oracled as the two-batch
+    // declarative fold. The final (current) snapshot is empty, so the
+    // gate only passes if the historical manifest chain, not the
+    // current one, produced the rows. Cold-cost-by-design: fresh store
+    // per pass.
+    "q_upsert_time_travel" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = timeTravelGateDir()
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op,
+          |       concat(text, ' [v2]') AS text, lang
+          |FROM documents WHERE doc_id % 6 = 0
+          |UNION ALL
+          |SELECT doc_id, 2L, 'D', CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin)
+      val b2 = spark.sql(
+        """SELECT doc_id, 3L AS seq, 'D' AS op,
+          |       CAST(NULL AS STRING) AS text, CAST(NULL AS STRING) AS lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
+      applyB(b0, 0); applyB(b1, 1); applyB(b2, 2)
+      require(graft.streaming.UpsertSink.snapshotVersions(path) ==
+        Seq(0L, 1L, 2L), "expected three committed versions")
+      graft.streaming.UpsertSink.readSnapshotAt(spark, path, 1)
+        .select("doc_id", "text", "lang")
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 8 buckets — enough dirs to exercise pruning while
@@ -3391,6 +3433,29 @@ object SparkEntry {
     // vacuumed snapshot must equal the plain table (the bucket routing
     // is Spark-side only — no xxhash64 needed here)
     "q_compact_sink" -> "SELECT doc_id, text, lang FROM documents",
+    // time travel AS OF batch 1 = the two-batch fold: state after the
+    // even inserts with the %6 updates and %10 deletes applied (%30 keys
+    // carry both at equal seq — op 'U' > 'D' in the winner order); the
+    // batch-2 wipe-out must be invisible at version 1
+    "q_upsert_time_travel" ->
+      """WITH s0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT doc_id, 2 AS seq, 'U' AS op,
+        |              text || ' [v2]' AS text, lang
+        |       FROM documents WHERE doc_id % 6 = 0
+        |       UNION ALL
+        |       SELECT doc_id, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |w1 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b1),
+        |w AS (SELECT doc_id, op, text, lang FROM w1 WHERE rn = 1)
+        |SELECT coalesce(s0.doc_id, w.doc_id) AS doc_id,
+        |       CASE WHEN w.op IS NOT NULL THEN w.text ELSE s0.text END AS text,
+        |       CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END AS lang
+        |FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
+        |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin,
     // CDC stream parity: the three micro-batches folded declaratively —
     // per batch, winner per key by the same (seq, op, payloads) DESC
     // NULLS LAST order, applied by full-outer join onto the prior state

@@ -122,7 +122,11 @@ object UpsertSink {
     val ptr = currentPtr(path)
     val f = fsOf(ptr)
     if (!f.exists(ptr)) return None
-    val name = readText(f, ptr).trim
+    Some(readManifestFile(path, readText(f, ptr).trim))
+  }
+
+  private def readManifestFile(path: String, name: String): Manifest = {
+    val f = fsOf(manifestDir(path))
     val txt = readText(f,
       new org.apache.hadoop.fs.Path(manifestDir(path), name))
     // flat hand-rolled JSON:
@@ -146,7 +150,7 @@ object UpsertSink {
     val bucketsTxt = txt.substring(txt.lastIndexOf("\"buckets\""))
     val pairs = """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(bucketsTxt)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
-    Some(Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs))
+    Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs)
   }
 
   /** Writes manifest `name` and atomically swaps `_CURRENT` to it.
@@ -181,22 +185,35 @@ object UpsertSink {
   private def bucketDir(path: String, delta: String, b: Int): String =
     s"$path/$delta/$BucketCol=$b"
 
-  /** Union-read of specific bucket dirs (the bucket id is a path
-    * partition, not stored in the files, so each dir reads with the
-    * bare key+payload schema). */
-  private def readBuckets(spark: SparkSession, dirs: Seq[String]): Option[DataFrame] =
-    dirs.map(spark.read.parquet(_)).reduceOption(_ unionByName _)
+  /** Union-read of specific live `(bucket, deltaDir)` entries. Buckets
+    * GROUP BY their delta dir and read through ONE relation per dir
+    * with `basePath`, so the plan is a #deltaDirs-way union, not a
+    * #buckets-way one — at production bucket counts (thousands) a
+    * per-bucket union would be a driver-plan bottleneck before the
+    * first task ran. The `__bucket` path-partition column comes back
+    * from partition discovery; `keepBucket=false` drops it (snapshot
+    * readers see key+payloads only), `true` keeps it (compaction
+    * rewrites need the routing). */
+  private def readBuckets(spark: SparkSession, path: String,
+                          entries: Seq[(Int, String)],
+                          keepBucket: Boolean): Option[DataFrame] =
+    entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, bs) =>
+      val df = spark.read.option("basePath", s"$path/$d")
+        .parquet(bs.map(_._1).sorted.map(b => bucketDir(path, d, b)): _*)
+      if (keepBucket) df else df.drop(BucketCol)
+    }.reduceOption(_ unionByName _)
 
   /** The current snapshot as a DataFrame. An all-rows-deleted snapshot
     * (empty bucket map) still returns a correctly-TYPED empty frame —
     * the schema rides in the manifest, so downstream selects of the
     * key/payload columns keep resolving. */
-  def readSnapshot(spark: SparkSession, path: String): DataFrame = {
-    val m = readManifest(path).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $path yet"))
-    val dirs = m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, d) => bucketDir(path, d, b) }
-    readBuckets(spark, dirs).getOrElse {
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    snapshotOf(spark, path, readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet")))
+
+  private def snapshotOf(spark: SparkSession, path: String,
+                         m: Manifest): DataFrame =
+    readBuckets(spark, path, m.buckets.toSeq, keepBucket = false).getOrElse {
       if (!m.hasLayout) throw new IllegalStateException(
         s"snapshot at $path is empty and its legacy manifest records no " +
           "schema; apply a batch to upgrade it")
@@ -204,6 +221,66 @@ object UpsertSink {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+
+  /** Committed batch ids whose snapshots are still readable — i.e.
+    * every apply manifest at or below the CURRENT committed id that
+    * [[vacuum]] has not yet reclaimed (vacuum collapses history to the
+    * current snapshot; retention = your vacuum cadence). Sorted
+    * ascending. Uncommitted orphans (a manifest written by a crashed
+    * apply that never swapped `_CURRENT`) are excluded. */
+  def snapshotVersions(path: String): Seq[Long] = {
+    val cur = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    val mdir = manifestDir(path)
+    val f = fsOf(mdir)
+    f.listStatus(mdir).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.endsWith(".json"))
+      .flatMap(_.stripPrefix("m").takeWhile(_.isDigit).toLongOption)
+      .filter(_ <= cur.batchId)
+      .distinct.sorted
+  }
+
+  /** TIME-TRAVEL read: the snapshot as of the LARGEST committed batch
+    * id ≤ `batchId` — the lakehouse `VERSION AS OF` primitive, free
+    * here because superseded manifests and delta dirs stay on disk
+    * until [[vacuum]] (which collapses history to the current
+    * snapshot; a failed read after a vacuum names the missing
+    * version). Ids above the CURRENT committed one are clamped to it,
+    * and a crashed apply's orphan manifest (written, never swapped)
+    * is never eligible — uncommitted state stays invisible. When both
+    * an apply and a [[compactSnapshot]] manifest exist at the chosen
+    * id (identical state by construction), the first in name order
+    * whose delta dirs still exist is read. */
+  def readSnapshotAt(spark: SparkSession, path: String,
+                     batchId: Long): DataFrame = {
+    val cur = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    val mdir = manifestDir(path)
+    val f = fsOf(mdir)
+    val eligible = f.listStatus(mdir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("m").takeWhile(_.isDigit).toLongOption
+        .map(_ -> n))
+      .filter { case (id, _) => id <= batchId && id <= cur.batchId }
+    if (eligible.isEmpty) throw new IllegalStateException(
+      s"no committed snapshot at or before batch $batchId under $path " +
+        "(vacuum reclaims history; only ids in snapshotVersions() remain)")
+    val atId = eligible.map(_._1).max
+    // several manifests can share the id (an apply + compactions of it —
+    // identical state); a vacuum may have reclaimed the DIRS one of them
+    // references while the file itself survived (vacuum keeps same-id
+    // manifests as possibly in-flight), so pick the first candidate
+    // whose referenced delta dirs all still exist — a handful of
+    // dir-level existence probes (vacuum removes whole delta dirs)
+    val chosen = eligible.filter(_._1 == atId).map(_._2).sorted
+      .iterator.map(n => readManifestFile(path, n))
+      .find(_.buckets.values.toSet.forall(d =>
+        f.exists(new org.apache.hadoop.fs.Path(path, d))))
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot at batch $atId under $path is no longer readable — " +
+          "vacuum reclaimed its delta dirs"))
+    snapshotOf(spark, path, chosen)
   }
 
   /** Apply one CDC micro-batch. Returns true when applied, false when
@@ -243,9 +320,10 @@ object UpsertSink {
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return false // empty batch
 
-      val existingDirs = prev.toSeq.flatMap(m => touched.flatMap(b =>
-        m.buckets.get(b).map(d => bucketDir(path, d, b))))
-      val snapTouched = readBuckets(spark, existingDirs).getOrElse {
+      val existing = prev.toSeq.flatMap(m => touched.flatMap(b =>
+        m.buckets.get(b).map(d => b -> d)))
+      val snapTouched = readBuckets(spark, path, existing,
+          keepBucket = false).getOrElse {
         // first batch (or all-new buckets): empty snapshot, batch schema
         batch.select((key +: payloadCols).map(col): _*).limit(0)
       }
@@ -330,14 +408,11 @@ object UpsertSink {
     val (filesBefore, bytes) = stat(bucketDirs.map(_._2))
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val deltaDir = s"delta/c${m.batchId}-$nonce"
-    // each bucket dir reads with the bare key+payload schema (the bucket
-    // id is path metadata); the lit tag re-attaches it, and the
-    // repartition co-locates each bucket in one task before partitionBy
-    // — one output file per bucket, the applyBatch write shape
-    bucketDirs
-      .map { case (b, d) =>
-        spark.read.parquet(d).withColumn(BucketCol, lit(b)) }
-      .reduce(_ unionByName _)
+    // grouped read (one relation per live delta dir — see readBuckets)
+    // KEEPING the __bucket path-partition column; the repartition
+    // co-locates each bucket in one task before partitionBy — one
+    // output file per bucket, the applyBatch write shape
+    readBuckets(spark, path, m.buckets.toSeq, keepBucket = true).get
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$path/$deltaDir")
@@ -426,10 +501,36 @@ object UpsertSink {
   }
 
   /** foreachBatch adapter: `changes.writeStream.foreachBatch(
-    * UpsertSink.sink(spark, path, …)).outputMode("append")`. */
+    * UpsertSink.sink(spark, path, …)).outputMode("append")`.
+    *
+    * `compactEvery = n` folds maintenance into the stream: after every
+    * n-th APPLIED batch the snapshot compacts through the reader-safe
+    * [[compactSnapshot]] swap — without it a long-lived stream
+    * accretes one delta dir per batch and the scan side degrades to
+    * dir-per-batch listing (the small-files death, §Layout.compact).
+    * `vacuumAfterCompact` then reclaims superseded dirs and manifests;
+    * enable it only when no reader still holds a pre-swap manifest
+    * (one query lifetime of grace) AND [[readSnapshotAt]] history
+    * before the compaction point is expendable — vacuum collapses
+    * history to the current snapshot. */
   def sink(spark: SparkSession, path: String, key: String, seqCol: String,
-           opCol: String, payloadCols: Seq[String], numBuckets: Int)
-    : (DataFrame, Long) => Unit =
-    (df, id) => { applyBatch(spark, path, key, seqCol, opCol, payloadCols,
-      numBuckets)(df, id); () }
+           opCol: String, payloadCols: Seq[String], numBuckets: Int,
+           compactEvery: Int = 0, vacuumAfterCompact: Boolean = false)
+    : (DataFrame, Long) => Unit = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    require(compactEvery > 0 || !vacuumAfterCompact,
+      "vacuumAfterCompact requires compactEvery > 0")
+    var applied = 0L
+    (df, id) => {
+      if (applyBatch(spark, path, key, seqCol, opCol, payloadCols,
+          numBuckets)(df, id)) {
+        applied += 1
+        if (compactEvery > 0 && applied % compactEvery == 0) {
+          compactSnapshot(spark, path)
+          if (vacuumAfterCompact) vacuum(path)
+        }
+      }
+      ()
+    }
+  }
 }

@@ -294,6 +294,77 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(manifests2 == 2)
   }
 
+  test("time travel: readSnapshotAt recovers every committed version, " +
+      "clamps, skips uncommitted orphans, and vacuum collapses history") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a"), (2L, 1L, "I", "b")), 0))
+    assert(apply(path, Seq((2L, 2L, "U", "B2"), (3L, 1L, "I", "c")), 1))
+    assert(apply(path, Seq((1L, 3L, "D", null)), 2))
+    assert(UpsertSink.snapshotVersions(path) == Seq(0L, 1L, 2L))
+    def at(id: Long) = UpsertSink.readSnapshotAt(spark, path, id)
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(at(0) === Seq((1L, "a"), (2L, "b")))
+    assert(at(1) === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(at(2) === Seq((2L, "B2"), (3L, "c")))
+    assert(at(99) === at(2)) // above current: clamps to current
+    intercept[IllegalStateException] { at(-1) } // before the first commit
+
+    // an orphan manifest from a crashed apply (written, never swapped)
+    // must NOT be readable: uncommitted state stays invisible
+    val mdir = java.nio.file.Paths.get(path, "_manifest")
+    java.nio.file.Files.write(mdir.resolve("m9.json"),
+      s"""{"batchId":9,"numBuckets":$B,"key":"id","schema":"id BIGINT,v STRING","buckets":{"0":"delta/b9"}}"""
+        .getBytes("UTF-8"))
+    assert(at(99) === at(2))
+    java.nio.file.Files.delete(mdir.resolve("m9.json"))
+
+    // compaction adds a same-id manifest: time travel still reads every
+    // version, and the compacted current state is identical
+    UpsertSink.compactSnapshot(spark, path)
+    assert(UpsertSink.snapshotVersions(path) == Seq(0L, 1L, 2L))
+    assert(at(1) === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(at(2) === Seq((2L, "B2"), (3L, "c")))
+
+    // vacuum collapses history to the current snapshot: version 1 gone
+    // with a CLEAR error; the current id still reads (through whichever
+    // same-id manifest kept its dirs — the apply one lost them)
+    UpsertSink.vacuum(path)
+    assert(UpsertSink.snapshotVersions(path) == Seq(2L))
+    val e = intercept[IllegalStateException] { at(1) }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    assert(at(2) === Seq((2L, "B2"), (3L, "c")))
+  }
+
+  test("sink auto-compaction: compactEvery folds maintenance into the " +
+      "stream; vacuumAfterCompact reclaims superseded dirs") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val input = MemoryStream[(Long, Long, String, String)]
+    val query = input.toDF().toDF("id", "seq", "op", "v")
+      .writeStream
+      .foreachBatch(UpsertSink.sink(spark, path, "id", "seq", "op", Seq("v"),
+        B, compactEvery = 2, vacuumAfterCompact = true))
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, "I", "a"), (2L, 1L, "I", "b"))
+      query.processAllAvailable()
+      input.addData((1L, 2L, "U", "a2"), (3L, 1L, "I", "c"))
+      query.processAllAvailable() // 2nd applied batch -> compact + vacuum
+      input.addData((4L, 1L, "I", "d"))
+      query.processAllAvailable()
+      assert(snap(path).toMap ===
+        Map(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
+      // after the batch-1 compact+vacuum, dirs = that compaction's own
+      // c1-* plus the post-compaction b2; the pre-compaction b0/b1 gone
+      import scala.jdk.CollectionConverters._
+      val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "delta")).iterator().asScala
+        .map(_.getFileName.toString).toSet
+      assert(dirs.exists(_.startsWith("c1-")) && dirs.contains("b2") &&
+        !dirs.contains("b0") && !dirs.contains("b1"), dirs.toString)
+    } finally query.stop()
+  }
+
   test("end-to-end: foreachBatch stream maintains the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
