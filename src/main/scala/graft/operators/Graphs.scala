@@ -113,39 +113,46 @@ object Graphs {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         !isnan(col("w")) && col("w") > 0.0)
 
-    // normalize once: each edge carries its src-relative weight share
-    val outW = e.groupBy("src").agg(sum("w").as("__ow"))
-    val norm = e.join(outW, "src")
-      .select(col("src"), col("dst"), (col("w") / col("__ow")).as("share"))
-
     // The power iteration runs as an RDD loop over ONE fixed hash
     // partitioning (round 9; single-state zipPartitions form round 13 —
-    // the bfs/labelPropagation skeleton): edges src-route once, so each
-    // round's contribution scan is NARROW (zero shuffle on the edge
-    // side — the bulk), and only the reduceByKey of map-side-combined
-    // contributions (≤ |V| rows per partition) moves data; the rank
-    // rebuild is a second narrow zipPartitions. The equivalent
-    // DataFrame loop paid a per-iteration plan compile + two shuffling
-    // joins (7.2 → ~2.5 s at sf0.1 when this file switched); replacing
-    // the per-round pair joins (CoGroupedRDDs materializing group
-    // buffers) with hash-map zipPartitions is the same constant-factor
-    // cut bfs took in round 12. At 100 TB the fixed partitioner is
-    // exactly what keeps |E| from re-shuffling every round. Closures
-    // are fixed named functions — no per-round codegen.
+    // the bfs/labelPropagation skeleton): the WHOLE build pays exactly
+    // ONE |E|-sized shuffle — the adjacency reduceByKey below, which
+    // sums parallel (src, dst) weights and src-routes in the same pass.
+    // The r12 form paid THREE (the out-weight groupBy's join-back
+    // re-shuffled |E|, then norm.rdd re-routed |E| again); per-src
+    // total out-weights now ride as a third co-partitioned |V|-sized
+    // RDD instead of being folded into per-edge shares. Each round is
+    // a narrow 3-way zipPartitions contribution scan (ranks + out-
+    // weights + edges; per-partition hash maps replace the pair join)
+    // + ONE map-side-combined reduceByKey of contributions (≤ |V| rows
+    // per partition — the round's only shuffle) + a narrow node-list
+    // merge. The equivalent DataFrame loop paid a per-iteration plan
+    // compile + two shuffling joins (7.2 → ~2.5 s at sf0.1 when this
+    // file switched). At 100 TB the fixed partitioner is exactly what
+    // keeps |E| from re-shuffling every round. Closures are fixed
+    // named functions — no per-round codegen. FP parity with the
+    // declarative oracle: the share divides FIRST (r · (w/W), the
+    // oracle's own expression shape), so ranks stay bit-identical.
     val spark = edges.sparkSession
     val part = new org.apache.spark.HashPartitioner(
       spark.sessionState.conf.numShufflePartitions)
     val bySrc = byFirstOf(part)
-    // parallel (src, dst) shares SUM (contribution is r(src)·Σshare) and
-    // src-route in ONE build shuffle — no follow-up partitionBy
-    val adj = norm.rdd
+    // the ONE |E| shuffle: parallel (src, dst) weights SUM and src-route
+    // together — no normalize join, no follow-up partitionBy
+    val adj = e.rdd
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
       .reduceByKey(bySrc, _ + _)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // node set FROM the cached adjacency (norm keeps every valid edge
-    // row, so src ∪ dst here equals the input's) — the upstream
-    // edge-building DAG runs exactly ONCE; reduceByKey-as-distinct
-    // lands on the node partitioner
+    // per-src total out-weight: |V|-sized, map-side combined from the
+    // cached adjacency, node-routed (aligned with ranks partitions)
+    val outW = adj
+      .map { case ((s, _), w) => (s, w) }
+      .reduceByKey(part, _ + _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node set FROM the cached adjacency (it keeps every valid edge, so
+    // src ∪ dst here equals the input's) — the upstream edge-building
+    // DAG runs exactly ONCE; reduceByKey-as-distinct lands on the node
+    // partitioner
     val nodesRdd = adj
       .flatMap { case ((s, d), _) => Iterator((s, ()), (d, ())) }
       .reduceByKey(part, (a, _) => a)
@@ -153,6 +160,7 @@ object Graphs {
     val n = nodesRdd.count() // one job; N is needed as a literal below
     if (n == 0L) {
       adj.unpersist(blocking = false)
+      outW.unpersist(blocking = false)
       nodesRdd.unpersist(blocking = false)
       return e.select(col("src").as("node"), lit(0.0).as("rank")).limit(0)
     }
@@ -163,16 +171,20 @@ object Graphs {
     var round = 0
     for (_ <- 1 to iterations) {
       round += 1
-      // narrow contribution scan: ranks partition i holds exactly the
-      // nodes whose out-edges live in adjacency partition i
-      val contrib = ranksRdd.zipPartitions(adj) { (rit, eit) =>
+      // narrow contribution scan: ranks (and out-weights) partition i
+      // hold exactly the nodes whose out-edges live in adjacency
+      // partition i
+      val contrib = ranksRdd.zipPartitions(outW, adj) { (rit, wit, eit) =>
           // boxed: a rank-less src (impossible by construction, but the
           // contract is "absent → no contribution", not an unbox NPE)
           val rk = new java.util.HashMap[String, java.lang.Double]()
           rit.foreach { case (nd, r) => rk.put(nd, r) }
-          eit.flatMap { case ((s, d), share) =>
+          val ow = new java.util.HashMap[String, java.lang.Double]()
+          wit.foreach { case (s, w) => ow.put(s, w) }
+          eit.flatMap { case ((s, d), w) =>
             val r = rk.get(s)
-            if (r ne null) Iterator((d, r.doubleValue * share))
+            // share divides FIRST — the oracle's expression shape
+            if (r ne null) Iterator((d, r.doubleValue * (w / ow.get(s).doubleValue)))
             else Iterator.empty
           }
         }
@@ -205,6 +217,7 @@ object Graphs {
     // (N is a literal). All caches join the shared registry —
     // Bench/long sessions drain it between uses via Dedup.releaseCaches()
     Dedup.track(adj)
+    Dedup.track(outW)
     Dedup.track(nodesRdd)
     Dedup.track(ranks.persist(StorageLevel.MEMORY_AND_DISK))
   }
