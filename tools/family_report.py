@@ -16,7 +16,7 @@ FAMILIES = [
     ("text kernels", r"^q_(lang_id|text_|quality_|lm_score|repetition|redact|html|url_|bpe|token_|bigrams|tfidf|fingerprint|dsir|ccnet)"),
     ("sampling/stats", r"^q_(sample|docmix|split|stratified|weighted|quantile|hist|profile|row_ids|pack|chunk|stats_)"),
     ("sketches", r"^q_(heavy_hitters|distinct_sketch|cms|hll|sketch_rollup)"),
-    ("joins/layout", r"^q_(asof|range_join|interval_join|skew_join|topk_per_group|snapshot_diff|zorder|bucketed_join|merge_upsert|gap_fill|scd2|upsert_stream_parity|compact)"),
+    ("joins/layout", r"^q_(asof|range_join|interval_join|skew_join|topk_per_group|snapshot_diff|zorder|bucketed_join|merge_upsert|gap_fill|scd2|upsert_stream_parity|upsert_time_travel|compact)"),
     ("graphs/retrieval", r"^q_(pagerank|triangles|bm25|rrf|graph_bfs|label_prop|shortest_paths)"),
     ("multimodal", r"^q_(multimodal|video_meta)"),
     ("events/streaming", r"^q_(events|funnel|sessionize|retention)"),
