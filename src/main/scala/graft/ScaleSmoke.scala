@@ -250,6 +250,44 @@ object ScaleSmoke {
       s"${stats.filesBefore} -> ${stats.filesAfter} files across ${stats.dirsCompacted} dirs, checksum stable"
     }
 
+    // CDC sink at delta-dir scale: 16 applied batches fragment a
+    // 64-bucket snapshot across 16 delta dirs (the weeks-of-micro-
+    // batches shape; batches slice along the sink's own xxhash64 bucket
+    // routing so the fragmentation is real, not collapsed by merge
+    // rewrites). compactSnapshot merges them behind the atomic manifest
+    // swap with content verified by full-column checksum; a mid-stream
+    // time-travel read still resolves after the compaction; vacuum
+    // reclaims all 16 superseded dirs.
+    time("sink compact 16-dir 64-bucket snapshot (50k docs) + time travel") {
+      val dir = java.nio.file.Files.createTempDirectory("scale-sink").toString + "/t"
+      val sink = graft.streaming.UpsertSink
+      val applyB = sink.applyBatch(spark, dir, "doc_id", "seq", "op",
+        Seq("text"), 64) _
+      val bucketed = docs10.withColumn("__b",
+        pmod(xxhash64(col("doc_id")), lit(64)))
+      for (i <- 0 until 16) {
+        applyB(bucketed.where(col("__b") >= i * 4 && col("__b") < (i + 1) * 4)
+          .select(col("doc_id"), lit(1L).as("seq"), lit("I").as("op"),
+            col("text")), i.toLong)
+      }
+      def checksum() = sink.readSnapshot(spark, dir)
+        .agg(expr("bit_xor(xxhash64(doc_id, text))")).head().getLong(0)
+      val before = checksum()
+      val frag = sink.readManifest(dir).get.buckets.values.toSet.size
+      if (frag != 16) throw new AssertionError(s"expected 16 delta dirs, got $frag")
+      val stats = sink.compactSnapshot(spark, dir)
+      if (checksum() != before) throw new AssertionError("content changed")
+      val v7 = sink.readSnapshotAt(spark, dir, 7).count() // buckets 0..31
+      val full = sink.readSnapshot(spark, dir).count()
+      if (v7 >= full) throw new AssertionError(s"v7=$v7 !< full=$full")
+      val (vd, _) = sink.vacuum(dir)
+      if (vd != 16) throw new AssertionError(s"vacuum reclaimed $vd of 16")
+      if (checksum() != before) throw new AssertionError("content changed post-vacuum")
+      s"16 delta dirs -> ${stats.dirsCompacted} compacted " +
+        s"(${stats.filesBefore} -> ${stats.filesAfter} files), checksum " +
+        s"stable, as-of-7 read $v7/$full rows, 16 dirs vacuumed"
+    }
+
     // Distributed kNN join (large-Q path): 5k queries against a 20k-vector corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")
