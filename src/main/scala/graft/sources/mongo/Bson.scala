@@ -133,6 +133,15 @@ object Bson {
   private def writeDoc(buf: ByteBuffer, gen: com.fasterxml.jackson.core.JsonGenerator,
                        array: Boolean): Unit = {
     val len = buf.getInt()
+    // length-prefix hostility (the WARC/EBML discipline — these bytes
+    // arrive off the WIRE): a lying length must reject BEFORE anything
+    // dereferences it. Minimum document is 5 bytes (the length itself +
+    // terminator); the body must fit what the buffer actually holds —
+    // without the bound a huge value walks off the buffer, and a SHORT
+    // one that happens to land on a stray 0x00 would silently truncate
+    // the document (the position == end check below closes that half).
+    require(len >= 5 && len - 4 <= buf.remaining(),
+      s"BSON document length $len out of bounds (${buf.remaining()} bytes left)")
     val end = buf.position() + len - 4 - 1 // minus the length itself and terminator
     if (array) gen.writeStartArray() else gen.writeStartObject()
     while (buf.position() < end) {
@@ -145,7 +154,12 @@ object Bson {
         case 0x03 => writeDoc(buf, gen, array = false)
         case 0x04 => writeDoc(buf, gen, array = true)
         case 0x05 => // binary: int32 len, subtype byte, bytes → base64 string
-          val n = buf.getInt(); buf.get()
+          val n = buf.getInt()
+          // allocation bound BEFORE new Array: a lying 2 GB length (or a
+          // negative one) must reject, not OOM/NegativeArraySize
+          require(n >= 0 && n + 1L <= buf.remaining(),
+            s"BSON binary length $n out of bounds (${buf.remaining()} bytes left)")
+          buf.get()
           val b = new Array[Byte](n); buf.get(b)
           gen.writeString(java.util.Base64.getEncoder.encodeToString(b))
         case 0x07 => // ObjectId: 12 bytes → hex
@@ -161,6 +175,11 @@ object Bson {
           f"unsupported BSON element type 0x$other%02x for '$name'")
       }
     }
+    // the loop must land EXACTLY on the declared end: an inner element
+    // whose own (lying) length overran the document boundary desyncs the
+    // walk — overshooting is corruption, not an alignment detail
+    require(buf.position() == end,
+      s"BSON document length desync: landed at ${buf.position()}, declared end $end")
     val term = buf.get()
     require(term == 0, s"BSON document must end with 0x00, got $term")
     if (array) gen.writeEndArray() else gen.writeEndObject()
@@ -175,6 +194,10 @@ object Bson {
 
   private def string(buf: ByteBuffer): String = {
     val n = buf.getInt()
+    // n counts the bytes INCLUDING the terminator: must be >= 1 and fit
+    // the buffer before the allocation (lying-length discipline)
+    require(n >= 1 && n <= buf.remaining(),
+      s"BSON string length $n out of bounds (${buf.remaining()} bytes left)")
     val b = new Array[Byte](n - 1); buf.get(b)
     val term = buf.get()
     require(term == 0, "BSON string must end with 0x00")

@@ -63,6 +63,52 @@ class BsonSpec extends AnyFunSuite {
     assert(Bson.fromJson(s"""{"payload": "$b64"}""")(4) == 0x02)
   }
 
+  test("hostile wire bytes: lying document/string/binary lengths reject " +
+      "loudly before allocating or silently truncating") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(bs: ByteBuffer => ByteBuffer, size: Int): Array[Byte] =
+      bs(ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)).array()
+    def bad(doc: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Bson.toJson(doc) }
+      assert(e.getMessage.toLowerCase.contains(needle), e.getMessage)
+    }
+    val hello = Bson.fromJson("""{"hello": "world"}""") // 22 valid bytes
+
+    // document length claims far more than the buffer holds
+    bad(le(_.putInt(1000).put(hello.drop(4)), hello.length), "out of bounds")
+    // document length below the 5-byte minimum (0, negative)
+    bad(le(_.putInt(0).put(hello.drop(4)), hello.length), "out of bounds")
+    bad(le(_.putInt(-22).put(hello.drop(4)), hello.length), "out of bounds")
+    // document length landing mid-document such that the walk overruns
+    // the declared end and the NEXT byte read happens to be the real
+    // terminator 0x00: without the position==end check this parsed
+    // "successfully" while desynced for any following document in the
+    // same wire buffer — the in-range lie is the dangerous one.
+    // len=11 puts the declared end exactly on the field name's 0x00.
+    val short = hello.clone(); short(0) = 11
+    bad(short, "desync")
+    // len=5 (empty-doc claim on a non-empty doc) trips the terminator
+    // check instead — still loud
+    val five = hello.clone(); five(0) = 5
+    bad(five, "must end")
+    // string length lying long / zero (must include its terminator)
+    val sLong = hello.clone(); sLong(11) = 100
+    bad(sLong, "out of bounds")
+    val sZero = hello.clone(); sZero(11) = 0
+    bad(sZero, "out of bounds")
+    // binary element with a ~2 GiB declared payload: reject, never
+    // allocate; and a negative one
+    // 14 bytes: len(4) type(1) name"b\0"(2) binLen(4) subtype(1)
+    // payload(1) docTerm(1) — binLen lies about the single payload byte
+    def binDoc(n: Int): Array[Byte] = le(_.putInt(14).put(0x05.toByte)
+      .put('b'.toByte).put(0.toByte).putInt(n).put(0.toByte)
+      .put(0x42.toByte).put(0.toByte), 14)
+    bad(binDoc(Int.MaxValue - 8), "out of bounds")
+    bad(binDoc(-4), "out of bounds")
+    // a well-formed doc still parses after all the guards
+    assert(Bson.toJson(hello).contains("world"))
+  }
+
   test("unknown element types fail loudly instead of desyncing") {
     val doc = java.nio.ByteBuffer.allocate(11).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(11).put(0x7F.toByte).put('x'.toByte).put(0.toByte)
