@@ -88,4 +88,33 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"saltCap=$cap: $p")
     }
   }
+
+  test("UpsertSink snapshot reads are real parquet scans: filters push " +
+      "down, columns prune, grouped read stays union-of-dirs wide") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("plan-sink").toString
+    val applyB = streaming.UpsertSink.applyBatch(
+      spark, path, "id", "seq", "op", Seq("v", "w"), 8) _
+    applyB((1L to 200L).map(i => (i, 1L, "I", s"v$i", i * 2))
+      .toDF("id", "seq", "op", "v", "w"), 0)
+    applyB(Seq((7L, 2L, "U", "V7", 14L)).toDF("id", "seq", "op", "v", "w"), 1)
+
+    val df = streaming.UpsertSink.readSnapshot(spark, path)
+      .where(col("id") > 100L).select("id", "v")
+    val p = plan(df)
+    // the snapshot is plain parquet behind a manifest: predicate pushdown
+    // and column pruning must survive the union-of-delta-dirs read —
+    // a snapshot read that rescans all payload columns for a 2-column
+    // projection would be wrong at any scale
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,100)"), p)
+    assert(p.contains("ReadSchema: struct<id:bigint,v:string>"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(df.count() == 100)
+
+    // time-travel reads plan identically (same scan machinery, older
+    // manifest)
+    val p0 = plan(streaming.UpsertSink.readSnapshotAt(spark, path, 0)
+      .where(col("id") > 100L).select("id", "v"))
+    assert(p0.contains("ReadSchema: struct<id:bigint,v:string>"), p0)
+  }
 }
