@@ -433,12 +433,23 @@ object UpsertSink {
       filesAfter, bytes)
   }
 
-  /** Reclaims storage the snapshot no longer references: delta
-    * directories whose buckets all point elsewhere in the CURRENT
-    * manifest, and manifest files older than the current one. The
-    * `_CURRENT` swap is what makes superseded deltas safe to keep for
-    * in-flight readers — and this is the cleanup that eventually drops
-    * them. Returns `(deltaDirsRemoved, manifestsRemoved)`.
+  /** Reclaims storage the retained snapshots no longer reference: delta
+    * directories whose buckets all point elsewhere, and manifest files
+    * below the retention window. The `_CURRENT` swap is what makes
+    * superseded deltas safe to keep for in-flight readers — and this is
+    * the cleanup that eventually drops them. Returns
+    * `(deltaDirsRemoved, manifestsRemoved)`.
+    *
+    * `retainVersions` is the [[readSnapshotAt]] time-travel retention:
+    * the newest N committed versions stay readable, everything older
+    * reclaims. The default 1 keeps only the CURRENT snapshot (maximum
+    * reclamation — history collapses). For a retained id other than the
+    * current one, EVERY manifest file of that id keeps its dirs; for
+    * the current id only the `_CURRENT`-named manifest does (a
+    * superseded same-id apply manifest left behind by a compaction
+    * contributes nothing — its b-dirs reclaim now, and a later
+    * [[readSnapshotAt]] of that id resolves through the compaction
+    * manifest's surviving dirs).
     *
     * Safety: only ever deletes under `path/delta` and `path/_manifest`;
     * the current manifest and every delta dir it references survive by
@@ -448,14 +459,36 @@ object UpsertSink {
     * (batchIds are monotone; replays return before writing), so vacuum
     * racing a live writer can delete neither the delta the writer is
     * about to commit nor the manifest it has written but not yet
-    * swapped `_CURRENT` to. Run it when no READER can still
+    * swapped `_CURRENT` to (same-id compaction artifacts are likewise
+    * never candidates). Run it when no READER can still
     * hold a pre-swap manifest (readers resolve `_CURRENT` at open; a
     * grace window of one query lifetime suffices). Idempotent — a
     * second call finds nothing. */
-  def vacuum(path: String): (Int, Int) = {
-    val m = readManifest(path).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $path yet"))
-    val live = m.buckets.values.toSet // delta dirs the snapshot points at
+  def vacuum(path: String, retainVersions: Int = 1): (Int, Int) = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
+    val ptr = currentPtr(path)
+    val pf = fsOf(ptr)
+    if (!pf.exists(ptr))
+      throw new IllegalStateException(s"no snapshot at $path yet")
+    val currentName = readText(pf, ptr).trim
+    val m = readManifestFile(path, currentName)
+    val mdirPre = manifestDir(path)
+    // retained ids: the newest retainVersions committed ids on disk
+    val idsOnDisk = pf.listStatus(mdirPre).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("m").takeWhile(_.isDigit).toLongOption
+        .map(_ -> n))
+      .filter(_._1 <= m.batchId)
+    val retained = idsOnDisk.map(_._1).distinct.sorted.takeRight(retainVersions).toSet
+    // live dirs: the current manifest's, plus — for OLDER retained ids —
+    // every manifest file of that id (an old id's apply and compaction
+    // manifests both stay readable inside the window)
+    val live = m.buckets.values.toSet ++
+      idsOnDisk.filter { case (id, n) =>
+        id != m.batchId && retained.contains(id) }
+        .flatMap { case (_, n) => readManifestFile(path, n).buckets.values }
     val deltaRoot = new org.apache.hadoop.fs.Path(path, "delta")
     val f = fsOf(deltaRoot)
     var dirs = 0
@@ -488,10 +521,11 @@ object UpsertSink {
     if (f.exists(mdir)) f.listStatus(mdir).foreach { e =>
       val nm = e.getPath.getName
       // leading digits cover both m<id>.json and m<id>.c<nonce>.json;
-      // a same-id compaction manifest might be in-flight (see above)
+      // a same-id compaction manifest might be in-flight (see above),
+      // and ids inside the retention window stay time-travel readable
       val id = if (nm.startsWith("m") && nm.endsWith(".json"))
         nm.stripPrefix("m").takeWhile(_.isDigit).toLongOption else None
-      if (e.isFile && id.exists(_ < m.batchId)) {
+      if (e.isFile && id.exists(i => i < m.batchId && !retained.contains(i))) {
         require(f.delete(e.getPath, false),
           s"vacuum: manifest delete failed: ${e.getPath}")
         manifests += 1

@@ -335,6 +335,38 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(at(2) === Seq((2L, "B2"), (3L, "c")))
   }
 
+  test("vacuum retention: retainVersions keeps the newest N versions " +
+      "time-travel readable and reclaims everything older") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    assert(apply(path, Seq((1L, 2L, "U", "b"), (2L, 1L, "I", "x")), 1))
+    assert(apply(path, Seq((2L, 2L, "U", "X2")), 2))
+    assert(apply(path, Seq((3L, 1L, "I", "c")), 3))
+    assert(UpsertSink.snapshotVersions(path) == Seq(0L, 1L, 2L, 3L))
+    def at(id: Long) = UpsertSink.readSnapshotAt(spark, path, id)
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+
+    val (d2, m2) = UpsertSink.vacuum(path, retainVersions = 3)
+    // only version 0's artifacts fall outside the window: m0.json and
+    // delta/b0 (b0's bucket was rewritten by batch 1, so nothing current
+    // points at it)
+    assert(d2 == 1 && m2 == 1, s"($d2, $m2)")
+    assert(UpsertSink.snapshotVersions(path) == Seq(1L, 2L, 3L))
+    assert(at(1) === Seq((1L, "b"), (2L, "x")))
+    assert(at(2) === Seq((1L, "b"), (2L, "X2")))
+    assert(at(3) === Seq((1L, "b"), (2L, "X2"), (3L, "c")))
+    intercept[IllegalStateException] { at(0) }
+    // idempotent at the same retention
+    assert(UpsertSink.vacuum(path, retainVersions = 3) == ((0, 0)))
+    // shrinking the window reclaims the rest; current always survives
+    UpsertSink.vacuum(path)
+    assert(UpsertSink.snapshotVersions(path) == Seq(3L))
+    assert(at(3) === Seq((1L, "b"), (2L, "X2"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      UpsertSink.vacuum(path, retainVersions = 0)
+    }
+  }
+
   test("sink auto-compaction: compactEvery folds maintenance into the " +
       "stream; vacuumAfterCompact reclaims superseded dirs") {
     implicit val sqlCtx = spark.sqlContext
