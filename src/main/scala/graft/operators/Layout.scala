@@ -150,8 +150,11 @@ object Layout {
 
     // a sink-managed snapshot compacts through its manifest swap — the
     // in-place rename swap below would expose readers to transiently
-    // doubled rows, and its renamed files would dodge the manifest
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_CURRENT")))
+    // doubled rows, and its renamed files would dodge the manifest.
+    // Detection covers both pointer generations: the versioned-pointer
+    // `_manifest` dir and the legacy single-file `_CURRENT`.
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_manifest")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(root, "_CURRENT")))
       return graft.streaming.UpsertSink.compactSnapshot(spark, path)
 
     def listLeaves(): Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])] = {

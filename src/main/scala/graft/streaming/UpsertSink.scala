@@ -28,11 +28,14 @@ import java.nio.charset.StandardCharsets
   *
   * Disk layout: `path/delta/b<batchId>/__bucket=<k>/…` immutable bucket
   * dirs; `path/_manifest/m<batchId>.json` mapping every bucket to the
-  * delta dir currently holding it; `path/_CURRENT` → manifest name,
-  * swapped by rename-with-overwrite (readers see the old or the new
-  * manifest, never a mix). Superseded delta dirs stay on disk until
-  * [[vacuum]] drops them (they are what makes the swap safe for
-  * in-flight readers).
+  * delta dir currently holding it; `path/_manifest/_ptr.v<n>` →
+  * manifest name — the CURRENT pointer is the highest version, each
+  * committed by a plain rename-without-overwrite (atomic on every
+  * FileSystem; readers see the old or the new manifest, never a mix
+  * and never a missing pointer — see [[writeManifest]]). A legacy
+  * single-file `path/_CURRENT` still reads as a fallback. Superseded
+  * delta dirs stay on disk until [[vacuum]] drops them (they are what
+  * makes the swap safe for in-flight readers).
   *
   * ALL paths resolve through the Hadoop FileSystem API — local disk,
   * HDFS, or any object store the session's Hadoop configuration knows;
@@ -79,8 +82,36 @@ object UpsertSink {
 
   private def manifestDir(path: String) =
     new org.apache.hadoop.fs.Path(path, "_manifest")
-  private def currentPtr(path: String) =
+  /** Legacy single-file pointer (pre versioned pointers); still READ as
+    * a fallback so old stores open, never written anymore. */
+  private def legacyPtr(path: String) =
     new org.apache.hadoop.fs.Path(path, "_CURRENT")
+
+  private def ptrSeq(name: String): Option[Long] =
+    if (name.startsWith("_ptr.v")) name.stripPrefix("_ptr.v").toLongOption
+    else None
+
+  /** Resolves the current pointer: the HIGHEST-versioned
+    * `_manifest/_ptr.v<n>` file (each committed by a plain
+    * rename-without-overwrite — atomic on every FileSystem; see
+    * [[writeManifest]] for why rename-with-OVERWRITE is not), falling
+    * back to the legacy `_CURRENT` file for pre-upgrade stores.
+    * Returns (pointerSeq, manifestName); seq -1 marks the legacy path. */
+  private def currentPointer(path: String): Option[(Long, String)] = {
+    val mdir = manifestDir(path)
+    val f = fsOf(mdir)
+    val vs =
+      if (!f.exists(mdir)) Array.empty[(Long, org.apache.hadoop.fs.Path)]
+      else f.listStatus(mdir).filter(_.isFile)
+        .flatMap(e => ptrSeq(e.getPath.getName).map(_ -> e.getPath))
+    if (vs.nonEmpty) {
+      val (seq, p) = vs.maxBy(_._1)
+      Some(seq -> readText(f, p).trim)
+    } else {
+      val ptr = legacyPtr(path)
+      if (f.exists(ptr)) Some(-1L -> readText(f, ptr).trim) else None
+    }
+  }
 
   private def readText(f: org.apache.hadoop.fs.FileSystem,
                        p: org.apache.hadoop.fs.Path): String = {
@@ -118,12 +149,8 @@ object UpsertSink {
   }
 
   /** The current manifest, or None before the first applied batch. */
-  def readManifest(path: String): Option[Manifest] = {
-    val ptr = currentPtr(path)
-    val f = fsOf(ptr)
-    if (!f.exists(ptr)) return None
-    Some(readManifestFile(path, readText(f, ptr).trim))
-  }
+  def readManifest(path: String): Option[Manifest] =
+    currentPointer(path).map { case (_, name) => readManifestFile(path, name) }
 
   private def readManifestFile(path: String, name: String): Manifest = {
     val f = fsOf(manifestDir(path))
@@ -169,17 +196,26 @@ object UpsertSink {
       m.buckets.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",") + "}}"
     writeText(f, new org.apache.hadoop.fs.Path(mdir, name), body)
-    // pointer swap via FileContext rename-with-OVERWRITE — the atomic
-    // primitive on local disk and HDFS (a plain FileSystem.rename
-    // refuses existing destinations, and delete-then-rename would open
-    // a window with NO current pointer)
-    val ptr = currentPtr(path)
-    val tmp = new org.apache.hadoop.fs.Path(path, "_CURRENT.tmp")
+    // pointer swap: a NEW `_ptr.v<n>` file committed by a plain
+    // rename-WITHOUT-overwrite — the primitive that is atomic on every
+    // FileSystem. The previous design renamed OVER a single `_CURRENT`
+    // with Options.Rename.OVERWRITE, which is atomic on HDFS but the
+    // local AbstractFileSystem implements it as delete-then-rename: the
+    // concurrent-reads spec caught a reader observing NO pointer at all
+    // mid-swap. Readers resolve the HIGHEST version, so the new pointer
+    // becomes visible exactly when its rename lands; the superseded one
+    // stays readable until vacuum trims it (last two are always kept —
+    // a reader that listed just before the swap can still open its
+    // pick).
+    val seq = 1L + (if (f.exists(mdir))
+      f.listStatus(mdir).filter(_.isFile)
+        .flatMap(e => ptrSeq(e.getPath.getName)).foldLeft(-1L)(math.max)
+    else -1L)
+    val tmp = new org.apache.hadoop.fs.Path(mdir,
+      s".ptr.tmp.${java.lang.Long.toHexString(System.nanoTime())}")
     writeText(f, tmp, name)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      ptr.toUri, hadoopConf())
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val ptr = new org.apache.hadoop.fs.Path(mdir, s"_ptr.v$seq")
+    require(f.rename(tmp, ptr), s"pointer swap failed: $tmp -> $ptr")
   }
 
   private def bucketDir(path: String, delta: String, b: Int): String =
@@ -467,13 +503,11 @@ object UpsertSink {
   def vacuum(path: String, retainVersions: Int = 1): (Int, Int) = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
-    val ptr = currentPtr(path)
-    val pf = fsOf(ptr)
-    if (!pf.exists(ptr))
-      throw new IllegalStateException(s"no snapshot at $path yet")
-    val currentName = readText(pf, ptr).trim
+    val (curSeq, currentName) = currentPointer(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
     val m = readManifestFile(path, currentName)
     val mdirPre = manifestDir(path)
+    val pf = fsOf(mdirPre)
     // retained ids: the newest retainVersions committed ids on disk
     val idsOnDisk = pf.listStatus(mdirPre).toSeq.filter(_.isFile)
       .map(_.getPath.getName)
@@ -529,6 +563,27 @@ object UpsertSink {
         require(f.delete(e.getPath, false),
           s"vacuum: manifest delete failed: ${e.getPath}")
         manifests += 1
+      }
+    }
+    // pointer hygiene: versioned pointer files accrete one per swap —
+    // keep the newest TWO (a reader that listed just before a swap may
+    // still be about to open the runner-up; everything older is
+    // unreachable), sweep stray `.ptr.tmp.*` from crashed swaps, and
+    // drop the shadowed legacy `_CURRENT` once v-pointers exist
+    if (f.exists(mdir)) {
+      val seqs = f.listStatus(mdir).filter(_.isFile)
+        .flatMap(e => ptrSeq(e.getPath.getName)).sorted
+      if (seqs.nonEmpty) {
+        val keep = seqs.takeRight(2).toSet
+        f.listStatus(mdir).filter(_.isFile).foreach { e =>
+          val nm = e.getPath.getName
+          val stale = ptrSeq(nm).exists(!keep.contains(_)) ||
+            (nm.startsWith(".ptr.tmp.") && curSeq >= 0)
+          if (stale) require(f.delete(e.getPath, false),
+            s"vacuum: pointer cleanup failed: ${e.getPath}")
+        }
+        val legacy = legacyPtr(path)
+        if (f.exists(legacy)) f.delete(legacy, false) // best-effort shadow drop
       }
     }
     (dirs, manifests)

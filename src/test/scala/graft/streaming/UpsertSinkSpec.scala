@@ -227,15 +227,17 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(mdir.resolve("m2.json")))
     assert(java.nio.file.Files.exists(fakeDelta))
     assert(!java.nio.file.Files.exists(mdir.resolve("m0.json")))
-    // the snapshot under _CURRENT is untouched
+    // the snapshot under the current pointer is untouched
     assert(snap(path) === Seq((1L, "b")))
-    // …so when the writer completes its swap, the pointer resolves: the
-    // post-swap snapshot reads through m2.json
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_CURRENT"),
+    // …so when the writer completes its swap (a fresh highest-version
+    // pointer file), the pointer resolves: the post-swap snapshot reads
+    // through m2.json
+    import scala.jdk.CollectionConverters._
+    val maxV = java.nio.file.Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_ptr.v"))
+      .map(_.stripPrefix("_ptr.v").toLong).max
+    java.nio.file.Files.write(mdir.resolve(s"_ptr.v${maxV + 1}"),
       "m2.json".getBytes("UTF-8"))
-    // LocalFileSystem checksum sidecar describes the old bytes — drop it
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(path, "._CURRENT.crc"))
     assert(UpsertSink.readManifest(path).get.batchId == 2)
     assert(snap(path) === Seq((1L, "inflight")))
   }
@@ -335,6 +337,34 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(at(2) === Seq((2L, "B2"), (3L, "c")))
   }
 
+  test("a pre-upgrade store with only the legacy _CURRENT pointer opens, " +
+      "and the next apply upgrades it to versioned pointers") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    // convert to the legacy on-disk form: drop every versioned pointer,
+    // plant the single-file _CURRENT an old store would carry
+    val mdir = java.nio.file.Paths.get(path, "_manifest")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(mdir).iterator().asScala.toList
+      .filter(p => p.getFileName.toString.startsWith("_ptr.v") ||
+        p.getFileName.toString.startsWith("._ptr.v"))
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_CURRENT"),
+      "m0.json".getBytes("UTF-8"))
+    assert(UpsertSink.readManifest(path).get.batchId == 0)
+    assert(snap(path) === Seq((1L, "a")))
+    // the next apply writes a versioned pointer, which takes precedence
+    assert(apply(path, Seq((1L, 2L, "U", "b")), 1))
+    assert(snap(path) === Seq((1L, "b")))
+    assert(java.nio.file.Files.list(mdir).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_ptr.v")))
+    // vacuum drops the shadowed legacy file
+    UpsertSink.vacuum(path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_CURRENT")))
+    assert(snap(path) === Seq((1L, "b")))
+  }
+
   test("vacuum retention: retainVersions keeps the newest N versions " +
       "time-travel readable and reclaims everything older") {
     val path = tmp()
@@ -395,6 +425,44 @@ class UpsertSinkSpec extends SparkTestBase {
       assert(dirs.exists(_.startsWith("c1-")) && dirs.contains("b2") &&
         !dirs.contains("b0") && !dirs.contains("b1"), dirs.toString)
     } finally query.stop()
+  }
+
+  test("swap protocol under concurrent reads: every read observes one " +
+      "complete committed version, never a torn mix") {
+    val path = tmp()
+    val keys = 1L to 60L
+    assert(apply(path, keys.map(k => (k, 0L, "I", "b0")), 0))
+
+    // writer: 10 more versions, each rewriting EVERY key to its version
+    // tag (so a torn read would surface as mixed tags or missing rows),
+    // with reader-safe compactions interleaved; retention stays wide so
+    // no dir a reader might still hold is reclaimed mid-run
+    @volatile var writerError: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        for (i <- 1 to 10) {
+          apply(path, keys.map(k => (k, i.toLong, "U", s"b$i")), i.toLong)
+          if (i % 4 == 0) UpsertSink.compactSnapshot(spark, path)
+        }
+      } catch { case t: Throwable => writerError = t }
+    })
+    writer.start()
+    var reads = 0
+    try {
+      while (writer.isAlive) {
+        val rows = snap(path)
+        assert(rows.map(_._1) == keys, s"read $reads: missing/extra keys")
+        assert(rows.map(_._2).toSet.size == 1,
+          s"read $reads: torn version mix ${rows.map(_._2).toSet}")
+        reads += 1
+      }
+    } finally writer.join()
+    assert(writerError == null, String.valueOf(writerError))
+    assert(reads > 0)
+    // final state + a full-history vacuum leave the snapshot intact
+    assert(snap(path).map(_._2).toSet == Set("b10"))
+    UpsertSink.vacuum(path)
+    assert(snap(path).map(_._2).toSet == Set("b10"))
   }
 
   test("end-to-end: foreachBatch stream maintains the snapshot") {
