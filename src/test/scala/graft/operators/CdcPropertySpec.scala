@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the CDC fold: random change logs (key collisions,
+  * equal-seq conflicts, late-arriving lower seqs, delete-of-absent,
+  * all-delete batches) must fold identically through
+  * [[Layout.mergeChanges]] and the [[graft.streaming.UpsertSink]]
+  * apply→compact→vacuum pipeline as through a naive in-memory reference
+  * of the documented semantics: per batch the winner per key is the MAX
+  * `(seq, op, payload)` tuple (nulls low), and the winner REPLACES the
+  * snapshot state unconditionally (sequential-fold semantics — a later
+  * batch wins even with a lower seq, by design).
+  * (Raw scalacheck Gen sampling, the GeomPropertySpec idiom.) */
+class CdcPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = Seed(1337L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private case class Chg(key: Long, seq: Long, op: String, v: Option[String])
+
+  // few keys + few seqs force collisions, in-batch conflicts, and
+  // equal-(seq, op) payload ties; D rows carry a null payload
+  private val batchGen: Gen[List[Chg]] = for {
+    n <- Gen.chooseNum(1, 14)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.chooseNum(1L, 8L)
+      s <- Gen.chooseNum(1L, 5L)
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    } yield Chg(k, s, op, if (op == "D") None else Some(v)))
+  } yield rows
+
+  /** The documented winner rule: max (seq, op, payload), null payload
+    * low. Ops are 'U' > 'I' > 'D' in string order, same as the struct. */
+  private def winner(rows: Seq[Chg]): Map[Long, Chg] =
+    rows.groupBy(_.key).view
+      .mapValues(_.maxBy(c => (c.seq, c.op, c.v.getOrElse("")))).toMap
+
+  private def fold(state: Map[Long, String], batch: Seq[Chg]): Map[Long, String] =
+    winner(batch).foldLeft(state) { case (st, (k, c)) =>
+      if (c.op == "D") st - k else st + (k -> c.v.get)
+    }
+
+  private def toDf(b: Seq[Chg]) =
+    b.map(c => (c.key, c.seq, c.op, c.v.orNull)).toDF("key", "seq", "op", "v")
+
+  test("mergeChanges folds any random 3-batch log like the reference") {
+    forAll(Gen.listOfN(3, batchGen), n = 25) { batches =>
+      var df = Seq.empty[(Long, String)].toDF("key", "v")
+      var ref = Map.empty[Long, String]
+      batches.foreach { b =>
+        df = Layout.mergeChanges(df, toDf(b), "key", "seq", "op", Seq("v"))
+        ref = fold(ref, b)
+      }
+      val got = df.as[(Long, String)].collect().toMap
+      assert(got === ref, s"log: $batches")
+    }
+  }
+
+  test("UpsertSink apply -> compact -> vacuum folds any random 6-batch " +
+      "log like the reference, end to end through the store") {
+    val sink = graft.streaming.UpsertSink
+    forAll(Gen.listOfN(6, batchGen), n = 3) { batches =>
+      val path = java.nio.file.Files.createTempDirectory("cdc-prop").toString
+      var ref = Map.empty[Long, String]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        sink.applyBatch(spark, path, "key", "seq", "op", Seq("v"), 4)(
+          toDf(b), i.toLong)
+        ref = fold(ref, b)
+      }
+      sink.compactSnapshot(spark, path)
+      sink.vacuum(path)
+      val got = sink.readSnapshot(spark, path)
+        .as[(Long, String)].collect().toMap
+      assert(got === ref, s"log: $batches")
+    }
+  }
+}
