@@ -63,6 +63,41 @@ class BsonSpec extends AnyFunSuite {
     assert(Bson.fromJson(s"""{"payload": "$b64"}""")(4) == 0x02)
   }
 
+  test("property: random JSON trees round-trip through the hardened " +
+      "walker (the bounds guards admit every honest document)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val scalar: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(-1000000, 1000000).map(_.toString),
+      Gen.chooseNum(-10L << 40, 10L << 40).map(_.toString),
+      Gen.chooseNum(-9999, 9999).map(n => s"$n.25"),
+      Gen.oneOf("true", "false", "null"),
+      Gen.listOfN(4, Gen.alphaNumChar).map(s => s""""${s.mkString}""""))
+    def tree(depth: Int): Gen[String] =
+      if (depth == 0) scalar
+      else Gen.frequency(
+        3 -> scalar,
+        2 -> Gen.chooseNum(0, 4).flatMap(n =>
+          Gen.listOfN(n, tree(depth - 1)).map(_.mkString("[", ",", "]"))),
+        2 -> Gen.chooseNum(0, 4).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(Gen.listOfN(3, Gen.alphaLowerChar), tree(depth - 1)))
+            .map(_.zipWithIndex.map { case ((k, v), i) =>
+              s""""${k.mkString}$i": $v""" }.mkString("{", ",", "}"))))
+    val docGen = Gen.chooseNum(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.listOfN(3, Gen.alphaLowerChar), tree(2)))
+        .map(_.zipWithIndex.map { case ((k, v), i) =>
+          s""""${k.mkString}$i": $v""" }.mkString("{", ",", "}")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var seed = Seed(77L)
+    for (_ <- 1 to 200) {
+      docGen.apply(Gen.Parameters.default, seed).foreach { json =>
+        assert(mapper.readTree(Bson.toJson(Bson.fromJson(json))) ==
+          mapper.readTree(json), json)
+      }
+      seed = seed.next
+    }
+  }
+
   test("hostile wire bytes: lying document/string/binary lengths reject " +
       "loudly before allocating or silently truncating") {
     import java.nio.{ByteBuffer, ByteOrder}
