@@ -118,7 +118,12 @@ object Layout {
     * [[graft.streaming.UpsertSink.compactSnapshot]] instead: its
     * bucket deltas compact into a NEW delta dir committed by the
     * sink's atomic manifest swap, so concurrent readers never see the
-    * in-place path's transient doubled-rows window at all.
+    * in-place path's transient doubled-rows window at all. On that
+    * rerouted path `targetBytes`/`parallelism` DO NOT APPLY (the sink
+    * writes one file per bucket in one grouped job) and the returned
+    * [[CompactStats]] counts DELTA dirs, not leaf dirs — the reroute
+    * REFUSES non-default tuning rather than silently ignoring it; call
+    * `UpsertSink.compactSnapshot` directly to tune a sink store.
     *
     * Crash safety of the in-place path — a write-ahead marker makes
     * the swap RE-RUNNABLE without ever losing committed rows (readers
@@ -154,8 +159,17 @@ object Layout {
     // Detection covers both pointer generations: the versioned-pointer
     // `_manifest` dir and the legacy single-file `_CURRENT`.
     if (fs.exists(new org.apache.hadoop.fs.Path(root, "_manifest")) ||
-        fs.exists(new org.apache.hadoop.fs.Path(root, "_CURRENT")))
+        fs.exists(new org.apache.hadoop.fs.Path(root, "_CURRENT"))) {
+      // fail loudly rather than silently ignore tuning that does not
+      // apply to the sink path (one file per bucket; stats count delta
+      // dirs) — a caller that dialed targetBytes/parallelism is asking
+      // for an operation this tree cannot perform
+      require(targetBytes == (128L << 20) && parallelism == 4,
+        s"$path is a sink-managed snapshot: compaction reroutes to " +
+          "UpsertSink.compactSnapshot, where targetBytes/parallelism do " +
+          "not apply — call it directly (or use default arguments here)")
       return graft.streaming.UpsertSink.compactSnapshot(spark, path)
+    }
 
     def listLeaves(): Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])] = {
       val leaves = scala.collection.mutable.ArrayBuffer.empty[

@@ -26,6 +26,14 @@ object Bson {
 
   private val mapper = new ObjectMapper()
 
+  /** Nesting cap on BOTH codec directions. A hostile wire document can
+    * nest 0x03/0x04 elements at ~5 bytes per level — unbounded recursion
+    * turns that into a StackOverflowError, an Error escaping the
+    * require-based loud-reject discipline every other lying-length check
+    * here follows. 256 comfortably exceeds MongoDB's own server-side
+    * nesting limit (100), so nothing a real server emits ever trips it. */
+  private[mongo] val MaxDepth = 256
+
   // ------------------------------------------------------------- encode
 
   /** JSON text → one BSON document's bytes. `longFields` names elements
@@ -40,23 +48,25 @@ object Bson {
     encodeDoc(mapper.readTree(json), longFields, binaryFields)
 
   private def encodeDoc(node: JsonNode, longFields: Set[String],
-                        binaryFields: Set[String]): Array[Byte] = {
+                        binaryFields: Set[String], depth: Int = 0): Array[Byte] = {
     require(node.isObject, s"BSON document must encode a JSON object, got: $node")
+    require(depth < MaxDepth, s"BSON nesting exceeds $MaxDepth levels")
     val out = new ByteArrayOutputStream()
     val it = node.fields()
     while (it.hasNext) {
       val e = it.next()
-      encodeElement(out, e.getKey, e.getValue, longFields, binaryFields)
+      encodeElement(out, e.getKey, e.getValue, longFields, binaryFields, depth)
     }
     finishDoc(out)
   }
 
   private def encodeArray(node: JsonNode, longFields: Set[String],
-                          binaryFields: Set[String]): Array[Byte] = {
+                          binaryFields: Set[String], depth: Int): Array[Byte] = {
+    require(depth < MaxDepth, s"BSON nesting exceeds $MaxDepth levels")
     val out = new ByteArrayOutputStream()
     var i = 0
     val it = node.elements()
-    while (it.hasNext) { encodeElement(out, i.toString, it.next(), longFields, binaryFields); i += 1 }
+    while (it.hasNext) { encodeElement(out, i.toString, it.next(), longFields, binaryFields, depth); i += 1 }
     finishDoc(out)
   }
 
@@ -68,7 +78,8 @@ object Bson {
   }
 
   private def encodeElement(out: ByteArrayOutputStream, name: String, v: JsonNode,
-                            longFields: Set[String], binaryFields: Set[String]): Unit = {
+                            longFields: Set[String], binaryFields: Set[String],
+                            depth: Int): Unit = {
     def cstring(s: String): Unit = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       require(!b.contains(0.toByte), s"BSON names cannot contain NUL: $s")
@@ -107,10 +118,10 @@ object Bson {
       out.write(0x0A); cstring(name)
     } else if (v.isObject) {
       out.write(0x03); cstring(name)
-      val d = encodeDoc(v, longFields, binaryFields); out.write(d, 0, d.length)
+      val d = encodeDoc(v, longFields, binaryFields, depth + 1); out.write(d, 0, d.length)
     } else if (v.isArray) {
       out.write(0x04); cstring(name)
-      val d = encodeArray(v, longFields, binaryFields); out.write(d, 0, d.length)
+      val d = encodeArray(v, longFields, binaryFields, depth + 1); out.write(d, 0, d.length)
     } else throw new IllegalArgumentException(s"cannot BSON-encode: $v")
   }
 
@@ -131,7 +142,11 @@ object Bson {
   def toJson(doc: Array[Byte]): String = toJson(ByteBuffer.wrap(doc))
 
   private def writeDoc(buf: ByteBuffer, gen: com.fasterxml.jackson.core.JsonGenerator,
-                       array: Boolean): Unit = {
+                       array: Boolean, depth: Int = 0): Unit = {
+    // depth guard BEFORE any recursion: a hostile ~5-bytes-per-level
+    // nest must reject loudly, not StackOverflowError past the require
+    // discipline (reader side of [[MaxDepth]])
+    require(depth < MaxDepth, s"BSON nesting exceeds $MaxDepth levels")
     val len = buf.getInt()
     // length-prefix hostility (the WARC/EBML discipline — these bytes
     // arrive off the WIRE): a lying length must reject BEFORE anything
@@ -151,8 +166,8 @@ object Bson {
       t match {
         case 0x01 => gen.writeNumber(java.lang.Double.longBitsToDouble(buf.getLong()))
         case 0x02 => gen.writeString(string(buf))
-        case 0x03 => writeDoc(buf, gen, array = false)
-        case 0x04 => writeDoc(buf, gen, array = true)
+        case 0x03 => writeDoc(buf, gen, array = false, depth + 1)
+        case 0x04 => writeDoc(buf, gen, array = true, depth + 1)
         case 0x05 => // binary: int32 len, subtype byte, bytes → base64 string
           val n = buf.getInt()
           // allocation bound BEFORE new Array: a lying 2 GB length (or a

@@ -50,6 +50,23 @@ object UpsertSink {
 
   private val BucketCol = "__bucket"
 
+  /** Crashed-swap `.ptr.tmp.*` files younger than this survive [[vacuum]]:
+    * an in-flight [[writeManifest]] writes its tmp pointer moments before
+    * renaming it in, and a vacuum racing that writer must not delete the
+    * file out from under the rename. 15 minutes dwarfs any real
+    * write-then-rename gap while still reclaiming genuinely orphaned tmps. */
+  private[streaming] val TmpPointerGraceMs: Long = 15L * 60 * 1000
+
+  /** Driver-side metadata RPCs (exists / listStatus / listFiles) issued by
+    * the sink's own maintenance code — NOT Spark's job-side IO. Tests pin
+    * the scale contract on it: per apply/compaction the count is a small
+    * CONSTANT, never O(numBuckets) — at production bucket counts
+    * (thousands) per-bucket probes would be thousands of sequential
+    * LIST/HEAD RPCs against an object store before any manifest could
+    * swap. */
+  private[streaming] val metaOps = new java.util.concurrent.atomic.AtomicLong(0)
+  @inline private def counted[T](t: => T): T = { metaOps.incrementAndGet(); t }
+
   /** Snapshot table manifest. Beyond the batch id and bucket map it
     * pins the LAYOUT CONTRACT — `numBuckets`, the key column, and the
     * snapshot schema (key + payloads, as Spark DDL). The bucket of a
@@ -101,15 +118,15 @@ object UpsertSink {
     val mdir = manifestDir(path)
     val f = fsOf(mdir)
     val vs =
-      if (!f.exists(mdir)) Array.empty[(Long, org.apache.hadoop.fs.Path)]
-      else f.listStatus(mdir).filter(_.isFile)
+      if (!counted(f.exists(mdir))) Array.empty[(Long, org.apache.hadoop.fs.Path)]
+      else counted(f.listStatus(mdir)).filter(_.isFile)
         .flatMap(e => ptrSeq(e.getPath.getName).map(_ -> e.getPath))
     if (vs.nonEmpty) {
       val (seq, p) = vs.maxBy(_._1)
       Some(seq -> readText(f, p).trim)
     } else {
       val ptr = legacyPtr(path)
-      if (f.exists(ptr)) Some(-1L -> readText(f, ptr).trim) else None
+      if (counted(f.exists(ptr))) Some(-1L -> readText(f, ptr).trim) else None
     }
   }
 
@@ -203,19 +220,29 @@ object UpsertSink {
     // local AbstractFileSystem implements it as delete-then-rename: the
     // concurrent-reads spec caught a reader observing NO pointer at all
     // mid-swap. Readers resolve the HIGHEST version, so the new pointer
-    // becomes visible exactly when its rename lands; the superseded one
-    // stays readable until vacuum trims it (last two are always kept —
-    // a reader that listed just before the swap can still open its
-    // pick).
-    val seq = 1L + (if (f.exists(mdir))
-      f.listStatus(mdir).filter(_.isFile)
-        .flatMap(e => ptrSeq(e.getPath.getName)).foldLeft(-1L)(math.max)
-    else -1L)
+    // becomes visible exactly when its rename lands; the superseded
+    // pointer FILE survives hygiene (newest two always kept), so a
+    // reader that listed just before the swap can still open its pick —
+    // what that pointer NAMES stays readable per the retention/grace
+    // contract ([[vacuum]]).
+    val existing = counted(f.listStatus(mdir)).filter(_.isFile)
+      .flatMap(e => ptrSeq(e.getPath.getName).map(_ -> e.getPath))
+    val seq = 1L + existing.map(_._1).foldLeft(-1L)(math.max)
     val tmp = new org.apache.hadoop.fs.Path(mdir,
       s".ptr.tmp.${java.lang.Long.toHexString(System.nanoTime())}")
     writeText(f, tmp, name)
     val ptr = new org.apache.hadoop.fs.Path(mdir, s"_ptr.v$seq")
     require(f.rename(tmp, ptr), s"pointer swap failed: $tmp -> $ptr")
+    // opportunistic pointer hygiene (writer-side, no vacuum needed):
+    // pointer files accrete one per swap; drop everything older than the
+    // newest two — the same keep-2 grace rule vacuum applies, so a
+    // vacuum-free long-lived stream still holds a bounded pointer set.
+    // Best-effort deletes: a concurrent vacuum may have swept them first,
+    // and single-writer discipline means nobody else is ADDING versions.
+    existing.filter(_._1 < seq - 1).foreach { case (_, p) =>
+      try f.delete(p, false)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   private def bucketDir(path: String, delta: String, b: Int): String =
@@ -381,11 +408,19 @@ object UpsertSink {
       // existence check goes through the SAME FileSystem Spark wrote
       // with — a driver-local check would see nothing on HDFS/object
       // stores and silently drop every touched bucket from the manifest.
+      // ONE listing of the delta dir + set membership, NOT one exists()
+      // per touched bucket: at production bucket counts that would be
+      // thousands of sequential HEAD RPCs against an object store.
       val deltaPath = new org.apache.hadoop.fs.Path(path, deltaDir)
       val dfs = fsOf(deltaPath)
-      val written = touched.filter(b =>
-        dfs.exists(new org.apache.hadoop.fs.Path(deltaPath, s"$BucketCol=$b")))
-        .toSet
+      val onDisk =
+        if (!counted(dfs.exists(deltaPath))) Set.empty[Int]
+        else counted(dfs.listStatus(deltaPath)).filter(_.isDirectory)
+          .flatMap(e => Option(e.getPath.getName)
+            .filter(_.startsWith(s"$BucketCol="))
+            .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption))
+          .toSet
+      val written = touched.filter(onDisk).toSet
       val base = prev.map(_.buckets).getOrElse(Map.empty)
       val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
       writeManifest(path, Manifest(batchId, numBuckets, key, ddl, next),
@@ -394,19 +429,25 @@ object UpsertSink {
     } finally graft.operators.Dedup.releaseFrame(batch)
   }
 
-  /** Reader-safe compaction for a sink-managed snapshot: rewrites every
-    * bucket into ONE new delta dir (`delta/c<batchId>-<nonce>` — one
-    * task and one file per bucket) and commits it through the SAME
-    * manifest-swap protocol as [[applyBatch]], so a concurrent reader
-    * resolves `_CURRENT` to either the fragmented or the compacted
-    * layout — never a mix, never a doubled or missing row. This is the
-    * snapshot counterpart of [[graft.operators.Layout.compact]], whose
-    * in-place rename swap has a documented transient doubled-rows
-    * window; here nothing visible changes before the pointer swap, and
-    * a crash at ANY point leaves only orphan files for [[vacuum]] to
-    * reclaim (after the next applied batch raises the committed id —
-    * the strictly-older guards treat same-id files as possibly
-    * in-flight).
+  /** Reader-safe INCREMENTAL compaction for a sink-managed snapshot:
+    * merges just enough of the SMALLEST live delta dirs (by live bytes)
+    * into one new dir (`delta/c<batchId>-<nonce>` — one task and one
+    * file per bucket) to bring the live delta-dir count down to
+    * `maxDeltaDirs`, pointing every untouched bucket at its EXISTING
+    * dir, and commits through the SAME manifest-swap protocol as
+    * [[applyBatch]] — a concurrent reader resolves the pointer to
+    * either the fragmented or the compacted layout, never a mix, never
+    * a doubled or missing row. A crash at ANY point leaves only orphan
+    * files for [[vacuum]] to reclaim (after the next applied batch
+    * raises the committed id — the strictly-older guards treat same-id
+    * files as possibly in-flight).
+    *
+    * Merging the smallest dirs is what makes streaming maintenance
+    * ([[sink]]'s `compactEvery`) scale: cost tracks FRAGMENTATION (the
+    * recent small batches), not table size — a settled multi-terabyte
+    * base dir is never rewritten just because new micro-batches landed
+    * beside it. `maxDeltaDirs = 1` (the default for a manual call)
+    * still consolidates everything into one dir.
     *
     * The compacted manifest keeps the CURRENT `batchId` (compaction
     * changes layout, not state), so the exactly-once replay guard and
@@ -415,13 +456,13 @@ object UpsertSink {
     * maintenance protocol — readers need no coordination, but don't
     * race it with a live apply.
     *
-    * No-op (and zero Spark jobs) when the snapshot is empty or already
-    * spans ≤ `maxDeltaDirs` delta dirs. Cost is one full snapshot
-    * rewrite — run it when the delta-dir count (≈ applied batches since
-    * the last compaction) makes scan-side dir listing and small files
-    * the bottleneck, not per batch. Returns [[Layout.CompactStats]]
-    * with dirs = DELTA dirs (scanned = spanned before, compacted =
-    * merged away), files/bytes = data files under the live buckets.
+    * Driver metadata cost is ONE recursive listing per live delta dir
+    * plus one listing of the rewrite output — never a probe per bucket
+    * (see [[metaOps]]). No-op (and zero Spark jobs) when the snapshot
+    * is empty or already spans ≤ `maxDeltaDirs` delta dirs. Returns
+    * [[Layout.CompactStats]] with dirsScanned = live delta dirs before,
+    * dirsCompacted = dirs merged away, files/bytes = live data files
+    * under the MERGED dirs only (the work actually done).
     */
   def compactSnapshot(spark: SparkSession, path: String,
                       maxDeltaDirs: Int = 1): Layout.CompactStats = {
@@ -429,43 +470,68 @@ object UpsertSink {
     val m = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
     val liveDirs = m.buckets.values.toSet
-    val f = fsOf(new org.apache.hadoop.fs.Path(path))
-    def stat(dirs: Seq[String]): (Long, Long) =
-      dirs.foldLeft((0L, 0L)) { case ((n, by), d) =>
-        val fl = f.listStatus(new org.apache.hadoop.fs.Path(d)).filter(e =>
-          e.isFile && !e.getPath.getName.startsWith("_") &&
-            !e.getPath.getName.startsWith("."))
-        (n + fl.length, by + fl.map(_.getLen).sum)
-      }
     if (m.buckets.isEmpty || liveDirs.size <= maxDeltaDirs)
       return Layout.CompactStats(liveDirs.size, 0, 0L, 0L, 0L)
-    val bucketDirs = m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, d) => b -> bucketDir(path, d, b) }
-    val (filesBefore, bytes) = stat(bucketDirs.map(_._2))
+    val f = fsOf(new org.apache.hadoop.fs.Path(path))
+    val liveByDir: Map[String, Set[Int]] =
+      m.buckets.toSeq.groupMap(_._2)(_._1).map { case (d, bs) => d -> bs.toSet }
+    // (files, bytes) of dir `d` counting ONLY its live buckets `bs`: an
+    // old delta dir may still hold bucket dirs that later batches
+    // repointed elsewhere — those are vacuum's business, not this
+    // rewrite's. One recursive listing per dir, filtered in memory.
+    def statLive(d: String, bs: Set[Int]): (Long, Long) = {
+      var n = 0L; var by = 0L
+      val it = counted(f.listFiles(new org.apache.hadoop.fs.Path(path, d), true))
+      while (it.hasNext) {
+        val e = it.next()
+        val nm = e.getPath.getName
+        val parent = e.getPath.getParent.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".") &&
+            parent.startsWith(s"$BucketCol=") &&
+            parent.stripPrefix(s"$BucketCol=").toIntOption.exists(bs)) {
+          n += 1; by += e.getLen
+        }
+      }
+      (n, by)
+    }
+    val dirStats = liveByDir.map { case (d, bs) => d -> statLive(d, bs) }
+    // merge the SMALLEST k dirs (live bytes, dir-name tiebreak for
+    // determinism) — merging k into 1 lands exactly on maxDeltaDirs
+    val k = liveDirs.size - maxDeltaDirs + 1
+    val merge = dirStats.toSeq.sortBy { case (d, (_, by)) => (by, d) }
+      .take(k).map(_._1).toSet
+    val victims = m.buckets.filter { case (_, d) => merge(d) }.toSeq.sortBy(_._1)
+    val mergedStats = dirStats.view.filterKeys(merge).values.toSeq
+    val (filesBefore, bytes) = (mergedStats.map(_._1).sum, mergedStats.map(_._2).sum)
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val deltaDir = s"delta/c${m.batchId}-$nonce"
-    // grouped read (one relation per live delta dir — see readBuckets)
+    // grouped read (one relation per merged delta dir — see readBuckets)
     // KEEPING the __bucket path-partition column; the repartition
     // co-locates each bucket in one task before partitionBy — one
     // output file per bucket, the applyBatch write shape
-    readBuckets(spark, path, m.buckets.toSeq, keepBucket = true).get
+    readBuckets(spark, path, victims, keepBucket = true).get
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$path/$deltaDir")
-    // every manifest bucket holds ≥1 row (applyBatch drops empty ones),
-    // so every bucket dir must exist post-write; a missing one means the
-    // rewrite LOST data — fail loudly, leaving _CURRENT untouched
+    // every merged bucket holds ≥1 row (applyBatch drops empty ones), so
+    // every victim bucket dir must exist post-write; a missing one means
+    // the rewrite LOST data — fail loudly, leaving the pointer untouched.
+    // One listing of the rewrite dir, not one exists() per bucket.
     val deltaPath = new org.apache.hadoop.fs.Path(path, deltaDir)
-    m.buckets.keys.foreach(b => require(
-      f.exists(new org.apache.hadoop.fs.Path(deltaPath, s"$BucketCol=$b")),
+    val present = counted(f.listStatus(deltaPath)).filter(_.isDirectory)
+      .flatMap(e => Option(e.getPath.getName)
+        .filter(_.startsWith(s"$BucketCol="))
+        .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption))
+      .toSet
+    victims.foreach { case (b, _) => require(present(b),
       s"compactSnapshot: bucket $b missing from the rewrite at $deltaPath; " +
-        "manifest not swapped"))
+        "manifest not swapped") }
     writeManifest(path,
-      m.copy(buckets = m.buckets.map { case (b, _) => b -> deltaDir }),
+      m.copy(buckets = m.buckets.map { case (b, d) =>
+        b -> (if (merge(d)) deltaDir else d) }),
       s"m${m.batchId}.c$nonce.json")
-    val (filesAfter, _) = stat(m.buckets.keys.toSeq.sorted
-      .map(b => bucketDir(path, deltaDir, b)))
-    Layout.CompactStats(liveDirs.size, liveDirs.size, filesBefore,
+    val (filesAfter, _) = statLive(deltaDir, victims.map(_._1).toSet)
+    Layout.CompactStats(liveDirs.size, merge.size, filesBefore,
       filesAfter, bytes)
   }
 
@@ -566,19 +632,28 @@ object UpsertSink {
       }
     }
     // pointer hygiene: versioned pointer files accrete one per swap —
-    // keep the newest TWO (a reader that listed just before a swap may
-    // still be about to open the runner-up; everything older is
-    // unreachable), sweep stray `.ptr.tmp.*` from crashed swaps, and
-    // drop the shadowed legacy `_CURRENT` once v-pointers exist
+    // keep the newest TWO so a reader that listed just before a swap can
+    // still OPEN the pointer file it picked (everything older is
+    // unreachable). That grace covers the pointer-file resolution step
+    // only: whether the manifest/delta files the runner-up NAMES are
+    // still readable is governed by `retainVersions` and the documented
+    // one-query-lifetime grace window (run vacuum only when no reader is
+    // mid-query), same as every other artifact here. Stray `.ptr.tmp.*`
+    // from crashed swaps sweep only past [[TmpPointerGraceMs]] — a young
+    // tmp may belong to an in-flight [[writeManifest]] that is about to
+    // rename it in, and deleting it would abort that writer's commit.
+    // The shadowed legacy `_CURRENT` drops once v-pointers exist.
     if (f.exists(mdir)) {
       val seqs = f.listStatus(mdir).filter(_.isFile)
         .flatMap(e => ptrSeq(e.getPath.getName)).sorted
       if (seqs.nonEmpty) {
         val keep = seqs.takeRight(2).toSet
+        val now = System.currentTimeMillis()
         f.listStatus(mdir).filter(_.isFile).foreach { e =>
           val nm = e.getPath.getName
           val stale = ptrSeq(nm).exists(!keep.contains(_)) ||
-            (nm.startsWith(".ptr.tmp.") && curSeq >= 0)
+            (nm.startsWith(".ptr.tmp.") && curSeq >= 0 &&
+              now - e.getModificationTime > TmpPointerGraceMs)
           if (stale) require(f.delete(e.getPath, false),
             s"vacuum: pointer cleanup failed: ${e.getPath}")
         }
@@ -592,30 +667,43 @@ object UpsertSink {
   /** foreachBatch adapter: `changes.writeStream.foreachBatch(
     * UpsertSink.sink(spark, path, …)).outputMode("append")`.
     *
-    * `compactEvery = n` folds maintenance into the stream: after every
-    * n-th APPLIED batch the snapshot compacts through the reader-safe
-    * [[compactSnapshot]] swap — without it a long-lived stream
-    * accretes one delta dir per batch and the scan side degrades to
-    * dir-per-batch listing (the small-files death, §Layout.compact).
-    * `vacuumAfterCompact` then reclaims superseded dirs and manifests;
-    * enable it only when no reader still holds a pre-swap manifest
-    * (one query lifetime of grace) AND [[readSnapshotAt]] history
-    * before the compaction point is expendable — vacuum collapses
-    * history to the current snapshot. */
+    * `compactEvery = n` folds maintenance into the stream: after the
+    * batches whose DURABLE `batchId` satisfies `(id + 1) % n == 0` the
+    * snapshot compacts through the reader-safe [[compactSnapshot]]
+    * swap — without it a long-lived stream accretes one delta dir per
+    * batch and the scan side degrades to dir-per-batch listing (the
+    * small-files death, §Layout.compact). Deriving the cadence from the
+    * engine's batchId (not an in-memory counter) keeps the rhythm
+    * across RESTARTS — a stream restarting more often than every n
+    * batches would otherwise never compact, silently accreting a delta
+    * dir per batch — and replays can't double-fire because a replayed
+    * id never applies. A skipped cadence point (crash between apply
+    * and compact, or an empty batch on the boundary) is caught up at
+    * the next one.
+    *
+    * `maxDeltaDirs` bounds the stream's live delta-dir fan-out and
+    * keeps each maintenance pass INCREMENTAL: only the smallest dirs
+    * merge (cost tracks fragmentation, not table size — see
+    * [[compactSnapshot]]); the default 4 keeps the scan a 4-way union
+    * while never rewriting the settled base per pass. `vacuumAfterCompact`
+    * then reclaims superseded dirs and manifests; enable it only when
+    * no reader still holds a pre-swap manifest (one query lifetime of
+    * grace) AND [[readSnapshotAt]] history before the compaction point
+    * is expendable — vacuum collapses history to the current snapshot. */
   def sink(spark: SparkSession, path: String, key: String, seqCol: String,
            opCol: String, payloadCols: Seq[String], numBuckets: Int,
-           compactEvery: Int = 0, vacuumAfterCompact: Boolean = false)
+           compactEvery: Int = 0, maxDeltaDirs: Int = 4,
+           vacuumAfterCompact: Boolean = false)
     : (DataFrame, Long) => Unit = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+    require(maxDeltaDirs >= 1, s"maxDeltaDirs must be >= 1, got $maxDeltaDirs")
     require(compactEvery > 0 || !vacuumAfterCompact,
       "vacuumAfterCompact requires compactEvery > 0")
-    var applied = 0L
     (df, id) => {
       if (applyBatch(spark, path, key, seqCol, opCol, payloadCols,
           numBuckets)(df, id)) {
-        applied += 1
-        if (compactEvery > 0 && applied % compactEvery == 0) {
-          compactSnapshot(spark, path)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          compactSnapshot(spark, path, maxDeltaDirs)
           if (vacuumAfterCompact) vacuum(path)
         }
       }

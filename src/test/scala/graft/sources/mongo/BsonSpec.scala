@@ -151,4 +151,35 @@ class BsonSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { Bson.toJson(doc) }
     assert(e.getMessage.contains("0x7f"), e.getMessage)
   }
+
+  test("hostile nesting rejects loudly at the depth cap instead of " +
+      "StackOverflowError, both decode and encode") {
+    // a wire document nesting one 0x03 element per level: each level is
+    // len(4) + type(1) + name"a\0"(2) …body… + term(1). Build inside-out.
+    def nest(levels: Int): Array[Byte] = {
+      var doc = java.nio.ByteBuffer.allocate(5)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(5).put(0.toByte).array()
+      for (_ <- 1 to levels) {
+        val len = 4 + 1 + 2 + doc.length + 1
+        doc = java.nio.ByteBuffer.allocate(len)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(len).put(0x03.toByte).put('a'.toByte).put(0.toByte)
+          .put(doc).put(0.toByte).array()
+      }
+      doc
+    }
+    // under the cap: parses fine (MongoDB's own limit is 100 — nothing a
+    // real server emits comes near 256)
+    assert(Bson.toJson(nest(100)).contains("{"))
+    val e = intercept[IllegalArgumentException] { Bson.toJson(nest(300)) }
+    assert(e.getMessage.contains("nesting"), e.getMessage)
+    // encoder side: a hostile deep JSON tree rejects the same way
+    val deepJson = "{\"a\":" * 300 + "1" + "}" * 300
+    val enc = intercept[Exception] { Bson.fromJson(deepJson) }
+    assert(enc.getMessage != null &&
+      (enc.getMessage.contains("nesting") || enc.getMessage.contains("depth")),
+      enc.getMessage)
+    // and an in-bounds tree still encodes after the guard
+    assert(Bson.toJson(Bson.fromJson("{\"a\":{\"b\":[1,2]}}")).contains("\"b\""))
+  }
 }

@@ -281,6 +281,12 @@ class UpsertSinkSpec extends SparkTestBase {
     // in-place swap (which would double rows transiently)
     assert(graft.operators.Layout.compact(spark, path) ===
       graft.operators.Layout.CompactStats(1, 0, 0L, 0L, 0L))
+    // …and REFUSES tuning that does not apply on the rerouted path
+    // instead of silently ignoring it
+    val tuned = intercept[IllegalArgumentException] {
+      graft.operators.Layout.compact(spark, path, targetBytes = 1L << 20)
+    }
+    assert(tuned.getMessage.contains("compactSnapshot"), tuned.getMessage)
 
     // vacuum reclaims the superseded b-dirs and old manifests; the
     // snapshot reads identically after, and the sink still applies
@@ -405,7 +411,7 @@ class UpsertSinkSpec extends SparkTestBase {
     val query = input.toDF().toDF("id", "seq", "op", "v")
       .writeStream
       .foreachBatch(UpsertSink.sink(spark, path, "id", "seq", "op", Seq("v"),
-        B, compactEvery = 2, vacuumAfterCompact = true))
+        B, compactEvery = 2, maxDeltaDirs = 1, vacuumAfterCompact = true))
       .outputMode("append").start()
     try {
       input.addData((1L, 1L, "I", "a"), (2L, 1L, "I", "b"))
@@ -425,6 +431,135 @@ class UpsertSinkSpec extends SparkTestBase {
       assert(dirs.exists(_.startsWith("c1-")) && dirs.contains("b2") &&
         !dirs.contains("b0") && !dirs.contains("b1"), dirs.toString)
     } finally query.stop()
+  }
+
+  test("incremental compaction: only the smallest dirs merge; the " +
+      "settled base dir is never rewritten") {
+    val path = tmp()
+    // base batch: every key, fat payloads — the big settled dir (b0)
+    assert(apply(path, (1L to 200L).map(i => (i, 1L, "I", s"base$i " * 30)), 0))
+    // three single-key fragment batches in three DISTINCT buckets (the
+    // sink's own routing hash picks the keys, so no collision can fold
+    // two fragments into one bucket and change the dir arithmetic)
+    val byBucket = spark.range(1, 201)
+      .selectExpr("id", s"pmod(xxhash64(id), $B) AS b")
+      .as[(Long, Long)].collect().groupBy(_._2)
+    val fragKeys = byBucket.values.take(3).map(_.head._1).toSeq
+    assert(fragKeys.size == 3)
+    fragKeys.zipWithIndex.foreach { case (k, i) =>
+      assert(apply(path, Seq((k, 2L, "U", s"f$k")), i + 1L))
+    }
+    val want = snap(path)
+    val m3 = UpsertSink.readManifest(path).get
+    assert(m3.buckets.values.toSet.size == 4) // b0 + three fragments
+    val baseBuckets = m3.buckets.filter(_._2 == "delta/b0")
+    assert(baseBuckets.nonEmpty)
+    // physical fingerprint of the base dir: compaction must not touch it
+    import scala.jdk.CollectionConverters._
+    def baseFiles() = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(path, "delta", "b0")).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+      .toMap
+    val baseBefore = baseFiles()
+
+    // target 2 live dirs: merge the 3 small dirs into one c-dir, keep b0
+    val stats = UpsertSink.compactSnapshot(spark, path, maxDeltaDirs = 2)
+    assert(stats.dirsScanned == 4 && stats.dirsCompacted == 3, stats.toString)
+    val mc = UpsertSink.readManifest(path).get
+    // untouched buckets still point at the base dir — byte-identical files
+    assert(mc.buckets.filter(_._2 == "delta/b0") == baseBuckets)
+    assert(baseFiles() == baseBefore)
+    // merged buckets all point at the one new c-dir
+    val cDirs = mc.buckets.values.toSet - "delta/b0"
+    assert(cDirs.size == 1 && cDirs.head.startsWith("delta/c3-"), cDirs)
+    // the work done tracks the FRAGMENTS, not the table: bytes stat stays
+    // below the base dir's size (200 rows vs 3 rows)
+    val baseBytes = baseBefore.keys
+      .filter(!_.endsWith(".crc")).map(p =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum
+    assert(stats.bytes < baseBytes,
+      s"compacted ${stats.bytes} bytes but base dir holds $baseBytes")
+    // content identical; vacuum reclaims exactly the 3 merged fragment dirs
+    assert(snap(path) === want)
+    val (dirs, _) = UpsertSink.vacuum(path)
+    assert(dirs == 3, s"vacuum reclaimed $dirs dirs")
+    assert(snap(path) === want)
+    // a second pass at the same target is a no-op
+    assert(UpsertSink.compactSnapshot(spark, path, maxDeltaDirs = 2) ===
+      Layout.CompactStats(2, 0, 0L, 0L, 0L))
+  }
+
+  test("sink metadata probes are a small constant, never O(numBuckets)") {
+    val path = tmp()
+    val wide = 64
+    def applyWide(rows: Seq[(Long, Long, String, String)], id: Long) =
+      UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"), wide)(
+        rows.toDF("id", "seq", "op", "v"), id)
+    assert(applyWide((1L to 300L).map(i => (i, 1L, "I", s"v$i")), 0))
+    // a second batch touching ~all 64 buckets: the sink's own driver-side
+    // metadata traffic (exists/listStatus/listFiles) must not scale with
+    // the bucket count — at production counts per-bucket probes are
+    // thousands of sequential RPCs against an object store
+    val before = UpsertSink.metaOps.get()
+    assert(applyWide((1L to 300L).map(i => (i, 2L, "U", s"w$i")), 1))
+    val applyOps = UpsertSink.metaOps.get() - before
+    assert(applyOps < wide / 2, s"applyBatch issued $applyOps metadata ops " +
+      s"for $wide buckets — looks per-bucket")
+    val before2 = UpsertSink.metaOps.get()
+    UpsertSink.compactSnapshot(spark, path)
+    val compactOps = UpsertSink.metaOps.get() - before2
+    assert(compactOps < wide / 2, s"compactSnapshot issued $compactOps " +
+      s"metadata ops for $wide buckets — looks per-bucket")
+  }
+
+  test("compaction cadence derives from the durable batchId: a stream " +
+      "restarting every batch still compacts") {
+    val path = tmp()
+    // three sink CLOSURES, one applied batch each — the restart-per-batch
+    // worst case. An in-memory counter would reset each time and never
+    // reach compactEvery=2; the batchId-derived cadence fires at id 1.
+    for (id <- 0L to 2L) {
+      val s = UpsertSink.sink(spark, path, "id", "seq", "op", Seq("v"), B,
+        compactEvery = 2, maxDeltaDirs = 1)
+      s(Seq((id + 1, id + 1, "I", s"v$id")).toDF("id", "seq", "op", "v"), id)
+    }
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "delta")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(dirs.exists(_.startsWith("c1-")),
+      s"no compaction fired across restarts: $dirs")
+    assert(snap(path).size == 3)
+  }
+
+  test("pointer hygiene without vacuum: a long apply stream holds a " +
+      "bounded pointer set; young .ptr.tmp files survive vacuum, aged " +
+      "ones sweep") {
+    val path = tmp()
+    for (i <- 0L until 8L)
+      assert(apply(path, Seq((i, 1L, "I", s"v$i")), i))
+    import scala.jdk.CollectionConverters._
+    val mdir = java.nio.file.Paths.get(path, "_manifest")
+    def ptrs() = java.nio.file.Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_ptr.v")).toSet
+    // writer-side keep-2: eight swaps, two pointer files (no vacuum ran)
+    assert(ptrs().map(_.stripPrefix("_ptr.v").toLong) == Set(6L, 7L), ptrs())
+
+    // a YOUNG tmp pointer (an in-flight writer's pre-rename file) must
+    // survive vacuum; an AGED one (crashed swap) sweeps
+    val young = mdir.resolve(".ptr.tmp.young")
+    val aged = mdir.resolve(".ptr.tmp.aged")
+    java.nio.file.Files.write(young, "m7.json".getBytes("UTF-8"))
+    java.nio.file.Files.write(aged, "m0.json".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - UpsertSink.TmpPointerGraceMs - 60000))
+    UpsertSink.vacuum(path)
+    assert(java.nio.file.Files.exists(young), "vacuum swept an in-flight tmp")
+    assert(!java.nio.file.Files.exists(aged), "vacuum kept a crashed tmp")
+    java.nio.file.Files.delete(young)
+    assert(snap(path).size == 8)
   }
 
   test("swap protocol under concurrent reads: every read observes one " +
