@@ -125,23 +125,44 @@ object Layout {
     * REFUSES non-default tuning rather than silently ignoring it; call
     * `UpsertSink.compactSnapshot` directly to tune a sink store.
     *
-    * Crash safety of the in-place path — a write-ahead marker makes
-    * the swap RE-RUNNABLE without ever losing committed rows (readers
-    * can still transiently see a directory's rows doubled mid-swap;
-    * run in a maintenance window, or lay the table down as an
-    * [[graft.streaming.UpsertSink]] snapshot when readers must never
-    * block):
-    *   1. staged files write under `.graft_compact_tmp` (invisible);
-    *   2. a `.graft_compact_swap` marker records the delete set and a
-    *      rename nonce — nothing visible has changed before this point,
-    *      so a crash pre-marker just discards the staging dir;
-    *   3. staged files rename IN (nonce-unique names — no collision
-    *      with any original or a previous pass's output), THEN the
-    *      recorded originals delete, then marker + staging clean up.
+    * Swap protocols and what concurrent readers can observe. A
+    * NON-ROOT leaf holding only data files (the shape of every Hive
+    * partition directory) swaps by WHOLE-DIRECTORY RENAME:
+    *   1. the compacted replacement writes to a hidden sibling
+    *      (`.graft_dirswap_stage_<nonce>`, invisible) — a crash here
+    *      just discards it;
+    *   2. a `.graft_dirswap_commit_<nonce>` marker at the PARENT names
+    *      the leaf (COMMIT POINT: recovery completes forward);
+    *   3. hidden sidecars (`_SUCCESS`, `_graft_*` indexes) move into
+    *      the staged dir — invisible to readers by the Spark hidden
+    *      convention;
+    *   4. `rename(leaf → .graft_dirswap_old_<nonce>)` then
+    *      `rename(stage → leaf)` — two ATOMIC metadata ops;
+    *   5. old dir + marker delete.
+    * A reader therefore NEVER sees doubled rows (old and new files are
+    * never visible together — the round-13 sink swap lesson applied to
+    * plain trees); the only race left is the two-rename window in step
+    * 4, where a plan-time lister can find the leaf momentarily absent
+    * and an in-flight reader holding pre-swap file paths fails LOUDLY
+    * with FileNotFound (exactly as it did under any delete-based swap).
+    * Directory renames are atomic on HDFS and local filesystems; on a
+    * rename-as-copy object store lay the table down as an
+    * [[graft.streaming.UpsertSink]] snapshot instead.
+    *
+    * The ROOT-as-leaf and mixed files+visible-subdirs layouts cannot
+    * rename their directory (the path is the caller's handle / carries
+    * live children), so they keep the legacy IN-PLACE swap: stage under
+    * `.graft_compact_tmp`, commit a `.graft_compact_swap` marker
+    * recording the delete set + nonce, rename staged files in, delete
+    * originals — re-runnable, never loses committed rows, but readers
+    * can transiently see that one directory's rows doubled mid-swap
+    * (run those layouts in a maintenance window).
+    *
     * Every delete/rename return value is checked (Hadoop FileSystem
     * signals failure by returning false, not throwing). A re-run (or
-    * the next [[compact]] call) finds the marker and idempotently
-    * completes step 3 — renames and deletes skip what already happened.
+    * the next [[compact]] call) finds either protocol's marker and
+    * idempotently completes it — renames and deletes skip what already
+    * happened.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20,
@@ -171,23 +192,30 @@ object Layout {
       return graft.streaming.UpsertSink.compactSnapshot(spark, path)
     }
 
-    def listLeaves(): Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])] = {
+    // leaf = (dir, data files, has VISIBLE subdirs) — the flag picks the
+    // swap protocol: a pure non-root leaf renames wholesale, a mixed or
+    // root leaf must swap in place (its path carries children / is the
+    // caller's handle)
+    def listLeaves(): Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus], Boolean)] = {
       val leaves = scala.collection.mutable.ArrayBuffer.empty[
-        (org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])]
+        (org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus], Boolean)]
       def walk(dir: org.apache.hadoop.fs.Path): Unit = {
         val entries = fs.listStatus(dir)
           .filterNot(e => hiddenName(e.getPath.getName))
         val files = entries.filter(_.isFile)
-        if (files.nonEmpty) leaves += ((dir, files))
-        entries.filter(_.isDirectory).foreach(e => walk(e.getPath))
+        val dirs = entries.filter(_.isDirectory)
+        if (files.nonEmpty) leaves += ((dir, files, dirs.nonEmpty))
+        dirs.foreach(e => walk(e.getPath))
       }
       walk(root)
       leaves.toSeq
     }
 
-    // recovery pass FIRST: finish (or discard) any swap a previous crash
-    // left behind, in every directory of the tree — then list fresh
+    // recovery pass FIRST: finish (or discard) any swap (either
+    // protocol) a previous crash left behind, in every directory of the
+    // tree — then list fresh
     def walkAll(dir: org.apache.hadoop.fs.Path): Unit = {
+      recoverDirSwaps(fs, dir)
       recoverSwap(fs, dir)
       fs.listStatus(dir)
         .filter(e => e.isDirectory && !hiddenName(e.getPath.getName))
@@ -195,67 +223,29 @@ object Layout {
     }
     walkAll(root)
 
+    val qualifiedRoot = fs.makeQualified(root)
     val leaves = listLeaves()
-    val todo = leaves.filter { case (_, files) =>
+    val todo = leaves.filter { case (_, files, _) =>
       files.length > 1 && files.map(_.getLen).sum / files.length < targetBytes / 2
     }
 
     val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
-      val futures = todo.map { case (dir, files) =>
+      val futures = todo.map { case (dir, files, hasVisibleSubdirs) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
           override def call(): Unit = {
             val bytes = files.map(_.getLen).sum
             val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-            val staging = new org.apache.hadoop.fs.Path(dir, CompactStaging)
             val dfs = dir.getFileSystem(hconf)
-            // read the EXPLICIT file list, not the directory: a dir read
-            // recurses into partition subdirectories, which would absorb
-            // a child partition's rows into the parent and then duplicate
-            // them when only the parent's files are swapped out
-            // mergeSchema: a leaf dir may mix files written before and
-            // after a schema evolution; inferring from one footer would
-            // silently drop the newer columns from the rewrite
-            spark.read.option("mergeSchema", "true")
-              .parquet(files.map(_.getPath.toString): _*)
-              .coalesce(k) // narrow: merge partitions, no shuffle
-              .write.mode("overwrite").parquet(staging.toString)
-            val staged = dfs.listStatus(staging)
-              .filter(e => e.isFile && !hiddenName(e.getPath.getName))
-            // COMMIT POINT: the marker records the delete set + nonce;
-            // from here the swap completes (here or on a re-run). It
-            // writes to a temp name and RENAMES in — rename is the
-            // atomic primitive, so a crash mid-write leaves a hidden
-            // temp file recovery ignores, never a truncated marker
-            // whose partial delete list would strand originals
-            val nonce = java.lang.Long.toHexString(System.nanoTime())
-            val marker = new org.apache.hadoop.fs.Path(dir, CompactMarker)
-            val markerTmp = new org.apache.hadoop.fs.Path(dir,
-              CompactMarker + s".$nonce.tmp")
-            val out = dfs.create(markerTmp, true)
-            try out.write(
-              (nonce +: files.map(_.getPath.getName).toSeq).mkString("\n")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            require(dfs.rename(markerTmp, marker),
-              s"compact: marker commit failed: $markerTmp -> $marker")
-            // staged IN first (nonce names cannot collide), originals out
-            staged.foreach { e =>
-              val dest = new org.apache.hadoop.fs.Path(dir,
-                s"graft-compact-$nonce-${e.getPath.getName}")
-              require(dfs.rename(e.getPath, dest),
-                s"compact: rename failed: ${e.getPath} -> $dest")
-            }
-            files.foreach { f =>
-              require(dfs.delete(f.getPath, false) || !dfs.exists(f.getPath),
-                s"compact: delete failed: ${f.getPath}")
-            }
-            require(dfs.delete(marker, false),
-              s"compact: marker cleanup failed: $marker")
-            require(!dfs.exists(staging) || dfs.delete(staging, true),
-              s"compact: staging cleanup failed: $staging")
-            results.add((files.length.toLong, staged.length.toLong, bytes))
+            // protocol pick (see the scaladoc): a pure non-root leaf
+            // swaps by whole-directory rename — readers never see
+            // doubled rows; root/mixed leaves keep the in-place swap
+            val staged =
+              if (!hasVisibleSubdirs && dfs.makeQualified(dir) != qualifiedRoot)
+                dirSwap(spark, dfs, dir, files, k)
+              else inPlaceSwap(spark, dfs, dir, files, k)
+            results.add((files.length.toLong, staged, bytes))
           }
         })
       }
@@ -286,8 +276,199 @@ object Layout {
 
   private val CompactStaging = ".graft_compact_tmp"
   private val CompactMarker = ".graft_compact_swap"
+  private val DirSwapStage = ".graft_dirswap_stage_"
+  private val DirSwapOld = ".graft_dirswap_old_"
+  private val DirSwapMarker = ".graft_dirswap_commit_"
+  /** Disambiguates sibling swaps landing on the same nanosecond. */
+  private val dirSwapSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private def hiddenName(n: String): Boolean =
     n.startsWith("_") || n.startsWith(".")
+
+  /** Legacy IN-PLACE swap for leaves that cannot rename their directory
+    * (the root itself, or a dir with visible partition children): stage
+    * under the leaf, commit a marker recording the delete set, rename
+    * staged files in, delete originals. Readers can transiently see the
+    * leaf's rows doubled between the rename-in and the deletes — the
+    * documented maintenance-window contract. Returns the staged file
+    * count. */
+  private def inPlaceSwap(spark: org.apache.spark.sql.SparkSession,
+                          dfs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path,
+                          files: Array[org.apache.hadoop.fs.FileStatus],
+                          k: Int): Long = {
+    val staging = new org.apache.hadoop.fs.Path(dir, CompactStaging)
+    // read the EXPLICIT file list, not the directory: a dir read
+    // recurses into partition subdirectories, which would absorb
+    // a child partition's rows into the parent and then duplicate
+    // them when only the parent's files are swapped out
+    // mergeSchema: a leaf dir may mix files written before and
+    // after a schema evolution; inferring from one footer would
+    // silently drop the newer columns from the rewrite
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.getPath.toString): _*)
+      .coalesce(k) // narrow: merge partitions, no shuffle
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = dfs.listStatus(staging)
+      .filter(e => e.isFile && !hiddenName(e.getPath.getName))
+    // COMMIT POINT: the marker records the delete set + nonce;
+    // from here the swap completes (here or on a re-run). It
+    // writes to a temp name and RENAMES in — rename is the
+    // atomic primitive, so a crash mid-write leaves a hidden
+    // temp file recovery ignores, never a truncated marker
+    // whose partial delete list would strand originals
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val marker = new org.apache.hadoop.fs.Path(dir, CompactMarker)
+    val markerTmp = new org.apache.hadoop.fs.Path(dir,
+      CompactMarker + s".$nonce.tmp")
+    val out = dfs.create(markerTmp, true)
+    try out.write(
+      (nonce +: files.map(_.getPath.getName).toSeq).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(dfs.rename(markerTmp, marker),
+      s"compact: marker commit failed: $markerTmp -> $marker")
+    // staged IN first (nonce names cannot collide), originals out
+    staged.foreach { e =>
+      val dest = new org.apache.hadoop.fs.Path(dir,
+        s"graft-compact-$nonce-${e.getPath.getName}")
+      require(dfs.rename(e.getPath, dest),
+        s"compact: rename failed: ${e.getPath} -> $dest")
+    }
+    files.foreach { f =>
+      require(dfs.delete(f.getPath, false) || !dfs.exists(f.getPath),
+        s"compact: delete failed: ${f.getPath}")
+    }
+    require(dfs.delete(marker, false),
+      s"compact: marker cleanup failed: $marker")
+    require(!dfs.exists(staging) || dfs.delete(staging, true),
+      s"compact: staging cleanup failed: $staging")
+    staged.length.toLong
+  }
+
+  /** Whole-directory swap for a pure non-root leaf: the compacted
+    * replacement stages as a hidden SIBLING, a parent-level marker
+    * commits, hidden sidecars move across, and two atomic renames flip
+    * the leaf — concurrent readers see the old file set or the new one,
+    * NEVER both (no doubled-rows window; see the [[compact]] scaladoc
+    * for the residual two-rename absence window). Returns the staged
+    * file count. */
+  private def dirSwap(spark: org.apache.spark.sql.SparkSession,
+                      dfs: org.apache.hadoop.fs.FileSystem,
+                      dir: org.apache.hadoop.fs.Path,
+                      files: Array[org.apache.hadoop.fs.FileStatus],
+                      k: Int): Long = {
+    val parent = dir.getParent
+    val nonce = java.lang.Long.toHexString(System.nanoTime()) +
+      "x" + dirSwapSeq.incrementAndGet()
+    val staging = new org.apache.hadoop.fs.Path(parent, DirSwapStage + nonce)
+    // explicit file list + mergeSchema, same reasons as the in-place path
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.getPath.toString): _*)
+      .coalesce(k) // narrow: merge partitions, no shuffle
+      .write.mode("overwrite").parquet(staging.toString)
+    val stagedCount = dfs.listStatus(staging)
+      .count(e => e.isFile && !hiddenName(e.getPath.getName)).toLong
+    // COMMIT POINT: the marker (tmp write + atomic rename, as ever)
+    // names the leaf; recovery completes FORWARD from here
+    val marker = new org.apache.hadoop.fs.Path(parent, DirSwapMarker + nonce)
+    val markerTmp = new org.apache.hadoop.fs.Path(parent,
+      DirSwapMarker + nonce + ".tmp")
+    val out = dfs.create(markerTmp, true)
+    try out.write(dir.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(dfs.rename(markerTmp, marker),
+      s"compact: dirswap marker commit failed: $markerTmp -> $marker")
+    moveHiddenEntries(dfs, dir, staging)
+    val oldDir = new org.apache.hadoop.fs.Path(parent, DirSwapOld + nonce)
+    require(dfs.rename(dir, oldDir),
+      s"compact: dirswap rename-out failed: $dir -> $oldDir")
+    require(dfs.rename(staging, dir),
+      s"compact: dirswap rename-in failed: $staging -> $dir")
+    require(dfs.delete(oldDir, true),
+      s"compact: dirswap old cleanup failed: $oldDir")
+    require(dfs.delete(marker, false),
+      s"compact: dirswap marker cleanup failed: $marker")
+    stagedCount
+  }
+
+  /** Moves the leaf's hidden entries (`_SUCCESS`, `_graft_*` sidecar
+    * files AND dirs) into the staged replacement — invisible to readers
+    * by the Spark hidden-name convention, so safe at any point after
+    * the commit marker. A name the staged dir already holds (its own
+    * `_SUCCESS`) keeps the staged copy. Idempotent — recovery re-runs
+    * it on whatever is still in place. */
+  private def moveHiddenEntries(fs: org.apache.hadoop.fs.FileSystem,
+                                from: org.apache.hadoop.fs.Path,
+                                to: org.apache.hadoop.fs.Path): Unit =
+    fs.listStatus(from).filter(e => hiddenName(e.getPath.getName)).foreach { e =>
+      val dst = new org.apache.hadoop.fs.Path(to, e.getPath.getName)
+      if (fs.exists(dst))
+        require(fs.delete(e.getPath, true),
+          s"compact: superseded sidecar drop failed: ${e.getPath}")
+      else require(fs.rename(e.getPath, dst),
+        s"compact: sidecar move failed: ${e.getPath} -> $dst")
+    }
+
+  /** Finishes (marker present — committed; complete forward) or
+    * discards (stage/old dirs without a marker — nothing visible ever
+    * changed, or cleanup raced a crash) any [[dirSwap]] a previous run
+    * left in `dir` (as the PARENT of the swapped leaves). Idempotent. */
+  private def recoverDirSwaps(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path): Unit = {
+    val entries = fs.listStatus(dir)
+    // crash mid-marker-write leaves only the tmp: the rename never
+    // happened, nothing committed — discard
+    entries.filter(e => e.isFile &&
+        e.getPath.getName.startsWith(DirSwapMarker) &&
+        e.getPath.getName.endsWith(".tmp"))
+      .foreach(e => require(fs.delete(e.getPath, false),
+        s"compact: stale dirswap marker-temp cleanup failed: ${e.getPath}"))
+    val markers = entries.filter(e => e.isFile &&
+      e.getPath.getName.startsWith(DirSwapMarker) &&
+      !e.getPath.getName.endsWith(".tmp"))
+    markers.foreach { mk =>
+      val nonce = mk.getPath.getName.stripPrefix(DirSwapMarker)
+      val leafName = {
+        val in = fs.open(mk.getPath)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+      require(leafName.nonEmpty && !leafName.contains("/"),
+        s"compact: malformed dirswap marker ${mk.getPath}")
+      val leaf = new org.apache.hadoop.fs.Path(dir, leafName)
+      val stage = new org.apache.hadoop.fs.Path(dir, DirSwapStage + nonce)
+      val old = new org.apache.hadoop.fs.Path(dir, DirSwapOld + nonce)
+      if (fs.exists(stage)) {
+        // stage still present → the rename-in never happened; if the
+        // leaf is also present it is the ORIGINAL (pre-swap) content
+        if (fs.exists(leaf)) {
+          moveHiddenEntries(fs, leaf, stage)
+          require(fs.rename(leaf, old),
+            s"compact: dirswap recovery rename-out failed: $leaf -> $old")
+        }
+        require(fs.rename(stage, leaf),
+          s"compact: dirswap recovery rename-in failed: $stage -> $leaf")
+      }
+      if (fs.exists(old))
+        require(fs.delete(old, true),
+          s"compact: dirswap recovery old cleanup failed: $old")
+      require(fs.delete(mk.getPath, false),
+        s"compact: dirswap recovery marker cleanup failed: ${mk.getPath}")
+    }
+    // stray stage/old dirs whose marker never committed (or was already
+    // cleaned): invisible leftovers — discard
+    val committed = markers.map(_.getPath.getName.stripPrefix(DirSwapMarker)).toSet
+    entries.filter { e =>
+      val n = e.getPath.getName
+      e.isDirectory &&
+        ((n.startsWith(DirSwapStage) && !committed(n.stripPrefix(DirSwapStage))) ||
+         (n.startsWith(DirSwapOld) && !committed(n.stripPrefix(DirSwapOld))))
+    }.foreach(e =>
+      if (fs.exists(e.getPath))
+        require(fs.delete(e.getPath, true),
+          s"compact: stale dirswap dir cleanup failed: ${e.getPath}"))
+  }
 
   /** Finishes (marker present — the swap committed; complete it) or
     * discards (staging without marker — nothing visible ever changed)

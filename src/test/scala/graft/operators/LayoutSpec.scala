@@ -314,6 +314,89 @@ class LayoutSpec extends SparkTestBase {
     assert(got2 === want, s"rows changed across partial recovery: $got2")
   }
 
+  test("partitioned-tree compaction under concurrent reads: a reader " +
+      "NEVER sees doubled rows (the dir-swap closes the in-place window)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cswap").toString + "/t"
+    val total = 4000L
+    (1L to total).map(i => (i, (i % 4).toInt, s"v$i" * 10)).toDF("id", "p", "v")
+      .repartition(30).write.partitionBy("p").parquet(base)
+
+    @volatile var compactError: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        val stats = Layout.compact(spark, base, parallelism = 4)
+        assert(stats.dirsCompacted == 4, stats.toString)
+      } catch { case t: Throwable => compactError = t }
+    })
+    writer.start()
+    var reads, transientMisses = 0
+    try {
+      while (writer.isAlive) {
+        // a read can fail LOUDLY (FileNotFound: planned before a swap,
+        // read after) or land in the two-rename absence window — both
+        // are the documented loud/absent races. What must NEVER happen
+        // is a count ABOVE the true total: doubled rows are silent
+        // corruption, and the whole point of the dir-swap.
+        try {
+          val n = spark.read.parquet(base).count()
+          assert(n <= total, s"read $reads saw $n rows of $total: DOUBLED")
+          if (n < total) transientMisses += 1
+        } catch { case _: org.apache.spark.SparkException |
+                       _: java.io.FileNotFoundException |
+                       _: org.apache.spark.sql.AnalysisException =>
+                    transientMisses += 1 }
+        reads += 1
+      }
+    } finally writer.join()
+    assert(compactError == null, String.valueOf(compactError))
+    assert(reads > 0)
+    // the settled tree reads exactly once each
+    assert(spark.read.parquet(base).count() == total)
+    assert(spark.read.parquet(base).select("id").distinct().count() == total)
+  }
+
+  test("dirswap crash recovery: committed markers complete forward, " +
+      "uncommitted staging discards, sidecars survive") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cswap2").toString + "/t"
+    (1L to 100L).map(i => (i, (i % 2).toInt, s"v$i")).toDF("id", "p", "v")
+      .repartition(8).write.partitionBy("p").parquet(base)
+    val want = spark.read.parquet(base)
+      .select("id", "p", "v").as[(Long, Int, String)].collect().sorted.toSeq
+    val leaf = new java.io.File(base, "p=0")
+    // a sidecar the swap must carry across
+    val side = new java.io.File(leaf, "_graft_side"); side.mkdirs()
+    java.nio.file.Files.write(new java.io.File(side, "keep.txt").toPath,
+      "x".getBytes)
+
+    // fabricate the post-commit crash: staged replacement written as a
+    // hidden sibling, marker committed, NO rename happened yet
+    val stage = new java.io.File(base, ".graft_dirswap_stage_deadbeef")
+    spark.read.parquet(leaf.getPath).coalesce(1)
+      .write.mode("overwrite").parquet(stage.getPath)
+    java.nio.file.Files.write(
+      new java.io.File(base, ".graft_dirswap_commit_deadbeef").toPath,
+      "p=0".getBytes)
+    // and an UNCOMMITTED stray from a different crashed pass
+    val stray = new java.io.File(base, ".graft_dirswap_stage_0ddba11")
+    stray.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stray, "junk").toPath, "y".getBytes)
+
+    // the next pass recovers FIRST: the committed swap completes (leaf
+    // becomes the staged single file), the stray discards, the sidecar
+    // rides along; then p=0 is healthy and only p=1 still compacts
+    val stats = Layout.compact(spark, base)
+    assert(stats.dirsCompacted == 1, stats.toString)
+    assert(!stray.exists, "uncommitted staging dir survived")
+    assert(!new java.io.File(base, ".graft_dirswap_commit_deadbeef").exists)
+    assert(new java.io.File(side, "keep.txt").exists, "sidecar lost in swap")
+    val dataFiles = leaf.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles.length == 1, dataFiles.map(_.getName).toSeq.toString)
+    val got = spark.read.parquet(base)
+      .select("id", "p", "v").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(got === want, "rows changed across dirswap recovery")
+  }
+
   test("mergeChanges rejects a NULL op loudly instead of mangling it") {
     val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     // NULL op on an existing key AND on a new key — both malformed
