@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.types.GraftUdt.register()
     Graft.functionDescriptions.foreach(ext.injectFunction)
+    Graft.tableFunctionDescriptions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.SpatialJoinRewrite())
     // runs before V2 scan planning here → rewrites DataSourceV2Relation options
     ext.injectOptimizerRule(_ => graft.plans.SpatialFilterPushdown())
@@ -56,6 +57,47 @@ object Graft {
   private def q(name: String, f: (Expression, Expression, Expression, Expression) => Expression,
                 types: Seq[DataType]) =
     desc(name, es => { val c = coerce(name, types, es); f(c(0), c(1), c(2), c(3)) })
+
+  /** TABLE-VALUED functions — the SQL front door to whole-relation
+    * primitives. `graft_snapshot('<path>'[, <version>])` is the
+    * lakehouse `VERSION AS OF` read over an
+    * [[graft.streaming.UpsertSink]] store: with one argument it reads
+    * the CURRENT snapshot, with two it reads the state as of the
+    * largest committed batch id ≤ `version`
+    * ([[graft.streaming.UpsertSink.readSnapshotAt]] — ids above the
+    * current clamp, reclaimed history fails with the vacuum message).
+    * Both arguments must be literals: the path/version pick the FILES
+    * the relation reads, so they are resolution-time inputs, not row
+    * expressions.
+    *
+    * {{{ SELECT * FROM graft_snapshot('/data/store', 41) }}}
+    */
+  val tableFunctionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq({
+    val info = new ExpressionInfo("graft.streaming.UpsertSink", "graft_snapshot")
+    (FunctionIdentifier("graft_snapshot"), info,
+      (es: Seq[Expression]) => {
+        require(es.length == 1 || es.length == 2,
+          s"graft_snapshot expects (path[, version]), got ${es.length} arguments")
+        def literal(e: Expression, what: String): Any = {
+          require(e.foldable, s"graft_snapshot: $what must be a literal")
+          val v = e.eval()
+          require(v != null, s"graft_snapshot: $what must not be NULL")
+          v
+        }
+        val path = literal(es.head, "path").toString
+        val spark = SparkSession.active
+        val df =
+          if (es.length == 1) graft.streaming.UpsertSink.readSnapshot(spark, path)
+          else literal(es(1), "version") match {
+            case n: java.lang.Number =>
+              graft.streaming.UpsertSink.readSnapshotAt(spark, path, n.longValue())
+            case other => throw new IllegalArgumentException(
+              s"graft_snapshot: version must be an integer literal, got $other")
+          }
+        df.queryExecution.logical
+      })
+  })
 
   /** The complete registered surface (PostGIS spelling, case-insensitive). */
   val functionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -258,6 +300,10 @@ object Graft {
     val registry = spark.sessionState.functionRegistry
     functionDescriptions.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
+    }
+    val tvfRegistry = spark.sessionState.tableFunctionRegistry
+    tableFunctionDescriptions.foreach { case (id, info, builder) =>
+      tvfRegistry.registerFunction(id, info, builder)
     }
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.SpatialJoinRewrite]))
       spark.experimental.extraOptimizations =

@@ -88,6 +88,14 @@ object SparkEntry {
     d.toString + "/t"
   }
 
+  /** Per-JVM dir for the q_time_travel_sql gate (same wipe rule). */
+  private def timeTravelSqlGateDir(): String = wipedDir(timeTravelSqlGateRoot)
+  private lazy val timeTravelSqlGateRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-tt-sql-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -2181,6 +2189,35 @@ object SparkEntry {
       graft.streaming.UpsertSink.readSnapshotAt(spark, path, 1)
         .select("doc_id", "text", "lang")
     }),
+    // Time travel through the SQL FRONT DOOR (round 14): the same
+    // three-batch store read back with the graft_snapshot table-valued
+    // function — `SELECT … FROM graft_snapshot(path, 1)` is the
+    // engine-native spelling of `VERSION AS OF 1`, so the lakehouse
+    // primitive is reachable from raw SQL (and therefore the HTTP
+    // surface), not only the Scala API. Same oracle as the API gate.
+    "q_time_travel_sql" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = timeTravelSqlGateDir()
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op,
+          |       concat(text, ' [v2]') AS text, lang
+          |FROM documents WHERE doc_id % 6 = 0
+          |UNION ALL
+          |SELECT doc_id, 2L, 'D', CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin)
+      val b2 = spark.sql(
+        """SELECT doc_id, 3L AS seq, 'D' AS op,
+          |       CAST(NULL AS STRING) AS text, CAST(NULL AS STRING) AS lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
+      applyB(b0, 0); applyB(b1, 1); applyB(b2, 2)
+      spark.sql(
+        s"SELECT doc_id, text, lang FROM graft_snapshot('$path', 1)")
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 8 buckets — enough dirs to exercise pruning while
@@ -3438,6 +3475,27 @@ object SparkEntry {
     // carry both at equal seq — op 'U' > 'D' in the winner order); the
     // batch-2 wipe-out must be invisible at version 1
     "q_upsert_time_travel" ->
+      """WITH s0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT doc_id, 2 AS seq, 'U' AS op,
+        |              text || ' [v2]' AS text, lang
+        |       FROM documents WHERE doc_id % 6 = 0
+        |       UNION ALL
+        |       SELECT doc_id, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |w1 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b1),
+        |w AS (SELECT doc_id, op, text, lang FROM w1 WHERE rn = 1)
+        |SELECT coalesce(s0.doc_id, w.doc_id) AS doc_id,
+        |       CASE WHEN w.op IS NOT NULL THEN w.text ELSE s0.text END AS text,
+        |       CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END AS lang
+        |FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
+        |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin,
+    // the SQL-front-door time travel reads the same version-1 state, so
+    // it shares the API gate's oracle verbatim
+    "q_time_travel_sql" ->
       """WITH s0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
         |b1 AS (SELECT doc_id, 2 AS seq, 'U' AS op,
         |              text || ' [v2]' AS text, lang

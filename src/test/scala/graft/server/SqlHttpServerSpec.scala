@@ -97,6 +97,40 @@ class SqlHttpServerSpec extends SparkTestBase {
     } finally s.stop(0)
   }
 
+  test("time travel through the front door: graft_snapshot(path, version) " +
+      "reads historical sink state over HTTP") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-http-tt").toString
+    def applyB(rows: Seq[(Long, Long, String, String)], id: Long) =
+      graft.streaming.UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+        Seq("v"), 4)(rows.toDF("id", "seq", "op", "v"), id)
+    assert(applyB(Seq((1L, 1L, "I", "a"), (2L, 1L, "I", "b")), 0))
+    assert(applyB(Seq((2L, 2L, "U", "B2"), (3L, 1L, "I", "c")), 1))
+    assert(applyB(Seq((1L, 3L, "D", null), (2L, 3L, "D", null),
+      (3L, 3L, "D", null)), 2))
+    // current state is empty; version 1 must come back over HTTP
+    val r1 = post("/query",
+      s"SELECT id, v FROM graft_snapshot('$path', 1) ORDER BY id")
+    assert(r1.statusCode() == 200, r1.body())
+    assert(r1.body().contains("[1,\"a\"]") && r1.body().contains("[2,\"B2\"]")
+      && r1.body().contains("[3,\"c\"]"), r1.body())
+    // one-argument form reads the CURRENT snapshot (all deleted → 0 rows)
+    val rCur = post("/query", s"SELECT id, v FROM graft_snapshot('$path')")
+    assert(rCur.statusCode() == 200, rCur.body())
+    assert(rCur.body().contains("\"rows\":[]"), rCur.body())
+    // reclaimed history fails with a CLEAR error, not a silent empty
+    graft.streaming.UpsertSink.vacuum(path)
+    val rGone = post("/query",
+      s"SELECT id, v FROM graft_snapshot('$path', 1)")
+    assert(rGone.statusCode() != 200 || rGone.body().contains("error"),
+      rGone.body())
+    // non-literal args are refused at resolution, not silently evaluated
+    val rBad = post("/query",
+      s"SELECT id FROM graft_snapshot('$path', id)")
+    assert(rBad.statusCode() != 200 || rBad.body().contains("error"),
+      rBad.body())
+  }
+
   test("binds to loopback by default") {
     assert(server.getAddress.getAddress.isLoopbackAddress)
   }
