@@ -68,6 +68,60 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("history state machine: random apply/compact/vacuum interleavings " +
+      "keep exactly the modeled versions readable, each with the modeled " +
+      "rows") {
+    val sink = graft.streaming.UpsertSink
+    sealed trait Op
+    case class Apply(b: List[Chg]) extends Op
+    case class Compact(maxDirs: Int) extends Op
+    case class Vacuum(retain: Int) extends Op
+    // applies dominate; compactions vary the dir layout under the same
+    // state; vacuums vary retention — the newest, least-tested invariant
+    // surface is exactly their interaction with time travel
+    val opGen: Gen[Op] = Gen.frequency(
+      5 -> batchGen.map(Apply.apply),
+      2 -> Gen.chooseNum(1, 3).map(Compact.apply),
+      2 -> Gen.chooseNum(1, 3).map(Vacuum.apply))
+    forAll(Gen.listOfN(8, opGen), n = 25) { ops =>
+      val path = java.nio.file.Files.createTempDirectory("cdc-hist").toString
+      var nextId = 0L
+      // model: committed versions still readable, in commit order
+      var history = Vector.empty[(Long, Map[Long, String])]
+      ops.foreach {
+        case Apply(b) =>
+          val prev = history.lastOption.map(_._2).getOrElse(Map.empty[Long, String])
+          assert(sink.applyBatch(spark, path, "key", "seq", "op", Seq("v"), 4)(
+            toDf(b), nextId))
+          history :+= (nextId -> fold(prev, b))
+          nextId += 1
+        case Compact(m) if history.nonEmpty =>
+          sink.compactSnapshot(spark, path, m) // layout only: model unchanged
+        case Vacuum(r) if history.nonEmpty =>
+          sink.vacuum(path, r)
+          history = history.takeRight(r) // newest r versions survive
+        case _ => () // maintenance before the first commit: nothing to do
+      }
+      if (history.nonEmpty) {
+        assert(sink.snapshotVersions(path) == history.map(_._1),
+          s"versions diverged; ops: $ops")
+        history.foreach { case (id, want) =>
+          val got = sink.readSnapshotAt(spark, path, id)
+            .as[(Long, String)].collect().toMap
+          assert(got === want, s"version $id diverged; ops: $ops")
+        }
+        // every vacuumed-away version fails with the CLEAR vacuum error,
+        // never a silent empty or a neighboring version's rows
+        if (history.head._1 > 0) {
+          val e = intercept[IllegalStateException] {
+            sink.readSnapshotAt(spark, path, history.head._1 - 1)
+          }
+          assert(e.getMessage.contains("vacuum"), e.getMessage)
+        }
+      }
+    }
+  }
+
   test("UpsertSink apply -> compact -> vacuum folds any random 6-batch " +
       "log like the reference, end to end through the store") {
     val sink = graft.streaming.UpsertSink
