@@ -42,6 +42,69 @@ object Graphs {
   private def byFirstOf(base: org.apache.spark.Partitioner): org.apache.spark.Partitioner =
     new ByFirstOf(base)
 
+  /** Dictionary-packed adjacency partition — what the |E|-sized
+    * MEMORY_AND_DISK caches actually hold. Edge `i` runs
+    * `dict(src(i)) → dict(dst(i))` (weight `w(i)` when weighted), in
+    * EXACTLY the order the packing iterator produced, so every
+    * per-round scan replays the same edge order and floating-point
+    * contribution sums stay bit-identical to the unpacked pair form
+    * (oracle-parity contract). Compared to caching
+    * `((String, String), Double)` rows — two FRESH String objects plus
+    * two Tuple2s and a boxed Double per edge — the packed form stores
+    * each node string ONCE per partition and the rest as primitive
+    * int/double arrays: object count drops from ~5·|E| to O(unique
+    * nodes), and string bytes by roughly the average degree. On a
+    * web-scale graph that is the difference between a GC-stable state
+    * cache and heap churn every round. Per-round lookups also resolve
+    * per DICT ENTRY once (an array read per edge) instead of a hash
+    * probe per edge. */
+  private[operators] final class PackedEdges(
+      val dict: Array[String], val src: Array[Int], val dst: Array[Int],
+      val w: Array[Double]) extends Serializable {
+    def size: Int = src.length
+  }
+
+  private final class PackBuilder {
+    private val index = new java.util.HashMap[String, Integer]()
+    private val dict = scala.collection.mutable.ArrayBuffer.empty[String]
+    private var srcA = new Array[Int](64)
+    private var dstA = new Array[Int](64)
+    private var wA = new Array[Double](64)
+    private var n = 0
+    private def id(s: String): Int = {
+      val i = index.get(s)
+      if (i ne null) i.intValue()
+      else { val j = dict.length; index.put(s, j); dict += s; j }
+    }
+    def add(s: String, d: String, weight: Double): Unit = {
+      if (n == srcA.length) {
+        srcA = java.util.Arrays.copyOf(srcA, n * 2)
+        dstA = java.util.Arrays.copyOf(dstA, n * 2)
+        wA = java.util.Arrays.copyOf(wA, n * 2)
+      }
+      srcA(n) = id(s); dstA(n) = id(d); wA(n) = weight; n += 1
+    }
+    def result(weighted: Boolean): Iterator[PackedEdges] =
+      if (n == 0) Iterator.empty
+      else Iterator(new PackedEdges(dict.toArray,
+        java.util.Arrays.copyOf(srcA, n), java.util.Arrays.copyOf(dstA, n),
+        if (weighted) java.util.Arrays.copyOf(wA, n) else Array.emptyDoubleArray))
+  }
+
+  private def packWeighted(
+      it: Iterator[((String, String), Double)]): Iterator[PackedEdges] = {
+    val b = new PackBuilder
+    it.foreach { case ((s, d), w) => b.add(s, d, w) }
+    b.result(weighted = true)
+  }
+
+  private def packUnweighted(
+      it: Iterator[((String, String), Unit)]): Iterator[PackedEdges] = {
+    val b = new PackBuilder
+    it.foreach { case ((s, d), _) => b.add(s, d, 0.0) }
+    b.result(weighted = false)
+  }
+
   /** UTF-8 byte order (= code-point order) for label comparisons: Java's
     * `<` on String compares UTF-16 CODE UNITS, which ranks
     * supplementary-plane characters (surrogate pairs, 0xD800-prefixed)
@@ -138,23 +201,28 @@ object Graphs {
       spark.sessionState.conf.numShufflePartitions)
     val bySrc = byFirstOf(part)
     // the ONE |E| shuffle: parallel (src, dst) weights SUM and src-route
-    // together — no normalize join, no follow-up partitionBy
+    // together — no normalize join, no follow-up partitionBy. The cache
+    // holds the DICT-PACKED partition form (primitive arrays + one
+    // String per unique node — see PackedEdges), packed in the reduce
+    // output order so per-round FP sums replay bit-identically
     val adj = e.rdd
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
       .reduceByKey(bySrc, _ + _)
+      .mapPartitions(packWeighted)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-src total out-weight: |V|-sized, map-side combined from the
     // cached adjacency, node-routed (aligned with ranks partitions)
     val outW = adj
-      .map { case ((s, _), w) => (s, w) }
+      .mapPartitions(_.flatMap(p => Iterator.range(0, p.size)
+        .map(i => (p.dict(p.src(i)), p.w(i)))))
       .reduceByKey(part, _ + _)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node set FROM the cached adjacency (it keeps every valid edge, so
     // src ∪ dst here equals the input's) — the upstream edge-building
-    // DAG runs exactly ONCE; reduceByKey-as-distinct lands on the node
-    // partitioner
+    // DAG runs exactly ONCE; each partition's dict IS its unique node
+    // set, so the distinct-shuffle ships O(unique) rows, not 2|E|
     val nodesRdd = adj
-      .flatMap { case ((s, d), _) => Iterator((s, ()), (d, ())) }
+      .mapPartitions(_.flatMap(_.dict.iterator.map(nd => (nd, ()))))
       .reduceByKey(part, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodesRdd.count() // one job; N is needed as a literal below
@@ -181,11 +249,29 @@ object Graphs {
           rit.foreach { case (nd, r) => rk.put(nd, r) }
           val ow = new java.util.HashMap[String, java.lang.Double]()
           wit.foreach { case (s, w) => ow.put(s, w) }
-          eit.flatMap { case ((s, d), w) =>
-            val r = rk.get(s)
-            // share divides FIRST — the oracle's expression shape
-            if (r ne null) Iterator((d, r.doubleValue * (w / ow.get(s).doubleValue)))
-            else Iterator.empty
+          eit.flatMap { p =>
+            // resolve rank/out-weight per DICT ENTRY once; the edge loop
+            // then reads primitive arrays — no hash probe per edge
+            val nd = p.dict.length
+            val rkA = new Array[Double](nd)
+            val owA = new Array[Double](nd)
+            val has = new Array[Boolean](nd)
+            var j = 0
+            while (j < nd) {
+              val r = rk.get(p.dict(j))
+              if (r ne null) {
+                has(j) = true; rkA(j) = r.doubleValue
+                val w0 = ow.get(p.dict(j))
+                if (w0 ne null) owA(j) = w0.doubleValue
+              }
+              j += 1
+            }
+            Iterator.range(0, p.size).flatMap { i =>
+              val s = p.src(i)
+              // share divides FIRST — the oracle's expression shape
+              if (has(s)) Iterator((p.dict(p.dst(i)), rkA(s) * (p.w(i) / owA(s))))
+              else Iterator.empty
+            }
           }
         }
         .reduceByKey(part, _ + _) // the round's ONLY shuffle; map-side combined
@@ -350,6 +436,7 @@ object Graphs {
         else Iterator(((s, d), ()))
       }
       .reduceByKey(bySrc, (a, _) => a)
+      .mapPartitions(packUnweighted) // dict-packed cache (see PackedEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE state map per round: (node, (dist, isNew)) — isNew marks the
@@ -372,8 +459,15 @@ object Graphs {
       val reached = state.zipPartitions(adj) { (sit, eit) =>
           val f = new java.util.HashSet[String]()
           sit.foreach { case (n, (_, isNew)) => if (isNew) f.add(n) }
-          eit.flatMap { case ((s, dst), _) =>
-            if (f.contains(s)) Iterator((dst, d)) else Iterator.empty
+          eit.flatMap { p =>
+            // frontier membership per DICT ENTRY once, array reads per edge
+            val inF = new Array[Boolean](p.dict.length)
+            var j = 0
+            while (j < p.dict.length) { inF(j) = f.contains(p.dict(j)); j += 1 }
+            Iterator.range(0, p.size).flatMap { i =>
+              if (inF(p.src(i))) Iterator((p.dict(p.dst(i)), d))
+              else Iterator.empty
+            }
           }
         }
         .reduceByKey(part, (a, _) => a) // map-side combine; keeps `part`
@@ -472,6 +566,7 @@ object Graphs {
       if (undirected) Iterator(((s, d), w), ((d, s), w))
       else Iterator(((s, d), w))
     }.reduceByKey(bySrc, math.min(_: Double, _: Double))
+      .mapPartitions(packWeighted) // dict-packed cache (see PackedEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE state map per round: (node, (dist, improved)) — the frontier
@@ -493,10 +588,22 @@ object Graphs {
           // boxed values: a missing key must surface as null, not unbox
           val f = new java.util.HashMap[String, java.lang.Double]()
           sit.foreach { case (n, (dv, isNew)) => if (isNew) f.put(n, dv) }
-          eit.flatMap { case ((s, d), w) =>
-            val dv = f.get(s)
-            if (dv ne null) Iterator((d, dv.doubleValue + w))
-            else Iterator.empty
+          eit.flatMap { p =>
+            // frontier distance per DICT ENTRY once, array reads per edge
+            val nd = p.dict.length
+            val dvA = new Array[Double](nd)
+            val inF = new Array[Boolean](nd)
+            var j = 0
+            while (j < nd) {
+              val dv = f.get(p.dict(j))
+              if (dv ne null) { inF(j) = true; dvA(j) = dv.doubleValue }
+              j += 1
+            }
+            Iterator.range(0, p.size).flatMap { i =>
+              val s = p.src(i)
+              if (inF(s)) Iterator((p.dict(p.dst(i)), dvA(s) + p.w(i)))
+              else Iterator.empty
+            }
           }
         }
         .reduceByKey(part, math.min(_: Double, _: Double)) // map-side combined
@@ -589,8 +696,11 @@ object Graphs {
         else Iterator(((s, d), ()))
       }
       .reduceByKey(byFirst, (a, _) => a)
+      .mapPartitions(packUnweighted) // dict-packed cache (see PackedEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = adj.flatMap { case ((s, d), _) => Iterator((s, ()), (d, ())) }
+    // each partition's dict IS its unique node set — the distinct
+    // shuffle ships O(unique) rows, not 2|E|
+    val nodes = adj.mapPartitions(_.flatMap(_.dict.iterator.map(nd => (nd, ()))))
       .reduceByKey(part, (a, _) => a)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -604,7 +714,14 @@ object Graphs {
       val expanded = labels.zipPartitions(adj) { (lit, eit) =>
         val lab = new java.util.HashMap[String, String]()
         lit.foreach { case (n, l) => lab.put(n, l) }
-        eit.map { case ((s, d), _) => ((d, lab.get(s)), 1L) }
+        eit.flatMap { p =>
+          // label per DICT ENTRY once, array reads per edge
+          val labA = new Array[String](p.dict.length)
+          var j = 0
+          while (j < p.dict.length) { labA(j) = lab.get(p.dict(j)); j += 1 }
+          Iterator.range(0, p.size)
+            .map(i => ((p.dict(p.dst(i)), labA(p.src(i))), 1L))
+        }
       }
       // the round's ONE shuffle: (node, label) counts combine map-side
       // as primitive longs and land node-routed
