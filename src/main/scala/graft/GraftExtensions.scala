@@ -68,36 +68,57 @@ object Graft {
     * current clamp, reclaimed history fails with the vacuum message).
     * Both arguments must be literals: the path/version pick the FILES
     * the relation reads, so they are resolution-time inputs, not row
-    * expressions.
+    * expressions. `graft_snapshot_versions('<path>')` lists the
+    * committed, still-readable versions (one BIGINT `version` row per
+    * id `readSnapshotAt` accepts) — the history half of the surface.
     *
     * {{{ SELECT * FROM graft_snapshot('/data/store', 41) }}}
     */
+  private def tvfLiteral(fn: String, e: Expression, what: String): Any = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    val v = e.eval()
+    require(v != null, s"$fn: $what must not be NULL")
+    v
+  }
+
   val tableFunctionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq({
-    val info = new ExpressionInfo("graft.streaming.UpsertSink", "graft_snapshot")
-    (FunctionIdentifier("graft_snapshot"), info,
-      (es: Seq[Expression]) => {
-        require(es.length == 1 || es.length == 2,
-          s"graft_snapshot expects (path[, version]), got ${es.length} arguments")
-        def literal(e: Expression, what: String): Any = {
-          require(e.foldable, s"graft_snapshot: $what must be a literal")
-          val v = e.eval()
-          require(v != null, s"graft_snapshot: $what must not be NULL")
-          v
-        }
-        val path = literal(es.head, "path").toString
-        val spark = SparkSession.active
-        val df =
-          if (es.length == 1) graft.streaming.UpsertSink.readSnapshot(spark, path)
-          else literal(es(1), "version") match {
-            case n: java.lang.Number =>
-              graft.streaming.UpsertSink.readSnapshotAt(spark, path, n.longValue())
-            case other => throw new IllegalArgumentException(
-              s"graft_snapshot: version must be an integer literal, got $other")
-          }
-        df.queryExecution.logical
-      })
-  })
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    {
+      val info = new ExpressionInfo("graft.streaming.UpsertSink", "graft_snapshot")
+      (FunctionIdentifier("graft_snapshot"), info,
+        (es: Seq[Expression]) => {
+          require(es.length == 1 || es.length == 2,
+            s"graft_snapshot expects (path[, version]), got ${es.length} arguments")
+          val path = tvfLiteral("graft_snapshot", es.head, "path").toString
+          val spark = SparkSession.active
+          val df =
+            if (es.length == 1) graft.streaming.UpsertSink.readSnapshot(spark, path)
+            else tvfLiteral("graft_snapshot", es(1), "version") match {
+              case n: java.lang.Number =>
+                graft.streaming.UpsertSink.readSnapshotAt(spark, path, n.longValue())
+              case other => throw new IllegalArgumentException(
+                s"graft_snapshot: version must be an integer literal, got $other")
+            }
+          df.queryExecution.logical
+        })
+    },
+    {
+      // the history side of the same front door: one BIGINT `version`
+      // row per committed, still-readable snapshot (what readSnapshotAt
+      // accepts) — `SELECT * FROM graft_snapshot_versions('/path')`
+      val info = new ExpressionInfo(
+        "graft.streaming.UpsertSink", "graft_snapshot_versions")
+      (FunctionIdentifier("graft_snapshot_versions"), info,
+        (es: Seq[Expression]) => {
+          require(es.length == 1,
+            s"graft_snapshot_versions expects (path), got ${es.length} arguments")
+          val path = tvfLiteral("graft_snapshot_versions", es.head, "path").toString
+          val spark = SparkSession.active
+          val versions = graft.streaming.UpsertSink.snapshotVersions(path)
+          spark.createDataset(versions)(org.apache.spark.sql.Encoders.scalaLong)
+            .toDF("version").queryExecution.logical
+        })
+    })
 
   /** The complete registered surface (PostGIS spelling, case-insensitive). */
   val functionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

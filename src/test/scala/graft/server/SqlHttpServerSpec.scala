@@ -129,6 +129,12 @@ class SqlHttpServerSpec extends SparkTestBase {
       s"SELECT id FROM graft_snapshot('$path', id)")
     assert(rBad.statusCode() != 200 || rBad.body().contains("error"),
       rBad.body())
+    // the history listing rides the same front door: after the vacuum
+    // only the current version remains readable
+    val rVers = post("/query",
+      s"SELECT version FROM graft_snapshot_versions('$path')")
+    assert(rVers.statusCode() == 200, rVers.body())
+    assert(rVers.body().contains("\"rows\":[[2]]"), rVers.body())
   }
 
   test("binds to loopback by default") {
