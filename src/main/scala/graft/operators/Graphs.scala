@@ -64,12 +64,14 @@ object Graphs {
     def size: Int = src.length
   }
 
-  private final class PackBuilder {
+  private final class PackBuilder(weighted: Boolean) {
     private val index = new java.util.HashMap[String, Integer]()
     private val dict = scala.collection.mutable.ArrayBuffer.empty[String]
     private var srcA = new Array[Int](64)
     private var dstA = new Array[Int](64)
-    private var wA = new Array[Double](64)
+    // unweighted packs never touch the weight array — no transient
+    // 8 bytes/edge of growth for data result() would throw away
+    private var wA = if (weighted) new Array[Double](64) else Array.emptyDoubleArray
     private var n = 0
     private def id(s: String): Int = {
       val i = index.get(s)
@@ -80,11 +82,13 @@ object Graphs {
       if (n == srcA.length) {
         srcA = java.util.Arrays.copyOf(srcA, n * 2)
         dstA = java.util.Arrays.copyOf(dstA, n * 2)
-        wA = java.util.Arrays.copyOf(wA, n * 2)
+        if (weighted) wA = java.util.Arrays.copyOf(wA, n * 2)
       }
-      srcA(n) = id(s); dstA(n) = id(d); wA(n) = weight; n += 1
+      srcA(n) = id(s); dstA(n) = id(d)
+      if (weighted) wA(n) = weight
+      n += 1
     }
-    def result(weighted: Boolean): Iterator[PackedEdges] =
+    def result(): Iterator[PackedEdges] =
       if (n == 0) Iterator.empty
       else Iterator(new PackedEdges(dict.toArray,
         java.util.Arrays.copyOf(srcA, n), java.util.Arrays.copyOf(dstA, n),
@@ -93,16 +97,16 @@ object Graphs {
 
   private def packWeighted(
       it: Iterator[((String, String), Double)]): Iterator[PackedEdges] = {
-    val b = new PackBuilder
+    val b = new PackBuilder(weighted = true)
     it.foreach { case ((s, d), w) => b.add(s, d, w) }
-    b.result(weighted = true)
+    b.result()
   }
 
   private def packUnweighted(
       it: Iterator[((String, String), Unit)]): Iterator[PackedEdges] = {
-    val b = new PackBuilder
+    val b = new PackBuilder(weighted = false)
     it.foreach { case ((s, d), _) => b.add(s, d, 0.0) }
-    b.result(weighted = false)
+    b.result()
   }
 
   /** UTF-8 byte order (= code-point order) for label comparisons: Java's
@@ -256,21 +260,31 @@ object Graphs {
             val rkA = new Array[Double](nd)
             val owA = new Array[Double](nd)
             val has = new Array[Boolean](nd)
+            val hasW = new Array[Boolean](nd)
             var j = 0
             while (j < nd) {
               val r = rk.get(p.dict(j))
-              if (r ne null) {
-                has(j) = true; rkA(j) = r.doubleValue
-                val w0 = ow.get(p.dict(j))
-                if (w0 ne null) owA(j) = w0.doubleValue
-              }
+              if (r ne null) { has(j) = true; rkA(j) = r.doubleValue }
+              val w0 = ow.get(p.dict(j))
+              if (w0 ne null) { hasW(j) = true; owA(j) = w0.doubleValue }
               j += 1
             }
             Iterator.range(0, p.size).flatMap { i =>
               val s = p.src(i)
-              // share divides FIRST — the oracle's expression shape
-              if (has(s)) Iterator((p.dict(p.dst(i)), rkA(s) * (p.w(i) / owA(s))))
-              else Iterator.empty
+              if (has(s)) {
+                // a ranked SRC missing its out-weight means the
+                // outW/adjacency partitioner alignment broke — fail
+                // LOUDLY (the pre-pack form NPE'd here); a silent 0.0
+                // would emit Infinity shares into every rank sum. A
+                // sink node (rank, no out-edges) never reaches this
+                // branch — it appears in dict only as a dst.
+                if (!hasW(s)) throw new IllegalStateException(
+                  s"pageRank: node '${p.dict(s)}' has a rank but no " +
+                    "out-weight in its co-partition — partitioner " +
+                    "alignment violated")
+                // share divides FIRST — the oracle's expression shape
+                Iterator((p.dict(p.dst(i)), rkA(s) * (p.w(i) / owA(s))))
+              } else Iterator.empty
             }
           }
         }

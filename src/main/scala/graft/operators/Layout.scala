@@ -141,13 +141,19 @@ object Layout {
     *   5. old dir + marker delete.
     * A reader therefore NEVER sees doubled rows (old and new files are
     * never visible together — the round-13 sink swap lesson applied to
-    * plain trees); the only race left is the two-rename window in step
-    * 4, where a plan-time lister can find the leaf momentarily absent
-    * and an in-flight reader holding pre-swap file paths fails LOUDLY
-    * with FileNotFound (exactly as it did under any delete-based swap).
-    * Directory renames are atomic on HDFS and local filesystems; on a
-    * rename-as-copy object store lay the table down as an
-    * [[graft.streaming.UpsertSink]] snapshot instead.
+    * plain trees). The race left is the two-rename window in step 4:
+    * an in-flight reader holding pre-swap file paths fails LOUDLY with
+    * FileNotFound (exactly as it did under any delete-based swap), but
+    * a reader whose PLAN-TIME listing lands inside the window simply
+    * does not see that leaf — a SILENT missing-partition result, two
+    * metadata ops wide. That is a strictly smaller exposure than the
+    * in-place protocol's O(files)-wide silent doubled-rows window, but
+    * it is not zero: run compaction in a maintenance window when
+    * readers need exactly-correct counts mid-swap, or lay the table
+    * down as an [[graft.streaming.UpsertSink]] snapshot (whose pointer
+    * swap has NO reader-visible window at all). Directory renames are
+    * atomic on HDFS and local filesystems; on a rename-as-copy object
+    * store use the sink layout as well.
     *
     * The ROOT-as-leaf and mixed files+visible-subdirs layouts cannot
     * rename their directory (the path is the caller's handle / carries
@@ -165,8 +171,8 @@ object Layout {
     * happened.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetBytes: Long = 128L << 20,
-              parallelism: Int = 4): CompactStats = {
+              targetBytes: Long = Layout.DefaultTargetBytes,
+              parallelism: Int = Layout.DefaultParallelism): CompactStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val hconf = spark.sessionState.newHadoopConf()
@@ -184,47 +190,46 @@ object Layout {
       // fail loudly rather than silently ignore tuning that does not
       // apply to the sink path (one file per bucket; stats count delta
       // dirs) — a caller that dialed targetBytes/parallelism is asking
-      // for an operation this tree cannot perform
-      require(targetBytes == (128L << 20) && parallelism == 4,
+      // for an operation this tree cannot perform. The guard compares
+      // against the SAME constants the signature defaults use, so the
+      // two can never drift apart.
+      require(targetBytes == DefaultTargetBytes &&
+          parallelism == DefaultParallelism,
         s"$path is a sink-managed snapshot: compaction reroutes to " +
           "UpsertSink.compactSnapshot, where targetBytes/parallelism do " +
           "not apply — call it directly (or use default arguments here)")
       return graft.streaming.UpsertSink.compactSnapshot(spark, path)
     }
 
-    // leaf = (dir, data files, has VISIBLE subdirs) — the flag picks the
-    // swap protocol: a pure non-root leaf renames wholesale, a mixed or
-    // root leaf must swap in place (its path carries children / is the
-    // caller's handle)
-    def listLeaves(): Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus], Boolean)] = {
-      val leaves = scala.collection.mutable.ArrayBuffer.empty[
+    // ONE walk, ONE listStatus per directory: recovery (both swap
+    // protocols) runs off the same listing the leaf scan uses — on an
+    // object-store tree with thousands of partition dirs, separate
+    // recovery and listing passes would triple the driver LIST RPCs
+    // before any work. Recovery acts only on marker/stray hits (rare);
+    // when it DID mutate the dir, that dir re-lists once. A dir-swap
+    // recovered at the parent restores the child leaf BEFORE the walk
+    // descends into it. leaf = (dir, data files, has VISIBLE subdirs) —
+    // the flag picks the swap protocol: a pure non-root leaf renames
+    // wholesale, a mixed or root leaf must swap in place (its path
+    // carries children / is the caller's handle).
+    val qualifiedRoot = fs.makeQualified(root)
+    val leaves = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[
         (org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus], Boolean)]
       def walk(dir: org.apache.hadoop.fs.Path): Unit = {
-        val entries = fs.listStatus(dir)
-          .filterNot(e => hiddenName(e.getPath.getName))
-        val files = entries.filter(_.isFile)
-        val dirs = entries.filter(_.isDirectory)
-        if (files.nonEmpty) leaves += ((dir, files, dirs.nonEmpty))
+        var entries = fs.listStatus(dir)
+        val acted = recoverDirSwaps(fs, dir, entries) |
+          recoverSwap(fs, dir, entries)
+        if (acted) entries = fs.listStatus(dir)
+        val visible = entries.filterNot(e => hiddenName(e.getPath.getName))
+        val files = visible.filter(_.isFile)
+        val dirs = visible.filter(_.isDirectory)
+        if (files.nonEmpty) acc += ((dir, files, dirs.nonEmpty))
         dirs.foreach(e => walk(e.getPath))
       }
       walk(root)
-      leaves.toSeq
+      acc.toSeq
     }
-
-    // recovery pass FIRST: finish (or discard) any swap (either
-    // protocol) a previous crash left behind, in every directory of the
-    // tree — then list fresh
-    def walkAll(dir: org.apache.hadoop.fs.Path): Unit = {
-      recoverDirSwaps(fs, dir)
-      recoverSwap(fs, dir)
-      fs.listStatus(dir)
-        .filter(e => e.isDirectory && !hiddenName(e.getPath.getName))
-        .foreach(e => walkAll(e.getPath))
-    }
-    walkAll(root)
-
-    val qualifiedRoot = fs.makeQualified(root)
-    val leaves = listLeaves()
     val todo = leaves.filter { case (_, files, _) =>
       files.length > 1 && files.map(_.getLen).sum / files.length < targetBytes / 2
     }
@@ -273,6 +278,12 @@ object Layout {
       filesAfter = done.map(_._2).sum,
       bytes = done.map(_._3).sum)
   }
+
+  /** [[compact]]'s default tuning — referenced by BOTH the signature
+    * defaults and the sink-reroute guard, so "caller did not tune"
+    * stays one definition. */
+  val DefaultTargetBytes: Long = 128L << 20
+  val DefaultParallelism: Int = 4
 
   private val CompactStaging = ".graft_compact_tmp"
   private val CompactMarker = ".graft_compact_swap"
@@ -412,17 +423,24 @@ object Layout {
   /** Finishes (marker present — committed; complete forward) or
     * discards (stage/old dirs without a marker — nothing visible ever
     * changed, or cleanup raced a crash) any [[dirSwap]] a previous run
-    * left in `dir` (as the PARENT of the swapped leaves). Idempotent. */
+    * left in `dir` (as the PARENT of the swapped leaves), working off
+    * the caller's `entries` listing (no extra LIST RPC on the
+    * nothing-to-recover fast path). Returns whether anything was
+    * mutated. Idempotent. */
   private def recoverDirSwaps(fs: org.apache.hadoop.fs.FileSystem,
-                              dir: org.apache.hadoop.fs.Path): Unit = {
-    val entries = fs.listStatus(dir)
+                              dir: org.apache.hadoop.fs.Path,
+                              entries: Array[org.apache.hadoop.fs.FileStatus]): Boolean = {
+    var acted = false
     // crash mid-marker-write leaves only the tmp: the rename never
     // happened, nothing committed — discard
     entries.filter(e => e.isFile &&
         e.getPath.getName.startsWith(DirSwapMarker) &&
         e.getPath.getName.endsWith(".tmp"))
-      .foreach(e => require(fs.delete(e.getPath, false),
-        s"compact: stale dirswap marker-temp cleanup failed: ${e.getPath}"))
+      .foreach { e =>
+        require(fs.delete(e.getPath, false),
+          s"compact: stale dirswap marker-temp cleanup failed: ${e.getPath}")
+        acted = true
+      }
     val markers = entries.filter(e => e.isFile &&
       e.getPath.getName.startsWith(DirSwapMarker) &&
       !e.getPath.getName.endsWith(".tmp"))
@@ -455,6 +473,7 @@ object Layout {
           s"compact: dirswap recovery old cleanup failed: $old")
       require(fs.delete(mk.getPath, false),
         s"compact: dirswap recovery marker cleanup failed: ${mk.getPath}")
+      acted = true
     }
     // stray stage/old dirs whose marker never committed (or was already
     // cleaned): invisible leftovers — discard
@@ -464,32 +483,48 @@ object Layout {
       e.isDirectory &&
         ((n.startsWith(DirSwapStage) && !committed(n.stripPrefix(DirSwapStage))) ||
          (n.startsWith(DirSwapOld) && !committed(n.stripPrefix(DirSwapOld))))
-    }.foreach(e =>
-      if (fs.exists(e.getPath))
+    }.foreach { e =>
+      if (fs.exists(e.getPath)) {
         require(fs.delete(e.getPath, true),
-          s"compact: stale dirswap dir cleanup failed: ${e.getPath}"))
+          s"compact: stale dirswap dir cleanup failed: ${e.getPath}")
+        acted = true
+      }
+    }
+    acted
   }
 
   /** Finishes (marker present — the swap committed; complete it) or
     * discards (staging without marker — nothing visible ever changed)
-    * a crashed [[compact]] swap in `dir`. Idempotent. */
+    * a crashed [[compact]] swap in `dir`, working off the caller's
+    * `entries` listing (no extra LIST RPC on the no-marker fast path).
+    * Returns whether anything was mutated. Idempotent. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-                          dir: org.apache.hadoop.fs.Path): Unit = {
+                          dir: org.apache.hadoop.fs.Path,
+                          entries: Array[org.apache.hadoop.fs.FileStatus]): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(dir, CompactMarker)
     val staging = new org.apache.hadoop.fs.Path(dir, CompactStaging)
+    var acted = false
     // a crash mid-marker-WRITE leaves only the hidden temp (the rename
     // never happened — nothing visible changed): discard it
-    fs.listStatus(dir)
+    entries
       .filter(e => e.isFile &&
         e.getPath.getName.startsWith(CompactMarker + ".") &&
         e.getPath.getName.endsWith(".tmp"))
-      .foreach(e => require(fs.delete(e.getPath, false),
-        s"compact: stale marker-temp cleanup failed: ${e.getPath}"))
-    if (!fs.exists(marker)) {
-      if (fs.exists(staging))
+      .foreach { e =>
+        require(fs.delete(e.getPath, false),
+          s"compact: stale marker-temp cleanup failed: ${e.getPath}")
+        acted = true
+      }
+    val hasMarker = entries.exists(e =>
+      e.isFile && e.getPath.getName == CompactMarker)
+    if (!hasMarker) {
+      if (entries.exists(e =>
+          e.isDirectory && e.getPath.getName == CompactStaging)) {
         require(fs.delete(staging, true),
           s"compact: stale staging cleanup failed: $staging")
-      return
+        acted = true
+      }
+      return acted
     }
     val txt = {
       val in = fs.open(marker)
@@ -524,6 +559,7 @@ object Layout {
     if (fs.exists(staging))
       require(fs.delete(staging, true),
         s"compact: recovery staging cleanup failed: $staging")
+    true
   }
 
   /** Bucketed (hash-clustered) table layout — the CO-LOCATED JOIN

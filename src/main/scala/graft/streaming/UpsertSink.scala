@@ -225,28 +225,48 @@ object UpsertSink {
     // reader that listed just before the swap can still open its pick —
     // what that pointer NAMES stays readable per the retention/grace
     // contract ([[vacuum]]).
-    val existing = counted(f.listStatus(mdir)).filter(_.isFile)
-      .flatMap(e => ptrSeq(e.getPath.getName).map(_ -> e.getPath))
-    val seq = 1L + existing.map(_._1).foldLeft(-1L)(math.max)
+    val existingStatus = counted(f.listStatus(mdir)).filter(e =>
+      e.isFile && ptrSeq(e.getPath.getName).isDefined)
+    val seq = 1L + existingStatus
+      .flatMap(e => ptrSeq(e.getPath.getName)).foldLeft(-1L)(math.max)
     val tmp = new org.apache.hadoop.fs.Path(mdir,
       s".ptr.tmp.${java.lang.Long.toHexString(System.nanoTime())}")
     writeText(f, tmp, name)
     val ptr = new org.apache.hadoop.fs.Path(mdir, s"_ptr.v$seq")
     require(f.rename(tmp, ptr), s"pointer swap failed: $tmp -> $ptr")
     // opportunistic pointer hygiene (writer-side, no vacuum needed):
-    // pointer files accrete one per swap; drop everything older than the
-    // newest two — the same keep-2 grace rule vacuum applies, so a
-    // vacuum-free long-lived stream still holds a bounded pointer set.
-    // Best-effort deletes: a concurrent vacuum may have swept them first,
-    // and single-writer discipline means nobody else is ADDING versions.
-    existing.filter(_._1 < seq - 1).foreach { case (_, p) =>
-      try f.delete(p, false)
-      catch { case _: java.io.IOException => () }
+    // pointer files accrete one per swap; drop those BOTH outside the
+    // newest two (vacuum's keep-2 rule) AND older than the grace window
+    // — the age guard keeps a fast micro-batch stream from shrinking a
+    // slow reader's list-then-open window to two swap intervals (a
+    // reader stalled LONGER than the grace mid-resolution is outside
+    // the one-query-lifetime contract vacuum already documents). A
+    // vacuum-free long-lived stream is still bounded: nothing older
+    // than the grace survives beyond the newest two. Best-effort
+    // deletes: a concurrent vacuum may have swept them first, and
+    // single-writer discipline means nobody else is ADDING versions.
+    val cutoff = System.currentTimeMillis() - TmpPointerGraceMs
+    existingStatus.foreach { e =>
+      val stale = ptrSeq(e.getPath.getName).exists(_ < seq - 1) &&
+        e.getModificationTime < cutoff
+      if (stale) {
+        try f.delete(e.getPath, false)
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 
   private def bucketDir(path: String, delta: String, b: Int): String =
     s"$path/$delta/$BucketCol=$b"
+
+  /** Parses a `__bucket=<n>` partition-dir name — the ONE place the
+    * on-disk bucket naming is interpreted (applyBatch's written-set
+    * probe, compactSnapshot's live stat and post-write check all go
+    * through here, so the probes can never disagree). */
+  private def bucketIdOf(name: String): Option[Int] =
+    if (name.startsWith(s"$BucketCol="))
+      name.stripPrefix(s"$BucketCol=").toIntOption
+    else None
 
   /** Union-read of specific live `(bucket, deltaDir)` entries. Buckets
     * GROUP BY their delta dir and read through ONE relation per dir
@@ -416,9 +436,7 @@ object UpsertSink {
       val onDisk =
         if (!counted(dfs.exists(deltaPath))) Set.empty[Int]
         else counted(dfs.listStatus(deltaPath)).filter(_.isDirectory)
-          .flatMap(e => Option(e.getPath.getName)
-            .filter(_.startsWith(s"$BucketCol="))
-            .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption))
+          .flatMap(e => bucketIdOf(e.getPath.getName))
           .toSet
       val written = touched.filter(onDisk).toSet
       val base = prev.map(_.buckets).getOrElse(Map.empty)
@@ -485,10 +503,8 @@ object UpsertSink {
       while (it.hasNext) {
         val e = it.next()
         val nm = e.getPath.getName
-        val parent = e.getPath.getParent.getName
         if (!nm.startsWith("_") && !nm.startsWith(".") &&
-            parent.startsWith(s"$BucketCol=") &&
-            parent.stripPrefix(s"$BucketCol=").toIntOption.exists(bs)) {
+            bucketIdOf(e.getPath.getParent.getName).exists(bs)) {
           n += 1; by += e.getLen
         }
       }
@@ -519,9 +535,7 @@ object UpsertSink {
     // One listing of the rewrite dir, not one exists() per bucket.
     val deltaPath = new org.apache.hadoop.fs.Path(path, deltaDir)
     val present = counted(f.listStatus(deltaPath)).filter(_.isDirectory)
-      .flatMap(e => Option(e.getPath.getName)
-        .filter(_.startsWith(s"$BucketCol="))
-        .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption))
+      .flatMap(e => bucketIdOf(e.getPath.getName))
       .toSet
     victims.foreach { case (b, _) => require(present(b),
       s"compactSnapshot: bucket $b missing from the rewrite at $deltaPath; " +

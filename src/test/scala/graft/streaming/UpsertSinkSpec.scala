@@ -543,8 +543,19 @@ class UpsertSinkSpec extends SparkTestBase {
     val mdir = java.nio.file.Paths.get(path, "_manifest")
     def ptrs() = java.nio.file.Files.list(mdir).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("_ptr.v")).toSet
-    // writer-side keep-2: eight swaps, two pointer files (no vacuum ran)
-    assert(ptrs().map(_.stripPrefix("_ptr.v").toLong) == Set(6L, 7L), ptrs())
+    // all eight pointers are YOUNG (inside the grace window), so the
+    // writer-side sweep leaves them — a slow reader's just-listed pick
+    // stays openable through a burst of fast micro-batches
+    assert(ptrs().size == 8, ptrs())
+    // age them past the grace window; the NEXT swap sweeps everything
+    // outside the newest two — bounded without ever running vacuum
+    ptrs().foreach { n =>
+      java.nio.file.Files.setLastModifiedTime(mdir.resolve(n),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - UpsertSink.TmpPointerGraceMs - 60000))
+    }
+    assert(apply(path, Seq((100L, 1L, "I", "v100")), 8))
+    assert(ptrs().map(_.stripPrefix("_ptr.v").toLong) == Set(7L, 8L), ptrs())
 
     // a YOUNG tmp pointer (an in-flight writer's pre-rename file) must
     // survive vacuum; an AGED one (crashed swap) sweeps
@@ -559,7 +570,7 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(young), "vacuum swept an in-flight tmp")
     assert(!java.nio.file.Files.exists(aged), "vacuum kept a crashed tmp")
     java.nio.file.Files.delete(young)
-    assert(snap(path).size == 8)
+    assert(snap(path).size == 9)
   }
 
   test("swap protocol under concurrent reads: every read observes one " +
