@@ -486,12 +486,24 @@ object Graphs {
         }
         .reduceByKey(part, (a, _) => a) // map-side combine; keeps `part`
       // narrow merge (both on `part`): settled nodes keep their first
-      // (= minimal) hop and leave the frontier; new nodes enter it
-      val upd = state.fullOuterJoin(reached)
-        .mapValues {
-          case (Some((o, _)), _) => (o, false)
-          case (None, Some(nd)) => (nd, true)
-          case (None, None) => throw new IllegalStateException("unreachable")
+      // (= minimal) hop and leave the frontier; new nodes enter it.
+      // zipPartitions + one hash map of the (shrinking) reach set
+      // replaces the cogroup — no per-node Option/Iterable boxing, the
+      // pageRank/labelPropagation merge shape
+      val upd = state.zipPartitions(reached, preservesPartitioning = true) {
+          (sit, rit) =>
+            val r = new java.util.HashMap[String, Int]()
+            rit.foreach { case (n, nd) => r.put(n, nd) }
+            sit.map { case (n, (o, _)) =>
+              r.remove(n) // settled: its first hop was minimal
+              (n, (o, false))
+            } ++ {
+              // lhs exhausted first (++ rhs is by-name): what remains in
+              // r is exactly the NEW frontier
+              import scala.jdk.CollectionConverters._
+              r.entrySet().iterator().asScala
+                .map(e => (e.getKey, (e.getValue.intValue(), true)))
+            }
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       // a periodic reliable checkpoint marks BEFORE the round's job, so
@@ -622,13 +634,24 @@ object Graphs {
         }
         .reduceByKey(part, math.min(_: Double, _: Double)) // map-side combined
       // narrow merge: candidates against settled distances, improved
-      // flag carried for the next frontier and the stop check
-      val upd = state.fullOuterJoin(relaxed) // both on `part`: narrow
-        .mapValues {
-          case (Some((o, _)), Some(c)) => if (c < o) (c, true) else (o, false)
-          case (Some((o, _)), None) => (o, false)
-          case (None, Some(c)) => (c, true)
-          case (None, None) => throw new IllegalStateException("unreachable")
+      // flag carried for the next frontier and the stop check.
+      // zipPartitions + one hash map of the candidates replaces the
+      // cogroup (no Option/Iterable boxing per node)
+      val upd = state.zipPartitions(relaxed, preservesPartitioning = true) {
+          (sit, rit) =>
+            val r = new java.util.HashMap[String, java.lang.Double]()
+            rit.foreach { case (n, c) => r.put(n, c) }
+            sit.map { case (n, (o, _)) =>
+              val c = r.remove(n)
+              if ((c ne null) && c.doubleValue < o) (n, (c.doubleValue, true))
+              else (n, (o, false))
+            } ++ {
+              // lhs exhausted first (++ rhs is by-name): what remains in
+              // r reached previously-unseen nodes
+              import scala.jdk.CollectionConverters._
+              r.entrySet().iterator().asScala
+                .map(e => (e.getKey, (e.getValue.doubleValue(), true)))
+            }
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       // a periodic reliable checkpoint marks BEFORE the round's job, so

@@ -397,6 +397,76 @@ class LayoutSpec extends SparkTestBase {
     assert(got === want, "rows changed across dirswap recovery")
   }
 
+  test("dirswap crash-state enumeration: recovery from EVERY protocol " +
+      "stage lands on exactly the old or the new content, never loss") {
+    // the protocol's observable stages (see Layout scaladoc):
+    //   1 pre-marker        (staged sibling only)          -> OLD content
+    //   2 post-marker       (marker, nothing moved)        -> NEW content
+    //   3 post-sidecar-move (marker, sidecars staged)      -> NEW content
+    //   4 between renames   (marker, leaf ABSENT)          -> NEW content
+    //   5 post-rename-in    (marker, old dir lingering)    -> NEW content
+    //   6 post-old-delete   (marker only)                  -> NEW content
+    for (stage <- 1 to 6) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-cs$stage")
+        .toString + "/t"
+      (1L to 40L).map(i => (i, (i % 2).toInt, s"old$i")).toDF("id", "p", "v")
+        .repartition(4).write.partitionBy("p").parquet(base)
+      val leaf = new java.io.File(base, "p=1")
+      val side = new java.io.File(leaf, "_graft_side"); side.mkdirs()
+      java.nio.file.Files.write(new java.io.File(side, "k.txt").toPath,
+        "x".getBytes)
+      val oldRows = spark.read.parquet(base)
+        .select("id", "p", "v").as[(Long, Int, String)].collect().sorted.toSeq
+      // the staged REPLACEMENT rewrites p=1's rows (marked payloads so
+      // old-vs-new content is distinguishable)
+      val stagedDf = spark.read.parquet(leaf.getPath)
+        .withColumn("v", concat(lit("NEW"), col("v")))
+      val newRows = oldRows.map { case (i, p, v) =>
+        (i, p, if (p == 1) s"NEW$v" else v) }
+
+      val stageDir = new java.io.File(base, ".graft_dirswap_stage_cafe")
+      val oldDir = new java.io.File(base, ".graft_dirswap_old_cafe")
+      val marker = new java.io.File(base, ".graft_dirswap_commit_cafe")
+      stagedDf.coalesce(1).write.mode("overwrite").parquet(stageDir.getPath)
+      def commitMarker(): Unit = java.nio.file.Files.write(marker.toPath,
+        "p=1".getBytes)
+      stage match {
+        case 1 => // staged only: nothing committed
+        case 2 => commitMarker()
+        case 3 => commitMarker()
+          java.nio.file.Files.move(side.toPath,
+            new java.io.File(stageDir, "_graft_side").toPath)
+        case 4 => commitMarker()
+          java.nio.file.Files.move(side.toPath,
+            new java.io.File(stageDir, "_graft_side").toPath)
+          org.apache.commons.io.FileUtils.moveDirectory(leaf, oldDir)
+        case 5 => commitMarker()
+          java.nio.file.Files.move(side.toPath,
+            new java.io.File(stageDir, "_graft_side").toPath)
+          org.apache.commons.io.FileUtils.moveDirectory(leaf, oldDir)
+          org.apache.commons.io.FileUtils.moveDirectory(stageDir, leaf)
+        case 6 => commitMarker()
+          java.nio.file.Files.move(side.toPath,
+            new java.io.File(stageDir, "_graft_side").toPath)
+          org.apache.commons.io.FileUtils.moveDirectory(leaf, oldDir)
+          org.apache.commons.io.FileUtils.moveDirectory(stageDir, leaf)
+          org.apache.commons.io.FileUtils.deleteDirectory(oldDir)
+      }
+
+      // the next compact() pass recovers FIRST; p=0 may then compact
+      Layout.compact(spark, base)
+      val got = spark.read.parquet(base)
+        .select("id", "p", "v").as[(Long, Int, String)].collect().sorted.toSeq
+      val want = if (stage == 1) oldRows else newRows
+      assert(got === want, s"stage $stage diverged")
+      // protocol artifacts all cleaned, sidecar survived on every path
+      assert(!marker.exists && !stageDir.exists && !oldDir.exists,
+        s"stage $stage left artifacts")
+      assert(new java.io.File(leaf, "_graft_side/k.txt").exists,
+        s"stage $stage lost the sidecar")
+    }
+  }
+
   test("mergeChanges rejects a NULL op loudly instead of mangling it") {
     val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     // NULL op on an existing key AND on a new key — both malformed
