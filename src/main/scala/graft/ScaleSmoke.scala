@@ -288,6 +288,50 @@ object ScaleSmoke {
         s"stable, as-of-7 read $v7/$full rows, 16 dirs vacuumed"
     }
 
+    // Incremental-compaction economics (round 14): a settled 50k-doc
+    // base plus 6 single-doc micro-batches. Full consolidation
+    // (maxDeltaDirs=1) must rewrite the whole snapshot; the streaming
+    // default (maxDeltaDirs=4) must touch only the fragments — bytes
+    // proportional to the 6 docs, not the base, and the base's manifest
+    // entries stay on their dir. This is the maintenance shape that
+    // keeps sink(compactEvery) affordable at 100 TB.
+    time("sink incremental compaction: 6 fragments over a 50k-doc base") {
+      val dir = java.nio.file.Files.createTempDirectory("scale-inc").toString + "/t"
+      val sink = graft.streaming.UpsertSink
+      val applyB = sink.applyBatch(spark, dir, "doc_id", "seq", "op",
+        Seq("text"), 64) _
+      applyB(docs10.select(col("doc_id"), lit(1L).as("seq"),
+        lit("I").as("op"), col("text")), 0)
+      for (i <- 1 to 6) {
+        // replica-1 ids (1_000_000 + …) — ids that exist in docs10
+        val applied = applyB(docs10.where(col("doc_id") === 1000000L + i * 97)
+          .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+            concat(lit("u"), col("text")).as("text")), i.toLong)
+        if (!applied) throw new AssertionError(s"fragment batch $i was empty")
+      }
+      val m = sink.readManifest(dir).get
+      val baseDir = "delta/b0"
+      val baseBuckets = m.buckets.count(_._2 == baseDir)
+      val stats = sink.compactSnapshot(spark, dir, maxDeltaDirs = 4)
+      val m2 = sink.readManifest(dir).get
+      if (m2.buckets.count(_._2 == baseDir) != baseBuckets)
+        throw new AssertionError("incremental compaction touched the base")
+      val baseBytes = {
+        val p = new org.apache.hadoop.fs.Path(dir, baseDir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val it = fs.listFiles(p, true)
+        var by = 0L
+        while (it.hasNext) { val e = it.next(); by += e.getLen }
+        by
+      }
+      if (stats.bytes >= baseBytes / 10)
+        throw new AssertionError(
+          s"maintenance bytes ${stats.bytes} not << base $baseBytes")
+      s"merged ${stats.dirsCompacted} fragment dirs, ${stats.bytes} bytes " +
+        s"rewritten vs $baseBytes base bytes untouched " +
+        s"(${m2.buckets.values.toSet.size} live dirs after)"
+    }
+
     // Distributed kNN join (large-Q path): 5k queries against a 20k-vector corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")
