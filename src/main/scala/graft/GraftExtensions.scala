@@ -103,6 +103,31 @@ object Graft {
         })
     },
     {
+      // bucket-PRUNED point lookup over the same store: the literal keys
+      // hash through the sink's own routing, so the relation only reads
+      // the buckets they land in — `SELECT * FROM
+      // graft_snapshot_lookup('/path', 7, 42)`. Keys coerce to the
+      // manifest's key type inside readSnapshotKeys.
+      val info = new ExpressionInfo(
+        "graft.streaming.UpsertSink", "graft_snapshot_lookup")
+      (FunctionIdentifier("graft_snapshot_lookup"), info,
+        (es: Seq[Expression]) => {
+          require(es.length >= 2,
+            s"graft_snapshot_lookup expects (path, key[, key…]), got " +
+              s"${es.length} arguments")
+          val path = tvfLiteral("graft_snapshot_lookup", es.head, "path").toString
+          // literal eval yields Catalyst-internal values (UTF8String,
+          // Decimal…) — convert to Scala so lit() re-wraps them cleanly
+          val keys = es.tail.zipWithIndex.map { case (e, i) =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(
+              tvfLiteral("graft_snapshot_lookup", e, s"key ${i + 1}"), e.dataType)
+          }
+          graft.streaming.UpsertSink
+            .readSnapshotKeys(SparkSession.active, path, keys)
+            .queryExecution.logical
+        })
+    },
+    {
       // the history side of the same front door: one BIGINT `version`
       // row per committed, still-readable snapshot (what readSnapshotAt
       // accepts) — `SELECT * FROM graft_snapshot_versions('/path')`

@@ -96,6 +96,14 @@ object SparkEntry {
     d.toString + "/t"
   }
 
+  /** Per-JVM dir for the q_upsert_point_lookup gate (same wipe rule). */
+  private def pointLookupGateDir(): String = wipedDir(pointLookupGateRoot)
+  private lazy val pointLookupGateRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-point-lookup-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -2218,6 +2226,42 @@ object SparkEntry {
       spark.sql(
         s"SELECT doc_id, text, lang FROM graft_snapshot('$path', 1)")
     }),
+    // Bucket-pruned POINT LOOKUP over the sink layout (round 14): the
+    // same two-batch store as the time-travel gates, probed for four
+    // literal keys through readSnapshotKeys — each key hashes through
+    // the sink's own routing expression to exactly one bucket, so the
+    // read opens ONLY those buckets (require asserts it via inputFiles:
+    // ≤4 of the manifest's bucket dirs touched) and returns exactly the
+    // live rows among them (2 survives, 6 carries the [v2] update, 10
+    // was deleted, 123456789 never existed). This is the data-skipping
+    // primitive of a hash-bucketed store: at production bucket counts a
+    // point read costs O(keys), not O(table). Cold-cost-by-design:
+    // fresh store per pass.
+    "q_upsert_point_lookup" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = pointLookupGateDir()
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op,
+          |       concat(text, ' [v2]') AS text, lang
+          |FROM documents WHERE doc_id % 6 = 0
+          |UNION ALL
+          |SELECT doc_id, 2L, 'D', CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
+      applyB(b0, 0); applyB(b1, 1)
+      val out = graft.streaming.UpsertSink.readSnapshotKeys(spark, path,
+        Seq(2L, 6L, 10L, 123456789L))
+      val bucketsRead = out.inputFiles.flatMap(f =>
+        "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).distinct
+      val total = graft.streaming.UpsertSink.readManifest(path).get.buckets.size
+      require(bucketsRead.length <= 4 && bucketsRead.length < total,
+        s"lookup read ${bucketsRead.length} of $total buckets — not pruned")
+      out.select("doc_id", "text", "lang")
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 8 buckets — enough dirs to exercise pruning while
@@ -3514,6 +3558,30 @@ object SparkEntry {
         |       CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END AS lang
         |FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
         |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin,
+    // point lookup = the two-batch fold (same state the time-travel
+    // oracle reads at version 1 — here it IS the current state, no b2)
+    // restricted to the probed keys: 2 lives, 6 carries [v2], 10 was
+    // deleted, 123456789 never existed
+    "q_upsert_point_lookup" ->
+      """WITH s0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT doc_id, 2 AS seq, 'U' AS op,
+        |              text || ' [v2]' AS text, lang
+        |       FROM documents WHERE doc_id % 6 = 0
+        |       UNION ALL
+        |       SELECT doc_id, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |w1 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b1),
+        |w AS (SELECT doc_id, op, text, lang FROM w1 WHERE rn = 1)
+        |SELECT coalesce(s0.doc_id, w.doc_id) AS doc_id,
+        |       CASE WHEN w.op IS NOT NULL THEN w.text ELSE s0.text END AS text,
+        |       CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END AS lang
+        |FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
+        |WHERE (w.op IS NULL OR w.op <> 'D')
+        |  AND coalesce(s0.doc_id, w.doc_id) IN (2, 6, 10, 123456789)""".stripMargin,
     // CDC stream parity: the three micro-batches folded declaratively —
     // per batch, winner per key by the same (seq, op, payloads) DESC
     // NULLS LAST order, applied by full-outer join onto the prior state

@@ -286,6 +286,15 @@ object UpsertSink {
       if (keepBucket) df else df.drop(BucketCol)
     }.reduceOption(_ unionByName _)
 
+  /** The bucket-routing expression — THE layout contract: [[applyBatch]]
+    * writes with it and the pruned reads ([[readSnapshotKeys]]) probe
+    * with it, through this one definition, so they can never disagree.
+    * xxhash64 is TYPE-sensitive (an INT 5 and a BIGINT 5 hash
+    * differently), which is why the manifest records the key's DDL type
+    * and the readers cast their probes to it first. */
+  private def bucketExpr(key: String, numBuckets: Int) =
+    pmod(xxhash64(col(key)), lit(numBuckets)).cast("int")
+
   /** The current snapshot as a DataFrame. An all-rows-deleted snapshot
     * (empty bucket map) still returns a correctly-TYPED empty frame —
     * the schema rides in the manifest, so downstream selects of the
@@ -293,6 +302,89 @@ object UpsertSink {
   def readSnapshot(spark: SparkSession, path: String): DataFrame =
     snapshotOf(spark, path, readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet")))
+
+  /** The current manifest with a FULL layout contract, for the pruned
+    * reads: a legacy manifest records neither bucket count nor key
+    * type, so there is nothing to route probes with. */
+  private def layoutManifest(path: String): Manifest = {
+    val m = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    require(m.hasLayout,
+      s"snapshot at $path has a legacy manifest with no recorded layout; " +
+        "apply a batch to upgrade it before key-pruned reads")
+    m
+  }
+
+  private def keyTypeOf(m: Manifest): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)(m.key).dataType
+
+  /** Union-read of just the buckets in `wanted`; a lookup whose keys all
+    * hash to absent buckets (nothing ever written there, or deleted
+    * empty) still returns a correctly-typed empty frame. */
+  private def prunedRead(spark: SparkSession, path: String, m: Manifest,
+                         wanted: Set[Int]): DataFrame =
+    readBuckets(spark, path,
+        m.buckets.toSeq.filter { case (b, _) => wanted(b) },
+        keepBucket = false)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)))
+
+  /** Bucket-PRUNED point lookup: the current snapshot's rows whose key
+    * is one of `keys`, reading ONLY the buckets those keys hash to.
+    * This is the data-skipping story of a hash-bucketed layout: min/max
+    * file stats cannot prune hash-distributed keys (every bucket spans
+    * the full key range), but equality CAN route — each literal hashes
+    * to exactly one bucket, so a point read costs O(keys touched
+    * buckets), not O(table). At production scale (thousands of buckets,
+    * 100 TB) that is the difference between opening a handful of files
+    * and scanning the snapshot; the plan never lists, opens, or
+    * schedules tasks for any pruned bucket (`df.inputFiles` is the
+    * spec's witness).
+    *
+    * `keys` are DRIVER-side literals (a bounded in-clause — the probe
+    * list rides in the plan); for a large or distributed probe set use
+    * the DataFrame overload, which semi-joins instead. Keys cast to the
+    * manifest's recorded key type before hashing (xxhash64 is
+    * type-sensitive — see [[bucketExpr]]); keys absent from the
+    * snapshot simply match nothing. */
+  def readSnapshotKeys(spark: SparkSession, path: String,
+                       keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "readSnapshotKeys: keys must be non-empty")
+    val m = layoutManifest(path)
+    val keyLits = keys.map(k => lit(k).cast(keyTypeOf(m)))
+    // route the literals through the SAME expression applyBatch writes
+    // with; the probe frame is a literal LocalRelation, so the distinct
+    // bucket ids (≤ keys.size ints) resolve driver-side
+    val wanted = spark.range(1)
+      .select(explode(array(keyLits: _*)).as(m.key))
+      .select(bucketExpr(m.key, m.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    prunedRead(spark, path, m, wanted)
+      .filter(col(m.key).isInCollection(keyLits))
+  }
+
+  /** Bucket-pruned lookup with a DISTRIBUTED probe set: reads only the
+    * buckets the probe frame's keys hash to, then left-semi joins the
+    * (distinct) probes — AQE broadcasts the probe side when it is
+    * small. The driver-side reduction is the distinct BUCKET id list
+    * (≤ numBuckets ints — bounded by layout, not by probe count), so
+    * the probe frame itself can be arbitrarily large; with a probe set
+    * that hashes to every bucket this degrades gracefully to
+    * snapshot-scan + semi-join, the best any layout can do. `keysDf`
+    * must carry the key column under the manifest's recorded name. */
+  def readSnapshotKeys(spark: SparkSession, path: String,
+                       keysDf: DataFrame): DataFrame = {
+    val m = layoutManifest(path)
+    require(keysDf.columns.contains(m.key),
+      s"readSnapshotKeys: probe frame has no '${m.key}' column " +
+        s"(columns: ${keysDf.columns.mkString(", ")})")
+    val probes = keysDf.select(col(m.key).cast(keyTypeOf(m))).distinct()
+    val wanted = probes.select(bucketExpr(m.key, m.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    prunedRead(spark, path, m, wanted)
+      .join(probes, Seq(m.key), "left_semi")
+  }
 
   private def snapshotOf(spark: SparkSession, path: String,
                          m: Manifest): DataFrame =
@@ -392,7 +484,7 @@ object UpsertSink {
           s"would write [$ddl]")
     }
     if (prev.exists(_.batchId >= batchId)) return false // replayed batch
-    val bucketOf = pmod(xxhash64(col(key)), lit(numBuckets)).cast("int")
+    val bucketOf = bucketExpr(key, numBuckets)
     // one micro-batch — bounded; checkpointed because it is read three
     // times below (touched list, merge, and the foreachBatch source
     // frame is only valid inside this call)

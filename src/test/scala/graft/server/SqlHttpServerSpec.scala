@@ -137,6 +137,36 @@ class SqlHttpServerSpec extends SparkTestBase {
     assert(rVers.body().contains("\"rows\":[[2]]"), rVers.body())
   }
 
+  test("point lookup through the front door: graft_snapshot_lookup " +
+      "(path, keys…) reads only the probed keys' buckets over HTTP") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-http-pl").toString
+    def applyB(rows: Seq[(Long, Long, String, String)], id: Long) =
+      graft.streaming.UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+        Seq("v"), 8)(rows.toDF("id", "seq", "op", "v"), id)
+    assert(applyB((1L to 40L).map(i => (i, 1L, "I", s"v$i")), 0))
+    val r = post("/query",
+      s"SELECT id, v FROM graft_snapshot_lookup('$path', 7, 22, 999) ORDER BY id")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("[7,\"v7\"]") && r.body().contains("[22,\"v22\"]")
+      && !r.body().contains("999"), r.body())
+    // the relation is bucket-pruned, not a post-filter over a full scan
+    val pruned = graft.streaming.UpsertSink.readSnapshotKeys(
+      spark, path, Seq(7L, 22L, 999L))
+    assert(pruned.inputFiles.flatMap(f =>
+      "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).distinct.length
+      < 8)
+    // non-literal keys are refused at resolution
+    val rBad = post("/query", s"SELECT id FROM graft_snapshot_lookup('$path', id)")
+    assert(rBad.statusCode() != 200 || rBad.body().contains("error"), rBad.body())
+    // string keys arrive as UTF8String internally — the conversion path
+    // must still coerce them to the store's BIGINT key type
+    val rStr = post("/query",
+      s"SELECT id, v FROM graft_snapshot_lookup('$path', '7')")
+    assert(rStr.statusCode() == 200, rStr.body())
+    assert(rStr.body().contains("[7,\"v7\"]"), rStr.body())
+  }
+
   test("binds to loopback by default") {
     assert(server.getAddress.getAddress.isLoopbackAddress)
   }

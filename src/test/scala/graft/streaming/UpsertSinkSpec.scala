@@ -611,6 +611,97 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(snap(path).map(_._2).toSet == Set("b10"))
   }
 
+  private def bucketsTouched(df: DataFrame): Set[Int] =
+    df.inputFiles.flatMap(f =>
+      "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+
+  test("readSnapshotKeys prunes to exactly the probed keys' buckets and " +
+      "matches the full-scan filter") {
+    val path = tmp()
+    assert(apply(path, (1L to 40L).map(i => (i, 1L, "I", s"v$i")), 0))
+    assert(apply(path, Seq((7L, 2L, "U", "V7"), (13L, 2L, "D", null)), 1))
+    val m = UpsertSink.readManifest(path).get
+    assert(m.buckets.size == B) // 40 keys cover all 8 buckets
+
+    val probes = Seq(7L, 13L, 22L, 999L) // updated, deleted, plain, absent
+    val out = UpsertSink.readSnapshotKeys(spark, path, probes)
+    // the witness: the plan's input files span ONLY the probed buckets —
+    // the routing expression is shared with applyBatch, so recompute the
+    // expected set through SQL xxhash64 and compare exactly
+    val expectBuckets = spark.sql(
+      s"SELECT DISTINCT CAST(pmod(xxhash64(k), $B) AS INT) FROM " +
+        s"VALUES ${probes.map(k => s"(CAST($k AS BIGINT))").mkString(",")} t(k)")
+      .collect().map(_.getInt(0)).toSet
+    assert(bucketsTouched(out) subsetOf expectBuckets)
+    assert(bucketsTouched(out).size < B)
+    // correctness vs the unpruned read
+    val want = UpsertSink.readSnapshot(spark, path)
+      .filter($"id".isin(probes: _*))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(out.as[(Long, String)].collect().sorted.toSeq === want)
+    assert(want.map(_._1) === Seq(7L, 22L) || want.toMap.apply(7L) == "V7")
+    assert(!want.exists(_._1 == 13L) && !want.exists(_._1 == 999L))
+  }
+
+  test("readSnapshotKeys: keys hashing only to absent buckets return a " +
+      "typed empty frame; int probes coerce to the bigint key type") {
+    val path = tmp()
+    // one key → one bucket; the other 7 buckets never exist
+    assert(apply(path, Seq((5L, 1L, "I", "five")), 0))
+    val missing = (100L to 140L).filterNot { k =>
+      spark.sql(s"SELECT pmod(xxhash64(CAST($k AS BIGINT)), $B)")
+        .head().getLong(0) ==
+        spark.sql(s"SELECT pmod(xxhash64(CAST(5 AS BIGINT)), $B)")
+          .head().getLong(0)
+    }.take(3)
+    val out = UpsertSink.readSnapshotKeys(spark, path, missing)
+    assert(out.columns.toSeq === Seq("id", "v") && out.count() == 0)
+    // an Int probe casts to the manifest's BIGINT key type before
+    // hashing — same bucket, same row, no silent type-mismatch miss
+    val hit = UpsertSink.readSnapshotKeys(spark, path, Seq(5))
+    assert(hit.as[(Long, String)].collect().toSeq === Seq((5L, "five")))
+  }
+
+  test("readSnapshotKeys(DataFrame) semi-joins a distributed probe set " +
+      "over the pruned buckets, deduplicating probes") {
+    val path = tmp()
+    assert(apply(path, (1L to 40L).map(i => (i, 1L, "I", s"v$i")), 0))
+    val probes = Seq(3L, 3L, 11L, 999L).toDF("id") // dup + absent
+    val out = UpsertSink.readSnapshotKeys(spark, path, probes)
+    assert(out.as[(Long, String)].collect().sorted.toSeq ===
+      Seq((3L, "v3"), (11L, "v11")))
+    assert(bucketsTouched(out).size < B)
+    // probe column must exist under the manifest's key name
+    val err = intercept[IllegalArgumentException] {
+      UpsertSink.readSnapshotKeys(spark, path, Seq(1L).toDF("wrong"))
+    }
+    assert(err.getMessage.contains("no 'id' column"))
+  }
+
+  test("readSnapshotKeys refuses a legacy manifest with no recorded " +
+      "layout (nothing to route probes with)") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    // rewrite the manifest as a pre-contract store would have written it
+    val mdir = java.nio.file.Paths.get(path, "_manifest")
+    import scala.jdk.CollectionConverters._
+    val mfile = java.nio.file.Files.list(mdir).iterator().asScala.toList
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("m") && n.endsWith(".json")).head
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      mdir.resolve(mfile)), "UTF-8")
+    val legacy = txt.replaceAll(
+      """"numBuckets":\d+,"key":"[^"]*","schema":"[^"]*",""", "")
+    java.nio.file.Files.write(mdir.resolve(mfile), legacy.getBytes("UTF-8"))
+    // the NIO rewrite bypassed Hadoop's local-FS checksum sidecar
+    java.nio.file.Files.deleteIfExists(mdir.resolve(s".$mfile.crc"))
+    assert(!UpsertSink.readManifest(path).get.hasLayout)
+    val err = intercept[IllegalArgumentException] {
+      UpsertSink.readSnapshotKeys(spark, path, Seq(1L))
+    }
+    assert(err.getMessage.contains("legacy manifest"))
+  }
+
   test("end-to-end: foreachBatch stream maintains the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
