@@ -128,6 +128,33 @@ object Graft {
         })
     },
     {
+      // the CHANGEFEED between two readable versions — `SELECT * FROM
+      // graft_snapshot_changes('/path', 0, 3)`: one row per key whose
+      // state differs, change ∈ insert/update/delete, post-image
+      // payloads; reads only the buckets the intervening batches touched
+      val info = new ExpressionInfo(
+        "graft.streaming.UpsertSink", "graft_snapshot_changes")
+      (FunctionIdentifier("graft_snapshot_changes"), info,
+        (es: Seq[Expression]) => {
+          require(es.length == 3,
+            s"graft_snapshot_changes expects (path, fromVersion, " +
+              s"toVersion), got ${es.length} arguments")
+          val path = tvfLiteral("graft_snapshot_changes", es.head, "path").toString
+          val Seq(from, to) = es.tail.zip(Seq("fromVersion", "toVersion"))
+            .map { case (e, what) =>
+              tvfLiteral("graft_snapshot_changes", e, what) match {
+                case n: java.lang.Number => n.longValue()
+                case other => throw new IllegalArgumentException(
+                  s"graft_snapshot_changes: $what must be an integer " +
+                    s"literal, got $other")
+              }
+            }
+          graft.streaming.UpsertSink
+            .readChanges(SparkSession.active, path, from, to)
+            .queryExecution.logical
+        })
+    },
+    {
       // the history side of the same front door: one BIGINT `version`
       // row per committed, still-readable snapshot (what readSnapshotAt
       // accepts) — `SELECT * FROM graft_snapshot_versions('/path')`

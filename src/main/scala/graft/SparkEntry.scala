@@ -104,6 +104,14 @@ object SparkEntry {
     d.toString + "/t"
   }
 
+  /** Per-JVM dir for the q_upsert_changefeed gate (same wipe rule). */
+  private def changefeedGateDir(): String = wipedDir(changefeedGateRoot)
+  private lazy val changefeedGateRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-changefeed-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -2262,6 +2270,37 @@ object SparkEntry {
         s"lookup read ${bucketsRead.length} of $total buckets — not pruned")
       out.select("doc_id", "text", "lang")
     }),
+    // CHANGEFEED between two sink versions (round 14, the lakehouse CDF
+    // read): batch 0 inserts the evens, batch 1 updates %6 / deletes %10
+    // (the %30 equal-seq D/U tie resolves to update) and inserts ~40
+    // fresh +3000000 keys; readChanges(0, 1) must emit exactly the keys
+    // whose state differs, classified insert/update/delete with
+    // post-image payloads — and reads ONLY the buckets batch 1 touched
+    // (the manifest diff; spec-witnessed, here oracled for content).
+    // Oracle: the v1 fold full-outer-diffed against the v0 state with
+    // IS DISTINCT FROM. Cold-cost-by-design: fresh store per pass.
+    "q_upsert_changefeed" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = changefeedGateDir()
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op,
+          |       concat(text, ' [v2]') AS text, lang
+          |FROM documents WHERE doc_id % 6 = 0
+          |UNION ALL
+          |SELECT doc_id, 2L, 'D', CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |FROM documents WHERE doc_id % 10 = 0
+          |UNION ALL
+          |SELECT doc_id + 3000000, 2L, 'I', concat('cf ', text), lang
+          |FROM documents WHERE doc_id < 40""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
+      applyB(b0, 0); applyB(b1, 1)
+      graft.streaming.UpsertSink.readChanges(spark, path, 0, 1)
+        .select("doc_id", "change", "text", "lang")
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 8 buckets — enough dirs to exercise pruning while
@@ -3582,6 +3621,40 @@ object SparkEntry {
         |FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
         |WHERE (w.op IS NULL OR w.op <> 'D')
         |  AND coalesce(s0.doc_id, w.doc_id) IN (2, 6, 10, 123456789)""".stripMargin,
+    // changefeed v0→v1 = the v1 fold full-outer-diffed against the v0
+    // state: fresh +3000000 keys classify insert, %10 losers delete
+    // (post-image NULLs), %6 winners (incl. the %30 tie) update
+    "q_upsert_changefeed" ->
+      """WITH s0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT doc_id, 2 AS seq, 'U' AS op,
+        |              text || ' [v2]' AS text, lang
+        |       FROM documents WHERE doc_id % 6 = 0
+        |       UNION ALL
+        |       SELECT doc_id, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |       FROM documents WHERE doc_id % 10 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 3000000, 2, 'I', 'cf ' || text, lang
+        |       FROM documents WHERE doc_id < 40),
+        |w1 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b1),
+        |w AS (SELECT doc_id, op, text, lang FROM w1 WHERE rn = 1),
+        |v1 AS (SELECT coalesce(s0.doc_id, w.doc_id) AS doc_id,
+        |         CASE WHEN w.op IS NOT NULL THEN w.text ELSE s0.text END AS text,
+        |         CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END AS lang
+        |       FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
+        |       WHERE w.op IS NULL OR w.op <> 'D')
+        |SELECT coalesce(v1.doc_id, s0.doc_id) AS doc_id,
+        |       CASE WHEN s0.doc_id IS NULL THEN 'insert'
+        |            WHEN v1.doc_id IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change,
+        |       v1.text AS text, v1.lang AS lang
+        |FROM s0 FULL OUTER JOIN v1 ON s0.doc_id = v1.doc_id
+        |WHERE s0.doc_id IS NULL OR v1.doc_id IS NULL
+        |   OR s0.text IS DISTINCT FROM v1.text
+        |   OR s0.lang IS DISTINCT FROM v1.lang""".stripMargin,
     // CDC stream parity: the three micro-batches folded declaratively —
     // per batch, winner per key by the same (seq, op, payloads) DESC
     // NULLS LAST order, applied by full-outer join onto the prior state

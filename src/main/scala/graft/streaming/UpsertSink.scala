@@ -427,7 +427,14 @@ object UpsertSink {
     * id (identical state by construction), the first in name order
     * whose delta dirs still exist is read. */
   def readSnapshotAt(spark: SparkSession, path: String,
-                     batchId: Long): DataFrame = {
+                     batchId: Long): DataFrame =
+    snapshotOf(spark, path, manifestAtVersion(path, batchId))
+
+  /** The readable manifest for [[readSnapshotAt]]'s version-selection
+    * contract (largest committed id ≤ `batchId`, clamped, orphans and
+    * vacuumed-away candidates skipped) — factored out so the changefeed
+    * ([[readChanges]]) resolves endpoints through the same rules. */
+  private def manifestAtVersion(path: String, batchId: Long): Manifest = {
     val cur = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
     val mdir = manifestDir(path)
@@ -448,14 +455,62 @@ object UpsertSink {
     // manifests as possibly in-flight), so pick the first candidate
     // whose referenced delta dirs all still exist — a handful of
     // dir-level existence probes (vacuum removes whole delta dirs)
-    val chosen = eligible.filter(_._1 == atId).map(_._2).sorted
+    eligible.filter(_._1 == atId).map(_._2).sorted
       .iterator.map(n => readManifestFile(path, n))
       .find(_.buckets.values.toSet.forall(d =>
         f.exists(new org.apache.hadoop.fs.Path(path, d))))
       .getOrElse(throw new IllegalStateException(
         s"snapshot at batch $atId under $path is no longer readable — " +
           "vacuum reclaimed its delta dirs"))
-    snapshotOf(spark, path, chosen)
+  }
+
+  /** CHANGEFEED between two readable versions (the lakehouse CDF read):
+    * one row per key whose state differs between `fromVersion` and
+    * `toVersion` — `change` ∈ insert / update / delete, payload columns
+    * carrying the POST-image (`toVersion`'s values; NULL payloads for a
+    * delete). Endpoints resolve through [[readSnapshotAt]]'s
+    * version-selection rules (largest committed id ≤ the ask, clamped).
+    *
+    * The scale property: only buckets whose manifest MAPPING differs
+    * between the two versions are read — an untouched mapping means the
+    * bucket's files are byte-identical in both versions, so it cannot
+    * contribute a change. Changefeed cost is therefore proportional to
+    * the buckets the intervening batches touched, never O(table) — a
+    * settled multi-terabyte base contributes nothing to the read plan
+    * (spec-witnessed via `inputFiles`). A bucket repointed by a
+    * COMPACTION between the endpoints reads but diffs empty — layout
+    * moves are invisible to the feed, which diffs STATE, not files. */
+  def readChanges(spark: SparkSession, path: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val mFrom = manifestAtVersion(path, fromVersion)
+    val mTo = manifestAtVersion(path, toVersion)
+    require(mFrom.hasLayout && mTo.hasLayout,
+      s"snapshot at $path has a legacy manifest with no recorded layout; " +
+        "apply a batch to upgrade it before changefeed reads")
+    require(mFrom.key == mTo.key && mFrom.numBuckets == mTo.numBuckets,
+      s"layout contract changed between versions $fromVersion and " +
+        s"$toVersion — changefeed undefined across a re-bucketing")
+    val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet)
+      .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b))
+    val key = mTo.key
+    val payloads = org.apache.spark.sql.types.StructType
+      .fromDDL(mTo.schemaDdl).fieldNames.filterNot(_ == key).toSeq
+    def side(m: Manifest, kAs: String, sAs: String) =
+      prunedRead(spark, path, m, changed).select(col(key).as(kAs),
+        struct(payloads.map(col): _*).as(sAs))
+    val joined = side(mFrom, "__ka", "__sa")
+      .join(side(mTo, "__kb", "__sb"), col("__ka") === col("__kb"),
+        "full_outer")
+    joined.select(
+        Seq(coalesce(col("__kb"), col("__ka")).as(key),
+          when(col("__ka").isNull, "insert")
+            .when(col("__kb").isNull, "delete")
+            .when(!(col("__sa") <=> col("__sb")), "update")
+            .as("change")) ++
+        payloads.map(p => col(s"__sb.$p").as(p)): _*)
+      .filter(col("change").isNotNull)
   }
 
   /** Apply one CDC micro-batch. Returns true when applied, false when

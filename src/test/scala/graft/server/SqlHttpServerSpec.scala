@@ -165,6 +165,19 @@ class SqlHttpServerSpec extends SparkTestBase {
       s"SELECT id, v FROM graft_snapshot_lookup('$path', '7')")
     assert(rStr.statusCode() == 200, rStr.body())
     assert(rStr.body().contains("[7,\"v7\"]"), rStr.body())
+    // the changefeed rides the same front door: one more batch, then
+    // graft_snapshot_changes(path, 0, 1) lists exactly what moved
+    assert(applyB(Seq((7L, 2L, "U", "V7"), (41L, 2L, "I", "v41")), 1))
+    val rCf = post("/query",
+      s"SELECT id, change, v FROM graft_snapshot_changes('$path', 0, 1) " +
+        "ORDER BY id")
+    assert(rCf.statusCode() == 200, rCf.body())
+    assert(rCf.body().contains("[7,\"update\",\"V7\"]") &&
+      rCf.body().contains("[41,\"insert\",\"v41\"]"), rCf.body())
+    val rCfBad = post("/query",
+      s"SELECT id FROM graft_snapshot_changes('$path', 0, id)")
+    assert(rCfBad.statusCode() != 200 || rCfBad.body().contains("error"),
+      rCfBad.body())
   }
 
   test("binds to loopback by default") {

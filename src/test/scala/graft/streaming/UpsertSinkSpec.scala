@@ -702,6 +702,53 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(err.getMessage.contains("legacy manifest"))
   }
 
+  test("readChanges diffs only the buckets the intervening batches " +
+      "touched, and classifies insert/update/delete with post-images") {
+    val path = tmp()
+    assert(apply(path, (1L to 40L).map(i => (i, 1L, "I", s"v$i")), 0))
+    // batch 1 touches ONE key → the feed must read one bucket per side
+    assert(apply(path, Seq((7L, 2L, "U", "V7")), 1))
+    val feed = UpsertSink.readChanges(spark, path, 0, 1)
+    assert(feed.columns.toSeq === Seq("id", "change", "v"))
+    assert(feed.as[(Long, String, String)].collect().toSeq ===
+      Seq((7L, "update", "V7")))
+    val b7 = spark.sql(s"SELECT CAST(pmod(xxhash64(CAST(7 AS BIGINT)), $B) AS INT)")
+      .head().getInt(0)
+    assert(bucketsTouched(feed) === Set(b7)) // 39 settled keys: unread
+
+    // batch 2: one delete, one insert — and version asks CLAMP (99 → 2)
+    assert(apply(path, Seq((13L, 3L, "D", null), (99L, 3L, "I", "v99")), 2))
+    val feed2 = UpsertSink.readChanges(spark, path, 1, 99)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(feed2 === Seq((13L, "delete", null), (99L, "insert", "v99")))
+    // full-range feed composes both batches; key 7's two hops collapse
+    // to one update row against v0
+    val all = UpsertSink.readChanges(spark, path, 0, 2)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(all === Seq((7L, "update", "V7"), (13L, "delete", null),
+      (99L, "insert", "v99")))
+    assert(UpsertSink.readChanges(spark, path, 2, 2).count() == 0)
+    val err = intercept[IllegalArgumentException] {
+      UpsertSink.readChanges(spark, path, 2, 1)
+    }
+    assert(err.getMessage.contains("fromVersion"))
+  }
+
+  test("readChanges is layout-blind: a compaction between the endpoints " +
+      "repoints buckets without contributing rows") {
+    val path = tmp()
+    assert(apply(path, (1L to 20L).map(i => (i, 1L, "I", s"v$i")), 0))
+    assert(apply(path, Seq((3L, 2L, "U", "V3")), 1))
+    UpsertSink.compactSnapshot(spark, path) // every bucket repoints
+    // state diff is still just the one update — the repointed-but-equal
+    // buckets read, diff empty, and drop out
+    assert(UpsertSink.readChanges(spark, path, 0, 1)
+      .as[(Long, String, String)].collect().toSeq ===
+      Seq((3L, "update", "V3")))
+    // same-version feed across the apply/compaction manifest pair: empty
+    assert(UpsertSink.readChanges(spark, path, 1, 1).count() == 0)
+  }
+
   test("end-to-end: foreachBatch stream maintains the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
