@@ -118,6 +118,24 @@ class CdcPropertySpec extends SparkTestBase {
           }
           assert(e.getMessage.contains("vacuum"), e.getMessage)
         }
+        // CHANGEFEED invariant over the surviving history: for every
+        // consecutive pair and the full span, the emitted feed IS the
+        // model diff — exact change classification, post-image values,
+        // nothing extra from repointed-but-equal buckets
+        val pairs = history.map(_._1).sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1))).toSeq :+ (history.head._1, history.last._1)
+        pairs.distinct.foreach { case (i, j) =>
+          val (wi, wj) = (history.find(_._1 == i).get._2,
+            history.find(_._1 == j).get._2)
+          val want =
+            (wj.keySet -- wi.keySet).map(k => (k, "insert", wj(k))) ++
+            (wi.keySet -- wj.keySet).map(k => (k, "delete", null: String)) ++
+            (wi.keySet & wj.keySet).filter(k => wi(k) != wj(k))
+              .map(k => (k, "update", wj(k)))
+          val got = sink.readChanges(spark, path, i, j)
+            .as[(Long, String, String)].collect().toSet
+          assert(got === want, s"changefeed $i->$j diverged; ops: $ops")
+        }
       }
     }
   }
