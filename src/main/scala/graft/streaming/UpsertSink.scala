@@ -484,8 +484,13 @@ object UpsertSink {
                   fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
-    val mFrom = manifestAtVersion(path, fromVersion)
     val mTo = manifestAtVersion(path, toVersion)
+    // fromVersion -1 = EMPTY PREHISTORY: diff against nothing, so the
+    // toVersion snapshot streams out as pure inserts — the "initial
+    // snapshot then tail" opening a changefeed STREAM needs
+    val mFrom =
+      if (fromVersion < 0) mTo.copy(buckets = Map.empty)
+      else manifestAtVersion(path, fromVersion)
     require(mFrom.hasLayout && mTo.hasLayout,
       s"snapshot at $path has a legacy manifest with no recorded layout; " +
         "apply a batch to upgrade it before changefeed reads")
@@ -511,6 +516,19 @@ object UpsertSink {
             .as("change")) ++
         payloads.map(p => col(s"__sb.$p").as(p)): _*)
       .filter(col("change").isNotNull)
+  }
+
+  /** The schema [[readChanges]] emits for the store at `path`: key,
+    * `change` STRING, then the payload columns — what a changefeed
+    * STREAM declares before any batch runs. */
+  def changeSchema(path: String): org.apache.spark.sql.types.StructType = {
+    val m = layoutManifest(path)
+    val snap = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    org.apache.spark.sql.types.StructType(
+      snap(m.key) +:
+        org.apache.spark.sql.types.StructField("change",
+          org.apache.spark.sql.types.StringType) +:
+        snap.filterNot(_.name == m.key))
   }
 
   /** Apply one CDC micro-batch. Returns true when applied, false when
