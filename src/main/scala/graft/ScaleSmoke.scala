@@ -332,6 +332,53 @@ object ScaleSmoke {
         s"(${m2.buckets.values.toSet.size} live dirs after)"
     }
 
+    // Changefeed + point-lookup economics (round 14): over the same
+    // settled-base shape, a one-doc commit's changefeed and a 3-key
+    // lookup must both read bytes proportional to the TOUCHED buckets
+    // (the manifest routes them), leaving the 50k-doc base unopened —
+    // the read-side twin of incremental compaction's write-side story.
+    time("sink changefeed + point lookup read only touched buckets") {
+      val dir = java.nio.file.Files.createTempDirectory("scale-cf").toString + "/t"
+      val sink = graft.streaming.UpsertSink
+      val applyB = sink.applyBatch(spark, dir, "doc_id", "seq", "op",
+        Seq("text"), 64) _
+      applyB(docs10.select(col("doc_id"), lit(1L).as("seq"),
+        lit("I").as("op"), col("text")), 0)
+      applyB(docs10.where(col("doc_id") === 1000097L)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+          concat(lit("u"), col("text")).as("text")), 1)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def bytesOf(files: Array[String]): Long =
+        files.map(f => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(f.stripPrefix("file:"))).getLen).sum
+      def totalBytes(): Long = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir, "delta"), true)
+        var by = 0L
+        while (it.hasNext) { val e = it.next()
+          if (!e.getPath.getName.startsWith("_")) by += e.getLen }
+        by
+      }
+      val feed = sink.readChanges(spark, dir, 0, 1)
+      val feedRows = feed.collect()
+      if (feedRows.length != 1 || feedRows.head.getString(1) != "update")
+        throw new AssertionError(s"expected 1 update, got ${feedRows.length}")
+      val feedBytes = bytesOf(feed.inputFiles)
+      val lookup = sink.readSnapshotKeys(spark, dir,
+        Seq(1000097L, 2000003L, 999999999L))
+      val lookupRows = lookup.count()
+      val lookupBytes = bytesOf(lookup.inputFiles)
+      val total = totalBytes()
+      // 2/64 buckets for the feed (one bucket x two versions), <=3/64
+      // for the lookup: an order of magnitude under the full store
+      if (feedBytes >= total / 10)
+        throw new AssertionError(s"feed read $feedBytes of $total bytes")
+      if (lookupBytes >= total / 10)
+        throw new AssertionError(s"lookup read $lookupBytes of $total bytes")
+      f"feed $feedBytes%,d B / lookup $lookupBytes%,d B of $total%,d B " +
+        s"on disk ($lookupRows lookup rows)"
+    }
+
     // Distributed kNN join (large-Q path): 5k queries against a 20k-vector corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")
