@@ -112,6 +112,14 @@ object SparkEntry {
     d.toString + "/t"
   }
 
+  /** Per-JVM dir for the q_upsert_schema_evolution gate (same wipe rule). */
+  private def schemaEvoGateDir(): String = wipedDir(schemaEvoGateRoot)
+  private lazy val schemaEvoGateRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-schema-evo-gate")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
     // (session, dir)
@@ -2301,6 +2309,31 @@ object SparkEntry {
       graft.streaming.UpsertSink.readChanges(spark, path, 0, 1)
         .select("doc_id", "change", "text", "lang")
     }),
+    // ADDITIVE schema evolution on the sink (round 14): batch 0 inserts
+    // the evens with payload (text) only; batch 1 carries mergeSchema =
+    // true and a WIDER payload (text, lang) updating the %6 keys — the
+    // manifest DDL widens in place, every pre-evolution bucket reads
+    // `lang` as a typed NULL with no rewrite (dirs conform lazily on
+    // read), and only the updated keys carry a value. Oracle: the even
+    // docs with lang NULLed except on %6. Cold-cost-by-design: fresh
+    // store per pass.
+    "q_upsert_schema_evolution" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = schemaEvoGateDir()
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, text
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op, text, lang
+          |FROM documents WHERE doc_id % 6 = 0""".stripMargin)
+      graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text"), 8)(b0, 0)
+      graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8,
+        mergeSchema = true)(b1, 1)
+      graft.streaming.UpsertSink.readSnapshot(spark, path)
+        .select("doc_id", "text", "lang")
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 8 buckets — enough dirs to exercise pruning while
@@ -3655,6 +3688,12 @@ object SparkEntry {
         |WHERE s0.doc_id IS NULL OR v1.doc_id IS NULL
         |   OR s0.text IS DISTINCT FROM v1.text
         |   OR s0.lang IS DISTINCT FROM v1.lang""".stripMargin,
+    // schema evolution: the evens with lang NULL except where the
+    // widening %6 update batch set it
+    "q_upsert_schema_evolution" ->
+      """SELECT doc_id, text,
+        |       CASE WHEN doc_id % 6 = 0 THEN lang END AS lang
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     // CDC stream parity: the three micro-batches folded declaratively —
     // per batch, winner per key by the same (seq, op, payloads) DESC
     // NULLS LAST order, applied by full-outer join onto the prior state

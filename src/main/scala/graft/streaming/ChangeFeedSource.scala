@@ -99,8 +99,18 @@ private class ChangeFeedSource(sqlContext: SQLContext, path: String,
     val from = start.map(ver).getOrElse(startFrom)
     val batch = UpsertSink.readChanges(
       sqlContext.sparkSession, path, from, ver(end))
+    // conform to the schema DECLARED at stream start: a mid-stream
+    // additive evolution would otherwise widen the batch and fail the
+    // engine's schema check. The stream keeps flowing on the old
+    // columns; restart it to pick up the widened schema.
+    val have = batch.columns.toSet
+    val conformed = batch.select(schema.fields.map(f =>
+      if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+        .as(f.name)).toIndexedSeq: _*)
     org.apache.spark.sql.graft.StreamingShim.streamingDataFrame(
-      sqlContext.sparkSession, batch.queryExecution.toRdd, batch.schema)
+      sqlContext.sparkSession, conformed.queryExecution.toRdd,
+      conformed.schema)
   }
 
   override def commit(end: Offset): Unit = ()

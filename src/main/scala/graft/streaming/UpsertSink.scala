@@ -276,14 +276,31 @@ object UpsertSink {
     * first task ran. The `__bucket` path-partition column comes back
     * from partition discovery; `keepBucket=false` drops it (snapshot
     * readers see key+payloads only), `true` keeps it (compaction
-    * rewrites need the routing). */
+    * rewrites need the routing).
+    *
+    * `conformTo`: the snapshot schema every per-dir relation is
+    * conformed to — a dir written BEFORE an additive schema evolution
+    * lacks the newer payload columns, which read as typed NULLs (the
+    * mergeSchema contract); extra physical columns prune away. Order
+    * follows the schema, so mixed-era dirs union positionally clean. */
   private def readBuckets(spark: SparkSession, path: String,
                           entries: Seq[(Int, String)],
-                          keepBucket: Boolean): Option[DataFrame] =
+                          keepBucket: Boolean,
+                          conformTo: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
     entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, bs) =>
       val df = spark.read.option("basePath", s"$path/$d")
         .parquet(bs.map(_._1).sorted.map(b => bucketDir(path, d, b)): _*)
-      if (keepBucket) df else df.drop(BucketCol)
+      val conformed = conformTo match {
+        case None => df
+        case Some(schema) =>
+          val have = df.columns.toSet
+          df.select(schema.fields.map(f =>
+            if (have(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)) ++
+            (if (keepBucket) Seq(col(BucketCol)) else Nil): _*)
+      }
+      if (keepBucket) conformed else conformed.drop(BucketCol)
     }.reduceOption(_ unionByName _)
 
   /** The bucket-routing expression — THE layout contract: [[applyBatch]]
@@ -318,17 +335,20 @@ object UpsertSink {
   private def keyTypeOf(m: Manifest): org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)(m.key).dataType
 
-  /** Union-read of just the buckets in `wanted`; a lookup whose keys all
-    * hash to absent buckets (nothing ever written there, or deleted
-    * empty) still returns a correctly-typed empty frame. */
+  /** Union-read of just the buckets in `wanted`, conformed to
+    * `conformTo` (typed NULLs for columns an older dir predates); a
+    * lookup whose keys all hash to absent buckets (nothing ever written
+    * there, or deleted empty) still returns a correctly-typed empty
+    * frame. */
   private def prunedRead(spark: SparkSession, path: String, m: Manifest,
-                         wanted: Set[Int]): DataFrame =
+                         wanted: Set[Int],
+                         conformTo: org.apache.spark.sql.types.StructType)
+      : DataFrame =
     readBuckets(spark, path,
         m.buckets.toSeq.filter { case (b, _) => wanted(b) },
-        keepBucket = false)
+        keepBucket = false, conformTo = Some(conformTo))
       .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], conformTo))
 
   /** Bucket-PRUNED point lookup: the current snapshot's rows whose key
     * is one of `keys`, reading ONLY the buckets those keys hash to.
@@ -360,7 +380,8 @@ object UpsertSink {
       .select(explode(array(keyLits: _*)).as(m.key))
       .select(bucketExpr(m.key, m.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    prunedRead(spark, path, m, wanted)
+    prunedRead(spark, path, m, wanted,
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
       .filter(col(m.key).isInCollection(keyLits))
   }
 
@@ -382,20 +403,25 @@ object UpsertSink {
     val probes = keysDf.select(col(m.key).cast(keyTypeOf(m))).distinct()
     val wanted = probes.select(bucketExpr(m.key, m.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    prunedRead(spark, path, m, wanted)
+    prunedRead(spark, path, m, wanted,
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
       .join(probes, Seq(m.key), "left_semi")
   }
 
   private def snapshotOf(spark: SparkSession, path: String,
                          m: Manifest): DataFrame =
-    readBuckets(spark, path, m.buckets.toSeq, keepBucket = false).getOrElse {
-      if (!m.hasLayout) throw new IllegalStateException(
-        s"snapshot at $path is empty and its legacy manifest records no " +
-          "schema; apply a batch to upgrade it")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    readBuckets(spark, path, m.buckets.toSeq, keepBucket = false,
+        conformTo = if (m.hasLayout)
+          Some(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+        else None)
+      .getOrElse {
+        if (!m.hasLayout) throw new IllegalStateException(
+          s"snapshot at $path is empty and its legacy manifest records no " +
+            "schema; apply a batch to upgrade it")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
 
   /** Committed batch ids whose snapshots are still readable — i.e.
     * every apply manifest at or below the CURRENT committed id that
@@ -500,10 +526,14 @@ object UpsertSink {
     val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet)
       .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b))
     val key = mTo.key
-    val payloads = org.apache.spark.sql.types.StructType
-      .fromDDL(mTo.schemaDdl).fieldNames.filterNot(_ == key).toSeq
+    val toSchema = org.apache.spark.sql.types.StructType.fromDDL(mTo.schemaDdl)
+    val payloads = toSchema.fieldNames.filterNot(_ == key).toSeq
+    // BOTH sides conform to the newer endpoint's schema: across an
+    // additive evolution the older side reads the new columns as NULLs,
+    // so a row whose only change is a still-NULL new column stays
+    // `unchanged` and one that gained a value classifies `update`
     def side(m: Manifest, kAs: String, sAs: String) =
-      prunedRead(spark, path, m, changed).select(col(key).as(kAs),
+      prunedRead(spark, path, m, changed, toSchema).select(col(key).as(kAs),
         struct(payloads.map(col): _*).as(sAs))
     val joined = side(mFrom, "__ka", "__sa")
       .join(side(mTo, "__kb", "__sb"), col("__ka") === col("__kb"),
@@ -532,10 +562,20 @@ object UpsertSink {
   }
 
   /** Apply one CDC micro-batch. Returns true when applied, false when
-    * skipped (empty batch, or a replayed/out-of-order batchId). */
+    * skipped (empty batch, or a replayed/out-of-order batchId).
+    *
+    * `mergeSchema = true` permits ADDITIVE schema evolution: a batch
+    * whose payload set is a SUPERSET of the manifest's (same key, same
+    * types for every existing column) widens the snapshot schema — the
+    * new columns read as typed NULLs from every bucket written before
+    * the evolution (no rewrite; dirs conform lazily on read), and the
+    * manifest records the widened DDL as existing columns first, new
+    * columns after. Dropping or retyping a column is refused either
+    * way — those need a rebuild, not an option. */
   def applyBatch(spark: SparkSession, path: String, key: String,
                  seqCol: String, opCol: String, payloadCols: Seq[String],
-                 numBuckets: Int)(changes: DataFrame, batchId: Long): Boolean = {
+                 numBuckets: Int, mergeSchema: Boolean = false)
+                (changes: DataFrame, batchId: Long): Boolean = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val prev = readManifest(path)
     val ddl = snapshotDdl(changes, key, payloadCols)
@@ -552,10 +592,36 @@ object UpsertSink {
       require(m.key == key,
         s"snapshot at $path is keyed on '${m.key}'; applyBatch called " +
           s"with '$key'")
-      require(m.schemaDdl == ddl,
-        s"snapshot at $path has schema [${m.schemaDdl}]; this batch " +
-          s"would write [$ddl]")
+      if (m.schemaDdl != ddl) {
+        require(mergeSchema,
+          s"snapshot at $path has schema [${m.schemaDdl}]; this batch " +
+            s"would write [$ddl] (additive widening needs " +
+            "mergeSchema = true)")
+        val old = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        val neu = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val dropped = old.map(_.name).filterNot(neu.fieldNames.contains)
+        require(dropped.isEmpty,
+          s"mergeSchema is ADDITIVE only: this batch drops " +
+            s"[${dropped.mkString(", ")}] from [${m.schemaDdl}]")
+        val retyped = old.flatMap(f => neu.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(n => s"${f.name}: ${f.dataType.sql} -> ${n.dataType.sql}"))
+        require(retyped.isEmpty,
+          s"mergeSchema cannot change column types: ${retyped.mkString(", ")}")
+      }
     }
+    // the EFFECTIVE snapshot schema this apply commits: on a widening
+    // apply, existing columns keep their order, new ones append — so
+    // later applies see a stable DDL regardless of caller column order
+    val effectiveSchema = prev.filter(_.hasLayout) match {
+      case Some(m) if m.schemaDdl != ddl =>
+        val old = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        val neu = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        org.apache.spark.sql.types.StructType(
+          old ++ neu.filterNot(f => old.fieldNames.contains(f.name)))
+      case _ => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    }
+    val effectiveDdl = effectiveSchema.toDDL
     if (prev.exists(_.batchId >= batchId)) return false // replayed batch
     val bucketOf = bucketExpr(key, numBuckets)
     // one micro-batch — bounded; checkpointed because it is read three
@@ -570,8 +636,14 @@ object UpsertSink {
 
       val existing = prev.toSeq.flatMap(m => touched.flatMap(b =>
         m.buckets.get(b).map(d => b -> d)))
+      // conform the touched snapshot slice to the effective schema (a
+      // widening apply reads pre-evolution buckets with typed NULLs); a
+      // LEGACY manifest recorded no schema to conform to — read raw and
+      // let a true mismatch fail loudly rather than null-fill it
       val snapTouched = readBuckets(spark, path, existing,
-          keepBucket = false).getOrElse {
+          keepBucket = false,
+          conformTo = if (prev.forall(_.hasLayout)) Some(effectiveSchema)
+            else None).getOrElse {
         // first batch (or all-new buckets): empty snapshot, batch schema
         batch.select((key +: payloadCols).map(col): _*).limit(0)
       }
@@ -606,7 +678,8 @@ object UpsertSink {
       val written = touched.filter(onDisk).toSet
       val base = prev.map(_.buckets).getOrElse(Map.empty)
       val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
-      writeManifest(path, Manifest(batchId, numBuckets, key, ddl, next),
+      writeManifest(path,
+        Manifest(batchId, numBuckets, key, effectiveDdl, next),
         s"m$batchId.json")
       true
     } finally graft.operators.Dedup.releaseFrame(batch)
@@ -689,8 +762,14 @@ object UpsertSink {
     // grouped read (one relation per merged delta dir — see readBuckets)
     // KEEPING the __bucket path-partition column; the repartition
     // co-locates each bucket in one task before partitionBy — one
-    // output file per bucket, the applyBatch write shape
-    readBuckets(spark, path, victims, keepBucket = true).get
+    // output file per bucket, the applyBatch write shape. Conforming to
+    // the manifest schema lets mixed-era dirs (pre/post an additive
+    // evolution) merge: the rewrite BACKFILLS typed NULLs, upgrading
+    // the merged dirs to the current schema
+    readBuckets(spark, path, victims, keepBucket = true,
+      conformTo = if (m.hasLayout)
+        Some(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      else None).get
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol)
       .parquet(s"$path/$deltaDir")
@@ -872,7 +951,8 @@ object UpsertSink {
   def sink(spark: SparkSession, path: String, key: String, seqCol: String,
            opCol: String, payloadCols: Seq[String], numBuckets: Int,
            compactEvery: Int = 0, maxDeltaDirs: Int = 4,
-           vacuumAfterCompact: Boolean = false)
+           vacuumAfterCompact: Boolean = false,
+           mergeSchema: Boolean = false)
     : (DataFrame, Long) => Unit = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     require(maxDeltaDirs >= 1, s"maxDeltaDirs must be >= 1, got $maxDeltaDirs")
@@ -880,7 +960,7 @@ object UpsertSink {
       "vacuumAfterCompact requires compactEvery > 0")
     (df, id) => {
       if (applyBatch(spark, path, key, seqCol, opCol, payloadCols,
-          numBuckets)(df, id)) {
+          numBuckets, mergeSchema)(df, id)) {
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           compactSnapshot(spark, path, maxDeltaDirs)
           if (vacuumAfterCompact) vacuum(path)

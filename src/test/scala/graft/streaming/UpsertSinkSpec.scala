@@ -749,6 +749,70 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(UpsertSink.readChanges(spark, path, 1, 1).count() == 0)
   }
 
+  test("additive schema evolution: a mergeSchema apply widens the " +
+      "snapshot, old buckets read typed NULLs, compaction backfills") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a"), (2L, 1L, "I", "b")), 0))
+    // widening WITHOUT the flag is refused with the hint
+    val strict = intercept[IllegalArgumentException] {
+      UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v", "w"), B)(
+        Seq((3L, 2L, "I", "c", 30)).toDF("id", "seq", "op", "v", "w"), 1)
+    }
+    assert(strict.getMessage.contains("mergeSchema"))
+    // with it, the batch widens the schema: new column `w` INT
+    assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+      Seq("v", "w"), B, mergeSchema = true)(
+      Seq((3L, 2L, "I", "c", 30), (1L, 2L, "U", "a2", 10))
+        .toDF("id", "seq", "op", "v", "w"), 1))
+    val m = UpsertSink.readManifest(path).get
+    assert(m.schemaDdl.contains("w INT"), m.schemaDdl)
+    val snap = UpsertSink.readSnapshot(spark, path)
+    assert(snap.columns.toSeq === Seq("id", "v", "w"))
+    val rows = snap.as[(Long, String, Option[Int])].collect().sortBy(_._1).toSeq
+    // key 2 predates the evolution: its w reads as NULL, no rewrite
+    assert(rows === Seq((1L, "a2", Some(10)), (2L, "b", None),
+      (3L, "c", Some(30))))
+    // later NON-widened applies keep working against the widened DDL
+    assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+      Seq("v", "w"), B)(
+      Seq((4L, 3L, "I", "d", 40)).toDF("id", "seq", "op", "v", "w"), 2))
+    // point lookup + changefeed conform across the evolution boundary
+    assert(UpsertSink.readSnapshotKeys(spark, path, Seq(2L))
+      .as[(Long, String, Option[Int])].collect().toSeq === Seq((2L, "b", None)))
+    val feed = UpsertSink.readChanges(spark, path, 0, 2)
+      .as[(Long, String, String, Option[Int])].collect().sortBy(_._1).toSeq
+    assert(feed === Seq((1L, "update", "a2", Some(10)),
+      (3L, "insert", "c", Some(30)), (4L, "insert", "d", Some(40))))
+    // compaction merges mixed-era dirs, backfilling NULLs; content stable
+    UpsertSink.compactSnapshot(spark, path)
+    assert(UpsertSink.readSnapshot(spark, path)
+      .as[(Long, String, Option[Int])].collect().sortBy(_._1).toSeq ===
+      rows :+ ((4L, "d", Some(40))))
+    // historical reads keep their HISTORICAL schema
+    assert(UpsertSink.readSnapshotAt(spark, path, 0).columns.toSeq ===
+      Seq("id", "v"))
+  }
+
+  test("mergeSchema refuses dropped or retyped columns — evolution is " +
+      "additive only") {
+    val path = tmp()
+    assert(apply(path, Seq((1L, 1L, "I", "a")), 0))
+    val dropped = intercept[IllegalArgumentException] {
+      UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("w"), B,
+        mergeSchema = true)(
+        Seq((2L, 2L, "I", 20)).toDF("id", "seq", "op", "w"), 1)
+    }
+    assert(dropped.getMessage.contains("ADDITIVE"), dropped.getMessage)
+    val retyped = intercept[IllegalArgumentException] {
+      UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"), B,
+        mergeSchema = true)(
+        Seq((2L, 2L, "I", 20)).toDF("id", "seq", "op", "v"), 1)
+    }
+    assert(retyped.getMessage.contains("column types"), retyped.getMessage)
+    // the snapshot is untouched by the refused applies
+    assert(snap(path) === Seq((1L, "a")))
+  }
+
   test("end-to-end: foreachBatch stream maintains the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp()
