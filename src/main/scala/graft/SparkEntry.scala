@@ -65,60 +65,27 @@ object SparkEntry {
     d.toString
   }
   private def upsertGateDir(): String = wipedDir(upsertGateRoot)
-  private lazy val upsertGateRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-upsert-gate")
+  private lazy val upsertGateRoot: String = gateRoot("graft-upsert-gate")
+
+  /** One per-JVM root per sink-backed gate (wiped per invocation via
+    * [[wipedDir]], same restart-at-batch-0 reason as [[upsertGateDir]]). */
+  private def gateRoot(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
     d.toFile.deleteOnExit()
     d.toString + "/t"
   }
-
-  /** Per-JVM dir for the q_compact_sink gate, wiped per invocation for
-    * the same restart-at-batch-0 reason as [[upsertGateDir]]. */
+  private lazy val compactSinkGateRoot = gateRoot("graft-compact-sink-gate")
   private def compactSinkGateDir(): String = wipedDir(compactSinkGateRoot)
-  private lazy val compactSinkGateRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-compact-sink-gate")
-    d.toFile.deleteOnExit()
-    d.toString + "/t"
-  }
-
-  /** Per-JVM dir for the q_upsert_time_travel gate (same wipe rule). */
+  private lazy val timeTravelGateRoot = gateRoot("graft-time-travel-gate")
   private def timeTravelGateDir(): String = wipedDir(timeTravelGateRoot)
-  private lazy val timeTravelGateRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-time-travel-gate")
-    d.toFile.deleteOnExit()
-    d.toString + "/t"
-  }
-
-  /** Per-JVM dir for the q_time_travel_sql gate (same wipe rule). */
+  private lazy val timeTravelSqlGateRoot = gateRoot("graft-tt-sql-gate")
   private def timeTravelSqlGateDir(): String = wipedDir(timeTravelSqlGateRoot)
-  private lazy val timeTravelSqlGateRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-tt-sql-gate")
-    d.toFile.deleteOnExit()
-    d.toString + "/t"
-  }
-
-  /** Per-JVM dir for the q_upsert_point_lookup gate (same wipe rule). */
+  private lazy val pointLookupGateRoot = gateRoot("graft-point-lookup-gate")
   private def pointLookupGateDir(): String = wipedDir(pointLookupGateRoot)
-  private lazy val pointLookupGateRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-point-lookup-gate")
-    d.toFile.deleteOnExit()
-    d.toString + "/t"
-  }
-
-  /** Per-JVM dir for the q_upsert_changefeed gate (same wipe rule). */
+  private lazy val changefeedGateRoot = gateRoot("graft-changefeed-gate")
   private def changefeedGateDir(): String = wipedDir(changefeedGateRoot)
-  private lazy val changefeedGateRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-changefeed-gate")
-    d.toFile.deleteOnExit()
-    d.toString + "/t"
-  }
-
-  /** Per-JVM dir for the q_upsert_schema_evolution gate (same wipe rule). */
+  private lazy val schemaEvoGateRoot = gateRoot("graft-schema-evo-gate")
   private def schemaEvoGateDir(): String = wipedDir(schemaEvoGateRoot)
-  private lazy val schemaEvoGateRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-schema-evo-gate")
-    d.toFile.deleteOnExit()
-    d.toString + "/t"
-  }
 
   private[graft] def init(spark: SparkSession, dir: String): SparkSession = {
     // re-registering 10 views costs ~0.3 s of schema reads — do it once per
@@ -2307,7 +2274,7 @@ object SparkEntry {
         spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
       applyB(b0, 0); applyB(b1, 1)
       graft.streaming.UpsertSink.readChanges(spark, path, 0, 1)
-        .select("doc_id", "change", "text", "lang")
+        .select("doc_id", "_change_type", "text", "lang")
     }),
     // ADDITIVE schema evolution on the sink (round 14): batch 0 inserts
     // the evens with payload (text) only; batch 1 carries mergeSchema =
@@ -3682,7 +3649,7 @@ object SparkEntry {
         |SELECT coalesce(v1.doc_id, s0.doc_id) AS doc_id,
         |       CASE WHEN s0.doc_id IS NULL THEN 'insert'
         |            WHEN v1.doc_id IS NULL THEN 'delete'
-        |            ELSE 'update' END AS change,
+        |            ELSE 'update' END AS _change_type,
         |       v1.text AS text, v1.lang AS lang
         |FROM s0 FULL OUTER JOIN v1 ON s0.doc_id = v1.doc_id
         |WHERE s0.doc_id IS NULL OR v1.doc_id IS NULL

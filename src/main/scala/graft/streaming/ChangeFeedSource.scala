@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
   *   spark.readStream.format("graft-changefeed")
   *     .option("path", "/data/store")
   *     .option("startingVersion", "earliest")   // or a version id
-  *     .load()                                  // (key, change, payloads…)
+  *     .load()                           // (key, _change_type, payloads…)
   * }}}
   *
   * Offsets are the store's committed batch ids — already durable,
@@ -69,9 +69,20 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val startFrom = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")) match {
       case Some("earliest") => -1L // empty prehistory: snapshot-as-inserts
-      case Some(n) => n.toLongOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"startingVersion must be 'earliest' or a version id, got '$n'"))
+      case Some(n) =>
+        val v = n.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"startingVersion must be 'earliest' or a version id, got '$n'"))
+        // validate against the store NOW, where the message can name the
+        // option: a negative typo would otherwise silently replay the
+        // whole snapshot (empty-prehistory semantics), and an
+        // above-head value would crash the first trigger with a
+        // readChanges message that never mentions startingVersion
+        require(v >= 0, s"startingVersion must be >= 0, got $v " +
+          "(use 'earliest' for the full-snapshot opening)")
+        require(v <= current, s"startingVersion $v is above the store's " +
+          s"committed head $current")
+        v
       case None => current // tail: only changes committed after start
     }
     new ChangeFeedSource(sqlContext, path, startFrom)
@@ -99,15 +110,12 @@ private class ChangeFeedSource(sqlContext: SQLContext, path: String,
     val from = start.map(ver).getOrElse(startFrom)
     val batch = UpsertSink.readChanges(
       sqlContext.sparkSession, path, from, ver(end))
-    // conform to the schema DECLARED at stream start: a mid-stream
-    // additive evolution would otherwise widen the batch and fail the
-    // engine's schema check. The stream keeps flowing on the old
-    // columns; restart it to pick up the widened schema.
-    val have = batch.columns.toSet
-    val conformed = batch.select(schema.fields.map(f =>
-      if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
-        .as(f.name)).toIndexedSeq: _*)
+    // conform to the schema DECLARED at stream start (the readers'
+    // shared conform projection): a mid-stream additive evolution would
+    // otherwise widen the batch and fail the engine's schema check. The
+    // stream keeps flowing on the old columns; restart it to pick up
+    // the widened schema.
+    val conformed = batch.select(UpsertSink.conformCols(batch, schema): _*)
     org.apache.spark.sql.graft.StreamingShim.streamingDataFrame(
       sqlContext.sparkSession, conformed.queryExecution.toRdd,
       conformed.schema)

@@ -50,6 +50,12 @@ object UpsertSink {
 
   private val BucketCol = "__bucket"
 
+  /** The changefeed's classification column (insert/update/delete) —
+    * the Delta-CDF spelling, underscored so it cannot collide with any
+    * plausible user payload name; [[readChanges]] refuses the rare
+    * store that uses it anyway. */
+  val ChangeTypeCol = "_change_type"
+
   /** Crashed-swap `.ptr.tmp.*` files younger than this survive [[vacuum]]:
     * an in-flight [[writeManifest]] writes its tmp pointer moments before
     * renaming it in, and a vacuum racing that writer must not delete the
@@ -294,14 +300,25 @@ object UpsertSink {
       val conformed = conformTo match {
         case None => df
         case Some(schema) =>
-          val have = df.columns.toSet
-          df.select(schema.fields.map(f =>
-            if (have(f.name)) col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)) ++
-            (if (keepBucket) Seq(col(BucketCol)) else Nil): _*)
+          val extra = if (keepBucket) Seq(col(BucketCol)) else Nil
+          df.select(conformCols(df, schema) ++ extra: _*)
       }
       if (keepBucket) conformed else conformed.drop(BucketCol)
     }.reduceOption(_ unionByName _)
+
+  /** The conform-to-schema projection the sink's readers share: each
+    * schema column as-is when present, a typed NULL when the frame
+    * predates it (additive evolution), extras dropped. ONE definition —
+    * the batch readers ([[readBuckets]]) and the streaming source's
+    * declared-schema guard must never diverge. */
+  private[streaming] def conformCols(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.Column] = {
+    val have = df.columns.toSet
+    schema.fields.toSeq.map(f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name))
+  }
 
   /** The bucket-routing expression — THE layout contract: [[applyBatch]]
     * writes with it and the pruned reads ([[readSnapshotKeys]]) probe
@@ -372,14 +389,19 @@ object UpsertSink {
                        keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "readSnapshotKeys: keys must be non-empty")
     val m = layoutManifest(path)
-    val keyLits = keys.map(k => lit(k).cast(keyTypeOf(m)))
-    // route the literals through the SAME expression applyBatch writes
-    // with; the probe frame is a literal LocalRelation, so the distinct
-    // bucket ids (≤ keys.size ints) resolve driver-side
-    val wanted = spark.range(1)
-      .select(explode(array(keyLits: _*)).as(m.key))
-      .select(bucketExpr(m.key, m.numBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val keyType = keyTypeOf(m)
+    val keyLits = keys.map(k => lit(k).cast(keyType))
+    // route each literal through the SAME hash applyBatch writes with —
+    // evaluated DRIVER-SIDE (interpreted Catalyst eval over resolved
+    // literals), so a point lookup launches exactly ONE Spark job: the
+    // pruned read itself. Cast first: xxhash64 is type-sensitive, and
+    // the writer hashed the key at the manifest's recorded type.
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+    val wanted = keys.map { k =>
+      val cast = Cast(Literal(k), keyType, Some("UTC"))
+      Pmod(new XxHash64(Seq(cast)), Literal(m.numBuckets.toLong))
+        .eval().asInstanceOf[Long].toInt
+    }.toSet
     prunedRead(spark, path, m, wanted,
         org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
       .filter(col(m.key).isInCollection(keyLits))
@@ -400,7 +422,14 @@ object UpsertSink {
     require(keysDf.columns.contains(m.key),
       s"readSnapshotKeys: probe frame has no '${m.key}' column " +
         s"(columns: ${keysDf.columns.mkString(", ")})")
+    // checkpoint the distinct probe set: it is read TWICE (bucket-id
+    // collect below, then the semi-join in the returned plan), and a
+    // re-executed non-deterministic probe (a sampled frame) could hash
+    // to buckets outside `wanted` — keys that would then silently
+    // return nothing. Materializing once makes both reads see the same
+    // rows (the applyBatch localCheckpoint precedent).
     val probes = keysDf.select(col(m.key).cast(keyTypeOf(m))).distinct()
+      .localCheckpoint(true)
     val wanted = probes.select(bucketExpr(m.key, m.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     prunedRead(spark, path, m, wanted,
@@ -492,10 +521,11 @@ object UpsertSink {
 
   /** CHANGEFEED between two readable versions (the lakehouse CDF read):
     * one row per key whose state differs between `fromVersion` and
-    * `toVersion` — `change` ∈ insert / update / delete, payload columns
-    * carrying the POST-image (`toVersion`'s values; NULL payloads for a
-    * delete). Endpoints resolve through [[readSnapshotAt]]'s
-    * version-selection rules (largest committed id ≤ the ask, clamped).
+    * `toVersion` — `_change_type` ∈ insert / update / delete, payload
+    * columns carrying the POST-image (`toVersion`'s values; NULL
+    * payloads for a delete). Endpoints resolve through
+    * [[readSnapshotAt]]'s version-selection rules (largest committed
+    * id ≤ the ask, clamped).
     *
     * The scale property: only buckets whose manifest MAPPING differs
     * between the two versions are read — an untouched mapping means the
@@ -527,6 +557,12 @@ object UpsertSink {
       .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b))
     val key = mTo.key
     val toSchema = org.apache.spark.sql.types.StructType.fromDDL(mTo.schemaDdl)
+    // `_change_type` is the one name the feed reserves (the Delta CDF
+    // spelling, underscored for exactly this reason); a store whose own
+    // columns use it would emit duplicate attributes — refuse loudly
+    require(!toSchema.fieldNames.contains(ChangeTypeCol),
+      s"snapshot at $path has a column named '$ChangeTypeCol', which the " +
+        "changefeed reserves for its classification — rename the column")
     val payloads = toSchema.fieldNames.filterNot(_ == key).toSeq
     // BOTH sides conform to the newer endpoint's schema: across an
     // additive evolution the older side reads the new columns as NULLs,
@@ -543,20 +579,20 @@ object UpsertSink {
           when(col("__ka").isNull, "insert")
             .when(col("__kb").isNull, "delete")
             .when(!(col("__sa") <=> col("__sb")), "update")
-            .as("change")) ++
+            .as(ChangeTypeCol)) ++
         payloads.map(p => col(s"__sb.$p").as(p)): _*)
-      .filter(col("change").isNotNull)
+      .filter(col(ChangeTypeCol).isNotNull)
   }
 
   /** The schema [[readChanges]] emits for the store at `path`: key,
-    * `change` STRING, then the payload columns — what a changefeed
-    * STREAM declares before any batch runs. */
+    * `_change_type` STRING, then the payload columns — what a
+    * changefeed STREAM declares before any batch runs. */
   def changeSchema(path: String): org.apache.spark.sql.types.StructType = {
     val m = layoutManifest(path)
     val snap = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     org.apache.spark.sql.types.StructType(
       snap(m.key) +:
-        org.apache.spark.sql.types.StructField("change",
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
           org.apache.spark.sql.types.StringType) +:
         snap.filterNot(_.name == m.key))
   }

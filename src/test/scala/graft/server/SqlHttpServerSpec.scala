@@ -169,7 +169,7 @@ class SqlHttpServerSpec extends SparkTestBase {
     // graft_snapshot_changes(path, 0, 1) lists exactly what moved
     assert(applyB(Seq((7L, 2L, "U", "V7"), (41L, 2L, "I", "v41")), 1))
     val rCf = post("/query",
-      s"SELECT id, change, v FROM graft_snapshot_changes('$path', 0, 1) " +
+      s"SELECT id, _change_type, v FROM graft_snapshot_changes('$path', 0, 1) " +
         "ORDER BY id")
     assert(rCf.statusCode() == 200, rCf.body())
     assert(rCf.body().contains("[7,\"update\",\"V7\"]") &&

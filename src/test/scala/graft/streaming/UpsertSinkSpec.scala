@@ -709,7 +709,7 @@ class UpsertSinkSpec extends SparkTestBase {
     // batch 1 touches ONE key → the feed must read one bucket per side
     assert(apply(path, Seq((7L, 2L, "U", "V7")), 1))
     val feed = UpsertSink.readChanges(spark, path, 0, 1)
-    assert(feed.columns.toSeq === Seq("id", "change", "v"))
+    assert(feed.columns.toSeq === Seq("id", "_change_type", "v"))
     assert(feed.as[(Long, String, String)].collect().toSeq ===
       Seq((7L, "update", "V7")))
     val b7 = spark.sql(s"SELECT CAST(pmod(xxhash64(CAST(7 AS BIGINT)), $B) AS INT)")
