@@ -611,6 +611,48 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(snap(path).map(_._2).toSet == Set("b10"))
   }
 
+  test("point lookups and changefeeds racing a live writer observe one " +
+      "complete committed version, never a torn mix") {
+    val path = tmp()
+    val keys = 1L to 60L
+    assert(apply(path, keys.map(k => (k, 0L, "I", "b0")), 0))
+    val probe = Seq(3L, 17L, 42L) // three distinct buckets, most runs
+    @volatile var writerError: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        for (i <- 1 to 8) {
+          apply(path, keys.map(k => (k, i.toLong, "U", s"b$i")), i.toLong)
+          if (i % 3 == 0) UpsertSink.compactSnapshot(spark, path)
+        }
+      } catch { case t: Throwable => writerError = t }
+    })
+    writer.start()
+    var reads = 0
+    try {
+      while (writer.isAlive) {
+        // a lookup resolves ONE manifest then reads its pruned buckets:
+        // all probed keys must answer from the same committed version
+        val got = UpsertSink.readSnapshotKeys(spark, path, probe)
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        assert(got.map(_._1) == probe, s"lookup $reads: missing keys $got")
+        assert(got.map(_._2).toSet.size == 1,
+          s"lookup $reads: torn version mix $got")
+        // a changefeed between two committed versions is stable even as
+        // the head advances: 0 -> 1 is a fixed diff once version 1 lands
+        if (UpsertSink.snapshotVersions(path).contains(1L)) {
+          val feed = UpsertSink.readChanges(spark, path, 0, 1)
+            .as[(Long, String, String)].collect()
+          assert(feed.length == keys.size &&
+            feed.forall(r => r._2 == "update" && r._3 == "b1"),
+            s"feed $reads: ${feed.take(5).toSeq}")
+        }
+        reads += 1
+      }
+    } finally writer.join()
+    assert(writerError == null, String.valueOf(writerError))
+    assert(reads > 0)
+  }
+
   private def bucketsTouched(df: DataFrame): Set[Int] =
     df.inputFiles.flatMap(f =>
       "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
