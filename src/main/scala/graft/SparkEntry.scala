@@ -82,6 +82,8 @@ object SparkEntry {
   private def timeTravelSqlGateDir(): String = wipedDir(timeTravelSqlGateRoot)
   private lazy val pointLookupGateRoot = gateRoot("graft-point-lookup-gate")
   private def pointLookupGateDir(): String = wipedDir(pointLookupGateRoot)
+  private lazy val tableScanGateRoot = gateRoot("graft-table-scan-gate")
+  private def tableScanGateDir(): String = wipedDir(tableScanGateRoot)
   private lazy val changefeedGateRoot = gateRoot("graft-changefeed-gate")
   private def changefeedGateDir(): String = wipedDir(changefeedGateRoot)
   private lazy val schemaEvoGateRoot = gateRoot("graft-schema-evo-gate")
@@ -2245,6 +2247,50 @@ object SparkEntry {
         s"lookup read ${bucketsRead.length} of $total buckets — not pruned")
       out.select("doc_id", "text", "lang")
     }),
+    // The sink store as a REGISTERED TABLE (round 14): `CREATE TEMPORARY
+    // VIEW … USING graft-snapshot` binds the manifest once, and the
+    // OPTIMIZER routes the WHERE clause — Catalyst pushes the IN
+    // conjunct into the relation's buildScan, the key literals hash
+    // through the sink's own routing, and only those buckets' files
+    // enter the plan (witnessed below on the relation's inner frame; the
+    // residual lang predicate rides along re-applied above the scan).
+    // Same two-batch store as the lookup gates; probes 4 (plain live),
+    // 12 ([v2] update), 30 (the %30 equal-seq D/U tie → update), and a
+    // never-present key. Cold-cost-by-design: fresh store per pass.
+    "q_upsert_table_scan" -> ((spark, dir) => {
+      init(spark, dir)
+      val path = tableScanGateDir()
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, text, lang
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op,
+          |       concat(text, ' [v2]') AS text, lang
+          |FROM documents WHERE doc_id % 6 = 0
+          |UNION ALL
+          |SELECT doc_id, 2L, 'D', CAST(NULL AS STRING), CAST(NULL AS STRING)
+          |FROM documents WHERE doc_id % 10 = 0""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, path, "doc_id", "seq", "op", Seq("text", "lang"), 8) _
+      applyB(b0, 0); applyB(b1, 1)
+      // pruning witness on the relation's inner plan: the pushed IN must
+      // route to ≤4 of the manifest's buckets before any task runs
+      val rel = graft.sources.snapshot.SnapshotRelation(spark, path, None)
+      val inner = rel.scanFrame(Array("doc_id", "text", "lang"),
+        Array(org.apache.spark.sql.sources.In("doc_id",
+          Array(4L, 12L, 30L, 123456789L))))
+      val bucketsRead = inner.inputFiles.flatMap(f =>
+        "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).distinct
+      val total = graft.streaming.UpsertSink.readManifest(path).get.buckets.size
+      require(bucketsRead.length <= 4 && bucketsRead.length < total,
+        s"table scan read ${bucketsRead.length} of $total buckets — not pruned")
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_store_gate
+           |USING `graft-snapshot` OPTIONS (path '$path')""".stripMargin)
+      spark.sql(
+        """SELECT doc_id, text, lang FROM graft_store_gate
+          |WHERE doc_id IN (4, 12, 30, 123456789) AND lang IS NOT NULL""".stripMargin)
+    }),
     // CHANGEFEED between two sink versions (round 14, the lakehouse CDF
     // read): batch 0 inserts the evens, batch 1 updates %6 / deletes %10
     // (the %30 equal-seq D/U tie resolves to update) and inserts ~40
@@ -3621,6 +3667,32 @@ object SparkEntry {
         |FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
         |WHERE (w.op IS NULL OR w.op <> 'D')
         |  AND coalesce(s0.doc_id, w.doc_id) IN (2, 6, 10, 123456789)""".stripMargin,
+    // table scan = the same two-batch fold restricted to the view
+    // query's WHERE: 4 lives untouched, 12 carries [v2], 30 is the
+    // equal-seq D/U tie (update wins), 123456789 never existed; the
+    // residual lang IS NOT NULL re-applies above the pruned scan
+    "q_upsert_table_scan" ->
+      """WITH s0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT doc_id, 2 AS seq, 'U' AS op,
+        |              text || ' [v2]' AS text, lang
+        |       FROM documents WHERE doc_id % 6 = 0
+        |       UNION ALL
+        |       SELECT doc_id, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |w1 AS (SELECT doc_id, op, text, lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    text DESC NULLS LAST, lang DESC NULLS LAST) AS rn
+        |       FROM b1),
+        |w AS (SELECT doc_id, op, text, lang FROM w1 WHERE rn = 1)
+        |SELECT coalesce(s0.doc_id, w.doc_id) AS doc_id,
+        |       CASE WHEN w.op IS NOT NULL THEN w.text ELSE s0.text END AS text,
+        |       CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END AS lang
+        |FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
+        |WHERE (w.op IS NULL OR w.op <> 'D')
+        |  AND coalesce(s0.doc_id, w.doc_id) IN (4, 12, 30, 123456789)
+        |  AND (CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END)
+        |      IS NOT NULL""".stripMargin,
     // changefeed v0→v1 = the v1 fold full-outer-diffed against the v0
     // state: fresh +3000000 keys classify insert, %10 losers delete
     // (post-image NULLs), %6 winners (incl. the %30 tie) update

@@ -391,20 +391,57 @@ object UpsertSink {
     val m = layoutManifest(path)
     val keyType = keyTypeOf(m)
     val keyLits = keys.map(k => lit(k).cast(keyType))
-    // route each literal through the SAME hash applyBatch writes with —
-    // evaluated DRIVER-SIDE (interpreted Catalyst eval over resolved
-    // literals), so a point lookup launches exactly ONE Spark job: the
-    // pruned read itself. Cast first: xxhash64 is type-sensitive, and
-    // the writer hashed the key at the manifest's recorded type.
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
-    val wanted = keys.map { k =>
-      val cast = Cast(Literal(k), keyType, Some("UTC"))
-      Pmod(new XxHash64(Seq(cast)), Literal(m.numBuckets.toLong))
-        .eval().asInstanceOf[Long].toInt
-    }.toSet
+    val wanted = keys.map(k => bucketOfLiteral(m, k)).toSet
     prunedRead(spark, path, m, wanted,
         org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
       .filter(col(m.key).isInCollection(keyLits))
+  }
+
+  /** DRIVER-SIDE bucket routing of one key literal — the same hash
+    * [[applyBatch]] writes with (cast first: xxhash64 is type-sensitive
+    * and the writer hashed the key at the manifest's recorded type),
+    * evaluated as interpreted Catalyst over resolved literals so no
+    * Spark job runs. Shared by [[readSnapshotKeys]] and the
+    * `graft-snapshot` relation's filter pushdown
+    * ([[graft.sources.snapshot.SnapshotRelation]]) — one routing
+    * definition, so a pushed `WHERE key = x` can never probe a
+    * different bucket than the writer used. */
+  private[graft] def bucketOfLiteral(m: Manifest, k: Any): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+    val cast = Cast(Literal(k), keyTypeOf(m), Some("UTC"))
+    Pmod(new XxHash64(Seq(cast)), Literal(m.numBuckets.toLong))
+      .eval().asInstanceOf[Long].toInt
+  }
+
+  /** The layout-bearing manifest a table scan binds to: the CURRENT one,
+    * or — `versionAsOf` — the [[readSnapshotAt]] selection (largest
+    * committed id ≤ the ask). Bridge for the `graft-snapshot` relation,
+    * which needs the manifest ONCE at resolution (schema) and again at
+    * scan build (bucket map), under the same rules as every other
+    * reader. */
+  private[graft] def manifestForScan(path: String,
+                                     versionAsOf: Option[Long]): Manifest = {
+    val m = versionAsOf match {
+      case Some(v) => manifestAtVersion(path, v)
+      case None => readManifest(path).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $path yet"))
+    }
+    require(m.hasLayout,
+      s"snapshot at $path has a legacy manifest with no recorded layout; " +
+        "apply a batch to upgrade it before table scans")
+    m
+  }
+
+  /** Conformed union read of `m`'s buckets, restricted to `wanted` when
+    * given (IO-level pruning; `None` = full snapshot) — the scan half of
+    * the `graft-snapshot` relation, kept here so it goes through the
+    * same [[readBuckets]]/[[prunedRead]] machinery as every API read. */
+  private[graft] def scanBuckets(spark: SparkSession, path: String,
+                                 m: Manifest,
+                                 wanted: Option[Set[Int]]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    prunedRead(spark, path, m,
+      wanted.getOrElse(m.buckets.keySet), schema)
   }
 
   /** Bucket-pruned lookup with a DISTRIBUTED probe set: reads only the
