@@ -3,7 +3,7 @@ package graft.sources.snapshot
 import graft.streaming.UpsertSink
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -84,7 +84,16 @@ case class SnapshotRelation(spark: SparkSession, path: String,
 
   /** The inner DataFrame plan `buildScan` wraps — package-visible so
     * specs can witness the pruning on `inputFiles` (the file set IS the
-    * contract; the RDD boundary above it hides nothing else). */
+    * contract; the RDD boundary above it hides nothing else).
+    *
+    * Translatable filters ALSO apply inside, as Column predicates: the
+    * V1 boundary would otherwise strand them above the RDD, where the
+    * parquet scan never sees them — applied here, the inner plan's
+    * optimizer pushes them into the scan (`PushedFilters`), so parquet
+    * row-group min/max stats skip non-matching groups and rows drop
+    * before crossing the boundary. Exact predicates, so the engine's
+    * re-application above is an idempotent no-op; a filter the
+    * translation can't express simply stays outer-only. */
   private[graft] def scanFrame(requiredColumns: Array[String],
                                filters: Array[Filter]): DataFrame = {
     // conjunctive filter list: intersect whatever key-routing each
@@ -92,7 +101,48 @@ case class SnapshotRelation(spark: SparkSession, path: String,
     val wanted = filters.flatMap(keyBuckets)
       .reduceOption(_ intersect _)
     val base = UpsertSink.scanBuckets(spark, path, manifest, wanted)
-    base.select(requiredColumns.map(col).toIndexedSeq: _*)
+    val filtered = filters.flatMap(conjuncts)
+      .reduceOption(_ && _).map(base.filter).getOrElse(base)
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+  }
+
+  /** `f` split into independently-applicable Column conjuncts: in a
+    * conjunctive context an AND's sides narrow independently, so a side
+    * the translation can't express just drops (sound — the engine still
+    * applies it above). Everything else must translate EXACTLY or not
+    * at all ([[toColumn]]). */
+  private def conjuncts(f: Filter): Seq[org.apache.spark.sql.Column] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => toColumn(other).toSeq
+  }
+
+  /** `f` as a Column predicate over the snapshot schema, or None when
+    * it has no EXACT Column spelling. Semantics must match Spark's own
+    * filter evaluation exactly (these run in addition to, not instead
+    * of, the engine's re-application — a mistranslation here would
+    * silently DROP rows the outer filter would keep). Exactness is why
+    * AND here needs BOTH sides even though [[conjuncts]] narrows
+    * partially: under a NOT or an OR a partial AND would flip from a
+    * sound narrowing into an unsound one. */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq.map(lit)))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, s) => Some(col(a).endsWith(s))
+    case StringContains(a, s) => Some(col(a).contains(s))
+    case And(l, r) =>
+      for { x <- toColumn(l); y <- toColumn(r) } yield x && y
+    case Or(l, r) =>
+      for { x <- toColumn(l); y <- toColumn(r) } yield x || y
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
   }
 
   /** Buckets that could satisfy `f`, or None when `f` can't route.

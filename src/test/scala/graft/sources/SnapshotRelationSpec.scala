@@ -112,6 +112,43 @@ class SnapshotRelationSpec extends SparkTestBase {
     assert(got === Seq((6L, "v6.2")))
   }
 
+  test("translatable filters reach the INNER parquet scan as PushedFilters") {
+    val path = store()
+    val rel = SnapshotRelation(spark, path, None)
+    // a non-key range predicate: no bucket routing, but the inner plan
+    // must carry it into the parquet scan so row-group stats can skip
+    val inner = rel.scanFrame(Array("id", "v"),
+      Array(GreaterThan("id", 20L), IsNotNull("v")))
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,20)"),
+      s"no pushed filter in inner plan:\n$plan")
+    assert(inner.as[(Long, String)].collect().forall(_._1 > 20))
+  }
+
+  test("filter translation is semantically exact: view WHERE == API WHERE " +
+      "over Not/Or/In/null shapes") {
+    val path = store()
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW snap_rel_d
+         |USING `graft-snapshot` OPTIONS (path '$path')""".stripMargin)
+    UpsertSink.readSnapshot(spark, path).createOrReplaceTempView("snap_api_d")
+    for (where <- Seq(
+        "id > 35 OR v = 'v2'",
+        "NOT (id > 5 AND id < 38)",
+        "id IN (1, 2, NULL)",
+        "v NOT IN ('v1', 'v2')",
+        "NOT (v LIKE 'v1%')",
+        "v LIKE '%6.2' AND id >= 6",
+        "id BETWEEN 4 AND 9",
+        "v IS NOT NULL AND NOT (id = 6)")) {
+      val got = spark.sql(s"SELECT id, v FROM snap_rel_d WHERE $where")
+        .as[(Long, String)].collect().sorted.toSeq
+      val want = spark.sql(s"SELECT id, v FROM snap_api_d WHERE $where")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got === want, s"WHERE $where: $got != $want")
+    }
+  }
+
   test("versionAsOf pins a historical snapshot; unknown options fail loudly") {
     val path = store()
     val v0 = spark.read.format("graft-snapshot")
