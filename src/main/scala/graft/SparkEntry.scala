@@ -84,6 +84,8 @@ object SparkEntry {
   private def pointLookupGateDir(): String = wipedDir(pointLookupGateRoot)
   private lazy val tableScanGateRoot = gateRoot("graft-table-scan-gate")
   private def tableScanGateDir(): String = wipedDir(tableScanGateRoot)
+  private lazy val matviewGateRoot = gateRoot("graft-matview-gate")
+  private def matviewGateDir(): String = wipedDir(matviewGateRoot)
   private lazy val changefeedGateRoot = gateRoot("graft-changefeed-gate")
   private def changefeedGateDir(): String = wipedDir(changefeedGateRoot)
   private lazy val schemaEvoGateRoot = gateRoot("graft-schema-evo-gate")
@@ -2347,6 +2349,45 @@ object SparkEntry {
       graft.streaming.UpsertSink.readSnapshot(spark, path)
         .select("doc_id", "text", "lang")
     }),
+    // INCREMENTALLY MAINTAINED MATERIALIZED VIEW (round 14): a grouped
+    // count/sum of the base sink store kept in a DERIVED sink store and
+    // advanced by PRE-IMAGE changefeed deltas (post-images add,
+    // pre-images subtract) instead of recomputation — maintenance cost
+    // ∝ touched groups (pruned feed read + pruned current-value lookup
+    // + pruned write-back), never O(view) or O(base). Batch 1 carries
+    // value-only updates (%6: tlen+5 — cnt delta cancels, sum moves),
+    // deletes (%10, incl. the %30 equal-seq tie), and fresh groups
+    // (+3000000 inserts under 'x'-prefixed langs). Oracle: GROUP BY
+    // over the two-batch fold. Cold-cost-by-design: fresh stores per
+    // pass.
+    "q_incremental_matview" -> ((spark, dir) => {
+      init(spark, dir)
+      val root = matviewGateDir()
+      val base = s"$root/base"; val view = s"$root/view"
+      val b0 = spark.sql(
+        """SELECT doc_id, 1L AS seq, 'I' AS op, lang,
+          |       CAST(length(text) AS BIGINT) AS tlen
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin)
+      val b1 = spark.sql(
+        """SELECT doc_id, 2L AS seq, 'U' AS op, lang,
+          |       CAST(length(text) + 5 AS BIGINT) AS tlen
+          |FROM documents WHERE doc_id % 6 = 0
+          |UNION ALL
+          |SELECT doc_id, 2L, 'D', CAST(NULL AS STRING), CAST(NULL AS BIGINT)
+          |FROM documents WHERE doc_id % 10 = 0
+          |UNION ALL
+          |SELECT doc_id + 3000000, 2L, 'I', concat('x', lang),
+          |       CAST(length(text) AS BIGINT)
+          |FROM documents WHERE doc_id < 40""".stripMargin)
+      val applyB = graft.streaming.UpsertSink.applyBatch(
+        spark, base, "doc_id", "seq", "op", Seq("lang", "tlen"), 8) _
+      applyB(b0, 0); applyB(b1, 1)
+      require(graft.streaming.MatView.catchUp(
+        spark, base, view, "lang", Seq("tlen"), 8) == 2,
+        "matview catch-up did not apply both base versions")
+      graft.streaming.UpsertSink.readSnapshot(spark, view)
+        .select("lang", "cnt", "tlen")
+    }),
     // Streaming↔batch CDC parity: three derived change batches applied
     // through the exactly-once UpsertSink (manifest + bucket-pruned
     // copy-on-write, 8 buckets — enough dirs to exercise pruning while
@@ -3733,6 +3774,38 @@ object SparkEntry {
       """SELECT doc_id, text,
         |       CASE WHEN doc_id % 6 = 0 THEN lang END AS lang
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    // incremental matview = GROUP BY over the two-batch fold (winner
+    // per key by the same (seq, op, payloads) DESC NULLS LAST order;
+    // payload order lang, tlen); the %30 equal-seq D/U tie resolves U
+    "q_incremental_matview" ->
+      """WITH s0 AS (SELECT doc_id, lang,
+        |              CAST(length(text) AS BIGINT) AS tlen
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT doc_id, 2 AS seq, 'U' AS op, lang,
+        |              CAST(length(text) + 5 AS BIGINT) AS tlen
+        |       FROM documents WHERE doc_id % 6 = 0
+        |       UNION ALL
+        |       SELECT doc_id, 2, 'D', CAST(NULL AS VARCHAR),
+        |              CAST(NULL AS BIGINT)
+        |       FROM documents WHERE doc_id % 10 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 3000000, 2, 'I', 'x' || lang,
+        |              CAST(length(text) AS BIGINT)
+        |       FROM documents WHERE doc_id < 40),
+        |w1 AS (SELECT doc_id, op, lang, tlen,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY seq DESC NULLS LAST, op DESC NULLS LAST,
+        |                    lang DESC NULLS LAST, tlen DESC NULLS LAST) AS rn
+        |       FROM b1),
+        |w AS (SELECT doc_id, op, lang, tlen FROM w1 WHERE rn = 1),
+        |v1 AS (SELECT
+        |         CASE WHEN w.op IS NOT NULL THEN w.lang ELSE s0.lang END AS lang,
+        |         CASE WHEN w.op IS NOT NULL THEN w.tlen ELSE s0.tlen END AS tlen
+        |       FROM s0 FULL OUTER JOIN w ON s0.doc_id = w.doc_id
+        |       WHERE w.op IS NULL OR w.op <> 'D')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(tlen) AS BIGINT) AS tlen
+        |FROM v1 GROUP BY lang""".stripMargin,
     // CDC stream parity: the three micro-batches folded declaratively —
     // per batch, winner per key by the same (seq, op, payloads) DESC
     // NULLS LAST order, applied by full-outer join onto the prior state

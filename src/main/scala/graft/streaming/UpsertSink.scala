@@ -87,9 +87,21 @@ object UpsertSink {
     * reads back with `numBuckets = -1` and empty `key`/`schemaDdl`:
     * the snapshot stays readable, the layout checks are skipped for
     * that one apply (nothing recorded to check against), and the next
-    * successful apply rewrites the manifest with the full contract. */
+    * successful apply rewrites the manifest with the full contract.
+    *
+    * `sortBy` is the recorded WITHIN-BUCKET sort (the second
+    * data-skipping dimension: hash buckets route key equality, parquet
+    * row-group min/max stats on a sorted column prune RANGES — which
+    * hash distribution can never do). Unlike the key/bucket fields it
+    * is a write-side LAYOUT PREFERENCE, not a correctness contract:
+    * each apply writes its own batch sorted by its own `sortBy` and
+    * records the latest, mixed-era dirs merely skip less, and
+    * [[compactSnapshot]] re-sorts everything it merges to the current
+    * recording — the Delta OPTIMIZE/ZORDER shape, a maintenance
+    * property rather than a constraint. */
   case class Manifest(batchId: Long, numBuckets: Int, key: String,
-                      schemaDdl: String, buckets: Map[Int, String]) {
+                      schemaDdl: String, buckets: Map[Int, String],
+                      sortBy: Seq[String] = Nil) {
     def hasLayout: Boolean = numBuckets > 0
   }
 
@@ -200,7 +212,14 @@ object UpsertSink {
     val bucketsTxt = txt.substring(txt.lastIndexOf("\"buckets\""))
     val pairs = """"(\d+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(bucketsTxt)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
-    Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs)
+    // optional (absent on pre-sortBy manifests → Nil); parsed from the
+    // PRE-buckets text so a bucket path can't shadow it
+    val headTxt = txt.substring(0, txt.lastIndexOf("\"buckets\""))
+    val sortBy = """"sortBy"\s*:\s*\[((?:[^\]\\]|\\.)*)\]""".r
+      .findFirstMatchIn(headTxt).map(_.group(1)).toSeq.flatMap(inner =>
+        """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(inner)
+          .map(m => jsonUnescape(m.group(1))))
+    Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs, sortBy)
   }
 
   /** Writes manifest `name` and atomically swaps `_CURRENT` to it.
@@ -215,6 +234,7 @@ object UpsertSink {
     f.mkdirs(mdir)
     val body = s"""{"batchId":${m.batchId},"numBuckets":${m.numBuckets},""" +
       s""""key":"${jsonEscape(m.key)}","schema":"${jsonEscape(m.schemaDdl)}",""" +
+      s""""sortBy":[${m.sortBy.map(c => s""""${jsonEscape(c)}"""").mkString(",")}],""" +
       s""""buckets":{""" +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",") + "}}"
@@ -264,6 +284,25 @@ object UpsertSink {
 
   private def bucketDir(path: String, delta: String, b: Int): String =
     s"$path/$delta/$BucketCol=$b"
+
+  /** The ONE delta-dir write shape ([[applyBatch]] and
+    * [[compactSnapshot]] share it): co-locate each bucket in one task
+    * before partitionBy — without the repartition every write task
+    * emits a file into every bucket dir (tasks × buckets small files,
+    * the scan-side death of the layout; the Ivf.writeIndexed
+    * precedent) — and, when a within-bucket sort is recorded, order
+    * rows by (bucket, sortBy…) so each bucket's file carries
+    * monotone parquet row-group min/max on the sort columns
+    * (FileFormatWriter sees the partition column as a sort prefix and
+    * adds no sort of its own, so the row order written IS this one). */
+  private def writeBucketed(df: DataFrame, dest: String,
+                            sortBy: Seq[String]): Unit = {
+    val parted = df.repartition(col(BucketCol))
+    val arranged =
+      if (sortBy.isEmpty) parted
+      else parted.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
+    arranged.write.mode("overwrite").partitionBy(BucketCol).parquet(dest)
+  }
 
   /** Parses a `__bucket=<n>` partition-dir name — the ONE place the
     * on-disk bucket naming is interpreted (applyBatch's written-set
@@ -572,9 +611,20 @@ object UpsertSink {
     * settled multi-terabyte base contributes nothing to the read plan
     * (spec-witnessed via `inputFiles`). A bucket repointed by a
     * COMPACTION between the endpoints reads but diffs empty — layout
-    * moves are invisible to the feed, which diffs STATE, not files. */
+    * moves are invisible to the feed, which diffs STATE, not files.
+    *
+    * `preImages = true` switches to the FOUR-type classification a
+    * DOWNSTREAM COMPUTATION needs (the Delta CDF spelling): an update
+    * emits TWO rows — `update_preimage` carrying `fromVersion`'s
+    * payloads and `update_postimage` carrying `toVersion`'s — and a
+    * delete carries the deleted payload values instead of NULLs.
+    * Pre-images are what make a consumer SUBTRACTIVE: an incremental
+    * aggregate maintains itself by adding post-images and subtracting
+    * pre-images ([[MatView]]), which the post-only default cannot
+    * express (it says a row changed, not what it changed FROM). */
   def readChanges(spark: SparkSession, path: String,
-                  fromVersion: Long, toVersion: Long): DataFrame = {
+                  fromVersion: Long, toVersion: Long,
+                  preImages: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
     val mTo = manifestAtVersion(path, toVersion)
@@ -611,14 +661,33 @@ object UpsertSink {
     val joined = side(mFrom, "__ka", "__sa")
       .join(side(mTo, "__kb", "__sb"), col("__ka") === col("__kb"),
         "full_outer")
-    joined.select(
-        Seq(coalesce(col("__kb"), col("__ka")).as(key),
-          when(col("__ka").isNull, "insert")
-            .when(col("__kb").isNull, "delete")
-            .when(!(col("__sa") <=> col("__sb")), "update")
-            .as(ChangeTypeCol)) ++
-        payloads.map(p => col(s"__sb.$p").as(p)): _*)
-      .filter(col(ChangeTypeCol).isNotNull)
+    if (!preImages)
+      joined.select(
+          Seq(coalesce(col("__kb"), col("__ka")).as(key),
+            when(col("__ka").isNull, "insert")
+              .when(col("__kb").isNull, "delete")
+              .when(!(col("__sa") <=> col("__sb")), "update")
+              .as(ChangeTypeCol)) ++
+          payloads.map(p => col(s"__sb.$p").as(p)): _*)
+        .filter(col(ChangeTypeCol).isNotNull)
+    else {
+      // four-type form: one (type, image) entry per emitted row, an
+      // update contributing its pre- AND post-image; unchanged rows
+      // explode away through the empty array
+      def entry(t: String, img: String) =
+        struct(lit(t).as("t"), col(img).as("p"))
+      val entries =
+        when(col("__ka").isNull, array(entry("insert", "__sb")))
+          .when(col("__kb").isNull, array(entry("delete", "__sa")))
+          .when(!(col("__sa") <=> col("__sb")),
+            array(entry("update_preimage", "__sa"),
+              entry("update_postimage", "__sb")))
+          .otherwise(array())
+      joined.select(coalesce(col("__kb"), col("__ka")).as(key),
+          explode(entries).as("__e"))
+        .select(Seq(col(key), col("__e.t").as(ChangeTypeCol)) ++
+          payloads.map(p => col(s"__e.p.$p").as(p)): _*)
+    }
   }
 
   /** The schema [[readChanges]] emits for the store at `path`: key,
@@ -644,12 +713,24 @@ object UpsertSink {
     * the evolution (no rewrite; dirs conform lazily on read), and the
     * manifest records the widened DDL as existing columns first, new
     * columns after. Dropping or retyping a column is refused either
-    * way — those need a rebuild, not an option. */
+    * way — those need a rebuild, not an option.
+    *
+    * `sortBy` orders each bucket's rows by the named columns before
+    * writing — the within-bucket clustering that gives parquet
+    * row-group min/max stats something to skip on for RANGE predicates
+    * (hash buckets can only route equality). A layout preference, not
+    * a contract: the manifest records the latest value, earlier dirs
+    * keep their old order until [[compactSnapshot]] re-sorts what it
+    * merges (see [[Manifest.sortBy]]). */
   def applyBatch(spark: SparkSession, path: String, key: String,
                  seqCol: String, opCol: String, payloadCols: Seq[String],
-                 numBuckets: Int, mergeSchema: Boolean = false)
+                 numBuckets: Int, mergeSchema: Boolean = false,
+                 sortBy: Seq[String] = Nil)
                 (changes: DataFrame, batchId: Long): Boolean = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val badSort = sortBy.filterNot((key +: payloadCols).contains)
+    require(badSort.isEmpty,
+      s"sortBy columns not in the snapshot schema: ${badSort.mkString(", ")}")
     val prev = readManifest(path)
     val ddl = snapshotDdl(changes, key, payloadCols)
     prev.filter(_.hasLayout).foreach { m =>
@@ -725,13 +806,7 @@ object UpsertSink {
           key, seqCol, opCol, payloadCols)
         .withColumn(BucketCol, bucketOf)
       val deltaDir = s"delta/b$batchId"
-      // co-locate each bucket in one task before partitionBy: without
-      // this every write task emits a file into every bucket dir
-      // (tasks × buckets small files — the scan-side death of the
-      // layout; the Ivf.writeIndexed precedent)
-      merged.repartition(col(BucketCol))
-        .write.mode("overwrite").partitionBy(BucketCol)
-        .parquet(s"$path/$deltaDir")
+      writeBucketed(merged, s"$path/$deltaDir", sortBy)
 
       // a merge can delete a bucket EMPTY: partitionBy writes no dir for
       // it, so such buckets drop out of the manifest entirely. The
@@ -752,7 +827,7 @@ object UpsertSink {
       val base = prev.map(_.buckets).getOrElse(Map.empty)
       val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
       writeManifest(path,
-        Manifest(batchId, numBuckets, key, effectiveDdl, next),
+        Manifest(batchId, numBuckets, key, effectiveDdl, next, sortBy),
         s"m$batchId.json")
       true
     } finally graft.operators.Dedup.releaseFrame(batch)
@@ -833,19 +908,19 @@ object UpsertSink {
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val deltaDir = s"delta/c${m.batchId}-$nonce"
     // grouped read (one relation per merged delta dir — see readBuckets)
-    // KEEPING the __bucket path-partition column; the repartition
-    // co-locates each bucket in one task before partitionBy — one
-    // output file per bucket, the applyBatch write shape. Conforming to
-    // the manifest schema lets mixed-era dirs (pre/post an additive
-    // evolution) merge: the rewrite BACKFILLS typed NULLs, upgrading
-    // the merged dirs to the current schema
-    readBuckets(spark, path, victims, keepBucket = true,
-      conformTo = if (m.hasLayout)
-        Some(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      else None).get
-      .repartition(col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol)
-      .parquet(s"$path/$deltaDir")
+    // KEEPING the __bucket path-partition column; writeBucketed is the
+    // applyBatch write shape — one task and one file per bucket, rows
+    // re-sorted to the manifest's recorded sortBy (so compaction also
+    // UPGRADES dirs written before the sort, or under an older one).
+    // Conforming to the manifest schema lets mixed-era dirs (pre/post
+    // an additive evolution) merge: the rewrite BACKFILLS typed NULLs,
+    // upgrading the merged dirs to the current schema
+    writeBucketed(
+      readBuckets(spark, path, victims, keepBucket = true,
+        conformTo = if (m.hasLayout)
+          Some(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+        else None).get,
+      s"$path/$deltaDir", m.sortBy)
     // every merged bucket holds ≥1 row (applyBatch drops empty ones), so
     // every victim bucket dir must exist post-write; a missing one means
     // the rewrite LOST data — fail loudly, leaving the pointer untouched.
@@ -1025,7 +1100,8 @@ object UpsertSink {
            opCol: String, payloadCols: Seq[String], numBuckets: Int,
            compactEvery: Int = 0, maxDeltaDirs: Int = 4,
            vacuumAfterCompact: Boolean = false,
-           mergeSchema: Boolean = false)
+           mergeSchema: Boolean = false,
+           sortBy: Seq[String] = Nil)
     : (DataFrame, Long) => Unit = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     require(maxDeltaDirs >= 1, s"maxDeltaDirs must be >= 1, got $maxDeltaDirs")
@@ -1033,7 +1109,7 @@ object UpsertSink {
       "vacuumAfterCompact requires compactEvery > 0")
     (df, id) => {
       if (applyBatch(spark, path, key, seqCol, opCol, payloadCols,
-          numBuckets, mergeSchema)(df, id)) {
+          numBuckets, mergeSchema, sortBy)(df, id)) {
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           compactSnapshot(spark, path, maxDeltaDirs)
           if (vacuumAfterCompact) vacuum(path)

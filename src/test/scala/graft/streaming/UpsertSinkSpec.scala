@@ -653,6 +653,93 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(reads > 0)
   }
 
+  test("sortBy clusters each bucket file: monotone row-group stats, " +
+      "manifest round-trip, compaction re-sorts older dirs") {
+    val path = tmp()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    // force several row groups per bucket file so the stats claim is
+    // non-trivial at spec scale
+    hc.setInt("parquet.block.size", 4 * 1024)
+    hc.setInt("parquet.page.size", 1024)
+    try {
+      // injective ts, NON-monotone in id (7919 wraps the modulus every
+      // ~13 ids — the merge's window sorts rows by key, so a
+      // key-monotone ts would make even unsorted writes look clustered)
+      def rows(ids: Seq[Long], seq: Long) = ids.map(i =>
+        (i, seq, "I", i * 7919 % 100003,
+          s"pad-$i-" + "x" * 64)) // distinct pads defeat the dictionary
+        .toDF("id", "seq", "op", "ts", "pad")
+      // batch 0 WITHOUT sortBy (pre-clustering era) over all buckets;
+      // batch 1 WITH sortBy, restricted to keys routing to buckets
+      // {0,1} so delta/b0 stays LIVE for buckets {2,3} — two live dirs
+      // of different eras for the compaction half below
+      val ids1 = spark.range(2000, 4000)
+        .where("pmod(xxhash64(id), 4) < 2").as[Long].collect().toSeq
+      assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+        Seq("ts", "pad"), 4)(rows(0L until 2000L, 1L), 0))
+      assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+        Seq("ts", "pad"), 4, sortBy = Seq("ts"))(rows(ids1, 1L), 1))
+      assert(UpsertSink.readManifest(path).get.sortBy === Seq("ts"))
+
+      def tsGroups(file: String): Seq[(Long, Long)] = {
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), hc)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val s = b.getColumns.asScala
+            .find(_.getPath.toDotString == "ts").get.getStatistics
+          (s.genericGetMin.asInstanceOf[Number].longValue(),
+            s.genericGetMax.asInstanceOf[Number].longValue())
+        } finally r.close()
+      }
+      def monotone(file: String): Boolean = {
+        val gs = tsGroups(file)
+        gs.zip(gs.drop(1)).forall { case ((_, max), (min, _)) => min >= max }
+      }
+      def filesOf(dir: String): Seq[String] = {
+        val d = new java.io.File(s"$path/$dir")
+        d.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+          .filter(f => f.getName.endsWith(".parquet")).map(_.toString).toSeq
+      }
+      // the sorted batch's files: several row groups, monotone stats
+      val sortedFiles = filesOf("delta/b1")
+      assert(sortedFiles.nonEmpty)
+      assert(sortedFiles.forall(f => tsGroups(f).size > 1),
+        "blocks too large for a meaningful stats check")
+      assert(sortedFiles.forall(monotone))
+      // the pre-sortBy batch interleaves (sanity: the witness can fail)
+      assert(!filesOf("delta/b0").forall(monotone))
+
+      // compaction merges BOTH eras into one dir re-sorted to the
+      // manifest's recording
+      val stats = UpsertSink.compactSnapshot(spark, path)
+      assert(stats.dirsCompacted === 2)
+      val m2 = UpsertSink.readManifest(path).get
+      assert(m2.sortBy === Seq("ts"))
+      val cDir = m2.buckets.values.toSet
+      assert(cDir.size === 1)
+      assert(filesOf(cDir.head).forall(monotone))
+      // and the content is untouched by all the re-ordering
+      assert(UpsertSink.readSnapshot(spark, path).count()
+        === 2000L + ids1.size)
+
+      val e = intercept[IllegalArgumentException] {
+        UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+          Seq("ts", "pad"), 4, sortBy = Seq("nope"))(
+          rows(Seq(0L), 2L), 2)
+      }
+      assert(e.getMessage.contains("sortBy"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+    }
+  }
+
   private def bucketsTouched(df: DataFrame): Set[Int] =
     df.inputFiles.flatMap(f =>
       "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
