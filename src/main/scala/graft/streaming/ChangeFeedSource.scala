@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.StructType
   * absent, the stream tails only changes committed after it starts.
   * The store must already exist (the schema rides in its manifest).
   *
+  * `preImages = true` switches every micro-batch to the FOUR-type
+  * classification ([[UpsertSink.readChanges]]'s `preImages`): updates
+  * emit pre- and post-image row pairs, deletes carry deleted values —
+  * what a SUBTRACTIVE consumer needs, e.g. a live
+  * [[MatView.applyDelta]] in `foreachBatch` maintaining a grouped
+  * aggregate incrementally off this stream.
+  *
   * Retention contract: [[UpsertSink.vacuum]] must retain at least the
   * versions between a restarting stream's checkpointed offset and the
   * head (`retainVersions` ≥ the stream's worst-case downtime in
@@ -85,12 +92,21 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
         v
       case None => current // tail: only changes committed after start
     }
-    new ChangeFeedSource(sqlContext, path, startFrom)
+    val preImages = parameters.get("preimages")
+      .orElse(parameters.get("preImages")) match {
+      case Some(s) if s.equalsIgnoreCase("true") => true
+      case Some(s) if s.equalsIgnoreCase("false") => false
+      case Some(s) => throw new IllegalArgumentException(
+        s"preImages must be true or false, got '$s'")
+      case None => false
+    }
+    new ChangeFeedSource(sqlContext, path, startFrom, preImages)
   }
 }
 
 private class ChangeFeedSource(sqlContext: SQLContext, path: String,
-                               startFrom: Long) extends Source {
+                               startFrom: Long,
+                               preImages: Boolean) extends Source {
   override val schema: StructType = UpsertSink.changeSchema(path)
 
   private def ver(o: Offset): Long = o match {
@@ -109,7 +125,7 @@ private class ChangeFeedSource(sqlContext: SQLContext, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startFrom)
     val batch = UpsertSink.readChanges(
-      sqlContext.sparkSession, path, from, ver(end))
+      sqlContext.sparkSession, path, from, ver(end), preImages)
     // conform to the schema DECLARED at stream start (the readers'
     // shared conform projection): a mid-stream additive evolution would
     // otherwise widen the batch and fail the engine's schema check. The

@@ -126,4 +126,47 @@ class ChangeFeedSourceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no snapshot") ||
       String.valueOf(e2.getCause).contains("no snapshot"))
   }
+
+  test("preImages = true streams the four-type feed; a LIVE matview in " +
+      "foreachBatch tracks recomputation across commits") {
+    val path = tmp(); val view = tmp() + "/v"
+    def applyG(rows: Seq[(Long, Long, String, String, Long)], id: Long) =
+      UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+        Seq("grp", "x"), B)(rows.toDF("id", "seq", "op", "grp", "x"), id)
+    assert(applyG(Seq((1L, 1L, "I", "a", 10L), (2L, 1L, "I", "b", 20L)), 0))
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", path).option("preImages", "true")
+      .option("startingVersion", "earliest").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        MatView.applyDelta(spark, view, "grp", Seq("x"), B)(df, id); () }
+      .start()
+    def viewRows() = UpsertSink.readSnapshot(spark, view)
+      .select("grp", "cnt", "x").as[(String, Long, Long)]
+      .collect().sorted.toSeq
+    def recomputed() = UpsertSink.readSnapshot(spark, path)
+      .groupBy("grp").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum("x").as("x"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    try {
+      q.processAllAvailable()
+      assert(viewRows() === recomputed())
+      // an update that MOVES groups plus a delete, live
+      assert(applyG(Seq((1L, 2L, "U", "b", 11L), (2L, 2L, "D", null, 0L)), 1))
+      q.processAllAvailable()
+      assert(viewRows() === recomputed())
+      assert(viewRows() === Seq(("b", 1L, 11L)))
+    } finally q.stop()
+
+    val e = intercept[Exception] {
+      val bad = spark.readStream.format("graft-changefeed")
+        .option("path", path).option("preImages", "maybe").load()
+        .writeStream.format("memory").queryName("cf_badpre").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(e.getMessage.contains("preImages") ||
+      String.valueOf(e.getCause).contains("preImages"))
+  }
 }
