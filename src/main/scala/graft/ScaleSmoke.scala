@@ -379,6 +379,69 @@ object ScaleSmoke {
         s"on disk ($lookupRows lookup rows)"
     }
 
+    // Incremental-matview maintenance economics (round 14): against a
+    // settled 50k-doc 64-bucket base and an established 5-group view,
+    // ONE committed doc must maintain the view reading bytes
+    // proportional to the touched buckets/groups — the pruned feed, the
+    // pruned group lookup, and the pruned write-back; never a re-read
+    // of the base or the view. Measured as ACTUAL task input bytes
+    // (SparkListener) across the whole maintenance step.
+    time("matview maintenance reads only touched buckets/groups") {
+      val root = java.nio.file.Files.createTempDirectory("scale-mv").toString
+      val base = root + "/base"; val view = root + "/view"
+      val sink = graft.streaming.UpsertSink
+      val docsL = (1 to 10).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("lang"), length(col("text")).cast("long").as("tlen")))
+        .reduce(_ union _)
+      val applyB = sink.applyBatch(spark, base, "doc_id", "seq", "op",
+        Seq("lang", "tlen"), 64) _
+      applyB(docsL.select(col("doc_id"), lit(1L).as("seq"),
+        lit("I").as("op"), col("lang"), col("tlen")), 0)
+      // bootstrap the view — the one intentionally O(base) step
+      graft.streaming.MatView.catchUp(spark, base, view, "lang",
+        Seq("tlen"), 64)
+      applyB(docsL.where(col("doc_id") === 1000097L)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+          col("lang"), (col("tlen") + 100L).as("tlen")), 1)
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val n = graft.streaming.MatView.catchUp(spark, base, view, "lang",
+          Seq("tlen"), 64)
+        if (n != 1) throw new AssertionError(s"expected 1 catch-up, got $n")
+        Thread.sleep(2000) // drain the listener bus
+      } finally spark.sparkContext.removeSparkListener(listener)
+      def treeBytes(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p, "delta")
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        val it = fs.listFiles(hp, true)
+        var by = 0L
+        while (it.hasNext) { val e = it.next()
+          if (!e.getPath.getName.startsWith("_")) by += e.getLen }
+        by
+      }
+      val total = treeBytes(base) + treeBytes(view)
+      if (bytes.get >= total / 10)
+        throw new AssertionError(
+          s"maintenance read ${bytes.get} of $total bytes on disk")
+      val viewRows = sink.readSnapshot(spark, view)
+        .orderBy("lang").collect().toSeq
+      val recomputed = sink.readSnapshot(spark, base).groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("tlen").as("tlen"))
+        .orderBy("lang").collect().toSeq
+      if (viewRows != recomputed)
+        throw new AssertionError("view != recomputation")
+      f"maintenance read ${bytes.get}%,d B of $total%,d B on disk " +
+        s"(${viewRows.size} groups, view == recomputation)"
+    }
+
     // Distributed kNN join (large-Q path): 5k queries against a 20k-vector corpus,
     // nothing collected to the driver.
     val embs = spark.table("embeddings")
