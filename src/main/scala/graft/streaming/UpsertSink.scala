@@ -867,12 +867,35 @@ object UpsertSink {
     * [[Layout.CompactStats]] with dirsScanned = live delta dirs before,
     * dirsCompacted = dirs merged away, files/bytes = live data files
     * under the MERGED dirs only (the work actually done).
-    */
+    *
+    * `sortBy = Some(cols)` RE-CLUSTERS as it compacts (the
+    * OPTIMIZE…ZORDER verb): the rewrite orders each merged bucket by
+    * `cols` and the manifest records the new preference, so later
+    * applies and compactions keep it; `Some(Nil)` clears the
+    * recording. The default `None` keeps whatever the manifest says.
+    * Note a re-cluster only rewrites (and only RECORDS) what this pass
+    * merges — a no-op pass records nothing, and untouched dirs keep
+    * their old order under the mixed-era contract; call with
+    * `maxDeltaDirs = 1` to re-cluster the whole snapshot. */
   def compactSnapshot(spark: SparkSession, path: String,
-                      maxDeltaDirs: Int = 1): Layout.CompactStats = {
+                      maxDeltaDirs: Int = 1,
+                      sortBy: Option[Seq[String]] = None): Layout.CompactStats = {
     require(maxDeltaDirs >= 1, s"maxDeltaDirs must be >= 1, got $maxDeltaDirs")
-    val m = readManifest(path).getOrElse(
+    val m0 = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
+    val m = sortBy match {
+      case None => m0
+      case Some(cols) =>
+        require(m0.hasLayout,
+          s"snapshot at $path has a legacy manifest with no recorded " +
+            "layout; apply a batch to upgrade it before re-clustering")
+        val names = org.apache.spark.sql.types.StructType
+          .fromDDL(m0.schemaDdl).fieldNames
+        val bad = cols.filterNot(names.contains)
+        require(bad.isEmpty,
+          s"sortBy columns not in the snapshot schema: ${bad.mkString(", ")}")
+        m0.copy(sortBy = cols)
+    }
     val liveDirs = m.buckets.values.toSet
     if (m.buckets.isEmpty || liveDirs.size <= maxDeltaDirs)
       return Layout.CompactStats(liveDirs.size, 0, 0L, 0L, 0L)

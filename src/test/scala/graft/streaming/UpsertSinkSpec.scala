@@ -732,6 +732,35 @@ class UpsertSinkSpec extends SparkTestBase {
           rows(Seq(0L), 2L), 2)
       }
       assert(e.getMessage.contains("sortBy"))
+
+      // the OPTIMIZE…ZORDER verb: compactSnapshot(sortBy = …) RE-clusters
+      // an existing store to a NEW sort and records it — fragment first
+      // so the pass has something to merge
+      assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op",
+        Seq("ts", "pad"), 4)(rows(Seq(4000L, 4001L), 1L), 2))
+      UpsertSink.compactSnapshot(spark, path, sortBy = Some(Seq("id")))
+      val m3 = UpsertSink.readManifest(path).get
+      assert(m3.sortBy === Seq("id"))
+      def idMonotone(file: String): Boolean = {
+        val gs = {
+          import scala.jdk.CollectionConverters._
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file), hc)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val s = b.getColumns.asScala
+              .find(_.getPath.toDotString == "id").get.getStatistics
+            (s.genericGetMin.asInstanceOf[Number].longValue(),
+              s.genericGetMax.asInstanceOf[Number].longValue())
+          } finally r.close()
+        }
+        gs.zip(gs.drop(1)).forall { case ((_, max), (min, _)) => min >= max }
+      }
+      assert(filesOf(m3.buckets.values.head).forall(idMonotone))
+      val e2 = intercept[IllegalArgumentException] {
+        UpsertSink.compactSnapshot(spark, path, sortBy = Some(Seq("zzz")))
+      }
+      assert(e2.getMessage.contains("sortBy"))
     } finally {
       if (oldBlock == null) hc.unset("parquet.block.size")
       else hc.set("parquet.block.size", oldBlock)
