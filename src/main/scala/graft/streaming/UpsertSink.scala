@@ -101,7 +101,8 @@ object UpsertSink {
     * property rather than a constraint. */
   case class Manifest(batchId: Long, numBuckets: Int, key: String,
                       schemaDdl: String, buckets: Map[Int, String],
-                      sortBy: Seq[String] = Nil) {
+                      sortBy: Seq[String] = Nil,
+                      bloomKey: Boolean = false) {
     def hasLayout: Boolean = numBuckets > 0
   }
 
@@ -219,7 +220,10 @@ object UpsertSink {
       .findFirstMatchIn(headTxt).map(_.group(1)).toSeq.flatMap(inner =>
         """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(inner)
           .map(m => jsonUnescape(m.group(1))))
-    Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs, sortBy)
+    val bloom = """"bloomKey"\s*:\s*(true|false)""".r
+      .findFirstMatchIn(headTxt).exists(_.group(1) == "true")
+    Manifest(id, nb, jsonUnescape(key), jsonUnescape(ddl), pairs, sortBy,
+      bloom)
   }
 
   /** Writes manifest `name` and atomically swaps `_CURRENT` to it.
@@ -235,6 +239,7 @@ object UpsertSink {
     val body = s"""{"batchId":${m.batchId},"numBuckets":${m.numBuckets},""" +
       s""""key":"${jsonEscape(m.key)}","schema":"${jsonEscape(m.schemaDdl)}",""" +
       s""""sortBy":[${m.sortBy.map(c => s""""${jsonEscape(c)}"""").mkString(",")}],""" +
+      s""""bloomKey":${m.bloomKey},""" +
       s""""buckets":{""" +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",") + "}}"
@@ -296,12 +301,21 @@ object UpsertSink {
     * (FileFormatWriter sees the partition column as a sort prefix and
     * adds no sort of its own, so the row order written IS this one). */
   private def writeBucketed(df: DataFrame, dest: String,
-                            sortBy: Seq[String]): Unit = {
+                            sortBy: Seq[String],
+                            bloomCol: Option[String] = None): Unit = {
     val parted = df.repartition(col(BucketCol))
     val arranged =
       if (sortBy.isEmpty) parted
       else parted.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
-    arranged.write.mode("overwrite").partitionBy(BucketCol).parquet(dest)
+    // bloomCol: parquet's NATIVE column bloom filter on the key — what
+    // lets an EQUALITY probe reject row groups inside the routed bucket
+    // (the absent-key lookup reads footers only, never data pages;
+    // sorted min/max can't do this for a non-sort key, and the adaptive
+    // builder sizes the filter from the data, no NDV guess needed)
+    val writer = bloomCol.foldLeft(arranged.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.mode("overwrite").partitionBy(BucketCol).parquet(dest)
   }
 
   /** Parses a `__bucket=<n>` partition-dir name — the ONE place the
@@ -721,11 +735,20 @@ object UpsertSink {
     * (hash buckets can only route equality). A layout preference, not
     * a contract: the manifest records the latest value, earlier dirs
     * keep their old order until [[compactSnapshot]] re-sorts what it
-    * merges (see [[Manifest.sortBy]]). */
+    * merges (see [[Manifest.sortBy]]).
+    *
+    * `bloomFilterKey = true` writes parquet's native column BLOOM
+    * FILTER on the key: a pushed key-equality predicate then rejects
+    * row groups inside the routed bucket, so an absent-key point
+    * lookup reads footers only — the third skipping layer (bucket
+    * routing → sort-column min/max → key bloom), each orthogonal.
+    * Same preference-not-contract recording as `sortBy`: compaction
+    * carries it forward, pre-bloom dirs merely don't skip. */
   def applyBatch(spark: SparkSession, path: String, key: String,
                  seqCol: String, opCol: String, payloadCols: Seq[String],
                  numBuckets: Int, mergeSchema: Boolean = false,
-                 sortBy: Seq[String] = Nil)
+                 sortBy: Seq[String] = Nil,
+                 bloomFilterKey: Boolean = false)
                 (changes: DataFrame, batchId: Long): Boolean = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val badSort = sortBy.filterNot((key +: payloadCols).contains)
@@ -806,7 +829,8 @@ object UpsertSink {
           key, seqCol, opCol, payloadCols)
         .withColumn(BucketCol, bucketOf)
       val deltaDir = s"delta/b$batchId"
-      writeBucketed(merged, s"$path/$deltaDir", sortBy)
+      writeBucketed(merged, s"$path/$deltaDir", sortBy,
+        if (bloomFilterKey) Some(key) else None)
 
       // a merge can delete a bucket EMPTY: partitionBy writes no dir for
       // it, so such buckets drop out of the manifest entirely. The
@@ -827,7 +851,8 @@ object UpsertSink {
       val base = prev.map(_.buckets).getOrElse(Map.empty)
       val next = (base -- touched) ++ written.map(_ -> deltaDir).toMap
       writeManifest(path,
-        Manifest(batchId, numBuckets, key, effectiveDdl, next, sortBy),
+        Manifest(batchId, numBuckets, key, effectiveDdl, next, sortBy,
+          bloomFilterKey),
         s"m$batchId.json")
       true
     } finally graft.operators.Dedup.releaseFrame(batch)
@@ -943,7 +968,8 @@ object UpsertSink {
         conformTo = if (m.hasLayout)
           Some(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
         else None).get,
-      s"$path/$deltaDir", m.sortBy)
+      s"$path/$deltaDir", m.sortBy,
+      if (m.bloomKey) Some(m.key) else None)
     // every merged bucket holds ≥1 row (applyBatch drops empty ones), so
     // every victim bucket dir must exist post-write; a missing one means
     // the rewrite LOST data — fail loudly, leaving the pointer untouched.
@@ -1124,7 +1150,8 @@ object UpsertSink {
            compactEvery: Int = 0, maxDeltaDirs: Int = 4,
            vacuumAfterCompact: Boolean = false,
            mergeSchema: Boolean = false,
-           sortBy: Seq[String] = Nil)
+           sortBy: Seq[String] = Nil,
+           bloomFilterKey: Boolean = false)
     : (DataFrame, Long) => Unit = {
     require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     require(maxDeltaDirs >= 1, s"maxDeltaDirs must be >= 1, got $maxDeltaDirs")
@@ -1132,7 +1159,7 @@ object UpsertSink {
       "vacuumAfterCompact requires compactEvery > 0")
     (df, id) => {
       if (applyBatch(spark, path, key, seqCol, opCol, payloadCols,
-          numBuckets, mergeSchema, sortBy)(df, id)) {
+          numBuckets, mergeSchema, sortBy, bloomFilterKey)(df, id)) {
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           compactSnapshot(spark, path, maxDeltaDirs)
           if (vacuumAfterCompact) vacuum(path)

@@ -769,6 +769,59 @@ class UpsertSinkSpec extends SparkTestBase {
     }
   }
 
+  test("bloomFilterKey writes parquet key blooms that reject absent keys; " +
+      "compaction carries the preference forward") {
+    val path = tmp()
+    assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"),
+      4, bloomFilterKey = true)(
+      (1L to 400L).map(k => (k, 1L, "I", s"v$k")).toDF("id", "seq", "op", "v"),
+      0))
+    assert(UpsertSink.readManifest(path).get.bloomKey)
+    // fragment + compact: the c-dir must carry blooms too
+    assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"),
+      4, bloomFilterKey = true)(
+      Seq((401L, 1L, "I", "v401")).toDF("id", "seq", "op", "v"), 1))
+    UpsertSink.compactSnapshot(spark, path)
+    val m = UpsertSink.readManifest(path).get
+    assert(m.bloomKey && m.buckets.values.toSet.size === 1)
+
+    import scala.jdk.CollectionConverters._
+    val hc = spark.sparkContext.hadoopConfiguration
+    val dataFiles = new java.io.File(s"$path/${m.buckets.values.head}")
+      .listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(dataFiles.nonEmpty)
+    var present = 0L; var absentRejected = 0; var absentTried = 0
+    for (f <- dataFiles) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), hc)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        val bloom = r.getBloomFilterDataReader(b).readBloomFilter(cc)
+        assert(bloom != null, s"no key bloom in $f")
+        // every written key answers yes; absent keys mostly reject
+        // (false positives are the design, so assert a strong majority)
+        for (k <- 1L to 401L)
+          if (bloom.findHash(bloom.hash(k))) present += 1
+        for (k <- 1000L to 1019L) {
+          absentTried += 1
+          if (!bloom.findHash(bloom.hash(k))) absentRejected += 1
+        }
+      } finally r.close()
+    }
+    // each key is in exactly ONE file's bloom: total hits across the 4
+    // files ≥ 401 (equality, modulo false positives adding a few)
+    assert(present >= 401, s"only $present bloom hits for written keys")
+    assert(absentRejected * 10 >= absentTried * 8,
+      s"blooms rejected only $absentRejected/$absentTried absent probes")
+    // and the pruned lookup still answers exactly through bloom'd files
+    assert(UpsertSink.readSnapshotKeys(spark, path, Seq(7L, 401L, 9999L))
+      .select("id", "v").as[(Long, String)].collect().sorted.toSeq
+      === Seq((7L, "v7"), (401L, "v401")))
+  }
+
   private def bucketsTouched(df: DataFrame): Set[Int] =
     df.inputFiles.flatMap(f =>
       "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
