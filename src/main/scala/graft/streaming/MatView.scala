@@ -56,10 +56,27 @@ object MatView {
     * aggregate. */
   def applyDelta(spark: SparkSession, viewPath: String, groupCol: String,
                  sumCols: Seq[String], numBuckets: Int)
+                (feed: DataFrame, batchId: Long): Boolean =
+    applyDelta(spark, viewPath, Seq(groupCol), sumCols, numBuckets)(
+      feed, batchId)
+
+  /** Multi-column grouping: a SINGLE group column keys the view store
+    * directly; several key it on a synthesized `__grp` STRUCT of the
+    * group columns (xxhash64 routes structs like any other type), with
+    * the FLAT group columns stored alongside as payloads — so the view
+    * reads flat either way ([[readView]] drops the internal key). A
+    * 64-bit hash of the tuple would be smaller but could silently MERGE
+    * two colliding groups; the struct key keeps equality exact. */
+  def applyDelta(spark: SparkSession, viewPath: String,
+                 groupCols: Seq[String], sumCols: Seq[String],
+                 numBuckets: Int)
                 (feed: DataFrame, batchId: Long): Boolean = {
-    require(!sumCols.contains("cnt") && groupCol != "cnt",
-      "MatView reserves the view column name 'cnt' for the group count")
-    val missing = (Seq(groupCol, UpsertSink.ChangeTypeCol) ++ sumCols)
+    require(groupCols.nonEmpty, "MatView needs at least one group column")
+    val reserved = Seq("cnt", "__grp", "__seq", "__op", "__dcnt", "__cur_cnt")
+    val clash = (groupCols ++ sumCols).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"MatView reserves column names ${clash.mkString(", ")}")
+    val missing = (groupCols ++ Seq(UpsertSink.ChangeTypeCol) ++ sumCols)
       .filterNot(feed.columns.contains)
     require(missing.isEmpty,
       s"feed is missing columns: ${missing.mkString(", ")} " +
@@ -74,19 +91,26 @@ object MatView {
         lit("MatView: feed has a post-only change type '"),
         col(UpsertSink.ChangeTypeCol),
         lit("' — build it with readChanges(…, preImages = true)"))))
+    val multi = groupCols.size > 1
+    val keyCol = if (multi) "__grp" else groupCols.head
     // checkpointed: read three times below (null guard, probe set for
     // the pruned current-value read, and the merge itself)
     val aggs = sum(w).cast("long").as("__dcnt") +:
       sumCols.map(c => sum(w * col(c)).as(c))
-    val deltas = feed.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
+    val deltas0 = feed.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val deltas = (if (multi)
+        deltas0.withColumn(keyCol, struct(groupCols.map(col): _*))
+      else deltas0).localCheckpoint(true)
     try {
-      require(deltas.filter(col(groupCol).isNull).isEmpty,
+      require(deltas.filter(groupCols.map(col(_).isNull)
+          .reduce(_ || _)).isEmpty,
         "MatView: NULL group values are not maintainable (the view " +
           "store's key probe cannot match NULL) — filter or coalesce " +
           "them upstream")
       if (deltas.isEmpty) return false
 
+      val payloads = (if (multi) groupCols else Nil) ++ ("cnt" +: sumCols)
       // current values for JUST the touched groups (bucket-pruned);
       // before the view's first batch there is no store to read — a
       // FRESH empty frame, never a projection of `deltas` (shared
@@ -95,36 +119,52 @@ object MatView {
       val current = UpsertSink.readManifest(viewPath) match {
         case Some(_) =>
           UpsertSink.readSnapshotKeys(spark, viewPath,
-            deltas.select(groupCol))
+            deltas.select(keyCol))
         case None =>
           import org.apache.spark.sql.types.{LongType, StructField, StructType}
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(
-              StructField(groupCol, deltas.schema(groupCol).dataType) +:
-              StructField("cnt", LongType) +:
-              sumCols.map(c => StructField(c, deltas.schema(c).dataType))))
+              StructField(keyCol, deltas.schema(keyCol).dataType) +:
+              payloads.map(c =>
+                if (c == "cnt") StructField("cnt", LongType)
+                else StructField(c, deltas.schema(c).dataType))))
       }
 
+      // every current row matched a probe that CAME from deltas, so the
+      // delta side is present on every joined row; the coalesce is a
+      // correctness belt, not a reachable branch
       val merged = current.withColumnRenamed("cnt", "__cur_cnt")
-        .join(deltas, Seq(groupCol), "full_outer")
+        .join(deltas, Seq(keyCol), "full_outer")
         .select(Seq(
-            col(groupCol),
+            col(keyCol),
             lit(batchId).as("__seq"),
             (coalesce(col("__cur_cnt"), lit(0L)) + coalesce(col("__dcnt"),
               lit(0L))).as("cnt")) ++
+          (if (multi) groupCols.map(g =>
+            coalesce(deltas(g), current(g)).as(g)) else Nil) ++
           sumCols.map(c => (coalesce(current(c), lit(0).cast(
             deltas.schema(c).dataType)) + coalesce(deltas(c), lit(0).cast(
             deltas.schema(c).dataType))).as(c)): _*)
         .withColumn("__op", when(col("cnt") === 0, "D").otherwise("U"))
         .withColumn("cnt", when(col("cnt") < 0, raise_error(concat(
             lit("MatView: group count went negative for group '"),
-            col(groupCol).cast("string"),
+            // the flat group columns survive the projection above
+            // (single: the key IS the group column; multi: payloads)
+            concat_ws(",", groupCols.map(col(_).cast("string")): _*),
             lit("' — the feed does not match the base history")))
           .cast("long")).otherwise(col("cnt")))
-      UpsertSink.applyBatch(spark, viewPath, groupCol, "__seq", "__op",
-        "cnt" +: sumCols, numBuckets)(merged, batchId)
+      UpsertSink.applyBatch(spark, viewPath, keyCol, "__seq", "__op",
+        payloads, numBuckets)(merged, batchId)
     } finally graft.operators.Dedup.releaseFrame(deltas)
+  }
+
+  /** The view, FLAT: key + payloads with the internal `__grp` struct
+    * key (multi-column groupings) dropped — `groupCols…, cnt, sums…`
+    * either way. */
+  def readView(spark: SparkSession, viewPath: String): DataFrame = {
+    val df = UpsertSink.readSnapshot(spark, viewPath)
+    if (df.columns.contains("__grp")) df.drop("__grp") else df
   }
 
   /** The view advanced through EVERY base version still on disk — the
@@ -135,6 +175,13 @@ object MatView {
     * applied. */
   def catchUp(spark: SparkSession, basePath: String, viewPath: String,
               groupCol: String, sumCols: Seq[String],
+              numBuckets: Int): Int =
+    catchUp(spark, basePath, viewPath, Seq(groupCol), sumCols, numBuckets)
+
+  /** [[catchUp]] with a multi-column grouping (see the
+    * `groupCols` [[applyDelta]]). */
+  def catchUp(spark: SparkSession, basePath: String, viewPath: String,
+              groupCols: Seq[String], sumCols: Seq[String],
               numBuckets: Int): Int = {
     val done = UpsertSink.readManifest(viewPath).map(_.batchId)
     val versions = UpsertSink.snapshotVersions(basePath)
@@ -144,7 +191,7 @@ object MatView {
     versions.foreach { v =>
       val feed = UpsertSink.readChanges(spark, basePath, prev, v,
         preImages = true)
-      if (applyDelta(spark, viewPath, groupCol, sumCols, numBuckets)(
+      if (applyDelta(spark, viewPath, groupCols, sumCols, numBuckets)(
           feed, v)) applied += 1
       prev = v
     }

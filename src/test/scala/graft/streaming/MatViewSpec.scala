@@ -132,6 +132,36 @@ class MatViewSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("negative")))
   }
 
+  test("multi-column groups key the view on a struct; flat columns read " +
+      "back and composite moves adjust both tuples") {
+    val base = tmp(); val view = tmp() + "/v"
+    def applyBase2(rows: Seq[(Long, Long, String, String, Long, Long)],
+                   id: Long): Boolean =
+      UpsertSink.applyBatch(spark, base, "id", "seq", "op",
+        Seq("g1", "g2", "x"), B)(
+        rows.toDF("id", "seq", "op", "g1", "g2", "x"), id)
+    def recompute2() = UpsertSink.readSnapshot(spark, base)
+      .groupBy("g1", "g2").agg(count(lit(1)).as("cnt"), sum("x").as("x"))
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    def viewRows2() = MatView.readView(spark, view)
+      .select("g1", "g2", "cnt", "x").as[(String, Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(applyBase2(Seq((1L, 1L, "I", "a", 1L, 10L),
+      (2L, 1L, "I", "a", 2L, 20L), (3L, 1L, "I", "b", 1L, 30L)), 0))
+    assert(MatView.catchUp(spark, base, view, Seq("g1", "g2"),
+      Seq("x"), B) === 1)
+    assert(viewRows2() === recompute2())
+    // a COMPOSITE move: (a,1) -> (a,2); and (b,1) empties out
+    assert(applyBase2(Seq((1L, 2L, "U", "a", 2L, 11L),
+      (3L, 2L, "D", null, 0L, 0L)), 1))
+    assert(MatView.catchUp(spark, base, view, Seq("g1", "g2"),
+      Seq("x"), B) === 1)
+    assert(viewRows2() === recompute2())
+    assert(viewRows2() === Seq(("a", 2L, 2L, 31L)))
+    // the internal key never leaks through readView
+    assert(!MatView.readView(spark, view).columns.contains("__grp"))
+  }
+
   test("catchUp bootstraps the view from every on-disk version and is " +
       "idempotent") {
     val base = tmp(); val view = tmp() + "/v"
