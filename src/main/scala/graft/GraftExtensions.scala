@@ -170,6 +170,22 @@ object Graft {
           spark.createDataset(versions)(org.apache.spark.sql.Encoders.scalaLong)
             .toDF("version").queryExecution.logical
         })
+    },
+    {
+      // DESCRIBE HISTORY: one row per committed manifest (version,
+      // kind apply|compact, buckets, delta_dirs, sort_by, bloom_key,
+      // schema) — `SELECT * FROM graft_snapshot_history('/path')`
+      val info = new ExpressionInfo(
+        "graft.streaming.UpsertSink", "graft_snapshot_history")
+      (FunctionIdentifier("graft_snapshot_history"), info,
+        (es: Seq[Expression]) => {
+          require(es.length == 1,
+            s"graft_snapshot_history expects (path), got ${es.length} arguments")
+          val path = tvfLiteral("graft_snapshot_history", es.head, "path").toString
+          graft.streaming.UpsertSink
+            .snapshotHistory(SparkSession.active, path)
+            .queryExecution.logical
+        })
     })
 
   /** The complete registered surface (PostGIS spelling, case-insensitive). */

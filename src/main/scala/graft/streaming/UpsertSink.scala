@@ -560,6 +560,48 @@ object UpsertSink {
       .distinct.sorted
   }
 
+  /** The store's committed manifest chain as a small DataFrame — the
+    * lakehouse DESCRIBE HISTORY verb: one row per committed manifest
+    * file at or below the current id (several can share a version: an
+    * apply plus compactions of it — identical STATE, different
+    * layout), with the layout facts a store operator reads before
+    * maintenance: version, kind (apply/compact), buckets mapped, live
+    * delta dirs, recorded sortBy / bloomKey preferences, schema DDL.
+    * Uncommitted orphans are excluded (the [[snapshotVersions]] rule);
+    * driver-side metadata only — one listing plus one small read per
+    * manifest, never a data-file touch. SQL:
+    * `SELECT * FROM graft_snapshot_history('/data/store')`. */
+  def snapshotHistory(spark: SparkSession, path: String): DataFrame = {
+    val cur = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    val mdir = manifestDir(path)
+    val f = fsOf(mdir)
+    val rows = f.listStatus(mdir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("m").takeWhile(_.isDigit).toLongOption
+        .filter(_ <= cur.batchId).map(_ -> n))
+      .sortBy(_.swap)
+      .map { case (id, n) =>
+        val m = readManifestFile(path, n)
+        org.apache.spark.sql.Row(id,
+          if (n.contains(".c")) "compact" else "apply",
+          m.buckets.size, m.buckets.values.toSet.size,
+          m.sortBy.mkString(","), m.bloomKey, m.schemaDdl)
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("buckets", IntegerType, nullable = false),
+        StructField("delta_dirs", IntegerType, nullable = false),
+        StructField("sort_by", StringType, nullable = false),
+        StructField("bloom_key", BooleanType, nullable = false),
+        StructField("schema", StringType, nullable = false))))
+  }
+
   /** TIME-TRAVEL read: the snapshot as of the LARGEST committed batch
     * id ≤ `batchId` — the lakehouse `VERSION AS OF` primitive, free
     * here because superseded manifests and delta dirs stay on disk

@@ -822,6 +822,33 @@ class UpsertSinkSpec extends SparkTestBase {
       === Seq((7L, "v7"), (401L, "v401")))
   }
 
+  test("snapshotHistory describes the committed manifest chain through " +
+      "SQL, excluding orphans and reflecting layout preferences") {
+    val path = tmp()
+    assert(UpsertSink.applyBatch(spark, path, "id", "seq", "op", Seq("v"),
+      B, sortBy = Seq("v"), bloomFilterKey = true)(
+      (1L to 30L).map(k => (k, 1L, "I", s"v$k")).toDF("id", "seq", "op", "v"),
+      0))
+    assert(apply(path, Seq((1L, 2L, "U", "b")), 1))
+    UpsertSink.compactSnapshot(spark, path)
+    // an uncommitted orphan manifest (crashed apply) must not appear
+    val mdir = java.nio.file.Paths.get(path, "_manifest")
+    java.nio.file.Files.write(mdir.resolve("m99.json"),
+      """{"batchId":99,"buckets":{}}""".getBytes("UTF-8"))
+    graft.Graft.register(spark)
+    val rows = spark.sql(
+      s"SELECT version, kind, sort_by, bloom_key FROM " +
+        s"graft_snapshot_history('$path') ORDER BY version, kind")
+      .as[(Long, String, String, Boolean)].collect().toSeq
+    assert(rows === Seq(
+      (0L, "apply", "v", true),
+      (1L, "apply", "", false), // batch 1 applied without the prefs
+      (1L, "compact", "", false))) // compaction carries batch 1's recording
+    assert(spark.sql(s"SELECT * FROM graft_snapshot_history('$path')")
+      .columns.toSeq === Seq("version", "kind", "buckets", "delta_dirs",
+        "sort_by", "bloom_key", "schema"))
+  }
+
   private def bucketsTouched(df: DataFrame): Set[Int] =
     df.inputFiles.flatMap(f =>
       "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
