@@ -135,6 +135,12 @@ class SqlHttpServerSpec extends SparkTestBase {
       s"SELECT version FROM graft_snapshot_versions('$path')")
     assert(rVers.statusCode() == 200, rVers.body())
     assert(rVers.body().contains("\"rows\":[[2]]"), rVers.body())
+    // DESCRIBE HISTORY over HTTP: the surviving manifest row, with its
+    // layout facts
+    val rHist = post("/query",
+      s"SELECT version, kind, buckets FROM graft_snapshot_history('$path')")
+    assert(rHist.statusCode() == 200, rHist.body())
+    assert(rHist.body().contains("[2,\"apply\",0]"), rHist.body())
   }
 
   test("point lookup through the front door: graft_snapshot_lookup " +
