@@ -140,6 +140,75 @@ class CdcPropertySpec extends SparkTestBase {
     }
   }
 
+  test("matview property: random apply/compact/catchUp schedules keep " +
+      "the struct-keyed view equal to recomputation over the base") {
+    val sink = graft.streaming.UpsertSink
+    case class C2(key: Long, seq: Long, op: String,
+                  g: Option[String], p: Option[Long], x: Option[Long])
+    val batchGen2: Gen[List[C2]] = for {
+      n <- Gen.chooseNum(1, 12)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1L, 8L)
+        s <- Gen.chooseNum(1L, 5L)
+        op <- Gen.oneOf("I", "U", "D")
+        g <- Gen.oneOf("a", "b", "c")
+        p <- Gen.chooseNum(0L, 1L)
+        x <- Gen.chooseNum(-5L, 20L) // negative addends: sums may go < 0
+      } yield C2(k, s, op,
+        if (op == "D") None else Some(g),
+        if (op == "D") None else Some(p),
+        if (op == "D") None else Some(x)))
+    } yield rows
+    def toDf2(b: Seq[C2]) = b.map(c => (c.key, c.seq, c.op, c.g.orNull,
+        c.p.map(java.lang.Long.valueOf).orNull,
+        c.x.map(java.lang.Long.valueOf).orNull))
+      .toDF("key", "seq", "op", "g", "p", "x")
+    sealed trait Op2
+    case class Apply2(b: List[C2]) extends Op2
+    case class Compact2(m: Int) extends Op2
+    case object CatchUp2 extends Op2
+    // catch-ups fire mid-history (composed multi-version diffs) and
+    // compactions repoint layout between them — the view must never see
+    // either as a state change
+    val opGen: Gen[Op2] = Gen.frequency(
+      5 -> batchGen2.map(Apply2.apply),
+      2 -> Gen.chooseNum(1, 3).map(Compact2.apply),
+      3 -> Gen.const(CatchUp2))
+    forAll(Gen.listOfN(8, opGen), n = 12) { ops =>
+      val root = java.nio.file.Files.createTempDirectory("mv-prop").toString
+      val base = s"$root/base"; val view = s"$root/view"
+      var nextId = 0L
+      def catchUp(): Unit = if (nextId > 0)
+        graft.streaming.MatView.catchUp(spark, base, view,
+          Seq("g", "p"), Seq("x"), 4)
+      ops.foreach {
+        case Apply2(b) =>
+          assert(sink.applyBatch(spark, base, "key", "seq", "op",
+            Seq("g", "p", "x"), 4)(toDf2(b), nextId))
+          nextId += 1
+        case Compact2(m) if nextId > 0 => sink.compactSnapshot(spark, base, m)
+        case CatchUp2 => catchUp()
+        case _ => ()
+      }
+      if (nextId > 0) {
+        catchUp()
+        val want = sink.readSnapshot(spark, base).groupBy("g", "p")
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("cnt"),
+            org.apache.spark.sql.functions.sum("x").as("x"))
+          .as[(String, Long, Long, Long)].collect().sorted.toSeq
+        // a log whose every batch nets to nothing (deletes of absent
+        // keys) never creates the view store — the model agrees: empty
+        val got =
+          if (sink.readManifest(view).isEmpty) Seq.empty
+          else graft.streaming.MatView.readView(spark, view)
+            .select("g", "p", "cnt", "x").as[(String, Long, Long, Long)]
+            .collect().sorted.toSeq
+        assert(got === want, s"ops: $ops")
+      }
+    }
+  }
+
   test("UpsertSink apply -> compact -> vacuum folds any random 6-batch " +
       "log like the reference, end to end through the store") {
     val sink = graft.streaming.UpsertSink
