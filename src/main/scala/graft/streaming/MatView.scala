@@ -72,10 +72,10 @@ object MatView {
                  numBuckets: Int)
                 (feed: DataFrame, batchId: Long): Boolean = {
     require(groupCols.nonEmpty, "MatView needs at least one group column")
-    val reserved = Seq("cnt", "__grp", "__seq", "__op", "__dcnt", "__cur_cnt")
-    val clash = (groupCols ++ sumCols).filter(reserved.contains)
+    val clash = (groupCols ++ sumCols)
+      .filter(c => c == "cnt" || c.startsWith("__"))
     require(clash.isEmpty,
-      s"MatView reserves column names ${clash.mkString(", ")}")
+      s"MatView reserves 'cnt' and the '__' prefix: ${clash.mkString(", ")}")
     val missing = (groupCols ++ Seq(UpsertSink.ChangeTypeCol) ++ sumCols)
       .filterNot(feed.columns.contains)
     require(missing.isEmpty,
@@ -93,10 +93,18 @@ object MatView {
         lit("' — build it with readChanges(…, preImages = true)"))))
     val multi = groupCols.size > 1
     val keyCol = if (multi) "__grp" else groupCols.head
+    def nCol(c: String) = s"__n_$c"
     // checkpointed: read three times below (null guard, probe set for
-    // the pruned current-value read, and the merge itself)
+    // the pruned current-value read, and the merge itself). Per sum
+    // column the view ALSO maintains a hidden non-null-addend count
+    // (`__n_<c>`, subtractive like everything else): SQL's SUM over a
+    // group with no non-null addends is NULL, not 0, and without the
+    // count the fold cannot tell "sums to zero" from "nothing to sum" —
+    // the view would diverge from recomputation exactly there.
     val aggs = sum(w).cast("long").as("__dcnt") +:
-      sumCols.map(c => sum(w * col(c)).as(c))
+      (sumCols.map(c => sum(w * col(c)).as(c)) ++
+        sumCols.map(c => sum(when(col(c).isNotNull, w).otherwise(0))
+          .cast("long").as(nCol(c))))
     val deltas0 = feed.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val deltas = (if (multi)
@@ -108,9 +116,17 @@ object MatView {
         "MatView: NULL group values are not maintainable (the view " +
           "store's key probe cannot match NULL) — filter or coalesce " +
           "them upstream")
-      if (deltas.isEmpty) return false
+      if (deltas.isEmpty) {
+        // an empty state diff (a base version that re-upserted identical
+        // values, or deleted absent keys) still ADVANCES the view's
+        // high-water mark — otherwise every later catchUp would re-read
+        // and re-skip this version's feed forever
+        UpsertSink.bumpBatchId(viewPath, batchId)
+        return false
+      }
 
-      val payloads = (if (multi) groupCols else Nil) ++ ("cnt" +: sumCols)
+      val payloads = (if (multi) groupCols else Nil) ++
+        ("cnt" +: sumCols) ++ sumCols.map(nCol)
       // current values for JUST the touched groups (bucket-pruned);
       // before the view's first batch there is no store to read — a
       // FRESH empty frame, never a projection of `deltas` (shared
@@ -127,7 +143,8 @@ object MatView {
             StructType(
               StructField(keyCol, deltas.schema(keyCol).dataType) +:
               payloads.map(c =>
-                if (c == "cnt") StructField("cnt", LongType)
+                if (c == "cnt" || c.startsWith("__n_"))
+                  StructField(c, LongType)
                 else StructField(c, deltas.schema(c).dataType))))
       }
 
@@ -143,9 +160,17 @@ object MatView {
               lit(0L))).as("cnt")) ++
           (if (multi) groupCols.map(g =>
             coalesce(deltas(g), current(g)).as(g)) else Nil) ++
-          sumCols.map(c => (coalesce(current(c), lit(0).cast(
-            deltas.schema(c).dataType)) + coalesce(deltas(c), lit(0).cast(
-            deltas.schema(c).dataType))).as(c)): _*)
+          sumCols.map { c =>
+            val n = coalesce(current(nCol(c)), lit(0L)) +
+              coalesce(deltas(nCol(c)), lit(0L))
+            // SQL parity: a group with zero non-null addends sums NULL
+            when(n === 0, lit(null).cast(deltas.schema(c).dataType))
+              .otherwise(coalesce(current(c), lit(0).cast(
+                deltas.schema(c).dataType)) + coalesce(deltas(c), lit(0)
+                .cast(deltas.schema(c).dataType))).as(c)
+          } ++
+          sumCols.map(c => (coalesce(current(nCol(c)), lit(0L)) +
+            coalesce(deltas(nCol(c)), lit(0L))).as(nCol(c))): _*)
         .withColumn("__op", when(col("cnt") === 0, "D").otherwise("U"))
         .withColumn("cnt", when(col("cnt") < 0, raise_error(concat(
             lit("MatView: group count went negative for group '"),
@@ -159,12 +184,13 @@ object MatView {
     } finally graft.operators.Dedup.releaseFrame(deltas)
   }
 
-  /** The view, FLAT: key + payloads with the internal `__grp` struct
-    * key (multi-column groupings) dropped — `groupCols…, cnt, sums…`
-    * either way. */
+  /** The view, FLAT: the internal `__grp` struct key (multi-column
+    * groupings) and the hidden `__n_*` non-null counts dropped —
+    * `groupCols…, cnt, sums…` either way. */
   def readView(spark: SparkSession, viewPath: String): DataFrame = {
     val df = UpsertSink.readSnapshot(spark, viewPath)
-    if (df.columns.contains("__grp")) df.drop("__grp") else df
+    df.drop(df.columns.filter(c =>
+      c == "__grp" || c.startsWith("__n_")).toIndexedSeq: _*)
   }
 
   /** The view advanced through EVERY base version still on disk — the

@@ -542,6 +542,23 @@ object UpsertSink {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
 
+  /** Every parseable manifest file on disk as `(id, name)` pairs,
+    * sorted by id then name — the ONE place the `m<id>[.c<nonce>].json`
+    * naming convention is listed and parsed (snapshotVersions,
+    * manifestAtVersion, vacuum, and snapshotHistory all filter these
+    * pairs by their own committed/retention rules; four independent
+    * copies of the parse had already crept in once). */
+  private def manifestFiles(path: String): Seq[(Long, String)] = {
+    val mdir = manifestDir(path)
+    val f = fsOf(mdir)
+    if (!f.exists(mdir)) Seq.empty
+    else f.listStatus(mdir).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("m").takeWhile(_.isDigit).toLongOption
+        .map(_ -> n))
+      .sorted
+  }
+
   /** Committed batch ids whose snapshots are still readable — i.e.
     * every apply manifest at or below the CURRENT committed id that
     * [[vacuum]] has not yet reclaimed (vacuum collapses history to the
@@ -551,13 +568,7 @@ object UpsertSink {
   def snapshotVersions(path: String): Seq[Long] = {
     val cur = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
-    val mdir = manifestDir(path)
-    val f = fsOf(mdir)
-    f.listStatus(mdir).toSeq.filter(_.isFile).map(_.getPath.getName)
-      .filter(n => n.startsWith("m") && n.endsWith(".json"))
-      .flatMap(_.stripPrefix("m").takeWhile(_.isDigit).toLongOption)
-      .filter(_ <= cur.batchId)
-      .distinct.sorted
+    manifestFiles(path).map(_._1).filter(_ <= cur.batchId).distinct.sorted
   }
 
   /** The store's committed manifest chain as a small DataFrame — the
@@ -574,14 +585,8 @@ object UpsertSink {
   def snapshotHistory(spark: SparkSession, path: String): DataFrame = {
     val cur = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
-    val mdir = manifestDir(path)
-    val f = fsOf(mdir)
-    val rows = f.listStatus(mdir).toSeq.filter(_.isFile)
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("m") && n.endsWith(".json"))
-      .flatMap(n => n.stripPrefix("m").takeWhile(_.isDigit).toLongOption
-        .filter(_ <= cur.batchId).map(_ -> n))
-      .sortBy(_.swap)
+    val rows = manifestFiles(path)
+      .filter { case (id, _) => id <= cur.batchId }
       .map { case (id, n) =>
         val m = readManifestFile(path, n)
         org.apache.spark.sql.Row(id,
@@ -624,13 +629,8 @@ object UpsertSink {
   private def manifestAtVersion(path: String, batchId: Long): Manifest = {
     val cur = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
-    val mdir = manifestDir(path)
-    val f = fsOf(mdir)
-    val eligible = f.listStatus(mdir).toSeq.filter(_.isFile)
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("m") && n.endsWith(".json"))
-      .flatMap(n => n.stripPrefix("m").takeWhile(_.isDigit).toLongOption
-        .map(_ -> n))
+    val f = fsOf(manifestDir(path))
+    val eligible = manifestFiles(path)
       .filter { case (id, _) => id <= batchId && id <= cur.batchId }
     if (eligible.isEmpty) throw new IllegalStateException(
       s"no committed snapshot at or before batch $batchId under $path " +
@@ -900,6 +900,23 @@ object UpsertSink {
     } finally graft.operators.Dedup.releaseFrame(batch)
   }
 
+  /** Advances the committed batchId WITHOUT changing state: a
+    * same-content manifest under the new id, swapped in by the normal
+    * pointer protocol. What an exactly-once consumer records for a
+    * NO-OP input batch ([[MatView.applyDelta]] on an empty diff) — the
+    * replay guard then skips the id like any applied batch, instead of
+    * the consumer re-reading the no-op's input forever. A no-op on a
+    * store that does not exist yet, or a replayed/out-of-order id
+    * (returns false). Time travel at the bumped id reads the identical
+    * state; vacuum treats the manifest like any apply's. */
+  private[graft] def bumpBatchId(path: String, batchId: Long): Boolean =
+    readManifest(path) match {
+      case Some(m) if m.batchId < batchId =>
+        writeManifest(path, m.copy(batchId = batchId), s"m$batchId.json")
+        true
+      case _ => false
+    }
+
   /** Reader-safe INCREMENTAL compaction for a sink-managed snapshot:
     * merges just enough of the SMALLEST live delta dirs (by live bytes)
     * into one new dir (`delta/c<batchId>-<nonce>` — one task and one
@@ -1069,15 +1086,8 @@ object UpsertSink {
     val (curSeq, currentName) = currentPointer(path).getOrElse(
       throw new IllegalStateException(s"no snapshot at $path yet"))
     val m = readManifestFile(path, currentName)
-    val mdirPre = manifestDir(path)
-    val pf = fsOf(mdirPre)
     // retained ids: the newest retainVersions committed ids on disk
-    val idsOnDisk = pf.listStatus(mdirPre).toSeq.filter(_.isFile)
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("m") && n.endsWith(".json"))
-      .flatMap(n => n.stripPrefix("m").takeWhile(_.isDigit).toLongOption
-        .map(_ -> n))
-      .filter(_._1 <= m.batchId)
+    val idsOnDisk = manifestFiles(path).filter(_._1 <= m.batchId)
     val retained = idsOnDisk.map(_._1).distinct.sorted.takeRight(retainVersions).toSet
     // live dirs: the current manifest's, plus — for OLDER retained ids —
     // every manifest file of that id (an old id's apply and compaction

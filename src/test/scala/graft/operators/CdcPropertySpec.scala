@@ -153,11 +153,13 @@ class CdcPropertySpec extends SparkTestBase {
         op <- Gen.oneOf("I", "U", "D")
         g <- Gen.oneOf("a", "b", "c")
         p <- Gen.chooseNum(0L, 1L)
-        x <- Gen.chooseNum(-5L, 20L) // negative addends: sums may go < 0
+        // negative addends (sums may go < 0) AND occasional NULLs on
+        // LIVE rows (SQL: SUM ignores them; all-NULL groups sum NULL)
+        x <- Gen.option(Gen.chooseNum(-5L, 20L))
       } yield C2(k, s, op,
         if (op == "D") None else Some(g),
         if (op == "D") None else Some(p),
-        if (op == "D") None else Some(x)))
+        if (op == "D") None else x))
     } yield rows
     def toDf2(b: Seq[C2]) = b.map(c => (c.key, c.seq, c.op, c.g.orNull,
         c.p.map(java.lang.Long.valueOf).orNull,
@@ -196,14 +198,14 @@ class CdcPropertySpec extends SparkTestBase {
           .agg(org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)).as("cnt"),
             org.apache.spark.sql.functions.sum("x").as("x"))
-          .as[(String, Long, Long, Long)].collect().sorted.toSeq
+          .as[(String, Long, Long, Option[Long])].collect().sorted.toSeq
         // a log whose every batch nets to nothing (deletes of absent
         // keys) never creates the view store — the model agrees: empty
         val got =
           if (sink.readManifest(view).isEmpty) Seq.empty
           else graft.streaming.MatView.readView(spark, view)
-            .select("g", "p", "cnt", "x").as[(String, Long, Long, Long)]
-            .collect().sorted.toSeq
+            .select("g", "p", "cnt", "x")
+            .as[(String, Long, Long, Option[Long])].collect().sorted.toSeq
         assert(got === want, s"ops: $ops")
       }
     }

@@ -132,6 +132,34 @@ class MatViewSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("negative")))
   }
 
+  test("SQL sum parity on NULL addends: an all-NULL group sums NULL, and " +
+      "deleting the last non-NULL contributor returns the group to NULL") {
+    val base = tmp(); val view = tmp() + "/v"
+    def applyN(rows: Seq[(Long, Long, String, String, java.lang.Long)],
+               id: Long): Boolean =
+      UpsertSink.applyBatch(spark, base, "id", "seq", "op",
+        Seq("grp", "x"), B)(rows.toDF("id", "seq", "op", "grp", "x"), id)
+    def stepParity(): Unit = {
+      assert(MatView.catchUp(spark, base, view, "grp", Seq("x"), B) === 1)
+      val got = MatView.readView(spark, view).select("grp", "cnt", "x")
+        .as[(String, Long, Option[Long])].collect().sorted.toSeq
+      val want = UpsertSink.readSnapshot(spark, base)
+        .groupBy("grp").agg(count(lit(1)).as("cnt"), sum("x").as("x"))
+        .as[(String, Long, Option[Long])].collect().sorted.toSeq
+      assert(got === want)
+    }
+    // a group born with only a NULL addend
+    assert(applyN(Seq((1L, 1L, "I", "a", null)), 0)); stepParity()
+    assert(MatView.readView(spark, view).select("grp", "cnt", "x")
+      .as[(String, Long, Option[Long])].head() === (("a", 1L, None)))
+    // a non-NULL contributor arrives: the sum materializes
+    assert(applyN(Seq((2L, 1L, "I", "a", 5L)), 1)); stepParity()
+    // ... and leaves again: back to NULL, not 0
+    assert(applyN(Seq((2L, 2L, "D", null, null)), 2)); stepParity()
+    assert(MatView.readView(spark, view).select("grp", "cnt", "x")
+      .as[(String, Long, Option[Long])].head() === (("a", 1L, None)))
+  }
+
   test("multi-column groups key the view on a struct; flat columns read " +
       "back and composite moves adjust both tuples") {
     val base = tmp(); val view = tmp() + "/v"
@@ -177,6 +205,13 @@ class MatViewSpec extends SparkTestBase {
     // one more base version catches up incrementally
     assert(applyBase(base, Seq((3L, 4L, "I", "b", 7L)), 3))
     assert(MatView.catchUp(spark, base, view, "grp", Seq("x"), B) === 1)
+    assert(viewRows(view) === recompute(base))
+    // a base version whose state diff is EMPTY (delete of an absent key)
+    // still advances the view's high-water mark — later catch-ups must
+    // not re-read its feed forever
+    assert(applyBase(base, Seq((99L, 9L, "D", null, 0L)), 4))
+    assert(MatView.catchUp(spark, base, view, "grp", Seq("x"), B) === 0)
+    assert(UpsertSink.readManifest(view).get.batchId === 4)
     assert(viewRows(view) === recompute(base))
   }
 }

@@ -683,22 +683,9 @@ class UpsertSinkSpec extends SparkTestBase {
         Seq("ts", "pad"), 4, sortBy = Seq("ts"))(rows(ids1, 1L), 1))
       assert(UpsertSink.readManifest(path).get.sortBy === Seq("ts"))
 
-      def tsGroups(file: String): Seq[(Long, Long)] = {
-        import scala.jdk.CollectionConverters._
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file), hc)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          val s = b.getColumns.asScala
-            .find(_.getPath.toDotString == "ts").get.getStatistics
-          (s.genericGetMin.asInstanceOf[Number].longValue(),
-            s.genericGetMax.asInstanceOf[Number].longValue())
-        } finally r.close()
-      }
-      def monotone(file: String): Boolean = {
-        val gs = tsGroups(file)
-        gs.zip(gs.drop(1)).forall { case ((_, max), (min, _)) => min >= max }
-      }
+      def tsGroups(file: String): Seq[(Long, Long)] =
+        statsGroups(file, "ts", hc)
+      def monotone(file: String): Boolean = monotoneIn(file, "ts", hc)
       def filesOf(dir: String): Seq[String] = {
         val d = new java.io.File(s"$path/$dir")
         d.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
@@ -741,22 +728,8 @@ class UpsertSinkSpec extends SparkTestBase {
       UpsertSink.compactSnapshot(spark, path, sortBy = Some(Seq("id")))
       val m3 = UpsertSink.readManifest(path).get
       assert(m3.sortBy === Seq("id"))
-      def idMonotone(file: String): Boolean = {
-        val gs = {
-          import scala.jdk.CollectionConverters._
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(file), hc)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
-            val s = b.getColumns.asScala
-              .find(_.getPath.toDotString == "id").get.getStatistics
-            (s.genericGetMin.asInstanceOf[Number].longValue(),
-              s.genericGetMax.asInstanceOf[Number].longValue())
-          } finally r.close()
-        }
-        gs.zip(gs.drop(1)).forall { case ((_, max), (min, _)) => min >= max }
-      }
-      assert(filesOf(m3.buckets.values.head).forall(idMonotone))
+      assert(filesOf(m3.buckets.values.head)
+        .forall(monotoneIn(_, "id", hc)))
       val e2 = intercept[IllegalArgumentException] {
         UpsertSink.compactSnapshot(spark, path, sortBy = Some(Seq("zzz")))
       }
@@ -847,6 +820,37 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM graft_snapshot_history('$path')")
       .columns.toSeq === Seq("version", "kind", "buckets", "delta_dirs",
         "sort_by", "bloom_key", "schema"))
+    // past ten versions the chain must order NUMERICALLY, not by the
+    // filename's lexicographic order (m10.json < m2.json)
+    (2L to 11L).foreach(i =>
+      assert(apply(path, Seq((1L, i + 1, "U", s"b$i")), i)))
+    val vs = spark.sql(
+      s"SELECT version FROM graft_snapshot_history('$path')")
+      .as[Long].collect().toSeq
+    assert(vs === vs.sorted && vs.last === 11L, vs.toString)
+  }
+
+  /** Per-row-group (min, max) footer statistics of `colName` in file
+    * order — the witness that a sorted layout gives parquet something
+    * to skip on. */
+  private def statsGroups(file: String, colName: String,
+      hc: org.apache.hadoop.conf.Configuration): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), hc)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+      val s = b.getColumns.asScala
+        .find(_.getPath.toDotString == colName).get.getStatistics
+      (s.genericGetMin.asInstanceOf[Number].longValue(),
+        s.genericGetMax.asInstanceOf[Number].longValue())
+    } finally r.close()
+  }
+
+  private def monotoneIn(file: String, colName: String,
+      hc: org.apache.hadoop.conf.Configuration): Boolean = {
+    val gs = statsGroups(file, colName, hc)
+    gs.zip(gs.drop(1)).forall { case ((_, max), (min, _)) => min >= max }
   }
 
   private def bucketsTouched(df: DataFrame): Set[Int] =
