@@ -186,6 +186,20 @@ object Graft {
             .snapshotHistory(SparkSession.active, path)
             .queryExecution.logical
         })
+    },
+    {
+      // a materialized VIEW store, flat: the snapshot minus MatView's
+      // internal key/count columns — `SELECT * FROM graft_view('/v')`
+      val info = new ExpressionInfo(
+        "graft.streaming.MatView", "graft_view")
+      (FunctionIdentifier("graft_view"), info,
+        (es: Seq[Expression]) => {
+          require(es.length == 1,
+            s"graft_view expects (path), got ${es.length} arguments")
+          val path = tvfLiteral("graft_view", es.head, "path").toString
+          graft.streaming.MatView.readView(SparkSession.active, path)
+            .queryExecution.logical
+        })
     })
 
   /** The complete registered surface (PostGIS spelling, case-insensitive). */

@@ -186,8 +186,16 @@ class MatViewSpec extends SparkTestBase {
       Seq("x"), B) === 1)
     assert(viewRows2() === recompute2())
     assert(viewRows2() === Seq(("a", 2L, 2L, 31L)))
-    // the internal key never leaks through readView
+    // the internal key never leaks through readView — nor through the
+    // SQL front door
     assert(!MatView.readView(spark, view).columns.contains("__grp"))
+    graft.Graft.register(spark)
+    val sqlRows = spark.sql(
+      s"SELECT g1, g2, cnt, x FROM graft_view('$view')")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(sqlRows === viewRows2())
+    assert(spark.sql(s"SELECT * FROM graft_view('$view')").columns.toSeq
+      === Seq("g1", "g2", "cnt", "x"))
   }
 
   test("catchUp bootstraps the view from every on-disk version and is " +
