@@ -431,7 +431,7 @@ object ScaleSmoke {
       if (bytes.get >= total / 10)
         throw new AssertionError(
           s"maintenance read ${bytes.get} of $total bytes on disk")
-      val viewRows = sink.readSnapshot(spark, view)
+      val viewRows = graft.streaming.MatView.readView(spark, view)
         .orderBy("lang").collect().toSeq
       val recomputed = sink.readSnapshot(spark, base).groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum("tlen").as("tlen"))
