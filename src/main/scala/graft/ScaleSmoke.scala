@@ -529,7 +529,7 @@ object ScaleSmoke {
         "writeShards 500k docs", "bpe train 200 merges, 5k docs",
         "bpe train 200 merges, 50k docs", "bpe train 200 merges, 500k docs")) {
       val tiny = docs.limit(500).withColumn("n", length(col("text")).cast("long"))
-      Corpus.packSequences(tiny, "n", "doc_id", "n", 100000L).count()
+      Corpus.packSequences(tiny, "lang", "doc_id", "n", 100000L).count()
       Corpus.shardByTokens(tiny, "doc_id", "n", 100000L).count()
       Bpe.train(docs.limit(500), "text", numMerges = 5).merges.size
     }

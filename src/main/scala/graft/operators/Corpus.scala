@@ -333,6 +333,13 @@ object Corpus {
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // the output carries all three names (plus `bin`), so they must be
+    // distinct — and a repeated name would otherwise surface as an
+    // AMBIGUOUS_REFERENCE from the internal select, not as the caller's
+    // mistake
+    require(Seq(groupCol, orderCol, tokenCol).distinct.size == 3,
+      s"packSequences needs three DISTINCT columns, got " +
+        s"group=$groupCol, order=$orderCol, token=$tokenCol")
     val spark = df.sparkSession
     import spark.implicits._
     val packed = df
