@@ -377,8 +377,18 @@ object Graphs {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: degrees, wedges, closure
+    // |V|-sized, PERSISTED: deg feeds two joins below whose differing
+    // column aliases defeat ReuseExchange — without the cache the
+    // explode+aggregate subtree (an |E|-scan plus a shuffle) executed
+    // THREE times in the final plan (twice under `oriented`, once more
+    // under the broadcast copy of `oriented` in the wedge self-join;
+    // plan-audited in plans/r14/q_triangles_before.txt)
     val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // |E|-sized, PERSISTED: `oriented` is both sides of the wedge
+    // self-join — uncached, the two join subtrees (plus their deg
+    // joins) each recomputed it
     val oriented = e0
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -387,6 +397,7 @@ object Graphs {
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.select(col("s"), col("t").as("x"))
       .join(oriented.select(col("s"), col("t").as("y")), "s")
       .where(col("x") < col("y")) // each out-neighbor pair once
@@ -394,6 +405,8 @@ object Graphs {
     val closed = wedges.join(e0,
       wedges("x") === e0("u") && wedges("y") === e0("v"), "left_semi")
     Dedup.track(e0)
+    Dedup.track(deg)
+    Dedup.track(oriented)
     closed.agg(count(lit(1)).as("n_triangles"))
   }
 

@@ -95,9 +95,16 @@ object SemDedup {
     // skew guard: bounded collect (one count per centroid), then a
     // per-cluster sign-bit mask — masking the low bits of ONE signature
     // column is the same as using fewer planes, so every cluster reads
-    // its sub-key from the same codegen'd kernel call
-    val clusterCounts = assigned.groupBy("cluster").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // its sub-key from the same codegen'd kernel call.
+    // r14: SKIPPED when n <= maxClusterRows — no cluster can exceed the
+    // cap then, so the counting pass (a full scan that re-evaluates the
+    // assignment UDF, plus a shuffle and a driver collect) proves
+    // nothing; its absence leaves every nbits at 0, the same verdicts
+    // (measured: one of the gate's two corpus-wide UDF passes gone)
+    val clusterCounts =
+      if (n <= maxClusterRows) Map.empty[Int, Long]
+      else assigned.groupBy("cluster").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nbits = clusterCounts.map { case (c, cnt) =>
       c -> math.min(24, math.max(0,
         math.ceil(math.log(cnt.toDouble / maxClusterRows) / math.log(2.0)).toInt))
