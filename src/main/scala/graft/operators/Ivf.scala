@@ -55,7 +55,8 @@ object Ivf {
                    trainSampleSize: Int = 100000,
                    maxPartitionRows: Long = 1000000L,
                    dropCols: Seq[String] = Nil,
-                   metric: String = "cosine"): Unit = {
+                   metric: String = "cosine",
+                   maxDriverFlops: Long = 2000000000L): Unit = {
     val spark = df.sparkSession
     Graft.register(spark)
     require(metric == "cosine" || metric == "l2", s"metric must be cosine|l2, got $metric")
@@ -64,18 +65,20 @@ object Ivf {
 
     // cosine: unit-normalize so Euclidean k-means routes by angle; norm
     // computed once per vector, not per element. l2: raw vectors.
-    def featurize(d: DataFrame): DataFrame =
+    // `__feat` is the plain float-array form the driver-local trainer
+    // and assignment kernel read; `__features` the MLlib vector view.
+    def featurizeArr(d: DataFrame): DataFrame =
       if (metric == "l2")
-        d.withColumn("__features", array_to_vector(
-          expr(s"transform($vecCol, x -> CAST(x AS FLOAT))")))
+        d.withColumn("__feat",
+          expr(s"transform($vecCol, x -> CAST(x AS FLOAT))"))
       else d
         .withColumn("__norm", expr(
           s"greatest(sqrt(aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
             s"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), CAST(1e-30 AS DOUBLE))"))
-        .withColumn("__unit", expr(
+        .withColumn("__feat", expr(
           s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
-        .withColumn("__features", array_to_vector(col("__unit")))
-    val unit = featurize(df)
+    def featurize(d: DataFrame): DataFrame =
+      featurizeArr(d).withColumn("__features", array_to_vector(col("__feat")))
 
     val n = df.count()
     require(n > 0, "cannot index an empty corpus")
@@ -88,24 +91,82 @@ object Ivf {
     // Sample the RAW rows, then featurize — sampling above the projection
     // would normalize the full corpus only to discard most of it.
     val target = math.max(trainSampleSize.toLong, 10L * effectiveK)
-    val trainSet = featurize(
+    val sampled =
       if (n <= target) df
-      else df.sample(withReplacement = false, fraction = math.min(1.0, target.toDouble / n), seed = 42L))
-    val model = new KMeans().setK(effectiveK).setMaxIter(maxIter).setSeed(42L)
-      .setFeaturesCol("__features").setPredictionCol("cluster")
-      .fit(trainSet)
+      else df.sample(withReplacement = false, fraction = math.min(1.0, target.toDouble / n), seed = 42L)
+
+    // Training is a bounded, corpus-size-independent workload — the
+    // SemDedup hybrid (r14): below a flops budget (k·sample·dim·iters) it
+    // runs DRIVER-LOCAL with the bit-deterministic Pq k-means on an
+    // id-sorted sample — the MLlib fit alone cost ~15 scheduler-bound
+    // jobs per store build at gate scale, and the centroids (hence the
+    // layout) become independent of input partitioning. Past the budget,
+    // distributed MLlib takes over unchanged (deterministic per layout —
+    // the existing caveat). Either path yields (centroids, assigned).
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val sampleN = math.min(n, target)
+    val flops = effectiveK.toLong * sampleN * dim * math.max(maxIter, 1)
+    val (centroids: Array[Array[Float]], assignedRaw: DataFrame) =
+      if (flops <= maxDriverFlops) {
+        val pts = featurizeArr(sampled)
+          .select(col(idCol).cast("string"), col("__feat"))
+          .collect()
+          .sortBy(_.getString(0))
+          .map { r =>
+            val s = r.getSeq[Float](1)
+            val a = new Array[Float](s.length)
+            var i = 0
+            while (i < a.length) { a(i) = s(i); i += 1 }
+            a
+          }
+        val cents = Pq.kmeans(pts, effectiveK, maxIter).toArray
+        // argmin Euclidean ≡ argmax (v·c − |c|²/2); first-wins ties like
+        // MLlib — primitive-array loop, one broadcast
+        val halfSq = cents.map(c => c.map(x => x.toDouble * x).sum / 2.0)
+        val bc = spark.sparkContext.broadcast((cents, halfSq))
+        val assignU = udf { (v: Array[Float]) =>
+          val (cen, half) = bc.value
+          var best = 0
+          var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < cen.length) {
+            val cc = cen(c)
+            val len = math.min(v.length, cc.length)
+            var dot = 0.0
+            var j = 0
+            while (j < len) { dot += v(j).toDouble * cc(j); j += 1 }
+            val score = dot - half(c)
+            if (score > bestScore) { bestScore = score; best = c }
+            c += 1
+          }
+          best
+        }
+        (cents, featurizeArr(df).withColumn("cluster", assignU(col("__feat")))
+          .drop("__norm", "__feat"))
+      } else {
+        val model = new KMeans().setK(effectiveK).setMaxIter(maxIter).setSeed(42L)
+          .setFeaturesCol("__features").setPredictionCol("cluster")
+          .fit(featurize(sampled))
+        (model.clusterCenters.map(_.toArray.map(_.toFloat)),
+          model.transform(featurize(df))
+            .drop("__norm", "__feat", "__features"))
+      }
 
     // persist the assignment: the skew-cap count pass and the write both
     // consume it, and recomputing means re-running normalization + a
     // k-centroid predict over the full corpus (spill-safe at scale)
-    val assigned = model.transform(unit)
-      .drop("__norm", "__unit", "__features")
+    val assigned = assignedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // skew cap: clusters past maxPartitionRows split into hash
-      // sub-partitions (bounded collect: one count per centroid)
-      val counts = assigned.groupBy("cluster").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // sub-partitions (bounded collect: one count per centroid).
+      // r14: SKIPPED when n <= maxPartitionRows — no cluster can exceed
+      // the cap then, so the counting pass (a corpus scan + shuffle +
+      // collect) proves nothing (the SemDedup precedent)
+      val counts =
+        if (n <= maxPartitionRows) Map.empty[Int, Long]
+        else assigned.groupBy("cluster").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val nsub = counts.map { case (c, cnt) =>
         c -> math.max(1L, (cnt + maxPartitionRows - 1) / maxPartitionRows).toInt
       }
@@ -127,9 +188,7 @@ object Ivf {
         .write.mode("overwrite").partitionBy("cluster", "subpart").parquet(path)
     } finally assigned.unpersist()
 
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat), metric)
-    }
+    val centers = centroids.zipWithIndex.map { case (c, i) => (i, c, metric) }
     import spark.implicits._
     centers.toSeq.toDF("cluster", "centroid", "metric")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$CentroidDir")
@@ -139,10 +198,14 @@ object Ivf {
     * predates the metric column). */
   private def loadCentroids(spark: SparkSession, path: String): (Array[(Int, Array[Float])], String) = {
     val df = spark.read.parquet(s"$path/$CentroidDir")
-    val metric = if (df.columns.contains("metric"))
-      df.select("metric").head().getString(0) else "cosine"
-    val cents = df.select("cluster", "centroid").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    // ONE collect serves both the metric and the centroid list — the
+    // separate head() was a second job per probe (r14)
+    val hasMetric = df.columns.contains("metric")
+    val cols = if (hasMetric) df.select("cluster", "centroid", "metric")
+               else df.select("cluster", "centroid")
+    val rows = cols.collect()
+    val metric = if (hasMetric && rows.nonEmpty) rows.head.getString(2) else "cosine"
+    val cents = rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     (cents, metric)
   }
 
