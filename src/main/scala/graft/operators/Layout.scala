@@ -601,20 +601,51 @@ object Layout {
     * on an absent key), upsert replaces the payload or inserts the key.
     * Output schema = `key ++ payloadCols`.
     *
-    * Winner selection is a single `max(struct(seq, op, payloads…))`
-    * aggregation — partial-agg shuffles one winner candidate per key
-    * per map task, never the change log — so equal-`seqCol` conflicts
+    * Winner selection is a single `max(struct(__chg, seq, op,
+    * payloads…))` aggregation over the UNION of snapshot rows (`__chg`
+    * 0) and change rows (`__chg` 1) — partial-agg shuffles one winner
+    * candidate per key per map task, never the change log — so any
+    * change supersedes the snapshot row and equal-`seqCol` conflicts
     * resolve deterministically by the struct order (op, then payloads,
-    * descending; nulls low). The apply is ONE full-outer equi-join on
-    * the key; at 100 TB the snapshot side arrives hash-clustered when
-    * it was laid down with [[writeBucketed]] on the key (zero Exchange
-    * on the big side), and a small change batch broadcasts under AQE.
+    * descending; nulls low). ONE exchange total (round 15; the previous
+    * aggregate-then-full-outer-join form paid three — the change
+    * groupBy, the snapshot's join shuffle, and the sort-merge join);
+    * at 100 TB the snapshot side is the only heavy flow and it now
+    * crosses the network once. Requires at most one snapshot row per
+    * non-null key (the snapshot contract).
     */
   def mergeChanges(snapshot: DataFrame, changes: DataFrame, key: String,
                    seqCol: String, opCol: String,
                    payloadCols: Seq[String]): DataFrame = {
+    val cands = mergeCandidates(snapshot, changes, key, seqCol, opCol,
+      payloadCols)
+    mergeWinners(cands.groupBy(col(key)), key, opCol, payloadCols)
+  }
+
+  /** The candidate-union half of [[mergeChanges]] (round 15, shared with
+    * `UpsertSink.applyBatch` so the sink can cluster the winner
+    * aggregation by bucket): every snapshot row and every change row
+    * becomes `(key, __cand)` where `__cand = struct(__chg, seq, op,
+    * payloads…)` — `__chg` is 0 for snapshot rows and 1 for changes, so
+    * `max(__cand)` per key picks EXACTLY the row the old
+    * aggregate-then-full-outer-join form picked (any change supersedes
+    * the snapshot; among changes the highest (seq, op, payloads…) struct
+    * wins, nulls low), with ONE exchange instead of three (the change
+    * winner groupBy, the snapshot's join shuffle, and the join itself
+    * are gone; partial aggregation still ships one candidate per key per
+    * map task). Requires the snapshot to be a KEYED snapshot — at most
+    * one row per non-null key (the store contract; a duplicate- or
+    * null-keyed "snapshot" is not a snapshot). */
+  private[graft] def mergeCandidates(snapshot: DataFrame, changes: DataFrame,
+                                     key: String, seqCol: String,
+                                     opCol: String,
+                                     payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     require(!payloadCols.contains(key), "payloadCols must not repeat the key")
+    val reserved = (Seq(key, seqCol, opCol) ++ payloadCols)
+      .filter(c => c == "__chg" || c == "__cand" || c == "__w")
+    require(reserved.isEmpty,
+      s"mergeChanges reserves __chg/__cand/__w: ${reserved.mkString(", ")}")
     val missing = (Seq(key, seqCol, opCol) ++ payloadCols)
       .filterNot(changes.columns.contains)
     require(missing.isEmpty, s"changes is missing columns: ${missing.mkString(", ")}")
@@ -622,9 +653,9 @@ object Layout {
       "snapshot must carry the key and every payload column")
 
     // a NULL op or a NULL KEY is a malformed change: fail LOUDLY during
-    // the scan. (A null key never equi-joins, so its winner row would
-    // surface unmatched on the change side and emit a phantom all-null
-    // output row every batch — silently accumulating through a CDC sink.)
+    // the scan. (A null change key would otherwise collapse into one
+    // winner group and emit a phantom row — silently accumulating
+    // through a CDC sink.)
     val checked = changes
       .withColumn(opCol,
         when(col(opCol).isNull,
@@ -635,19 +666,33 @@ object Layout {
         when(col(key).isNull,
           raise_error(lit(s"mergeChanges: NULL $key in a change row")))
           .otherwise(col(key)))
-    val winners = checked
-      .groupBy(col(key))
-      .agg(max(struct(col(seqCol) +: col(opCol) +: payloadCols.map(col): _*)).as("__w"))
-      .select(Seq(col(key).as("__k"), col(s"__w.$opCol").as("__op")) ++
-        payloadCols.map(c => col(s"__w.$c").as(s"__p_$c")): _*)
-    // branch on the CHANGE-SIDE KEY, not the op: __k null ⇔ snapshot
-    // passthrough; __k present ⇒ __op present (checked above)
-    snapshot.select(col(key) +: payloadCols.map(col): _*)
-      .join(winners, col(key) === col("__k"), "full_outer")
-      .where(col("__k").isNull || col("__op") =!= "D")
-      .select(
-        coalesce(col(key), col("__k")).as(key) +:
-          payloadCols.map(c =>
-            when(col("__k").isNotNull, col(s"__p_$c")).otherwise(col(c)).as(c)): _*)
+    val seqT = changes.schema(seqCol).dataType
+    val opT = changes.schema(opCol).dataType
+    def cand(chg: Int, seqC: org.apache.spark.sql.Column,
+             opC: org.apache.spark.sql.Column,
+             pay: Seq[org.apache.spark.sql.Column]) =
+      struct((lit(chg).as("__chg") +: seqC.as(seqCol) +: opC.as(opCol) +:
+        payloadCols.zip(pay).map { case (c, e) => e.as(c) }): _*).as("__cand")
+    snapshot.select(col(key),
+        cand(0, lit(null).cast(seqT), lit(null).cast(opT),
+          payloadCols.map(col)))
+      .unionByName(checked.select(col(key),
+        cand(1, col(seqCol), col(opCol), payloadCols.map(col))))
   }
+
+  /** The winner-selection half of [[mergeChanges]]: `max(__cand)` per
+    * group, deletes dropped (a delete of an absent key has no snapshot
+    * candidate to suppress — the group just vanishes, the no-op), output
+    * projected to `prefixCols ++ key ++ payloads`. `grouped` must group
+    * a [[mergeCandidates]] frame by `key` (plus any prefix columns that
+    * are functions of the key — how the sink keeps its bucket routing
+    * clustered through the aggregation). */
+  private[graft] def mergeWinners(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset, key: String,
+      opCol: String, payloadCols: Seq[String],
+      prefixCols: Seq[String] = Nil): DataFrame =
+    grouped.agg(max(col("__cand")).as("__w"))
+      .where(col("__w.__chg") === 0 || col(s"__w.$opCol") =!= "D")
+      .select(prefixCols.map(col) ++ (col(key) +:
+        payloadCols.map(c => col(s"__w.$c").as(c))): _*)
 }

@@ -107,16 +107,23 @@ object MatView {
           .cast("long").as(nCol(c))))
     val deltas0 = feed.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // LAZY checkpoint: the guard aggregate below is the first action and
+    // scans every partition, so it fills the checkpoint in the same job
+    // (eager paid one extra job per delta for the same bytes)
     val deltas = (if (multi)
         deltas0.withColumn(keyCol, struct(groupCols.map(col): _*))
-      else deltas0).localCheckpoint(true)
+      else deltas0).localCheckpoint(false)
     try {
-      require(deltas.filter(groupCols.map(col(_).isNull)
-          .reduce(_ || _)).isEmpty,
+      // ONE pass answers both guards (row count and NULL-group count) —
+      // separately they were two jobs per delta
+      val guard = deltas.select(count(lit(1)).as("n"),
+        count(when(groupCols.map(col(_).isNull).reduce(_ || _), 1))
+          .as("nulls")).first()
+      require(guard.getLong(1) == 0L,
         "MatView: NULL group values are not maintainable (the view " +
           "store's key probe cannot match NULL) — filter or coalesce " +
           "them upstream")
-      if (deltas.isEmpty) {
+      if (guard.getLong(0) == 0L) {
         // an empty state diff (a base version that re-upserted identical
         // values, or deleted absent keys) still ADVANCES the view's
         // high-water mark — otherwise every later catchUp would re-read

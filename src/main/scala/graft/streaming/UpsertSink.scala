@@ -302,8 +302,13 @@ object UpsertSink {
     * adds no sort of its own, so the row order written IS this one). */
   private def writeBucketed(df: DataFrame, dest: String,
                             sortBy: Seq[String],
-                            bloomCol: Option[String] = None): Unit = {
-    val parted = df.repartition(col(BucketCol))
+                            bloomCol: Option[String] = None,
+                            prePartitioned: Boolean = false): Unit = {
+    // prePartitioned: the caller's plan already hash-clusters each
+    // bucket into one partition (applyBatch's bucket-grouped winner
+    // aggregation) — a repartition here would re-shuffle the merged
+    // payload a second time for nothing
+    val parted = if (prePartitioned) df else df.repartition(col(BucketCol))
     val arranged =
       if (sortBy.isEmpty) parted
       else parted.sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
@@ -517,9 +522,11 @@ object UpsertSink {
     // re-executed non-deterministic probe (a sampled frame) could hash
     // to buckets outside `wanted` — keys that would then silently
     // return nothing. Materializing once makes both reads see the same
-    // rows (the applyBatch localCheckpoint precedent).
+    // rows (the applyBatch localCheckpoint precedent). LAZY: the
+    // bucket-id collect below is the first action and scans every
+    // partition, so it fills the checkpoint in the same job.
     val probes = keysDf.select(col(m.key).cast(keyTypeOf(m))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val wanted = probes.select(bucketExpr(m.key, m.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     prunedRead(spark, path, m, wanted,
@@ -843,10 +850,13 @@ object UpsertSink {
     val effectiveDdl = effectiveSchema.toDDL
     if (prev.exists(_.batchId >= batchId)) return false // replayed batch
     val bucketOf = bucketExpr(key, numBuckets)
-    // one micro-batch — bounded; checkpointed because it is read three
-    // times below (touched list, merge, and the foreachBatch source
-    // frame is only valid inside this call)
-    val batch = changes.withColumn(BucketCol, bucketOf).localCheckpoint(true)
+    // one micro-batch — bounded; checkpointed because it is read twice
+    // below (touched list, merge) and the foreachBatch source frame is
+    // only valid inside this call. LAZY: the touched-bucket collect is
+    // the first action and scans every partition, so it materializes
+    // the checkpoint as a side effect — an eager checkpoint here paid
+    // one extra job per apply for the same bytes
+    val batch = changes.withColumn(BucketCol, bucketOf).localCheckpoint(false)
     try {
       // the touched-bucket list is ≤ numBuckets ints — driver-safe
       val touched = batch.select(BucketCol).distinct()
@@ -867,12 +877,27 @@ object UpsertSink {
         batch.select((key +: payloadCols).map(col): _*).limit(0)
       }
 
-      val merged = Layout.mergeChanges(snapTouched, batch.drop(BucketCol),
+      // the merge as ONE exchange (round 15): snapshot and change rows
+      // union as winner candidates (Layout.mergeCandidates — any change
+      // supersedes the snapshot row, then highest (seq, op, payloads)),
+      // hash-cluster ONCE by bucket, and the winner aggregation runs
+      // in-place — HashPartitioning(__bucket) satisfies the
+      // (__bucket, key) clustering because __bucket is a function of
+      // the key, so Catalyst inserts no second exchange, and the write
+      // below skips its repartition (prePartitioned). The previous
+      // shape paid three exchanges per apply: the change-winner
+      // groupBy, the snapshot side of the full-outer join, and the
+      // final repartition by bucket.
+      val cands = Layout.mergeCandidates(snapTouched, batch.drop(BucketCol),
           key, seqCol, opCol, payloadCols)
         .withColumn(BucketCol, bucketOf)
+        .repartition(col(BucketCol))
+      val merged = Layout.mergeWinners(
+        cands.groupBy(col(BucketCol), col(key)), key, opCol, payloadCols,
+        prefixCols = Seq(BucketCol))
       val deltaDir = s"delta/b$batchId"
       writeBucketed(merged, s"$path/$deltaDir", sortBy,
-        if (bloomFilterKey) Some(key) else None)
+        if (bloomFilterKey) Some(key) else None, prePartitioned = true)
 
       // a merge can delete a bucket EMPTY: partitionBy writes no dir for
       // it, so such buckets drop out of the manifest entirely. The
