@@ -155,29 +155,36 @@ object MatView {
                 else StructField(c, deltas.schema(c).dataType))))
       }
 
-      // every current row matched a probe that CAME from deltas, so the
-      // delta side is present on every joined row; the coalesce is a
-      // correctness belt, not a reachable branch
-      val merged = current.withColumnRenamed("cnt", "__cur_cnt")
-        .join(deltas, Seq(keyCol), "full_outer")
-        .select(Seq(
-            col(keyCol),
-            lit(batchId).as("__seq"),
-            (coalesce(col("__cur_cnt"), lit(0L)) + coalesce(col("__dcnt"),
-              lit(0L))).as("cnt")) ++
-          (if (multi) groupCols.map(g =>
-            coalesce(deltas(g), current(g)).as(g)) else Nil) ++
-          sumCols.map { c =>
-            val n = coalesce(current(nCol(c)), lit(0L)) +
-              coalesce(deltas(nCol(c)), lit(0L))
+      // merge as a UNION + one aggregation (round 15): the current view
+      // values and the deltas sum per group — a full-outer join said
+      // the same thing with two exchanges and a sort-merge join, where
+      // one groupBy says it with one exchange. Every current row
+      // matched a probe that CAME from deltas, so each group holds one
+      // or two rows; SUM over them reproduces the old
+      // coalesce(cur, 0) + coalesce(delta, 0) arithmetic exactly (SUM
+      // skips NULL addends, and the per-column coalesce keeps the "one
+      // side NULL, other side set" case identical).
+      def side(df: DataFrame, cntFrom: String) = df.select(
+        col(keyCol) +: col(cntFrom).as("cnt") +:
+          ((if (multi) groupCols else Nil).map(col) ++
+            sumCols.map(c => coalesce(col(c),
+              lit(0).cast(deltas.schema(c).dataType)).as(c)) ++
+            sumCols.map(c => col(nCol(c)))): _*)
+      val merged = side(current, "cnt")
+        .unionByName(side(deltas, "__dcnt"))
+        .groupBy(col(keyCol))
+        .agg(sum(col("cnt")).as("cnt"),
+          ((if (multi) groupCols.map(g => max(col(g)).as(g)) else Nil) ++
+            sumCols.map(c => sum(col(c)).as(c)) ++
+            sumCols.map(c => sum(col(nCol(c))).as(nCol(c)))): _*)
+        .select(Seq(col(keyCol), lit(batchId).as("__seq"), col("cnt")) ++
+          (if (multi) groupCols.map(col) else Nil) ++
+          sumCols.map(c =>
             // SQL parity: a group with zero non-null addends sums NULL
-            when(n === 0, lit(null).cast(deltas.schema(c).dataType))
-              .otherwise(coalesce(current(c), lit(0).cast(
-                deltas.schema(c).dataType)) + coalesce(deltas(c), lit(0)
-                .cast(deltas.schema(c).dataType))).as(c)
-          } ++
-          sumCols.map(c => (coalesce(current(nCol(c)), lit(0L)) +
-            coalesce(deltas(nCol(c)), lit(0L))).as(nCol(c))): _*)
+            when(col(nCol(c)) === 0,
+              lit(null).cast(deltas.schema(c).dataType))
+              .otherwise(col(c)).as(c)) ++
+          sumCols.map(c => col(nCol(c))): _*)
         .withColumn("__op", when(col("cnt") === 0, "D").otherwise("U"))
         .withColumn("cnt", when(col("cnt") < 0, raise_error(concat(
             lit("MatView: group count went negative for group '"),

@@ -527,8 +527,15 @@ object UpsertSink {
     // partition, so it fills the checkpoint in the same job.
     val probes = keysDf.select(col(m.key).cast(keyTypeOf(m))).distinct()
       .localCheckpoint(false)
+    // per-partition distinct sets (≤ numBuckets ints each), no second
+    // shuffle — the one job also materializes the probe checkpoint
     val wanted = probes.select(bucketExpr(m.key, m.numBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+      .queryExecution.toRdd
+      .mapPartitions { it =>
+        val s = new java.util.HashSet[Int]()
+        it.foreach(r => if (!r.isNullAt(0)) s.add(r.getInt(0)))
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+      }.collect().toSet
     prunedRead(spark, path, m, wanted,
         org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
       .join(probes, Seq(m.key), "left_semi")
@@ -858,9 +865,22 @@ object UpsertSink {
     // one extra job per apply for the same bytes
     val batch = changes.withColumn(BucketCol, bucketOf).localCheckpoint(false)
     try {
-      // the touched-bucket list is ≤ numBuckets ints — driver-safe
-      val touched = batch.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).sorted
+      // the touched-bucket list is ≤ numBuckets ints — driver-safe.
+      // Collected as per-partition distinct sets over the internal rows
+      // (≤ numBuckets ints per partition): no shuffle, and the one job
+      // doubles as the checkpoint materialization — the previous
+      // distinct() paid a shuffle plus an AQE stage job for the same
+      // handful of ints
+      val touched = batch.select(BucketCol).queryExecution.toRdd
+        .mapPartitions { it =>
+          val s = new java.util.HashSet[Int]()
+          it.foreach { r =>
+            if (r.isNullAt(0)) throw new IllegalArgumentException(
+              s"applyBatch: NULL $key in a change row")
+            s.add(r.getInt(0))
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        }.collect().distinct.sorted
       if (touched.isEmpty) return false // empty batch
 
       val existing = prev.toSeq.flatMap(m => touched.flatMap(b =>
