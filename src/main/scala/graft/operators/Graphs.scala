@@ -42,6 +42,75 @@ object Graphs {
   private def byFirstOf(base: org.apache.spark.Partitioner): org.apache.spark.Partitioner =
     new ByFirstOf(base)
 
+  /** SQL-compatible node partitioner (round 15): routes a node STRING
+    * to the partition Spark SQL's `repartition(n, col)` sends rows
+    * whose repartition column holds that string —
+    * `pmod(murmur3(utf8 bytes, seed 42), n)`, the exact
+    * `HashPartitioning.partitionIdExpression`. This is what lets the
+    * adjacency arrive PRE-ROUTED from one UnsafeRow SQL exchange
+    * ([[buildAdj]]) while the |V|-sized state RDDs reduce onto the SAME
+    * layout: the old build shuffle — ((String, String), w) tuples
+    * through the Java serializer, measured as the single heaviest step
+    * of every graph gate — is gone entirely, and the per-round
+    * zipPartitions merges stay narrow by construction. */
+  private[operators] final class SqlHashPartitioner(val n: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(org.apache.spark.unsafe.types.UTF8String
+            .fromString(key.asInstanceOf[String]),
+          org.apache.spark.sql.types.StringType, 42L).toInt
+      val m = h % n
+      if (m < 0) m + n else m
+    }
+    override def equals(o: Any): Boolean = o match {
+      case p: SqlHashPartitioner => p.n == n
+      case _ => false
+    }
+    override def hashCode: Int = n
+  }
+
+  /** Builds the dict-packed, src-routed adjacency with NO RDD shuffle:
+    * the (optionally direction-doubled, via one `explode` — never a
+    * self-union, which would run the upstream edge derivation twice)
+    * edge frame repartitions by `src` as a single UnsafeRow SQL
+    * exchange, and each partition packs straight off the InternalRows —
+    * duplicate `(src, dst)` pairs merge in the pack builder (`merge`:
+    * keep-first for the reachability loops, min/sum for the weighted
+    * ones), so the old DISTINCT-then-shuffle and the Java-serialized
+    * ((String, String), w) reduceByKey are both gone. Partition i holds
+    * exactly the srcs [[SqlHashPartitioner]] routes to i (the explicit
+    * partition count pins the layout — AQE never coalesces
+    * REPARTITION_BY_NUM exchanges), so the state loops zip against it
+    * narrowly. `checkW` validates weights executor-side, where the data
+    * is. */
+  private def buildAdj(e: DataFrame, undirected: Boolean, weighted: Boolean,
+                       merge: (Double, Double) => Double, n: Int,
+                       checkW: Double => Unit = null)
+      : org.apache.spark.rdd.RDD[PackedEdges] = {
+    val base = if (weighted) Seq("src", "dst", "w") else Seq("src", "dst")
+    val doubled =
+      if (!undirected) e.select(base.map(col): _*)
+      else {
+        def s(a: String, b: String) = struct(
+          (col(a).as("src") +: col(b).as("dst") +:
+            (if (weighted) Seq(col("w")) else Nil)): _*)
+        e.select(explode(array(s("src", "dst"), s("dst", "src"))).as("e"))
+          .select(base.map(c => col(s"e.$c").as(c)): _*)
+      }
+    doubled.repartition(n, col("src")).queryExecution.toRdd
+      .mapPartitions { it =>
+        val b = new PackBuilder(weighted, mergeDup = merge)
+        it.foreach { r =>
+          val w = if (weighted) r.getDouble(2) else 0.0
+          if (checkW ne null) checkW(w)
+          b.add(r.getUTF8String(0).toString, r.getUTF8String(1).toString, w)
+        }
+        b.result()
+      }
+  }
+
   /** Dictionary-packed adjacency partition — what the |E|-sized
     * MEMORY_AND_DISK caches actually hold. Edge `i` runs
     * `dict(src(i)) → dict(dst(i))` (weight `w(i)` when weighted), in
@@ -64,9 +133,16 @@ object Graphs {
     def size: Int = src.length
   }
 
-  private final class PackBuilder(weighted: Boolean) {
+  /** `mergeDup`: duplicate `(src, dst)` pairs collapse into their first
+    * occurrence's slot, weights merged by the function — the pack is
+    * where the edge multiset dedups now that the input arrives as a raw
+    * (possibly doubled) row stream instead of a reduceByKey output. */
+  private final class PackBuilder(weighted: Boolean,
+                                  mergeDup: (Double, Double) => Double) {
     private val index = new java.util.HashMap[String, Integer]()
     private val dict = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (srcId << 32 | dstId) -> edge slot, for the duplicate merge
+    private val seen = new java.util.HashMap[java.lang.Long, Integer]()
     private var srcA = new Array[Int](64)
     private var dstA = new Array[Int](64)
     // unweighted packs never touch the weight array — no transient
@@ -79,12 +155,20 @@ object Graphs {
       else { val j = dict.length; index.put(s, j); dict += s; j }
     }
     def add(s: String, d: String, weight: Double): Unit = {
+      val si = id(s); val di = id(d)
+      val k = java.lang.Long.valueOf((si.toLong << 32) | (di & 0xffffffffL))
+      val at = seen.get(k)
+      if (at ne null) {
+        if (weighted) wA(at.intValue()) = mergeDup(wA(at.intValue()), weight)
+        return
+      }
       if (n == srcA.length) {
         srcA = java.util.Arrays.copyOf(srcA, n * 2)
         dstA = java.util.Arrays.copyOf(dstA, n * 2)
         if (weighted) wA = java.util.Arrays.copyOf(wA, n * 2)
       }
-      srcA(n) = id(s); dstA(n) = id(d)
+      seen.put(k, n)
+      srcA(n) = si; dstA(n) = di
       if (weighted) wA(n) = weight
       n += 1
     }
@@ -93,20 +177,6 @@ object Graphs {
       else Iterator(new PackedEdges(dict.toArray,
         java.util.Arrays.copyOf(srcA, n), java.util.Arrays.copyOf(dstA, n),
         if (weighted) java.util.Arrays.copyOf(wA, n) else Array.emptyDoubleArray))
-  }
-
-  private def packWeighted(
-      it: Iterator[((String, String), Double)]): Iterator[PackedEdges] = {
-    val b = new PackBuilder(weighted = true)
-    it.foreach { case ((s, d), w) => b.add(s, d, w) }
-    b.result()
-  }
-
-  private def packUnweighted(
-      it: Iterator[((String, String), Unit)]): Iterator[PackedEdges] = {
-    val b = new PackBuilder(weighted = false)
-    it.foreach { case ((s, d), _) => b.add(s, d, 0.0) }
-    b.result()
   }
 
   /** UTF-8 byte order (= code-point order) for label comparisons: Java's
@@ -201,25 +271,32 @@ object Graphs {
     // declarative oracle: the share divides FIRST (r · (w/W), the
     // oracle's own expression shape), so ranks stay bit-identical.
     val spark = edges.sparkSession
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sessionState.conf.numShufflePartitions)
-    val bySrc = byFirstOf(part)
-    // the ONE |E| shuffle: parallel (src, dst) weights SUM and src-route
-    // together — no normalize join, no follow-up partitionBy. The cache
-    // holds the DICT-PACKED partition form (primitive arrays + one
-    // String per unique node — see PackedEdges), packed in the reduce
-    // output order so per-round FP sums replay bit-identically
-    val adj = e.rdd
-      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
-      .reduceByKey(bySrc, _ + _)
-      .mapPartitions(packWeighted)
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val part = new SqlHashPartitioner(nParts)
+    // NO RDD build shuffle (round 15): the edge frame src-routes through
+    // ONE UnsafeRow SQL exchange and packs per partition (parallel
+    // (src, dst) weights SUM in the pack builder — see buildAdj); the
+    // old ((String, String), Double) reduceByKey moved the same bytes
+    // through the Java serializer and was the heaviest step of the gate.
+    // The cache holds the DICT-PACKED partition form (primitive arrays +
+    // one String per unique node — see PackedEdges); per-round FP sums
+    // replay bit-identically across actions because the pack order is
+    // fixed once built (and the result frame below persists anyway).
+    val adj = buildAdj(e, undirected = false, weighted = true, _ + _, nParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // per-src total out-weight: |V|-sized, map-side combined from the
-    // cached adjacency, node-routed (aligned with ranks partitions)
+    // per-src total out-weight: every edge of a src lives in ONE
+    // adjacency partition by construction, so the sums are purely LOCAL
+    // (partition-aligned with the ranks by the same construction) — no
+    // shuffle; same summation order as the packed edge scan
     val outW = adj
-      .mapPartitions(_.flatMap(p => Iterator.range(0, p.size)
-        .map(i => (p.dict(p.src(i)), p.w(i)))))
-      .reduceByKey(part, _ + _)
+      .mapPartitions(_.flatMap { p =>
+        val sums = new Array[Double](p.dict.length)
+        val has = new Array[Boolean](p.dict.length)
+        var i = 0
+        while (i < p.size) { sums(p.src(i)) += p.w(i); has(p.src(i)) = true; i += 1 }
+        Iterator.range(0, p.dict.length).filter(has)
+          .map(j => (p.dict(j), sums(j)))
+      })
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node set FROM the cached adjacency (it keeps every valid edge, so
     // src ∪ dst here equals the input's) — the upstream edge-building
@@ -449,21 +526,16 @@ object Graphs {
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
 
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sessionState.conf.numShufflePartitions)
-    val bySrc = byFirstOf(part)
-    // adjacency deduped (parallel edges add nothing to reachability) and
-    // src-routed in ONE shuffle. Undirected doubling happens INSIDE the
-    // one RDD scan — a DataFrame self-union would evaluate the (possibly
-    // expensive) upstream edge derivation twice, since Spark does not
-    // dedupe common subplans across union branches.
-    val adj = fwd.rdd.flatMap { r =>
-        val s = r.getString(0); val d = r.getString(1)
-        if (undirected) Iterator(((s, d), ()), ((d, s), ()))
-        else Iterator(((s, d), ()))
-      }
-      .reduceByKey(bySrc, (a, _) => a)
-      .mapPartitions(packUnweighted) // dict-packed cache (see PackedEdges)
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val part = new SqlHashPartitioner(nParts)
+    // adjacency src-routed by ONE UnsafeRow SQL exchange and deduped in
+    // the pack builder (parallel edges add nothing to reachability); the
+    // undirected doubling is an explode inside the same plan — never a
+    // self-union, which would evaluate the (possibly expensive) upstream
+    // edge derivation twice. No RDD shuffle at build (round 15; the old
+    // ((String, String), ()) reduceByKey paid the Java serializer for
+    // every pair).
+    val adj = buildAdj(fwd, undirected, weighted = false, (a, _) => a, nParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE state map per round: (node, (dist, isNew)) — isNew marks the
@@ -589,23 +661,19 @@ object Graphs {
         col(weightCol).cast("double").as("w"))
       .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
 
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sessionState.conf.numShufflePartitions)
-    val bySrc = byFirstOf(part)
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val part = new SqlHashPartitioner(nParts)
     // parallel edges collapse to their MINIMUM weight (the only one a
-    // shortest path can use) AND src-route in one shuffle; the
-    // positivity check and the undirected doubling ride the same single
-    // pass (a self-union would re-run the upstream edge derivation —
-    // common subplans don't dedupe)
-    val adj = fwd.rdd.flatMap { r =>
-      val w = r.getDouble(2)
-      require(w > 0.0 && !w.isNaN,
-        s"shortestPaths requires positive weights, got $w")
-      val s = r.getString(0); val d = r.getString(1)
-      if (undirected) Iterator(((s, d), w), ((d, s), w))
-      else Iterator(((s, d), w))
-    }.reduceByKey(bySrc, math.min(_: Double, _: Double))
-      .mapPartitions(packWeighted) // dict-packed cache (see PackedEdges)
+    // shortest path can use) in the pack builder; src-routing is ONE
+    // UnsafeRow SQL exchange, the undirected doubling an explode inside
+    // the same plan (a self-union would re-run the upstream edge
+    // derivation — common subplans don't dedupe), and the positivity
+    // check rides the pack scan — executor-side, where the data is. No
+    // RDD shuffle at build (round 15).
+    val adj = buildAdj(fwd, undirected, weighted = true,
+        math.min(_: Double, _: Double), nParts,
+        checkW = w => require(w > 0.0 && !w.isNaN,
+          s"shortestPaths requires positive weights, got $w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE state map per round: (node, (dist, improved)) — the frontier
@@ -731,22 +799,16 @@ object Graphs {
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
 
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sessionState.conf.numShufflePartitions)
-    // used for edges (by src) and counts (by node), so all per-node
-    // state of partition i co-locates with labels partition i
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val part = new SqlHashPartitioner(nParts)
+    // counts route by the NODE component, so all per-node state of
+    // partition i co-locates with labels partition i
     val byFirst = byFirstOf(part)
-    // dedup + src-route in ONE shuffle (a follow-up partitionBy would
-    // re-shuffle the whole adjacency for nothing), with the undirected
-    // doubling inside the same single scan (a self-union would run the
-    // upstream edge derivation twice)
-    val adj = fwd.rdd.flatMap { r =>
-        val s = r.getString(0); val d = r.getString(1)
-        if (undirected) Iterator(((s, d), ()), ((d, s), ()))
-        else Iterator(((s, d), ()))
-      }
-      .reduceByKey(byFirst, (a, _) => a)
-      .mapPartitions(packUnweighted) // dict-packed cache (see PackedEdges)
+    // adjacency src-routed by ONE UnsafeRow SQL exchange, deduped in the
+    // pack builder, undirected doubling as an explode inside the same
+    // plan (a self-union would run the upstream edge derivation twice).
+    // No RDD shuffle at build (round 15).
+    val adj = buildAdj(fwd, undirected, weighted = false, (a, _) => a, nParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // each partition's dict IS its unique node set — the distinct
     // shuffle ships O(unique) rows, not 2|E|
