@@ -134,35 +134,32 @@ object SpatialJoin {
     val leftNN = left.where(col(leftGeom).isNotNull)
     val rightNN = right.where(col(rightGeom).isNotNull)
 
-    val rstats = rightNN.select(
-        call_function("st_xmin", col(rightGeom)).as("x0"),
-        call_function("st_xmax", col(rightGeom)).as("x1"),
-        call_function("st_ymin", col(rightGeom)).as("y0"),
-        call_function("st_ymax", col(rightGeom)).as("y1"))
-      .agg(count(lit(1)), max("x1") - min("x0"), max("y1") - min("y0")).head()
-    val rightTotal = rstats.getLong(0)
+    // ONE stats job (round 15; was two): right count + right span + the
+    // combined span, aggregated over a side-tagged union of both sides'
+    // envelopes — the right-only figures take conditional aggregates
+    def env(df: DataFrame, g: String, isRight: Int) = df.select(
+      call_function("st_xmin", col(g)).as("x0"),
+      call_function("st_xmax", col(g)).as("x1"),
+      call_function("st_ymin", col(g)).as("y0"),
+      call_function("st_ymax", col(g)).as("y1"),
+      lit(isRight).as("r"))
+    val st = env(leftNN, leftGeom, 0).unionAll(env(rightNN, rightGeom, 1))
+      .agg(count(when(col("r") === 1, 1)),
+        max(when(col("r") === 1, col("x1"))) - min(when(col("r") === 1, col("x0"))),
+        max(when(col("r") === 1, col("y1"))) - min(when(col("r") === 1, col("y0"))),
+        max("x1") - min("x0"), max("y1") - min("y0")).head()
+    val rightTotal = st.getLong(0)
     if (rightTotal == 0L) { // no neighbors to find: empty result, full shape
       return left.crossJoin(right.limit(0))
         .withColumn("knn_dist", lit(0.0)).withColumn("knn_rank", lit(0))
         .limit(0)
     }
-    val rSpanX = if (rstats.isNullAt(1)) 0.0 else rstats.getDouble(1)
-    val rSpanY = if (rstats.isNullAt(2)) 0.0 else rstats.getDouble(2)
+    def sd(i: Int): Double = if (st.isNullAt(i)) 0.0 else st.getDouble(i)
+    val rSpanX = sd(1)
+    val rSpanY = sd(2)
     // the COMBINED extent bounds every left↔right distance (a left row
     // outside the right extent needs a radius past the right span)
-    val cstats = leftNN.select(
-        call_function("st_xmin", col(leftGeom)).as("x0"),
-        call_function("st_xmax", col(leftGeom)).as("x1"),
-        call_function("st_ymin", col(leftGeom)).as("y0"),
-        call_function("st_ymax", col(leftGeom)).as("y1"))
-      .unionAll(rightNN.select(
-        call_function("st_xmin", col(rightGeom)).as("x0"),
-        call_function("st_xmax", col(rightGeom)).as("x1"),
-        call_function("st_ymin", col(rightGeom)).as("y0"),
-        call_function("st_ymax", col(rightGeom)).as("y1")))
-      .agg(max("x1") - min("x0"), max("y1") - min("y0")).head()
-    def sd(i: Int): Double = if (cstats.isNullAt(i)) 0.0 else cstats.getDouble(i)
-    val maxDist = math.sqrt(sd(0) * sd(0) + sd(1) * sd(1)) // combined diagonal
+    val maxDist = math.sqrt(sd(3) * sd(3) + sd(4) * sd(4)) // combined diagonal
     val need = math.min(k.toLong, rightTotal).toInt
     // expected-k radius from the right side's mean density, 1.2 head-room
     // so the typical row resolves in round one; degenerate extents fall
@@ -177,40 +174,48 @@ object SpatialJoin {
 
     val w = Window.partitionBy(col(leftId)).orderBy(col("knn_dist"), col(rightId))
     var unresolved = leftNN
+    var unresolvedN = -1L // unknown before the first round's count
     var resolved: DataFrame = null
     var r = r0
     var rounds = 0
-    while (rounds < maxRounds && !unresolved.isEmpty) {
+    while (rounds < maxRounds &&
+        (if (unresolvedN < 0) !unresolved.isEmpty else unresolvedN > 0)) {
       val ranked = distanceJoin(unresolved, leftGeom, rightNN, rightGeom,
           radius = r, cellSize = r)
         .withColumn("knn_dist",
           call_function("st_distance", col(leftGeom), col(rightGeom)))
         .withColumn("knn_rank", row_number().over(w))
         .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(leftId))))
+      // LAZY checkpoints (round 15): the round's ONE job is the count
+      // below — the anti-join consumes `done` fully, so both frames
+      // materialize there and the stop check rides the same job. The
+      // eager form paid three jobs per round (done fill, unresolved
+      // fill, isEmpty probe) for the same work.
       val done = ranked
         .where(col("__cnt") >= need && col("knn_rank") <= k)
         .drop("__cnt")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       resolved = if (resolved == null) done else resolved.unionAll(done)
       val prevUnresolved = if (rounds == 0) null else unresolved
       unresolved = unresolved
         .join(done.select(col(leftId)).distinct(), Seq(leftId), "left_anti")
-        .localCheckpoint(true)
-      // the new checkpoint is materialized (eager), so the PREVIOUS
-      // round's unresolved blocks are dead — but only rounds >= 1 own
-      // their frame (round 0's input may share the caller's checkpoints)
+        .localCheckpoint(false)
+      unresolvedN = unresolved.count() // materializes unresolved AND done
+      // the new checkpoint is materialized, so the PREVIOUS round's
+      // unresolved blocks are dead — but only rounds >= 1 own their
+      // frame (round 0's input may share the caller's checkpoints)
       if (prevUnresolved != null) Dedup.releaseFrame(prevUnresolved)
       // once the radius covers the combined diagonal every right row is
       // a candidate for every left row, so counts reach |right| ≥ need
       // and nothing can stay unresolved — a safety net, not a path
-      if (r > maxDist + r0 && !unresolved.isEmpty)
+      if (r > maxDist + r0 && unresolvedN > 0)
         throw new IllegalStateException(
           s"knnJoin did not converge: radius $r exceeds the combined extent " +
             s"$maxDist with left rows still unresolved")
       r *= 2
       rounds += 1
     }
-    require(unresolved.isEmpty,
+    require(unresolvedN <= 0,
       s"knnJoin did not resolve all left rows in $maxRounds rounds")
     // an empty (or all-null-geometry) left side never enters the loop:
     // answer the empty frame in the result's shape, not null
