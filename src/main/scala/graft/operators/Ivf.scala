@@ -80,7 +80,11 @@ object Ivf {
     def featurize(d: DataFrame): DataFrame =
       featurizeArr(d).withColumn("__features", array_to_vector(col("__feat")))
 
-    val n = df.count()
+    // ONE setup job (round 15; was two): corpus count and vector dim —
+    // first() over an unordered frame is the same arbitrary-row dim the
+    // old head() read
+    val nd = df.agg(count(lit(1)), first(size(col(vecCol)))).head()
+    val n = nd.getLong(0)
     require(n > 0, "cannot index an empty corpus")
     val effectiveK = {
       val auto = if (k > 0) k.toLong else math.round(math.sqrt(n.toDouble)).max(16L).min(4096L)
@@ -103,7 +107,7 @@ object Ivf {
     // layout) become independent of input partitioning. Past the budget,
     // distributed MLlib takes over unchanged (deterministic per layout —
     // the existing caveat). Either path yields (centroids, assigned).
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = nd.getInt(1)
     val sampleN = math.min(n, target)
     val flops = effectiveK.toLong * sampleN * dim * math.max(maxIter, 1)
     val (centroids: Array[Array[Float]], assignedRaw: DataFrame) =

@@ -67,13 +67,17 @@ object SemDedup {
         "transform(__vec, x -> CAST(CAST(x AS DOUBLE) / __norm AS FLOAT))"))
       .drop("__vec", "__norm")
 
-    val n = df.count()
+    // ONE setup job (round 15; was two): corpus count and vector dim —
+    // first() over an unordered frame is the same arbitrary-row dim the
+    // old head() read
+    val nd = df.agg(count(lit(1)), first(size(col(vecCol)))).head()
+    val n = nd.getLong(0)
     require(n > 0, "cannot deduplicate an empty corpus")
     val effectiveK = {
       val auto = if (k > 0) k.toLong else math.round(math.sqrt(n.toDouble)).max(16L).min(4096L)
       auto.min(n).toInt
     }
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = nd.getInt(1)
     val sampleN = math.min(n, math.max(trainSampleSize.toLong, 10L * effectiveK))
 
     // Training is a bounded, corpus-size-independent workload — so below
