@@ -623,12 +623,6 @@ object Dedup {
         "reliableCheckpoint=true needs sc.setCheckpointDir(<cluster-durable path>)")
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
-    // materialize the pair list once up front: the union below references it
-    // twice and every propagation round again — without this the full
-    // upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per reference.
-    // Tracked: localCheckpoint blocks persist for the JVM's lifetime
-    // otherwise (releaseCaches is the only way to drop them).
-    val mat = track(ckpt(pairs))
 
     // the driver path unions by Long id — only safe for integral id columns
     // (a string id would cast to null and corrupt the union-find)
@@ -639,9 +633,15 @@ object Dedup {
           f.dataType == ShortType || f.dataType == ByteType))
     if (smallGraphThreshold > 0 && integralIds) {
       // limit-bounded probe: fetches at most threshold+1 rows, so deciding
-      // the path never materializes a billion-edge list on the driver
+      // the path never materializes a billion-edge list on the driver.
+      // Probed on the RAW pair frame (round 15): the driver path consumes
+      // the edge list exactly once — right here — so checkpointing the
+      // whole pair DAG first paid a full materialization pass plus a
+      // corpus-sized cache write that the common (small-graph) path
+      // immediately threw away. Only the distributed loops below, which
+      // re-read the pairs every round, checkpoint.
       val appliedLimit = math.min(smallGraphThreshold + 1, (Int.MaxValue - 1).toLong).toInt
-      val sample = mat.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      val sample = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .limit(appliedLimit).collect()
       // driver path only when the probe provably fetched the COMPLETE edge
       // list (compare against the limit actually applied, not the threshold:
@@ -676,6 +676,12 @@ object Dedup {
         return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
       }
     }
+    // distributed paths: materialize the pair list once — the loops
+    // reference it every propagation round, and without the checkpoint
+    // the full upstream pipeline (e.g. the MinHash-LSH DAG) re-runs per
+    // reference. Tracked: localCheckpoint blocks persist for the JVM's
+    // lifetime otherwise (releaseCaches is the only way to drop them).
+    val mat = track(ckpt(pairs))
     if (integralIds) clustersRddLoop(mat, maxIterations, reliableCheckpoint)
     else clustersDfLoop(mat, maxIterations, ckpt)
   }

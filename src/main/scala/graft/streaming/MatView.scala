@@ -141,7 +141,10 @@ object MatView {
       // through the current-side references and double-count)
       val current = UpsertSink.readManifest(viewPath) match {
         case Some(_) =>
-          UpsertSink.readSnapshotKeys(spark, viewPath,
+          // the grouped delta frame is distinct on the key by
+          // construction and checkpointed above — the pre-distinct read
+          // skips a shuffle and a second checkpoint per delta
+          UpsertSink.readSnapshotKeysPreDistinct(spark, viewPath,
             deltas.select(keyCol))
         case None =>
           import org.apache.spark.sql.types.{LongType, StructField, StructType}

@@ -512,7 +512,21 @@ object UpsertSink {
     * snapshot-scan + semi-join, the best any layout can do. `keysDf`
     * must carry the key column under the manifest's recorded name. */
   def readSnapshotKeys(spark: SparkSession, path: String,
-                       keysDf: DataFrame): DataFrame = {
+                       keysDf: DataFrame): DataFrame =
+    readSnapshotKeysImpl(spark, path, keysDf, preDistinct = false)
+
+  /** [[readSnapshotKeys]] for a probe frame the CALLER guarantees is
+    * already distinct on the key AND deterministically re-readable (a
+    * checkpointed frame): skips the distinct shuffle and the defensive
+    * re-checkpoint — [[MatView.applyDelta]]'s probe set is the grouped
+    * delta frame, which satisfies both by construction. */
+  private[streaming] def readSnapshotKeysPreDistinct(spark: SparkSession,
+      path: String, keysDf: DataFrame): DataFrame =
+    readSnapshotKeysImpl(spark, path, keysDf, preDistinct = true)
+
+  private def readSnapshotKeysImpl(spark: SparkSession, path: String,
+                                   keysDf: DataFrame,
+                                   preDistinct: Boolean): DataFrame = {
     val m = layoutManifest(path)
     require(keysDf.columns.contains(m.key),
       s"readSnapshotKeys: probe frame has no '${m.key}' column " +
@@ -525,8 +539,10 @@ object UpsertSink {
     // rows (the applyBatch localCheckpoint precedent). LAZY: the
     // bucket-id collect below is the first action and scans every
     // partition, so it fills the checkpoint in the same job.
-    val probes = keysDf.select(col(m.key).cast(keyTypeOf(m))).distinct()
-      .localCheckpoint(false)
+    val probes =
+      if (preDistinct) keysDf.select(col(m.key).cast(keyTypeOf(m)))
+      else keysDf.select(col(m.key).cast(keyTypeOf(m))).distinct()
+        .localCheckpoint(false)
     // per-partition distinct sets (≤ numBuckets ints each), no second
     // shuffle — the one job also materializes the probe checkpoint
     val wanted = probes.select(bucketExpr(m.key, m.numBuckets).as("b"))
