@@ -887,29 +887,37 @@ object Corpus {
       .where(col("__c") > 1) // only duplicated spans can mark anything
       .select(col("__h"), col("__first"))
     // every NON-first occurrence of a duplicated window covers
-    // [pos, pos + w) — expand to distinct covered token positions per doc
+    // [pos, pos + w) — expand to covered token positions per doc.
+    // Round 15: the excision moved from the TOKEN stream to the POSITION
+    // stream (guide §2.3 — shuffle metadata, not payloads). The previous
+    // shape exploded every token into a row, anti-joined the covered
+    // positions, and re-assembled with a collect_list groupBy — two full
+    // shuffles of the whole token stream. Covered positions are the
+    // small side (≤ windowTokens · duplicated-window count): collect
+    // them per doc in ONE shuffle and excise array-side — kept positions
+    // are array_except(0..n-1, covered) (order-preserving, duplicate
+    // cover rows harmless, so the old position-level distinct shuffle is
+    // gone too), tokens resolve by index in place. Token text now never
+    // leaves its partition.
     val covered = wins.join(firsts, Seq("__h"))
       .where(struct(col("__id"), col("__pos")) =!= col("__first"))
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1))).as("__i"))
-      .distinct()
-    val tokens = docs.select(col("__id"),
-      posexplode(col("__ts")).as(Seq("__i", "__t")))
-    val kept = tokens.join(covered, Seq("__id", "__i"), "left_anti")
-      .groupBy(col("__id"))
-      .agg(
-        array_join(transform(array_sort(collect_list(struct(col("__i"), col("__t")))),
-          x => x("__t")), " ").as("__kept_text"),
-        count(lit(1)).as("__kept_n"))
+    val coveredSets = covered.groupBy(col("__id"))
+      .agg(collect_list(col("__i")).as("__cov"))
+    val emptyInts = array().cast("array<int>")
+    val keptPos = when(size(col("__ts")) < 1, emptyInts)
+      .otherwise(array_except(sequence(lit(0), size(col("__ts")) - 1),
+        coalesce(col("__cov"), emptyInts)))
     // EVERY input document keeps a row — a blank/null-text doc and a
     // fully-excised doc both answer (id, "", n, n-ish), never vanish
     // (silent row loss would break downstream joins on the doc id)
-    docs.select(col("__id"), size(col("__ts")).as("__n"))
-      .join(kept, Seq("__id"), "left")
+    docs.join(coveredSets, Seq("__id"), "left")
       .select(col("__id").as(idCol),
-        coalesce(col("__kept_text"), lit("")).as(textCol),
-        col("__n").as("n_tokens"),
-        (col("__n") - coalesce(col("__kept_n"), lit(0L))).as("n_removed"))
+        array_join(transform(keptPos,
+          p => element_at(col("__ts"), p + 1)), " ").as(textCol),
+        size(col("__ts")).as("n_tokens"),
+        (size(col("__ts")) - size(keptPos)).cast("long").as("n_removed"))
   }
 
   /** Paragraph-level exact dedup with KEEP-FIRST semantics — the C4
