@@ -357,4 +357,31 @@ class GraphsSpec extends SparkTestBase {
     assert(got("x") == fw, s"tie went to ${got("x")}")
     Dedup.releaseCaches()
   }
+
+  test("parallel edges merge in the pack builder: sum / min / dedup") {
+    // r15 moved duplicate-(src, dst) merging from the build reduceByKey
+    // into the pack builder — pin each operator's merge semantics on
+    // inputs with REAL parallel edges (the random pageRank test dedups
+    // its edge list, so it never exercised this)
+    // pageRank: parallel weights SUM — (a→b, 1.0) + (a→b, 2.0) ≡ 3.0
+    val pr = run(Seq(("a", "b", 1.0), ("a", "b", 2.0), ("b", "a", 1.0)))
+    val prWant = referenceRanks(Seq(("a", "b", 3.0), ("b", "a", 1.0)), 3, 0.85)
+    pr.foreach { case (k, v) => assert(math.abs(v - prWant(k)) < 1e-12, k) }
+    // shortestPaths: parallel weights take the MINIMUM
+    val spEdges = Seq(("a", "b", 5.0), ("a", "b", 2.0), ("b", "c", 7.0),
+      ("b", "c", 1.0)).toDF("s", "t", "w")
+    val sp = Graphs.shortestPaths(spEdges, "s", "t", "w",
+        Seq("a").toDF("node"), "node", maxIter = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sp === Map("a" -> 0.0, "b" -> 2.0, "c" -> 3.0))
+    // bfs: duplicated (and undirected-doubled) edges dedup — distances
+    // unchanged however often an edge repeats
+    val bEdges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"))
+      .toDF("s", "t")
+    val bf = Graphs.bfs(bEdges, "s", "t", Seq("a").toDF("node"), "node",
+        maxHops = 3, undirected = true)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(bf === Map("a" -> 0, "b" -> 1, "c" -> 2))
+    Dedup.releaseCaches()
+  }
 }

@@ -192,10 +192,15 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { // payload absent from snapshot
       Layout.mergeChanges(snap.drop("v"), changes, "id", "seq", "op", Seq("v"))
     }
-    // winner selection must be a partial aggregate, not a window sort
+    // winner selection must be a partial aggregate, not a window sort;
+    // and (r15) the whole merge is ONE exchange over the candidate
+    // union — no join, no second shuffle
     val plan = Layout.mergeChanges(snap, changes, "id", "seq", "op", Seq("v"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"winner selection planned a window:\n$plan")
+    assert(!plan.contains("Join"), s"merge planned a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"merge planned $exchanges exchanges (want 1):\n$plan")
   }
 
   test("compact merges small files per leaf dir, preserves content and pruning") {
