@@ -744,6 +744,17 @@ object UpsertSink {
     def side(m: Manifest, kAs: String, sAs: String) =
       prunedRead(spark, path, m, changed, toSchema).select(col(key).as(kAs),
         struct(payloads.map(col): _*).as(sAs))
+    // EMPTY from-state fast path (round 15): the "-1 prehistory" opening
+    // read — and a genuinely empty fromVersion snapshot — has nothing to
+    // diff against, so every live toVersion row is an insert with its
+    // post-image; emitting them directly skips the full-outer join (and
+    // its exchanges) that the general diff below would plan against an
+    // empty side. Identical rows in both modes (an insert's pre-image
+    // form IS the single post-image entry).
+    if (mFrom.buckets.isEmpty)
+      return prunedRead(spark, path, mTo, changed, toSchema)
+        .select(Seq(col(key), lit("insert").as(ChangeTypeCol)) ++
+          payloads.map(col): _*)
     val joined = side(mFrom, "__ka", "__sa")
       .join(side(mTo, "__kb", "__sb"), col("__ka") === col("__kb"),
         "full_outer")
