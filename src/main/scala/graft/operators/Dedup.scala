@@ -445,7 +445,19 @@ object Dedup {
     // broadcast it; AQE re-plans the join-backs from true shuffle sizes
     // at runtime (BHJ when the signature table is actually small), so no
     // driver-side materialize-and-measure is needed.
-    val est = candNarrow.union(candBig)
+    //
+    // ONE pair shuffle for dedup + estimate + refine (round 15): the
+    // spread moves ABOVE the cross-band dropDuplicates — the explicit-
+    // width repartition hash-clusters exactly the dedup's grouping keys,
+    // so the dedup aggregate runs in place (no second exchange), and the
+    // broadcast join-backs preserve that partitioning all the way into
+    // the refine. The previous shape shuffled the pair stream twice
+    // (dropDuplicates, then spreadPairs) AND — worse — ran the
+    // signature-estimate filter on the dropDuplicates output, whose
+    // tiny-by-bytes exchange AQE coalesces into a handful of tasks: the
+    // compute-heavy estimate was effectively serialized. Now dedup,
+    // estimate, and refine all run at the pinned width.
+    val est = spreadPairs(candNarrow.union(candBig))
       .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
       .join(sig.toDF("id_a", "sig_a"), "id_a")
       .join(sig.toDF("id_b", "sig_b"), "id_b")
@@ -456,11 +468,10 @@ object Dedup {
     // Stage 3 — exact refine: per-document sorted shingle-hash sets are
     // computed once, pairs evaluated by linear merge (no per-pair
     // re-shingling). Surviving pairs are 16-byte rows whose refine does
-    // O(|doc|) work each — spreadPairs pins full parallelism (AQE would
-    // coalesce the tiny-by-bytes shuffle into too few compute-bound tasks).
+    // O(|doc|) work each, on the partitioning established above.
     val shingles = base.select(col("id"),
       call_function("sorted_shingles", col("text"), lit(shingleK)).as("sh"))
-    spreadPairs(est)
+    est
       .join(shingles.toDF("id_a", "sh_a"), "id_a")
       .join(shingles.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jaccard", call_function("jaccard_sorted", col("sh_a"), col("sh_b")))
